@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY §2, one entry per
+  * implemented operator, each paired (where SQL-expressible) with a
+  * DuckDB oracle in `oracleSql`. Column names are aliased identically on
+  * both sides (the driver compare sorts columns by name and hashes
+  * values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001: the PYMK 2-hop
+    * recommendation (SURVEY §3.3) over the events-derived edge view.
+    * Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val edges = graft.queries.GraphQueries.derivedEdges(events)
+    operators.Pymk.recommend(edges, lit(1L), 10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.GraphQueries.queries
+
+  def oracleSql: Map[String, String] =
+    graft.queries.RelationalQueries.oracles ++
+      graft.queries.GraphQueries.oracles
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** "People You May Know" — the reference's flagship graph query,
+  * re-expressed as relational algebra on (vertices, edges) DataFrames.
+  *
+  * Reference traversal (RecommendBizcard/neptune_recommend_bizcard.py:56-73):
+  * {{{
+  *   g.V().hasLabel('person').has('_name', user).as_('person')
+  *    .both('knows').aggregate('friends')
+  *    .both('knows')
+  *    .where(P.neq('person')).where(P.without('friends'))
+  *    .groupCount().by('id')
+  *    .order(Scope.local).by(Column.values, Order.decr)
+  * }}}
+  *
+  * Semantics locked down here (SURVEY §2.C/D, §7.5-1):
+  *  - `both('knows')` traverses the *directed* edge list in both
+  *    directions — modelled as `edges UNION ALL reversed(edges)`
+  *    (bag semantics, duplicates kept: a reciprocal pair a→b, b→a
+  *    yields b twice in a's 1-hop frontier).
+  *  - the score is a **path count**, not a distinct-friend count: every
+  *    (friend-occurrence, second-hop-occurrence) pair contributes 1
+  *    (`groupCount().by('id')` counts traversers). So the 2-hop frontier
+  *    must NOT be deduplicated before aggregation.
+  *  - excluded: the anchor itself (`neq`) and the *set* of 1-hop
+  *    neighbours (`without` over the aggregated bag — membership test,
+  *    so `distinct` is safe for the anti-join side only).
+  *  - ties: Gremlin leaves equal-count order unspecified; we declare the
+  *    deterministic tiebreak `asc(id)` (SURVEY §7.3).
+  *
+  * Scale posture (100 TB): both hops are equi-joins on the vertex id —
+  * shuffle-partitioned by key, no driver collection. The undirected
+  * adjacency is built once and reused by both hops so the exchange is
+  * reusable (ReusedExchange under AQE). For a single-anchor query the
+  * anchor side is tiny after the first semi-join, so AQE demotes the
+  * second join to broadcast automatically; for the all-pairs variant the
+  * joins stay shuffle hash joins keyed on id, which is the right plan.
+  * Skewed hub vertices are handled by AQE skew-join splitting.
+  */
+object Pymk {
+
+  /** Undirected bag view of a directed edge list: out-edges ∪ in-edges.
+    * Reference: `both('knows')` (neptune_recommend_bizcard.py:60-61);
+    * SURVEY §2.F1 — duplicates are load-bearing for path counting.
+    */
+  def undirected(edges: DataFrame): DataFrame = {
+    val fwd = edges.select(col("src").as("from"), col("dst").as("to"))
+    val rev = edges.select(col("dst").as("from"), col("src").as("to"))
+    fwd.unionAll(rev)
+  }
+
+  /** Recommend for a single anchor vertex id. Returns (id, score) ranked
+    * by score desc, id asc, limited to `limit`.
+    *
+    * @param edges directed edge DataFrame with columns (src, dst);
+    *              already deduplicated on (src,dst) — the reference's
+    *              edge upsert guarantees at most one edge per direction
+    *              (upsert_bizcard_to_graph_db.py:104-109).
+    */
+  def recommend(edges: DataFrame, anchorId: Column, limit: Int): DataFrame = {
+    val adj = undirected(edges)
+
+    // hop 1 — the friend bag of the anchor (duplicates kept)
+    val friends = adj.filter(col("from") === anchorId).select(col("to").as("friend"))
+
+    // hop 2 — expand every friend occurrence (bag x bag = path count)
+    val hop2 = friends
+      .join(adj, friends("friend") === adj("from"))
+      .select(col("to").as("candidate"))
+
+    // exclusions: self, and anyone already a direct friend (set semantics)
+    val friendSet = friends.select(col("friend").as("candidate")).distinct()
+    val candidates = hop2
+      .filter(col("candidate") =!= anchorId)
+      .join(friendSet, Seq("candidate"), "left_anti")
+
+    candidates
+      .groupBy(col("candidate").as("id"))
+      .agg(count(lit(1)).as("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(limit)
+  }
+
+  /** Recommend joined back to vertex properties — replaces the
+    * reference's N+1 per-candidate `valueMap()` round trips
+    * (neptune_recommend_bizcard.py:69-72) with one equi-join.
+    */
+  def recommendWithProps(vertices: DataFrame, edges: DataFrame,
+                         anchorId: Column, limit: Int): DataFrame = {
+    val scored = recommend(edges, anchorId, limit)
+    scored.join(vertices, Seq("id"), "left")
+      .orderBy(desc("score"), asc("id"))
+  }
+
+  /** Anchor lookup by case-insensitive name — the `_name` shadow
+    * property (upsert_bizcard_to_graph_db.py:94, queried at
+    * neptune_recommend_bizcard.py:59). Returns the id column of the
+    * first match; caller feeds it to [[recommend]].
+    */
+  def anchorByName(vertices: DataFrame, user: String): DataFrame =
+    vertices.filter(lower(col("name")) === user.toLowerCase).select("id").limit(1)
+}

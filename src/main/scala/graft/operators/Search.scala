@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.tokenize
+
+/** Full-text relevance search — the Spark-native re-expression of the
+  * reference's Elasticsearch query surface (SURVEY §2.G).
+  *
+  * Reference query (SearchBizcard/es_search_bizcard.py:59-84): a `bool`
+  * query with an optional `multi_match` must-clause over fields
+  * `name^3, company, job_title, addr`, an optional non-scoring `term`
+  * filter on `owner`, top-`limit` by `_score` desc.
+  *
+  * ES's BM25 internals are not observable from the reference (no pinned
+  * scores anywhere — README.md:103-147 shows shapes only), so we declare
+  * a deterministic TF-IDF (SURVEY §7.3):
+  *
+  *   score(doc) = Σ_field boost_f · Σ_{t ∈ query} tf(t, f, doc) · idf(t, f)
+  *   idf(t, f)  = ln(1 + (N − df + 0.5) / (df + 0.5))      (BM25-style idf)
+  *
+  * with case-insensitive whitespace tokenization. This keeps the
+  * reference's boost intent (name 3×) with fully reproducible scores
+  * that a SQL oracle can recompute.
+  *
+  * Scale posture: the scoring pipeline is explode → two hash
+  * aggregations (df per term, tf per doc) → one join on the term — all
+  * key-partitioned shuffles. The per-term document-frequency table is
+  * tiny (≤ |query terms|) and is broadcast into the tf join. The final
+  * top-k is `TakeOrderedAndProject` (no global sort materialization).
+  */
+object Search {
+
+  /** Per-(doc, term) term frequencies for one text field.
+    * `posexplode`-free: tf is a plain count after explode.
+    */
+  private def termFreq(docs: DataFrame, idCol: String, field: String,
+                       queryTerms: Seq[String]): DataFrame =
+    docs
+      .select(col(idCol).as("_doc"), explode(tokenize(col(field))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("_doc", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) over one field. */
+  private def idf(tf: DataFrame, n: Long): DataFrame =
+    tf.groupBy("term")
+      .agg(countDistinct(col("_doc")).as("df"))
+      .select(col("term"),
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"))
+
+  /** Score one text field for the given query terms: returns
+    * (_doc, fscore) with fscore = Σ_t tf·idf, rows only for docs with at
+    * least one hit (ES semantics: non-matching docs score 0 and are kept
+    * only if another field matches).
+    */
+  def scoreField(docs: DataFrame, idCol: String, field: String,
+                 queryTerms: Seq[String]): DataFrame = {
+    val n = docs.count() // one cheap metadata-only count per scored field
+    val tf = termFreq(docs, idCol, field, queryTerms)
+    val idfs = broadcast(idf(tf, n))
+    tf.join(idfs, "term")
+      .groupBy("_doc")
+      .agg(sum(col("tf") * col("idf")).as("fscore"))
+  }
+
+  /** Multi-field boosted search over a document table.
+    *
+    * @param fields   (fieldName, boost) pairs — the reference uses
+    *                 name^3, company^1, job_title^1, addr^1
+    *                 (es_search_bizcard.py:65-68).
+    * @param ownerFilter optional exact, non-scoring filter
+    *                 (es_search_bizcard.py:72-73 `term` in filter context)
+    * @param aliveCol optional soft-delete guard: is_alive = 1
+    *                 (upsert_bizcard_to_es.py:71, README.md:97)
+    */
+  def search(docs: DataFrame, idCol: String, fields: Seq[(String, Double)],
+             query: String, limit: Int,
+             ownerFilter: Option[(String, String)] = None,
+             aliveCol: Option[String] = None): DataFrame = {
+    val queryTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(queryTerms.nonEmpty || ownerFilter.nonEmpty,
+      "at least one of query / owner filter required (es_search_bizcard.py:75)")
+
+    val filtered0 = ownerFilter.fold(docs) { case (c, v) => docs.filter(col(c) === v) }
+    val filtered = aliveCol.fold(filtered0)(c => filtered0.filter(col(c) === 1))
+
+    if (queryTerms.isEmpty) return filtered.limit(limit)
+
+    val fieldScores = fields.map { case (f, boost) =>
+      scoreField(filtered, idCol, f, queryTerms)
+        .select(col("_doc"), (col("fscore") * lit(boost)).as("fscore"))
+    }
+    val combined = fieldScores.reduce(_ unionAll _)
+      .groupBy("_doc").agg(sum("fscore").as("_score"))
+
+    filtered.join(combined, filtered(idCol) === combined("_doc"))
+      .drop("_doc")
+      .orderBy(desc("_score"), asc(idCol))
+      .limit(limit)
+  }
+}

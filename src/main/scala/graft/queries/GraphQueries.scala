@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Pymk
+
+/** Graph-shaped oracle queries (SURVEY §2.C3-C6, §2.D1, §2.F) over a
+  * deterministic edge view derived from the `events` table
+  * (FIXTURES.md §B: "a knows-like edge view derived from
+  * events(user_id → value-bucketed peer)").
+  *
+  * Edge view: src = user_id, dst = floor(value)::bigint % 50, for click
+  * and view events, self-loops dropped, (src,dst) deduplicated — mirrors
+  * the reference's edge-upsert invariants (at most one directed edge per
+  * pair, no self-loops; upsert_bizcard_to_graph_db.py:100-109).
+  */
+object GraphQueries {
+
+  /** The shared SQL definition of the edge view (kept textually in sync
+    * with [[derivedEdges]]). */
+  val EdgesSql: String =
+    """SELECT DISTINCT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 50 AS dst
+      |FROM events
+      |WHERE event_type IN ('click', 'view')
+      |  AND user_id <> CAST(FLOOR(value) AS BIGINT) % 50""".stripMargin
+
+  def derivedEdges(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("src"),
+        (floor(col("value")).cast("long") % 50).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D1/C2-C6/E1-E2: the flagship PYMK 2-hop with bag path counting.
+    "qD1_pymk" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      Pymk.recommend(edges, lit(1L), 10)
+    }),
+
+    // F1 + D-tier: degree over the undirected bag view.
+    "qF1_undirected_degree" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      Pymk.undirected(edges)
+        .groupBy(col("from").as("id"))
+        .agg(count(lit(1)).as("degree"))
+        .orderBy(col("id"))
+    }),
+
+    // C9: path join for visualization — edge endpoints hydrated to names.
+    "qC9_path_join" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("vid"), col("c_name").as("vname"))
+      val srcV = c.select(col("vid").as("src"), col("vname").as("src_name"))
+      val dstV = c.select(col("vid").as("dst"), col("vname").as("dst_name"))
+      edges.join(broadcast(srcV), "src").join(broadcast(dstV), "dst")
+        .select(col("src"), col("dst"), col("src_name"), col("dst_name"))
+        .orderBy(col("src"), col("dst"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "qD1_pymk" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION ALL
+         |  SELECT dst AS f, src AS t FROM edges),
+         |friends AS (SELECT t AS friend FROM adj WHERE f = 1),
+         |hop2 AS (
+         |  SELECT a.t AS candidate
+         |  FROM friends fr JOIN adj a ON a.f = fr.friend)
+         |SELECT candidate AS id, count(*) AS score
+         |FROM hop2
+         |WHERE candidate <> 1
+         |  AND candidate NOT IN (SELECT DISTINCT friend FROM friends)
+         |GROUP BY candidate
+         |ORDER BY score DESC, id ASC
+         |LIMIT 10""".stripMargin,
+    "qF1_undirected_degree" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION ALL
+         |  SELECT dst AS f, src AS t FROM edges)
+         |SELECT f AS id, count(*) AS degree FROM adj
+         |GROUP BY f ORDER BY id""".stripMargin,
+    "qC9_path_join" ->
+      s"""WITH edges AS ($EdgesSql)
+         |SELECT src, dst, cs.c_name AS src_name, cd.c_name AS dst_name
+         |FROM edges
+         |JOIN customer cs ON src = cs.c_custkey
+         |JOIN customer cd ON dst = cd.c_custkey
+         |ORDER BY src, dst""".stripMargin)
+}

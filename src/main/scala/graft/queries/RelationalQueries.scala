@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Oracle-checked relational queries covering SURVEY §2.A/B/C/D/E/H/J
+  * rows on the harness tables (FIXTURES.md §B role mapping).
+  *
+  * Conventions shared by every query here (driver compare contract):
+  *  - every computed column is aliased identically in Spark and oracle SQL;
+  *  - every result has a total deterministic ORDER BY;
+  *  - float results of arithmetic are `round(x, 2|4)` on both sides
+  *    (raw parquet doubles pass through un-rounded — they are bit-exact);
+  *  - integer sums are kept in BIGINT on both sides (DuckDB sums of
+  *    integers widen to HUGEINT → explicitly CAST ... AS BIGINT in SQL).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D-tier aggregation: the pricing-summary shape (grouped sums +
+    // counts with map-side partial aggregation; single key shuffle).
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A1: scan + filter + projection — predicate and column pruning must
+    // reach the parquet scan (PushedFilters/ReadSchema verified in spec).
+    "qA1_scan_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-06-01 00:00:00")) &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(200)
+    }),
+
+    // B8: md5-8 surrogate key (the reference's universal id scheme).
+    "qB8_md5_8" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), md5_8(col("c_name")).as("key8"))
+        .orderBy(col("c_custkey"))
+        .limit(200)
+    }),
+
+    // B9: composite content_id dedup key.
+    "qB9_content_id" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          contentId(col("c_name"), col("c_mktsegment"),
+            col("c_custkey").cast("string")).as("content_id"))
+        .orderBy(col("c_custkey"))
+        .limit(200)
+    }),
+
+    // B10: the two timestamp formats of the reference (ISO created_at +
+    // compact numeric mts).
+    "qB10_ts_format" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          isoTimestamp(col("o_orderdate")).as("created_at"),
+          compactTimestamp(col("o_orderdate")).as("mts"))
+        .orderBy(col("o_orderkey"))
+        .limit(200)
+    }),
+
+    // B13: JSON decode of the event props payload (from_json analogue —
+    // get_json_object keeps it scalar).
+    "qB13_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+        .limit(500)
+    }),
+
+    // C1: point lookup join — one-row build side, must broadcast.
+    "qC1_point_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_custkey") === 7)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // C6: left anti join (the PYMK friend-exclusion shape).
+    "qC6_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // C7: left semi join (the edge-existence probe shape).
+    "qC7_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // C8: property-hydration join — scored ids joined back to dims in
+    // one pass (vs the reference's N+1 valueMap loop); dims broadcast.
+    "qC8_hydrate_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+        .orderBy(col("c_custkey"))
+        .limit(500)
+    }),
+
+    // D3/D5: global counts (count + exact distinct).
+    "qD3_counts" -> ((s, dir) => {
+      t(s, dir, "events")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // E2/E3: top-k with deterministic tiebreak → TakeOrderedAndProject.
+    "qE2_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(25)
+    }),
+
+    // H1/J4: keyed last-write-wins upsert — the DynamoDB status-table
+    // merge (latest row per key by (ts, event_id)).
+    "qH1_vertex_upsert_lww" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("ts"), desc("event_id"))
+      t(s, dir, "events")
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // J3: event-time tumbling window aggregation (batch twin of the
+    // streaming windowed agg; window().start == hour truncation).
+    "qJ3_window_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // J4: sessionization by inactivity gap (30 min) — the batch twin of
+    // flatMapGroupsWithState session state; pure window functions, one
+    // shuffle keyed by user.
+    "qJ4_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapped = t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000L, 1)
+            .otherwise(0))
+      gapped
+        .withColumn("sess_id",
+          sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sess_value"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "qA1_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin,
+    "qB8_md5_8" ->
+      """SELECT c_custkey, substr(md5(c_name), 1, 8) AS key8
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
+    "qB9_content_id" ->
+      """SELECT c_custkey,
+        | substr(md5(lower(c_name) || ':' || lower(c_mktsegment) || ':' ||
+        |   lower(CAST(c_custkey AS VARCHAR))), 1, 8) AS content_id
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
+    "qB10_ts_format" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS created_at,
+        | CAST(strftime(o_orderdate, '%Y%m%d%H%M%S') AS BIGINT) AS mts
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+    "qB13_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "qC1_point_join" ->
+      """SELECT o_orderkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey = 7 ORDER BY o_orderkey""".stripMargin,
+    "qC6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "qC7_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "qC8_hydrate_join" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "qD3_counts" ->
+      """SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events""".stripMargin,
+    "qE2_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+    "qH1_vertex_upsert_lww" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
+        |  FROM events) WHERE _rn = 1 ORDER BY user_id""".stripMargin,
+    "qJ3_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "qJ4_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  count(*) AS n_events, round(sum(value), 2) AS sess_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
