@@ -25,9 +25,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
-      graft.queries.GraphQueries.oracles
+      graft.queries.GraphQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.SimilarityQueries.oracles
 }

@@ -54,10 +54,13 @@ object GraftFunctions {
   def extractEmail(c: Column): Column = regexp_extract(c, EmailPattern, 0)
 
   /** First phone-looking substring ('' if none).
-    * Reference: get_text_from_s3_image.py:31-35 — digit runs with
-    * separators, at least ~9 chars.
+    * Reference: get_text_from_s3_image.py:31-35 — pattern
+    * `\({0,1}\+{0,1}[\d ]*[\d]{2,}\){0,1}[\d\- ]{7,}` kept shape-for-shape
+    * (optional paren + plus, digit run, optional close paren, >=7 more
+    * digit/dash/space chars) so fixture phones like "(+82 10) 1025 7049"
+    * match in full.
     */
-  val PhonePattern = "[+(]?[0-9][0-9 ()+-]{7,}[0-9)]"
+  val PhonePattern = "\\(?\\+?[0-9 ]*[0-9]{2,}\\)?[0-9\\- ]{7,}"
   def extractPhone(c: Column): Column = regexp_extract(c, PhonePattern, 0)
 
   /** Address-line detector: count stopword hits in the lowercased line,

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.tokenize
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - exact dedup is one hash-partitioned groupBy on a digest — the
+  *    only full-width shuffle, and it ships digests, not documents;
+  *  - the all-pairs n-gram Jaccard is the *oracle* formulation
+  *    (quadratic blow-up controlled by the shingle-postings join);
+  *    the scale path is MinHash+LSH: signatures are a narrow
+  *    projection, candidate generation shuffles only
+  *    (band_id, band_hash, doc_id) triples, and exact verification
+  *    touches just the candidate pairs;
+  *  - SimHash reduces a document to one 64-bit word; near-dup search
+  *    becomes a band-key self-join on 16-bit chunks (Hamming ≤ 3 ⇒
+  *    at least one of 4 chunks equal — pigeonhole).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the lowest-id row per content digest.
+    * One shuffle keyed by digest; `row_number` (not groupBy+join) so
+    * surviving rows keep all columns.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_digest")).orderBy(col(idCol))
+    docs.withColumn("_digest", md5(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_digest")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokenize(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    )
+  }
+
+  /** All-pairs n-gram Jaccard via a shingle-postings self-join:
+    * explode distinct shingles → join on shingle (id1 < id2) → count
+    * intersection → |A∪B| = |A|+|B|−|A∩B|. Exact but quadratic in
+    * co-occurring docs — use as ground truth / verifier; LSH is the
+    * scale path.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, minJaccard: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val posts = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = posts.select(col("id").as("id1"), col("n_sh").as("n1"), col("s"))
+    val b = posts.select(col("id").as("id2"), col("n_sh").as("n2"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature: k independent permutations simulated by
+    * xxhash64 over the shingle with a per-function salt;
+    * sig[i] = min_s xxhash64(i || s). Narrow projection (array of k
+    * longs per doc); no shuffle.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH banding: split the k-wide signature into `bands` bands of
+    * k/bands rows; band key = hash of the slice. Docs sharing any band
+    * key become candidates. Returns (band, key, id) postings.
+    */
+  def lshBands(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(concat_ws("_", slice(sig, b * r + 1, lit(r)))).as("key")))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exact-verified.
+    *
+    * Pipeline: shingle → signature (narrow) → band postings
+    * (explode, shuffle only (band,key,id)) → self-join per band key →
+    * distinct candidate pairs → exact Jaccard verification on just the
+    * candidates (semi-joined shingle arrays, intersect/union in-memory
+    * per pair via array functions — no postings blow-up).
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
+    val posts = sig
+      .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = posts.as("a").join(posts.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    // exact verification on candidates only
+    val withSh = cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+    withSh
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over token features: for each bit b, sum +1/−1
+    * across tokens according to bit b of xxhash64(token); bit b of the
+    * result is 1 iff the vote sum is positive. Expressed as a
+    * 64-element vote array folded over the token array — narrow
+    * projection, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val toks = tokenize(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(acc, transform(sequence(lit(0), lit(63)),
+            i => when(call_function("shiftrightunsigned", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+              .otherwise(lit(-1L))),
+          (v, d) => v + d))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming ≤ maxDist, found via the
+    * pigeonhole band join: split the 64-bit hash into `maxDist + 1`
+    * chunks; any pair within distance shares at least one exact chunk.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val hashed = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val posts = hashed.select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => struct(c.as("chunk"),
+            call_function("shiftrightunsigned", col("sh"), c * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("key")))).as("ck"))
+      .select(col("id"), col("sh"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    posts.as("a").join(posts.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming64(col("a.sh"), col("b.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

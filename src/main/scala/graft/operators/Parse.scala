@@ -23,13 +23,15 @@ import graft.functions.GraftFunctions._
   */
 object Parse {
 
-  /** Last-matching-line-wins fold: pick `element_at(filter(lines, pred), -1)`
-    * then apply the extractor to that line. Empty string when no line
-    * matches (the reference initializes fields to '' — :37-42).
+  /** Last-matching-line-wins fold: pick the last element of
+    * `filter(lines, pred)` then apply the extractor to that line.
+    * `try_element_at` (not `element_at`): under ANSI mode (Spark 4
+    * default) `element_at(-1)` on an empty array throws; we want null →
+    * coalesced to '' (the reference initializes fields to '' — :37-42).
     */
   private def lastMatching(lines: org.apache.spark.sql.Column,
                            pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-    element_at(filter(lines, pred), -1)
+    try_element_at(filter(lines, pred), lit(-1))
 
   /** Parse a DataFrame bearing `text_lines: array<string>` into card
     * fields. Rows with < 3 lines get `parse_error = true` and null

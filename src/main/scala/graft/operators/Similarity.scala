@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{cosine, dot, l2Norm}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths, per the builder brief:
+  *  - [[bruteForceTopK]] — exact cosine top-k. The query side is small
+  *    (broadcast); the corpus is scanned once; per-query top-k is a
+  *    window `row_number`, i.e. a single shuffle keyed by query id.
+  *    This is the ground truth and is already the right plan when
+  *    |queries| is small (the common "probe" shape).
+  *  - [[randomHyperplaneLsh]] / [[lshTopK]] — the scale path: sign-LSH
+  *    (random hyperplanes, Charikar 2002) buckets vectors by an
+  *    m-bit signature; candidates = same-bucket pairs (optionally
+  *    multi-probe by flipping bits); exact cosine re-ranks candidates
+  *    only. At 100 TB the corpus-side signature projection is narrow,
+  *    and the join shuffles (bucket, id, vec) instead of the full
+  *    cross product.
+  *
+  * Hyperplanes are generated deterministically from xxhash64 — no RNG
+  * state, so plans are reproducible and resumable (important for
+  * spot-instance reruns at scale).
+  */
+object Similarity {
+
+  /** Exact cosine top-k of `corpus` for every row of `queries`.
+    * Output: (qid, id, sim) with sim rounded to 4 decimals, ranked by
+    * (sim desc, id asc) per query.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qidCol: String, qvecCol: String,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col("id"), col("sim"))
+      .orderBy(col("qid"), desc("sim"), col("id"))
+  }
+
+  /** Deterministic "random" hyperplane component: hash-derived value in
+    * [-0.5, 0.5) for (plane p, dimension d). */
+  private def planeComponent(p: Column, d: Column): Column =
+    (pmod(xxhash64(concat_ws("_", p, d)), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** m-bit sign-LSH signature of a vector column: bit p = sign of
+    * <v, h_p> where h_p is the p-th pseudo-random hyperplane.
+    * Pure expression fold — narrow projection over the corpus.
+    */
+  def randomHyperplaneLsh(vec: Column, m: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(m - 1)), p => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x.cast("double") * planeComponent(p, d)),
+          lit(0.0), (a, x) => a + x)
+        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k via sign-LSH bucketing + exact re-rank of candidates.
+    * Multi-probe: each query also probes buckets at Hamming distance 1
+    * (flip each of the m bits) to recover near-boundary neighbors.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qidCol: String, qvecCol: String,
+              idCol: String, vecCol: String,
+              k: Int, m: Int = 12, multiProbe: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", randomHyperplaneLsh(col("vec"), m))
+    val qsig = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .withColumn("sig", randomHyperplaneLsh(col("qvec"), m))
+    val probes =
+      if (!multiProbe) qsig.withColumn("bucket", col("sig"))
+      else qsig.withColumn("bucket",
+        explode(concat(array(col("sig")),
+          transform(sequence(lit(0), lit(m - 1)),
+            i => col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), i))))))
+    val cand = broadcast(probes.select(col("qid"), col("qvec"), col("bucket")))
+      .join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("id"))
+      .dropDuplicates("qid", "id")
+      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
+    cand.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col("id"), col("sim"))
+      .orderBy(col("qid"), desc("sim"), col("id"))
+  }
+
+  /** IVF-style coarse quantization: assign every vector to the nearest
+    * of `centroids` (a small broadcast list of (cid, vec)); search
+    * probes only the `nprobe` nearest centroid cells. Centroid fitting
+    * is out of scope here (any k-means produces the table); the engine
+    * side is the cell-partitioned layout + pruned scan.
+    */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val c = centroids.select(col("cid"), col("cvec"))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("csim"), asc("cid"))
+    vecs.join(broadcast(c))
+      .withColumn("csim", cosine(col(vecCol), col("cvec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "csim", "cvec")
+  }
+}

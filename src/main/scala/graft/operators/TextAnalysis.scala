@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.tokenize
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder brief: language-ID, quality scoring, token counting,
+  * document fingerprinting). All are single-pass narrow projections —
+  * pure codegen'd expressions, no shuffle, no UDF — so they scan-scale
+  * linearly to 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (the "BPE-ish" variant adds punctuation
+    * splitting — see [[subwordCount]]). */
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** BPE-ish token estimate: split on whitespace AND punctuation/digit
+    * boundaries, so "don't-stop_2024" counts 4 sub-tokens. A regex
+    * split is a deterministic, cheap stand-in for a real tokenizer
+    * vocabulary (which would ride behind the same column contract).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit("")))
+
+  /** Quality-score feature bundle: length, token count, mean token
+    * length, punctuation ratio, stopword ratio — the classic cheap
+    * heuristics used to filter web corpora (C4-style). Returns a struct
+    * column; `qualityOk` applies the usual keep-thresholds.
+    */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokenize(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val stopHits = size(filter(toks, t => t.isin(EnStopwords.map(lit(_).asInstanceOf[Any]): _*)))
+    val punct = nChar - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+    struct(
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(nChar.cast("double") / nTok, 4).as("mean_tok_len"),
+      round(punct.cast("double") / nChar, 4).as("punct_ratio"),
+      round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"))
+  }
+
+  /** Language-ID by stopword-profile voting: score(lang) = fraction of
+    * tokens found in that language's tiny stopword profile; predict the
+    * argmax when its score clears `minScore`, else "und". An n-gram
+    * heuristic in the fastText tradition, shrunk to profiles that are
+    * deterministic and SQL-checkable.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "y", "los", "de", "un", "una", "es", "que", "por"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokenize(text)
+    val n = greatest(size(toks), lit(1))
+    LangProfiles.map { case (lang, profile) =>
+      lang -> round(
+        size(filter(toks, t => t.isin(profile.map(lit(_).asInstanceOf[Any]): _*)))
+          .cast("double") / n, 4)
+    }
+  }
+
+  def langId(text: Column, minScore: Double = 0.05): Column = {
+    val scores = langScores(text)
+    // argmax with deterministic tie-break: first profile in declaration
+    // order wins (strictly-greater comparison while folding).
+    val (bestLang, bestScore) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), greatest(sc, bs))
+    }
+    when(bestScore >= minScore, bestLang).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash document fingerprint: Karp-Rabin fold over the
+    * character stream, h ← (h·31 + code(c)) mod 1e9+7. Pure integer
+    * math over built-in expressions so an oracle can recompute it
+    * exactly; content-defined (whitespace-insensitive variants compose
+    * by fingerprinting `concat_ws(" ", tokenize(text))`).
+    */
+  val FpMod = 1000000007L
+  def rollingFingerprint(text: Column): Column = {
+    val codes = transform(
+      filter(split(text, ""), c => c =!= lit("")),
+      c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (h, c) => pmod(h * 31 + c, lit(FpMod)))
+  }
+
+  /** Normalized-content fingerprint: md5 of the canonicalized token
+    * stream — the `content_id` idea (upsert_bizcard_to_es.py:73-75)
+    * generalized to whole documents.
+    */
+  def normalizedFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokenize(text)))
+}

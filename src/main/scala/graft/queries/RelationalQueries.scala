@@ -94,10 +94,12 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
-    // C6: left anti join (the PYMK friend-exclusion shape).
+    // C6: left anti join (the PYMK friend-exclusion shape) — customers
+    // with no high-value order (filtered probe side keeps result
+    // non-empty at every sf).
     "qC6_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -217,7 +219,8 @@ object RelationalQueries {
         |WHERE c_custkey = 7 ORDER BY o_orderkey""".stripMargin,
     "qC6_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
     "qC7_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

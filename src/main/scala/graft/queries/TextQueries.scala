@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.operators.{Dedup, Search, TextAnalysis}
+
+/** Text-analysis + search + dedup oracle queries over `documents`
+  * (SURVEY §2.B/G + the training-data-pipeline extensions).
+  *
+  * Tokenization parity contract with the DuckDB oracle:
+  * Spark `split(lower(text), "\\s+")` minus empties ==
+  * DuckDB `list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')`.
+  */
+object TextQueries {
+
+  private val SearchTerms = Seq("spark", "join", "fast")
+  private val ScoreWords =
+    Seq("spark", "join", "fast", "merge", "window", "batch", "stream", "query")
+
+  /** DuckDB fragment: tokenized documents. */
+  private val ToksSql =
+    """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |  x -> x <> '') AS toks FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1/B3: regex field extraction — first leftmost match, '' if none.
+    "qB1_regex_extract" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), regexp_extract(col("text"), "j[a-z]+", 0).as("m"))
+        .orderBy(col("doc_id"))
+        .limit(500)
+    }),
+
+    // B2: the stopword-score line detector (addr heuristic generalized).
+    "qB2_stopword_score" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          addrScore(col("text"), ScoreWords).as("score"))
+        .filter(col("score") >= 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // G1/G4: deterministic TF-IDF relevance, single field, top-20.
+    "qG1_search_tfidf" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Search.scoreField(docs, "doc_id", "text", SearchTerms)
+        .select(col("_doc").as("doc_id"), round(col("fscore"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+    }),
+
+    // G1-G3: multi-field boosted search (source^3, text^1) — the
+    // name^3/company/job_title/addr boost shape of the reference.
+    "qG3_search_boosted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Search.search(docs, "doc_id",
+          Seq("source" -> 3.0, "text" -> 1.0), "src3 merge", 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
+    // token counting: whitespace + BPE-ish subword split.
+    "qX_token_count" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring features.
+    "qX_quality" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("f"))
+        .select(col("doc_id"), col("f.n_chars").as("n_chars"),
+          col("f.n_tokens").as("n_tokens"),
+          col("f.mean_tok_len").as("mean_tok_len"),
+          col("f.punct_ratio").as("punct_ratio"),
+          col("f.stopword_ratio").as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID heuristic: per-language stopword-profile scores + argmax.
+    "qX_lang_id" -> ((s, dir) => {
+      val scores = TextAnalysis.langScores(col("text"))
+      val cols = scores.map { case (lang, c) => c.as(s"s_$lang") }
+      Tables.load(s, dir, "documents")
+        .select((col("doc_id") +: cols :+
+          TextAnalysis.langId(col("text")).as("pred")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // document fingerprints: Karp-Rabin rolling hash + normalized md5.
+    "qX_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp"),
+          TextAnalysis.normalizedFingerprint(col("text")).as("nfp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact dedup: content digest → survivor + duplicate count.
+    "qX_dedup_exact" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy(col("digest"))
+    }),
+
+    // n-gram Jaccard near-dup pairs (exact all-pairs oracle form).
+    "qX_dedup_ngram" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.03)
+        .orderBy(desc("jaccard"), asc("id1"), asc("id2"))
+        .limit(100)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "qB1_regex_extract" ->
+      """SELECT doc_id, regexp_extract(text, 'j[a-z]+') AS m
+        |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin,
+    "qB2_stopword_score" ->
+      s"""SELECT doc_id, len(list_filter(
+         |  ['${ScoreWords.mkString("','")}'],
+         |  s -> contains(lower(text), s))) AS score
+         |FROM documents
+         |WHERE len(list_filter(['${ScoreWords.mkString("','")}'],
+         |  s -> contains(lower(text), s))) >= 3
+         |ORDER BY doc_id""".stripMargin,
+    "qG1_search_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('${SearchTerms.mkString("','")}') GROUP BY 1, 2),
+         |idf AS (SELECT term,
+         |    ln(1 + ((SELECT count(*) FROM documents) - count(*) + 0.5)
+         |       / (count(*) + 0.5)) AS idf
+         |  FROM tf GROUP BY term)
+         |SELECT tf.doc_id, round(sum(tf.tf * idf.idf), 4) AS score
+         |FROM tf JOIN idf USING (term)
+         |GROUP BY tf.doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "qG3_search_boosted" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |ttoks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |stoks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(source), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+        |  WHERE term IN ('src3', 'merge') GROUP BY 1, 2),
+        |stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks
+        |  WHERE term IN ('src3', 'merge') GROUP BY 1, 2),
+        |tidf AS (SELECT term, ln(1 + ((SELECT n FROM n) - count(*) + 0.5)
+        |    / (count(*) + 0.5)) AS idf FROM ttf GROUP BY term),
+        |sidf AS (SELECT term, ln(1 + ((SELECT n FROM n) - count(*) + 0.5)
+        |    / (count(*) + 0.5)) AS idf FROM stf GROUP BY term),
+        |tscore AS (SELECT ttf.doc_id, sum(ttf.tf * tidf.idf) * 1.0 AS fscore
+        |  FROM ttf JOIN tidf USING (term) GROUP BY ttf.doc_id),
+        |sscore AS (SELECT stf.doc_id, sum(stf.tf * sidf.idf) * 3.0 AS fscore
+        |  FROM stf JOIN sidf USING (term) GROUP BY stf.doc_id),
+        |allscore AS (
+        |  SELECT doc_id, fscore FROM sscore
+        |  UNION ALL
+        |  SELECT doc_id, fscore FROM tscore)
+        |SELECT doc_id, round(sum(fscore), 4) AS score
+        |FROM allscore GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "qX_token_count" ->
+      """SELECT doc_id,
+        | len(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> x <> '')) AS n_tokens,
+        | len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |   x -> x <> '')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "qX_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        | length(text) AS n_chars,
+        | len(toks) AS n_tokens,
+        | round(CAST(length(text) AS DOUBLE) / len(toks), 4) AS mean_tok_len,
+        | round(CAST(length(text) -
+        |   length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+        |   / length(text), 4) AS punct_ratio,
+        | round(CAST(len(list_filter(toks, t ->
+        |   list_contains(['the','a','an','and','or','of','to','in','is','on'], t)))
+        |   AS DOUBLE) / len(toks), 4) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "qX_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    round(CAST(len(list_filter(toks, x -> list_contains(
+         |      ['the','a','and','of','to','is','in','that','it','for'], x)))
+         |      AS DOUBLE) / greatest(len(toks), 1), 4) AS s_en,
+         |    round(CAST(len(list_filter(toks, x -> list_contains(
+         |      ['der','die','das','und','ist','nicht','ein','zu','mit','den'], x)))
+         |      AS DOUBLE) / greatest(len(toks), 1), 4) AS s_de,
+         |    round(CAST(len(list_filter(toks, x -> list_contains(
+         |      ['le','la','et','les','des','un','une','est','que','pour'], x)))
+         |      AS DOUBLE) / greatest(len(toks), 1), 4) AS s_fr,
+         |    round(CAST(len(list_filter(toks, x -> list_contains(
+         |      ['el','la','y','los','de','un','una','es','que','por'], x)))
+         |      AS DOUBLE) / greatest(len(toks), 1), 4) AS s_es
+         |  FROM t)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) >= 0.05 THEN
+         |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |         ELSE 'es' END
+         |  ELSE 'und' END AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "qX_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |     c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        | md5(array_to_string(list_filter(
+        |   string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')) AS nfp
+        |FROM documents WHERE doc_id < 1000 ORDER BY doc_id""".stripMargin,
+    "qX_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "qX_dedup_ngram" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks), 2)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
+        |  FROM d),
+        |posts AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id1, id2,
+        |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.03
+        |ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 100""".stripMargin)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pymk
+
+/** Property tests for PYMK semantics on random directed graphs
+  * (SURVEY §5.2): score == brute-force undirected path count; never
+  * recommends self or a direct friend; reciprocal edges double-count.
+  */
+class PymkPropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def brute(edges: Seq[(Long, Long)], anchor: Long): Map[Long, Long] = {
+    val adj = edges.flatMap { case (s, d) => Seq(s -> d, d -> s) }
+    val friendBag = adj.filter(_._1 == anchor).map(_._2)
+    val friendSet = friendBag.toSet
+    friendBag
+      .flatMap(f => adj.filter(_._1 == f).map(_._2))
+      .filter(c => c != anchor && !friendSet.contains(c))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+  }
+
+  test("random graphs: PYMK equals brute-force bag path counting") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 12
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = edges.toDF("src", "dst")
+      for (anchor <- 0L to 2L) {
+        val got = Pymk.recommend(df, lit(anchor), 1000).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == brute(edges, anchor), s"trial $trial anchor $anchor")
+      }
+    }
+  }
+
+  test("reciprocal edge pair double-counts the shared friend's paths") {
+    // a<->b reciprocal, b-c: both(a) yields b twice → c scores 2
+    val df = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val got = Pymk.recommend(df, lit(1L), 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 2L))
+  }
+
+  test("results ranked by score desc then id asc") {
+    val df = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (2L, 5L))
+      .toDF("src", "dst")
+    val rows = Pymk.recommend(df, lit(1L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((4L, 2L), (5L, 1L)))
+  }
+}
