@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: image /
+  * audio / video as opaque `binary` columns with typed metadata
+  * structs, processed by per-partition batch functions.
+  *
+  * The Spark-side contract is real and tested — schemas, partition
+  * batching, deterministic outputs; the actual media codecs are STUBBED
+  * behind [[MediaCodec]] (this container has no image/audio libraries):
+  * the default [[FakeCodec]] derives deterministic pseudo-decodes from
+  * the bytes, so tests pin the plumbing without the dependency. A real
+  * deployment swaps in a codec implementation; nothing else changes.
+  *
+  * Scale notes: `mapPartitions` keeps one codec instance per partition
+  * (amortized model/codec init — the reason mapInPandas-style batch
+  * APIs exist), rows stream through without materializing the whole
+  * partition, and binary payloads never pass through a shuffle in these
+  * ops (narrow transformations only). Feature extraction that feeds the
+  * ANN path emits `array<float>` compatible with [[Similarity]].
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media payload. */
+  case class MediaMeta(format: String, width: Int, height: Int,
+                       channels: Int, durationMs: Long)
+
+  case class MediaRecord(id: Long, mediaType: String, content: Array[Byte],
+                         meta: MediaMeta)
+
+  case class DecodedRecord(id: Long, mediaType: String, meta: MediaMeta,
+                           pixels: Array[Float])
+
+  case class FrameRecord(id: Long, frameNo: Int, content: Array[Byte])
+
+  case class FeatureRecord(id: Long, embedding: Array[Float])
+
+  /** The codec seam — a real implementation wraps an image/audio
+    * library; [[FakeCodec]] is the deterministic stand-in (STUB: no
+    * media libs in this container).
+    */
+  trait MediaCodec extends Serializable {
+    def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float]
+    def resize(pixels: Array[Float], meta: MediaMeta,
+               w: Int, h: Int): (Array[Float], MediaMeta)
+    def embed(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake: "pixels"/"embeddings" are hash-derived floats —
+    * stable across runs and processes, so plumbing tests can assert
+    * exact values. */
+  object FakeCodec extends MediaCodec {
+    private def f(seed: Long, i: Int): Float = {
+      val x = seed * 6364136223846793005L + i * 1442695040888963407L
+      ((x >>> 16) % 1000L).toFloat / 1000f
+    }
+    private def seedOf(bytes: Array[Byte]): Long =
+      bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val n = math.min(meta.width * meta.height, 64)
+      val s = seedOf(bytes)
+      Array.tabulate(n)(i => f(s, i))
+    }
+    def resize(pixels: Array[Float], meta: MediaMeta,
+               w: Int, h: Int): (Array[Float], MediaMeta) = {
+      val n = math.min(w * h, 64)
+      (Array.tabulate(n)(i => pixels(i % math.max(pixels.length, 1))),
+        meta.copy(width = w, height = h))
+    }
+    def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val s = seedOf(bytes)
+      Array.tabulate(dim)(i => f(s, i) - 0.5f)
+    }
+  }
+
+  /** Read a directory of media files as (path, length, content) —
+    * `binaryFile` source with glob pushdown (A1's pathGlobFilter). */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
+  /** Decode: binary → pixel array, one codec instance per partition. */
+  def decode(media: Dataset[MediaRecord],
+             codec: MediaCodec = FakeCodec): Dataset[DecodedRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val c = codec // one instance per partition (init amortization)
+      it.map(m => DecodedRecord(m.id, m.mediaType, m.meta,
+        c.decode(m.content, m.meta)))
+    }
+  }
+
+  /** Resize decoded media to (w, h); metadata updated in lockstep. */
+  def resize(decoded: Dataset[DecodedRecord], w: Int, h: Int,
+             codec: MediaCodec = FakeCodec): Dataset[DecodedRecord] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions { it =>
+      it.map { d =>
+        val (p, m) = codec.resize(d.pixels, d.meta, w, h)
+        DecodedRecord(d.id, d.mediaType, m, p)
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame (every `everyN`-th of
+    * `frameCount`), payload sliced deterministically from the source
+    * bytes (STUB for a real demuxer). Generator shape: one input row →
+    * many output rows, still narrow. */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int,
+                   frameCount: Int): Dataset[FrameRecord] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      (0 until frameCount by everyN).map { fno =>
+        val start = if (m.content.isEmpty) 0 else fno % m.content.length
+        FrameRecord(m.id, fno, m.content.slice(start, start + 16))
+      }
+    }
+  }
+
+  /** Feature extraction: binary → `array<float>` embedding, ready for
+    * [[Similarity.bruteForceTopK]] / [[Similarity.lshTopK]]. */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64,
+                      codec: MediaCodec = FakeCodec): Dataset[FeatureRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val c = codec
+      it.map(m => FeatureRecord(m.id, c.embed(m.content, dim)))
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model.{ImageStatus, Schemas}
+import graft.operators.{GraphBuild, Parse}
+
+/** Structured Streaming shell of the ingest pipeline (SURVEY §3.1).
+  *
+  * Reference topology: one text stream fans out to three independent
+  * consumers — ES upsert, Neptune upsert, Firehose S3 archive — each
+  * with its own checkpoint (octember_bizcard_stack.py:505-506,758,562),
+  * plus a DynamoDB status table keyed by image_id
+  * (trigger_text_extract_from_s3_image.py:50-92).
+  *
+  * Spark restatement: one `readStream` source DataFrame; three
+  * `writeStream` queries with separate checkpoints; `foreachBatch`
+  * idempotent merges for the keyed tables (exactly-once via
+  * deterministic ids — J1); a `mapGroupsWithState` status machine (J4);
+  * gzip JSON archive partitioned y/m/d/h (A5).
+  */
+object CardStream {
+
+  /** A1/A2: file-based card-event source (the Kinesis seam in tests —
+    * maxFilesPerTrigger mirrors the reference's batch-100 consumption).
+    */
+  def readCardEvents(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(Schemas.cardEvent)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+      .select(col("s3_bucket"), col("s3_key"), col("owner"), col("data.*"))
+
+  /** B7 validity predicate + enrichment, with `observe` counters for the
+    * reads/writes/invalid tallies the reference logs (D4/J5).
+    */
+  def validated(cards: DataFrame): DataFrame =
+    Parse.enrich(
+      cards.observe("ingest",
+          count(lit(1)).as("reads"),
+          count(when(col("owner").isNull || col("s3_key").isNull ||
+            col("name").isNull, 1)).as("invalid"))
+        .filter(col("owner").isNotNull && col("s3_key").isNotNull &&
+          col("name").isNotNull))
+
+  // ------------------------------------------------------------- merges
+
+  /** Replay-idempotent last-write-wins merge of `batch` into the parquet
+    * table at `path`, keyed by `keyCols`, newest by `ordCol` (ties: all
+    * remaining columns — deterministic). Plain parquet + atomic
+    * directory swap (SURVEY §7.5-2): write to `<path>__stage`, then
+    * rename over the live dir, so readers see either the old or the new
+    * table, never a partial write.
+    */
+  def mergeLww(spark: SparkSession, batch: DataFrame, path: String,
+               keyCols: Seq[String], ordCol: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val hasData = fs.exists(live) && fs.listStatus(live)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    val existing = if (hasData) spark.read.parquet(path) else batch.limit(0)
+    val all = existing.unionByName(batch, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(desc(ordCol) +: all.columns.filterNot(keyCols.contains)
+        .map(c => desc(c)): _*)
+    val merged = all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val stage = new Path(path + "__stage")
+    merged.write.mode("overwrite").parquet(stage.toString)
+    val old = new Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(stage, live)
+    fs.delete(old, true)
+  }
+
+  /** A6: search-table sink — LWW by doc_id ordered by created_at
+    * (upsert_bizcard_to_es.py:77-90; ES doc _id upsert). */
+  def startSearchMerge(cards: DataFrame, tablePath: String,
+                       checkpoint: String): StreamingQuery =
+    cards.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeLww(batch.sparkSession, batch, tablePath,
+          Seq("doc_id"), "created_at")
+      }
+      .start()
+
+  /** Graph sink: vertex LWW merge + edge distinct merge
+    * (upsert_bizcard_to_graph_db.py:89-113). Unlike the reference —
+    * which loses edges when the owner's own card arrives late
+    * (README.md:711-713) — the merge is order-independent: vertices and
+    * edges are derived independently per batch and deduped cumulatively.
+    */
+  def startGraphMerge(cards: DataFrame, vPath: String, ePath: String,
+                      checkpoint: String): StreamingQuery =
+    cards.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withTs = batch
+        val (v, e) = GraphBuild.buildGraph(withTs)
+        // carry created_at for cross-batch LWW ordering
+        val vOrd = withTs
+          .withColumn("id", graft.functions.GraftFunctions.personId(col("email")))
+          .groupBy("id").agg(max("created_at").as("created_at"))
+        mergeLww(batch.sparkSession, v.join(vOrd, "id"), vPath,
+          Seq("id"), "created_at")
+        mergeLww(batch.sparkSession, e.withColumn("_ord", lit(0)), ePath,
+          Seq("src", "dst"), "_ord")
+      }
+      .start()
+
+  /** A5: Firehose-style archive — gzip JSON, hour-partitioned
+    * `y/m/d/h` path layout, 60 s flush (octember_bizcard_stack.py:562-584).
+    */
+  def startArchive(cards: DataFrame, path: String, checkpoint: String,
+                   trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    cards
+      .withColumn("_ts", coalesce(
+        to_timestamp(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        current_timestamp()))
+      .withColumn("year", date_format(col("_ts"), "yyyy"))
+      .withColumn("month", date_format(col("_ts"), "MM"))
+      .withColumn("day", date_format(col("_ts"), "dd"))
+      .withColumn("hour", date_format(col("_ts"), "HH"))
+      .drop("_ts")
+      .writeStream
+      .format("json")
+      .option("compression", "gzip")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("year", "month", "day", "hour")
+      .trigger(trigger)
+      .start()
+
+  // ------------------------------------------------------- status machine
+
+  /** Input shape of the status stream (J4). */
+  case class StatusEvent(image_id: String, s3_bucket: String, s3_key: String,
+                         mts: Long, status: String)
+
+  /** J4: the DynamoDB status machine START → PROCESS → END as
+    * `mapGroupsWithState` keyed by image_id; state = latest (mts,
+    * status) with last-write-wins on mts (ties: rank by the status
+    * progression so a replayed START never regresses an END).
+    */
+  val StatusRank = Map("START" -> 1, "PROCESS" -> 2, "END" -> 3)
+
+  def latestStatus(key: String, events: Iterator[StatusEvent],
+                   state: GroupState[ImageStatus]): ImageStatus = {
+    val candidates = events.map(e =>
+      ImageStatus(e.image_id, e.s3_bucket, e.s3_key, e.mts, e.status)) ++
+      state.getOption.iterator
+    val best = candidates.maxBy(s => (s.mts, StatusRank.getOrElse(s.status, 0)))
+    state.update(best)
+    best
+  }
+
+  def statusTable(events: org.apache.spark.sql.Dataset[StatusEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.image_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(latestStatus)
+      .toDF()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Schemas
+import graft.operators.{GraphAnalytics, GraphBuild, Multimodal, Pymk}
+import graft.operators.Multimodal._
+
+/** Multimodal plumbing (schema/batching/determinism with the stubbed
+  * codec) and GraphX analytics parity with the DataFrame operators.
+  */
+class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Seq(
+    MediaRecord(1L, "image", "fake-jpeg-bytes-aa".getBytes, MediaMeta("jpeg", 8, 8, 3, 0)),
+    MediaRecord(2L, "image", "fake-jpeg-bytes-bb".getBytes, MediaMeta("jpeg", 4, 4, 3, 0)),
+    MediaRecord(3L, "video", "fake-mp4-bytes-cccc".getBytes, MediaMeta("mp4", 16, 16, 3, 5000))
+  ).toDS()
+
+  test("decode: fixed schema, deterministic pixels, meta preserved") {
+    val d1 = Multimodal.decode(media).collect().sortBy(_.id)
+    val d2 = Multimodal.decode(media.repartition(3)).collect().sortBy(_.id)
+    assert(d1.map(_.pixels.toSeq).toSeq == d2.map(_.pixels.toSeq).toSeq,
+      "decode must be deterministic regardless of partitioning")
+    assert(d1.head.pixels.length == 64) // 8x8 capped shape
+    assert(d1(1).pixels.length == 16)   // 4x4
+    assert(d1.head.meta.format == "jpeg")
+  }
+
+  test("resize updates meta and pixel shape in lockstep") {
+    val r = Multimodal.resize(Multimodal.decode(media), 2, 2).collect()
+    assert(r.forall(_.pixels.length == 4))
+    assert(r.forall(d => d.meta.width == 2 && d.meta.height == 2))
+  }
+
+  test("frame sampling: every 2nd of 6 frames, one row per frame") {
+    val f = Multimodal.sampleFrames(media.filter(_.mediaType == "video"), 2, 6)
+      .collect().sortBy(_.frameNo)
+    assert(f.map(_.frameNo).toSeq == Seq(0, 2, 4))
+    assert(f.forall(_.content.nonEmpty))
+  }
+
+  test("feature extraction feeds the ANN path (array<float>, fixed dim)") {
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+    assert(feats.schema("embedding").dataType.simpleString == "array<float>")
+    val collected = feats.collect()
+    assert(collected.forall(_.getSeq[Float](1).length == 16))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(collected.map(_.getSeq[Float](1)).toSeq ==
+      again.sortBy(_.id).map(_.embedding.toSeq).toSeq)
+  }
+
+  lazy val cards = spark.read.schema(Schemas.cardEvent)
+    .json(fixturePath("card_events.jsonl"))
+    .select(col("s3_bucket"), col("s3_key"), col("owner"), col("data.*"))
+  lazy val (vertices, edges) = GraphBuild.buildGraph(cards)
+
+  test("GraphX pymkK(k=2) matches the DataFrame PYMK exactly") {
+    val pobyId = "6f371694"
+    val df = Pymk.recommend(edges, lit(pobyId), 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gx = GraphAnalytics.pymkK(spark, vertices, edges, pobyId, k = 2, limit = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gx == df)
+  }
+
+  test("GraphX degrees match the undirected bag degree") {
+    val gx = GraphAnalytics.degrees(vertices, edges).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val df = Pymk.undirected(edges).groupBy(col("from").as("id"))
+      .agg(count(lit(1)).as("degree")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(gx == df)
+  }
+
+  test("PageRank and connected components run and cover all vertices") {
+    val pr = GraphAnalytics.pageRank(vertices, edges)
+    assert(pr.count() == 6)
+    val cc = GraphAnalytics.connectedComponents(vertices, edges)
+    assert(cc.select("component").distinct().count() == 1) // one community
+  }
+}
