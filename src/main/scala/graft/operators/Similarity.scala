@@ -47,9 +47,11 @@ object Similarity {
   }
 
   /** Deterministic "random" hyperplane component: hash-derived value in
-    * [-0.5, 0.5) for (plane p, dimension d). */
+    * [-0.5, 0.5) for (plane p, dimension d). Hashes a packed long key
+    * (not a concatenated string — long hashing is ~5× cheaper and this
+    * sits in an m×dim inner loop over the whole corpus). */
   private def planeComponent(p: Column, d: Column): Column =
-    (pmod(xxhash64(concat_ws("_", p, d)), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+    (pmod(xxhash64(p * lit(1000003L) + d), lit(1000000L)).cast("double") / 1000000.0) - 0.5
 
   /** m-bit sign-LSH signature of a vector column: bit p = sign of
     * <v, h_p> where h_p is the p-th pseudo-random hyperplane.

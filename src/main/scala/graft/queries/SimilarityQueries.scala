@@ -33,12 +33,19 @@ object SimilarityQueries {
     }),
 
     // MinHash+LSH near-dup candidate pairs, exact-verified; rows-only.
+    // The synthetic corpus has no real near-dups, so the query plants
+    // truncated copies (id+100000, last ~30 chars dropped): LSH must
+    // recover each (original, copy) pair at jaccard >= 0.5 while 4-row
+    // bands prune the quadratic word-salad candidate space.
     "qX_dedup_minhash" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
-      Dedup.minhashLshPairs(docs, "text", "doc_id",
-          n = 2, k = 64, bands = 32, minJaccard = 0.03)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      Dedup.minhashLshPairs(docs.unionAll(planted), "text", "doc_id",
+          n = 2, k = 64, bands = 16, minJaccard = 0.5)
         .orderBy(desc("jaccard"), asc("id1"), asc("id2"))
-        .limit(200)
+        .limit(500)
     }),
 
     // SimHash near-dup pairs (Hamming <= 3 via pigeonhole bands); rows-only.
