@@ -1,0 +1,126 @@
+package graft.api
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphBuild, Parse, Pymk, Search}
+import graft.streaming.CardStream
+
+/** The user-facing engine facade — the complete query surface of the
+  * reference, one method per entry point (SURVEY §3):
+  *
+  *  - [[ingest]]      = PUT /v1/{bucket}/{object} → indexed + graphed
+  *                      card (§3.1, batch form; [[CardStream]] is the
+  *                      streaming twin)
+  *  - [[search]]      = GET /v1/search?query=…&user=…&limit=n (§3.2)
+  *  - [[pymk]]        = GET /v1/pymk?user=…&limit=n (§3.3), including
+  *                      the multi-valued `valueMap()` response shape
+  *                      (every property wrapped in an array —
+  *                      README.md:182-219, SURVEY §7.5-5)
+  *  - [[userAlbum]]   = the by-user S3 copy layout (A7)
+  *  - [[clearGraph]] / [[dumpGraph]] = the admin operations (H3/H4/E5)
+  *
+  * Tables live as parquet under a warehouse directory; all writes go
+  * through the replay-idempotent LWW merges, so re-ingesting any batch
+  * is a no-op (J1 dedup-by-construction).
+  */
+class GraftEngine(spark: SparkSession, warehouse: String) {
+
+  val searchPath = s"$warehouse/search_table"
+  val vertexPath = s"$warehouse/vertices"
+  val edgePath = s"$warehouse/edges"
+  val albumPath = s"$warehouse/by_user"
+
+  val SearchFields: Seq[(String, Double)] =
+    Seq("name" -> 3.0, "company" -> 1.0, "job_title" -> 1.0, "addr" -> 1.0)
+
+  private def tableOrEmpty(path: String, like: => DataFrame): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return like.limit(0)
+    // partitioned tables nest files under key=value dirs — let the
+    // reader discover them; fall back to empty on an empty directory
+    try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException => like.limit(0) }
+  }
+
+  /** Batch-ingest card events (envelope columns s3_bucket, s3_key,
+    * owner, addr…created_at): validate → enrich → merge search table,
+    * merge graph, write per-user album partitions. */
+  def ingest(cards: DataFrame): Unit = {
+    val enriched = CardStream.validated(cards)
+    CardStream.mergeLww(spark, enriched, searchPath, Seq("doc_id"), "created_at")
+    val (v, e) = GraphBuild.buildGraph(enriched)
+    val vOrd = enriched
+      .withColumn("id", graft.functions.GraftFunctions.personId(col("email")))
+      .groupBy("id").agg(max("created_at").as("created_at"))
+    CardStream.mergeLww(spark, v.join(vOrd, "id"), vertexPath, Seq("id"), "created_at")
+    CardStream.mergeLww(spark, e.withColumn("_ord", lit(0)), edgePath,
+      Seq("src", "dst"), "_ord")
+    // A7: per-user album copy — partitionBy(owner) is the Spark-native
+    // bizcard-by-user/{owner}/ layout (get_text_from_s3_image.py:148-159);
+    // keyed by image_id like the S3 object key, so replays overwrite
+    // rather than duplicate
+    val albumNew = enriched.select("owner", "image_id", "doc_id", "s3_bucket", "s3_key")
+    val album = tableOrEmpty(albumPath, albumNew)
+      .unionByName(albumNew)
+      .dropDuplicates("owner", "image_id")
+    CardStream.swapInto(spark, album, albumPath, partitionCols = Seq("owner"))
+  }
+
+  def searchTable: DataFrame = tableOrEmpty(searchPath,
+    spark.emptyDataFrame)
+  def vertices: DataFrame = tableOrEmpty(vertexPath, spark.emptyDataFrame)
+  def edges: DataFrame = tableOrEmpty(edgePath, spark.emptyDataFrame)
+
+  /** Boosted multi-field search with optional owner term filter;
+    * is_alive guard always applied (B15). Returns rows + `_score`,
+    * ranked desc — the `hits.hits` shape. */
+  def search(query: String, owner: Option[String] = None,
+             limit: Int = 10): DataFrame =
+    Search.search(searchTable, "doc_id", SearchFields, query, limit,
+      ownerFilter = owner.map("owner" -> _), aliveCol = Some("is_alive"))
+
+  /** PYMK by case-insensitive user name. Response reproduces the
+    * reference's Gremlin `valueMap()` quirk: every property is an
+    * array<string>, score is double (README.md:182-219). */
+  def pymk(user: String, limit: Int = 10): DataFrame = {
+    val anchors = Pymk.anchorByName(vertices, user).collect()
+    if (anchors.isEmpty) return spark.emptyDataFrame
+    val scored = Pymk.recommendWithProps(vertices, edges,
+      lit(anchors.head.getString(0)), limit)
+    scored.select(
+      array(col("name")).as("name"),
+      array(col("email")).as("email"),
+      array(col("phone_number")).as("phone_number"),
+      array(col("company")).as("company"),
+      array(col("job_title")).as("job_title"),
+      col("score").cast("double").as("score"))
+  }
+
+  /** Soft delete: flip is_alive to 0 for a doc id (B15; README.md:97).
+    * A direct table overwrite (atomic swap), NOT an LWW merge — the
+    * delete carries the same created_at as the live row, so a merge
+    * would tie-break unpredictably. */
+  def softDelete(docId: String): Unit =
+    CardStream.swapInto(spark,
+      searchTable.withColumn("is_alive",
+        when(col("doc_id") === docId, 0).otherwise(col("is_alive"))),
+      searchPath)
+
+  /** A7 album view for one user — partition-pruned scan. */
+  def userAlbum(owner: String): DataFrame =
+    tableOrEmpty(albumPath, spark.emptyDataFrame).filter(col("owner") === owner)
+
+  /** H3/E5: graph clear — overwrite with empty tables (the bulk
+    * replacement of the reference's 200-per-batch OLTP drain loop). */
+  def clearGraph(): Unit = {
+    CardStream.mergeLww(spark, vertices.limit(0), vertexPath + "_new", Seq("id"), "id")
+    val fs = new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(vertexPath), true)
+    fs.delete(new Path(edgePath), true)
+    fs.delete(new Path(vertexPath + "_new"), true)
+  }
+
+  /** H4: full-graph debug dump (driver-side, admin-only). */
+  def dumpGraph(): Array[org.apache.spark.sql.Row] = vertices.collect()
+}

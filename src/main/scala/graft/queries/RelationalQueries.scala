@@ -85,6 +85,22 @@ object RelationalQueries {
         .limit(500)
     }),
 
+    // B14: base64 / URL-decode record framing (the Kinesis payload +
+    // S3-key decode seam) — encode/decode round-trip plus url_decode.
+    "qB14_framing" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          // Spark base64 MIME-wraps every 76 chars (\r\n) — strip to the
+          // canonical unwrapped form DuckDB/ RFC 4648 emit
+          regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "").as("b64"),
+          unbase64(base64(col("text").cast("binary"))).cast("string").as("roundtrip"),
+          url_decode(concat(lit("a%20b%2F"), col("lang"))).as("decoded"))
+        .filter(col("roundtrip") === col("text")) // framing must be lossless
+        .select(col("doc_id"), col("b64"), col("decoded"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    }),
+
     // C1: point lookup join — one-row build side, must broadcast.
     "qC1_point_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -213,6 +229,12 @@ object RelationalQueries {
     "qB13_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "qB14_framing" ->
+      """SELECT doc_id, to_base64(encode(text)) AS b64,
+        | replace(replace('a%20b%2F' || lang, '%20', ' '), '%2F', '/') AS decoded
+        |FROM documents
+        |WHERE decode(from_base64(to_base64(encode(text)))) = text
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
     "qC1_point_join" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

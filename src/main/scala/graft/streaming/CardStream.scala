@@ -69,8 +69,21 @@ object CardStream {
         .map(c => desc(c)): _*)
     val merged = all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+    swapInto(spark, merged, path)
+  }
+
+  /** Atomically replace the parquet table at `path` with `df` (which
+    * may itself be derived from reading `path` — the stage write
+    * materializes before the swap). Readers see old or new, never a
+    * partial table. */
+  def swapInto(spark: SparkSession, df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
     val stage = new Path(path + "__stage")
-    merged.write.mode("overwrite").parquet(stage.toString)
+    val writer = if (partitionCols.isEmpty) df.write
+      else df.write.partitionBy(partitionCols: _*)
+    writer.mode("overwrite").parquet(stage.toString)
     val old = new Path(path + "__old")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(live)) fs.rename(live, old)

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.GraftEngine
+import graft.model.Schemas
+
+/** End-to-end facade test: the full reference API surface over the
+  * 11-record corpus — ingest (idempotent), search with boosts + owner
+  * filter, PYMK with the array-valued response shape, soft delete,
+  * per-user album, graph admin.
+  */
+class GraftEngineSpec extends AnyFunSuite with SparkSpec {
+
+  lazy val cards = spark.read.schema(Schemas.cardEvent)
+    .json(fixturePath("card_events.jsonl"))
+    .select(col("s3_bucket"), col("s3_key"), col("owner"), col("data.*"))
+
+  lazy val engine: GraftEngine = {
+    val e = new GraftEngine(spark, Files.createTempDirectory("graft_wh").toString)
+    e.ingest(cards)
+    e.ingest(cards.limit(4)) // replayed batch — must be a no-op
+    e
+  }
+
+  test("ingest is replay-idempotent: 11 docs, 6 vertices, 8 edges") {
+    assert(engine.searchTable.count() == 11)
+    assert(engine.vertices.count() == 6)
+    assert(engine.edges.count() == 8)
+  }
+
+  test("search: name query finds the person, name boost ranks it first") {
+    val hits = engine.search("poby kim").collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getAs[String]("name") == "Poby Kim")
+  }
+
+  test("search with owner filter narrows to that user's cards") {
+    val hits = engine.search("solutions", owner = Some("poby")).collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[String]("owner") == "poby"))
+  }
+
+  test("pymk: golden Poby Kim answer through the full API") {
+    val recs = engine.pymk("poby kim").collect()
+    assert(recs.length == 2)
+    assert(recs.map(_.getAs[Seq[String]]("name").head).toSet ==
+      Set("Crong Lee", "Harry Jang"))
+    assert(recs.forall(_.getAs[Double]("score") == 3.0))
+    // valueMap() quirk: properties are arrays
+    assert(recs.head.schema("email").dataType.simpleString == "array<string>")
+  }
+
+  test("pymk for unknown user returns empty") {
+    assert(engine.pymk("nobody special").isEmpty)
+  }
+
+  test("soft delete hides a doc from search") {
+    val doc = engine.search("crong lee").collect().head.getAs[String]("doc_id")
+    engine.softDelete(doc)
+    assert(!engine.search("crong lee").collect()
+      .map(_.getAs[String]("doc_id")).contains(doc))
+  }
+
+  test("per-user album is partition-pruned by owner") {
+    val album = engine.userAlbum("edy")
+    assert(album.count() == 4) // edy uploaded 4 cards
+    assert(album.select("owner").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("edy"))
+  }
+
+  test("graph admin: dump then clear") {
+    assert(engine.dumpGraph().length == 6)
+    engine.clearGraph()
+    assert(engine.vertices.isEmpty && engine.edges.isEmpty)
+  }
+}
