@@ -1,0 +1,124 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text hot paths.
+  *
+  * The higher-order-function formulations (`size(filter(split(...)))`,
+  * `aggregate(split(text, ""), ...)`) are CodegenFallback in Spark:
+  * every row allocates a token array and evaluates lambdas
+  * interpreted. These expressions compute the same results in a single
+  * char scan with no allocation, and implement `doGenCode` so they
+  * fuse into WholeStageCodegen with the surrounding projection —
+  * the (b) tier of the custom-operator preference order (compose
+  * built-ins < custom Expression < custom physical operator).
+  *
+  * Semantics parity (locked by PropertySpec tests + the DuckDB oracle):
+  *  - token class matches Java regex `\s` exactly (space \t \n \x0B \f \r),
+  *    NOT `Character.isWhitespace` (which adds NBSP etc.);
+  *  - subword runs are maximal `[a-z0-9]+` over the lowercased string;
+  *  - the rolling hash folds UTF-16 code units like the
+  *    `aggregate(split(text, ""), ...)` formulation it replaces.
+  */
+object TextExprUtil {
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Count of maximal non-whitespace runs (== whitespace token count). */
+  def tokenCount(s: UTF8String): Int = {
+    val str = s.toString
+    var n = 0; var inTok = false; var i = 0
+    while (i < str.length) {
+      val ws = isWs(str.charAt(i))
+      if (!ws && !inTok) n += 1
+      inTok = !ws
+      i += 1
+    }
+    n
+  }
+
+  /** Count of maximal [a-z0-9]+ runs over the lowercased string. */
+  def subwordCount(s: UTF8String): Int = {
+    val str = s.toString
+    var n = 0; var inTok = false; var i = 0
+    while (i < str.length) {
+      val c = Character.toLowerCase(str.charAt(i))
+      val ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (ok && !inTok) n += 1
+      inTok = ok
+      i += 1
+    }
+    n
+  }
+
+  /** Karp-Rabin rolling hash h ← (h·31 + codeunit) mod 1e9+7. */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L; var i = 0
+    while (i < str.length) {
+      h = (h * 31 + str.charAt(i)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+}
+
+abstract class TextScanExpression extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  protected def utilMethod: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.$utilMethod($c)")
+}
+
+/** `token_count(text)`: whitespace-token count, single scan, codegen. */
+case class TokenCountExpr(child: Expression) extends TextScanExpression {
+  override def dataType: DataType = IntegerType
+  override protected def utilMethod: String = "tokenCount"
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.tokenCount(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): TokenCountExpr = copy(c)
+}
+
+/** `subword_count(text)`: maximal alnum-run count, codegen. */
+case class SubwordCountExpr(child: Expression) extends TextScanExpression {
+  override def dataType: DataType = IntegerType
+  override protected def utilMethod: String = "subwordCount"
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.subwordCount(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): SubwordCountExpr = copy(c)
+}
+
+/** `rolling_hash(text)`: Karp-Rabin document fingerprint, codegen. */
+case class RollingHashExpr(child: Expression) extends TextScanExpression {
+  override def dataType: DataType = LongType
+  override protected def utilMethod: String = "rollingHash"
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.rollingHash(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): RollingHashExpr = copy(c)
+}
+
+/** Column-level entry points + SQL registration. */
+object TextExprs {
+  import ColumnBridge.{toColumn, toExpr}
+
+  def token_count(c: Column): Column = toColumn(TokenCountExpr(toExpr(c)))
+  def subword_count(c: Column): Column = toColumn(SubwordCountExpr(toExpr(c)))
+  def rolling_hash(c: Column): Column = toColumn(RollingHashExpr(toExpr(c)))
+
+  /** Register as SQL functions on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("token_count",
+      es => TokenCountExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("subword_count",
+      es => SubwordCountExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      es => RollingHashExpr(es.head), "scala_udf")
+  }
+}

@@ -12,17 +12,20 @@ import graft.functions.GraftFunctions.tokenize
   */
 object TextAnalysis {
 
-  /** Whitespace token count (the "BPE-ish" variant adds punctuation
-    * splitting — see [[subwordCount]]). */
-  def tokenCount(text: Column): Column = size(tokenize(text))
+  /** Whitespace token count — native codegen'd single-scan expression
+    * ([[graft.functions.expr.TokenCountExpr]]); equivalent to
+    * `size(tokenize(text))` (property-tested), without the interpreted
+    * HOF + per-row array allocation. */
+  def tokenCount(text: Column): Column =
+    graft.functions.expr.TextExprs.token_count(text)
 
-  /** BPE-ish token estimate: split on whitespace AND punctuation/digit
-    * boundaries, so "don't-stop_2024" counts 4 sub-tokens. A regex
-    * split is a deterministic, cheap stand-in for a real tokenizer
-    * vocabulary (which would ride behind the same column contract).
-    */
+  /** BPE-ish token estimate: count of maximal [a-z0-9]+ runs in the
+    * lowercased text, so "don't-stop_2024" counts 4 sub-tokens. A
+    * deterministic, cheap stand-in for a real tokenizer vocabulary
+    * (which would ride behind the same column contract). Native
+    * codegen'd expression, equivalent to splitting on `[^a-z0-9]+`. */
   def subwordCount(text: Column): Column =
-    size(filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit("")))
+    graft.functions.expr.TextExprs.subword_count(text)
 
   /** Quality-score feature bundle: length, token count, mean token
     * length, punctuation ratio, stopword ratio — the classic cheap
@@ -87,12 +90,8 @@ object TextAnalysis {
     * by fingerprinting `concat_ws(" ", tokenize(text))`).
     */
   val FpMod = 1000000007L
-  def rollingFingerprint(text: Column): Column = {
-    val codes = transform(
-      filter(split(text, ""), c => c =!= lit("")),
-      c => ascii(c).cast("long"))
-    aggregate(codes, lit(0L), (h, c) => pmod(h * 31 + c, lit(FpMod)))
-  }
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.expr.TextExprs.rolling_hash(text)
 
   /** Normalized-content fingerprint: md5 of the canonicalized token
     * stream — the `content_id` idea (upsert_bizcard_to_es.py:73-75)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.expr.TextExprs
+
+/** Equivalence of the native codegen text expressions with the
+  * built-in HOF formulations they replace, on arbitrary strings
+  * (ScalaCheck) and on the real documents table; plus codegen and SQL
+  * registration checks.
+  */
+class TextExprSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // the HOF formulations the expressions must match exactly
+  private def hofTokenCount = size(filter(split(lower(col("s")), "\\s+"),
+    t => t =!= lit("")))
+  private def hofSubwordCount = size(filter(split(lower(col("s")), "[^a-z0-9]+"),
+    t => t =!= lit("")))
+  private def hofRollingHash = aggregate(
+    transform(filter(split(col("s"), ""), c => c =!= lit("")),
+      c => ascii(c).cast("long")),
+    lit(0L), (h, c) => pmod(h * 31 + c, lit(1000000007L)))
+
+  // seeded pseudo-random corpus: whitespace runs, punctuation, casing,
+  // empty strings, edge shapes
+  private val randomStrings: Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    val chars = "abcXYZ019 .,-_!@\t\n\r  "
+    Seq("", " ", "\t\n", "a", "  a  ", "a b", "..,,!!") ++
+      (1 to 300).map { _ =>
+        val len = rnd.nextInt(60)
+        (1 to len).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      }
+  }
+
+  test("token/subword/rolling expressions equal HOF formulations (property)") {
+    val df = randomStrings.toDF("s").select(
+      col("s"),
+      hofTokenCount.as("h_tok"), TextExprs.token_count(col("s")).as("e_tok"),
+      hofSubwordCount.as("h_sub"), TextExprs.subword_count(col("s")).as("e_sub"),
+      hofRollingHash.as("h_fp"), TextExprs.rolling_hash(col("s")).as("e_fp"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"token_count on ${r.getString(0)}")
+      assert(r.getInt(3) == r.getInt(4), s"subword_count on ${r.getString(0)}")
+      assert(r.getLong(5) == r.getLong(6), s"rolling_hash on ${r.getString(0)}")
+    }
+  }
+
+  test("expressions equal HOFs on the whole sf0.001 documents table") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumnRenamed("text", "s")
+    val bad = docs.select(
+      hofTokenCount.as("h_tok"), TextExprs.token_count(col("s")).as("e_tok"),
+      hofRollingHash.as("h_fp"), TextExprs.rolling_hash(col("s")).as("e_fp"))
+      .filter(col("h_tok") =!= col("e_tok") || col("h_fp") =!= col("e_fp"))
+    assert(bad.count() == 0)
+  }
+
+  test("null flows through as null (nullIntolerant)") {
+    val r = Seq(Option.empty[String]).toDF("s")
+      .select(TextExprs.token_count(col("s"))).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("the expressions participate in WholeStageCodegen") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = docs.select(TextExprs.token_count(col("text")),
+      TextExprs.rolling_hash(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("SQL registration: token_count/rolling_hash usable from spark.sql") {
+    TextExprs.register(spark)
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("docs_v")
+    val r = spark.sql(
+      "SELECT token_count(text) AS t, rolling_hash(text) AS h FROM docs_v LIMIT 1")
+      .collect().head
+    assert(r.getInt(0) > 0 && r.getLong(1) >= 0)
+  }
+}
