@@ -95,6 +95,38 @@ object Pymk {
       .orderBy(desc("score"), asc("id"))
   }
 
+  /** All-pairs PYMK — recommendations for EVERY vertex in one pass: the
+    * batch-serving shape at scale (precompute top-k for all users
+    * nightly, serve point lookups), replacing per-anchor traversals
+    * with set-level joins.
+    *
+    * Plan: adjacency ⋈ adjacency on the middle vertex (one shuffle
+    * keyed by vertex id), minus self-pairs, minus direct-friend pairs
+    * (left anti join on the adjacency itself), groupBy (anchor,
+    * candidate) count, per-anchor top-k window. Every stage is
+    * key-partitioned; nothing is collected to the driver. Hub-vertex
+    * skew in the middle-vertex join is AQE-splittable (skew-join), or
+    * saltable via [[Skew.saltedInnerJoin]] when AQE is off.
+    */
+  def recommendAll(edges: DataFrame, limit: Int): DataFrame = {
+    val adj = undirected(edges)
+    val hop2 = adj.as("h1")
+      .join(adj.as("h2"), col("h1.to") === col("h2.from"))
+      .select(col("h1.from").as("anchor"), col("h2.to").as("candidate"))
+      .filter(col("anchor") =!= col("candidate"))
+    val friendPairs = adj.select(col("from").as("anchor"), col("to").as("candidate"))
+      .distinct()
+    val scored = hop2
+      .join(friendPairs, Seq("anchor", "candidate"), "left_anti")
+      .groupBy("anchor", "candidate")
+      .agg(count(lit(1)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor").orderBy(desc("score"), asc("candidate"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= limit)
+      .select(col("anchor"), col("candidate").as("id"), col("score"))
+  }
+
   /** Anchor lookup by case-insensitive name — the `_name` shadow
     * property (upsert_bizcard_to_graph_db.py:94, queried at
     * neptune_recommend_bizcard.py:59). Returns the id column of the

@@ -49,6 +49,14 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // D1 at scale: all-pairs PYMK (top-3 per anchor) — the batch-serving
+    // shape; one adjacency self-join + anti-join + windowed top-k.
+    "qD1_pymk_all" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      Pymk.recommendAll(edges, 3)
+        .orderBy(col("anchor"), desc("score"), col("id"))
+    }),
+
     // C9: path join for visualization — edge endpoints hydrated to names.
     "qC9_path_join" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
@@ -87,6 +95,29 @@ object GraphQueries {
          |  SELECT dst AS f, src AS t FROM edges)
          |SELECT f AS id, count(*) AS degree FROM adj
          |GROUP BY f ORDER BY id""".stripMargin,
+    "qD1_pymk_all" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION ALL
+         |  SELECT dst AS f, src AS t FROM edges),
+         |hop2 AS (
+         |  SELECT h1.f AS anchor, h2.t AS candidate
+         |  FROM adj h1 JOIN adj h2 ON h1.t = h2.f
+         |  WHERE h1.f <> h2.t),
+         |excl AS (
+         |  SELECT hop2.anchor, hop2.candidate FROM hop2
+         |  WHERE NOT EXISTS (SELECT 1 FROM adj
+         |    WHERE adj.f = hop2.anchor AND adj.t = hop2.candidate)),
+         |scored AS (
+         |  SELECT anchor, candidate AS id, count(*) AS score
+         |  FROM excl GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT anchor, id, score, row_number() OVER (
+         |    PARTITION BY anchor ORDER BY score DESC, id ASC) AS rn
+         |  FROM scored)
+         |SELECT anchor, id, score FROM ranked WHERE rn <= 3
+         |ORDER BY anchor, score DESC, id""".stripMargin,
     "qC9_path_join" ->
       s"""WITH edges AS ($EdgesSql)
          |SELECT src, dst, cs.c_name AS src_name, cd.c_name AS dst_name

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
-import graft.operators.{Dedup, Search, TextAnalysis}
+import graft.operators.{Dedup, Search, SearchIndex, TextAnalysis}
 
 /** Text-analysis + search + dedup oracle queries over `documents`
   * (SURVEY §2.B/G + the training-data-pipeline extensions).
@@ -58,6 +58,17 @@ object TextQueries {
       Search.search(docs, "doc_id",
           Seq("source" -> 3.0, "text" -> 1.0), "src3 merge", 20)
         .select(col("doc_id"), round(col("_score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
+    // G1 via the materialized inverted index: build postings + stats in
+    // one pass, probe for the query terms — must equal qG1 exactly.
+    "qG5_indexed_search" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val (postings, stats, n) = SearchIndex.build(docs, "doc_id", Seq("text"))
+      SearchIndex.query(postings, stats, n, Seq("text" -> 1.0),
+          SearchTerms.mkString(" "), 20)
+        .select(col("doc").as("doc_id"), round(col("_score"), 4).as("score"))
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
@@ -174,6 +185,21 @@ object TextQueries {
         |SELECT doc_id, round(sum(fscore), 4) AS score
         |FROM allscore GROUP BY doc_id
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "qG5_indexed_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('${SearchTerms.mkString("','")}') GROUP BY 1, 2),
+         |idf AS (SELECT term,
+         |    ln(1 + ((SELECT count(*) FROM documents) - count(*) + 0.5)
+         |       / (count(*) + 0.5)) AS idf
+         |  FROM tf GROUP BY term)
+         |SELECT tf.doc_id, round(sum(tf.tf * idf.idf), 4) AS score
+         |FROM tf JOIN idf USING (term)
+         |GROUP BY tf.doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "qX_token_count" ->
       """SELECT doc_id,
         | len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Pymk, Search, SearchIndex, Skew}
+
+/** The scale-path variants must agree with their direct counterparts:
+  * all-pairs PYMK == per-anchor PYMK for every anchor; indexed search
+  * == scan search; salted aggregation/join == plain.
+  */
+class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("recommendAll equals per-anchor recommend for every anchor") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val all = Pymk.recommendAll(edges, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (anchor <- 0L to 14L) {
+      val single = Pymk.recommend(edges, lit(anchor), 1000).collect()
+        .map(r => (anchor, r.getLong(0)) -> r.getLong(1)).toMap
+      val allForAnchor = all.filter(_._1._1 == anchor)
+      assert(allForAnchor == single, s"anchor $anchor")
+    }
+  }
+
+  test("indexed search equals scan search (in-memory and stored+bucketed)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val terms = "spark join fast"
+    val scan = Search.scoreField(docs, "doc_id", "text",
+        terms.split(" ").toSeq)
+      .select(col("_doc").as("doc"), round(col("fscore"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val (postings, stats, n) = SearchIndex.build(docs, "doc_id", Seq("text"))
+    val mem = SearchIndex.query(postings, stats, n, Seq("text" -> 1.0), terms, 10000)
+      .select(col("doc"), round(col("_score"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mem == scan)
+
+    val dir = Files.createTempDirectory("searchidx").toString
+    SearchIndex.writeIndex(postings, stats, dir)
+    val stored = SearchIndex.queryStored(spark, dir, n, Seq("text" -> 1.0), terms, 10000)
+      .select(col("doc"), round(col("_score"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stored == scan, "bucketed partition-pruned probe must not lose postings")
+  }
+
+  test("salted count equals plain groupBy count (hot key included)") {
+    val df = (Seq.fill(5000)(("hot", 1)) ++ (1 to 500).map(i => (s"k$i", i)))
+      .toDF("key", "v")
+    val plain = df.groupBy("key").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, col("key"), col("v"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val left = (Seq.fill(2000)((7L, "hot")) ++ (1 to 100).map(i => (i.toLong, s"v$i")))
+      .toDF("k", "lv")
+    val right = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val plain = left.join(right, "k").groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedInnerJoin(left, right, "k", col("lv"), 8)
+      .groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
