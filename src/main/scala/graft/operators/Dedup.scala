@@ -149,11 +149,17 @@ object Dedup {
 
   /** 64-bit SimHash over token features: for each bit b, sum +1/−1
     * across tokens according to bit b of xxhash64(token); bit b of the
-    * result is 1 iff the vote sum is positive. Expressed as a
-    * 64-element vote array folded over the token array — narrow
-    * projection, no shuffle.
+    * result is 1 iff the vote sum is positive. Narrow projection, no
+    * shuffle; computed by the native codegen expression
+    * [[graft.functions.expr.SimHash64Expr]] (the higher-order-function
+    * formulation [[simhashHof]] is CodegenFallback — kept as the
+    * executable spec the native expression is tested against).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.expr.TextExprs.simhash64(text)
+
+  /** Reference HOF formulation of [[simhash]] (slow path, test oracle). */
+  def simhashHof(text: Column): Column = {
     val toks = tokenize(text)
     val votes = aggregate(
       toks,

@@ -101,25 +101,50 @@ object Pymk {
     * with set-level joins.
     *
     * Plan: adjacency ⋈ adjacency on the middle vertex (one shuffle
-    * keyed by vertex id), minus self-pairs, minus direct-friend pairs
-    * (left anti join on the adjacency itself), groupBy (anchor,
-    * candidate) count, per-anchor top-k window. Every stage is
-    * key-partitioned; nothing is collected to the driver. Hub-vertex
-    * skew in the middle-vertex join is AQE-splittable (skew-join), or
-    * saltable via [[Skew.saltedInnerJoin]] when AQE is off.
+    * keyed by vertex id — the sparse A² matmul), count per (anchor,
+    * candidate) FIRST (partial map-side agg collapses the quadratic
+    * path bag to the pair cardinality before anything else touches
+    * it), THEN anti-join out self/direct-friend pairs, then a
+    * per-anchor top-k window. Anti-join placement matters: filtering
+    * the aggregated pairs (|V|·avg-deg rows) instead of the raw path
+    * bag (Σ deg(m)² rows) is ~2× at sf0.1 and grows with skew —
+    * removing whole keys commutes with counting, so the result is
+    * identical. Every stage is key-partitioned; nothing is collected
+    * to the driver. Hub-vertex skew in the middle-vertex join is
+    * AQE-splittable (skew-join), or saltable via
+    * [[Skew.saltedInnerJoin]] when AQE is off.
     */
   def recommendAll(edges: DataFrame, limit: Int): DataFrame = {
     val adj = undirected(edges)
-    val hop2 = adj.as("h1")
+    // The adjacency is small relative to its join OUTPUT (Σ deg²):
+    // AQE's partition coalescing sees only the input bytes and would
+    // shrink the stream side to ~1 partition, serializing the
+    // explosive join + partial agg. Pin full parallelism with an
+    // explicit round-robin repartition (round-robin, not keyed, so a
+    // hub vertex can't pin its whole neighborhood to one task).
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val hop2 = adj.repartition(par).as("h1")
       .join(adj.as("h2"), col("h1.to") === col("h2.from"))
       .select(col("h1.from").as("anchor"), col("h2.to").as("candidate"))
       .filter(col("anchor") =!= col("candidate"))
     val friendPairs = adj.select(col("from").as("anchor"), col("to").as("candidate"))
       .distinct()
+    // Repartition the path bag on the aggregation key BEFORE counting:
+    // each reducer's hash map then holds only its own key range
+    // (cache-resident) instead of every task building a map over the
+    // full pair space — ~2× at sf0.1. Tradeoff vs map-side partial
+    // agg: this shuffles the raw bag (dup factor × more bytes); on a
+    // network-bound cluster flip to plain groupBy when the measured
+    // duplication factor is high — both shapes are one shuffle keyed
+    // on (anchor, candidate).
     val scored = hop2
-      .join(friendPairs, Seq("anchor", "candidate"), "left_anti")
+      .repartition(par, col("anchor"), col("candidate"))
       .groupBy("anchor", "candidate")
       .agg(count(lit(1)).as("score"))
+      // no broadcast hint: friendPairs is the full edge list — tiny at
+      // test SF (AQE demotes to broadcast at runtime), far too big to
+      // pin as broadcast at 100 TB.
+      .join(friendPairs, Seq("anchor", "candidate"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("anchor").orderBy(desc("score"), asc("candidate"))
     scored.withColumn("_rn", row_number().over(w))

@@ -57,6 +57,19 @@ class TextExprSpec extends AnyFunSuite with SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("simhash64 expression equals the HOF formulation (random + real docs)") {
+    import graft.operators.Dedup
+    val rand = randomStrings.toDF("text")
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    for (df <- Seq(rand, real)) {
+      val bad = df.select(Dedup.simhashHof(col("text")).as("h"),
+          TextExprs.simhash64(col("text")).as("e"))
+        .filter(not(col("h") <=> col("e")))
+      assert(bad.count() == 0)
+    }
+  }
+
   test("null flows through as null (nullIntolerant)") {
     val r = Seq(Option.empty[String]).toDF("s")
       .select(TextExprs.token_count(col("s"))).collect().head
