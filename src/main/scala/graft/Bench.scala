@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,6 +26,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS) — see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle/spill to tmpfs: the bench box has 128 GiB RAM and a
+      // throttled virtual disk — shuffle I/O wait otherwise dominates
+      // and adds 2-5x run-to-run variance
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -34,11 +40,19 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // drop DataFrames persisted inside operators (e.g. the LSH shingle
+    // cache): Spark's cache manager matches by plan equality, so the
+    // timed pass would otherwise read the warmup's cache — and leaked
+    // storage from earlier queries would squeeze later ones' execution
+    // memory.
+    spark.catalog.clearCache()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

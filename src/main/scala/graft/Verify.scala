@@ -6,7 +6,8 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,6 +15,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS) — see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle/spill to tmpfs: the bench box has 128 GiB RAM and a
+      // throttled virtual disk — shuffle I/O wait otherwise dominates
+      // and adds 2-5x run-to-run variance
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -99,6 +99,99 @@ object TextExprUtil {
     while (b < 64) { if (votes(b) > 0) res |= (1L << b); b += 1 }
     res
   }
+
+  /** MinHash signature over a shingle array in one pass — the native
+    * twin of `Dedup.minhashSignature(Dedup.shingleHashes(sh), k)`
+    * (equivalence locked in TextExprSpec). Per shingle: one xxhash64
+    * reduced into the Mersenne field p = 2^31−1, then k affine maps
+    * (a_i·h + b_i) mod p with the SAME hash-derived coefficients as
+    * the Column formulation (xxhash64 of the *int* plane index, seed
+    * 42); sig[i] = running min. The HOF tree evaluates the k·|sh|
+    * inner loop interpreted with boxing — this is a primitive-array
+    * loop, ~10× on the minhash-LSH pipeline.
+    */
+  val MinhashP = 2147483647L // 2^31 − 1
+
+  def minhashSig(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                 k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val n = arr.numElements()
+    if (n == 0) {
+      // array_min([]) is NULL: the HOF formulation yields k nulls
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](k)(null))
+    }
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val ha = XxHash64Function.hash(i, IntegerType, 42L)
+      val hb = XxHash64Function.hash(i + 1000000, IntegerType, 42L)
+      a(i) = ((ha % (MinhashP - 1)) + (MinhashP - 1)) % (MinhashP - 1) + 1L
+      b(i) = ((hb % MinhashP) + MinhashP) % MinhashP
+      i += 1
+    }
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    var s = 0
+    while (s < n) {
+      val hRaw = XxHash64Function.hash(arr.getUTF8String(s), StringType, 42L)
+      val h = ((hRaw % MinhashP) + MinhashP) % MinhashP
+      i = 0
+      while (i < k) {
+        val v = (h * a(i) + b(i)) % MinhashP // < 2^62, no overflow
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** Distinct word n-gram shingles in one scan — the native twin of
+    * `Dedup.shingles` (equivalence locked in TextExprSpec), preserving
+    * its edge semantics exactly: whitespace tokens of the lowercased
+    * string; zero tokens → [""] (concat_ws over nulls); fewer than n
+    * tokens → one shingle of all tokens (element_at past the end is
+    * NULL, which concat_ws skips); distinct keeps first occurrence
+    * (array_distinct order).
+    */
+  def wordShingles(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    val len = str.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > start) toks += str.substring(start, i)
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.isEmpty) out.add("")
+    else if (toks.length < n) out.add(toks.mkString(" "))
+    else {
+      var j = 0
+      val last = toks.length - n
+      val sb = new java.lang.StringBuilder()
+      while (j <= last) {
+        sb.setLength(0)
+        var m = 0
+        while (m < n) {
+          if (m > 0) sb.append(' ')
+          sb.append(toks(j + m))
+          m += 1
+        }
+        out.add(sb.toString)
+        j += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = UTF8String.fromString(it.next()); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
 }
 
 abstract class TextScanExpression extends UnaryExpression {
@@ -145,6 +238,37 @@ case class SimHash64Expr(child: Expression) extends TextScanExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
 }
 
+/** `word_shingles(text, n)`: distinct word n-grams, single scan, codegen. */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
+}
+
+/** `minhash_sig(shingles, k)`: k-wide MinHash signature of an
+  * array<string> of shingles, single primitive loop, codegen. */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.minhashSig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.minhashSig($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
 /** Column-level entry points + SQL registration. */
 object TextExprs {
   import ColumnBridge.{toColumn, toExpr}
@@ -153,6 +277,8 @@ object TextExprs {
   def subword_count(c: Column): Column = toColumn(SubwordCountExpr(toExpr(c)))
   def rolling_hash(c: Column): Column = toColumn(RollingHashExpr(toExpr(c)))
   def simhash64(c: Column): Column = toColumn(SimHash64Expr(toExpr(c)))
+  def minhash_sig(c: Column, k: Int): Column = toColumn(MinHashSigExpr(toExpr(c), k))
+  def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpr(c), n))
 
   /** Register as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -39,8 +39,14 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word n-gram shingles as an array column. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles as an array column — native codegen
+    * expression; [[shinglesHof]] is the HOF executable spec it is
+    * tested against. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.expr.TextExprs.word_shingles(text, n)
+
+  /** Reference HOF formulation of [[shingles]] (slow path, test oracle). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokenize(text)
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
@@ -122,8 +128,10 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
+    // native codegen signature (MinHashSigExpr); the HOF formulation
+    // minhashSignature(shingleHashes(sh), k) is its executable spec
     val sig = sh.select(col("id"),
-      minhashSignature(shingleHashes(col("sh")), k).as("sig"))
+      graft.functions.expr.TextExprs.minhash_sig(col("sh"), k).as("sig"))
     val posts = sig
       .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))

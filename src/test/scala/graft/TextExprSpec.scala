@@ -70,6 +70,48 @@ class TextExprSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("minhash_sig expression equals the HOF formulation") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+    val bad = docs.select(
+        Dedup.minhashSignature(Dedup.shingleHashes(col("sh")), 64).as("h"),
+        TextExprs.minhash_sig(col("sh"), 64).as("e"))
+      .filter(not(col("h") <=> col("e")))
+    assert(bad.count() == 0)
+    // empty shingle array → k nulls, matching array_min([]) = NULL
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(TextExprs.minhash_sig(col("sh"), 4).as("e"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("sh")), 4).as("h"))
+      .collect().head
+    assert(empty.getSeq[Any](0) == empty.getSeq[Any](1))
+  }
+
+  test("word_shingles expression equals the HOF formulation (random + real)") {
+    import graft.operators.Dedup
+    // the HOF formulation is only total on inputs with >= n tokens:
+    // under ANSI mode (Spark 4 default) its element_at past the array
+    // end THROWS. The native expression is total; compare where both
+    // are defined.
+    val rand = randomStrings.toDF("text")
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    for (df <- Seq(rand, real); n <- Seq(2, 3)) {
+      val bad = df.filter(TextExprs.token_count(col("text")) >= n)
+        .select(Dedup.shinglesHof(col("text"), n).as("h"),
+          TextExprs.word_shingles(col("text"), n).as("e"))
+        .filter(not(col("h") <=> col("e")))
+      assert(bad.count() == 0, s"n=$n")
+    }
+  }
+
+  test("word_shingles declared semantics on short inputs (HOF throws under ANSI)") {
+    val r = Seq("", "   ", "one", "one two").toDF("text")
+      .select(TextExprs.word_shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(r.toList == List(List(""), List(""), List("one"), List("one two")))
+  }
+
   test("null flows through as null (nullIntolerant)") {
     val r = Seq(Option.empty[String]).toDF("s")
       .select(TextExprs.token_count(col("s"))).collect().head
