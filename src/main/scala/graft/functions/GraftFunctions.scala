@@ -110,6 +110,12 @@ object GraftFunctions {
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity of two array columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two array columns — native codegen
+    * expression ([[graft.functions.expr.CosineSimExpr]]); the HOF
+    * fold [[cosineHof]] is its executable spec. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expr.VectorExprs.cosine_sim(a, b)
+
+  /** Reference HOF formulation of [[cosine]] (slow path, test oracle). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 }

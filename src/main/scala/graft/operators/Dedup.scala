@@ -153,6 +153,28 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  // ------------------------------------------------------- embedding cosine
+
+  /** Embedding-cosine near-duplicate pairs: all (id1 < id2) pairs with
+    * cosine(vec1, vec2) ≥ minSim. This is the EXACT formulation — the
+    * all-pairs product is the oracle for the hashed variants
+    * ([[Similarity.lshTopK]] buckets / [[simhashPairs]] bands are the
+    * scale paths); use it when one side fits in a broadcast (the
+    * common dedup-new-batch-against-reference shape). The broadcast
+    * keeps the pair generation shuffle-free; per-pair cosine is the
+    * native codegen expression.
+    */
+  def embedCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+                       minSim: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = vecs.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .withColumn("sim", round(graft.functions.GraftFunctions.cosine(
+        col("v1"), col("v2")), 4))
+      .filter(col("sim") >= minSim)
+      .select("id1", "id2", "sim")
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token features: for each bit b, sum +1/−1

@@ -114,4 +114,37 @@ object Similarity {
       .filter(col("_rn") === 1)
       .drop("_rn", "csim", "cvec")
   }
+
+  /** IVF-probed ANN top-k: assign the corpus to centroid cells once
+    * ([[ivfAssign]]), rank cells per query, scan only the `nprobe`
+    * nearest cells, exact cosine re-rank inside them. At scale the
+    * assigned corpus is written partitioned by `cell`, so a query
+    * touches nprobe partitions instead of the whole corpus; centroids
+    * are a broadcast. Deterministic given the centroid table (any
+    * k-means fit produces it — fitting is upstream of the engine), so
+    * the whole operator is SQL-expressible and oracle-checked
+    * (qX_ann_ivf), unlike the hash-based ANN paths.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              qidCol: String, qvecCol: String,
+              idCol: String, vecCol: String,
+              k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid").as("cell"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(desc("qcsim"), asc("cid"))
+    val probes = q.join(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .withColumn("qcsim", cosine(col("qvec"), col("cvec")))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col("id"), col("sim"))
+      .orderBy(col("qid"), desc("sim"), col("id"))
+  }
 }

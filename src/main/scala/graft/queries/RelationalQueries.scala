@@ -54,6 +54,21 @@ object RelationalQueries {
         .limit(200)
     }),
 
+    // B3: the phone extractor regex (get_text_from_s3_image.py:31-35)
+    // over deterministic phone-bearing text synthesized from orders
+    // keys (the harness tables carry no phone column).
+    "qB3_phone_extract" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("line", concat(lit("ref "), col("o_orderkey"),
+          lit(" call +82 10-"), lpad((col("o_custkey") % 10000).cast("string"), 4, "0"),
+          lit("-"), lpad((col("o_orderkey") % 10000).cast("string"), 4, "0")))
+        .select(col("o_orderkey"),
+          regexp_extract(col("line"),
+            "\\({0,1}\\+{0,1}[\\d ]*[\\d]{2,}\\){0,1}[\\d\\- ]{7,}", 0).as("phone"))
+        .orderBy(col("o_orderkey"))
+        .limit(300)
+    }),
+
     // B9: composite content_id dedup key.
     "qB9_content_id" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -216,6 +231,13 @@ object RelationalQueries {
     "qB8_md5_8" ->
       """SELECT c_custkey, substr(md5(c_name), 1, 8) AS key8
         |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
+    "qB3_phone_extract" ->
+      """SELECT o_orderkey, regexp_extract(
+        |  'ref ' || o_orderkey || ' call +82 10-' ||
+        |    lpad(CAST(o_custkey % 10000 AS VARCHAR), 4, '0') || '-' ||
+        |    lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0'),
+        |  '\({0,1}\+{0,1}[\d ]*[\d]{2,}\){0,1}[\d\- ]{7,}') AS phone
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
     "qB9_content_id" ->
       """SELECT c_custkey,
         | substr(md5(lower(c_name) || ':' || lower(c_mktsegment) || ':' ||

@@ -54,6 +54,31 @@ object SimilarityQueries {
       Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 6)
         .orderBy(asc("dist"), asc("id1"), asc("id2"))
         .limit(200)
+    }),
+
+    // embedding-cosine near-dup pairs (exact all-pairs, oracle-checked).
+    // Planted near-dups: copies with dimension 1 zeroed (cosine ~0.99
+    // vs a ~0.44 max among the random pairs) — the threshold must
+    // recover exactly the planted pairs.
+    "qX_dedup_embed" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(lit(0.0f)), slice(col("embedding"), 2, 10000)).as("embedding"))
+      Dedup.embedCosinePairs(emb.unionAll(planted), "vec_id", "embedding", 0.9)
+        .orderBy(desc("sim"), asc("id1"), asc("id2"))
+    }),
+
+    // IVF-probed ANN (centroid cells + nprobe pruning) — deterministic
+    // given the centroid table, so fully oracle-checked unlike the
+    // hash-based ANN paths.
+    "qX_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      Similarity.ivfTopK(q, emb, centroids, "vec_id", "embedding",
+        "vec_id", "embedding", 5, 2)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -71,5 +96,47 @@ object SimilarityQueries {
         |    PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn
         |  FROM sims)
         |SELECT qid, id, sim FROM ranked WHERE rn <= 5
-        |ORDER BY qid, sim DESC, id""".stripMargin)
+        |ORDER BY qid, sim DESC, id""".stripMargin,
+
+    "qX_dedup_embed" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 500),
+        |planted AS (
+        |  SELECT vec_id + 100000 AS vec_id, list_prepend(0.0, v[2:]) AS v
+        |  FROM base),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, sim FROM pairs WHERE sim >= 0.9
+        |ORDER BY sim DESC, id1, id2""".stripMargin,
+
+    "qX_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id AS id, v AS vec, cid AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) x WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qvec FROM e
+        |  WHERE vec_id >= 100 AND vec_id < 105),
+        |probes AS (
+        |  SELECT qid, qvec, cid AS cell FROM (
+        |    SELECT q.qid, q.qvec, c.cid, row_number() OVER (
+        |      PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN c) x WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.id, round(list_cosine_similarity(p.qvec, a.vec), 4) AS sim
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.qid <> a.id)
+        |SELECT qid, id, sim FROM (
+        |  SELECT qid, id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM cand) x
+        |WHERE rn <= 5 ORDER BY qid, sim DESC, id""".stripMargin)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.functions.expr.VectorExprs
+
+/** Equivalence of the native cosine expression with the HOF fold it
+  * replaces (same sequential double accumulation → bit-equal), plus
+  * null contract and codegen participation.
+  */
+class VectorExprSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim equals the HOF fold on all sf0.001 embedding pairs (bit-exact)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val pairs = a.join(b, col("id1") < col("id2")).limit(20000)
+    val bad = pairs.select(
+        GraftFunctions.cosineHof(col("v1"), col("v2")).as("h"),
+        VectorExprs.cosine_sim(col("v1"), col("v2")).as("e"))
+      .filter(not(col("h") <=> col("e")))
+    assert(bad.count() == 0)
+  }
+
+  test("null contract: null input, null element, unequal lengths → null") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),   // ok
+      (None, Some(Seq(1.0f, 2.0f))),                    // null array
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f)))          // unequal length
+    ).toDF("a", "b")
+    val r = df.select(VectorExprs.cosine_sim(col("a"), col("b"))).collect()
+    assert(!r(0).isNullAt(0) && math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+    assert(r(1).isNullAt(0))
+    assert(r(2).isNullAt(0))
+    // null element inside the array (HOF poisons the fold → null)
+    val withNullElem = spark.sql(
+      "SELECT cast(array(1.0, NULL) AS array<double>) a, cast(array(1.0, 2.0) AS array<double>) b")
+    val r2 = withNullElem.select(VectorExprs.cosine_sim(col("a"), col("b"))).collect()
+    assert(r2(0).isNullAt(0))
+  }
+
+  test("cosine_sim participates in WholeStageCodegen") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = emb.select(VectorExprs.cosine_sim(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+}
