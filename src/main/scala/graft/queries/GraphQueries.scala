@@ -57,6 +57,22 @@ object GraphQueries {
         .orderBy(col("anchor"), desc("score"), col("id"))
     }),
 
+    // H2: edge upsert — replayed delta union'd into the edge set,
+    // deduplicated on (src,dst), self-loops dropped (the reference's
+    // edge-exists-else-add with from != to,
+    // upsert_bizcard_to_graph_db.py:96-113); idempotence = the merged
+    // set equals the original (replay-safe, SURVEY §2.J1).
+    "qH2_edge_upsert" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val edges = derivedEdges(events)
+      val replay = derivedEdges(events.filter(col("event_type") === "click"))
+      edges.unionAll(replay)
+        .filter(col("src") =!= col("dst"))
+        .dropDuplicates("src", "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
+        .orderBy(col("src"))
+    }),
+
     // C9: path join for visualization — edge endpoints hydrated to names.
     "qC9_path_join" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
@@ -118,6 +134,19 @@ object GraphQueries {
          |  FROM scored)
          |SELECT anchor, id, score FROM ranked WHERE rn <= 3
          |ORDER BY anchor, score DESC, id""".stripMargin,
+    "qH2_edge_upsert" ->
+      s"""WITH edges AS ($EdgesSql),
+         |replay AS (
+         |  SELECT DISTINCT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 50 AS dst
+         |  FROM events
+         |  WHERE event_type = 'click'
+         |    AND user_id <> CAST(FLOOR(value) AS BIGINT) % 50),
+         |merged AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT * FROM edges UNION ALL SELECT * FROM replay)
+         |  WHERE src <> dst)
+         |SELECT src, count(*) AS out_degree FROM merged
+         |GROUP BY src ORDER BY src""".stripMargin,
     "qC9_path_join" ->
       s"""WITH edges AS ($EdgesSql)
          |SELECT src, dst, cs.c_name AS src_name, cd.c_name AS dst_name

@@ -69,6 +69,41 @@ object RelationalQueries {
         .limit(300)
     }),
 
+    // B4+B5+B6 (+B11/B12/B15 shapes): the REAL card parser
+    // (Parse.parseCardLines — positional projection, last-matching-line
+    // -wins field folds, addr stopword score) over deterministic
+    // synthesized OCR lines, plus owner/image_id derivation from a
+    // synthesized s3_key. The oracle computes the expected fields
+    // independently from the same construction rules.
+    "qB456_card_parse" -> ((s, dir) => {
+      val k = col("c_custkey").cast("string")
+      val emptyArr = array().cast("array<string>")
+      val lines = concat(
+        array(concat(lit("ACME "), col("c_mktsegment")),
+          col("c_name"),
+          concat(lit("Engineer L"), (col("c_custkey") % 7).cast("string"))),
+        when(col("c_custkey") % 3 === 0,
+          array(concat(lit("mail: user"), k, lit("@corp.example")))).otherwise(emptyArr),
+        when(col("c_custkey") % 6 === 0,
+          array(concat(lit("alt b"), k, lit("@alt.example")))).otherwise(emptyArr),
+        when(col("c_custkey") % 2 === 0,
+          array(concat(lit("tel +82 10-1234-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))).otherwise(emptyArr),
+        when(col("c_custkey") % 5 === 0,
+          array(lit("addr seoul mapo-gu seogyo-ro korea"))).otherwise(emptyArr))
+      val withLines = t(s, dir, "customer")
+        .withColumn("text_lines", lines)
+        .withColumn("s3_key", concat(lit("bizcard-raw-img/u"), k,
+          lit("_img"), k, lit(".jpg")))
+      graft.operators.Parse.parseCardLines(withLines)
+        .select(col("c_custkey"), col("company"), col("name"), col("job_title"),
+          col("email"), col("phone_number"), col("addr"),
+          ownerFromKey(col("s3_key")).as("owner"),
+          imageId(col("s3_key")).as("image_id"))
+        .orderBy(col("c_custkey"))
+        .limit(300)
+    }),
+
     // B9: composite content_id dedup key.
     "qB9_content_id" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -231,6 +266,22 @@ object RelationalQueries {
     "qB8_md5_8" ->
       """SELECT c_custkey, substr(md5(c_name), 1, 8) AS key8
         |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
+    "qB456_card_parse" ->
+      """SELECT c_custkey,
+        |  'ACME ' || c_mktsegment AS company,
+        |  c_name AS name,
+        |  'Engineer L' || CAST(c_custkey % 7 AS VARCHAR) AS job_title,
+        |  CASE WHEN c_custkey % 6 = 0 THEN 'b' || c_custkey || '@alt.example'
+        |       WHEN c_custkey % 3 = 0 THEN 'user' || c_custkey || '@corp.example'
+        |       ELSE '' END AS email,
+        |  CASE WHEN c_custkey % 2 = 0
+        |       THEN '+82 10-1234-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |       ELSE regexp_extract(c_name, '[0-9]+') END AS phone_number,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'addr seoul mapo-gu seogyo-ro korea'
+        |       ELSE '' END AS addr,
+        |  'u' || c_custkey AS owner,
+        |  'u' || c_custkey || '_img' || c_custkey || '.jpg' AS image_id
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin,
     "qB3_phone_extract" ->
       """SELECT o_orderkey, regexp_extract(
         |  'ref ' || o_orderkey || ' call +82 10-' ||
