@@ -87,13 +87,16 @@ object GraphAnalytics {
   }
 
   /** PageRank over the directed `knows` graph — the centrality
-    * extension the reference gestures at but never ships. */
+    * extension the reference gestures at but never ships. Fixed
+    * iteration count (`staticPageRank`), not tolerance-convergence:
+    * deterministic result and bounded cost regardless of graph
+    * connectivity. */
   def pageRank(vertices: DataFrame, edges: DataFrame,
-               tol: Double = 1e-4): DataFrame = {
+               iters: Int = 10): DataFrame = {
     val (graph, vmap) = toGraphX(vertices, edges)
     val spark = vertices.sparkSession
     import spark.implicits._
-    graph.pageRank(tol).vertices.toDF("vid", "rank").join(vmap, "vid")
+    graph.staticPageRank(iters).vertices.toDF("vid", "rank").join(vmap, "vid")
       .select(col("id"), round(col("rank"), 6).as("rank"))
   }
 

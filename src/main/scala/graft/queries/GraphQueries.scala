@@ -73,6 +73,61 @@ object GraphQueries {
         .orderBy(col("src"))
     }),
 
+    // GraphX analytics (BASELINE.json's named vehicle) over the same
+    // edge view. Connected components: GraphX label propagation,
+    // canonicalized to min-original-id per component so the DuckDB
+    // recursive-closure oracle can hash-match it exactly.
+    "qX_cc_graphx" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+        .select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+        .withColumn("weight", lit(1.0))
+      val vertices = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id"))).distinct()
+      val cc = graft.operators.GraphAnalytics.connectedComponents(vertices, edges)
+      val canon = cc.groupBy(col("component"))
+        .agg(min(col("id").cast("long")).as("comp"))
+      cc.join(canon, "component")
+        .select(col("id").cast("long").as("id"), col("comp"))
+        .orderBy(col("id"))
+    }),
+
+    // GraphX k-walk counting (aggregateMessages, k=3): the generalized
+    // PYMK frontier — exact bag walk counts, oracle = 3 chained
+    // adjacency joins.
+    "qX_khop3_graphx" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+        .select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+        .withColumn("weight", lit(1.0))
+      val vertices = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id"))).distinct()
+      val (graph, vmap) = graft.operators.GraphAnalytics.toGraphX(vertices, edges)
+      val anchor = vmap.filter(col("id") === "1").select("vid").head().getLong(0)
+      val spark2 = s
+      import spark2.implicits._
+      val walks = graft.operators.GraphAnalytics.kWalkCounts(graph, anchor, 3)
+        .filter(_._2 > 0).toDF("vid", "walks")
+      walks.join(vmap, "vid")
+        .select(col("id").cast("long").as("id"), col("walks"))
+        .orderBy(col("id"))
+    }),
+
+    // GraphX PageRank (rows-only: float convergence is not
+    // SQL-reproducible; recall/shape asserted in MultimodalGraphXSpec).
+    "qX_pagerank_graphx" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+        .select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+        .withColumn("weight", lit(1.0))
+      val vertices = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id"))).distinct()
+      graft.operators.GraphAnalytics.pageRank(vertices, edges)
+        .select(col("id").cast("long").as("id"), col("rank"))
+        .orderBy(desc("rank"), asc("id"))
+        .limit(50)
+    }),
+
     // C9: path join for visualization — edge endpoints hydrated to names.
     "qC9_path_join" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
@@ -134,6 +189,29 @@ object GraphQueries {
          |  FROM scored)
          |SELECT anchor, id, score FROM ranked WHERE rn <= 3
          |ORDER BY anchor, score DESC, id""".stripMargin,
+    "qX_cc_graphx" ->
+      s"""WITH RECURSIVE edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION ALL
+         |  SELECT dst AS f, src AS t FROM edges),
+         |verts AS (SELECT DISTINCT f AS v FROM adj),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT reach.v, adj.t FROM reach JOIN adj ON reach.r = adj.f)
+         |SELECT v AS id, min(r) AS comp FROM reach
+         |GROUP BY v ORDER BY v""".stripMargin,
+    "qX_khop3_graphx" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION ALL
+         |  SELECT dst AS f, src AS t FROM edges)
+         |SELECT a3.t AS id, count(*) AS walks
+         |FROM adj a1 JOIN adj a2 ON a1.t = a2.f JOIN adj a3 ON a2.t = a3.f
+         |WHERE a1.f = 1
+         |GROUP BY a3.t ORDER BY id""".stripMargin,
     "qH2_edge_upsert" ->
       s"""WITH edges AS ($EdgesSql),
          |replay AS (
