@@ -123,4 +123,43 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
 
   /** H4: full-graph debug dump (driver-side, admin-only). */
   def dumpGraph(): Array[org.apache.spark.sql.Row] = vertices.collect()
+
+  // --------------------------------------------- extension surface
+  // (the training-data-pipeline operators, exposed with the engine's
+  // own tables pre-wired; each delegates to the operator module)
+
+  /** All-users PYMK (batch serving shape): top-`limit` per anchor. */
+  def pymkAll(limit: Int = 10): DataFrame =
+    Pymk.recommendAll(edges, limit)
+
+  /** Exact dedup of the search table by content_id (the declared-
+    * but-never-used dedup intent of the reference, realized — B9). */
+  def dedupByContent(): DataFrame =
+    graft.operators.Dedup.exact(
+      searchTable.withColumn("_content", col("content_id")), "_content", "doc_id")
+      .drop("_content")
+
+  /** Near-duplicate card pairs by MinHash+LSH over a text column. */
+  def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                     minJaccard: Double = 0.8): DataFrame =
+    graft.operators.Dedup.minhashLshPairs(df, textCol, idCol,
+      minJaccard = minJaccard)
+
+  /** ANN cosine top-k of `corpus` for `queries` (exact; see
+    * [[graft.operators.Similarity]] for the LSH/IVF scale paths). */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              qidCol: String = "vec_id", qvecCol: String = "embedding",
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.operators.Similarity.bruteForceTopK(
+      queries, corpus, qidCol, qvecCol, idCol, vecCol, k)
+
+  /** GraphX analytics over the engine's graph: PageRank centrality. */
+  def pageRank(iters: Int = 10): DataFrame =
+    graft.operators.GraphAnalytics.pageRank(vertices,
+      edges.withColumn("weight", coalesce(col("weight"), lit(1.0))), iters)
+
+  /** GraphX analytics: connected components (community seeds). */
+  def communities(): DataFrame =
+    graft.operators.GraphAnalytics.connectedComponents(vertices,
+      edges.withColumn("weight", coalesce(col("weight"), lit(1.0))))
 }

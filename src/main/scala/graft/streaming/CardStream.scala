@@ -152,6 +152,28 @@ object CardStream {
       .trigger(trigger)
       .start()
 
+  // ------------------------------------------- event-time windows (J2/J3)
+
+  /** Event-time tumbling-window counts with a watermark — the J2/J3
+    * extension the reference lacks (its `created_at` is processing
+    * time and Firehose's 60 s buffer is a sink flush, not a query
+    * window; SURVEY §2.J2-J3). The watermark bounds state: windows
+    * older than (max event time − `lateness`) are finalized and
+    * dropped from the store, so state size is O(active windows), not
+    * O(stream history) — the property that lets this run forever at
+    * scale. Late rows beyond the watermark are dropped (counted by the
+    * driver's streaming metrics).
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String = "ts",
+                          lateness: String = "10 minutes",
+                          windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("events"))
+
   // ------------------------------------------------------- status machine
 
   /** Input shape of the status stream (J4). */

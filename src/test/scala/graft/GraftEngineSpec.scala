@@ -70,6 +70,25 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
       .map(_.getString(0)).toSeq == Seq("edy"))
   }
 
+  test("extension surface: pymkAll, dedupByContent, pageRank, communities") {
+    // all-pairs PYMK agrees with the single-anchor golden for poby
+    val pobyId = "6f371694" // md5("poby")[:8] — CardPipelineSpec golden
+    val all = engine.pymkAll(10)
+      .filter(col("anchor") === pobyId)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val single = graft.operators.Pymk.recommend(engine.edges, lit(pobyId), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == single && single.nonEmpty)
+    // dedup by content_id keeps one row per distinct card content
+    val deduped = engine.dedupByContent()
+    assert(deduped.count() ==
+      engine.searchTable.select("content_id").distinct().count())
+    // GraphX analytics run over the engine graph
+    assert(engine.pageRank(5).count() == 6)
+    val comps = engine.communities().select("component").distinct().count()
+    assert(comps >= 1 && comps <= 6)
+  }
+
   test("graph admin: dump then clear") {
     assert(engine.dumpGraph().length == 6)
     engine.clearGraph()

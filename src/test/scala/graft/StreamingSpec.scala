@@ -87,6 +87,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(last("img2") == "START")
   }
 
+  test("windowed event counts: watermark finalizes windows, drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val out = CardStream.windowedEventCounts(
+        mem.toDS().toDF("ts", "event_type"),
+        lateness = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+
+    mem.addData((ts(5), "click"), (ts(20), "click"), (ts(30), "view"))
+    out.processAllAvailable()
+    // advance event time past window 1 + lateness → finalize [0h,1h)
+    mem.addData((ts(135), "click"))
+    out.processAllAvailable()
+    // a LATE row for window 1 (watermark is now ~2h05) — must be dropped
+    mem.addData((ts(25), "click"))
+    out.processAllAvailable()
+    mem.addData((ts(260), "click")) // flush window of ts(135)
+    out.processAllAvailable()
+    out.stop()
+
+    val rows = spark.table("win_out")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+        r.getLong(2))).toSet
+    // window [0,60): 2 clicks + 1 view — the late click NOT counted
+    assert(rows.contains((0L, "click", 2L)), rows)
+    assert(rows.contains((0L, "view", 1L)), rows)
+    assert(rows.contains((120L, "click", 1L)), rows)
+  }
+
   test("mergeLww is idempotent and order-independent across batches") {
     val path = tmp("lww") + "/table"
     val b1 = Seq(("k1", 1L, "v1"), ("k2", 1L, "v2")).toDF("id", "ts", "value")
