@@ -123,10 +123,15 @@ object Pymk {
     // explicit round-robin repartition (round-robin, not keyed, so a
     // hub vertex can't pin its whole neighborhood to one task).
     val par = edges.sparkSession.sparkContext.defaultParallelism
+    // Symmetry: the undirected bag contains (x,y) and (y,x) with equal
+    // multiplicity, so score(a,c) == score(c,a). Count only the a < c
+    // half of the path bag (HALF the shuffle + agg input) and mirror
+    // the counted pairs afterwards — the mirror is over the aggregated
+    // pair set, 10-20× smaller than the bag.
     val hop2 = adj.repartition(par).as("h1")
       .join(adj.as("h2"), col("h1.to") === col("h2.from"))
       .select(col("h1.from").as("anchor"), col("h2.to").as("candidate"))
-      .filter(col("anchor") =!= col("candidate"))
+      .filter(col("anchor") < col("candidate"))
     val friendPairs = adj.select(col("from").as("anchor"), col("to").as("candidate"))
       .distinct()
     // Repartition the path bag on the aggregation key BEFORE counting:
@@ -137,10 +142,13 @@ object Pymk {
     // network-bound cluster flip to plain groupBy when the measured
     // duplication factor is high — both shapes are one shuffle keyed
     // on (anchor, candidate).
-    val scored = hop2
+    val half = hop2
       .repartition(par, col("anchor"), col("candidate"))
       .groupBy("anchor", "candidate")
       .agg(count(lit(1)).as("score"))
+    val scored = half
+      .unionAll(half.select(col("candidate").as("anchor"),
+        col("anchor").as("candidate"), col("score")))
       // no broadcast hint: friendPairs is the full edge list — tiny at
       // test SF (AQE demotes to broadcast at runtime), far too big to
       // pin as broadcast at 100 TB.
