@@ -61,4 +61,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = plan("qG1_search_tfidf")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("bucketed tables co-locate the fact-fact join: no shuffle on either side") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB pattern: write both fact tables bucketed by the join
+    // key once, and every subsequent equi-join on that key is
+    // exchange-free (bucket-local sort-merge) — the declarative twin
+    // of manual co-partitioning
+    val wh = java.nio.file.Files.createTempDirectory("bucket_wh").toString
+    // force the shuffle-join path (at real scale neither fact side
+    // broadcasts) so the assertion exercises bucket alignment
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = Tables.load(spark, dir, "orders")
+    val l = Tables.load(spark, dir, "lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
+    val p = joined.queryExecution.executedPlan.toString()
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    // the only allowed exchange is the one ABOVE the join for the final
+    // groupBy — below the join both scans must feed it bucket-aligned
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(!joinSection.contains("Exchange"),
+      "bucketed join must not shuffle either side:\n" + joinSection.take(3000))
+    assert(joined.count() > 0)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
