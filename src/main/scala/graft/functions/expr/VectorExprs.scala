@@ -38,6 +38,55 @@ object VectorExprUtil {
     }
     java.lang.Double.valueOf(dot / (math.sqrt(sa) * math.sqrt(sb)))
   }
+
+  /** m-bit sign-LSH signature — native twin of
+    * `Similarity.randomHyperplaneLsh` (equivalence locked in
+    * VectorExprSpec). Plane components are the same hash-derived
+    * pseudo-randoms as the Column formulation:
+    * pmod(xxhash64(p·1000003 + d), 10^6)/10^6 − 0.5 on a packed LONG
+    * key, xxhash64 seed 42; bit p = sign of the sequential-fold dot
+    * product (identical accumulation order → identical sign at the
+    * boundary). */
+  def signLsh(v: ArrayData, m: Int, isFloat: Boolean): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < m) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        val key = p.toLong * 1000003L + d
+        val h = XxHash64Function.hash(key, LongType, 42L)
+        val comp = (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0 - 0.5
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        proj += x * comp
+        d += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** `sign_lsh(vec, m)`: m-bit random-hyperplane signature, codegen. */
+case class SignLshExpr(child: Expression, m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorExprUtil.signLsh(v.asInstanceOf[ArrayData], m, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.VectorExprUtil.signLsh($c, $m, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): SignLshExpr =
+    copy(child = c)
 }
 
 /** `cosine_sim(a, b)` over array<float> or array<double>, codegen. */
@@ -73,4 +122,6 @@ object VectorExprs {
   import ColumnBridge.{toColumn, toExpr}
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSimExpr(toExpr(a), toExpr(b)))
+  def sign_lsh(v: Column, m: Int): Column =
+    toColumn(SignLshExpr(toExpr(v), m))
 }

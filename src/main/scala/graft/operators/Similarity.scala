@@ -55,9 +55,15 @@ object Similarity {
 
   /** m-bit sign-LSH signature of a vector column: bit p = sign of
     * <v, h_p> where h_p is the p-th pseudo-random hyperplane.
-    * Pure expression fold — narrow projection over the corpus.
+    * Narrow projection over the corpus — native codegen expression
+    * ([[graft.functions.expr.SignLshExpr]]); [[randomHyperplaneLshHof]]
+    * is its executable spec.
     */
   def randomHyperplaneLsh(vec: Column, m: Int): Column =
+    graft.functions.expr.VectorExprs.sign_lsh(vec, m)
+
+  /** Reference HOF formulation of [[randomHyperplaneLsh]] (test oracle). */
+  def randomHyperplaneLshHof(vec: Column, m: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(m - 1)), p => {
         val proj = aggregate(

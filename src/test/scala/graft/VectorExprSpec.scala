@@ -41,6 +41,18 @@ class VectorExprSpec extends AnyFunSuite with SparkSpec {
     assert(r2(0).isNullAt(0))
   }
 
+  test("sign_lsh equals the HOF hyperplane formulation on all embeddings") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    for (m <- Seq(10, 12)) {
+      val bad = emb.select(
+          Similarity.randomHyperplaneLshHof(col("embedding"), m).as("h"),
+          graft.functions.expr.VectorExprs.sign_lsh(col("embedding"), m).as("e"))
+        .filter(not(col("h") <=> col("e")))
+      assert(bad.count() == 0, s"m=$m")
+    }
+  }
+
   test("cosine_sim participates in WholeStageCodegen") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = emb.select(VectorExprs.cosine_sim(col("embedding"), col("embedding")))
