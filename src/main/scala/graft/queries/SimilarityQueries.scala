@@ -69,6 +69,31 @@ object SimilarityQueries {
         .orderBy(desc("sim"), asc("id1"), asc("id2"))
     }),
 
+    // multimodal pipeline end-to-end: documents as opaque binary media
+    // (text bytes stand in for image payloads) → per-partition decode →
+    // resize → feature extraction → ANN over the extracted embeddings.
+    // The codec is the deterministic stub (no media libs in this
+    // container — SURVEY/brief: stub the decode, make the Spark
+    // plumbing real); rows-only at the gate, exact values pinned in
+    // MultimodalGraphXSpec.
+    "qX_multimodal_ann" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val media = Tables.load(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          MediaRecord(id, "image", text.getBytes("UTF-8"),
+            MediaMeta("png", 8, 8, 3, 0L)) }
+      val decoded = Multimodal.resize(Multimodal.decode(media), 4, 4)
+      val features = Multimodal.extractFeatures(media, dim = 16).toDF()
+        .join(decoded.toDF().select(col("id"), size(col("pixels")).as("px")), "id")
+      val q = features.filter(col("id") < 3)
+      Similarity.bruteForceTopK(q, features, "id", "embedding",
+        "id", "embedding", 3)
+    }),
+
     // IVF-probed ANN (centroid cells + nprobe pruning) — deterministic
     // given the centroid table, so fully oracle-checked unlike the
     // hash-based ANN paths.
