@@ -19,7 +19,9 @@ object Verify {
       // throttled virtual disk — shuffle I/O wait otherwise dominates
       // and adds 2-5x run-to-run variance
       .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+        sys.env.getOrElse("SPARK_LOCAL_DIRS",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+          else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
