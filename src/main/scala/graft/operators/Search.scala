@@ -88,12 +88,32 @@ object Search {
 
     if (queryTerms.isEmpty) return filtered.limit(limit)
 
-    val fieldScores = fields.map { case (f, boost) =>
-      scoreField(filtered, idCol, f, queryTerms)
-        .select(col("_doc"), (col("fscore") * lit(boost)).as("fscore"))
-    }
-    val combined = fieldScores.reduce(_ unionAll _)
-      .groupBy("_doc").agg(sum("fscore").as("_score"))
+    // ONE scan for every scored field: stack (field, boost, tokens)
+    // structs per row and explode, instead of re-scanning the table per
+    // field (the per-field formulation costs 2·|fields|+1 scans — the
+    // difference between one pass and five over a 100 TB corpus).
+    // Scoring is identical: Σ_field boost · Σ_term tf·idf with idf
+    // computed per (field, term).
+    val n = filtered.count() // metadata-only count (parquet row groups)
+    val stacked = array(fields.map { case (f, b) =>
+      struct(lit(f).as("field"), lit(b).as("boost"),
+        tokenize(col(f)).as("toks"))
+    }: _*)
+    val posts = filtered
+      .select(col(idCol).as("_doc"), explode(stacked).as("ft"))
+      .select(col("_doc"), col("ft.field").as("field"),
+        col("ft.boost").as("boost"), explode(col("ft.toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = posts.groupBy("field", "boost", "term", "_doc")
+      .agg(count(lit(1)).as("tf"))
+    val idfs = broadcast(
+      tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+        .select(col("field"), col("term"),
+          log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            .as("idf")))
+    val combined = tf.join(idfs, Seq("field", "term"))
+      .groupBy("_doc")
+      .agg(sum(col("tf") * col("idf") * col("boost")).as("_score"))
 
     filtered.join(combined, filtered(idCol) === combined("_doc"))
       .drop("_doc")
