@@ -69,6 +69,23 @@ object RelationalQueries {
         .limit(300)
     }),
 
+    // E4: the limit(1) existence probe (vertex lookup before upsert,
+    // upsert_bizcard_to_graph_db.py:85).
+    "qE4_point_probe" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") === 42)
+        .select(col("c_custkey"), col("c_name"))
+        .limit(1)
+    }),
+
+    // D5: hits.total — the count of the matched set returned with every
+    // search response (es_search_bizcard.py:85).
+    "qD5_hit_total" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("text").contains("spark"))
+        .agg(count(lit(1)).as("total"))
+    }),
+
     // B4+B5+B6 (+B11/B12/B15 shapes): the REAL card parser
     // (Parse.parseCardLines — positional projection, last-matching-line
     // -wins field folds, addr stopword score) over deterministic
@@ -266,6 +283,12 @@ object RelationalQueries {
     "qB8_md5_8" ->
       """SELECT c_custkey, substr(md5(c_name), 1, 8) AS key8
         |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
+    "qE4_point_probe" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey = 42 LIMIT 1""".stripMargin,
+    "qD5_hit_total" ->
+      """SELECT count(*) AS total FROM documents
+        |WHERE contains(text, 'spark')""".stripMargin,
     "qB456_card_parse" ->
       """SELECT c_custkey,
         |  'ACME ' || c_mktsegment AS company,
