@@ -54,13 +54,16 @@ object Bench {
     val results = names.map { name =>
       val dts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        // a throwing pass must not win the min with its fast failure
+        if (ok) dt else Double.MaxValue
       }
-      name -> dts.min
+      // both passes failed → report -1 (visible in the JSON, excluded
+      // from a sane total downstream) rather than a bogus latency
+      name -> (if (dts.min == Double.MaxValue) -1.0 else dts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -135,9 +135,7 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   /** Exact dedup of the search table by content_id (the declared-
     * but-never-used dedup intent of the reference, realized — B9). */
   def dedupByContent(): DataFrame =
-    graft.operators.Dedup.exact(
-      searchTable.withColumn("_content", col("content_id")), "_content", "doc_id")
-      .drop("_content")
+    graft.operators.Dedup.exact(searchTable, "content_id", "doc_id")
 
   /** Near-duplicate card pairs by MinHash+LSH over a text column. */
   def nearDuplicates(df: DataFrame, textCol: String, idCol: String,

@@ -78,6 +78,13 @@ case class SignLshExpr(child: Expression, m: Int)
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh requires array<float> or array<double>, got ${t.sql}")
+    }
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -96,6 +103,18 @@ case class CosineSimExpr(left: Expression, right: Expression)
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  // both sides must be the SAME float/double array type: the kernel
+  // reads raw 4- or 8-byte elements, so a float/double mix (which the
+  // HOF formulation casts element-wise) must be rejected at analysis
+  // time, not silently misread
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<float> or two array<double> inputs, got ${l.sql} and ${r.sql}")
+    }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true

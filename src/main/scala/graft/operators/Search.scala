@@ -94,7 +94,11 @@ object Search {
     // difference between one pass and five over a 100 TB corpus).
     // Scoring is identical: Σ_field boost · Σ_term tf·idf with idf
     // computed per (field, term).
-    val n = filtered.count() // metadata-only count (parquet row groups)
+    // N for idf. Metadata-only when unfiltered; with an owner/alive
+    // filter it is a counting pass over the filtered set — at scale,
+    // serve N from table statistics or the prebuilt SearchIndex stats
+    // instead of this scan-path fallback.
+    val n = filtered.count()
     val stacked = array(fields.map { case (f, b) =>
       struct(lit(f).as("field"), lit(b).as("boost"),
         tokenize(col(f)).as("toks"))

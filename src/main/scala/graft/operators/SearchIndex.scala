@@ -20,6 +20,11 @@ import graft.functions.GraftFunctions.tokenize
   */
 object SearchIndex {
 
+  /** Bucket count of the on-disk postings layout — ONE constant shared
+    * by [[writeIndex]] and [[queryStored]]: a writer/prober mismatch
+    * would silently prune away valid postings. */
+  val IndexBuckets = 256
+
   /** Driver-side twin of `pmod(xxhash64(term), buckets)` (same seed 42
     * as the SQL function) for partition-pruned probes. */
   def bucketOf(term: String, buckets: Int): Long = {
@@ -48,11 +53,11 @@ object SearchIndex {
 
   /** Persist the index partitioned by term-prefix bucket so query-time
     * probes prune to |terms| buckets (the partition-pruned layout named
-    * above; 256 buckets keeps directory fan-out sane at any corpus
+    * above; IndexBuckets keeps directory fan-out sane at any corpus
     * size). */
   def writeIndex(postings: DataFrame, stats: DataFrame, dir: String): Unit = {
     postings
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(256)))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
@@ -88,7 +93,7 @@ object SearchIndex {
                   limit: Int): DataFrame = {
     val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val postings = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(terms.map(bucketOf(_, 256)): _*))
+      .filter(col("bucket").isin(terms.map(bucketOf(_, IndexBuckets)): _*))
     val stats = spark.read.parquet(s"$dir/stats")
     query(postings, stats, n, boosts, queryText, limit)
   }

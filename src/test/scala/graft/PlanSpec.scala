@@ -72,24 +72,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // force the shuffle-join path (at real scale neither fact side
     // broadcasts) so the assertion exercises bucket alignment
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val o = Tables.load(spark, dir, "orders")
-    val l = Tables.load(spark, dir, "lineitem")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
-    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
-    val joined = spark.table("orders_b")
-      .join(spark.table("lineitem_b"),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
-    val p = joined.queryExecution.executedPlan.toString()
-    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
-    // the only allowed exchange is the one ABOVE the join for the final
-    // groupBy — below the join both scans must feed it bucket-aligned
-    assert(p.contains("SortMergeJoin"), p.take(3000))
-    assert(!joinSection.contains("Exchange"),
-      "bucketed join must not shuffle either side:\n" + joinSection.take(3000))
-    assert(joined.count() > 0)
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val o = Tables.load(spark, dir, "orders")
+      val l = Tables.load(spark, dir, "lineitem")
+      o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+      l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
+      val p = joined.queryExecution.executedPlan.toString()
+      // the only allowed exchange is the one ABOVE the join for the final
+      // groupBy — below the join both scans must feed it bucket-aligned
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange"),
+        "bucketed join must not shuffle either side:\n" + joinSection.take(3000))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
   }
 }
