@@ -53,6 +53,24 @@ class VectorExprSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("type checks: mixed float/double and non-fp arrays rejected at analysis") {
+    val df = spark.sql(
+      "SELECT cast(array(1.0, 2.0) AS array<float>) f, " +
+        "cast(array(1.0, 2.0) AS array<double>) d, array(1, 2) i")
+    for ((a, b) <- Seq(("f", "d"), ("f", "i"), ("i", "i"))) {
+      val ex = intercept[Exception] {
+        df.select(VectorExprs.cosine_sim(col(a), col(b))).collect()
+      }
+      assert(ex.getMessage.contains("cosine_sim") ||
+        ex.getMessage.contains("DATATYPE_MISMATCH"), s"$a/$b: ${ex.getMessage}")
+    }
+    val ex2 = intercept[Exception] {
+      df.select(VectorExprs.sign_lsh(col("i"), 8)).collect()
+    }
+    assert(ex2.getMessage.contains("sign_lsh") ||
+      ex2.getMessage.contains("DATATYPE_MISMATCH"), ex2.getMessage)
+  }
+
   test("cosine_sim participates in WholeStageCodegen") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = emb.select(VectorExprs.cosine_sim(col("embedding"), col("embedding")))
