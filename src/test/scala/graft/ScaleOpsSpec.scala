@@ -48,6 +48,21 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(stored == scan, "bucketed partition-pruned probe must not lose postings")
   }
 
+  test("multi-field boosted search: index path equals Search.search") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fields = Seq("source" -> 3.0, "text" -> 1.0)
+    val terms = "src3 merge"
+    val scan = Search.search(docs, "doc_id", fields, terms, 10000)
+      .select(col("doc_id"), round(col("_score"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (postings, stats, n) = SearchIndex.build(docs, "doc_id",
+      fields.map(_._1))
+    val idx = SearchIndex.query(postings, stats, n, fields, terms, 10000)
+      .select(col("doc"), round(col("_score"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(idx == scan)
+  }
+
   test("salted count equals plain groupBy count (hot key included)") {
     val df = (Seq.fill(5000)(("hot", 1)) ++ (1 to 500).map(i => (s"k$i", i)))
       .toDF("key", "v")
