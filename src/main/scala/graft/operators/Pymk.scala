@@ -146,9 +146,17 @@ object Pymk {
       .repartition(par, col("anchor"), col("candidate"))
       .groupBy("anchor", "candidate")
       .agg(count(lit(1)).as("score"))
+    // mirror via explode, NOT a self-union: a union would execute the
+    // aggregation subtree once per branch (only the exchange below it
+    // is reused); the explode emits both orientations in one pass over
+    // the counted pairs.
     val scored = half
-      .unionAll(half.select(col("candidate").as("anchor"),
-        col("anchor").as("candidate"), col("score")))
+      .select(explode(array(
+        struct(col("anchor"), col("candidate"), col("score")),
+        struct(col("candidate").as("anchor"), col("anchor").as("candidate"),
+          col("score")))).as("p"))
+      .select(col("p.anchor").as("anchor"), col("p.candidate").as("candidate"),
+        col("p.score").as("score"))
       // no broadcast hint: friendPairs is the full edge list — tiny at
       // test SF (AQE demotes to broadcast at runtime), far too big to
       // pin as broadcast at 100 TB.
