@@ -36,6 +36,9 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
 
   private def tableOrEmpty(path: String, like: => DataFrame): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash mid-swap leaves live missing but <path>__old complete —
+    // restore before concluding the table is empty (see CardStream.swapInto)
+    CardStream.recoverSwap(spark, path)
     if (!fs.exists(new Path(path))) return like.limit(0)
     // partitioned tables nest files under key=value dirs — let the
     // reader discover them; fall back to empty on an empty directory

@@ -62,7 +62,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // docs with < n tokens have no n-grams: exclude them up front, on
+    // BOTH engine and oracle sides — the [""] zero-token sentinel and
+    // the <n-token full-token fallback of `shingles` would otherwise
+    // diverge from a SQL sliding window (whose out-of-range slots go
+    // NULL and drop the doc)
+    val sh = docs
+      .filter(size(tokenize(col(textCol))) >= n)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val posts = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val a = posts.select(col("id").as("id1"), col("n_sh").as("n1"), col("s"))

@@ -86,7 +86,12 @@ object Search {
     val filtered0 = ownerFilter.fold(docs) { case (c, v) => docs.filter(col(c) === v) }
     val filtered = aliveCol.fold(filtered0)(c => filtered0.filter(col(c) === 1))
 
-    if (queryTerms.isEmpty) return filtered.limit(limit)
+    // owner-filter-only query: same schema as the scored path (_score
+    // present, 0.0 — ES filter-context semantics) and a deterministic
+    // order so limit() is stable across runs/engines
+    if (queryTerms.isEmpty)
+      return filtered.withColumn("_score", lit(0.0))
+        .orderBy(asc(idCol)).limit(limit)
 
     // ONE scan for every scored field: stack (field, boost, tokens)
     // structs per row and explode, instead of re-scanning the table per

@@ -114,8 +114,13 @@ object Similarity {
                 idCol: String, vecCol: String): DataFrame = {
     val c = centroids.select(col("cid"), col("cvec"))
     val w = Window.partitionBy(col(idCol)).orderBy(desc("csim"), asc("cid"))
+    // rank on rounded similarity: near-tie centroid distances must
+    // resolve identically across engines (our sequential fold vs the
+    // oracle's list_cosine_similarity differ in float fold order), so
+    // the cell choice uses the same fixed-precision contract as the
+    // final sim column
     vecs.join(broadcast(c))
-      .withColumn("csim", cosine(col(vecCol), col("cvec")))
+      .withColumn("csim", round(cosine(col(vecCol), col("cvec")), 6))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "csim", "cvec")
@@ -140,7 +145,7 @@ object Similarity {
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(desc("qcsim"), asc("cid"))
     val probes = q.join(broadcast(centroids.select(col("cid"), col("cvec"))))
-      .withColumn("qcsim", cosine(col("qvec"), col("cvec")))
+      .withColumn("qcsim", round(cosine(col("qvec"), col("cvec")), 6))
       .withColumn("_rn", row_number().over(wProbe))
       .filter(col("_rn") <= nprobe)
       .select(col("qid"), col("qvec"), col("cid").as("cell"))

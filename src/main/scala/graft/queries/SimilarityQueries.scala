@@ -146,7 +146,7 @@ object SimilarityQueries {
         |  SELECT vec_id AS id, v AS vec, cid AS cell FROM (
         |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (
         |      PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rn
+        |      ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS rn
         |    FROM e CROSS JOIN c) x WHERE rn = 1),
         |q AS (SELECT vec_id AS qid, v AS qvec FROM e
         |  WHERE vec_id >= 100 AND vec_id < 105),
@@ -154,7 +154,7 @@ object SimilarityQueries {
         |  SELECT qid, qvec, cid AS cell FROM (
         |    SELECT q.qid, q.qvec, c.cid, row_number() OVER (
         |      PARTITION BY q.qid
-        |      ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC, c.cid) AS rn
+        |      ORDER BY round(list_cosine_similarity(q.qvec, c.cvec), 6) DESC, c.cid) AS rn
         |    FROM q CROSS JOIN c) x WHERE rn <= 2),
         |cand AS (
         |  SELECT p.qid, a.id, round(list_cosine_similarity(p.qvec, a.vec), 4) AS sim

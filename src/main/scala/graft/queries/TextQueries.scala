@@ -272,7 +272,7 @@ object TextQueries {
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(1, greatest(len(toks), 2)),
         |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
-        |  FROM d),
+        |  FROM d WHERE len(toks) >= 2),
         |posts AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
         |pairs AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,

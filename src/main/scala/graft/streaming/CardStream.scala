@@ -59,6 +59,7 @@ object CardStream {
   def mergeLww(spark: SparkSession, batch: DataFrame, path: String,
                keyCols: Seq[String], ordCol: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, path)
     val live = new Path(path)
     val hasData = fs.exists(live) && fs.listStatus(live)
       .exists(_.getPath.getName.endsWith(".parquet"))
@@ -72,13 +73,20 @@ object CardStream {
     swapInto(spark, merged, path)
   }
 
-  /** Atomically replace the parquet table at `path` with `df` (which
-    * may itself be derived from reading `path` — the stage write
-    * materializes before the swap). Readers see old or new, never a
-    * partial table. */
+  /** Replace the parquet table at `path` with `df` (which may itself be
+    * derived from reading `path` — the stage write materializes before
+    * the swap). The two-rename swap (live→__old, __stage→live) has an
+    * unavoidable window on rename-only filesystems where the live path
+    * does not exist; crash-safety comes from keeping `__old` until the
+    * new live dir is in place and having every reader ([[recoverSwap]],
+    * called by [[mergeLww]]/[[tableOrEmpty]]) restore `__old` → live
+    * before treating the table as empty. Checkpoint replay then
+    * re-merges the interrupted batch idempotently (LWW keys), so no
+    * accumulated history is lost. */
   def swapInto(spark: SparkSession, df: DataFrame, path: String,
                partitionCols: Seq[String] = Nil): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, path)
     val live = new Path(path)
     val stage = new Path(path + "__stage")
     val writer = if (partitionCols.isEmpty) df.write
@@ -89,6 +97,32 @@ object CardStream {
     if (fs.exists(live)) fs.rename(live, old)
     fs.rename(stage, live)
     fs.delete(old, true)
+  }
+
+  /** Crash recovery for [[swapInto]]: if a previous swap died between
+    * rename(live→__old) and rename(__stage→live), the live dir is
+    * missing but `__old` holds the full pre-swap table — restore it.
+    * (The completed `__stage` from the dead swap is discarded; its
+    * batch is re-applied by checkpoint replay.) Idempotent and cheap
+    * (two existence probes) — safe to call before every read/merge. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val old = new Path(path + "__old")
+    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+  }
+
+  /** Read the merged table at `path`, recovering an interrupted swap
+    * first; empty (schema-less read fails, so caller supplies a
+    * fallback) handled by returning None when no live data exists. */
+  def tableOrEmpty(spark: SparkSession, path: String,
+                   fallbackSchema: DataFrame): DataFrame = {
+    recoverSwap(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val hasData = fs.exists(live) && fs.listStatus(live)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasData) spark.read.parquet(path) else fallbackSchema.limit(0)
   }
 
   /** A6: search-table sink — LWW by doc_id ordered by created_at
