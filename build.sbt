@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through un-prefixed: the bench/verify harness
+// contract is ONE parseable JSON line on stdout, and sbt's default
+// LoggedOutput would wrap it as "[info] {...}" (unparseable downstream).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
