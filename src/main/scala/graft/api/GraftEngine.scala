@@ -34,17 +34,11 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   val SearchFields: Seq[(String, Double)] =
     Seq("name" -> 3.0, "company" -> 1.0, "job_title" -> 1.0, "addr" -> 1.0)
 
-  private def tableOrEmpty(path: String, like: => DataFrame): DataFrame = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a crash mid-swap leaves live missing but <path>__old complete —
-    // restore before concluding the table is empty (see CardStream.swapInto)
-    CardStream.recoverSwap(spark, path)
-    if (!fs.exists(new Path(path))) return like.limit(0)
-    // partitioned tables nest files under key=value dirs — let the
-    // reader discover them; fall back to empty on an empty directory
-    try spark.read.parquet(path)
-    catch { case _: org.apache.spark.sql.AnalysisException => like.limit(0) }
-  }
+  // reader path: non-mutating — a crash mid-swap leaves live missing but
+  // <path>__old complete; CardStream.tableOrEmpty reads __old in place
+  // (restoration happens only in the writer's next swap)
+  private def tableOrEmpty(path: String, like: => DataFrame): DataFrame =
+    CardStream.tableOrEmpty(spark, path, like)
 
   /** Batch-ingest card events (envelope columns s3_bucket, s3_key,
     * owner, addr…created_at): validate → enrich → merge search table,
@@ -115,13 +109,15 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     tableOrEmpty(albumPath, spark.emptyDataFrame).filter(col("owner") === owner)
 
   /** H3/E5: graph clear — overwrite with empty tables (the bulk
-    * replacement of the reference's 200-per-batch OLTP drain loop). */
+    * replacement of the reference's 200-per-batch OLTP drain loop).
+    * Also removes swap leftovers (`__old`, `__stage`): a `__old` from a
+    * crashed swap would otherwise be restored by the writer's next
+    * recoverSwap and resurrect the supposedly cleared graph. */
   def clearGraph(): Unit = {
-    CardStream.mergeLww(spark, vertices.limit(0), vertexPath + "_new", Seq("id"), "id")
     val fs = new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(vertexPath), true)
-    fs.delete(new Path(edgePath), true)
-    fs.delete(new Path(vertexPath + "_new"), true)
+    for (base <- Seq(vertexPath, edgePath);
+         suffix <- Seq("", "__old", "__stage"))
+      fs.delete(new Path(base + suffix), true)
   }
 
   /** H4: full-graph debug dump (driver-side, admin-only). */

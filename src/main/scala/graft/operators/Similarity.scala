@@ -118,7 +118,10 @@ object Similarity {
     // resolve identically across engines (our sequential fold vs the
     // oracle's list_cosine_similarity differ in float fold order), so
     // the cell choice uses the same fixed-precision contract as the
-    // final sim column
+    // final sim column. Known residual: a value straddling a rounding
+    // boundary at ~1e-7 can still flip cells cross-engine; if the
+    // oracle ever flakes here, coarsen the precision or switch the
+    // check to top-k set equality rather than exact cell assignment.
     vecs.join(broadcast(c))
       .withColumn("csim", round(cosine(col(vecCol), col("cvec")), 6))
       .withColumn("_rn", row_number().over(w))

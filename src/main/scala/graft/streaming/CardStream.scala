@@ -58,12 +58,8 @@ object CardStream {
     */
   def mergeLww(spark: SparkSession, batch: DataFrame, path: String,
                keyCols: Seq[String], ordCol: String): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwap(spark, path)
-    val live = new Path(path)
-    val hasData = fs.exists(live) && fs.listStatus(live)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-    val existing = if (hasData) spark.read.parquet(path) else batch.limit(0)
+    recoverSwap(spark, path) // writer path — recovery serialized with the swap
+    val existing = tableOrEmpty(spark, path, batch)
     val all = existing.unionByName(batch, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(desc(ordCol) +: all.columns.filterNot(keyCols.contains)
@@ -78,11 +74,14 @@ object CardStream {
     * the swap). The two-rename swap (live→__old, __stage→live) has an
     * unavoidable window on rename-only filesystems where the live path
     * does not exist; crash-safety comes from keeping `__old` until the
-    * new live dir is in place and having every reader ([[recoverSwap]],
-    * called by [[mergeLww]]/[[tableOrEmpty]]) restore `__old` → live
-    * before treating the table as empty. Checkpoint replay then
+    * new live dir is in place: the writer restores it on its next swap
+    * ([[recoverSwap]]) and readers ([[tableOrEmpty]]) fall back to
+    * reading `__old` in place, without mutating, so a concurrent reader
+    * can never race the writer's renames. Checkpoint replay then
     * re-merges the interrupted batch idempotently (LWW keys), so no
-    * accumulated history is lost. */
+    * accumulated history is lost. Every rename result is checked — a
+    * failed rename aborts the swap with `__old` still intact rather
+    * than deleting the only complete copy of the table. */
   def swapInto(spark: SparkSession, df: DataFrame, path: String,
                partitionCols: Seq[String] = Nil): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -93,36 +92,55 @@ object CardStream {
       else df.write.partitionBy(partitionCols: _*)
     writer.mode("overwrite").parquet(stage.toString)
     val old = new Path(path + "__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(stage, live)
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"swapInto: cannot clear stale $old")
+    if (fs.exists(live)) renameOrThrow(fs, live, old)
+    renameOrThrow(fs, stage, live)
     fs.delete(old, true)
   }
+
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"swapInto: rename $src -> $dst failed")
 
   /** Crash recovery for [[swapInto]]: if a previous swap died between
     * rename(live→__old) and rename(__stage→live), the live dir is
     * missing but `__old` holds the full pre-swap table — restore it.
     * (The completed `__stage` from the dead swap is discarded; its
-    * batch is re-applied by checkpoint replay.) Idempotent and cheap
-    * (two existence probes) — safe to call before every read/merge. */
+    * batch is re-applied by checkpoint replay.) WRITER-ONLY: each table
+    * path has a single writer (its streaming query / engine call), so
+    * recovery here is serialized with the swap itself; readers must use
+    * the non-mutating [[tableOrEmpty]] instead, otherwise a reader's
+    * restore of `__old`→live can interleave between the writer's two
+    * renames and corrupt the swap. */
   def recoverSwap(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
     val old = new Path(path + "__old")
-    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+    if (!fs.exists(live) && fs.exists(old)) renameOrThrow(fs, old, live)
   }
 
-  /** Read the merged table at `path`, recovering an interrupted swap
-    * first; empty (schema-less read fails, so caller supplies a
-    * fallback) handled by returning None when no live data exists. */
+  /** Read the merged table at `path` without mutating anything: if the
+    * live dir is missing but a crashed swap left `__old` complete, read
+    * `__old` in place (the writer restores it on its next swap). Returns
+    * `fallbackSchema.limit(0)` when neither exists or the dir is empty
+    * (a parquet read of an empty dir cannot infer a schema). */
   def tableOrEmpty(spark: SparkSession, path: String,
                    fallbackSchema: DataFrame): DataFrame = {
-    recoverSwap(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
-    val hasData = fs.exists(live) && fs.listStatus(live)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-    if (hasData) spark.read.parquet(path) else fallbackSchema.limit(0)
+    val old = new Path(path + "__old")
+    val src = if (fs.exists(live)) Some(live)
+              else if (fs.exists(old)) Some(old)
+              else None
+    src match {
+      case Some(p) =>
+        try spark.read.parquet(p.toString)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          fallbackSchema.limit(0) }
+      case None => fallbackSchema.limit(0)
+    }
   }
 
   /** A6: search-table sink — LWW by doc_id ordered by created_at

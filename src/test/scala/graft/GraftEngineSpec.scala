@@ -91,7 +91,16 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
 
   test("graph admin: dump then clear") {
     assert(engine.dumpGraph().length == 6)
+    // plant a stale __old from a "crashed swap" — clearGraph must remove
+    // it too, or the writer's next recoverSwap resurrects the graph
+    val fs = new org.apache.hadoop.fs.Path(engine.vertexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(engine.vertexPath + "__old"))
     engine.clearGraph()
     assert(engine.vertices.isEmpty && engine.edges.isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(engine.vertexPath + "__old")))
+    // and a fresh ingest after clear rebuilds from scratch
+    engine.ingest(cards)
+    assert(engine.vertices.count() == 6 && engine.edges.count() == 8)
   }
 }

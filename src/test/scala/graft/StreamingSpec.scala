@@ -118,6 +118,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.contains((120L, "click", 1L)), rows)
   }
 
+  test("crashed swap: reader falls back to __old without mutating; writer recovers") {
+    val path = tmp("swap") + "/table"
+    val b1 = Seq(("k1", 1L, "v1")).toDF("id", "ts", "value")
+    CardStream.mergeLww(spark, b1, path, Seq("id"), "ts")
+    // simulate a crash between rename(live->__old) and rename(__stage->live)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // reader: sees the __old copy, does NOT restore it
+    val seen = CardStream.tableOrEmpty(spark, path, b1)
+    assert(seen.count() == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)),
+      "reader must not mutate the swap state")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+    // writer: next merge recovers __old then applies the batch
+    val b2 = Seq(("k1", 2L, "v2")).toDF("id", "ts", "value")
+    CardStream.mergeLww(spark, b2, path, Seq("id"), "ts")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+    val got = spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got == Map("k1" -> "v2"))
+  }
+
   test("mergeLww is idempotent and order-independent across batches") {
     val path = tmp("lww") + "/table"
     val b1 = Seq(("k1", 1L, "v1"), ("k2", 1L, "v2")).toDF("id", "ts", "value")
