@@ -100,6 +100,61 @@ object GraphAnalytics {
       .select(col("id"), round(col("rank"), 6).as("rank"))
   }
 
+  /** DataFrame power-iteration PageRank — the same fixed-iteration
+    * semantics as [[pageRank]] (GraphX staticPageRank: ranks start at
+    * 1.0; each round every vertex recomputes
+    * `rank = (1-d) + d * Σ_{u→v} rank(u)/outdeg(u)`; dangling mass is
+    * not redistributed per-round, and the FINAL ranks are rescaled so
+    * they sum to |V| — GraphX's sink correction, verified value-equal
+    * against staticPageRank in AsOfPageRankSpec), expressed as one
+    * shuffle per iteration so the whole computation is plain Catalyst
+    * plans and — unlike the GraphX RDD path — SQL-expressible for the
+    * DuckDB oracle (qX_pagerank_df).
+    *
+    * Scale shape: `contribs` (edges with precomputed 1/outdeg share) is
+    * computed once and cached; each iteration joins it to the current
+    * ranks on `src` (narrow if edges are bucketed by src) and reduces on
+    * `dst` (map-side partial sums first — the hub-skew absorber at
+    * 100 TB). Ranks are materialized per iteration to truncate lineage;
+    * on a cluster this would be checkpoint-to-table every N rounds.
+    */
+  def pageRankDF(edges: DataFrame, iters: Int = 10,
+                 damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // carry outdeg (divide per term, rank/d) rather than a precomputed
+    // 1/d reciprocal: a*(1/d) and a/d differ in the last float ulp, and
+    // the DuckDB oracle computes rank/d — keep the arithmetic identical
+    val contribs = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist()
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().persist()
+    var ranks = verts.withColumn("rank", lit(1.0)).persist()
+    ranks.count()
+    for (_ <- 1 to iters) {
+      val msgs = contribs
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("msum"))
+      val next = verts.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("msum"), lit(0.0)))
+            .as("rank"))
+        .persist()
+      next.count() // materialize before dropping the previous iteration
+      ranks.unpersist()
+      ranks = next
+    }
+    contribs.unpersist(); verts.unpersist()
+    // GraphX's normalization: rescale so Σrank = |V| (two scalars to
+    // the driver — constant-size at any graph scale)
+    val agg = ranks.agg(count(lit(1)).as("n"), sum(col("rank")).as("s")).head()
+    val (n, s) = (agg.getLong(0), agg.getDouble(1))
+    ranks.select(col("id"),
+      round(col("rank") * lit(n) / lit(s), 6).as("rank"))
+  }
+
   /** Connected components (undirected) — community seed for the social
     * graph. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {

@@ -128,6 +128,17 @@ object GraphQueries {
         .limit(50)
     }),
 
+    // DataFrame power-iteration PageRank — same fixed-iteration
+    // semantics as the GraphX twin but all-Catalyst, so it IS
+    // SQL-expressible: the oracle below unrolls the 10 iterations as
+    // chained CTEs. Full hash-match (unlike qX_pagerank_graphx, whose
+    // RDD fold order is pinned only rows-only).
+    "qX_pagerank_df" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.pageRankDF(edges, iters = 10)
+        .orderBy(col("id"))
+    }),
+
     // C9: path join for visualization — edge endpoints hydrated to names.
     "qC9_path_join" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
@@ -140,7 +151,33 @@ object GraphQueries {
         .orderBy(col("src"), col("dst"))
     }))
 
+  /** Unrolled power-iteration PageRank oracle: r0 = 1.0, then `iters`
+    * chained CTEs of `0.15 + 0.85 * Σ rank/outdeg` — the exact
+    * arithmetic of [[graft.operators.GraphAnalytics.pageRankDF]]. */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
+         |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS rank FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r.rank / outd.d) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.v
+         |    JOIN outd ON e.src = outd.src
+         |    GROUP BY e.dst) m ON verts.v = m.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT v AS id, ROUND(rank * (SELECT count(*) FROM r$iters)
+         |  / (SELECT sum(rank) FROM r$iters), 6) AS rank
+         |FROM r$iters ORDER BY v""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "qX_pagerank_df" -> pagerankSql(10),
     "qD1_pymk" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (

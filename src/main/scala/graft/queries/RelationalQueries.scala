@@ -249,6 +249,40 @@ object RelationalQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // D-tier extension: hierarchical subtotals via ROLLUP (grouping
+    // sets) — absent from the reference (SURVEY §2.D "absent" list) but
+    // a one-pass Spark built-in; subtotal rows' NULL keys mapped to a
+    // sentinel on both sides so the hash compare is NULL-free.
+    "q1_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // As-of (point-in-time) join: every click joined to the latest
+    // view at-or-before it per user — the union-and-carry-forward plan
+    // (one shuffle, no range-join pair explosion; see
+    // operators.AsOfJoin). Oracle: DuckDB's native ASOF LEFT JOIN.
+    "qX_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // right side unique per (user_id, ts): the as-of contract
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOfJoin.asOf(clicks, views, "user_id", "ts",
+          Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("asof_view_value").as("last_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // J4: sessionization by inactivity gap (30 min) — the batch twin of
     // flatMapGroupsWithState session state; pure window functions, one
     // shuffle keyed by user.
@@ -366,6 +400,26 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q1_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        | COALESCE(l_linestatus, 'ALL') AS ls,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "qX_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.value,
+        |  v.view_value AS last_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
     "qJ4_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, GraphAnalytics}
+
+/** Golden + equivalence tests for the round-3 operators: the as-of
+  * (point-in-time) join and the DataFrame power-iteration PageRank.
+  */
+class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("asOf: latest at-or-before per key, inclusive ties, left-outer nulls") {
+    val left = Seq(
+      (1L, "k1", ts(100)), // before any right row -> null
+      (2L, "k1", ts(200)), // equal ts -> inclusive match v@200
+      (3L, "k1", ts(350)), // between -> v@300
+      (4L, "k2", ts(500)), // other key -> its own v@400
+      (5L, "k3", ts(500))  // key with no right rows -> null
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("k1", ts(200), 2.0), ("k1", ts(300), 3.0), ("k1", ts(900), 9.0),
+      ("k2", ts(400), 4.0)
+    ).toDF("k", "t", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("v"))
+      .select(col("event_id"), col("asof_v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got == Map(1L -> null, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0, 5L -> null))
+  }
+
+  test("asOf preserves all left rows and columns") {
+    val left = Seq((1L, "k1", ts(10), "payload")).toDF("event_id", "k", "t", "extra")
+    val right = Seq(("k1", ts(5), 1.5)).toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("v"))
+    assert(out.columns.toSet == Set("event_id", "k", "t", "extra", "asof_v"))
+    assert(out.count() == 1)
+    assert(out.head().getAs[String]("extra") == "payload")
+  }
+
+  test("asOf equals the naive range-join formulation on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", ts(rnd.nextInt(1000).toLong)))
+      .toDF("event_id", "k", "t")
+    // right unique per (k, t) by construction
+    val right = (0 until 5).flatMap(k =>
+        rnd.shuffle((0 until 1000).toList).take(40).map(t =>
+          (s"k$k", ts(t.toLong), rnd.nextDouble())))
+      .toDF("k", "t", "v")
+    val fast = AsOfJoin.asOf(left, right, "k", "t", Seq("v"))
+      .select(col("event_id"), col("asof_v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    val l = left.as("l"); val r = right.as("r")
+    val naive = l.join(r, col("l.k") === col("r.k") && col("l.t") >= col("r.t"), "left")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id")).orderBy(desc("r.t"))))
+      .filter(col("_rn") === 1)
+      .select(col("event_id"), col("v")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1)))
+      .toMap
+    assert(fast == naive)
+  }
+
+  test("pageRankDF matches GraphX staticPageRank on the derived graph") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val edges = graft.queries.GraphQueries.derivedEdges(events)
+    val df = GraphAnalytics.pageRankDF(edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sEdges = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .withColumn("weight", lit(1.0))
+    val verts = sEdges.select(col("src").as("id"))
+      .unionAll(sEdges.select(col("dst").as("id"))).distinct()
+    val gx = GraphAnalytics.pageRank(verts, sEdges, iters = 10)
+      .collect().map(r => r.getString(0).toLong -> r.getDouble(1)).toMap
+    assert(df.keySet == gx.keySet)
+    val maxDiff = df.keys.map(k => math.abs(df(k) - gx(k))).max
+    assert(maxDiff <= 2e-6, s"max |df-gx| = $maxDiff")
+  }
+
+  test("pageRankDF: normalized ranks sum to |V|, sources smallest") {
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val ranks = GraphAnalytics.pageRankDF(edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L, 4L))
+    // GraphX normalization contract: Σrank = |V|
+    assert(math.abs(ranks.values.sum - 4.0) < 1e-5)
+    // pure sources tie at the smallest rank; the terminal sink 4
+    // inherits hub 2's full (damped) mass and tops it
+    assert(ranks(1L) == ranks(3L))
+    assert(ranks(1L) < ranks(2L) && ranks(2L) < ranks(4L))
+  }
+}
