@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timer: `runMain graft.QTime qName [qName2 ...]`
+  * — same session config as [[Bench]], warmup + 2 timed passes per
+  * query. For iterating on one operator without paying the full bench.
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+          else System.getProperty("java.io.tmpdir")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- args) {
+      SparkEntry.queries(name)(spark, sfDir).count() // warmup
+      spark.catalog.clearCache()
+      val dts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (dt, n)
+      }
+      println(f"QTIME $name%-28s min=${dts.map(_._1).min}%8.3fs passes=${dts.map(t => f"${t._1}%.3f").mkString(",")} rows=${dts.head._2}")
+    }
+    spark.stop()
+  }
+}

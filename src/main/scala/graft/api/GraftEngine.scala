@@ -1,8 +1,9 @@
 package graft.api
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.model.{AlbumEntry, Bizcard, KnowsEdge, PersonVertex, PymkResponse}
 import graft.operators.{GraphBuild, Parse, Pymk, Search}
 import graft.streaming.CardStream
 
@@ -58,16 +59,30 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     // keyed by image_id like the S3 object key, so replays overwrite
     // rather than duplicate
     val albumNew = enriched.select("owner", "image_id", "doc_id", "s3_bucket", "s3_key")
+    // writer path: recover any crashed swap BEFORE deriving the read —
+    // swapInto's own recovery would otherwise rename the __old dir out
+    // from under this not-yet-executed DataFrame (first write after a
+    // crash would throw FileNotFoundException)
+    CardStream.recoverSwap(spark, albumPath)
     val album = tableOrEmpty(albumPath, albumNew)
       .unionByName(albumNew)
       .dropDuplicates("owner", "image_id")
     CardStream.swapInto(spark, album, albumPath, partitionCols = Seq("owner"))
   }
 
-  def searchTable: DataFrame = tableOrEmpty(searchPath,
-    spark.emptyDataFrame)
-  def vertices: DataFrame = tableOrEmpty(vertexPath, spark.emptyDataFrame)
-  def edges: DataFrame = tableOrEmpty(edgePath, spark.emptyDataFrame)
+  /** Typed empty table — the fresh-warehouse fallback. A zero-column
+    * `emptyDataFrame` here would make every downstream column
+    * reference throw AnalysisException on a warehouse that has never
+    * been written; the model case-class schemas keep `search()` /
+    * `pymk()` / `userAlbum()` total (empty result, correct shape). */
+  private def emptyOf[T: Encoder]: DataFrame = spark.emptyDataset[T].toDF()
+
+  def searchTable: DataFrame =
+    tableOrEmpty(searchPath, emptyOf(Encoders.product[Bizcard]))
+  def vertices: DataFrame =
+    tableOrEmpty(vertexPath, emptyOf(Encoders.product[PersonVertex]))
+  def edges: DataFrame =
+    tableOrEmpty(edgePath, emptyOf(Encoders.product[KnowsEdge]))
 
   /** Boosted multi-field search with optional owner term filter;
     * is_alive guard always applied (B15). Returns rows + `_score`,
@@ -82,7 +97,7 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * array<string>, score is double (README.md:182-219). */
   def pymk(user: String, limit: Int = 10): DataFrame = {
     val anchors = Pymk.anchorByName(vertices, user).collect()
-    if (anchors.isEmpty) return spark.emptyDataFrame
+    if (anchors.isEmpty) return emptyOf(Encoders.product[PymkResponse])
     val scored = Pymk.recommendWithProps(vertices, edges,
       lit(anchors.head.getString(0)), limit)
     scored.select(
@@ -98,15 +113,19 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * A direct table overwrite (atomic swap), NOT an LWW merge — the
     * delete carries the same created_at as the live row, so a merge
     * would tie-break unpredictably. */
-  def softDelete(docId: String): Unit =
+  def softDelete(docId: String): Unit = {
+    // writer path: recover before reading (see ingest's album branch)
+    CardStream.recoverSwap(spark, searchPath)
     CardStream.swapInto(spark,
       searchTable.withColumn("is_alive",
         when(col("doc_id") === docId, 0).otherwise(col("is_alive"))),
       searchPath)
+  }
 
   /** A7 album view for one user — partition-pruned scan. */
   def userAlbum(owner: String): DataFrame =
-    tableOrEmpty(albumPath, spark.emptyDataFrame).filter(col("owner") === owner)
+    tableOrEmpty(albumPath, emptyOf(Encoders.product[AlbumEntry]))
+      .filter(col("owner") === owner)
 
   /** H3/E5: graph clear — overwrite with empty tables (the bulk
     * replacement of the reference's 200-per-batch OLTP drain loop).

@@ -61,6 +61,25 @@ case class PersonVertex(
   * README.md:359-364). */
 case class KnowsEdge(src: String, dst: String, label: String, weight: Double)
 
+/** Per-user album entry — the bizcard-by-user/{owner}/ S3 copy layout
+  * (get_text_from_s3_image.py:148-159), keyed by image_id. */
+case class AlbumEntry(
+    owner: String,
+    image_id: String,
+    doc_id: String,
+    s3_bucket: String,
+    s3_key: String)
+
+/** PYMK response row — the Gremlin `valueMap()` shape: every property
+  * an array<string>, score double (README.md:182-219). */
+case class PymkResponse(
+    name: Seq[String],
+    email: Seq[String],
+    phone_number: Seq[String],
+    company: Seq[String],
+    job_title: Seq[String],
+    score: Double)
+
 /** Image-processing status row — the DynamoDB table
   * `OctemberBizcardImgMeta` (octember_bizcard_stack.py:256-263;
   * trigger_text_extract_from_s3_image.py:58-84). Status machine

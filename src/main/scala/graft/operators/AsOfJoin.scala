@@ -34,23 +34,39 @@ object AsOfJoin {
 
   /** As-of join `left` to `right` on `keyCol`, time axis `tsCol`;
     * `valueCols` are the right-side columns to attach, each emitted as
-    * `asof_<name>`. All left columns are preserved. */
+    * `asof_<name>`. All left columns are preserved.
+    *
+    * NULL semantics (the ASOF contract, not last-non-null-per-column):
+    * the carried payload is ONE struct per right row — so all attached
+    * columns come from the same (latest) matched row, and a NULL value
+    * inside that row is attached as NULL rather than skipped in favor
+    * of an older non-null value. Right rows with NULL `tsCol` are
+    * dropped up front (ASOF's `l.ts >= NULL` matches nothing); left
+    * rows with NULL `tsCol` sort before every timed right row in their
+    * key and therefore match nothing (NULL attached), matching the
+    * same comparison rule.
+    */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            valueCols: Seq[String]): DataFrame = {
     // right rows sort BEFORE left rows at equal ts (side 0 < 1) so the
     // running last() sees them — the inclusive-match contract
     val l = left.withColumn("_side", lit(1))
-    val r = right.select(
-      col(keyCol) +: col(tsCol) +: valueCols.map(c => col(c).as(s"_r_$c")): _*)
+    val r = right
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol),
+        struct(valueCols.map(col): _*).as("_rv"))
       .withColumn("_side", lit(0))
+    // unionByName fills the left side's missing _rv with NULL — the
+    // struct itself is non-null for every right row, so
+    // last(ignoreNulls) selects the latest right ROW, atomically
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .drop("_side" +: valueCols.map(c => s"_r_$c"): _*)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 }

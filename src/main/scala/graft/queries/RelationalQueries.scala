@@ -251,15 +251,22 @@ object RelationalQueries {
 
     // D-tier extension: hierarchical subtotals via ROLLUP (grouping
     // sets) — absent from the reference (SURVEY §2.D "absent" list) but
-    // a one-pass Spark built-in; subtotal rows' NULL keys mapped to a
-    // sentinel on both sides so the hash compare is NULL-free.
+    // a one-pass Spark built-in. Subtotal rows are identified by
+    // grouping() (not by their NULL keys) before mapping to the 'ALL'
+    // sentinel, so a genuine NULL key value — or a literal 'ALL' data
+    // value — can never be conflated with a subtotal row.
     "q1_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          count(lit(1)).as("n"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          when(col("g_rf") === 1, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("rf"),
+          when(col("g_ls") === 1, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("ls"),
           col("sum_qty"), col("n"))
         .orderBy(col("rf"), col("ls"))
     }),
@@ -401,8 +408,10 @@ object RelationalQueries {
         | event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q1_rollup" ->
-      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
-        | COALESCE(l_linestatus, 'ALL') AS ls,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |   ELSE l_returnflag END AS rf,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |   ELSE l_linestatus END AS ls,
         | round(sum(l_quantity), 2) AS sum_qty,
         | count(*) AS n
         |FROM lineitem

@@ -40,6 +40,30 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
     assert(out.head().getAs[String]("extra") == "payload")
   }
 
+  test("asOf NULL contract: matched rows attach atomically, NULL ts skipped") {
+    val left = Seq(
+      (1L, "k1", ts(400)), // latest right row @300 has v=NULL -> NULL attached
+      (2L, "k1", ts(250)), // latest @200: (v=2.0, w=NULL) from ONE row
+      (3L, "k2", ts(500))  // only right row for k2 has NULL ts -> no match
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("k1", Some(ts(100)), Option(1.0), Option(10.0)),
+      ("k1", Some(ts(200)), Option(2.0), Option.empty[Double]),
+      ("k1", Some(ts(300)), Option.empty[Double], Option(30.0)),
+      ("k2", Option.empty[java.sql.Timestamp], Option(9.0), Option(90.0))
+    ).toDF("k", "t", "v", "w")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("v", "w"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("asof_v")), Option(r.getAs[Any]("asof_w")))).toMap
+    // row 1: the @300 row matches — its NULL v is attached (not 2.0
+    // carried from @200), together with its w=30.0
+    assert(got(1L) == (None, Some(30.0)))
+    // row 2: both values from the @200 row, not w from @100
+    assert(got(2L) == (Some(2.0), None))
+    // row 3: a NULL-ts right row matches nothing
+    assert(got(3L) == (None, None))
+  }
+
   test("asOf equals the naive range-join formulation on random data") {
     val rnd = new scala.util.Random(11)
     val left = (1 to 300).map(i =>

@@ -24,6 +24,18 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     e
   }
 
+  test("query before ingest returns empty results, not AnalysisException") {
+    val fresh = new GraftEngine(spark,
+      Files.createTempDirectory("graft_wh_empty").toString)
+    val hits = fresh.search("anyone at all")
+    assert(hits.isEmpty && hits.columns.contains("_score"))
+    val recs = fresh.pymk("poby kim")
+    assert(recs.isEmpty &&
+      recs.schema("email").dataType.simpleString == "array<string>")
+    assert(fresh.userAlbum("poby").isEmpty)
+    assert(fresh.dumpGraph().isEmpty)
+  }
+
   test("ingest is replay-idempotent: 11 docs, 6 vertices, 8 edges") {
     assert(engine.searchTable.count() == 11)
     assert(engine.vertices.count() == 6)
