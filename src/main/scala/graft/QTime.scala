@@ -36,6 +36,9 @@ object QTime {
         (dt, n)
       }
       println(f"QTIME $name%-28s min=${dts.map(_._1).min}%8.3fs passes=${dts.map(t => f"${t._1}%.3f").mkString(",")} rows=${dts.head._2}")
+      if (dts.head._2 <= 5) // tiny results: show values (recall contracts)
+        SparkEntry.queries(name)(spark, sfDir).collect()
+          .foreach(r => println(s"QROW  $name $r"))
     }
     spark.stop()
   }

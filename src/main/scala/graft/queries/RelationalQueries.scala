@@ -271,6 +271,17 @@ object RelationalQueries {
         .orderBy(col("rf"), col("ls"))
     }),
 
+    // A3: the framing-sink twin — to_json(struct(*)) payload + the
+    // deterministic part-%05d partition key, repartitioned by key (the
+    // record-stream emit shape; trigger_text_extract_from_s3_image.py:21-47).
+    "qA3_framing" -> ((s, dir) => {
+      val recs = t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      graft.streaming.CardStream.framedRecords(recs, 128, col("event_id"))
+        .orderBy(col("partition_key"), col("payload"))
+    }),
+
     // As-of (point-in-time) join: every click joined to the latest
     // view at-or-before it per user — the union-and-carry-forward plan
     // (one shuffle, no range-join pair explosion; see
@@ -417,6 +428,13 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "qA3_framing" ->
+      """SELECT 'part-' || lpad(CAST(event_id % 128 AS VARCHAR), 5, '0')
+        |    AS partition_key,
+        |  '{"event_id":' || event_id || ',"user_id":' || user_id ||
+        |    ',"event_type":"' || event_type || '"}' AS payload
+        |FROM events WHERE event_id < 2000
+        |ORDER BY partition_key, payload""".stripMargin,
     "qX_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts, value FROM events

@@ -56,6 +56,68 @@ object SimilarityQueries {
         .limit(200)
     }),
 
+    // MinHash+LSH recall CONTRACT, gate-verifiable: the pair hashes are
+    // not SQL-reproducible, but the planted-pair recall is — plant an
+    // exact copy (+100000: jaccard 1.0 → identical signature, recovery
+    // structurally guaranteed) and a drop-last-token near-dup (+200000:
+    // shingle subset, jaccard ≥ (s−1)/s ≥ 0.9 at ≥10 tokens/doc; 32
+    // bands of 2 rows → per-pair miss ~1e-22), and emit how many of
+    // each family the full banding+verify pipeline recovered. The
+    // DuckDB oracle computes the planted counts independently and
+    // asserts both recoveries equal them — a hash-mismatch here means
+    // the LSH pipeline dropped a guaranteed pair.
+    "qX_dedup_minhash_recall" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val copyExact = docs.select((col("doc_id") + 100000).as("doc_id"),
+        col("text"))
+      val copyNear = docs.select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+      val pairs = Dedup.minhashLshPairs(
+        docs.unionAll(copyExact).unionAll(copyNear), "text", "doc_id",
+        n = 2, k = 64, bands = 32, minJaccard = 0.5)
+      val recExact = pairs
+        .filter(col("id1") < 1000 && col("id2") === col("id1") + 100000)
+        .agg(count(lit(1)).as("n_exact_recovered"))
+      val recNear = pairs
+        .filter(col("id1") < 1000 && col("id2") === col("id1") + 200000)
+        .agg(count(lit(1)).as("n_near_recovered"))
+      docs.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(recExact).crossJoin(recNear)
+    }),
+
+    // SimHash recall contract: pigeonhole banding is STRUCTURALLY
+    // complete (hamming ≤ maxDist ⇒ some chunk equal ⇒ candidate), so
+    // an exact copy (distance 0) must always be recovered; the oracle
+    // pins recovered == planted.
+    "qX_dedup_simhash_recall" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val pairs = Dedup.simhashPairs(docs.unionAll(copies), "text", "doc_id",
+        maxDist = 6)
+      docs.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(pairs
+          .filter(col("id1") < 1000 && col("id2") === col("id1") + 100000 &&
+            col("dist") === 0)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
+    // sign-LSH ANN recall contract: queries are identical copies of
+    // corpus vectors (+100000) — identical vector ⇒ identical signature
+    // ⇒ same bucket ⇒ candidate, and cosine 1.0 tops the ranking; every
+    // query must recover its twin in the top-k.
+    "qX_ann_lsh_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val res = Similarity.lshTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5, m = 10)
+      q.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(res.filter(col("id") === col("qid") - 100000)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // embedding-cosine near-dup pairs (exact all-pairs, oracle-checked).
     // Planted near-dups: copies with dimension 1 zeroed (cosine ~0.99
     // vs a ~0.44 max among the random pairs) — the threshold must
@@ -107,6 +169,16 @@ object SimilarityQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "qX_dedup_minhash_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_exact_recovered,
+        |  count(*) AS n_near_recovered
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
+    "qX_dedup_simhash_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
+    "qX_ann_lsh_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "qX_ann_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

@@ -143,6 +143,22 @@ object CardStream {
     }
   }
 
+  /** A3: Kinesis-style framed emit shape — every row serialized to one
+    * JSON payload (`to_json(struct(*))`) with a `part-%05d` partition
+    * key, physically repartitioned by that key (the shard routing of a
+    * record stream put; trigger_text_extract_from_s3_image.py:21-47 —
+    * the reference keys by `'part-%05d' % random`, we derive the key
+    * deterministically from `keyExpr` so the emit is replay-stable and
+    * oracle-checkable). Output is the wire shape: (partition_key,
+    * payload) only.
+    */
+  def framedRecords(df: DataFrame, shards: Int,
+                    keyExpr: org.apache.spark.sql.Column): DataFrame =
+    df.select(
+        format_string("part-%05d", pmod(keyExpr, lit(shards))).as("partition_key"),
+        to_json(struct(df.columns.map(col): _*)).as("payload"))
+      .repartition(col("partition_key"))
+
   /** A6: search-table sink — LWW by doc_id ordered by created_at
     * (upsert_bizcard_to_es.py:77-90; ES doc _id upsert). */
   def startSearchMerge(cards: DataFrame, tablePath: String,
