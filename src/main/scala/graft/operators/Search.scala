@@ -74,11 +74,17 @@ object Search {
     *                 (es_search_bizcard.py:72-73 `term` in filter context)
     * @param aliveCol optional soft-delete guard: is_alive = 1
     *                 (upsert_bizcard_to_es.py:71, README.md:97)
+    * @param numDocs  corpus size N for the idf — pass a precomputed
+    *                 value (index stats / memoized table count) to skip
+    *                 the per-query counting job; this is also ES's
+    *                 semantics (idf over the whole index, unaffected by
+    *                 filter context). Default: count the filtered set.
     */
   def search(docs: DataFrame, idCol: String, fields: Seq[(String, Double)],
              query: String, limit: Int,
              ownerFilter: Option[(String, String)] = None,
-             aliveCol: Option[String] = None): DataFrame = {
+             aliveCol: Option[String] = None,
+             numDocs: Option[Long] = None): DataFrame = {
     val queryTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     require(queryTerms.nonEmpty || ownerFilter.nonEmpty,
       "at least one of query / owner filter required (es_search_bizcard.py:75)")
@@ -99,11 +105,10 @@ object Search {
     // difference between one pass and five over a 100 TB corpus).
     // Scoring is identical: Σ_field boost · Σ_term tf·idf with idf
     // computed per (field, term).
-    // N for idf. Metadata-only when unfiltered; with an owner/alive
-    // filter it is a counting pass over the filtered set — at scale,
-    // serve N from table statistics or the prebuilt SearchIndex stats
-    // instead of this scan-path fallback.
-    val n = filtered.count()
+    // N for idf: precomputed when the caller has stats (one fewer job
+    // per query); the fallback counting pass is metadata-only when
+    // unfiltered.
+    val n = numDocs.getOrElse(filtered.count())
     val stacked = array(fields.map { case (f, b) =>
       struct(lit(f).as("field"), lit(b).as("boost"),
         tokenize(col(f)).as("toks"))

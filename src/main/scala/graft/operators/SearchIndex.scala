@@ -54,12 +54,68 @@ object SearchIndex {
   /** Persist the index partitioned by term-prefix bucket so query-time
     * probes prune to |terms| buckets (the partition-pruned layout named
     * above; IndexBuckets keeps directory fan-out sane at any corpus
-    * size). */
-  def writeIndex(postings: DataFrame, stats: DataFrame, dir: String): Unit = {
+    * size). The corpus size `n` is stored alongside (meta) so probes
+    * don't re-count the corpus per query. */
+  def writeIndex(postings: DataFrame, stats: DataFrame, n: Long,
+                 dir: String): Unit = {
     postings
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
+    stats.sparkSession.range(1).select(lit(n).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read a stored index back into the [[build]] shape (bucket column
+    * stripped from postings; n from meta). */
+  def readIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val postings = spark.read.parquet(s"$dir/postings").drop("bucket")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    (postings, stats, n)
+  }
+
+  /** Incremental index maintenance — fold a new batch's index into an
+    * existing one without rebuilding (the reference's ES upsert is
+    * incremental, upsert_bizcard_to_es.py:77-90; at 100 TB a
+    * per-batch full postings rebuild is not an option).
+    *
+    * `merge(build(b1), build(b2)) == build(b1 ∪ b2)` exactly, PROVIDED
+    * the batches carry disjoint doc ids — the upsert-key contract
+    * (route replayed/updated docs through the LWW merge upstream, or
+    * delete their postings first). tf rows from disjoint docs never
+    * collide, so the postings fold is a pure union; df counts add.
+    * Each fold is one keyed shuffle; since both sides are written
+    * bucketed by term hash, at cluster scale this becomes a per-bucket
+    * merge touching only buckets the delta actually hits.
+    */
+  def merge(postings: DataFrame, stats: DataFrame, n: Long,
+            deltaPostings: DataFrame, deltaStats: DataFrame,
+            deltaN: Long): (DataFrame, DataFrame, Long) = {
+    val p = postings.unionByName(deltaPostings)
+      .groupBy("field", "term", "doc").agg(sum("tf").as("tf"))
+    val s = stats.unionByName(deltaStats)
+      .groupBy("field", "term").agg(sum("df").as("df"))
+    (p, s, n + deltaN)
+  }
+
+  /** Incremental maintenance of a STORED index: build the delta batch's
+    * postings, fold them into the on-disk index, and atomically swap
+    * each table (stage-write + rename via [[CardStream.swapInto]]'s
+    * protocol — readers see the old or new index, never a partial
+    * write). Returns the new corpus size. */
+  def mergeStored(spark: SparkSession, dir: String, newDocs: DataFrame,
+                  idCol: String, fields: Seq[String]): Long = {
+    val (dp, ds, dn) = build(newDocs, idCol, fields)
+    val (p, s, n) = readIndex(spark, dir)
+    val (mp, ms, mn) = merge(p, s, n, dp, ds, dn)
+    graft.streaming.CardStream.swapInto(spark,
+      mp.withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets))),
+      s"$dir/postings", partitionCols = Seq("bucket"))
+    graft.streaming.CardStream.swapInto(spark, ms, s"$dir/stats")
+    graft.streaming.CardStream.swapInto(spark,
+      spark.range(1).select(lit(mn).as("n")), s"$dir/meta")
+    mn
   }
 
   /** Query the index: probe postings for the query terms, join the
@@ -96,5 +152,14 @@ object SearchIndex {
       .filter(col("bucket").isin(terms.map(bucketOf(_, IndexBuckets)): _*))
     val stats = spark.read.parquet(s"$dir/stats")
     query(postings, stats, n, boosts, queryText, limit)
+  }
+
+  /** [[queryStored]] with the corpus size served from the stored meta
+    * table — no per-query counting pass over the corpus. */
+  def queryStored(spark: SparkSession, dir: String,
+                  boosts: Seq[(String, Double)], queryText: String,
+                  limit: Int): DataFrame = {
+    val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    queryStored(spark, dir, n, boosts, queryText, limit)
   }
 }

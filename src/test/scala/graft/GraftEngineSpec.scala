@@ -75,6 +75,24 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
       .map(_.getAs[String]("doc_id")).contains(doc))
   }
 
+  test("result memo (I1 analogue): repeat call served from memo, writes invalidate") {
+    val hits1 = engine.search("harry jang", limit = 5)
+    val hits2 = engine.search("harry jang", limit = 5)
+    // second identical request returns the SAME materialized DataFrame
+    assert(hits1 eq hits2)
+    assert(hits1.collect().map(_.getAs[String]("doc_id")).nonEmpty)
+    // a different request key computes fresh
+    assert(!(engine.search("harry jang", limit = 6) eq hits1))
+    val recs1 = engine.pymk("poby kim")
+    assert(engine.pymk("poby kim") eq recs1)
+    // a write invalidates: the next call recomputes (and sees the write)
+    val doc = engine.search("harry jang").collect().head.getAs[String]("doc_id")
+    engine.softDelete(doc)
+    val after = engine.search("harry jang", limit = 5)
+    assert(!(after eq hits1))
+    assert(!after.collect().map(_.getAs[String]("doc_id")).contains(doc))
+  }
+
   test("per-user album is partition-pruned by owner") {
     val album = engine.userAlbum("edy")
     assert(album.count() == 4) // edy uploaded 4 cards

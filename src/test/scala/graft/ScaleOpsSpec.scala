@@ -41,11 +41,43 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(mem == scan)
 
     val dir = Files.createTempDirectory("searchidx").toString
-    SearchIndex.writeIndex(postings, stats, dir)
-    val stored = SearchIndex.queryStored(spark, dir, n, Seq("text" -> 1.0), terms, 10000)
+    SearchIndex.writeIndex(postings, stats, n, dir)
+    // n served from the stored meta table — no corpus count at probe time
+    val stored = SearchIndex.queryStored(spark, dir, Seq("text" -> 1.0), terms, 10000)
       .select(col("doc"), round(col("_score"), 4).as("s"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(stored == scan, "bucketed partition-pruned probe must not lose postings")
+  }
+
+  test("incremental index merge equals full rebuild, incl. stored probe") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    val (p1, s1, n1) = SearchIndex.build(b1, "doc_id", Seq("text"))
+    val (p2, s2, n2) = SearchIndex.build(b2, "doc_id", Seq("text"))
+    val (mp, ms, mn) = SearchIndex.merge(p1, s1, n1, p2, s2, n2)
+    val (fp, fs, fn) = SearchIndex.build(docs, "doc_id", Seq("text"))
+    assert(mn == fn)
+    def pset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    def sset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pset(mp.select("field", "term", "doc", "tf")) ==
+      pset(fp.select("field", "term", "doc", "tf")))
+    assert(sset(ms.select("field", "term", "df")) ==
+      sset(fs.select("field", "term", "df")))
+    // stored path: write b1's index, fold b2 in, probe == full-rebuild probe
+    val dir = Files.createTempDirectory("searchidx_inc").toString
+    SearchIndex.writeIndex(p1, s1, n1, dir)
+    assert(SearchIndex.mergeStored(spark, dir, b2, "doc_id", Seq("text")) == fn)
+    val terms = "spark join fast"
+    def probe(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc"), round(col("_score"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val merged = probe(SearchIndex.queryStored(spark, dir,
+      Seq("text" -> 1.0), terms, 10000))
+    val full = probe(SearchIndex.query(fp, fs, fn, Seq("text" -> 1.0), terms, 10000))
+    assert(merged == full, "merged stored index must probe identically to a full rebuild")
   }
 
   test("multi-field boosted search: index path equals Search.search") {
