@@ -159,6 +159,24 @@ object CardStream {
         to_json(struct(df.columns.map(col): _*)).as("payload"))
       .repartition(col("partition_key"))
 
+  /** A3 streaming sink: every micro-batch emitted in the framed wire
+    * shape ([[framedRecords]]), written shard-partitioned
+    * (`partition_key=part-NNNNN/` directories — the Kinesis shard
+    * layout as a file sink). At-least-once like the reference's
+    * `put_records` (retries are replay, downstream consumers dedup by
+    * payload key — J1). */
+  def startFramedEmit(cards: DataFrame, shards: Int,
+                      keyExpr: org.apache.spark.sql.Column,
+                      path: String, checkpoint: String): StreamingQuery =
+    cards.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        framedRecords(batch, shards, keyExpr)
+          .write.mode("append").partitionBy("partition_key").json(path)
+      }
+      .start()
+
   /** A6: search-table sink — LWW by doc_id ordered by created_at
     * (upsert_bizcard_to_es.py:77-90; ES doc _id upsert). */
   def startSearchMerge(cards: DataFrame, tablePath: String,
