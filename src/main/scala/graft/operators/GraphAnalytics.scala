@@ -134,6 +134,22 @@ object GraphAnalytics {
     * checkpoint-to-table every `materializeEvery` rounds (local
     * checkpoint blocks don't survive executor loss).
     */
+  /** One power-iteration round: join current ranks into the contrib
+    * edges on src, reduce per dst (map-side partial sums — the
+    * hub-skew absorber), left-join back onto the full vertex set.
+    * Exposed for plan-shape regression tests. */
+  private[graft] def prStep(contribs: DataFrame, verts: DataFrame,
+                            ranks: DataFrame, damping: Double): DataFrame = {
+    val msgs = contribs
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("rank") / col("outdeg")).as("msum"))
+    verts.join(msgs, Seq("id"), "left")
+      .select(col("id"),
+        (lit(1.0 - damping) + lit(damping) * coalesce(col("msum"), lit(0.0)))
+          .as("rank"))
+  }
+
   def pageRankDF(edges: DataFrame, iters: Int = 10,
                  damping: Double = 0.85,
                  materializeEvery: Int = 5): DataFrame = {
@@ -150,14 +166,7 @@ object GraphAnalytics {
       .localCheckpoint(true)
     var ranks = verts.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
-      val msgs = contribs
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") / col("outdeg")).as("msum"))
-      val next = verts.join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("msum"), lit(0.0)))
-            .as("rank"))
+      val next = prStep(contribs, verts, ranks, damping)
       // cut lineage every K rounds, and always on the last round so the
       // normalization agg and the returned DataFrame both read the
       // materialized blocks instead of re-running the tail iterations

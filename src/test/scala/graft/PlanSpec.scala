@@ -62,6 +62,47 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("as-of join: one shuffle above the union, no range-join pair blowup") {
+    val p = plan("qX_asof_join")
+    // the union-and-carry-forward plan: no nested-loop / cartesian node
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // the carry-forward runs as a window over the key partition
+    assert(p.contains("Window"), p.take(3000))
+    // the OPERATOR itself (everything above the Union of the two sides)
+    // shuffles exactly once — the key hashpartitioning feeding the
+    // window; the gate query's right-side pre-aggregation below the
+    // Union has its own shuffle and is query prep, not the operator
+    val op = p.substring(0, p.indexOf("Union"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(op).size
+    assert(exchanges == 1, s"as-of operator must shuffle once, saw $exchanges:\n" +
+      p.take(3000))
+  }
+
+  test("qA3: framed emit is a pure projection + one keyed exchange") {
+    val p = plan("qA3_framing")
+    // no aggregation/join anywhere in the emit path; the only shuffles
+    // are the shard-key repartition and the deterministic output sort
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning(partition_key"), p.take(2000))
+  }
+
+  test("pagerank-df iteration step: keyed aggregate with partial (map-side) sums") {
+    import org.apache.spark.sql.functions._
+    val edges = graft.queries.GraphQueries.derivedEdges(
+      Tables.load(spark, dir, "events"))
+    val e = edges.select(col("src"), col("dst"))
+    val contribs = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val step = graft.operators.GraphAnalytics.prStep(
+      contribs, verts, verts.withColumn("rank", lit(1.0)), 0.85)
+    val p = step.queryExecution.executedPlan.toString()
+    // hub-skew absorber: the per-dst reduce must map-side combine
+    // (partial_sum) before its exchange, not ship raw contribution rows
+    assert(p.contains("partial_sum"), p.take(4000))
+  }
+
   test("bucketed tables co-locate the fact-fact join: no shuffle on either side") {
     import org.apache.spark.sql.functions._
     // the 100 TB pattern: write both fact tables bucketed by the join
