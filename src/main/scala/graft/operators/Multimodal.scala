@@ -52,10 +52,21 @@ object Multimodal {
     * stable across runs and processes, so plumbing tests can assert
     * exact values. */
   object FakeCodec extends MediaCodec {
-    private def f(seed: Long, i: Int): Float = {
-      val x = seed * 6364136223846793005L + i * 1442695040888963407L
-      ((x >>> 16) % 1000L).toFloat / 1000f
+    // splitmix64 finalizer: full avalanche per (seed, i). A plain
+    // affine map (seed*A + i*B) is NOT enough here — its outputs for
+    // two seeds differ by a constant, so whenever (Δseed·A)>>16 lands
+    // near a multiple of the value modulus the two feature vectors
+    // come out near-parallel (measured: ~3% of doc pairs at cosine
+    // ≥ 0.9999), which breaks any ANN ground-truth built on the stub.
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
     }
+    private def f(seed: Long, i: Int): Float =
+      ((mix(seed * 6364136223846793005L + i * 1442695040888963407L) >>> 16)
+        % 1000L).toFloat / 1000f
     private def seedOf(bytes: Array[Byte]): Long =
       bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
     def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {

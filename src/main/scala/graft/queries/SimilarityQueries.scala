@@ -156,6 +156,34 @@ object SimilarityQueries {
         "id", "embedding", 3)
     }),
 
+    // multimodal recall contract: duplicate media payloads (+100000,
+    // identical bytes) must extract identical features — the
+    // deterministic codec seam guarantees it — so every planted query's
+    // ANN top-1 is its source record at cosine 1.0. The oracle pins
+    // n_recovered == n_planted without having to reproduce the codec
+    // in SQL (the actual feature values stay pinned in
+    // MultimodalGraphXSpec).
+    "qX_multimodal_recall" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val media = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val rec = (i: Long) => MediaRecord(i, "image",
+            text.getBytes("UTF-8"), MediaMeta("png", 8, 8, 3, 0L))
+          Seq(rec(id), rec(id + 100000)) }
+      val features = Multimodal.extractFeatures(media, dim = 16).toDF()
+      val q = features.filter(col("id") >= 100000)
+      val res = Similarity.bruteForceTopK(q, features.filter(col("id") < 100000),
+        "id", "embedding", "id", "embedding", 1)
+      q.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(res
+          .filter(col("id") === col("qid") - 100000 && col("sim") === 1.0)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // IVF-probed ANN (centroid cells + nprobe pruning) — deterministic
     // given the centroid table, so fully oracle-checked unlike the
     // hash-based ANN paths.
@@ -179,6 +207,9 @@ object SimilarityQueries {
     "qX_ann_lsh_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "qX_multimodal_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "qX_ann_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
