@@ -139,6 +139,29 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // GraphX-vs-DataFrame PageRank consistency contract: the GraphX
+    // ranks themselves are rows-only (RDD float fold order isn't
+    // SQL-reproducible), but their AGREEMENT with the fully
+    // oracle-checked DataFrame twin is gate-verifiable — every vertex
+    // must match within 1e-3 (measured divergence is ~1e-6; the margin
+    // absorbs fold-order jitter). A mismatch here means one of the two
+    // implementations drifted semantically.
+    "qX_pagerank_consistency" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val df = graft.operators.GraphAnalytics.pageRankDF(edges, iters = 10)
+      val sEdges = edges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+        .withColumn("weight", lit(1.0))
+      val verts = sEdges.select(col("src").as("id"))
+        .unionAll(sEdges.select(col("dst").as("id"))).distinct()
+      val gx = graft.operators.GraphAnalytics.pageRank(verts, sEdges, iters = 10)
+        .select(col("id").cast("long").as("id"), col("rank").as("gx_rank"))
+      df.join(gx, "id")
+        .agg(count(lit(1)).as("n_vertices"),
+          count(when(abs(col("rank") - col("gx_rank")) <= 0.001, 1))
+            .as("n_agree"))
+    }),
+
     // C9: path join for visualization — edge endpoints hydrated to names.
     "qC9_path_join" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
@@ -178,6 +201,10 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "qX_pagerank_df" -> pagerankSql(10),
+    "qX_pagerank_consistency" ->
+      s"""WITH edges AS ($EdgesSql),
+         |verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges)
+         |SELECT count(*) AS n_vertices, count(*) AS n_agree FROM verts""".stripMargin,
     "qD1_pymk" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (

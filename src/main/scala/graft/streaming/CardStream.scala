@@ -190,6 +190,34 @@ object CardStream {
       }
       .start()
 
+  /** A6 at scale: incremental search-INDEX maintenance as a streaming
+    * sink — each micro-batch's postings folded into the stored bucketed
+    * index ([[graft.operators.SearchIndex.mergeStored]]); never a full
+    * rebuild (the reference's ES upsert is incremental,
+    * upsert_bizcard_to_es.py:77-90, and at 100 TB rebuild-per-batch is
+    * not an option). Batches must carry disjoint doc ids (route
+    * replays through the LWW table first — the merge contract). The
+    * first batch bootstraps the index. */
+  def startIndexMerge(cards: DataFrame, indexDir: String, checkpoint: String,
+                      idCol: String, fields: Seq[String]): StreamingQuery =
+    cards.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(indexDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new Path(s"$indexDir/meta"))) {
+          graft.operators.SearchIndex.mergeStored(
+            spark, indexDir, batch, idCol, fields)
+          ()
+        } else {
+          val (p, s, n) = graft.operators.SearchIndex.build(batch, idCol, fields)
+          graft.operators.SearchIndex.writeIndex(p, s, n, indexDir)
+        }
+      }
+      .start()
+
   /** Graph sink: vertex LWW merge + edge distinct merge
     * (upsert_bizcard_to_graph_db.py:89-113). Unlike the reference —
     * which loses edges when the owner's own card arrives late

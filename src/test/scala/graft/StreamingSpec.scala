@@ -80,6 +80,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(parsed.columns.toSet.contains("s3_key"))
   }
 
+  test("streaming index merge: per-batch folds equal one full rebuild") {
+    val src = tmp("idx_src"); val idx = tmp("idx_out"); val cp = tmp("idx_cp")
+    val lines = fixtureLines
+    Files.write(Paths.get(s"$src/b1.json"),
+      String.join("\n", lines.subList(0, 6)).getBytes)
+    val cards = CardStream.validated(CardStream.readCardEvents(spark, src))
+    val q = CardStream.startIndexMerge(cards, idx, cp, "doc_id",
+      Seq("name", "company"))
+    q.processAllAvailable()
+    Files.write(Paths.get(s"$src/b2.json"),
+      String.join("\n", lines.subList(6, 11)).getBytes)
+    q.processAllAvailable(); q.stop()
+    // stored incrementally-merged index == one-shot rebuild over all 11
+    val all = CardStream.validated(
+      spark.read.schema(graft.model.Schemas.cardEvent)
+        .json(fixturePath("card_events.jsonl"))
+        .select(col("s3_bucket"), col("s3_key"), col("owner"), col("data.*")))
+    val (fp, fs2, fn) = graft.operators.SearchIndex.build(all, "doc_id",
+      Seq("name", "company"))
+    def probe(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc"), round(col("_score"), 4).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val stored = probe(graft.operators.SearchIndex.queryStored(spark, idx,
+      Seq("name" -> 3.0, "company" -> 1.0), "kim amazon", 100))
+    val rebuilt = probe(graft.operators.SearchIndex.query(fp, fs2, fn,
+      Seq("name" -> 3.0, "company" -> 1.0), "kim amazon", 100))
+    assert(stored == rebuilt && stored.nonEmpty)
+  }
+
   test("status machine: last-write-wins by mts, replay never regresses END") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatusEvent]
