@@ -182,6 +182,36 @@ object Dedup {
       .select("id1", "id2", "sim")
   }
 
+  /** Scale path for [[embedCosinePairs]]: sign-LSH bucket the vectors
+    * (one m-bit signature per vector — narrow projection), self-join
+    * per bucket for candidates, then exact-cosine verify only the
+    * candidates (vectors fetched back by semi-join, never shuffled
+    * with the candidate generation). The all-pairs product never
+    * materializes: the join shuffles (bucket, id) pairs and the
+    * verify touches |candidates|, so this survives corpus sizes where
+    * the broadcast all-pairs form dies. Identical vectors always share
+    * a bucket (same signature) — exact-duplicate recall is structural;
+    * near-dup recall grows with smaller `m` (coarser buckets), the
+    * usual LSH recall/cost dial.
+    */
+  def embedLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                    minSim: Double, m: Int = 12): DataFrame = {
+    val sig = vecs.select(col(idCol).as("id"),
+      Similarity.randomHyperplaneLsh(col(vecCol), m).as("bucket"))
+    // one bucket per vector → a pair can match at most once → no dedup
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(v.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(v.select(col("id").as("id2"), col("v").as("v2")), "id2")
+      .withColumn("sim", round(graft.functions.GraftFunctions.cosine(
+        col("v1"), col("v2")), 4))
+      .filter(col("sim") >= minSim)
+      .select("id1", "id2", "sim")
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token features: for each bit b, sum +1/−1

@@ -131,6 +131,23 @@ object SimilarityQueries {
         .orderBy(desc("sim"), asc("id1"), asc("id2"))
     }),
 
+    // embed-dedup SCALE path recall contract: LSH-bucketed pair mining
+    // (the non-broadcast form of qX_dedup_embed) must recover every
+    // planted identical copy — same vector ⇒ same signature ⇒ same
+    // bucket, structurally guaranteed, verified at sim 1.0.
+    "qX_dedup_embed_lsh_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      val pairs = Dedup.embedLshPairs(emb.unionAll(planted),
+        "vec_id", "embedding", minSim = 0.95, m = 12)
+      emb.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(pairs
+          .filter(col("id1") < 500 && col("id2") === col("id1") + 100000)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // multimodal pipeline end-to-end: documents as opaque binary media
     // (text bytes stand in for image payloads) → per-partition decode →
     // resize → feature extraction → ANN over the extracted embeddings.
@@ -210,6 +227,9 @@ object SimilarityQueries {
     "qX_multimodal_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "qX_dedup_embed_lsh_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM embeddings WHERE vec_id < 500""".stripMargin,
     "qX_ann_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

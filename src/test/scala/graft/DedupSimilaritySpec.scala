@@ -86,4 +86,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     val found = lsh.map(_._1).toSet
     for (i <- 0L to 2L) assert(found.contains((i + 10000, i)), s"missed planted dup $i")
   }
+
+  test("embedLshPairs: subset of exact all-pairs with identical sims; dups guaranteed") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val all = emb.unionAll(planted)
+    val exact = Dedup.embedCosinePairs(all, "vec_id", "embedding", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.embedLshPairs(all, "vec_id", "embedding", 0.5, m = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // no duplicate candidate pairs (one bucket per vector)
+    assert(lsh.map(_._1).distinct.length == lsh.length)
+    // every LSH pair exists in the exact set with the identical sim
+    lsh.foreach { case (pair, sim) =>
+      assert(exact.get(pair).contains(sim), s"pair $pair not exact-consistent") }
+    // identical copies are structurally recovered
+    val found = lsh.map(_._1).toSet
+    for (i <- 0L until 100L)
+      assert(found.contains((i, i + 10000)), s"missed planted dup $i")
+  }
 }
