@@ -100,21 +100,40 @@ object SearchIndex {
   }
 
   /** Incremental maintenance of a STORED index: build the delta batch's
-    * postings, fold them into the on-disk index, and atomically swap
-    * each table (stage-write + rename via [[CardStream.swapInto]]'s
-    * protocol — readers see the old or new index, never a partial
-    * write). Returns the new corpus size. */
+    * postings, fold them into the on-disk index, and cut over with ONE
+    * parent-directory swap (postings + stats + meta staged together,
+    * then `dir`→`dir__old`, `dir__stage`→`dir`). A per-table swap
+    * could crash between tables and leave postings and stats from
+    * different index versions — and a checkpoint replay would then
+    * double-merge the batch into the half-updated postings; the single
+    * parent swap keeps the whole index one consistent version, so
+    * replay always starts from either the old or the new index.
+    * Returns the new corpus size. */
   def mergeStored(spark: SparkSession, dir: String, newDocs: DataFrame,
                   idCol: String, fields: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
+    graft.streaming.CardStream.recoverSwap(spark, dir) // single-writer path
     val (dp, ds, dn) = build(newDocs, idCol, fields)
     val (p, s, n) = readIndex(spark, dir)
     val (mp, ms, mn) = merge(p, s, n, dp, ds, dn)
-    graft.streaming.CardStream.swapInto(spark,
-      mp.withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets))),
-      s"$dir/postings", partitionCols = Seq("bucket"))
-    graft.streaming.CardStream.swapInto(spark, ms, s"$dir/stats")
-    graft.streaming.CardStream.swapInto(spark,
-      spark.range(1).select(lit(mn).as("n")), s"$dir/meta")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"${dir}__stage"
+    fs.delete(new Path(stage), true)
+    // stage writes execute while the live index is still readable
+    mp.withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$stage/postings")
+    ms.write.mode("overwrite").parquet(s"$stage/stats")
+    spark.range(1).select(lit(mn).as("n"))
+      .write.mode("overwrite").parquet(s"$stage/meta")
+    val old = new Path(s"${dir}__old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"mergeStored: cannot clear stale $old")
+    def rename(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"mergeStored: rename $src -> $dst failed")
+    if (fs.exists(new Path(dir))) rename(new Path(dir), old)
+    rename(new Path(stage), new Path(dir))
+    fs.delete(old, true)
     mn
   }
 

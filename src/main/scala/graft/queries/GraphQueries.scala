@@ -147,14 +147,17 @@ object GraphQueries {
     // absorbs fold-order jitter). A mismatch here means one of the two
     // implementations drifted semantically.
     "qX_pagerank_consistency" -> ((s, dir) => {
+      // 5 iterations on BOTH arms: the semantic contract is
+      // iteration-count-independent, and qX_pagerank_df already gates
+      // the full 10-iteration arithmetic — no need to pay it twice
       val edges = derivedEdges(Tables.load(s, dir, "events"))
-      val df = graft.operators.GraphAnalytics.pageRankDF(edges, iters = 10)
+      val df = graft.operators.GraphAnalytics.pageRankDF(edges, iters = 5)
       val sEdges = edges.select(col("src").cast("string").as("src"),
           col("dst").cast("string").as("dst"))
         .withColumn("weight", lit(1.0))
       val verts = sEdges.select(col("src").as("id"))
         .unionAll(sEdges.select(col("dst").as("id"))).distinct()
-      val gx = graft.operators.GraphAnalytics.pageRank(verts, sEdges, iters = 10)
+      val gx = graft.operators.GraphAnalytics.pageRank(verts, sEdges, iters = 5)
         .select(col("id").cast("long").as("id"), col("rank").as("gx_rank"))
       df.join(gx, "id")
         .agg(count(lit(1)).as("n_vertices"),
