@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting — the third leg of a training-data
+  * pipeline next to dedup and filtering (SURVEY §2 extension surface):
+  * train/val/test splits, corpus subsampling, and per-source caps, all
+  * reproducible by construction.
+  *
+  * Why hash-based rather than `rand()`: at 100 TB a sample must be
+  *  - stable across reruns and task retries (a lost executor must not
+  *    change the sample — `rand()` draws differ per attempt),
+  *  - independent of partitioning (repartition ⇒ same membership),
+  *  - auditable by other engines (the md5 bucket below is recomputable
+  *    in any SQL dialect; the gate oracles recompute it in DuckDB).
+  * Membership is a pure function of the row id, so a doc keeps its
+  * split assignment forever — the property that stops train/test
+  * leakage when the corpus is re-ingested or extended.
+  */
+object Sampling {
+
+  /** 32-bit md5 bucket of an id — the deterministic randomness source:
+    * uniform over [0, 2^32), engine-portable (DuckDB:
+    * `CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT)`). */
+  def md5Bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  val BucketSpace = 4294967296.0 // 2^32
+
+  /** Assign each row a split label by cumulative fraction over the id's
+    * hash bucket: `splits = Seq("train" -> 0.8, "val" -> 0.1,
+    * "test" -> 0.1)`. Labels are disjoint and exhaustive (the last
+    * label absorbs rounding); narrow projection, no shuffle. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = md5Bucket(col(idCol))
+    val cum = splits.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+    val labeled = splits.map(_._1).zip(cum)
+    val expr = labeled.init.reverse.foldLeft(lit(labeled.last._1): Column) {
+      case (acc, (name, c)) =>
+        when(bucket < lit(c * BucketSpace), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic `fraction` sample: keep rows whose hash bucket falls
+    * below the fraction boundary. Subset-monotone: the 10% sample is a
+    * subset of the 20% sample of the same data — the property that lets
+    * a pipeline scale experiments up without resampling. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(md5Bucket(col(idCol)) < lit(fraction * BucketSpace))
+
+  /** Per-key cap: keep at most `n` rows per key, preferring the lowest
+    * `orderCols` (ties must be broken by a total order for determinism).
+    * The per-domain / per-source document cap of LLM data curation —
+    * one keyed shuffle; heavily-duplicated sources are bounded at the
+    * reducer (each group emits ≤ n rows). */
+  def perKeyCap(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+}

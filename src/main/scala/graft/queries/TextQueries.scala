@@ -113,6 +113,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic train/val/test split: md5-bucket assignment,
+    // engine-portable (the oracle recomputes the same buckets) — split
+    // sizes AND membership are reproducible by construction.
+    "qX_split" -> ((s, dir) => {
+      graft.operators.Sampling.hashSplit(
+          Tables.load(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))
+    }),
+
+    // deterministic 25% sample — row-level membership check (stronger
+    // than a count: the oracle must agree on every sampled id).
+    "qX_sample" -> ((s, dir) => {
+      graft.operators.Sampling.hashSample(
+          Tables.load(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-key cap (the per-source document cap of data curation):
+    // at most 3 events per user by (ts, event_id) — emit per-user
+    // kept-counts plus a checksum of kept event ids.
+    "qX_key_cap" -> ((s, dir) => {
+      graft.operators.Sampling.perKeyCap(
+          Tables.load(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), 3)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("event_id")).as("id_sum"))
+        .orderBy(col("user_id"))
+    }),
+
     // exact dedup: content digest → survivor + duplicate count.
     "qX_dedup_exact" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -263,6 +296,31 @@ object TextQueries {
     "qX_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "qX_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 0.8 * 4294967296 THEN 'train'
+        |            WHEN bkt < 0.9 * 4294967296 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n, min(doc_id) AS min_id
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qX_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < 0.25 * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+    "qX_key_cap" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_kept,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rn <= 3
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "qX_dedup_ngram" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -95,6 +95,44 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(idx == scan)
   }
 
+  test("hash split/sample: deterministic, partition-independent, subset-monotone") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def splitMap(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSplit(df, "doc_id", splits)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splitMap(docs)
+    // repartitioning must not move any row between splits
+    assert(s1 == splitMap(docs.repartition(7)))
+    // disjoint and exhaustive
+    assert(s1.size == docs.count())
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly proportional (hash uniformity; wide tolerance at n=500)
+    val nTrain = s1.values.count(_ == "train")
+    assert(nTrain > s1.size * 0.7 && nTrain < s1.size * 0.9, s"train=$nTrain")
+    // sample membership is monotone in the fraction
+    def sample(f: Double) = Sampling.hashSample(docs, "doc_id", f)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (p10, p25) = (sample(0.10), sample(0.25))
+    assert(p10.subsetOf(p25) && p10.nonEmpty && p25.size > p10.size)
+  }
+
+  test("perKeyCap keeps at most n rows per key, the lowest by the order") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val capped = Sampling.perKeyCap(docs, "lang", Seq("doc_id"), 2)
+      .select("lang", "doc_id").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    val full = docs.select("lang", "doc_id").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted.take(2).toSeq).toMap
+    assert(capped == full)
+    assert(capped.values.forall(_.length <= 2))
+  }
+
   test("salted count equals plain groupBy count (hot key included)") {
     val df = (Seq.fill(5000)(("hot", 1)) ++ (1 to 500).map(i => (s"k$i", i)))
       .toDF("key", "v")
