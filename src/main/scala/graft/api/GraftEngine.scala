@@ -128,7 +128,11 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * instead of a per-query counting pass. */
   def search(query: String, owner: Option[String] = None,
              limit: Int = 10): DataFrame =
-    memoized(cacheKey("search", query, owner.getOrElse(""), limit.toString)) {
+    // owner encoded with a presence marker: None and Some("") are
+    // different requests (no filter vs. filter on empty owner) and must
+    // not share a memo entry
+    memoized(cacheKey("search", query,
+      owner.map("o:" + _).getOrElse("<none>"), limit.toString)) {
       Search.search(searchTable, "doc_id", SearchFields, query, limit,
         ownerFilter = owner.map("owner" -> _), aliveCol = Some("is_alive"),
         numDocs = Some(nLiveDocs))

@@ -35,17 +35,23 @@ object SearchIndex {
   }
 
   /** One-pass index build over multiple fields.
+    * @param materialize eagerly localCheckpoint the postings so that
+    *        downstream consumers (stats derivation, stage writes) read
+    *        materialized blocks instead of re-running the tokenize +
+    *        shuffle lineage per consumer — [[mergeStored]] uses this to
+    *        pay the delta tokenization once per fold, not per table.
     * @return (postings(field, term, doc, tf), stats(field, term, df), n)
     */
-  def build(docs: DataFrame, idCol: String,
-            fields: Seq[String]): (DataFrame, DataFrame, Long) = {
+  def build(docs: DataFrame, idCol: String, fields: Seq[String],
+            materialize: Boolean = false): (DataFrame, DataFrame, Long) = {
     val perField = fields.map { f =>
       docs.select(lit(f).as("field"), col(idCol).as("doc"),
           explode(tokenize(col(f))).as("term"))
     }
-    val postings = perField.reduce(_ unionAll _)
+    val postings0 = perField.reduce(_ unionAll _)
       .groupBy("field", "term", "doc")
       .agg(count(lit(1)).as("tf"))
+    val postings = if (materialize) postings0.localCheckpoint(true) else postings0
     val stats = postings.groupBy("field", "term")
       .agg(count(lit(1)).as("df")) // one posting row per (term, doc)
     (postings, stats, docs.count())
@@ -54,25 +60,48 @@ object SearchIndex {
   /** Persist the index partitioned by term-prefix bucket so query-time
     * probes prune to |terms| buckets (the partition-pruned layout named
     * above; IndexBuckets keeps directory fan-out sane at any corpus
-    * size). The corpus size `n` is stored alongside (meta) so probes
-    * don't re-count the corpus per query. */
+    * size). The meta table stores the corpus size `n` (probes never
+    * re-count the corpus) and `last_batch` — the replay fence for
+    * [[mergeStored]]'s at-least-once callers. */
   def writeIndex(postings: DataFrame, stats: DataFrame, n: Long,
-                 dir: String): Unit = {
+                 dir: String, batchId: Long = -1L): Unit = {
     postings
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
-    stats.sparkSession.range(1).select(lit(n).as("n"))
+    stats.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(batchId).as("last_batch"))
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Resolve the readable index root WITHOUT mutating: after a crashed
+    * swap the live dir is missing but `<dir>__old` holds the complete
+    * pre-swap index — read it in place (the same non-mutating reader
+    * fallback as [[graft.streaming.CardStream.tableOrEmpty]]; the
+    * WRITER restores the directory on its next merge). */
+  private def readableDir(spark: SparkSession, dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+        fs.exists(new org.apache.hadoop.fs.Path(dir + "__old"))) dir + "__old"
+    else dir
+  }
+
+  /** (n, last_batch) from the stored meta table (crash-safe reader). */
+  def readMeta(spark: SparkSession, dir: String): (Long, Long) = {
+    val row = spark.read.parquet(s"${readableDir(spark, dir)}/meta")
+      .select(col("n"), col("last_batch")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
   /** Read a stored index back into the [[build]] shape (bucket column
-    * stripped from postings; n from meta). */
+    * stripped from postings; n from meta; `__old` fallback after a
+    * crashed swap). */
   def readIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
-    val postings = spark.read.parquet(s"$dir/postings").drop("bucket")
-    val stats = spark.read.parquet(s"$dir/stats")
-    val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
-    (postings, stats, n)
+    val d = readableDir(spark, dir)
+    val postings = spark.read.parquet(s"$d/postings").drop("bucket")
+    val stats = spark.read.parquet(s"$d/stats")
+    (postings, stats, readMeta(spark, dir)._1)
   }
 
   /** Incremental index maintenance — fold a new batch's index into an
@@ -102,18 +131,28 @@ object SearchIndex {
   /** Incremental maintenance of a STORED index: build the delta batch's
     * postings, fold them into the on-disk index, and cut over with ONE
     * parent-directory swap (postings + stats + meta staged together,
-    * then `dir`→`dir__old`, `dir__stage`→`dir`). A per-table swap
-    * could crash between tables and leave postings and stats from
-    * different index versions — and a checkpoint replay would then
-    * double-merge the batch into the half-updated postings; the single
-    * parent swap keeps the whole index one consistent version, so
-    * replay always starts from either the old or the new index.
+    * then the shared [[graft.streaming.CardStream.swapStaged]] rename
+    * tail). A per-table swap could crash between tables and leave
+    * postings and stats from different index versions; the single
+    * parent swap keeps the whole index one consistent version.
+    *
+    * Replay fence: pass the caller's micro-batch id as `batchId` —
+    * at-least-once replay of an ALREADY-MERGED batch (crash after the
+    * swap, before the checkpoint commit) would otherwise violate the
+    * disjoint-doc-id contract and double-count every tf/df in the
+    * batch. When `batchId` equals the stored `last_batch`, the fold is
+    * skipped and the current corpus size returned.
     * Returns the new corpus size. */
   def mergeStored(spark: SparkSession, dir: String, newDocs: DataFrame,
-                  idCol: String, fields: Seq[String]): Long = {
+                  idCol: String, fields: Seq[String],
+                  batchId: Long = -1L): Long = {
     import org.apache.hadoop.fs.Path
     graft.streaming.CardStream.recoverSwap(spark, dir) // single-writer path
-    val (dp, ds, dn) = build(newDocs, idCol, fields)
+    val (n0, lastBatch) = readMeta(spark, dir)
+    if (batchId >= 0 && batchId == lastBatch) return n0 // replayed batch
+    // materialize=true: the delta tokenization is computed once; the
+    // postings and stats stage writes both read its checkpoint blocks
+    val (dp, ds, dn) = build(newDocs, idCol, fields, materialize = true)
     val (p, s, n) = readIndex(spark, dir)
     val (mp, ms, mn) = merge(p, s, n, dp, ds, dn)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -123,17 +162,9 @@ object SearchIndex {
     mp.withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$stage/postings")
     ms.write.mode("overwrite").parquet(s"$stage/stats")
-    spark.range(1).select(lit(mn).as("n"))
+    spark.range(1).select(lit(mn).as("n"), lit(batchId).as("last_batch"))
       .write.mode("overwrite").parquet(s"$stage/meta")
-    val old = new Path(s"${dir}__old")
-    if (fs.exists(old) && !fs.delete(old, true))
-      throw new java.io.IOException(s"mergeStored: cannot clear stale $old")
-    def rename(src: Path, dst: Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"mergeStored: rename $src -> $dst failed")
-    if (fs.exists(new Path(dir))) rename(new Path(dir), old)
-    rename(new Path(stage), new Path(dir))
-    fs.delete(old, true)
+    graft.streaming.CardStream.swapStaged(spark, dir)
     mn
   }
 
@@ -162,14 +193,16 @@ object SearchIndex {
   }
 
   /** Probe a bucketed on-disk index (written by [[writeIndex]]) —
-    * partition pruning on the term bucket keeps I/O at |terms| buckets. */
+    * partition pruning on the term bucket keeps I/O at |terms| buckets;
+    * reads fall back to `__old` after a crashed swap (non-mutating). */
   def queryStored(spark: SparkSession, dir: String, n: Long,
                   boosts: Seq[(String, Double)], queryText: String,
                   limit: Int): DataFrame = {
+    val d = readableDir(spark, dir)
     val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = spark.read.parquet(s"$d/postings")
       .filter(col("bucket").isin(terms.map(bucketOf(_, IndexBuckets)): _*))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = spark.read.parquet(s"$d/stats")
     query(postings, stats, n, boosts, queryText, limit)
   }
 
@@ -177,8 +210,6 @@ object SearchIndex {
     * table — no per-query counting pass over the corpus. */
   def queryStored(spark: SparkSession, dir: String,
                   boosts: Seq[(String, Double)], queryText: String,
-                  limit: Int): DataFrame = {
-    val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
-    queryStored(spark, dir, n, boosts, queryText, limit)
-  }
+                  limit: Int): DataFrame =
+    queryStored(spark, dir, readMeta(spark, dir)._1, boosts, queryText, limit)
 }

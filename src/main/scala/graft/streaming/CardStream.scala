@@ -84,16 +84,28 @@ object CardStream {
     * than deleting the only complete copy of the table. */
   def swapInto(spark: SparkSession, df: DataFrame, path: String,
                partitionCols: Seq[String] = Nil): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(spark, path)
-    val live = new Path(path)
     val stage = new Path(path + "__stage")
     val writer = if (partitionCols.isEmpty) df.write
       else df.write.partitionBy(partitionCols: _*)
     writer.mode("overwrite").parquet(stage.toString)
+    swapStaged(spark, path)
+  }
+
+  /** The rename tail of the swap protocol: promote an already-written
+    * `<path>__stage` directory over the live path (clear stale `__old`,
+    * live→`__old`, stage→live, drop `__old`). Shared by [[swapInto]]
+    * and multi-table writers that stage several tables under one
+    * parent dir and need a SINGLE atomic cutover
+    * ([[graft.operators.SearchIndex.mergeStored]]) — one copy of the
+    * crash-recovery-critical rename sequence, not per-caller clones. */
+  def swapStaged(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val stage = new Path(path + "__stage")
     val old = new Path(path + "__old")
     if (fs.exists(old) && !fs.delete(old, true))
-      throw new java.io.IOException(s"swapInto: cannot clear stale $old")
+      throw new java.io.IOException(s"swapStaged: cannot clear stale $old")
     if (fs.exists(live)) renameOrThrow(fs, live, old)
     renameOrThrow(fs, stage, live)
     fs.delete(old, true)
@@ -203,17 +215,25 @@ object CardStream {
     cards.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // recover a crashed swap BEFORE the bootstrap check: after a
+        // crash between mergeStored's renames the whole index lives in
+        // __old and meta is "missing" — bootstrapping then would drop
+        // every previously indexed doc
+        recoverSwap(spark, indexDir)
         val fs = new Path(indexDir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         if (fs.exists(new Path(s"$indexDir/meta"))) {
+          // batchId is the replay fence: a re-delivered micro-batch
+          // (crash after swap, before checkpoint commit) is skipped
+          // instead of double-merged
           graft.operators.SearchIndex.mergeStored(
-            spark, indexDir, batch, idCol, fields)
+            spark, indexDir, batch, idCol, fields, batchId)
           ()
         } else {
           val (p, s, n) = graft.operators.SearchIndex.build(batch, idCol, fields)
-          graft.operators.SearchIndex.writeIndex(p, s, n, indexDir)
+          graft.operators.SearchIndex.writeIndex(p, s, n, indexDir, batchId)
         }
       }
       .start()
