@@ -148,6 +148,47 @@ object TextExprUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * word n-gram (Gopher-style repetition signal: a page whose top
+    * bigram covers >18% of bigrams is boilerplate/spam). One scan over
+    * the lowercased whitespace tokens + one open-addressing pass over
+    * the n-gram strings; returns max_count / total_ngrams as double,
+    * 0.0 when the text has fewer than n tokens. Tokenization parity
+    * with [[wordShingles]] / the DuckDB oracle
+    * (`string_split_regex(lower(text), '\s+')` minus empties).
+    */
+  def topNgramFrac(s: UTF8String, n: Int): Double = {
+    val str = s.toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    val len = str.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > start) toks += str.substring(start, i)
+    }
+    val total = toks.length - n + 1
+    if (total <= 0) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var maxC = 0
+    var j = 0
+    val sb = new java.lang.StringBuilder()
+    while (j < total) {
+      sb.setLength(0)
+      var m = 0
+      while (m < n) {
+        if (m > 0) sb.append(' ')
+        sb.append(toks(j + m))
+        m += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > maxC) maxC = c
+      j += 1
+    }
+    maxC.toDouble / total
+  }
+
   /** Distinct word n-gram shingles in one scan — the native twin of
     * `Dedup.shingles` (equivalence locked in TextExprSpec), preserving
     * its edge semantics exactly: whitespace tokens of the lowercased
@@ -253,6 +294,22 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `top_ngram_frac(text, n)`: share of n-gram occurrences held by the
+  * most frequent word n-gram, single scan, codegen. The "executable
+  * spec" twin is the explode + groupBy + max/sum DataFrame formulation
+  * (TextExprSpec) — the same shape the DuckDB oracle runs. */
+case class TopNgramFracExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.topNgramFrac(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.topNgramFrac($c, $n)")
+  override protected def withNewChildInternal(c: Expression): TopNgramFracExpr =
+    copy(child = c)
+}
+
 /** `minhash_sig(shingles, k)`: k-wide MinHash signature of an
   * array<string> of shingles, single primitive loop, codegen. */
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
@@ -279,6 +336,7 @@ object TextExprs {
   def simhash64(c: Column): Column = toColumn(SimHash64Expr(toExpr(c)))
   def minhash_sig(c: Column, k: Int): Column = toColumn(MinHashSigExpr(toExpr(c), k))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpr(c), n))
+  def top_ngram_frac(c: Column, n: Int): Column = toColumn(TopNgramFracExpr(toExpr(c), n))
 
   /** Register as SQL functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -83,6 +83,42 @@ object TextAnalysis {
     when(bestScore >= minScore, bestLang).otherwise(lit("und"))
   }
 
+  /** Repetition signals (Gopher-style): the within-document
+    * boilerplate detectors used to filter web corpora alongside the
+    * [[qualityFeatures]] thresholds.
+    *
+    *  - `dup_word_frac`: 1 − distinct/total tokens — high when the
+    *    page loops over a small vocabulary;
+    *  - `top_bigram_frac` / `top_trigram_frac`: share of n-gram
+    *    occurrences held by the single most frequent n-gram
+    *    ([[graft.functions.expr.TopNgramFracExpr]], one scan, codegen)
+    *    — high for repeated headers/footers/spam templates.
+    *
+    * All three are narrow per-row projections (no shuffle): the Gopher
+    * filter over 100 TB is a single scan-and-filter pass. Texts with
+    * fewer than n tokens score 0.0 by definition.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val toks = tokenize(text)
+    val nTok = size(toks)
+    val dupWordFrac = when(nTok === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / nTok, 4))
+    struct(
+      dupWordFrac.as("dup_word_frac"),
+      round(graft.functions.expr.TextExprs.top_ngram_frac(text, 2), 4)
+        .as("top_bigram_frac"),
+      round(graft.functions.expr.TextExprs.top_ngram_frac(text, 3), 4)
+        .as("top_trigram_frac"))
+  }
+
+  /** The Gopher keep-predicate over [[repetitionSignals]] — tuned to
+    * the published thresholds (dup-word < 0.3ish, top-bigram < 0.18,
+    * top-trigram < 0.16), exposed so pipelines filter in the same scan
+    * that computed the signals. */
+  def repetitionOk(sig: Column): Column =
+    sig("dup_word_frac") < 0.5 &&
+      sig("top_bigram_frac") < 0.18 && sig("top_trigram_frac") < 0.16
+
   /** Rolling-hash document fingerprint: Karp-Rabin fold over the
     * character stream, h ← (h·31 + code(c)) mod 1e9+7. Pure integer
     * math over built-in expressions so an oracle can recompute it

@@ -94,6 +94,19 @@ object TextQueries {
     }),
 
     // language-ID heuristic: per-language stopword-profile scores + argmax.
+    // Gopher-style repetition signals + the keep-predicate, one scan.
+    "qX_repetition" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionSignals(col("text")).as("sig"))
+        .select(col("doc_id"),
+          col("sig.dup_word_frac").as("dup_word_frac"),
+          col("sig.top_bigram_frac").as("top_bigram_frac"),
+          col("sig.top_trigram_frac").as("top_trigram_frac"),
+          TextAnalysis.repetitionOk(col("sig")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "qX_lang_id" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
       val cols = scores.map { case (lang, c) => c.as(s"s_$lang") }
@@ -256,6 +269,37 @@ object TextQueries {
         |   list_contains(['the','a','an','and','or','of','to','in','is','on'], t)))
         |   AS DOUBLE) / len(toks), 4) AS stopword_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Mode-of-ngrams recomputed relationally (unnest → group → max/sum)
+    // — the executable spec of the one-scan TopNgramFracExpr.
+    "qX_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |tg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |       FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+        |bgf AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS f
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |        GROUP BY doc_id),
+        |tgf AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS f
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+        |        GROUP BY doc_id),
+        |sig AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+        |    END AS dup_word_frac,
+        |    coalesce(bgf.f, 0.0) AS top_bigram_frac,
+        |    coalesce(tgf.f, 0.0) AS top_trigram_frac
+        |  FROM t LEFT JOIN bgf ON t.doc_id = bgf.doc_id
+        |         LEFT JOIN tgf ON t.doc_id = tgf.doc_id)
+        |SELECT doc_id, dup_word_frac, top_bigram_frac, top_trigram_frac,
+        |  (dup_word_frac < 0.5 AND top_bigram_frac < 0.18
+        |     AND top_trigram_frac < 0.16) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
     "qX_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id,

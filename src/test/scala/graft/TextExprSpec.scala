@@ -112,6 +112,46 @@ class TextExprSpec extends AnyFunSuite with SparkSpec {
     assert(r.toList == List(List(""), List(""), List("one"), List("one two")))
   }
 
+  test("top_ngram_frac equals the relational mode formulation (random + real)") {
+    // executable spec: explode n-grams, group, max-count / total — the
+    // same shape the DuckDB oracle runs in qX_repetition
+    def relational(df: org.apache.spark.sql.DataFrame, n: Int): Map[Long, Double] = {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
+      val grams = df.select(col("id"), toks.as("t"))
+        .select(col("id"), explode(
+          filter(transform(col("t"), (_, i) => slice(col("t"), i + 1, lit(n))),
+            a => size(a) === n).cast("array<array<string>>")).as("g"))
+        .select(col("id"), concat_ws(" ", col("g")).as("g"))
+      grams.groupBy("id", "g").count()
+        .groupBy("id").agg((max("count") / sum("count")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), col("text"))
+      .unionAll(randomStrings.zipWithIndex
+        .map { case (s, i) => (100000L + i, s) }.toDF("id", "text"))
+    for (n <- Seq(2, 3)) {
+      val want = relational(docs, n) // ids with <n tokens absent → 0.0
+      val got = docs.select(col("id"),
+          TextExprs.top_ngram_frac(col("text"), n).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      got.foreach { case (id, f) =>
+        assert(math.abs(f - want.getOrElse(id, 0.0)) < 1e-12,
+          s"top_${n}gram_frac on id=$id: got $f want ${want.getOrElse(id, 0.0)}")
+      }
+    }
+  }
+
+  test("top_ngram_frac edge semantics: short inputs and exact repetition") {
+    val r = Seq("", "one", "one two", "a a a a", "x y x y x")
+      .toDF("text")
+      .select(TextExprs.top_ngram_frac(col("text"), 2).as("f"))
+      .collect().map(_.getDouble(0)).toList
+    // "" and "one": no bigrams → 0.0; "a a a a": "a a" 3/3 = 1.0;
+    // "x y x y x": "x y" 2/4, "y x" 2/4 → 0.5
+    assert(r == List(0.0, 0.0, 1.0, 1.0, 0.5), r)
+  }
+
   test("null flows through as null (nullIntolerant)") {
     val r = Seq(Option.empty[String]).toDF("s")
       .select(TextExprs.token_count(col("s"))).collect().head
