@@ -190,4 +190,80 @@ object GraphAnalytics {
     graph.connectedComponents().vertices.toDF("vid", "component")
       .join(vmap, "vid").select(col("id"), col("component"))
   }
+
+  /** Exact per-vertex triangle counts over the simple undirected graph,
+    * in pure DataFrame joins — clustering-coefficient / community
+    * signal (the graph twin of the reference's friend-of-friend
+    * analytics; the SQL-expressible sibling of GraphX
+    * `TriangleCount`, agreement locked in MultimodalGraphXSpec).
+    *
+    * Scale shape — DEGREE ORIENTATION, the standard trick that makes
+    * distributed triangle enumeration feasible: orient every canonical
+    * edge from its lower-(degree, id) endpoint to the higher one, then
+    * enumerate wedges ONLY at each edge's low vertex and close them
+    * with one semi join. Out-degree after orientation is O(√m) on any
+    * graph (vs Θ(max-degree) wedges for the naive a-joins-a plan), so
+    * the wedge join neither explodes on hubs nor skews a partition:
+    * the 50-hub edge view here generates wedges at the low-degree
+    * spokes, not the hubs. Long ids (the edge-view id space); string
+    * graphs ride through [[toGraphX]]'s xxhash64 mapping first.
+    *
+    * @return (id, n_tri) for every vertex of the edge view, 0 for
+    *         triangle-free vertices.
+    */
+  def triangleCountsDF(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val verts = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id"))).distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // attach both endpoint degrees, orient low-(deg,id) → high-(deg,id)
+    // (struct comparison is lexicographic — ties broken by id, total order)
+    val withDeg = canon
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("lo"), col("v").as("hi"),
+          struct(col("dv").as("d"), col("v").as("i")).as("hikey")))
+        .otherwise(struct(col("v").as("lo"), col("u").as("hi"),
+          struct(col("du").as("d"), col("u").as("i")).as("hikey"))).as("o"))
+      .select(col("o.lo").as("lo"), col("o.hi").as("hi"),
+        col("o.hikey").as("hikey"))
+      .localCheckpoint(true) // reused 3× below — tokenize the plan once
+    // wedges at the low vertex: unordered out-neighbor pairs (b, c)
+    // taken in orientation order, so the closing edge — if present —
+    // is oriented exactly b → c
+    val wedges = oriented.select(col("lo"), col("hi").as("b"),
+        col("hikey").as("bkey"))
+      .join(oriented.select(col("lo"), col("hi").as("c"),
+        col("hikey").as("ckey")), "lo")
+      .filter(col("bkey") < col("ckey"))
+      .select(col("lo").as("a"), col("b"), col("c"))
+    val triangles = wedges.join(
+      oriented.select(col("lo").as("b"), col("hi").as("c")),
+      Seq("b", "c"), "left_semi")
+    val perVertex = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    verts.join(perVertex, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** GraphX `TriangleCount` twin of [[triangleCountsDF]] (string-id
+    * graphs; canonicalized + partitioned as the GraphX implementation
+    * requires). */
+  def triangleCounts(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val (graph, vmap) = toGraphX(vertices, edges)
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val canonical = graph
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    canonical.triangleCount().vertices.toDF("vid", "n_tri")
+      .join(vmap, "vid").select(col("id"), col("n_tri").cast("long").as("n_tri"))
+  }
 }

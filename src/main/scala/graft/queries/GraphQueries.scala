@@ -165,6 +165,32 @@ object GraphQueries {
             .as("n_agree"))
     }),
 
+    // Per-vertex triangle counts, degree-oriented DataFrame plan —
+    // oracle = the order-agnostic a<b<c three-way self-join in DuckDB.
+    "qX_triangles_df" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.triangleCountsDF(edges)
+        .orderBy(col("id"))
+    }),
+
+    // GraphX TriangleCount agreement with the oracle-checked DF plan:
+    // every vertex must count identically (exact integers, no float
+    // tolerance needed) — same contract shape as qX_pagerank_consistency.
+    "qX_triangles_consistency" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val df = graft.operators.GraphAnalytics.triangleCountsDF(edges)
+      val sEdges = edges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+        .withColumn("weight", lit(1.0))
+      val verts = sEdges.select(col("src").as("id"))
+        .unionAll(sEdges.select(col("dst").as("id"))).distinct()
+      val gx = graft.operators.GraphAnalytics.triangleCounts(verts, sEdges)
+        .select(col("id").cast("long").as("id"), col("n_tri").as("gx_tri"))
+      df.join(gx, "id")
+        .agg(count(lit(1)).as("n_vertices"),
+          count(when(col("n_tri") === col("gx_tri"), 1)).as("n_agree"))
+    }),
+
     // C9: path join for visualization — edge endpoints hydrated to names.
     "qC9_path_join" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
@@ -205,6 +231,30 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "qX_pagerank_df" -> pagerankSql(10),
     "qX_pagerank_consistency" ->
+      s"""WITH edges AS ($EdgesSql),
+         |verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges)
+         |SELECT count(*) AS n_vertices, count(*) AS n_agree FROM verts""".stripMargin,
+    // Orientation-free restatement: canonical u<v edges, wedge at the
+    // smallest id, closing edge by id order — counts each triangle
+    // once; per-vertex = unnest the three corners.
+    "qX_triangles_df" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |verts AS (SELECT u AS id FROM e UNION SELECT v AS id FROM e),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |corners AS (
+         |  SELECT a AS id FROM tri UNION ALL
+         |  SELECT b AS id FROM tri UNION ALL
+         |  SELECT c AS id FROM tri),
+         |pv AS (SELECT id, count(*) AS c FROM corners GROUP BY id)
+         |SELECT verts.id, coalesce(pv.c, 0) AS n_tri
+         |FROM verts LEFT JOIN pv ON verts.id = pv.id
+         |ORDER BY verts.id""".stripMargin,
+    "qX_triangles_consistency" ->
       s"""WITH edges AS ($EdgesSql),
          |verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges)
          |SELECT count(*) AS n_vertices, count(*) AS n_agree FROM verts""".stripMargin,

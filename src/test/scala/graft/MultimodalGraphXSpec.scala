@@ -81,4 +81,22 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     val cc = GraphAnalytics.connectedComponents(vertices, edges)
     assert(cc.select("component").distinct().count() == 1) // one community
   }
+
+  test("triangle counts: DF == GraphX on the card graph, known values on K4+tail") {
+    // K4 on 1-4 (every vertex in 3 triangles) + a tail 4-5 (0 triangles)
+    // + duplicate/reversed/self-loop edges that canonicalization must drop
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (4L, 5L), (2L, 1L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.triangleCountsDF(raw).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+
+    val df = GraphAnalytics.triangleCountsDF(
+        edges.select(col("src"), col("dst")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gx = GraphAnalytics.triangleCounts(vertices, edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == gx)
+  }
 }
