@@ -33,6 +33,24 @@ object GraphQueries {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** Shared recursive-closure CC oracle: min reachable id per vertex —
+    * the canonical component form BOTH qX_cc_graphx (after min-id
+    * canonicalization) and qX_cc_df (which converges to it directly)
+    * hash-match. */
+  private val CcSql: String =
+    s"""WITH RECURSIVE edges AS ($EdgesSql),
+       |adj AS (
+       |  SELECT src AS f, dst AS t FROM edges
+       |  UNION ALL
+       |  SELECT dst AS f, src AS t FROM edges),
+       |verts AS (SELECT DISTINCT f AS v FROM adj),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT reach.v, adj.t FROM reach JOIN adj ON reach.r = adj.f)
+       |SELECT v AS id, min(r) AS comp FROM reach
+       |GROUP BY v ORDER BY v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1/C2-C6/E1-E2: the flagship PYMK 2-hop with bag path counting.
     "qD1_pymk" -> ((s, dir) => {
@@ -163,6 +181,15 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_vertices"),
           count(when(abs(col("rank") - col("gx_rank")) <= 0.001, 1))
             .as("n_agree"))
+    }),
+
+    // Connected components, pure-DataFrame min-label propagation —
+    // converges to min-id-per-component, the same canonical form as
+    // qX_cc_graphx, so both hash-match one recursive-closure oracle.
+    "qX_cc_df" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.connectedComponentsDF(edges)
+        .orderBy(col("id"))
     }),
 
     // Per-vertex triangle counts, degree-oriented DataFrame plan —
@@ -306,19 +333,8 @@ object GraphQueries {
          |  FROM scored)
          |SELECT anchor, id, score FROM ranked WHERE rn <= 3
          |ORDER BY anchor, score DESC, id""".stripMargin,
-    "qX_cc_graphx" ->
-      s"""WITH RECURSIVE edges AS ($EdgesSql),
-         |adj AS (
-         |  SELECT src AS f, dst AS t FROM edges
-         |  UNION ALL
-         |  SELECT dst AS f, src AS t FROM edges),
-         |verts AS (SELECT DISTINCT f AS v FROM adj),
-         |reach(v, r) AS (
-         |  SELECT v, v FROM verts
-         |  UNION
-         |  SELECT reach.v, adj.t FROM reach JOIN adj ON reach.r = adj.f)
-         |SELECT v AS id, min(r) AS comp FROM reach
-         |GROUP BY v ORDER BY v""".stripMargin,
+    "qX_cc_df" -> CcSql,
+    "qX_cc_graphx" -> CcSql,
     "qX_khop3_graphx" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (

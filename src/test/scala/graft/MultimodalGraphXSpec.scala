@@ -82,6 +82,32 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(cc.select("component").distinct().count() == 1) // one community
   }
 
+  test("connectedComponentsDF: long path needs many rounds; multi-component; == GraphX") {
+    // path 0-1-2-...-19 (diameter 19 > checkEvery, forces several
+    // convergence blocks) + a separate triangle {100,101,102} + an
+    // isolated edge 200-201
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val edges = (path ++ extra).toDF("src", "dst")
+    val got = GraphAnalytics.connectedComponentsDF(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((0L to 19L).map(_ -> 0L) ++
+      Seq(100L, 101L, 102L).map(_ -> 100L) ++
+      Seq(200L, 201L).map(_ -> 200L)).toMap
+    assert(got == want)
+
+    val df = GraphAnalytics.connectedComponentsDF(
+        this.edges.select(col("src"), col("dst")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // GraphX components canonicalized to min original id (string min —
+    // ids here are md5-8 hex, so string order is the component id order)
+    val cc = GraphAnalytics.connectedComponents(vertices, this.edges)
+    val canon = cc.groupBy("component").agg(min("id").as("comp"))
+    val gx = cc.join(canon, "component").select(col("id"), col("comp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(df == gx)
+  }
+
   test("triangle counts: DF == GraphX on the card graph, known values on K4+tail") {
     // K4 on 1-4 (every vertex in 3 triangles) + a tail 4-5 (0 triangles)
     // + duplicate/reversed/self-loop edges that canonicalization must drop
