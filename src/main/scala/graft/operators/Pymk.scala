@@ -161,11 +161,14 @@ object Pymk {
       // test SF (AQE demotes to broadcast at runtime), far too big to
       // pin as broadcast at 100 TB.
       .join(friendPairs, Seq("anchor", "candidate"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("anchor").orderBy(desc("score"), asc("candidate"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= limit)
-      .select(col("anchor"), col("candidate").as("id"), col("score"))
+    // top-k per anchor as a bounded-heap aggregate (TopK.grouped), not
+    // a window sort: O(limit) state per anchor, map-side partial heaps,
+    // and the final exchange carries ≤ limit·mappers rows per anchor —
+    // at 100 TB the window form would sort the full scored pair set.
+    // (score desc, candidate asc) via the negation idiom.
+    TopK.grouped(scored, Seq("anchor"),
+        struct((-col("score")).as("ns"), col("candidate").as("c")), limit)
+      .select(col("anchor"), col("best.c").as("id"), (-col("best.ns")).as("score"))
   }
 
   /** Anchor lookup by case-insensitive name — the `_name` shadow

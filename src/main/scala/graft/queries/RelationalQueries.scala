@@ -239,6 +239,20 @@ object RelationalQueries {
 
     // J3: event-time tumbling window aggregation (batch twin of the
     // streaming windowed agg; window().start == hour truncation).
+    // E2 at scale: per-group top-k as a bounded-heap aggregate (no
+    // window sort) — top-5 most active users per event_type, ranked
+    // (n desc, user asc) via the negation idiom in the sort struct.
+    "qX_topk_grouped" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TopK.grouped(perUser, Seq("event_type"),
+          struct((-col("n")).as("negn"), col("user_id").as("u")), k = 5)
+        .select(col("event_type"), col("rank"),
+          col("best.u").as("user_id"), (-col("best.negn")).as("n"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     "qJ3_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
@@ -414,6 +428,16 @@ object RelationalQueries {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
         |  FROM events) WHERE _rn = 1 ORDER BY user_id""".stripMargin,
+    "qX_topk_grouped" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rank
+        |  FROM pu)
+        |SELECT event_type, rank, user_id, n FROM r WHERE rank <= 5
+        |ORDER BY event_type, rank""".stripMargin,
     "qJ3_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Pymk, Search, SearchIndex, Skew}
+import graft.operators.{Pymk, Search, SearchIndex, Skew, TopK}
 
 /** The scale-path variants must agree with their direct counterparts:
   * all-pairs PYMK == per-anchor PYMK for every anchor; indexed search
@@ -131,6 +131,37 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
       .mapValues(_.map(_.getLong(1)).sorted.take(2).toSeq).toMap
     assert(capped == full)
     assert(capped.values.forall(_.length <= 2))
+  }
+
+  test("TopK.grouped equals the row_number window form; no Window/Sort in plan") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 4000).map { _ =>
+      (s"g${rnd.nextInt(7)}", rnd.nextInt(40).toLong, rnd.nextInt(100000).toLong)
+    }.toDF("g", "score", "id").dropDuplicates("g", "score", "id")
+    // (score desc, id asc) via the negation idiom, payload = score
+    val topk = TopK.grouped(df, Seq("g"),
+        struct((-col("score")).as("ns"), col("id").as("i")), k = 6)
+      .select(col("g"), col("rank"), col("best.i").as("id"),
+        (-col("best.ns")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(desc("score"), asc("id"))
+    val win = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 6).select("g", "rank", "id", "score")
+    val a = topk.collect().map(r => (r.getString(0), r.getInt(1) + 0L,
+      r.getLong(2), r.getLong(3))).toSet
+    val b = win.collect().map(r => (r.getString(0), r.getInt(1) + 0L,
+      r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+    // groups smaller than k: every row present, ranks dense from 1
+    val tiny = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 3L)).toDF("g", "score", "id")
+    val tk = TopK.grouped(tiny, Seq("g"),
+        struct((-col("score")).as("ns"), col("id").as("i")), k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getStruct(2).getLong(1)))
+    assert(tk.toSet == Set(("a", 1, 2L), ("a", 2, 1L), ("b", 1, 3L)))
+    // the plan is heap-aggregation, not a windowed sort
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
   test("salted count equals plain groupBy count (hot key included)") {
