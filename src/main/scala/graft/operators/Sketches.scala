@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate analytics — the D-tier counting extensions
+  * (SURVEY §2.D counts/hit-totals) re-expressed for 100 TB, where
+  * exact `count(DISTINCT …)` is a full shuffle of every distinct value
+  * and exact percentiles are a global sort.
+  *
+  * Two properties carry the scale story:
+  *  - **Bounded state**: an HLL sketch (Spark's DataSketches-backed
+  *    `hll_sketch_agg`) is a few KB per group regardless of
+  *    cardinality; a KLL/GK quantile summary (`percentile_approx`)
+  *    is O(1/ε) per group. Partial aggregation stays map-side.
+  *  - **Mergeability**: sketches of disjoint slices union into the
+  *    sketch of the whole — register-wise max for HLL — so per-day /
+  *    per-partition sketches can be PRE-COMPUTED, stored a few KB per
+  *    slice, and folded over any date range without rescanning raw
+  *    data. [[distinctContract]] gate-checks exactly this: the
+  *    union-of-slice-sketches estimate must EQUAL the one-pass
+  *    estimate, and both must sit within tolerance of exact.
+  */
+object Sketches {
+
+  /** Per-group approximate distinct count, one pass (lgK-configurable
+    * HLL; default 12 ≈ 1.6% relative standard error, ~2.5 KB/group). */
+  def distinctEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lgK))
+        .as("approx_distinct"))
+
+  /** The mergeable (pre-aggregated) shape: sketch per
+    * (group, `bucketCol`) slice — the form you'd persist per day/
+    * partition — then union the slice sketches per group and estimate.
+    * NOTE: not bit-identical to [[distinctEstimate]] — DataSketches
+    * HLL unions through a different internal mode than direct updates
+    * (sparse→dense promotion differs), so the two estimates can drift
+    * a fraction of the sketch's rse at high cardinality; they agree
+    * exactly in sparse mode. [[distinctContract]] therefore pins
+    * tolerance-agreement, not equality. */
+  def distinctEstimateMerged(df: DataFrame, groupCols: Seq[String],
+                             bucketCol: Column, valueCol: String,
+                             lgK: Int = 12): DataFrame =
+    df.groupBy((groupCols.map(col) :+ bucketCol.as("_bucket")): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("_sketch"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sketch"))).as("approx_distinct"))
+
+  /** Gate contract over both estimate paths vs exact: one row
+    * (n_groups, n_merge_agree, n_within_tol). `n_merge_agree` counts
+    * groups where the slice-merged estimate is within `tol` of the
+    * one-pass estimate (mergeability — see the mode-drift note on
+    * [[distinctEstimateMerged]]); `n_within_tol` where BOTH estimates
+    * are within `tol` relative error of the exact distinct count. A
+    * healthy engine reports (g, g, g). */
+  def distinctContract(df: DataFrame, groupCols: Seq[String],
+                       bucketCol: Column, valueCol: String,
+                       tol: Double = 0.05, lgK: Int = 12): DataFrame = {
+    val exact = df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    val onePass = distinctEstimate(df, groupCols, valueCol, lgK)
+      .withColumnRenamed("approx_distinct", "est1")
+    val merged = distinctEstimateMerged(df, groupCols, bucketCol, valueCol, lgK)
+      .withColumnRenamed("approx_distinct", "est2")
+    exact.join(onePass, groupCols).join(merged, groupCols)
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(abs(col("est1") - col("est2"))
+          <= col("est1") * tol, 1)).as("n_merge_agree"),
+        count(when(abs(col("est1") - col("exact_distinct"))
+          <= col("exact_distinct") * tol &&
+          abs(col("est2") - col("exact_distinct"))
+          <= col("exact_distinct") * tol, 1)).as("n_within_tol"))
+  }
+
+  /** Per-group approximate percentiles (GK summary, rank error ≤
+    * 1/accuracy). Returns one array column aligned with `qs`. */
+  def quantileEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       qs: Seq[Double], accuracy: Int = 1000): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(valueCol),
+        array(qs.map(lit): _*), lit(accuracy)).as("approx_q"))
+
+  /** Gate contract for [[quantileEstimate]]: each approximate q-th
+    * percentile must lie within the exact [q−eps, q+eps] percentile
+    * window (the GK rank-error guarantee, eps = 1/accuracy, widened by
+    * `slack` to keep the gate off the knife edge). One row:
+    * (n_groups, n_q_checked, n_q_ok). */
+  def quantileContract(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       qs: Seq[Double], accuracy: Int = 1000,
+                       slack: Double = 0.01): DataFrame = {
+    val eps = 1.0 / accuracy + slack
+    val lows = qs.map(q => math.max(0.0, q - eps))
+    val highs = qs.map(q => math.min(1.0, q + eps))
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), array(lows.map(lit): _*)).as("lo"),
+        percentile(col(valueCol), array(highs.map(lit): _*)).as("hi"))
+    val est = quantileEstimate(df, groupCols, valueCol, qs, accuracy)
+    val okPerQ = qs.indices.map(i =>
+      when(col("approx_q")(i) >= col("lo")(i) &&
+        col("approx_q")(i) <= col("hi")(i), 1).otherwise(0))
+    est.join(bounds, groupCols)
+      .select(okPerQ.reduce(_ + _).as("n_ok"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(lit(qs.length)).as("n_q_checked"),
+        sum(col("n_ok")).as("n_q_ok"))
+  }
+}

@@ -253,6 +253,22 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // Mergeable-sketch contracts (SURVEY §2.D at 100 TB): union of
+    // per-day HLL slices must equal the one-pass sketch exactly, both
+    // within tolerance of exact; approx percentiles must sit inside
+    // the exact rank-error window. Healthy = every count maxed.
+    "qX_hll_distinct" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      graft.operators.Sketches.distinctContract(events, Seq("event_type"),
+        to_date(col("ts")), "user_id")
+    }),
+
+    "qX_quantile_sketch" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      graft.operators.Sketches.quantileContract(events, Seq("event_type"),
+        "value", Seq(0.5, 0.95))
+    }),
+
     "qJ3_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
@@ -428,6 +444,14 @@ object RelationalQueries {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
         |  FROM events) WHERE _rn = 1 ORDER BY user_id""".stripMargin,
+    "qX_hll_distinct" ->
+      """WITH g AS (SELECT count(DISTINCT event_type) AS n FROM events)
+        |SELECT n AS n_groups, n AS n_merge_agree, n AS n_within_tol
+        |FROM g""".stripMargin,
+    "qX_quantile_sketch" ->
+      """WITH g AS (SELECT count(DISTINCT event_type) AS n FROM events)
+        |SELECT n AS n_groups, 2 * n AS n_q_checked, 2 * n AS n_q_ok
+        |FROM g""".stripMargin,
     "qX_topk_grouped" ->
       """WITH pu AS (
         |  SELECT event_type, user_id, count(*) AS n

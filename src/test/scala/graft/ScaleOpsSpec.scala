@@ -164,6 +164,27 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("sketch contracts hold on known cardinalities and quantiles") {
+    import graft.operators.Sketches
+    // 3 groups of 1k/5k/20k distinct ids, each id seen 1-3 times
+    val rows = for {
+      (g, n) <- Seq(("a", 1000), ("b", 5000), ("c", 20000))
+      id <- 1 to n
+      rep <- 1 to (id % 3 + 1)
+    } yield (g, s"$g-$id", id % 7, id.toDouble)
+    val df = rows.toDF("g", "uid", "bucket", "v")
+    val c = Sketches.distinctContract(df, Seq("g"), col("bucket"), "uid")
+      .collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) == (3L, 3L, 3L))
+    // estimates really are approximate on the big group, not exact pass-through
+    val est = Sketches.distinctEstimate(df, Seq("g"), "uid").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(est("c") - 20000L) <= 1000, s"est=${est("c")}")
+    val q = Sketches.quantileContract(df, Seq("g"), "v", Seq(0.5, 0.95))
+      .collect().head
+    assert((q.getLong(0), q.getLong(1), q.getLong(2)) == (3L, 6L, 6L))
+  }
+
   test("salted count equals plain groupBy count (hot key included)") {
     val df = (Seq.fill(5000)(("hot", 1)) ++ (1 to 500).map(i => (s"k$i", i)))
       .toDF("key", "v")
