@@ -83,6 +83,14 @@ object TextAnalysis {
     when(bestScore >= minScore, bestLang).otherwise(lit("und"))
   }
 
+  /** C4-style keep-predicate over [[qualityFeatures]]: enough tokens,
+    * sane mean token length, bounded punctuation. Evaluated on the
+    * ROUNDED struct fields so the SQL oracle can mirror it exactly. */
+  def qualityOk(f: Column): Column =
+    f("n_tokens") >= 10 &&
+      f("mean_tok_len") >= 2.0 && f("mean_tok_len") <= 12.0 &&
+      f("punct_ratio") < 0.2
+
   /** Repetition signals (Gopher-style): the within-document
     * boilerplate detectors used to filter web corpora alongside the
     * [[qualityFeatures]] thresholds.
@@ -118,6 +126,38 @@ object TextAnalysis {
   def repetitionOk(sig: Column): Column =
     sig("dup_word_frac") < 0.5 &&
       sig("top_bigram_frac") < 0.18 && sig("top_trigram_frac") < 0.16
+
+  /** The composed corpus-clean pass — what a training-data pipeline
+    * actually runs over raw crawl text, as ONE operator: language-ID,
+    * quality thresholds, repetition thresholds, and exact dedup
+    * canonicalization (min id per content digest), folded into a
+    * single scan + one digest-keyed window. `keep` is the conjunction;
+    * the per-stage flags are kept so downstream can audit WHY a
+    * document fell out (the usual corpus-ablation requirement).
+    *
+    * Scale shape: everything except canonicalization is a narrow
+    * projection; the digest min-window is the only shuffle (one key
+    * exchange — content digests are uniform, no skew). At 100 TB this
+    * is a scan plus one well-distributed shuffle.
+    */
+  def corpusClean(docs: DataFrame, idCol: String, textCol: String,
+                  allowedLangs: Seq[String] = Seq("en", "de", "fr", "es"))
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest"))
+    docs.select(col(idCol), col(textCol).as("_text"),
+        langId(col(textCol)).as("lang"),
+        qualityFeatures(col(textCol)).as("_qf"),
+        repetitionSignals(col(textCol)).as("_rep"),
+        md5(col(textCol)).as("digest"))
+      .withColumn("q_ok", qualityOk(col("_qf")))
+      .withColumn("rep_ok", repetitionOk(col("_rep")))
+      .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
+      .withColumn("keep",
+        col("lang").isin(allowedLangs.map(x => x: Any): _*) &&
+          col("q_ok") && col("rep_ok") && col("is_canonical"))
+      .drop("_text", "_qf", "_rep")
+  }
 
   /** Rolling-hash document fingerprint: Karp-Rabin fold over the
     * character stream, h ← (h·31 + code(c)) mod 1e9+7. Pure integer

@@ -167,6 +167,17 @@ object TextQueries {
         .orderBy(col("digest"))
     }),
 
+    // The composed corpus-clean pass: lang-ID + quality + repetition +
+    // exact-dedup canonicalization in one operator, per-stage flags
+    // kept for ablation audits.
+    "qX_corpus_clean" -> ((s, dir) => {
+      TextAnalysis.corpusClean(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("q_ok"), col("rep_ok"),
+          col("is_canonical"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // n-gram Jaccard near-dup pairs (exact all-pairs oracle form).
     "qX_dedup_ngram" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
@@ -340,6 +351,77 @@ object TextQueries {
     "qX_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    // The corpus-clean oracle composes the already-proven per-stage
+    // SQL: lang-ID voting, rounded quality features, rounded
+    // repetition mode-fractions, digest min-window canonicalization.
+    "qX_corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id,
+        |    round(CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','and','of','to','is','in','that','it','for'], x)))
+        |      AS DOUBLE) / greatest(len(toks), 1), 4) AS s_en,
+        |    round(CAST(len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','zu','mit','den'], x)))
+        |      AS DOUBLE) / greatest(len(toks), 1), 4) AS s_de,
+        |    round(CAST(len(list_filter(toks, x -> list_contains(
+        |      ['le','la','et','les','des','un','une','est','que','pour'], x)))
+        |      AS DOUBLE) / greatest(len(toks), 1), 4) AS s_fr,
+        |    round(CAST(len(list_filter(toks, x -> list_contains(
+        |      ['el','la','y','los','de','un','una','es','que','por'], x)))
+        |      AS DOUBLE) / greatest(len(toks), 1), 4) AS s_es
+        |  FROM t),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) >= 0.05 THEN
+        |      CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |           WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |           WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |           ELSE 'es' END
+        |    ELSE 'und' END AS lang
+        |  FROM lang),
+        |q AS (
+        |  SELECT doc_id,
+        |    len(toks) >= 10
+        |    AND round(CAST(length(text) AS DOUBLE) / len(toks), 4)
+        |      BETWEEN 2.0 AND 12.0
+        |    AND round(CAST(length(text) -
+        |      length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+        |      / length(text), 4) < 0.2 AS q_ok
+        |  FROM t),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |tg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |       FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+        |bgf AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS f
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |        GROUP BY doc_id),
+        |tgf AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS f
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+        |        GROUP BY doc_id),
+        |rep AS (
+        |  SELECT t.doc_id,
+        |    (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |         / len(toks), 4) END) < 0.5
+        |    AND coalesce(bgf.f, 0.0) < 0.18
+        |    AND coalesce(tgf.f, 0.0) < 0.16 AS rep_ok
+        |  FROM t LEFT JOIN bgf ON t.doc_id = bgf.doc_id
+        |         LEFT JOIN tgf ON t.doc_id = tgf.doc_id),
+        |canon AS (
+        |  SELECT doc_id,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        |  FROM documents)
+        |SELECT t.doc_id, pred.lang, q.q_ok, rep.rep_ok, canon.is_canonical,
+        |  (pred.lang IN ('en','de','fr','es') AND q.q_ok AND rep.rep_ok
+        |     AND canon.is_canonical) AS keep
+        |FROM t JOIN pred USING (doc_id) JOIN q USING (doc_id)
+        |       JOIN rep ON t.doc_id = rep.doc_id
+        |       JOIN canon ON t.doc_id = canon.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "qX_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -308,6 +308,23 @@ object CardStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("events"))
 
+  /** Streaming exact dedup — the streaming face of
+    * [[graft.operators.Dedup.exact]] (J1 replay idempotence applied to
+    * content keys rather than checkpoint offsets): drop every record
+    * whose `idCols` key was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key
+    * ONLY until the watermark passes it, so state is O(keys per
+    * `lateness` window), not O(stream history) — same boundedness
+    * argument as [[windowedEventCounts]]. Exactly-once output for
+    * at-least-once delivery whenever redelivery lag ≤ `lateness`.
+    */
+  def dedupStream(records: DataFrame, idCols: Seq[String],
+                  tsCol: String = "ts",
+                  lateness: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   // ------------------------------------------------------- status machine
 
   /** Input shape of the status stream (J4). */

@@ -185,6 +185,29 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert((q.getLong(0), q.getLong(1), q.getLong(2)) == (3L, 6L, 6L))
   }
 
+  test("corpusClean: planted dup, junk, und-language and clean docs flagged correctly") {
+    import graft.operators.TextAnalysis
+    val clean = "the quick brown fox jumps over the lazy dog and that is it for now"
+    val docs = Seq(
+      (1L, clean),                                    // keep
+      (2L, clean),                                    // exact dup of 1 → not canonical
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam"), // repetition
+      (4L, "zz qq ww"),                               // und + too short
+      (5L, "der hund und die katze sind nicht zu haus und das ist gut so ja")  // de, keep
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusClean(docs, "doc_id", "text")
+      .select("doc_id", "lang", "q_ok", "rep_ok", "is_canonical", "keep")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(got(1L) == ("en", true, true, true, true))
+    assert(got(2L)._4 == false && got(2L)._5 == false) // dup: non-canonical
+    assert(got(3L)._3 == false && got(3L)._5 == false) // repetition fails
+    assert(got(4L)._1 == "und" && got(4L)._5 == false)
+    assert(got(5L) == ("de", true, true, true, true))
+  }
+
   test("salted count equals plain groupBy count (hot key included)") {
     val df = (Seq.fill(5000)(("hot", 1)) ++ (1 to 500).map(i => (s"k$i", i)))
       .toDF("key", "v")

@@ -167,6 +167,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.contains((120L, "click", 1L)), rows)
   }
 
+  test("streaming dedup: redelivered keys within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val out = CardStream.dedupStream(
+        mem.toDS().toDF("ts", "doc_id", "payload"),
+        idCols = Seq("doc_id"), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    // batch 1: d1 twice in-batch, d2 once
+    mem.addData((ts(1), "d1", "a"), (ts(2), "d1", "b"), (ts(3), "d2", "c"))
+    out.processAllAvailable()
+    // batch 2: at-least-once redelivery of d1/d2 within lateness + a new d3
+    mem.addData((ts(4), "d1", "a"), (ts(5), "d2", "c"), (ts(6), "d3", "d"))
+    out.processAllAvailable()
+    // batch 3: advance the watermark far past d1's state, then re-emit d1:
+    // its dedup state has been expired, so the key passes again (the
+    // documented horizon contract: exactly-once only within lateness)
+    mem.addData((ts(120), "d9", "x"))
+    out.processAllAvailable()
+    mem.addData((ts(125), "d1", "again"))
+    out.processAllAvailable()
+    out.stop()
+
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getString(1), r.getString(2))).toList.sorted
+    assert(got == List(("d1", "a"), ("d1", "again"), ("d2", "c"),
+      ("d3", "d"), ("d9", "x")), got)
+  }
+
   test("crashed swap: reader falls back to __old without mutating; writer recovers") {
     val path = tmp("swap") + "/table"
     val b1 = Seq(("k1", 1L, "v1")).toDF("id", "ts", "value")
