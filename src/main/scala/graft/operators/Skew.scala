@@ -41,4 +41,35 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft.join(replicatedRight, Seq(keyCol, "_salt")).drop("_salt")
   }
+
+  /** Bloom-pruned semi join: build a bloom filter over the small
+    * side's keys (one aggregation → a few-hundred-KB binary on the
+    * driver, the same scalar-subquery shape as Spark's own AQE
+    * runtime filters), prune the LARGE side with the codegen'd
+    * `might_contain` predicate BEFORE its shuffle, then close with a
+    * real semi join that removes the false positives.
+    *
+    * This is the explicit form of the big-join optimization that
+    * matters most at 100 TB: when selectivity is low (most large-side
+    * rows have no partner), the bloom predicate drops them at the scan
+    * — the shuffle carries only candidate rows, fpp·|large| false
+    * positives of overhead instead of |large| rows. Exactness is
+    * independent of the filter's fpp (locked in ScaleOpsSpec with a
+    * deliberately saturated filter). Keys are xxhash64-folded so any
+    * key type rides through the LONG-typed bloom.
+    */
+  def bloomPrunedSemiJoin(large: DataFrame, largeKey: String,
+                          small: DataFrame, smallKey: String,
+                          expectedItems: Long = 1000000L,
+                          numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopKBridge
+    val bf = small
+      .agg(GraftTopKBridge.bloomAgg(xxhash64(col(smallKey)),
+        expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = large.filter(
+      GraftTopKBridge.mightContain(lit(bf), xxhash64(col(largeKey))))
+    pruned.join(small.select(col(smallKey).as(largeKey)).distinct(),
+      Seq(largeKey), "left_semi")
+  }
 }

@@ -197,6 +197,19 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // C7 at 100 TB: the same semi join with a bloom pre-filter pruning
+    // the large side before its shuffle (exact — FPs removed by the
+    // closing semi join; must equal the plain IN-subquery oracle).
+    "qX_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      graft.operators.Skew.bloomPrunedSemiJoin(
+          li.withColumnRenamed("l_orderkey", "k"), "k", o, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // C8: property-hydration join — scored ids joined back to dims in
     // one pass (vs the reference's N+1 valueMap loop); dims broadcast.
     "qC8_hydrate_join" -> ((s, dir) => {
@@ -444,6 +457,13 @@ object RelationalQueries {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
         |  FROM events) WHERE _rn = 1 ORDER BY user_id""".stripMargin,
+    "qX_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "qX_hll_distinct" ->
       """WITH g AS (SELECT count(DISTINCT event_type) AS n FROM events)
         |SELECT n AS n_groups, n AS n_merge_agree, n AS n_within_tol

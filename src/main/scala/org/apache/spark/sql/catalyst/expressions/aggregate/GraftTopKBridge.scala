@@ -20,4 +20,21 @@ object GraftTopKBridge {
     ColumnBridge.toColumn(
       CollectTopK(ColumnBridge.toExpr(ord), k, reverse = smallestFirst)
         .toAggregateExpression())
+
+  /** Spark's internal bloom-filter pair (the machinery behind AQE
+    * runtime filters, surfaced as explicit operators for
+    * [[graft.operators.Skew.bloomPrunedSemiJoin]]): `bloomAgg` folds a
+    * LONG column into a serialized BloomFilter (binary, a few hundred
+    * KB); `mightContain` is the codegen'd membership predicate. */
+  def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+    ColumnBridge.toColumn(
+      new BloomFilterAggregate(ColumnBridge.toExpr(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  def mightContain(bloom: Column, value: Column): Column =
+    ColumnBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.toExpr(bloom), ColumnBridge.toExpr(value)))
 }

@@ -218,6 +218,23 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(salted == plain)
   }
 
+  test("bloomPrunedSemiJoin equals plain semi join, even with a saturated filter") {
+    val large = (1 to 5000).map(i => (i.toLong % 700, s"p$i")).toDF("k", "payload")
+    val small = (1 to 100).map(i => (i * 7L, i)).toDF("sk", "v")
+    val plain = large.join(small.select(col("sk").as("k")).distinct(),
+        Seq("k"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val pruned = Skew.bloomPrunedSemiJoin(large, "k", small, "sk")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned == plain && plain.nonEmpty)
+    // 64-bit filter for 100 keys: saturated, FP rate near 1 — the
+    // closing semi join must still make the result exact
+    val tiny = Skew.bloomPrunedSemiJoin(large, "k", small, "sk",
+        expectedItems = 100, numBits = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tiny == plain)
+  }
+
   test("salted join equals plain join") {
     val left = (Seq.fill(2000)((7L, "hot")) ++ (1 to 100).map(i => (i.toLong, s"v$i")))
       .toDF("k", "lv")
