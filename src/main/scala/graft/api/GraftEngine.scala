@@ -229,4 +229,18 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def communities(): DataFrame =
     graft.operators.GraphAnalytics.connectedComponents(vertices,
       edges.withColumn("weight", coalesce(col("weight"), lit(1.0))))
+
+  /** Per-person triangle count — the clustering/cohesion signal
+    * (degree-oriented DataFrame plan; string ids ride the GraphX
+    * mapping). */
+  def triangles(): DataFrame =
+    graft.operators.GraphAnalytics.triangleCounts(vertices,
+      edges.withColumn("weight", coalesce(col("weight"), lit(1.0))))
+
+  /** Top-`k` most central people by PageRank — the "influencers" view.
+    * Global top-k: `orderBy.limit` plans as TakeOrderedAndProject
+    * (per-partition heaps + driver merge — no global sort; the grouped
+    * sibling is [[graft.operators.TopK.grouped]]). */
+  def influencers(k: Int = 10, iters: Int = 10): DataFrame =
+    pageRank(iters).orderBy(desc("rank"), asc("id")).limit(k)
 }

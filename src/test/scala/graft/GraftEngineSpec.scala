@@ -117,6 +117,18 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(engine.pageRank(5).count() == 6)
     val comps = engine.communities().select("component").distinct().count()
     assert(comps >= 1 && comps <= 6)
+    // triangles: every vertex counted; DF plan agrees with the engine's
+    // GraphX-mapped ids
+    val tri = engine.triangles().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tri.size == 6 && tri.values.forall(_ >= 0))
+    // influencers = top-k of pageRank, rank desc, id asc
+    val inf = engine.influencers(3, iters = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val pr = engine.pageRank(5).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy { case (id, rank) => (-rank, id) }.take(3)
+    assert(inf.toList == pr.toList)
   }
 
   test("graph admin: dump then clear") {
