@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting — the third leg of a training-data
@@ -56,14 +55,31 @@ object Sampling {
 
   /** Per-key cap: keep at most `n` rows per key, preferring the lowest
     * `orderCols` (ties must be broken by a total order for determinism).
-    * The per-domain / per-source document cap of LLM data curation —
-    * one keyed shuffle; heavily-duplicated sources are bounded at the
-    * reducer (each group emits ≤ n rows). */
+    * The per-domain / per-source document cap of LLM data curation.
+    * Runs on the bounded-heap grouped top-k ([[TopK.grouped]]): O(n)
+    * state per key and map-side partial heaps, so a source with a
+    * billion rows costs its reducer n rows, not a sorted billion —
+    * the full row rides the sort struct as a trailing payload field
+    * (participates only in final tie-break, after the total order). */
   def perKeyCap(df: DataFrame, keyCol: String, orderCols: Seq[String],
                 n: Int): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= n)
-      .drop("_rn")
+    val rowStruct = struct(df.columns.map(col).toSeq: _*).as("_row")
+    val sortKey = struct(orderCols.map(col) :+ rowStruct: _*)
+    TopK.grouped(df, Seq(keyCol), sortKey, n)
+      .select(col("best._row.*"))
+  }
+
+  /** Uniform deterministic k-sample per key — per-source "show me k
+    * random-but-reproducible documents" (the reservoir-sample shape
+    * with the hash bucket as the randomness source, so membership is
+    * partition- and rerun-stable like [[hashSample]]). Lowest k by
+    * (md5 bucket, id); same bounded-heap scale shape as [[perKeyCap]]. */
+  def perKeyUniformSample(df: DataFrame, keyCol: String, idCol: String,
+                          k: Int): DataFrame = {
+    val rowStruct = struct(df.columns.map(col).toSeq: _*).as("_row")
+    val sortKey = struct(md5Bucket(col(idCol)).as("_b"),
+      col(idCol).as("_i"), rowStruct)
+    TopK.grouped(df, Seq(keyCol), sortKey, k)
+      .select(col("best._row.*"))
   }
 }

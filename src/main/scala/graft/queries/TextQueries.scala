@@ -159,6 +159,15 @@ object TextQueries {
         .orderBy(col("user_id"))
     }),
 
+    // uniform deterministic per-key sample: 5 docs per lang by
+    // (md5 bucket, doc_id) — reservoir shape, hash as randomness.
+    "qX_key_sample" -> ((s, dir) => {
+      graft.operators.Sampling.perKeyUniformSample(
+          Tables.load(s, dir, "documents"), "lang", "doc_id", 5)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // exact dedup: content digest → survivor + duplicate count.
     "qX_dedup_exact" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -447,6 +456,15 @@ object TextQueries {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM r WHERE rn <= 3
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "qX_key_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     "qX_dedup_ngram" ->
       """WITH d AS (
         |  SELECT doc_id,
