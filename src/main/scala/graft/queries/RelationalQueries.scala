@@ -266,6 +266,22 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // J-tier extension: session windows (gap-merged per-user activity
+    // bursts) — Spark's session_window in batch form; the oracle is the
+    // classic gaps-and-islands SQL. Sessions end at last event + gap.
+    "qX_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Mergeable-sketch contracts (SURVEY §2.D at 100 TB): union of
     // per-day HLL slices must equal the one-pass sketch exactly, both
     // within tolerance of exact; approx percentiles must sit inside
@@ -457,6 +473,26 @@ object RelationalQueries {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
         |  FROM events) WHERE _rn = 1 ORDER BY user_id""".stripMargin,
+    "qX_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 1 HOUR OR
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "qX_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS qty
