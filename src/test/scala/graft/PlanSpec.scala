@@ -103,6 +103,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), p.take(4000))
   }
 
+  test("bloom join: might_contain prunes BELOW the semi join (pre-shuffle)") {
+    val p = plan("qX_bloom_join")
+    val mc = p.indexOf("might_contain")
+    assert(mc >= 0, "bloom predicate missing:\n" + p.take(2000))
+    // the pruning filter must sit under the closing semi join, i.e.
+    // the join node appears before the filter in top-down plan order
+    val join = p.indexOf("LeftSemi")
+    assert(join >= 0 && join < mc,
+      "might_contain must be below the semi join (prune before shuffle)")
+  }
+
+  test("grouped top-k (CollectTopK) plans as aggregate with partial heaps, no Window") {
+    val p = plan("qX_topk_grouped")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("partial_collect_top_k") || p.contains("collect_top_k"),
+      p.take(2000))
+    assert(!p.contains("Window"), "grouped top-k must not window-sort")
+  }
+
   test("bucketed tables co-locate the fact-fact join: no shuffle on either side") {
     import org.apache.spark.sql.functions._
     // the 100 TB pattern: write both fact tables bucketed by the join
