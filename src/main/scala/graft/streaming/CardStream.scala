@@ -308,6 +308,61 @@ object CardStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("events"))
 
+  /** Incremental additive rollup — streaming materialized-view
+    * maintenance for SUM/COUNT-shaped aggregates: fold a micro-batch's
+    * per-key partials into a stored rollup table, so the serving-side
+    * aggregate never rescans history (at 100 TB the raw stream is
+    * unreplayable; the rollup is the queryable state). Layout mirrors
+    * [[graft.operators.SearchIndex.mergeStored]]: `data` + `meta`
+    * staged under one parent dir, single [[swapStaged]] cutover, and
+    * the meta `last_batch` as the at-least-once replay fence (additive
+    * merges are NOT idempotent — a replayed batch would double-count;
+    * the fence makes replay a no-op). Counts must be maintained as
+    * SUM over partial counts (`count(…)` of the batch, `sum` here).
+    *
+    * @return the merged row count.
+    */
+  def mergeAdditive(spark: SparkSession, batch: DataFrame, dir: String,
+                    keyCols: Seq[String], sumCols: Seq[String],
+                    batchId: Long = -1L): Long = {
+    recoverSwap(spark, dir) // single-writer path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(s"$dir/meta"))
+    if (exists && batchId >= 0) {
+      val last = spark.read.parquet(s"$dir/meta").head().getLong(0)
+      if (last == batchId)
+        return spark.read.parquet(s"$dir/data").count() // replayed batch
+    }
+    val partial = batch.groupBy(keyCols.map(col): _*)
+      .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+    val merged =
+      if (exists)
+        spark.read.parquet(s"$dir/data").unionByName(partial)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+            sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+      else partial
+    val stage = s"${dir}__stage"
+    if (fs.exists(new Path(stage)) && !fs.delete(new Path(stage), true))
+      throw new java.io.IOException(s"mergeAdditive: cannot clear stale $stage")
+    val out = merged.localCheckpoint(true) // one computation, two consumers
+    out.write.mode("overwrite").parquet(s"$stage/data")
+    spark.range(1).select(lit(batchId).as("last_batch"))
+      .write.mode("overwrite").parquet(s"$stage/meta")
+    swapStaged(spark, dir)
+    out.count()
+  }
+
+  /** Non-mutating reader for a [[mergeAdditive]] rollup (crash-safe
+    * `__old` fallback like [[tableOrEmpty]]). */
+  def readRollup(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = if (!fs.exists(new Path(dir)) && fs.exists(new Path(dir + "__old")))
+      dir + "__old" else dir
+    spark.read.parquet(s"$d/data")
+  }
+
   /** Streaming exact dedup — the streaming face of
     * [[graft.operators.Dedup.exact]] (J1 replay idempotence applied to
     * content keys rather than checkpoint offsets): drop every record

@@ -223,6 +223,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map("k1" -> "v2"))
   }
 
+  test("mergeAdditive: batched rollup equals full aggregate; replay fenced") {
+    val dir = tmp("rollup") + "/counts"
+    val all = (1 to 300).map(i => (s"k${i % 7}", i.toLong, 1L))
+      .toDF("key", "v", "n")
+    val b1 = all.filter(col("v") <= 100)
+    val b2 = all.filter(col("v") > 100 && col("v") <= 200)
+    val b3 = all.filter(col("v") > 200)
+    CardStream.mergeAdditive(spark, b1, dir, Seq("key"), Seq("v", "n"), 0L)
+    CardStream.mergeAdditive(spark, b2, dir, Seq("key"), Seq("v", "n"), 1L)
+    // at-least-once redelivery of batch 1 — the fence must no-op it
+    CardStream.mergeAdditive(spark, b2, dir, Seq("key"), Seq("v", "n"), 1L)
+    CardStream.mergeAdditive(spark, b3, dir, Seq("key"), Seq("v", "n"), 2L)
+    val got = CardStream.readRollup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = all.groupBy("key")
+      .agg(sum("v").as("v"), sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("mergeLww is idempotent and order-independent across batches") {
     val path = tmp("lww") + "/table"
     val b1 = Seq(("k1", 1L, "v1"), ("k2", 1L, "v2")).toDF("id", "ts", "value")
