@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical file-layout operators — the write-side half of scan
+  * performance at 100 TB: what order rows land in decides how tight
+  * each file's min/max column statistics are, and therefore how many
+  * files a selective query can SKIP without opening them.
+  *
+  * Z-ordering (Morton interleave) maps two sort dimensions onto one
+  * key such that rows close in EITHER dimension cluster into the same
+  * files — the standard layout for two-column selective workloads
+  * (single-column workloads should just sort by that column). All bit
+  * math is built-in Catalyst expressions (codegen'd, and recomputable
+  * by any SQL engine — the qX_zorder oracle recomputes it in DuckDB).
+  */
+object Layout {
+
+  private val SpreadSteps: Seq[(Int, Long)] = Seq(
+    (16, 0x0000FFFF0000FFFFL),
+    (8, 0x00FF00FF00FF00FFL),
+    (4, 0x0F0F0F0F0F0F0F0FL),
+    (2, 0x3333333333333333L),
+    (1, 0x5555555555555555L))
+
+  /** Spread the low 32 bits of `x` so bit i lands at position 2i (the
+    * magic-mask Morton spread, 5 shift/or/and steps). */
+  def spreadBits(x: Column): Column =
+    SpreadSteps.foldLeft(x.bitwiseAND(lit(0xFFFFFFFFL))) {
+      case (acc, (s, m)) =>
+        acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(m))
+    }
+
+  /** 64-bit Morton (Z-order) key of two non-negative 32-bit values:
+    * `a`'s bits at even positions, `b`'s at odd. Monotone in each
+    * argument with the other fixed; interleaving gives the recursive-Z
+    * locality that makes range predicates on EITHER column touch few
+    * key ranges. */
+  def zorderKey(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Write `df` Z-ordered on two integer-domain columns: range
+    * partition by the Morton key into `numFiles` output files, sort
+    * within each, write parquet. Every file then covers a compact Z
+    * region — its parquet min/max stats on BOTH columns are tight, so
+    * a reader with a predicate on either column prunes most files from
+    * the listing alone (no data read). Doubles/strings must be rank- or
+    * bucket-normalized into [0, 2^32) first (caller's contract — the
+    * key math is only meaningful on bounded non-negative ints). */
+  def zorderWrite(df: DataFrame, c1: String, c2: String, path: String,
+                  numFiles: Int): Unit =
+    df.withColumn("_z", zorderKey(col(c1), col(c2)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -24,6 +24,23 @@ object TextQueries {
     """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |  x -> x <> '') AS toks FROM documents""".stripMargin
 
+  /** DuckDB restatement of [[graft.operators.Layout.zorderKey]]: the
+    * same 5 magic-mask spread steps, generated once per operand. */
+  private def spreadSql(e: String): String =
+    Seq((16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+      .foldLeft(s"($e & 4294967295)") { case (acc, (s, m)) =>
+        s"(($acc | ($acc << $s)) & $m)"
+      }
+
+  private val ZorderSql: String = {
+    val a = spreadSql("(doc_id % 1024)")
+    val b = spreadSql("((doc_id * 37) % 1024)")
+    s"""SELECT doc_id, ($a | ($b << 1)) AS zkey
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1/B3: regex field extraction — first leftmost match, '' if none.
     "qB1_regex_extract" -> ((s, dir) => {
@@ -157,6 +174,17 @@ object TextQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_kept"), sum(col("event_id")).as("id_sum"))
         .orderBy(col("user_id"))
+    }),
+
+    // Z-order (Morton) layout key — the data-skipping write layout;
+    // pure bit math, recomputed bit-for-bit by the DuckDB oracle.
+    "qX_zorder" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Layout.zorderKey(
+            pmod(col("doc_id"), lit(1024L)),
+            pmod(col("doc_id") * 37, lit(1024L))).as("zkey"))
+        .orderBy(col("doc_id"))
     }),
 
     // uniform deterministic per-key sample: 5 docs per lang by
@@ -456,6 +484,7 @@ object TextQueries {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM r WHERE rn <= 3
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "qX_zorder" -> ZorderSql,
     "qX_key_sample" ->
       """WITH r AS (
         |  SELECT lang, doc_id, row_number() OVER (

@@ -238,6 +238,22 @@ object CardStream {
       }
       .start()
 
+  /** Streaming incremental rollup sink: [[mergeAdditive]] per
+    * micro-batch (its meta `last_batch` is the replay fence — same
+    * contract as [[startIndexMerge]]). The rollup table is the
+    * always-queryable materialized aggregate; the raw stream never
+    * needs rescanning. */
+  def startRollup(records: DataFrame, dir: String, checkpoint: String,
+                  keyCols: Seq[String], sumCols: Seq[String]): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeAdditive(batch.sparkSession, batch, dir, keyCols, sumCols, batchId)
+        ()
+      }
+      .start()
+
   /** Graph sink: vertex LWW merge + edge distinct merge
     * (upsert_bizcard_to_graph_db.py:89-113). Unlike the reference —
     * which loses edges when the owner's own card arrives late

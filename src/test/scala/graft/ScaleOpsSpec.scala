@@ -185,6 +185,37 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert((q.getLong(0), q.getLong(1), q.getLong(2)) == (3L, 6L, 6L))
   }
 
+  test("zorder: known Morton values; files cover compact per-column ranges") {
+    import graft.operators.Layout
+    // hand-checked interleaves: z(a,b) = even bits a, odd bits b
+    val known = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+      (3L, 5L, 39L), (1023L, 0L, 349525L))
+    val got = known.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(Layout.zorderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toList
+    assert(got == known.map(_._3).toList)
+
+    // layout: a 64x64 grid z-written into 16 files — every file's
+    // per-column span must be far tighter than the full domain (the
+    // min/max stats a reader prunes on); row-major sorted files would
+    // cover the FULL y domain in every file
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val dir = Files.createTempDirectory("zorder").toString + "/grid"
+    Layout.zorderWrite(grid, "x", "y", dir, 16)
+    val spans = spark.read.parquet(dir)
+      .withColumn("_f", input_file_name())
+      .groupBy("_f")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.length >= 8, s"expected many files, got ${spans.length}")
+    // every file covers at most half of each 0..63 dimension
+    assert(spans.forall { case (sx, sy) => sx <= 32 && sy <= 32 },
+      spans.mkString(", "))
+    // and the data round-trips completely
+    assert(spark.read.parquet(dir).count() == 64 * 64)
+  }
+
   test("corpusClean: planted dup, junk, und-language and clean docs flagged correctly") {
     import graft.operators.TextAnalysis
     val clean = "the quick brown fox jumps over the lazy dog and that is it for now"

@@ -243,6 +243,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("startRollup: streamed micro-batches materialize the full aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("srollup") + "/counts"
+    val cp = tmp("srollup_cp")
+    val mem = MemoryStream[(String, Long)]
+    val q = CardStream.startRollup(
+      mem.toDS().toDF("key", "v").withColumn("n", lit(1L)),
+      dir, cp, Seq("key"), Seq("v", "n"))
+    mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+    q.processAllAvailable()
+    mem.addData(("a", 4L), ("c", 7L))
+    q.processAllAvailable()
+    q.stop()
+    val got = CardStream.readRollup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> (7L, 3L), "b" -> (10L, 1L), "c" -> (7L, 1L)))
+  }
+
   test("mergeLww is idempotent and order-independent across batches") {
     val path = tmp("lww") + "/table"
     val b1 = Seq(("k1", 1L, "v1"), ("k2", 1L, "v2")).toDF("id", "ts", "value")
