@@ -266,6 +266,58 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // C-tier at its hardest: the TPC-H Q3 shape — selective dim filter
+    // broadcast into a fact-fact join, revenue agg, top-10. The join
+    // order (filter customer first, join orders, then lineitem) and
+    // broadcast choice are what Catalyst+AQE must get right at 100 TB.
+    "qX_join_q3" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15 00:00:00")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // The TPC-H Q5 shape: a 6-table snowflake (region→nation→customer/
+    // supplier→orders→lineitem) with the co-nation equi-condition —
+    // deep broadcast chains over the dims, one fact shuffle.
+    "qX_join_q5" -> ((s, dir) => {
+      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nat = t(s, dir, "nation")
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
     // J-tier extension: session windows (gap-merged per-user activity
     // bursts) — Spark's session_window in batch form; the oracle is the
     // classic gaps-and-islands SQL. Sessions end at last event + gap.
@@ -473,6 +525,31 @@ object RelationalQueries {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
         |  FROM events) WHERE _rn = 1 ORDER BY user_id""".stripMargin,
+    "qX_join_q3" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "qX_join_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "qX_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts,
