@@ -266,6 +266,53 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // E-tier breadth: the analytic window-function family over event
+    // time series (lag/lead/rank/dense_rank/cume_dist in one pass —
+    // one partition-keyed sort serves all five).
+    "qX_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          lag("event_id", 1).over(w).as("prev_id"),
+          lead("event_id", 1).over(w).as("next_id"),
+          rank().over(Window.partitionBy("user_id")
+            .orderBy(col("value").desc, col("event_id"))).as("value_rank"),
+          round(cume_dist().over(Window.partitionBy("user_id")
+            .orderBy(col("value"), col("event_id"))), 4).as("value_cume"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // D-tier breadth: pivot (wide rollup) — per-user event counts
+    // pivoted by event_type; the oracle is conditional aggregation.
+    "qX_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // F-tier completion: INTERSECT / EXCEPT set semantics (SURVEY §2.F
+    // lists them absent in the reference; Spark built-ins close it).
+    "qX_setops" -> ((s, dir) => {
+      val clickers = t(s, dir, "events")
+        .filter(col("event_type") === "click").select("user_id")
+      val viewers = t(s, dir, "events")
+        .filter(col("event_type") === "view").select("user_id")
+      val both = clickers.intersect(viewers)
+        .withColumn("kind", lit("both"))
+      val clickOnly = clickers.except(viewers)
+        .withColumn("kind", lit("click_only"))
+      both.unionAll(clickOnly)
+        .orderBy(col("kind"), col("user_id"))
+    }),
+
     // C-tier at its hardest: the TPC-H Q3 shape — selective dim filter
     // broadcast into a fact-fact join, revenue agg, top-10. The join
     // order (filter customer first, join orders, then lineitem) and
@@ -525,6 +572,34 @@ object RelationalQueries {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
         |  FROM events) WHERE _rn = 1 ORDER BY user_id""".stripMargin,
+    "qX_window_funcs" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  rank() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) AS value_rank,
+        |  round(cume_dist() OVER (PARTITION BY user_id
+        |    ORDER BY value, event_id), 4) AS value_cume
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "qX_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase
+        |FROM events WHERE user_id < 100
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "qX_setops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+        |b AS (SELECT user_id, 'both' AS kind FROM (
+        |  SELECT user_id FROM c INTERSECT SELECT user_id FROM v)),
+        |co AS (SELECT user_id, 'click_only' AS kind FROM (
+        |  SELECT user_id FROM c EXCEPT SELECT user_id FROM v))
+        |SELECT user_id, kind FROM b
+        |UNION ALL SELECT user_id, kind FROM co
+        |ORDER BY kind, user_id""".stripMargin,
     "qX_join_q3" ->
       """SELECT l_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
