@@ -85,6 +85,25 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Near-duplicate CLUSTERS from a pair list — the step every dedup
+    * family above feeds: near-dup relations are not transitive-closed
+    * (A~B, B~C but A≁C), yet curation must keep ONE doc per connected
+    * group or chained near-dups survive pairwise removal. Composes
+    * [[GraphAnalytics.connectedComponentsDF]] over the pair graph
+    * (same min-label convergence, one keyed shuffle per round) and
+    * re-attaches singletons: every doc gets `cluster` = min doc id of
+    * its component (its own id if unpaired) and `is_canonical` =
+    * "this id is the cluster's keeper".
+    */
+  def clusters(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
+    val comp = GraphAnalytics.connectedComponentsDF(
+      pairs.select(col("id1").as("src"), col("id2").as("dst")))
+    docs.select(col(idCol))
+      .join(comp.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
+      .withColumn("is_canonical", col(idCol) === col("cluster"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature over pre-hashed shingles: each shingle is hashed

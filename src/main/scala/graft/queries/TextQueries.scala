@@ -215,6 +215,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Near-dup clusters: connected components over the n-gram pair
+    // graph, singletons kept — one canonical doc per chained group.
+    "qX_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.05)
+      Dedup.clusters(pairs, docs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // One-pass column profile (exact form for the gate; HLL estimates
+    // are the scale default — see Sketches).
+    "qX_profile" -> ((s, dir) => {
+      graft.operators.Profile.summarize(
+        Tables.load(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"), exact = true)
+    }),
+
     // n-gram Jaccard near-dup pairs (exact all-pairs oracle form).
     "qX_dedup_ngram" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
@@ -484,6 +501,60 @@ object TextQueries {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM r WHERE rn <= 3
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "qX_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks), 2)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
+        |  FROM d WHERE len(toks) >= 2),
+        |posts AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |p AS (
+        |  SELECT id1, id2 FROM pairs
+        |  WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.05),
+        |adj AS (SELECT id1 AS f, id2 AS t FROM p
+        |        UNION ALL SELECT id2, id1 FROM p),
+        |reach(v, r) AS (
+        |  SELECT f, f FROM (SELECT DISTINCT f FROM adj)
+        |  UNION
+        |  SELECT reach.v, adj.t FROM reach JOIN adj ON reach.r = adj.f),
+        |comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)
+        |SELECT dd.doc_id, coalesce(comp.cluster, dd.doc_id) AS cluster,
+        |  dd.doc_id = coalesce(comp.cluster, dd.doc_id) AS is_canonical
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) dd
+        |LEFT JOIN comp ON dd.doc_id = comp.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
+    "qX_profile" ->
+      """SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*),
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT lang),
+        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*),
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT source),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*),
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT n_chars),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin,
     "qX_zorder" -> ZorderSql,
     "qX_key_sample" ->
       """WITH r AS (

@@ -11,6 +11,18 @@ import graft.operators.{Dedup, Similarity}
 class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("clusters: chained near-dups collapse to one canonical; singletons kept") {
+    // pair graph: 1-2, 2-3 (chain — 1~3 NOT a pair), 10-11; 99 unpaired
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (10L, 11L, 0.8))
+      .toDF("id1", "id2", "jaccard")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val got = graft.operators.Dedup.clusters(pairs, docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false), 99L -> (99L, true)))
+  }
+
   val base = "the quick brown fox jumps over the lazy dog and runs far away " +
     "into the deep green forest while the sun sets slowly behind distant hills"
   val docs = Seq(

@@ -216,6 +216,23 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == 64 * 64)
   }
 
+  test("Profile.summarize: one-pass stats correct; approx within HLL tolerance") {
+    import graft.operators.Profile
+    val df = Seq((1L, Some("a"), 10), (2L, None, 20), (3L, Some("b"), 10),
+        (4L, Some("a"), 30))
+      .toDF("id", "tag", "v")
+    val got = Profile.summarize(df, Seq("id", "tag", "v"), exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("id") == (4L, 0L, 4L, "1", "4"))
+    assert(got("tag") == (4L, 1L, 2L, "a", "b"))
+    assert(got("v") == (4L, 0L, 3L, "10", "30"))
+    val approx = Profile.summarize(df, Seq("id"), exact = false)
+      .collect().head.getLong(3)
+    assert(math.abs(approx - 4L) <= 1)
+  }
+
   test("corpusClean: planted dup, junk, und-language and clean docs flagged correctly") {
     import graft.operators.TextAnalysis
     val clean = "the quick brown fox jumps over the lazy dog and that is it for now"
