@@ -219,7 +219,7 @@ object TextQueries {
     // graph, singletons kept — one canonical doc per chained group.
     "qX_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.05)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.1)
       Dedup.clusters(pairs, docs, "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -519,7 +519,7 @@ object TextQueries {
         |  GROUP BY 1, 2, 3, 4),
         |p AS (
         |  SELECT id1, id2 FROM pairs
-        |  WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.05),
+        |  WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.1),
         |adj AS (SELECT id1 AS f, id2 AS t FROM p
         |        UNION ALL SELECT id2, id1 FROM p),
         |reach(v, r) AS (
