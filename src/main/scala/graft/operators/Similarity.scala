@@ -28,6 +28,18 @@ import graft.functions.GraftFunctions.{cosine, dot, l2Norm}
   */
 object Similarity {
 
+  /** Shared final ranking: top-k per query as a bounded-heap aggregate
+    * ([[TopK.grouped]] — O(k) state per query, map-side partial heaps,
+    * no window sort; at scale the shuffle carries k rows per query per
+    * mapper instead of every scored candidate). (sim desc, id asc) via
+    * the negation idiom; double negation is exact in IEEE. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    TopK.grouped(scored, Seq("qid"),
+        struct((-col("sim")).as("ns"), col("id").as("i")), k)
+      .select(col("qid"), col("best.i").as("id"), (-col("best.ns")).as("sim"))
+      .orderBy(col("qid"), desc("sim"), col("id"))
+
+
   /** Exact cosine top-k of `corpus` for every row of `queries`.
     * Output: (qid, id, sim) with sim rounded to 4 decimals, ranked by
     * (sim desc, id asc) per query.
@@ -39,11 +51,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val scored = broadcast(q).join(c, col("qid") =!= col("id"))
       .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("qid"), col("id"), col("sim"))
-      .orderBy(col("qid"), desc("sim"), col("id"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic "random" hyperplane component: hash-derived value in
@@ -97,11 +105,7 @@ object Similarity {
       .filter(col("qid") =!= col("id"))
       .dropDuplicates("qid", "id")
       .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
-    cand.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("qid"), col("id"), col("sim"))
-      .orderBy(col("qid"), desc("sim"), col("id"))
+    topKPerQuery(cand, k)
   }
 
   /** IVF-style coarse quantization: assign every vector to the nearest
@@ -152,13 +156,9 @@ object Similarity {
       .withColumn("_rn", row_number().over(wProbe))
       .filter(col("_rn") <= nprobe)
       .select(col("qid"), col("qvec"), col("cid").as("cell"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
-    broadcast(probes).join(assigned, Seq("cell"))
+    val scored = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("qid"), col("id"), col("sim"))
-      .orderBy(col("qid"), desc("sim"), col("id"))
+    topKPerQuery(scored, k)
   }
 }
