@@ -127,6 +127,49 @@ object TextAnalysis {
     sig("dup_word_frac") < 0.5 &&
       sig("top_bigram_frac") < 0.18 && sig("top_trigram_frac") < 0.16
 
+  /** Canonical text normalization — the preprocessing contract shared
+    * by dedup and tokenization: lowercase, strip control characters,
+    * collapse whitespace runs to single spaces, trim. Pure narrow
+    * built-ins (codegen'd); normalizing BEFORE fingerprinting makes
+    * near-identical whitespace/case variants exact-dedup together. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\p{Cntrl}]", " "), "\\s+", " "))
+
+  /** Corpus vocabulary: the `maxSize` most frequent tokens with counts
+    * and 1-based rank (count desc, token asc — deterministic). The
+    * tokenizer-training precursor: one explode + one count shuffle +
+    * a bounded-heap global top-V ([[TopK.grouped]] with a constant
+    * group so partial heaps still bound mapper output; a full sort of
+    * the type-token distribution would shuffle every distinct token).
+    */
+  def buildVocab(docs: DataFrame, textCol: String, maxSize: Int): DataFrame = {
+    val counts = docs
+      .select(explode(tokenize(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    TopK.grouped(counts.withColumn("_g", lit(1)), Seq("_g"),
+        struct((-col("cnt")).as("nc"), col("token").as("t")), maxSize,
+        rankCol = "rank")
+      .select(col("best.t").as("token"), (-col("best.nc")).as("cnt"),
+        col("rank"))
+  }
+
+  /** Per-document out-of-vocabulary token rate against a vocab built by
+    * [[buildVocab]] (broadcast — a vocab is bounded by construction).
+    * The coverage metric that decides whether a tokenizer/vocab is big
+    * enough for a corpus. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokenize(col(textCol))).as("token"))
+    toks.join(broadcast(vocab.select(col("token"), lit(1).as("_inv"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_inv").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** The composed corpus-clean pass — what a training-data pipeline
     * actually runs over raw crawl text, as ONE operator: language-ID,
     * quality thresholds, repetition thresholds, and exact dedup

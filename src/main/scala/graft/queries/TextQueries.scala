@@ -215,6 +215,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Text normalization: inject case/control/whitespace noise, then
+    // normalize — the canonical form must be stable (and equal to the
+    // DuckDB restatement byte-for-byte, via md5).
+    "qX_normalize" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextAnalysis.normalizeText(
+            concat(lit("  "), upper(col("text")), lit("\tx "))))
+            .as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary: global top-50 tokens by frequency (the
+    // tokenizer-training precursor; bounded-heap top-V, no full sort).
+    "qX_vocab" -> ((s, dir) => {
+      TextAnalysis.buildVocab(Tables.load(s, dir, "documents"), "text", 50)
+        .orderBy(col("rank"))
+    }),
+
+    // OOV rate per doc against the top-20 vocab — the coverage metric.
+    "qX_oov" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.oovRate(docs.filter(col("doc_id") < 200),
+          "doc_id", "text",
+          TextAnalysis.buildVocab(docs, "text", 20))
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup clusters: connected components over the n-gram pair
     // graph, singletons kept — one canonical doc per chained group.
     "qX_dedup_clusters" -> ((s, dir) => {
@@ -501,6 +529,36 @@ object TextQueries {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM r WHERE rn <= 3
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "qX_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(
+        |    lower('  ' || upper(text) || chr(9) || 'x '),
+        |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "qX_vocab" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(toks) AS token FROM ($ToksSql)),
+         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         |r AS (SELECT token, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
+         |SELECT token, cnt, rank FROM r WHERE rank <= 50
+         |ORDER BY rank""".stripMargin,
+    "qX_oov" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(toks) AS token FROM ($ToksSql)),
+         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         |r AS (SELECT token,
+         |  row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c),
+         |v AS (SELECT token FROM r WHERE rank <= 20),
+         |dt AS (SELECT doc_id, unnest(toks) AS token FROM ($ToksSql)
+         |       WHERE doc_id < 200)
+         |SELECT dt.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS oov_rate
+         |FROM dt LEFT JOIN v ON dt.token = v.token
+         |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
     "qX_dedup_clusters" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id,
