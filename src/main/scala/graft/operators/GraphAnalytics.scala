@@ -191,6 +191,46 @@ object GraphAnalytics {
       .join(vmap, "vid").select(col("id"), col("component"))
   }
 
+  /** Personalized PageRank — random walk with restart to ONE anchor
+    * vertex: rank₀ = [v = anchor]; each round
+    * `rank = (1−d)·[v = anchor] + d·Σ_{u→v} rank(u)/outdeg(u)`.
+    * The probability mass concentrates around the anchor, which makes
+    * PPR the principled generalization of the 2-hop PYMK count
+    * ([[Pymk.recommend]] is exactly the 2-walk term of this series) —
+    * recommendation strength with multi-hop evidence folded in. No
+    * final rescale (the teleport vector already fixes total mass).
+    * Same dataflow and materialization cadence as [[pageRankDF]]
+    * (one keyed shuffle per round, lazy chaining, localCheckpoint
+    * every K rounds); SQL-expressible, oracle-checked (qX_ppr).
+    */
+  def personalizedPageRankDF(edges: DataFrame, anchor: Long,
+                             iters: Int = 10, damping: Double = 0.85,
+                             materializeEvery: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val contribs = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val reset = when(col("id") === anchor, lit(1.0 - damping)).otherwise(lit(0.0))
+    var ranks = verts.withColumn("rank",
+      when(col("id") === anchor, lit(1.0)).otherwise(lit(0.0)))
+    for (i <- 1 to iters) {
+      val msgs = contribs
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("msum"))
+      val next = verts.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (reset + lit(damping) * coalesce(col("msum"), lit(0.0))).as("rank"))
+      ranks = if (i % materializeEvery == 0 || i == iters)
+        next.localCheckpoint(true) else next
+    }
+    ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Connected components in pure DataFrame ops — min-label
     * propagation to convergence: every vertex starts labeled with its
     * own id; each round it takes the min of its label and its

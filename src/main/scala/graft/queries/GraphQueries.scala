@@ -183,6 +183,15 @@ object GraphQueries {
             .as("n_agree"))
     }),
 
+    // Personalized PageRank from anchor 1 — the multi-hop PYMK
+    // generalization (random walk with restart); oracle unrolls the
+    // iterations as chained CTEs like qX_pagerank_df.
+    "qX_ppr" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.personalizedPageRankDF(edges, 1L, iters = 8)
+        .orderBy(col("id"))
+    }),
+
     // Connected components, pure-DataFrame min-label propagation —
     // converges to min-id-per-component, the same canonical form as
     // qX_cc_graphx, so both hash-match one recursive-closure oracle.
@@ -255,7 +264,35 @@ object GraphQueries {
          |FROM r$iters ORDER BY v""".stripMargin
   }
 
+  /** Unrolled PPR oracle: same chained-CTE shape as [[pagerankSql]]
+    * with the teleport concentrated on the anchor and no final
+    * rescale. */
+  private def pprSql(iters: Int, anchor: Long): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
+         |r0 AS (SELECT v, CASE WHEN v = $anchor THEN CAST(1.0 AS DOUBLE)
+         |  ELSE CAST(0.0 AS DOUBLE) END AS rank FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v,
+         |    (CASE WHEN verts.v = $anchor THEN 0.15 ELSE 0.0 END)
+         |      + 0.85 * COALESCE(m.s, 0.0) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r.rank / outd.d) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.v
+         |    JOIN outd ON e.src = outd.src
+         |    GROUP BY e.dst) m ON verts.v = m.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT v AS id, ROUND(rank, 6) AS rank
+         |FROM r$iters ORDER BY v""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "qX_ppr" -> pprSql(8, 1L),
     "qX_pagerank_df" -> pagerankSql(10),
     "qX_pagerank_consistency" ->
       s"""WITH edges AS ($EdgesSql),

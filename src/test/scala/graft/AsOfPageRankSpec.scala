@@ -106,6 +106,23 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
     assert(maxDiff <= 2e-6, s"max |df-gx| = $maxDiff")
   }
 
+  test("personalized PageRank: mass concentrates around the anchor, 0 off-component") {
+    // path 1→2→3→4 plus a disconnected pair 10→11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val ppr = GraphAnalytics.personalizedPageRankDF(edges, anchor = 1L, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // anchor holds the most mass; decays along the path
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L) && ppr(3L) > ppr(4L),
+      ppr.toString)
+    // the walk cannot reach the other component
+    assert(ppr(10L) == 0.0 && ppr(11L) == 0.0)
+    // uniform PageRank would rank 4 (the sink-fed tail) ABOVE the
+    // source 1 — personalization flips that; assert the contrast
+    val pr = GraphAnalytics.pageRankDF(edges, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) < pr(4L) && ppr(1L) > ppr(4L))
+  }
+
   test("pageRankDF: normalized ranks sum to |V|, sources smallest") {
     val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
     val ranks = GraphAnalytics.pageRankDF(edges, iters = 10)
