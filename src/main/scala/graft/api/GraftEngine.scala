@@ -237,6 +237,38 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.triangleCounts(vertices,
       edges.withColumn("weight", coalesce(col("weight"), lit(1.0))))
 
+  /** Multi-hop PYMK via personalized PageRank: random walk with
+    * restart from the user's vertex; excludes the user and their
+    * direct friends (the same `neq`/`without` contract as [[pymk]]),
+    * ranked by walk mass. Where [[pymk]] counts exactly-2-hop paths,
+    * this folds in longer paths with geometric damping — the
+    * "distant but strongly connected" candidates the reference's
+    * traversal can't see. */
+  def pymkPpr(user: String, limit: Int = 10, iters: Int = 10): DataFrame = {
+    val anchors = Pymk.anchorByName(vertices, user).collect()
+    if (anchors.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.DoubleType))))
+    val anchor = anchors.head.getString(0)
+    // walk the UNDIRECTED view — the reference's both('knows') contract
+    // (a directed walk from a vertex with only in-edges goes nowhere)
+    val undirected = Pymk.undirected(edges)
+      .select(col("from").as("src"), col("to").as("dst"))
+    val ranks = graft.operators.GraphAnalytics.personalizedPageRankDF(
+      undirected, lit(anchor), iters)
+    val friends = Pymk.undirected(edges)
+      .filter(col("from") === anchor).select(col("to").as("id")).distinct()
+    ranks.filter(col("rank") > 0 && col("id") =!= anchor)
+      .join(friends, Seq("id"), "left_anti")
+      .orderBy(desc("rank"), asc("id"))
+      .limit(limit)
+  }
+
   /** Top-`k` most central people by PageRank — the "influencers" view.
     * Global top-k: `orderBy.limit` plans as TakeOrderedAndProject
     * (per-partition heaps + driver merge — no global sort; the grouped

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId, VertexRDD}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** GraphX twin of the DataFrame graph operators — the iterative
@@ -203,7 +203,7 @@ object GraphAnalytics {
     * (one keyed shuffle per round, lazy chaining, localCheckpoint
     * every K rounds); SQL-expressible, oracle-checked (qX_ppr).
     */
-  def personalizedPageRankDF(edges: DataFrame, anchor: Long,
+  def personalizedPageRankDF(edges: DataFrame, anchor: Column,
                              iters: Int = 10, damping: Double = 0.85,
                              materializeEvery: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst"))

@@ -188,7 +188,7 @@ object GraphQueries {
     // iterations as chained CTEs like qX_pagerank_df.
     "qX_ppr" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
-      graft.operators.GraphAnalytics.personalizedPageRankDF(edges, 1L, iters = 8)
+      graft.operators.GraphAnalytics.personalizedPageRankDF(edges, lit(1L), iters = 8)
         .orderBy(col("id"))
     }),
 

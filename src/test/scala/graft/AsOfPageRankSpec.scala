@@ -109,7 +109,7 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
   test("personalized PageRank: mass concentrates around the anchor, 0 off-component") {
     // path 1→2→3→4 plus a disconnected pair 10→11
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
-    val ppr = GraphAnalytics.personalizedPageRankDF(edges, anchor = 1L, iters = 20)
+    val ppr = GraphAnalytics.personalizedPageRankDF(edges, lit(1L), iters = 20)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // anchor holds the most mass; decays along the path
     assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L) && ppr(3L) > ppr(4L),

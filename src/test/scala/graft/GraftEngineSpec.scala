@@ -122,6 +122,21 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     val tri = engine.triangles().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tri.size == 6 && tri.values.forall(_ >= 0))
+    // PPR-based PYMK: excludes self + direct friends, positive mass,
+    // and ranks the classic 2-hop PYMK candidates (it contains the
+    // 2-walk term of the series)
+    val pprRec = engine.pymkPpr("poby kim", 10).collect()
+      .map(r => r.getString(0)).toList
+    val friends = graft.operators.Pymk.undirected(engine.edges)
+      .filter(col("from") === pobyId).select("to")
+      .collect().map(_.getString(0)).toSet
+    assert(pprRec.nonEmpty)
+    assert(!pprRec.contains(pobyId))
+    assert(pprRec.forall(id => !friends.contains(id)))
+    assert(single.keySet.subsetOf(pprRec.toSet),
+      s"2-hop candidates $single missing from PPR $pprRec")
+    assert(engine.pymkPpr("nosuchuser").isEmpty)
+
     // influencers = top-k of pageRank, rank desc, id asc
     val inf = engine.influencers(3, iters = 5).collect()
       .map(r => (r.getString(0), r.getDouble(1)))
