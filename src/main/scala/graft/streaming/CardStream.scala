@@ -396,6 +396,25 @@ object CardStream {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Event-time SESSION windows on a stream — gap-merged activity
+    * bursts per key ([[graft.queries.RelationalQueries]] qX_session_window
+    * is the batch twin). State per (key, open session) only; the
+    * watermark closes sessions whose gap horizon has passed, emitting
+    * them append-mode and dropping their state — same boundedness
+    * argument as [[windowedEventCounts]]. */
+  def sessionizedCounts(events: DataFrame, keyCol: String = "user_id",
+                        tsCol: String = "ts",
+                        gap: String = "30 minutes",
+                        lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("events"))
+      .select(col(keyCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("events"))
+
   // ------------------------------------------------------- status machine
 
   /** Input shape of the status stream (J4). */

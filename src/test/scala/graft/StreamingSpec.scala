@@ -167,6 +167,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.contains((120L, "click", 1L)), rows)
   }
 
+  test("streaming session windows: gap-merge, extension, and watermark finalization") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val out = CardStream.sessionizedCounts(
+        mem.toDS().toDF("ts", "user_id"),
+        gap = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // u1: events at 0 and 20 min — one session (gap < 30), extended to 50
+    mem.addData((ts(0), "u1"), (ts(20), "u1"), (ts(0), "u2"))
+    out.processAllAvailable()
+    // u1 at 100: beyond the 30-min gap — NEW session; also advances the
+    // watermark past the first sessions' horizon, finalizing them
+    mem.addData((ts(100), "u1"))
+    out.processAllAvailable()
+    mem.addData((ts(300), "u9")) // flush u1@100's session
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+    // u1 session [0, 20+30), 2 events; u2 [0, 30), 1; u1 [100, 130), 1
+    assert(rows.contains(("u1", 0L, 50L, 2L)), rows)
+    assert(rows.contains(("u2", 0L, 30L, 1L)), rows)
+    assert(rows.contains(("u1", 100L, 130L, 1L)), rows)
+  }
+
   test("streaming dedup: redelivered keys within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, String)]
