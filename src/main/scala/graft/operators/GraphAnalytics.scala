@@ -290,6 +290,48 @@ object GraphAnalytics {
     labels
   }
 
+  /** k-core of the simple undirected graph — the densest-region
+    * extraction used for community cores and spam-farm detection:
+    * iteratively peel every vertex whose degree WITHIN the remaining
+    * subgraph is < k until no vertex falls out. Runs a FIXED `rounds`
+    * count rather than to-convergence: the result is deterministic and
+    * SQL-expressible (the qX_kcore oracle unrolls the same rounds as
+    * chained CTEs, hash-matching even mid-convergence), and peeling on
+    * short-diameter social graphs converges in a handful of rounds —
+    * the spec asserts the gate configuration reaches its fixpoint.
+    * Per round: one induced-degree aggregation (map-side partial
+    * counts) + one semi join — O(rounds) keyed shuffles.
+    *
+    * @return (id, in_core) for every vertex of the edge view.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
+            materializeEvery: Int = 4): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("from"), col("v").as("to"))
+      .unionAll(canon.select(col("v").as("from"), col("u").as("to")))
+      .localCheckpoint(true)
+    val verts = adj.select(col("from").as("id")).distinct()
+      .localCheckpoint(true)
+    var core = verts
+    for (i <- 1 to rounds) {
+      // induced degree: only edges whose BOTH endpoints survive
+      val alive = adj
+        .join(core.select(col("id").as("from")), "from")
+        .join(core.select(col("id").as("to")), "to")
+      val next = alive.groupBy(col("from").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+      core = if (i % materializeEvery == 0 || i == rounds)
+        next.localCheckpoint(true) else next
+    }
+    verts.join(core.withColumn("in_core", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"))
+  }
+
   /** Exact per-vertex triangle counts over the simple undirected graph,
     * in pure DataFrame joins — clustering-coefficient / community
     * signal (the graph twin of the reference's friend-of-friend

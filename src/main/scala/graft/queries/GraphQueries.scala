@@ -201,6 +201,14 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // 3-core membership after 8 fixed peel rounds (converged on this
+    // graph — spec-asserted); oracle unrolls the same rounds.
+    "qX_kcore" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.kCore(edges, k = 3, rounds = 8)
+        .orderBy(col("id"))
+    }),
+
     // Per-vertex triangle counts, degree-oriented DataFrame plan —
     // oracle = the order-agnostic a<b<c three-way self-join in DuckDB.
     "qX_triangles_df" -> ((s, dir) => {
@@ -291,7 +299,34 @@ object GraphQueries {
          |FROM r$iters ORDER BY v""".stripMargin
   }
 
+  /** Unrolled k-core peeling oracle: cN = survivors after round N; the
+    * induced degree joins both endpoints back into the previous
+    * round's survivor set — the same fixed-round contract as
+    * [[graft.operators.GraphAnalytics.kCore]]. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
+         |verts AS (SELECT DISTINCT f AS id FROM adj),
+         |c0 AS (SELECT id FROM verts)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (
+         |  SELECT adj.f AS id FROM adj
+         |  JOIN c${i - 1} a ON adj.f = a.id
+         |  JOIN c${i - 1} b ON adj.t = b.id
+         |  GROUP BY adj.f HAVING count(*) >= $k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT verts.id, c$rounds.id IS NOT NULL AS in_core
+         |FROM verts LEFT JOIN c$rounds ON verts.id = c$rounds.id
+         |ORDER BY verts.id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "qX_kcore" -> kcoreSql(3, 8),
     "qX_ppr" -> pprSql(8, 1L),
     "qX_pagerank_df" -> pagerankSql(10),
     "qX_pagerank_consistency" ->

@@ -108,6 +108,22 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(df == gx)
   }
 
+  test("kCore: K4+tail known answer; gate config converged on the derived graph") {
+    // K4 on 1-4 is a 3-core; the tail 4-5 and pendant 5-6 peel away
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphAnalytics.kCore(raw, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> false))
+    // the gate's fixed 8 rounds have converged: one more round is a no-op
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val edges = graft.queries.GraphQueries.derivedEdges(events)
+    def coreSet(rounds: Int) = GraphAnalytics.kCore(edges, 3, rounds)
+      .filter(col("in_core")).collect().map(_.getLong(0)).toSet
+    assert(coreSet(8) == coreSet(9))
+  }
+
   test("triangle counts: DF == GraphX on the card graph, known values on K4+tail") {
     // K4 on 1-4 (every vertex in 3 triangles) + a tail 4-5 (0 triangles)
     // + duplicate/reversed/self-loop edges that canonicalization must drop
