@@ -69,6 +69,29 @@ object Sampling {
       .select(col("best._row.*"))
   }
 
+  /** Weighted deterministic k-sample per key — A-Res reservoir
+    * sampling (Efraimidis-Spirakis) with the hash bucket as the
+    * randomness source: each row draws u ∈ (0,1) from its id's md5
+    * bucket and scores ln(u)/w (the log of u^(1/w) — monotone, so the
+    * top-k by score IS the weighted sample); higher-weight rows
+    * survive proportionally more often, and membership stays
+    * partition- and rerun-stable. The quality-weighted corpus
+    * subsample of data curation. Score rounded to 6 decimals before
+    * ranking with an id tie-break, so the order is reproducible across
+    * engines (ln differs in the last ulp between libms; the documented
+    * same-fixed-precision contract as IVF's cell assignment).
+    * Bounded-heap top-k per key like its uniform sibling. */
+  def perKeyWeightedSample(df: DataFrame, keyCol: String, idCol: String,
+                           weightCol: String, k: Int): DataFrame = {
+    val u = (md5Bucket(col(idCol)).cast("double") + 0.5) / BucketSpace
+    val score = round(log(u) / col(weightCol), 6)
+    val rowStruct = struct(df.columns.map(col).toSeq: _*).as("_row")
+    // largest score first ⇒ negate for the smallest-first heap
+    val sortKey = struct((-score).as("_ns"), col(idCol).as("_i"), rowStruct)
+    TopK.grouped(df, Seq(keyCol), sortKey, k)
+      .select(col("best._row.*"))
+  }
+
   /** Uniform deterministic k-sample per key — per-source "show me k
     * random-but-reproducible documents" (the reservoir-sample shape
     * with the hash bucket as the randomness source, so membership is

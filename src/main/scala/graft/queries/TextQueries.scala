@@ -196,6 +196,16 @@ object TextQueries {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // weighted deterministic per-key sample (A-Res): 5 docs per lang,
+    // weight = n_chars — longer docs proportionally more likely.
+    "qX_key_wsample" -> ((s, dir) => {
+      graft.operators.Sampling.perKeyWeightedSample(
+          Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", "n_chars", 5)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // exact dedup: content digest → survivor + duplicate count.
     "qX_dedup_exact" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -559,6 +569,18 @@ object TextQueries {
          |    AS DOUBLE) / count(*), 4) AS oov_rate
          |FROM dt LEFT JOIN v ON dt.token = v.token
          |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
+    "qX_key_wsample" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 6) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+        |  FROM s)
+        |SELECT lang, doc_id FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     "qX_dedup_clusters" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id,

@@ -216,6 +216,21 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == 64 * 64)
   }
 
+  test("perKeyWeightedSample: heavy weights dominate; deterministic across partitioning") {
+    import graft.operators.Sampling
+    val df = (1L to 1000L).map(i =>
+        ("g", i, if (i <= 50) 1000.0 else 0.001))
+      .toDF("g", "id", "w")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.perKeyWeightedSample(d, "g", "id", "w", 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val s1 = sample(df)
+    // ln(u)/1000 ≈ 0 ≫ ln(u)/0.001: every winner is a heavy id
+    assert(s1.size == 5 && s1.forall(_ <= 50L), s1)
+    // partition-independent membership
+    assert(sample(df.repartition(13)) == s1)
+  }
+
   test("Profile.summarize: one-pass stats correct; approx within HLL tolerance") {
     import graft.operators.Profile
     val df = Seq((1L, Some("a"), 10), (2L, None, 20), (3L, Some("b"), 10),
