@@ -40,6 +40,41 @@ object Layout {
   def zorderKey(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
 
+  /** Per-file column statistics manifest: (file, n_rows, min, max per
+    * stat column) — the data-skipping decision table. Reading it costs
+    * one scan; a query planner (or a human) then prunes files whose
+    * [min, max] misses the predicate without opening them. Pairs with
+    * [[zorderWrite]], which is what makes these ranges TIGHT. */
+  def fileStats(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    df.withColumn("_file", input_file_name())
+      .groupBy("_file")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("_file", "file")
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(bytes / targetBytes)` files via the crash-safe directory
+    * swap. The 100 TB hygiene operation — streaming sinks accrete
+    * KB-sized files whose per-file open/footer cost eventually
+    * dominates scans; compaction restores scan efficiency without
+    * changing a row. NOT for tables whose layout IS the contract
+    * (bucketed tables, [[zorderWrite]] output — recompact those by
+    * re-running their writer). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    graft.streaming.CardStream.recoverSwap(spark, path) // writer path
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path).coalesce(nFiles)
+    graft.streaming.CardStream.swapInto(spark, df, path)
+  }
+
   /** Write `df` Z-ordered on two integer-domain columns: range
     * partition by the Morton key into `numFiles` output files, sort
     * within each, write parquet. Every file then covers a compact Z

@@ -248,6 +248,27 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(approx - 4L) <= 1)
   }
 
+  test("compact: many small files become few, rows identical; fileStats manifest tight") {
+    import graft.operators.Layout
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir) // 40 tiny files
+    def files = spark.read.parquet(dir).select(input_file_name()).distinct().count()
+    val before = files
+    assert(before >= 30, s"expected many files, got $before")
+    val rowsBefore = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    Layout.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(files <= 2, s"still ${files} files after compaction")
+    val rowsAfter = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsAfter == rowsBefore)
+    // manifest: per-file row counts sum to the table, min <= max
+    val stats = Layout.fileStats(spark.read.parquet(dir), Seq("id")).collect()
+    assert(stats.map(_.getLong(1)).sum == 2000L)
+    assert(stats.forall(r => r.getLong(2) <= r.getLong(3)))
+  }
+
   test("corpusClean: planted dup, junk, und-language and clean docs flagged correctly") {
     import graft.operators.TextAnalysis
     val clean = "the quick brown fox jumps over the lazy dog and that is it for now"
