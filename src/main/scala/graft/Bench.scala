@@ -72,13 +72,18 @@ object Bench {
       // from a sane total downstream) rather than a bogus latency
       name -> (if (dts.min == Double.MaxValue) -1.0 else dts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (millisecond) precision: full-precision doubles made the
+    // line ~4 KB at 84 queries, overflowing the harness's tail capture so
+    // the artifact recorded parsed:null — keep the whole line well under it
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // -1 failure sentinels stay visible per-query but must not shrink
     // the headline total; surface them as an explicit count instead
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.expr._
@@ -33,9 +33,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("simhash64", "64-bit SimHash over whitespace tokens",
       es => SimHash64Expr(es.head)),
     ("top_ngram_frac", "share of the most frequent word n-gram: (text, n)",
-      es => TopNgramFracExpr(es.head,
-        es(1).eval().asInstanceOf[Int]))
+      es => TopNgramFracExpr(es.head, ngramArg(es)))
   )
+
+  /** `n` must be an integer literal — TopNgramFracExpr fixes its n-gram
+    * width at construction. Validate arity, foldability and type here
+    * so `top_ngram_frac(text, some_col)` or a BIGINT literal fails as a
+    * proper AnalysisException at plan time (Spark's own error
+    * conditions), not an opaque ClassCastException/NPE mid-build. */
+  private def ngramArg(es: Seq[Expression]): Int = {
+    if (es.length != 2)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> "`top_ngram_frac`", "expectedNum" -> "2",
+        "actualNum" -> es.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"), None)
+    if (!es(1).foldable)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> "`top_ngram_frac`", "paramName" -> "`n`",
+        "paramType" -> "\"INT\""), None)
+    es(1).eval() match {
+      // any integral literal works (TINYINT..BIGINT; an n-gram width
+      // never approaches 2^31, so intValue is exact for valid inputs)
+      case n: java.lang.Integer if n > 0 => n.intValue
+      case n: java.lang.Long if n > 0 && n == n.intValue => n.intValue
+      case n: java.lang.Short if n > 0 => n.intValue
+      case n: java.lang.Byte if n > 0 => n.intValue
+      case _ =>
+        throw new AnalysisException("SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+          Map("functionName" -> "top_ngram_frac"), None)
+    }
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -44,14 +44,25 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   // ------------------------------------------------- serving-layer memo
   // The in-engine analogue of the reference's TTL result cache (I1/I2,
   // es_search_bizcard.py:81-89 / neptune_recommend_bizcard.py:91-99):
-  // results memoized under an md5-8 cache key (B8's surrogate-key
-  // scheme, driver-side twin of GraftFunctions.md5_8 over the request
-  // fields — the reference keys on the query string the same way).
+  // results memoized under the request's md5 digest (driver-side twin
+  // of GraftFunctions.md5_8's scheme over the request fields — the
+  // reference keys on the query string the same way, but here the
+  // digest is kept FULL-length: a truncated-to-8-hex key is 32 bits,
+  // where two distinct requests collide with ~1% odds by ~9k distinct
+  // requests and would silently serve each other's results).
   // TTL-less: instead of serving stale up to N seconds, every write
   // (ingest / softDelete / clearGraph) invalidates the memo, which a
-  // single-writer engine can do exactly.
+  // single-writer engine can do exactly. Size-bounded LRU: each entry
+  // pins localCheckpoint blocks, so an unbounded read-heavy session
+  // would otherwise grow storage memory without limit — evicted
+  // entries' blocks are freed by the ContextCleaner once unreferenced.
+  private val MemoMaxEntries = 256
   private val resultMemo =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > MemoMaxEntries
+    }
   private var nDocsMemo: Option[Long] = None
 
   private[graft] def cacheKey(parts: String*): String =
@@ -59,9 +70,11 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
       // NUL separator: no request string contains it, so distinct part
       // lists can never concatenate to the same digest input
       .digest(parts.mkString("\u0000").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
+      .map("%02x".format(_)).mkString
 
-  private def invalidateMemos(): Unit = { resultMemo.clear(); nDocsMemo = None }
+  private def invalidateMemos(): Unit = resultMemo.synchronized {
+    resultMemo.clear(); nDocsMemo = None
+  }
 
   /** Memoized live-doc count — the idf N served without a per-query
     * counting pass (ES semantics: index-wide N, not filtered-set N). */
@@ -70,12 +83,20 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     nDocsMemo = Some(c); c
   }
 
-  private def memoized(key: String)(compute: => DataFrame): DataFrame =
-    resultMemo.getOrElseUpdate(key,
+  private def memoized(key: String)(compute: => DataFrame): DataFrame = {
+    val hit = resultMemo.synchronized(Option(resultMemo.get(key)))
+    hit.getOrElse {
       // eager localCheckpoint: the memo stores materialized blocks, so
       // a repeated request replays nothing (ContextCleaner frees the
-      // blocks when the entry is dropped by invalidation)
-      compute.localCheckpoint(true))
+      // blocks when the entry is dropped by invalidation or LRU
+      // eviction). Computed outside the lock — a Spark job under a
+      // monitor would serialize every cold request behind it; the rare
+      // double-compute race just wastes one job.
+      val df = compute.localCheckpoint(true)
+      resultMemo.synchronized(Option(resultMemo.putIfAbsent(key, df)))
+        .getOrElse(df)
+    }
+  }
 
   /** Batch-ingest card events (envelope columns s3_bucket, s3_key,
     * owner, addr…created_at): validate → enrich → merge search table,

@@ -332,6 +332,58 @@ object GraphAnalytics {
       .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"))
   }
 
+  /** [[kCore]]'s converge-and-verify mode: peel until a round removes
+    * no vertex (the true k-core fixpoint), up to `maxRounds`. The
+    * fixed-round sibling is the oracle contract (deterministic,
+    * SQL-unrollable) but silently returns mid-cascade membership on
+    * graphs whose peeling is deeper than its round budget — general
+    * callers should use this form and check the flag. Peeling is
+    * monotone (the survivor set only shrinks), so "this round removed
+    * nothing" IS the fixpoint test, one count per round on the
+    * already-materialized survivor set.
+    *
+    * @return (membership as in [[kCore]], converged) — `converged`
+    *         false only if `maxRounds` blocks elapsed while vertices
+    *         were still falling out.
+    */
+  def kCoreConverged(edges: DataFrame, k: Int,
+                     maxRounds: Int = 64): (DataFrame, Boolean) = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("from"), col("v").as("to"))
+      .unionAll(canon.select(col("v").as("from"), col("u").as("to")))
+      .localCheckpoint(true)
+    val verts = adj.select(col("from").as("id")).distinct()
+      .localCheckpoint(true)
+    var core = verts
+    var prev = core.count()
+    var stable = false
+    var round = 0
+    while (!stable && round < maxRounds) {
+      val alive = adj
+        .join(core.select(col("id").as("from")), "from")
+        .join(core.select(col("id").as("to")), "to")
+      // eager per round: the fixpoint test needs this round's count
+      // anyway, and the checkpoint both cuts lineage and makes the
+      // count a metadata-cheap job over materialized blocks
+      core = alive.groupBy(col("from").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+        .localCheckpoint(true)
+      val n = core.count()
+      stable = n == prev
+      prev = n
+      round += 1
+    }
+    val membership = verts
+      .join(core.withColumn("in_core", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"))
+    (membership, stable)
+  }
+
   /** Exact per-vertex triangle counts over the simple undirected graph,
     * in pure DataFrame joins — clustering-coefficient / community
     * signal (the graph twin of the reference's friend-of-friend

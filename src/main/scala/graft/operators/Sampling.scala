@@ -83,12 +83,18 @@ object Sampling {
     * Bounded-heap top-k per key like its uniform sibling. */
   def perKeyWeightedSample(df: DataFrame, keyCol: String, idCol: String,
                            weightCol: String, k: Int): DataFrame = {
+    // A-Res is defined only for strictly positive weights: w = 0 scores
+    // -Infinity/NULL and a NEGATIVE weight flips ln(u)/w positive, so
+    // negative-weight rows would silently always win the heap. Rows
+    // with w <= 0 (or NULL) carry no sampling mass by definition —
+    // filter them out rather than corrupt the order.
+    val positive = df.filter(col(weightCol) > 0)
     val u = (md5Bucket(col(idCol)).cast("double") + 0.5) / BucketSpace
     val score = round(log(u) / col(weightCol), 6)
     val rowStruct = struct(df.columns.map(col).toSeq: _*).as("_row")
     // largest score first ⇒ negate for the smallest-first heap
     val sortKey = struct((-score).as("_ns"), col(idCol).as("_i"), rowStruct)
-    TopK.grouped(df, Seq(keyCol), sortKey, k)
+    TopK.grouped(positive, Seq(keyCol), sortKey, k)
       .select(col("best._row.*"))
   }
 

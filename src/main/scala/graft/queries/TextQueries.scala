@@ -574,7 +574,7 @@ object TextQueries {
         |  SELECT lang, doc_id,
         |    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |      AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 6) AS score
-        |  FROM documents),
+        |  FROM documents WHERE n_chars > 0),
         |r AS (
         |  SELECT lang, doc_id, row_number() OVER (
         |    PARTITION BY lang ORDER BY score DESC, doc_id) AS rn

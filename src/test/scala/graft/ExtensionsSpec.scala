@@ -41,6 +41,26 @@ class ExtensionsSpec extends AnyFunSuite {
         .select(graft.functions.expr.TextExprs.simhash64(col("x")))
         .collect().head.getLong(0)
       assert(r.getLong(2) == direct)
+
+      // n is a construction-time parameter: a BIGINT literal is fine,
+      // but a column reference / wrong type / wrong arity must fail as
+      // a clear AnalysisException at plan time, not a ClassCastException
+      assert(spark.sql(
+          "SELECT top_ngram_frac('a b a b a', CAST(2 AS BIGINT)) AS f")
+        .collect().head.getDouble(0) == 0.5)
+      import org.apache.spark.sql.AnalysisException
+      val nonFoldable = intercept[AnalysisException] {
+        spark.sql("SELECT top_ngram_frac(x, token_count(x)) FROM VALUES ('a') t(x)")
+      }
+      assert(nonFoldable.getCondition == "NON_FOLDABLE_ARGUMENT")
+      val notInt = intercept[AnalysisException] {
+        spark.sql("SELECT top_ngram_frac('a b', 'two')")
+      }
+      assert(notInt.getCondition == "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER")
+      val arity = intercept[AnalysisException] {
+        spark.sql("SELECT top_ngram_frac('a b')")
+      }
+      assert(arity.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
     } finally {
       // do NOT spark.stop(): the SparkContext is shared process-wide
       // with the other suites' session — just restore the default

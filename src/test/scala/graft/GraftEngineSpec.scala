@@ -93,6 +93,15 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(!after.collect().map(_.getAs[String]("doc_id")).contains(doc))
   }
 
+  test("memo cache key is the full digest (no truncation collisions)") {
+    // 32-bit truncated keys collide at ~1% by 9k distinct requests and
+    // would silently serve another request's cached result — the key
+    // must be the untruncated 128-bit digest
+    val k = engine.cacheKey("search", "harry jang", "<none>", "5")
+    assert(k.length == 32 && k.matches("[0-9a-f]{32}"))
+    assert(engine.cacheKey("a", "b") != engine.cacheKey("a b"))
+  }
+
   test("per-user album is partition-pruned by owner") {
     val album = engine.userAlbum("edy")
     assert(album.count() == 4) // edy uploaded 4 cards

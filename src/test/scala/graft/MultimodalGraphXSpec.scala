@@ -124,6 +124,28 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(coreSet(8) == coreSet(9))
   }
 
+  test("kCoreConverged: reaches the fixpoint where fixed rounds stop mid-cascade") {
+    // path 1-2-…-12: 2-core peeling strips one vertex per end per round
+    // (~6 rounds to empty) — a budget of 2 rounds is mid-cascade
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val midCascade = GraphAnalytics.kCore(path, k = 2, rounds = 2)
+      .filter(col("in_core")).count()
+    assert(midCascade > 0) // the fixed-round foot-gun, by construction
+    val (conv, flag) = GraphAnalytics.kCoreConverged(path, k = 2)
+    assert(flag && conv.filter(col("in_core")).isEmpty) // true 2-core: none
+    // and on a graph with a real core it agrees with the converged
+    // fixed-round gate shape (K4 survives, tail peels)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val (m, f2) = GraphAnalytics.kCoreConverged(k4, k = 3)
+    assert(f2)
+    assert(m.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap ==
+      Map(1L -> true, 2L -> true, 3L -> true, 4L -> true,
+        5L -> false, 6L -> false))
+    // maxRounds exhausted before the cascade ends → flag says so
+    assert(!GraphAnalytics.kCoreConverged(path, k = 2, maxRounds = 2)._2)
+  }
+
   test("triangle counts: DF == GraphX on the card graph, known values on K4+tail") {
     // K4 on 1-4 (every vertex in 3 triangles) + a tail 4-5 (0 triangles)
     // + duplicate/reversed/self-loop edges that canonicalization must drop

@@ -229,6 +229,12 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(s1.size == 5 && s1.forall(_ <= 50L), s1)
     // partition-independent membership
     assert(sample(df.repartition(13)) == s1)
+    // w <= 0 carries no sampling mass: A-Res scores are undefined there
+    // (w=0 → -Inf/NULL; w<0 flips ln(u)/w positive and would always
+    // win the heap) — such rows must be excluded, not crowned
+    val poisoned = df.unionAll(Seq(("g", 2001L, 0.0), ("g", 2002L, -5.0),
+      ("g", 2003L, -1e9)).toDF("g", "id", "w"))
+    assert(sample(poisoned) == s1)
   }
 
   test("Profile.summarize: one-pass stats correct; approx within HLL tolerance") {
