@@ -264,6 +264,43 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Benchmark decontamination — flag corpus documents that share any
+    * word n-gram with an evaluation/benchmark set (the leakage filter
+    * every training-data pipeline runs before a model ever sees the
+    * corpus: a doc containing benchmark text inflates eval scores).
+    *
+    * Returns one row per corpus doc: (idCol, n_hits = distinct
+    * contaminating n-grams, contaminated). Docs with < n tokens have no
+    * n-grams and are clean by definition.
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    * the benchmark's distinct shingle set is broadcast and the corpus
+    * side stays a narrow projected scan — no shuffle of corpus text.
+    * If the "benchmark" ever outgrows broadcast range, swap the join
+    * for [[Skew.bloomPrunedSemiJoin]] on the shingle key (same
+    * contract, one corpus-side shuffle pruned by the filter).
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int): DataFrame = {
+    val benchSh = bench
+      .filter(size(tokenize(col(benchTextCol))) >= n)
+      .select(explode(shingles(col(benchTextCol), n)).as("s"))
+      .distinct()
+    // shingles() emits DISTINCT n-grams per doc, so the post-join count
+    // is "distinct contaminating n-grams" without a re-distinct
+    val posts = docs
+      .filter(size(tokenize(col(textCol))) >= n)
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
+    val hits = posts.join(broadcast(benchSh), Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** SimHash near-dup pairs with Hamming ≤ maxDist, found via the
     * pigeonhole band join: split the 64-bit hash into `maxDist + 1`
     * chunks; any pair within distance shares at least one exact chunk.

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — assign every document a (bin, offset) slot in a
+  * stream of fixed-size token windows (the training-batch layout step
+  * of an LLM data pipeline: concatenate the corpus in a deterministic
+  * order, then slice into `budget`-token context windows; documents may
+  * straddle window boundaries, GPT-style).
+  *
+  * The assignment is a pure function of the exclusive running token
+  * count: `start = Σ tokens(preceding docs)`, `bin = start / budget`,
+  * `offset = start mod budget` — deterministic given the declared doc
+  * order, re-runnable, and auditable by any engine with a window
+  * cumulative sum (the gate oracle recomputes it in DuckDB).
+  *
+  * Scale shape: a global-order cumulative sum is the textbook
+  * distributed prefix-scan, NOT a single-partition window. [[pack]]
+  * keeps the naive `Window.orderBy` form as the executable spec (Spark
+  * funnels it through one task — correct, unusable at 100 TB);
+  * [[packScalable]] is the real operator: range-partition by id, local
+  * cumsum per partition, then one tiny driver-side pass over the
+  * per-partition totals (one row each — 10k partitions ⇒ 10k longs)
+  * whose exclusive prefix sums are broadcast back as partition offsets.
+  * Equality of the two forms is pinned in ScaleOpsSpec.
+  */
+object Packing {
+
+  /** Naive global-window form — the executable spec. One partition,
+    * driver-order semantics; use [[packScalable]] beyond toy scale. */
+  def pack(df: DataFrame, idCol: String, tokenCol: String,
+           budget: Long): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slots(df.withColumn("_start",
+      sum(col(tokenCol).cast("long")).over(w) - col(tokenCol)),
+      idCol, tokenCol, budget)
+  }
+
+  /** Distributed prefix-scan form: identical output, no global window.
+    *
+    * Correctness does not depend on where the range boundaries fall —
+    * `start = partition_offset + local_cumsum − tokens` is exact for
+    * any split of the id order into contiguous ranges.
+    */
+  def packScalable(df: DataFrame, idCol: String, tokenCol: String,
+                   budget: Long, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nParts =
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    // RangePartitioner puts ascending id ranges in ascending partition
+    // ids, so spark_partition_id() is a valid window partition key and
+    // partition order == id order
+    val ranged = df.repartitionByRange(nParts, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val lw = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_lcum",
+      sum(col(tokenCol).cast("long")).over(lw))
+    // one row per partition: the only driver-side data is O(#partitions)
+    val totals = local.groupBy(col("_pid"))
+      .agg(max(col("_lcum")).as("_ptotal"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_poff")
+    slots(local.join(broadcast(offDf), Seq("_pid"))
+        .withColumn("_start", col("_poff") + col("_lcum") - col(tokenCol)),
+      idCol, tokenCol, budget)
+  }
+
+  private def slots(withStart: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long): DataFrame =
+    withStart.select(col(idCol), col(tokenCol),
+      floor(col("_start") / lit(budget.toDouble)).as("bin"),
+      pmod(col("_start"), lit(budget)).as("offset"))
+}

@@ -111,4 +111,40 @@ object Sampling {
     TopK.grouped(df, Seq(keyCol), sortKey, k)
       .select(col("best._row.*"))
   }
+
+  /** Domain-mixture sampling — draw a corpus whose group proportions
+    * approximate a declared target mixture (the data-mixing step of
+    * LLM pretraining: "30% code, 50% web, 20% books" regardless of the
+    * raw corpus skew). Each group `g` is hash-sampled at rate
+    * `min(1, weight_g · targetN / |g|)`: proportional groups thin
+    * toward their quota, under-represented groups are taken whole
+    * (rate capped at 1 — a mixture can't mint rows). Groups without a
+    * declared weight are dropped.
+    *
+    * Determinism: membership is [[hashSample]]'s pure id-hash
+    * predicate, so the drawn mixture is rerun/partition-stable and the
+    * quota arithmetic is reproducible by the oracle. Scale shape: one
+    * narrow count-by-group pass (map-side partial agg), rates
+    * broadcast back — the corpus itself is never shuffled, just
+    * filtered in place.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, idCol: String,
+                    weights: Seq[(String, Double)],
+                    targetN: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "mixture weights must be positive")
+    val wmap = map(weights.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    val rates = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"))
+      // try_element_at: ANSI mode makes plain element_at THROW on a
+      // key absent from the map — absent weight must mean "drop group"
+      .withColumn("_w", try_element_at(wmap, col(keyCol)))
+      .filter(col("_w").isNotNull)
+      .select(col(keyCol),
+        least(lit(1.0), col("_w") * targetN / col("_n")).as("_rate"))
+    df.join(broadcast(rates), Seq(keyCol))
+      .filter(md5Bucket(col(idCol)) < col("_rate") * BucketSpace)
+      .drop("_rate")
+  }
 }

@@ -218,4 +218,39 @@ object TextAnalysis {
     */
   def normalizedFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenize(text)))
+
+  // ------------------------------------------------------ PII redaction
+
+  /** Phone-looking digit run: optional +, then ≥ 8 digit/paren/dash
+    * chars bracketed by digits. Space is deliberately NOT in the inner
+    * class (unlike the extraction pattern of
+    * [[graft.functions.GraftFunctions.PhonePattern]]) so runs of short
+    * numeric tokens in prose don't chain into one giant false match.
+    * Both patterns are RE2/Java-compatible (no backreferences or
+    * lookaround), so the redaction is reproducible by the DuckDB
+    * oracle with the identical pattern string. */
+  val RedactPhonePattern = "\\+?[0-9][0-9()\\-]{6,}[0-9]"
+
+  /** Redact PII in place: e-mail-looking spans → `[EMAIL]` first, then
+    * phone-looking digit runs → `[PHONE]` (order matters — the digits
+    * inside an address must not survive as a phone fragment). The
+    * release gate of a training-data pipeline; inverse of the
+    * reference's extract-and-index flow (B1/B3, SURVEY §2.B) built on
+    * the same e-mail pattern.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, graft.functions.GraftFunctions.EmailPattern,
+        "[EMAIL]"),
+      RedactPhonePattern, "[PHONE]")
+
+  /** PII hit counts for audit totals: e-mails on the raw text, phones
+    * on the e-mail-redacted text (same order as [[redactPii]], so
+    * counts and redaction agree on what is a phone). */
+  def piiCounts(text: Column): (Column, Column) = {
+    val emailFree = regexp_replace(text,
+      graft.functions.GraftFunctions.EmailPattern, "[EMAIL]")
+    (regexp_count(text, lit(graft.functions.GraftFunctions.EmailPattern)),
+      regexp_count(emailFree, lit(RedactPhonePattern)))
+  }
 }

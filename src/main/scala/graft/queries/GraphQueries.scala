@@ -201,6 +201,15 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Adamic-Adar link prediction: degree-discounted PYMK top-5 per
+    // anchor — shared neighbors weighted 1/ln(deg), so hub-mediated
+    // paths stop dominating (the scoring upgrade over raw path counts).
+    "qX_adamic_adar" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.adamicAdar(edges, 5)
+        .orderBy(col("anchor"), col("rank"))
+    }),
+
     // 25-core membership after 8 fixed peel rounds (converged here —
     // spec-asserted; 62/150 vertices survive, with multi-round cascade
     // as the peeled spokes drag hub degrees down). k=3 would be
@@ -330,6 +339,32 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "qX_adamic_adar" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION
+         |  SELECT dst, src FROM edges),
+         |wz AS (
+         |  SELECT f AS z, CAST(round(1000000.0 / ln(count(*))) AS BIGINT) AS w
+         |  FROM adj GROUP BY f HAVING count(*) >= 2),
+         |sc AS (
+         |  SELECT x.f AS a, y.t AS c,
+         |    round(sum(wz.w) / 1000000.0, 4) AS score
+         |  FROM adj x JOIN wz ON x.t = wz.z
+         |       JOIN adj y ON y.f = wz.z
+         |  WHERE x.f <> y.t
+         |  GROUP BY x.f, y.t),
+         |cand AS (
+         |  SELECT sc.* FROM sc
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM adj WHERE adj.f = sc.a AND adj.t = sc.c)),
+         |r AS (
+         |  SELECT a AS anchor, c AS id, score, row_number() OVER (
+         |    PARTITION BY a ORDER BY score DESC, c) AS rank
+         |  FROM cand)
+         |SELECT anchor, rank, id, score FROM r WHERE rank <= 5
+         |ORDER BY anchor, rank""".stripMargin,
     "qX_kcore" -> kcoreSql(25, 8),
     "qX_ppr" -> pprSql(8, 1L),
     "qX_pagerank_df" -> pagerankSql(10),

@@ -276,6 +276,56 @@ object TextQueries {
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.03)
         .orderBy(desc("jaccard"), asc("id1"), asc("id2"))
         .limit(100)
+    }),
+
+    // Sequence packing: (bin, offset) slots in 512-token context
+    // windows via the distributed prefix-scan (the scale form; its
+    // equality with the global-window spec is pinned in ScaleOpsSpec).
+    "qX_pack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.packScalable(docs, "doc_id", "n_tokens", 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: deterministic planted e-mail+phone per doc, redact,
+    // audit counts — the release gate of a curation pipeline.
+    "qX_redact" -> ((s, dir) => {
+      val noisy = concat(col("text"),
+        lit(" reach me: u"), col("doc_id").cast("string"),
+        lit("@mail-"), col("doc_id").cast("string"),
+        lit(".example.org or +821010"), col("doc_id").cast("string"),
+        lit("25"))
+      val (nEmails, nPhones) = TextAnalysis.piiCounts(noisy)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextAnalysis.redactPii(noisy)).as("red_md5"),
+          nEmails.as("n_emails"), nPhones.as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: every 97th doc is the "benchmark";
+    // flag corpus docs sharing any trigram with it (bench docs flag
+    // themselves — a doc containing benchmark text IS contaminated).
+    "qX_decontam" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Domain-mixture sampling: target weights over lang groups (es has
+    // no weight → dropped; de's quota exceeds its size → rate caps at
+    // 1, whole group kept), per-group kept-count + id checksum.
+    "qX_mixture" -> ((s, dir) => {
+      graft.operators.Sampling.mixtureSample(
+          Tables.load(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id",
+          Seq("en" -> 0.4, "de" -> 0.4, "fr" -> 0.1, "zh" -> 0.1), 300L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -665,5 +715,68 @@ object TextQueries {
         |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
         |FROM pairs
         |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.03
-        |ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 100""".stripMargin)
+        |ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 100""".stripMargin,
+    "qX_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(s / 512.0) AS BIGINT) AS bin,
+        |  CAST(s % 512 AS BIGINT) AS "offset"
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "qX_redact" -> {
+      val email = graft.functions.GraftFunctions.EmailPattern
+      val phone = graft.operators.TextAnalysis.RedactPhonePattern
+      s"""WITH noisy AS (
+         |  SELECT doc_id, text || ' reach me: u' || CAST(doc_id AS VARCHAR)
+         |    || '@mail-' || CAST(doc_id AS VARCHAR)
+         |    || '.example.org or +821010' || CAST(doc_id AS VARCHAR)
+         |    || '25' AS t
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, t,
+         |    regexp_replace(t, '$email', '[EMAIL]', 'g') AS t2
+         |  FROM noisy)
+         |SELECT doc_id,
+         |  md5(regexp_replace(t2, '$phone', '[PHONE]', 'g')) AS red_md5,
+         |  len(regexp_extract_all(t, '$email')) AS n_emails,
+         |  len(regexp_extract_all(t2, '$phone')) AS n_phones
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+    "qX_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM d WHERE len(toks) >= 3),
+        |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |hits AS (SELECT posts.doc_id, count(*) AS n_hits
+        |         FROM posts JOIN bsh USING (s) GROUP BY posts.doc_id)
+        |SELECT d.doc_id, coalesce(hits.n_hits, 0) AS n_hits,
+        |  coalesce(hits.n_hits, 0) > 0 AS contaminated
+        |FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "qX_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT * FROM (VALUES ('en', 0.4), ('de', 0.4), ('fr', 0.1),
+        |  ('zh', 0.1)) t(lang, w)),
+        |r AS (SELECT c.lang,
+        |  least(CAST(1.0 AS DOUBLE), CAST(w.w AS DOUBLE) * 300 / c.n) AS rate
+        |  FROM c JOIN w ON c.lang = w.lang),
+        |s AS (
+        |  SELECT d.lang, d.doc_id FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) < r.rate * 4294967296.0)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -146,6 +146,32 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(!GraphAnalytics.kCoreConverged(path, k = 2, maxRounds = 2)._2)
   }
 
+  test("adamicAdar: known scores on path/star/cycle, direct edges excluded") {
+    // path 1-2-3: only (1,3) and (3,1), witnessed by z=2 (deg 2):
+    // score = round(1e6/ln 2)/1e6 = 1.442695 → 1.4427
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = GraphAnalytics.adamicAdar(path, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(p == Map((1L, 3L) -> 1.4427, (3L, 1L) -> 1.4427))
+
+    // star 0-{1,2,3}: every leaf pair shares only the hub (deg 3):
+    // 1/ln 3 = 0.910239 → 0.9102; the hub itself has no candidates
+    // (its 2-hop set is exactly its neighbors)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = GraphAnalytics.adamicAdar(star, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(s.keys.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(s.size == 6 && s.values.forall(_ == 0.9102))
+
+    // 4-cycle: opposite corners share BOTH middles (each deg 2):
+    // 2·1.442695 → 2.8854; adjacent corners are direct edges — excluded
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = GraphAnalytics.adamicAdar(cyc, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(c == Map((1L, 3L) -> 2.8854, (3L, 1L) -> 2.8854,
+      (2L, 4L) -> 2.8854, (4L, 2L) -> 2.8854))
+  }
+
   test("triangle counts: DF == GraphX on the card graph, known values on K4+tail") {
     // K4 on 1-4 (every vertex in 3 triangles) + a tail 4-5 (0 triangles)
     // + duplicate/reversed/self-loop edges that canonicalization must drop

@@ -298,6 +298,102 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(5L) == ("de", true, true, true, true))
   }
 
+  test("packing: distributed prefix-scan equals global window; slots are exact") {
+    import graft.operators.Packing
+    val docs = (1L to 100L).map(i => (i, (i * 7 % 13 + 1).toInt))
+      .toDF("id", "toks")
+    val naive = Packing.pack(docs, "id", "toks", 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // partition count chosen to force several non-trivial range splits
+    val scaled = Packing.packScalable(docs, "id", "toks", 20, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(naive.sameElements(scaled))
+    // slot arithmetic: doc i's start == cumulative tokens before it,
+    // bins advance by budget
+    val starts = naive.scanLeft(0L) { case (acc, (_, t, _, _)) => acc + t }
+    naive.zip(starts).foreach { case ((_, _, bin, off), start) =>
+      assert(bin == start / 20 && off == start % 20)
+    }
+    // and partitioning of the input must not change the assignment
+    val reparted = Packing.packScalable(docs.repartition(13), "id", "toks",
+        20, partitions = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(naive.sameElements(reparted))
+  }
+
+  test("decontaminate: trigram overlap with the benchmark set flags exactly") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // contains benchmark trigrams
+      (2L, "alpha beta x gamma delta"),       // bigram overlap only — clean
+      (3L, "zeta eta theta iota"),            // disjoint — clean
+      (4L, "alpha beta"),                     // < 3 tokens — clean by definition
+      (5L, "x y alpha beta gamma")            // one shared trigram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // bench doc "alpha beta gamma delta" has trigrams {abg, bgd}
+    assert(got(1L) == (2L, true))  // both trigrams present
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false))
+    assert(got(4L) == (0L, false))
+    assert(got(5L) == (1L, true))  // shares "alpha beta gamma" only
+  }
+
+  test("redactPii: emails and phones removed, counts match, clean text untouched") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.com or call +82(10)1025-7049 now"),
+      (2L, "no pii here, just words and the number 42"),
+      (3L, "two mails a@b.co c@d.org one phone 010-1234-5678")
+    ).toDF("id", "text")
+    val (ne, np) = TextAnalysis.piiCounts(col("text"))
+    val got = df.select(col("id"),
+        TextAnalysis.redactPii(col("text")).as("red"),
+        ne.as("ne"), np.as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(got(1L)._1 == "mail me at [EMAIL] or call [PHONE] now")
+    assert(got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(2L) == ("no pii here, just words and the number 42", 0, 0))
+    assert(got(3L)._1 == "two mails [EMAIL] [EMAIL] one phone [PHONE]")
+    assert(got(3L)._2 == 2 && got(3L)._3 == 1)
+    // nothing pattern-shaped survives redaction
+    val residue = df.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .filter(col("r").rlike(functions.GraftFunctions.EmailPattern) ||
+        col("r").rlike(TextAnalysis.RedactPhonePattern))
+    assert(residue.isEmpty)
+  }
+
+  test("mixtureSample: quota rates, cap at 1, unweighted groups dropped") {
+    import graft.operators.Sampling
+    val rows = (1L to 100L).map(i => ("a", i)) ++
+      (101L to 110L).map(i => ("b", i)) ++
+      (111L to 130L).map(i => ("c", i))
+    val df = rows.toDF("g", "id")
+    val got = Sampling.mixtureSample(df, "g", "id",
+        Seq("a" -> 0.5, "b" -> 0.5), 40L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // b's quota (0.5*40=20) exceeds its 10 rows → rate caps at 1, all kept
+    assert(got.count(_._1 == "b") == 10)
+    // c has no declared weight → dropped entirely
+    assert(!got.exists(_._1 == "c"))
+    // a thins at rate 0.5*40/100 = 0.2 — exactly hashSample membership
+    val expectA = Sampling.hashSample(
+        df.filter(col("g") === "a"), "id", 0.2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got.filter(_._1 == "a").map(_._2).toSet == expectA)
+    // deterministic under input repartitioning
+    val again = Sampling.mixtureSample(df.repartition(17), "g", "id",
+        Seq("a" -> 0.5, "b" -> 0.5), 40L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got.toSet)
+  }
+
   test("salted count equals plain groupBy count (hot key included)") {
     val df = (Seq.fill(5000)(("hot", 1)) ++ (1 to 500).map(i => (s"k$i", i)))
       .toDF("key", "v")
