@@ -501,14 +501,27 @@ object GraphAnalytics {
       // measured) — integer micros make the sum exact and
       // order-independent; one double division at the end
       .withColumn("w", round(lit(1e6) / log(col("deg"))).cast("long"))
-    // wedges a —z— c through every middle z, weighted by z's discount
+    // wedges a —z— c through every middle z, weighted by z's discount.
+    // Symmetry halving (the recommendAll trick, 2× the wedge agg): the
+    // distinct undirected adj is symmetric, so wedge (a,z,c) exists iff
+    // (c,z,a) does with the same w — score only a < c, mirror the
+    // aggregated pairs (10-20× smaller than the wedge bag) afterwards.
+    val par = spark.sparkContext.defaultParallelism
     val intoZ = adj.select(col("to").as("z"), col("from").as("a"))
       .join(deg.select(col("z"), col("w")), "z")
     val outOfZ = adj.select(col("from").as("z"), col("to").as("c"))
-    val scored = intoZ.join(outOfZ, "z")
-      .filter(col("a") =!= col("c"))
+    val half = intoZ.join(outOfZ, "z")
+      .filter(col("a") < col("c"))
+      // repartition on the agg key before summing: reducer-local hash
+      // maps stay cache-resident instead of every task spanning the
+      // full pair space (same rationale as recommendAll)
+      .repartition(par, col("a"), col("c"))
       .groupBy(col("a"), col("c"))
       .agg(round(sum(col("w")).cast("double") / lit(1e6), 4).as("score"))
+    val scored = half.select(explode(array(
+        struct(col("a"), col("c"), col("score")),
+        struct(col("c").as("a"), col("a").as("c"), col("score")))).as("p"))
+      .select(col("p.a").as("a"), col("p.c").as("c"), col("p.score").as("score"))
     val direct = adj.select(col("from").as("a"), col("to").as("c"))
     val cand = scored.join(direct, Seq("a", "c"), "left_anti")
     val sortKey = struct((-col("score")).as("_ns"), col("c").as("_c"))
