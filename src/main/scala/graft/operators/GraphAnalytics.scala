@@ -242,20 +242,28 @@ object GraphAnalytics {
     * Scale shape: one keyed shuffle per round (join labels into the
     * adjacency on the neighbor side, min-reduce per vertex) with
     * map-side partial mins absorbing hub skew — the same
-    * hub-absorber argument as [[pageRankDF]]'s rank sum. Rounds =
-    * graph diameter; social graphs are short-diameter so this
-    * terminates in a handful of rounds (the alternating
-    * large-star/small-star algorithm trades per-round cost for
-    * O(log d) rounds on long-diameter graphs — the documented upgrade
-    * path if this engine ever meets road networks). Convergence is
-    * detected every `checkEvery` rounds with ONE count job over the
-    * changed labels ([[pageRankDF]]'s materialization-cadence
-    * invariant: chain lazily, cut lineage with eager localCheckpoint
-    * at the check, never materialize per round).
+    * hub-absorber argument as [[pageRankDF]]'s rank sum. Each round
+    * ends with a pointer-jump (path halving: comp := comp(comp), a
+    * self-join of the label table on the label value), so a label's
+    * distance to its component minimum HALVES per round — O(log
+    * diameter) rounds instead of O(diameter), the same guarantee the
+    * alternating large-star/small-star algorithm buys, at one extra
+    * keyed join per round. Convergence is detected every `checkEvery`
+    * rounds with ONE count job over the changed labels
+    * ([[pageRankDF]]'s materialization-cadence invariant: chain
+    * lazily, cut lineage with eager localCheckpoint at the check,
+    * never materialize per round).
+    *
+    * Safety of the jump: label values are always vertex ids from the
+    * SAME component (min-propagation only moves ids along edges, and
+    * the jump reads another vertex's label), so comp(comp) is defined
+    * and stays in-component; labels stay monotone non-increasing, and
+    * the combined operator's fixpoint is the plain min-label fixpoint
+    * (comp constant per component = the component minimum).
     *
     * @return (id, comp) — comp = min vertex id of the component.
     */
-  def connectedComponentsDF(edges: DataFrame, checkEvery: Int = 3,
+  def connectedComponentsDF(edges: DataFrame, checkEvery: Int = 2,
                             maxRounds: Int = 60): DataFrame = {
     val canon = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
@@ -276,9 +284,15 @@ object GraphAnalytics {
           .join(cur.select(col("id").as("to"), col("comp").as("nc")), "to")
           .groupBy(col("from").as("id"))
           .agg(min(col("nc")).as("mc"))
-        cur = cur.join(msgs, Seq("id"), "left")
+        val stepped = cur.join(msgs, Seq("id"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"))
+        // pointer jump: comp := min(comp, comp(comp))
+        val parents = stepped
+          .select(col("id").as("pid"), col("comp").as("pcomp"))
+        cur = stepped.join(parents, col("comp") === col("pid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
       }
       val next = cur.localCheckpoint(true)
       // labels only ever decrease: changed = strict decreases this block
