@@ -181,6 +181,54 @@ object GraphAnalytics {
       round(col("rank") * lit(n) / lit(s), 6).as("rank"))
   }
 
+  /** Weighted PageRank — [[pageRankDF]] with edge weights: each round
+    * `rank(v) = (1−d) + d · Σ_{u→v} rank(u) · w(u,v) / wout(u)` where
+    * `wout(u)` is u's total outgoing weight. The reference's `knows`
+    * edges carry a `weight: double` property the unweighted walk
+    * ignores (upsert_bizcard_to_graph_db.py:104-109,
+    * README.md:359-364) — this is the centrality that actually uses
+    * it. Same fixed-iteration determinism, dangling handling, final
+    * Σrank = |V| rescale, and materialization cadence (lazy chaining,
+    * eager localCheckpoint every `materializeEvery` rounds) as
+    * [[pageRankDF]]; one keyed shuffle per iteration with map-side
+    * partial sums absorbing hub skew. Integer weights keep
+    * `rank·w/wout` a two-op IEEE expression identical across engines
+    * (oracle-checked, qX_pagerank_weighted).
+    *
+    * @param edges (src, dst, w) — positive weights; multiplicity
+    *              counts from [[graft.queries.GraphQueries.derivedEdgesWeighted]]
+    *              in the gate.
+    */
+  def pageRankWeightedDF(edges: DataFrame, iters: Int = 10,
+                         damping: Double = 0.85,
+                         materializeEvery: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val outW = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    val contribs = e.join(outW, "src")
+      .select(col("src"), col("dst"), col("w"), col("wout"))
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var ranks = verts.withColumn("rank", lit(1.0))
+    for (i <- 1 to iters) {
+      val msgs = contribs
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") * col("w") / col("wout")).as("msum"))
+      val next = verts.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("msum"), lit(0.0)))
+            .as("rank"))
+      ranks = if (i % materializeEvery == 0 || i == iters)
+        next.localCheckpoint(true) else next
+    }
+    val agg = ranks.agg(count(lit(1)).as("n"), sum(col("rank")).as("s")).head()
+    val (n, s) = (agg.getLong(0), agg.getDouble(1))
+    ranks.select(col("id"),
+      round(col("rank") * lit(n) / lit(s), 6).as("rank"))
+  }
+
   /** Connected components (undirected) — community seed for the social
     * graph. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
@@ -459,6 +507,37 @@ object GraphAnalytics {
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
     verts.join(perVertex, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Local clustering coefficient — how close each vertex's
+    * neighborhood is to a clique: `2·tri(v) / (deg(v)·(deg(v)−1))` on
+    * the simple undirected graph, 0.0 for degree < 2. The per-vertex
+    * community-density score that turns the triangle counts into a
+    * feature column (spam rings and bot farms sit at coeff ≈ 1,
+    * broadcast hubs near 0 — the classic curation signal).
+    *
+    * Scale shape: [[triangleCountsDF]] (degree-oriented wedge join —
+    * every wedge materialized at its LOWEST-degree corner, the standard
+    * hub-skew guard) plus one degree aggregation and one keyed join.
+    * The division is a single IEEE op on exact integers, so the
+    * 6-decimal rounding is engine-independent (oracle-checked,
+    * qX_clustering_coeff).
+    *
+    * @return (id, deg, n_tri, coeff) for every vertex of the edge view.
+    */
+  def clusteringCoefficientDF(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    triangleCountsDF(edges).join(deg, "id")
+      .select(col("id"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2,
+          round(col("n_tri") * lit(2.0) / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("coeff"))
   }
 
   /** GraphX `TriangleCount` twin of [[triangleCountsDF]] (string-id

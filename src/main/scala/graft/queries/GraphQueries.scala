@@ -33,6 +33,29 @@ object GraphQueries {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** Weighted edge view: the same pairs as [[derivedEdges]] with
+    * `w` = interaction multiplicity (how many qualifying events back
+    * the pair) — the engine-side analogue of the reference's
+    * `weight: double` property on `knows` edges
+    * (upsert_bizcard_to_graph_db.py:104-109). Kept textually in sync
+    * with [[WeightedEdgesSql]]. */
+  val WeightedEdgesSql: String =
+    """SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 50 AS dst,
+      |       count(*) AS w
+      |FROM events
+      |WHERE event_type IN ('click', 'view')
+      |  AND user_id <> CAST(FLOOR(value) AS BIGINT) % 50
+      |GROUP BY 1, 2""".stripMargin
+
+  def derivedEdgesWeighted(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("src"),
+        (floor(col("value")).cast("long") % 50).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+
   /** Shared recursive-closure CC oracle: min reachable id per vertex —
     * the canonical component form BOTH qX_cc_graphx (after min-id
     * canonicalization) and qX_cc_df (which converges to it directly)
@@ -228,6 +251,22 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Local clustering coefficient: triangles normalized by the wedge
+    // count — the per-vertex community-density feature column.
+    "qX_clustering_coeff" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.clusteringCoefficientDF(edges)
+        .orderBy(col("id"))
+    }),
+
+    // Weighted PageRank over the multiplicity-weighted edge view — the
+    // centrality that uses the reference's `knows.weight` property.
+    "qX_pagerank_weighted" -> ((s, dir) => {
+      val edges = derivedEdgesWeighted(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.pageRankWeightedDF(edges)
+        .orderBy(col("id"))
+    }),
+
     // GraphX TriangleCount agreement with the oracle-checked DF plan:
     // every vertex must count identically (exact integers, no float
     // tolerance needed) — same contract shape as qX_pagerank_consistency.
@@ -274,6 +313,31 @@ object GraphQueries {
          |    SELECT e.dst AS v, SUM(r.rank / outd.d) AS s
          |    FROM edges e JOIN r${i - 1} r ON e.src = r.v
          |    JOIN outd ON e.src = outd.src
+         |    GROUP BY e.dst) m ON verts.v = m.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT v AS id, ROUND(rank * (SELECT count(*) FROM r$iters)
+         |  / (SELECT sum(rank) FROM r$iters), 6) AS rank
+         |FROM r$iters ORDER BY v""".stripMargin
+  }
+
+  /** Unrolled weighted-PageRank oracle: [[pagerankSql]]'s chained CTEs
+    * with per-edge contribution `rank · w / wout` — the exact
+    * arithmetic of [[graft.operators.GraphAnalytics.pageRankWeightedDF]]. */
+  private def weightedPagerankSql(iters: Int): String = {
+    val head =
+      s"""WITH edges AS ($WeightedEdgesSql),
+         |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+         |verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
+         |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS rank FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r.rank * e.w / outw.wout) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.v
+         |    JOIN outw ON e.src = outw.src
          |    GROUP BY e.dst) m ON verts.v = m.v)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
@@ -396,6 +460,33 @@ object GraphQueries {
       s"""WITH edges AS ($EdgesSql),
          |verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges)
          |SELECT count(*) AS n_vertices, count(*) AS n_agree FROM verts""".stripMargin,
+    "qX_clustering_coeff" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |verts AS (SELECT u AS id FROM e UNION SELECT v AS id FROM e),
+         |degs AS (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+         |  GROUP BY id),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |corners AS (
+         |  SELECT a AS id FROM tri UNION ALL
+         |  SELECT b AS id FROM tri UNION ALL
+         |  SELECT c AS id FROM tri),
+         |pv AS (SELECT id, count(*) AS c FROM corners GROUP BY id)
+         |SELECT verts.id, degs.deg, coalesce(pv.c, 0) AS n_tri,
+         |       CASE WHEN degs.deg >= 2
+         |            THEN ROUND(coalesce(pv.c, 0) * 2.0
+         |                       / (degs.deg * (degs.deg - 1)), 6)
+         |            ELSE 0.0 END AS coeff
+         |FROM verts JOIN degs ON verts.id = degs.id
+         |LEFT JOIN pv ON verts.id = pv.id
+         |ORDER BY verts.id""".stripMargin,
+    "qX_pagerank_weighted" -> weightedPagerankSql(10),
     "qD1_pymk" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (

@@ -135,4 +135,35 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
     assert(ranks(1L) == ranks(3L))
     assert(ranks(1L) < ranks(2L) && ranks(2L) < ranks(4L))
   }
+
+  test("pageRankWeightedDF: uniform weights reduce to pageRankDF exactly") {
+    val pairs = Seq((1L, 2L), (3L, 2L), (2L, 4L), (4L, 1L), (2L, 3L))
+    val plain = GraphAnalytics.pageRankDF(pairs.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val weighted = GraphAnalytics.pageRankWeightedDF(
+      pairs.map { case (s, d) => (s, d, 7L) }.toDF("src", "dst", "w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(weighted == plain) // w/wout = 1/outdeg term-for-term
+  }
+
+  test("pageRankWeightedDF: mass follows the heavy edge") {
+    // 1 splits 9:1 between 2 and 3 — identical topology, weight decides
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val ranks = GraphAnalytics.pageRankWeightedDF(edges, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(2L) > ranks(3L))
+    assert(math.abs(ranks.values.sum - 3.0) < 1e-5)
+  }
+
+  test("clusteringCoefficientDF: triangle-plus-pendant known values") {
+    // triangle 1-2-3, pendant 3-4: coeff 1,1,1/3,0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.clusteringCoefficientDF(edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.333333)), 4L -> ((1L, 0L, 0.0))))
+  }
 }
