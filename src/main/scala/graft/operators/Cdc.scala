@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture shaping: build a slowly-changing-dimension
+  * (SCD type 2) version history from an append-only change stream.
+  *
+  * The reference keeps only the LATEST state per key everywhere it
+  * stores anything (DynamoDB status upsert,
+  * trigger_text_extract_from_s3_image.py:58-84; ES doc upsert,
+  * upsert_bizcard_to_es.py:77-90) — last-write-wins, history
+  * discarded. A training-data warehouse needs the opposite: the full
+  * validity timeline per key, so any point-in-time snapshot can be
+  * reconstructed (and joined as-of, [[AsOfJoin]]) without replaying
+  * the raw stream.
+  */
+object Cdc {
+
+  /** SCD2 history: per key (ordered by `tsCol`, ties broken by
+    * `tieCols` — make them unique or versions are nondeterministic),
+    * consecutive rows whose `trackCols` are unchanged collapse into
+    * one version; each version carries `valid_from` (its first change
+    * ts), `valid_to` (the next version's `valid_from`, NULL while
+    * current), `is_current`, and `n_rows` (changes absorbed).
+    * Null-safe change detection (`<=>`): NULL → value and
+    * value → NULL both open a new version, first row always does.
+    *
+    * Scale shape: everything is keyed by `keyCols` — the two windows
+    * and the per-(key, version) collapse all hash-cluster on the key
+    * (a subset grouping satisfies ClusteredDistribution), so the whole
+    * history build is ONE shuffle of the change stream, reused across
+    * the three steps. No driver materialization; versions-per-key is
+    * bounded by changes-per-key, so skew follows the stream's own key
+    * skew (salt upstream if one key dominates).
+    *
+    * @return keyCols ++ (version, trackCols…, valid_from, valid_to,
+    *         is_current, n_rows), one row per version.
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+           tieCols: Seq[String], trackCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val ord = (tsCol +: tieCols).map(c => col(c).asc)
+    val w = Window.partitionBy(key: _*).orderBy(ord: _*)
+    val tracked = struct(trackCols.map(col): _*)
+    val versioned = changes
+      .withColumn("_chg",
+        when(lag(tracked, 1).over(w) <=> tracked, 0).otherwise(1))
+      .withColumn("version",
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    // constant within a run — min() is the deterministic pick
+    val aggs = min(col(tsCol)).as("valid_from") +:
+      count(lit(1)).as("n_rows") +:
+      trackCols.map(c => min(col(c)).as(c))
+    val runs = versioned
+      .groupBy((key :+ col("version")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val wKey = Window.partitionBy(key: _*).orderBy(col("version").asc)
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((key :+ col("version")) ++ trackCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current"),
+          col("n_rows")): _*)
+  }
+
+  /** Point-in-time snapshot of an SCD2 history: the row version valid
+    * at `at` per key — `valid_from <= at < valid_to` (open-ended for
+    * the current version). A partition-pruned filter, no join. */
+  def snapshotAt(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+}

@@ -476,6 +476,20 @@ object RelationalQueries {
         .groupBy(col("user_id"), col("sess_id"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sess_value"))
         .orderBy(col("user_id"), col("sess_id"))
+    }),
+
+    // SCD2 history build: the CDC inverse of the reference's
+    // last-write-wins stores — collapse the per-user event_type change
+    // stream into validity-interval versions.
+    "qX_scd2" -> ((s, dir) => {
+      graft.operators.Cdc.scd2(t(s, dir, "events"),
+          Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("status"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"),
+          col("is_current"), col("n_rows"))
+        .orderBy(col("user_id"), col("version"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -717,5 +731,28 @@ object RelationalQueries {
         |  FROM g)
         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
         |  count(*) AS n_events, round(sum(value), 2) AS sess_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "qX_scd2" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN event_type IS NOT DISTINCT FROM lag(event_type)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    THEN 0 ELSE 1 END AS chg
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM m),
+        |runs AS (
+        |  SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    min(event_type) AS status, min(us) AS from_us,
+        |    count(*) AS n_rows
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, status, from_us,
+        |  lead(from_us) OVER (PARTITION BY user_id ORDER BY version) AS to_us,
+        |  (lead(from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |    IS NULL) AS is_current,
+        |  n_rows
+        |FROM runs ORDER BY user_id, version""".stripMargin)
 }

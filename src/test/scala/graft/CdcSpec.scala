@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Cdc
+
+/** Golden tests for the SCD2 history build (qX_scd2's operator). */
+class CdcSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  // (key, seq, ts, status): k1 runs A,A,B,A — three versions; k2 one row
+  private def changes = Seq(
+    ("k1", 1L, ts(10), "A"), ("k1", 2L, ts(20), "A"),
+    ("k1", 3L, ts(30), "B"), ("k1", 4L, ts(40), "A"),
+    ("k2", 5L, ts(15), "X")
+  ).toDF("k", "seq", "t", "status")
+
+  test("scd2: consecutive-equal rows collapse, validity chains, last is current") {
+    val got = Cdc.scd2(changes, Seq("k"), "t", Seq("seq"), Seq("status"))
+      .select(col("k"), col("version"), col("status"),
+        unix_micros(col("valid_from")).as("f"),
+        unix_micros(col("valid_to")).as("u"),
+        col("is_current"), col("n_rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          r.getBoolean(5), r.getLong(6))))
+      .toMap
+    assert(got == Map(
+      ("k1", 1L) -> (("A", 10000000L, 30000000L, false, 2L)),
+      ("k1", 2L) -> (("B", 30000000L, 40000000L, false, 1L)),
+      ("k1", 3L) -> (("A", 40000000L, -1L, true, 1L)),
+      ("k2", 1L) -> (("X", 15000000L, -1L, true, 1L))))
+  }
+
+  test("scd2: NULL -> value and value -> NULL both open versions") {
+    val df = Seq(
+      ("k", 1L, ts(1), Option.empty[String]),
+      ("k", 2L, ts(2), Option("A")),
+      ("k", 3L, ts(3), Option.empty[String]),
+      ("k", 4L, ts(4), Option.empty[String])
+    ).toDF("k", "seq", "t", "status")
+    val versions = Cdc.scd2(df, Seq("k"), "t", Seq("seq"), Seq("status"))
+      .select("version", "n_rows").as[(Long, Long)].collect().toSet
+    assert(versions == Set((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("scd2: replaying duplicate change rows leaves the timeline unchanged") {
+    val base = Cdc.scd2(changes, Seq("k"), "t", Seq("seq"), Seq("status"))
+      .select("k", "version", "status", "valid_from", "valid_to", "is_current")
+    val replayed = Cdc.scd2(changes.unionAll(changes), Seq("k"), "t",
+        Seq("seq"), Seq("status"))
+      .select("k", "version", "status", "valid_from", "valid_to", "is_current")
+    assert(base.exceptAll(replayed).isEmpty && replayed.exceptAll(base).isEmpty)
+  }
+
+  test("snapshotAt reconstructs the state as of any instant") {
+    val hist = Cdc.scd2(changes, Seq("k"), "t", Seq("seq"), Seq("status"))
+    val at35 = Cdc.snapshotAt(hist, lit(ts(35)))
+      .select("k", "status").as[(String, String)].collect().toMap
+    assert(at35 == Map("k" -> "B", "k2" -> "X").map { case (k, v) =>
+      (if (k == "k") "k1" else k) -> v })
+    val at99 = Cdc.snapshotAt(hist, lit(ts(99)))
+      .select("k", "status").as[(String, String)].collect().toMap
+    assert(at99 == Map("k1" -> "A", "k2" -> "X"))
+  }
+}
