@@ -352,6 +352,55 @@ object GraphAnalytics {
     labels
   }
 
+  /** Synchronous label propagation communities over the simple
+    * undirected graph — the cheap community detector that needs no
+    * target count: label₀(v) = v; each round every vertex adopts the
+    * most frequent label among its neighbors, ties broken by the
+    * SMALLEST label (the determinism LPA usually lacks — GraphX's
+    * `LabelPropagation` tie-breaks on hash-map iteration order, which
+    * is why this engine ships the DF form as the contract). Fixed
+    * `rounds`, not convergence: synchronous LPA can 2-cycle on
+    * bipartite-ish regions, so a fixed budget is both the determinism
+    * and the termination story, and the qX_lpa oracle unrolls the same
+    * rounds as chained CTEs (the [[kCore]] playbook).
+    *
+    * Scale shape per round: one keyed shuffle — join labels into the
+    * adjacency on the neighbor side, count (vertex, label) pairs with
+    * map-side partial counts (the hub absorber), then a bounded-heap
+    * top-1 per vertex ([[TopK.grouped]] — no window sort of the full
+    * label-count table). Lazy chaining + eager localCheckpoint every
+    * `materializeEvery` rounds ([[pageRankDF]]'s cadence invariant).
+    *
+    * @return (id, lbl) — community label per vertex of the edge view.
+    */
+  def labelPropagationDF(edges: DataFrame, rounds: Int = 4,
+                         materializeEvery: Int = 2): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("from"), col("v").as("to"))
+      .unionAll(canon.select(col("v").as("from"), col("u").as("to")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("from").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    for (i <- 1 to rounds) {
+      val counted = adj
+        .join(labels.select(col("id").as("to"), col("lbl")), "to")
+        .groupBy(col("from").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // top-1 by (count desc, label asc): negate the count for the
+      // smallest-first heap; every vertex of adj has >= 1 neighbor
+      val next = TopK.grouped(counted, Seq("id"),
+          struct((-col("c")).as("_nc"), col("lbl").as("_l")), 1)
+        .select(col("id"), col("best._l").as("lbl"))
+      labels = if (i % materializeEvery == 0 || i == rounds)
+        next.localCheckpoint(true) else next
+    }
+    labels
+  }
+
   /** k-core of the simple undirected graph — the densest-region
     * extraction used for community cores and spam-farm detection:
     * iteratively peel every vertex whose degree WITHIN the remaining

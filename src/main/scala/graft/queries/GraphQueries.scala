@@ -267,6 +267,14 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Label propagation communities: most-frequent neighbor label,
+    // smallest-label ties, fixed 4 synchronous rounds (unrolled oracle).
+    "qX_lpa" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.labelPropagationDF(edges)
+        .orderBy(col("id"))
+    }),
+
     // GraphX TriangleCount agreement with the oracle-checked DF plan:
     // every vertex must count identically (exact integers, no float
     // tolerance needed) — same contract shape as qX_pagerank_consistency.
@@ -320,6 +328,33 @@ object GraphQueries {
          |SELECT v AS id, ROUND(rank * (SELECT count(*) FROM r$iters)
          |  / (SELECT sum(rank) FROM r$iters), 6) AS rank
          |FROM r$iters ORDER BY v""".stripMargin
+  }
+
+  /** Unrolled synchronous-LPA oracle: `rounds` chained CTEs, each the
+    * per-vertex argmax of neighbor-label counts with (count DESC,
+    * label ASC) total order — the exact semantics of
+    * [[graft.operators.GraphAnalytics.labelPropagationDF]]. */
+  private def lpaSql(rounds: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS (SELECT u AS f, v AS t FROM e
+         |        UNION ALL
+         |        SELECT v AS f, u AS t FROM e),
+         |l0 AS (SELECT DISTINCT f AS id, f AS lbl FROM adj)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT a.f AS id, r.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY a.f
+         |        ORDER BY count(*) DESC, r.lbl ASC) AS rn
+         |    FROM adj a JOIN l${i - 1} r ON a.t = r.id
+         |    GROUP BY a.f, r.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id, lbl FROM l$rounds ORDER BY id"
   }
 
   /** Unrolled weighted-PageRank oracle: [[pagerankSql]]'s chained CTEs
@@ -487,6 +522,7 @@ object GraphQueries {
          |LEFT JOIN pv ON verts.id = pv.id
          |ORDER BY verts.id""".stripMargin,
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
+    "qX_lpa" -> lpaSql(4),
     "qD1_pymk" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (

@@ -156,6 +156,18 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ranks.values.sum - 3.0) < 1e-5)
   }
 
+  test("labelPropagationDF: bridged triangles split into two communities") {
+    // triangle {1,2,3} -bridge 3-4- triangle {4,5,6}: after 4 synchronous
+    // rounds (count desc, label asc ties) the left settles on 1, the
+    // right on 3 (the bridge vertex exports its adopted label)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.labelPropagationDF(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("clusteringCoefficientDF: triangle-plus-pendant known values") {
     // triangle 1-2-3, pendant 3-4: coeff 1,1,1/3,0
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
