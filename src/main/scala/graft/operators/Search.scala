@@ -65,6 +65,49 @@ object Search {
       .agg(sum(col("tf") * col("idf")).as("fscore"))
   }
 
+  /** BM25 relevance over one text field — the scorer Elasticsearch
+    * actually runs under the reference's `multi_match`
+    * (es_search_bizcard.py:65-68; ES default similarity since 5.0):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with the same BM25 idf the TF-IDF path already uses. Unlike
+    * [[scoreField]], term frequency saturates (a 50-hit doc is not 50×
+    * a 1-hit doc) and long documents are penalized toward the corpus
+    * mean length — the two effects that make BM25 the default.
+    *
+    * Determinism across engines: dl is an exact integer token count;
+    * Σdl over the corpus is an exact integer-valued double sum (order
+    * independent below 2^53), so `avgdl` is one IEEE division — the
+    * oracle recomputes it bit-for-bit. Per-(doc, term) scores are a
+    * fixed parenthesized IEEE expression; only the ≤|query|-term final
+    * sum is order-sensitive, absorbed by 4-decimal rounding (the
+    * qG1/qG3 precedent).
+    *
+    * Scale shape: same as [[scoreField]] — explode → two hash aggs →
+    * broadcast idf join — plus one narrow (doc, length) projection
+    * joined back on the doc key; avgdl is a two-scalar aggregate to
+    * the driver (constant-size at any corpus scale).
+    */
+  def bm25(docs: DataFrame, idCol: String, field: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           numDocs: Option[Long] = None): DataFrame = {
+    val lens = docs.select(col(idCol).as("_doc"),
+      size(tokenize(col(field))).cast("double").as("dl"))
+    val agg = lens.agg(sum(col("dl")).as("s"), count(lit(1)).as("c")).head()
+    val (totLen, n) = (agg.getDouble(0), agg.getLong(1))
+    val avgdl = totLen / n
+    val tf = termFreq(docs, idCol, field, queryTerms)
+    val idfs = broadcast(idf(tf, numDocs.getOrElse(n)))
+    tf.join(idfs, "term").join(lens, "_doc")
+      .select(col("_doc"),
+        (col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))).as("tscore"))
+      .groupBy("_doc")
+      .agg(sum(col("tscore")).as("_score"))
+  }
+
   /** Multi-field boosted search over a document table.
     *
     * @param fields   (fieldName, boost) pairs — the reference uses

@@ -78,6 +78,16 @@ object TextQueries {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // G2/G4 upgrade: BM25 — the scorer ES actually runs under the
+    // reference's multi_match — saturating tf, length-normalized.
+    "qG6_search_bm25" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Search.bm25(docs, "doc_id", "text", SearchTerms)
+        .select(col("_doc").as("doc_id"), round(col("_score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+    }),
+
     // G1 via the materialized inverted index: build postings + stats in
     // one pass, probe for the query terms — must equal qG1 exactly.
     "qG5_indexed_search" -> ((s, dir) => {
@@ -384,6 +394,30 @@ object TextQueries {
         |SELECT doc_id, round(sum(fscore), 4) AS score
         |FROM allscore GROUP BY doc_id
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "qG6_search_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |lens AS (
+         |  SELECT doc_id, len(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS dl
+         |  FROM documents),
+         |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |                 count(*) AS n FROM lens),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('${SearchTerms.mkString("','")}') GROUP BY 1, 2),
+         |idf AS (SELECT term,
+         |    ln(1 + ((SELECT n FROM stats) - count(*) + 0.5)
+         |       / (count(*) + 0.5)) AS idf
+         |  FROM tf GROUP BY term)
+         |SELECT tf.doc_id, round(sum(
+         |    idf.idf * (tf.tf * (1.2 + 1.0)) /
+         |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / (SELECT avgdl FROM stats)))
+         |  ), 4) AS score
+         |FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
+         |GROUP BY tf.doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "qG5_indexed_search" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(

@@ -59,4 +59,33 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(hits.length == 2)
     assert(hits.head.getAs[String]("doc_id") == "d2")
   }
+
+  test("bm25: tf saturates and length normalizes (vs linear tf-idf)") {
+    val corpus = Seq(
+      ("a", "kim kim kim kim kim kim kim kim kim kim"), // tf=10, dl=10
+      ("b", "kim foo foo foo foo foo foo foo foo foo"), // tf=1,  dl=10
+      ("c", "kim foo"),                                 // tf=1,  dl=2
+      ("d", "bar baz")
+    ).toDF("doc_id", "text")
+    val scores = Search.bm25(corpus, "doc_id", "text", Seq("kim"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == Set("a", "b", "c")) // d never matches
+    // saturation: 10x the tf buys far less than 10x the score
+    assert(scores("a") < 10 * scores("b") && scores("a") > scores("b"))
+    // length normalization: same tf, shorter doc wins
+    assert(scores("c") > scores("b"))
+  }
+
+  test("bm25 ranks by the same idf as the tf-idf path on single-hit docs") {
+    // one term, every matching doc has tf=1 and equal length -> bm25
+    // order must agree with scoreField order
+    val corpus = Seq(
+      ("a", "kim lee"), ("b", "kim lee"), ("c", "lee park")
+    ).toDF("doc_id", "text")
+    val bm = Search.bm25(corpus, "doc_id", "text", Seq("kim"))
+      .collect().map(_.getString(0)).toSet
+    val tfidf = Search.scoreField(corpus, "doc_id", "text", Seq("kim"))
+      .collect().map(_.getString(0)).toSet
+    assert(bm == tfidf && bm == Set("a", "b"))
+  }
 }
