@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId, VertexRDD}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** GraphX twin of the DataFrame graph operators — the iterative
@@ -350,6 +351,72 @@ object GraphAnalytics {
       rounds += checkEvery
     }
     labels
+  }
+
+  /** Deterministic random-walk corpus over the simple undirected graph
+    * — the DeepWalk/node2vec input generator: `walksPerVertex` walks
+    * of `length` steps start at every vertex, each step moving to the
+    * neighbor at index `mix(walk, step, cur) mod deg(cur)` of the
+    * id-ordered adjacency. The walk "randomness" is a splittable
+    * arithmetic mix (affine in walk id, step, and current vertex,
+    * reduced mod the prime 1000003 — the [[Dedup]] MinHash field
+    * trick), NOT an RNG: replayable, resumable, and SQL-expressible,
+    * so the corpus is oracle-checked end to end (qX_random_walks) —
+    * the property a training pipeline needs when a walk corpus must be
+    * regenerated bit-identically months later. Magnitude bound under
+    * ANSI mode: all products stay < 2^63 for vertex ids up to ~2^40.
+    *
+    * Scale shape per step: the frontier joins the degree table (narrow)
+    * to compute its pick, then equi-joins the indexed adjacency on the
+    * COMPOSITE key (vertex, idx) — never "join the full neighbor list,
+    * then filter", which would materialize deg(v) rows per walk at a
+    * hub. Adjacency index + degrees are built once (one window over the
+    * id-ordered neighbor list) and localCheckpointed; the walk frontier
+    * stays (walk_id, cur)-narrow; steps chain lazily with a lineage cut
+    * every 2 steps.
+    *
+    * @return (walk_id, step, vertex), step 0..length — one corpus row
+    *         per visited position; walk_id = start_id·walksPerVertex+r.
+    */
+  def randomWalks(edges: DataFrame, walksPerVertex: Int = 2,
+                  length: Int = 4, seed: Long = 7L): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("from"), col("v").as("to"))
+      .unionAll(canon.select(col("v").as("from"), col("u").as("to")))
+    val adjIdx = adj.withColumn("idx",
+        row_number().over(Window.partitionBy(col("from"))
+          .orderBy(col("to"))) - 1)
+      .localCheckpoint(true)
+    val degs = adjIdx.groupBy("from").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var cur = adjIdx.select(col("from").as("id")).distinct()
+      .select(col("id"), explode(sequence(lit(0),
+        lit(walksPerVertex - 1))).as("r"))
+      .select((col("id") * walksPerVertex + col("r")).as("walk_id"),
+        col("id").as("cur"))
+    var out = cur.select(col("walk_id"), lit(0).as("step"),
+      col("cur").as("vertex"))
+    for (s <- 1 to length) {
+      val picked = cur
+        .join(degs.withColumnRenamed("from", "cur"), "cur")
+        .withColumn("pick",
+          ((col("walk_id") * lit(40503L) + lit(s.toLong) * lit(2654435L) +
+            col("cur") * lit(69069L) + lit(seed)) % lit(1000003L))
+            % col("deg"))
+      val stepped0 = picked.alias("p")
+        .join(adjIdx.alias("a"),
+          col("p.cur") === col("a.from") && col("p.pick") === col("a.idx"))
+        .select(col("p.walk_id").as("walk_id"), col("a.to").as("cur"))
+      val stepped = if (s % 2 == 0 || s == length)
+        stepped0.localCheckpoint(true) else stepped0
+      cur = stepped
+      out = out.unionAll(stepped.select(col("walk_id"),
+        lit(s).as("step"), col("cur").as("vertex")))
+    }
+    out
   }
 
   /** Synchronous label propagation communities over the simple

@@ -275,6 +275,15 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Deterministic random-walk corpus (DeepWalk/node2vec input): 2
+    // walks per vertex, 4 steps, arithmetic-mix neighbor choice —
+    // bit-replayable, so the whole corpus is oracle-checked.
+    "qX_random_walks" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.randomWalks(edges)
+        .orderBy(col("walk_id"), col("step"))
+    }),
+
     // GraphX TriangleCount agreement with the oracle-checked DF plan:
     // every vertex must count identically (exact integers, no float
     // tolerance needed) — same contract shape as qX_pagerank_consistency.
@@ -328,6 +337,45 @@ object GraphQueries {
          |SELECT v AS id, ROUND(rank * (SELECT count(*) FROM r$iters)
          |  / (SELECT sum(rank) FROM r$iters), 6) AS rank
          |FROM r$iters ORDER BY v""".stripMargin
+  }
+
+  /** Unrolled random-walk oracle: one CTE per step, each picking the
+    * `mix(walk, step, cur) mod deg` entry of the id-ordered adjacency —
+    * the exact arithmetic of
+    * [[graft.operators.GraphAnalytics.randomWalks]]. */
+  private def randomWalksSql(walksPerVertex: Int, length: Int,
+                             seed: Long): String = {
+    val replicas = (0 until walksPerVertex)
+      .map(r => s"SELECT $r AS r").mkString(" UNION ALL ")
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS (SELECT u AS f, v AS t FROM e
+         |        UNION ALL
+         |        SELECT v AS f, u AS t FROM e),
+         |adjidx AS (SELECT f, t,
+         |    row_number() OVER (PARTITION BY f ORDER BY t) - 1 AS idx
+         |  FROM adj),
+         |degs AS (SELECT f, count(*) AS deg FROM adj GROUP BY f),
+         |w0 AS (
+         |  SELECT id * $walksPerVertex + r AS walk_id, id AS cur
+         |  FROM (SELECT DISTINCT f AS id FROM adj)
+         |  CROSS JOIN ($replicas))""".stripMargin
+    val steps = (1 to length).map { s =>
+      s"""w$s AS (
+         |  SELECT w.walk_id, a.t AS cur
+         |  FROM w${s - 1} w
+         |  JOIN degs d ON w.cur = d.f
+         |  JOIN adjidx a ON a.f = w.cur
+         |   AND a.idx = ((w.walk_id * 40503 + $s * 2654435
+         |                 + w.cur * 69069 + $seed) % 1000003) % d.deg)""".stripMargin
+    }
+    val union = (0 to length)
+      .map(s => s"SELECT walk_id, $s AS step, cur AS vertex FROM w$s")
+      .mkString("\nUNION ALL\n")
+    (head +: steps).mkString(",\n") +
+      s"\n$union\nORDER BY walk_id, step"
   }
 
   /** Unrolled synchronous-LPA oracle: `rounds` chained CTEs, each the
@@ -523,6 +571,7 @@ object GraphQueries {
          |ORDER BY verts.id""".stripMargin,
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
     "qX_lpa" -> lpaSql(4),
+    "qX_random_walks" -> randomWalksSql(walksPerVertex = 2, length = 4, seed = 7L),
     "qD1_pymk" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (

@@ -156,6 +156,29 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ranks.values.sum - 3.0) < 1e-5)
   }
 
+  test("randomWalks: every step follows an edge, full corpus shape, replayable") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val walks = GraphAnalytics.randomWalks(edges, walksPerVertex = 3, length = 5)
+    val rows = walks.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // shape: 4 vertices x 3 walks x 6 positions
+    assert(rows.length == 4 * 3 * 6)
+    assert(rows.groupBy(_._1).size == 12 && rows.forall(_._2 <= 5))
+    // validity: consecutive positions are joined by an (undirected) edge
+    val undirected = Set((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    rows.groupBy(_._1).values.foreach { w =>
+      w.sortBy(_._2).map(_._3).sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(undirected((pair(0), pair(1))),
+            s"${pair(0)}->${pair(1)} not an edge")
+      }
+    }
+    // replayability: a second build is bit-identical
+    val again = GraphAnalytics.randomWalks(edges, walksPerVertex = 3, length = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
   test("labelPropagationDF: bridged triangles split into two communities") {
     // triangle {1,2,3} -bridge 3-4- triangle {4,5,6}: after 4 synchronous
     // rounds (count desc, label asc ties) the left settles on 1, the
