@@ -161,4 +161,77 @@ object Similarity {
       .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
     topKPerQuery(scored, k)
   }
+
+  /** Deterministic spherical k-means (Lloyd) over the embedding column
+    * — the clustering behind SemDeDup-style semantic dedup (Abbas et
+    * al. 2023: cluster, then drop near-identical members per cluster)
+    * and the missing "upstream fit" for [[ivfTopK]]'s centroid table.
+    *
+    * Determinism replaces RNG everywhere:
+    *  - init is farthest-first traversal (Gonzalez 1985): first
+    *    centroid = the lowest-id point; each next = the point with the
+    *    SMALLEST maximum cosine to the chosen set (ties by id) — the
+    *    classic 2-approximation, and reproducible run-to-run;
+    *  - assignment ties break to the lowest cluster index
+    *    (array_position finds the FIRST maximum).
+    *
+    * Scale shape: centroids live in the PLAN as array literals (k·dim
+    * floats — broadcast-by-construction); each Lloyd round is one scan
+    * + one keyed shuffle of (cluster, dim, partial-sum) with map-side
+    * partial aggregation, and only k·dim aggregated means return to the
+    * driver. Init costs one scan per seed — k scans total; for large k
+    * switch to a sampled seed pool (documented upgrade, not needed for
+    * the dedup/IVF cluster counts this engine targets). Fixed `iters`,
+    * no convergence test: deterministic cost, and empty clusters keep
+    * their previous centroid.
+    *
+    * @return (assignments (id, cluster, sim — cosine to own centroid),
+    *         centroids (cid, cvec) ready for [[ivfTopK]])
+    */
+  def kmeansFit(points: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int = 5): (DataFrame, DataFrame) = {
+    require(k >= 2, "k-means needs k >= 2")
+    val spark = points.sparkSession
+    val pts = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(true) // scanned k-1 times for init + per round
+    // farthest-first init
+    val first = pts.orderBy(asc("id")).limit(1).head.getSeq[Float](1).toArray
+    val cents = scala.collection.mutable.ArrayBuffer(first)
+    for (_ <- 2 to k) {
+      val msim = cents.map(c => cosine(col("vec"), typedLit(c)))
+        .reduce((a, b) => greatest(a, b))
+      val far = pts.withColumn("m", msim)
+        .orderBy(asc("m"), asc("id")).limit(1).head
+      cents += far.getSeq[Float](1).toArray
+    }
+    var centroids: IndexedSeq[Array[Float]] = cents.toIndexedSeq
+    def withCluster(df: DataFrame): DataFrame = {
+      val sims = array(centroids.map(c => cosine(col("vec"), typedLit(c))): _*)
+      df.withColumn("_sims", sims)
+        .withColumn("cluster",
+          (array_position(col("_sims"), array_max(col("_sims"))) - 1).cast("int"))
+    }
+    for (_ <- 1 to iters) {
+      val stats = withCluster(pts)
+        .select(col("cluster"), posexplode(col("vec")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = stats.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { j =>
+        byCluster.get(j).map { rows =>
+          rows.sortBy(_.getInt(1))
+            .map(r => (r.getDouble(2) / r.getLong(3)).toFloat).toArray
+        }.getOrElse(centroids(j)) // empty cluster keeps its seed
+      }
+    }
+    val assigned = withCluster(pts)
+      .select(col("id"), col("cluster"),
+        round(array_max(col("_sims")), 4).as("sim"))
+    import spark.implicits._
+    val centDF = centroids.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.toSeq) }.toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    (assigned, centDF)
+  }
 }
