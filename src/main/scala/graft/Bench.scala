@@ -83,7 +83,16 @@ object Bench {
     // the headline total; surface them as an explicit count instead
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full line to a file: the committed BENCH artifact
+    // is built from a bounded log tail, which at ~96 queries truncated
+    // mid-key and dropped the first rows from the round's record
+    // (VERDICT r5 "What's wrong" #2). The file is the lossless copy.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -146,17 +146,26 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * is_alive guard always applied (B15). Returns rows + `_score`,
     * ranked desc — the `hits.hits` shape. Memoized per request key
     * (I1 analogue); idf N served from the memoized live-doc count
-    * instead of a per-query counting pass. */
+    * instead of a per-query counting pass.
+    *
+    * Default scorer is BM25 with best_fields combination — what ES
+    * actually runs under the reference's `multi_match`
+    * (es_search_bizcard.py:62-70: no `type`, so best_fields; default
+    * similarity BM25 since ES 5.0). `scorer = "tfidf"` /
+    * `combine = "sum"` select the declared reproducible variants
+    * (qG1/qG3); both knobs are part of the memo key. */
   def search(query: String, owner: Option[String] = None,
-             limit: Int = 10): DataFrame =
+             limit: Int = 10, scorer: String = "bm25",
+             combine: String = "max"): DataFrame =
     // owner encoded with a presence marker: None and Some("") are
     // different requests (no filter vs. filter on empty owner) and must
     // not share a memo entry
     memoized(cacheKey("search", query,
-      owner.map("o:" + _).getOrElse("<none>"), limit.toString)) {
+      owner.map("o:" + _).getOrElse("<none>"), limit.toString,
+      scorer, combine)) {
       Search.search(searchTable, "doc_id", SearchFields, query, limit,
         ownerFilter = owner.map("owner" -> _), aliveCol = Some("is_alive"),
-        numDocs = Some(nLiveDocs))
+        numDocs = Some(nLiveDocs), scorer = scorer, combine = combine)
     }
 
   /** PYMK by case-insensitive user name. Response reproduces the

@@ -95,8 +95,12 @@ object Search {
     val lens = docs.select(col(idCol).as("_doc"),
       size(tokenize(col(field))).cast("double").as("dl"))
     val agg = lens.agg(sum(col("dl")).as("s"), count(lit(1)).as("c")).head()
-    val (totLen, n) = (agg.getDouble(0), agg.getLong(1))
-    val avgdl = totLen / n
+    // degenerate corpora: empty docs → sum is NULL; all-empty-text →
+    // Σdl = 0 and dl/avgdl would be 0/0 = NaN. avgdl = 1.0 is a safe
+    // identity there (every dl is 0, so the length term is just b·0).
+    val (totLen, n) =
+      (if (agg.isNullAt(0)) 0.0 else agg.getDouble(0), agg.getLong(1))
+    val avgdl = if (n == 0L || totLen == 0.0) 1.0 else totLen / n
     val tf = termFreq(docs, idCol, field, queryTerms)
     val idfs = broadcast(idf(tf, numDocs.getOrElse(n)))
     tf.join(idfs, "term").join(lens, "_doc")
@@ -122,12 +126,29 @@ object Search {
     *                 the per-query counting job; this is also ES's
     *                 semantics (idf over the whole index, unaffected by
     *                 filter context). Default: count the filtered set.
+    * @param scorer   "tfidf" (the declared reproducible scorer, qG1/qG3)
+    *                 or "bm25" — the scorer ES actually runs under the
+    *                 reference's multi_match (es_search_bizcard.py:62-70;
+    *                 default similarity since ES 5.0), with per-FIELD
+    *                 dl/avgdl as Lucene computes it (each field is its
+    *                 own inverted index with its own length norms).
+    * @param combine  cross-field combination: "sum" (ES most_fields —
+    *                 Σ_field boost·fieldScore) or "max" (ES best_fields,
+    *                 the multi_match DEFAULT the reference relies on:
+    *                 score = max_field boost·fieldScore, so a doc
+    *                 matching fully in one field outranks one spreading
+    *                 the same terms thinly across many).
     */
   def search(docs: DataFrame, idCol: String, fields: Seq[(String, Double)],
              query: String, limit: Int,
              ownerFilter: Option[(String, String)] = None,
              aliveCol: Option[String] = None,
-             numDocs: Option[Long] = None): DataFrame = {
+             numDocs: Option[Long] = None,
+             scorer: String = "tfidf",
+             combine: String = "sum",
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(Set("tfidf", "bm25")(scorer), s"unknown scorer $scorer")
+    require(Set("sum", "max")(combine), s"unknown combine $combine")
     val queryTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     require(queryTerms.nonEmpty || ownerFilter.nonEmpty,
       "at least one of query / owner filter required (es_search_bizcard.py:75)")
@@ -152,25 +173,59 @@ object Search {
     // per query); the fallback counting pass is metadata-only when
     // unfiltered.
     val n = numDocs.getOrElse(filtered.count())
-    val stacked = array(fields.map { case (f, b) =>
-      struct(lit(f).as("field"), lit(b).as("boost"),
+    val stacked = array(fields.map { case (f, bst) =>
+      struct(lit(f).as("field"), lit(bst).as("boost"),
         tokenize(col(f)).as("toks"))
     }: _*)
-    val posts = filtered
+    // per-(doc, field) token lists — the one wide explode; dl rides
+    // along so BM25's length norm costs no extra scan of the corpus
+    val fieldRows = filtered
       .select(col(idCol).as("_doc"), explode(stacked).as("ft"))
       .select(col("_doc"), col("ft.field").as("field"),
-        col("ft.boost").as("boost"), explode(col("ft.toks")).as("term"))
+        col("ft.boost").as("boost"), col("ft.toks").as("toks"))
+    val posts = fieldRows
+      .select(col("_doc"), col("field"), col("boost"),
+        size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
+    // dl is functionally dependent on (_doc, field); max() just carries it
     val tf = posts.groupBy("field", "boost", "term", "_doc")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val idfs = broadcast(
       tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
         .select(col("field"), col("term"),
           log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
             .as("idf")))
-    val combined = tf.join(idfs, Seq("field", "term"))
-      .groupBy("_doc")
-      .agg(sum(col("tf") * col("idf") * col("boost")).as("_score"))
+    // per-(field, term, doc) partial score
+    val termScored = scorer match {
+      case "tfidf" =>
+        tf.join(idfs, Seq("field", "term"))
+          .withColumn("tscore", col("tf") * col("idf"))
+      case "bm25" =>
+        // per-field avgdl over ALL docs of the filtered corpus (not just
+        // term-matching ones) — |fields| rows, broadcast. Needs its own
+        // narrow (field, dl) aggregation pass; the all-empty-field guard
+        // (Σdl = 0 → avgdl 1.0) mirrors [[bm25]]'s.
+        val avgdls = broadcast(
+          fieldRows.groupBy("field")
+            .agg(sum(size(col("toks"))).as("s"), count(lit(1)).as("c"))
+            .select(col("field"),
+              when(col("s") === 0 || col("c") === 0, lit(1.0))
+                .otherwise(col("s").cast("double") / col("c")).as("avgdl")))
+        tf.join(idfs, Seq("field", "term")).join(avgdls, Seq("field"))
+          .withColumn("tscore",
+            col("idf") * (col("tf") * lit(k1 + 1.0)) /
+              (col("tf") + lit(k1) *
+                (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    }
+    val perField = termScored
+      .groupBy("_doc", "field", "boost")
+      .agg(sum(col("tscore")).as("fsum"))
+      .withColumn("wscore", col("boost") * col("fsum"))
+    val combined = combine match {
+      case "sum" => perField.groupBy("_doc").agg(sum(col("wscore")).as("_score"))
+      case "max" => perField.groupBy("_doc").agg(max(col("wscore")).as("_score"))
+    }
 
     filtered.join(combined, filtered(idCol) === combined("_doc"))
       .drop("_doc")

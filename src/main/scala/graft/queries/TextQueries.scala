@@ -24,6 +24,55 @@ object TextQueries {
     """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |  x -> x <> '') AS toks FROM documents""".stripMargin
 
+  /** Shared oracle for the multi-field BM25 queries (qG7/qG8):
+    * per-field tokenization, per-field dl/avgdl, BM25 per (field, term,
+    * doc) with the exact parenthesization of Search.search's bm25
+    * branch, boost applied to the per-field sum; `finalAgg` picks the
+    * cross-field combination — sum (most_fields) or max (best_fields). */
+  private def Bm25MultiSql(finalAgg: String): String =
+    s"""WITH n AS (SELECT count(*) AS n FROM documents),
+       |ttoks AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |stoks AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(source), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |tlens AS (SELECT doc_id, len(toks) AS dl FROM ttoks),
+       |slens AS (SELECT doc_id, len(toks) AS dl FROM stoks),
+       |tstats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM tlens),
+       |sstats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM slens),
+       |ttf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM ttoks) x
+       |  WHERE term IN ('src3', 'merge') GROUP BY 1, 2),
+       |stf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM stoks) x
+       |  WHERE term IN ('src3', 'merge') GROUP BY 1, 2),
+       |tidf AS (SELECT term, ln(1 + ((SELECT n FROM n) - count(*) + 0.5)
+       |    / (count(*) + 0.5)) AS idf FROM ttf GROUP BY term),
+       |sidf AS (SELECT term, ln(1 + ((SELECT n FROM n) - count(*) + 0.5)
+       |    / (count(*) + 0.5)) AS idf FROM stf GROUP BY term),
+       |tscore AS (SELECT ttf.doc_id, sum(
+       |    tidf.idf * (ttf.tf * (1.2 + 1.0)) /
+       |    (ttf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tlens.dl / (SELECT avgdl FROM tstats)))
+       |  ) * 1.0 AS fscore
+       |  FROM ttf JOIN tidf USING (term) JOIN tlens USING (doc_id)
+       |  GROUP BY ttf.doc_id),
+       |sscore AS (SELECT stf.doc_id, sum(
+       |    sidf.idf * (stf.tf * (1.2 + 1.0)) /
+       |    (stf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * slens.dl / (SELECT avgdl FROM sstats)))
+       |  ) * 3.0 AS fscore
+       |  FROM stf JOIN sidf USING (term) JOIN slens USING (doc_id)
+       |  GROUP BY stf.doc_id),
+       |allscore AS (
+       |  SELECT doc_id, fscore FROM sscore
+       |  UNION ALL
+       |  SELECT doc_id, fscore FROM tscore)
+       |SELECT doc_id, $finalAgg AS score
+       |FROM allscore GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** DuckDB restatement of [[graft.operators.Layout.zorderKey]]: the
     * same 5 magic-mask spread steps, generated once per operand. */
   private def spreadSql(e: String): String =
@@ -86,6 +135,34 @@ object TextQueries {
         .select(col("_doc").as("doc_id"), round(col("_score"), 4).as("score"))
         .orderBy(desc("score"), asc("doc_id"))
         .limit(20)
+    }),
+
+    // G1-G4 serving form: BM25 under multi_match — the scorer ES
+    // actually runs for the reference's query (es_search_bizcard.py:
+    // 62-70; default similarity since 5.0). Per-FIELD dl/avgdl (each
+    // field is its own Lucene index), boost applied to the per-field
+    // sum, fields combined by Σ (most_fields).
+    "qG7_search_bm25_multi" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Search.search(docs, "doc_id",
+          Seq("source" -> 3.0, "text" -> 1.0), "src3 merge", 20,
+          scorer = "bm25")
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
+    // best_fields combination — the multi_match DEFAULT the reference's
+    // query uses (no `type` given): score = max over per-field boosted
+    // scores, not the sum. With BM25 this is exactly what the engine's
+    // serving path (GraftEngine.search) runs, so this gate pins the
+    // serving configuration end-to-end.
+    "qG8_best_fields" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Search.search(docs, "doc_id",
+          Seq("source" -> 3.0, "text" -> 1.0), "src3 merge", 20,
+          scorer = "bm25", combine = "max")
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
     }),
 
     // G1 via the materialized inverted index: build postings + stats in
@@ -418,6 +495,8 @@ object TextQueries {
          |FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
          |GROUP BY tf.doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "qG7_search_bm25_multi" -> Bm25MultiSql("round(sum(fscore), 4)"),
+    "qG8_best_fields" -> Bm25MultiSql("round(max(fscore), 4)"),
     "qG5_indexed_search" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(

@@ -88,4 +88,55 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(bm == tfidf && bm == Set("a", "b"))
   }
+
+  test("bm25 survives degenerate corpora (empty / all-empty-text)") {
+    val empty = Seq.empty[(String, String)].toDF("doc_id", "text")
+    assert(Search.bm25(empty, "doc_id", "text", Seq("kim")).count() == 0)
+    val blank = Seq(("a", ""), ("b", " ")).toDF("doc_id", "text")
+    assert(Search.bm25(blank, "doc_id", "text", Seq("kim")).count() == 0)
+  }
+
+  test("multi-field bm25: name boost dominates under the serving scorer") {
+    val hits = Search.search(docs, "doc_id", Fields, "kim", 10,
+      aliveCol = Some("is_alive"), scorer = "bm25").collect()
+    val order = hits.map(_.getAs[String]("doc_id")).toSeq
+    assert(order.head == "d2")
+    assert(order.indexOf("d1") < order.indexOf("d3"),
+      "3x-boosted name hit outranks the company-only hit under bm25 too")
+  }
+
+  test("best_fields: a concentrated hit outranks a spread hit that sum would favor") {
+    // q = "kim lee": `spread` matches one term in each field, `conc`
+    // matches both terms in ONE field. "lee" is common in f1 (low idf
+    // where conc matches it) but rare in f2 (high idf where spread
+    // matches it): sum-combine adds spread's two mid-size field scores
+    // (.875 + 1.204 > conc's 1.414); best_fields takes the max single
+    // field (spread's best 1.204 < conc's 1.414) — the ES multi_match
+    // default flips the ranking, exactly the semantics gap qG8 gates.
+    val corpus = Seq(
+      ("spread", "kim", "lee"),
+      ("conc", "kim lee", "choi"),
+      ("n1", "lee", "x"),
+      ("n2", "lee", "x"),
+      ("n3", "park", "x")
+    ).toDF("doc_id", "f1", "f2")
+    val flds = Seq("f1" -> 1.0, "f2" -> 1.0)
+    def top(combine: String): String =
+      Search.search(corpus, "doc_id", flds, "kim lee", 1, combine = combine)
+        .collect().head.getAs[String]("doc_id")
+    assert(top("sum") == "spread", "sum semantics would invert the ranking")
+    assert(top("max") == "conc", "best_fields picks the concentrated hit")
+  }
+
+  test("serving path shape: bm25+max equals tfidf ranking on single-field hits") {
+    // every hit is confined to one field -> max == sum; bm25 with equal
+    // dl and tf=1 preserves idf order -> ranking matches the tfidf path
+    val hits = Search.search(docs, "doc_id", Fields, "seoul", 10,
+      aliveCol = Some("is_alive"), scorer = "bm25", combine = "max")
+      .collect().map(_.getAs[String]("doc_id")).toSet
+    val base = Search.search(docs, "doc_id", Fields, "seoul", 10,
+      aliveCol = Some("is_alive")).collect()
+      .map(_.getAs[String]("doc_id")).toSet
+    assert(hits == base && hits == Set("d1", "d3"))
+  }
 }
