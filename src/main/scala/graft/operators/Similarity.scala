@@ -164,49 +164,96 @@ object Similarity {
 
   /** Deterministic spherical k-means (Lloyd) over the embedding column
     * — the clustering behind SemDeDup-style semantic dedup (Abbas et
-    * al. 2023: cluster, then drop near-identical members per cluster)
-    * and the missing "upstream fit" for [[ivfTopK]]'s centroid table.
+    * al. 2023: cluster, then drop near-identical members per cluster;
+    * see [[semDeDup]]) and the upstream fit for [[ivfTopK]]'s centroid
+    * table.
     *
     * Determinism replaces RNG everywhere:
-    *  - init is farthest-first traversal (Gonzalez 1985): first
-    *    centroid = the lowest-id point; each next = the point with the
-    *    SMALLEST maximum cosine to the chosen set (ties by id) — the
-    *    classic 2-approximation, and reproducible run-to-run;
+    *  - init is farthest-first traversal (Gonzalez 1985) over a
+    *    hash-sampled SEED POOL: the pool is the `seedPool` points with
+    *    the smallest (xxhash64(id), id) — one TakeOrdered scan — and
+    *    the traversal (first = lowest-id pool point; each next = the
+    *    pool point with the smallest maximum cosine to the chosen set,
+    *    ties by id) runs driver-side over the pool only. Init is 1
+    *    scan + O(seedPool·k·dim) driver work, independent of corpus
+    *    size. `seedPool = 0` selects the exact whole-corpus traversal
+    *    (one scan PER seed — the small-k oracle form, quadratic in
+    *    driver round-trips; fine for IVF cell counts, not for large k);
+    *  - a candidate seed identical to an already-chosen centroid
+    *    (max cosine rounded to 1.0) stops the traversal: fewer than k
+    *    distinct directions in the data yield FEWER than k centroids,
+    *    never duplicate ones;
     *  - assignment ties break to the lowest cluster index
-    *    (array_position finds the FIRST maximum).
+    *    (array_position finds the FIRST maximum);
+    *  - zero-norm vectors (cosine 0/0 = NaN) and null-poisoned rows
+    *    score −1 against every centroid and land deterministically in
+    *    cluster 0 rather than propagating NaN/NULL clusters.
     *
     * Scale shape: centroids live in the PLAN as array literals (k·dim
     * floats — broadcast-by-construction); each Lloyd round is one scan
     * + one keyed shuffle of (cluster, dim, partial-sum) with map-side
     * partial aggregation, and only k·dim aggregated means return to the
-    * driver. Init costs one scan per seed — k scans total; for large k
-    * switch to a sampled seed pool (documented upgrade, not needed for
-    * the dedup/IVF cluster counts this engine targets). Fixed `iters`,
-    * no convergence test: deterministic cost, and empty clusters keep
-    * their previous centroid.
+    * driver. Fixed `iters`, no convergence test: deterministic cost,
+    * and empty clusters keep their previous centroid.
     *
     * @return (assignments (id, cluster, sim — cosine to own centroid),
     *         centroids (cid, cvec) ready for [[ivfTopK]])
     */
   def kmeansFit(points: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int = 5): (DataFrame, DataFrame) = {
+                k: Int, iters: Int = 5,
+                seedPool: Int = 256): (DataFrame, DataFrame) = {
     require(k >= 2, "k-means needs k >= 2")
     val spark = points.sparkSession
     val pts = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .localCheckpoint(true) // scanned k-1 times for init + per round
-    // farthest-first init
-    val first = pts.orderBy(asc("id")).limit(1).head.getSeq[Float](1).toArray
-    val cents = scala.collection.mutable.ArrayBuffer(first)
-    for (_ <- 2 to k) {
-      val msim = cents.map(c => cosine(col("vec"), typedLit(c)))
-        .reduce((a, b) => greatest(a, b))
-      val far = pts.withColumn("m", msim)
-        .orderBy(asc("m"), asc("id")).limit(1).head
-      cents += far.getSeq[Float](1).toArray
+      .localCheckpoint(true) // scanned per init pass + per round
+    // NaN/NULL-proof similarity: see determinism contract above
+    def safeSim(v: Column, c: Column): Column =
+      coalesce(nanvl(cosine(v, c), lit(-1.0)), lit(-1.0))
+    def driverCos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); sa += a(i).toDouble * a(i)
+        sb += b(i).toDouble * b(i); i += 1 }
+      val d = dot / (math.sqrt(sa) * math.sqrt(sb))
+      if (d.isNaN) -1.0 else d
+    }
+    // identical-direction guard: 12-decimal round absorbs float noise
+    // between the driver fold and the codegen fold
+    def isDup(m: Double): Boolean = math.rint(m * 1e12) >= 1e12
+    val cents = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    if (seedPool > 0) {
+      // pool init: one scan, then farthest-first inside the pool
+      val pool = pts
+        .orderBy(xxhash64(col("id")), col("id"))
+        .limit(seedPool)
+        .orderBy(asc("id"))
+        .collect().map(_.getSeq[Float](1).toArray)
+      cents += pool.head
+      var exhausted = false
+      while (cents.size < k && !exhausted) {
+        // smallest max-cosine to the chosen set; ties resolve to the
+        // earliest (lowest-id) pool point via minBy's first-wins
+        val (cand, m) = pool.iterator
+          .map(p => (p, cents.iterator.map(c => driverCos(p, c)).max))
+          .minBy(_._2)
+        if (isDup(m)) exhausted = true else cents += cand
+      }
+    } else {
+      // exact whole-corpus traversal (small-k oracle form)
+      cents += pts.orderBy(asc("id")).limit(1).head.getSeq[Float](1).toArray
+      var exhausted = false
+      while (cents.size < k && !exhausted) {
+        val msim = cents.map(c => safeSim(col("vec"), typedLit(c.toSeq)))
+          .reduce((a, b) => greatest(a, b))
+        val far = pts.withColumn("m", msim)
+          .orderBy(asc("m"), asc("id")).limit(1).head
+        if (isDup(far.getDouble(2))) exhausted = true
+        else cents += far.getSeq[Float](1).toArray
+      }
     }
     var centroids: IndexedSeq[Array[Float]] = cents.toIndexedSeq
     def withCluster(df: DataFrame): DataFrame = {
-      val sims = array(centroids.map(c => cosine(col("vec"), typedLit(c))): _*)
+      val sims = array(centroids.map(c =>
+        safeSim(col("vec"), typedLit(c.toSeq))): _*)
       df.withColumn("_sims", sims)
         .withColumn("cluster",
           (array_position(col("_sims"), array_max(col("_sims"))) - 1).cast("int"))
@@ -222,7 +269,7 @@ object Similarity {
         byCluster.get(j).map { rows =>
           rows.sortBy(_.getInt(1))
             .map(r => (r.getDouble(2) / r.getLong(3)).toFloat).toArray
-        }.getOrElse(centroids(j)) // empty cluster keeps its seed
+        }.getOrElse(centroids(j)) // empty cluster keeps its previous mean
       }
     }
     val assigned = withCluster(pts)
@@ -233,5 +280,37 @@ object Similarity {
       .map { case (c, j) => (j.toLong, c.toSeq) }.toDF("cid", "cvec")
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
     (assigned, centDF)
+  }
+
+  /** SemDeDup (Abbas et al. 2023): fit spherical k-means, then inside
+    * each cluster drop every point that has a near-identical neighbor
+    * (cosine ≥ `threshold`) with a SMALLER id — the canonical survivor
+    * of a duplicate family is its lowest id, matching the exact-dedup
+    * convention. The pairwise pass is confined to clusters — the whole
+    * point of clustering first: candidate pairs are |cluster|² per
+    * cell, not |corpus|², and the per-cluster self-join is one keyed
+    * shuffle on the cluster id (salt any mega-cluster before the join
+    * if a corpus degenerates into one cell).
+    *
+    * @return (survivors (id, cluster), centroids (cid, cvec)) — the
+    *         centroid table is [[ivfTopK]]-ready, so the same fit that
+    *         deduped the corpus serves its ANN index.
+    */
+  def semDeDup(points: DataFrame, idCol: String, vecCol: String,
+               k: Int, threshold: Double, iters: Int = 3,
+               seedPool: Int = 256): (DataFrame, DataFrame) = {
+    val (assigned, centroids) =
+      kmeansFit(points, idCol, vecCol, k, iters, seedPool)
+    val withVec = points
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(assigned.select(col("id"), col("cluster")), "id")
+    val dropped = withVec.alias("a").join(withVec.alias("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(round(cosine(col("a.vec"), col("b.vec")), 4) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+    val survivors = withVec.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left_anti")
+    (survivors, centroids)
   }
 }

@@ -201,6 +201,50 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_recovered")))
     }),
 
+    // k-means planted-cluster recovery contract (the LSH-recall
+    // pattern applied to clustering): 8 groups of 25 IDENTICAL copies
+    // of well-separated seed vectors (cross-group cosine ~0.4, within
+    // 1.0). Farthest-first init picks one seed per group by
+    // construction (any within-group candidate has max-cosine 1.0 to
+    // the chosen set, any cross-group ~0.4), Lloyd keeps identical
+    // vectors together (deterministic first-max argmax), so the fit
+    // must recover: every group pure (1 cluster) and all 8 groups in
+    // distinct clusters. The oracle pins all three counts to the
+    // seed count without reproducing the fit in SQL.
+    "qX_kmeans" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 8)
+      val members = seeds
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(24))).as("j"))
+        .select((col("vec_id") * 100 + col("j")).as("id"), col("embedding"))
+      val (assigned, _) = Similarity.kmeansFit(members, "id", "embedding",
+        k = 8, iters = 2, seedPool = 64)
+      val pure = assigned.withColumn("grp", floor(col("id") / 100))
+        .groupBy("grp").agg(countDistinct(col("cluster")).as("nc"))
+        .filter(col("nc") === 1)
+        .agg(count(lit(1)).as("n_pure"))
+      seeds.agg(count(lit(1)).as("n_groups"))
+        .crossJoin(pure)
+        .crossJoin(assigned.agg(countDistinct(col("cluster")).as("n_clusters")))
+    }),
+
+    // SemDeDup end-to-end (kmeansFit -> per-cluster near-dup pruning):
+    // exact copies (+100000) land in their source's cluster (identical
+    // vector => identical deterministic assignment) and are dropped at
+    // sim 1.0 >= 0.95, while the random originals never cross the
+    // threshold (max random pair ~0.44, the qX_dedup_embed evidence) —
+    // so the survivor set is EXACTLY the originals, a full-row oracle.
+    "qX_semdedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      val (survivors, _) = Similarity.semDeDup(emb.unionAll(planted),
+        "vec_id", "embedding", k = 8, threshold = 0.95, iters = 2,
+        seedPool = 64)
+      survivors.select(col("id")).orderBy(col("id"))
+    }),
+
     // IVF-probed ANN (centroid cells + nprobe pruning) — deterministic
     // given the centroid table, so fully oracle-checked unlike the
     // hash-based ANN paths.
@@ -214,6 +258,13 @@ object SimilarityQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "qX_kmeans" ->
+      """SELECT count(*) AS n_groups, count(*) AS n_pure,
+        |  count(*) AS n_clusters
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "qX_semdedup" ->
+      """SELECT vec_id AS id FROM embeddings WHERE vec_id < 500
+        |ORDER BY vec_id""".stripMargin,
     "qX_dedup_minhash_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_exact_recovered,
         |  count(*) AS n_near_recovered

@@ -119,4 +119,91 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     for (i <- 0L until 100L)
       assert(found.contains((i, i + 10000)), s"missed planted dup $i")
   }
+
+  // ------------------------------------------------------- kmeans / semdedup
+
+  /** 2D spherical toy: two tight direction bundles around the x and y
+    * axes. Cosine clustering must split them along the diagonal. */
+  private def axisBundles = Seq(
+    (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
+    (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.1f, 1.0f))
+  ).toDF("id", "vec")
+
+  test("kmeansFit k=2 known values: axis bundles split, centroids are bundle means") {
+    for (pool <- Seq(0, 16)) { // exact-traversal oracle form AND pool init
+      val (assigned, cents) = Similarity.kmeansFit(axisBundles, "id", "vec",
+        k = 2, iters = 3, seedPool = pool)
+      val byId = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(byId(0L) == byId(1L) && byId(2L) == byId(3L), s"pool=$pool bundles intact")
+      assert(byId(0L) != byId(2L), s"pool=$pool bundles separated")
+      val cvs = cents.orderBy("cid").collect()
+        .map(_.getSeq[Float](1).toArray)
+      assert(cvs.length == 2)
+      // one centroid is the x-bundle mean (1.0, 0.05), the other the
+      // y-bundle mean (0.05, 1.0) — order depends on seed choice
+      val sorted = cvs.sortBy(_.apply(0))
+      assert(math.abs(sorted(1)(0) - 1.0f) < 1e-6 && math.abs(sorted(1)(1) - 0.05f) < 1e-6)
+      assert(math.abs(sorted(0)(0) - 0.05f) < 1e-6 && math.abs(sorted(0)(1) - 1.0f) < 1e-6)
+    }
+  }
+
+  test("kmeansFit is deterministic run-to-run") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 60).select(col("vec_id"), col("embedding"))
+    def run() = Similarity.kmeansFit(emb, "vec_id", "embedding",
+        k = 4, iters = 2, seedPool = 32)._1
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+
+  test("kmeansFit stops at the distinct-direction count instead of duplicating centroids") {
+    // 5 points, only 2 distinct directions, k=3 requested
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, 3.0f))
+    ).toDF("id", "vec")
+    for (pool <- Seq(0, 16)) {
+      val (assigned, cents) = Similarity.kmeansFit(pts, "id", "vec",
+        k = 3, iters = 2, seedPool = pool)
+      assert(cents.count() == 2, s"pool=$pool: 2 distinct directions -> 2 centroids")
+      val clusters = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(clusters.values.toSet.size == 2)
+      assert(clusters(0L) == clusters(1L) && clusters(1L) == clusters(2L))
+      assert(clusters(3L) == clusters(4L))
+    }
+  }
+
+  test("kmeansFit: zero-norm vector lands deterministically in cluster 0, no NaN/NULL") {
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 0.0f)) // zero norm
+    ).toDF("id", "vec")
+    val (assigned, _) = Similarity.kmeansFit(pts, "id", "vec",
+      k = 2, iters = 2, seedPool = 0)
+    val rows = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows(3L) == 0, "all sims -1 -> first-max argmax -> cluster 0")
+    assert(rows.size == 4, "no row dropped or nulled")
+  }
+
+  test("semDeDup prunes planted in-cluster duplicates; centroids serve ivfTopK") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 80).select(col("vec_id"), col("embedding"))
+    val planted = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val (survivors, cents) = Similarity.semDeDup(emb.unionAll(planted),
+      "vec_id", "embedding", k = 4, threshold = 0.95, iters = 2, seedPool = 32)
+    // survivor set == originals: every copy has a smaller-id twin at sim
+    // 1.0 in its own cluster; random originals never cross 0.95
+    assert(survivors.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 80L))
+    // the SAME fit serves the ANN index: ivfTopK over the fitted
+    // centroids with full probing must recover each planted twin at top-1
+    val q = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val top1 = Similarity.ivfTopK(q, emb, cents, "vec_id", "embedding",
+      "vec_id", "embedding", k = 1, nprobe = 4)
+    val hits = top1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.length == 80)
+    hits.foreach { case (qid, id, sim) =>
+      assert(id == qid - 10000 && sim == 1.0, s"twin miss for $qid") }
+  }
 }
