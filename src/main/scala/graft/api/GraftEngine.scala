@@ -76,6 +76,17 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     resultMemo.clear(); nDocsMemo = None
   }
 
+  /** External-writer fence: drop every serving memo so the next read
+    * sees the warehouse as it is NOW. The engine invalidates its own
+    * writes exactly (ingest / softDelete / clearGraph), but streaming
+    * sinks ([[CardStream.startGraphMerge]] / startSearchMerge) write
+    * the same tables from OUTSIDE the engine — a serving deployment
+    * calls this after each committed micro-batch, the engine-side
+    * analogue of the reference's write-side `refresh=True` bulk
+    * (upsert_bizcard_to_es.py:90: the upsert forces an index refresh
+    * precisely so the next search reads its writes). */
+  def refresh(): Unit = invalidateMemos()
+
   /** Memoized live-doc count — the idf N served without a per-query
     * counting pass (ES semantics: index-wide N, not filtered-set N). */
   private def nLiveDocs: Long = nDocsMemo.getOrElse {

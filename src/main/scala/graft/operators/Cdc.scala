@@ -27,6 +27,19 @@ object Cdc {
     * Null-safe change detection (`<=>`): NULL → value and
     * value → NULL both open a new version, first row always does.
     *
+    * Same-timestamp versions: when consecutive DISTINCT versions share
+    * one `tsCol` value (tie-broken only by `tieCols`), every version
+    * but the run's last gets `valid_from == valid_to` — a zero-width
+    * interval that [[snapshotAt]] (half-open `from <= at < to`) can
+    * never return for ANY instant. This is deliberate: timestamps are
+    * the only time axis the snapshot API exposes, so states that never
+    * existed for a measurable instant are invisible to point-in-time
+    * reads, while the full history (including the zero-width
+    * versions, in deterministic `tieCols` order) remains queryable
+    * here for audit. Callers that need every intermediate state
+    * addressable should make `tsCol` unique upstream (e.g. compose a
+    * sub-ordinal into the timestamp) rather than rely on tie order.
+    *
     * Scale shape: everything is keyed by `keyCols` — the two windows
     * and the per-(key, version) collapse all hash-cluster on the key
     * (a subset grouping satisfies ClusteredDistribution), so the whole

@@ -400,11 +400,16 @@ object GraphAnalytics {
     var out = cur.select(col("walk_id"), lit(0).as("step"),
       col("cur").as("vertex"))
     for (s <- 1 to length) {
+      // pmod, not %: Spark % takes the dividend's sign, so a negative
+      // vertex id would yield a negative pick matching no 0-based adj
+      // idx and silently truncate the walk (the oracle floor-mods the
+      // same way; inner pmod makes the outer % operate on a
+      // non-negative value, so it needs no second pmod)
       val picked = cur
         .join(degs.withColumnRenamed("from", "cur"), "cur")
         .withColumn("pick",
-          ((col("walk_id") * lit(40503L) + lit(s.toLong) * lit(2654435L) +
-            col("cur") * lit(69069L) + lit(seed)) % lit(1000003L))
+          pmod(col("walk_id") * lit(40503L) + lit(s.toLong) * lit(2654435L) +
+            col("cur") * lit(69069L) + lit(seed), lit(1000003L))
             % col("deg"))
       val stepped0 = picked.alias("p")
         .join(adjIdx.alias("a"),
@@ -417,6 +422,34 @@ object GraphAnalytics {
         lit(s).as("step"), col("cur").as("vertex")))
     }
     out
+  }
+
+  /** Skip-gram (center, context) training pairs from a walk corpus —
+    * the DeepWalk/node2vec step that turns [[randomWalks]] output into
+    * word2vec input: for every walk, each ordered pair of positions at
+    * distance 1..`window` yields (vertex@i, vertex@j), aggregated to
+    * (center, context, n) counts.
+    *
+    * Scale shape: ONE keyed shuffle on walk_id for the self-join; per
+    * walk the join output is ≤ (L+1)·2w rows — bounded by walk length
+    * and window, never by graph degree (hubs already flattened into
+    * fixed-length walks upstream) — then a (center, context) hash
+    * aggregation with map-side partial counts. The count matrix is the
+    * co-occurrence statistic SGNS factorizes, so downstream trainers
+    * read (center, context, n) instead of re-materializing pair
+    * instances.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, "skip-gram window must be >= 1")
+    val a = walks.select(col("walk_id"), col("step").as("ci"),
+      col("vertex").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("xi"),
+      col("vertex").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("ci") =!= col("xi") &&
+        abs(col("ci") - col("xi")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Synchronous label propagation communities over the simple
@@ -520,12 +553,16 @@ object GraphAnalytics {
     * nothing" IS the fixpoint test, one count per round on the
     * already-materialized survivor set.
     *
-    * @return (membership as in [[kCore]], converged) — `converged`
-    *         false only if `maxRounds` blocks elapsed while vertices
-    *         were still falling out.
+    * @return (membership as in [[kCore]], converged, rounds) —
+    *         `converged` false only if `maxRounds` blocks elapsed while
+    *         vertices were still falling out; `rounds` = peel
+    *         iterations executed, INCLUDING the fixpoint-confirming one
+    *         (the first round that removes nothing), so it is directly
+    *         comparable to an unrolled-CTE oracle's first i with
+    *         |c_i| = |c_{i-1}|.
     */
   def kCoreConverged(edges: DataFrame, k: Int,
-                     maxRounds: Int = 64): (DataFrame, Boolean) = {
+                     maxRounds: Int = 64): (DataFrame, Boolean, Int) = {
     val canon = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -559,7 +596,7 @@ object GraphAnalytics {
     val membership = verts
       .join(core.withColumn("in_core", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"))
-    (membership, stable)
+    (membership, stable, round)
   }
 
   /** Exact per-vertex triangle counts over the simple undirected graph,

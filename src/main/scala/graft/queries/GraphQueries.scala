@@ -284,6 +284,32 @@ object GraphQueries {
         .orderBy(col("walk_id"), col("step"))
     }),
 
+    // Skip-gram (center, context, n) pairs from the walk corpus — the
+    // DeepWalk/node2vec step that turns walks into word2vec training
+    // input; fully oracle-checked because the walks are.
+    "qX_walk_pairs" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val walks = graft.operators.GraphAnalytics.randomWalks(edges)
+      graft.operators.GraphAnalytics.skipGramPairs(walks, window = 2)
+        .orderBy(col("center"), col("context"))
+    }),
+
+    // k-core converge-and-verify: peel to the TRUE fixpoint and emit
+    // (k, rounds-to-fixpoint, survivor count, converged) — peeling is
+    // deterministic, so the oracle recomputes rounds as the first
+    // unrolled CTE whose survivor count equals its predecessor's.
+    // Closes the last ungated public graph API (kCoreConverged was
+    // spec-only through r5).
+    "qX_kcore_converged" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val (membership, converged, rounds) =
+        graft.operators.GraphAnalytics.kCoreConverged(edges, k = 25)
+      membership.filter(col("in_core"))
+        .agg(count(lit(1)).as("survivors"))
+        .select(lit(25).as("k"), lit(rounds).as("rounds"),
+          col("survivors"), lit(converged).as("converged"))
+    }),
+
     // GraphX TriangleCount agreement with the oracle-checked DF plan:
     // every vertex must count identically (exact integers, no float
     // tolerance needed) — same contract shape as qX_pagerank_consistency.
@@ -343,7 +369,13 @@ object GraphQueries {
     * `mix(walk, step, cur) mod deg` entry of the id-ordered adjacency —
     * the exact arithmetic of
     * [[graft.operators.GraphAnalytics.randomWalks]]. */
-  private def randomWalksSql(walksPerVertex: Int, length: Int,
+  /** The full WITH-chain producing a `walks(walk_id, step, vertex)`
+    * CTE — shared by the walk-corpus oracle and the skip-gram pair
+    * oracle. The neighbor pick floor-mods the inner hash
+    * ((x % m + m) % m — DuckDB's % takes the dividend's sign, like
+    * Spark's) to mirror randomWalks' pmod: a negative vertex id must
+    * pick a real adjacency index, not silently truncate the walk. */
+  private def randomWalksCte(walksPerVertex: Int, length: Int,
                              seed: Long): String = {
     val replicas = (0 until walksPerVertex)
       .map(r => s"SELECT $r AS r").mkString(" UNION ALL ")
@@ -368,15 +400,32 @@ object GraphQueries {
          |  FROM w${s - 1} w
          |  JOIN degs d ON w.cur = d.f
          |  JOIN adjidx a ON a.f = w.cur
-         |   AND a.idx = ((w.walk_id * 40503 + $s * 2654435
-         |                 + w.cur * 69069 + $seed) % 1000003) % d.deg)""".stripMargin
+         |   AND a.idx = (((w.walk_id * 40503 + $s * 2654435
+         |                 + w.cur * 69069 + $seed) % 1000003
+         |                 + 1000003) % 1000003) % d.deg)""".stripMargin
     }
     val union = (0 to length)
       .map(s => s"SELECT walk_id, $s AS step, cur AS vertex FROM w$s")
-      .mkString("\nUNION ALL\n")
-    (head +: steps).mkString(",\n") +
-      s"\n$union\nORDER BY walk_id, step"
+      .mkString("\n  UNION ALL\n  ")
+    (head +: steps).mkString(",\n") + s",\nwalks AS (\n  $union)"
   }
+
+  private def randomWalksSql(walksPerVertex: Int, length: Int,
+                             seed: Long): String =
+    randomWalksCte(walksPerVertex, length, seed) +
+      "\nSELECT walk_id, step, vertex FROM walks ORDER BY walk_id, step"
+
+  /** Skip-gram pair oracle: the walk CTE self-joined on walk_id within
+    * the window — the exact formulation of
+    * [[graft.operators.GraphAnalytics.skipGramPairs]]. */
+  private def walkPairsSql(walksPerVertex: Int, length: Int,
+                           seed: Long, window: Int): String =
+    randomWalksCte(walksPerVertex, length, seed) +
+      s"""
+         |SELECT a.vertex AS center, b.vertex AS context, count(*) AS n
+         |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+         | AND a.step <> b.step AND abs(a.step - b.step) <= $window
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
 
   /** Unrolled synchronous-LPA oracle: `rounds` chained CTEs, each the
     * per-vertex argmax of neighbor-label counts with (count DESC,
@@ -485,7 +534,45 @@ object GraphQueries {
          |ORDER BY verts.id""".stripMargin
   }
 
+  /** Converge-and-verify k-core oracle: the [[kcoreSql]] chain unrolled
+    * `unroll` deep with a per-round survivor count; rounds-to-fixpoint
+    * is the first round whose count equals its predecessor's — the
+    * definition kCoreConverged's loop counter implements. `unroll` must
+    * exceed the true fixpoint depth or the oracle returns NULL rounds
+    * (visibly failing the gate, never silently passing it). */
+  private def kcoreConvergedSql(k: Int, unroll: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS MATERIALIZED (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
+         |c0 AS (SELECT DISTINCT f AS id FROM adj)""".stripMargin
+    val steps = (1 to unroll).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT adj.f AS id FROM adj
+         |  JOIN c${i - 1} a ON adj.f = a.id
+         |  JOIN c${i - 1} b ON adj.t = b.id
+         |  GROUP BY adj.f HAVING count(*) >= $k)""".stripMargin
+    }
+    val counts = (0 to unroll)
+      .map(i => s"SELECT $i AS r, count(*) AS n FROM c$i")
+      .mkString("\n  UNION ALL\n  ")
+    (head +: steps).mkString(",\n") +
+      s""",
+         |counts AS (
+         |  $counts),
+         |fix AS (SELECT min(a.r) AS rounds FROM counts a
+         |  JOIN counts b ON b.r = a.r - 1 AND b.n = a.n)
+         |SELECT $k AS k, fix.rounds AS rounds,
+         |  (SELECT n FROM counts WHERE r = fix.rounds) AS survivors,
+         |  TRUE AS converged
+         |FROM fix""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "qX_walk_pairs" ->
+      walkPairsSql(walksPerVertex = 2, length = 4, seed = 7L, window = 2),
+    "qX_kcore_converged" -> kcoreConvergedSql(25, 10),
     "qX_adamic_adar" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (

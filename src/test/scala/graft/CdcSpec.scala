@@ -57,6 +57,29 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(base.exceptAll(replayed).isEmpty && replayed.exceptAll(base).isEmpty)
   }
 
+  test("scd2 timestamp ties: zero-width versions kept in history, invisible to snapshotAt") {
+    // two distinct states at the SAME ts (tie-broken by seq), then a
+    // later state: the tie run's first version is zero-width
+    val tied = Seq(
+      ("k1", 1L, ts(10), "A"), ("k1", 2L, ts(10), "B"),
+      ("k1", 3L, ts(20), "C")
+    ).toDF("k", "seq", "t", "status")
+    val hist = Cdc.scd2(tied, Seq("k"), "t", Seq("seq"), Seq("status"))
+    val rows = hist.orderBy("version")
+      .select("status", "valid_from", "valid_to").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"),
+      "full history keeps the zero-width state in deterministic tie order")
+    assert(rows(0).getTimestamp(1) == rows(0).getTimestamp(2),
+      "A is a zero-width version (valid_from == valid_to)")
+    // no instant ever observes A: at ts(10) the half-open interval
+    // already belongs to B
+    val at10 = Cdc.snapshotAt(hist, lit(ts(10)))
+      .select("status").as[String].collect().toSeq
+    assert(at10 == Seq("B"))
+    assert(Cdc.snapshotAt(hist, lit(ts(25))).select("status")
+      .as[String].collect().toSeq == Seq("C"))
+  }
+
   test("snapshotAt reconstructs the state as of any instant") {
     val hist = Cdc.scd2(changes, Seq("k"), "t", Seq("seq"), Seq("status"))
     val at35 = Cdc.snapshotAt(hist, lit(ts(35)))

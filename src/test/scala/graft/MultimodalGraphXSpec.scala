@@ -131,19 +131,47 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     val midCascade = GraphAnalytics.kCore(path, k = 2, rounds = 2)
       .filter(col("in_core")).count()
     assert(midCascade > 0) // the fixed-round foot-gun, by construction
-    val (conv, flag) = GraphAnalytics.kCoreConverged(path, k = 2)
+    val (conv, flag, pathRounds) = GraphAnalytics.kCoreConverged(path, k = 2)
     assert(flag && conv.filter(col("in_core")).isEmpty) // true 2-core: none
+    // 12-path 2-core peels both ends each round: 6 peels to empty + the
+    // confirming round
+    assert(pathRounds == 7)
     // and on a graph with a real core it agrees with the converged
     // fixed-round gate shape (K4 survives, tail peels)
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 5L), (5L, 6L)).toDF("src", "dst")
-    val (m, f2) = GraphAnalytics.kCoreConverged(k4, k = 3)
+    val (m, f2, _) = GraphAnalytics.kCoreConverged(k4, k = 3)
     assert(f2)
     assert(m.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap ==
       Map(1L -> true, 2L -> true, 3L -> true, 4L -> true,
         5L -> false, 6L -> false))
     // maxRounds exhausted before the cascade ends → flag says so
     assert(!GraphAnalytics.kCoreConverged(path, k = 2, maxRounds = 2)._2)
+  }
+
+  test("skipGramPairs: exact window pairs and counts on a known 2-walk corpus") {
+    // walk 0 = [1,2,3,4], walk 1 = [1,2,1]; window 2, ordered pairs,
+    // repeated vertices pair with themselves across positions
+    val walks = Seq(
+      (0L, 0, 1L), (0L, 1, 2L), (0L, 2, 3L), (0L, 3, 4L),
+      (1L, 0, 1L), (1L, 1, 2L), (1L, 2, 1L)
+    ).toDF("walk_id", "step", "vertex")
+    val got = GraphAnalytics.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 2L) -> 3L, (2L, 1L) -> 3L, (1L, 1L) -> 2L,
+      (1L, 3L) -> 1L, (2L, 3L) -> 1L, (2L, 4L) -> 1L,
+      (3L, 1L) -> 1L, (3L, 2L) -> 1L, (3L, 4L) -> 1L,
+      (4L, 2L) -> 1L, (4L, 3L) -> 1L))
+    // window 1 drops exactly the distance-2 pairs: walk 0's (1,3),
+    // (2,4) mirrors and walk 1's (1,1) — adjacent pairs keep their
+    // counts ((1,2)/(2,1) still 3: walk 0 once + walk 1's two
+    // adjacencies)
+    val w1 = GraphAnalytics.skipGramPairs(walks, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(w1 == Map(
+      (1L, 2L) -> 3L, (2L, 1L) -> 3L, (2L, 3L) -> 1L,
+      (3L, 2L) -> 1L, (3L, 4L) -> 1L, (4L, 3L) -> 1L))
   }
 
   test("adamicAdar: known scores on path/star/cycle, direct edges excluded") {

@@ -60,6 +60,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(archived.columns.contains("year") && archived.columns.contains("hour"))
   }
 
+  test("pymk sees a card one micro-batch after ingest (streaming read-your-writes)") {
+    // The reference serves PYMK straight after ingest: the ES/graph
+    // upserts are read-your-writes (refresh=True). Streaming twin: a
+    // card merged by startGraphMerge must be visible to engine.pymk
+    // after ONE trigger + the refresh fence.
+    val src = tmp("fresh_src")
+    val wh = tmp("fresh_wh")
+    val engine = new api.GraftEngine(spark, wh)
+    val lines = fixtureLines
+    val cards = CardStream.validated(CardStream.readCardEvents(spark, src))
+    val q = CardStream.startGraphMerge(cards, engine.vertexPath,
+      engine.edgePath, tmp("fresh_cp"))
+
+    // batch 1: edy's + poby's first cards — Edy's 1-hop circle is
+    // {crong, harry, poby} and none of them know anyone else yet
+    Files.write(Paths.get(s"$src/b1.json"),
+      String.join("\n", lines.subList(0, 6)).getBytes)
+    q.processAllAvailable()
+    engine.refresh()
+    assert(engine.pymk("Edy Kim").isEmpty, "no 2-hop candidates yet")
+
+    // batch 2: poby's and pororo's cards add poby->pororo/rody and
+    // pororo->{crong, harry}. Pororo's path bag: via poby TWICE (the
+    // edy->poby and poby->edy edges are distinct directed rows, and
+    // both() walks each) + via crong + via harry = 4
+    Files.write(Paths.get(s"$src/b2.json"),
+      String.join("\n", lines.subList(6, 11)).getBytes)
+    q.processAllAvailable() // exactly one more trigger
+    engine.refresh()
+    val recs = engine.pymk("Edy Kim").collect()
+    q.stop()
+    assert(recs.nonEmpty, "new edges visible one micro-batch after ingest")
+    val top = recs.head
+    assert(top.getSeq[String](top.fieldIndex("name")) == Seq("Pororo Kim"))
+    assert(top.getAs[Double]("score") == 4.0)
+    assert(recs.map(r => r.getSeq[String](r.fieldIndex("name")).head)
+      .contains("Rody Park"))
+  }
+
   test("A3 framed-emit sink: shard-keyed JSON payloads round-trip") {
     val src = tmp("framed_src"); val out = tmp("framed_out"); val cp = tmp("framed_cp")
     Files.write(Paths.get(s"$src/b1.json"),
