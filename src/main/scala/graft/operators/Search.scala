@@ -138,6 +138,12 @@ object Search {
     *                 score = max_field boost·fieldScore, so a doc
     *                 matching fully in one field outranks one spreading
     *                 the same terms thinly across many).
+    * @param tieBreaker best_fields softening (ES `tie_breaker`, only
+    *                 meaningful with combine = "max"): score =
+    *                 best + tieBreaker · Σ(other fields) — 0.0 (the ES
+    *                 default) is pure best_fields, 1.0 degenerates to
+    *                 the sum form; in between, secondary-field matches
+    *                 break ties between docs with equal best fields.
     */
   def search(docs: DataFrame, idCol: String, fields: Seq[(String, Double)],
              query: String, limit: Int,
@@ -146,9 +152,12 @@ object Search {
              numDocs: Option[Long] = None,
              scorer: String = "tfidf",
              combine: String = "sum",
-             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             k1: Double = 1.2, b: Double = 0.75,
+             tieBreaker: Double = 0.0): DataFrame = {
     require(Set("tfidf", "bm25")(scorer), s"unknown scorer $scorer")
     require(Set("sum", "max")(combine), s"unknown combine $combine")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tie_breaker must be in [0, 1], got $tieBreaker")
     val queryTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     require(queryTerms.nonEmpty || ownerFilter.nonEmpty,
       "at least one of query / owner filter required (es_search_bizcard.py:75)")
@@ -224,7 +233,15 @@ object Search {
       .withColumn("wscore", col("boost") * col("fsum"))
     val combined = combine match {
       case "sum" => perField.groupBy("_doc").agg(sum(col("wscore")).as("_score"))
-      case "max" => perField.groupBy("_doc").agg(max(col("wscore")).as("_score"))
+      case "max" if tieBreaker == 0.0 =>
+        perField.groupBy("_doc").agg(max(col("wscore")).as("_score"))
+      case "max" =>
+        // best + tb·(sum − best): same single aggregation, two partials
+        perField.groupBy("_doc")
+          .agg(max(col("wscore")).as("_best"), sum(col("wscore")).as("_sum"))
+          .select(col("_doc"),
+            (col("_best") + lit(tieBreaker) * (col("_sum") - col("_best")))
+              .as("_score"))
     }
 
     filtered.join(combined, filtered(idCol) === combined("_doc"))

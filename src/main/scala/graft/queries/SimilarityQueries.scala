@@ -245,6 +245,28 @@ object SimilarityQueries {
       survivors.select(col("id")).orderBy(col("id"))
     }),
 
+    // Combined fit->index pipeline recall contract: kmeansFit centroids
+    // feed ivfTopK, and every planted identical query must recover its
+    // twin at nprobe=1 — same vector => same nearest centroid (identical
+    // deterministic tie-break on both the corpus-assignment and
+    // query-probe sides) => the probed cell contains the twin, which
+    // tops the ranking at cosine 1.0. Gates the semDeDup/IVF wiring the
+    // spec pins, driver-checked.
+    "qX_kmeans_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val (_, cents) = Similarity.kmeansFit(emb, "vec_id", "embedding",
+        k = 4, iters = 2, seedPool = 64)
+      val q = emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      val res = Similarity.ivfTopK(q, emb, cents, "vec_id", "embedding",
+        "vec_id", "embedding", k = 1, nprobe = 1)
+      emb.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(res
+          .filter(col("id") === col("qid") - 100000 && col("sim") === 1.0)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // IVF-probed ANN (centroid cells + nprobe pruning) — deterministic
     // given the centroid table, so fully oracle-checked unlike the
     // hash-based ANN paths.
@@ -265,6 +287,9 @@ object SimilarityQueries {
     "qX_semdedup" ->
       """SELECT vec_id AS id FROM embeddings WHERE vec_id < 500
         |ORDER BY vec_id""".stripMargin,
+    "qX_kmeans_ivf" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM embeddings WHERE vec_id < 200""".stripMargin,
     "qX_dedup_minhash_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_exact_recovered,
         |  count(*) AS n_near_recovered

@@ -165,6 +165,19 @@ object TextQueries {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // ES tie_breaker semantics: best_fields softened by 0.3 of the
+    // non-best field scores — score = best + 0.3·(sum − best). The
+    // third point on the best_fields(0.0) … most_fields(1.0) line,
+    // completing the multi_match combination family.
+    "qG9_tie_breaker" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Search.search(docs, "doc_id",
+          Seq("source" -> 3.0, "text" -> 1.0), "src3 merge", 20,
+          scorer = "bm25", combine = "max", tieBreaker = 0.3)
+        .select(col("doc_id"), round(col("_score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
     // G1 via the materialized inverted index: build postings + stats in
     // one pass, probe for the query terms — must equal qG1 exactly.
     "qG5_indexed_search" -> ((s, dir) => {
@@ -497,6 +510,8 @@ object TextQueries {
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "qG7_search_bm25_multi" -> Bm25MultiSql("round(sum(fscore), 4)"),
     "qG8_best_fields" -> Bm25MultiSql("round(max(fscore), 4)"),
+    "qG9_tie_breaker" -> Bm25MultiSql(
+      "round(max(fscore) + 0.3 * (sum(fscore) - max(fscore)), 4)"),
     "qG5_indexed_search" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(

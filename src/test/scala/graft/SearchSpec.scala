@@ -128,6 +128,25 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(top("max") == "conc", "best_fields picks the concentrated hit")
   }
 
+  test("tie_breaker interpolates between best_fields and most_fields") {
+    def scores(combine: String, tb: Double = 0.0): Map[String, Double] =
+      Search.search(docs, "doc_id", Fields, "kim", 10,
+        aliveCol = Some("is_alive"), combine = combine, tieBreaker = tb)
+        .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Double]("_score"))
+        .toMap
+    val (mx, sm, tb) = (scores("max"), scores("sum"), scores("max", 0.3))
+    // d2 matches kim in name AND job_title -> max < tb < sum strictly
+    assert(mx("d2") < tb("d2") && tb("d2") < sm("d2"))
+    // exact ES formula: best + 0.3 * (sum of the others)
+    for (d <- Seq("d1", "d2", "d3"))
+      assert(math.abs(tb(d) - (mx(d) + 0.3 * (sm(d) - mx(d)))) < 1e-9, d)
+    // endpoint degenerates to the sum form (approximately: best +
+    // (sum − best) re-associates the IEEE sum)
+    val full = scores("max", 1.0)
+    for (d <- Seq("d1", "d2", "d3"))
+      assert(math.abs(full(d) - sm(d)) < 1e-9, d)
+  }
+
   test("serving path shape: bm25+max equals tfidf ranking on single-field hits") {
     // every hit is confined to one field -> max == sum; bm25 with equal
     // dl and tf=1 preserves idf order -> ranking matches the tfidf path
