@@ -452,6 +452,71 @@ object GraphAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** word2vec frequent-token subsampling over the walk corpus
+    * (Mikolov et al. 2013 §2.3): occurrence of vertex v survives with
+    *   p(v) = min(1, (√(f/t) + 1) · t/f),   f = corpus frequency of v
+    * so hubs (which dominate walk corpora exactly like "the" dominates
+    * text) lose most of their occurrences while rare vertices keep
+    * all. The per-occurrence coin is the engine's arithmetic-mix hash
+    * on (walk_id, step) — the same replayable scheme as the walk's
+    * neighbor pick, so the decision is deterministic, shuffle-free to
+    * recompute, and SQL-reproducible (no xxhash — this keeps the gate
+    * a full-row oracle rather than a recall contract).
+    *
+    * Scale shape: the frequency table is one hash aggregation of the
+    * corpus (|V| rows — broadcast into the filter join); the keep
+    * decision is a narrow per-row expression. One scan + one broadcast
+    * join, no shuffle of the corpus itself.
+    */
+  def subsampleWalks(walks: DataFrame, t: Double = 1e-3,
+                     seed: Long = 7L): DataFrame = {
+    val freqs = walks.groupBy("vertex").agg(count(lit(1)).as("_n"))
+    val total = freqs.agg(sum(col("_n"))).head.getLong(0).toDouble
+    val keep = broadcast(freqs.select(col("vertex"),
+      least(lit(1.0),
+        (sqrt(col("_n") / lit(total) / lit(t)) + lit(1.0)) *
+          lit(t) / (col("_n") / lit(total))).as("_p")))
+    walks.join(keep, "vertex")
+      .filter(pmod(col("walk_id") * lit(40503L) +
+          col("step") * lit(2654435L) + lit(seed), lit(1000003L))
+          .cast("double") / lit(1000003.0) < col("_p"))
+      .select(col("walk_id"), col("step"), col("vertex"))
+  }
+
+  /** word2vec negative-sampling table: per-vertex sampling weight
+    * n^`power` (0.75 — the unigram smoothing that upweights rare
+    * tokens), with exact-integer micro-unit weights so the normalizing
+    * sum and the cumulative column are order-independent across
+    * engines (the NOTES integer-micro rule: summing rounded FLOATS is
+    * still order-sensitive at the next rounding boundary). A sampler
+    * draws u ~ U[0,1) and binary-searches `cum` — the standard
+    * alias-free word2vec table, here as data instead of an array.
+    *
+    * The cumulative window is global (single partition) — fine here
+    * because it runs over the |V|-row VOCAB aggregate, never the walk
+    * corpus; a vocabulary that doesn't fit one partition should range-
+    * partition by vertex and prefix-sum partition totals (the
+    * [[Packing]] pattern) before taking this path.
+    *
+    * @return (vertex, n, p, cum) ordered by vertex; p = normalized
+    *         sampling probability, cum = inclusive cumulative p.
+    */
+  def negativeSamplingTable(walks: DataFrame,
+                            power: Double = 0.75): DataFrame = {
+    val w = walks.groupBy("vertex").agg(count(lit(1)).as("n"))
+      .withColumn("_w",
+        round(pow(col("n").cast("double"), lit(power)) * lit(1e6))
+          .cast("long"))
+    val totalW = w.agg(sum(col("_w"))).head.getLong(0)
+    val cumW = Window.orderBy(col("vertex"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    w.withColumn("p", round(col("_w") / lit(totalW.toDouble), 8))
+      .withColumn("cum",
+        round(sum(col("_w")).over(cumW) / lit(totalW.toDouble), 8))
+      .select(col("vertex"), col("n"), col("p"), col("cum"))
+      .orderBy(col("vertex"))
+  }
+
   /** Synchronous label propagation communities over the simple
     * undirected graph — the cheap community detector that needs no
     * target count: label₀(v) = v; each round every vertex adopts the

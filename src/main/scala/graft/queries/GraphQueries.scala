@@ -294,6 +294,24 @@ object GraphQueries {
         .orderBy(col("center"), col("context"))
     }),
 
+    // word2vec frequent-vertex subsampling of the walk corpus: hub
+    // occurrences thinned by the Mikolov keep-probability, decided by
+    // the replayable arithmetic-mix coin — full-row oracle.
+    "qX_walk_subsample" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val walks = graft.operators.GraphAnalytics.randomWalks(edges)
+      graft.operators.GraphAnalytics.subsampleWalks(walks, t = 0.005)
+        .orderBy(col("walk_id"), col("step"))
+    }),
+
+    // word2vec negative-sampling table (unigram^0.75, integer-micro
+    // weights so p/cum hash-match across engines).
+    "qX_neg_table" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val walks = graft.operators.GraphAnalytics.randomWalks(edges)
+      graft.operators.GraphAnalytics.negativeSamplingTable(walks)
+    }),
+
     // k-core converge-and-verify: peel to the TRUE fixpoint and emit
     // (k, rounds-to-fixpoint, survivor count, converged) — peeling is
     // deterministic, so the oracle recomputes rounds as the first
@@ -569,7 +587,40 @@ object GraphQueries {
          |FROM fix""".stripMargin
   }
 
+  /** Subsample oracle: the walk CTE + the exact IEEE expression chain
+    * of subsampleWalks (left-assoc divisions, same coin floor-mod). */
+  private def walkSubsampleSql(t: Double, seed: Long): String =
+    randomWalksCte(walksPerVertex = 2, length = 4, seed = 7L) +
+      s""",
+         |freqs AS (SELECT vertex, count(*) AS n FROM walks GROUP BY vertex),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freqs),
+         |keep AS (SELECT vertex,
+         |    least(1.0, (sqrt(n / (SELECT total FROM tot) / $t) + 1.0)
+         |      * $t / (n / (SELECT total FROM tot))) AS p
+         |  FROM freqs)
+         |SELECT w.walk_id, w.step, w.vertex
+         |FROM walks w JOIN keep k USING (vertex)
+         |WHERE CAST(((w.walk_id * 40503 + w.step * 2654435 + $seed)
+         |    % 1000003 + 1000003) % 1000003 AS DOUBLE) / 1000003.0 < k.p
+         |ORDER BY walk_id, step""".stripMargin
+
+  private def negTableSql(power: Double): String =
+    randomWalksCte(walksPerVertex = 2, length = 4, seed = 7L) +
+      s""",
+         |w AS (SELECT vertex, count(*) AS n,
+         |    CAST(round(pow(CAST(count(*) AS DOUBLE), $power) * 1000000.0)
+         |      AS BIGINT) AS wm
+         |  FROM walks GROUP BY vertex),
+         |tot AS (SELECT CAST(sum(wm) AS DOUBLE) AS total FROM w)
+         |SELECT vertex, n, round(wm / (SELECT total FROM tot), 8) AS p,
+         |  round(CAST(sum(wm) OVER (ORDER BY vertex
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / (SELECT total FROM tot), 8) AS cum
+         |FROM w ORDER BY vertex""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "qX_walk_subsample" -> walkSubsampleSql(t = 0.005, seed = 7L),
+    "qX_neg_table" -> negTableSql(power = 0.75),
     "qX_walk_pairs" ->
       walkPairsSql(walksPerVertex = 2, length = 4, seed = 7L, window = 2),
     "qX_kcore_converged" -> kcoreConvergedSql(25, 10),

@@ -174,6 +174,38 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
       (3L, 2L) -> 1L, (3L, 4L) -> 1L, (4L, 3L) -> 1L))
   }
 
+  test("subsampleWalks: hub occurrences thinned, rare vertices untouched, replayable") {
+    // vertex 1 dominates the corpus (100 of 104 occurrences); t makes
+    // its keep-prob < 1 while the rare vertices keep every occurrence
+    val rows = (0 until 100).map(i => (i.toLong, 0, 1L)) ++
+      Seq((200L, 0, 2L), (201L, 0, 3L), (202L, 0, 4L), (203L, 0, 5L))
+    val walks = rows.toDF("walk_id", "step", "vertex")
+    val kept = GraphAnalytics.subsampleWalks(walks, t = 0.01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // f(hub) = 100/104 -> p = (sqrt(f/t)+1)*t/f ~ 0.11: thinned hard
+    val hubKept = kept.count(_._3 == 1L)
+    assert(hubKept > 0 && hubKept < 100, s"hub thinned, got $hubKept")
+    // rare vertices: f = 1/104 < t -> keep-prob 1, every row survives
+    for (v <- 2L to 5L) assert(kept.count(_._3 == v) == 1, s"rare $v kept")
+    // subset of the input, and deterministic
+    val input = rows.toSet
+    assert(kept.forall(input.contains))
+    val again = GraphAnalytics.subsampleWalks(walks, t = 0.01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("negativeSamplingTable: unigram^0.75 exact integer-micro p/cum") {
+    // counts 16 and 1: weights 16^0.75 = 8 vs 1 -> p = 8/9, 1/9
+    val walks = ((0 until 16).map(i => (i.toLong, 0, 1L)) :+ (100L, 0, 2L))
+      .toDF("walk_id", "step", "vertex")
+    val t = GraphAnalytics.negativeSamplingTable(walks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(t.toSeq == Seq(
+      (1L, 16L, 0.88888889, 0.88888889),
+      (2L, 1L, 0.11111111, 1.0)))
+  }
+
   test("adamicAdar: known scores on path/star/cycle, direct edges excluded") {
     // path 1-2-3: only (1,3) and (3,1), witnessed by z=2 (deg 2):
     // score = round(1e6/ln 2)/1e6 = 1.442695 → 1.4427

@@ -122,6 +122,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), "grouped top-k must not window-sort")
   }
 
+  test("skip-gram pairs: walk self-join is a hash join on walk_id, no cartesian") {
+    val p = plan("qX_walk_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "window filter must ride the walk_id equi-join, not a cross product:\n" +
+        p.take(3000))
+    assert(p.contains("HashJoin"), p.take(3000))
+    // pair counting aggregates with map-side partials before the
+    // (center, context) exchange
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("multi-field bm25: per-field idf and avgdl tables broadcast into the postings") {
+    val p = plan("qG7_search_bm25_multi")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("semdedup: near-dup pass joins inside clusters, never cross-product") {
+    val p = plan("qX_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair mining must be keyed by cluster:\n" + p.take(3000))
+    // survivor filter is an anti join (dropped ids), not a subtract scan
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("walk subsampling: keep-probability table broadcasts; corpus not shuffled") {
+    val p = plan("qX_walk_subsample")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the |V|-row keep table must broadcast, not shuffle the corpus:\n" +
+        p.take(3000))
+  }
+
   test("bucketed tables co-locate the fact-fact join: no shuffle on either side") {
     import org.apache.spark.sql.functions._
     // the 100 TB pattern: write both fact tables bucketed by the join
