@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * structs, processed by per-partition batch functions.
   *
   * The Spark-side contract is real and tested — schemas, partition
-  * batching, deterministic outputs; the actual media codecs are STUBBED
-  * behind [[MediaCodec]] (this container has no image/audio libraries):
-  * the default [[FakeCodec]] derives deterministic pseudo-decodes from
-  * the bytes, so tests pin the plumbing without the dependency. A real
-  * deployment swaps in a codec implementation; nothing else changes.
+  * batching, deterministic outputs. The codec seam has two
+  * implementations: [[ImageIoCodec]] is a REAL png/jpeg decoder built
+  * on the JDK's own `javax.imageio` (no external dependency — covers
+  * the reference's actual input contract, README.md:629 jpg/png
+  * ≤ 5 MB), and [[FakeCodec]] is the deterministic stand-in for the
+  * audio/video modalities whose codecs the JDK does not ship. A
+  * production deployment swaps richer codecs in; nothing else changes.
   *
   * Scale notes: `mapPartitions` keeps one codec instance per partition
   * (amortized model/codec init — the reason mapInPandas-style batch
@@ -83,6 +85,97 @@ object Multimodal {
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
       val s = seedOf(bytes)
       Array.tabulate(dim)(i => f(s, i) - 0.5f)
+    }
+  }
+
+  /** REAL image codec on the same seam — `javax.imageio` ships with
+    * the JDK (PNG + JPEG readers, the reference's exact input contract:
+    * README.md:629 accepts jpg/png ≤ 5 MB), so no external library is
+    * needed for the image half of the multimodal surface. Grayscale
+    * luma decode (ITU-R BT.601 weights), row-major floats in [0, 1];
+    * resize is area-box averaging over the float plane; embed is an
+    * `gw × gh` block-average pooling of the decoded image — the
+    * classic "tiny thumbnail as embedding" baseline, fully
+    * deterministic (PNG is lossless and the JDK decoder is
+    * deterministic for a given payload), so identical payloads embed
+    * identically and the ANN twin contracts hold with REAL decoding.
+    *
+    * The decoded dimensions come from the BYTES (the image header),
+    * not the caller's advisory [[MediaMeta]] — corrupt/undecodable
+    * payloads throw rather than silently producing garbage features.
+    * [[FakeCodec]] remains the test stand-in for the audio/video
+    * modalities whose codecs the JDK does not provide.
+    */
+  object ImageIoCodec extends MediaCodec {
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image (png/jpeg)")
+      img
+    }
+    private def luma(img: java.awt.image.BufferedImage): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          out(y * w + x) =
+            (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] =
+      luma(read(bytes))
+    /** Area-box resample of the row-major float plane described by
+      * `meta` (which must carry the SOURCE dimensions). */
+    def resize(pixels: Array[Float], meta: MediaMeta,
+               w: Int, h: Int): (Array[Float], MediaMeta) = {
+      val (sw, sh) = (meta.width, meta.height)
+      require(sw * sh == pixels.length,
+        s"meta ${sw}x$sh does not describe ${pixels.length} pixels")
+      val out = new Array[Float](w * h)
+      var ty = 0
+      while (ty < h) {
+        val y0 = ty * sh / h; val y1 = math.max((ty + 1) * sh / h, y0 + 1)
+        var tx = 0
+        while (tx < w) {
+          val x0 = tx * sw / w; val x1 = math.max((tx + 1) * sw / w, x0 + 1)
+          var s = 0.0f; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += pixels(y * sw + x); x += 1 }
+            y += 1
+          }
+          out(ty * w + tx) = s / ((y1 - y0) * (x1 - x0))
+          tx += 1
+        }
+        ty += 1
+      }
+      (out, meta.copy(width = w, height = h))
+    }
+    /** Block-average pooled thumbnail as the embedding: the image is
+      * resampled to a near-square grid of `dim` cells (gw·gh = dim
+      * exactly when dim has a near-square factorization; 1×dim
+      * otherwise), centered to [-0.5, 0.5]. */
+    def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img = read(bytes)
+      val gw = {
+        var g = math.sqrt(dim.toDouble).toInt
+        while (g > 1 && dim % g != 0) g -= 1
+        g
+      }
+      val gh = dim / gw
+      val (pixels, meta) =
+        (luma(img), MediaMeta("png", img.getWidth, img.getHeight, 1, 0L))
+      val (pooled, _) = resize(pixels, meta, gw, gh)
+      pooled.map(_ - 0.5f)
     }
   }
 

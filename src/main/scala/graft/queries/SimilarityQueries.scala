@@ -245,6 +245,53 @@ object SimilarityQueries {
       survivors.select(col("id")).orderBy(col("id"))
     }),
 
+    // REAL-codec multimodal recall contract: the payloads are genuine
+    // PNGs (rendered in the executors from doc-derived pixel levels),
+    // decoded by the JDK's javax.imageio — no stub anywhere in this
+    // path. PNG is lossless and the decoder deterministic, so identical
+    // payloads embed identically and every planted twin (+100000) is
+    // recovered at cosine 1.0. Same count-contract shape as
+    // qX_multimodal_recall, now with actual image decoding.
+    "qX_multimodal_real" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val media = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          // fold the FULL text hash into every pixel: cycling raw bytes
+          // alone collides when two docs share a 64-byte prefix
+          // (measured: 3/200 at sf0.01), which would break the
+          // distinct-payload premise of the twin contract
+          val h = java.util.Arrays.hashCode(bytes)
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8; x <- 0 until 8) {
+            val i = y * 8 + x
+            val base = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xFF
+            val v = (base + (h >>> (i % 24)) + i * 7) & 0xFF
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val payload = bos.toByteArray
+          val rec = (i: Long) => MediaRecord(i, "image", payload,
+            MediaMeta("png", 8, 8, 1, 0L))
+          Seq(rec(id), rec(id + 100000))
+        }
+      val features = Multimodal.extractFeatures(media, dim = 16,
+        codec = Multimodal.ImageIoCodec).toDF()
+      val q = features.filter(col("id") >= 100000)
+      val res = Similarity.bruteForceTopK(q, features.filter(col("id") < 100000),
+        "id", "embedding", "id", "embedding", 1)
+      q.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(res
+          .filter(col("id") === col("qid") - 100000 && col("sim") === 1.0)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // Combined fit->index pipeline recall contract: kmeansFit centroids
     // feed ivfTopK, and every planted identical query must recover its
     // twin at nprobe=1 — same vector => same nearest centroid (identical
@@ -290,6 +337,9 @@ object SimilarityQueries {
     "qX_kmeans_ivf" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM embeddings WHERE vec_id < 200""".stripMargin,
+    "qX_multimodal_real" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "qX_dedup_minhash_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_exact_recovered,
         |  count(*) AS n_near_recovered

@@ -34,6 +34,68 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(r.forall(d => d.meta.width == 2 && d.meta.height == 2))
   }
 
+  // ---- real png codec (javax.imageio — JDK built-in, no external dep)
+
+  /** Render a real grayscale PNG from row-major [0,255] levels. */
+  private def png(w: Int, h: Int, level: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = level(x, y) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNG bytes: dims from the header, known luma") {
+    // 2x2: black, white, mid-gray row 2 — luma of gray (r=g=b) is the
+    // level itself under the BT.601 weights
+    val bytes = png(2, 2, (x, y) => if (y == 0) (if (x == 0) 0 else 255) else 128)
+    val px = ImageIoCodec.decode(bytes, MediaMeta("png", 2, 2, 1, 0))
+    assert(px.length == 4)
+    assert(px(0) == 0f && math.abs(px(1) - 1f) < 1e-3)
+    assert(math.abs(px(2) - 128f / 255f) < 1e-3 && px(2) == px(3))
+    // corrupt payload throws instead of producing garbage features
+    intercept[IllegalArgumentException] {
+      ImageIoCodec.decode("not an image".getBytes, MediaMeta("png", 1, 1, 1, 0))
+    }
+  }
+
+  test("ImageIoCodec resize is area averaging; embed pools to a centered grid") {
+    // 4x2 image, left half black, right half white -> 2x1 resize
+    // averages each half exactly
+    val bytes = png(4, 2, (x, _) => if (x < 2) 0 else 255)
+    val px = ImageIoCodec.decode(bytes, MediaMeta("png", 4, 2, 1, 0))
+    val (small, meta) = ImageIoCodec.resize(px, MediaMeta("png", 4, 2, 1, 0), 2, 1)
+    assert(meta.width == 2 && meta.height == 1)
+    assert(small(0) == 0f && math.abs(small(1) - 1f) < 1e-3)
+    // embed(4): near-square grid 2x2, centered to [-0.5, 0.5]
+    val e = ImageIoCodec.embed(bytes, 4)
+    assert(e.length == 4)
+    assert(e(0) == -0.5f && e(2) == -0.5f) // black cells
+    assert(math.abs(e(1) - 0.5f) < 1e-3 && math.abs(e(3) - 0.5f) < 1e-3)
+  }
+
+  test("real-codec pipeline: identical payloads embed identically, ANN twin recovery") {
+    import graft.operators.Similarity
+    val recs = (0L until 40L).flatMap { i =>
+      val bytes = png(8, 8, (x, y) => ((x * 37 + y * 101 + i * 13) % 256).toInt)
+      Seq(MediaRecord(i, "image", bytes, MediaMeta("png", 8, 8, 1, 0)),
+        MediaRecord(i + 1000, "image", bytes, MediaMeta("png", 8, 8, 1, 0)))
+    }.toDS()
+    val features = Multimodal.extractFeatures(recs, dim = 16,
+      codec = ImageIoCodec).toDF()
+    val q = features.filter(col("id") >= 1000)
+    val res = Similarity.bruteForceTopK(q, features.filter(col("id") < 1000),
+      "id", "embedding", "id", "embedding", 1)
+    val hits = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.length == 40)
+    hits.foreach { case (qid, id, sim) =>
+      assert(id == qid - 1000 && sim == 1.0, s"twin miss for $qid") }
+  }
+
   test("frame sampling: every 2nd of 6 frames, one row per frame") {
     val f = Multimodal.sampleFrames(media.filter(_.mediaType == "video"), 2, 6)
       .collect().sortBy(_.frameNo)
