@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * structs, processed by per-partition batch functions.
   *
   * The Spark-side contract is real and tested — schemas, partition
-  * batching, deterministic outputs. The codec seam has two
+  * batching, deterministic outputs. The codec seam has three
   * implementations: [[ImageIoCodec]] is a REAL png/jpeg decoder built
   * on the JDK's own `javax.imageio` (no external dependency — covers
   * the reference's actual input contract, README.md:629 jpg/png
-  * ≤ 5 MB), and [[FakeCodec]] is the deterministic stand-in for the
-  * audio/video modalities whose codecs the JDK does not ship. A
-  * production deployment swaps richer codecs in; nothing else changes.
+  * ≤ 5 MB), [[WavCodec]] is a REAL wav/aiff/au PCM decoder on the
+  * JDK's `javax.sound.sampled`, and [[FakeCodec]] is the deterministic
+  * stand-in for video, the one modality whose codec the JDK does not
+  * ship. A production deployment swaps richer codecs in; nothing else
+  * changes.
   *
   * Scale notes: `mapPartitions` keeps one codec instance per partition
   * (amortized model/codec init — the reason mapInPandas-style batch
@@ -103,8 +105,6 @@ object Multimodal {
     * The decoded dimensions come from the BYTES (the image header),
     * not the caller's advisory [[MediaMeta]] — corrupt/undecodable
     * payloads throw rather than silently producing garbage features.
-    * [[FakeCodec]] remains the test stand-in for the audio/video
-    * modalities whose codecs the JDK does not provide.
     */
   object ImageIoCodec extends MediaCodec {
     private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
@@ -176,6 +176,75 @@ object Multimodal {
         (luma(img), MediaMeta("png", img.getWidth, img.getHeight, 1, 0L))
       val (pooled, _) = resize(pixels, meta, gw, gh)
       pooled.map(_ - 0.5f)
+    }
+  }
+
+  /** REAL audio codec on the same seam — `javax.sound.sampled` also
+    * ships with the JDK (WAV/AIFF/AU PCM readers; decode needs no
+    * audio device, so it runs headless in executors). decode() returns
+    * the mono mixdown as floats in [-1, 1]; resize() treats the sample
+    * stream as a 1×N plane and area-box resamples it to w·h samples
+    * (the [[ImageIoCodec]] kernel, reused); embed() is per-window RMS
+    * energy over `dim` equal windows — the classic cheap audio
+    * fingerprint, deterministic for a given payload. Undecodable
+    * payloads throw ([[ImageIoCodec]]'s contract). Only video remains
+    * on [[FakeCodec]] (the JDK has no demuxer).
+    */
+  object WavCodec extends MediaCodec {
+    private def samples(bytes: Array[Byte]): Array[Float] = {
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            "payload is not a decodable audio stream (wav/aiff/au)", e) }
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8,
+        s"unsupported PCM sample size ${fmt.getSampleSizeInBits}")
+      val raw = in.readAllBytes()
+      val ch = fmt.getChannels
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val frameBytes = bytesPerSample * ch
+      val n = raw.length / frameBytes
+      val out = new Array[Float](n)
+      val big = fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        var acc = 0.0f
+        var c = 0
+        while (c < ch) {
+          val off = i * frameBytes + c * bytesPerSample
+          val v = if (bytesPerSample == 2) {
+            val (b0, b1) = (raw(off) & 0xFF, raw(off + 1) & 0xFF)
+            val s = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+            s.toShort / 32768f
+          } else (raw(off) & 0xFF) / 128f - 1f // 8-bit PCM is unsigned
+          acc += v
+          c += 1
+        }
+        out(i) = acc / ch
+        i += 1
+      }
+      out
+    }
+    def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] =
+      samples(bytes)
+    def resize(pixels: Array[Float], meta: MediaMeta,
+               w: Int, h: Int): (Array[Float], MediaMeta) = {
+      val (p, _) = ImageIoCodec.resize(pixels,
+        meta.copy(width = pixels.length, height = 1), w * h, 1)
+      (p, meta.copy(width = w, height = h))
+    }
+    def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val s = samples(bytes)
+      require(s.nonEmpty, "empty audio stream")
+      Array.tabulate(dim) { w =>
+        val lo = (w.toLong * s.length / dim).toInt
+        val hi = math.max(((w + 1).toLong * s.length / dim).toInt, lo + 1)
+        var acc = 0.0
+        var i = lo
+        while (i < hi) { acc += s(i).toDouble * s(i); i += 1 }
+        math.sqrt(acc / (hi - lo)).toFloat
+      }
     }
   }
 

@@ -292,6 +292,50 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_recovered")))
     }),
 
+    // REAL-codec AUDIO recall contract: genuine 16-bit PCM WAVs
+    // (rendered in executors from doc-derived sample levels, full-text
+    // hash folded in like qX_multimodal_real), decoded by the JDK's
+    // javax.sound.sampled, RMS-window embedded, twin-recovered at
+    // cosine 1.0 — no stub in the audio path either.
+    "qX_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val media = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val h = java.util.Arrays.hashCode(bytes)
+          val pcm = new Array[Byte](64 * 2) // 64 16-bit LE samples
+          for (j <- 0 until 64) {
+            val base = if (bytes.isEmpty) 0 else bytes(j % bytes.length) & 0xFF
+            val v = (((base + (h >>> (j % 24)) + j * 7) & 0xFF) - 128) * 256
+            pcm(2 * j) = (v & 0xFF).toByte
+            pcm(2 * j + 1) = ((v >> 8) & 0xFF).toByte
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, 64)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val payload = bos.toByteArray
+          val rec = (i: Long) => MediaRecord(i, "audio", payload,
+            MediaMeta("wav", 0, 0, 1, 8L))
+          Seq(rec(id), rec(id + 100000))
+        }
+      val features = Multimodal.extractFeatures(media, dim = 8,
+        codec = Multimodal.WavCodec).toDF()
+      val q = features.filter(col("id") >= 100000)
+      val res = Similarity.bruteForceTopK(q, features.filter(col("id") < 100000),
+        "id", "embedding", "id", "embedding", 1)
+      q.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(res
+          .filter(col("id") === col("qid") - 100000 && col("sim") === 1.0)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // Combined fit->index pipeline recall contract: kmeansFit centroids
     // feed ivfTopK, and every planted identical query must recover its
     // twin at nprobe=1 — same vector => same nearest centroid (identical
@@ -338,6 +382,9 @@ object SimilarityQueries {
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM embeddings WHERE vec_id < 200""".stripMargin,
     "qX_multimodal_real" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "qX_multimodal_audio" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 200""".stripMargin,
     "qX_dedup_minhash_recall" ->

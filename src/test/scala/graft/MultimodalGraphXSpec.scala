@@ -96,6 +96,68 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
       assert(id == qid - 1000 && sim == 1.0, s"twin miss for $qid") }
   }
 
+  /** Render a real 16-bit mono little-endian WAV from [-1,1] samples. */
+  private def wav(samples: Array[Float], rate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-32768, math.min(32767, math.round(s * 32767f)))
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavCodec decodes real WAV bytes: sample round-trip, RMS embed, bad input throws") {
+    // square wave alternating +0.5 / -0.5 for 16 samples, then silence
+    val sig = Array.tabulate(32)(i =>
+      if (i < 16) { if (i % 2 == 0) 0.5f else -0.5f } else 0.0f)
+    val bytes = wav(sig)
+    val decoded = WavCodec.decode(bytes, MediaMeta("wav", 0, 0, 1, 0))
+    assert(decoded.length == 32)
+    // 16-bit quantization: within 1/32767 of the source samples
+    sig.zip(decoded).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 1e-4, s"$want vs $got") }
+    // embed(2): window RMS — first half ~0.5, second half 0
+    val e = WavCodec.embed(bytes, 2)
+    assert(math.abs(e(0) - 0.5f) < 1e-3 && e(1) == 0f)
+    intercept[IllegalArgumentException] {
+      WavCodec.decode("not audio".getBytes, MediaMeta("wav", 0, 0, 1, 0))
+    }
+  }
+
+  test("WavCodec feeds the multimodal pipeline: identical payloads, twin recovery") {
+    import graft.operators.Similarity
+    val recs = (0L until 20L).flatMap { i =>
+      // per-window amplitude ENVELOPE distinguishes signals: window RMS
+      // of a sine is amplitude/sqrt(2) regardless of frequency, so
+      // equal-amplitude signals would all embed identically
+      val sig = Array.tabulate(64) { j =>
+        val w = j / 8
+        val amp = (((i + 1) * 2654435761L + w * w * 40503L + w * i * 69069L)
+          % 89 + 10) / 100.0
+        (math.sin((j + 1) * 0.37) * amp).toFloat
+      }
+      val bytes = wav(sig)
+      Seq(MediaRecord(i, "audio", bytes, MediaMeta("wav", 0, 0, 1, 8)),
+        MediaRecord(i + 1000, "audio", bytes, MediaMeta("wav", 0, 0, 1, 8)))
+    }.toDS()
+    val features = Multimodal.extractFeatures(recs, dim = 8,
+      codec = WavCodec).toDF()
+    val q = features.filter(col("id") >= 1000)
+    val res = Similarity.bruteForceTopK(q, features.filter(col("id") < 1000),
+      "id", "embedding", "id", "embedding", 1)
+    val hits = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.length == 20)
+    hits.foreach { case (qid, id, sim) =>
+      assert(id == qid - 1000 && sim == 1.0, s"twin miss for $qid") }
+  }
+
   test("frame sampling: every 2nd of 6 frames, one row per frame") {
     val f = Multimodal.sampleFrames(media.filter(_.mediaType == "video"), 2, 6)
       .collect().sortBy(_.frameNo)
