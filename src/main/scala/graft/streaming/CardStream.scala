@@ -379,6 +379,113 @@ object CardStream {
     spark.read.parquet(s"$d/data")
   }
 
+  /** One micro-batch of streaming NEAR-dup suppression — the streaming
+    * face of [[graft.operators.Dedup.minhashLshPairs]] (X3), applied
+    * first-arrival-wins: a new document is dropped when it MinHash-
+    * verifies (jaccard ≥ `minJaccard`) against either (a) a smaller-id
+    * document of its own batch (the semDeDup drop-if-any-smaller
+    * convention — a mid-chain dup does not resurrect its followers) or
+    * (b) ANY already-accepted document of the accumulated corpus.
+    *
+    * Store layout under `dir` (the [[mergeAdditive]] pattern — staged
+    * writes, single [[swapStaged]] cutover, meta `last_batch` replay
+    * fence, because acceptance is NOT idempotent: a replayed batch
+    * would re-test docs against themselves and drop them):
+    * `data` = surviving rows, `sh` = their shingle sets (verification
+    * side), `posts` = their (band, key) postings (candidate probe).
+    * Probing cost per batch: the batch's postings hash-join the stored
+    * postings on (band, key) — the banded-LSH shuffle shape, never
+    * batch × corpus. The full-table staged rewrite is the correctness
+    * form; at 100 TB `posts`/`data` become bucket-merged by (band, key)
+    * like [[graft.operators.SearchIndex.mergeStored]] — same fence,
+    * same swap, per-bucket I/O.
+    *
+    * @return number of surviving rows in this batch (history count on
+    *         a replayed fence hit is NOT included — the fold is a
+    *         no-op then).
+    */
+  def nearDupSuppress(spark: SparkSession, batch: DataFrame, dir: String,
+                      textCol: String, idCol: String,
+                      n: Int = 2, k: Int = 64, bands: Int = 16,
+                      minJaccard: Double = 0.5,
+                      batchId: Long = -1L): Long = {
+    import graft.operators.Dedup
+    recoverSwap(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(s"$dir/meta"))
+    if (exists && batchId >= 0) {
+      val last = spark.read.parquet(s"$dir/meta").head().getLong(0)
+      if (last == batchId) return 0L // replayed micro-batch: no-op
+    }
+    // in-batch pass: drop the id2 of every verified pair
+    val inBatchDropped = Dedup.minhashLshPairs(batch, textCol, idCol,
+        n, k, bands, minJaccard)
+      .select(col("id2").as("_drop")).distinct()
+    val afterSelf = batch.join(inBatchDropped,
+      batch(idCol) === col("_drop"), "left_anti")
+    // history probe: candidates by shared (band, key), verified on the
+    // stored shingle sets
+    val sh = afterSelf.select(col(idCol).as("id"),
+        Dedup.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // reused by probe + verify + store append
+    val posts = sh
+      .select(col("id"),
+        graft.functions.expr.TextExprs.minhash_sig(col("sh"), k).as("sig"))
+      .select(col("id"), explode(Dedup.lshBands(col("sig"), k, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(true)
+    val histDropped = if (exists) {
+      val storedPosts = spark.read.parquet(s"$dir/posts")
+        .select(col("id").as("_oid"), col("band"), col("key"))
+      val storedSh = spark.read.parquet(s"$dir/sh")
+        .select(col("id").as("_oid"), col("sh").as("_osh"))
+      posts.join(storedPosts, Seq("band", "key"))
+        .select(col("id"), col("_oid")).distinct()
+        .join(sh, "id")
+        .join(storedSh, "_oid")
+        .withColumn("_inter", size(array_intersect(col("sh"), col("_osh"))))
+        .filter(col("_inter").cast("double") /
+          (size(col("sh")) + size(col("_osh")) - col("_inter")) >= minJaccard)
+        .select(col("id").as("_drop")).distinct()
+    } else spark.emptyDataFrame.select(lit(0L).as("_drop")).limit(0)
+    val survivors = afterSelf.join(histDropped,
+        afterSelf(idCol) === col("_drop"), "left_anti")
+      .localCheckpoint(true)
+    val survIds = survivors.select(col(idCol).as("id"))
+    val (newData, newSh, newPosts) =
+      if (exists)
+        (spark.read.parquet(s"$dir/data").unionByName(survivors),
+          spark.read.parquet(s"$dir/sh").unionByName(sh.join(survIds, "id")),
+          spark.read.parquet(s"$dir/posts").unionByName(posts.join(survIds, "id")))
+      else (survivors.toDF(), sh.join(survIds, "id"), posts.join(survIds, "id"))
+    val stage = s"${dir}__stage"
+    if (fs.exists(new Path(stage)) && !fs.delete(new Path(stage), true))
+      throw new java.io.IOException(s"nearDupSuppress: cannot clear stale $stage")
+    newData.write.mode("overwrite").parquet(s"$stage/data")
+    newSh.write.mode("overwrite").parquet(s"$stage/sh")
+    newPosts.write.mode("overwrite").parquet(s"$stage/posts")
+    spark.range(1).select(lit(batchId).as("last_batch"))
+      .write.mode("overwrite").parquet(s"$stage/meta")
+    swapStaged(spark, dir)
+    survivors.count()
+  }
+
+  /** [[nearDupSuppress]] as a streaming sink. */
+  def startNearDupSuppress(docs: DataFrame, dir: String, checkpoint: String,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           n: Int = 2, k: Int = 64, bands: Int = 16,
+                           minJaccard: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupSuppress(batch.sparkSession, batch, dir, textCol, idCol,
+          n, k, bands, minJaccard, batchId)
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup — the streaming face of
     * [[graft.operators.Dedup.exact]] (J1 replay idempotence applied to
     * content keys rather than checkpoint offsets): drop every record

@@ -234,6 +234,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.contains(("u1", 100L, 130L, 1L)), rows)
   }
 
+  test("streaming near-dup suppression: first arrival wins across batches, replay fenced") {
+    val (src, dir, cp) = (tmp("nd_src"), tmp("nd_store") + "/nd", tmp("nd_cp"))
+    val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val other = "spark shuffles hash the join keys into partitions before the merge step runs"
+    def j(id: Long, text: String) = s"""{"doc_id": $id, "text": "$text"}"""
+    val schema = "doc_id LONG, text STRING"
+    Files.write(Paths.get(s"$src/b1.json"),
+      String.join("\n", j(1, base), j(2, other)).getBytes)
+    val docs = spark.readStream.schema(schema).json(src)
+    val q = CardStream.startNearDupSuppress(docs, dir, cp)
+    q.processAllAvailable()
+    // batch 2: 11 = near-dup of doc 1 (last word dropped -> high
+    // jaccard), 12 = fresh, 13 = in-batch near-dup of 12
+    Files.write(Paths.get(s"$src/b2.json"), String.join("\n",
+      j(11, base.substring(0, base.lastIndexOf(' '))),
+      j(12, "entirely new content describing watermarks sessions and state stores in streams"),
+      j(13, "entirely new content describing watermarks sessions and state stores in here")).getBytes)
+    q.processAllAvailable(); q.stop()
+    val survivors = spark.read.parquet(s"$dir/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 12L),
+      "cross-batch dup 11 and in-batch dup 13 suppressed, first arrivals kept")
+    // equivalence with the batch drop-if-any-smaller convention
+    val all = Seq((1L, base), (2L, other),
+      (11L, base.substring(0, base.lastIndexOf(' '))),
+      (12L, "entirely new content describing watermarks sessions and state stores in streams"),
+      (13L, "entirely new content describing watermarks sessions and state stores in here"))
+      .toDF("doc_id", "text")
+    val batchDropped = graft.operators.Dedup
+      .minhashLshPairs(all, "text", "doc_id", n = 2, k = 64, bands = 16, 0.5)
+      .select("id2").collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 11L, 12L, 13L) -- batchDropped == survivors,
+      "streamed survivors equal the batch semDeDup convention in id order")
+    // replay fence: re-folding the last batchId is a no-op
+    val before = spark.read.parquet(s"$dir/data").count()
+    val lastBatch = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    val replayed = CardStream.nearDupSuppress(spark,
+      all.filter(col("doc_id") >= 11), dir, "text", "doc_id",
+      batchId = lastBatch)
+    assert(replayed == 0L && spark.read.parquet(s"$dir/data").count() == before,
+      "fenced replay must not re-test or re-append")
+  }
+
   test("streaming dedup: redelivered keys within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, String)]
