@@ -486,6 +486,83 @@ object CardStream {
       }
       .start()
 
+  /** Streaming IVF vector-index maintenance — the vector twin of
+    * [[startIndexMerge]] (X29): each micro-batch's embeddings are
+    * assigned to their nearest-centroid cell
+    * ([[graft.operators.Similarity.ivfAssign]] — centroids broadcast)
+    * and folded into a CELL-PARTITIONED store, so an ANN query scans
+    * only its nprobe cells' partitions. Assignment is deterministic
+    * given the centroid table, so replay needs no fence: the fold is
+    * an id-keyed LWW merge (replayed rows collapse onto themselves).
+    * At scale the rewrite becomes per-cell partition overwrite
+    * (dynamic partitionOverwriteMode) — cells untouched by the batch
+    * keep their files.
+    */
+  def startIvfMerge(vectors: DataFrame, centroids: DataFrame, dir: String,
+                    checkpoint: String, idCol: String,
+                    vecCol: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfMerge(batch.sparkSession, batch, centroids, dir, idCol, vecCol,
+          batchId)
+      }
+      .start()
+
+  /** One [[startIvfMerge]] fold, testable directly. */
+  def ivfMerge(spark: SparkSession, batch: DataFrame, centroids: DataFrame,
+               dir: String, idCol: String, vecCol: String,
+               batchId: Long = 0L): Unit = {
+    val assigned = graft.operators.Similarity
+      .ivfAssign(batch, centroids, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("cid").as("cell"))
+      .withColumn("_ord", lit(batchId))
+    recoverSwap(spark, dir)
+    // partition-column inference types `cell=N` dirs as int — restore long
+    val existing = tableOrEmpty(spark, dir, assigned)
+      .withColumn("cell", col("cell").cast("long"))
+    val all = existing.unionByName(assigned)
+    val w = Window.partitionBy(col("id")).orderBy(desc("_ord"))
+    val merged = all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    swapInto(spark, merged, dir, partitionCols = Seq("cell"))
+  }
+
+  /** ANN top-k against an [[startIvfMerge]] store: rank cells per
+    * query over the broadcast centroids, read ONLY the probed cells'
+    * partitions (partition filter on `cell` — the stored layout is the
+    * pruning), exact cosine re-rank inside them. */
+  def ivfQueryStored(spark: SparkSession, dir: String, centroids: DataFrame,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.GraftFunctions.cosine
+    val stored = tableOrEmpty(spark, dir,
+      spark.emptyDataFrame.select(lit(0L).as("id"),
+        typedLit(Seq.empty[Float]).as("vec"), lit(0L).as("cell"),
+        lit(0L).as("_ord")))
+      .withColumn("cell", col("cell").cast("long")) // partition-col inference
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(desc("qcsim"), asc("cid"))
+    val probes = q.join(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .withColumn("qcsim", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)) // nprobe · |queries| cells, driver-small
+    val scored = broadcast(probes)
+      .join(stored.filter(col("cell").isin(cells: _*)), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
+    graft.operators.TopK.grouped(scored, Seq("qid"),
+        struct((-col("sim")).as("ns"), col("id").as("i")), k)
+      .select(col("qid"), col("best.i").as("id"), (-col("best.ns")).as("sim"))
+      .orderBy(col("qid"), desc("sim"), col("id"))
+  }
+
   /** Streaming exact dedup — the streaming face of
     * [[graft.operators.Dedup.exact]] (J1 replay idempotence applied to
     * content keys rather than checkpoint offsets): drop every record

@@ -277,6 +277,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "fenced replay must not re-test or re-append")
   }
 
+  test("streaming IVF merge: cell-partitioned store equals batch assignment; replay is LWW no-op") {
+    import graft.operators.Similarity
+    val dir = tmp("ivf_store") + "/ivf"
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 60).select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // two micro-batch folds + a replay of the second
+    val b1 = emb.filter(col("vec_id") < 30)
+    val b2 = emb.filter(col("vec_id") >= 30)
+    CardStream.ivfMerge(spark, b1, cents, dir, "vec_id", "embedding", 0L)
+    CardStream.ivfMerge(spark, b2, cents, dir, "vec_id", "embedding", 1L)
+    CardStream.ivfMerge(spark, b2, cents, dir, "vec_id", "embedding", 2L)
+    val stored = spark.read.parquet(dir)
+      .withColumn("cell", col("cell").cast("long"))
+    assert(stored.count() == 60, "replay collapses by id (LWW), no duplicates")
+    // store partitioned by cell and assignments equal the batch form
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cell=")))
+    val batchAssign = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      .select(col("vec_id").as("id"), col("cid").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val storedAssign = stored.select("id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedAssign == batchAssign)
+    // queries through the store match ivfTopK over the same inputs
+    val q = emb.filter(col("vec_id") < 3)
+    val viaStore = CardStream.ivfQueryStored(spark, dir, cents, q,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val direct = Similarity.ivfTopK(q, emb, cents, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaStore == direct)
+  }
+
   test("streaming dedup: redelivered keys within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, String)]
