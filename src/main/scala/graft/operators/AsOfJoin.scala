@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * but a training-data pipeline joining fact streams to slowly-updated
   * context tables needs constantly (SURVEY §2 extension surface).
   *
-  * Semantics: for every left row, attach the latest right row whose
-  * `tsCol` is <= the left row's `tsCol`, within the same `keyCol`
-  * (inclusive match on equal timestamps — the same contract as
-  * DuckDB's/Pandas' ASOF JOIN, which is what the oracle checks). Left
-  * rows with no prior right row keep NULL attached columns (left-outer
-  * as-of).
+  * Semantics: for every left row, attach the matched right row within
+  * the same `keyCol` — `direction = "backward"` (default): the latest
+  * right row with ts <= left ts (DuckDB's/Pandas' default ASOF);
+  * `"forward"`: the earliest right row with ts >= left ts;
+  * `"nearest"`: whichever of the two is closer by |Δts| (exact
+  * integer microseconds; equidistant resolves backward). Inclusive
+  * match on equal timestamps in every direction. Left rows with no
+  * match in the chosen direction keep NULL attached columns
+  * (left-outer as-of).
   *
   * Scale shape: the naive formulation is a range join
   * (`l.ts >= r.ts` → O(|L|·|R|) pair enumeration per key before the
@@ -47,24 +50,50 @@ object AsOfJoin {
     * same comparison rule.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           valueCols: Seq[String]): DataFrame = {
-    // right rows sort BEFORE left rows at equal ts (side 0 < 1) so the
-    // running last() sees them — the inclusive-match contract
+           valueCols: Seq[String], direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown as-of direction $direction")
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1) in the
+    // scan direction so the running last() sees them — the
+    // inclusive-match contract on both time arrows
     val l = left.withColumn("_side", lit(1))
     val r = right
       .filter(col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol),
-        struct(valueCols.map(col): _*).as("_rv"))
+        struct((col(tsCol).as("_rts") +: valueCols.map(col)): _*).as("_rv"))
       .withColumn("_side", lit(0))
     // unionByName fills the left side's missing _rv with NULL — the
     // struct itself is non-null for every right row, so
     // last(ignoreNulls) selects the latest right ROW, atomically
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_side").asc)
+    def w(asc: Boolean) = Window.partitionBy(col(keyCol))
+      .orderBy(if (asc) col(tsCol).asc else col(tsCol).desc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
+    // ascending scan carries the latest right row at-or-BEFORE each left
+    // row; descending carries the earliest at-or-AFTER. Both windows
+    // share the key partitioning — "nearest" costs one shuffle and two
+    // in-partition sorts, never a second exchange.
+    val carried = direction match {
+      case "backward" =>
+        unioned.withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w(true)))
+      case "forward" =>
+        unioned.withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w(false)))
+      case "nearest" =>
+        // closer of the two matches by |Δts| (exact integer micros —
+        // double-second casts lose sub-microsecond ties); equidistant →
+        // backward, the ASOF convention
+        val b = last(col("_rv"), ignoreNulls = true).over(w(true))
+        val f = last(col("_rv"), ignoreNulls = true).over(w(false))
+        unioned
+          .withColumn("_b", b).withColumn("_f", f)
+          .withColumn("_asof",
+            when(col("_b").isNull, col("_f"))
+              .when(col("_f").isNull, col("_b"))
+              .when(unix_micros(col(tsCol)) - unix_micros(col("_b._rts")) <=
+                unix_micros(col("_f._rts")) - unix_micros(col(tsCol)),
+                col("_b"))
+              .otherwise(col("_f")))
+    }
     carried.filter(col("_side") === 1)
       .select(left.columns.map(col) ++
         valueCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)

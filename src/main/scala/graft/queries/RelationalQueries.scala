@@ -459,6 +459,40 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: every click joined to the EARLIEST view at-or-
+    // after it — the "next event" direction (label attribution, next-
+    // touch joins). Same one-shuffle carry plan, descending scan.
+    "qX_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOfJoin.asOf(clicks, views, "user_id", "ts",
+          Seq("view_value"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("asof_view_value").as("next_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Nearest as-of: the closer of the backward/forward matches by
+    // |Δts| (exact integer micros; ties resolve backward) — the
+    // sensor-alignment direction. One shuffle, two in-partition sorts.
+    "qX_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOfJoin.asOf(clicks, views, "user_id", "ts",
+          Seq("view_value"), direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("asof_view_value").as("near_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // J4: sessionization by inactivity gap (30 min) — the batch twin of
     // flatMapGroupsWithState session state; pure window functions, one
     // shuffle keyed by user.
@@ -717,6 +751,41 @@ object RelationalQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    "qX_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.value,
+        |  v.view_value AS next_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts <= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "qX_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.value, c.ts,
+        |    v.ts AS bts, v.view_value AS bv
+        |  FROM clicks c ASOF LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND c.ts >= v.ts),
+        |f AS (
+        |  SELECT c.event_id, v.ts AS fts, v.view_value AS fv
+        |  FROM clicks c ASOF LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND c.ts <= v.ts)
+        |SELECT b.event_id, b.user_id, b.value,
+        |  CASE WHEN bts IS NULL THEN fv
+        |       WHEN fts IS NULL THEN bv
+        |       WHEN epoch_us(b.ts) - epoch_us(bts)
+        |         <= epoch_us(fts) - epoch_us(b.ts) THEN bv
+        |       ELSE fv END AS near_view_value
+        |FROM b JOIN f USING (event_id) ORDER BY b.event_id""".stripMargin,
     "qJ4_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

@@ -31,6 +31,31 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> null, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0, 5L -> null))
   }
 
+  test("asOf forward/nearest: direction semantics, inclusive ties, equidistant -> backward") {
+    val left = Seq(
+      (1L, "k1", ts(100)), // before all -> forward v@200, backward null
+      (2L, "k1", ts(200)), // equal ts -> inclusive in BOTH directions
+      (3L, "k1", ts(250)), // equidistant 200/300 -> nearest takes backward 2.0
+      (4L, "k1", ts(260)), // closer to 300 -> nearest 3.0; forward 3.0
+      (5L, "k1", ts(950)), // after all -> forward null, nearest falls back 9.0
+      (6L, "k3", ts(500))  // no right rows -> null everywhere
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("k1", ts(200), 2.0), ("k1", ts(300), 3.0), ("k1", ts(900), 9.0)
+    ).toDF("k", "t", "v")
+    def run(d: String) = AsOfJoin.asOf(left, right, "k", "t", Seq("v"), d)
+      .select(col("event_id"), col("asof_v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(run("forward") == Map(1L -> 2.0, 2L -> 2.0, 3L -> 3.0,
+      4L -> 3.0, 5L -> null, 6L -> null))
+    assert(run("nearest") == Map(1L -> 2.0, 2L -> 2.0, 3L -> 2.0,
+      4L -> 3.0, 5L -> 9.0, 6L -> null))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "t", Seq("v"), "sideways")
+    }
+  }
+
   test("asOf preserves all left rows and columns") {
     val left = Seq((1L, "k1", ts(10), "payload")).toDF("event_id", "k", "t", "extra")
     val right = Seq(("k1", ts(5), 1.5)).toDF("k", "t", "v")
