@@ -798,6 +798,60 @@ object GraphAnalytics {
     *
     * @return (anchor, rank, id, score), rank 1-based per anchor.
     */
+  /** Sampled harmonic centrality: H(v) = Σ_{s ∈ S, s ≠ v} 1/d(s, v)
+    * over a deterministic source sample S (the `numSources` lowest-id
+    * vertices — replayable, no RNG), distances by synchronous
+    * multi-source BFS on the simple undirected graph, truncated at
+    * `maxDepth` (beyond the truncation a pair contributes 0 — the
+    * standard bounded-radius approximation; fixed depth is also what
+    * makes the DuckDB oracle an unrollable CTE chain, the kCore/LPA
+    * playbook).
+    *
+    * Per round: one keyed join of the (source, vertex, dist) table
+    * against the adjacency on the vertex key + a min-aggregation —
+    * state is |S|·|reached| rows, bounded by the sample size times the
+    * ball volume, NOT |V|²; shuffles are all key-partitioned with
+    * map-side partial mins. Contributions sum as INTEGER micro-units
+    * (round(1e6/d)) so the per-vertex total is order-independent
+    * across engines (the adamicAdar rule).
+    *
+    * @return (id, h_micros, n_reached) for every vertex of the edge
+    *         view: harmonic micro-sum over reaching sources (self
+    *         excluded) and how many sources reached it.
+    */
+  def harmonicCentrality(edges: DataFrame, numSources: Int = 8,
+                         maxDepth: Int = 4,
+                         materializeEvery: Int = 2): DataFrame = {
+    val adj = Pymk.undirected(edges).distinct()
+      .localCheckpoint(true) // reused every BFS round
+    val verts = adj.select(col("from").as("id")).distinct()
+      .localCheckpoint(true)
+    val sources = verts.orderBy(asc("id")).limit(numSources)
+      .select(col("id").as("s"))
+    var dist = broadcast(sources)
+      .join(verts, col("s") === col("id"))
+      .select(col("s"), col("id").as("v"), lit(0).as("d"))
+      .localCheckpoint(true)
+    for (i <- 1 to maxDepth) {
+      val expanded = dist
+        .join(adj.withColumnRenamed("from", "v"), "v")
+        .select(col("s"), col("to").as("v"), (col("d") + 1).as("d"))
+      val next = dist.unionByName(expanded)
+        .groupBy("s", "v").agg(min(col("d")).as("d"))
+      dist = if (i % materializeEvery == 0 || i == maxDepth)
+        next.localCheckpoint(true) else next
+    }
+    val contrib = dist
+      .filter(col("s") =!= col("v") && col("d") > 0)
+      .withColumn("hm", round(lit(1e6) / col("d")).cast("long"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("hm")).as("h_micros"), count(lit(1)).as("n_reached"))
+    verts.join(contrib, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h_micros"), lit(0L)).as("h_micros"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"))
+      .orderBy(col("id"))
+  }
+
   def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
     val spark = edges.sparkSession
     val adj = Pymk.undirected(edges).distinct()

@@ -312,6 +312,15 @@ object GraphQueries {
       graft.operators.GraphAnalytics.negativeSamplingTable(walks)
     }),
 
+    // Sampled harmonic centrality: multi-source truncated BFS from the
+    // 8 lowest-id vertices, 1/d summed in integer micros — unrolled
+    // min-dist CTE oracle (the kCore playbook).
+    "qX_harmonic" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.harmonicCentrality(edges,
+        numSources = 8, maxDepth = 4)
+    }),
+
     // k-core converge-and-verify: peel to the TRUE fixpoint and emit
     // (k, rounds-to-fixpoint, survivor count, converged) — peeling is
     // deterministic, so the oracle recomputes rounds as the first
@@ -618,7 +627,45 @@ object GraphQueries {
          |    / (SELECT total FROM tot), 8) AS cum
          |FROM w ORDER BY vertex""".stripMargin
 
+  /** Unrolled multi-source BFS oracle for [[qX_harmonic]]: dN holds
+    * min-dist-within-N-steps per (source, vertex); each level unions
+    * the previous with its one-step expansion and re-mins.
+    * MATERIALIZED: every dN is referenced twice by dN+1. */
+  private def harmonicSql(numSources: Int, maxDepth: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS MATERIALIZED (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
+         |verts AS (SELECT DISTINCT f AS id FROM adj),
+         |srcs AS (SELECT id AS s FROM verts ORDER BY id LIMIT $numSources),
+         |d0 AS (SELECT s, s AS v, 0 AS d FROM srcs)""".stripMargin
+    val steps = (1 to maxDepth).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT s, v, min(d) AS d FROM (
+         |    SELECT s, v, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT p.s, adj.t AS v, p.d + 1 AS d
+         |    FROM d${i - 1} p JOIN adj ON adj.f = p.v) x
+         |  GROUP BY s, v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT verts.id,
+         |  coalesce(c.h_micros, 0) AS h_micros,
+         |  coalesce(c.n_reached, 0) AS n_reached
+         |FROM verts LEFT JOIN (
+         |  SELECT v AS id,
+         |    CAST(sum(CAST(round(1000000.0 / d) AS BIGINT)) AS BIGINT)
+         |      AS h_micros,
+         |    count(*) AS n_reached
+         |  FROM d$maxDepth WHERE s <> v AND d > 0 GROUP BY v) c
+         |USING (id)
+         |ORDER BY verts.id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "qX_harmonic" -> harmonicSql(numSources = 8, maxDepth = 4),
     "qX_walk_subsample" -> walkSubsampleSql(t = 0.005, seed = 7L),
     "qX_neg_table" -> negTableSql(power = 0.75),
     "qX_walk_pairs" ->

@@ -330,6 +330,24 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
       (2L, 1L, 0.11111111, 1.0)))
   }
 
+  test("harmonicCentrality: known 1/d sums on a path, truncation zeroes the far tail") {
+    // path 1-2-3-4-5, sources = 2 lowest ids (1, 2)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphAnalytics.harmonicCentrality(path, numSources = 2, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1000000L, 1L),            // only s=2 at d=1
+      2L -> (1000000L, 1L),            // only s=1 at d=1
+      3L -> (1500000L, 2L),            // 1/2 + 1/1
+      4L -> (833333L, 2L),             // 1/3 + 1/2
+      5L -> (583333L, 2L)))            // 1/4 + 1/3
+    // truncation at depth 2: vertex 5 is beyond both sources' balls
+    val trunc = GraphAnalytics.harmonicCentrality(path, numSources = 2, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(trunc(5L) == (0L, 0L))
+    assert(trunc(4L) == (500000L, 1L)) // only s=2 at d=2 within the ball
+  }
+
   test("adamicAdar: known scores on path/star/cycle, direct edges excluded") {
     // path 1-2-3: only (1,3) and (3,1), witnessed by z=2 (deg 2):
     // score = round(1e6/ln 2)/1e6 = 1.442695 → 1.4427
