@@ -210,6 +210,26 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // X26 skew guards, oracle-closed: salting must be RESULT-invisible
+    // — the salted two-phase count and the salted replicated join must
+    // hash-match the plain formulations the oracle computes. (The
+    // plan-shape benefit — hot keys spread over `buckets` reducers —
+    // is asserted in ScaleOpsSpec; this gate pins exactness.)
+    "qX_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedCount(
+          t(s, dir, "events"), col("user_id"), col("event_id"), 16)
+        .orderBy(col("key"))
+    }),
+    "qX_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      graft.operators.Skew.saltedInnerJoin(li, o, "k", col("l_linenumber"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // C8: property-hydration join — scored ids joined back to dims in
     // one pass (vs the reference's N+1 valueMap loop); dims broadcast.
     "qC8_hydrate_join" -> ((s, dir) => {
@@ -751,6 +771,14 @@ object RelationalQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    "qX_salted_agg" ->
+      """SELECT user_id AS key, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qX_salted_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(l.l_quantity) AS BIGINT) AS qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "qX_asof_forward" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts, value FROM events
