@@ -278,6 +278,21 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.triangleCounts(vertices,
       edges.withColumn("weight", coalesce(col("weight"), lit(1.0))))
 
+  /** SemDeDup semantic dedup over an embedding table (cluster with
+    * deterministic k-means, prune near-identical members per cluster);
+    * returns (survivors, ivfTopK-ready centroids). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, threshold: Double = 0.95): (DataFrame, DataFrame) =
+    graft.operators.Similarity.semDeDup(df, idCol, vecCol, k, threshold)
+
+  /** Sampled harmonic centrality over the knows graph — the
+    * distance-based influence signal (multi-source truncated BFS;
+    * string person ids need no arithmetic, so the DF plan applies
+    * directly). */
+  def centrality(numSources: Int = 8, maxDepth: Int = 4): DataFrame =
+    graft.operators.GraphAnalytics.harmonicCentrality(edges,
+      numSources, maxDepth)
+
   /** Multi-hop PYMK via personalized PageRank: random walk with
     * restart from the user's vertex; excludes the user and their
     * direct friends (the same `neq`/`without` contract as [[pymk]]),

@@ -155,6 +155,22 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(inf.toList == pr.toList)
   }
 
+  test("centrality: harmonic over the knows graph covers every person, hubs lead") {
+    val h = engine.centrality(numSources = 6, maxDepth = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h.size == 6, "every graph vertex scored")
+    assert(h.values.forall(_ > 0), "6 sources on a connected 6-vertex graph reach all")
+    // known values on the 6-person fixture graph: the three degree-3
+    // vertices (edy, poby, pororo) tie at 3·1 + 2·(1/2) = 4.0 exactly;
+    // rody (degree 1, two distance-3 pairs) is the strict minimum at
+    // 1 + 2·(1/2) + 2·(1/3)
+    assert(h.values.max == 4000000L)
+    assert(h.values.count(_ == 4000000L) == 3)
+    val rodyId = graft.operators.Pymk
+      .anchorByName(engine.vertices, "Rody Park").head.getString(0)
+    assert(h(rodyId) == 2666666L && h.values.min == 2666666L)
+  }
+
   test("graph admin: dump then clear") {
     assert(engine.dumpGraph().length == 6)
     // plant a stale __old from a "crashed swap" — clearGraph must remove
