@@ -471,7 +471,9 @@ object GraphAnalytics {
   def subsampleWalks(walks: DataFrame, t: Double = 1e-3,
                      seed: Long = 7L): DataFrame = {
     val freqs = walks.groupBy("vertex").agg(count(lit(1)).as("_n"))
-    val total = freqs.agg(sum(col("_n"))).head.getLong(0).toDouble
+    val totalRow = freqs.agg(sum(col("_n"))).head
+    if (totalRow.isNullAt(0)) return walks // empty corpus: nothing to thin
+    val total = totalRow.getLong(0).toDouble
     val keep = broadcast(freqs.select(col("vertex"),
       least(lit(1.0),
         (sqrt(col("_n") / lit(total) / lit(t)) + lit(1.0)) *
@@ -507,7 +509,11 @@ object GraphAnalytics {
       .withColumn("_w",
         round(pow(col("n").cast("double"), lit(power)) * lit(1e6))
           .cast("long"))
-    val totalW = w.agg(sum(col("_w"))).head.getLong(0)
+    val totalRow = w.agg(sum(col("_w"))).head
+    if (totalRow.isNullAt(0)) // empty corpus: empty table, right schema
+      return w.select(col("vertex"), col("n"),
+        lit(0.0).as("p"), lit(0.0).as("cum"))
+    val totalW = totalRow.getLong(0)
     val cumW = Window.orderBy(col("vertex"))
       .rowsBetween(Window.unboundedPreceding, 0)
     w.withColumn("p", round(col("_w") / lit(totalW.toDouble), 8))

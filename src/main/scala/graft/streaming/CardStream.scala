@@ -448,7 +448,7 @@ object CardStream {
         .filter(col("_inter").cast("double") /
           (size(col("sh")) + size(col("_osh")) - col("_inter")) >= minJaccard)
         .select(col("id").as("_drop")).distinct()
-    } else spark.emptyDataFrame.select(lit(0L).as("_drop")).limit(0)
+    } else batch.select(col(idCol).as("_drop")).limit(0) // typed like the id
     val survivors = afterSelf.join(histDropped,
         afterSelf(idCol) === col("_drop"), "left_anti")
       .localCheckpoint(true)

@@ -319,6 +319,13 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(kept.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("walk preprocessing survives an empty corpus") {
+    val empty = Seq.empty[(Long, Int, Long)].toDF("walk_id", "step", "vertex")
+    assert(GraphAnalytics.subsampleWalks(empty).count() == 0)
+    assert(GraphAnalytics.negativeSamplingTable(empty).count() == 0)
+    assert(GraphAnalytics.skipGramPairs(empty).count() == 0)
+  }
+
   test("negativeSamplingTable: unigram^0.75 exact integer-micro p/cum") {
     // counts 16 and 1: weights 16^0.75 = 8 vs 1 -> p = 8/9, 1/9
     val walks = ((0 until 16).map(i => (i.toLong, 0, 1L)) :+ (100L, 0, 2L))
