@@ -28,6 +28,32 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Length-bucketed batch assembly — the other batching strategy next
+    * to [[pack]]: instead of concatenating documents into fixed token
+    * budgets, group SIMILAR-length documents so a batch pads to its
+    * own bucket's max, not the corpus max (the standard seq-len
+    * bucketing that cuts padding waste for non-packed training).
+    * Buckets are equal-frequency (`ntile` over the total order
+    * (tokenCol, idCol) — fully deterministic, ties broken by id, same
+    * semantics in any SQL engine, so the gate is a full-row oracle).
+    *
+    * Scale note: ntile is a single global window ONLY over the
+    * (id, tokens) projection — two narrow columns, not the documents;
+    * for corpora where even that single-partition sort is too big,
+    * approx-quantile boundaries ([[Sketches]]) + a range join assign
+    * buckets with one scan and no global window (the documented scale
+    * path; equal-frequency up to sketch error).
+    *
+    * @return one row per document: (idCol, tokens, bucket), bucket in
+    *         1..buckets.
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, tokenCol: String,
+                    buckets: Int): DataFrame = {
+    val w = Window.orderBy(col(tokenCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(tokenCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+  }
+
   /** Naive global-window form — the executable spec. One partition,
     * driver-order semantics; use [[packScalable]] beyond toy scale. */
   def pack(df: DataFrame, idCol: String, tokenCol: String,

@@ -389,6 +389,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Length-bucketed batch assembly (the non-packed batching
+    // strategy): equal-frequency ntile buckets over (tokens, id) —
+    // similar-length docs batch together so padding goes to the
+    // bucket max, not the corpus max.
+    "qX_length_buckets" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.lengthBuckets(docs, "doc_id", "n_tokens", 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction: deterministic planted e-mail+phone per doc, redact,
     // audit counts — the release gate of a curation pipeline.
     "qX_redact" -> ((s, dir) => {
@@ -858,6 +870,14 @@ object TextQueries {
         |  CAST(floor(s / 512.0) AS BIGINT) AS bin,
         |  CAST(s % 512 AS BIGINT) AS "offset"
         |FROM c ORDER BY doc_id""".stripMargin,
+    "qX_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  ntile(8) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
     "qX_redact" -> {
       val email = graft.functions.GraftFunctions.EmailPattern
       val phone = graft.operators.TextAnalysis.RedactPhonePattern

@@ -324,6 +324,25 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(naive.sameElements(reparted))
   }
 
+  test("lengthBuckets: equal-frequency, length-sorted, deterministic ties") {
+    import graft.operators.Packing
+    // lengths 5,5,1,9,3,7 — ties (id 1, 2 at 5 tokens) break by id
+    val docs = Seq((1L, 5), (2L, 5), (3L, 1), (4L, 9), (5L, 3), (6L, 7))
+      .toDF("id", "toks")
+    val got = Packing.lengthBuckets(docs, "id", "toks", 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // sort order: (3,1) (5,3) | (1,5) (2,5) | (6,7) (4,9)
+    assert(got == Map(3L -> 1, 5L -> 1, 1L -> 2, 2L -> 2, 6L -> 3, 4L -> 3))
+    // a batch pads to its bucket max: max spread within any bucket is
+    // bounded, total padding strictly below corpus-max padding
+    val withB = Packing.lengthBuckets(docs, "id", "toks", 3)
+    val waste = withB.groupBy("bucket")
+      .agg((max(col("toks")) * count(lit(1)) - sum(col("toks"))).as("pad"))
+      .collect().map(_.getLong(1)).sum
+    val corpusPad = 9L * 6 - docs.collect().map(_.getInt(1)).sum
+    assert(waste < corpusPad)
+  }
+
   test("decontaminate: trigram overlap with the benchmark set flags exactly") {
     import graft.operators.Dedup
     val corpus = Seq(
