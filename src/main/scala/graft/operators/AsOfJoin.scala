@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,9 +79,15 @@ object AsOfJoin {
       case "forward" =>
         unioned.withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w(false)))
       case "nearest" =>
-        // closer of the two matches by |Δts| (exact integer micros —
-        // double-second casts lose sub-microsecond ties); equidistant →
-        // backward, the ASOF convention
+        // closer of the two matches by |Δts|; equidistant → backward,
+        // the ASOF convention. Timestamps compare in exact integer
+        // micros (double-second casts lose sub-microsecond ties);
+        // numeric/date axes — valid for backward/forward, so they must
+        // work here too — compare on a long cast (exact below 2^63)
+        import org.apache.spark.sql.types.TimestampType
+        val axis: Column => Column =
+          if (unioned.schema(tsCol).dataType == TimestampType) unix_micros
+          else (c: Column) => c.cast("long")
         val b = last(col("_rv"), ignoreNulls = true).over(w(true))
         val f = last(col("_rv"), ignoreNulls = true).over(w(false))
         unioned
@@ -89,8 +95,8 @@ object AsOfJoin {
           .withColumn("_asof",
             when(col("_b").isNull, col("_f"))
               .when(col("_f").isNull, col("_b"))
-              .when(unix_micros(col(tsCol)) - unix_micros(col("_b._rts")) <=
-                unix_micros(col("_f._rts")) - unix_micros(col(tsCol)),
+              .when(axis(col(tsCol)) - axis(col("_b._rts")) <=
+                axis(col("_f._rts")) - axis(col(tsCol)),
                 col("_b"))
               .otherwise(col("_f")))
     }

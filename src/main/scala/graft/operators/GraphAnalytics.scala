@@ -777,33 +777,6 @@ object GraphAnalytics {
       .join(vmap, "vid").select(col("id"), col("n_tri").cast("long").as("n_tri"))
   }
 
-  /** Adamic-Adar link prediction — the degree-discounted PYMK scorer:
-    * for every non-adjacent pair (a, c),
-    * `score = Σ_{z ∈ N(a)∩N(c)} 1 / ln(deg(z))`. Same 2-hop shape as
-    * [[Pymk.recommendAll]] but each shared neighbor is weighted down by
-    * its degree — a mutual friend with 3 contacts is strong evidence, a
-    * 10k-follower hub is noise. (The raw-path-count gate stays the
-    * reference-exact contract, neptune_recommend_bizcard.py:56-73; this
-    * is the quality upgrade a production PYMK ships next.)
-    *
-    * Set semantics throughout (vs the bag semantics of the reference
-    * traversal): neighbors are DISTINCT, so the undirected view is
-    * deduplicated before anything counts. Middle vertices of degree 1
-    * cannot witness a pair with a ≠ c, and are filtered before the
-    * weight (ln 1 = 0 would divide by zero).
-    *
-    * Scale shape, same guards as [[Pymk.recommendAll]]: one self-join
-    * keyed on the middle vertex (sparse A² — explicit round-robin
-    * repartition first, AQE sees only the small input and would
-    * under-parallelize the quadratic OUTPUT), aggregate per pair with
-    * map-side partial sums BEFORE the direct-edge anti join (removing
-    * whole keys commutes with the sum), bounded-heap per-anchor top-k
-    * instead of a window sort. Scores are rounded to 4 decimals before
-    * ranking so cross-engine float summation order can't flip ranks;
-    * ties break by candidate id.
-    *
-    * @return (anchor, rank, id, score), rank 1-based per anchor.
-    */
   /** Sampled harmonic centrality: H(v) = Σ_{s ∈ S, s ≠ v} 1/d(s, v)
     * over a deterministic source sample S (the `numSources` lowest-id
     * vertices — replayable, no RNG), distances by synchronous
@@ -834,9 +807,9 @@ object GraphAnalytics {
       .localCheckpoint(true)
     val sources = verts.orderBy(asc("id")).limit(numSources)
       .select(col("id").as("s"))
-    var dist = broadcast(sources)
-      .join(verts, col("s") === col("id"))
-      .select(col("s"), col("id").as("v"), lit(0).as("d"))
+    // sources ⊆ verts by construction — init directly, no identity join
+    var dist = sources
+      .select(col("s"), col("s").as("v"), lit(0).as("d"))
       .localCheckpoint(true)
     for (i <- 1 to maxDepth) {
       val expanded = dist
@@ -858,6 +831,33 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** Adamic-Adar link prediction — the degree-discounted PYMK scorer:
+    * for every non-adjacent pair (a, c),
+    * `score = Σ_{z ∈ N(a)∩N(c)} 1 / ln(deg(z))`. Same 2-hop shape as
+    * [[Pymk.recommendAll]] but each shared neighbor is weighted down by
+    * its degree — a mutual friend with 3 contacts is strong evidence, a
+    * 10k-follower hub is noise. (The raw-path-count gate stays the
+    * reference-exact contract, neptune_recommend_bizcard.py:56-73; this
+    * is the quality upgrade a production PYMK ships next.)
+    *
+    * Set semantics throughout (vs the bag semantics of the reference
+    * traversal): neighbors are DISTINCT, so the undirected view is
+    * deduplicated before anything counts. Middle vertices of degree 1
+    * cannot witness a pair with a ≠ c, and are filtered before the
+    * weight (ln 1 = 0 would divide by zero).
+    *
+    * Scale shape, same guards as [[Pymk.recommendAll]]: one self-join
+    * keyed on the middle vertex (sparse A² — explicit round-robin
+    * repartition first, AQE sees only the small input and would
+    * under-parallelize the quadratic OUTPUT), aggregate per pair with
+    * map-side partial sums BEFORE the direct-edge anti join (removing
+    * whole keys commutes with the sum), bounded-heap per-anchor top-k
+    * instead of a window sort. Scores are rounded to 4 decimals before
+    * ranking so cross-engine float summation order can't flip ranks;
+    * ties break by candidate id.
+    *
+    * @return (anchor, rank, id, score), rank 1-based per anchor.
+    */
   def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
     val spark = edges.sparkSession
     val adj = Pymk.undirected(edges).distinct()

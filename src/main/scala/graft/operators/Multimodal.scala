@@ -47,6 +47,13 @@ object Multimodal {
     */
   trait MediaCodec extends Serializable {
     def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float]
+    /** The metadata that actually describes [[decode]]'s output. The
+      * default trusts the caller's advisory meta (FakeCodec derives
+      * pixel counts FROM it, so they agree by construction); codecs
+      * that read dimensions from the payload header MUST override, or
+      * decode->resize breaks on records whose advisory dims disagree
+      * with the bytes. */
+    def decodedMeta(bytes: Array[Byte], meta: MediaMeta): MediaMeta = meta
     def resize(pixels: Array[Float], meta: MediaMeta,
                w: Int, h: Int): (Array[Float], MediaMeta)
     def embed(bytes: Array[Byte], dim: Int): Array[Float]
@@ -133,6 +140,13 @@ object Multimodal {
     }
     def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] =
       luma(read(bytes))
+    /** Dimensions from the image HEADER — the truth the pixels follow;
+      * costs a second header parse per record in the decode path
+      * (cheap relative to the pixel scan). */
+    override def decodedMeta(bytes: Array[Byte], meta: MediaMeta): MediaMeta = {
+      val img = read(bytes)
+      meta.copy(width = img.getWidth, height = img.getHeight, channels = 1)
+    }
     /** Area-box resample of the row-major float plane described by
       * `meta` (which must carry the SOURCE dimensions). */
     def resize(pixels: Array[Float], meta: MediaMeta,
@@ -198,15 +212,27 @@ object Multimodal {
           throw new IllegalArgumentException(
             "payload is not a decodable audio stream (wav/aiff/au)", e) }
       val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8,
-        s"unsupported PCM sample size ${fmt.getSampleSizeInBits}")
+      // decode only what the bit-twiddling below actually implements:
+      // signed 16-bit PCM and signed/unsigned 8-bit PCM. Anything else
+      // (mu-law/a-law AU, float WAV, 24/32-bit) throws instead of
+      // silently producing sign-flipped or garbage samples — the same
+      // undecodable-payload contract as ImageIoCodec.
+      import javax.sound.sampled.AudioFormat.Encoding._
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ok = (enc == PCM_SIGNED && (bits == 16 || bits == 8)) ||
+        (enc == PCM_UNSIGNED && bits == 8)
+      if (!ok) throw new IllegalArgumentException(
+        s"unsupported audio encoding $enc/$bits-bit (need 16-bit signed " +
+          "or 8-bit signed/unsigned PCM)")
       val raw = in.readAllBytes()
       val ch = fmt.getChannels
-      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val bytesPerSample = bits / 8
       val frameBytes = bytesPerSample * ch
       val n = raw.length / frameBytes
       val out = new Array[Float](n)
       val big = fmt.isBigEndian
+      val signed8 = enc == PCM_SIGNED && bits == 8
       var i = 0
       while (i < n) {
         var acc = 0.0f
@@ -217,7 +243,8 @@ object Multimodal {
             val (b0, b1) = (raw(off) & 0xFF, raw(off + 1) & 0xFF)
             val s = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
             s.toShort / 32768f
-          } else (raw(off) & 0xFF) / 128f - 1f // 8-bit PCM is unsigned
+          } else if (signed8) raw(off) / 128f // AIFF's 8-bit is signed
+          else (raw(off) & 0xFF) / 128f - 1f  // WAV's 8-bit is unsigned
           acc += v
           c += 1
         }
@@ -261,8 +288,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val c = codec // one instance per partition (init amortization)
-      it.map(m => DecodedRecord(m.id, m.mediaType, m.meta,
-        c.decode(m.content, m.meta)))
+      it.map(m => DecodedRecord(m.id, m.mediaType,
+        c.decodedMeta(m.content, m.meta), c.decode(m.content, m.meta)))
     }
   }
 

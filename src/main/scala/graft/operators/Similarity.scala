@@ -187,7 +187,11 @@ object Similarity {
     *    (array_position finds the FIRST maximum);
     *  - zero-norm vectors (cosine 0/0 = NaN) and null-poisoned rows
     *    score −1 against every centroid and land deterministically in
-    *    cluster 0 rather than propagating NaN/NULL clusters.
+    *    cluster 0 rather than propagating NaN/NULL clusters; they are
+    *    also EXCLUDED from seed candidacy (a −1-everywhere point is
+    *    always "farthest" and would be re-picked k times, since its
+    *    self-similarity is NaN, not the 1.0 the duplicate guard
+    *    detects).
     *
     * Scale shape: centroids live in the PLAN as array literals (k·dim
     * floats — broadcast-by-construction); each Lloyd round is one scan
@@ -219,14 +223,24 @@ object Similarity {
     // identical-direction guard: 12-decimal round absorbs float noise
     // between the driver fold and the codegen fold
     def isDup(m: Double): Boolean = math.rint(m * 1e12) >= 1e12
+    // zero-norm vectors must not be seed CANDIDATES: their similarity
+    // to everything is -1 by the contract above, so farthest-first
+    // would select one, and then — since cos(0⃗, 0⃗) is also -1, never
+    // 1.0 — keep re-selecting it without ever tripping the duplicate
+    // guard, shipping k copies of a meaningless centroid. They remain
+    // assignable points (cluster 0).
+    val seedable = pts.filter(
+      aggregate(col("vec"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0.0)
     val cents = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     if (seedPool > 0) {
       // pool init: one scan, then farthest-first inside the pool
-      val pool = pts
+      val pool = seedable
         .orderBy(xxhash64(col("id")), col("id"))
         .limit(seedPool)
         .orderBy(asc("id"))
         .collect().map(_.getSeq[Float](1).toArray)
+      require(pool.nonEmpty, "k-means needs at least one non-zero vector")
       cents += pool.head
       var exhausted = false
       while (cents.size < k && !exhausted) {
@@ -239,12 +253,14 @@ object Similarity {
       }
     } else {
       // exact whole-corpus traversal (small-k oracle form)
-      cents += pts.orderBy(asc("id")).limit(1).head.getSeq[Float](1).toArray
+      val first = seedable.orderBy(asc("id")).limit(1).collect()
+      require(first.nonEmpty, "k-means needs at least one non-zero vector")
+      cents += first.head.getSeq[Float](1).toArray
       var exhausted = false
       while (cents.size < k && !exhausted) {
         val msim = cents.map(c => safeSim(col("vec"), typedLit(c.toSeq)))
           .reduce((a, b) => greatest(a, b))
-        val far = pts.withColumn("m", msim)
+        val far = seedable.withColumn("m", msim)
           .orderBy(asc("m"), asc("id")).limit(1).head
         if (isDup(far.getDouble(2))) exhausted = true
         else cents += far.getSeq[Float](1).toArray

@@ -445,8 +445,12 @@ object CardStream {
         .join(sh, "id")
         .join(storedSh, "_oid")
         .withColumn("_inter", size(array_intersect(col("sh"), col("_osh"))))
-        .filter(col("_inter").cast("double") /
-          (size(col("sh")) + size(col("_osh")) - col("_inter")) >= minJaccard)
+        // round(…, 4) EXACTLY like minhashLshPairs' verify step: the
+        // in-batch and cross-batch passes must judge a threshold-edge
+        // pair identically, or the survivor set would depend on which
+        // micro-batch boundary the duplicate landed on
+        .filter(round(col("_inter").cast("double") /
+          (size(col("sh")) + size(col("_osh")) - col("_inter")), 4) >= minJaccard)
         .select(col("id").as("_drop")).distinct()
     } else batch.select(col(idCol).as("_drop")).limit(0) // typed like the id
     val survivors = afterSelf.join(histDropped,

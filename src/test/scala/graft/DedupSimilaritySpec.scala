@@ -173,6 +173,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("kmeansFit: zero-norm vectors are never seeds and never duplicate centroids") {
+    // a zero vector scores -1 against everything: if it were seedable,
+    // farthest-first would pick it and then re-pick it k times (its
+    // self-similarity is NaN, not the 1.0 the duplicate guard detects)
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 0.0f))
+    ).toDF("id", "vec")
+    for (pool <- Seq(0, 16)) {
+      val (assigned, cents) = Similarity.kmeansFit(pts, "id", "vec",
+        k = 3, iters = 2, seedPool = pool)
+      val cvs = cents.collect().map(_.getSeq[Float](1).toSeq)
+      assert(cvs.length == 3, s"pool=$pool: 3 non-zero directions seeded")
+      assert(cvs.distinct.length == 3, s"pool=$pool: no duplicated centroid")
+      assert(cvs.forall(_.exists(_ != 0f)), s"pool=$pool: no zero centroid")
+      assert(assigned.count() == 4, "zero vector still assigned")
+    }
+  }
+
   test("kmeansFit: zero-norm vector lands deterministically in cluster 0, no NaN/NULL") {
     val pts = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),

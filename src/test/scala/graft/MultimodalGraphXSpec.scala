@@ -131,6 +131,48 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("WavCodec: 8-bit signed AIFF decodes by its encoding; mu-law is rejected") {
+    import javax.sound.sampled._
+    // 8-bit SIGNED PCM (the AIFF convention): byte 64 must decode to
+    // +0.5, not the unsigned reading (64/128 - 1 = -0.5)
+    val sFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 8, 1, 1, 8000f, true)
+    val pcm = Array[Byte](64, -64, 0, 127)
+    val sAis = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), sFmt, pcm.length)
+    val sBos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(sAis, AudioFileFormat.Type.AIFF, sBos)
+    val dec = WavCodec.decode(sBos.toByteArray, MediaMeta("aiff", 0, 0, 1, 0))
+    assert(dec.length == 4)
+    assert(dec(0) == 0.5f && dec(1) == -0.5f && dec(2) == 0f)
+    // mu-law AU passes the sample-size check but not the encoding
+    // gate: must throw, never silently decode garbage
+    val uFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val uAis = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), uFmt, pcm.length)
+    val uBos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(uAis, AudioFileFormat.Type.AU, uBos)
+    intercept[IllegalArgumentException] {
+      WavCodec.decode(uBos.toByteArray, MediaMeta("au", 0, 0, 1, 0))
+    }
+  }
+
+  test("ImageIoCodec in the pipeline: decoded meta follows the header, not advisory dims") {
+    // a 4x4 PNG carried with WRONG advisory 2x2 meta: decode must emit
+    // a record whose meta matches the 16 decoded pixels, so resize works
+    val bytes = png(4, 4, (x, y) => (x + y) * 30)
+    val media = Seq(MediaRecord(1L, "image", bytes,
+      MediaMeta("png", 2, 2, 1, 0))).toDS()
+    val decoded = Multimodal.decode(media, codec = ImageIoCodec).collect().head
+    assert(decoded.meta.width == 4 && decoded.meta.height == 4)
+    assert(decoded.pixels.length == 16)
+    val resized = Multimodal.resize(
+      Multimodal.decode(media, codec = ImageIoCodec), 2, 2,
+      codec = ImageIoCodec).collect().head
+    assert(resized.pixels.length == 4 && resized.meta.width == 2)
+  }
+
   test("WavCodec feeds the multimodal pipeline: identical payloads, twin recovery") {
     import graft.operators.Similarity
     val recs = (0L until 20L).flatMap { i =>
