@@ -229,9 +229,10 @@ object Similarity {
     // 1.0 — keep re-selecting it without ever tripping the duplicate
     // guard, shipping k copies of a meaningless centroid. They remain
     // assignable points (cluster 0).
-    val seedable = pts.filter(
-      aggregate(col("vec"), lit(0.0d),
-        (a, x) => a + x.cast("double") * x.cast("double")) > 0.0)
+    // zero-norm ⇔ NaN self-cosine; null-poisoned rows drop too (NULL
+    // predicate). The native codegen cosine, not an interpreted HOF —
+    // this filter rides the whole-corpus seed scan.
+    val seedable = pts.filter(!isnan(cosine(col("vec"), col("vec"))))
     val cents = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     if (seedPool > 0) {
       // pool init: one scan, then farthest-first inside the pool
