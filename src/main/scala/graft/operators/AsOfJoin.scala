@@ -66,8 +66,17 @@ object AsOfJoin {
     // struct itself is non-null for every right row, so
     // last(ignoreNulls) selects the latest right ROW, atomically
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // NULL placement must be "scan head" on BOTH arrows: asc is
+    // NULLS FIRST natively, but desc is NULLS LAST — which would park a
+    // NULL-ts left row AFTER every right row in the forward scan and
+    // wrongly attach the minimum-ts right row. desc_nulls_first keeps
+    // the left-outer contract (right NULL ts is already filtered, so
+    // only left NULL-ts rows move to the head, where nothing has been
+    // carried yet -> NULL attached).
     def w(asc: Boolean) = Window.partitionBy(col(keyCol))
-      .orderBy(if (asc) col(tsCol).asc else col(tsCol).desc, col("_side").asc)
+      .orderBy(
+        if (asc) col(tsCol).asc_nulls_first else col(tsCol).desc_nulls_first,
+        col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ascending scan carries the latest right row at-or-BEFORE each left
     // row; descending carries the earliest at-or-AFTER. Both windows
@@ -84,10 +93,14 @@ object AsOfJoin {
         // micros (double-second casts lose sub-microsecond ties);
         // numeric/date axes — valid for backward/forward, so they must
         // work here too — compare on a long cast (exact below 2^63)
-        import org.apache.spark.sql.types.TimestampType
-        val axis: Column => Column =
-          if (unioned.schema(tsCol).dataType == TimestampType) unix_micros
-          else (c: Column) => c.cast("long")
+        import org.apache.spark.sql.types.{DateType, TimestampType}
+        val axis: Column => Column = unioned.schema(tsCol).dataType match {
+          case TimestampType => unix_micros
+          // date->bigint casts are forbidden by ANSI analysis; days
+          // since epoch is the exact integer axis for dates
+          case DateType      => unix_date
+          case _             => (c: Column) => c.cast("long")
+        }
         val b = last(col("_rv"), ignoreNulls = true).over(w(true))
         val f = last(col("_rv"), ignoreNulls = true).over(w(false))
         unioned

@@ -89,6 +89,36 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == (None, None))
   }
 
+  test("asOf: NULL left ts matches nothing in EVERY direction") {
+    // regression: the forward/nearest descending scan is NULLS LAST by
+    // default, which parked NULL-ts left rows after every right row and
+    // attached the minimum-ts right value instead of NULL
+    val left = Seq(
+      (1L, "k1", Option(ts(250))),
+      (2L, "k1", Option.empty[java.sql.Timestamp])
+    ).toDF("event_id", "k", "t")
+    val right = Seq(("k1", ts(100), 1.0), ("k1", ts(300), 3.0)).toDF("k", "t", "v")
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val got = AsOfJoin.asOf(left, right, "k", "t", Seq("v"), d)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(r.fieldIndex("asof_v"))) null
+           else r.getAs[Double]("asof_v"))).toMap
+      assert(got(2L) == null, s"direction=$d attached ${got(2L)} to a NULL-ts left row")
+      // ts 250: backward -> @100; forward -> @300; nearest -> @300 (d=50 < 150)
+      assert(got(1L) == (if (d == "backward") 1.0 else 3.0), s"direction=$d")
+    }
+  }
+
+  test("asOf nearest works on a DateType axis") {
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    val left = Seq((1L, "k1", day(10)), (2L, "k1", day(14))).toDF("event_id", "k", "t")
+    val right = Seq(("k1", day(9), 9.0), ("k1", day(15), 15.0)).toDF("k", "t", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("v"), "nearest")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("asof_v")).toMap
+    // Jan 10 is 1 day from Jan 9 vs 5 from Jan 15; Jan 14 is 1 from Jan 15
+    assert(got == Map(1L -> 9.0, 2L -> 15.0))
+  }
+
   test("asOf equals the naive range-join formulation on random data") {
     val rnd = new scala.util.Random(11)
     val left = (1 to 300).map(i =>
