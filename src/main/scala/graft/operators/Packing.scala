@@ -37,12 +37,10 @@ object Packing {
     * (tokenCol, idCol) — fully deterministic, ties broken by id, same
     * semantics in any SQL engine, so the gate is a full-row oracle).
     *
-    * Scale note: ntile is a single global window ONLY over the
-    * (id, tokens) projection — two narrow columns, not the documents;
-    * for corpora where even that single-partition sort is too big,
-    * approx-quantile boundaries ([[Sketches]]) + a range join assign
-    * buckets with one scan and no global window (the documented scale
-    * path; equal-frequency up to sketch error).
+    * Scale note: ntile is a single global window over the (id, tokens)
+    * projection — one task sorts the whole corpus's projection. This
+    * form is the executable spec; [[lengthBucketsScalable]] is the real
+    * operator (exact same output, distributed).
     *
     * @return one row per document: (idCol, tokens, bucket), bucket in
     *         1..buckets.
@@ -52,6 +50,59 @@ object Packing {
     val w = Window.orderBy(col(tokenCol).asc, col(idCol).asc)
     df.select(col(idCol), col(tokenCol))
       .withColumn("bucket", ntile(buckets).over(w))
+  }
+
+  /** Distributed form of [[lengthBuckets]] — bit-identical output, no
+    * global window, for any data including heavy token-count ties.
+    *
+    * ntile is a pure function of the GLOBAL RANK under the total order
+    * (tokens, id): with n rows and b buckets, q = n div b, r = n mod b,
+    * the first r buckets hold q+1 rows and the rest q. So instead of
+    * approximating boundaries with a quantile sketch (equal-frequency
+    * only up to sketch error, and ill-defined under ties), compute the
+    * exact global rank the way [[packScalable]] computes the running
+    * token sum: range-partition by (tokens, id) — RangePartitioner
+    * puts ascending key ranges in ascending partition ids — take a
+    * local `row_number` per partition, and lift it to a global rank by
+    * adding the exclusive prefix sum of per-partition row counts (one
+    * long per partition to the driver, O(#partitions)). One shuffle,
+    * O((n/p) log(n/p)) per partition, no single-task sort.
+    */
+  def lengthBucketsScalable(df: DataFrame, idCol: String, tokenCol: String,
+                            buckets: Int, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nParts =
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val ranged = df.select(col(idCol), col(tokenCol))
+      .repartitionByRange(nParts, col(tokenCol).asc, col(idCol).asc)
+      .withColumn("_pid", spark_partition_id())
+    val lw = Window.partitionBy(col("_pid"))
+      .orderBy(col(tokenCol).asc, col(idCol).asc)
+    val local = ranged.withColumn("_lrn", row_number().over(lw))
+    // one row per partition — the only driver-side data is O(#partitions)
+    val counts = local.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_pcnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_poff")
+    val q = n / buckets; val r = n % buckets
+    val g = col("_poff") + col("_lrn") // 1-based global rank
+    // ntile(b) of rank g: ranks 1..r*(q+1) fall in the q+1-sized
+    // buckets, the rest in q-sized ones. CaseWhen evaluates lazily per
+    // row, so the q=0 division (n < buckets — every rank its own
+    // bucket, first branch always taken) is never reached.
+    val bucket =
+      when(g <= lit(r * (q + 1)),
+        ((g - 1) / lit(q + 1)).cast("long") + 1)
+        .otherwise(lit(r) + ((g - lit(r * (q + 1)) - 1) / lit(q.max(1L)))
+          .cast("long") + 1)
+    local.join(broadcast(offDf), Seq("_pid"))
+      .select(col(idCol), col(tokenCol), bucket.cast("int").as("bucket"))
   }
 
   /** Naive global-window form — the executable spec. One partition,

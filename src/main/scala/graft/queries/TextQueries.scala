@@ -401,6 +401,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The distributed twin of qX_length_buckets: exact global-rank
+    // ntile via range-partition + per-partition row_number + prefix
+    // offsets — no global window, bit-identical buckets. Same full-row
+    // DuckDB oracle as the spec form: equality IS the gate.
+    "qX_length_buckets_scalable" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.lengthBucketsScalable(docs, "doc_id", "n_tokens", 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction: deterministic planted e-mail+phone per doc, redact,
     // audit counts — the release gate of a curation pipeline.
     "qX_redact" -> ((s, dir) => {
@@ -871,6 +883,14 @@ object TextQueries {
         |  CAST(s % 512 AS BIGINT) AS "offset"
         |FROM c ORDER BY doc_id""".stripMargin,
     "qX_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  ntile(8) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "qX_length_buckets_scalable" ->
       """WITH t AS (
         |  SELECT doc_id, len(list_filter(string_split_regex(lower(text),
         |    '\s+'), x -> x <> '')) AS n_tokens

@@ -343,6 +343,33 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(waste < corpusPad)
   }
 
+  test("lengthBucketsScalable: bit-identical to the ntile spec, ties and all") {
+    import graft.operators.Packing
+    // heavy ties (every token count repeats ~10x) force the rank-based
+    // tie-breaking to matter; 7 partitions force non-trivial range
+    // splits straddling tied runs
+    val docs = (1L to 97L).map(i => (i, (i % 10).toInt)).toDF("id", "toks")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val naive = collect(Packing.lengthBuckets(docs, "id", "toks", 8))
+    val scaled = collect(
+      Packing.lengthBucketsScalable(docs, "id", "toks", 8, partitions = 7))
+    assert(naive.sameElements(scaled))
+    // input partitioning must not change the assignment
+    val reparted = collect(
+      Packing.lengthBucketsScalable(docs.repartition(13), "id", "toks", 8,
+        partitions = 5))
+    assert(naive.sameElements(reparted))
+    // n < buckets: every row its own bucket, no division blow-up
+    val tiny = Seq((1L, 4), (2L, 2), (3L, 9)).toDF("id", "toks")
+    val t = collect(Packing.lengthBucketsScalable(tiny, "id", "toks", 8))
+    assert(t.sameElements(collect(Packing.lengthBuckets(tiny, "id", "toks", 8))))
+    // n not divisible by buckets: first (n mod b) buckets get the extra
+    val sizes = scaled.groupBy(_._3).map { case (b, rs) => b -> rs.length }
+    assert(sizes.values.toSet == Set(12, 13) && (1 to 8).forall(sizes.contains))
+    assert((1 to 1).forall(b => sizes(b) == 13)) // 97 = 8*12 + 1
+  }
+
   test("decontaminate: trigram overlap with the benchmark set flags exactly") {
     import graft.operators.Dedup
     val corpus = Seq(
