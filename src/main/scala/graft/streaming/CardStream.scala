@@ -387,18 +387,20 @@ object CardStream {
     * convention — a mid-chain dup does not resurrect its followers) or
     * (b) ANY already-accepted document of the accumulated corpus.
     *
-    * Store layout under `dir` (the [[mergeAdditive]] pattern — staged
-    * writes, single [[swapStaged]] cutover, meta `last_batch` replay
-    * fence, because acceptance is NOT idempotent: a replayed batch
-    * would re-test docs against themselves and drop them):
-    * `data` = surviving rows, `sh` = their shingle sets (verification
-    * side), `posts` = their (band, key) postings (candidate probe).
-    * Probing cost per batch: the batch's postings hash-join the stored
-    * postings on (band, key) — the banded-LSH shuffle shape, never
-    * batch × corpus. The full-table staged rewrite is the correctness
-    * form; at 100 TB `posts`/`data` become bucket-merged by (band, key)
-    * like [[graft.operators.SearchIndex.mergeStored]] — same fence,
-    * same swap, per-bucket I/O.
+    * Store: a [[BucketStore]] of three tables — `data` = surviving
+    * rows and `sh` = their shingle sets, both hash-bucketed by id;
+    * `posts` = their (band, key) postings, hash-bucketed by
+    * (band, key). Per batch the fold READS only the posting buckets
+    * the batch's own postings hash into (candidate probe), the shingle
+    * buckets of the candidate ids (verification side), and the
+    * data/sh/posts buckets the survivors land in; it WRITES only
+    * new-generation files for those buckets and swaps the manifest —
+    * O(touched buckets) I/O per trigger on a store that grows without
+    * bound, never an O(corpus) rewrite. Untouched buckets keep their
+    * files byte-for-byte (StreamingSpec pins this). The manifest swap
+    * is the replay fence's home (`last_batch`) — acceptance is NOT
+    * idempotent: a replayed batch would re-test docs against
+    * themselves and drop them.
     *
     * @return number of surviving rows in this batch (history count on
     *         a replayed fence hit is NOT included — the fold is a
@@ -410,13 +412,9 @@ object CardStream {
                       minJaccard: Double = 0.5,
                       batchId: Long = -1L): Long = {
     import graft.operators.Dedup
-    recoverSwap(spark, dir)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new Path(s"$dir/meta"))
-    if (exists && batchId >= 0) {
-      val last = spark.read.parquet(s"$dir/meta").head().getLong(0)
-      if (last == batchId) return 0L // replayed micro-batch: no-op
-    }
+    import BucketStore.StoreBuckets
+    if (batchId >= 0 && BucketStore.lastBatch(spark, dir) == batchId)
+      return 0L // replayed micro-batch: no-op
     // in-batch pass: drop the id2 of every verified pair
     val inBatchDropped = Dedup.minhashLshPairs(batch, textCol, idCol,
         n, k, bands, minJaccard)
@@ -428,51 +426,77 @@ object CardStream {
     val sh = afterSelf.select(col(idCol).as("id"),
         Dedup.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(StoreBuckets.toLong)))
       .localCheckpoint(true) // reused by probe + verify + store append
     val posts = sh
       .select(col("id"),
         graft.functions.expr.TextExprs.minhash_sig(col("sh"), k).as("sig"))
       .select(col("id"), explode(Dedup.lshBands(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("band"), col("key")), lit(StoreBuckets.toLong)))
       .localCheckpoint(true)
-    val histDropped = if (exists) {
-      val storedPosts = spark.read.parquet(s"$dir/posts")
-        .select(col("id").as("_oid"), col("band"), col("key"))
-      val storedSh = spark.read.parquet(s"$dir/sh")
-        .select(col("id").as("_oid"), col("sh").as("_osh"))
-      posts.join(storedPosts, Seq("band", "key"))
-        .select(col("id"), col("_oid")).distinct()
-        .join(sh, "id")
-        .join(storedSh, "_oid")
-        .withColumn("_inter", size(array_intersect(col("sh"), col("_osh"))))
-        // round(…, 4) EXACTLY like minhashLshPairs' verify step: the
-        // in-batch and cross-batch passes must judge a threshold-edge
-        // pair identically, or the survivor set would depend on which
-        // micro-batch boundary the duplicate landed on
-        .filter(round(col("_inter").cast("double") /
-          (size(col("sh")) + size(col("_osh")) - col("_inter")), 4) >= minJaccard)
-        .select(col("id").as("_drop")).distinct()
-    } else batch.select(col(idCol).as("_drop")).limit(0) // typed like the id
+    // every driver-side collect below is a bucket-id set: ≤ StoreBuckets
+    // longs, by construction
+    val postBuckets = posts.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val storedPosts = BucketStore.read(spark, dir, "posts",
+        Some(postBuckets.toSeq), posts)
+      .select(col("id").as("_oid"), col("band"), col("key"))
+    val cand = posts.join(storedPosts, Seq("band", "key"))
+      .select(col("id"), col("_oid")).distinct()
+      .localCheckpoint(true) // probed twice: oid-bucket set + verify join
+    val oidBuckets = cand
+      .select(pmod(xxhash64(col("_oid")), lit(StoreBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val storedSh = BucketStore.read(spark, dir, "sh",
+        Some(oidBuckets.toSeq), sh)
+      .select(col("id").as("_oid"), col("sh").as("_osh"))
+    val histDropped = cand
+      .join(sh, "id")
+      .join(storedSh, "_oid")
+      .withColumn("_inter", size(array_intersect(col("sh"), col("_osh"))))
+      // round(…, 4) EXACTLY like minhashLshPairs' verify step: the
+      // in-batch and cross-batch passes must judge a threshold-edge
+      // pair identically, or the survivor set would depend on which
+      // micro-batch boundary the duplicate landed on
+      .filter(round(col("_inter").cast("double") /
+        (size(col("sh")) + size(col("_osh")) - col("_inter")), 4) >= minJaccard)
+      .select(col("id").as("_drop")).distinct()
     val survivors = afterSelf.join(histDropped,
         afterSelf(idCol) === col("_drop"), "left_anti")
       .localCheckpoint(true)
     val survIds = survivors.select(col(idCol).as("id"))
-    val (newData, newSh, newPosts) =
-      if (exists)
-        (spark.read.parquet(s"$dir/data").unionByName(survivors),
-          spark.read.parquet(s"$dir/sh").unionByName(sh.join(survIds, "id")),
-          spark.read.parquet(s"$dir/posts").unionByName(posts.join(survIds, "id")))
-      else (survivors.toDF(), sh.join(survIds, "id"), posts.join(survIds, "id"))
-    val stage = s"${dir}__stage"
-    if (fs.exists(new Path(stage)) && !fs.delete(new Path(stage), true))
-      throw new java.io.IOException(s"nearDupSuppress: cannot clear stale $stage")
-    newData.write.mode("overwrite").parquet(s"$stage/data")
-    newSh.write.mode("overwrite").parquet(s"$stage/sh")
-    newPosts.write.mode("overwrite").parquet(s"$stage/posts")
-    spark.range(1).select(lit(batchId).as("last_batch"))
-      .write.mode("overwrite").parquet(s"$stage/meta")
-    swapStaged(spark, dir)
+    // merge = stored bucket content ∪ accepted rows, for ONLY the
+    // buckets the survivors land in (append-only: accepted docs never
+    // change, so untouched buckets carry over by manifest pointer)
+    val newData = survivors.withColumn("bucket",
+      pmod(xxhash64(col(idCol)), lit(StoreBuckets.toLong)))
+    val idBuckets = newData.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val mergedData = BucketStore.read(spark, dir, "data",
+      Some(idBuckets), newData).unionByName(newData)
+    val newSh = sh.join(survIds, "id") // id-hash bucketed like data
+    val mergedSh = BucketStore.read(spark, dir, "sh",
+      Some(idBuckets), newSh).unionByName(newSh)
+    val newPosts = posts.join(survIds, "id")
+    val survPostBuckets = newPosts.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val mergedPosts = BucketStore.read(spark, dir, "posts",
+      Some(survPostBuckets), newPosts).unionByName(newPosts)
+    BucketStore.commit(spark, dir, Seq(
+      ("data", mergedData, "bucket", idBuckets),
+      ("sh", mergedSh, "bucket", idBuckets),
+      ("posts", mergedPosts, "bucket", survPostBuckets)), batchId)
     survivors.count()
+  }
+
+  /** The accepted corpus of a [[nearDupSuppress]] store (the `data`
+    * table in the caller's schema; store bucket column stripped). */
+  def nearDupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val fallback = spark.range(0).select(lit(0L).as("doc_id"),
+      lit("").as("text"), lit(0L).as("bucket"))
+    BucketStore.read(spark, dir, "data", None, fallback).drop("bucket")
   }
 
   /** [[nearDupSuppress]] as a streaming sink. */
@@ -494,13 +518,11 @@ object CardStream {
     * [[startIndexMerge]] (X29): each micro-batch's embeddings are
     * assigned to their nearest-centroid cell
     * ([[graft.operators.Similarity.ivfAssign]] — centroids broadcast)
-    * and folded into a CELL-PARTITIONED store, so an ANN query scans
-    * only its nprobe cells' partitions. Assignment is deterministic
-    * given the centroid table, so replay needs no fence: the fold is
-    * an id-keyed LWW merge (replayed rows collapse onto themselves).
-    * At scale the rewrite becomes per-cell partition overwrite
-    * (dynamic partitionOverwriteMode) — cells untouched by the batch
-    * keep their files.
+    * and folded into a CELL-BUCKETED [[BucketStore]], so an ANN query
+    * reads only its nprobe cells' files and a fold rewrites only the
+    * cells the batch touches. Assignment is deterministic given the
+    * centroid table, so replay needs no fence: the fold is an id-keyed
+    * LWW merge (replayed rows collapse onto themselves).
     */
   def startIvfMerge(vectors: DataFrame, centroids: DataFrame, dir: String,
                     checkpoint: String, idCol: String,
@@ -514,39 +536,78 @@ object CardStream {
       }
       .start()
 
-  /** One [[startIvfMerge]] fold, testable directly. */
+  /** One [[startIvfMerge]] fold, testable directly.
+    *
+    * Store: a [[BucketStore]] of two tables — `vecs` (id, vec, cell,
+    * _ord) bucketed BY CELL (the read layout: a probe reads nprobe
+    * cells' files), and a `pk` sidecar (id, cell, _ord) hash-bucketed
+    * by id — the primary-key index that makes LWW re-assignment
+    * O(touched buckets): when a re-ingested id's new embedding moves
+    * it to a different cell, the sidecar lookup (pruned to the batch
+    * ids' hash buckets) names the prior cell, so the stale row is
+    * dropped by rewriting THAT cell too — never by scanning the store.
+    * Touched cells = batch assignment cells ∪ prior cells of
+    * re-ingested ids; everything else carries over by manifest
+    * pointer, byte-identical (StreamingSpec pins this).
+    */
   def ivfMerge(spark: SparkSession, batch: DataFrame, centroids: DataFrame,
                dir: String, idCol: String, vecCol: String,
                batchId: Long = 0L): Unit = {
-    val assigned = graft.operators.Similarity
+    import BucketStore.StoreBuckets
+    val assigned0 = graft.operators.Similarity
       .ivfAssign(batch, centroids, idCol, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         col("cid").as("cell"))
       .withColumn("_ord", lit(batchId))
-    recoverSwap(spark, dir)
-    // partition-column inference types `cell=N` dirs as int — restore long
-    val existing = tableOrEmpty(spark, dir, assigned)
-      .withColumn("cell", col("cell").cast("long"))
-    val all = existing.unionByName(assigned)
+    // in-batch LWW first (same id twice in one batch keeps one row;
+    // same convention as the previous whole-store window merge)
     val w = Window.partitionBy(col("id")).orderBy(desc("_ord"))
-    val merged = all.withColumn("_rn", row_number().over(w))
+    val assigned = assigned0.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-    swapInto(spark, merged, dir, partitionCols = Seq("cell"))
+      .localCheckpoint(true) // feeds pk probe, cell set, and both merges
+    val pkBucket = pmod(xxhash64(col("id")), lit(StoreBuckets.toLong))
+    val newPk = assigned.select(col("id"), col("cell"), col("_ord"))
+      .withColumn("bucket", pkBucket)
+    // driver-side collects below are bucket/cell-id sets: ≤ StoreBuckets
+    // resp. nprobe-bounded cell counts, annotated driver-small
+    val idBuckets = newPk.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val storedPk = BucketStore.read(spark, dir, "pk", Some(idBuckets), newPk)
+    val batchIds = assigned.select("id").distinct()
+    val staleCells = storedPk.join(batchIds, "id").select("cell").distinct()
+    val touchedCells = assigned.select("cell").unionByName(staleCells)
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val newVecs = assigned.withColumn("bucket", col("cell"))
+    // batch rows win unconditionally (their _ord is newest): drop every
+    // stored row carrying a batch id — the same-cell older version AND
+    // the stale row in a prior cell — then append the batch
+    val keep = BucketStore.read(spark, dir, "vecs", Some(touchedCells), newVecs)
+      .join(batchIds, Seq("id"), "left_anti")
+    val mergedVecs = keep.unionByName(newVecs)
+    val mergedPk = storedPk.join(batchIds, Seq("id"), "left_anti")
+      .unionByName(newPk)
+    BucketStore.commit(spark, dir, Seq(
+      ("vecs", mergedVecs, "bucket", touchedCells),
+      ("pk", mergedPk, "bucket", idBuckets)), batchId)
+  }
+
+  /** The stored vectors of an [[ivfMerge]] store (bucket stripped). */
+  def ivfStored(spark: SparkSession, dir: String,
+                cells: Option[Seq[Long]] = None): DataFrame = {
+    val fallback = spark.range(0).select(lit(0L).as("id"),
+      typedLit(Seq.empty[Float]).as("vec"), lit(0L).as("cell"),
+      lit(0L).as("_ord"), lit(0L).as("bucket"))
+    BucketStore.read(spark, dir, "vecs", cells, fallback).drop("bucket")
   }
 
   /** ANN top-k against an [[startIvfMerge]] store: rank cells per
     * query over the broadcast centroids, read ONLY the probed cells'
-    * partitions (partition filter on `cell` — the stored layout is the
+    * files (manifest-driven pruning — the stored layout is the
     * pruning), exact cosine re-rank inside them. */
   def ivfQueryStored(spark: SparkSession, dir: String, centroids: DataFrame,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int, nprobe: Int): DataFrame = {
     import graft.functions.GraftFunctions.cosine
-    val stored = tableOrEmpty(spark, dir,
-      spark.emptyDataFrame.select(lit(0L).as("id"),
-        typedLit(Seq.empty[Float]).as("vec"), lit(0L).as("cell"),
-        lit(0L).as("_ord")))
-      .withColumn("cell", col("cell").cast("long")) // partition-col inference
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(desc("qcsim"), asc("cid"))
@@ -558,7 +619,7 @@ object CardStream {
     val cells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)) // nprobe · |queries| cells, driver-small
     val scored = broadcast(probes)
-      .join(stored.filter(col("cell").isin(cells: _*)), Seq("cell"))
+      .join(ivfStored(spark, dir, Some(cells.toSeq)), Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
     graft.operators.TopK.grouped(scored, Seq("qid"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.CardStream
+import graft.streaming.{BucketStore, CardStream}
 import graft.streaming.CardStream.StatusEvent
 
 /** Streaming semantics (SURVEY §2.J): replay-idempotent keyed merges,
@@ -252,7 +252,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       j(12, "entirely new content describing watermarks sessions and state stores in streams"),
       j(13, "entirely new content describing watermarks sessions and state stores in here")).getBytes)
     q.processAllAvailable(); q.stop()
-    val survivors = spark.read.parquet(s"$dir/data")
+    val survivors = CardStream.nearDupSurvivors(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 2L, 12L),
       "cross-batch dup 11 and in-batch dup 13 suppressed, first arrivals kept")
@@ -268,13 +268,63 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(Set(1L, 2L, 11L, 12L, 13L) -- batchDropped == survivors,
       "streamed survivors equal the batch semDeDup convention in id order")
     // replay fence: re-folding the last batchId is a no-op
-    val before = spark.read.parquet(s"$dir/data").count()
-    val lastBatch = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    val before = CardStream.nearDupSurvivors(spark, dir).count()
+    val lastBatch = BucketStore.lastBatch(spark, dir)
     val replayed = CardStream.nearDupSuppress(spark,
       all.filter(col("doc_id") >= 11), dir, "text", "doc_id",
       batchId = lastBatch)
-    assert(replayed == 0L && spark.read.parquet(s"$dir/data").count() == before,
+    assert(replayed == 0L &&
+      CardStream.nearDupSurvivors(spark, dir).count() == before,
       "fenced replay must not re-test or re-append")
+  }
+
+  /** Every parquet leaf file under a BucketStore bucket dir, keyed by
+    * its manifest-relative identity, with a content fingerprint. */
+  private def bucketFiles(dir: String): Map[String, (Long, String)] = {
+    val root = Paths.get(s"$dir/files")
+    if (!java.nio.file.Files.exists(root)) return Map.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p))
+      .map { p =>
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        root.relativize(p).toString ->
+          ((bytes.length.toLong,
+            md.digest(bytes).map("%02x".format(_)).mkString))
+      }.toMap
+  }
+
+  test("near-dup store fold touches ONLY the batch's buckets; others byte-identical") {
+    val dir = tmp("nd_bucket") + "/nd"
+    // batch 1 populates many id/posting buckets
+    val b1 = (1L to 40L).map(i =>
+        (i, s"unique document number $i speaking about topic ${i % 7} and subject ${i % 11} today"))
+      .toDF("doc_id", "text")
+    CardStream.nearDupSuppress(spark, b1, dir, "text", "doc_id", batchId = 0L)
+    val before = bucketFiles(dir)
+    assert(before.nonEmpty)
+    // batch 2: one fresh doc — touches its own id bucket + its posting
+    // buckets, nothing else
+    val b2 = Seq((100L,
+        "an entirely different sentence mentioning streams manifests and buckets only"))
+      .toDF("doc_id", "text")
+    CardStream.nearDupSuppress(spark, b2, dir, "text", "doc_id", batchId = 1L)
+    val after = bucketFiles(dir)
+    // every surviving pre-fold file is bit-identical (untouched buckets
+    // keep their generation dirs; touched buckets get NEW paths, so any
+    // shared path must be carried over unchanged)
+    val shared = before.keySet.intersect(after.keySet)
+    assert(shared.nonEmpty, "some buckets must be untouched by a 1-doc fold")
+    shared.foreach { p => assert(before(p) == after(p), s"$p rewritten") }
+    // and the fold really was incremental: far fewer new paths than the
+    // store has buckets
+    val newPaths = after.keySet -- before.keySet
+    assert(newPaths.nonEmpty && newPaths.size < before.size,
+      s"expected a small delta, got ${newPaths.size} new of ${after.size}")
+    // semantics unchanged: both docsets survive
+    assert(CardStream.nearDupSurvivors(spark, dir).count() == 41)
   }
 
   test("streaming IVF merge: cell-partitioned store equals batch assignment; replay is LWW no-op") {
@@ -288,13 +338,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val b1 = emb.filter(col("vec_id") < 30)
     val b2 = emb.filter(col("vec_id") >= 30)
     CardStream.ivfMerge(spark, b1, cents, dir, "vec_id", "embedding", 0L)
+    val afterB1 = bucketFiles(dir)
     CardStream.ivfMerge(spark, b2, cents, dir, "vec_id", "embedding", 1L)
     CardStream.ivfMerge(spark, b2, cents, dir, "vec_id", "embedding", 2L)
-    val stored = spark.read.parquet(dir)
-      .withColumn("cell", col("cell").cast("long"))
+    val stored = CardStream.ivfStored(spark, dir)
     assert(stored.count() == 60, "replay collapses by id (LWW), no duplicates")
-    // store partitioned by cell and assignments equal the batch form
-    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cell=")))
+    // store bucketed by cell: vecs leaf dirs are cell ids
+    val afterAll = bucketFiles(dir)
+    assert(afterAll.keySet.exists(_.startsWith("vecs/")))
+    // b2 touches only ITS cells + the pk buckets of its ids — every b1
+    // file whose path survives the folds is bit-identical
+    val carried = afterB1.keySet.intersect(afterAll.keySet)
+    carried.foreach { p => assert(afterB1(p) == afterAll(p), s"$p rewritten") }
     val batchAssign = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
       .select(col("vec_id").as("id"), col("cid").as("cell"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -310,6 +365,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         "vec_id", "embedding", k = 3, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(viaStore == direct)
+  }
+
+  test("IVF re-ingestion: an id that moves cells leaves no stale row behind") {
+    val dir = tmp("ivf_move") + "/ivf"
+    // two well-separated centroids on the first axis
+    def v(x: Float, y: Float) = Seq(x, y)
+    val cents = Seq((0L, v(1f, 0f)), (1L, v(-1f, 0f))).toDF("cid", "cvec")
+    val b1 = Seq((10L, v(0.9f, 0.1f)), (20L, v(-0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    CardStream.ivfMerge(spark, b1, cents, dir, "vec_id", "embedding", 0L)
+    val before = CardStream.ivfStored(spark, dir).select("id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(10L -> 0L, 20L -> 1L))
+    // id 10 re-ingested with an embedding near the OTHER centroid: the
+    // pk sidecar names cell 0 as its prior home, so the fold rewrites
+    // cell 0 (dropping the stale row) although the batch assigns cell 1
+    val b2 = Seq((10L, v(-0.95f, 0.05f))).toDF("vec_id", "embedding")
+    CardStream.ivfMerge(spark, b2, cents, dir, "vec_id", "embedding", 1L)
+    val rows = CardStream.ivfStored(spark, dir).select("id", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.count(_._1 == 10L) == 1, s"stale row left: ${rows.toSeq}")
+    assert(rows.find(_._1 == 10L).get._2 == 1L, "moved to the new cell")
+    assert(rows.count(_._1 == 20L) == 1 && rows.find(_._1 == 20L).get._2 == 1L)
   }
 
   test("streaming dedup: redelivered keys within the watermark are dropped") {
