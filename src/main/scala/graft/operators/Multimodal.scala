@@ -8,15 +8,18 @@ import org.apache.spark.sql.functions._
   * structs, processed by per-partition batch functions.
   *
   * The Spark-side contract is real and tested — schemas, partition
-  * batching, deterministic outputs. The codec seam has three
+  * batching, deterministic outputs. The codec seam has four
   * implementations: [[ImageIoCodec]] is a REAL png/jpeg decoder built
   * on the JDK's own `javax.imageio` (no external dependency — covers
   * the reference's actual input contract, README.md:629 jpg/png
   * ≤ 5 MB), [[WavCodec]] is a REAL wav/aiff/au PCM decoder on the
-  * JDK's `javax.sound.sampled`, and [[FakeCodec]] is the deterministic
-  * stand-in for video, the one modality whose codec the JDK does not
-  * ship. A production deployment swaps richer codecs in; nothing else
-  * changes.
+  * JDK's `javax.sound.sampled`, [[GifCodec]] is a REAL multi-frame
+  * decoder (animated GIF — the one multi-frame format javax.imageio
+  * reads, making [[extractFrames]] genuine frame decoding with zero
+  * new dependencies), and [[FakeCodec]] is the deterministic
+  * stand-in retained for plumbing tests and for container formats the
+  * JDK cannot demux (mp4 et al.). A production deployment swaps
+  * richer codecs in; nothing else changes.
   *
   * Scale notes: `mapPartitions` keeps one codec instance per partition
   * (amortized model/codec init — the reason mapInPandas-style batch
@@ -38,6 +41,9 @@ object Multimodal {
                            pixels: Array[Float])
 
   case class FrameRecord(id: Long, frameNo: Int, content: Array[Byte])
+
+  case class DecodedFrameRecord(id: Long, frameNo: Int, meta: MediaMeta,
+                                pixels: Array[Float])
 
   case class FeatureRecord(id: Long, embedding: Array[Float])
 
@@ -120,7 +126,7 @@ object Multimodal {
       require(img != null, "payload is not a decodable image (png/jpeg)")
       img
     }
-    private def luma(img: java.awt.image.BufferedImage): Array[Float] = {
+    private[operators] def luma(img: java.awt.image.BufferedImage): Array[Float] = {
       val (w, h) = (img.getWidth, img.getHeight)
       val out = new Array[Float](w * h)
       var y = 0
@@ -275,6 +281,79 @@ object Multimodal {
     }
   }
 
+  /** The multi-frame decoder seam — [[GifCodec]] is the real JDK-only
+    * implementation; richer demuxers (mp4/webm) plug in here. */
+  trait FrameCodec extends Serializable {
+    /** Every frame's luma plane in presentation order:
+      * (width, height, row-major floats in [0, 1]). */
+    def frames(bytes: Array[Byte]): Seq[(Int, Int, Array[Float])]
+  }
+
+  /** REAL multi-frame decoder on the JDK alone: `javax.imageio` reads
+    * every frame of an animated GIF, so the video seam's frame
+    * extraction is genuine decoding — not a byte-slicing stub. Frames
+    * are composited onto the logical-screen canvas at each frame's
+    * (left, top) offset (GIF streams often encode only the changed
+    * sub-rectangle per frame), progressive-overlay style
+    * (do-not-dispose, the overwhelmingly common disposal mode;
+    * restore-to-background GIFs would need the background fill the
+    * spec's disposal table describes). Undecodable payloads throw —
+    * [[ImageIoCodec]]'s contract.
+    */
+  object GifCodec extends FrameCodec {
+    private def offsetOf(reader: javax.imageio.ImageReader,
+                         k: Int): (Int, Int) = try {
+      val root = reader.getImageMetadata(k)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = root.getElementsByTagName("ImageDescriptor")
+      if (nodes.getLength == 0) (0, 0)
+      else {
+        val e = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+        (e.getAttribute("imageLeftPosition").toInt,
+          e.getAttribute("imageTopPosition").toInt)
+      }
+    } catch { case _: Exception => (0, 0) }
+
+    private def screenSize(reader: javax.imageio.ImageReader,
+                           f0: java.awt.image.BufferedImage): (Int, Int) =
+      try {
+        val root = reader.getStreamMetadata
+          .getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val lsd = root.getElementsByTagName("LogicalScreenDescriptor").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        (lsd.getAttribute("logicalScreenWidth").toInt,
+          lsd.getAttribute("logicalScreenHeight").toInt)
+      } catch { case _: Exception => (f0.getWidth, f0.getHeight) }
+
+    def frames(bytes: Array[Byte]): Seq[(Int, Int, Array[Float])] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        "payload is not a decodable multi-frame stream (gif)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        require(n > 0, "stream holds no frames")
+        val f0 = reader.read(0)
+        val (cw, ch) = screenSize(reader, f0)
+        val canvas = new java.awt.image.BufferedImage(cw, ch,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until n).map { k =>
+          val frame = if (k == 0) f0 else reader.read(k)
+          val (lx, ly) = offsetOf(reader, k)
+          val g = canvas.createGraphics()
+          g.drawImage(frame, lx, ly, null)
+          g.dispose()
+          (cw, ch, ImageIoCodec.luma(canvas))
+        }
+      } finally reader.dispose()
+    }
+  }
+
   /** Read a directory of media files as (path, length, content) —
     * `binaryFile` source with glob pushdown (A1's pathGlobFilter). */
   def readBinaryFiles(spark: SparkSession, dir: String, glob: String): DataFrame =
@@ -307,8 +386,9 @@ object Multimodal {
 
   /** Frame sampling: one row per sampled frame (every `everyN`-th of
     * `frameCount`), payload sliced deterministically from the source
-    * bytes (STUB for a real demuxer). Generator shape: one input row →
-    * many output rows, still narrow. */
+    * bytes (STUB retained as the generator-shape executable spec; the
+    * real decoder is [[extractFrames]]). Generator shape: one input
+    * row → many output rows, still narrow. */
   def sampleFrames(media: Dataset[MediaRecord], everyN: Int,
                    frameCount: Int): Dataset[FrameRecord] = {
     import media.sparkSession.implicits._
@@ -316,6 +396,29 @@ object Multimodal {
       (0 until frameCount by everyN).map { fno =>
         val start = if (m.content.isEmpty) 0 else fno % m.content.length
         FrameRecord(m.id, fno, m.content.slice(start, start + 16))
+      }
+    }
+  }
+
+  /** REAL frame extraction: decode every `everyN`-th frame of each
+    * multi-frame payload to its luma plane ([[GifCodec]] default —
+    * genuine decoding, JDK-only). Same narrow generator shape as
+    * [[sampleFrames]]; one codec instance per partition. The emitted
+    * meta carries the decoded canvas dimensions (the logical screen,
+    * not the caller's advisory dims) and `durationMs` = frame index —
+    * the presentation-order key a downstream sampler keys on. */
+  def extractFrames(media: Dataset[MediaRecord], everyN: Int = 1,
+                    codec: FrameCodec = GifCodec): Dataset[DecodedFrameRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val c = codec // one instance per partition (init amortization)
+      it.flatMap { m =>
+        c.frames(m.content).zipWithIndex.collect {
+          case ((w, h, px), fno) if fno % everyN == 0 =>
+            DecodedFrameRecord(m.id, fno,
+              m.meta.copy(width = w, height = h, channels = 1,
+                durationMs = fno.toLong), px)
+        }
       }
     }
   }

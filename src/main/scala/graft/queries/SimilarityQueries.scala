@@ -336,6 +336,73 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_recovered")))
     }),
 
+    // REAL-codec FRAME contract: genuine 3-frame animated GIFs
+    // (rendered in executors, 256-gray indexed palette so the
+    // write->decode round-trip is bit-exact; progressive off — the JDK
+    // reader mis-decodes interlaced frames shorter than the 4 passes),
+    // decoded by Multimodal.extractFrames/GifCodec. Pins: every doc
+    // decodes to exactly 3 DISTINCT full-canvas frames, and every
+    // planted twin's (+100000, same payload) frames match the
+    // original's plane-for-plane — real multi-frame decoding, no
+    // byte-slicing stub anywhere in the path.
+    "qX_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val media = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val h = java.util.Arrays.hashCode(bytes)
+          val cmap = (0 until 256)
+            .map(i => (0xFF << 24) | (i << 16) | (i << 8) | i).toArray
+          val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0,
+            false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          for (k <- 0 until 3) {
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            for (y <- 0 until 8; x <- 0 until 8) {
+              val i = y * 8 + x
+              val base = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xFF
+              img.getRaster.setSample(x, y, 0,
+                (base + (h >>> (i % 24)) + i * 7 + k * 29) & 0xFF)
+            }
+            val param = writer.getDefaultWriteParam
+            param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), param)
+          }
+          writer.endWriteSequence(); ios.close(); writer.dispose()
+          val payload = bos.toByteArray
+          val rec = (i: Long) => MediaRecord(i, "video", payload,
+            MediaMeta("gif", 8, 8, 1, 3L))
+          Seq(rec(id), rec(id + 100000))
+        }
+      val frames = Multimodal.extractFrames(media).toDF()
+        .select(col("id"), col("frameNo"), hash(col("pixels")).as("fp"))
+      val orig = frames.filter(col("id") < 100000)
+      val framesets = orig.groupBy("id")
+        .agg(count(lit(1)).as("nf"), countDistinct(col("fp")).as("nd"))
+        .filter(col("nf") === 3 && col("nd") === 3)
+        .agg(count(lit(1)).as("n_framesets"))
+      val twin = frames.filter(col("id") >= 100000)
+        .select((col("id") - 100000).as("id"), col("frameNo"),
+          col("fp").as("fp2"))
+      val recovered = orig.join(twin, Seq("id", "frameNo"))
+        .filter(col("fp") === col("fp2"))
+        .groupBy("id").agg(count(lit(1)).as("nm")).filter(col("nm") === 3)
+        .agg(count(lit(1)).as("n_recovered"))
+      orig.select(countDistinct(col("id")).as("n_docs"))
+        .crossJoin(framesets).crossJoin(recovered)
+    }),
+
     // Combined fit->index pipeline recall contract: kmeansFit centroids
     // feed ivfTopK, and every planted identical query must recover its
     // twin at nprobe=1 — same vector => same nearest centroid (identical
@@ -386,6 +453,10 @@ object SimilarityQueries {
         |FROM documents WHERE doc_id < 200""".stripMargin,
     "qX_multimodal_audio" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "qX_multimodal_frames" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_framesets,
+        |  count(*) AS n_recovered
         |FROM documents WHERE doc_id < 200""".stripMargin,
     "qX_dedup_minhash_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_exact_recovered,

@@ -207,6 +207,93 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(f.forall(_.content.nonEmpty))
   }
 
+  /** Render a real animated GIF: frame 0 full-screen, later frames
+    * optionally sub-rectangles at (left, top) — the changed-region
+    * encoding GifCodec must composite. 256-gray indexed palette so the
+    * write→decode round-trip is bit-exact. */
+  private def gif(w: Int, h: Int,
+                  frames: Seq[(Int, Int, Int, Int, (Int, Int) => Int)]): Array[Byte] = {
+    val cmap = (0 until 256).map(i => (0xFF << 24) | (i << 16) | (i << 8) | i).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for ((lx, ly, fw, fh, level) <- frames) {
+      val img = new java.awt.image.BufferedImage(fw, fh,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until fh; x <- 0 until fw)
+        img.getRaster.setSample(x, y, 0, level(x, y) & 0xFF)
+      val param = writer.getDefaultWriteParam
+      // the JDK writer interlaces by default, and the JDK READER
+      // mis-decodes interlaced frames shorter than the 4 interlace
+      // passes — write progressive-off like every sane encoder
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val md = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), param)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", lx.toString)
+      desc.setAttribute("imageTopPosition", ly.toString)
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), param)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("GifCodec decodes real animated GIF frames; sub-frames composite at offsets") {
+    // frame 0: 4x2 gradient; frame 1: 2x1 patch at (2, 1) overwriting
+    // the bottom-right corner — the composited canvas keeps everything
+    // else from frame 0
+    val f0 = (x: Int, y: Int) => 10 + 20 * (y * 4 + x)
+    val bytes = gif(4, 2, Seq((0, 0, 4, 2, f0), (2, 1, 2, 1, (_, _) => 250)))
+    val frames = GifCodec.frames(bytes)
+    assert(frames.length == 2)
+    val lumaOf = (v: Int) =>
+      (0.299f * v + 0.587f * v + 0.114f * v) / 255f // r=g=b round-trip
+    frames.foreach { case (w, h, _) => assert(w == 4 && h == 2) }
+    val px0 = frames(0)._3
+    for (i <- 0 until 8)
+      assert(math.abs(px0(i) - lumaOf(10 + 20 * i)) < 1e-4, s"frame0 px $i")
+    val px1 = frames(1)._3
+    for (i <- 0 until 6) // row 0 and (1,0)(1,1) unchanged from frame 0
+      assert(px1(i) == px0(i), s"unpatched px $i must carry over")
+    assert(math.abs(px1(6) - lumaOf(250)) < 1e-4 &&
+      math.abs(px1(7) - lumaOf(250)) < 1e-4, "patch applied at (2..3, 1)")
+    // corrupt payload throws (the undecodable-payload contract)
+    intercept[IllegalArgumentException] {
+      GifCodec.frames("definitely not a gif".getBytes)
+    }
+  }
+
+  test("extractFrames: real decode in the pipeline, everyN sampling, determinism") {
+    val payload = gif(3, 1, Seq(
+      (0, 0, 3, 1, (x, _) => 40 * x),
+      (0, 0, 3, 1, (x, _) => 40 * x + 1),
+      (0, 0, 3, 1, (x, _) => 40 * x + 2)))
+    val vids = Seq(
+      MediaRecord(7L, "video", payload, MediaMeta("gif", 0, 0, 0, 0L))).toDS()
+    val all = Multimodal.extractFrames(vids).collect().sortBy(_.frameNo)
+    assert(all.length == 3 && all.map(_.frameNo).toSeq == Seq(0, 1, 2))
+    // meta carries DECODED canvas dims, not the advisory zeros
+    assert(all.forall(f => f.meta.width == 3 && f.meta.height == 1))
+    // frames are distinct and deterministic across partitionings
+    assert(all.map(_.pixels.toSeq).distinct.length == 3)
+    val again = Multimodal.extractFrames(vids.repartition(2))
+      .collect().sortBy(_.frameNo)
+    assert(all.map(_.pixels.toSeq).toSeq == again.map(_.pixels.toSeq).toSeq)
+    // everyN=2 keeps frames 0 and 2
+    val sampled = Multimodal.extractFrames(vids, everyN = 2)
+      .collect().map(_.frameNo).sorted
+    assert(sampled.toSeq == Seq(0, 2))
+  }
+
   test("feature extraction feeds the ANN path (array<float>, fixed dim)") {
     val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
     assert(feats.schema("embedding").dataType.simpleString == "array<float>")
