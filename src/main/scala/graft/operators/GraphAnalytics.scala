@@ -778,8 +778,14 @@ object GraphAnalytics {
   }
 
   /** Sampled harmonic centrality: H(v) = Σ_{s ∈ S, s ≠ v} 1/d(s, v)
-    * over a deterministic source sample S (the `numSources` lowest-id
-    * vertices — replayable, no RNG), distances by synchronous
+    * over a deterministic source sample S — the `numSources` lowest
+    * vertices by `(md5Bucket(id), id)`, i.e. [[Sampling.md5Bucket]]'s
+    * engine-portable hash spread, NOT lowest-id: at 100 TB vertex ids
+    * correlate with ingest order / shard / age, so a lowest-id sample
+    * is a biased sample of the oldest region of the graph, while the
+    * hash order is uniform over vertices yet still replayable (no RNG,
+    * rerun/partition-stable, recomputable by the DuckDB oracle) —
+    * distances by synchronous
     * multi-source BFS on the simple undirected graph, truncated at
     * `maxDepth` (beyond the truncation a pair contributes 0 — the
     * standard bounded-radius approximation; fixed depth is also what
@@ -805,7 +811,9 @@ object GraphAnalytics {
       .localCheckpoint(true) // reused every BFS round
     val verts = adj.select(col("from").as("id")).distinct()
       .localCheckpoint(true)
-    val sources = verts.orderBy(asc("id")).limit(numSources)
+    val sources = verts
+      .orderBy(Sampling.md5Bucket(col("id")).asc, col("id").asc)
+      .limit(numSources)
       .select(col("id").as("s"))
     // sources ⊆ verts by construction — init directly, no identity join
     var dist = sources

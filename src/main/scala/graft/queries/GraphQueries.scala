@@ -312,9 +312,10 @@ object GraphQueries {
       graft.operators.GraphAnalytics.negativeSamplingTable(walks)
     }),
 
-    // Sampled harmonic centrality: multi-source truncated BFS from the
-    // 8 lowest-id vertices, 1/d summed in integer micros — unrolled
-    // min-dist CTE oracle (the kCore playbook).
+    // Sampled harmonic centrality: multi-source truncated BFS from 8
+    // hash-spread sources (lowest by (md5-bucket, id) — uniform over
+    // vertices, not lowest-id-biased), 1/d summed in integer micros —
+    // unrolled min-dist CTE oracle (the kCore playbook).
     "qX_harmonic" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
       graft.operators.GraphAnalytics.harmonicCentrality(edges,
@@ -638,7 +639,9 @@ object GraphQueries {
          |      FROM edges),
          |adj AS MATERIALIZED (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
          |verts AS (SELECT DISTINCT f AS id FROM adj),
-         |srcs AS (SELECT id AS s FROM verts ORDER BY id LIMIT $numSources),
+         |srcs AS (SELECT id AS s FROM verts
+         |  ORDER BY CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
+         |    AS BIGINT), id LIMIT $numSources),
          |d0 AS (SELECT s, s AS v, 0 AS d FROM srcs)""".stripMargin
     val steps = (1 to maxDepth).map { i =>
       s"""d$i AS MATERIALIZED (

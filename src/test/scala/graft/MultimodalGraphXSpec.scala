@@ -467,21 +467,27 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("harmonicCentrality: known 1/d sums on a path, truncation zeroes the far tail") {
-    // path 1-2-3-4-5, sources = 2 lowest ids (1, 2)
+    // path 1-2-3-4-5. SAMPLE-SELECTION CONTRACT: sources are the
+    // numSources lowest vertices by (md5Bucket(id), id) — hash-spread,
+    // not lowest-id (lowest-id is biased when ids correlate with age/
+    // shard). md5 first-8-hex of "1".."5" sort as 4 < 1 < 2 < 5 < 3,
+    // so numSources = 2 picks S = {4, 1}.
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
     val got = GraphAnalytics.harmonicCentrality(path, numSources = 2, maxDepth = 4)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == Map(
-      1L -> (1000000L, 1L),            // only s=2 at d=1
-      2L -> (1000000L, 1L),            // only s=1 at d=1
-      3L -> (1500000L, 2L),            // 1/2 + 1/1
-      4L -> (833333L, 2L),             // 1/3 + 1/2
-      5L -> (583333L, 2L)))            // 1/4 + 1/3
-    // truncation at depth 2: vertex 5 is beyond both sources' balls
+      1L -> (333333L, 1L),             // only s=4 at d=3
+      2L -> (1500000L, 2L),            // s=1 d=1, s=4 d=2
+      3L -> (1500000L, 2L),            // s=1 d=2, s=4 d=1
+      4L -> (333333L, 1L),             // only s=1 at d=3
+      5L -> (1250000L, 2L)))           // s=1 d=4, s=4 d=1
+    // truncation at depth 2: vertices 1 and 4 are d=3 apart — each
+    // falls outside the other source's ball and keeps only in-ball mass
     val trunc = GraphAnalytics.harmonicCentrality(path, numSources = 2, maxDepth = 2)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(trunc(5L) == (0L, 0L))
-    assert(trunc(4L) == (500000L, 1L)) // only s=2 at d=2 within the ball
+    assert(trunc(1L) == (0L, 0L))      // s=4 is d=3 away — out of ball
+    assert(trunc(4L) == (0L, 0L))      // s=1 is d=3 away — out of ball
+    assert(trunc(5L) == (1000000L, 1L)) // only s=4 at d=1
   }
 
   test("adamicAdar: known scores on path/star/cycle, direct edges excluded") {
