@@ -331,4 +331,38 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * sibling is [[graft.operators.TopK.grouped]]). */
   def influencers(k: Int = 10, iters: Int = 10): DataFrame =
     pageRank(iters).orderBy(desc("rank"), asc("id")).limit(k)
+
+  /** As-of join on the serving surface — align an event/metric frame
+    * to the latest (or next, or nearest) state row per key; the
+    * point-in-time enrichment step of a training pipeline (features
+    * as-of label time — no leakage from the future). Delegates to
+    * [[graft.operators.AsOfJoin.asOf]]: one shuffle on `keyCol`,
+    * direction ∈ backward | forward | nearest. Not memoized — inputs
+    * are caller frames, not engine tables, so there is no
+    * write-invalidation fence to key a cache on. */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           valueCols: Seq[String],
+           direction: String = "backward"): DataFrame =
+    graft.operators.AsOfJoin.asOf(left, right, keyCol, tsCol,
+      valueCols, direction)
+
+  /** Length-bucketed batch assembly: assign each document an
+    * equal-frequency bucket by token count (pads to the bucket max,
+    * not the corpus max). Distributed exact-rank form by default
+    * ([[graft.operators.Packing.lengthBucketsScalable]]); the global-
+    * window `ntile` spec form is reachable with `scalable = false`
+    * for toy-scale cross-checks. */
+  def lengthBuckets(df: DataFrame, idCol: String, tokenCol: String,
+                    buckets: Int, scalable: Boolean = true): DataFrame =
+    if (scalable)
+      graft.operators.Packing.lengthBucketsScalable(df, idCol, tokenCol, buckets)
+    else graft.operators.Packing.lengthBuckets(df, idCol, tokenCol, buckets)
+
+  /** Sequence packing: concatenate documents (in id order) into
+    * fixed-token-budget training slots — returns (row, slot, offset)
+    * via the distributed prefix-scan
+    * ([[graft.operators.Packing.packScalable]]). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long): DataFrame =
+    graft.operators.Packing.packScalable(df, idCol, tokenCol, budget)
 }

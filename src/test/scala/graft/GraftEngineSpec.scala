@@ -171,6 +171,42 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(h(rodyId) == 2666666L && h.values.min == 2666666L)
   }
 
+  test("batching facade: asOf directions, lengthBuckets, packSequences") {
+    import spark.implicits._
+    // as-of: align a metric frame to the latest state per key —
+    // all three directions through the facade
+    val state = Seq(("k", 10L, "old"), ("k", 20L, "new"))
+      .toDF("key", "ts", "v")
+    // ts=16: backward picks 10, forward/nearest pick 20 (|Δ| 4 < 6);
+    // ts=25: nothing after it — forward NULL, backward/nearest pick 20
+    val obs = Seq(("k", 16L), ("k", 25L)).toDF("key", "ts")
+    def vals(direction: String): Seq[String] =
+      engine.asOf(obs, state, "key", "ts", Seq("v"), direction)
+        .orderBy("ts").collect().map(_.getAs[String]("asof_v")).toSeq
+    assert(vals("backward") == Seq("old", "new"))
+    assert(vals("forward") == Seq("new", null))
+    assert(vals("nearest") == Seq("new", "new"))
+
+    // lengthBuckets: scalable default ≡ ntile spec form on the
+    // engine's own doc-length profile
+    val lens = engine.searchTable
+      .select(col("doc_id"),
+        length(coalesce(col("addr"), lit(""))).cast("long").as("tok"))
+    val scalable = engine.lengthBuckets(lens, "doc_id", "tok", 3)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    val spec = engine.lengthBuckets(lens, "doc_id", "tok", 3, scalable = false)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(scalable == spec && scalable.values.toSet == Set(1, 2, 3))
+
+    // packSequences: 11 docs land in contiguous bins, and the packed
+    // output matches the global-window spec form bit-for-bit
+    val packed = engine.packSequences(lens, "doc_id", "tok", budget = 60L)
+    val specPack = graft.operators.Packing.pack(lens, "doc_id", "tok", 60L)
+    assert(packed.count() == 11)
+    assert(packed.orderBy("doc_id").collect().toSeq ==
+      specPack.orderBy("doc_id").collect().toSeq)
+  }
+
   test("graph admin: dump then clear") {
     assert(engine.dumpGraph().length == 6)
     // plant a stale __old from a "crashed swap" — clearGraph must remove
