@@ -908,4 +908,105 @@ object GraphAnalytics {
       .select(col("a").as("anchor"), col("rank"),
         col("best._c").as("id"), (-col("best._ns")).as("score"))
   }
+
+  /** Link-prediction score family over the simple undirected graph —
+    * the four classic local similarity indices, computed together in
+    * ONE wedge aggregation (the [[adamicAdar]] plan shape, which the
+    * reference's PYMK traversal motivates; neptune_recommend_bizcard
+    * .py:56-73):
+    *
+    *  - `cn`  common neighbors  |N(a) ∩ N(c)|
+    *  - `ra`  resource allocation  Σ_{z ∈ N(a)∩N(c)} 1/deg(z)
+    *  - `jaccard`  |N(a) ∩ N(c)| / |N(a) ∪ N(c)|
+    *  - `pa`  preferential attachment  deg(a)·deg(c)
+    *
+    * Candidates are the non-adjacent pairs with at least one shared
+    * neighbor — the sparse-A² candidate set every index here is defined
+    * on (pa alone is defined for arbitrary pairs, but scoring all
+    * |V|² pairs is not a computation, it's a cross join; restricting pa
+    * to the same candidates is the standard batch-PYMK practice).
+    *
+    * Scale shape: one wedge self-join keyed on the middle vertex
+    * (explicit repartition first — AQE sees only the small input, not
+    * the quadratic output), `cn` and `ra` accumulated map-side in the
+    * SAME aggregate, a<c symmetry halving with the mirror applied to
+    * the aggregated pairs, degree join AFTER the direct-edge anti join
+    * (smallest frame), no window — the per-pair result needs no sort.
+    *
+    * Ratios are INTEGER micro-units (the [[harmonicCentrality]]
+    * convention): 4-decimal doubles land on decimal half-boundaries
+    * that are not binary-exact (0.08725 → HALF_UP 0.0873 in Spark's
+    * BigDecimal shortest-repr rounding, 0.0872 from the raw binary in
+    * DuckDB — measured on this very operator), while integer rounding
+    * is safe because any exact x.5 is dyadic and both engines see it
+    * identically.
+    *
+    * @return (a, c, cn, ra_micros, jac_micros, pa) — both orientations
+    *         of every candidate pair, so per-anchor consumers need no
+    *         mirror.
+    */
+  def linkPredictScores(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val adj = Pymk.undirected(edges).distinct()
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true) // reused 4x: deg, both wedge sides, anti join
+    // full degree table — ra discounts by it, jaccard/pa consume it;
+    // deg-1 middles witness no a!=c wedge, so no HAVING filter needed
+    val deg = adj.groupBy(col("from").as("z"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("w", round(lit(1e6) / col("deg")).cast("long"))
+    val par = spark.sparkContext.defaultParallelism
+    val intoZ = adj.select(col("to").as("z"), col("from").as("a"))
+      .join(deg.select(col("z"), col("w")), "z")
+    val outOfZ = adj.select(col("from").as("z"), col("to").as("c"))
+    val half = intoZ.join(outOfZ, "z")
+      .filter(col("a") < col("c"))
+      .repartition(par, col("a"), col("c"))
+      .groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_micros"))
+    val mirrored = half.select(explode(array(
+        struct(col("a"), col("c"), col("cn"), col("ra_micros")),
+        struct(col("c").as("a"), col("a").as("c"), col("cn"),
+          col("ra_micros")))).as("p"))
+      .select(col("p.a").as("a"), col("p.c").as("c"),
+        col("p.cn").as("cn"), col("p.ra_micros").as("ra_micros"))
+    val direct = adj.select(col("from").as("a"), col("to").as("c"))
+    val cand = mirrored.join(direct, Seq("a", "c"), "left_anti")
+    cand
+      .join(deg.select(col("z").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("z").as("c"), col("deg").as("deg_c")), "c")
+      .select(col("a"), col("c"), col("cn"), col("ra_micros"),
+        round(lit(1e6) * col("cn") /
+          (col("deg_a") + col("deg_c") - col("cn")))
+          .cast("long").as("jac_micros"),
+        (col("deg_a") * col("deg_c")).cast("long").as("pa"))
+  }
+
+  /** Ranked link prediction: top-k candidates per anchor under one of
+    * the [[linkPredictScores]] measures (`common_neighbors` |
+    * `resource_allocation` | `jaccard` | `preferential_attachment`).
+    * Micro-unit ratios divide back to doubles here (micros/1e6 is the
+    * same IEEE division on every engine — no rounding boundary), so
+    * cross-engine rank order is stable; ties break by candidate id via
+    * the same bounded-heap [[TopK.grouped]] as [[adamicAdar]] — no
+    * global window.
+    *
+    * @return (anchor, rank, id, score), rank 1-based per anchor.
+    */
+  def linkPredict(edges: DataFrame, k: Int,
+                  measure: String = "resource_allocation"): DataFrame = {
+    val scoreCol = measure match {
+      case "common_neighbors"        => col("cn").cast("double")
+      case "resource_allocation"     => col("ra_micros") / lit(1e6)
+      case "jaccard"                 => col("jac_micros") / lit(1e6)
+      case "preferential_attachment" => col("pa").cast("double")
+      case other => throw new IllegalArgumentException(
+        s"unknown link-prediction measure: $other")
+    }
+    val cand = linkPredictScores(edges).withColumn("score", scoreCol)
+    val sortKey = struct((-col("score")).as("_ns"), col("c").as("_c"))
+    TopK.grouped(cand, Seq("a"), sortKey, k)
+      .select(col("a").as("anchor"), col("rank"),
+        col("best._c").as("id"), (-col("best._ns")).as("score"))
+  }
 }

@@ -233,6 +233,26 @@ object GraphQueries {
         .orderBy(col("anchor"), col("rank"))
     }),
 
+    // Link-prediction score family: all four classic local indices
+    // (common neighbors, resource allocation, Jaccard, preferential
+    // attachment) from ONE wedge aggregation — the full candidate-pair
+    // feature frame a ranker would train on. a<c half only: the
+    // operator mirrors, the gate pins the canonical half.
+    "qX_linkpred_scores" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.linkPredictScores(edges)
+        .filter(col("a") < col("c"))
+        .orderBy(col("a"), col("c"))
+    }),
+
+    // Ranked link prediction, top-5 per anchor by Jaccard — exercises
+    // the mirrored both-orientations frame + bounded-heap top-k path.
+    "qX_linkpred" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.linkPredict(edges, 5, "jaccard")
+        .orderBy(col("anchor"), col("rank"))
+    }),
+
     // 25-core membership after 8 fixed peel rounds (converged here —
     // spec-asserted; 62/150 vertices survive, with multi-round cascade
     // as the peeled spokes drag hub degrees down). k=3 would be
@@ -698,6 +718,62 @@ object GraphQueries {
          |  SELECT a AS anchor, c AS id, score, row_number() OVER (
          |    PARTITION BY a ORDER BY score DESC, c) AS rank
          |  FROM cand)
+         |SELECT anchor, rank, id, score FROM r WHERE rank <= 5
+         |ORDER BY anchor, rank""".stripMargin,
+    "qX_linkpred_scores" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION
+         |  SELECT dst, src FROM edges),
+         |deg AS (
+         |  SELECT f AS z, count(*) AS d,
+         |    CAST(round(1000000.0 / count(*)) AS BIGINT) AS w
+         |  FROM adj GROUP BY f),
+         |sc AS (
+         |  SELECT x.f AS a, y.t AS c, count(*) AS cn, sum(deg.w) AS ram
+         |  FROM adj x JOIN deg ON x.t = deg.z
+         |       JOIN adj y ON y.f = deg.z
+         |  WHERE x.f < y.t
+         |  GROUP BY x.f, y.t),
+         |cand AS (
+         |  SELECT sc.* FROM sc
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM adj WHERE adj.f = sc.a AND adj.t = sc.c))
+         |SELECT cand.a, cand.c, cand.cn,
+         |  CAST(ram AS BIGINT) AS ra_micros,
+         |  CAST(round(1000000.0 * cn / (da.d + dc.d - cn)) AS BIGINT)
+         |    AS jac_micros,
+         |  CAST(da.d * dc.d AS BIGINT) AS pa
+         |FROM cand JOIN deg da ON da.z = cand.a
+         |     JOIN deg dc ON dc.z = cand.c
+         |ORDER BY a, c""".stripMargin,
+    "qX_linkpred" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION
+         |  SELECT dst, src FROM edges),
+         |deg AS (SELECT f AS z, count(*) AS d FROM adj GROUP BY f),
+         |sc AS (
+         |  SELECT x.f AS a, y.t AS c, count(*) AS cn
+         |  FROM adj x JOIN adj y ON x.t = y.f
+         |  WHERE x.f <> y.t
+         |  GROUP BY x.f, y.t),
+         |cand AS (
+         |  SELECT sc.* FROM sc
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM adj WHERE adj.f = sc.a AND adj.t = sc.c)),
+         |j AS (
+         |  SELECT cand.a, cand.c,
+         |    CAST(round(1000000.0 * cn / (da.d + dc.d - cn)) AS BIGINT)
+         |      / 1000000.0 AS score
+         |  FROM cand JOIN deg da ON da.z = cand.a
+         |       JOIN deg dc ON dc.z = cand.c),
+         |r AS (
+         |  SELECT a AS anchor, c AS id, score, row_number() OVER (
+         |    PARTITION BY a ORDER BY score DESC, c) AS rank
+         |  FROM j)
          |SELECT anchor, rank, id, score FROM r WHERE rank <= 5
          |ORDER BY anchor, rank""".stripMargin,
     "qX_kcore" -> kcoreSql(25, 8),

@@ -516,6 +516,50 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
       (2L, 4L) -> 2.8854, (4L, 2L) -> 2.8854))
   }
 
+  test("linkPredictScores: all four indices on path/star/cycle; ranked ties by id") {
+    // path 1-2-3: one candidate pair (1,3) via z=2 (deg 2) —
+    // cn=1, ra=500000 micros, jaccard=1/(1+1-1)=1e6 micros, pa=1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = GraphAnalytics.linkPredictScores(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(p == Map((1L, 3L) -> ((1L, 500000L, 1000000L, 1L)),
+      (3L, 1L) -> ((1L, 500000L, 1000000L, 1L))))
+
+    // star 0-{1,2,3}: every leaf pair shares only the hub (deg 3):
+    // ra = round(1e6/3) = 333333; leaves have deg 1 → jaccard 1, pa 1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = GraphAnalytics.linkPredictScores(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(s.size == 6 &&
+      s.values.forall(_ == ((1L, 333333L, 1000000L, 1L))))
+
+    // 4-cycle: opposite corners share both middles (deg 2 each):
+    // cn=2, ra=1e6 micros, jaccard=2/(2+2-2)=1e6 micros, pa=4
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = GraphAnalytics.linkPredictScores(cyc).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(c == Map((1L, 3L) -> ((2L, 1000000L, 1000000L, 4L)),
+      (3L, 1L) -> ((2L, 1000000L, 1000000L, 4L)),
+      (2L, 4L) -> ((2L, 1000000L, 1000000L, 4L)),
+      (4L, 2L) -> ((2L, 1000000L, 1000000L, 4L))))
+
+    // ranked: star leaves tie on jaccard=1 — ranks break by candidate id
+    val r1 = GraphAnalytics.linkPredict(star, 5, "jaccard").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(r1 == Map(1 -> 2L, 2 -> 3L))
+    // preferential attachment on the path graph: score = pa = 1.0
+    val pr = GraphAnalytics.linkPredict(path, 5, "preferential_attachment")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(pr == Map((1L, 3L) -> 1.0, (3L, 1L) -> 1.0))
+    intercept[IllegalArgumentException] {
+      GraphAnalytics.linkPredict(path, 5, "katz")
+    }
+  }
+
   test("triangle counts: DF == GraphX on the card graph, known values on K4+tail") {
     // K4 on 1-4 (every vertex in 3 triangles) + a tail 4-5 (0 triangles)
     // + duplicate/reversed/self-loop edges that canonicalization must drop
