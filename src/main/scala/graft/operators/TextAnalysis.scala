@@ -253,4 +253,45 @@ object TextAnalysis {
     (regexp_count(text, lit(graft.functions.GraftFunctions.EmailPattern)),
       regexp_count(emailFree, lit(RedactPhonePattern)))
   }
+
+  // ------------------------------------------------------- chunking
+
+  /** Sliding token-window document chunking — the RAG/pretraining prep
+    * step that turns long documents into overlapping fixed-size
+    * passages. Windows start at token offsets 0, stride, 2·stride, …
+    * while the offset is inside the document; each chunk is `window`
+    * tokens (the final chunks are shorter — standard tail behavior, so
+    * no token is dropped). `stride < window` gives the usual
+    * overlapping windows; `stride == window` is exact partitioning.
+    *
+    * Scale shape: one narrow scan, no shuffle — `sequence` builds the
+    * per-doc start offsets, `posexplode` fans them out, `slice` takes
+    * each window from the one tokenized array (never re-tokenizes per
+    * chunk). Output is ~len/stride rows per doc; empty docs emit no
+    * chunks (guarded — Spark's `sequence(0, -1)` would COUNT DOWN, not
+    * return empty).
+    *
+    * @return (idCol, chunk_idx, chunk_start, n_tokens, chunk) — chunk
+    *         is the window's tokens joined by single spaces (the
+    *         canonical token stream, same convention as
+    *         [[normalizedFingerprint]]).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val n = size(col("_toks"))
+    val starts = when(n > lit(0),
+        sequence(lit(0), n - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(starts).as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        slice(col("_toks"), col("chunk_start") + 1, lit(window)).as("_chunk"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        size(col("_chunk")).as("n_tokens"),
+        concat_ws(" ", col("_chunk")).as("chunk"))
+  }
 }

@@ -337,6 +337,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sliding token-window chunking: 32-token windows every 24 tokens
+    // (8-token overlap) — the RAG/pretraining passage prep. Bounded to
+    // doc_id < 200 so the gate frame stays comparison-sized.
+    "qX_chunk" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Corpus vocabulary: global top-50 tokens by frequency (the
     // tokenizer-training precursor; bounded-heap top-V, no full sort).
     "qX_vocab" -> ((s, dir) => {
@@ -747,6 +757,21 @@ object TextQueries {
         |    lower('  ' || upper(text) || chr(9) || 'x '),
         |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "qX_chunk" ->
+      s"""WITH d AS (
+         |  SELECT * FROM ($ToksSql) WHERE doc_id < 200),
+         |st0 AS (
+         |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS g
+         |  FROM d WHERE len(toks) > 0),
+         |st AS (
+         |  SELECT doc_id, toks, CAST(g AS INTEGER) AS chunk_start,
+         |    CAST(g // 24 AS INTEGER) AS chunk_idx
+         |  FROM st0)
+         |SELECT doc_id, chunk_idx, chunk_start,
+         |  len(toks[chunk_start + 1 : chunk_start + 32]) AS n_tokens,
+         |  array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
+         |    AS chunk
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "qX_vocab" ->
       s"""WITH toks AS (
          |  SELECT unnest(toks) AS token FROM ($ToksSql)),

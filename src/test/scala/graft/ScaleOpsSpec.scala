@@ -26,6 +26,31 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("chunkDocuments: overlapping windows, short tail, empty docs, bad args") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "A b  c D e"), (2L, ""), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    // window=3 stride=2 on 5 tokens: starts 0,2,4 — tail chunk is 1 token
+    val got = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 3, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got == Map(
+      (1L, 0) -> ((0, 3, "a b c")),
+      (1L, 1) -> ((2, 3, "c d e")),
+      (1L, 2) -> ((4, 1, "e")),
+      (3L, 0) -> ((0, 3, "x y z")),
+      (3L, 1) -> ((2, 2, "z w"))))      // doc 2 (empty) emits nothing
+    // stride == window: exact partition, no overlap, every token once
+    val part = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 2, 2)
+      .filter(col("doc_id") === 3L).orderBy(col("chunk_idx"))
+      .collect().map(_.getString(4)).toSeq
+    assert(part == Seq("x y", "z w"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, "doc_id", "text", 2, 3)
+    }
+  }
+
   test("indexed search equals scan search (in-memory and stored+bucketed)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val terms = "spark join fast"
