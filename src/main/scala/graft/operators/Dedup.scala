@@ -324,4 +324,77 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  // --------------------------------------- duplicated n-gram spans
+
+  /** Positional token n-grams: every n-gram of every document with its
+    * token start offset — the positional sibling of [[shingles]] (which
+    * is distinct and position-free). One narrow scan: tokenize once,
+    * `sequence` the starts, `slice` each window, `posexplode`.
+    * @return (idCol, start, gram). */
+  def ngramPositions(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    docs
+      .select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol), posexplode(
+          transform(sequence(lit(0), size(col("_toks")) - n),
+            s => concat_ws(" ", slice(col("_toks"), s + 1, lit(n)))))
+        .as(Seq("start", "gram")))
+  }
+
+  /** Cross-document duplicated n-grams: the n-grams appearing in at
+    * least `minDf` DISTINCT documents, with document and occurrence
+    * counts — the detection half of exact-substring training-data
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"; within-doc repetition is a different
+    * signal, covered by [[TextAnalysis.repetitionSignals]]).
+    *
+    * Scale shape: one shuffle keyed on the gram with map-side partial
+    * aggregation (count + count-distinct two-phase); at 100 TB the
+    * gram key would be `xxhash64(gram)` to shuffle 8 bytes instead of
+    * n words — kept as the string here so the result IS the report.
+    *
+    * @return (gram, df, tf) — df = distinct docs, tf = occurrences.
+    */
+  def duplicatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDf: Int = 2): DataFrame =
+    ngramPositions(docs, idCol, textCol, n)
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("tf"))
+      .filter(col("df") >= minDf)
+
+  /** Per-document duplicated spans: maximal token ranges covered by
+    * n-grams that also occur in ≥ `minDf` documents — the actionable
+    * output of exact-substring dedup (cut or down-weight these spans
+    * before training). Overlapping and touching n-gram intervals
+    * [start, start+n) merge into one span (gaps-and-islands: an island
+    * breaks where a start exceeds every preceding interval end).
+    *
+    * Scale shape: the positional scan reuses [[ngramPositions]]; the
+    * semi join onto duplicated grams shuffles on the gram key; the
+    * island merge is a PER-DOCUMENT window (partitioned by doc id —
+    * never global). @return (idCol, span_start, span_end, n_grams).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDf: Int = 2): DataFrame = {
+    val pos = ngramPositions(docs, idCol, textCol, n)
+    val dup = pos.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+    val hits = pos.join(dup.select(col("gram")), Seq("gram"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val prevEnd = max(col("start") + n)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("_brk",
+        when(prevEnd.isNull || col("start") > prevEnd, 1).otherwise(0))
+      .withColumn("_island", sum(col("_brk")).over(byDoc))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + n).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("_island")
+  }
 }

@@ -347,6 +347,26 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Cross-document duplicated 5-grams (Lee et al. exact-substring
+    // dedup, detection half): every 5-gram in >= 2 distinct docs with
+    // doc/occurrence counts.
+    "qX_dup_ngrams" -> ((s, dir) => {
+      Dedup.duplicatedNgrams(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", n = 5, minDf = 2)
+        .orderBy(col("gram"))
+    }),
+
+    // Per-document duplicated spans: maximal token ranges covered by
+    // cross-doc duplicated 5-grams — the cut-these-before-training
+    // report (islands merged per doc, never a global window).
+    "qX_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpans(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", n = 5, minDf = 2)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // Corpus vocabulary: global top-50 tokens by frequency (the
     // tokenizer-training precursor; bounded-heap top-V, no full sort).
     "qX_vocab" -> ((s, dir) => {
@@ -772,6 +792,49 @@ object TextQueries {
          |  array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
          |    AS chunk
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "qX_dup_ngrams" ->
+      s"""WITH d AS (
+         |  SELECT * FROM ($ToksSql) WHERE doc_id < 300 AND len(toks) >= 5),
+         |p AS (
+         |  SELECT doc_id, unnest(range(0, len(toks) - 4)) AS g, toks
+         |  FROM d),
+         |grams AS (
+         |  SELECT doc_id, array_to_string(toks[g + 1 : g + 5], ' ') AS gram
+         |  FROM p)
+         |SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS tf
+         |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY gram""".stripMargin,
+    "qX_dup_spans" ->
+      s"""WITH d AS (
+         |  SELECT * FROM ($ToksSql) WHERE doc_id < 300 AND len(toks) >= 5),
+         |p AS (
+         |  SELECT doc_id, unnest(range(0, len(toks) - 4)) AS g, toks
+         |  FROM d),
+         |grams AS (
+         |  SELECT doc_id, CAST(g AS INTEGER) AS start,
+         |    array_to_string(toks[g + 1 : g + 5], ' ') AS gram
+         |  FROM p),
+         |dup AS (
+         |  SELECT gram FROM grams
+         |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (
+         |  SELECT grams.doc_id, grams.start FROM grams
+         |  WHERE EXISTS (SELECT 1 FROM dup WHERE dup.gram = grams.gram)),
+         |b AS (
+         |  SELECT doc_id, start,
+         |    CASE WHEN start > coalesce(max(start + 5) OVER (
+         |      PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -1) THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |i AS (
+         |  SELECT doc_id, start, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM b)
+         |SELECT doc_id, min(start) AS span_start,
+         |  max(start) + 5 AS span_end, count(*) AS n_grams
+         |FROM i GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
     "qX_vocab" ->
       s"""WITH toks AS (
          |  SELECT unnest(toks) AS token FROM ($ToksSql)),

@@ -225,4 +225,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     hits.foreach { case (qid, id, sim) =>
       assert(id == qid - 10000 && sim == 1.0, s"twin miss for $qid") }
   }
+
+  test("duplicated n-gram spans: cross-doc detection, island merge, within-doc excluded") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox jumps over a fence today yes"),
+      (3L, "x y z x y z"),                       // within-doc repeat only
+      (4L, "quick brown fox END fox jumps over") // two disjoint dup spans
+    ).toDF("doc_id", "text")
+
+    val grams = Dedup.duplicatedNgrams(docs, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(grams == Map(
+      "quick brown fox" -> ((3L, 3L)),
+      "brown fox jumps" -> ((2L, 2L)),
+      "fox jumps over"  -> ((3L, 3L))))
+    assert(!grams.contains("x y z")) // df=1: within-doc repeats don't count
+
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", 3, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    // docs 1/2: hits at starts 1,2,3 — one merged island [1, 6)
+    // doc 4: hits at 0 and 4 — 4 > 0+3, so two islands [0,3) and [4,7)
+    assert(spans == Map(
+      (1L, 1) -> ((6, 3L)), (2L, 1) -> ((6, 3L)),
+      (4L, 0) -> ((3, 1L)), (4L, 4) -> ((7, 1L))))
+  }
 }
