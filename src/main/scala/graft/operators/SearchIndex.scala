@@ -212,4 +212,87 @@ object SearchIndex {
                   boosts: Seq[(String, Double)], queryText: String,
                   limit: Int): DataFrame =
     queryStored(spark, dir, readMeta(spark, dir)._1, boosts, queryText, limit)
+
+  // ------------------------------------------------- phrase search
+
+  /** Positional postings for ONE field: (doc, pos, term), one row per
+    * token occurrence — what [[build]]'s tf rows deliberately discard,
+    * and what `match_phrase` needs (ES keeps positions in its postings
+    * for exactly this; the reference's index mapping is ES-default =
+    * positions on). One narrow scan, no shuffle. */
+  def buildPositional(docs: DataFrame, idCol: String,
+                      field: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      posexplode(tokenize(col(field))).as(Seq("pos", "term")))
+
+  /** Persist positional postings bucketed by term hash — the same
+    * [[IndexBuckets]] layout as [[writeIndex]], so phrase probes prune
+    * to the phrase's term buckets. */
+  def writePositional(pos: DataFrame, dir: String): Unit =
+    pos.withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/pos_postings")
+
+  /** Every phrase occurrence as (doc, anchor): the classic positional
+    * merge — a posting for the i-th phrase term at position p votes for
+    * anchor p−i, and an anchor with ALL |phrase| distinct offsets
+    * voting is a match (terms at consecutive positions, ES
+    * match_phrase slop=0). Repeated terms in the phrase are handled by
+    * the (term, offset) fan-out join: "the cat the" sends each "the"
+    * posting to offsets 0 AND 2, and only anchors where both land (and
+    * "cat" at 1) survive.
+    *
+    * Scale shape: postings filtered to the phrase's terms BEFORE
+    * anything else (with a stored index that is a bucket-pruned scan),
+    * the (term, offset) frame is |phrase| rows — broadcast; one
+    * aggregation keyed (doc, anchor). No window, no corpus scan.
+    */
+  def phraseMatches(posPostings: DataFrame, phrase: String): DataFrame = {
+    val spark = posPostings.sparkSession
+    import spark.implicits._
+    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val qt = terms.zipWithIndex.toDF("term", "i")
+    posPostings
+      .filter(col("term").isin(terms.distinct: _*))
+      .join(broadcast(qt), "term")
+      .select(col("doc"), (col("pos") - col("i")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("doc"), col("anchor"))
+      .agg(count(lit(1)).as("_nh"))
+      .filter(col("_nh") === terms.length)
+      .select(col("doc"), col("anchor"))
+  }
+
+  /** match_phrase over a document frame: docs containing the exact
+    * consecutive-token phrase, scored by occurrence count (ES ranks
+    * phrase hits by a BM25 of phrase frequency; the frequency itself is
+    * the oracle-reproducible core). @return (doc, phrase_freq), ordered
+    * freq desc / doc asc, top `limit`. */
+  def phraseSearch(docs: DataFrame, idCol: String, field: String,
+                   phrase: String, limit: Int): DataFrame =
+    phraseMatches(buildPositional(docs, idCol, field), phrase)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("phrase_freq"))
+      .orderBy(desc("phrase_freq"), asc("doc"))
+      .limit(limit)
+
+  /** [[phraseSearch]] against a stored positional index
+    * ([[writePositional]] layout): the postings scan is pruned to the
+    * phrase's term buckets — I/O bounded by |phrase| buckets, not
+    * corpus size. */
+  def phraseSearchStored(spark: SparkSession, dir: String, phrase: String,
+                         limit: Int): DataFrame = {
+    val d = readableDir(spark, dir)
+    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val pos = spark.read.parquet(s"$d/pos_postings")
+      .filter(col("bucket")
+        .isin(terms.map(bucketOf(_, IndexBuckets)).distinct: _*))
+    phraseMatches(pos, phrase)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("phrase_freq"))
+      .orderBy(desc("phrase_freq"), asc("doc"))
+      .limit(limit)
+  }
 }

@@ -347,6 +347,14 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // match_phrase "table hash" over the corpus: positional postings,
+    // anchor-alignment merge, ranked by phrase frequency — the exact
+    // consecutive-token semantics ES match_phrase (slop=0) serves.
+    "qX_phrase" -> ((s, dir) => {
+      SearchIndex.phraseSearch(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "table hash", 100)
+    }),
+
     // Cross-document duplicated 5-grams (Lee et al. exact-substring
     // dedup, detection half): every 5-gram in >= 2 distinct docs with
     // doc/occurrence counts.
@@ -792,6 +800,23 @@ object TextQueries {
          |  array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
          |    AS chunk
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "qX_phrase" ->
+      s"""WITH d AS ($ToksSql),
+         |p AS (
+         |  SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks
+         |  FROM d WHERE len(toks) > 0),
+         |pt AS (SELECT doc_id, pos, toks[pos + 1] AS term FROM p),
+         |qt(term, i) AS (VALUES ('table', 0), ('hash', 1)),
+         |m AS (
+         |  SELECT pt.doc_id, pt.pos - qt.i AS anchor
+         |  FROM pt JOIN qt ON pt.term = qt.term
+         |  WHERE pt.pos - qt.i >= 0),
+         |a AS (
+         |  SELECT doc_id, anchor FROM m
+         |  GROUP BY doc_id, anchor HAVING count(*) = 2)
+         |SELECT doc_id AS doc, count(*) AS phrase_freq
+         |FROM a GROUP BY doc_id
+         |ORDER BY phrase_freq DESC, doc LIMIT 100""".stripMargin,
     "qX_dup_ngrams" ->
       s"""WITH d AS (
          |  SELECT * FROM ($ToksSql) WHERE doc_id < 300 AND len(toks) >= 5),

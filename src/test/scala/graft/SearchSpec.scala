@@ -158,4 +158,36 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       .map(_.getAs[String]("doc_id")).toSet
     assert(hits == base && hits == Set("d1", "d3"))
   }
+
+  test("phrase search: consecutive-token matches, repeated terms, stored probe") {
+    import graft.operators.SearchIndex
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat the dog"),              // one "the cat the" at 0
+      (2L, "the cat the cat the"),          // two, at 0 and 2 (overlapping)
+      (3L, "cat the"),                      // terms present, order wrong
+      (4L, "the dog cat")                   // all terms, never consecutive
+    ).toDF("doc_id", "text")
+    val got = SearchIndex.phraseSearch(docs, "doc_id", "text", "the cat the", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+    // case-insensitive analyzer, same as the term path
+    val ci = SearchIndex.phraseSearch(docs, "doc_id", "text", "The CAT the", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ci == got)
+    intercept[IllegalArgumentException] {
+      SearchIndex.phraseSearch(docs, "doc_id", "text", "   ", 10)
+    }
+
+    // stored bucket-pruned probe == in-memory, on the real corpus
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val mem = SearchIndex.phraseSearch(corpus, "doc_id", "text", "table hash", 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("posidx").toString
+    SearchIndex.writePositional(
+      SearchIndex.buildPositional(corpus, "doc_id", "text"), dir)
+    val stored = SearchIndex.phraseSearchStored(spark, dir, "table hash", 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == mem && mem.nonEmpty)
+  }
 }
