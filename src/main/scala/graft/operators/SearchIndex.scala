@@ -213,6 +213,57 @@ object SearchIndex {
                   limit: Int): DataFrame =
     queryStored(spark, dir, readMeta(spark, dir)._1, boosts, queryText, limit)
 
+  // -------------------------------------------------- fuzzy search
+
+  /** Fuzzy term expansion + scoring against a built index — the ES
+    * `fuzzy` query: expand the (typo'd) query term to every VOCABULARY
+    * term within `maxEdits` Levenshtein edits, then score docs as a
+    * weighted term query. Expansion runs on the stats table (the
+    * vocabulary — |V| rows, NOT the corpus), pre-pruned by the cheap
+    * length window |len(t) − len(q)| ≤ maxEdits before the O(len²)
+    * edit-distance compare; the surviving expansion set is broadcast
+    * to the postings probe. Lucene's FuzzyQuery automaton does the
+    * same expansion against its term dictionary.
+    *
+    * Scoring follows Lucene's fuzzy boost: each expanded term scores
+    * tf·idf scaled by `max(0, 1 − dist / min(|q|, |t|))` — exact
+    * matches keep full weight, distant expansions fade out.
+    *
+    * @return (doc, _score) ranked score desc / doc asc, top `limit`.
+    */
+  def fuzzyQuery(postings: DataFrame, stats: DataFrame, n: Long,
+                 field: String, term: String, maxEdits: Int,
+                 limit: Int): DataFrame = {
+    val q = term.toLowerCase.trim
+    require(q.nonEmpty && !q.contains(" "), s"need one non-empty term, got '$term'")
+    require(maxEdits >= 0, s"need maxEdits >= 0, got $maxEdits")
+    val expanded = stats.filter(col("field") === field)
+      .filter(abs(length(col("term")) - lit(q.length)) <= maxEdits)
+      .withColumn("dist", levenshtein(col("term"), lit(q)))
+      .filter(col("dist") <= maxEdits)
+      .select(col("field"), col("term"),
+        log(lit(1.0) +
+          (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"),
+        greatest(lit(0.0), lit(1.0) - col("dist").cast("double") /
+          least(length(col("term")), lit(q.length)).cast("double"))
+          .as("boost"))
+    postings.filter(col("field") === field)
+      .join(broadcast(expanded), Seq("field", "term"))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf") * col("idf") * col("boost")).as("_score"))
+      .orderBy(desc("_score"), asc("doc"))
+      .limit(limit)
+  }
+
+  /** [[fuzzyQuery]] over a raw document frame (index built in-flight —
+    * the one-shot form; at scale, build once and probe). */
+  def fuzzySearch(docs: DataFrame, idCol: String, field: String,
+                  term: String, maxEdits: Int, limit: Int): DataFrame = {
+    val (postings, stats, n) = build(docs, idCol, Seq(field))
+    fuzzyQuery(postings, stats, n, field, term, maxEdits, limit)
+  }
+
   // ------------------------------------------------- phrase search
 
   /** Positional postings for ONE field: (doc, pos, term), one row per

@@ -347,6 +347,18 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Fuzzy term search: the typo'd query "tabel" expands to vocabulary
+    // terms within 2 edits (table, label, …), scored tf·idf·boost with
+    // the Lucene fade-out boost 1 − dist/min(|q|,|t|). No LIMIT: the
+    // expansion+scoring contract is the gate (top-k machinery is gated
+    // elsewhere), so no float-boundary row can flip the compared set.
+    "qX_fuzzy" -> ((s, dir) => {
+      SearchIndex.fuzzySearch(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "tabel", 2, Int.MaxValue)
+        .select(col("doc"), round(col("_score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc"))
+    }),
+
     // match_phrase "table hash" over the corpus: positional postings,
     // anchor-alignment merge, ranked by phrase frequency — the exact
     // consecutive-token semantics ES match_phrase (slop=0) serves.
@@ -800,6 +812,27 @@ object TextQueries {
          |  array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
          |    AS chunk
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "qX_fuzzy" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |ex AS (
+         |  SELECT term,
+         |    ln(1 + ((SELECT count(*) FROM documents) - df + 0.5)
+         |       / (df + 0.5)) AS idf,
+         |    greatest(0.0, 1.0 - CAST(levenshtein(term, 'tabel') AS DOUBLE)
+         |      / least(length(term), 5)) AS boost
+         |  FROM df
+         |  WHERE abs(length(term) - 5) <= 2
+         |    AND levenshtein(term, 'tabel') <= 2)
+         |SELECT tf.doc_id AS doc, round(sum(tf.tf * ex.idf * ex.boost), 4)
+         |  AS score
+         |FROM tf JOIN ex USING (term)
+         |GROUP BY tf.doc_id
+         |ORDER BY score DESC, doc""".stripMargin,
     "qX_phrase" ->
       s"""WITH d AS ($ToksSql),
          |p AS (

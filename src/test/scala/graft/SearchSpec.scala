@@ -159,6 +159,26 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     assert(hits == base && hits == Set("d1", "d3"))
   }
 
+  test("fuzzy search: edit-distance expansion with Lucene fade-out boost") {
+    import graft.operators.SearchIndex
+    import spark.implicits._
+    val docs = Seq((1L, "table"), (2L, "tabel"), (3L, "label"),
+      (4L, "cable"), (5L, "zzz")).toDF("doc_id", "text")
+    def run(maxEdits: Int): Map[Long, Double] =
+      SearchIndex.fuzzySearch(docs, "doc_id", "text", "tabel", maxEdits, 10)
+        .collect()
+        .map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e4) / 1e4).toMap
+    // n=5, every term df=1 → idf = ln 4; boosts: exact 1, label 0.8
+    // (dist 1), table 0.6 (dist 2 — transposition = 2 substitutions),
+    // cable dist 3 — out at every tested fuzziness
+    assert(run(0) == Map(2L -> 1.3863))
+    assert(run(1) == Map(2L -> 1.3863, 3L -> 1.109))
+    assert(run(2) == Map(2L -> 1.3863, 3L -> 1.109, 1L -> 0.8318))
+    intercept[IllegalArgumentException] {
+      SearchIndex.fuzzySearch(docs, "doc_id", "text", "two words", 1, 10)
+    }
+  }
+
   test("phrase search: consecutive-token matches, repeated terms, stored probe") {
     import graft.operators.SearchIndex
     import spark.implicits._
