@@ -347,6 +347,22 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // BPE tokenizer end-to-end: train 40 merges on the corpus, then
+    // assert decode(encode(text)) reproduces the canonical token
+    // stream for EVERY document — the oracle pins the roundtrip
+    // contract (1 per doc); any encoder/decoder defect flips a row to
+    // 0 and hash-mismatches. The merge table itself is pinned exactly
+    // by BpeSpec (Sennrich corpus, known 5-merge sequence).
+    "qX_bpe_roundtrip" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", 40)
+      docs.select(col("doc_id"),
+          (graft.operators.Bpe.decode(
+            graft.operators.Bpe.encode(col("text"), merges)) ===
+            concat_ws(" ", tokenize(col("text")))).cast("int").as("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fuzzy term search: the typo'd query "tabel" expands to vocabulary
     // terms within 2 edits (table, label, …), scored tf·idf·boost with
     // the Lucene fade-out boost 1 − dist/min(|q|,|t|). No LIMIT: the
@@ -812,6 +828,8 @@ object TextQueries {
          |  array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
          |    AS chunk
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "qX_bpe_roundtrip" ->
+      """SELECT doc_id, 1 AS ok FROM documents ORDER BY doc_id""",
     "qX_fuzzy" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(
