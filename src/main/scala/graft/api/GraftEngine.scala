@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{AlbumEntry, Bizcard, KnowsEdge, PersonVertex, PymkResponse}
-import graft.operators.{GraphBuild, Parse, Pymk, Search}
+import graft.operators.{GraphBuild, Parse, Pymk, Search, SearchIndex}
 import graft.streaming.CardStream
 
 /** The user-facing engine facade — the complete query surface of the
@@ -365,4 +365,62 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long): DataFrame =
     graft.operators.Packing.packScalable(df, idCol, tokenCol, budget)
+
+  /** match_phrase over one search field: exact consecutive-token
+    * matches ranked by phrase frequency, soft-deleted docs excluded
+    * (the B15 guard [[search]] applies). Memoized per request key —
+    * writes invalidate, same as every serving read. */
+  def phraseSearch(phrase: String, field: String = "name",
+                   limit: Int = 10): DataFrame =
+    memoized(cacheKey("phrase", field, phrase, limit.toString)) {
+      SearchIndex.phraseSearch(searchTable.filter(col("is_alive") === 1),
+        "doc_id", field, phrase, limit)
+    }
+
+  /** Fuzzy term search over one search field: the query term expands
+    * to vocabulary terms within `maxEdits` Levenshtein edits
+    * (typo-tolerant lookup — ES `fuzzy`), scored tf·idf with the
+    * Lucene fade-out boost. Memoized; soft-deleted docs excluded. */
+  def fuzzySearch(term: String, field: String = "name",
+                  maxEdits: Int = 2, limit: Int = 10): DataFrame =
+    memoized(cacheKey("fuzzy", field, term, maxEdits.toString,
+      limit.toString)) {
+      SearchIndex.fuzzySearch(searchTable.filter(col("is_alive") === 1),
+        "doc_id", field, term, maxEdits, limit)
+    }
+
+  /** Link prediction over the knows graph: top-k non-friend candidates
+    * per person under a classic local index (`resource_allocation` |
+    * `jaccard` | `common_neighbors` | `preferential_attachment`) —
+    * the tunable-scorer generalization of [[pymkAll]] (raw path
+    * counts) and the Adamic-Adar upgrade. Memoized per (k, measure). */
+  def linkPredict(k: Int = 10,
+                  measure: String = "resource_allocation"): DataFrame =
+    memoized(cacheKey("linkpred", k.toString, measure)) {
+      graft.operators.GraphAnalytics.linkPredict(
+        edges.select(col("src"), col("dst")), k, measure)
+    }
+
+  /** Sliding token-window chunking of a caller document frame —
+    * overlapping fixed-size passages for RAG/pretraining prep (not
+    * memoized: caller frames have no write-invalidation fence). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame =
+    graft.operators.TextAnalysis.chunkDocuments(df, idCol, textCol,
+      window, stride)
+
+  /** BPE subword tokenizer on caller frames: learn `numMerges` merges
+    * ([[graft.operators.Bpe.train]]), then encode with
+    * [[bpeEncode]]. */
+  def bpeTrain(df: DataFrame, textCol: String,
+               numMerges: Int): Seq[(String, String)] =
+    graft.operators.Bpe.train(df, textCol, numMerges)
+
+  /** Encode a text column into BPE pieces under a learned merge table
+    * (one narrow codegen scan; decode via
+    * [[graft.operators.Bpe.decode]]). */
+  def bpeEncode(df: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame =
+    df.withColumn("pieces",
+      graft.operators.Bpe.encode(col(textCol), merges))
 }

@@ -207,6 +207,35 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
       specPack.orderBy("doc_id").collect().toSeq)
   }
 
+  test("serving facade: phrase, fuzzy, link prediction, chunk, bpe") {
+    import spark.implicits._
+    val ph = engine.phraseSearch("edy kim", "name", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ph.size == 2 && ph.values.forall(_ == 1L))
+    // order matters: the reversed phrase finds nothing
+    assert(engine.phraseSearch("kim edy", "name", 10).isEmpty)
+    // B15 guard: the soft-deleted Crong card stays hidden here too
+    assert(engine.phraseSearch("crong lee", "name", 10).count() == 1)
+    // typo-tolerant: "edi" reaches the same docs through the expansion
+    val fz = engine.fuzzySearch("edi", "name", 1, 10)
+      .collect().map(_.getString(0)).toSet
+    assert(fz == ph.keySet)
+    // link prediction over the knows graph, measures memo-keyed apart
+    val ra = engine.linkPredict(5, "resource_allocation").collect()
+    val jc = engine.linkPredict(5, "jaccard").collect()
+    assert(ra.nonEmpty && jc.nonEmpty && ra.map(_.getInt(1)).min == 1)
+    intercept[IllegalArgumentException] { engine.linkPredict(5, "katz") }
+    // chunk + bpe roundtrip on a caller frame
+    val df = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+    assert(engine.chunk(df, "id", "text", 2, 2).count() == 2)
+    // (a,</w>)×4 then (t,a</w>)×2, then no pair reaches 2 — early stop
+    val merges = engine.bpeTrain(df, "text", 3)
+    assert(merges == Seq(("a", "</w>"), ("t", "a</w>")))
+    val dec = engine.bpeEncode(df, "text", merges)
+      .select(graft.operators.Bpe.decode(col("pieces"))).head().getString(0)
+    assert(dec == "alpha beta gamma delta")
+  }
+
   test("graph admin: dump then clear") {
     assert(engine.dumpGraph().length == 6)
     // plant a stale __old from a "crashed swap" — clearGraph must remove
