@@ -190,4 +190,44 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("chunking is one narrow scan: no exchange anywhere in the plan") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.operators.TextAnalysis
+      .chunkDocuments(docs, "doc_id", "text", 32, 24)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p.take(2000))
+  }
+
+  test("phrase + fuzzy search: query-side tables broadcast into the postings") {
+    val docs = Tables.load(spark, dir, "documents")
+    val pPhrase = graft.operators.SearchIndex
+      .phraseSearch(docs, "doc_id", "text", "table hash", 10)
+      .queryExecution.executedPlan.toString()
+    // the (term, offset) frame joins broadcast — the corpus-side
+    // postings are never shuffled for the join
+    assert(pPhrase.contains("BroadcastHashJoin"), pPhrase.take(3000))
+    val pFuzzy = graft.operators.SearchIndex
+      .fuzzySearch(docs, "doc_id", "text", "tabel", 2, 10)
+      .queryExecution.executedPlan.toString()
+    assert(pFuzzy.contains("BroadcastHashJoin"), pFuzzy.take(3000))
+  }
+
+  test("bpe encode fuses into WholeStageCodegen (addReferenceObj, no fallback)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = docs.select(graft.operators.Bpe.encode(
+        org.apache.spark.sql.functions.col("text"),
+        Seq(("a", "b"), ("ab", "c"))).as("pieces"))
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("*(1)"), "bpe_encode lost codegen:\n" + p.take(2000))
+  }
+
+  test("link prediction: wedge join keyed on the middle vertex, no cartesian") {
+    val edges = graft.queries.GraphQueries.derivedEdges(
+      Tables.load(spark, dir, "events"))
+    val p = graft.operators.GraphAnalytics.linkPredictScores(edges)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
