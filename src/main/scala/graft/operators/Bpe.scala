@@ -23,9 +23,10 @@ import graft.functions.expr.BpeExprs
   * and ONLY the argmax row is collected (O(1) driver traffic per
   * round); the merge application is a narrow codegen scan
   * ([[graft.functions.expr.BpeApplyMergeExpr]]), and the table is
-  * eagerly localCheckpoint-ed per round so round r+1 reads
-  * materialized blocks instead of an r-deep lineage (the pageRank
-  * cadence discipline, at cadence 1 because the table is tiny).
+  * eagerly localCheckpoint-ed every [[CheckpointCadence]] rounds (the
+  * pageRank cadence discipline — between checkpoints the lineage is
+  * only a few stacked narrow projections over a vocab-sized table, so
+  * recomputation is cheaper than a per-round materialization pass).
   *
   * [[encode]] is a single narrow codegen scan with the learned merge
   * table as a reference object; merges apply in learned order — the
@@ -40,6 +41,11 @@ object Bpe {
     * into the last character — the variant choice; merges can learn
     * to fuse it, e.g. ("est", "</w>") → "est</w>"). */
   val EOW = "</w>"
+
+  /** Rounds between eager localCheckpoints of the symbol table during
+    * [[train]] — flat-lineage cadence without paying a
+    * materialization action every round. */
+  val CheckpointCadence = 8
 
   /** A word as its BPE start symbols: per-code-point strings plus the
     * trailing [[EOW]]. */
@@ -101,9 +107,10 @@ object Bpe {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        words = words.select(col("freq"),
-            BpeExprs.bpe_apply_merge(col("syms"), a, b).as("syms"))
-          .localCheckpoint(true)
+        val next = words.select(col("freq"),
+          BpeExprs.bpe_apply_merge(col("syms"), a, b).as("syms"))
+        words = if (merges.length % CheckpointCadence == 0)
+          next.localCheckpoint(true) else next
       }
     }
     merges.toSeq
