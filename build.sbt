@@ -32,3 +32,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// ExtensionsSpec must own its JVM: spark.sql.extensions is a STATIC
+// conf that Spark reads from the SparkContext's conf at session build —
+// in a JVM where another suite already created the (extension-less)
+// context, the injection is silently skipped and the spec fails. A
+// dedicated forked group gives it a fresh context, so the config-driven
+// deploy path is genuinely exercised on every full-suite run.
+Test / testGrouping := {
+  val forkOpts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (ext, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.ExtensionsSpec")
+  Seq(
+    Tests.Group("extensions", ext, Tests.SubProcess(forkOpts)),
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}

@@ -425,6 +425,45 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_recovered")))
     }),
 
+    // Product-quantization ADC top-k with a FIXED codebook (subspace
+    // slices of embedding rows 0..15) — encode + lookup-table scoring
+    // are deterministic given the codebook, so the whole path is
+    // SQL-expressible and fully oracle-checked, like qX_ann_ivf.
+    "qX_pq" -> ((s, dir) => {
+      import graft.operators.Pq
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = (0 until 4).map(sub =>
+          emb.filter(col("vec_id") < 16)
+            .select(lit(sub).as("sub"), col("vec_id").cast("int").as("cid"),
+              slice(col("embedding"), sub * 16 + 1, 16).as("cvec")))
+        .reduce(_.unionAll(_))
+      val enc = Pq.pqEncode(emb, cb, "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      Pq.pqTopK(q, enc, cb, "vec_id", "embedding", 5)
+    }),
+
+    // PQ TRAINED-codebook recall contract: planted twins (+100000,
+    // identical vectors) must be recovered in the ADC top-5 — an
+    // identical query shares its twin's codes, so the twin scores the
+    // reconstruction's own cosine, and with 16 centroids per subspace
+    // over 500 vectors the quantization error leaves the twin on top.
+    // Deterministic end-to-end (hash-pool init, first-min argmin), so
+    // the oracle pins recovered == planted.
+    "qX_pq_recall" -> ((s, dir) => {
+      import graft.operators.Pq
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val cb = Pq.pqTrain(emb, "vec_id", "embedding",
+        m = 4, ksub = 16, iters = 2, seedPool = 64)
+      val enc = Pq.pqEncode(emb, cb, "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val res = Pq.pqTopK(q, enc, cb, "vec_id", "embedding", 5)
+      q.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(res.filter(col("id") === col("qid") - 100000)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // IVF-probed ANN (centroid cells + nprobe pruning) — deterministic
     // given the centroid table, so fully oracle-checked unlike the
     // hash-based ANN paths.
@@ -504,6 +543,52 @@ object SimilarityQueries {
         |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, sim FROM pairs WHERE sim >= 0.9
         |ORDER BY sim DESC, id1, id2""".stripMargin,
+
+    "qX_pq_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "qX_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ss AS (SELECT unnest([0, 1, 2, 3]) AS s),
+        |subs AS (
+        |  SELECT e.vec_id, ss.s, e.v[ss.s*16+1 : ss.s*16+16] AS sv
+        |  FROM e CROSS JOIN ss),
+        |cb AS (SELECT s, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT subs.vec_id, subs.s, cb.cid, row_number() OVER (
+        |    PARTITION BY subs.vec_id, subs.s
+        |    ORDER BY round(pow(list_distance(subs.sv, cb.cv), 2), 6) ASC,
+        |      cb.cid ASC) AS rn
+        |  FROM subs JOIN cb ON cb.s = subs.s),
+        |codes AS (SELECT vec_id, s, cid FROM asg WHERE rn = 1),
+        |cn AS (
+        |  SELECT c.vec_id, sum(list_inner_product(cb.cv, cb.cv)) AS cnorm2
+        |  FROM codes c JOIN cb ON cb.s = c.s AND cb.cid = c.cid
+        |  GROUP BY c.vec_id),
+        |q AS (
+        |  SELECT vec_id AS qid, v, sqrt(list_inner_product(v, v)) AS qn
+        |  FROM e WHERE vec_id >= 100 AND vec_id < 105),
+        |qsub AS (
+        |  SELECT q.qid, ss.s, q.v[ss.s*16+1 : ss.s*16+16] AS qv, q.qn
+        |  FROM q CROSS JOIN ss),
+        |adc AS (
+        |  SELECT qs.qid, c.vec_id AS id,
+        |    sum(list_inner_product(qs.qv, cb.cv)) AS dotr,
+        |    any_value(qs.qn) AS qn, any_value(cn.cnorm2) AS cnorm2
+        |  FROM codes c
+        |  JOIN cb ON cb.s = c.s AND cb.cid = c.cid
+        |  JOIN qsub qs ON qs.s = c.s
+        |  JOIN cn ON cn.vec_id = c.vec_id
+        |  WHERE c.vec_id <> qs.qid
+        |  GROUP BY qs.qid, c.vec_id),
+        |scored AS (
+        |  SELECT qid, id, round(dotr / (qn * sqrt(cnorm2)), 4) AS sim FROM adc)
+        |SELECT qid, id, sim FROM (
+        |  SELECT qid, id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM scored) x
+        |WHERE rn <= 5 ORDER BY qid, sim DESC, id""".stripMargin,
 
     "qX_ann_ivf" ->
       """WITH e AS (

@@ -236,6 +236,27 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(dec == "alpha beta gamma delta")
   }
 
+  test("pq facade: index + ADC search recovers identical twins") {
+    import spark.implicits._
+    // 8-dim vectors from 2 atoms per 4-dim subspace — pqTrain with
+    // ksub=2 reaches zero reconstruction error, so a twin query's ADC
+    // sim is exactly 1.0 through the facade pair
+    val atoms = Vector(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 1f, 0f))
+    val pts = (0 until 20)
+      .map(i => (i.toLong, atoms(i % 2) ++ atoms((i / 2) % 2)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val (cb, enc) = engine.pqIndex(pts, "vec_id", "embedding", m = 2, ksub = 2)
+    val q = pts.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val hits = engine.pqSearch(q, enc, cb, k = 3)
+      .filter(col("sim") === 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every 1.0 hit shares its query's atom combination (id ≡ qid mod 4)
+    assert(hits.nonEmpty &&
+      hits.forall { case (qid, id) => id % 4 == (qid - 1000) % 4 })
+  }
+
   test("graph admin: dump then clear") {
     assert(engine.dumpGraph().length == 6)
     // plant a stale __old from a "crashed swap" — clearGraph must remove

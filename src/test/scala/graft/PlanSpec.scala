@@ -191,6 +191,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pq: encode is narrow and the ADC pipeline shuffles once (the top-k fold)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cb = (0 until 4).map(sub =>
+        emb.filter(col("vec_id") < 16)
+          .select(lit(sub).as("sub"), col("vec_id").cast("int").as("cid"),
+            slice(col("embedding"), sub * 16 + 1, 16).as("cvec")))
+      .reduce(_.unionAll(_))
+    // encode: codebook lives in the plan as literals — no join, no
+    // exchange, the whole index build is a narrow scan
+    val pEnc = graft.operators.Pq.pqEncode(emb, cb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString()
+    assert(!pEnc.contains("Exchange"), "pqEncode must not shuffle:\n" + pEnc.take(2000))
+    assert(!pEnc.contains("Join"), "pqEncode must not join:\n" + pEnc.take(2000))
+    // ADC top-k: queries broadcast (the probe shape), candidates fold
+    // through partial heaps — the only hash exchange is the per-query
+    // top-k aggregate, and nothing sort-merges
+    val p = plan("qX_pq")
+    assert(p.contains("collect_top_k"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"PQ pipeline must hash-shuffle once (top-k), saw $exchanges:\n" + p.take(3000))
+  }
+
   test("chunking is one narrow scan: no exchange anywhere in the plan") {
     val docs = Tables.load(spark, dir, "documents")
     val p = graft.operators.TextAnalysis

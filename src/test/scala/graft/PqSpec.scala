@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pq
+
+/** Product quantization contracts: deterministic encode, exact ADC on
+  * zero-error reconstructions, training recovery of planted subspace
+  * structure, duplicate-centroid exhaustion, and the divisibility
+  * precondition. The gate queries (qX_pq full SQL oracle, qX_pq_recall
+  * trained-codebook twin recall) cover the end-to-end paths; these pin
+  * the operator-level semantics.
+  */
+class PqSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // 4-dim vectors, m=2 subspaces of 2 dims; two distinct subvector
+  // "atoms" per subspace → 4 possible exact reconstructions
+  private val a0 = Seq(1.0f, 0.0f); private val a1 = Seq(0.0f, 1.0f)
+  private val b0 = Seq(1.0f, 1.0f); private val b1 = Seq(2.0f, 0.0f)
+
+  private def cbDF = Seq(
+    (0, 0, a0), (0, 1, a1), (1, 0, b0), (1, 1, b1)
+  ).toDF("sub", "cid", "cvec")
+    .select(col("sub"), col("cid"), col("cvec").cast("array<float>").as("cvec"))
+
+  test("encode: identical vectors get identical codes; codes index the nearest atom") {
+    val pts = Seq(
+      (1L, a0 ++ b0), (2L, a0 ++ b0),       // identical pair
+      (3L, a1 ++ b1),
+      (4L, Seq(0.9f, 0.1f) ++ Seq(1.9f, 0.1f)) // near (a0, b1)
+    ).toDF("id", "vec").select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val enc = Pq.pqEncode(pts, cbDF, "id", "vec")
+      .select(col("id"), col("codes")).as[(Long, Seq[Int])].collect().toMap
+    assert(enc(1L) == Seq(0, 0) && enc(2L) == Seq(0, 0))
+    assert(enc(3L) == Seq(1, 1))
+    assert(enc(4L) == Seq(0, 1))
+  }
+
+  test("cnorm2 is the reconstruction's squared norm") {
+    val pts = Seq((1L, a0 ++ b1)).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val r = Pq.pqEncode(pts, cbDF, "id", "vec").select(col("cnorm2")).head
+    // ||(1,0)||² + ||(2,0)||² = 1 + 4
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-9)
+  }
+
+  test("ADC is exact cosine when the corpus has zero reconstruction error") {
+    // corpus = exact atom concatenations; a query equal to a corpus row
+    // must score sim 1.0 against it via the lookup table alone
+    val corpus = Seq((1L, a0 ++ b0), (2L, a0 ++ b1), (3L, a1 ++ b0))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val enc = Pq.pqEncode(corpus, cbDF, "id", "vec")
+    val q = Seq((100L, a0 ++ b1)).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val top = Pq.pqTopK(q, enc, cbDF, "id", "vec", 1)
+      .select(col("id"), col("sim")).head
+    assert(top.getLong(0) == 2L && top.getDouble(1) == 1.0)
+  }
+
+  test("training recovers planted atoms when ksub matches the distinct subvectors") {
+    // 40 rows drawn from the 4 exact combinations: with ksub=2 the
+    // per-subspace Lloyd fixpoint is the atom set itself, so encode has
+    // zero reconstruction error and every self-query ADC sim is 1.0
+    val combos = Vector(a0 ++ b0, a0 ++ b1, a1 ++ b0, a1 ++ b1)
+    val pts = (0 until 40).map(i => (i.toLong, combos(i % 4)))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val cb = Pq.pqTrain(pts, "id", "vec", m = 2, ksub = 2, iters = 3, seedPool = 16)
+    val enc = Pq.pqEncode(pts, cb, "id", "vec")
+    val q = pts.filter(col("id") < 4)
+      .select((col("id") + 1000).as("id"), col("vec"))
+    val res = Pq.pqTopK(q, enc, cb, "id", "vec", 5)
+    // each query's twin family (same combo, ids ≡ qid-1000 mod 4) tops
+    // the ranking at exactly 1.0
+    val top = res.filter(col("sim") === 1.0)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+    for (qid <- 0L until 4L)
+      assert(top.filter(_._1 == qid + 1000).forall(t => t._2 % 4 == qid),
+        s"query $qid matched a foreign combo at 1.0")
+    assert(top.length == 4 * 5, "all top-5 slots must be same-combo at sim 1.0")
+  }
+
+  test("fewer distinct subvectors than ksub yields fewer centroids, never duplicates") {
+    val pts = (0 until 10).map(i => (i.toLong, if (i % 2 == 0) a0 ++ b0 else a1 ++ b0))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val cb = Pq.pqTrain(pts, "id", "vec", m = 2, ksub = 4, iters = 2, seedPool = 8)
+    val sizes = cb.groupBy("sub").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(sizes(0) == 2, s"subspace 0 has 2 distinct atoms, got ${sizes(0)}")
+    assert(sizes(1) == 1, s"subspace 1 has 1 distinct atom, got ${sizes(1)}")
+    // jagged codebook still encodes (codes within each subspace's range)
+    val enc = Pq.pqEncode(pts, cb, "id", "vec")
+      .select(col("codes")).as[Seq[Int]].collect()
+    assert(enc.forall(c => c(0) < 2 && c(1) == 0))
+  }
+
+  test("dim not divisible by m is rejected") {
+    val pts = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      Pq.pqTrain(pts, "id", "vec", m = 2, ksub = 2)
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
+}
