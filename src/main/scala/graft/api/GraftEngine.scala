@@ -281,6 +281,28 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                qvecCol: String = "embedding"): DataFrame =
     graft.operators.Pq.pqTopK(queries, encoded, codebook, qidCol, qvecCol, k)
 
+  /** Two-level IVF-PQ index: k-means coarse cells
+    * ([[graft.operators.Similarity.kmeansFit]]) over the corpus, PQ
+    * codes inside them — nprobe bounds which rows a query scans, codes
+    * bound row cost and index size (the FAISS IVFPQ layout as parquet
+    * tables; see [[graft.operators.Pq.ivfPqEncode]]).
+    * @return (centroids (cid, cvec), codebook (sub, cid, cvec),
+    *         encoded (id, cell, codes, cnorm2)) */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int = 64, m: Int = 8, ksub: Int = 256): (DataFrame, DataFrame, DataFrame) = {
+    val (_, cents) = graft.operators.Similarity.kmeansFit(df, idCol, vecCol, nCells)
+    val cb = graft.operators.Pq.pqTrain(df, idCol, vecCol, m, ksub)
+    (cents, cb, graft.operators.Pq.ivfPqEncode(df, cents, cb, idCol, vecCol))
+  }
+
+  /** Cell-pruned ADC top-k over an [[ivfPqIndex]]. */
+  def ivfPqSearch(queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
+                  centroids: DataFrame, k: Int, nprobe: Int = 4,
+                  qidCol: String = "vec_id",
+                  qvecCol: String = "embedding"): DataFrame =
+    graft.operators.Pq.ivfPqTopK(queries, encoded, codebook, centroids,
+      qidCol, qvecCol, k, nprobe)
+
   /** GraphX analytics over the engine's graph: PageRank centrality. */
   def pageRank(iters: Int = 10): DataFrame =
     graft.operators.GraphAnalytics.pageRank(vertices,

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cosine
 
 /** Product quantization for embedding search (Jégou, Douze, Schmid,
   * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
@@ -30,10 +33,11 @@ import org.apache.spark.sql.functions._
   *    ([[TopK.grouped]]), so the only shuffle carries ≤ k·mappers rows
   *    per query.
   *
-  * Composition: run [[pqEncode]] over [[Similarity.ivfAssign]] output
-  * and keep the codes table partitioned by cell → IVF-PQ: nprobe cell
-  * pruning bounds the candidates, ADC bounds the per-candidate cost,
-  * and the scanned index is bytes, not vectors.
+  * Composition: [[ivfPqEncode]] / [[ivfPqTopK]] stack the coarse
+  * quantizer ([[Similarity.ivfAssign]] cells) under the codes →
+  * IVF-PQ: nprobe cell pruning bounds the candidates, ADC bounds the
+  * per-candidate cost, and the scanned index is bytes, not vectors —
+  * the FAISS IVFPQ architecture as two DataFrame passes.
   *
   * Determinism mirrors [[Similarity.kmeansFit]]: hash-sampled seed
   * pool + farthest-first init (no RNG), first-min argmin on distances
@@ -200,8 +204,14 @@ object Pq {
     * per vector instead of the float array.
     */
   def pqEncode(points: DataFrame, codebook: DataFrame,
-               idCol: String, vecCol: String): DataFrame = {
-    val cb = collectCodebook(codebook)
+               idCol: String, vecCol: String): DataFrame =
+    appendCodes(points.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("vec")), collectCodebook(codebook))
+
+  /** Append (codes, cnorm2) to a frame with a `vec` column and drop
+    * the vector — the narrow-scan encode core shared by [[pqEncode]]
+    * and [[ivfPqEncode]]. Codebook lives in the plan as literals. */
+  private def appendCodes(withVec: DataFrame, cb: Codebook): DataFrame = {
     val subDim = cb.head.head.length
     val codes = array(cb.indices.map(s =>
       nearestCode(subSlice(col("vec"), s, subDim), cb(s))): _*)
@@ -209,8 +219,7 @@ object Pq {
     val cnorm2 = cb.indices.map(s =>
       element_at(typedLit(norms(s)), element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    points.select(col(idCol).as("id"),
-        col(vecCol).cast("array<float>").as("vec"))
+    withVec
       .withColumn("codes", codes)
       .withColumn("cnorm2", cnorm2)
       .drop("vec")
@@ -228,26 +237,94 @@ object Pq {
   def pqTopK(queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
              qidCol: String, qvecCol: String, k: Int): DataFrame = {
     val cb = collectCodebook(codebook)
+    val q = withLut(queries.select(col(qidCol).as("qid"),
+        col(qvecCol).cast("array<float>").as("qvec")), cb)
+      .drop("qvec")
+    val scored = broadcast(q).join(encoded, col("qid") =!= col("id"))
+      .withColumn("sim", adcSim(cb))
+    rankTopK(scored, k)
+  }
+
+  /** Per-query ADC lookup tables + query norm appended to a (qid,
+    * qvec) projection — the broadcast probe side shared by [[pqTopK]]
+    * and [[ivfPqTopK]]. m·ksub dots per QUERY, computed once. */
+  private def withLut(q: DataFrame, cb: Codebook): DataFrame = {
     val subDim = cb.head.head.length
     val lut = array(cb.indices.map(s =>
       array(cb(s).map(c =>
         dotLit(subSlice(col("qvec"), s, subDim), c)): _*)): _*)
-    val q = queries.select(col(qidCol).as("qid"),
-        col(qvecCol).cast("array<float>").as("qvec"))
-      .withColumn("lut", lut)
+    q.withColumn("lut", lut)
       .withColumn("qnorm",
         sqrt(aggregate(transform(col("qvec"),
           x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)))
-      .drop("qvec")
+  }
+
+  /** ADC cosine against the reconstruction: m lut probes summed, over
+    * ‖q‖·√cnorm2; zero norms → −1 (the shared ANN NaN rule), rounded
+    * to 4 like every ANN `sim`. */
+  private def adcSim(cb: Codebook): Column = {
     val adc = cb.indices.map(s =>
       element_at(element_at(col("lut"), s + 1),
         element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
-    val scored = broadcast(q).join(encoded, col("qid") =!= col("id"))
-      .withColumn("sim",
-        round(nanvl(adc / (col("qnorm") * sqrt(col("cnorm2"))), lit(-1.0)), 4))
+    round(nanvl(adc / (col("qnorm") * sqrt(col("cnorm2"))), lit(-1.0)), 4)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     TopK.grouped(scored, Seq("qid"),
         struct((-col("sim")).as("ns"), col("id").as("i")), k)
       .select(col("qid"), col("best.i").as("id"), (-col("best.ns")).as("sim"))
       .orderBy(col("qid"), desc("sim"), col("id"))
+
+  /** IVF-PQ index build: assign every vector to its nearest coarse
+    * centroid cell ([[Similarity.ivfAssign]] — broadcast centroids,
+    * narrow scan), then PQ-encode in the same pass. The output
+    * (id, cell, codes, cnorm2) is the full two-level index: cells
+    * bound WHICH rows a query scans (nprobe pruning), codes bound the
+    * per-row COST (m probes) and the index SIZE (bytes). Write it
+    * partitioned by `cell` and a probe reads only nprobe partitions
+    * of a byte-sized table — the FAISS IVFPQ layout re-expressed as a
+    * parquet table.
+    *
+    * Codes quantize the RAW vector, not the cell residual (FAISS's
+    * default residual encoding halves quantization error but puts the
+    * coarse centroid inside the code semantics; raw codes keep the
+    * encode narrow, cell-independent, and SQL-expressible — the
+    * documented precision/simplicity trade).
+    */
+  def ivfPqEncode(points: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val assigned = Similarity.ivfAssign(
+        points.select(col(idCol).as("id"),
+          col(vecCol).cast("array<float>").as("vec")),
+        centroids, "id", "vec")
+      .select(col("id"), col("vec"), col("cid").as("cell"))
+    appendCodes(assigned, collectCodebook(codebook))
+  }
+
+  /** IVF-PQ probe: each query ranks the coarse centroids (broadcast,
+    * rounded-cosine ties → lowest cid, the [[Similarity.ivfTopK]]
+    * contract), keeps its `nprobe` best cells, and ADC-scores only the
+    * encoded rows of those cells — candidates bounded by cells, cost
+    * per candidate bounded by m lut probes, and the scan side is the
+    * byte-code index, never the float corpus. The probes side
+    * (queries × nprobe, carrying the luts) broadcasts; the only
+    * shuffle is the bounded-heap top-k fold.
+    */
+  def ivfPqTopK(queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
+                centroids: DataFrame, qidCol: String, qvecCol: String,
+                k: Int, nprobe: Int): DataFrame = {
+    val cb = collectCodebook(codebook)
+    val q = withLut(queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<float>").as("qvec")), cb)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(desc("qcsim"), asc("cid"))
+    val probes = q.join(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .withColumn("qcsim", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nprobe)
+      .select(col("qid"), col("lut"), col("qnorm"), col("cid").as("cell"))
+    val scored = broadcast(probes).join(encoded, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim", adcSim(cb))
+    rankTopK(scored, k)
   }
 }

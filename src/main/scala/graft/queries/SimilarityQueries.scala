@@ -464,6 +464,25 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_recovered")))
     }),
 
+    // IVF-PQ: coarse cells (vec_id < 8 centroids, the qX_ann_ivf
+    // table) stacked under PQ codes (vec_id < 16 codebook, the qX_pq
+    // table) — nprobe=2 cell pruning bounds candidates, ADC bounds
+    // per-candidate cost. Both quantizers fixed → fully SQL-expressible.
+    "qX_ivfpq" -> ((s, dir) => {
+      import graft.operators.Pq
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = (0 until 4).map(sub =>
+          emb.filter(col("vec_id") < 16)
+            .select(lit(sub).as("sub"), col("vec_id").cast("int").as("cid"),
+              slice(col("embedding"), sub * 16 + 1, 16).as("cvec")))
+        .reduce(_.unionAll(_))
+      val enc = Pq.ivfPqEncode(emb, cents, cb, "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      Pq.ivfPqTopK(q, enc, cb, cents, "vec_id", "embedding", 5, 2)
+    }),
+
     // IVF-probed ANN (centroid cells + nprobe pruning) — deterministic
     // given the centroid table, so fully oracle-checked unlike the
     // hash-based ANN paths.
@@ -582,6 +601,65 @@ object SimilarityQueries {
         |  JOIN qsub qs ON qs.s = c.s
         |  JOIN cn ON cn.vec_id = c.vec_id
         |  WHERE c.vec_id <> qs.qid
+        |  GROUP BY qs.qid, c.vec_id),
+        |scored AS (
+        |  SELECT qid, id, round(dotr / (qn * sqrt(cnorm2)), 4) AS sim FROM adc)
+        |SELECT qid, id, sim FROM (
+        |  SELECT qid, id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM scored) x
+        |WHERE rn <= 5 ORDER BY qid, sim DESC, id""".stripMargin,
+
+    "qX_ivfpq" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ss AS (SELECT unnest([0, 1, 2, 3]) AS s),
+        |subs AS (
+        |  SELECT e.vec_id, ss.s, e.v[ss.s*16+1 : ss.s*16+16] AS sv
+        |  FROM e CROSS JOIN ss),
+        |cb AS (SELECT s, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT subs.vec_id, subs.s, cb.cid, row_number() OVER (
+        |    PARTITION BY subs.vec_id, subs.s
+        |    ORDER BY round(pow(list_distance(subs.sv, cb.cv), 2), 6) ASC,
+        |      cb.cid ASC) AS rn
+        |  FROM subs JOIN cb ON cb.s = subs.s),
+        |codes AS (SELECT vec_id, s, cid FROM asg WHERE rn = 1),
+        |cn AS (
+        |  SELECT c.vec_id, sum(list_inner_product(cb.cv, cb.cv)) AS cnorm2
+        |  FROM codes c JOIN cb ON cb.s = c.s AND cb.cid = c.cid
+        |  GROUP BY c.vec_id),
+        |cc AS (SELECT vec_id AS ccid, v AS ccv FROM e WHERE vec_id < 8),
+        |cells AS (
+        |  SELECT vec_id AS id, ccid AS cell FROM (
+        |    SELECT e.vec_id, cc.ccid, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.v, cc.ccv), 6) DESC,
+        |        cc.ccid) AS rn
+        |    FROM e CROSS JOIN cc) x WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS qid, v, sqrt(list_inner_product(v, v)) AS qn
+        |  FROM e WHERE vec_id >= 100 AND vec_id < 105),
+        |probes AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, cc.ccid AS cell, row_number() OVER (
+        |      PARTITION BY q.qid
+        |      ORDER BY round(list_cosine_similarity(q.v, cc.ccv), 6) DESC,
+        |        cc.ccid) AS rn
+        |    FROM q CROSS JOIN cc) x WHERE rn <= 2),
+        |qsub AS (
+        |  SELECT q.qid, ss.s, q.v[ss.s*16+1 : ss.s*16+16] AS qv, q.qn
+        |  FROM q CROSS JOIN ss),
+        |adc AS (
+        |  SELECT qs.qid, c.vec_id AS id,
+        |    sum(list_inner_product(qs.qv, cb.cv)) AS dotr,
+        |    any_value(qs.qn) AS qn, any_value(cn.cnorm2) AS cnorm2
+        |  FROM codes c
+        |  JOIN cells ON cells.id = c.vec_id
+        |  JOIN probes p ON p.cell = cells.cell
+        |  JOIN cb ON cb.s = c.s AND cb.cid = c.cid
+        |  JOIN qsub qs ON qs.s = c.s AND qs.qid = p.qid
+        |  JOIN cn ON cn.vec_id = c.vec_id
+        |  WHERE c.vec_id <> p.qid
         |  GROUP BY qs.qid, c.vec_id),
         |scored AS (
         |  SELECT qid, id, round(dotr / (qn * sqrt(cnorm2)), 4) AS sim FROM adc)

@@ -216,6 +216,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"PQ pipeline must hash-shuffle once (top-k), saw $exchanges:\n" + p.take(3000))
   }
 
+  test("ivf-pq: every join broadcasts (centroid probe, cell prune), no sort-merge, heap top-k") {
+    val p = plan("qX_ivfpq")
+    assert(p.contains("collect_top_k"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("chunking is one narrow scan: no exchange anywhere in the plan") {
     val docs = Tables.load(spark, dir, "documents")
     val p = graft.operators.TextAnalysis

@@ -94,6 +94,31 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(enc.forall(c => c(0) < 2 && c(1) == 0))
   }
 
+  test("ivf-pq: nprobe = all cells is exactly pqTopK; nprobe=1 scans only the probed cell") {
+    val combos = Vector(a0 ++ b0, a0 ++ b1, a1 ++ b0, a1 ++ b1)
+    val pts = (0 until 40).map(i => (i.toLong, combos(i % 4)))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<float>").as("vec"))
+    // two coarse cells along the first subspace's atom axis
+    val cents = Seq((0, a0 ++ b0), (1, a1 ++ b0)).toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    val enc = Pq.ivfPqEncode(pts, cents, cbDF, "id", "vec")
+    val q = pts.filter(col("id") < 4)
+      .select((col("id") + 1000).as("id"), col("vec"))
+    // exhaustive probe ≡ flat PQ: identical candidate set, identical ranking
+    val full = Pq.ivfPqTopK(q, enc, cbDF, cents, "id", "vec", 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val flat = Pq.pqTopK(q, enc.drop("cell"), cbDF, "id", "vec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.sameElements(flat))
+    // nprobe=1: every hit must come from the query's own best cell
+    val cellOf = enc.select(col("id"), col("cell")).as[(Long, Int)].collect().toMap
+    val pruned = Pq.ivfPqTopK(q, enc, cbDF, cents, "id", "vec", 5, nprobe = 1)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+    for ((qid, id) <- pruned)
+      assert(cellOf(id) == cellOf(qid - 1000),
+        s"query $qid got candidate $id from an unprobed cell")
+  }
+
   test("dim not divisible by m is rejected") {
     val pts = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
       .select(col("id"), col("vec").cast("array<float>").as("vec"))
