@@ -303,6 +303,25 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.Pq.ivfPqTopK(queries, encoded, codebook, centroids,
       qidCol, qvecCol, k, nprobe)
 
+  /** Point-in-interval (BETWEEN) join as a binned equi-join — no
+    * nested-loop pair blowup (see [[graft.operators.RangeJoin]]).
+    * `binWidth` is in axis units (days for dates, micros for
+    * timestamps); pick it near the median interval length. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                ptCol: String, startCol: String, endCol: String,
+                valueCols: Seq[String], binWidth: Long): DataFrame =
+    graft.operators.RangeJoin.pointInInterval(
+      points, intervals, ptCol, startCol, endCol, valueCols, binWidth)
+
+  /** Interval-overlap join (closed intervals), binned with arithmetic
+    * first-shared-bin dedup (see [[graft.operators.RangeJoin]]). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String, lCols: Seq[String],
+                      rStart: String, rEnd: String, rCols: Seq[String],
+                      binWidth: Long): DataFrame =
+    graft.operators.RangeJoin.intervalOverlap(
+      left, right, lStart, lEnd, lCols, rStart, rEnd, rCols, binWidth)
+
   /** GraphX analytics over the engine's graph: PageRank centrality. */
   def pageRank(iters: Int = 10): DataFrame =
     graft.operators.GraphAnalytics.pageRank(vertices,

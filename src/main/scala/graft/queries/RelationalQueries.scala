@@ -513,6 +513,52 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Range (point-in-interval) join: every order date matched to each
+    // shipping window [l_shipdate, l_shipdate + floor(l_quantity) days]
+    // containing it. Binned equi-join on a 32-day grid — an equi-
+    // shuffle plan where naive BETWEEN would nested-loop every pair
+    // (operators.RangeJoin).
+    "qX_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey").as("pid"),
+          col("o_orderdate").cast("date").as("pt"))
+      val ivs = t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey").as("iid"),
+          col("l_linenumber").cast("int").as("iline"),
+          col("l_shipdate").cast("date").as("w_start"),
+          date_add(col("l_shipdate").cast("date"),
+            floor(col("l_quantity")).cast("int")).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(pts, ivs,
+          "pt", "w_start", "w_end", Seq("iid", "iline"), binWidth = 32)
+        .select(col("pid"), col("iid"), col("iline"))
+        .orderBy(col("pid"), col("iid"), col("iline"))
+    }),
+
+    // Interval-overlap join: all pairs of shipping windows that
+    // overlap (closed intervals). Both sides explode to the bin grid;
+    // the pair dedups arithmetically to its first shared bin, so the
+    // plan has no distinct and no pair blowup. Canonical a<b ordering
+    // applied downstream, exactly as the SQL twin does.
+    "qX_interval_overlap" -> ((s, dir) => {
+      val iv = t(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey").as("k"),
+          col("l_linenumber").cast("int").as("ln"),
+          col("l_shipdate").cast("date").as("ws"),
+          date_add(col("l_shipdate").cast("date"),
+            floor(col("l_quantity")).cast("int")).as("we"))
+      val a = iv.select(col("k").as("a_k"), col("ln").as("a_ln"),
+        col("ws").as("a_ws"), col("we").as("a_we"))
+      val b = iv.select(col("k").as("b_k"), col("ln").as("b_ln"),
+        col("ws").as("b_ws"), col("we").as("b_we"))
+      graft.operators.RangeJoin.intervalOverlap(a, b,
+          "a_ws", "a_we", Seq("a_k", "a_ln"),
+          "b_ws", "b_we", Seq("b_k", "b_ln"), binWidth = 32)
+        .filter(col("a_k") < col("b_k") ||
+          (col("a_k") === col("b_k") && col("a_ln") < col("b_ln")))
+        .select(col("a_k"), col("a_ln"), col("b_k"), col("b_ln"))
+        .orderBy(col("a_k"), col("a_ln"), col("b_k"), col("b_ln"))
+    }),
+
     // J4: sessionization by inactivity gap (30 min) — the batch twin of
     // flatMapGroupsWithState session state; pure window functions, one
     // shuffle keyed by user.
@@ -771,6 +817,26 @@ object RelationalQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    "qX_range_join" ->
+      """SELECT o.o_orderkey AS pid, l.l_orderkey AS iid,
+        |  l.l_linenumber AS iline
+        |FROM orders o JOIN lineitem l
+        |  ON CAST(o.o_orderdate AS DATE)
+        |     BETWEEN CAST(l.l_shipdate AS DATE)
+        |         AND CAST(l.l_shipdate AS DATE)
+        |             + CAST(floor(l.l_quantity) AS INT)
+        |WHERE o.o_orderkey < 500 AND l.l_orderkey < 100
+        |ORDER BY pid, iid, iline""".stripMargin,
+    "qX_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS ln,
+        |    CAST(l_shipdate AS DATE) AS ws,
+        |    CAST(l_shipdate AS DATE) + CAST(floor(l_quantity) AS INT) AS we
+        |  FROM lineitem WHERE l_orderkey < 300)
+        |SELECT a.k AS a_k, a.ln AS a_ln, b.k AS b_k, b.ln AS b_ln
+        |FROM iv a JOIN iv b ON a.ws <= b.we AND b.ws <= a.we
+        |WHERE a.k < b.k OR (a.k = b.k AND a.ln < b.ln)
+        |ORDER BY a_k, a_ln, b_k, b_ln""".stripMargin,
     "qX_salted_agg" ->
       """SELECT user_id AS key, count(*) AS cnt FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,

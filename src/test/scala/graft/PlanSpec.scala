@@ -223,6 +223,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("range join: binned equi-join, never a nested-loop pair blowup") {
+    for (q <- Seq("qX_range_join", "qX_interval_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loops:\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct"), s"$q cartesians:\n" + p.take(3000))
+      assert(p.contains("Generate explode"), s"$q missing bin explode:\n" + p.take(3000))
+    }
+  }
+
   test("chunking is one narrow scan: no exchange anywhere in the plan") {
     val docs = Tables.load(spark, dir, "documents")
     val p = graft.operators.TextAnalysis
