@@ -322,6 +322,19 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.RangeJoin.intervalOverlap(
       left, right, lStart, lEnd, lCols, rStart, rEnd, rCols, binWidth)
 
+  /** Train a bigram reference LM over a clean corpus — the
+    * CCNet-style quality-filter model (see
+    * [[graft.operators.NgramLm]]). */
+  def lmTrain(docs: DataFrame, textCol: String, minCount: Long = 1): DataFrame =
+    graft.operators.NgramLm.train(docs, textCol, minCount)
+
+  /** Perplexity-score documents against an [[lmTrain]]ed model:
+    * (id, n_bigrams, lp_micros, ppl_milli) — filter on `ppl_milli`
+    * to keep fluent text. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame): DataFrame =
+    graft.operators.NgramLm.score(docs, idCol, textCol, model)
+
   /** GraphX analytics over the engine's graph: PageRank centrality. */
   def pageRank(iters: Int = 10): DataFrame =
     graft.operators.GraphAnalytics.pageRank(vertices,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.tokenize
+
+/** Bigram language-model quality scoring — the CCNet/KenLM-style
+  * perplexity filter (Wenzek et al. 2020: score crawl text with an
+  * n-gram LM trained on a clean reference corpus; low-perplexity ≈
+  * fluent, high ≈ garbage) that large-scale pretraining pipelines run
+  * between dedup and mixing. Two halves:
+  *
+  *  - [[train]] — count bigram occurrences over the tokenized
+  *    reference corpus: ONE keyed shuffle with map-side partial
+  *    counts to a (ctx, word, cnt) model table. `minCount` prunes the
+  *    long tail (CCNet prunes its KenLM the same way); pruned pairs
+  *    score as unseen.
+  *  - [[score]] — per-document mean log-probability under the model
+  *    with add-one (Laplace) smoothing:
+  *    `p(w|c) = (cnt(c,w) + 1) / (cnt(c) + V)`, V = model vocabulary
+  *    (distinct tokens over ctx ∪ word). Context totals and V derive
+  *    FROM the model table — the model is self-contained, no side
+  *    state. Unseen bigram → 1/(cnt(c)+V); unseen context → 1/V: the
+  *    standard held-out fallbacks, exercised by the qX_lm_score gate
+  *    (model trained on one half, scored on the other).
+  *
+  * Determinism across engines (the DuckDB-oracle contract): log-probs
+  * land as INTEGER micro-units per instance (`round(1e6·ln p)` — the
+  * adamicAdar rule) before the per-doc sum, so totals are
+  * order-independent; the reported perplexity re-derives from the
+  * already-integer sum. Documents with < 2 tokens have no bigrams and
+  * are absent from the output (the caller's length filter runs before
+  * the LM in every real pipeline).
+  *
+  * 100 TB shape: the scoring join is keyed (ctx, word) — a shuffle
+  * join against a model that may itself be billions of rows (AQE
+  * broadcasts it when pruning made it small); the per-doc fold is a
+  * keyed aggregation with map-side partials; V and context totals are
+  * one aggregation over the MODEL (vocab-bounded), not the corpus.
+  * The bigram expansion is a narrow per-doc transform.
+  */
+object NgramLm {
+
+  /** (id?, ctx, word) bigram instances — non-distinct, one row per
+    * adjacent token pair. Docs with < 2 tokens contribute nothing. */
+  private def instances(df: DataFrame, cols: Seq[Column], textCol: String): DataFrame =
+    df.select((cols :+ tokenize(col(textCol)).as("_toks")): _*)
+      .where(size(col("_toks")) >= 2)
+      // sequence() would run 1..0 DESCENDING on a 1-token doc — the
+      // where-guard above is load-bearing, not an optimization
+      .select((cols :+ explode(transform(
+        sequence(lit(1), size(col("_toks")) - 1),
+        i => struct(element_at(col("_toks"), i).as("ctx"),
+          element_at(col("_toks"), i + 1).as("word")))).as("_bg")): _*)
+      .select((cols :+ col("_bg.ctx").as("ctx") :+ col("_bg.word").as("word")): _*)
+
+  /** Train the bigram model: (ctx, word, cnt) with `cnt >= minCount`. */
+  def train(docs: DataFrame, textCol: String, minCount: Long = 1): DataFrame =
+    instances(docs, Seq.empty, textCol)
+      .groupBy(col("ctx"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Score each document against a [[train]]ed model.
+    * @return (idCol, n_bigrams, lp_micros, ppl_milli): bigram count,
+    *         total Laplace log-prob in integer micros, and perplexity
+    *         `exp(−lp/n)` in integer millis. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: DataFrame): DataFrame = {
+    val m = model.select(col("ctx"), col("word"), col("cnt"))
+    val ctxTot = m.groupBy(col("ctx")).agg(sum(col("cnt")).as("ctx_cnt"))
+    val vocab = m.select(col("ctx").as("t"))
+      .unionAll(m.select(col("word").as("t")))
+      .agg(count_distinct(col("t")).as("vs"))
+    val lp = instances(docs, Seq(col(idCol)), textCol)
+      .join(m, Seq("ctx", "word"), "left")
+      .join(ctxTot, Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab)) // 1-row corpus scalar
+      .withColumn("lpm",
+        round(log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double")
+          / (coalesce(col("ctx_cnt"), lit(0L)) + col("vs"))) * lit(1e6))
+          .cast("long"))
+    lp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("lp_micros"))
+      .withColumn("ppl_milli",
+        round(exp(-(col("lp_micros").cast("double") / lit(1e6))
+          / col("n_bigrams")) * lit(1000)).cast("long"))
+  }
+}

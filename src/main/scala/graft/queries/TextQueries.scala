@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
-import graft.operators.{Dedup, Search, SearchIndex, TextAnalysis}
+import graft.operators.{Dedup, NgramLm, Search, SearchIndex, TextAnalysis}
 
 /** Text-analysis + search + dedup oracle queries over `documents`
   * (SURVEY §2.B/G + the training-data-pipeline extensions).
@@ -410,6 +410,27 @@ object TextQueries {
     "qX_vocab" -> ((s, dir) => {
       TextAnalysis.buildVocab(Tables.load(s, dir, "documents"), "text", 50)
         .orderBy(col("rank"))
+    }),
+
+    // Bigram LM reference model (the CCNet/KenLM seam): counts over
+    // the "clean half" of the corpus, tail pruned at minCount=3 — one
+    // keyed shuffle with map-side partials.
+    "qX_lm_model" -> ((s, dir) => {
+      NgramLm.train(
+          Tables.load(s, dir, "documents").filter(col("doc_id") >= 200),
+          "text", minCount = 3)
+        .orderBy(col("ctx"), col("word"))
+    }),
+
+    // Held-out perplexity scoring: model on docs >= 200, scored docs
+    // < 200, so unseen bigrams AND unseen contexts exercise both
+    // Laplace fallbacks. Integer-micro log-probs keep the per-doc sums
+    // engine-order-independent.
+    "qX_lm_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      NgramLm.score(docs.filter(col("doc_id") < 200), "doc_id", "text",
+          NgramLm.train(docs.filter(col("doc_id") >= 200), "text"))
+        .orderBy(col("doc_id"))
     }),
 
     // OOV rate per doc against the top-20 vocab — the coverage metric.
@@ -921,6 +942,45 @@ object TextQueries {
          |  row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
          |SELECT token, cnt, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    "qX_lm_model" ->
+      s"""WITH d AS ($ToksSql),
+         |big AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM d WHERE len(toks) >= 2 AND doc_id >= 200)
+         |SELECT split_part(bg, ' ', 1) AS ctx,
+         |  split_part(bg, ' ', 2) AS word, count(*) AS cnt
+         |FROM big GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY ctx, word""".stripMargin,
+    "qX_lm_score" ->
+      s"""WITH d AS ($ToksSql),
+         |big AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM d WHERE len(toks) >= 2),
+         |inst AS (
+         |  SELECT doc_id, split_part(bg, ' ', 1) AS ctx,
+         |    split_part(bg, ' ', 2) AS word FROM big),
+         |m AS (
+         |  SELECT ctx, word, count(*) AS cnt FROM inst
+         |  WHERE doc_id >= 200 GROUP BY 1, 2),
+         |ct AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM m GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS vs FROM (
+         |  SELECT ctx AS t FROM m UNION SELECT word FROM m)),
+         |lp AS (
+         |  SELECT i.doc_id, CAST(round(ln(
+         |      (coalesce(m.cnt, 0) + 1.0)
+         |      / (coalesce(ct.ctx_cnt, 0) + v.vs)) * 1e6) AS BIGINT) AS lpm
+         |  FROM inst i
+         |  LEFT JOIN m ON m.ctx = i.ctx AND m.word = i.word
+         |  LEFT JOIN ct ON ct.ctx = i.ctx
+         |  CROSS JOIN v
+         |  WHERE i.doc_id < 200)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(lpm) AS BIGINT) AS lp_micros,
+         |  CAST(round(exp(-(CAST(sum(lpm) AS DOUBLE) / 1e6) / count(*))
+         |    * 1000) AS BIGINT) AS ppl_milli
+         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "qX_oov" ->
       s"""WITH toks AS (
          |  SELECT unnest(toks) AS token FROM ($ToksSql)),

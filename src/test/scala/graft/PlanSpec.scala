@@ -232,6 +232,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("lm scoring: model join is keyed; the only nested-loop is the 1-row vocab scalar") {
+    val p = plan("qX_lm_score")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"expected exactly the vocab-scalar cross join, saw $bnlj:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("chunking is one narrow scan: no exchange anywhere in the plan") {
     val docs = Tables.load(spark, dir, "documents")
     val p = graft.operators.TextAnalysis
