@@ -335,6 +335,20 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
               model: DataFrame): DataFrame =
     graft.operators.NgramLm.score(docs, idCol, textCol, model)
 
+  /** DSIR data selection in one call: fit target and raw feature
+    * histograms, weigh every raw doc by the target/raw log-ratio, and
+    * Gumbel-sample `k` docs ∝ exp(weight) without replacement — all
+    * deterministic (see [[graft.operators.Dsir]]). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 65536): DataFrame = {
+    val d = graft.operators.Dsir
+    d.gumbelTopK(
+      d.importanceWeights(raw, idCol, textCol,
+        d.fitFeatures(target, textCol, buckets),
+        d.fitFeatures(raw, textCol, buckets), buckets),
+      idCol, k)
+  }
+
   /** GraphX analytics over the engine's graph: PageRank centrality. */
   def pageRank(iters: Int = 10): DataFrame =
     graft.operators.GraphAnalytics.pageRank(vertices,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
-import graft.operators.{Dedup, NgramLm, Search, SearchIndex, TextAnalysis}
+import graft.operators.{Dedup, Dsir, NgramLm, Search, SearchIndex, TextAnalysis}
 
 /** Text-analysis + search + dedup oracle queries over `documents`
   * (SURVEY §2.B/G + the training-data-pipeline extensions).
@@ -23,6 +23,38 @@ object TextQueries {
   private val ToksSql =
     """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |  x -> x <> '') AS toks FROM documents""".stripMargin
+
+  /** DuckDB fragment: DSIR per-doc importance weights (see
+    * operators.Dsir and the qX_dsir_* queries) — shared by the weights
+    * gate and the Gumbel-sample gate. Yields (doc_id, n_feats,
+    * w_micros) for doc_id < 200. */
+  private val DsirWeightsSql =
+    s"""WITH d AS ($ToksSql),
+       |f AS (
+       |  SELECT doc_id, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])
+       |    ELSE [] END)) AS feat
+       |  FROM d),
+       |b AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 1024 AS bucket
+       |  FROM f),
+       |t AS (SELECT bucket, count(*) AS tc FROM b
+       |  WHERE doc_id >= 200 AND doc_id < 350 GROUP BY 1),
+       |r AS (SELECT bucket, count(*) AS rc FROM b
+       |  WHERE doc_id >= 350 GROUP BY 1),
+       |tt AS (SELECT coalesce(sum(tc), 0) AS tt FROM t),
+       |rt AS (SELECT coalesce(sum(rc), 0) AS rt FROM r),
+       |wm AS (
+       |  SELECT b.doc_id, CAST(round((
+       |      ln((coalesce(t.tc, 0) + 1.0) / (tt.tt + 1024))
+       |      - ln((coalesce(r.rc, 0) + 1.0) / (rt.rt + 1024))) * 1e6)
+       |    AS BIGINT) AS wm
+       |  FROM b LEFT JOIN t USING (bucket) LEFT JOIN r USING (bucket)
+       |  CROSS JOIN tt CROSS JOIN rt
+       |  WHERE b.doc_id < 200)
+       |SELECT doc_id, count(*) AS n_feats, CAST(sum(wm) AS BIGINT) AS w_micros
+       |FROM wm GROUP BY 1""".stripMargin
 
   /** Shared oracle for the multi-field BM25 queries (qG7/qG8):
     * per-field tokenization, per-field dl/avgdl, BM25 per (field, term,
@@ -431,6 +463,34 @@ object TextQueries {
       NgramLm.score(docs.filter(col("doc_id") < 200), "doc_id", "text",
           NgramLm.train(docs.filter(col("doc_id") >= 200), "text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights (Xie 2023): hashed unigram+bigram
+    // buckets (md5 — engine-portable), target = docs 200..349, raw =
+    // docs >= 350, weighed docs < 200 held out of both fits. The
+    // histograms broadcast; the corpus is never shuffled except the
+    // per-doc fold.
+    "qX_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val t = Dsir.fitFeatures(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350), "text", 1024)
+      val r = Dsir.fitFeatures(docs.filter(col("doc_id") >= 350), "text", 1024)
+      Dsir.importanceWeights(docs.filter(col("doc_id") < 200),
+          "doc_id", "text", t, r, 1024)
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR Gumbel top-k: sample 50 docs ∝ exp(w) without replacement,
+    // noise from the id-hash uniform — replayable, SQL-reproducible.
+    "qX_dsir_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val t = Dsir.fitFeatures(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350), "text", 1024)
+      val r = Dsir.fitFeatures(docs.filter(col("doc_id") >= 350), "text", 1024)
+      val w = Dsir.importanceWeights(docs.filter(col("doc_id") < 200),
+        "doc_id", "text", t, r, 1024)
+      Dsir.gumbelTopK(w, "doc_id", 50)
+        .orderBy(desc("key_micros"), col("doc_id"))
     }),
 
     // OOV rate per doc against the top-20 vocab — the coverage metric.
@@ -942,6 +1002,19 @@ object TextQueries {
          |  row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
          |SELECT token, cnt, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    "qX_dsir_weights" ->
+      s"""SELECT doc_id, n_feats, w_micros FROM ($DsirWeightsSql)
+         |ORDER BY doc_id""".stripMargin,
+    "qX_dsir_sample" ->
+      s"""WITH w AS ($DsirWeightsSql),
+         |s AS (
+         |  SELECT doc_id, w_micros + CAST(round(-ln(-ln(
+         |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) + 0.5) / 4294967296.0)) * 1e6) AS BIGINT)
+         |    AS key_micros
+         |  FROM w)
+         |SELECT doc_id, key_micros FROM s
+         |ORDER BY key_micros DESC, doc_id LIMIT 50""".stripMargin,
     "qX_lm_model" ->
       s"""WITH d AS ($ToksSql),
          |big AS (

@@ -239,6 +239,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("dsir weights: bucket histograms broadcast into the feature scan, no sort-merge") {
+    val p = plan("qX_dsir_weights")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("chunking is one narrow scan: no exchange anywhere in the plan") {
     val docs = Tables.load(spark, dir, "documents")
     val p = graft.operators.TextAnalysis
