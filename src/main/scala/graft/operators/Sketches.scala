@@ -74,6 +74,72 @@ object Sketches {
           <= col("exact_distinct") * tol, 1)).as("n_within_tol"))
   }
 
+  // ---------------------------------------------------- Count-Min sketch
+
+  /** (d, b) cell coordinates of a value across all `depth` hash rows —
+    * md5-derived ([[Sampling.md5Bucket]] over `"d:value"`) so every
+    * cell is engine-portable and the DuckDB oracle recomputes the
+    * sketch bit-for-bit. */
+  private def cmsCells(value: Column, width: Int, depth: Int): Column =
+    array((0 until depth).map(d => struct(lit(d).as("d"),
+      pmod(Sampling.md5Bucket(concat_ws(":", lit(d), value)),
+        lit(width)).as("b"))): _*)
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) of a value
+    * column, AS A TABLE: (d, b, cnt) with at most depth·width rows —
+    * fixed-size frequency state for unbounded key cardinality, the
+    * counting sibling of the HLL sketch above. One keyed fold with
+    * map-side partials (each input row contributes `depth` cell
+    * increments; partials collapse to ≤ depth·width per task).
+    * Estimates never under-count (`est ≥ exact` is a hard guarantee;
+    * over-count ≤ e·N/width with prob 1−(1/e)^depth). Mergeable by
+    * plain cell-wise ADDITION — persist per-day/per-partition
+    * sketches and fold any range without rescanning
+    * ([[cmsMerged]] / [[cmsContract]] pin this exactly, not within
+    * tolerance: counts add). */
+  def cmsBuild(df: DataFrame, valueCol: String,
+               width: Int = 2048, depth: Int = 4): DataFrame =
+    df.select(explode(cmsCells(col(valueCol), width, depth)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The pre-aggregated shape: per-(group-slice) sketches summed
+    * cell-wise — bit-identical to [[cmsBuild]] over the union (the
+    * mergeability contract; HLL's union only promises tolerance). */
+  def cmsMerged(df: DataFrame, valueCol: String, bucketCol: Column,
+                width: Int = 2048, depth: Int = 4): DataFrame =
+    df.select(bucketCol.as("_slice"),
+        explode(cmsCells(col(valueCol), width, depth)).as("db"))
+      .groupBy(col("_slice"), col("db.d").as("d"), col("db.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("d"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for `keys` against a built sketch:
+    * `est = min_d cnt[d][h_d(key)]` — the sketch (≤ depth·width rows)
+    * broadcasts into the probe; empty cells read 0. */
+  def cmsEstimate(keys: DataFrame, keyCol: String, sketch: DataFrame,
+                  width: Int = 2048, depth: Int = 4): DataFrame =
+    keys.select(col(keyCol),
+        explode(cmsCells(col(keyCol), width, depth)).as("db"))
+      .select(col(keyCol), col("db.d").as("d"), col("db.b").as("b"))
+      .join(broadcast(sketch), Seq("d", "b"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Merge-exactness contract: the slice-merged sketch must equal the
+    * one-pass sketch CELL-FOR-CELL. One row (n_cells, n_agree);
+    * healthy = (n, n). */
+  def cmsContract(df: DataFrame, valueCol: String, bucketCol: Column,
+                  width: Int = 2048, depth: Int = 4): DataFrame = {
+    val whole = cmsBuild(df, valueCol, width, depth)
+    val merged = cmsMerged(df, valueCol, bucketCol, width, depth)
+      .withColumnRenamed("cnt", "mcnt")
+    whole.join(merged, Seq("d", "b"), "full")
+      .agg(count(lit(1)).as("n_cells"),
+        count(when(col("cnt") === col("mcnt"), 1)).as("n_agree"))
+  }
+
   /** Per-group approximate percentiles (GK summary, rank error ≤
     * 1/accuracy). Returns one array column aligned with `qs`. */
   def quantileEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -417,6 +417,30 @@ object RelationalQueries {
         "value", Seq(0.5, 0.95))
     }),
 
+    // Count-Min frequency estimates vs exact counts for every probed
+    // key — md5 cells make the sketch engine-portable, so the oracle
+    // recomputes it bit-for-bit (est >= exact visible in the data).
+    "qX_cms" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val sketch = graft.operators.Sketches.cmsBuild(events, "user_id",
+        width = 256, depth = 4)
+      val keys = events.filter(col("user_id") < 200)
+        .select(col("user_id")).distinct()
+      val exact = events.filter(col("user_id") < 200)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      graft.operators.Sketches.cmsEstimate(keys, "user_id", sketch,
+          width = 256, depth = 4)
+        .join(exact, Seq("user_id"))
+        .orderBy(col("user_id"))
+    }),
+
+    // CMS mergeability is EXACT (counts add): per-event-type slice
+    // sketches summed cell-wise must equal the one-pass sketch.
+    "qX_cms_merge" -> ((s, dir) => {
+      graft.operators.Sketches.cmsContract(t(s, dir, "events"), "user_id",
+        col("event_type"), width = 256, depth = 4)
+    }),
+
     "qJ3_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
@@ -774,6 +798,38 @@ object RelationalQueries {
       """WITH g AS (SELECT count(DISTINCT event_type) AS n FROM events)
         |SELECT n AS n_groups, 2 * n AS n_q_checked, 2 * n AS n_q_ok
         |FROM g""".stripMargin,
+    "qX_cms" ->
+      """WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |cells AS (
+        |  SELECT dd.d,
+        |    CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':'
+        |      || CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS b,
+        |    count(*) AS cnt
+        |  FROM events e CROSS JOIN dd GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 200),
+        |probe AS (
+        |  SELECT k.user_id, dd.d,
+        |    CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':'
+        |      || CAST(k.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM keys k CROSS JOIN dd),
+        |est AS (
+        |  SELECT p.user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+        |  FROM probe p LEFT JOIN cells c ON c.d = p.d AND c.b = p.b
+        |  GROUP BY 1),
+        |exact AS (
+        |  SELECT user_id, count(*) AS exact_cnt FROM events
+        |  WHERE user_id < 200 GROUP BY 1)
+        |SELECT k.user_id, est.est, exact.exact_cnt
+        |FROM keys k JOIN est USING (user_id) JOIN exact USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "qX_cms_merge" ->
+      """WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |cells AS (
+        |  SELECT dd.d,
+        |    CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':'
+        |      || CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM events e CROSS JOIN dd GROUP BY 1, 2)
+        |SELECT count(*) AS n_cells, count(*) AS n_agree FROM cells""".stripMargin,
     "qX_topk_grouped" ->
       """WITH pu AS (
         |  SELECT event_type, user_id, count(*) AS n

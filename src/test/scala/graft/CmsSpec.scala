@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+
+/** Count-Min contracts: the one-sided error guarantee under forced
+  * collisions, exactness when the sketch is wide enough, and
+  * cell-for-cell merge additivity. The qX_cms gates recompute the md5
+  * sketch in DuckDB end-to-end.
+  */
+class CmsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def skewed = (0 until 300).map(i => Tuple1((i % 17).toLong))
+    .toDF("k") // key j appears ~300/17 times
+
+  test("estimates never under-count, even with heavy forced collisions") {
+    // width 4 << 17 keys: every cell aliases several keys — est must
+    // still be >= exact for each (the CMS hard guarantee)
+    val sk = Sketches.cmsBuild(skewed, "k", width = 4, depth = 3)
+    val keys = (0 until 17).map(i => Tuple1(i.toLong)).toDF("k")
+    val got = Sketches.cmsEstimate(keys, "k", sk, width = 4, depth = 3)
+      .join(skewed.groupBy("k").agg(count(lit(1)).as("exact")), "k")
+      .select(col("est"), col("exact")).as[(Long, Long)].collect()
+    assert(got.length == 17 && got.forall { case (e, x) => e >= x })
+  }
+
+  test("a wide sketch is exact for few keys; unseen keys can only read collisions") {
+    val sk = Sketches.cmsBuild(skewed, "k", width = 1024, depth = 4)
+    val keys = (0 until 17).map(i => Tuple1(i.toLong)).toDF("k")
+    val got = Sketches.cmsEstimate(keys, "k", sk, width = 1024, depth = 4)
+      .join(skewed.groupBy("k").agg(count(lit(1)).as("exact")), "k")
+      .select(col("est"), col("exact")).as[(Long, Long)].collect()
+    // 17 keys × 4 independent rows of 1024 cells: min across depths is
+    // collision-free here (any alias would need to collide in ALL rows)
+    assert(got.forall { case (e, x) => e == x })
+    val absent = Sketches.cmsEstimate(Seq(Tuple1(9999L)).toDF("k"), "k",
+        sk, width = 1024, depth = 4)
+      .select(col("est")).head.getLong(0)
+    assert(absent >= 0 && absent <= 300)
+  }
+
+  test("slice-merged sketch equals the one-pass sketch cell-for-cell") {
+    val df = skewed.withColumn("slice", (col("k") % 3).cast("string"))
+    val r = Sketches.cmsContract(df, "k", col("slice"), width = 8, depth = 3)
+      .select(col("n_cells"), col("n_agree")).head
+    assert(r.getLong(0) > 0 && r.getLong(0) == r.getLong(1))
+  }
+}
