@@ -381,6 +381,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.harmonicCentrality(edges,
       numSources, maxDepth)
 
+  /** Sampled betweenness centrality over the knows graph — the
+    * brokerage signal (who sits BETWEEN communities), complementing
+    * [[centrality]]'s closeness: Brandes forward/backward passes from
+    * the same hash-spread source sample. */
+  def betweenness(numSources: Int = 8, maxDepth: Int = 3): DataFrame =
+    graft.operators.GraphAnalytics.betweennessSampled(edges,
+      numSources, maxDepth)
+
   /** Multi-hop PYMK via personalized PageRank: random walk with
     * restart from the user's vertex; excludes the user and their
     * direct friends (the same `neq`/`without` contract as [[pymk]]),

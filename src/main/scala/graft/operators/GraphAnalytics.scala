@@ -839,6 +839,96 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** Sampled betweenness centrality (Brandes 2001, source-sampled as
+    * in Brandes/Pich 2007): how often a vertex sits ON shortest paths
+    * between others — the brokerage complement to [[harmonicCentrality]]'s
+    * closeness. Exact betweenness is all-pairs; the sampled form runs
+    * Brandes' two phases from the same hash-spread source sample S
+    * (lowest `(md5Bucket(id), id)` — engine-portable, no RNG) and
+    * truncates at `maxDepth` (paths longer than the horizon contribute
+    * 0 — the bounded-radius approximation, same contract as harmonic).
+    *
+    *  - Forward: strict-LEVEL multi-source BFS carrying path counts —
+    *    level L+1 = (frontier ⋈ adj) anti-joined against everything
+    *    seen, `σ(w) = Σ σ(v)` over level-L predecessors (an edge
+    *    L → L+1 is on a shortest path by the BFS property). One keyed
+    *    join + one anti-join + one keyed sum per round; state is
+    *    |S|·ball rows like harmonic.
+    *  - Backward: dependency accumulation per level, deepest first —
+    *    `δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w))` via one keyed
+    *    join of level L against (level L+1 ⋈ δ) per round; the deepest
+    *    level seeds δ = 0.
+    *
+    * Output sums `round(1e6·δ(s,v))` per source as INTEGER micros, so
+    * the per-vertex fold is order-independent; δ itself is double —
+    * path-count ratios are short dyadic/small-denominator rationals
+    * whose 1e-15-scale accumulation drift sits far from the rounding
+    * grain (the ln-rounding residual-risk class, noted, accepted).
+    * Un-normalized and endpoints-excluded (Brandes' convention); on
+    * the undirected view each unordered pair is counted from both
+    * directions reached within the horizon — callers normalize.
+    *
+    * @return (id, bc_micros) for every vertex of the edge view.
+    */
+  def betweennessSampled(edges: DataFrame, numSources: Int = 8,
+                         maxDepth: Int = 3): DataFrame = {
+    val adj = Pymk.undirected(edges).distinct()
+      .localCheckpoint(true) // reused by every forward AND backward round
+    val verts = adj.select(col("from").as("id")).distinct()
+      .localCheckpoint(true)
+    val sources = verts
+      .orderBy(Sampling.md5Bucket(col("id")).asc, col("id").asc)
+      .limit(numSources)
+      .select(col("id").as("s"))
+
+    // ---- forward: strict levels with path counts ----
+    val l0 = sources.select(col("s"), col("s").as("v"), lit(1L).as("sig"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var seen = l0.select("s", "v").localCheckpoint(true)
+    for (_ <- 1 to maxDepth) {
+      val next = levels.last
+        .join(adj.withColumnRenamed("from", "v"), "v")
+        .select(col("s"), col("to").as("v"), col("sig"))
+        .join(seen, Seq("s", "v"), "left_anti")
+        .groupBy(col("s"), col("v")).agg(sum(col("sig")).as("sig"))
+        .localCheckpoint(true)
+      levels += next
+      seen = seen.unionByName(next.select("s", "v")).localCheckpoint(true)
+    }
+
+    // ---- backward: dependency accumulation, deepest level first ----
+    var childDelta = levels(maxDepth)
+      .select(col("s"), col("v"), lit(0.0).as("delta"))
+    val deltas = scala.collection.mutable.ArrayBuffer(childDelta)
+    for (l <- (maxDepth - 1) to 1 by -1) {
+      val child = levels(l + 1).join(childDelta, Seq("s", "v"))
+        .select(col("s"), col("v").as("to"),
+          col("sig").as("wsig"), col("delta").as("wdelta"))
+      val contrib = levels(l)
+        .join(adj.withColumnRenamed("from", "v"), "v")
+        .join(child, Seq("s", "to"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("sig").cast("double") / col("wsig")
+          * (lit(1.0) + col("wdelta"))).as("delta"))
+      childDelta = levels(l).select("s", "v")
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      deltas += childDelta
+    }
+
+    val bc = deltas.map(_.select(col("s"), col("v"), col("delta")))
+      .reduce(_ unionByName _)
+      .withColumn("bcm", round(col("delta") * lit(1e6)).cast("long"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("bcm")).as("bc_micros"))
+    verts.join(bc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("bc_micros"), lit(0L)).as("bc_micros"))
+      .orderBy(col("id"))
+  }
+
   /** Adamic-Adar link prediction — the degree-discounted PYMK scorer:
     * for every non-adjacent pair (a, c),
     * `score = Σ_{z ∈ N(a)∩N(c)} 1 / ln(deg(z))`. Same 2-hop shape as

@@ -342,6 +342,16 @@ object GraphQueries {
         numSources = 8, maxDepth = 4)
     }),
 
+    // Sampled betweenness (Brandes from 8 hash-spread sources,
+    // depth-3 horizon): strict-level BFS with path counts forward,
+    // per-level dependency accumulation backward — integer-micro δ
+    // sums; unrolled level/delta CTE oracle (the harmonic playbook).
+    "qX_betweenness" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.betweennessSampled(edges,
+        numSources = 8, maxDepth = 3)
+    }),
+
     // k-core converge-and-verify: peel to the TRUE fixpoint and emit
     // (k, rounds-to-fixpoint, survivor count, converged) — peeling is
     // deterministic, so the oracle recomputes rounds as the first
@@ -652,6 +662,68 @@ object GraphQueries {
     * min-dist-within-N-steps per (source, vertex); each level unions
     * the previous with its one-step expansion and re-mins.
     * MATERIALIZED: every dN is referenced twice by dN+1. */
+  /** Unrolled Brandes oracle for [[qX_betweenness]] at maxDepth = 3:
+    * l0..l3 are strict BFS levels carrying path counts σ (anti-joined
+    * against everything seen), d3..d1 the backward dependency
+    * accumulation `δ(v) = Σ σ_v/σ_w (1+δ_w)` over level-(L+1)
+    * children; per-(source, vertex) δ lands as integer micros before
+    * the per-vertex sum. */
+  private def betweennessSql(numSources: Int): String =
+    s"""WITH edges AS ($EdgesSql),
+       |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |      FROM edges),
+       |adj AS MATERIALIZED (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
+       |verts AS (SELECT DISTINCT f AS id FROM adj),
+       |srcs AS (SELECT id AS s FROM verts
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
+       |    AS BIGINT), id LIMIT $numSources),
+       |l0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig FROM srcs),
+       |c1 AS (SELECT l0.s, adj.t AS v, l0.sig FROM l0 JOIN adj ON adj.f = l0.v),
+       |l1 AS MATERIALIZED (
+       |  SELECT c1.s, c1.v, CAST(sum(c1.sig) AS BIGINT) AS sig FROM c1
+       |  LEFT JOIN l0 sn ON sn.s = c1.s AND sn.v = c1.v
+       |  WHERE sn.v IS NULL GROUP BY 1, 2),
+       |s1 AS (SELECT s, v FROM l0 UNION SELECT s, v FROM l1),
+       |c2 AS (SELECT l1.s, adj.t AS v, l1.sig FROM l1 JOIN adj ON adj.f = l1.v),
+       |l2 AS MATERIALIZED (
+       |  SELECT c2.s, c2.v, CAST(sum(c2.sig) AS BIGINT) AS sig FROM c2
+       |  LEFT JOIN s1 sn ON sn.s = c2.s AND sn.v = c2.v
+       |  WHERE sn.v IS NULL GROUP BY 1, 2),
+       |s2 AS (SELECT s, v FROM s1 UNION SELECT s, v FROM l2),
+       |c3 AS (SELECT l2.s, adj.t AS v, l2.sig FROM l2 JOIN adj ON adj.f = l2.v),
+       |l3 AS MATERIALIZED (
+       |  SELECT c3.s, c3.v, CAST(sum(c3.sig) AS BIGINT) AS sig FROM c3
+       |  LEFT JOIN s2 sn ON sn.s = c3.s AND sn.v = c3.v
+       |  WHERE sn.v IS NULL GROUP BY 1, 2),
+       |d3 AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM l3),
+       |ch3 AS (SELECT l3.s, l3.v AS t, l3.sig AS wsig, d3.delta AS wdelta
+       |        FROM l3 JOIN d3 ON d3.s = l3.s AND d3.v = l3.v),
+       |d2 AS MATERIALIZED (
+       |  SELECT l2.s, l2.v, coalesce(sum(
+       |      CAST(l2.sig AS DOUBLE) / ch3.wsig * (1 + ch3.wdelta)), 0.0) AS delta
+       |  FROM l2
+       |  LEFT JOIN adj ON adj.f = l2.v
+       |  LEFT JOIN ch3 ON ch3.s = l2.s AND ch3.t = adj.t
+       |  GROUP BY 1, 2),
+       |ch2 AS (SELECT l2.s, l2.v AS t, l2.sig AS wsig, d2.delta AS wdelta
+       |        FROM l2 JOIN d2 ON d2.s = l2.s AND d2.v = l2.v),
+       |d1 AS MATERIALIZED (
+       |  SELECT l1.s, l1.v, coalesce(sum(
+       |      CAST(l1.sig AS DOUBLE) / ch2.wsig * (1 + ch2.wdelta)), 0.0) AS delta
+       |  FROM l1
+       |  LEFT JOIN adj ON adj.f = l1.v
+       |  LEFT JOIN ch2 ON ch2.s = l1.s AND ch2.t = adj.t
+       |  GROUP BY 1, 2),
+       |alld AS (
+       |  SELECT s, v, delta FROM d1 UNION ALL SELECT s, v, delta FROM d2
+       |  UNION ALL SELECT s, v, delta FROM d3),
+       |bc AS (
+       |  SELECT v AS id,
+       |    CAST(sum(CAST(round(delta * 1e6) AS BIGINT)) AS BIGINT) AS bc_micros
+       |  FROM alld GROUP BY 1)
+       |SELECT verts.id, coalesce(bc.bc_micros, 0) AS bc_micros
+       |FROM verts LEFT JOIN bc USING (id) ORDER BY id""".stripMargin
+
   private def harmonicSql(numSources: Int, maxDepth: Int): String = {
     val head =
       s"""WITH edges AS ($EdgesSql),
@@ -689,6 +761,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "qX_harmonic" -> harmonicSql(numSources = 8, maxDepth = 4),
+    "qX_betweenness" -> betweennessSql(numSources = 8),
     "qX_walk_subsample" -> walkSubsampleSql(t = 0.005, seed = 7L),
     "qX_neg_table" -> negTableSql(power = 0.75),
     "qX_walk_pairs" ->

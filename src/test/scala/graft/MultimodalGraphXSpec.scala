@@ -490,6 +490,30 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(trunc(5L) == (1000000L, 1L)) // only s=4 at d=1
   }
 
+  test("betweennessSampled: Brandes dependencies on a path, brokerage peak at a star center") {
+    // path 1-2-3-4-5, S = {4, 1} (the harmonic md5 sample order),
+    // depth 4. From s=4: δ(2)=1, δ(3)=2; from s=1: δ(2)=3, δ(3)=2,
+    // δ(4)=1 (endpoints excluded, un-normalized).
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphAnalytics.betweennessSampled(path, numSources = 2, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 4000000L, 3L -> 4000000L,
+      4L -> 1000000L, 5L -> 0L))
+    // depth-3 horizon: from s=1 the chain 1→…→5 is cut after 4, so 4
+    // stops inheriting 5's subtree but keeps nothing (δ(4)=0 — leaf of
+    // the truncated tree); 2 and 3 lose one unit each vs depth 4
+    val trunc = GraphAnalytics.betweennessSampled(path, numSources = 2, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trunc(4L) == 0L && trunc(2L) == 3000000L && trunc(3L) == 3000000L)
+    // star: center 0, leaves 1..4, ALL vertices sampled — every
+    // leaf-to-leaf shortest path brokers through the center:
+    // 4 leaf sources × 3 other leaves = 12; leaves broker nothing
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val sg = GraphAnalytics.betweennessSampled(star, numSources = 5, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sg == Map(0L -> 12000000L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("adamicAdar: known scores on path/star/cycle, direct edges excluded") {
     // path 1-2-3: only (1,3) and (3,1), witnessed by z=2 (deg 2):
     // score = round(1e6/ln 2)/1e6 = 1.442695 → 1.4427
