@@ -233,6 +233,40 @@ object TextExprUtil {
     while (it.hasNext) { arr(p) = UTF8String.fromString(it.next()); p += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
+
+  /** NON-distinct word n-gram occurrences in document order — the
+    * multiset sibling of [[wordShingles]] (which dedups for MinHash):
+    * one occurrence row per position, docs with fewer than `n` tokens
+    * yield an EMPTY array (no whole-doc fallback, no "" sentinel) —
+    * feature counting wants frequencies, not set membership. */
+  def wordNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    val len = str.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > start) toks += str.substring(start, i)
+    }
+    val count = math.max(0, toks.length - n + 1)
+    val arr = new Array[Any](count)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < count) {
+      sb.setLength(0)
+      var m = 0
+      while (m < n) {
+        if (m > 0) sb.append(' ')
+        sb.append(toks(j + m))
+        m += 1
+      }
+      arr(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
 }
 
 abstract class TextScanExpression extends UnaryExpression {
@@ -294,6 +328,24 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `word_ngrams(text, n)`: NON-distinct word n-gram occurrences in
+  * document order (empty array when the doc has < n tokens) — the
+  * frequency-feature extractor behind DSIR's hashed buckets. Codegen;
+  * the HOF twin lives in `Dsir.featuresHof` (equivalence-tested). */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.wordNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr =
+    copy(child = c)
+}
+
 /** `top_ngram_frac(text, n)`: share of n-gram occurrences held by the
   * most frequent word n-gram, single scan, codegen. The "executable
   * spec" twin is the explode + groupBy + max/sum DataFrame formulation
@@ -336,6 +388,7 @@ object TextExprs {
   def simhash64(c: Column): Column = toColumn(SimHash64Expr(toExpr(c)))
   def minhash_sig(c: Column, k: Int): Column = toColumn(MinHashSigExpr(toExpr(c), k))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpr(c), n))
+  def word_ngrams(c: Column, n: Int): Column = toColumn(WordNgramsExpr(toExpr(c), n))
   def top_ngram_frac(c: Column, n: Int): Column = toColumn(TopNgramFracExpr(toExpr(c), n))
 
   /** Register as SQL functions on a session. */

@@ -36,6 +36,20 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     assert(!w.contains(102L), "empty doc has no features")
   }
 
+  test("native word_ngrams features ≡ the HOF spec, per document") {
+    // the codegen path behind instances() vs the built-in-only twin:
+    // same multiset, same order (unigrams then bigrams, doc order)
+    val texts = Seq("the cat sat on the mat", "one", "", "  padded   runs\tand\nlines  ",
+      "UPPER Case MiX", "a a a a", "hyphen-ated punct, stays.")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    import graft.functions.expr.TextExprs.word_ngrams
+    val native = df.select(col("doc_id"),
+      concat(word_ngrams(col("text"), 1), word_ngrams(col("text"), 2)).as("f"))
+    val hof = df.select(col("doc_id"), Dsir.featuresHof(col("text")).as("f"))
+    assert(native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      == hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap)
+  }
+
   test("gumbelTopK: deterministic, k-bounded, keys strictly ranked") {
     val w = (0 until 30).map(i => (i.toLong, (i * 1000L) - 15000L))
       .toDF("doc_id", "w_micros")
