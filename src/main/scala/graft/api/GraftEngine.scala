@@ -335,6 +335,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
               model: DataFrame): DataFrame =
     graft.operators.NgramLm.score(docs, idCol, textCol, model)
 
+  /** Train the fasttext/GPT-3-style quality classifier: logistic
+    * regression over hashed n-gram buckets, positives = curated
+    * target docs, negatives = raw crawl — deterministic full-batch GD
+    * (see [[graft.operators.QualityLr]]). */
+  def qualityTrain(labeled: DataFrame, idCol: String, textCol: String,
+                   labelCol: String, buckets: Int = 65536, iters: Int = 3,
+                   lr: Double = 1.0): DataFrame =
+    graft.operators.QualityLr.train(labeled, idCol, textCol, labelCol,
+      buckets, iters, lr)
+
+  /** Keep-probability `p = σ(x·w)` per document under a
+    * [[qualityTrain]]ed model — threshold or Pareto-sample on
+    * `p_micros` to filter a crawl (GPT-3 filters exactly this way). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame, buckets: Int = 65536): DataFrame =
+    graft.operators.QualityLr.score(docs, idCol, textCol, model, buckets)
+
   /** DSIR data selection in one call: fit target and raw feature
     * histograms, weigh every raw doc by the target/raw log-ratio, and
     * Gumbel-sample `k` docs ∝ exp(weight) without replacement — all

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
-import graft.operators.{Dedup, Dsir, NgramLm, Search, SearchIndex, TextAnalysis}
+import graft.operators.{Dedup, Dsir, NgramLm, QualityLr, Search, SearchIndex, TextAnalysis}
 
 /** Text-analysis + search + dedup oracle queries over `documents`
   * (SURVEY §2.B/G + the training-data-pipeline extensions).
@@ -23,6 +23,52 @@ object TextQueries {
   private val ToksSql =
     """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |  x -> x <> '') AS toks FROM documents""".stripMargin
+
+  /** DuckDB fragment: the qX_lr_model training loop replayed as
+    * unrolled CTEs (see operators.QualityLr) — hashed 1+2-gram
+    * buckets mod 64, train docs >= 200 (y = doc_id < 350), 3
+    * full-batch GD rounds from w = 0, every accumulated quantity in
+    * integer micros so sums are order-independent. Ends at CTE `w3`
+    * (bucket, w); the model and score gates both build on it. */
+  private val LrTrainSql: String = {
+    val head =
+      s"""WITH d AS ($ToksSql),
+         |f AS (
+         |  SELECT doc_id, unnest(list_concat(toks,
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END)) AS feat
+         |  FROM d),
+         |bk AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 64 AS bucket
+         |  FROM f),
+         |cnts AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk
+         |  WHERE doc_id >= 200 GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats
+         |  FROM cnts GROUP BY 1),
+         |x AS (SELECT c.doc_id, c.bucket,
+         |  CAST(round(c.cnt * 1e6 / t.n_feats) AS BIGINT) AS x
+         |  FROM cnts c JOIN tot t USING (doc_id)),
+         |y AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN doc_id < 350 THEN 1000000 ELSE 0 END AS y FROM x),
+         |nn AS (SELECT count(DISTINCT doc_id) AS n FROM x),
+         |w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM x)""".stripMargin
+    val rounds = (1 to 3).map { k =>
+      s"""m$k AS (SELECT x.doc_id,
+         |  CAST(sum(CAST(round(x.x * w.w / 1e6) AS BIGINT)) AS BIGINT) AS m
+         |  FROM x JOIN w${k - 1} w USING (bucket) GROUP BY 1),
+         |r$k AS (SELECT m.doc_id,
+         |  CAST(round(1e6 / (1 + exp(-(m.m / 1e6)))) AS BIGINT) - y.y AS r
+         |  FROM m$k m JOIN y USING (doc_id)),
+         |g$k AS (SELECT x.bucket,
+         |  CAST(sum(CAST(round(x.x * r.r / 1e6) AS BIGINT)) AS BIGINT) AS g
+         |  FROM x JOIN r$k r USING (doc_id) GROUP BY 1),
+         |w$k AS (SELECT w.bucket,
+         |  w.w - CAST(round(1.0 * coalesce(g.g, 0) / nn.n) AS BIGINT) AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (bucket) CROSS JOIN nn)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** DuckDB fragment: DSIR per-doc importance weights (see
     * operators.Dsir and the qX_dsir_* queries) — shared by the weights
@@ -491,6 +537,32 @@ object TextQueries {
         "doc_id", "text", t, r, 1024)
       Dsir.gumbelTopK(w, "doc_id", 50)
         .orderBy(desc("key_micros"), col("doc_id"))
+    }),
+
+    // Quality-classifier model (GPT-3/fasttext seam): logistic
+    // regression over hashed 1+2-gram buckets, target = docs 200..349
+    // (y=1) vs raw = docs >= 350 (y=0) — the DSIR split — trained 3
+    // full-batch GD rounds from w=0 in integer micros. The MODEL is
+    // the gated artifact; the oracle replays training as unrolled CTEs.
+    "qX_lr_model" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      QualityLr.train(docs, "doc_id", "text", "y",
+          buckets = 64, iters = 3, lr = 1.0)
+        .orderBy(col("bucket"))
+    }),
+
+    // Quality scores on held-out docs < 200 under the qX_lr_model
+    // classifier: p = sigmoid(x·w) in micros, unseen buckets weigh 0.
+    "qX_lr_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = QualityLr.train(
+        docs.filter(col("doc_id") >= 200)
+          .withColumn("y", (col("doc_id") < 350).cast("int")),
+        "doc_id", "text", "y", buckets = 64, iters = 3, lr = 1.0)
+      QualityLr.score(docs.filter(col("doc_id") < 200), "doc_id", "text",
+          model, buckets = 64)
+        .orderBy(col("doc_id"))
     }),
 
     // OOV rate per doc against the top-20 vocab — the coverage metric.
@@ -1015,6 +1087,25 @@ object TextQueries {
          |  FROM w)
          |SELECT doc_id, key_micros FROM s
          |ORDER BY key_micros DESC, doc_id LIMIT 50""".stripMargin,
+    "qX_lr_model" ->
+      s"""$LrTrainSql
+         |SELECT bucket, w AS w_micros FROM w3 ORDER BY bucket""".stripMargin,
+    "qX_lr_score" ->
+      s"""$LrTrainSql,
+         |scnts AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk
+         |  WHERE doc_id < 200 GROUP BY 1, 2),
+         |stot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats
+         |  FROM scnts GROUP BY 1),
+         |sx AS (SELECT c.doc_id, c.bucket,
+         |  CAST(round(c.cnt * 1e6 / t.n_feats) AS BIGINT) AS x
+         |  FROM scnts c JOIN stot t USING (doc_id)),
+         |sm AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
+         |    AS BIGINT) AS m
+         |  FROM sx x LEFT JOIN w3 w USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_buckets,
+         |  CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) AS p_micros
+         |FROM sm ORDER BY doc_id""".stripMargin,
     "qX_lm_model" ->
       s"""WITH d AS ($ToksSql),
          |big AS (

@@ -62,6 +62,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("lr quality scoring: B-row model broadcasts into the feature scan") {
+    val p = plan("qX_lr_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("as-of join: one shuffle above the union, no range-join pair blowup") {
     val p = plan("qX_asof_join")
     // the union-and-carry-forward plan: no nested-loop / cartesian node

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.QualityLr
+
+/** Quality-classifier contracts: feature normalization, the zero-init
+  * first GD round (hand-computed), weight symmetry on a balanced
+  * corpus, score direction, determinism, empty-doc exclusion. The
+  * qX_lr_* gates pin the full training loop against DuckDB. */
+class QualityLrSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("features: L1-normalized micros per doc, empty doc absent") {
+    val docs = Seq((1L, "a b a"), (2L, "z"), (3L, "")).toDF("doc_id", "text")
+    val f = QualityLr.features(docs, "doc_id", "text", 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "a b a" → features a,b,a,"a b","b a": 5 instances; a has 2 → 400000
+    val d1 = f.filter(_._1 == 1L)
+    assert(d1.map(_._3).sorted.toSeq == Seq(200000L, 200000L, 200000L, 400000L))
+    assert(d1.map(_._3).sum == 1000000L)
+    assert(f.filter(_._1 == 2L).map(_._3).toSeq == Seq(1000000L))
+    assert(!f.exists(_._1 == 3L), "featureless doc contributes nothing")
+  }
+
+  test("train: hand-computed symmetric weights on a 2-doc corpus") {
+    // one target doc {a}, one raw doc {b}, no bucket collision (checked):
+    // round 1: m=0 → p=500000 → r=∓500000 → w=±250000;
+    // round 2: m=±250000 → p(0.25)=562177 → r_t=-437823 →
+    //   w_a = 250000 + round(437823/2) = 468912 (and w_b = -w_a)
+    val docs = Seq((1L, "a", 1), (2L, "b", 0)).toDF("doc_id", "text", "y")
+    val fb = QualityLr.features(docs, "doc_id", "text", 1024)
+      .select("bucket").as[Long].collect()
+    assert(fb.distinct.length == 2, "test premise: a and b must not collide")
+    val w1 = QualityLr.train(docs, "doc_id", "text", "y", 1024, 1, 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1.values.toSeq.sorted == Seq(-250000L, 250000L))
+    val w2 = QualityLr.train(docs, "doc_id", "text", "y", 1024, 2, 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w2.values.toSeq.sorted == Seq(-468912L, 468912L))
+  }
+
+  test("score: separates target-like from raw-like, unseen buckets weigh 0") {
+    val train = ((0 until 20).map(i => (i.toLong, "the cat sat on the mat", 1))
+      ++ (20 until 40).map(i => (i.toLong, "xz qq vv kk ww yy", 0)))
+      .toDF("doc_id", "text", "y")
+    val model = QualityLr.train(train, "doc_id", "text", "y", 256, 3, 1.0)
+    val probe = Seq((100L, "the cat sat"), (101L, "xz qq vv"),
+      (102L, "neverseen tokens only"), (103L, "")).toDF("doc_id", "text")
+    val p = QualityLr.score(probe, "doc_id", "text", model, 256)
+      .select(col("doc_id"), col("p_micros")).as[(Long, Long)].collect().toMap
+    assert(p(100L) > 500000L, s"target-like must score > 0.5, got ${p(100L)}")
+    assert(p(101L) < 500000L, s"raw-like must score < 0.5, got ${p(101L)}")
+    assert(p(102L) == 500000L, "all-unseen buckets ⇒ zero margin ⇒ p = 0.5")
+    assert(!p.contains(103L), "featureless doc absent from scores")
+    // determinism: the fitted model replays exactly
+    val again = QualityLr.train(train, "doc_id", "text", "y", 256, 3, 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == again)
+  }
+}
