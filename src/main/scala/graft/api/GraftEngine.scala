@@ -352,6 +352,13 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                    model: DataFrame, buckets: Int = 65536): DataFrame =
     graft.operators.QualityLr.score(docs, idCol, textCol, model, buckets)
 
+  /** GPT-3's Pareto keep-rule over [[qualityScore]] output: keep a
+    * doc iff `pareto(α) > 1 − p` with a replayable id-hash draw —
+    * quality-weighted selection with a deliberate long tail. */
+  def qualitySelect(scored: DataFrame, idCol: String,
+                    alpha: Double = 9.0): DataFrame =
+    graft.operators.QualityLr.paretoSelect(scored, idCol, alpha)
+
   /** DSIR data selection in one call: fit target and raw feature
     * histograms, weigh every raw doc by the target/raw log-ratio, and
     * Gumbel-sample `k` docs ∝ exp(weight) without replacement — all

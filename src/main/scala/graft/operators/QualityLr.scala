@@ -107,4 +107,21 @@ object QualityLr {
       round(lit(1e6) / (lit(1.0) + exp(-col("m_micros") / lit(1e6))))
         .cast("long").as("p_micros"))
   }
+
+  /** GPT-3's stochastic Pareto selection over [[score]] output (the
+    * paper keeps a crawl doc iff `pareto(α) > 1 − p`, α = 9): mostly
+    * high-quality docs survive, but low scorers keep a long-tail
+    * chance — deliberate diversity, not a bug. The Pareto draw
+    * derives from the id's md5 bucket via the inverse CDF
+    * `x = (1−u)^(−1/α) − 1` — replayable, partition-stable, no RNG
+    * (the Gumbel-top-k precedent), quantized to micros so the keep
+    * comparison is integer vs integer. Narrow projection + filter. */
+  def paretoSelect(scored: DataFrame, idCol: String,
+                   alpha: Double = 9.0): DataFrame = {
+    val u = (Sampling.md5Bucket(col(idCol)) + lit(0.5)) / lit(Sampling.BucketSpace)
+    scored.withColumn("pareto_micros",
+        round((pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)) * lit(1e6))
+          .cast("long"))
+      .filter(col("pareto_micros") > lit(1000000L) - col("p_micros"))
+  }
 }

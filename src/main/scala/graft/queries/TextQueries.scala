@@ -565,6 +565,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // GPT-3's Pareto keep-rule over the classifier scores: keep iff
+    // pareto(9) > 1 - p, the draw derived from the doc id's md5 hash
+    // — quality-weighted but long-tailed, fully SQL-replayable.
+    "qX_lr_select" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = QualityLr.train(
+        docs.filter(col("doc_id") >= 200)
+          .withColumn("y", (col("doc_id") < 350).cast("int")),
+        "doc_id", "text", "y", buckets = 64, iters = 3, lr = 1.0)
+      QualityLr.paretoSelect(
+          QualityLr.score(docs.filter(col("doc_id") < 200), "doc_id", "text",
+            model, buckets = 64),
+          "doc_id", alpha = 9.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // OOV rate per doc against the top-20 vocab — the coverage metric.
     "qX_oov" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1106,6 +1122,28 @@ object TextQueries {
          |SELECT doc_id, n_buckets,
          |  CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) AS p_micros
          |FROM sm ORDER BY doc_id""".stripMargin,
+    "qX_lr_select" ->
+      s"""$LrTrainSql,
+         |scnts AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk
+         |  WHERE doc_id < 200 GROUP BY 1, 2),
+         |stot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats
+         |  FROM scnts GROUP BY 1),
+         |sx AS (SELECT c.doc_id, c.bucket,
+         |  CAST(round(c.cnt * 1e6 / t.n_feats) AS BIGINT) AS x
+         |  FROM scnts c JOIN stot t USING (doc_id)),
+         |sm AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
+         |    AS BIGINT) AS m
+         |  FROM sx x LEFT JOIN w3 w USING (bucket) GROUP BY 1),
+         |sp AS (SELECT doc_id, n_buckets,
+         |  CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) AS p_micros,
+         |  CAST(round((pow(1 - (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) + 0.5) / 4294967296.0, -1.0 / 9.0) - 1) * 1e6)
+         |    AS BIGINT) AS pareto_micros
+         |  FROM sm)
+         |SELECT doc_id, n_buckets, p_micros, pareto_micros FROM sp
+         |WHERE pareto_micros > 1000000 - p_micros
+         |ORDER BY doc_id""".stripMargin,
     "qX_lm_model" ->
       s"""WITH d AS ($ToksSql),
          |big AS (

@@ -40,6 +40,25 @@ class QualityLrSpec extends AnyFunSuite with SparkSpec {
     assert(w2.values.toSeq.sorted == Seq(-468912L, 468912L))
   }
 
+  test("paretoSelect: p=1 always kept, p=0 kept only on a >1e6 Pareto draw, replays") {
+    val certain = (0L until 200L).map((_, 5L, 1000000L))
+      .toDF("doc_id", "n_buckets", "p_micros")
+    assert(QualityLr.paretoSelect(certain, "doc_id").count() == 200,
+      "p=1 ⇒ 1−p=0 < every Pareto draw ⇒ always kept")
+    val hopeless = (0L until 2000L).map((_, 5L, 0L))
+      .toDF("doc_id", "n_buckets", "p_micros")
+    val kept = QualityLr.paretoSelect(hopeless, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // survival needs pareto > 1e6: P = 2^-9, so ~4 of 2000 — long
+    // tail present but rare, and every survivor's draw proves it
+    assert(kept.forall(_._2 > 1000000L))
+    assert(kept.nonEmpty && kept.length < 40,
+      s"α=9 tail keep-rate must be ≈ 1/512, got ${kept.length}/2000")
+    val again = QualityLr.paretoSelect(hopeless, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(kept.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("score: separates target-like from raw-like, unseen buckets weigh 0") {
     val train = ((0 until 20).map(i => (i.toLong, "the cat sat on the mat", 1))
       ++ (20 until 40).map(i => (i.toLong, "xz qq vv kk ww yy", 0)))
