@@ -413,6 +413,12 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.betweennessSampled(edges,
       numSources, maxDepth)
 
+  /** HITS hubs & authorities over the knows graph — who broadcasts
+    * (hub) vs who is followed (authority); the directed complement to
+    * [[pageRank]]. */
+  def hits(iters: Int = 3): DataFrame =
+    graft.operators.GraphAnalytics.hits(edges, iters)
+
   /** Multi-hop PYMK via personalized PageRank: random walk with
     * restart from the user's vertex; excludes the user and their
     * direct friends (the same `neq`/`without` contract as [[pymk]]),

@@ -929,6 +929,58 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED edge
+    * view — the link-analysis complement to PageRank: a good hub
+    * points at good authorities, a good authority is pointed at by
+    * good hubs. `iters` rounds of the mutual recursion
+    * `a ← Eᵀh; h ← E a` (new-a within the round, the classic
+    * ordering), each half-round L1-normalized to Σ = 1e6 and rounded
+    * to INTEGER MICROS — the per-vertex sums are order-independent
+    * and the whole fixed-iteration computation replays as unrolled
+    * CTEs in the DuckDB oracle (the pageRankDF playbook, integer
+    * flavor). Vertices with no in-edges hold authority 0; no
+    * out-edges, hub 0.
+    *
+    * 100 TB shape: per round two edge-keyed joins + two vertex folds
+    * + two 1-row total broadcasts; every intermediate is
+    * localCheckpointed so the round-over-round plan stays flat (X18
+    * cadence) and the edge list is scanned from materialized blocks.
+    *
+    * @return (id, hub_micros, auth_micros) for every vertex.
+    */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true) // scanned twice per round
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    def normalize(raw: DataFrame, out: String): DataFrame =
+      verts.join(
+          raw.crossJoin(broadcast(raw.agg(
+              coalesce(sum(col("raw")), lit(0L)).as("tot"))))
+            .select(col("id"),
+              round(col("raw") * lit(1e6) / col("tot")).cast("long").as(out)),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col(out), lit(0L)).as(out))
+        .localCheckpoint(true)
+    var h = verts.withColumn("h", lit(1000000L))
+    var a = verts.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val araw = e.join(h.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
+        .localCheckpoint(true) // feeds both its own total and the rows
+      a = normalize(araw, "a")
+      val hraw = e.join(a.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
+        .localCheckpoint(true)
+      h = normalize(hraw, "h")
+    }
+    h.join(a, Seq("id"))
+      .select(col("id"), col("h").as("hub_micros"), col("a").as("auth_micros"))
+      .orderBy(col("id"))
+  }
+
   /** Adamic-Adar link prediction — the degree-discounted PYMK scorer:
     * for every non-adjacent pair (a, c),
     * `score = Σ_{z ∈ N(a)∩N(c)} 1 / ln(deg(z))`. Same 2-hop shape as

@@ -342,6 +342,14 @@ object GraphQueries {
         numSources = 8, maxDepth = 4)
     }),
 
+    // HITS hubs & authorities, 3 rounds, directed edges: a ← Eᵀh then
+    // h ← E a per round, each half L1-normalized to integer micros —
+    // fully SQL-replayable as unrolled CTEs.
+    "qX_hits" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.hits(edges, iters = 3)
+    }),
+
     // Sampled betweenness (Brandes from 8 hash-spread sources,
     // depth-3 horizon): strict-level BFS with path counts forward,
     // per-level dependency accumulation backward — integer-micro δ
@@ -724,6 +732,36 @@ object GraphQueries {
        |SELECT verts.id, coalesce(bc.bc_micros, 0) AS bc_micros
        |FROM verts LEFT JOIN bc USING (id) ORDER BY id""".stripMargin
 
+  /** Unrolled HITS oracle for [[qX_hits]]: per round, authority raw
+    * sums over in-edges then L1-normalize to Σ=1e6 micros, hub raw
+    * sums of the NEW authorities over out-edges then normalize — the
+    * exact half-round ordering and rounding of `GraphAnalytics.hits`. */
+  private def hitsSql(iters: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |verts AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM verts)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS raw
+         |  FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
+         |at$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$k),
+         |a$k AS (SELECT v.id, coalesce(
+         |    CAST(round(r.raw * 1e6 / t.tot) AS BIGINT), 0) AS a
+         |  FROM verts v LEFT JOIN ar$k r ON r.id = v.id CROSS JOIN at$k t),
+         |hr$k AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS raw
+         |  FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY 1),
+         |ht$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$k),
+         |h$k AS (SELECT v.id, coalesce(
+         |    CAST(round(r.raw * 1e6 / t.tot) AS BIGINT), 0) AS h
+         |  FROM verts v LEFT JOIN hr$k r ON r.id = v.id CROSS JOIN ht$k t)""".stripMargin
+    }
+    val tail =
+      s"""SELECT h$iters.id, h$iters.h AS hub_micros, a$iters.a AS auth_micros
+         |FROM h$iters JOIN a$iters USING (id) ORDER BY id""".stripMargin
+    ((head +: rounds).mkString(",\n")) + "\n" + tail
+  }
+
   private def harmonicSql(numSources: Int, maxDepth: Int): String = {
     val head =
       s"""WITH edges AS ($EdgesSql),
@@ -762,6 +800,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "qX_harmonic" -> harmonicSql(numSources = 8, maxDepth = 4),
     "qX_betweenness" -> betweennessSql(numSources = 8),
+    "qX_hits" -> hitsSql(iters = 3),
     "qX_walk_subsample" -> walkSubsampleSql(t = 0.005, seed = 7L),
     "qX_neg_table" -> negTableSql(power = 0.75),
     "qX_walk_pairs" ->

@@ -490,6 +490,26 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(trunc(5L) == (1000000L, 1L)) // only s=4 at d=1
   }
 
+  test("hits: star hub and chain fixpoint, hand-computed micros") {
+    // out-star 1→{2,3,4}: 1 is the only hub (1e6), leaves split
+    // authority 1e6/3 = 333333 each, stable from round 1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val sg = GraphAnalytics.hits(star, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sg == Map(1L -> (1000000L, 0L), 2L -> (0L, 333333L),
+      3L -> (0L, 333333L), 4L -> (0L, 333333L)))
+    // chain 1→2→3: auth splits over {2,3}, hub over {1,2}; vertex 2 is
+    // both — fixpoint after round 1, so iters=1 and iters=3 agree
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c3 = GraphAnalytics.hits(chain, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c3 == Map(1L -> (500000L, 0L), 2L -> (500000L, 500000L),
+      3L -> (0L, 500000L)))
+    val c1 = GraphAnalytics.hits(chain, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c1 == c3)
+  }
+
   test("betweennessSampled: Brandes dependencies on a path, brokerage peak at a star center") {
     // path 1-2-3-4-5, S = {4, 1} (the harmonic md5 sample order),
     // depth 4. From s=4: δ(2)=1, δ(3)=2; from s=1: δ(2)=3, δ(3)=2,
