@@ -442,6 +442,19 @@ object SimilarityQueries {
       Pq.pqTopK(q, enc, cb, "vec_id", "embedding", 5)
     }),
 
+    // SQ8 scalar-quantized cosine top-k: per-dim byte codes from
+    // corpus min/max ranges, reconstruction rebuilt in-flight from
+    // the byte index — ranges, codes, and sims are all deterministic,
+    // so the whole path is SQL-expressible and fully oracle-checked.
+    "qX_sq8" -> ((s, dir) => {
+      import graft.operators.Sq
+      val emb = Tables.load(s, dir, "embeddings")
+      val ranges = Sq.sq8Train(emb, "embedding")
+      val enc = Sq.sq8Encode(emb, ranges, "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      Sq.sq8TopK(q, enc, ranges, "vec_id", "embedding", 5)
+    }),
+
     // PQ TRAINED-codebook recall contract: planted twins (+100000,
     // identical vectors) must be recovered in the ADC top-5 — an
     // identical query shares its twin's codes, so the twin scores the
@@ -566,6 +579,39 @@ object SimilarityQueries {
     "qX_pq_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "qX_sq8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dimtab AS (SELECT unnest(range(1, 65)) AS dim),
+        |dims AS (
+        |  SELECT d.dim, min(e.v[d.dim]) AS mn, max(e.v[d.dim]) AS mx
+        |  FROM e CROSS JOIN dimtab d GROUP BY 1),
+        |p AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |  FROM dims),
+        |enc AS (
+        |  SELECT e.vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN p.mxs[i] > p.mns[i] THEN
+        |      least(greatest(CAST(round(255.0 * (e.v[i] - p.mns[i])
+        |        / (p.mxs[i] - p.mns[i])) AS BIGINT), 0), 255)
+        |    ELSE 0 END) AS codes
+        |  FROM e CROSS JOIN p),
+        |rec AS (
+        |  SELECT enc.vec_id, list_transform(range(1, 65), i ->
+        |    p.mns[i] + enc.codes[i] * (p.mxs[i] - p.mns[i]) / 255.0) AS rv
+        |  FROM enc CROSS JOIN p),
+        |rn AS (SELECT vec_id, rv, sqrt(list_inner_product(rv, rv)) AS rnorm
+        |  FROM rec),
+        |q AS (SELECT vec_id AS qid, v, sqrt(list_inner_product(v, v)) AS qn
+        |  FROM e WHERE vec_id >= 100 AND vec_id < 105),
+        |scored AS (
+        |  SELECT q.qid, r.vec_id AS id,
+        |    round(list_inner_product(q.v, r.rv) / (q.qn * r.rnorm), 4) AS sim
+        |  FROM q JOIN rn r ON r.vec_id <> q.qid)
+        |SELECT qid, id, sim FROM (
+        |  SELECT qid, id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM scored) x
+        |WHERE rn <= 5 ORDER BY qid, sim DESC, id""".stripMargin,
 
     "qX_pq" ->
       """WITH e AS (
