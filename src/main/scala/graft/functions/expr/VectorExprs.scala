@@ -69,6 +69,80 @@ object VectorExprUtil {
     }
     sig
   }
+
+  /** k-row basis × centered vector. Null contract mirrors the HOF
+    * fold: a basis-width/vector-length mismatch or any null element
+    * poisons the result. Accumulation is left-to-right per component,
+    * identical to `aggregate(zip_with(...))`. */
+  def matVecOrNull(v: ArrayData, basis: Array[Array[Double]],
+                   mean: Array[Double], isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    if (basis.length > 0 && basis(0).length != n) return null
+    if (mean.length != n) return null
+    val out = new Array[Double](basis.length)
+    var r = 0
+    while (r < basis.length) {
+      val row = basis(r)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += row(i) * (x - mean(i))
+        i += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `mat_vec(vec)`: project a (mean-centered) vector onto a constant
+  * k×d basis — the PCA-projection hot path. The HOF twin
+  * ([[graft.operators.Pca.projectHof]]) evaluates k·d interpreted
+  * lambdas per row; this is one primitive loop, bit-equal by the same
+  * left-to-right accumulation order (locked in PcaSpec). The basis and
+  * mean ship to executors via `addReferenceObj` (the BpeExprs
+  * pattern), not serialized per-row codegen literals. */
+case class MatVecExpr(child: Expression, basis: Array[Array[Double]],
+                      mean: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mat_vec requires array<float> or array<double>, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorExprUtil.matVecOrNull(v.asInstanceOf[ArrayData], basis, mean, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val basisRef = ctx.addReferenceObj("matVecBasis", basis,
+      "double[][]")
+    val meanRef = ctx.addReferenceObj("matVecMean", mean, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.functions.expr.VectorExprUtil.matVecOrNull(
+         |    $v, $basisRef, $meanRef, $isFloat);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): MatVecExpr =
+    copy(child = c)
 }
 
 /** `sign_lsh(vec, m)`: m-bit random-hyperplane signature, codegen. */
@@ -143,4 +217,7 @@ object VectorExprs {
     toColumn(CosineSimExpr(toExpr(a), toExpr(b)))
   def sign_lsh(v: Column, m: Int): Column =
     toColumn(SignLshExpr(toExpr(v), m))
+  def mat_vec(v: Column, basis: Array[Array[Double]],
+              mean: Array[Double]): Column =
+    toColumn(MatVecExpr(toExpr(v), basis, mean))
 }

@@ -294,4 +294,67 @@ object TextAnalysis {
         size(col("_chunk")).as("n_tokens"),
         concat_ws(" ", col("_chunk")).as("chunk"))
   }
+
+  /** C4-style LINE-wise cleaning (Raffel 2020, §2.2 — the T5 corpus
+    * rules), the step between raw web text and the document-level
+    * quality gates ([[qualityOk]]/[[repetitionOk]]): drop boilerplate
+    * LINES, keep the document. A line survives when it has at least
+    * `minWords` whitespace words, ends in terminal punctuation
+    * (`.!?"` after right-trim — C4's "terminal punctuation mark" rule;
+    * toggle off for corpora without sentence structure), and contains
+    * none of `bannedLine` as a lowercase substring (C4 bans the word
+    * "javascript"; substring is the deliberately stricter form, the
+    * knob is per-call).
+    *
+    * Scale shape: a pure narrow projection — `split` on newline,
+    * higher-order `filter` with codegen'd word-count/regexp/contains
+    * predicates, `array_join` back. No explode, no shuffle, no UDF;
+    * line structure never leaves the row, so this scan-scales exactly
+    * like [[qualityFeatures]].
+    *
+    * @return struct(n_lines, n_kept, clean_text) — clean_text is the
+    *         kept lines re-joined with newline, in original order.
+    */
+  def lineClean(text: Column, minWords: Int = 5,
+                requireTerminal: Boolean = true,
+                bannedLine: Seq[String] = Seq("javascript")): Column = {
+    val lines = split(text, "\n", -1)
+    def keep(l: Column): Column = {
+      val words = size(filter(split(trim(l), "\\s+"), w => w =!= lit("")))
+      val term =
+        if (requireTerminal) rtrim(l).rlike("[.!?\"]$") else lit(true)
+      val ban = bannedLine.foldLeft(lit(true))((acc, b) =>
+        acc && !lower(l).contains(lit(b)))
+      words >= lit(minWords) && term && ban
+    }
+    val kept = filter(lines, keep _)
+    struct(size(lines).as("n_lines"), size(kept).as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** Document-level half of the C4 recipe over [[lineClean]]: drop the
+    * whole page when the RAW text contains any of `bannedDoc` (C4 drops
+    * pages with "lorem ipsum" or a curly brace — source-code tells) or
+    * when fewer than `minKeptLines` lines survive line cleaning (C4
+    * keeps pages with >= 3 sentences; the threshold is the knob).
+    * Same narrow scan as [[lineClean]] — the struct is computed once
+    * and both filters run on it before the final projection.
+    *
+    * @return (idCol, n_lines, n_kept, clean_text) for surviving docs.
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minWords: Int = 5, requireTerminal: Boolean = true,
+              bannedLine: Seq[String] = Seq("javascript"),
+              bannedDoc: Seq[String] = Seq("lorem ipsum", "{"),
+              minKeptLines: Int = 1): DataFrame = {
+    val docOk = bannedDoc.foldLeft(lit(true))((acc, b) =>
+      acc && !lower(col(textCol)).contains(lit(b)))
+    docs
+      .withColumn("_lc",
+        lineClean(col(textCol), minWords, requireTerminal, bannedLine))
+      .filter(docOk && col("_lc.n_kept") >= lit(minKeptLines))
+      .select(col(idCol), col("_lc.n_lines").as("n_lines"),
+        col("_lc.n_kept").as("n_kept"),
+        col("_lc.clean_text").as("clean_text"))
+  }
 }

@@ -455,6 +455,32 @@ object SimilarityQueries {
       Sq.sq8TopK(q, enc, ranges, "vec_id", "embedding", 5)
     }),
 
+    // PCA sufficient statistics: per-cell integer-micro moment table
+    // (j = -1 rows carry first moments, i <= j rows the upper-triangle
+    // raw second moments) — the ONE corpus scan behind pcaFit, exact
+    // and engine-reproducible, so the distributed fold is fully
+    // oracle-checked; the driver-side Jacobi eigensolve it feeds is
+    // pinned by PcaSpec (planted-covariance recovery).
+    "qX_pca_moments" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+      graft.operators.Pca.moments(emb.select(col("embedding")), "embedding")
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // PCA projection plumbing with a FIXED arithmetic basis (Knuth
+    // multiplicative-hash components — exact integer arithmetic in
+    // both engines): per-term integer micros through the native
+    // mat-vec codegen kernel's gate twin, so the projection scan is
+    // fully oracle-checked; the trained-basis path is PcaSpec's
+    // planted-axes recovery + project==projectHof bit-equality.
+    "qX_pca_project" -> ((s, dir) => {
+      val basis = Array.tabulate(8, 64)((r, i) =>
+        (((r * 64 + i).toLong * 2654435761L) % 1000L).toDouble / 1000.0 - 0.5)
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+      graft.operators.Pca.projectMicro(emb, "vec_id", "embedding", basis)
+        .orderBy(col("vec_id"), col("component"))
+    }),
+
     // PQ TRAINED-codebook recall contract: planted twins (+100000,
     // identical vectors) must be recovered in the ADC top-5 — an
     // identical query shares its twin's codes, so the twin scores the
@@ -613,6 +639,41 @@ object SimilarityQueries {
         |    PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM scored) x
         |WHERE rn <= 5 ORDER BY qid, sim DESC, id""".stripMargin,
 
+    "qX_pca_moments" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |d AS (SELECT unnest(range(1, 65)) AS di),
+        |firsts AS (
+        |  SELECT CAST(di - 1 AS INTEGER) AS i, -1 AS j,
+        |    CAST(sum(CAST(trunc(v[di] * 1e6) AS BIGINT)) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM e CROSS JOIN d GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT CAST(a.di - 1 AS INTEGER) AS i,
+        |    CAST(b.di - 1 AS INTEGER) AS j,
+        |    CAST(sum(CAST(trunc(e.v[a.di] * e.v[b.di] * 1e6) AS BIGINT))
+        |      AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM e CROSS JOIN d a CROSS JOIN d b
+        |  WHERE b.di >= a.di GROUP BY 1, 2)
+        |SELECT * FROM firsts UNION ALL SELECT * FROM pairs
+        |ORDER BY i, j""".stripMargin,
+    "qX_pca_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |d AS (SELECT unnest(range(1, 65)) AS di),
+        |r AS (SELECT unnest(range(0, 8)) AS comp),
+        |terms AS (
+        |  SELECT e.vec_id, CAST(r.comp AS INTEGER) AS component,
+        |    CAST(trunc(e.v[d.di] *
+        |      (((r.comp * 64 + (d.di - 1)) * 2654435761) % 1000
+        |        / 1000.0 - 0.5) * 1e6) AS BIGINT) AS t
+        |  FROM e CROSS JOIN d CROSS JOIN r)
+        |SELECT vec_id, component, CAST(sum(t) AS BIGINT) AS y_micro
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY vec_id, component""".stripMargin,
     "qX_pq" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

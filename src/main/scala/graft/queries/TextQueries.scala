@@ -425,6 +425,58 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // C4 line-wise cleaning (Raffel 2020 §2.2): synthesize line
+    // structure by turning every " merge " separator into a sentence
+    // break — each line ends with "." except the doc's final line,
+    // which the terminal-punctuation rule then drops. Line rules:
+    // >= 5 words, terminal punctuation, no "dup" substring; page
+    // rules: drop docs whose raw text contains "window dup", keep
+    // docs with >= 1 surviving line.
+    "qX_c4_clean" -> ((s, dir) => {
+      val withLines = Tables.load(s, dir, "documents")
+        .withColumn("tx", regexp_replace(col("text"), " merge ", ".\n"))
+      TextAnalysis.c4Clean(withLines, "doc_id", "tx",
+          minWords = 5, requireTerminal = true, bannedLine = Seq("dup"),
+          bannedDoc = Seq("window dup"), minKeptLines = 1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL/domain curation: synthesize a URL per doc (scheme + optional
+    // userinfo + w{0,1,2} subdomain + source-derived registrable domain
+    // over single- AND multi-label public suffixes + optional port +
+    // path + optional query), then parse, blocklist three domains, and
+    // cap every domain at 5 docs. The oracle re-CONSTRUCTS the ground
+    // truth from the generator arithmetic instead of re-implementing
+    // the parser — the Spark side must recover exactly what the
+    // generator built (userinfo/port/query stripped, longest-suffix
+    // domain), so a parse defect cannot cancel out.
+    "qX_url_curate" -> ((s, dir) => {
+      val sfx = element_at(
+        array(lit("com"), lit("co.uk"), lit("io"), lit("org")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("user:pw@"))
+          .otherwise(lit("")),
+        lit("w"), pmod(col("doc_id"), lit(3)), lit("."),
+        col("source"), lit("."), sfx,
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(":8443"))
+          .otherwise(lit("")),
+        lit("/p/"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("?q=1"))
+          .otherwise(lit("")))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), url.as("url"))
+      // sources pin their suffix (source src<k> ⇒ doc_id≡k mod 20 ⇒
+      // suffix by k mod 4), so the blocklist names domains that EXIST:
+      // src3→org, src6→io, src13→co.uk — each drops its whole source
+      graft.operators.UrlOps.curateByDomain(docs, "doc_id", "url",
+          blockedDomains = Seq("src3.org", "src6.io", "src13.co.uk"),
+          maxPerDomain = 5)
+        .select(col("doc_id"), col("scheme"), col("host"),
+          col("domain"), col("path"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer end-to-end: train 16 merges on the corpus, then
     // assert decode(encode(text)) reproduces the canonical token
     // stream for EVERY document — the oracle pins the roundtrip
@@ -999,6 +1051,41 @@ object TextQueries {
          |  array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
          |    AS chunk
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "qX_c4_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, ' merge ', '.' || chr(10), 'g') AS tx
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, tx, string_split(tx, chr(10)) AS lines,
+        |    list_filter(string_split(tx, chr(10)), l ->
+        |      len(list_filter(string_split_regex(trim(l), '\s+'),
+        |        w -> w <> '')) >= 5
+        |      AND regexp_matches(rtrim(l), '[.!?"]$')
+        |      AND NOT contains(lower(l), 'dup')) AS kept
+        |  FROM t)
+        |SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM l
+        |WHERE NOT contains(lower(tx), 'window dup') AND len(kept) >= 1
+        |ORDER BY doc_id""".stripMargin,
+    "qX_url_curate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    'https' AS scheme,
+        |    'w' || CAST(doc_id % 3 AS VARCHAR) || '.' || source || '.' ||
+        |      (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |        WHEN 2 THEN 'io' ELSE 'org' END) AS host,
+        |    source || '.' ||
+        |      (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |        WHEN 2 THEN 'io' ELSE 'org' END) AS domain,
+        |    '/p/' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents)
+        |SELECT doc_id, scheme, host, domain, path
+        |FROM g
+        |WHERE domain NOT IN ('src3.org', 'src6.io', 'src13.co.uk')
+        |QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 5
+        |ORDER BY doc_id""".stripMargin,
     "qX_bpe_roundtrip" ->
       """SELECT doc_id, 1 AS ok FROM documents ORDER BY doc_id""",
     "qX_fuzzy" ->

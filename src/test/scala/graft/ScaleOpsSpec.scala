@@ -51,6 +51,70 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c4Clean: per-line and per-doc C4 rules, each exercised alone") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // line 1 kept; line 2 dropped (4 words); line 3 dropped (no
+      // terminal punct); line 4 dropped (banned substring)
+      (1L, "one two three four five.\nhas only four words.\n" +
+        "five words but no period\nenable javascript to view this."),
+      // doc-level ban: a surviving line exists, page still dropped
+      (2L, "lorem ipsum dolor sit amet etc."),
+      (3L, "curly brace { in config text here."),
+      // no line survives -> dropped by minKeptLines
+      (4L, "too short.\nalso tiny."),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got == Map(1L -> ((4, 1, "one two three four five."))))
+    // knobs: terminal-punct off + lower word floor + no bans keeps more
+    val loose = TextAnalysis.c4Clean(docs, "doc_id", "text",
+        minWords = 2, requireTerminal = false, bannedLine = Nil,
+        bannedDoc = Nil, minKeptLines = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(loose == Map(1L -> 4, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("parseUrl: userinfo/port/query stripping, longest-suffix domain") {
+    import graft.operators.UrlOps
+    val cases = Seq(
+      ("https://u:p@H.Example.COM:8080/a/b?q=1#f",
+        ("https", "h.example.com", "example.com", "/a/b")),
+      ("HTTP://WWW.site.co.uk/Page",          // multi-label suffix
+        ("http", "www.site.co.uk", "site.co.uk", "/Page")),
+      ("https://foo.github.io",               // github.io beats io
+        ("https", "foo.github.io", "foo.github.io", "")),
+      ("https://x.y.io/z",                    // plain io
+        ("https", "x.y.io", "y.io", "/z")),
+      ("https://co.uk",                       // host IS a suffix
+        ("https", "co.uk", "co.uk", "")),
+      ("example.com/x",                       // relative: no authority
+        ("", "", "", "")))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.parseUrl(col("url")).as("p"))
+      .select(col("p.scheme"), col("p.host"), col("p.domain"), col("p.path"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("curateByDomain: blocklist anti-join and per-domain cap") {
+    import graft.operators.UrlOps
+    val docs = (1L to 20L).map(i =>
+        (i, s"https://w.d${i % 3}.com/p/$i")).toDF("doc_id", "url")
+    val out = UrlOps.curateByDomain(docs, "doc_id", "url",
+        blockedDomains = Seq("d0.com"), maxPerDomain = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("domain")))
+    // d0.com blocked entirely; d1/d2 capped at their 2 lowest ids
+    assert(out.toSet == Set((1L, "d1.com"), (4L, "d1.com"),
+      (2L, "d2.com"), (5L, "d2.com")))
+    // column order of the input survives the anti join
+    val cols = UrlOps.curateByDomain(docs, "doc_id", "url",
+      Seq("d0.com"), 0).columns.toSeq
+    assert(cols == Seq("doc_id", "url", "scheme", "host", "domain", "path"))
+  }
+
   test("indexed search equals scan search (in-memory and stored+bucketed)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val terms = "spark join fast"
