@@ -424,6 +424,108 @@ object GraphAnalytics {
     out
   }
 
+  /** node2vec biased second-order walks (Grover & Leskovec 2016) —
+    * [[randomWalks]]' uniform step upgraded to the p/q-biased
+    * transition: stepping from `prev` through `cur`, neighbor `x`
+    * weighs 1/p if x == prev (return), 1 if x is a neighbor of prev
+    * (BFS-ish stay-local), 1/q otherwise (DFS-ish explore). Weights
+    * quantize to integer MILLIs (round(1000/p) etc.) so the cumulative
+    * sums and the modular pick are exact integer arithmetic — the same
+    * replayable no-RNG contract as [[randomWalks]] (identical
+    * arithmetic-mix coin), which is what makes a 100 TB walk corpus
+    * regenerable bit-identically and the whole corpus oracle-checkable
+    * (qX_node2vec). Step 1 has no `prev` and is uniform, exactly
+    * [[randomWalks]]' first step.
+    *
+    * Scale shape per step: the frontier fans out to its full neighbor
+    * candidate list (Σ deg(cur) rows — inherent to second-order
+    * sampling: every candidate's weight depends on prev-adjacency),
+    * one broadcast-free keyed join against the canonical edge set
+    * marks prev-neighbors, and the weighted pick is a per-walk window
+    * over ≤ deg(cur) rows (never a global window). Three keyed
+    * shuffles per step, frontier re-narrowed to (walk_id, prev, cur)
+    * immediately; lineage cut every 2 steps like every iterative op
+    * here.
+    *
+    * @return (walk_id, step, vertex), step 0..length.
+    */
+  def node2vecWalks(edges: DataFrame, walksPerVertex: Int = 2,
+                    length: Int = 4, p: Double = 4.0, q: Double = 0.25,
+                    seed: Long = 7L): DataFrame = {
+    require(p > 0 && q > 0, s"node2vec p and q must be > 0, got p=$p q=$q")
+    // clamp to >= 1 milli: a 0 weight from huge p/q would zero a
+    // degree-1 vertex's total and make the modular pick divide by
+    // zero (ANSI throws); 1/1000th keeps every neighbor reachable
+    val wRet = math.max(1L, math.round(1000.0 / p))
+    val wOut = math.max(1L, math.round(1000.0 / q))
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = canon.select(col("u").as("from"), col("v").as("to"))
+      .unionAll(canon.select(col("v").as("from"), col("u").as("to")))
+    val adjIdx = adj.withColumn("idx",
+        row_number().over(Window.partitionBy(col("from"))
+          .orderBy(col("to"))) - 1)
+      .localCheckpoint(true)
+    val degs = adjIdx.groupBy("from").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val starts = adjIdx.select(col("from").as("id")).distinct()
+      .select(col("id"), explode(sequence(lit(0),
+        lit(walksPerVertex - 1))).as("r"))
+      .select((col("id") * walksPerVertex + col("r")).as("walk_id"),
+        col("id").as("cur"))
+    def coin(s: Int): Column =
+      pmod(col("walk_id") * lit(40503L) + lit(s.toLong) * lit(2654435L) +
+        col("cur") * lit(69069L) + lit(seed), lit(1000003L))
+    // step 1: uniform, no prev yet — randomWalks' exact first step
+    val first = starts
+      .join(degs.withColumnRenamed("from", "cur"), "cur")
+      .withColumn("pick", coin(1) % col("deg"))
+      .alias("p")
+      .join(adjIdx.alias("a"),
+        col("p.cur") === col("a.from") && col("p.pick") === col("a.idx"))
+      .select(col("p.walk_id").as("walk_id"), col("p.cur").as("prev"),
+        col("a.to").as("cur"))
+      .localCheckpoint(true)
+    var cur = first
+    var out = starts.select(col("walk_id"), lit(0).as("step"),
+        col("cur").as("vertex"))
+      .unionAll(first.select(col("walk_id"), lit(1).as("step"),
+        col("cur").as("vertex")))
+    for (s <- 2 to length) {
+      val cands = cur.alias("w")
+        .join(adjIdx.alias("a"), col("w.cur") === col("a.from"))
+        .select(col("w.walk_id").as("walk_id"), col("w.prev").as("prev"),
+          col("w.cur").as("cur"), col("a.to").as("to"), col("a.idx").as("idx"))
+      val marked = cands.alias("c")
+        .join(canon.withColumn("_nb", lit(1)).alias("n"),
+          least(col("c.prev"), col("c.to")) === col("n.u") &&
+            greatest(col("c.prev"), col("c.to")) === col("n.v"),
+          "left")
+        .select(col("c.*"),
+          when(col("c.to") === col("c.prev"), lit(wRet))
+            .when(col("n._nb").isNotNull, lit(1000L))
+            .otherwise(lit(wOut)).as("w"))
+      val wWin = Window.partitionBy(col("walk_id")).orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tWin = Window.partitionBy(col("walk_id"))
+      val picked = marked
+        .withColumn("cw", sum(col("w")).over(wWin))
+        .withColumn("tot", sum(col("w")).over(tWin))
+        .withColumn("rr", coin(s) % col("tot"))
+        .filter(col("rr") >= col("cw") - col("w") && col("rr") < col("cw"))
+        .select(col("walk_id"), col("cur").as("prev"), col("to").as("cur"))
+      val stepped = if (s % 2 == 0 || s == length)
+        picked.localCheckpoint(true) else picked
+      cur = stepped
+      out = out.unionAll(stepped.select(col("walk_id"),
+        lit(s).as("step"), col("cur").as("vertex")))
+    }
+    out
+  }
+
   /** Skip-gram (center, context) training pairs from a walk corpus —
     * the DeepWalk/node2vec step that turns [[randomWalks]] output into
     * word2vec input: for every walk, each ordered pair of positions at

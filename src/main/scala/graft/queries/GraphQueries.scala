@@ -304,6 +304,19 @@ object GraphQueries {
         .orderBy(col("walk_id"), col("step"))
     }),
 
+    // node2vec biased second-order walks: p=4 (return-averse), q=0.25
+    // (explore-biased), 1 walk per vertex, 3 steps — integer-milli
+    // weights and the replayable arithmetic-mix coin make the biased
+    // corpus bit-replayable, so the oracle re-derives every transition
+    // (prev-neighbor marking, cumulative weights, modular pick)
+    // independently.
+    "qX_node2vec" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.node2vecWalks(edges,
+          walksPerVertex = 1, length = 3, p = 4.0, q = 0.25)
+        .orderBy(col("walk_id"), col("step"))
+    }),
+
     // Skip-gram (center, context, n) pairs from the walk corpus — the
     // DeepWalk/node2vec step that turns walks into word2vec training
     // input; fully oracle-checked because the walks are.
@@ -480,6 +493,71 @@ object GraphQueries {
                              seed: Long): String =
     randomWalksCte(walksPerVertex, length, seed) +
       "\nSELECT walk_id, step, vertex FROM walks ORDER BY walk_id, step"
+
+  /** Unrolled node2vec oracle: w1 is [[randomWalksCte]]'s uniform
+    * first step carrying `prev`; each later step independently
+    * re-derives the biased transition — candidate fan-out, LEFT JOIN
+    * prev-neighbor mark against the canonical edge set, CASE weights
+    * in integer millis, running/total weight windows, modular pick —
+    * the exact semantics of
+    * [[graft.operators.GraphAnalytics.node2vecWalks]]. */
+  private def node2vecSql(walksPerVertex: Int, length: Int, seed: Long,
+                          p: Double, q: Double): String = {
+    val wRet = math.max(1L, math.round(1000.0 / p))
+    val wOut = math.max(1L, math.round(1000.0 / q))
+    val replicas = (0 until walksPerVertex)
+      .map(r => s"SELECT $r AS r").mkString(" UNION ALL ")
+    def mix(s: Int, walkRef: String, curRef: String) =
+      s"((($walkRef * 40503 + $s * 2654435 + $curRef * 69069 + $seed) " +
+        "% 1000003 + 1000003) % 1000003)"
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS (SELECT u AS f, v AS t FROM e
+         |        UNION ALL
+         |        SELECT v AS f, u AS t FROM e),
+         |adjidx AS (SELECT f, t,
+         |    row_number() OVER (PARTITION BY f ORDER BY t) - 1 AS idx
+         |  FROM adj),
+         |degs AS (SELECT f, count(*) AS deg FROM adj GROUP BY f),
+         |w0 AS (
+         |  SELECT id * $walksPerVertex + r AS walk_id, id AS cur
+         |  FROM (SELECT DISTINCT f AS id FROM adj)
+         |  CROSS JOIN ($replicas)),
+         |w1 AS (
+         |  SELECT w.walk_id, w.cur AS prev, a.t AS cur
+         |  FROM w0 w
+         |  JOIN degs d ON w.cur = d.f
+         |  JOIN adjidx a ON a.f = w.cur
+         |   AND a.idx = ${mix(1, "w.walk_id", "w.cur")} % d.deg)""".stripMargin
+    val steps = (2 to length).map { s =>
+      s"""w$s AS (
+         |  SELECT walk_id, cur0 AS prev, t AS cur FROM (
+         |    SELECT c.walk_id, c.cur0, c.t, c.wt,
+         |      SUM(c.wt) OVER (PARTITION BY c.walk_id ORDER BY c.idx
+         |        ROWS UNBOUNDED PRECEDING) AS cw,
+         |      SUM(c.wt) OVER (PARTITION BY c.walk_id) AS tot,
+         |      ${mix(s, "c.walk_id", "c.cur0")} AS mx
+         |    FROM (
+         |      SELECT w.walk_id, w.cur AS cur0, a.t, a.idx,
+         |        CASE WHEN a.t = w.prev THEN $wRet
+         |             WHEN nb.u IS NOT NULL THEN 1000
+         |             ELSE $wOut END AS wt
+         |      FROM w${s - 1} w
+         |      JOIN adjidx a ON a.f = w.cur
+         |      LEFT JOIN e nb ON least(w.prev, a.t) = nb.u
+         |       AND greatest(w.prev, a.t) = nb.v) c) x
+         |  WHERE mx % tot >= cw - wt AND mx % tot < cw)""".stripMargin
+    }
+    val union = (0 to length).map { s =>
+      val src = if (s == 0) "w0" else s"w$s"
+      s"SELECT walk_id, $s AS step, cur AS vertex FROM $src"
+    }.mkString("\n  UNION ALL\n  ")
+    (head +: steps).mkString(",\n") +
+      s",\nwalks AS (\n  $union)" +
+      "\nSELECT walk_id, step, vertex FROM walks ORDER BY walk_id, step"
+  }
 
   /** Skip-gram pair oracle: the walk CTE self-joined on walk_id within
     * the window — the exact formulation of
@@ -948,6 +1026,8 @@ object GraphQueries {
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
     "qX_lpa" -> lpaSql(4),
     "qX_random_walks" -> randomWalksSql(walksPerVertex = 2, length = 4, seed = 7L),
+    "qX_node2vec" -> node2vecSql(walksPerVertex = 1, length = 3, seed = 7L,
+      p = 4.0, q = 0.25),
     "qD1_pymk" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (

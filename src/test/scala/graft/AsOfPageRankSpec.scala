@@ -234,6 +234,55 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("node2vecWalks: valid biased corpus, replayable, shares step 1 with randomWalks") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val walks = GraphAnalytics.node2vecWalks(edges, walksPerVertex = 2,
+      length = 4, p = 4.0, q = 0.25)
+    val rows = walks.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 4 * 2 * 5)
+    val undirected = Set((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    rows.groupBy(_._1).values.foreach { w =>
+      w.sortBy(_._2).map(_._3).sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(undirected((pair(0), pair(1))),
+            s"${pair(0)}->${pair(1)} not an edge")
+      }
+    }
+    // replayable: bit-identical on a second build
+    val again = GraphAnalytics.node2vecWalks(edges, walksPerVertex = 2,
+      length = 4, p = 4.0, q = 0.25)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+    // step 1 has no prev: identical to randomWalks' uniform first step
+    val uni = GraphAnalytics.randomWalks(edges, walksPerVertex = 2, length = 1)
+      .filter(col("step") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.filter(_._2 == 1).foreach { case (w, _, v) =>
+      assert(uni(w) == v, s"walk $w step 1")
+    }
+  }
+
+  test("node2vecWalks: degree-1 oscillation survives the clamped return weight") {
+    // path graph 1-2: from (prev=1, cur=2) the ONLY candidate is the
+    // return edge; huge p clamps its weight to 1 milli and the walk
+    // must still pick it (tot >= 1, never a mod-0)
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val walks = GraphAnalytics.node2vecWalks(edges, walksPerVertex = 1,
+      length = 3, p = 1e9, q = 1e9)
+    val byWalk = walks.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // each walk oscillates between its endpoints
+    for (start <- Seq(1L, 2L); s <- 0 to 3) {
+      val other = if (start == 1L) 2L else 1L
+      val expect = if (s % 2 == 0) start else other
+      assert(byWalk((start, s)) == expect, s"walk from $start step $s")
+    }
+    intercept[IllegalArgumentException] {
+      GraphAnalytics.node2vecWalks(edges, 1, 2, p = 0.0, q = 1.0)
+    }
+  }
+
   test("labelPropagationDF: bridged triangles split into two communities") {
     // triangle {1,2,3} -bridge 3-4- triangle {4,5,6}: after 4 synchronous
     // rounds (count desc, label asc ties) the left settles on 1, the
