@@ -292,4 +292,47 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("c4Clean and parseUrl are pure narrow scans: no exchange, codegen") {
+    val docs = Tables.load(spark, dir, "documents")
+    val pC4 = graft.operators.TextAnalysis.c4Clean(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    assert(!pC4.contains("Exchange"), "c4Clean must not shuffle:\n" + pC4.take(2000))
+    val pUrl = docs.select(graft.operators.UrlOps.parseUrl(
+        org.apache.spark.sql.functions.col("text")).as("u"))
+      .queryExecution.executedPlan.toString()
+    assert(!pUrl.contains("Exchange"), "parseUrl must not shuffle:\n" + pUrl.take(2000))
+    assert(pUrl.contains("*(1)"), "parseUrl lost codegen:\n" + pUrl.take(2000))
+  }
+
+  test("domain curation: blocklist is a broadcast anti join") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("https://a.b"),
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(".com/x")).as("url"))
+    val p = graft.operators.UrlOps.curateByDomain(docs, "doc_id", "url",
+        blockedDomains = Seq("bad.com"), maxPerDomain = 0)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+  }
+
+  test("pca: projection is a narrow codegen mat-vec; moments shuffles once") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val basis = Array.tabulate(4, 64)((r, i) => (r * 64 + i) * 1e-3)
+    val pProj = graft.operators.Pca.project(emb, "embedding", "y",
+        basis, Array.fill(64)(0.0))
+      .queryExecution.executedPlan.toString()
+    assert(!pProj.contains("Exchange"), "project must not shuffle:\n" + pProj.take(2000))
+    assert(pProj.contains("*(1)"), "mat_vec lost codegen:\n" + pProj.take(2000))
+    val pMom = graft.operators.Pca.moments(emb, "embedding")
+      .queryExecution.executedPlan.toString()
+    // one hash-aggregate exchange for the (i, j) cells, nothing else
+    assert(pMom.split("Exchange").length == 2,
+      "moments must shuffle exactly once:\n" + pMom.take(3000))
+    assert(pMom.contains("partial_sum") || pMom.contains("HashAggregate"),
+      "moments needs map-side partial aggregation:\n" + pMom.take(3000))
+  }
 }
