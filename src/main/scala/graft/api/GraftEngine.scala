@@ -549,4 +549,70 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                 merges: Seq[(String, String)]): DataFrame =
     df.withColumn("pieces",
       graft.operators.Bpe.encode(col(textCol), merges))
+
+  /** C4-recipe line+page cleaning of a caller document frame
+    * ([[graft.operators.TextAnalysis.c4Clean]]) — one narrow HOF
+    * scan, no shuffle; not memoized (caller frames have no
+    * write-invalidation fence). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minWords: Int = 5, requireTerminal: Boolean = true,
+              bannedLine: Seq[String] = Seq("javascript"),
+              bannedDoc: Seq[String] = Seq("lorem ipsum", "{"),
+              minKeptLines: Int = 1): DataFrame =
+    graft.operators.TextAnalysis.c4Clean(df, idCol, textCol, minWords,
+      requireTerminal, bannedLine, bannedDoc, minKeptLines)
+
+  /** Domain-provenance curation of a caller frame with a URL column:
+    * parse, blocklist, per-domain cap
+    * ([[graft.operators.UrlOps.curateByDomain]]). */
+  def curateByDomain(df: DataFrame, idCol: String, urlCol: String,
+                     blockedDomains: Seq[String] = Nil,
+                     maxPerDomain: Int = 0): DataFrame =
+    graft.operators.UrlOps.curateByDomain(df, idCol, urlCol,
+      blockedDomains, maxPerDomain)
+
+  /** Fit a k-component PCA basis over an embedding column (one moment
+    * scan + driver Jacobi; [[graft.operators.Pca.pcaFit]]), returning
+    * (basis, explained variance, mean) for [[pcaProject]]. */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int):
+      (Array[Array[Double]], Array[Double], Array[Double]) =
+    graft.operators.Pca.pcaFit(df, vecCol, k)
+
+  /** Project an embedding column onto a fitted basis — narrow codegen
+    * mat-vec scan ([[graft.operators.Pca.project]]). */
+  def pcaProject(df: DataFrame, vecCol: String, outCol: String,
+                 basis: Array[Array[Double]],
+                 mean: Array[Double]): DataFrame =
+    graft.operators.Pca.project(df, vecCol, outCol, basis, mean)
+
+  /** node2vec biased walk corpus over the ENGINE's graph (memoized,
+    * write-invalidated like [[pageRank]]): p/q-biased second-order
+    * walks, bit-replayable ([[graft.operators.GraphAnalytics
+    * .node2vecWalks]]). The walk operator's arithmetic coin needs
+    * NUMERIC vertex ids; the engine's are md5-8 strings, so the facade
+    * assigns dense longs by a sorted-id window (|V| is the serving
+    * graph, not the corpus — library callers with long ids use the
+    * operator directly) and maps the corpus back to string ids.
+    * Returns (walk_id, step, vertex). */
+  def node2vec(walksPerVertex: Int = 2, length: Int = 4,
+               p: Double = 4.0, q: Double = 0.25): DataFrame =
+    memoized(cacheKey("node2vec", walksPerVertex.toString,
+      length.toString, p.toString, q.toString)) {
+      import org.apache.spark.sql.expressions.Window
+      val e = edges.select(col("src"), col("dst"))
+      val verts = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v"))).distinct()
+        .withColumn("vid",
+          row_number().over(Window.orderBy(col("v"))).cast("long"))
+      val eNum = e
+        .join(verts.withColumnRenamed("v", "src")
+          .withColumnRenamed("vid", "src_id"), "src")
+        .join(verts.withColumnRenamed("v", "dst")
+          .withColumnRenamed("vid", "dst_id"), "dst")
+        .select(col("src_id").as("src"), col("dst_id").as("dst"))
+      graft.operators.GraphAnalytics
+        .node2vecWalks(eNum, walksPerVertex, length, p, q)
+        .join(verts.withColumnRenamed("vid", "vertex"), "vertex")
+        .select(col("walk_id"), col("step"), col("v").as("vertex"))
+    }
 }

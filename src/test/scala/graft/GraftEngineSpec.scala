@@ -236,6 +236,36 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(dec == "alpha beta gamma delta")
   }
 
+  test("curation facade: c4Clean, curateByDomain, pca, node2vec") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five.\nshort line.", "https://a.d1.com/x"),
+      (2L, "lorem ipsum dolor sit amet here.", "https://b.d1.com/y"),
+      (3L, "six seven eight nine ten eleven.", "https://c.d2.com/z"))
+      .toDF("id", "text", "url")
+    val clean = engine.c4Clean(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(clean == Map(1L -> 1, 3L -> 1)) // doc 2 killed by lorem ipsum
+    val cur = engine.curateByDomain(docs, "id", "url",
+        blockedDomains = Seq("d2.com"), maxPerDomain = 1)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("domain")))
+    assert(cur.toSet == Set((1L, "d1.com"))) // d2 blocked, d1 capped to 1
+    // pca fit+project over a tiny planted frame
+    val emb = (1 to 50).map(i =>
+        (i.toLong, Array(i.toFloat, 0f, (51 - i).toFloat, 1f)))
+      .toDF("id", "embedding")
+    val (basis, evar, mean) = engine.pcaFit(emb, "embedding", 1)
+    assert(evar(0) > 100.0 && basis(0).length == 4)
+    assert(engine.pcaProject(emb, "embedding", "y", basis, mean)
+      .select(col("y")).head().getSeq[Double](0).length == 1)
+    // node2vec over the engine graph: memoized, string ids round-trip
+    val w1 = engine.node2vec(1, 2)
+    val names = w1.select(col("vertex")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(w1.count() > 0 && names.nonEmpty)
+    assert(engine.node2vec(1, 2) eq w1) // memo hit is the same frame
+  }
+
   test("pq facade: index + ADC search recovers identical twins") {
     import spark.implicits._
     // 8-dim vectors from 2 atoms per 4-dim subspace — pqTrain with
