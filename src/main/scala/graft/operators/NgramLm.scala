@@ -87,4 +87,32 @@ object NgramLm {
         round(exp(-(col("lp_micros").cast("double") / lit(1e6))
           / col("n_bigrams")) * lit(1000)).cast("long"))
   }
+
+  /** Perplexity-band data pruning (Marion et al. 2023, "When Less is
+    * More"): keep the documents whose model perplexity falls in the
+    * middle of the distribution — the lowest-ppl tail is boilerplate
+    * and duplication, the highest-ppl tail is noise; the middle band
+    * measurably beats both at equal token budget. Band edges are
+    * RANK-based (keep ranks in (⌊keepLo·n⌋, ⌊keepHi·n⌋] under the
+    * total order (ppl_milli, id)) rather than quantile-sketch-based,
+    * so the kept set is exact and engine-reproducible.
+    *
+    * Scale shape: the exact global rank rides
+    * [[Packing.globalRank]] — range partition + local row_number +
+    * O(#partitions) prefix offsets, one shuffle, no global window.
+    *
+    * @param scored output of [[score]] (or any frame with a
+    *               `ppl_milli` column).
+    */
+  def pruneByPerplexity(scored: DataFrame, idCol: String,
+                        keepLo: Double, keepHi: Double): DataFrame = {
+    require(0.0 <= keepLo && keepLo < keepHi && keepHi <= 1.0,
+      s"need 0 <= keepLo < keepHi <= 1, got [$keepLo, $keepHi]")
+    val (ranked, n) = Packing.globalRank(scored,
+      Seq("ppl_milli", idCol))
+    val lo = math.floor(keepLo * n).toLong
+    val hi = math.floor(keepHi * n).toLong
+    ranked.filter(col("_grank") > lit(lo) && col("_grank") <= lit(hi))
+      .drop("_grank")
+  }
 }

@@ -68,16 +68,26 @@ object Packing {
     * long per partition to the driver, O(#partitions)). One shuffle,
     * O((n/p) log(n/p)) per partition, no single-task sort.
     */
-  def lengthBucketsScalable(df: DataFrame, idCol: String, tokenCol: String,
-                            buckets: Int, partitions: Int = 0): DataFrame = {
+  /** Exact 1-based GLOBAL RANK under the total order `sortCols` — the
+    * distributed-rank primitive shared by [[lengthBucketsScalable]]
+    * and rank-window data pruning ([[NgramLm.pruneByPerplexity]]):
+    * range-partition on the sort key (RangePartitioner puts ascending
+    * key ranges in ascending partition ids), local `row_number` per
+    * partition, lift to a global rank with the exclusive prefix sum of
+    * per-partition counts (one long per partition to the driver). One
+    * shuffle, no global window. Appends `_grank` and returns the total
+    * row count alongside.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[String],
+                 partitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val nParts =
       if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val ranged = df.select(col(idCol), col(tokenCol))
-      .repartitionByRange(nParts, col(tokenCol).asc, col(idCol).asc)
+    val ranged = df
+      .repartitionByRange(nParts, sortCols.map(col(_).asc): _*)
       .withColumn("_pid", spark_partition_id())
     val lw = Window.partitionBy(col("_pid"))
-      .orderBy(col(tokenCol).asc, col(idCol).asc)
+      .orderBy(sortCols.map(col(_).asc): _*)
     val local = ranged.withColumn("_lrn", row_number().over(lw))
     // one row per partition — the only driver-side data is O(#partitions)
     val counts = local.groupBy(col("_pid"))
@@ -90,8 +100,17 @@ object Packing {
     }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("_pid", "_poff")
+    (local.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_grank", col("_poff") + col("_lrn"))
+      .drop("_pid", "_lrn", "_poff"), n)
+  }
+
+  def lengthBucketsScalable(df: DataFrame, idCol: String, tokenCol: String,
+                            buckets: Int, partitions: Int = 0): DataFrame = {
+    val (ranked, n) = globalRank(
+      df.select(col(idCol), col(tokenCol)), Seq(tokenCol, idCol), partitions)
     val q = n / buckets; val r = n % buckets
-    val g = col("_poff") + col("_lrn") // 1-based global rank
+    val g = col("_grank") // 1-based global rank
     // ntile(b) of rank g: ranks 1..r*(q+1) fall in the q+1-sized
     // buckets, the rest in q-sized ones. CaseWhen evaluates lazily per
     // row, so the q=0 division (n < buckets — every rank its own
@@ -101,8 +120,7 @@ object Packing {
         ((g - 1) / lit(q + 1)).cast("long") + 1)
         .otherwise(lit(r) + ((g - lit(r * (q + 1)) - 1) / lit(q.max(1L)))
           .cast("long") + 1)
-    local.join(broadcast(offDf), Seq("_pid"))
-      .select(col(idCol), col(tokenCol), bucket.cast("int").as("bucket"))
+    ranked.select(col(idCol), col(tokenCol), bucket.cast("int").as("bucket"))
   }
 
   /** Naive global-window form — the executable spec. One partition,

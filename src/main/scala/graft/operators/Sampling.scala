@@ -147,4 +147,31 @@ object Sampling {
       .filter(md5Bucket(col(idCol)) < col("_rate") * BucketSpace)
       .drop("_rate")
   }
+
+  /** Temperature-based mixture sampling — [[mixtureSample]] with the
+    * target shares DERIVED from the data instead of caller-declared:
+    * group k keeps share p_k = n_k^α / Σ n_j^α (the multilingual-LLM
+    * upsampling rule: α = 1 is proportional, α → 0 is uniform; 0.3-0.7
+    * flattens head domains and lifts the tail). Same plan as
+    * [[mixtureSample]]: one count aggregation, share arithmetic on the
+    * K-row table, broadcast rate join, deterministic md5-bucket keep.
+    * Rates round to 9 decimals before the bucket compare so the keep
+    * set is engine-reproducible (pow's last ulp may differ across
+    * libms — the IVF same-fixed-precision contract).
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, idCol: String,
+                        alpha: Double, targetN: Long): DataFrame = {
+    require(alpha > 0, s"temperature alpha must be > 0, got $alpha")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+    val total = counts.agg(
+      sum(pow(col("_n").cast("double"), lit(alpha))).as("_z"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col(keyCol),
+        round(least(lit(1.0),
+          pow(col("_n").cast("double"), lit(alpha)) / col("_z")
+            * targetN / col("_n")), 9).as("_rate"))
+    df.join(broadcast(rates), Seq(keyCol))
+      .filter(md5Bucket(col(idCol)) < col("_rate") * BucketSpace)
+      .drop("_rate")
+  }
 }

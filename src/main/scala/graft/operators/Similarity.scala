@@ -54,6 +54,36 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR /
+    * Contriever data-prep step): for each query, the top-k most
+    * SIMILAR corpus items with a DIFFERENT label — same-label
+    * neighbors are positives; near-but-differently-labeled items are
+    * the informative negatives a bi-encoder trains against.
+    *
+    * Exact form: the [[bruteForceTopK]] plan (broadcast query side ×
+    * one corpus scan, codegen cosine, bounded-heap top-k) with the
+    * label guard fused into the join condition — the guard prunes
+    * BEFORE scoring, so same-label rows cost a comparison, not a
+    * cosine. At corpus scale swap the scan side for the IVF/PQ index
+    * ([[ivfTopK]], [[Pq.pqTopK]]) and apply the same guard to their
+    * candidate sets; the contract is identical.
+    *
+    * @return (qid, id, sim) — ranked (sim desc, id asc) per query.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    qidCol: String, qvecCol: String, qlabelCol: String,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      col(qlabelCol).as("qlabel"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("label"))
+    val scored = broadcast(q)
+      .join(c, col("qid") =!= col("id") && col("qlabel") =!= col("label"))
+      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic "random" hyperplane component: hash-derived value in
     * [-0.5, 0.5) for (plane p, dimension d). Hashes a packed long key
     * (not a concatenated string — long hashing is ~5× cheaper and this

@@ -24,6 +24,17 @@ object SimilarityQueries {
         "vec_id", "embedding", 5)
     }),
 
+    // Hard-negative mining (DPR/Contriever prep): per query the top-5
+    // most-similar DIFFERENT-label corpus vectors — the label guard
+    // fused into the broadcast join, pruning before the cosine; same
+    // exact plan and full oracle as qX_ann_cosine otherwise.
+    "qX_hard_neg" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.hardNegatives(q, emb, "vec_id", "embedding", "label",
+        "vec_id", "embedding", "label", 5)
+    }),
+
     // sign-LSH ANN (multi-probe) — scale path; rows-only check.
     "qX_ann_lsh" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -580,6 +591,23 @@ object SimilarityQueries {
         |    round(list_cosine_similarity(q.qvec,
         |      CAST(e.embedding AS DOUBLE[])), 4) AS sim
         |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn
+        |  FROM sims)
+        |SELECT qid, id, sim FROM ranked WHERE rn <= 5
+        |ORDER BY qid, sim DESC, id""".stripMargin,
+    "qX_hard_neg" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, label AS qlabel,
+        |    CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    round(list_cosine_similarity(q.qvec,
+        |      CAST(e.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id <> q.qid AND e.label <> q.qlabel),
         |ranked AS (
         |  SELECT qid, id, sim, row_number() OVER (
         |    PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn

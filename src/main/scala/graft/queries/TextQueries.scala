@@ -739,6 +739,33 @@ object TextQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("lang"))
+    }),
+
+    // Temperature mixture sampling: shares derived from the data
+    // (p_k = n_k^0.5 / Σ n^0.5 — flattens head languages, lifts the
+    // tail), then the same deterministic md5-bucket keep as
+    // qX_mixture. Rates round to 9 decimals on both sides (pow's
+    // last-ulp contract).
+    "qX_mixture_temp" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureSample(
+          Tables.load(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", alpha = 0.5, targetN = 200L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
+    // Perplexity-band pruning (Marion 2023): score docs < 200 under
+    // the held-out bigram LM, keep the middle (0.1, 0.8] rank band of
+    // the ppl distribution — exact distributed global rank, no
+    // quantile sketch, so the kept set is a full-row oracle.
+    "qX_ppl_prune" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = NgramLm.score(docs.filter(col("doc_id") < 200),
+        "doc_id", "text",
+        NgramLm.train(docs.filter(col("doc_id") >= 200), "text"))
+      NgramLm.pruneByPerplexity(scored, "doc_id", 0.1, 0.8)
+        .orderBy(col("doc_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1270,6 +1297,41 @@ object TextQueries {
          |  CAST(round(exp(-(CAST(sum(lpm) AS DOUBLE) / 1e6) / count(*))
          |    * 1000) AS BIGINT) AS ppl_milli
          |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "qX_ppl_prune" ->
+      s"""WITH d AS ($ToksSql),
+         |big AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM d WHERE len(toks) >= 2),
+         |inst AS (
+         |  SELECT doc_id, split_part(bg, ' ', 1) AS ctx,
+         |    split_part(bg, ' ', 2) AS word FROM big),
+         |m AS (
+         |  SELECT ctx, word, count(*) AS cnt FROM inst
+         |  WHERE doc_id >= 200 GROUP BY 1, 2),
+         |ct AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM m GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS vs FROM (
+         |  SELECT ctx AS t FROM m UNION SELECT word FROM m)),
+         |lp AS (
+         |  SELECT i.doc_id, CAST(round(ln(
+         |      (coalesce(m.cnt, 0) + 1.0)
+         |      / (coalesce(ct.ctx_cnt, 0) + v.vs)) * 1e6) AS BIGINT) AS lpm
+         |  FROM inst i
+         |  LEFT JOIN m ON m.ctx = i.ctx AND m.word = i.word
+         |  LEFT JOIN ct ON ct.ctx = i.ctx
+         |  CROSS JOIN v
+         |  WHERE i.doc_id < 200),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(lpm) AS BIGINT) AS lp_micros,
+         |    CAST(round(exp(-(CAST(sum(lpm) AS DOUBLE) / 1e6) / count(*))
+         |      * 1000) AS BIGINT) AS ppl_milli
+         |  FROM lp GROUP BY 1),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY ppl_milli, doc_id)
+         |    AS rn, count(*) OVER () AS n FROM sc)
+         |SELECT doc_id, n_bigrams, lp_micros, ppl_milli FROM rk
+         |WHERE rn > floor(0.1 * n) AND rn <= floor(0.8 * n)
+         |ORDER BY doc_id""".stripMargin,
     "qX_oov" ->
       s"""WITH toks AS (
          |  SELECT unnest(toks) AS token FROM ($ToksSql)),
@@ -1456,6 +1518,18 @@ object TextQueries {
         |r AS (SELECT c.lang,
         |  least(CAST(1.0 AS DOUBLE), CAST(w.w AS DOUBLE) * 300 / c.n) AS rate
         |  FROM c JOIN w ON c.lang = w.lang),
+        |s AS (
+        |  SELECT d.lang, d.doc_id FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) < r.rate * 4294967296.0)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "qX_mixture_temp" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |z AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM c),
+        |r AS (SELECT c.lang, round(least(CAST(1.0 AS DOUBLE),
+        |    pow(CAST(c.n AS DOUBLE), 0.5) / z.z * 200 / c.n), 9) AS rate
+        |  FROM c CROSS JOIN z),
         |s AS (
         |  SELECT d.lang, d.doc_id FROM documents d JOIN r ON d.lang = r.lang
         |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))

@@ -115,6 +115,76 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cols == Seq("doc_id", "url", "scheme", "host", "domain", "path"))
   }
 
+  test("temperatureSample: alpha flattens the head and lifts the tail") {
+    // 400 'big' docs vs 20 'small': proportional (alpha=1) keeps the
+    // same RATE for both; alpha=0.25 must lift the small group's rate
+    val docs = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (1001 to 1020).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    def rates(alpha: Double): Map[String, Double] = {
+      val kept = graft.operators.Sampling
+        .temperatureSample(docs, "grp", "id", alpha, 100L)
+        .groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      Map("big" -> kept.getOrElse("big", 0.0) / 400.0,
+        "small" -> kept.getOrElse("small", 0.0) / 20.0)
+    }
+    val prop = rates(1.0); val flat = rates(0.25)
+    // alpha=1: both groups sampled at ~the same rate (targetN/total)
+    assert(math.abs(prop("big") - prop("small")) < 0.15,
+      s"proportional rates diverged: $prop")
+    // low alpha: the small group's keep-rate rises, the big one's falls
+    assert(flat("small") > prop("small") && flat("big") < prop("big"),
+      s"alpha=0.25 should flatten: prop=$prop flat=$flat")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.temperatureSample(docs, "grp", "id", 0.0, 10L)
+    }
+  }
+
+  test("hardNegatives equals label-filtered brute force per query") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(5)
+    val emb = (1 to 40).map(i => (i.toLong,
+        Array.fill(8)(rnd.nextGaussian().toFloat), s"l${i % 3}"))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") < 4)
+    val hard = Similarity.hardNegatives(q, emb, "vec_id", "embedding",
+        "label", "vec_id", "embedding", "label", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // per-query cross-check against bruteForceTopK on the filtered corpus
+    for (qid <- 1L to 3L) {
+      val qlabel = s"l${qid % 3}"
+      val expect = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === qid),
+          emb.filter(col("label") =!= qlabel),
+          "vec_id", "embedding", "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(hard.filter(_._1 == qid).toSeq == expect.toSeq, s"qid $qid")
+    }
+  }
+
+  test("globalRank equals the global window; perplexity band keeps (lo, hi]") {
+    import graft.operators.{NgramLm, Packing}
+    val df = (1 to 97).map(i => (i.toLong, (i * 37 % 100).toLong))
+      .toDF("doc_id", "ppl_milli")
+    val (ranked, n) = Packing.globalRank(df, Seq("ppl_milli", "doc_id"))
+    assert(n == 97)
+    val viaWindow = df.withColumn("_w", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ppl_milli"), col("doc_id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    ranked.collect().foreach { r =>
+      assert(r.getAs[Long]("_grank") == viaWindow(r.getLong(0)).toLong)
+    }
+    // band (0.1, 0.8] of 97 rows -> ranks 10..77 inclusive = 68 rows
+    val kept = NgramLm.pruneByPerplexity(df, "doc_id", 0.1, 0.8)
+    assert(kept.count() == 68 && kept.columns.toSeq == Seq("doc_id", "ppl_milli"))
+    // keepLo = 0 keeps from rank 1
+    assert(NgramLm.pruneByPerplexity(df, "doc_id", 0.0, 1.0).count() == 97)
+    intercept[IllegalArgumentException] {
+      NgramLm.pruneByPerplexity(df, "doc_id", 0.8, 0.2)
+    }
+  }
+
   test("indexed search equals scan search (in-memory and stored+bucketed)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val terms = "spark join fast"
