@@ -50,7 +50,8 @@ object AsOfJoin {
     * same comparison rule.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           valueCols: Seq[String], direction: String = "backward"): DataFrame = {
+           valueCols: Seq[String], direction: String = "backward",
+           tolerance: Long = -1L): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"unknown as-of direction $direction")
     // right rows sort BEFORE left rows at equal ts (side 0 < 1) in the
@@ -82,6 +83,17 @@ object AsOfJoin {
     // row; descending carries the earliest at-or-AFTER. Both windows
     // share the key partitioning — "nearest" costs one shuffle and two
     // in-partition sorts, never a second exchange.
+    // exact integer time axis, shared by "nearest" and the tolerance
+    // bound. Timestamps compare in integer micros (double-second casts
+    // lose sub-microsecond ties); date/numeric axes on their own exact
+    // integers (date->bigint casts are forbidden by ANSI analysis —
+    // days since epoch is the exact integer axis for dates).
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val axis: Column => Column = unioned.schema(tsCol).dataType match {
+      case TimestampType => unix_micros
+      case DateType      => unix_date
+      case _             => (c: Column) => c.cast("long")
+    }
     val carried = direction match {
       case "backward" =>
         unioned.withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w(true)))
@@ -89,18 +101,7 @@ object AsOfJoin {
         unioned.withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w(false)))
       case "nearest" =>
         // closer of the two matches by |Δts|; equidistant → backward,
-        // the ASOF convention. Timestamps compare in exact integer
-        // micros (double-second casts lose sub-microsecond ties);
-        // numeric/date axes — valid for backward/forward, so they must
-        // work here too — compare on a long cast (exact below 2^63)
-        import org.apache.spark.sql.types.{DateType, TimestampType}
-        val axis: Column => Column = unioned.schema(tsCol).dataType match {
-          case TimestampType => unix_micros
-          // date->bigint casts are forbidden by ANSI analysis; days
-          // since epoch is the exact integer axis for dates
-          case DateType      => unix_date
-          case _             => (c: Column) => c.cast("long")
-        }
+        // the ASOF convention
         val b = last(col("_rv"), ignoreNulls = true).over(w(true))
         val f = last(col("_rv"), ignoreNulls = true).over(w(false))
         unioned
@@ -113,7 +114,18 @@ object AsOfJoin {
                 col("_b"))
               .otherwise(col("_f")))
     }
-    carried.filter(col("_side") === 1)
+    // staleness bound (pandas merge_asof `tolerance`, the feature-store
+    // max-staleness rule): a carried match farther than `tolerance`
+    // axis units (micros / days / raw) is nulled out — left-outer
+    // semantics otherwise unchanged. Negative = unbounded. `when`
+    // without otherwise yields NULL, and a NULL left ts propagates
+    // NULL through the axis arithmetic, so NULL-ts rows stay unmatched.
+    val bounded =
+      if (tolerance < 0) carried
+      else carried.withColumn("_asof",
+        when(abs(axis(col(tsCol)) - axis(col("_asof._rts"))) <=
+          lit(tolerance), col("_asof")))
+    bounded.filter(col("_side") === 1)
       .select(left.columns.map(col) ++
         valueCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }

@@ -520,6 +520,25 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // As-of with a staleness bound (pandas merge_asof `tolerance`, the
+    // feature-store max-staleness rule): backward match nulled when
+    // the view is more than 1 h older than the click — same one-
+    // shuffle plan, the bound is a post-carry null-out.
+    "qX_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOfJoin.asOf(clicks, views, "user_id", "ts",
+          Seq("view_value"), direction = "backward",
+          tolerance = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("asof_view_value").as("stale_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Nearest as-of: the closer of the backward/forward matches by
     // |Δts| (exact integer micros; ties resolve backward) — the
     // sensor-alignment direction. One shuffle, two in-partition sorts.
@@ -912,6 +931,20 @@ object RelationalQueries {
         |  v.view_value AS next_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts <= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "qX_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.value,
+        |  CASE WHEN v.ts IS NOT NULL
+        |        AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+        |       THEN v.view_value END AS stale_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
     "qX_asof_nearest" ->
       """WITH clicks AS (

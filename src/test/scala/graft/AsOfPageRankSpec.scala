@@ -109,6 +109,29 @@ class AsOfPageRankSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("asOf tolerance: stale matches null out, fresh ones survive") {
+    val left = Seq((1L, "k1", ts(100)), (2L, "k1", ts(500)))
+      .toDF("event_id", "k", "t")
+    val right = Seq(("k1", ts(90), 9.0)).toDF("k", "t", "v")
+    def run(tol: Long) = AsOfJoin.asOf(left, right, "k", "t", Seq("v"),
+        "backward", tolerance = tol)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("asof_v"))) null
+         else r.getAs[Double]("asof_v"))).toMap
+    // gaps are 10s and 410s (ts() is seconds): tol 60s keeps only row 1
+    assert(run(60L * 1000000L) == Map(1L -> 9.0, 2L -> null))
+    // unbounded (negative) keeps both; tol 0 keeps only exact-ts hits
+    assert(run(-1L) == Map(1L -> 9.0, 2L -> 9.0))
+    assert(run(0L) == Map(1L -> null, 2L -> null))
+    // nearest honors the bound too (|Δ| axis)
+    val near = AsOfJoin.asOf(left, right, "k", "t", Seq("v"),
+        "nearest", tolerance = 60L * 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("asof_v"))) null
+         else r.getAs[Double]("asof_v"))).toMap
+    assert(near == Map(1L -> 9.0, 2L -> null))
+  }
+
   test("asOf nearest works on a DateType axis") {
     def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
     val left = Seq((1L, "k1", day(10)), (2L, "k1", day(14))).toDF("event_id", "k", "t")
