@@ -327,4 +327,58 @@ object Pq {
       .withColumn("sim", adcSim(cb))
     rankTopK(scored, k)
   }
+
+  /** Greedy balanced assignment of eigen-dimensions to `m` subspaces
+    * (Ge 2013 §4.1, the OPQ-P allocation): dims arrive in descending-
+    * eigenvalue order; each goes to the not-yet-full subspace with the
+    * smallest running log-variance sum, so every codebook quantizes a
+    * comparable share of the total variance. Returns the dims of each
+    * subspace in assignment order. */
+  private[graft] def balancedAssign(logVars: Array[Double], m: Int,
+                                        subDim: Int): Array[Array[Int]] = {
+    val load = Array.fill(m)(0.0)
+    val dims = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
+    for (i <- logVars.indices) {
+      val b = (0 until m).filter(dims(_).size < subDim)
+        .minBy(b => (load(b), b))
+      dims(b) += i
+      load(b) += logVars(i)
+    }
+    dims.map(_.toArray)
+  }
+
+  /** Parametric OPQ rotation (Ge 2013 "Optimized Product
+    * Quantization", OPQ-P — the FAISS `OPQMatrix` pre-transform):
+    * plain PQ's quantization error depends on how variance lands
+    * across the m raw-dimension slices — correlated data starves some
+    * codebooks and overloads others. OPQ-P learns ONE orthogonal
+    * rotation: PCA-decorrelate ([[Pca.pcaFit]] — one moment scan +
+    * driver Jacobi, no RNG), then permute the rotated dimensions with
+    * [[balancedAssign]] so each subspace receives a balanced variance
+    * share. A rotation preserves norms and dot products exactly, so
+    * rotated-space ADC cosines equal original-space cosines up to
+    * quantization error — which the rotation just reduced.
+    *
+    * @return the d×d rotation (permuted eigenbasis rows); feed to
+    *         [[opqRotate]] for corpus AND queries, then run the plain
+    *         [[pqTrain]]/[[pqEncode]]/[[pqTopK]] path unchanged.
+    */
+  def opqFit(points: DataFrame, vecCol: String, m: Int): Array[Array[Double]] = {
+    val d = points.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(m > 0 && d % m == 0, s"dim $d not divisible by m=$m")
+    val (basis, evar, _) = Pca.pcaFit(points, vecCol, d)
+    val logs = evar.map(v => math.log(math.max(v, 1e-12)))
+    balancedAssign(logs, m, d / m).flatten.map(basis)
+  }
+
+  /** Apply an OPQ rotation to a vector column — one narrow codegen
+    * mat-vec scan ([[Pca.project]] with a zero mean: rotation WITHOUT
+    * centering keeps the dot-product geometry exact). Replaces
+    * `vecCol` in place (as array<double>; the PQ path upcasts floats
+    * to double anyway, so precision only improves). */
+  def opqRotate(points: DataFrame, vecCol: String,
+                rotation: Array[Array[Double]]): DataFrame =
+    Pca.project(points, vecCol, "_rot", rotation,
+        Array.fill(rotation(0).length)(0.0))
+      .drop(vecCol).withColumnRenamed("_rot", vecCol)
 }

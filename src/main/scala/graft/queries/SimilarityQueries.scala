@@ -514,6 +514,28 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_recovered")))
     }),
 
+    // OPQ (Ge 2013 parametric): PCA-rotate + balanced dim permutation
+    // in front of the SAME trained-PQ path as qX_pq_recall — planted
+    // identical twins must come back through rotate -> train ->
+    // encode -> ADC (rotation is deterministic Jacobi, no RNG, so the
+    // whole pipeline replays; recovered == planted is the contract).
+    "qX_opq" -> ((s, dir) => {
+      import graft.operators.Pq
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val rot = Pq.opqFit(emb, "embedding", 4)
+      val remb = Pq.opqRotate(emb, "embedding", rot)
+      val cb = Pq.pqTrain(remb, "vec_id", "embedding",
+        m = 4, ksub = 16, iters = 2, seedPool = 64)
+      val enc = Pq.pqEncode(remb, cb, "vec_id", "embedding")
+      val q = remb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val res = Pq.pqTopK(q, enc, cb, "vec_id", "embedding", 5)
+      q.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(res.filter(col("id") === col("qid") - 100000)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // IVF-PQ: coarse cells (vec_id < 8 centroids, the qX_ann_ivf
     // table) stacked under PQ codes (vec_id < 16 codebook, the qX_pq
     // table) — nprobe=2 cell pruning bounds candidates, ADC bounds
@@ -631,6 +653,9 @@ object SimilarityQueries {
         |ORDER BY sim DESC, id1, id2""".stripMargin,
 
     "qX_pq_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    "qX_opq" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
 

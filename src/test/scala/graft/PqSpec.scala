@@ -119,6 +119,52 @@ class PqSpec extends AnyFunSuite with SparkSpec {
         s"query $qid got candidate $id from an unprobed cell")
   }
 
+  test("opq: balanced assignment interleaves eigen-dims across subspaces") {
+    // eigenvalues 4,3,2,1 (logs), m=2, subDim=2: greedy gives
+    // subspace0 = {dim0, dim3}, subspace1 = {dim1, dim2} — variance
+    // products 4·1 and 3·2, far more balanced than the naive 4·3 / 2·1
+    val logs = Array(4.0, 3.0, 2.0, 1.0).map(math.log)
+    val got = Pq.balancedAssign(logs, 2, 2)
+    assert(got(0).toSeq == Seq(0, 3) && got(1).toSeq == Seq(1, 2))
+  }
+
+  test("opq: rotation is orthogonal (norms preserved) and balances subspace variance") {
+    val rnd = new scala.util.Random(13)
+    // anisotropic + correlated: first 4 raw dims carry nearly all the
+    // variance, so a raw 2-subspace split is maximally unbalanced
+    val rows = (1 to 300).map { i =>
+      val big = Array.fill(4)(rnd.nextGaussian().toFloat * 10f)
+      val small = Array.fill(4)(rnd.nextGaussian().toFloat * 0.1f)
+      (i.toLong, big ++ small)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val rot = Pq.opqFit(df, "embedding", 2)
+    val rdf = Pq.opqRotate(df, "embedding", rot)
+    val both = df.select(col("vec_id"), col("embedding"))
+      .join(rdf.select(col("vec_id"), col("embedding").as("remb")), "vec_id")
+      .collect()
+    def norm(a: Seq[Double]) = math.sqrt(a.map(x => x * x).sum)
+    both.foreach { r =>
+      val o = norm(r.getSeq[Float](1).map(_.toDouble))
+      val n = norm(r.getSeq[Double](2))
+      assert(math.abs(o - n) < 1e-3, s"norm changed: $o vs $n")
+    }
+    // subspace variance balance: rotated split ratio beats raw split
+    def subVar(vecs: Seq[Seq[Double]]): Seq[Double] =
+      (0 until 2).map { s =>
+        (s * 4 until s * 4 + 4).map { d =>
+          val xs = vecs.map(_(d)); val mu = xs.sum / xs.size
+          xs.map(x => (x - mu) * (x - mu)).sum / xs.size
+        }.sum
+      }
+    val rawV = subVar(both.map(_.getSeq[Float](1).map(_.toDouble).toSeq))
+    val rotV = subVar(both.map(_.getSeq[Double](2).toSeq))
+    val rawRatio = rawV.max / rawV.min
+    val rotRatio = rotV.max / rotV.min
+    assert(rotRatio < rawRatio / 10,
+      s"rotation should balance variance: raw $rawRatio rot $rotRatio")
+  }
+
   test("dim not divisible by m is rejected") {
     val pts = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
       .select(col("id"), col("vec").cast("array<float>").as("vec"))
