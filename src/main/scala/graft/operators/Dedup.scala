@@ -85,6 +85,75 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Cross-corpus fuzzy join, EXACT form — record linkage between TWO
+    * tables by n-gram Jaccard: every (left, right) pair sharing enough
+    * shingle overlap, via the shared-shingle equi-join and per-pair
+    * intersection count (the two-table generalization of
+    * [[ngramJaccardPairs]]; [[decontaminate]] is the boolean special
+    * case). Quadratic in per-shingle posting sizes — this is the
+    * declared oracle form; [[fuzzyJoin]] is the banded scale path.
+    *
+    * @return (lid, rid, jaccard), jaccard rounded to 4 decimals.
+    */
+  def fuzzyJoinExact(left: DataFrame, leftId: String, leftText: String,
+                     right: DataFrame, rightId: String, rightText: String,
+                     n: Int, minJaccard: Double): DataFrame = {
+    val l = left.filter(size(tokenize(col(leftText))) >= n)
+      .select(col(leftId).as("lid"), shingles(col(leftText), n).as("sh"))
+      .select(col("lid"), size(col("sh")).as("n1"), explode(col("sh")).as("s"))
+    val r = right.filter(size(tokenize(col(rightText))) >= n)
+      .select(col(rightId).as("rid"), shingles(col(rightText), n).as("sh"))
+      .select(col("rid"), size(col("sh")).as("n2"), explode(col("sh")).as("s"))
+    l.join(r, Seq("s"))
+      .groupBy("lid", "rid", "n1", "n2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("lid", "rid", "jaccard")
+  }
+
+  /** Cross-corpus fuzzy join, LSH-BLOCKED scale form: both sides
+    * MinHash-sign (native codegen signature), band into (band, key)
+    * buckets, equi-join the buckets (candidates = same-bucket
+    * cross-side pairs only), then exact-Jaccard verify the candidates
+    * — [[minhashLshPairs]]' plan with a left/right split instead of
+    * the id1 < id2 self-join. At 100 TB each side shuffles its
+    * banded postings once; no posting self-explosion, no cross
+    * product. Deterministic (hash-derived permutations), so recall
+    * against planted overlaps is a fixed, gateable number.
+    */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftText: String,
+                right: DataFrame, rightId: String, rightText: String,
+                n: Int = 3, k: Int = 64, bands: Int = 16,
+                minJaccard: Double = 0.5): DataFrame = {
+    def side(df: DataFrame, id: String, text: String, out: String) = {
+      val sh = df.select(col(id).as(out), shingles(col(text), n).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist()
+      val posts = sh
+        .select(col(out),
+          explode(lshBands(
+            graft.functions.expr.TextExprs.minhash_sig(col("sh"), k),
+            k, bands)).as("bk"))
+        .select(col(out), col("bk.band").as("band"), col("bk.key").as("key"))
+      (sh, posts)
+    }
+    val (lsh, lposts) = side(left, leftId, leftText, "lid")
+    val (rsh, rposts) = side(right, rightId, rightText, "rid")
+    val cand = lposts.join(rposts, Seq("band", "key"))
+      .select(col("lid"), col("rid")).distinct()
+    cand
+      .join(lsh.select(col("lid"), col("sh").as("sh1")), "lid")
+      .join(rsh.select(col("rid"), col("sh").as("sh2")), "rid")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("lid", "rid", "jaccard")
+  }
+
   /** Near-duplicate CLUSTERS from a pair list — the step every dedup
     * family above feeds: near-dup relations are not transitive-closed
     * (A~B, B~C but A≁C), yet curation must keep ONE doc per connected

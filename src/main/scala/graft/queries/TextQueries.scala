@@ -728,6 +728,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-corpus fuzzy join, exact form (record linkage): bigram
+    // Jaccard between two disjoint document slices via the shared-
+    // shingle equi-join — full-row oracle; the LSH-blocked scale form
+    // is gated by qX_fuzzy_join_recall.
+    "qX_fuzzy_join" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val l = docs.filter(col("doc_id") < 120)
+      val r = docs.filter(col("doc_id") >= 120 && col("doc_id") < 240)
+      Dedup.fuzzyJoinExact(l, "doc_id", "text", r, "doc_id", "text",
+          n = 2, minJaccard = 0.03)
+        .orderBy(desc("jaccard"), col("lid"), col("rid")).limit(100)
+    }),
+
+    // LSH-blocked fuzzy join recall: plant a near-copy corpus (last
+    // token dropped, +100000 ids) as the right side — every planted
+    // pair has Jaccard ≈ 1 and the deterministic banding must recover
+    // all of them (the qX_dedup_minhash_recall construction, across
+    // two tables).
+    "qX_fuzzy_join_recall" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val near = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+      val pairs = Dedup.fuzzyJoin(docs, "doc_id", "text",
+        near, "doc_id", "text", n = 2, k = 64, bands = 32,
+        minJaccard = 0.5)
+      docs.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(pairs.filter(col("rid") === col("lid") + 100000)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // Domain-mixture sampling: target weights over lang groups (es has
     // no weight → dropped; de's quota exceeds its size → rate caps at
     // 1, whole group kept), per-group kept-count + id checksum.
@@ -1445,6 +1476,31 @@ object TextQueries {
         |FROM pairs
         |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.03
         |ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 100""".stripMargin,
+    "qX_fuzzy_join" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 240),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks), 2)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
+        |  FROM d WHERE len(toks) >= 2),
+        |l AS (SELECT doc_id AS lid, len(sh) AS n1, unnest(sh) AS s FROM sh
+        |      WHERE doc_id < 120),
+        |r AS (SELECT doc_id AS rid, len(sh) AS n2, unnest(sh) AS s FROM sh
+        |      WHERE doc_id >= 120),
+        |pairs AS (
+        |  SELECT lid, rid, n1, n2, count(*) AS inter
+        |  FROM l JOIN r USING (s) GROUP BY 1, 2, 3, 4)
+        |SELECT lid, rid,
+        |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.03
+        |ORDER BY jaccard DESC, lid ASC, rid ASC LIMIT 100""".stripMargin,
+    "qX_fuzzy_join_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
     "qX_pack" ->
       """WITH t AS (
         |  SELECT doc_id, len(list_filter(string_split_regex(lower(text),

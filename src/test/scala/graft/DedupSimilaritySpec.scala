@@ -63,6 +63,29 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(found.contains((0L, 1L)))
   }
 
+  test("fuzzyJoin: LSH form is a subset of exact with identical jaccards; near-copies recovered") {
+    import graft.operators.Dedup
+    val left = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "mango banana papaya guava lychee")).toDF("id", "text")
+    val right = Seq(
+      (10L, "alpha beta gamma delta epsilon"),   // near-copy of 1
+      (11L, "one two three four five six"),      // exact copy of 2
+      (12L, "totally different words here now")).toDF("id", "text")
+    val exact = Dedup.fuzzyJoinExact(left, "id", "text",
+        right, "id", "text", 2, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.contains((1L, 10L)) && exact((2L, 11L)) == 1.0)
+    assert(!exact.keySet.exists(_._2 == 12L))
+    val lsh = Dedup.fuzzyJoin(left, "id", "text", right, "id", "text",
+        n = 2, k = 64, bands = 32, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // subset with identical verified jaccards; the planted pairs recovered
+    lsh.foreach { case (k, v) => assert(exact(k) == v) }
+    assert(lsh.contains((1L, 10L)) && lsh.contains((2L, 11L)))
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, unrelated far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
