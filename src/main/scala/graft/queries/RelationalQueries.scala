@@ -520,6 +520,24 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Stream-stream interval join, BATCH form (the same transform the
+    // streaming attribution join runs — withWatermark is a no-op on
+    // batch): every click joined to the same user's views in the
+    // trailing hour. Full SQL oracle; the streaming semantics
+    // (state eviction, late drop, outer-null horizon) are pinned by
+    // StreamingSpec.
+    "qX_stream_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.streaming.CardStream.streamIntervalJoin(clicks, views,
+          "user_id", "ts", "ts", joinWindow = "1 hour")
+        .select(col("event_id"), col("r_event_id").as("view_id"))
+        .orderBy(col("event_id"), col("view_id"))
+    }),
+
     // As-of with a staleness bound (pandas merge_asof `tolerance`, the
     // feature-store max-staleness rule): backward match nulled when
     // the view is more than 1 h older than the click — same one-
@@ -932,6 +950,17 @@ object RelationalQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts <= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    "qX_stream_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT c.event_id, v.event_id AS view_id
+        |FROM clicks c JOIN views v ON c.user_id = v.user_id
+        | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+        |ORDER BY c.event_id, view_id""".stripMargin,
     "qX_asof_tolerance" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts, value FROM events

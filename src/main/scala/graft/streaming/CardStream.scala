@@ -324,6 +324,40 @@ object CardStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("events"))
 
+  /** Watermarked stream-stream interval join — the click-attribution
+    * shape (every left event joined to same-key right events in the
+    * trailing `joinWindow`), the one Structured Streaming join class
+    * the rest of this file doesn't cover: BOTH sides buffer in state.
+    * The watermark plus the interval bound are what make that state
+    * finite — a right row can only match left rows in the next
+    * `joinWindow`, so once the watermark passes `ts + joinWindow` the
+    * row is evicted; state is O(events per window), not O(stream
+    * history). `left_outer` additionally emits unmatched left rows
+    * (with NULL right columns) once their watermark horizon closes —
+    * exactly Spark's documented outer-join-with-watermark semantics.
+    *
+    * The same call works on BATCH frames (withWatermark is a no-op
+    * there), which is the batch-equivalence contract StreamingSpec
+    * pins: streamed micro-batches must produce the batch join's rows.
+    *
+    * @return left.* + right columns prefixed `r_`.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         lateness: String = "10 minutes",
+                         joinWindow: String = "1 hour",
+                         joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.columns
+      .foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$rightTs", lateness)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $joinWindow") &&
+        col(s"r_$rightTs") <= col(leftTs),
+      joinType)
+  }
+
   /** Incremental additive rollup — streaming materialized-view
     * maintenance for SUM/COUNT-shaped aggregates: fold a micro-batch's
     * per-key partials into a stored rollup table, so the serving-side

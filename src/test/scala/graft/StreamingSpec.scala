@@ -206,6 +206,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.contains((120L, "click", 1L)), rows)
   }
 
+  test("stream-stream interval join: window bound, late drop, outer null after horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val clicks = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = CardStream.streamIntervalJoin(
+        clicks.toDS().toDF("event_id", "user_id", "ts"),
+        views.toDS().toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", "ts",
+        lateness = "10 minutes", joinWindow = "1 hour",
+        joinType = "left_outer")
+      .select(col("event_id"), col("user_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    // views at 10 and 30; click at 60 joins both (trailing 1 h);
+    // view at 120 is AFTER the click -> no match
+    views.addData((100L, "u1", ts(10)), (101L, "u1", ts(30)),
+      (102L, "u1", ts(120)))
+    clicks.addData((1L, "u1", ts(60)), (2L, "u2", ts(60)))
+    out.processAllAvailable()
+    // advance both watermarks far past every horizon so the unmatched
+    // u2 click emits its outer NULL row
+    views.addData((199L, "zz", ts(600)))
+    clicks.addData((99L, "zz", ts(600)))
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows.contains((1L, 100L)) && rows.contains((1L, 101L)), rows)
+    assert(!rows.contains((1L, 102L)), "future view must not join")
+    assert(rows.contains((2L, -1L)), s"outer null for u2 missing: $rows")
+    // batch-equivalence: the same transform on batch frames yields the
+    // same inner pairs
+    import spark.implicits._
+    val bc = Seq((1L, "u1", ts(60))).toDF("event_id", "user_id", "ts")
+    val bv = Seq((100L, "u1", ts(10)), (101L, "u1", ts(30)),
+      (102L, "u1", ts(120))).toDF("event_id", "user_id", "ts")
+    val batch = CardStream.streamIntervalJoin(bc, bv, "user_id",
+        "ts", "ts").select(col("event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 100L), (1L, 101L)))
+  }
+
   test("streaming session windows: gap-merge, extension, and watermark finalization") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
