@@ -129,8 +129,13 @@ object Dedup {
                 n: Int = 3, k: Int = 64, bands: Int = 16,
                 minJaccard: Double = 0.5): DataFrame = {
     def side(df: DataFrame, id: String, text: String, out: String) = {
-      val sh = df.select(col(id).as(out), shingles(col(text), n).as("sh"))
-        .filter(size(col("sh")) > 0)
+      // same sub-n-token exclusion as the exact form — `shingles`
+      // falls back to a whole-text shingle (and [""] for empty text)
+      // below n tokens, which would otherwise let short/empty docs
+      // into the LSH path the oracle excludes AND give every empty
+      // doc the same signature (an N×M candidate clique)
+      val sh = df.filter(size(tokenize(col(text))) >= n)
+        .select(col(id).as(out), shingles(col(text), n).as("sh"))
         .persist()
       val posts = sh
         .select(col(out),
@@ -144,7 +149,12 @@ object Dedup {
     val (rsh, rposts) = side(right, rightId, rightText, "rid")
     val cand = lposts.join(rposts, Seq("band", "key"))
       .select(col("lid"), col("rid")).distinct()
-    cand
+    // eager localCheckpoint so both persisted shingle frames can be
+    // released before returning — unlike [[minhashLshPairs]] (whose
+    // persist lives only for the caller's single materialization),
+    // the cross-corpus form is the "many corpus pairs in one session"
+    // shape, where leaked cache blocks accumulate
+    val out = cand
       .join(lsh.select(col("lid"), col("sh").as("sh1")), "lid")
       .join(rsh.select(col("rid"), col("sh").as("sh2")), "rid")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
@@ -152,6 +162,10 @@ object Dedup {
         (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("lid", "rid", "jaccard")
+      .localCheckpoint(true)
+    lsh.unpersist()
+    rsh.unpersist()
+    out
   }
 
   /** Near-duplicate CLUSTERS from a pair list — the step every dedup

@@ -52,22 +52,6 @@ object Packing {
       .withColumn("bucket", ntile(buckets).over(w))
   }
 
-  /** Distributed form of [[lengthBuckets]] — bit-identical output, no
-    * global window, for any data including heavy token-count ties.
-    *
-    * ntile is a pure function of the GLOBAL RANK under the total order
-    * (tokens, id): with n rows and b buckets, q = n div b, r = n mod b,
-    * the first r buckets hold q+1 rows and the rest q. So instead of
-    * approximating boundaries with a quantile sketch (equal-frequency
-    * only up to sketch error, and ill-defined under ties), compute the
-    * exact global rank the way [[packScalable]] computes the running
-    * token sum: range-partition by (tokens, id) — RangePartitioner
-    * puts ascending key ranges in ascending partition ids — take a
-    * local `row_number` per partition, and lift it to a global rank by
-    * adding the exclusive prefix sum of per-partition row counts (one
-    * long per partition to the driver, O(#partitions)). One shuffle,
-    * O((n/p) log(n/p)) per partition, no single-task sort.
-    */
   /** Exact 1-based GLOBAL RANK under the total order `sortCols` — the
     * distributed-rank primitive shared by [[lengthBucketsScalable]]
     * and rank-window data pruning ([[NgramLm.pruneByPerplexity]]):
@@ -77,6 +61,12 @@ object Packing {
     * per-partition counts (one long per partition to the driver). One
     * shuffle, no global window. Appends `_grank` and returns the total
     * row count alongside.
+    *
+    * The ranked frame is localCheckpointed before the counts job:
+    * collecting the per-partition counts and materializing the
+    * returned frame are two separate actions, and without the lineage
+    * cut an expensive upstream (pruneByPerplexity feeds LM train +
+    * score through here) would execute twice.
     */
   def globalRank(df: DataFrame, sortCols: Seq[String],
                  partitions: Int = 0): (DataFrame, Long) = {
@@ -89,6 +79,7 @@ object Packing {
     val lw = Window.partitionBy(col("_pid"))
       .orderBy(sortCols.map(col(_).asc): _*)
     val local = ranged.withColumn("_lrn", row_number().over(lw))
+      .localCheckpoint(true)
     // one row per partition — the only driver-side data is O(#partitions)
     val counts = local.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_pcnt"))
@@ -105,6 +96,16 @@ object Packing {
       .drop("_pid", "_lrn", "_poff"), n)
   }
 
+  /** Distributed form of [[lengthBuckets]] — bit-identical output, no
+    * global window, for any data including heavy token-count ties.
+    *
+    * ntile is a pure function of the GLOBAL RANK under the total order
+    * (tokens, id): with n rows and b buckets, q = n div b, r = n mod b,
+    * the first r buckets hold q+1 rows and the rest q. So instead of
+    * approximating boundaries with a quantile sketch (equal-frequency
+    * only up to sketch error, and ill-defined under ties), rank
+    * exactly with [[globalRank]] and assign buckets arithmetically.
+    */
   def lengthBucketsScalable(df: DataFrame, idCol: String, tokenCol: String,
                             buckets: Int, partitions: Int = 0): DataFrame = {
     val (ranked, n) = globalRank(

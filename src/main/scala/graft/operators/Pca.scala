@@ -116,7 +116,14 @@ object Pca {
       (Array[Array[Double]], Array[Double], Array[Double]) = {
     val cells = moments(df, vecCol).collect()
     require(cells.nonEmpty, "pcaFit on an empty corpus")
-    val n = cells.head.getLong(3)
+    // every cell must have seen the same row count — a mixed-width or
+    // null-element corpus skews per-cell counts, and silently using
+    // whichever cell collect() returned first would corrupt the basis
+    // nondeterministically; fail loudly instead
+    val ns = cells.map(_.getLong(3)).distinct
+    require(ns.length == 1,
+      s"pcaFit: ragged vector widths or null elements (cell row counts ${ns.sorted.mkString(",")})")
+    val n = ns.head
     require(n > 1, s"pcaFit needs n > 1 rows, got $n")
     val d = cells.map(_.getInt(0)).max + 1
     val mean = new Array[Double](d)

@@ -323,8 +323,10 @@ object TextAnalysis {
       val words = size(filter(split(trim(l), "\\s+"), w => w =!= lit("")))
       val term =
         if (requireTerminal) rtrim(l).rlike("[.!?\"]$") else lit(true)
+      // lowercase the TERM too: the rules are case-insensitive, and
+      // lower(l) can never contain an uppercase banned string
       val ban = bannedLine.foldLeft(lit(true))((acc, b) =>
-        acc && !lower(l).contains(lit(b)))
+        acc && !lower(l).contains(lit(b.toLowerCase)))
       words >= lit(minWords) && term && ban
     }
     val kept = filter(lines, keep _)
@@ -348,7 +350,7 @@ object TextAnalysis {
               bannedDoc: Seq[String] = Seq("lorem ipsum", "{"),
               minKeptLines: Int = 1): DataFrame = {
     val docOk = bannedDoc.foldLeft(lit(true))((acc, b) =>
-      acc && !lower(col(textCol)).contains(lit(b)))
+      acc && !lower(col(textCol)).contains(lit(b.toLowerCase)))
     docs
       .withColumn("_lc",
         lineClean(col(textCol), minWords, requireTerminal, bannedLine))

@@ -74,6 +74,15 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
         bannedDoc = Nil, minKeptLines = 1).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(loose == Map(1L -> 4, 2L -> 1, 3L -> 1, 4L -> 2))
+    // banned terms are case-insensitive BOTH ways (regression: an
+    // uppercase term could never match the lowercased line). With the
+    // "{" default ban overridden away, doc 3 now survives; doc 2 must
+    // still die to "Lorem Ipsum", and doc 1's javascript line (5
+    // words, terminal '.') must still be dropped by "JavaScript".
+    val caps = TextAnalysis.c4Clean(docs, "doc_id", "text",
+        bannedLine = Seq("JavaScript"), bannedDoc = Seq("Lorem Ipsum"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(caps.keySet == Set(1L, 3L) && caps(1L) == 1)
   }
 
   test("parseUrl: userinfo/port/query stripping, longest-suffix domain") {
