@@ -254,12 +254,21 @@ object Dedup {
     val withSh = cand
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
-    withSh
+    // eager checkpoint + unpersist, the [[fuzzyJoin]] hygiene: the
+    // persisted frames exist for THIS computation's reuse, not the
+    // session's lifetime — repeated calls (the streaming near-dup fold
+    // calls this every micro-batch) would otherwise accumulate cached
+    // blocks until the block manager evicts working-set data
+    val out = withSh
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("id1", "id2", "jaccard")
+      .localCheckpoint(true)
+    sh.unpersist()
+    posts.unpersist()
+    out
   }
 
   // ------------------------------------------------------- embedding cosine
