@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators — the tabular feature-prep steps a
+  * training pipeline runs next to the text/embedding ones: trailing
+  * time-window aggregates per entity ("events in the last hour",
+  * "spend in the last 7 days") and leakage-safe categorical target
+  * encoding. Both are single keyed-window / keyed-agg shapes — no
+  * global windows, no self-joins — so they scan-scale like every
+  * other keyed operator here.
+  */
+object Features {
+
+  /** Trailing event-time window aggregates per key: for every row,
+    * count and sum of `valueCol` over the same key's rows in
+    * `[ts - windowUnits, ts]` (inclusive both ends — the current row
+    * participates, the standard "including this event" convention).
+    * `tsCol` must be castable to exact integer units via the caller's
+    * axis (micros for timestamps); `windowUnits` is in those units.
+    *
+    * Scale shape: ONE window partitioned by key, ordered by the
+    * integer axis, with a `rangeBetween` frame — Spark evaluates it
+    * with a per-key sort and a sliding frame, one shuffle on the key.
+    * Never a self-join (the naive range-join formulation explodes to
+    * O(rows·window) pairs).
+    *
+    * @return input + (w_cnt, w_sum) columns.
+    */
+  def trailingWindow(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, windowUnits: Long): DataFrame = {
+    val axis = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(axis)
+      .rangeBetween(-windowUnits, 0)
+    df.withColumn("w_cnt", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col(valueCol)).over(w))
+  }
+
+  /** Leakage-safe (leave-one-out) target encoding of a categorical
+    * column: each row's feature is the mean of `targetCol` over OTHER
+    * rows of the same category — `(Σ_k − v) / (n_k − 1)` — so a row
+    * never sees its own label (the classic target-leak bug this
+    * operator exists to prevent). Categories with one row yield NULL
+    * (no peers); the caller decides the fallback (global mean is the
+    * usual choice, exposed as `loo_global`).
+    *
+    * Integer-micro contract: the per-category sums are exact micros
+    * (`trunc(v·1e6)` per row — the [[Pca.moments]] dyadic rule), so
+    * the encoding hash-matches any engine; the final division is one
+    * double op on exact integers, rounded to 6 decimals.
+    *
+    * Scale shape: one keyed aggregation to the category table
+    * (broadcast back — category cardinality is small by definition of
+    * categorical), plus one 1-row global aggregate. No window, no
+    * self-join.
+    *
+    * @return input + (loo_enc, loo_global) columns.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String,
+                      targetCol: String): DataFrame = {
+    val vm = (col(targetCol).cast("double") * lit(1e6)).cast("long")
+    val cats = df
+      .select(col(catCol), vm.as("_vm"))
+      .groupBy(col(catCol))
+      .agg(sum(col("_vm")).as("_sum"), count(lit(1)).as("_n"))
+    val global = df.agg(
+      round((sum(vm).cast("double") / lit(1e6)) / count(lit(1)), 6)
+        .as("loo_global"))
+    df.join(broadcast(cats), Seq(catCol))
+      .withColumn("loo_enc",
+        when(col("_n") > 1,
+          round(((col("_sum") - vm).cast("double") / lit(1e6)) /
+            (col("_n") - 1), 6)))
+      .crossJoin(broadcast(global))
+      .drop("_sum", "_n")
+  }
+}

@@ -520,6 +520,31 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Trailing-window per-entity features ("events + spend in the
+    // last hour"): ONE keyed range-frame window, never the naive
+    // self-join. Values pre-quantized to integer micros so the frame
+    // sums are engine-order-independent.
+    "qX_rolling_features" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("value") * lit(1e6)).cast("long").as("vm"))
+      graft.operators.Features.trailingWindow(ev, "user_id", "ts",
+          "vm", 3600L * 1000000L)
+        .select(col("event_id"), col("w_cnt"), col("w_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Leakage-safe (leave-one-out) target encoding of event_type:
+    // each row's feature excludes its own label — the target-leak bug
+    // this operator exists to prevent, full-row oracle.
+    "qX_target_encode" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.operators.Features.targetEncodeLoo(ev, "event_type", "value")
+        .select(col("event_id"), col("loo_enc"), col("loo_global"))
+        .orderBy(col("event_id"))
+    }),
+
     // Stream-stream interval join, BATCH form (the same transform the
     // streaming attribution join runs — withWatermark is a no-op on
     // batch): every click joined to the same user's views in the
@@ -950,6 +975,33 @@ object RelationalQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts <= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    "qX_rolling_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ax,
+        |    CAST(trunc(value * 1e6) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT event_id,
+        |  count(*) OVER w AS w_cnt,
+        |  CAST(sum(vm) OVER w AS BIGINT) AS w_sum
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ax
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "qX_target_encode" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(trunc(value * 1e6) AS BIGINT) AS vm
+        |  FROM events),
+        |c AS (SELECT event_type, CAST(sum(vm) AS BIGINT) AS s,
+        |    count(*) AS n FROM e GROUP BY 1),
+        |g AS (SELECT round((CAST(sum(vm) AS DOUBLE) / 1e6) / count(*), 6)
+        |    AS loo_global FROM e)
+        |SELECT e.event_id,
+        |  CASE WHEN c.n > 1
+        |       THEN round(((c.s - e.vm) / 1e6) / (c.n - 1), 6) END AS loo_enc,
+        |  g.loo_global
+        |FROM e JOIN c USING (event_type) CROSS JOIN g
+        |ORDER BY event_id""".stripMargin,
     "qX_stream_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events

@@ -194,6 +194,42 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("trailingWindow: range frame holds exactly the last hour, ties included") {
+    import graft.operators.Features
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      (1L, "u1", ts(0), 10L), (2L, "u1", ts(30), 20L),
+      (3L, "u1", ts(90), 40L),            // frame: [30, 90] -> 2 rows
+      (4L, "u1", ts(90), 80L),            // tie at 90 joins row 3's frame
+      (5L, "u2", ts(45), 7L)              // other key isolated
+    ).toDF("event_id", "user_id", "ts", "vm")
+    val got = Features.trailingWindow(ev, "user_id", "ts", "vm",
+        3600L * 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((1L, 10L)))
+    assert(got(2L) == ((2L, 30L)))          // 0 and 30 within the hour
+    assert(got(3L) == ((3L, 140L)))         // 30 + 90-tie pair; 0 aged out
+    assert(got(4L) == ((3L, 140L)))         // RANGE: ties share the frame
+    assert(got(5L) == ((1L, 7L)))
+  }
+
+  test("targetEncodeLoo: self excluded, singleton NULL, global mean attached") {
+    import graft.operators.Features
+    val ev = Seq(
+      (1L, "a", 1.0), (2L, "a", 3.0), (3L, "a", 5.0),
+      (4L, "b", 10.0)).toDF("event_id", "event_type", "value")
+    val got = Features.targetEncodeLoo(ev, "event_type", "value")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[Any]("loo_enc")), r.getAs[Double]("loo_global"))))
+      .toMap
+    assert(got(1L)._1.contains(4.0))   // (3+5)/2
+    assert(got(2L)._1.contains(3.0))   // (1+5)/2
+    assert(got(3L)._1.contains(2.0))   // (1+3)/2
+    assert(got(4L)._1.isEmpty)         // singleton category: no peers
+    assert(got.values.forall(_._2 == 4.75)) // (1+3+5+10)/4
+  }
+
   test("indexed search equals scan search (in-memory and stored+bucketed)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val terms = "spark join fast"
