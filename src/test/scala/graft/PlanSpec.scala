@@ -319,6 +319,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       p.take(3000))
   }
 
+  test("fuzzy join: banded equi-join, no cartesian; stream join no nested loop") {
+    val docs = Tables.load(spark, dir, "documents")
+    val pFj = graft.operators.Dedup.fuzzyJoin(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50),
+        "doc_id", "text",
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 50),
+        "doc_id", "text", n = 2)
+      .queryExecution.executedPlan.toString()
+    assert(!pFj.contains("CartesianProduct") &&
+      !pFj.contains("BroadcastNestedLoop"), pFj.take(3000))
+    val ev = Tables.load(spark, dir, "events")
+    val pSj = graft.streaming.CardStream.streamIntervalJoin(
+        ev.select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("ts")),
+        ev.select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("ts")),
+        "user_id", "ts", "ts")
+      .queryExecution.executedPlan.toString()
+    // equi-key + interval predicate: must plan as a keyed join, never
+    // a nested loop over the cross product
+    assert(!pSj.contains("CartesianProduct") &&
+      !pSj.contains("BroadcastNestedLoop"), pSj.take(3000))
+  }
+
+  test("trailing window features: one exchange, range frame, no self-join") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("value"))
+    val p = graft.operators.Features.trailingWindow(ev, "user_id", "ts",
+        "value", 3600L * 1000000L)
+      .queryExecution.executedPlan.toString()
+    assert(p.split("Exchange").length == 2,
+      "trailing window must shuffle exactly once:\n" + p.take(3000))
+    assert(!p.contains("Join"), "must be a window, not a self-join")
+  }
+
   test("pca: projection is a narrow codegen mat-vec; moments shuffles once") {
     val emb = Tables.load(spark, dir, "embeddings")
     val basis = Array.tabulate(4, 64)((r, i) => (r * 64 + i) * 1e-3)
