@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness parquet tables (TESTDATA.md).
   *
@@ -17,16 +17,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`:
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 otherwise
-    * refuses outright (PARQUET_TYPE_ILLEGAL). With the flag it surfaces
-    * as a nanos LONG, which we normalize back to a micros TimestampType
-    * here (integer division — no double round-trip, no precision loss).
+  /** `events.ts` has shipped as two physical parquet types across harness
+    * testdata generations; both are normalized to a micros `TimestampType`
+    * here so every downstream query sees one type:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it outright (PARQUET_TYPE_ILLEGAL)
+    *    unless sessions set `spark.sql.legacy.parquet.nanosAsLong=true`, in
+    *    which case it surfaces as a nanos LONG → integer-divide to micros
+    *    (no double round-trip, no precision loss).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as TIMESTAMP_NTZ
+    *    → cast to TimestampType. Sessions pin the session timezone to UTC,
+    *    so the wall-clock reinterpretation is lossless.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    } else df
   }
 }
