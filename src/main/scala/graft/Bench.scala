@@ -72,27 +72,34 @@ object Bench {
       // from a sane total downstream) rather than a bogus latency
       name -> (if (dts.min == Double.MaxValue) -1.0 else dts.min)
     }
-    // 3-decimal (millisecond) precision: full-precision doubles made the
-    // line ~4 KB at 84 queries, overflowing the harness's tail capture so
-    // the artifact recorded parsed:null — keep the whole line well under it
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // -1 failure sentinels stay visible per-query but must not shrink
     // the headline total; surface them as an explicit count instead
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the full line to a file: the committed BENCH artifact
-    // is built from a bounded log tail, which at ~96 queries truncated
-    // mid-key and dropped the first rows from the round's record
-    // (VERDICT r5 "What's wrong" #2). The file is the lossless copy.
+    def line(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"nqueries":${results.size},$extra"queries":$qs,"sf":"$sfDir"}"""
+    // The full per-query map goes to a file: the harness builds the BENCH
+    // artifact from a ~2 KB log tail, and at 155 queries the full line is
+    // ~4.5 KB — its head (and the "{"metric" anchor) is ALWAYS cut off, so
+    // r7/r8 recorded parsed:null. The file is the lossless committed copy.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    val full = line(qJson(results), "")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // stdout gets ONE line that FITS the tail capture: headline totals +
+    // the slowest queries (the informative subset), truncated so the whole
+    // line stays under ~1900 chars with the full map's location declared.
+    val slowest = results.sortBy(-_._2)
+    var k = slowest.size
+    def compact(n: Int): String = line(qJson(slowest.take(n).sortBy(_._1)),
+      s""""queries_shown":$n,"queries_file":"$outPath",""")
+    while (k > 1 && compact(k).length > 1900) k -= 1
+    println(compact(k))
     spark.stop()
   }
 }

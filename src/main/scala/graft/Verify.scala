@@ -29,6 +29,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query failure must surface in the artifact, not just stderr: a
+    // result dir that simply never appears reads as "all passing" to a
+    // driver that iterates emitted dirs (round 8 lost 5 broken queries
+    // this way). Emit an _ERROR marker dir per failure plus a _FAILED
+    // summary so both the driver and tools/oracle_check.py see it.
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) =>
         onlyPrefixes.forall(_.exists(name.startsWith)) }
@@ -36,7 +42,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed += name -> msg
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -55,6 +66,12 @@ object Verify {
       .filter { case (k, _) => onlyPrefixes.forall(_.exists(k.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_FAILED.json"), failJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} FAILED queries: ${failed.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }

@@ -25,8 +25,16 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Verify writes an _ERROR marker per query whose plan threw — surface
+    # those first so a broken query can never read as silently absent.
+    failed_path = f"{outdir}/_FAILED.json"
+    if os.path.exists(failed_path):
+        for name, msg in sorted(json.load(open(failed_path)).items()):
+            print(f"FAIL {name}: verify error: {msg[:200]}"); n_fail += 1
     for name, sql in sorted(oracle.items()):
         rdir = f"{outdir}/{name}"
+        if os.path.exists(f"{rdir}/_ERROR"):
+            continue  # already reported from _FAILED.json above
         files = glob.glob(f"{rdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
