@@ -68,10 +68,11 @@ object TextExprUtil {
   }
 
   /** 64-bit SimHash in one scan: lowercase (same code path as
-    * Spark's `lower`), walk whitespace tokens, xxhash64 each token
-    * (seed 42 — Spark's `xxhash64` default), ±1 bit votes, sign fold.
-    * Bit-identical to the higher-order-function formulation
-    * `aggregate(tokenize(text), zip_with votes …)` it replaces
+    * Spark's `lower`), walk whitespace tokens, md5-portable 64-bit
+    * hash per token ([[PortableHash.md5_64]] — the first 16 md5 hex
+    * chars, so any engine recomputes the same bits from `md5(token)`),
+    * ±1 bit votes, sign fold. Bit-identical to the higher-order-function
+    * formulation `aggregate(tokenize(text), zip_with votes …)`
     * (equivalence locked in TextExprSpec), ~8× faster because the HOF
     * tree is CodegenFallback and allocates per token per bit.
     */
@@ -85,9 +86,7 @@ object TextExprUtil {
       val start = i
       while (i < len && !isWs(str.charAt(i))) i += 1
       if (i > start) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          UTF8String.fromString(str.substring(start, i)),
-          org.apache.spark.sql.types.StringType, 42L)
+        val h = PortableHash.md5_64(str.substring(start, i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -102,41 +101,49 @@ object TextExprUtil {
 
   /** MinHash signature over a shingle array in one pass — the native
     * twin of `Dedup.minhashSignature(Dedup.shingleHashes(sh), k)`
-    * (equivalence locked in TextExprSpec). Per shingle: one xxhash64
-    * reduced into the Mersenne field p = 2^31−1, then k affine maps
-    * (a_i·h + b_i) mod p with the SAME hash-derived coefficients as
-    * the Column formulation (xxhash64 of the *int* plane index, seed
-    * 42); sig[i] = running min. The HOF tree evaluates the k·|sh|
-    * inner loop interpreted with boxing — this is a primitive-array
-    * loop, ~10× on the minhash-LSH pipeline.
+    * (equivalence locked in TextExprSpec). Per shingle: one md5-portable
+    * 32-bit hash ([[PortableHash.md5_32]]) reduced into the Mersenne
+    * field p = 2^31−1, then k affine maps (a_i·h + b_i) mod p with
+    * md5-derived coefficients a_i = md5_32("mh_a:i") mod (p−1) + 1,
+    * b_i = md5_32("mh_b:i") mod p — every quantity recomputable from
+    * `md5()` in the DuckDB oracle; sig[i] = running min. The HOF tree
+    * evaluates the k·|sh| inner loop interpreted with boxing — this is
+    * a primitive-array loop, ~10× on the minhash-LSH pipeline.
     */
   val MinhashP = 2147483647L // 2^31 − 1
 
+  /** Permutation coefficients, md5-derived; cached per k (the gate uses
+    * one k per query — a tiny map, computed once per executor). */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  def minhashPerms(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, { kk =>
+      val a = new Array[Long](kk)
+      val b = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        a(i) = PortableHash.md5_32("mh_a:" + i) % (MinhashP - 1) + 1L
+        b(i) = PortableHash.md5_32("mh_b:" + i) % MinhashP
+        i += 1
+      }
+      (a, b)
+    })
+
   def minhashSig(arr: org.apache.spark.sql.catalyst.util.ArrayData,
                  k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.{IntegerType, StringType}
     val n = arr.numElements()
     if (n == 0) {
       // array_min([]) is NULL: the HOF formulation yields k nulls
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.fill[Any](k)(null))
     }
-    val a = new Array[Long](k)
-    val b = new Array[Long](k)
+    val (a, b) = minhashPerms(k)
     var i = 0
-    while (i < k) {
-      val ha = XxHash64Function.hash(i, IntegerType, 42L)
-      val hb = XxHash64Function.hash(i + 1000000, IntegerType, 42L)
-      a(i) = ((ha % (MinhashP - 1)) + (MinhashP - 1)) % (MinhashP - 1) + 1L
-      b(i) = ((hb % MinhashP) + MinhashP) % MinhashP
-      i += 1
-    }
     val sig = Array.fill[Long](k)(Long.MaxValue)
     var s = 0
     while (s < n) {
-      val hRaw = XxHash64Function.hash(arr.getUTF8String(s), StringType, 42L)
-      val h = ((hRaw % MinhashP) + MinhashP) % MinhashP
+      val h = PortableHash.md5_32(arr.getUTF8String(s).getBytes) % MinhashP
       i = 0
       while (i < k) {
         val v = (h * a(i) + b(i)) % MinhashP // < 2^62, no overflow

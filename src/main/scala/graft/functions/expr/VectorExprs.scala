@@ -41,27 +41,36 @@ object VectorExprUtil {
 
   /** m-bit sign-LSH signature — native twin of
     * `Similarity.randomHyperplaneLsh` (equivalence locked in
-    * VectorExprSpec). Plane components are the same hash-derived
+    * VectorExprSpec). Plane components are the same md5-derived
     * pseudo-randoms as the Column formulation:
-    * pmod(xxhash64(p·1000003 + d), 10^6)/10^6 − 0.5 on a packed LONG
-    * key, xxhash64 seed 42; bit p = sign of the sequential-fold dot
-    * product (identical accumulation order → identical sign at the
-    * boundary). */
+    * md5_32("hp:p:d") mod 2^20 over 2^20 − 0.5 (dyadic: exact in both
+    * float and double, and recomputable from md5() by the DuckDB
+    * oracle); bit p = sign of the sequential-fold dot product
+    * (identical accumulation order → identical sign at the boundary).
+    * The m×dim plane table is computed once per (m, dim) and cached —
+    * the per-row work is just the dot products. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def signLshPlanes(m: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((m, dim), { case (mm, nn) =>
+      Array.tabulate(mm, nn) { (p, d) =>
+        (PortableHash.md5_32("hp:" + p + ":" + d) % 1048576L).toDouble / 1048576.0 - 0.5
+      }
+    })
+
   def signLsh(v: ArrayData, m: Int, isFloat: Boolean): Long = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.LongType
     val n = v.numElements()
+    val planes = signLshPlanes(m, n)
     var sig = 0L
     var p = 0
     while (p < m) {
+      val plane = planes(p)
       var proj = 0.0
       var d = 0
       while (d < n) {
-        val key = p.toLong * 1000003L + d
-        val h = XxHash64Function.hash(key, LongType, 42L)
-        val comp = (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0 - 0.5
         val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
-        proj += x * comp
+        proj += x * plane(d)
         d += 1
       }
       if (proj > 0) sig |= (1L << p)

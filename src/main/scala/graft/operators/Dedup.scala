@@ -190,34 +190,41 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature over pre-hashed shingles: each shingle is hashed
-    * ONCE (xxhash64, reduced into the Mersenne-prime field p = 2^31−1),
-    * then the k "permutations" are affine maps π_i(x) = (a_i·x + b_i)
-    * mod p with hash-derived a_i ∈ [1, p−1], b_i ∈ [0, p−1];
-    * sig[i] = min_s π_i(h(s)). Products stay < 2^62, so no ANSI-mode
-    * long overflow; one string hash per shingle + k·|sh| multiply-mods
-    * is ~64× cheaper than hashing strings per function, which dominated
-    * the first benchmark of this operator.
+    * ONCE (md5-portable 32-bit word — [[Sampling.md5Bucket]], reduced
+    * into the Mersenne-prime field p = 2^31−1), then the k
+    * "permutations" are affine maps π_i(x) = (a_i·x + b_i) mod p with
+    * md5-derived a_i = md5_32("mh_a:i") mod (p−1) + 1 ∈ [1, p−1],
+    * b_i = md5_32("mh_b:i") mod p ∈ [0, p−1]; sig[i] = min_s π_i(h(s)).
+    * Products stay < 2^62, so no ANSI-mode long overflow. md5 (not
+    * xxhash64) is the deliberate portability trade the CMS sketch and
+    * DSIR already made: every signature cell is recomputable by any
+    * engine with md5() — the qX_dedup_minhash DuckDB oracle replays
+    * this whole pipeline bit-for-bit.
     */
   val MinhashP = 2147483647L // 2^31 - 1
 
   def shingleHashes(sh: Column): Column =
-    transform(sh, s => pmod(xxhash64(s), lit(MinhashP)))
+    transform(sh, s => pmod(Sampling.md5Bucket(s), lit(MinhashP)))
 
   def minhashSignature(hashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i => {
-      val a = pmod(xxhash64(i), lit(MinhashP - 1)) + lit(1L)
-      val b = pmod(xxhash64(i + lit(1000000)), lit(MinhashP))
+      val a = pmod(Sampling.md5Bucket(concat(lit("mh_a:"), i.cast("string"))),
+        lit(MinhashP - 1)) + lit(1L)
+      val b = pmod(Sampling.md5Bucket(concat(lit("mh_b:"), i.cast("string"))),
+        lit(MinhashP))
       array_min(transform(hashes, x => pmod(x * a + b, lit(MinhashP))))
     })
 
   /** LSH banding: split the k-wide signature into `bands` bands of
-    * k/bands rows; band key = hash of the slice. Docs sharing any band
-    * key become candidates. Returns (band, key, id) postings.
+    * k/bands rows; band key = md5_32 of the '_'-joined slice (portable:
+    * the oracle recomputes it from md5()). Docs sharing any band key
+    * become candidates. Returns (band, key, id) postings.
     */
   def lshBands(sig: Column, k: Int, bands: Int): Column = {
     val r = k / bands
     transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(concat_ws("_", slice(sig, b * r + 1, lit(r)))).as("key")))
+      b => struct(b.as("band"),
+        Sampling.md5Bucket(concat_ws("_", slice(sig, b * r + 1, lit(r)))).as("key")))
   }
 
   /** MinHash+LSH near-duplicate pairs, exact-verified.
@@ -326,9 +333,11 @@ object Dedup {
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token features: for each bit b, sum +1/−1
-    * across tokens according to bit b of xxhash64(token); bit b of the
-    * result is 1 iff the vote sum is positive. Narrow projection, no
-    * shuffle; computed by the native codegen expression
+    * across tokens according to bit b of the token's md5-portable
+    * 64-bit hash (first 16 md5 hex chars — high word = hex 1-8, low
+    * word = hex 9-16, so any engine recomputes the bits from md5());
+    * bit b of the result is 1 iff the vote sum is positive. Narrow
+    * projection, no shuffle; computed by the native codegen expression
     * [[graft.functions.expr.SimHash64Expr]] (the higher-order-function
     * formulation [[simhashHof]] is CodegenFallback — kept as the
     * executable spec the native expression is tested against).
@@ -336,15 +345,22 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.expr.TextExprs.simhash64(text)
 
-  /** Reference HOF formulation of [[simhash]] (slow path, test oracle). */
+  /** Reference HOF formulation of [[simhash]] (slow path, test oracle).
+    * Token hash = the same two md5 32-bit words the native expression
+    * uses, assembled with bitwise shift (no ANSI overflow). */
   def simhashHof(text: Column): Column = {
     val toks = tokenize(text)
+    def tokenHash64(t: Column): Column = {
+      val hi = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+      val lo = conv(substring(md5(t), 9, 8), 16, 10).cast("long")
+      call_function("shiftleft", hi, lit(32)).bitwiseOR(lo)
+    }
     val votes = aggregate(
       toks,
       array_repeat(lit(0L), 64),
       (acc, t) =>
         zip_with(acc, transform(sequence(lit(0), lit(63)),
-            i => when(call_function("shiftrightunsigned", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            i => when(call_function("shiftrightunsigned", tokenHash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
               .otherwise(lit(-1L))),
           (v, d) => v + d))
     aggregate(
@@ -394,13 +410,18 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming ≤ maxDist, found via the
-    * pigeonhole band join: split the 64-bit hash into `maxDist + 1`
-    * chunks; any pair within distance shares at least one exact chunk.
+    * pigeonhole band join over FIXED 8-bit chunks: any pair within
+    * distance ≤ 7 shares at least one of the 8 chunks exactly. Byte
+    * alignment (rather than the minimal maxDist+1 chunking) keeps each
+    * chunk inside one 32-bit half of the hash, so the DuckDB oracle
+    * reproduces the chunk keys from the two md5 hex words without
+    * 64-bit unsigned arithmetic.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val chunks = maxDist + 1
-    val width = 64 / chunks
+    require(maxDist <= 7, s"8-bit pigeonhole chunking covers maxDist <= 7, got $maxDist")
+    val chunks = 8
+    val width = 8
     val hashed = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val posts = hashed.select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(chunks - 1)),

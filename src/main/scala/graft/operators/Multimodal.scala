@@ -97,9 +97,23 @@ object Multimodal {
       (Array.tabulate(n)(i => pixels(i % math.max(pixels.length, 1))),
         meta.copy(width = w, height = h))
     }
+    /** md5-portable feature: component i = md5_32(payload ++ ":i")
+      * mod 2^10 over 2^10 − 0.5. Unlike decode's splitmix stream this
+      * is recomputable by the DuckDB oracle (`md5(text || ':' || i)`
+      * when the payload is UTF-8 text, as in the qX_multimodal_ann
+      * gate), and the dyadic modulus makes every component exact in
+      * both float and double — so cross-engine cosine comparisons are
+      * bit-stable, not round-to-4 lucky. md5 has full avalanche, so
+      * the near-parallel-vector failure mode documented on [[f]] can't
+      * occur. */
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val s = seedOf(bytes)
-      Array.tabulate(dim)(i => f(s, i) - 0.5f)
+      Array.tabulate(dim) { i =>
+        val suffix = (":" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val keyed = java.util.Arrays.copyOf(bytes, bytes.length + suffix.length)
+        System.arraycopy(suffix, 0, keyed, bytes.length, suffix.length)
+        ((graft.functions.expr.PortableHash.md5_32(keyed) % 1024L).toDouble
+          / 1024.0 - 0.5).toFloat
+      }
     }
   }
 

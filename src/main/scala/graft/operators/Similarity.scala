@@ -22,7 +22,7 @@ import graft.functions.GraftFunctions.{cosine, dot, l2Norm}
   *    and the join shuffles (bucket, id, vec) instead of the full
   *    cross product.
   *
-  * Hyperplanes are generated deterministically from xxhash64 — no RNG
+  * Hyperplanes are generated deterministically from md5 — no RNG
   * state, so plans are reproducible and resumable (important for
   * spot-instance reruns at scale).
   */
@@ -84,12 +84,18 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Deterministic "random" hyperplane component: hash-derived value in
-    * [-0.5, 0.5) for (plane p, dimension d). Hashes a packed long key
-    * (not a concatenated string — long hashing is ~5× cheaper and this
-    * sits in an m×dim inner loop over the whole corpus). */
+  /** Deterministic "random" hyperplane component: md5-derived value in
+    * [-0.5, 0.5) for (plane p, dimension d) — md5_32("hp:p:d") reduced
+    * mod 2^20 over 2^20. The dyadic modulus makes every component
+    * exactly representable in binary floating point, and md5 (instead
+    * of xxhash64) makes the whole signature recomputable by the DuckDB
+    * oracle — the same portability trade as [[Sampling.md5Bucket]].
+    * The native expression precomputes the m×dim plane table once per
+    * (m, dim), so this cost is per-plan, not per-row. */
   private def planeComponent(p: Column, d: Column): Column =
-    (pmod(xxhash64(p * lit(1000003L) + d), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+    (pmod(Sampling.md5Bucket(
+        concat(lit("hp:"), p.cast("string"), lit(":"), d.cast("string"))),
+      lit(1048576L)).cast("double") / 1048576.0) - 0.5
 
   /** m-bit sign-LSH signature of a vector column: bit p = sign of
     * <v, h_p> where h_p is the p-th pseudo-random hyperplane.

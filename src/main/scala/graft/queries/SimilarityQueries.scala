@@ -8,10 +8,12 @@ import graft.operators.{Dedup, Similarity}
 /** Similarity-search + sketch-dedup queries over `embeddings` and
   * `documents`. The brute-force cosine top-k is oracle-checked
   * (DuckDB `list_cosine_similarity` over DOUBLE[] matches our
-  * deterministic sequential fold at round-4); the LSH / MinHash /
-  * SimHash variants hash with xxhash64 and are not SQL-reproducible —
-  * they get rows-only checks here and exact-recall assertions in
-  * ScalaTest (vs the brute-force ground truth).
+  * deterministic sequential fold at round-4). The LSH / MinHash /
+  * SimHash variants hash through the md5-portable convention
+  * ([[graft.functions.expr.PortableHash]]), so their DuckDB oracles
+  * replay the full signature → banding → verify pipelines bit-for-bit;
+  * the planted-recall contracts are kept alongside as the structural
+  * guarantees (identical input ⇒ identical signature ⇒ recovered).
   */
 object SimilarityQueries {
 
@@ -35,7 +37,8 @@ object SimilarityQueries {
         "vec_id", "embedding", "label", 5)
     }),
 
-    // sign-LSH ANN (multi-probe) — scale path; rows-only check.
+    // sign-LSH ANN (multi-probe) — scale path; md5-portable planes, so
+    // the oracle recomputes signatures, probes, and the re-rank in SQL.
     "qX_ann_lsh" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
@@ -43,7 +46,8 @@ object SimilarityQueries {
         "vec_id", "embedding", 5, m = 10)
     }),
 
-    // MinHash+LSH near-dup candidate pairs, exact-verified; rows-only.
+    // MinHash+LSH near-dup candidate pairs, exact-verified; md5-portable
+    // hashing, so the oracle replays shingle→signature→bands→verify.
     // The synthetic corpus has no real near-dups, so the query plants
     // truncated copies (id+100000, last ~30 chars dropped): LSH must
     // recover each (original, copy) pair at jaccard >= 0.5 while 4-row
@@ -59,7 +63,8 @@ object SimilarityQueries {
         .limit(500)
     }),
 
-    // SimHash near-dup pairs (Hamming <= 3 via pigeonhole bands); rows-only.
+    // SimHash near-dup pairs (Hamming <= 6 via 8-bit pigeonhole bands);
+    // md5-portable token hashing — full signature replay in the oracle.
     "qX_dedup_simhash" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
       Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 6)
@@ -604,6 +609,172 @@ object SimilarityQueries {
     "qX_dedup_embed_lsh_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM embeddings WHERE vec_id < 500""".stripMargin,
+    // Full replay of the MinHash+LSH pipeline: md5-hashed shingles into
+    // the Mersenne field, 64 md5-derived affine permutations, 16 bands
+    // of 4 rows keyed by md5_32 of the '_'-joined slice, candidate
+    // self-join, exact Jaccard verification — bit-for-bit the Spark
+    // plan's arithmetic (see Dedup.minhashSignature / lshBands).
+    "qX_dedup_minhash" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, 200) AS text
+        |  FROM documents WHERE doc_id < 1000),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks), 2)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
+        |  FROM d WHERE len(toks) >= 2),
+        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |hv AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS hv
+        |  FROM posts),
+        |perms AS (
+        |  SELECT i.i AS i,
+        |    CAST(('0x' || substr(md5('mh_a:' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(('0x' || substr(md5('mh_b:' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM (SELECT unnest(range(64)) AS i) i),
+        |sigs AS (
+        |  SELECT hv.doc_id, p.i, min((hv.hv * p.a + p.b) % 2147483647) AS sig
+        |  FROM hv CROSS JOIN perms p GROUP BY 1, 2),
+        |bandstr AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS bs
+        |  FROM sigs GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT doc_id, band,
+        |    CAST(('0x' || substr(md5(bs), 1, 8)) AS BIGINT) AS key
+        |  FROM bandstr),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM keys a JOIN keys b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.id1, c.id2, len(list_intersect(s1.sh, s2.sh)) AS inter,
+        |    len(s1.sh) AS n1, len(s2.sh) AS n2
+        |  FROM cand c
+        |  JOIN sh s1 ON s1.doc_id = c.id1
+        |  JOIN sh s2 ON s2.doc_id = c.id2)
+        |SELECT id1, id2,
+        |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
+        |FROM ver
+        |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.5
+        |ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 500""".stripMargin,
+
+    // Full replay of the 64-bit SimHash pipeline as two md5 32-bit
+    // words (hex chars 1-8 / 9-16 — no 64-bit unsigned arithmetic
+    // needed): per-token ±1 bit votes, sign fold per half, 8-bit
+    // pigeonhole chunk join, Hamming = popcount(xor) summed per half.
+    "qX_dedup_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS thi,
+        |    CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS tlo
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b.b AS b,
+        |    sum(CASE WHEN ((CASE WHEN b.b < 32 THEN (tlo >> b.b)
+        |                        ELSE (thi >> (b.b - 32)) END) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+        |  GROUP BY 1, 2),
+        |halves0 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 AND b >= 32
+        |        THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi,
+        |    sum(CASE WHEN v > 0 AND b < 32
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo
+        |  FROM votes GROUP BY 1),
+        |halves AS (
+        |  SELECT d.doc_id, coalesce(h.hi, 0) AS hi, coalesce(h.lo, 0) AS lo
+        |  FROM d LEFT JOIN halves0 h USING (doc_id)),
+        |chunks AS (
+        |  SELECT doc_id, hi, lo, c.c AS c,
+        |    CASE WHEN c.c < 4 THEN (lo >> (8 * c.c)) & 255
+        |         ELSE (hi >> (8 * c.c - 32)) & 255 END AS key
+        |  FROM halves CROSS JOIN (SELECT unnest(range(8)) AS c) c),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, dist FROM pairs WHERE dist <= 6
+        |ORDER BY dist ASC, id1 ASC, id2 ASC LIMIT 200""".stripMargin,
+
+    // Full replay of sign-LSH ANN: md5-derived dyadic hyperplanes
+    // (md5_32("hp:p:d") mod 2^20 — exact in float and double), sign
+    // signatures, multi-probe at Hamming 1, cosine re-rank of the
+    // deduped candidates.
+    "qX_ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT p.p AS p, list_transform(range(64), d ->
+        |    CAST(CAST(('0x' || substr(md5('hp:' || CAST(p.p AS VARCHAR) || ':' ||
+        |      CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 1048576 AS DOUBLE)
+        |      / 1048576.0 - 0.5) AS plane
+        |  FROM (SELECT unnest(range(10)) AS p) p),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |sigs AS (
+        |  SELECT e.vec_id, sum(CASE WHEN list_dot_product(e.vec, pl.plane) > 0
+        |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS sig
+        |  FROM e CROSS JOIN planes pl GROUP BY 1),
+        |qp AS (SELECT vec_id AS qid, sig FROM sigs WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT qid, sig AS bucket FROM qp
+        |  UNION ALL
+        |  SELECT qid, xor(sig, (CAST(1 AS BIGINT) << i.i)) AS bucket
+        |  FROM qp CROSS JOIN (SELECT unnest(range(10)) AS i) i),
+        |cand AS (
+        |  SELECT DISTINCT p.qid, s.vec_id AS id
+        |  FROM probes p JOIN sigs s ON p.bucket = s.sig
+        |  WHERE s.vec_id <> p.qid),
+        |scored AS (
+        |  SELECT c.qid, c.id,
+        |    round(list_cosine_similarity(qe.vec, ce.vec), 4) AS sim
+        |  FROM cand c
+        |  JOIN e qe ON qe.vec_id = c.qid
+        |  JOIN e ce ON ce.vec_id = c.id),
+        |ranked AS (
+        |  SELECT qid, id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, id, sim FROM ranked WHERE rn <= 5
+        |ORDER BY qid, sim DESC, id""".stripMargin,
+
+    // Full replay of the stub-codec multimodal ANN: feature i of a
+    // payload is md5_32(payload || ':' || i) mod 2^10 over 2^10 − 0.5
+    // (FakeCodec.embed — the payloads are UTF-8 text bytes, so
+    // md5(text || ':' || i) recomputes them), then brute-force cosine
+    // top-3 for queries id < 3.
+    "qX_multimodal_ann" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id, list_transform(range(16), i ->
+        |    CAST(CAST(('0x' || substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1024 AS DOUBLE) / 1024.0 - 0.5) AS emb
+        |  FROM documents WHERE doc_id < 500),
+        |scored AS (
+        |  SELECT q.id AS qid, c.id,
+        |    round(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+        |  FROM f q JOIN f c ON c.id <> q.id
+        |  WHERE q.id < 3),
+        |ranked AS (
+        |  SELECT qid, id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, id, sim FROM ranked WHERE rn <= 3
+        |ORDER BY qid, sim DESC, id""".stripMargin,
+
     "qX_ann_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
