@@ -1110,11 +1110,39 @@ object GraphAnalytics {
     *
     * @return (anchor, rank, id, score), rank 1-based per anchor.
     */
-  def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
+  /** Hash-spread per-middle neighbor cap for the wedge family — the
+    * hub guard. A power-law hub z emits deg(z)² wedge pairs: at 100×
+    * scale a 10⁶-degree vertex alone is ~10¹² pairs landing on one
+    * reducer key. Capping each middle's neighbor list at `maxDegree`
+    * bounds any single middle's contribution to maxDegree² while
+    * leaving the (overwhelmingly more numerous) sub-cap vertices
+    * EXACT. The sample is the [[Sampling.perKeyCap]] precedent: keep
+    * the `maxDegree` neighbors with the lowest (md5Bucket("z:n"), n) —
+    * deterministic, rerun-stable, md5-portable, and hash-spread (not
+    * top-by-id, which would bias wedges toward low ids). Bounded-heap
+    * top-k: the hub's reducer sees maxDegree rows of state, not a
+    * sorted deg(z).
+    */
+  private def capNeighbors(adj: DataFrame, maxDegree: Int): DataFrame =
+    if (maxDegree == Int.MaxValue) adj
+    else {
+      val keyed = adj.withColumn("_hk",
+        Sampling.md5Bucket(concat_ws(":", col("from"), col("to"))))
+      TopK.grouped(keyed, Seq("from"),
+          struct(col("_hk"), col("to").as("_to")), maxDegree)
+        .select(col("from"), col("best._to").as("to"))
+    }
+
+  def adamicAdar(edges: DataFrame, k: Int,
+                 maxDegree: Int = Int.MaxValue): DataFrame = {
     val spark = edges.sparkSession
     val adj = Pymk.undirected(edges).distinct()
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true) // reused 4×: deg, both join sides, anti join
+    // wedge sides enumerate the (possibly capped) neighbor sample;
+    // degrees, discounts, and the direct-edge anti join stay EXACT on
+    // the full adjacency — the cap bounds wedge multiplicity only
+    val wedgeAdj = capNeighbors(adj, maxDegree)
     val deg = adj.groupBy(col("from").as("z"))
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2)
@@ -1130,9 +1158,12 @@ object GraphAnalytics {
     // (c,z,a) does with the same w — score only a < c, mirror the
     // aggregated pairs (10-20× smaller than the wedge bag) afterwards.
     val par = spark.sparkContext.defaultParallelism
-    val intoZ = adj.select(col("to").as("z"), col("from").as("a"))
+    // both wedge sides read the SAME sampled set S(z) (wedgeAdj is
+    // keyed by the middle as `from`; adj symmetry makes that the
+    // neighbor set in both roles)
+    val intoZ = wedgeAdj.select(col("from").as("z"), col("to").as("a"))
       .join(deg.select(col("z"), col("w")), "z")
-    val outOfZ = adj.select(col("from").as("z"), col("to").as("c"))
+    val outOfZ = wedgeAdj.select(col("from").as("z"), col("to").as("c"))
     val half = intoZ.join(outOfZ, "z")
       .filter(col("a") < col("c"))
       // repartition on the agg key before summing: reducer-local hash
@@ -1189,20 +1220,24 @@ object GraphAnalytics {
     *         of every candidate pair, so per-anchor consumers need no
     *         mirror.
     */
-  def linkPredictScores(edges: DataFrame): DataFrame = {
+  def linkPredictScores(edges: DataFrame,
+                        maxDegree: Int = Int.MaxValue): DataFrame = {
     val spark = edges.sparkSession
     val adj = Pymk.undirected(edges).distinct()
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true) // reused 4x: deg, both wedge sides, anti join
+    // hub guard: wedge sides enumerate the capped neighbor sample;
+    // degrees/discounts/anti-join stay exact (see capNeighbors)
+    val wedgeAdj = capNeighbors(adj, maxDegree)
     // full degree table — ra discounts by it, jaccard/pa consume it;
     // deg-1 middles witness no a!=c wedge, so no HAVING filter needed
     val deg = adj.groupBy(col("from").as("z"))
       .agg(count(lit(1)).as("deg"))
       .withColumn("w", round(lit(1e6) / col("deg")).cast("long"))
     val par = spark.sparkContext.defaultParallelism
-    val intoZ = adj.select(col("to").as("z"), col("from").as("a"))
+    val intoZ = wedgeAdj.select(col("from").as("z"), col("to").as("a"))
       .join(deg.select(col("z"), col("w")), "z")
-    val outOfZ = adj.select(col("from").as("z"), col("to").as("c"))
+    val outOfZ = wedgeAdj.select(col("from").as("z"), col("to").as("c"))
     val half = intoZ.join(outOfZ, "z")
       .filter(col("a") < col("c"))
       .repartition(par, col("a"), col("c"))
@@ -1238,7 +1273,8 @@ object GraphAnalytics {
     * @return (anchor, rank, id, score), rank 1-based per anchor.
     */
   def linkPredict(edges: DataFrame, k: Int,
-                  measure: String = "resource_allocation"): DataFrame = {
+                  measure: String = "resource_allocation",
+                  maxDegree: Int = Int.MaxValue): DataFrame = {
     val scoreCol = measure match {
       case "common_neighbors"        => col("cn").cast("double")
       case "resource_allocation"     => col("ra_micros") / lit(1e6)
@@ -1247,7 +1283,7 @@ object GraphAnalytics {
       case other => throw new IllegalArgumentException(
         s"unknown link-prediction measure: $other")
     }
-    val cand = linkPredictScores(edges).withColumn("score", scoreCol)
+    val cand = linkPredictScores(edges, maxDegree).withColumn("score", scoreCol)
     val sortKey = struct((-col("score")).as("_ns"), col("c").as("_c"))
     TopK.grouped(cand, Seq("a"), sortKey, k)
       .select(col("a").as("anchor"), col("rank"),

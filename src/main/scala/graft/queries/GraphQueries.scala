@@ -253,6 +253,19 @@ object GraphQueries {
         .orderBy(col("anchor"), col("rank"))
     }),
 
+    // Hub-capped ranked link prediction — the 100 TB form: each wedge
+    // middle's neighbor list is capped at 16 via the hash-spread
+    // deterministic sample (md5-portable), bounding any hub's wedge
+    // contribution to cap² while sub-cap vertices stay exact. The
+    // oracle replays the sample, so this is a full-oracle gate of the
+    // approximation itself, not a rows-only smoke.
+    "qX_linkpred_capped" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.linkPredict(edges, 5,
+          "resource_allocation", maxDegree = 16)
+        .orderBy(col("anchor"), col("rank"))
+    }),
+
     // 25-core membership after 8 fixed peel rounds (converged here —
     // spec-asserted; 62/150 vertices survive, with multi-round cascade
     // as the peeled spokes drag hub degrees down). k=3 would be
@@ -960,6 +973,45 @@ object GraphQueries {
          |      / 1000000.0 AS score
          |  FROM cand JOIN deg da ON da.z = cand.a
          |       JOIN deg dc ON dc.z = cand.c),
+         |r AS (
+         |  SELECT a AS anchor, c AS id, score, row_number() OVER (
+         |    PARTITION BY a ORDER BY score DESC, c) AS rank
+         |  FROM j)
+         |SELECT anchor, rank, id, score FROM r WHERE rank <= 5
+         |ORDER BY anchor, rank""".stripMargin,
+    // Replays the hub cap: per middle keep the 16 neighbors with the
+    // lowest (md5_32("z:n"), n), enumerate wedges over the sample only,
+    // degrees/discounts/anti-join on the full adjacency — exactly
+    // GraphAnalytics.capNeighbors + linkPredictScores(maxDegree = 16).
+    "qX_linkpred_capped" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION
+         |  SELECT dst, src FROM edges),
+         |deg AS (
+         |  SELECT f AS z, count(*) AS d,
+         |    CAST(round(1000000.0 / count(*)) AS BIGINT) AS w
+         |  FROM adj GROUP BY f),
+         |rn AS (
+         |  SELECT f, t, row_number() OVER (PARTITION BY f ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(f AS VARCHAR) || ':' ||
+         |      CAST(t AS VARCHAR)), 1, 8)) AS BIGINT), t) AS rn
+         |  FROM adj),
+         |samp AS (SELECT f, t FROM rn WHERE rn.rn <= 16),
+         |sc AS (
+         |  SELECT x.t AS a, y.t AS c, count(*) AS cn, sum(deg.w) AS ram
+         |  FROM samp x JOIN deg ON x.f = deg.z
+         |       JOIN samp y ON y.f = deg.z
+         |  WHERE x.t <> y.t
+         |  GROUP BY x.t, y.t),
+         |cand AS (
+         |  SELECT sc.* FROM sc
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM adj WHERE adj.f = sc.a AND adj.t = sc.c)),
+         |j AS (
+         |  SELECT cand.a, cand.c, cand.ram / 1000000.0 AS score
+         |  FROM cand),
          |r AS (
          |  SELECT a AS anchor, c AS id, score, row_number() OVER (
          |    PARTITION BY a ORDER BY score DESC, c) AS rank

@@ -604,6 +604,33 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("wedge hub cap: cap >= max degree is exact; planted hub output is bounded") {
+    // 4-cycle has max degree 2: capping at 2 samples EVERY neighbor
+    // list whole, so capped results must equal the exact ones row for
+    // row (the cap≡exact contract for sub-cap graphs)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphAnalytics.linkPredictScores(cyc, maxDegree = 2)) ==
+      rows(GraphAnalytics.linkPredictScores(cyc)))
+    assert(rows(GraphAnalytics.adamicAdar(cyc, 5, maxDegree = 2)) ==
+      rows(GraphAnalytics.adamicAdar(cyc, 5)))
+
+    // planted hub: star with 40 leaves. Uncapped, the hub middle emits
+    // all 40·39 ordered leaf pairs; capped at 8 it must emit exactly
+    // the 8·7 ordered pairs of its sampled neighbors — the bounded
+    // wedge contract. Per-pair values stay the exact-formula ones
+    // (cn=1 via the hub, ra=round(1e6/40)) because only MULTIPLICITY
+    // is sampled, not the discount.
+    val hub = (1L to 40L).map(i => (0L, i)).toDF("src", "dst")
+    val capped = GraphAnalytics.linkPredictScores(hub, maxDegree = 8).collect()
+    assert(capped.length == 8 * 7)
+    assert(capped.forall(r => r.getLong(2) == 1L && r.getLong(3) == 25000L))
+    // the sample is deterministic: same cap, same pairs on a rerun
+    val again = GraphAnalytics.linkPredictScores(hub, maxDegree = 8).collect()
+    assert(capped.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("triangle counts: DF == GraphX on the card graph, known values on K4+tail") {
     // K4 on 1-4 (every vertex in 3 triangles) + a tail 4-5 (0 triangles)
     // + duplicate/reversed/self-loop edges that canonicalization must drop
