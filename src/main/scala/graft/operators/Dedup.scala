@@ -418,12 +418,23 @@ object Dedup {
     * 64-bit unsigned arithmetic.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3): DataFrame =
+    hammingBandPairs(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")), maxDist)
+
+  /** Banded Hamming-≤maxDist pairs over ANY (id, 64-bit hash) frame —
+    * the pigeonhole core shared by [[simhashPairs]] (text) and
+    * [[graft.operators.Multimodal.imageDHash]] (perceptual image
+    * near-dup). Postings shuffle (chunk, key, id, hash) — 8 narrow
+    * rows per item — and the self-join touches only same-chunk-key
+    * buckets; at corpus scale that is the whole trick.
+    * @param hashed DataFrame with columns (id, sh). */
+  def hammingBandPairs(hashed: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 7, s"8-bit pigeonhole chunking covers maxDist <= 7, got $maxDist")
     val chunks = 8
     val width = 8
-    val hashed = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val posts = hashed.select(col("id"), col("sh"),
+    val posts = hashed.select(col("id"), col(hashed.columns(1)).as("sh"))
+      .select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(chunks - 1)),
           c => struct(c.as("chunk"),
             call_function("shiftrightunsigned", col("sh"), c * width)

@@ -447,4 +447,77 @@ object Multimodal {
       it.map(m => FeatureRecord(m.id, c.embed(m.content, dim)))
     }
   }
+
+  // -------------------------------------------------- perceptual hashing
+
+  /** 64-bit difference hash (dHash) of a row-major `w`×`h` pixel plane:
+    * bit (y·(w−1) + x) = 1 iff p(x+1, y) > p(x, y). At the classic
+    * 9×8 thumbnail this is the standard 64-bit dHash — the cheapest
+    * robust image near-dup signature (survives re-encoding, resizing,
+    * mild brightness shifts: only the horizontal brightness ORDER
+    * matters, not absolute values). */
+  def dHash64(pixels: Array[Float], w: Int, h: Int): Long = {
+    require((w - 1) * h <= 64, s"dHash plane ${w}x$h exceeds 64 bits")
+    var hash = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        if (pixels(y * w + x + 1) > pixels(y * w + x))
+          hash |= (1L << (y * (w - 1) + x))
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-image 64-bit dHash over the REAL codec seam: decode (header
+    * dims), area-resize to the canonical 9×8 thumbnail, difference
+    * hash. Narrow projection — one codec instance per partition, the
+    * corpus shuffles (id, hash) pairs only. Feed the result to
+    * [[Dedup.hammingBandPairs]] for banded near-dup mining: a
+    * web-scale corpus full of re-encoded/resized duplicates rides the
+    * same pigeonhole join as SimHash text near-dup.
+    * @return DataFrame (id, dhash). */
+  def imageDHash(media: Dataset[MediaRecord],
+                 codec: MediaCodec = ImageIoCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val c = codec
+      it.map { m =>
+        val meta = c.decodedMeta(m.content, m.meta)
+        val (thumb, _) = c.resize(c.decode(m.content, m.meta), meta, 9, 8)
+        (m.id, dHash64(thumb, 9, 8))
+      }
+    }.toDF("id", "dhash")
+  }
+
+  /** Deterministic synthetic test image: a 9·scale × 8·scale grayscale
+    * PNG whose 9×8 dHash is an EXACT function of `pattern` — for grid
+    * cell (x, y), the cell at odd x = 2j+1 is white iff bit (4y + j)
+    * of `pattern` is set, every other cell black, so dHash bit
+    * (8y + 2j) = pattern bit (4y + j) and all other bits are 0. Lets
+    * gates/specs plant images whose hashes an external oracle computes
+    * from `pattern` alone — no image decoding on the oracle side. */
+  def renderBitPatternPng(pattern: Long, scale: Int): Array[Byte] = {
+    val (w, h) = (9 * scale, 8 * scale)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (cx, cy) = (x / scale, y / scale)
+        val white = cx % 2 == 1 && cx < 8 &&
+          ((pattern >>> (4 * cy + (cx - 1) / 2)) & 1L) == 1L
+        img.setRGB(x, y, if (white) 0xFFFFFF else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

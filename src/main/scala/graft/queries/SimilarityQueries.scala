@@ -217,6 +217,33 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_recovered")))
     }),
 
+    // Perceptual image near-dup (dHash) over the REAL codec seam:
+    // deterministic bit-pattern PNGs (pattern = md5_32 of the source
+    // doc id, so the oracle knows every expected hash without decoding
+    // a pixel) + planted 2×-scaled re-rendered duplicates (+100000) →
+    // ImageIo decode → area-resize 9×8 → dHash64 → banded Hamming
+    // join. The area resample maps the scaled duplicate to the exact
+    // same thumbnail, so every planted pair surfaces at dist 0 — and
+    // the oracle replays hashes, banding, and distances from doc_id
+    // arithmetic alone.
+    "qX_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Dedup, Multimodal}
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val ids = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+      val media = ids.flatMap { id =>
+        val pat = graft.functions.expr.PortableHash.md5_32(id.toString)
+        Seq(
+          MediaRecord(id, "image",
+            Multimodal.renderBitPatternPng(pat, 1), MediaMeta("png", 9, 8, 1, 0L)),
+          MediaRecord(id + 100000, "image",
+            Multimodal.renderBitPatternPng(pat, 2), MediaMeta("png", 18, 16, 1, 0L)))
+      }
+      Dedup.hammingBandPairs(Multimodal.imageDHash(media), maxDist = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // k-means planted-cluster recovery contract (the LSH-recall
     // pattern applied to clustering): 8 groups of 25 IDENTICAL copies
     // of well-separated seed vectors (cross-group cosine ~0.4, within
@@ -751,6 +778,47 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT qid, id, sim FROM ranked WHERE rn <= 5
         |ORDER BY qid, sim DESC, id""".stripMargin,
+
+    // Replays qX_image_dedup from doc_id arithmetic: dHash bit
+    // (8y + 2j) = bit (4y + j) of md5_32(source id) by the bit-pattern
+    // construction (renderBitPatternPng), the scaled duplicate hashes
+    // identically, then the same 8-bit pigeonhole chunk join and
+    // per-half popcount distance as the simhash oracle.
+    "qX_image_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |recs AS (
+        |  SELECT doc_id AS id, doc_id AS src FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, doc_id AS src FROM ids),
+        |pat AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 8)) AS BIGINT) AS p
+        |  FROM recs),
+        |grid AS (
+        |  SELECT y.y AS y, j.j AS j
+        |  FROM (SELECT unnest(range(8)) AS y) y,
+        |       (SELECT unnest(range(4)) AS j) j),
+        |halves AS (
+        |  SELECT id,
+        |    sum(CASE WHEN g.y >= 4 AND ((p >> (4 * g.y + g.j)) & 1) = 1
+        |        THEN (CAST(1 AS BIGINT) << (8 * (g.y - 4) + 2 * g.j))
+        |        ELSE 0 END) AS hi,
+        |    sum(CASE WHEN g.y < 4 AND ((p >> (4 * g.y + g.j)) & 1) = 1
+        |        THEN (CAST(1 AS BIGINT) << (8 * g.y + 2 * g.j))
+        |        ELSE 0 END) AS lo
+        |  FROM pat CROSS JOIN grid g GROUP BY id),
+        |chunks AS (
+        |  SELECT id, hi, lo, c.c AS c,
+        |    CASE WHEN c.c < 4 THEN (lo >> (8 * c.c)) & 255
+        |         ELSE (hi >> (8 * c.c - 32)) & 255 END AS key
+        |  FROM halves CROSS JOIN (SELECT unnest(range(8)) AS c) c),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.key = b.key AND a.id < b.id)
+        |SELECT id1, id2, dist FROM pairs WHERE dist <= 3
+        |ORDER BY id1 ASC, id2 ASC""".stripMargin,
 
     // Full replay of the stub-codec multimodal ANN: feature i of a
     // payload is md5_32(payload || ':' || i) mod 2^10 over 2^10 − 0.5

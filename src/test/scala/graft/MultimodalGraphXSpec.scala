@@ -604,6 +604,47 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("image dHash: exact pattern bits; scaled and JPEG re-encoded dups recovered") {
+    // exact-bit contract of the bit-pattern construction: dHash bit
+    // (8y + 2j) = pattern bit (4y + j), every other bit 0 — and the
+    // 3×-scaled render area-averages to the identical 9×8 thumbnail
+    val pat = 0xDEADBEEFL
+    val meta = MediaMeta("png", 9, 8, 1, 0L)
+    val ds = Seq(
+      MediaRecord(1L, "image", Multimodal.renderBitPatternPng(pat, 1), meta),
+      MediaRecord(2L, "image", Multimodal.renderBitPatternPng(pat, 3), meta)).toDS()
+    val hashes = Multimodal.imageDHash(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0 until 32).filter(b => ((pat >>> b) & 1L) == 1L)
+      .map(b => 1L << (8 * (b / 4) + 2 * (b % 4))).foldLeft(0L)(_ | _)
+    assert(hashes(1L) == expected)
+    assert(hashes(2L) == expected, "scaled duplicate must hash identically")
+
+    // JPEG re-encode survives: on a horizontal gradient the 9×8 cell
+    // averages keep their strict left-to-right brightness order under
+    // JPEG's lossy noise, so the re-encoded duplicate lands at dist 0
+    val (w, h) = (36, 32)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 255 / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val dupDs = Seq(
+      MediaRecord(10L, "image", enc("png"), meta),
+      MediaRecord(11L, "image", enc("jpg"), meta)).toDS()
+    val pairs = graft.operators.Dedup
+      .hammingBandPairs(Multimodal.imageDHash(dupDs), maxDist = 3).collect()
+    assert(pairs.length == 1, s"expected 1 recovered pair, got ${pairs.toSeq}")
+    assert(pairs.head.getLong(0) == 10L && pairs.head.getLong(1) == 11L)
+    assert(pairs.head.getInt(2) == 0, "gradient order must survive JPEG")
+  }
+
   test("wedge hub cap: cap >= max degree is exact; planted hub output is bounded") {
     // 4-cycle has max degree 2: capping at 2 samples EVERY neighbor
     // list whole, so capped results must equal the exact ones row for
