@@ -615,4 +615,52 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
         .join(verts.withColumnRenamed("vid", "vertex"), "vertex")
         .select(col("walk_id"), col("step"), col("v").as("vertex"))
     }
+
+  /** Cross-corpus fuzzy join (record linkage / train-vs-eval overlap):
+    * pairs of rows whose texts meet the `minJaccard` n-gram similarity
+    * bar. Scale form by default — both sides MinHash-banded with exact
+    * verification on same-bucket candidates only
+    * ([[graft.operators.Dedup.fuzzyJoin]]); `exact = true` runs the
+    * shared-shingle equi-join oracle form for toy-scale cross-checks.
+    * Not memoized: caller frames, no write-invalidation fence. */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftText: String,
+                right: DataFrame, rightId: String, rightText: String,
+                n: Int = 3, minJaccard: Double = 0.5,
+                exact: Boolean = false): DataFrame =
+    if (exact)
+      graft.operators.Dedup.fuzzyJoinExact(left, leftId, leftText,
+        right, rightId, rightText, n, minJaccard)
+    else
+      graft.operators.Dedup.fuzzyJoin(left, leftId, leftText,
+        right, rightId, rightText, n, minJaccard = minJaccard)
+
+  /** Watermarked stream-stream interval join on the streaming surface:
+    * rows of two event streams matched per key when their event times
+    * fall within `joinWindow`, state bounded by `lateness`
+    * ([[graft.streaming.CardStream.streamIntervalJoin]] — right-side
+    * columns come back `r_`-prefixed). */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         lateness: String = "10 minutes",
+                         joinWindow: String = "1 hour",
+                         joinType: String = "inner"): DataFrame =
+    CardStream.streamIntervalJoin(left, right, keyCol, leftTs, rightTs,
+      lateness, joinWindow, joinType)
+
+  /** Trailing event-time window features ("events / spend in the last
+    * `windowUnits` micros" per key): one keyed range-frame window, no
+    * self-join ([[graft.operators.Features.trailingWindow]] — adds
+    * `w_cnt`, `w_sum`). */
+  def trailingWindow(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, windowUnits: Long): DataFrame =
+    graft.operators.Features.trailingWindow(df, keyCol, tsCol,
+      valueCol, windowUnits)
+
+  /** Leakage-safe leave-one-out target encoding of a categorical
+    * column: each row gets the mean target of the OTHER same-category
+    * rows, singletons NULL with the global mean alongside
+    * ([[graft.operators.Features.targetEncodeLoo]]). */
+  def targetEncodeLoo(df: DataFrame, catCol: String,
+                      targetCol: String): DataFrame =
+    graft.operators.Features.targetEncodeLoo(df, catCol, targetCol)
 }

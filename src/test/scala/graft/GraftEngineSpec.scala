@@ -236,6 +236,54 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(dec == "alpha beta gamma delta")
   }
 
+  test("pipeline facade: fuzzyJoin, streamIntervalJoin, trailingWindow, targetEncodeLoo") {
+    import spark.implicits._
+    // fuzzy join: the near-copy pair meets the bar in both the banded
+    // scale form and the exact oracle form, with identical scores
+    val l = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark physical plans")).toDF("id", "text")
+    val r = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight yes"),
+      (20L, "another unrelated document mentioning duckdb oracles")).toDF("id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val banded = pairs(engine.fuzzyJoin(l, "id", "text", r, "id", "text",
+      n = 2, minJaccard = 0.5))
+    val exact = pairs(engine.fuzzyJoin(l, "id", "text", r, "id", "text",
+      n = 2, minJaccard = 0.5, exact = true))
+    assert(banded.keySet == Set((1L, 10L)) && banded == exact)
+
+    // stream-stream interval join facade, batch-equivalence form:
+    // trailing 1 h window pairs the click with both earlier views only
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val clicks = Seq((1L, "u1", ts(60))).toDF("event_id", "user_id", "ts")
+    val views = Seq((100L, "u1", ts(10)), (101L, "u1", ts(30)),
+      (102L, "u1", ts(120))).toDF("event_id", "user_id", "ts")
+    val joined = engine.streamIntervalJoin(clicks, views, "user_id", "ts", "ts")
+      .select(col("event_id"), col("r_event_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(joined == Set((1L, 100L), (1L, 101L)))
+
+    // trailing window: 10-minute frame counts only in-window history
+    val ev = Seq(("u1", ts(0), 1.0), ("u1", ts(5), 2.0), ("u1", ts(20), 4.0))
+      .toDF("user_id", "ts", "v")
+    val tw = engine.trailingWindow(ev, "user_id", "ts", "v", 10L * 60 * 1000000)
+      .collect().map(x => x.getTimestamp(1).getTime / 60000 ->
+        ((x.getLong(3), x.getDouble(4)))).toMap
+    assert(tw == Map(0L -> ((1L, 1.0)), 5L -> ((2L, 3.0)), 20L -> ((1L, 4.0))))
+
+    // leave-one-out target encoding: each row sees only the others'
+    // mean; the singleton category is NULL with the global fallback
+    val te = engine.targetEncodeLoo(
+      Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("cat", "y"),
+      "cat", "y")
+    val rows = te.orderBy(col("cat"), col("y")).collect()
+    assert(rows.map(x => Option(x.get(2))).toSeq ==
+      Seq(Some(3.0), Some(1.0), None))
+    assert(rows.forall(x => x.getDouble(3) == 3.0)) // global mean
+  }
+
   test("curation facade: c4Clean, curateByDomain, pca, node2vec") {
     import spark.implicits._
     val docs = Seq(
