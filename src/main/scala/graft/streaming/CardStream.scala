@@ -362,56 +362,55 @@ object CardStream {
     * maintenance for SUM/COUNT-shaped aggregates: fold a micro-batch's
     * per-key partials into a stored rollup table, so the serving-side
     * aggregate never rescans history (at 100 TB the raw stream is
-    * unreplayable; the rollup is the queryable state). Layout mirrors
-    * [[graft.operators.SearchIndex.mergeStored]]: `data` + `meta`
-    * staged under one parent dir, single [[swapStaged]] cutover, and
-    * the meta `last_batch` as the at-least-once replay fence (additive
-    * merges are NOT idempotent — a replayed batch would double-count;
-    * the fence makes replay a no-op). Counts must be maintained as
-    * SUM over partial counts (`count(…)` of the batch, `sum` here).
+    * unreplayable; the rollup is the queryable state).
     *
-    * @return the merged row count.
+    * Store: a [[BucketStore]] with one `rollup` table hash-bucketed by
+    * key — the same O(touched buckets) fold as [[nearDupSuppress]] /
+    * [[ivfMerge]]. A micro-batch's partials touch only the key buckets
+    * they hash into: those buckets are read, re-summed, and written
+    * under a new generation; every other bucket carries over by
+    * manifest pointer (the earlier form rewrote the WHOLE rollup —
+    * O(#distinct keys) I/O per trigger, the last full-table-rewrite
+    * store in the streaming family). The manifest `last_batch` is the
+    * at-least-once replay fence (additive merges are NOT idempotent —
+    * a replayed batch would double-count; the fence makes replay a
+    * no-op). Counts must be maintained as SUM over partial counts
+    * (`count(…)` of the batch, `sum` here).
+    *
+    * @return merged row count of the touched buckets (0 on a fenced
+    *         replay).
     */
   def mergeAdditive(spark: SparkSession, batch: DataFrame, dir: String,
                     keyCols: Seq[String], sumCols: Seq[String],
                     batchId: Long = -1L): Long = {
-    recoverSwap(spark, dir) // single-writer path
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new Path(s"$dir/meta"))
-    if (exists && batchId >= 0) {
-      val last = spark.read.parquet(s"$dir/meta").head().getLong(0)
-      if (last == batchId)
-        return spark.read.parquet(s"$dir/data").count() // replayed batch
-    }
+    import BucketStore.StoreBuckets
+    if (batchId >= 0 && BucketStore.lastBatch(spark, dir) == batchId)
+      return 0L // replayed micro-batch: no-op
     val partial = batch.groupBy(keyCols.map(col): _*)
       .agg(sumCols.map(c => sum(col(c)).as(c)).head,
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
-    val merged =
-      if (exists)
-        spark.read.parquet(s"$dir/data").unionByName(partial)
-          .groupBy(keyCols.map(col): _*)
-          .agg(sumCols.map(c => sum(col(c)).as(c)).head,
-            sumCols.map(c => sum(col(c)).as(c)).tail: _*)
-      else partial
-    val stage = s"${dir}__stage"
-    if (fs.exists(new Path(stage)) && !fs.delete(new Path(stage), true))
-      throw new java.io.IOException(s"mergeAdditive: cannot clear stale $stage")
-    val out = merged.localCheckpoint(true) // one computation, two consumers
-    out.write.mode("overwrite").parquet(s"$stage/data")
-    spark.range(1).select(lit(batchId).as("last_batch"))
-      .write.mode("overwrite").parquet(s"$stage/meta")
-    swapStaged(spark, dir)
-    out.count()
+      .withColumn("bucket",
+        pmod(xxhash64(keyCols.map(col): _*), lit(StoreBuckets.toLong)))
+      .localCheckpoint(true) // reused: bucket-id set + merge input
+    val touched = partial.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ StoreBuckets longs
+    val merged = BucketStore.read(spark, dir, "rollup", Some(touched), partial)
+      .unionByName(partial)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+      .localCheckpoint(true) // one computation: commit write + count
+    BucketStore.commit(spark, dir,
+      Seq(("rollup", merged, "bucket", touched)), batchId)
+    merged.count()
   }
 
-  /** Non-mutating reader for a [[mergeAdditive]] rollup (crash-safe
-    * `__old` fallback like [[tableOrEmpty]]). */
-  def readRollup(spark: SparkSession, dir: String): DataFrame = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val d = if (!fs.exists(new Path(dir)) && fs.exists(new Path(dir + "__old")))
-      dir + "__old" else dir
-    spark.read.parquet(s"$d/data")
-  }
+  /** Non-mutating reader for a [[mergeAdditive]] rollup (manifest
+    * resolution with the crash-safe `__old` fallback inside
+    * [[BucketStore.read]]). */
+  def readRollup(spark: SparkSession, dir: String): DataFrame =
+    BucketStore.read(spark, dir, "rollup", None, spark.emptyDataFrame)
+      .drop("bucket")
 
   /** One micro-batch of streaming NEAR-dup suppression — the streaming
     * face of [[graft.operators.Dedup.minhashLshPairs]] (X3), applied

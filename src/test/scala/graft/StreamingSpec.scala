@@ -503,11 +503,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     CardStream.mergeAdditive(spark, b2, dir, Seq("key"), Seq("v", "n"), 1L)
     CardStream.mergeAdditive(spark, b3, dir, Seq("key"), Seq("v", "n"), 2L)
     val got = CardStream.readRollup(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("v"), r.getAs[Long]("n")))).toMap
     val want = all.groupBy("key")
       .agg(sum("v").as("v"), sum("n").as("n")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want)
+  }
+
+  test("rollup fold touches ONLY the batch's key buckets; others byte-identical") {
+    val dir = tmp("rollup_bucket") + "/counts"
+    // 200 distinct keys spread across (virtually) all 64 store buckets
+    val b1 = (1 to 200).map(i => (s"k$i", i.toLong, 1L)).toDF("key", "v", "n")
+    CardStream.mergeAdditive(spark, b1, dir, Seq("key"), Seq("v", "n"), 0L)
+    val before = bucketFiles(dir)
+    assert(before.nonEmpty)
+    // one-key batch: only that key's bucket may be rewritten
+    val b2 = Seq(("k1", 5L, 1L)).toDF("key", "v", "n")
+    CardStream.mergeAdditive(spark, b2, dir, Seq("key"), Seq("v", "n"), 1L)
+    val after = bucketFiles(dir)
+    val shared = before.keySet.intersect(after.keySet)
+    assert(shared.nonEmpty, "untouched buckets must keep their files")
+    shared.foreach { p => assert(before(p) == after(p), s"$p rewritten") }
+    val newPaths = after.keySet -- before.keySet
+    assert(newPaths.nonEmpty && newPaths.size < before.size,
+      s"expected a small delta, got ${newPaths.size} new of ${after.size}")
+    // and the touched key really merged
+    val k1 = CardStream.readRollup(spark, dir)
+      .filter(col("key") === "k1").collect().head
+    assert(k1.getAs[Long]("v") == 6L && k1.getAs[Long]("n") == 2L)
   }
 
   test("startRollup: streamed micro-batches materialize the full aggregate") {
@@ -524,7 +548,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.processAllAvailable()
     q.stop()
     val got = CardStream.readRollup(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("v"), r.getAs[Long]("n")))).toMap
     assert(got == Map("a" -> (7L, 3L), "b" -> (10L, 1L), "c" -> (7L, 1L)))
   }
 
