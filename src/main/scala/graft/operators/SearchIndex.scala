@@ -169,7 +169,15 @@ object SearchIndex {
   }
 
   /** Query the index: probe postings for the query terms, join the
-    * broadcast idf table, weighted-sum per doc. */
+    * broadcast idf table, weighted-sum per doc. The score is ROUNDED
+    * to 4 decimals BEFORE ranking (the [[graft.operators
+    * .GraphAnalytics.adamicAdar]] convention): the raw float sum's
+    * partition order is nondeterministic, so two docs whose scores
+    * agree at 4 decimals could otherwise swap places at a `limit`
+    * boundary run-to-run (observed: a rounded-score tie at the
+    * qG5 limit-20 edge flipped with the thread count); rounding first
+    * makes the (score desc, doc asc) order a fixed total order every
+    * engine reproduces. */
   def query(postings: DataFrame, stats: DataFrame, n: Long,
             boosts: Seq[(String, Double)], queryText: String,
             limit: Int): DataFrame = {
@@ -187,7 +195,7 @@ object SearchIndex {
         col("field").isin(boostMap.keys.toSeq: _*))
       .join(broadcast(idf), Seq("field", "term"))
       .groupBy(col("doc"))
-      .agg(sum(col("tf") * col("idf") * boostCol).as("_score"))
+      .agg(round(sum(col("tf") * col("idf") * boostCol), 4).as("_score"))
       .orderBy(desc("_score"), asc("doc"))
       .limit(limit)
   }
@@ -251,7 +259,9 @@ object SearchIndex {
     postings.filter(col("field") === field)
       .join(broadcast(expanded), Seq("field", "term"))
       .groupBy(col("doc"))
-      .agg(sum(col("tf") * col("idf") * col("boost")).as("_score"))
+      // rounded before ranking — same limit-boundary determinism
+      // rationale as [[query]]
+      .agg(round(sum(col("tf") * col("idf") * col("boost")), 4).as("_score"))
       .orderBy(desc("_score"), asc("doc"))
       .limit(limit)
   }
