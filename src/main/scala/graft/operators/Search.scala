@@ -244,9 +244,16 @@ object Search {
               .as("_score"))
     }
 
+    // rank on the score ROUNDED to the engine's 4-decimal precision
+    // (raw `_score` stays in the output — callers own its precision):
+    // the raw float sum's partition order varies with the thread
+    // count, so a rounded-score tie at the limit boundary would
+    // otherwise flip which doc survives run-to-run (the
+    // qG5/SearchIndex.query lesson — same fixed total order the
+    // oracles replay)
     filtered.join(combined, filtered(idCol) === combined("_doc"))
       .drop("_doc")
-      .orderBy(desc("_score"), asc(idCol))
+      .orderBy(round(col("_score"), 4).desc, col(idCol).asc)
       .limit(limit)
   }
 }

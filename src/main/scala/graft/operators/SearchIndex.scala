@@ -169,9 +169,10 @@ object SearchIndex {
   }
 
   /** Query the index: probe postings for the query terms, join the
-    * broadcast idf table, weighted-sum per doc. The score is ROUNDED
-    * to 4 decimals BEFORE ranking (the [[graft.operators
-    * .GraphAnalytics.adamicAdar]] convention): the raw float sum's
+    * broadcast idf table, weighted-sum per doc. The RANK KEY is the
+    * score rounded to 4 decimals (the [[graft.operators
+    * .GraphAnalytics.adamicAdar]] convention; the raw `_score` stays
+    * in the output — callers own its precision): the raw float sum's
     * partition order is nondeterministic, so two docs whose scores
     * agree at 4 decimals could otherwise swap places at a `limit`
     * boundary run-to-run (observed: a rounded-score tie at the
@@ -195,8 +196,8 @@ object SearchIndex {
         col("field").isin(boostMap.keys.toSeq: _*))
       .join(broadcast(idf), Seq("field", "term"))
       .groupBy(col("doc"))
-      .agg(round(sum(col("tf") * col("idf") * boostCol), 4).as("_score"))
-      .orderBy(desc("_score"), asc("doc"))
+      .agg(sum(col("tf") * col("idf") * boostCol).as("_score"))
+      .orderBy(round(col("_score"), 4).desc, col("doc").asc)
       .limit(limit)
   }
 
@@ -259,10 +260,10 @@ object SearchIndex {
     postings.filter(col("field") === field)
       .join(broadcast(expanded), Seq("field", "term"))
       .groupBy(col("doc"))
-      // rounded before ranking — same limit-boundary determinism
-      // rationale as [[query]]
-      .agg(round(sum(col("tf") * col("idf") * col("boost")), 4).as("_score"))
-      .orderBy(desc("_score"), asc("doc"))
+      .agg(sum(col("tf") * col("idf") * col("boost")).as("_score"))
+      // ranked on the rounded score — same limit-boundary determinism
+      // rationale as [[query]]; raw _score stays in the output
+      .orderBy(round(col("_score"), 4).desc, col("doc").asc)
       .limit(limit)
   }
 

@@ -345,6 +345,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       !pSj.contains("BroadcastNestedLoop"), pSj.take(3000))
   }
 
+  test("image dedup + hub cap: banded equi-joins, no cartesian, heap cap") {
+    import org.apache.spark.sql.functions.col
+    // dHash banding must stay a chunk-keyed equi self-join
+    val hashed = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.functions.expr.TextExprs.simhash64(col("text")).as("sh"))
+    val pBand = graft.operators.Dedup.hammingBandPairs(hashed, 3)
+      .queryExecution.executedPlan.toString()
+    assert(!pBand.contains("CartesianProduct") &&
+      !pBand.contains("BroadcastNestedLoop"), pBand.take(3000))
+    // the hub-capped wedge family: neighbor cap plans as the bounded-
+    // heap grouped top-k (ObjectHashAggregate of the topk buffer, the
+    // TopK.grouped signature), never a per-key window sort; wedge join
+    // stays keyed
+    val ev = Tables.load(spark, dir, "events")
+    val edges = graft.queries.GraphQueries.derivedEdges(ev)
+    val pCap = graft.operators.GraphAnalytics
+      .linkPredictScores(edges, maxDegree = 8)
+      .queryExecution.executedPlan.toString()
+    assert(!pCap.contains("CartesianProduct") &&
+      !pCap.contains("BroadcastNestedLoop"), pCap.take(3000))
+    assert(!pCap.contains("RunningWindowFunction") &&
+      !pCap.contains("Window"), "cap must be the bounded heap, not a window sort")
+  }
+
   test("trailing window features: one exchange, range frame, no self-join") {
     val ev = Tables.load(spark, dir, "events")
       .select(org.apache.spark.sql.functions.col("event_id"),
