@@ -532,6 +532,104 @@ object CardStream {
     BucketStore.read(spark, dir, "data", None, fallback).drop("bucket")
   }
 
+  /** One micro-batch of streaming IMAGE near-dup suppression — the
+    * streaming face of the dHash pipeline
+    * ([[graft.operators.Multimodal.imageDHash]] →
+    * [[graft.operators.Dedup.hammingBandPairs]], X103), first-arrival-
+    * wins like [[nearDupSuppress]]: a new image is dropped when its
+    * 64-bit dHash lands within `maxDist` Hamming of a smaller-id image
+    * in its own batch or ANY already-accepted image.
+    *
+    * `batch` carries (idCol, hashCol) — compose `imageDHash` upstream
+    * (decode stays a narrow per-partition map in the stream). Store: a
+    * [[BucketStore]] with `data` (id, hash) bucketed by id and
+    * `chunks` postings (chunk, key, id, hash) bucketed by the
+    * (chunk, key) hash. The probe reads ONLY the posting buckets the
+    * batch's own 8 chunk keys hash into, and verification needs no
+    * second table — the postings carry the full 64-bit hash, so the
+    * Hamming check runs on the candidate rows directly (simpler than
+    * the MinHash store, which must re-read shingle sets). O(touched
+    * buckets) I/O per trigger; manifest `last_batch` is the replay
+    * fence (acceptance is not idempotent).
+    *
+    * @return surviving rows of this batch (0 on a fenced replay).
+    */
+  def imageDupSuppress(spark: SparkSession, batch: DataFrame, dir: String,
+                       idCol: String = "id", hashCol: String = "dhash",
+                       maxDist: Int = 3, batchId: Long = -1L): Long = {
+    import graft.operators.Dedup
+    import BucketStore.StoreBuckets
+    if (batchId >= 0 && BucketStore.lastBatch(spark, dir) == batchId)
+      return 0L // replayed micro-batch: no-op
+    val hashed = batch.select(col(idCol).as("id"), col(hashCol).as("sh"))
+    // in-batch pass: first arrival (smallest id) wins
+    val inBatchDropped = Dedup.hammingBandPairs(hashed, maxDist)
+      .select(col("id2").as("_drop")).distinct()
+    val afterSelf = hashed.join(inBatchDropped,
+        col("id") === col("_drop"), "left_anti")
+      .localCheckpoint(true) // reused: probe, survivors, store append
+    // chunk postings of the surviving batch rows (8 rows per image)
+    def chunkPosts(df: DataFrame): DataFrame = df
+      .select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(7)),
+          c => struct(c.as("chunk"),
+            call_function("shiftrightunsigned", col("sh"), c * 8)
+              .bitwiseAND(lit(255L)).as("key")))).as("ck"))
+      .select(col("id"), col("sh"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("chunk"), col("key")), lit(StoreBuckets.toLong)))
+    val posts = chunkPosts(afterSelf).localCheckpoint(true)
+    val postBuckets = posts.select("bucket").distinct()
+      .collect().map(_.getLong(0)) // ≤ StoreBuckets longs
+    val storedPosts = BucketStore.read(spark, dir, "chunks",
+        Some(postBuckets.toSeq), posts)
+      .select(col("chunk"), col("key"), col("sh").as("_osh"))
+    val histDropped = posts.join(storedPosts, Seq("chunk", "key"))
+      .filter(bit_count(col("sh").bitwiseXOR(col("_osh"))) <= maxDist)
+      .select(col("id").as("_drop")).distinct()
+    val survivors = afterSelf.join(histDropped,
+        col("id") === col("_drop"), "left_anti")
+      .localCheckpoint(true)
+    val newData = survivors.withColumn("bucket",
+      pmod(xxhash64(col("id")), lit(StoreBuckets.toLong)))
+    val idBuckets = newData.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val mergedData = BucketStore.read(spark, dir, "data",
+      Some(idBuckets), newData).unionByName(newData)
+    val newPosts = chunkPosts(survivors)
+    val survPostBuckets = newPosts.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val mergedPosts = BucketStore.read(spark, dir, "chunks",
+      Some(survPostBuckets), newPosts).unionByName(newPosts)
+    BucketStore.commit(spark, dir, Seq(
+      ("data", mergedData, "bucket", idBuckets),
+      ("chunks", mergedPosts, "bucket", survPostBuckets)), batchId)
+    survivors.count()
+  }
+
+  /** The accepted images of an [[imageDupSuppress]] store. */
+  def imageDupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val fallback = spark.range(0).select(lit(0L).as("id"),
+      lit(0L).as("sh"), lit(0L).as("bucket"))
+    BucketStore.read(spark, dir, "data", None, fallback).drop("bucket")
+  }
+
+  /** [[imageDupSuppress]] as a streaming sink. */
+  def startImageDupSuppress(hashed: DataFrame, dir: String,
+                            checkpoint: String, idCol: String = "id",
+                            hashCol: String = "dhash",
+                            maxDist: Int = 3): StreamingQuery =
+    hashed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        imageDupSuppress(batch.sparkSession, batch, dir, idCol, hashCol,
+          maxDist, batchId)
+        ()
+      }
+      .start()
+
   /** [[nearDupSuppress]] as a streaming sink. */
   def startNearDupSuppress(docs: DataFrame, dir: String, checkpoint: String,
                            textCol: String = "text", idCol: String = "doc_id",

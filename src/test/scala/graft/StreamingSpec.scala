@@ -371,6 +371,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(CardStream.nearDupSurvivors(spark, dir).count() == 41)
   }
 
+  test("streaming image dedup: re-encoded/rescaled dups dropped, replay fenced, buckets incremental") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+    import graft.functions.expr.PortableHash
+    val dir = tmp("img_dedup") + "/img"
+    def rec(id: Long, src: Long, scale: Int) = MediaRecord(id, "image",
+      Multimodal.renderBitPatternPng(PortableHash.md5_32(src.toString), scale),
+      MediaMeta("png", 9 * scale, 8 * scale, 1, 0L))
+    // batch 1: 30 distinct pattern images, all accepted
+    val b1 = Multimodal.imageDHash((1L to 30L).map(i => rec(i, i, 1)).toDS())
+    assert(CardStream.imageDupSuppress(spark, b1, dir, batchId = 0L) == 30L)
+    val before = bucketFiles(dir)
+    assert(before.nonEmpty)
+    // batch 2: a 2×-rescaled duplicate of image 7 (identical dHash by
+    // the area-resample contract) must be dropped; a fresh image and
+    // an in-batch duplicate pair keep only the smaller id
+    val b2 = Multimodal.imageDHash(Seq(
+      rec(100L, 7L, 2),   // history dup — dropped
+      rec(101L, 201L, 1), // fresh — accepted
+      rec(102L, 202L, 1), // fresh — accepted
+      rec(103L, 202L, 2)  // in-batch dup of 102 — dropped
+    ).toDS())
+    assert(CardStream.imageDupSuppress(spark, b2, dir, batchId = 1L) == 2L)
+    // at-least-once redelivery: the fence no-ops the replayed batch
+    assert(CardStream.imageDupSuppress(spark, b2, dir, batchId = 1L) == 0L)
+    // untouched buckets carried over byte-identical; small delta
+    val after = bucketFiles(dir)
+    val shared = before.keySet.intersect(after.keySet)
+    assert(shared.nonEmpty, "untouched buckets must keep their files")
+    shared.foreach { p => assert(before(p) == after(p), s"$p rewritten") }
+    val survivors = CardStream.imageDupSurvivors(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (1L to 30L).toSet ++ Set(101L, 102L))
+  }
+
   test("streaming IVF merge: cell-partitioned store equals batch assignment; replay is LWW no-op") {
     import graft.operators.Similarity
     val dir = tmp("ivf_store") + "/ivf"
