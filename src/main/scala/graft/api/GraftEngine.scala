@@ -663,4 +663,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def targetEncodeLoo(df: DataFrame, catCol: String,
                       targetCol: String): DataFrame =
     graft.operators.Features.targetEncodeLoo(df, catCol, targetCol)
+
+  /** Perceptual image near-dup pairs over caller media (the card-image
+    * dedup the reference's upload path implies — re-uploaded/resized
+    * business-card photos): real-codec dHash thumbnails banded through
+    * the shared Hamming pigeonhole join. @return (id1, id2, dist). */
+  def imageDedup(media: org.apache.spark.sql.Dataset[
+                   graft.operators.Multimodal.MediaRecord],
+                 maxDist: Int = 3): DataFrame =
+    graft.operators.Dedup.hammingBandPairs(
+      graft.operators.Multimodal.imageDHash(media), maxDist)
 }
