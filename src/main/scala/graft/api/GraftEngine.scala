@@ -666,11 +666,21 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
 
   /** Perceptual image near-dup pairs over caller media (the card-image
     * dedup the reference's upload path implies — re-uploaded/resized
-    * business-card photos): real-codec dHash thumbnails banded through
-    * the shared Hamming pigeonhole join. @return (id1, id2, dist). */
+    * business-card photos): real-codec perceptual-hash thumbnails
+    * banded through the shared Hamming pigeonhole join. `algo` picks
+    * the signature: "dhash" (neighbor brightness order — survives
+    * re-encoding/resizing) or "phash" (DCT low-frequency structure —
+    * additionally survives blur and brightness/contrast moves).
+    * @return (id1, id2, dist). */
   def imageDedup(media: org.apache.spark.sql.Dataset[
                    graft.operators.Multimodal.MediaRecord],
-                 maxDist: Int = 3): DataFrame =
-    graft.operators.Dedup.hammingBandPairs(
-      graft.operators.Multimodal.imageDHash(media), maxDist)
+                 maxDist: Int = 3, algo: String = "dhash"): DataFrame = {
+    val hashed = algo match {
+      case "dhash" => graft.operators.Multimodal.imageDHash(media)
+      case "phash" => graft.operators.Multimodal.imagePHash(media)
+      case other => throw new IllegalArgumentException(
+        s"unknown image hash algo: $other (dhash | phash)")
+    }
+    graft.operators.Dedup.hammingBandPairs(hashed, maxDist)
+  }
 }

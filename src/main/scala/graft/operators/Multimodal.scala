@@ -493,6 +493,73 @@ object Multimodal {
     }.toDF("id", "dhash")
   }
 
+  /** 64-bit perceptual hash (pHash) of a row-major 32×32 pixel plane:
+    * 2-D DCT-II, take the 8×8 lowest-frequency block, bit (8v + u) = 1
+    * iff coefficient (u, v) > the median of the 64 block coefficients
+    * (median over the block INCLUDING DC — with exactly 64 values the
+    * median is the mean of ranks 32/33, and thresholding strictly
+    * above it always yields 32 set bits, a balanced signature). Where
+    * dHash keys on local brightness ORDER (robust to re-encoding,
+    * broken by smoothing), pHash keys on the global low-frequency
+    * structure — it survives blur, sharpening, and gamma shifts that
+    * perturb neighbor order. Same banding ([[graft.operators.Dedup
+    * .hammingBandPairs]]), same 100 TB shape: one narrow decode pass,
+    * (id, hash) shuffles.
+    */
+  def pHash64(pixels: Array[Float], n: Int = 32): Long = {
+    require(pixels.length == n * n, s"pHash expects ${n}x$n, got ${pixels.length}")
+    // separable DCT-II: rows then columns, only the first 8 output
+    // frequencies of each pass are ever used — O(n²·8), not O(n³)
+    val cosTab = Array.tabulate(8, n)((k, i) =>
+      math.cos((2 * i + 1) * k * math.Pi / (2.0 * n)))
+    val rows = Array.ofDim[Double](n, 8) // rows(y)(u) = DCT over x
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < n) { s += pixels(y * n + x) * cosTab(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val block = new Array[Double](64) // block(8v + u) = DCT over y of rows
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < n) { s += rows(yy)(u) * cosTab(v)(yy); yy += 1 }
+        block(8 * v + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = block.clone(); java.util.Arrays.sort(sorted)
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var hash = 0L; var b = 0
+    while (b < 64) { if (block(b) > median) hash |= (1L << b); b += 1 }
+    hash
+  }
+
+  /** Per-image 64-bit pHash over the real codec seam (decode →
+    * area-resize 32×32 → DCT hash) — the blur/gamma-robust companion
+    * of [[imageDHash]]; feed [[graft.operators.Dedup
+    * .hammingBandPairs]]. @return DataFrame (id, phash). */
+  def imagePHash(media: Dataset[MediaRecord],
+                 codec: MediaCodec = ImageIoCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val c = codec
+      it.map { m =>
+        val meta = c.decodedMeta(m.content, m.meta)
+        val (thumb, _) = c.resize(c.decode(m.content, m.meta), meta, 32, 32)
+        (m.id, pHash64(thumb))
+      }
+    }.toDF("id", "phash")
+  }
+
   /** Deterministic synthetic test image: a 9·scale × 8·scale grayscale
     * PNG whose 9×8 dHash is an EXACT function of `pattern` — for grid
     * cell (x, y), the cell at odd x = 2j+1 is white iff bit (4y + j)
@@ -500,10 +567,12 @@ object Multimodal {
     * (8y + 2j) = pattern bit (4y + j) and all other bits are 0. Lets
     * gates/specs plant images whose hashes an external oracle computes
     * from `pattern` alone — no image decoding on the oracle side. */
-  def renderBitPatternPng(pattern: Long, scale: Int): Array[Byte] = {
+  def renderBitPatternPng(pattern: Long, scale: Int,
+                          level: Int = 255): Array[Byte] = {
     val (w, h) = (9 * scale, 8 * scale)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (level << 16) | (level << 8) | level
     var y = 0
     while (y < h) {
       var x = 0
@@ -511,7 +580,7 @@ object Multimodal {
         val (cx, cy) = (x / scale, y / scale)
         val white = cx % 2 == 1 && cx < 8 &&
           ((pattern >>> (4 * cy + (cx - 1) / 2)) & 1L) == 1L
-        img.setRGB(x, y, if (white) 0xFFFFFF else 0x000000)
+        img.setRGB(x, y, if (white) rgb else 0x000000)
         x += 1
       }
       y += 1

@@ -244,6 +244,37 @@ object SimilarityQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // pHash (DCT) recall contract: pHash thresholds the 8×8 low-
+    // frequency DCT block against its median, so a LINEAR brightness
+    // change scales every coefficient and the median together — the
+    // hash is exactly invariant. Plant half-brightness duplicates
+    // (levels 254 → 127: power-of-two luma scaling is exact in IEEE,
+    // so invariance is structural, not approximate) and assert the
+    // banded join recovers every planted pair at dist 0. The robust
+    // companion of qX_image_dedup's dHash (which keys on neighbor
+    // ORDER and is what a re-encode preserves; pHash additionally
+    // survives global brightness/contrast moves).
+    "qX_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Dedup, Multimodal}
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val ids = Tables.load(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+      val media = ids.flatMap { id =>
+        val pat = graft.functions.expr.PortableHash.md5_32(id.toString)
+        Seq(
+          MediaRecord(id, "image",
+            Multimodal.renderBitPatternPng(pat, 1, 254), MediaMeta("png", 9, 8, 1, 0L)),
+          MediaRecord(id + 100000, "image",
+            Multimodal.renderBitPatternPng(pat, 1, 127), MediaMeta("png", 9, 8, 1, 0L)))
+      }
+      val pairs = Dedup.hammingBandPairs(Multimodal.imagePHash(media), maxDist = 0)
+      ids.toDF().agg(count(lit(1)).as("n_planted"))
+        .crossJoin(pairs
+          .filter(col("id1") < 100000 && col("id2") === col("id1") + 100000)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // k-means planted-cluster recovery contract (the LSH-recall
     // pattern applied to clustering): 8 groups of 25 IDENTICAL copies
     // of well-separated seed vectors (cross-group cosine ~0.4, within
@@ -819,6 +850,10 @@ object SimilarityQueries {
         |    ON a.c = b.c AND a.key = b.key AND a.id < b.id)
         |SELECT id1, id2, dist FROM pairs WHERE dist <= 3
         |ORDER BY id1 ASC, id2 ASC""".stripMargin,
+
+    "qX_image_phash" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM documents WHERE doc_id < 150""".stripMargin,
 
     // Full replay of the stub-codec multimodal ANN: feature i of a
     // payload is md5_32(payload || ':' || i) mod 2^10 over 2^10 − 0.5

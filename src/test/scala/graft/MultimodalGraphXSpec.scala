@@ -645,6 +645,28 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.head.getInt(2) == 0, "gradient order must survive JPEG")
   }
 
+  test("image pHash: exact linear-brightness invariance, distinctness, balanced bits") {
+    val meta = MediaMeta("png", 9, 8, 1, 0L)
+    val (patA, patB) = (0x0F0F33CCL, 0xA5A5C3C3L)
+    val ds = Seq(
+      MediaRecord(1L, "image", Multimodal.renderBitPatternPng(patA, 1, 254), meta),
+      MediaRecord(2L, "image", Multimodal.renderBitPatternPng(patA, 1, 127), meta),
+      MediaRecord(3L, "image", Multimodal.renderBitPatternPng(patB, 1, 254), meta)).toDS()
+    val h = Multimodal.imagePHash(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // halving every level scales all DCT coefficients AND the median
+    // by exactly 0.5 (power-of-two IEEE scaling) — identical hash
+    assert(h(1L) == h(2L), "linear brightness change must not move pHash")
+    assert(h(1L) != h(3L), "different patterns must hash apart")
+    // median thresholding keeps the signature balanced: ~32 set bits
+    val bits = java.lang.Long.bitCount(h(1L))
+    assert(bits >= 24 && bits <= 32, s"unbalanced pHash: $bits set bits")
+    // and the banded join recovers the dimmed duplicate at dist 0
+    val pairs = graft.operators.Dedup
+      .hammingBandPairs(Multimodal.imagePHash(ds), maxDist = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("wedge hub cap: cap >= max degree is exact; planted hub output is bounded") {
     // 4-cycle has max degree 2: capping at 2 samples EVERY neighbor
     // list whole, so capped results must equal the exact ones row for
