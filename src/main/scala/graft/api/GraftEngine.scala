@@ -683,4 +683,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     }
     graft.operators.Dedup.hammingBandPairs(hashed, maxDist)
   }
+
+  /** Audio near-dup pairs over caller media: energy-envelope
+    * fingerprints (real PCM decode) banded through the same Hamming
+    * join — catches re-encoded/gain-shifted duplicate clips.
+    * @return (id1, id2, dist). */
+  def audioDedup(media: org.apache.spark.sql.Dataset[
+                   graft.operators.Multimodal.MediaRecord],
+                 maxDist: Int = 3): DataFrame =
+    graft.operators.Dedup.hammingBandPairs(
+      graft.operators.Multimodal.audioDHash(media), maxDist)
 }

@@ -560,6 +560,83 @@ object Multimodal {
     }.toDF("id", "phash")
   }
 
+  /** 64-bit audio fingerprint — the waveform's "dHash": split the
+    * decoded mono samples into 65 equal windows, mean-square energy
+    * per window, bit i = 1 iff e(i+1) > e(i). Keys on the ENERGY
+    * ENVELOPE ORDER, which survives the transforms that duplicate
+    * audio in a scraped corpus: re-encoding between PCM containers
+    * (identical samples), gain changes (energy scales uniformly —
+    * exactly for power-of-two gains, order-exactly for any), and mild
+    * resampling (window averages move together). Same scale shape as
+    * [[imageDHash]]: one narrow decode pass, (id, hash) shuffles,
+    * [[graft.operators.Dedup.hammingBandPairs]] banding.
+    */
+  def audioHash64(samples: Array[Float], windows: Int = 65): Long = {
+    val n = samples.length
+    if (n < windows) return 0L // too short for an envelope — degenerate
+    val e = new Array[Double](windows)
+    var w = 0
+    while (w < windows) {
+      val s0 = w * n / windows; val s1 = (w + 1) * n / windows
+      var s = 0.0; var i = s0
+      while (i < s1) { val x = samples(i).toDouble; s += x * x; i += 1 }
+      e(w) = s / (s1 - s0)
+      w += 1
+    }
+    var hash = 0L; var b = 0
+    while (b < windows - 1) {
+      if (e(b + 1) > e(b)) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** Per-clip 64-bit audio fingerprint over the real codec seam
+    * (decode → windowed energy hash). @return DataFrame (id, ahash). */
+  def audioDHash(media: Dataset[MediaRecord],
+                 codec: MediaCodec = WavCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val c = codec
+      it.map(m => (m.id, audioHash64(c.decode(m.content, m.meta))))
+    }.toDF("id", "ahash")
+  }
+
+  /** Deterministic synthetic test WAV: 65 windows of 64 samples of an
+    * alternating-sign square wave whose per-window amplitude encodes
+    * `pattern` — window 2j+1 is loud (PCM 16384 >> shift) iff bit j of
+    * `pattern` is set, every other window quiet (4096 >> shift), so
+    * [[audioHash64]] bit (2j) = pattern bit j and all odd bits are 0.
+    * Amplitudes are powers of two: `shift` renders an exactly
+    * gain-scaled duplicate (the PCM ints halve exactly), and the
+    * fingerprint is an EXACT function of `pattern` an external oracle
+    * recomputes without decoding audio. */
+  def renderPatternWav(pattern: Long, shift: Int = 0): Array[Byte] = {
+    val (windows, per) = (65, 64)
+    val pcm = new Array[Byte](windows * per * 2)
+    var w = 0
+    while (w < windows) {
+      val amp = (if (w % 2 == 1 && ((pattern >>> ((w - 1) / 2)) & 1L) == 1L)
+        16384 else 4096) >> shift
+      var s = 0
+      while (s < per) {
+        val v = if (s % 2 == 0) amp else -amp
+        val i = (w * per + s) * 2
+        pcm(i) = (v & 0xFF).toByte
+        pcm(i + 1) = ((v >> 8) & 0xFF).toByte
+        s += 1
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, windows.toLong * per)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic test image: a 9·scale × 8·scale grayscale
     * PNG whose 9×8 dHash is an EXACT function of `pattern` — for grid
     * cell (x, y), the cell at odd x = 2j+1 is white iff bit (4y + j)

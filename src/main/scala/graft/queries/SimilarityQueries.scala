@@ -244,6 +244,33 @@ object SimilarityQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Audio near-dup over the REAL codec seam (the third face of the
+    // perceptual family — text SimHash, image dHash/pHash, audio
+    // energy-envelope hash, all on one banding core): deterministic
+    // pattern WAVs (fingerprint = exact md5 function of doc_id) +
+    // planted half-gain duplicates (+100000; power-of-two PCM scaling
+    // keeps the envelope order exactly) → WavCodec decode →
+    // audioHash64 → banded Hamming join — and the oracle replays
+    // hashes, banding, and distances from doc_id arithmetic alone,
+    // no audio decoding.
+    "qX_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Dedup, Multimodal}
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val ids = Tables.load(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+      val media = ids.flatMap { id =>
+        val pat = graft.functions.expr.PortableHash.md5_32(id.toString)
+        Seq(
+          MediaRecord(id, "audio",
+            Multimodal.renderPatternWav(pat, 0), MediaMeta("wav", 0, 0, 1, 0L)),
+          MediaRecord(id + 100000, "audio",
+            Multimodal.renderPatternWav(pat, 1), MediaMeta("wav", 0, 0, 1, 0L)))
+      }
+      Dedup.hammingBandPairs(Multimodal.audioDHash(media), maxDist = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // pHash (DCT) recall contract: pHash thresholds the 8×8 low-
     // frequency DCT block against its median, so a LINEAR brightness
     // change scales every coefficient and the median together — the
@@ -854,6 +881,44 @@ object SimilarityQueries {
     "qX_image_phash" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 150""".stripMargin,
+
+    // Replays qX_audio_dedup from doc_id arithmetic: fingerprint bit
+    // (2j) = bit j of md5_32(source id) by the pattern-WAV
+    // construction (renderPatternWav), the half-gain duplicate hashes
+    // identically, then the same 8-bit chunk join and per-half
+    // popcount distance as the image/simhash oracles. Even positions:
+    // j <= 15 land in the low 32-bit word at bit 2j, j >= 16 in the
+    // high word at bit 2j-32.
+    "qX_audio_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+        |recs AS (
+        |  SELECT doc_id AS id, doc_id AS src FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, doc_id AS src FROM ids),
+        |pat AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 8)) AS BIGINT) AS p
+        |  FROM recs),
+        |halves AS (
+        |  SELECT id,
+        |    sum(CASE WHEN j.j >= 16 AND ((p >> j.j) & 1) = 1
+        |        THEN (CAST(1 AS BIGINT) << (2 * (j.j - 16))) ELSE 0 END) AS hi,
+        |    sum(CASE WHEN j.j < 16 AND ((p >> j.j) & 1) = 1
+        |        THEN (CAST(1 AS BIGINT) << (2 * j.j)) ELSE 0 END) AS lo
+        |  FROM pat CROSS JOIN (SELECT unnest(range(32)) AS j) j
+        |  GROUP BY id),
+        |chunks AS (
+        |  SELECT id, hi, lo, c.c AS c,
+        |    CASE WHEN c.c < 4 THEN (lo >> (8 * c.c)) & 255
+        |         ELSE (hi >> (8 * c.c - 32)) & 255 END AS key
+        |  FROM halves CROSS JOIN (SELECT unnest(range(8)) AS c) c),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.key = b.key AND a.id < b.id)
+        |SELECT id1, id2, dist FROM pairs WHERE dist <= 3
+        |ORDER BY id1 ASC, id2 ASC""".stripMargin,
 
     // Full replay of the stub-codec multimodal ANN: feature i of a
     // payload is md5_32(payload || ':' || i) mod 2^10 over 2^10 − 0.5

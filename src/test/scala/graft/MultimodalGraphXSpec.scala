@@ -667,6 +667,38 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("audio fingerprint: exact pattern bits, gain invariance, re-encode recovery") {
+    val meta = MediaMeta("wav", 0, 0, 1, 0L)
+    val pat = 0xC0FFEE42L
+    val ds = Seq(
+      MediaRecord(1L, "audio", Multimodal.renderPatternWav(pat, 0), meta),
+      MediaRecord(2L, "audio", Multimodal.renderPatternWav(pat, 1), meta)).toDS()
+    val h = Multimodal.audioDHash(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fingerprint bit (2j) = pattern bit j by construction, odd bits 0
+    val expected = (0 until 32).filter(j => ((pat >>> j) & 1L) == 1L)
+      .map(j => 1L << (2 * j)).foldLeft(0L)(_ | _)
+    assert(h(1L) == expected)
+    // half gain (power-of-two PCM scaling) keeps the envelope order
+    // EXACTLY — identical fingerprint
+    assert(h(2L) == expected, "gain-scaled duplicate must hash identically")
+    // re-encode WAV → AIFF: same PCM samples behind a different
+    // container/endianness — identical decode, identical fingerprint,
+    // recovered by the banded join at dist 0
+    val wavBytes = Multimodal.renderPatternWav(pat, 0)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wavBytes))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val both = Seq(
+      MediaRecord(10L, "audio", wavBytes, meta),
+      MediaRecord(11L, "audio", bos.toByteArray, MediaMeta("aiff", 0, 0, 1, 0L))).toDS()
+    val pairs = graft.operators.Dedup
+      .hammingBandPairs(Multimodal.audioDHash(both), maxDist = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 11L)))
+  }
+
   test("wedge hub cap: cap >= max degree is exact; planted hub output is bounded") {
     // 4-cycle has max degree 2: capping at 2 samples EVERY neighbor
     // list whole, so capped results must equal the exact ones row for
