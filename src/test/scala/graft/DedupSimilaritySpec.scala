@@ -86,6 +86,51 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(lsh.contains((1L, 10L)) && lsh.contains((2L, 11L)))
   }
 
+  test("hammingBandPairs: pigeonhole completeness against brute force; maxDist cap enforced") {
+    // deterministic pseudo-random 64-bit hashes (md5-derived — no RNG
+    // state): every pair within maxDist MUST surface, because some
+    // 8-bit chunk is untouched by <= 7 flipped bits. Plant controlled
+    // near pairs by flipping exactly d bits of a base hash.
+    import graft.functions.expr.PortableHash
+    val base = (0 until 40).map(i => PortableHash.md5_64("hbp:" + i))
+    val planted = (0 to 7).map { d =>
+      val h = base(d)
+      // flip d bits spread across different chunks
+      (0 until d).foldLeft(h)((acc, b) => acc ^ (1L << (b * 9)))
+    }
+    val all = (base ++ planted).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val df = all.toDF("id", "sh")
+    for (maxDist <- Seq(3, 7)) {
+      val got = graft.operators.Dedup.hammingBandPairs(df, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = (for {
+        a <- all; b <- all if a._1 < b._1
+        d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= maxDist
+      } yield (a._1, b._1, d)).toSet
+      assert(got == brute, s"maxDist=$maxDist: banding missed or invented pairs")
+      assert(got.forall(_._3 <= maxDist))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingBandPairs(df, 8)
+    }
+  }
+
+  test("media hash edge cases: short audio degenerates, pHash size contract") {
+    import graft.operators.Multimodal
+    // clips shorter than the window count cannot carry an envelope —
+    // fixed degenerate hash, not a crash
+    assert(Multimodal.audioHash64(Array.fill(10)(0.5f)) == 0L)
+    // pHash demands the canonical 32x32 plane
+    intercept[IllegalArgumentException] {
+      Multimodal.pHash64(Array.fill(16)(0.5f))
+    }
+    // dHash plane wider than 64 bits is rejected
+    intercept[IllegalArgumentException] {
+      Multimodal.dHash64(Array.fill(200)(0.5f), 20, 10)
+    }
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, unrelated far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
