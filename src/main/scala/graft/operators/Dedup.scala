@@ -410,29 +410,42 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming ≤ maxDist, found via the
-    * pigeonhole band join over FIXED 8-bit chunks: any pair within
-    * distance ≤ 7 shares at least one of the 8 chunks exactly. Byte
-    * alignment (rather than the minimal maxDist+1 chunking) keeps each
-    * chunk inside one 32-bit half of the hash, so the DuckDB oracle
-    * reproduces the chunk keys from the two md5 hex words without
-    * 64-bit unsigned arithmetic.
+    * pigeonhole band join ([[pigeonholeChunks]]): any pair within
+    * maxDist shares at least one chunk exactly. Chunk widths stay
+    * 32-bit-half-aligned, so the DuckDB oracle reproduces the chunk
+    * keys from the two md5 hex words without 64-bit unsigned
+    * arithmetic.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame =
     hammingBandPairs(
       docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")), maxDist)
 
+  /** Pigeonhole chunking for a Hamming-≤maxDist band join: the
+    * FEWEST chunks that still guarantee one untouched chunk
+    * (chunks ≥ maxDist+1), restricted to 32-bit-half-aligned widths so
+    * external oracles recompute keys from the two md5 hex words —
+    * maxDist ≤ 3 → 4 × 16-bit chunks (65 536 keys per chunk),
+    * maxDist ≤ 7 → 8 × 8-bit (256 keys). Wider chunks matter at
+    * scale: the join's expected same-key collision mass is n²/2^width
+    * per chunk, so halving the chunk COUNT quadruples nothing while
+    * 16-bit keys cut spurious candidates by 256×. */
+  def pigeonholeChunks(maxDist: Int): (Int, Int) = {
+    require(maxDist <= 7, s"pigeonhole chunking covers maxDist <= 7, got $maxDist")
+    if (maxDist <= 3) (4, 16) else (8, 8)
+  }
+
   /** Banded Hamming-≤maxDist pairs over ANY (id, 64-bit hash) frame —
-    * the pigeonhole core shared by [[simhashPairs]] (text) and
-    * [[graft.operators.Multimodal.imageDHash]] (perceptual image
-    * near-dup). Postings shuffle (chunk, key, id, hash) — 8 narrow
-    * rows per item — and the self-join touches only same-chunk-key
-    * buckets; at corpus scale that is the whole trick.
+    * the pigeonhole core shared by [[simhashPairs]] (text),
+    * [[graft.operators.Multimodal.imageDHash]] /
+    * [[graft.operators.Multimodal.imagePHash]] (perceptual image
+    * near-dup), and [[graft.operators.Multimodal.audioDHash]] (audio).
+    * Postings shuffle (chunk, key, id, hash) — `chunks` narrow rows
+    * per item — and the self-join touches only same-chunk-key buckets;
+    * at corpus scale that is the whole trick.
     * @param hashed DataFrame with columns (id, sh). */
   def hammingBandPairs(hashed: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist <= 7, s"8-bit pigeonhole chunking covers maxDist <= 7, got $maxDist")
-    val chunks = 8
-    val width = 8
+    val (chunks, width) = pigeonholeChunks(maxDist)
     val posts = hashed.select(col("id"), col(hashed.columns(1)).as("sh"))
       .select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(chunks - 1)),

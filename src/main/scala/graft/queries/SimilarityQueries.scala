@@ -840,8 +840,8 @@ object SimilarityQueries {
     // Replays qX_image_dedup from doc_id arithmetic: dHash bit
     // (8y + 2j) = bit (4y + j) of md5_32(source id) by the bit-pattern
     // construction (renderBitPatternPng), the scaled duplicate hashes
-    // identically, then the same 8-bit pigeonhole chunk join and
-    // per-half popcount distance as the simhash oracle.
+    // identically, then the maxDist≤3 pigeonhole chunk join (4 chunks
+    // × 16 bits, half-aligned) and per-half popcount distance.
     "qX_image_dedup" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         |recs AS (
@@ -867,9 +867,9 @@ object SimilarityQueries {
         |  FROM pat CROSS JOIN grid g GROUP BY id),
         |chunks AS (
         |  SELECT id, hi, lo, c.c AS c,
-        |    CASE WHEN c.c < 4 THEN (lo >> (8 * c.c)) & 255
-        |         ELSE (hi >> (8 * c.c - 32)) & 255 END AS key
-        |  FROM halves CROSS JOIN (SELECT unnest(range(8)) AS c) c),
+        |    CASE WHEN c.c < 2 THEN (lo >> (16 * c.c)) & 65535
+        |         ELSE (hi >> (16 * c.c - 32)) & 65535 END AS key
+        |  FROM halves CROSS JOIN (SELECT unnest(range(4)) AS c) c),
         |pairs AS (
         |  SELECT DISTINCT a.id AS id1, b.id AS id2,
         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
@@ -885,8 +885,8 @@ object SimilarityQueries {
     // Replays qX_audio_dedup from doc_id arithmetic: fingerprint bit
     // (2j) = bit j of md5_32(source id) by the pattern-WAV
     // construction (renderPatternWav), the half-gain duplicate hashes
-    // identically, then the same 8-bit chunk join and per-half
-    // popcount distance as the image/simhash oracles. Even positions:
+    // identically, then the maxDist≤3 pigeonhole chunk join (4 × 16
+    // bits) and per-half popcount distance. Even positions:
     // j <= 15 land in the low 32-bit word at bit 2j, j >= 16 in the
     // high word at bit 2j-32.
     "qX_audio_dedup" ->
@@ -909,9 +909,9 @@ object SimilarityQueries {
         |  GROUP BY id),
         |chunks AS (
         |  SELECT id, hi, lo, c.c AS c,
-        |    CASE WHEN c.c < 4 THEN (lo >> (8 * c.c)) & 255
-        |         ELSE (hi >> (8 * c.c - 32)) & 255 END AS key
-        |  FROM halves CROSS JOIN (SELECT unnest(range(8)) AS c) c),
+        |    CASE WHEN c.c < 2 THEN (lo >> (16 * c.c)) & 65535
+        |         ELSE (hi >> (16 * c.c - 32)) & 65535 END AS key
+        |  FROM halves CROSS JOIN (SELECT unnest(range(4)) AS c) c),
         |pairs AS (
         |  SELECT DISTINCT a.id AS id1, b.id AS id2,
         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist

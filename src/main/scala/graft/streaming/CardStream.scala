@@ -568,13 +568,17 @@ object CardStream {
     val afterSelf = hashed.join(inBatchDropped,
         col("id") === col("_drop"), "left_anti")
       .localCheckpoint(true) // reused: probe, survivors, store append
-    // chunk postings of the surviving batch rows (8 rows per image)
+    // chunk postings of the surviving batch rows (one row per
+    // pigeonhole chunk — 4×16-bit for maxDist ≤ 3, 8×8-bit beyond;
+    // the store's chunking follows the suppressor's maxDist, so a
+    // store must keep one maxDist for its lifetime)
+    val (nChunks, width) = Dedup.pigeonholeChunks(maxDist)
     def chunkPosts(df: DataFrame): DataFrame = df
       .select(col("id"), col("sh"),
-        explode(transform(sequence(lit(0), lit(7)),
+        explode(transform(sequence(lit(0), lit(nChunks - 1)),
           c => struct(c.as("chunk"),
-            call_function("shiftrightunsigned", col("sh"), c * 8)
-              .bitwiseAND(lit(255L)).as("key")))).as("ck"))
+            call_function("shiftrightunsigned", col("sh"), c * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("key")))).as("ck"))
       .select(col("id"), col("sh"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
       .withColumn("bucket",
