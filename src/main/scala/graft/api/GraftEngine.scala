@@ -693,4 +693,16 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                  maxDist: Int = 3): DataFrame =
     graft.operators.Dedup.hammingBandPairs(
       graft.operators.Multimodal.audioDHash(media), maxDist)
+
+  /** Video near-dup pairs over caller media: per-frame dHash through
+    * the real multi-frame decode (animated GIF), clips paired when
+    * ≥ `minMatchFrac` of aligned frames match within `maxDist`.
+    * @return (id1, id2, matched, frac). */
+  def videoDedup(media: org.apache.spark.sql.Dataset[
+                   graft.operators.Multimodal.MediaRecord],
+                 maxDist: Int = 3, minMatchFrac: Double = 0.8,
+                 everyN: Int = 1): DataFrame =
+    graft.operators.Dedup.frameHammingPairs(
+      graft.operators.Multimodal.videoDHash(media, everyN),
+      maxDist, minMatchFrac)
 }

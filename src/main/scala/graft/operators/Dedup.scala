@@ -462,6 +462,50 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Frame-aligned Hamming near-dup pairs over (id, frame_no, 64-bit
+    * hash) sequences — the video face of [[hammingBandPairs]]: two
+    * clips pair when at least `minMatchFrac` of their aligned frames
+    * (same frame_no, the shared sampling cadence) land within
+    * `maxDist`. The band join adds frame_no to the pigeonhole chunk
+    * key, so candidates stay per-frame-bucketed (a clip with a million
+    * frames costs its frames, never frames²); per-pair agreement is
+    * one keyed aggregation.
+    * @param frameHashes DataFrame (id, frame_no, sh).
+    * @return (id1, id2, matched, frac) — frac = matched aligned frames
+    *         over the shorter clip's frame count, 4 decimals. */
+  def frameHammingPairs(frameHashes: DataFrame, maxDist: Int,
+                        minMatchFrac: Double): DataFrame = {
+    val (chunks, width) = pigeonholeChunks(maxDist)
+    val src = frameHashes.select(col(frameHashes.columns(0)).as("id"),
+      col(frameHashes.columns(1)).as("frame_no"),
+      col(frameHashes.columns(2)).as("sh"))
+    val counts = src.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    val posts = src.select(col("id"), col("frame_no"), col("sh"),
+        explode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => struct(c.as("chunk"),
+            call_function("shiftrightunsigned", col("sh"), c * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("key")))).as("ck"))
+      .select(col("id"), col("frame_no"), col("sh"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val frameMatches = posts.as("a").join(posts.as("b"),
+        col("a.frame_no") === col("b.frame_no") &&
+          col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxDist)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.frame_no").as("frame_no"))
+      .distinct()
+    frameMatches
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("matched"))
+      .join(counts.select(col("id").as("id1"), col("nf").as("n1")), "id1")
+      .join(counts.select(col("id").as("id2"), col("nf").as("n2")), "id2")
+      .withColumn("frac",
+        round(col("matched").cast("double") / least(col("n1"), col("n2")), 4))
+      .filter(col("frac") >= minMatchFrac)
+      .select("id1", "id2", "matched", "frac")
+  }
+
   // --------------------------------------- duplicated n-gram spans
 
   /** Positional token n-grams: every n-gram of every document with its

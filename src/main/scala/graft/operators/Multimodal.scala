@@ -602,6 +602,67 @@ object Multimodal {
     }.toDF("id", "ahash")
   }
 
+  /** Per-frame 64-bit dHash over the REAL multi-frame path
+    * ([[extractFrames]] — animated GIF via the JDK reader, composited
+    * sub-frames): every sampled frame resized to the canonical 9×8
+    * thumbnail and difference-hashed. The video face of the perceptual
+    * family: clips dedup by their frame-hash SEQUENCES
+    * ([[graft.operators.Dedup.frameHammingPairs]]), so re-encoded /
+    * re-palettized duplicates match frame-for-frame while different
+    * footage doesn't. Narrow per-partition decode; (id, frame_no,
+    * hash) shuffles. @return DataFrame (id, frame_no, dhash). */
+  def videoDHash(media: Dataset[MediaRecord], everyN: Int = 1,
+                 codec: FrameCodec = GifCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    extractFrames(media, everyN, codec)
+      .map { f =>
+        val (thumb, _) = ImageIoCodec.resize(f.pixels, f.meta, 9, 8)
+        (f.id, f.frameNo, dHash64(thumb, 9, 8))
+      }
+      .toDF("id", "frame_no", "dhash")
+  }
+
+  /** Deterministic synthetic animated GIF: one full-screen 9×8
+    * bit-pattern frame per entry of `patterns` (the
+    * [[renderBitPatternPng]] layout on a 256-gray indexed palette, so
+    * the write→decode round trip is bit-exact and frame k's dHash is
+    * an EXACT function of patterns(k)). Progressive mode off — the
+    * JDK reader mis-decodes interlaced frames shorter than the 4
+    * interlace passes. */
+  def renderPatternGif(patterns: Seq[Long]): Array[Byte] = {
+    val (w, h) = (9, 8)
+    val cmap = (0 until 256).map(i => (0xFF << 24) | (i << 16) | (i << 8) | i).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (pattern <- patterns) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val white = x % 2 == 1 && x < 8 &&
+            ((pattern >>> (4 * y + (x - 1) / 2)) & 1L) == 1L
+          img.getRaster.setSample(x, y, 0, if (white) 255 else 0)
+          x += 1
+        }
+        y += 1
+      }
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null,
+        writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)), param)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic test WAV: 65 windows of 64 samples of an
     * alternating-sign square wave whose per-window amplitude encodes
     * `pattern` — window 2j+1 is loud (PCM 16384 >> shift) iff bit j of

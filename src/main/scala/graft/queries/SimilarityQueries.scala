@@ -271,6 +271,40 @@ object SimilarityQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Video near-dup over the REAL multi-frame path (animated GIF,
+    // the JDK's one true video-ish decoder — the fourth face of the
+    // perceptual family): 4-frame pattern GIFs whose per-frame dHash
+    // is an exact md5 function of (doc_id, frame) + re-encoded
+    // duplicates (+100000, identical frames → frac 1.0) + half-
+    // overlap clips (+200000, frames 0-1 shared, 2-3 fresh → frac 0.5,
+    // excluded at the 0.8 bar) → GifCodec decode → per-frame dHash →
+    // frame-aligned banded join. Oracle replays everything from
+    // doc_id arithmetic.
+    "qX_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Dedup, Multimodal}
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val ids = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val media = ids.flatMap { id =>
+        def pat(src: Long, k: Int) =
+          graft.functions.expr.PortableHash.md5_32(src + ":" + k)
+        val full = (0 until 4).map(k => pat(id, k))
+        val half = full.take(2) ++ (0 until 2).map(k => pat(id + 500000, k))
+        val meta = MediaMeta("gif", 9, 8, 1, 0L)
+        Seq(
+          MediaRecord(id, "video",
+            Multimodal.renderPatternGif(full), meta),
+          MediaRecord(id + 100000, "video",
+            Multimodal.renderPatternGif(full), meta),
+          MediaRecord(id + 200000, "video",
+            Multimodal.renderPatternGif(half), meta))
+      }
+      Dedup.frameHammingPairs(Multimodal.videoDHash(media),
+          maxDist = 0, minMatchFrac = 0.8)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // pHash (DCT) recall contract: pHash thresholds the 8×8 low-
     // frequency DCT block against its median, so a LINEAR brightness
     // change scales every coefficient and the median together — the
@@ -881,6 +915,52 @@ object SimilarityQueries {
     "qX_image_phash" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 150""".stripMargin,
+
+    // Replays qX_video_dedup from doc_id arithmetic: frame k of clip
+    // id carries the bit-pattern image of md5_32(src ':' k) (src
+    // shifted for the half-overlap variant's fresh tail), per-frame
+    // dHash bit (8y+2j) = pattern bit (4y+j), and at maxDist 0 a
+    // frame matches iff both hash words are equal — count aligned
+    // matches per pair, frac over the 4-frame clips, 0.8 bar.
+    "qX_video_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |clips AS (
+        |  SELECT doc_id AS id, doc_id AS src, 0 AS variant FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, doc_id AS src, 0 AS variant FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS id, doc_id AS src, 1 AS variant FROM ids),
+        |pat AS (
+        |  SELECT id, k.k AS frame_no,
+        |    CAST(('0x' || substr(md5(
+        |      CAST(CASE WHEN variant = 1 AND k.k >= 2
+        |           THEN src + 500000 ELSE src END AS VARCHAR)
+        |      || ':' ||
+        |      CAST(CASE WHEN variant = 1 AND k.k >= 2
+        |           THEN k.k - 2 ELSE k.k END AS VARCHAR)), 1, 8)) AS BIGINT) AS p
+        |  FROM clips CROSS JOIN (SELECT unnest(range(4)) AS k) k),
+        |grid AS (
+        |  SELECT y.y AS y, j.j AS j
+        |  FROM (SELECT unnest(range(8)) AS y) y,
+        |       (SELECT unnest(range(4)) AS j) j),
+        |halves AS (
+        |  SELECT id, frame_no,
+        |    sum(CASE WHEN g.y >= 4 AND ((p >> (4 * g.y + g.j)) & 1) = 1
+        |        THEN (CAST(1 AS BIGINT) << (8 * (g.y - 4) + 2 * g.j))
+        |        ELSE 0 END) AS hi,
+        |    sum(CASE WHEN g.y < 4 AND ((p >> (4 * g.y + g.j)) & 1) = 1
+        |        THEN (CAST(1 AS BIGINT) << (8 * g.y + 2 * g.j))
+        |        ELSE 0 END) AS lo
+        |  FROM pat CROSS JOIN grid g GROUP BY id, frame_no),
+        |fm AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS matched
+        |  FROM halves a JOIN halves b
+        |    ON a.frame_no = b.frame_no AND a.hi = b.hi AND a.lo = b.lo
+        |       AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, matched, round(matched / 4.0, 4) AS frac
+        |FROM fm WHERE round(matched / 4.0, 4) >= 0.8
+        |ORDER BY id1 ASC, id2 ASC""".stripMargin,
 
     // Replays qX_audio_dedup from doc_id arithmetic: fingerprint bit
     // (2j) = bit j of md5_32(source id) by the pattern-WAV

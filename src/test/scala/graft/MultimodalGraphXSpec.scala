@@ -699,6 +699,37 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 11L)))
   }
 
+  test("video frame dedup: exact per-frame bits, re-encode frac 1.0, partial overlap excluded") {
+    import graft.functions.expr.PortableHash
+    val pats = (0 until 4).map(k => PortableHash.md5_32("vclip:" + k))
+    val meta = MediaMeta("gif", 9, 8, 1, 0L)
+    def expectedHash(pat: Long): Long =
+      (0 until 32).filter(b => ((pat >>> b) & 1L) == 1L)
+        .map(b => 1L << (8 * (b / 4) + 2 * (b % 4))).foldLeft(0L)(_ | _)
+    val clips = Seq(
+      MediaRecord(1L, "video", Multimodal.renderPatternGif(pats), meta),
+      MediaRecord(2L, "video", Multimodal.renderPatternGif(pats), meta),
+      MediaRecord(3L, "video", Multimodal.renderPatternGif(
+        pats.take(2) ++ Seq(0x12345678L, 0x0BADF00DL)), meta)).toDS()
+    val fh = Multimodal.videoDHash(clips)
+    // per-frame hashes follow the bit-pattern contract through the
+    // real GIF write -> decode -> resize path
+    val h1 = fh.filter(col("id") === 1L).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(h1 == pats.indices.map(k => k -> expectedHash(pats(k))).toMap)
+    // re-encoded duplicate matches all 4 frames; the half-overlap clip
+    // (2 of 4 frames shared) stays below the 0.8 bar
+    val pairs = graft.operators.Dedup
+      .frameHammingPairs(fh, maxDist = 0, minMatchFrac = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 4L, 1.0)))
+    // and at a 0.5 bar the partial overlap surfaces with frac 0.5
+    val loose = graft.operators.Dedup
+      .frameHammingPairs(fh, maxDist = 0, minMatchFrac = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(loose == Set((1L, 2L, 1.0), (1L, 3L, 0.5), (2L, 3L, 0.5)))
+  }
+
   test("wedge hub cap: cap >= max degree is exact; planted hub output is bounded") {
     // 4-cycle has max degree 2: capping at 2 samples EVERY neighbor
     // list whole, so capped results must equal the exact ones row for
