@@ -30,6 +30,18 @@ object PortableHash {
   def md5_32(s: String): Long =
     md5_32(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** md5_32 of `prefix ++ suffix` WITHOUT concatenating the arrays —
+    * streams both through the digest, so hashing a large payload under
+    * many per-component suffixes costs zero payload copies (the
+    * FakeCodec.embed hot path). */
+  def md5_32(prefix: Array[Byte], suffix: Array[Byte]): Long = {
+    val md = tlDigest.get()
+    md.reset()
+    md.update(prefix)
+    md.update(suffix)
+    word32(md.digest(), 0)
+  }
+
   /** Digest bytes [4o, 4o+4) big-endian as an unsigned 32-bit word —
     * word32(d, 1) is `conv(substring(md5(x), 9, 8), 16, 10)` etc. */
   def word32(digest: Array[Byte], o: Int): Long =

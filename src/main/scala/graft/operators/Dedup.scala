@@ -443,10 +443,14 @@ object Dedup {
     * Postings shuffle (chunk, key, id, hash) — `chunks` narrow rows
     * per item — and the self-join touches only same-chunk-key buckets;
     * at corpus scale that is the whole trick.
-    * @param hashed DataFrame with columns (id, sh). */
+    * @param hashed two-column DataFrame: (id, hash) — bound
+    *               POSITIONALLY, any column names. */
   def hammingBandPairs(hashed: DataFrame, maxDist: Int): DataFrame = {
     val (chunks, width) = pigeonholeChunks(maxDist)
-    val posts = hashed.select(col("id"), col(hashed.columns(1)).as("sh"))
+    require(hashed.columns.length == 2,
+      s"need an (id, hash) frame, got ${hashed.columns.mkString(", ")}")
+    val posts = hashed.select(col(hashed.columns(0)).as("id"),
+        col(hashed.columns(1)).as("sh"))
       .select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(chunks - 1)),
           c => struct(c.as("chunk"),

@@ -108,10 +108,12 @@ object Multimodal {
       * occur. */
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
       Array.tabulate(dim) { i =>
+        // two-argument digest: the payload streams through MD5 once
+        // per component with NO payload copy (the naive concat
+        // allocates O(dim × payload) per record — real money at the
+        // documented 100 TB multimodal scale)
         val suffix = (":" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val keyed = java.util.Arrays.copyOf(bytes, bytes.length + suffix.length)
-        System.arraycopy(suffix, 0, keyed, bytes.length, suffix.length)
-        ((graft.functions.expr.PortableHash.md5_32(keyed) % 1024L).toDouble
+        ((graft.functions.expr.PortableHash.md5_32(bytes, suffix) % 1024L).toDouble
           / 1024.0 - 0.5).toFloat
       }
     }
@@ -498,7 +500,9 @@ object Multimodal {
     * iff coefficient (u, v) > the median of the 64 block coefficients
     * (median over the block INCLUDING DC — with exactly 64 values the
     * median is the mean of ranks 32/33, and thresholding strictly
-    * above it always yields 32 set bits, a balanced signature). Where
+    * above it yields AT MOST 32 set bits — exactly 32 when no
+    * coefficients tie at the median, fewer on flat/symmetric images —
+    * an approximately balanced signature). Where
     * dHash keys on local brightness ORDER (robust to re-encoding,
     * broken by smoothing), pHash keys on the global low-frequency
     * structure — it survives blur, sharpening, and gamma shifts that

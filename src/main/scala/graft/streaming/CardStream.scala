@@ -384,6 +384,7 @@ object CardStream {
                     keyCols: Seq[String], sumCols: Seq[String],
                     batchId: Long = -1L): Long = {
     import BucketStore.StoreBuckets
+    migrateLegacyRollup(spark, dir, keyCols)
     if (batchId >= 0 && BucketStore.lastBatch(spark, dir) == batchId)
       return 0L // replayed micro-batch: no-op
     val partial = batch.groupBy(keyCols.map(col): _*)
@@ -403,6 +404,34 @@ object CardStream {
     BucketStore.commit(spark, dir,
       Seq(("rollup", merged, "bucket", touched)), batchId)
     merged.count()
+  }
+
+  /** One-time fold of a pre-BucketStore rollup (`dir/data` + `dir/meta`
+    * staged-swap layout) into the bucketed store — a store written by
+    * the earlier mergeAdditive would otherwise be silently IGNORED by
+    * the manifest-driven reader and its accumulated sums lost on the
+    * first post-upgrade fold. Restores a half-finished legacy swap
+    * first, carries the legacy `last_batch` into the manifest (the
+    * replay fence survives the migration), and renames the legacy
+    * data out of the way so the migration itself is idempotent. */
+  private def migrateLegacyRollup(spark: SparkSession, dir: String,
+                                  keyCols: Seq[String]): Unit = {
+    import BucketStore.StoreBuckets
+    recoverSwap(spark, dir) // restore a half-swapped legacy layout
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/data")) ||
+        fs.exists(new Path(s"$dir/manifest"))) return
+    val legacy = spark.read.parquet(s"$dir/data")
+      .withColumn("bucket",
+        pmod(xxhash64(keyCols.map(col): _*), lit(StoreBuckets.toLong)))
+      .localCheckpoint(true)
+    val legacyBatch = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    val buckets = legacy.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    BucketStore.commit(spark, dir,
+      Seq(("rollup", legacy, "bucket", buckets)), legacyBatch)
+    fs.rename(new Path(s"$dir/data"), new Path(s"$dir/data__migrated"))
+    fs.rename(new Path(s"$dir/meta"), new Path(s"$dir/meta__migrated"))
   }
 
   /** Non-mutating reader for a [[mergeAdditive]] rollup (manifest

@@ -546,6 +546,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("mergeAdditive migrates a legacy data/meta rollup; fence and sums survive") {
+    val dir = tmp("rollup_legacy") + "/counts"
+    // hand-write the pre-BucketStore staged-swap layout
+    Seq(("a", 10L, 2L), ("b", 5L, 1L)).toDF("key", "v", "n")
+      .write.parquet(s"$dir/data")
+    spark.range(1).select(lit(7L).as("last_batch")).write.parquet(s"$dir/meta")
+    // a replay of the legacy batch id must be fenced AFTER migration —
+    // the legacy last_batch rides into the manifest
+    assert(CardStream.mergeAdditive(spark,
+      Seq(("a", 99L, 1L)).toDF("key", "v", "n"),
+      dir, Seq("key"), Seq("v", "n"), 7L) == 0L)
+    // a new batch folds onto the migrated sums, not a silent reset
+    CardStream.mergeAdditive(spark,
+      Seq(("a", 1L, 1L), ("c", 3L, 1L)).toDF("key", "v", "n"),
+      dir, Seq("key"), Seq("v", "n"), 8L)
+    val got = CardStream.readRollup(spark, dir).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("v"), r.getAs[Long]("n")))).toMap
+    assert(got == Map("a" -> (11L, 3L), "b" -> (5L, 1L), "c" -> (3L, 1L)))
+  }
+
   test("rollup fold touches ONLY the batch's key buckets; others byte-identical") {
     val dir = tmp("rollup_bucket") + "/counts"
     // 200 distinct keys spread across (virtually) all 64 store buckets

@@ -43,8 +43,9 @@ def main():
     with open(bench_path, "w") as f:
         json.dump(bench, f)
         f.write("\n")
-    spark_total = sum(v for k, v in bench["queries"].items() if k in times and v >= 0)
-    duck_total = sum(times.values())
+    ok = {k for k, v in bench["queries"].items() if k in times and v >= 0}
+    spark_total = sum(bench["queries"][k] for k in ok)
+    duck_total = sum(times[k] for k in ok)
     print(f"{len(times)} oracle-timed queries; spark {spark_total:.1f}s vs duckdb {duck_total:.1f}s")
 
 if __name__ == "__main__":

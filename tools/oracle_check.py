@@ -28,13 +28,20 @@ def main():
     # Verify writes an _ERROR marker per query whose plan threw — surface
     # those first so a broken query can never read as silently absent.
     failed_path = f"{outdir}/_FAILED.json"
+    reported = set()
     if os.path.exists(failed_path):
         for name, msg in sorted(json.load(open(failed_path)).items()):
             print(f"FAIL {name}: verify error: {msg[:200]}"); n_fail += 1
+            reported.add(name)
     for name, sql in sorted(oracle.items()):
         rdir = f"{outdir}/{name}"
         if os.path.exists(f"{rdir}/_ERROR"):
-            continue  # already reported from _FAILED.json above
+            # an orphan marker (crashed run or stale dir) must still
+            # count as a failure, not silently vanish from the tally
+            if name not in reported:
+                print(f"FAIL {name}: orphan _ERROR marker (crashed/stale run)")
+                n_fail += 1
+            continue
         files = glob.glob(f"{rdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
