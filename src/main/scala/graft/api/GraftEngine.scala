@@ -705,4 +705,64 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.Dedup.frameHammingPairs(
       graft.operators.Multimodal.videoDHash(media, everyN),
       maxDist, minMatchFrac)
+
+  /** Batch search over caller frames: a (qid, term) query WORKLOAD
+    * served by one postings join — no per-query jobs (see
+    * [[graft.operators.SearchIndex.batchQuery]]).
+    * @return (qid, id, score) — integer-milli tf·idf, top-k per qid. */
+  def batchSearch(docs: DataFrame, idCol: String, field: String,
+                  queries: DataFrame, k: Int = 10,
+                  excludeSelf: Boolean = false): DataFrame = {
+    val (postings, stats, n) =
+      graft.operators.SearchIndex.build(docs, idCol, Seq(field))
+    graft.operators.SearchIndex.batchQuery(postings, stats, n, field,
+      queries, k, excludeSelf)
+  }
+
+  /** Reciprocal-rank-fuse ranked runs (each (qid, id, score), already
+    * top-k per query) — the lexical+dense hybrid-retrieval stage
+    * ([[graft.operators.Hybrid.rrf]]). */
+  def hybridFuse(runs: Seq[DataFrame], k: Int = 10,
+                 k0: Int = 60): DataFrame =
+    graft.operators.Hybrid.rrf(runs, k, k0)
+
+  /** MMR diversified top-k per query over an embedding corpus —
+    * relevance-vs-novelty greedy selection
+    * ([[graft.operators.Similarity.mmr]]). */
+  def diversify(queries: DataFrame, corpus: DataFrame,
+                qidCol: String, qvecCol: String, idCol: String,
+                vecCol: String, nCand: Int = 20, k: Int = 5,
+                lambda: Double = 0.5): DataFrame =
+    graft.operators.Similarity.mmr(queries, corpus, qidCol, qvecCol,
+      idCol, vecCol, nCand, k, lambda)
+
+  /** Rank-based ROC-AUC of a scored frame (0/1 `labelCol`, integer
+    * `scoreCol`) — gate a [[qualityTrain]]ed filter before it deletes
+    * terabytes ([[graft.operators.Eval.aucRank]]). */
+  def evalAuc(scored: DataFrame, labelCol: String,
+              scoreCol: String): DataFrame =
+    graft.operators.Eval.aucRank(scored, labelCol, scoreCol)
+
+  /** Reliability bins + ECE-ready table for a scored frame
+    * ([[graft.operators.Eval.calibrationBins]]). */
+  def evalCalibration(scored: DataFrame, labelCol: String,
+                      scoreMicrosCol: String, bins: Int = 10): DataFrame =
+    graft.operators.Eval.calibrationBins(scored, labelCol,
+      scoreMicrosCol, bins)
+
+  /** Newman modularity of a community assignment over the engine's
+    * knows graph ([[graft.operators.GraphAnalytics.modularity]]);
+    * communities default to LPA labels. */
+  def communityQuality(communities: Option[DataFrame] = None): DataFrame = {
+    val c = communities.getOrElse(
+      graft.operators.GraphAnalytics.labelPropagationDF(edges))
+    graft.operators.GraphAnalytics.modularity(edges, c)
+  }
+
+  /** Landmark hop-distance table over the engine's knows graph — the
+    * structural-feature / distance-estimation primitive
+    * ([[graft.operators.GraphAnalytics.landmarkDistances]]). */
+  def landmarks(numSources: Int = 8, maxDepth: Int = 4): DataFrame =
+    graft.operators.GraphAnalytics.landmarkDistances(edges,
+      numSources, maxDepth)
 }

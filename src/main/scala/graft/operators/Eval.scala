@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators for the quality/selection models
+  * ([[QualityLr]], [[Dsir]], [[NgramLm]]) — the metrics a data-curation
+  * pipeline gates its filters on before letting them delete terabytes:
+  * ranking quality (AUC) and probability calibration (reliability
+  * bins). Reference scope: the recommender ships its score ranking
+  * unevaluated (`recommendation-api/lambda_function.py` trusts the
+  * groupCount order); at 100 TB a filter model needs measured quality.
+  *
+  * Determinism contract (the qX_lr_* convention): inputs are INTEGER
+  * micro scores (`p_micros` 0..1e6), every accumulated quantity stays
+  * integer until one final division, so the result is bit-identical
+  * across engines and partition orders.
+  */
+object Eval {
+
+  /** Rank-based ROC-AUC (Mann–Whitney U) of an integer score column
+    * against a 0/1 label column.
+    *
+    * AUC = U / (n⁺·n⁻) with U from the positive rank-sum under
+    * AVERAGE ranks for ties — the standard tie-corrected estimator.
+    * Everything is derived from per-distinct-score tallies:
+    * with `below_g` = #rows scoring strictly less than group g and
+    * `cnt_g` its size, the doubled positive rank-sum is
+    * `R2 = Σ_g pos_g·(2·below_g + cnt_g + 1)` (integer — no .5 average
+    * ranks), `U2 = R2 − n⁺·(n⁺+1)`, and
+    * `auc_micros = floor(1e6·U2 / (2·n⁺·n⁻))`.
+    *
+    * 100 TB shape: one map-side-combined `groupBy(score)` collapses
+    * the corpus to ≤ 1e6+1 rows (the score grid is integer micros by
+    * contract), and only THAT bounded table flows through the global
+    * cumulative window + final fold — the window never sees corpus
+    * rows. All integer sums are order-independent, so the DuckDB
+    * oracle replays the exact arithmetic.
+    *
+    * @return one row (n_pos, n_neg, auc_micros).
+    */
+  def aucRank(scored: DataFrame, labelCol: String,
+              scoreCol: String): DataFrame = {
+    val g = scored
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol).cast("long")).as("pos"),
+        count(lit(1)).as("cnt"))
+    // below = rows scoring strictly less; the window input is the
+    // bounded distinct-score table, not the corpus.
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    c.agg(
+        sum(col("pos")).as("n_pos"),
+        (sum(col("cnt")) - sum(col("pos"))).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("below") + col("cnt") + lit(1L)))
+          .as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        floor(lit(1e6) * (col("r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            / (lit(2L) * col("n_pos") * col("n_neg")))
+          .cast("long").as("auc_micros"))
+  }
+
+  /** Reliability (calibration) bins: bucket rows by predicted
+    * probability (`p_micros` 0..1e6 → `bins` equal-width bins, the top
+    * edge closed), then per bin the count, the observed positive rate
+    * (`acc_micros`) and the mean predicted probability
+    * (`conf_micros`) — the table a reliability diagram / ECE is read
+    * from. `floor` keeps the two rates integer-exact across engines;
+    * one map-side-combined groupBy, output is `bins` rows.
+    *
+    * @return (bin, n, n_pos, acc_micros, conf_micros) ordered by bin.
+    */
+  def calibrationBins(scored: DataFrame, labelCol: String,
+                      scoreMicrosCol: String, bins: Int): DataFrame =
+    scored
+      .withColumn("bin",
+        least(floor(col(scoreMicrosCol) * lit(bins) / lit(1e6)),
+          lit(bins - 1L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        floor(lit(1e6) * sum(col(labelCol).cast("long")) / count(lit(1)))
+          .cast("long").as("acc_micros"),
+        floor(sum(col(scoreMicrosCol)) / count(lit(1)))
+          .cast("long").as("conf_micros"))
+      .orderBy(col("bin"))
+
+  /** nDCG@k of ranked retrieval runs against graded relevance
+    * judgments — the metric that gates a retriever/fusion change
+    * (e.g. [[Hybrid.rrf]] output scored against exact-cosine ground
+    * truth). `run` is (qid, id, score), re-ranked here by
+    * (score desc, id asc); `qrels` is (qid, id, rel) with INTEGER
+    * gains.
+    *
+    * Integer-micro discounting: each position contributes
+    * `floor(1e6·rel / log2(rank+1))` — an integer, so the per-query
+    * DCG/IDCG folds are order-independent and the final
+    * `ndcg = floor(1e6·dcg/idcg)` is engine-exact (log2 of small ints
+    * is the accepted ln residual-risk class). IDCG ranks qrels by
+    * (rel desc, id asc).
+    *
+    * Shape: runs are top-k bounded per query, so both windows sort k
+    * rows per query; two keyed folds, one join — never corpus-wide.
+    *
+    * @return (qid, dcg_micros, idcg_micros, ndcg_micros) per query.
+    */
+  def ndcgAtK(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    val ranked = run.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val dcg = ranked
+      .join(qrels.select(col("qid"), col("id"), col("rel")),
+        Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(floor(lit(1e6) * coalesce(col("rel"), lit(0L))
+          / log2(col("rank") + 1)).cast("long")).as("dcg_micros"))
+    val iw = Window.partitionBy("qid").orderBy(desc("rel"), asc("id"))
+    val ideal = qrels.withColumn("rank", row_number().over(iw))
+      .filter(col("rank") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(floor(lit(1e6) * col("rel") / log2(col("rank") + 1))
+        .cast("long")).as("idcg_micros"))
+    dcg.join(ideal, Seq("qid"))
+      .select(col("qid"), col("dcg_micros"), col("idcg_micros"),
+        floor(lit(1e6) * col("dcg_micros") / col("idcg_micros"))
+          .cast("long").as("ndcg_micros"))
+      .orderBy(col("qid"))
+  }
+
+  /** Expected calibration error over [[calibrationBins]] output:
+    * `ECE = Σ_b (n_b/N)·|acc_b − conf_b|` — one integer-micro number
+    * summarizing the reliability table. Exact: each |Δ| is integer
+    * micros, the weighted sum stays integer until the final floor.
+    *
+    * @return one row (n, ece_micros).
+    */
+  def ece(calBins: DataFrame): DataFrame =
+    calBins.agg(sum(col("n")).as("n"),
+        sum(col("n") * abs(col("acc_micros") - col("conf_micros"))).as("werr"))
+      .select(col("n"),
+        floor(col("werr") / col("n")).cast("long").as("ece_micros"))
+}

@@ -879,6 +879,114 @@ object GraphAnalytics {
       .join(vmap, "vid").select(col("id"), col("n_tri").cast("long").as("n_tri"))
   }
 
+  /** Shared multi-source truncated BFS from the hash-spread source
+    * sample (the harmonic/betweenness source convention: the
+    * `numSources` lowest vertices by `(md5Bucket(id), id)` — uniform
+    * over vertices yet RNG-free and engine-replayable). Per round: one
+    * keyed join of (s, v, d) against the adjacency + a min-fold; state
+    * is |S|·ball rows.
+    *
+    * @return (adjacency (from, to), vertex table (id),
+    *         distances (s, v, d) with d ≤ maxDepth) — adjacency and
+    *         distances checkpointed for iterative callers.
+    */
+  private[graft] def hashSpreadBfs(edges: DataFrame, numSources: Int,
+                                   maxDepth: Int, materializeEvery: Int = 2)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val adj = Pymk.undirected(edges).distinct()
+      .localCheckpoint(true) // reused every BFS round
+    val verts = adj.select(col("from").as("id")).distinct()
+      .localCheckpoint(true)
+    val sources = verts
+      .orderBy(Sampling.md5Bucket(col("id")).asc, col("id").asc)
+      .limit(numSources)
+      .select(col("id").as("s"))
+    // sources ⊆ verts by construction — init directly, no identity join
+    var dist = sources
+      .select(col("s"), col("s").as("v"), lit(0).as("d"))
+      .localCheckpoint(true)
+    for (i <- 1 to maxDepth) {
+      val expanded = dist
+        .join(adj.withColumnRenamed("from", "v"), "v")
+        .select(col("s"), col("to").as("v"), (col("d") + 1).as("d"))
+      val next = dist.unionByName(expanded)
+        .groupBy("s", "v").agg(min(col("d")).as("d"))
+      dist = if (i % materializeEvery == 0 || i == maxDepth)
+        next.localCheckpoint(true) else next
+    }
+    (adj, verts, dist)
+  }
+
+  /** Landmark distance table — the [[hashSpreadBfs]] distances as a
+    * first-class output: d(landmark, v) for every vertex within
+    * `maxDepth` of each of the `numSources` hash-spread landmarks.
+    * This is the landmark (pivot) embedding of Potamias et al. 2009:
+    * downstream consumers estimate d(u, v) ≲ min_l d(u,l) + d(l,v)
+    * from the |S|-dimensional distance profile, and ML pipelines use
+    * the profile directly as structural features (the graph twin of
+    * [[graft.operators.Pca]] features). Unreached (landmark, vertex)
+    * pairs are absent — at 100 TB emitting the |S|·|V| dense matrix
+    * with infinities would dwarf the reached-ball output.
+    *
+    * @return (s, v, d) — landmark id, vertex, hop distance, ordered.
+    */
+  def landmarkDistances(edges: DataFrame, numSources: Int = 8,
+                        maxDepth: Int = 4): DataFrame = {
+    val (_, _, dist) = hashSpreadBfs(edges, numSources, maxDepth)
+    dist.orderBy(col("s"), col("v"))
+  }
+
+  /** Newman modularity Q of a community assignment over the simple
+    * undirected edge view — the quality score that turns [[labelPropagationDF]]
+    * from "some labels" into a measured clustering:
+    * `Q = Σ_c (e_c/m − (d_c/2m)²)` with m = |edges|, e_c =
+    * intra-community edges, d_c = total degree of community c.
+    *
+    * Engine-exact arithmetic: every per-community term is computed as
+    * ONE integer division `floor(1e6·(4·m·e_c − d_c²) / (4·m²))`
+    * (numerator and denominator are exact BIGINTs; floor handles the
+    * negative-term case identically in both engines), then summed —
+    * order-independent, no float folds. The +1e6-scale bias of
+    * flooring each term (vs the real sum) is bounded by #communities
+    * micro-units, identical in the oracle by construction.
+    *
+    * Plan: the canonical edge view + degree table are two keyed folds;
+    * e_c/d_c are two label-keyed joins + folds (labels broadcast-sized
+    * per community, the label JOIN is on vertex id); the final fold is
+    * a scalar. No all-pairs anything — at 100 TB this is three
+    * shuffles over the edge list.
+    *
+    * @return one row (m, n_comms, q_micros).
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val lab = communities.select(col("id"), col("lbl"))
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val dByC = deg.join(lab, "id")
+      .groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
+    val eByC = e
+      .join(lab.select(col("id").as("u"), col("lbl").as("lu")), "u")
+      .join(lab.select(col("id").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val terms = dByC.join(eByC, Seq("lbl"), "left")
+      .select(col("lbl"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .crossJoin(mRow)
+      .select(floor(
+          (lit(1e6) * (lit(4L) * col("m") * col("e_c")
+            - col("d_c") * col("d_c")))
+            / (lit(4L) * col("m") * col("m")))
+        .cast("long").as("t"))
+    terms.agg(count(lit(1)).as("n_comms"), sum(col("t")).as("q_micros"))
+      .crossJoin(mRow)
+      .select(col("m"), col("n_comms"), col("q_micros"))
+  }
+
   /** Sampled harmonic centrality: H(v) = Σ_{s ∈ S, s ≠ v} 1/d(s, v)
     * over a deterministic source sample S — the `numSources` lowest
     * vertices by `(md5Bucket(id), id)`, i.e. [[Sampling.md5Bucket]]'s
@@ -909,27 +1017,8 @@ object GraphAnalytics {
   def harmonicCentrality(edges: DataFrame, numSources: Int = 8,
                          maxDepth: Int = 4,
                          materializeEvery: Int = 2): DataFrame = {
-    val adj = Pymk.undirected(edges).distinct()
-      .localCheckpoint(true) // reused every BFS round
-    val verts = adj.select(col("from").as("id")).distinct()
-      .localCheckpoint(true)
-    val sources = verts
-      .orderBy(Sampling.md5Bucket(col("id")).asc, col("id").asc)
-      .limit(numSources)
-      .select(col("id").as("s"))
-    // sources ⊆ verts by construction — init directly, no identity join
-    var dist = sources
-      .select(col("s"), col("s").as("v"), lit(0).as("d"))
-      .localCheckpoint(true)
-    for (i <- 1 to maxDepth) {
-      val expanded = dist
-        .join(adj.withColumnRenamed("from", "v"), "v")
-        .select(col("s"), col("to").as("v"), (col("d") + 1).as("d"))
-      val next = dist.unionByName(expanded)
-        .groupBy("s", "v").agg(min(col("d")).as("d"))
-      dist = if (i % materializeEvery == 0 || i == maxDepth)
-        next.localCheckpoint(true) else next
-    }
+    val (_, verts, dist) =
+      hashSpreadBfs(edges, numSources, maxDepth, materializeEvery)
     val contrib = dist
       .filter(col("s") =!= col("v") && col("d") > 0)
       .withColumn("hm", round(lit(1e6) / col("d")).cast("long"))

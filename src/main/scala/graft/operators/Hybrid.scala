@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval rank fusion — combining a lexical run
+  * ([[SearchIndex]] BM25/tf-idf) with a dense run ([[Similarity]]
+  * cosine ANN) per query, the standard first stage of a modern
+  * retrieval pipeline (and of retrieval-based training-data curation:
+  * fuse keyword and embedding recall before dedup/selection).
+  *
+  * Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+  * `score(d) = Σ_runs 1/(k0 + rank_run(d))` — rank-based, so the runs'
+  * incomparable score scales (integer tf-idf millis vs cosine in
+  * [-1,1]) never need calibrating. k0 = 60 per the paper.
+  */
+object Hybrid {
+
+  /** Fuse ranked runs. Each run is (qid, id, score) with scores
+    * already quantized by the retriever (integer millis / 4-decimal
+    * sims — the round-9 audit rule: any float-scored top-k quantizes
+    * BEFORE ranking); within a run, rank = row_number by
+    * (score desc, id asc).
+    *
+    * Per-run contributions are `floor(1e6/(k0+rank))` INTEGER micros,
+    * so the fused sum is order-independent and engine-exact; the
+    * fused ranking ties break id asc.
+    *
+    * 100 TB shape: each run is already top-k-bounded per query (k
+    * rows/query — retrievers rank-limit at source), so the per-run
+    * window sorts k rows per query, the union shuffles runs·k rows
+    * per query once on qid, and the final top-k is the bounded-heap
+    * aggregate ([[TopK.grouped]]), never a corpus-wide sort.
+    *
+    * @return (qid, id, rrf_micros) — top `k` per query, ranked
+    *         (rrf_micros desc, id asc).
+    */
+  def rrf(runs: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrf needs at least one run")
+    val contribs = runs.map { r =>
+      val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+      r.select(col("qid"), col("id"), row_number().over(w).as("rank"))
+        .select(col("qid"), col("id"),
+          floor(lit(1e6) / (lit(k0) + col("rank"))).cast("long").as("c"))
+    }
+    val fused = contribs.reduce(_ unionAll _)
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("rrf_micros"))
+    TopK.grouped(fused, Seq("qid"),
+        struct((-col("rrf_micros")).as("ns"), col("id").as("i")), k)
+      .select(col("qid"), col("best.i").as("id"),
+        (-col("best.ns")).as("rrf_micros"))
+      .orderBy(col("qid"), desc("rrf_micros"), col("id"))
+  }
+}

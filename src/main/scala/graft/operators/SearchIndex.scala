@@ -222,6 +222,53 @@ object SearchIndex {
                   limit: Int): DataFrame =
     queryStored(spark, dir, readMeta(spark, dir)._1, boosts, queryText, limit)
 
+  /** Batch search: queries arrive as a DATAFRAME of (qid, term) rows —
+    * the shape of a query WORKLOAD (a more-like-this corpus sweep, a
+    * recommendation batch, an eval set), where looping [[query]] would
+    * launch one job per query. One term-keyed join of the query table
+    * against the postings + one (qid, doc) fold serves every query in
+    * a single pass; per-query top-k is the bounded-heap aggregate.
+    *
+    * Scoring is [[query]]'s tf·idf over the single `field`, but each
+    * (term, doc) contribution quantizes to INTEGER MILLIS before the
+    * fold (`round(1000·tf·idf)`) — a batch run's scores feed
+    * downstream rank fusion ([[Hybrid.rrf]]) and oracles, so the sum
+    * must be partition-order-independent (the [[graft.operators.Dsir]]
+    * ln-quantization precedent; [[query]]'s raw-double sum is fine for
+    * a single interactive probe, not for a gated batch).
+    *
+    * 100 TB shape: postings and queries both shuffle once on `term`
+    * (the stats/idf side is per-term, broadcast); the (qid, doc) fold
+    * is map-side combined; no per-query jobs, no corpus rescans.
+    * `excludeSelf` drops doc == qid rows BEFORE the fold — the
+    * more-like-this convention where qids are corpus doc ids.
+    *
+    * @return (qid, id, score) — score integer millis, top `k` per qid
+    *         ranked (score desc, id asc).
+    */
+  def batchQuery(postings: DataFrame, stats: DataFrame, n: Long,
+                 field: String, queries: DataFrame, k: Int,
+                 excludeSelf: Boolean = false): DataFrame = {
+    val q = queries.select(col("qid"), col("term")).distinct()
+    val idf = stats.filter(col("field") === field)
+      .select(col("term"),
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))).as("idf"))
+    val probe = postings.filter(col("field") === field)
+      .join(idf, Seq("term"))
+      .join(q, Seq("term"))
+    val guarded =
+      if (excludeSelf) probe.filter(col("doc") =!= col("qid")) else probe
+    val scored = guarded
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(round(col("tf") * col("idf") * lit(1000.0)).cast("long"))
+        .as("score"))
+    TopK.grouped(scored, Seq("qid"),
+        struct((-col("score")).as("ns"), col("doc").as("i")), k)
+      .select(col("qid"), col("best.i").as("id"), (-col("best.ns")).as("score"))
+      .orderBy(col("qid"), desc("score"), col("id"))
+  }
+
   // -------------------------------------------------- fuzzy search
 
   /** Fuzzy term expansion + scoring against a built index — the ES

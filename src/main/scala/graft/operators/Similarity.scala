@@ -366,4 +366,80 @@ object Similarity {
       .join(dropped, Seq("id"), "left_anti")
     (survivors, centroids)
   }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) —
+    * diversity-aware selection: greedily pick `k` items per query
+    * maximizing `λ·sim(item, query) − (1−λ)·max_{s ∈ picked}
+    * sim(item, s)`, the standard redundancy-penalized re-rank (and, as
+    * a data-curation primitive, diverse-subset selection: pick
+    * training examples near a target distribution but far from each
+    * other).
+    *
+    * Exactness across engines: all sims round to 4 decimals FIRST;
+    * each step's objective is one multiply-subtract of those rounded
+    * doubles (no accumulation, so no fold-order sensitivity — the
+    * qG5 rounding argument), ties break id asc; the DuckDB oracle
+    * replays the `k` rounds as unrolled CTEs.
+    *
+    * Plan shape: one [[bruteForceTopK]]-style scan bounds each query
+    * to its `nCand` best candidates (checkpointed — nQ·nCand rows);
+    * the candidate–candidate sims are |nCand|² PER QUERY (the
+    * documented MMR cost — nCand is a re-rank window, 10–100, never
+    * the corpus); each greedy round is then one keyed join + one
+    * bounded-heap argmax over the small candidate table, `k` rounds
+    * total, all driver state O(1).
+    *
+    * @return (qid, step, id, mmr) — the picked item per greedy step
+    *         (1-based), `mmr` its objective value at pick time.
+    */
+  def mmr(queries: DataFrame, corpus: DataFrame,
+          qidCol: String, qvecCol: String, idCol: String, vecCol: String,
+          nCand: Int, k: Int, lambda: Double = 0.5): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("id"))
+      .withColumn("simq", round(cosine(col("qvec"), col("vec")), 4))
+    val cand = TopK.grouped(scored, Seq("qid"),
+        struct((-col("simq")).as("ns"), col("id").as("i"), col("vec").as("v")),
+        nCand)
+      .select(col("qid"), col("best.i").as("id"), (-col("best.ns")).as("simq"),
+        col("best.v").as("vec"))
+      .localCheckpoint(true)
+    val pairs = cand.select(col("qid"), col("id").as("a"), col("vec").as("va"))
+      .join(cand.select(col("qid"), col("id").as("b"), col("vec").as("vb")),
+        Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 4).as("simp"))
+      .localCheckpoint(true)
+    var selected = cand.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          cand.schema("qid").dataType),
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("id",
+          cand.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("mmr",
+          org.apache.spark.sql.types.DoubleType))))
+    for (j <- 1 to k) {
+      val rem = cand.join(selected.select("qid", "id"), Seq("qid", "id"),
+        "left_anti")
+      val ms = pairs
+        .join(selected.select(col("qid"), col("id").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("id"))
+        .agg(max(col("simp")).as("ms"))
+      val objective = rem.join(ms, Seq("qid", "id"), "left")
+        .withColumn("mmr",
+          round(lit(lambda) * col("simq")
+            - lit(1.0 - lambda) * coalesce(col("ms"), lit(0.0)), 4))
+      val pick = TopK.grouped(objective, Seq("qid"),
+          struct((-col("mmr")).as("ns"), col("id").as("i")), 1)
+        .select(col("qid"), lit(j).as("step"), col("best.i").as("id"),
+          (-col("best.ns")).as("mmr"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.orderBy(col("qid"), col("step"))
+  }
 }

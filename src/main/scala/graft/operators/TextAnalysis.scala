@@ -359,4 +359,55 @@ object TextAnalysis {
         col("_lc.n_kept").as("n_kept"),
         col("_lc.clean_text").as("clean_text"))
   }
+
+  /** Windowed word-pair PMI over a corpus — the co-occurrence
+    * statistic word embeddings implicitly factorize (Levy & Goldberg
+    * 2014: SGNS ≈ shifted-PMI matrix factorization), and the standard
+    * collocation/phrase-strength score for vocabulary curation.
+    *
+    * Pair extraction is a NARROW HOF over each token array (every
+    * position pairs with the ≤ `window` positions after it,
+    * canonicalized (least, greatest)) — no self-join, no explode of a
+    * quadratic set: each token emits ≤ window pairs, so the pair
+    * stream is `window`·corpus-linear and the counts are one
+    * map-side-combined fold. Marginals n_a come from re-keying the
+    * PAIR counts (two rows per pair), never a second corpus scan.
+    *
+    * `pmi = ln(n_ab·T / (n_a·n_b))` with T = total pairs; the ratio's
+    * operands are exact integers in double (< 2^53), so both engines
+    * ln the same value; `round(1e6·pmi)` is the quantized gate value
+    * (the [[Dsir]] convention). Output filters `n_ab ≥ minCount`
+    * (marginals computed BEFORE the filter).
+    *
+    * @return (a, b, n_ab, pmi_micros) for surviving pairs.
+    */
+  def pmiPairs(docs: DataFrame, textCol: String, window: Int,
+               minCount: Long): DataFrame = {
+    val t = tokenize(col(textCol))
+    val prs =
+      flatten(transform(sequence(lit(0), size(t) - 2), i =>
+        transform(sequence(i + 1, least(i + lit(window), size(t) - 1)), j =>
+          struct(
+            least(element_at(t, i + 1), element_at(t, j + 1)).as("a"),
+            greatest(element_at(t, i + 1), element_at(t, j + 1)).as("b")))))
+    val pairs = docs.filter(size(t) >= 2)
+      .select(explode(prs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val nab = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true) // marginals + totals re-read it
+    val marg = nab.select(col("a").as("w"), col("n_ab"))
+      .unionAll(nab.select(col("b").as("w"), col("n_ab")))
+      .groupBy(col("w")).agg(sum(col("n_ab")).as("n_w"))
+    val tot = nab.agg(sum(col("n_ab")).as("t_pairs"))
+    nab
+      .join(marg.select(col("w").as("a"), col("n_w").as("n_a")), Seq("a"))
+      .join(marg.select(col("w").as("b"), col("n_w").as("n_b")), Seq("b"))
+      .crossJoin(tot)
+      .filter(col("n_ab") >= minCount)
+      .select(col("a"), col("b"), col("n_ab"),
+        round(lit(1e6) * log((col("n_ab") * col("t_pairs")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"))).cast("long")
+          .as("pmi_micros"))
+  }
 }

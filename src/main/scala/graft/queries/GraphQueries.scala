@@ -308,6 +308,34 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Newman modularity — integer-micro per-community terms, one
+    // keyed-fold pipeline (see operator doc). Two assignments gate the
+    // arithmetic: the LPA labels (the dense hub graph collapses to ONE
+    // community — Q must be exactly 0, the telling boundary case) and
+    // an md5-spread 4-way partition (structureless by construction, so
+    // Q ≈ 0 but each of the 4 terms is a nontrivial negative/positive
+    // floor — the arithmetic case).
+    "qX_modularity" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val lpa = graft.operators.GraphAnalytics.labelPropagationDF(edges)
+      val hashed = lpa.select(col("id"),
+        pmod(graft.operators.Sampling.md5Bucket(col("id")), lit(4L)).as("lbl"))
+      graft.operators.GraphAnalytics.modularity(edges, lpa)
+        .withColumn("assignment", lit("lpa"))
+        .unionByName(graft.operators.GraphAnalytics.modularity(edges, hashed)
+          .withColumn("assignment", lit("hash4")))
+        .orderBy(col("assignment"))
+    }),
+
+    // Landmark distance table: the hash-spread multi-source truncated
+    // BFS (the harmonic/betweenness core) exposed as a first-class
+    // output — the landmark-embedding / structural-feature primitive.
+    "qX_landmark_dist" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.landmarkDistances(edges,
+        numSources = 8, maxDepth = 4)
+    }),
+
     // Deterministic random-walk corpus (DeepWalk/node2vec input): 2
     // walks per vertex, 4 steps, arithmetic-mix neighbor choice —
     // bit-replayable, so the whole corpus is oracle-checked.
@@ -588,7 +616,10 @@ object GraphQueries {
     * per-vertex argmax of neighbor-label counts with (count DESC,
     * label ASC) total order — the exact semantics of
     * [[graft.operators.GraphAnalytics.labelPropagationDF]]. */
-  private def lpaSql(rounds: Int): String = {
+  /** Unrolled synchronous-LPA CTE chain (shared by the LPA and
+    * modularity oracles) — ends at CTE `l$rounds` (id, lbl) with the
+    * simple edge view `e` available. */
+  private def lpaCte(rounds: Int): String = {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
@@ -607,9 +638,11 @@ object GraphQueries {
          |    GROUP BY a.f, r.lbl)
          |  WHERE rn = 1)""".stripMargin
     }
-    (head +: steps).mkString(",\n") +
-      s"\nSELECT id, lbl FROM l$rounds ORDER BY id"
+    (head +: steps).mkString(",\n")
   }
+
+  private def lpaSql(rounds: Int): String =
+    lpaCte(rounds) + s"\nSELECT id, lbl FROM l$rounds ORDER BY id"
 
   /** Unrolled weighted-PageRank oracle: [[pagerankSql]]'s chained CTEs
     * with per-edge contribution `rank · w / wout` — the exact
@@ -853,7 +886,12 @@ object GraphQueries {
     ((head +: rounds).mkString(",\n")) + "\n" + tail
   }
 
-  private def harmonicSql(numSources: Int, maxDepth: Int): String = {
+  /** Unrolled multi-source-BFS CTE chain (shared by the harmonic and
+    * landmark-distance oracles — the exact replay of
+    * [[graft.operators.GraphAnalytics.hashSpreadBfs]]): hash-spread
+    * source sample, `maxDepth` min-fold rounds; ends at CTE
+    * `d$maxDepth` (s, v, d) with `verts` available. */
+  private def bfsCte(numSources: Int, maxDepth: Int): String = {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
@@ -873,7 +911,11 @@ object GraphQueries {
          |    FROM d${i - 1} p JOIN adj ON adj.f = p.v) x
          |  GROUP BY s, v)""".stripMargin
     }
-    (head +: steps).mkString(",\n") +
+    (head +: steps).mkString(",\n")
+  }
+
+  private def harmonicSql(numSources: Int, maxDepth: Int): String = {
+    bfsCte(numSources, maxDepth) +
       s"""
          |SELECT verts.id,
          |  coalesce(c.h_micros, 0) AS h_micros,
@@ -1077,6 +1119,37 @@ object GraphQueries {
          |ORDER BY verts.id""".stripMargin,
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
     "qX_lpa" -> lpaSql(4),
+    "qX_modularity" ->
+      (lpaCte(4) +
+        s""",
+           |asg AS (SELECT 'lpa' AS assignment, id, lbl FROM l4
+           |  UNION ALL
+           |  SELECT 'hash4' AS assignment, id,
+           |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
+           |      AS BIGINT) % 4 AS lbl
+           |  FROM l4),
+           |deg AS (SELECT id, count(*) AS deg FROM (
+           |  SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) x
+           |  GROUP BY 1),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+           |dc AS (SELECT a.assignment, a.lbl, CAST(sum(d.deg) AS BIGINT) AS d_c
+           |  FROM deg d JOIN asg a ON a.id = d.id GROUP BY 1, 2),
+           |ec AS (SELECT lu.assignment, lu.lbl, CAST(count(*) AS BIGINT) AS e_c
+           |  FROM e JOIN asg lu ON lu.id = e.u
+           |  JOIN asg lv ON lv.id = e.v AND lv.assignment = lu.assignment
+           |  WHERE lu.lbl = lv.lbl GROUP BY 1, 2),
+           |terms AS (SELECT dc.assignment,
+           |    CAST(floor((1e6 * (4 * mm.m * coalesce(ec.e_c, 0)
+           |        - dc.d_c * dc.d_c)) / (4 * mm.m * mm.m)) AS BIGINT) AS t
+           |  FROM dc LEFT JOIN ec ON ec.assignment = dc.assignment
+           |    AND ec.lbl = dc.lbl CROSS JOIN mm)
+           |SELECT assignment, mm.m AS m, count(*) AS n_comms,
+           |  CAST(sum(t) AS BIGINT) AS q_micros
+           |FROM terms CROSS JOIN mm GROUP BY 1, 2
+           |ORDER BY assignment""".stripMargin),
+    "qX_landmark_dist" ->
+      (bfsCte(numSources = 8, maxDepth = 4) +
+        "\nSELECT s, v, d FROM d4 ORDER BY s, v"),
     "qX_random_walks" -> randomWalksSql(walksPerVertex = 2, length = 4, seed = 7L),
     "qX_node2vec" -> node2vecSql(walksPerVertex = 1, length = 3, seed = 7L,
       p = 4.0, q = 0.25),

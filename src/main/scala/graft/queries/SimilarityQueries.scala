@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.functions.GraftFunctions.tokenize
+import graft.operators.{Dedup, Hybrid, SearchIndex, Similarity}
 
 /** Similarity-search + sketch-dedup queries over `embeddings` and
   * `documents`. The brute-force cosine top-k is oracle-checked
@@ -24,6 +25,35 @@ object SimilarityQueries {
       val q = emb.filter(col("vec_id") < 5)
       Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
         "vec_id", "embedding", 5)
+    }),
+
+    // MMR diversified re-rank: greedy λ-balanced relevance-vs-novelty
+    // selection of 5 from each query's cosine top-20 — the
+    // diverse-subset-selection primitive; unrolled 5-round oracle.
+    "qX_mmr" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.mmr(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        nCand = 20, k = 5, lambda = 0.5)
+    }),
+
+    // Hybrid retrieval: RRF-fuse a lexical more-like-this run (batch
+    // tf·idf over the inverted index) with a dense cosine run for the
+    // same 5 query ids (doc_id ≡ vec_id in the testdata) — the
+    // two-retriever fusion stage, integer-micro contributions.
+    "qX_rrf_hybrid" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val (postings, stats, n) = SearchIndex.build(docs, "doc_id", Seq("text"))
+      val batch = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokenize(col("text"))).as("term"))
+      val lexical = SearchIndex.batchQuery(postings, stats, n, "text",
+        batch, 10, excludeSelf = true)
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", "vec_id", "embedding", 10)
+        .withColumnRenamed("sim", "score")
+      Hybrid.rrf(Seq(lexical, dense), k = 10)
     }),
 
     // Hard-negative mining (DPR/Contriever prep): per query the top-5
@@ -691,7 +721,102 @@ object SimilarityQueries {
         "vec_id", "embedding", 5, 2)
     }))
 
+  /** Unrolled MMR oracle: candidate top-`nCand` per query + complete
+    * candidate-pair sims, then `k` greedy rounds — the exact replay of
+    * [[graft.operators.Similarity.mmr]] at λ = 0.5 (every objective is
+    * one multiply-subtract of 4-decimal-rounded doubles; no folds). */
+  private def mmrSql(nCand: Int, k: Int): String = {
+    val head =
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |  FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT q.qid, e.vec_id AS id,
+         |    round(list_cosine_similarity(q.qvec,
+         |      CAST(e.embedding AS DOUBLE[])), 4) AS simq,
+         |    CAST(e.embedding AS DOUBLE[]) AS vec
+         |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         |cand AS MATERIALIZED (SELECT qid, id, simq, vec FROM (
+         |  SELECT qid, id, simq, vec, row_number() OVER (
+         |    PARTITION BY qid ORDER BY simq DESC, id) AS rn FROM sims) x
+         |  WHERE rn <= $nCand),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.qid, a.id AS a, b.id AS b,
+         |    round(list_cosine_similarity(a.vec, b.vec), 4) AS simp
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id),
+         |p1 AS (SELECT qid, id, mmr FROM (
+         |  SELECT qid, id, round(0.5 * simq - 0.5 * 0.0, 4) AS mmr,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(0.5 * simq - 0.5 * 0.0, 4) DESC, id) AS rn
+         |  FROM cand) x WHERE rn = 1),
+         |sel1 AS (SELECT qid, 1 AS step, id, mmr FROM p1)""".stripMargin
+    val rounds = (2 to k).map { j =>
+      s"""rem$j AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM sel${j - 1} s WHERE s.qid = c.qid AND s.id = c.id)),
+         |mx$j AS (SELECT r.qid, r.id, max(p.simp) AS ms
+         |  FROM rem$j r JOIN sel${j - 1} s ON s.qid = r.qid
+         |  JOIN pairs p ON p.qid = r.qid AND p.a = r.id AND p.b = s.id
+         |  GROUP BY 1, 2),
+         |p$j AS (SELECT qid, id, mmr FROM (
+         |  SELECT m.qid, m.id, round(0.5 * r.simq - 0.5 * m.ms, 4) AS mmr,
+         |    row_number() OVER (PARTITION BY m.qid
+         |      ORDER BY round(0.5 * r.simq - 0.5 * m.ms, 4) DESC, m.id) AS rn
+         |  FROM mx$j m JOIN rem$j r ON r.qid = m.qid AND r.id = m.id) x
+         |  WHERE rn = 1),
+         |sel$j AS (SELECT * FROM sel${j - 1}
+         |  UNION ALL SELECT qid, $j AS step, id, mmr FROM p$j)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT qid, step, id, mmr FROM sel$k ORDER BY qid, step"
+  }
+
+  /** RRF hybrid oracle: the qX_batch_search lexical pipeline + the
+    * qX_ann_cosine dense pipeline, each rank-limited to 10, fused with
+    * integer-micro `floor(1e6/(60+rank))` contributions. */
+  private val RrfHybridSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM toks
+      |  GROUP BY 1, 2),
+      |idf AS (SELECT term,
+      |    ln(1 + ((SELECT count(*) FROM documents) - count(*) + 0.5)
+      |       / (count(*) + 0.5)) AS idf
+      |  FROM tf GROUP BY term),
+      |q AS (SELECT DISTINCT doc_id AS qid, term FROM toks WHERE doc_id < 5),
+      |lscored AS (
+      |  SELECT q.qid, tf.doc AS id,
+      |    CAST(sum(CAST(round(tf.tf * idf.idf * 1000) AS BIGINT))
+      |      AS BIGINT) AS score
+      |  FROM q JOIN tf USING (term) JOIN idf USING (term)
+      |  WHERE tf.doc <> q.qid GROUP BY 1, 2),
+      |lranked AS (SELECT qid, id, row_number() OVER (
+      |  PARTITION BY qid ORDER BY score DESC, id) AS rn FROM lscored),
+      |qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+      |  FROM embeddings WHERE vec_id < 5),
+      |dsims AS (SELECT qv.qid, e.vec_id AS id,
+      |    round(list_cosine_similarity(qv.qvec,
+      |      CAST(e.embedding AS DOUBLE[])), 4) AS sim
+      |  FROM qv, embeddings e WHERE e.vec_id <> qv.qid),
+      |dranked AS (SELECT qid, id, row_number() OVER (
+      |  PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM dsims),
+      |contrib AS (
+      |  SELECT qid, id, CAST(floor(1e6 / (60 + rn)) AS BIGINT) AS c
+      |  FROM lranked WHERE rn <= 10
+      |  UNION ALL
+      |  SELECT qid, id, CAST(floor(1e6 / (60 + rn)) AS BIGINT) AS c
+      |  FROM dranked WHERE rn <= 10),
+      |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_micros
+      |  FROM contrib GROUP BY 1, 2),
+      |franked AS (SELECT qid, id, rrf_micros, row_number() OVER (
+      |  PARTITION BY qid ORDER BY rrf_micros DESC, id) AS rn FROM fused)
+      |SELECT qid, id, rrf_micros FROM franked WHERE rn <= 10
+      |ORDER BY qid, rrf_micros DESC, id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "qX_mmr" -> mmrSql(nCand = 20, k = 5),
+    "qX_rrf_hybrid" -> RrfHybridSql,
     "qX_kmeans" ->
       """SELECT count(*) AS n_groups, count(*) AS n_pure,
         |  count(*) AS n_clusters

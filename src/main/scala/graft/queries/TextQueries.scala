@@ -633,6 +633,48 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Rank-based ROC-AUC (tie-corrected Mann–Whitney) of the qX_lr
+    // classifier on its training labels — the metric a curation
+    // pipeline gates a filter model on. Integer-micro end to end.
+    "qX_auc" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.aucRank(scored, "y", "p_micros")
+    }),
+
+    // Reliability bins over the same scores: observed positive rate vs
+    // mean predicted probability per probability decile.
+    "qX_calibration" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.calibrationBins(scored, "y", "p_micros", 10)
+    }),
+
+    // Batch more-like-this search: docs 0..4 as query workloads (their
+    // own token sets), served by ONE postings join — no per-query jobs.
+    // Integer-milli tf·idf contributions (order-independent fold).
+    "qX_batch_search" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val (postings, stats, n) = SearchIndex.build(docs, "doc_id", Seq("text"))
+      val batch = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokenize(col("text"))).as("term"))
+      SearchIndex.batchQuery(postings, stats, n, "text", batch, 10,
+        excludeSelf = true)
+    }),
+
     // OOV rate per doc against the top-20 vocab — the coverage metric.
     "qX_oov" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1289,6 +1331,66 @@ object TextQueries {
          |SELECT doc_id, n_buckets, p_micros, pareto_micros FROM sp
          |WHERE pareto_micros > 1000000 - p_micros
          |ORDER BY doc_id""".stripMargin,
+    "qX_auc" ->
+      s"""$LrTrainSql,
+         |sm AS (SELECT x.doc_id,
+         |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
+         |    AS BIGINT) AS m
+         |  FROM x LEFT JOIN w3 w USING (bucket) GROUP BY 1),
+         |sp AS (SELECT doc_id,
+         |  CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) AS p FROM sm),
+         |j AS (SELECT p AS s,
+         |  CASE WHEN doc_id < 350 THEN 1 ELSE 0 END AS yy FROM sp),
+         |g AS (SELECT s, CAST(sum(yy) AS BIGINT) AS pos,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1),
+         |c AS (SELECT s, pos, cnt,
+         |  CAST(coalesce(sum(cnt) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS below FROM g),
+         |t AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+         |  CAST(sum(cnt) - sum(pos) AS BIGINT) AS nn,
+         |  CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS r2 FROM c)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |  CAST(floor(1e6 * (r2 - np * (np + 1)) / (2 * np * nn)) AS BIGINT)
+         |    AS auc_micros
+         |FROM t""".stripMargin,
+    "qX_calibration" ->
+      s"""$LrTrainSql,
+         |sm AS (SELECT x.doc_id,
+         |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
+         |    AS BIGINT) AS m
+         |  FROM x LEFT JOIN w3 w USING (bucket) GROUP BY 1),
+         |sp AS (SELECT doc_id,
+         |  CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) AS p FROM sm),
+         |b AS (SELECT least(CAST(floor(p * 10 / 1e6) AS BIGINT), 9) AS bin,
+         |  CASE WHEN doc_id < 350 THEN 1 ELSE 0 END AS yy, p FROM sp)
+         |SELECT bin, count(*) AS n, CAST(sum(yy) AS BIGINT) AS n_pos,
+         |  CAST(floor(1e6 * sum(yy) / count(*)) AS BIGINT) AS acc_micros,
+         |  CAST(floor(sum(p) / count(*)) AS BIGINT) AS conf_micros
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+    "qX_batch_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM toks
+        |  GROUP BY 1, 2),
+        |idf AS (SELECT term,
+        |    ln(1 + ((SELECT count(*) FROM documents) - count(*) + 0.5)
+        |       / (count(*) + 0.5)) AS idf
+        |  FROM tf GROUP BY term),
+        |q AS (SELECT DISTINCT doc_id AS qid, term FROM toks WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT q.qid, tf.doc AS id,
+        |    CAST(sum(CAST(round(tf.tf * idf.idf * 1000) AS BIGINT))
+        |      AS BIGINT) AS score
+        |  FROM q JOIN tf USING (term) JOIN idf USING (term)
+        |  WHERE tf.doc <> q.qid
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT qid, id, score, row_number() OVER (
+        |  PARTITION BY qid ORDER BY score DESC, id) AS rn FROM scored)
+        |SELECT qid, id, score FROM ranked WHERE rn <= 10
+        |ORDER BY qid, score DESC, id""".stripMargin,
     "qX_lm_model" ->
       s"""WITH d AS ($ToksSql),
          |big AS (

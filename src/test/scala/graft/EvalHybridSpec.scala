@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Eval, GraphAnalytics, Hybrid, SearchIndex, Similarity}
+
+/** Golden tests for the round-9 evaluation / fusion / diversity /
+  * graph-quality operators: rank-AUC, calibration bins, RRF fusion,
+  * batch search, MMR, modularity, landmark distances.
+  */
+class EvalHybridSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ AUC
+
+  test("aucRank: perfect, inverted, and tie-corrected hand cases") {
+    // perfect separation: all positives above all negatives -> AUC 1
+    val perfect = Seq((1, 900000L), (1, 800000L), (0, 200000L), (0, 100000L))
+      .toDF("y", "p")
+    val r1 = Eval.aucRank(perfect, "y", "p").collect()(0)
+    assert(r1.getAs[Long]("n_pos") === 2L)
+    assert(r1.getAs[Long]("n_neg") === 2L)
+    assert(r1.getAs[Long]("auc_micros") === 1000000L)
+
+    // inverted -> AUC 0
+    val inverted = Seq((0, 900000L), (0, 800000L), (1, 200000L), (1, 100000L))
+      .toDF("y", "p")
+    assert(Eval.aucRank(inverted, "y", "p").collect()(0)
+      .getAs[Long]("auc_micros") === 0L)
+
+    // all four tied at one score -> AUC exactly 1/2 (average ranks)
+    val tied = Seq((1, 500000L), (1, 500000L), (0, 500000L), (0, 500000L))
+      .toDF("y", "p")
+    assert(Eval.aucRank(tied, "y", "p").collect()(0)
+      .getAs[Long]("auc_micros") === 500000L)
+
+    // mixed with a tie straddling the classes:
+    // scores: pos {3, 2}, neg {2, 1} -> ranks 1,(2.5,2.5),4
+    // R+ = 4 + 2.5 = 6.5, U = 6.5 - 3 = 3.5, AUC = 3.5/4 = 0.875
+    val mixed = Seq((1, 3L), (1, 2L), (0, 2L), (0, 1L)).toDF("y", "p")
+    assert(Eval.aucRank(mixed, "y", "p").collect()(0)
+      .getAs[Long]("auc_micros") === 875000L)
+  }
+
+  test("calibrationBins + ece: hand case with top-edge clamp") {
+    // bins=2: p<500000 -> bin 0, else bin 1; p=1e6 clamps into bin 1
+    val df = Seq((0, 100000L), (1, 300000L), (1, 700000L), (1, 1000000L))
+      .toDF("y", "p")
+    val bins = Eval.calibrationBins(df, "y", "p", 2)
+    val rows = bins.collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(rows(0L).getAs[Long]("n") === 2L)
+    assert(rows(0L).getAs[Long]("n_pos") === 1L)
+    assert(rows(0L).getAs[Long]("acc_micros") === 500000L)
+    assert(rows(0L).getAs[Long]("conf_micros") === 200000L)
+    assert(rows(1L).getAs[Long]("n") === 2L)
+    assert(rows(1L).getAs[Long]("acc_micros") === 1000000L)
+    assert(rows(1L).getAs[Long]("conf_micros") === 850000L)
+    // ECE = (2*|500000-200000| + 2*|1000000-850000|) / 4 = 225000
+    val e = Eval.ece(bins).collect()(0)
+    assert(e.getAs[Long]("n") === 4L)
+    assert(e.getAs[Long]("ece_micros") === 225000L)
+  }
+
+  // ------------------------------------------------------------ RRF
+
+  test("rrf: hand-computed fusion, rank ties broken by id") {
+    // run A ranks: d1=1, d2=2; run B ranks: d2=1, d3=2
+    val runA = Seq((0L, 1L, 10.0), (0L, 2L, 5.0)).toDF("qid", "id", "score")
+    val runB = Seq((0L, 2L, 0.9), (0L, 3L, 0.8)).toDF("qid", "id", "score")
+    val got = Hybrid.rrf(Seq(runA, runB), k = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_micros")))
+    val c1 = 1000000L / 61 // floor contributions
+    val c2 = 1000000L / 62
+    // d2 appears in both runs (rank 2 + rank 1) and must win
+    assert(got.toSeq === Seq((2L, c2 + c1), (1L, c1), (3L, c2)))
+  }
+
+  test("batchQuery: equals per-query loop of SearchIndex scoring") {
+    val docs = Seq(
+      (0L, "spark join fast"), (1L, "spark spark window"),
+      (2L, "join window batch"), (3L, "stream batch spark join")
+    ).toDF("doc_id", "text")
+    val (postings, stats, n) = SearchIndex.build(docs, "doc_id", Seq("text"))
+    val batch = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("qid"),
+        explode(graft.functions.GraftFunctions.tokenize(col("text")))
+          .as("term"))
+    val got = SearchIndex.batchQuery(postings, stats, n, "text", batch, 10,
+        excludeSelf = true)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Long]("score")))
+    // per-query twin: same integer-milli fold via SearchIndex.query's
+    // idf formula, computed per query text
+    for (qid <- Seq(0L, 1L)) {
+      val qtext = docs.filter(col("doc_id") === qid)
+        .collect()(0).getAs[String]("text")
+      val terms = qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+      val idf = stats.filter(col("term").isin(terms.toSeq: _*))
+        .select(col("term"),
+          log(lit(1.0)
+            + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            .as("idf"))
+      val expect = postings.filter(col("term").isin(terms.toSeq: _*))
+        .join(idf, "term")
+        .filter(col("doc") =!= qid)
+        .groupBy(col("doc"))
+        .agg(sum(round(col("tf") * col("idf") * lit(1000.0)).cast("long"))
+          .as("score"))
+        .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("score")))
+        .toMap
+      val mine = got.filter(_._1 == qid).map(t => t._2 -> t._3).toMap
+      assert(mine === expect, s"qid $qid")
+    }
+  }
+
+  // ------------------------------------------------------------ MMR
+
+  test("mmr: first pick is the top-sim item; duplicate is skipped for diversity") {
+    // query q at e1; corpus: a ~ q, a2 == a (duplicate), b orthogonal-ish
+    val q = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)),  // closest to q
+      (2L, Array(0.9f, 0.1f, 0.0f)),  // exact duplicate of 1
+      (3L, Array(0.5f, 0.0f, 0.5f))   // farther from q, but novel
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmr(q, corpus, "vec_id", "embedding",
+        "vec_id", "embedding", nCand = 3, k = 2, lambda = 0.5)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getAs[Int]("step"), r.getAs[Long]("id")))
+    // step 1: id 1 (highest sim, tie with 2 broken by id asc)
+    // step 2: id 3 — the duplicate (id 2, sim-to-selected = 1.0) loses
+    // to the novel item despite higher query similarity
+    assert(got.toSeq === Seq((1, 1L), (2, 3L)))
+  }
+
+  // ----------------------------------------------------- modularity
+
+  test("modularity: two triangles joined by one edge, hand-computed") {
+    // communities {1,2,3} and {4,5,6}; m = 7 edges; e_c = 3 each;
+    // d_c = 7 each: Q = 2*(3/7 - (7/14)^2) = 2*(3/7 - 1/4)
+    // per-community term: floor(1e6*(4*7*3 - 49)/(4*49)) = floor(1e6*35/196)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comms = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "lbl")
+    val r = GraphAnalytics.modularity(edges, comms).collect()(0)
+    assert(r.getAs[Long]("m") === 7L)
+    assert(r.getAs[Long]("n_comms") === 2L)
+    val term = math.floor(1e6 * (4 * 7 * 3 - 49) / (4.0 * 49)).toLong
+    assert(r.getAs[Long]("q_micros") === 2 * term)
+    // single community over everything -> exactly 0
+    val one = comms.select(col("id"), lit(0L).as("lbl"))
+    assert(GraphAnalytics.modularity(edges, one).collect()(0)
+      .getAs[Long]("q_micros") === 0L)
+  }
+
+  test("landmarkDistances: agrees with harmonic's BFS on a path graph") {
+    // path 1-2-3-4-5; landmarks are hash-spread but BFS distances are
+    // checkable directly: d(s,v) = |s - v| within depth 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.landmarkDistances(edges, numSources = 5,
+        maxDepth = 2)
+      .collect().map(r => (r.getAs[Long]("s"), r.getAs[Long]("v")) ->
+        r.getAs[Int]("d")).toMap
+    // all 5 vertices are landmarks (numSources = 5)
+    for (s <- 1L to 5L; v <- 1L to 5L) {
+      val d = math.abs(s - v).toInt
+      if (d <= 2) assert(got((s, v)) === d, s"d($s,$v)")
+      else assert(!got.contains((s, v)), s"d($s,$v) beyond horizon")
+    }
+  }
+}
