@@ -56,6 +56,31 @@ object SimilarityQueries {
       Hybrid.rrf(Seq(lexical, dense), k = 10)
     }),
 
+    // nDCG@10 of the hybrid fusion against graded dense ground truth
+    // (rel = 11 − exact-cosine rank): the retrieval-eval closure over
+    // qX_rrf_hybrid — integer-micro log2 discounting.
+    "qX_ndcg" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val (postings, stats, n) = SearchIndex.build(docs, "doc_id", Seq("text"))
+      val batch = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokenize(col("text"))).as("term"))
+      val lexical = SearchIndex.batchQuery(postings, stats, n, "text",
+        batch, 10, excludeSelf = true)
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", "vec_id", "embedding", 10)
+        .withColumnRenamed("sim", "score")
+      val fused = Hybrid.rrf(Seq(lexical, dense), k = 10)
+        .withColumnRenamed("rrf_micros", "score")
+      val iw = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("score"), asc("id"))
+      val qrels = dense.withColumn("rank", row_number().over(iw))
+        .select(col("qid"), col("id"),
+          (lit(11) - col("rank")).cast("long").as("rel"))
+      graft.operators.Eval.ndcgAtK(fused, qrels, 10)
+    }),
+
     // Hard-negative mining (DPR/Contriever prep): per query the top-5
     // most-similar DIFFERENT-label corpus vectors — the label guard
     // fused into the broadcast join, pruning before the cosine; same
@@ -770,10 +795,13 @@ object SimilarityQueries {
       s"\nSELECT qid, step, id, mmr FROM sel$k ORDER BY qid, step"
   }
 
-  /** RRF hybrid oracle: the qX_batch_search lexical pipeline + the
-    * qX_ann_cosine dense pipeline, each rank-limited to 10, fused with
-    * integer-micro `floor(1e6/(60+rank))` contributions. */
-  private val RrfHybridSql =
+  /** RRF hybrid oracle fragment: the qX_batch_search lexical pipeline
+    * + the qX_ann_cosine dense pipeline, each rank-limited to 10,
+    * fused with integer-micro `floor(1e6/(60+rank))` contributions —
+    * ends at CTE `franked` (the fused ranking; `dranked` = the dense
+    * ground-truth ranking is also live). Shared by the qX_rrf_hybrid
+    * and qX_ndcg gates. */
+  private val RrfHybridCte =
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(
       |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
@@ -810,13 +838,41 @@ object SimilarityQueries {
       |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_micros
       |  FROM contrib GROUP BY 1, 2),
       |franked AS (SELECT qid, id, rrf_micros, row_number() OVER (
-      |  PARTITION BY qid ORDER BY rrf_micros DESC, id) AS rn FROM fused)
-      |SELECT qid, id, rrf_micros FROM franked WHERE rn <= 10
-      |ORDER BY qid, rrf_micros DESC, id""".stripMargin
+      |  PARTITION BY qid ORDER BY rrf_micros DESC, id) AS rn FROM fused)""".stripMargin
+
+  /** nDCG@10 oracle: the fused run scored against graded dense ground
+    * truth (rel = 11 − dense rank) with integer-micro log2 discounts —
+    * the exact arithmetic of [[graft.operators.Eval.ndcgAtK]]. */
+  private val NdcgSql =
+    RrfHybridCte + """,
+      |run AS (SELECT qid, id, rrf_micros AS score FROM franked
+      |  WHERE rn <= 10),
+      |rrank AS (SELECT qid, id, row_number() OVER (
+      |  PARTITION BY qid ORDER BY score DESC, id) AS rank FROM run),
+      |qrels AS (SELECT qid, id, CAST(11 - rn AS BIGINT) AS rel
+      |  FROM dranked WHERE rn <= 10),
+      |dcg AS (SELECT r.qid,
+      |  CAST(sum(CAST(floor(1e6 * coalesce(q.rel, 0) / log2(r.rank + 1))
+      |    AS BIGINT)) AS BIGINT) AS dcg_micros
+      |  FROM rrank r LEFT JOIN qrels q ON q.qid = r.qid AND q.id = r.id
+      |  GROUP BY 1),
+      |ideal AS (SELECT qid, rel, row_number() OVER (
+      |  PARTITION BY qid ORDER BY rel DESC, id) AS rank FROM qrels),
+      |idcg AS (SELECT qid,
+      |  CAST(sum(CAST(floor(1e6 * rel / log2(rank + 1)) AS BIGINT))
+      |    AS BIGINT) AS idcg_micros
+      |  FROM ideal WHERE rank <= 10 GROUP BY 1)
+      |SELECT dcg.qid, dcg_micros, idcg_micros,
+      |  CAST(floor(1e6 * dcg_micros / idcg_micros) AS BIGINT) AS ndcg_micros
+      |FROM dcg JOIN idcg USING (qid) ORDER BY dcg.qid""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "qX_mmr" -> mmrSql(nCand = 20, k = 5),
-    "qX_rrf_hybrid" -> RrfHybridSql,
+    "qX_rrf_hybrid" ->
+      (RrfHybridCte + """
+        |SELECT qid, id, rrf_micros FROM franked WHERE rn <= 10
+        |ORDER BY qid, rrf_micros DESC, id""".stripMargin),
+    "qX_ndcg" -> NdcgSql,
     "qX_kmeans" ->
       """SELECT count(*) AS n_groups, count(*) AS n_pure,
         |  count(*) AS n_clusters

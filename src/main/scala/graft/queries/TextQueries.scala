@@ -675,6 +675,16 @@ object TextQueries {
         excludeSelf = true)
     }),
 
+    // Windowed word-pair PMI (the co-occurrence statistic embeddings
+    // factorize; Levy & Goldberg 2014): narrow HOF pair extraction,
+    // marginals re-keyed from pair counts, integer-micro ln ratio.
+    "qX_pmi" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      TextAnalysis.pmiPairs(docs, "text", window = 3, minCount = 5)
+        .orderBy(desc("pmi_micros"), col("a"), col("b"))
+        .limit(100)
+    }),
+
     // OOV rate per doc against the top-20 vocab — the coverage metric.
     "qX_oov" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1391,6 +1401,28 @@ object TextQueries {
         |  PARTITION BY qid ORDER BY score DESC, id) AS rn FROM scored)
         |SELECT qid, id, score FROM ranked WHERE rn <= 10
         |ORDER BY qid, score DESC, id""".stripMargin,
+    "qX_pmi" ->
+      s"""WITH d AS ($ToksSql),
+         |p AS (SELECT doc_id, unnest(flatten(list_transform(
+         |    range(1, len(toks)),
+         |    i -> list_transform(range(i + 1, least(i + 3, len(toks)) + 1),
+         |      j -> [least(toks[i], toks[j]),
+         |            greatest(toks[i], toks[j])])))) AS pr
+         |  FROM d WHERE doc_id < 200 AND len(toks) >= 2),
+         |pc AS (SELECT pr[1] AS a, pr[2] AS b,
+         |  CAST(count(*) AS BIGINT) AS n_ab FROM p GROUP BY 1, 2),
+         |mg AS (SELECT w, CAST(sum(n_ab) AS BIGINT) AS n_w FROM (
+         |  SELECT a AS w, n_ab FROM pc
+         |  UNION ALL SELECT b AS w, n_ab FROM pc) x GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t_pairs FROM pc),
+         |sc AS (SELECT pc.a, pc.b, pc.n_ab,
+         |  CAST(round(1e6 * ln(CAST(pc.n_ab * tt.t_pairs AS DOUBLE)
+         |    / CAST(ma.n_w * mb.n_w AS DOUBLE))) AS BIGINT) AS pmi_micros
+         |  FROM pc JOIN mg ma ON ma.w = pc.a JOIN mg mb ON mb.w = pc.b
+         |  CROSS JOIN tt
+         |  WHERE pc.n_ab >= 5)
+         |SELECT a, b, n_ab, pmi_micros FROM sc
+         |ORDER BY pmi_micros DESC, a, b LIMIT 100""".stripMargin,
     "qX_lm_model" ->
       s"""WITH d AS ($ToksSql),
          |big AS (

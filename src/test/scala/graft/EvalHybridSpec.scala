@@ -113,6 +113,51 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ndcgAtK: perfect ranking scores 1e6; swapped ranking matches hand math") {
+    val qrels = Seq((0L, 10L, 3L), (0L, 11L, 2L), (0L, 12L, 1L))
+      .toDF("qid", "id", "rel")
+    // run in ideal order -> ndcg exactly 1.0
+    val perfect = Seq((0L, 10L, 30.0), (0L, 11L, 20.0), (0L, 12L, 10.0))
+      .toDF("qid", "id", "score")
+    assert(Eval.ndcgAtK(perfect, qrels, 2).collect()(0)
+      .getAs[Long]("ndcg_micros") === 1000000L)
+    // swapped top-2 (11 before 10), k=2 — replicate the integer-micro
+    // discount arithmetic exactly
+    val swapped = Seq((0L, 11L, 30.0), (0L, 10L, 20.0)).toDF("qid", "id", "score")
+    val r = Eval.ndcgAtK(swapped, qrels, 2).collect()(0)
+    val dcg = math.floor(1e6 * 2 / (math.log(2) / math.log(2))).toLong +
+      math.floor(1e6 * 3 / (math.log(3) / math.log(2))).toLong
+    val idcg = math.floor(1e6 * 3 / (math.log(2) / math.log(2))).toLong +
+      math.floor(1e6 * 2 / (math.log(3) / math.log(2))).toLong
+    assert(r.getAs[Long]("dcg_micros") === dcg)
+    assert(r.getAs[Long]("idcg_micros") === idcg)
+    assert(r.getAs[Long]("ndcg_micros") ===
+      math.floor(1e6 * dcg / idcg).toLong)
+  }
+
+  // ------------------------------------------------------------ PMI
+
+  test("pmiPairs: window bounds and hand-computed PMI values") {
+    // window-2 pair extraction over one doc: (a,d) is out of range
+    val doc = Seq(Tuple1("a b c d")).toDF("text")
+    val got = graft.operators.TextAnalysis.pmiPairs(doc, "text", 2, 1L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Long]("n_ab")).toMap
+    assert(got.keySet === Set(("a", "b"), ("a", "c"), ("b", "c"),
+      ("b", "d"), ("c", "d")))
+    assert(got.values.forall(_ == 1L))
+
+    // PMI arithmetic: "x y" x8, "z w" x2 -> T=10;
+    // pmi(x,y) = ln(8*10/(8*8)) = ln(1.25); pmi(w,z) = ln(2*10/(2*2)) = ln(5)
+    val corpus = (Seq.fill(8)("x y") ++ Seq.fill(2)("z w"))
+      .toDF("text")
+    val pmi = graft.operators.TextAnalysis.pmiPairs(corpus, "text", 3, 2L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Long]("pmi_micros")).toMap
+    assert(pmi(("x", "y")) === math.round(1e6 * math.log(1.25)))
+    assert(pmi(("w", "z")) === math.round(1e6 * math.log(5.0)))
+  }
+
   // ------------------------------------------------------------ MMR
 
   test("mmr: first pick is the top-sim item; duplicate is skipped for diversity") {
