@@ -384,6 +384,61 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), "must be a window, not a self-join")
   }
 
+  test("batch search + rrf: term-keyed joins with broadcast idf, heap top-k, no cartesian") {
+    val p = plan("qX_batch_search")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // idf is per-term (tiny) and must broadcast into the postings probe
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // final per-qid top-k is the bounded-heap aggregate, not a window sort
+    assert(p.contains("collect_top_k") || p.contains("CollectTopK"),
+      p.take(3000))
+    val pf = plan("qX_rrf_hybrid")
+    assert(!pf.contains("CartesianProduct"), pf.take(3000))
+    assert(pf.contains("collect_top_k") || pf.contains("CollectTopK"),
+      pf.take(3000))
+  }
+
+  test("auc: corpus collapses via partial aggregation before the global window") {
+    val p = plan("qX_auc")
+    // the groupBy(score) must have a map-side partial phase — the
+    // single-partition window then sees only the distinct-score table
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("pmi: marginals broadcast, one 1-row total nested loop, no self-join") {
+    // the checkpointed pair-count table hides the extraction stage from
+    // this plan (it scans the materialized RDD); the extraction's
+    // narrow-HOF shape is pinned by the window-bound golden test — here
+    // we guard the scoring joins
+    val p = plan("qX_pmi")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"),
+      "marginal joins must broadcast:\n" + p.take(3000))
+    val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1, s"only the 1-row total may nested-loop ($bnlj):\n" +
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("modularity: three keyed folds over the edge list, no cartesian pair blowup") {
+    val ev = Tables.load(spark, dir, "events")
+    val edges = graft.queries.GraphQueries.derivedEdges(ev)
+    val comms = edges.select(org.apache.spark.sql.functions.col("src")
+        .as("id"))
+      .distinct()
+      .withColumn("lbl", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(4L)))
+    val p = graft.operators.GraphAnalytics.modularity(edges, comms)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the only nested-loop allowed is the 1-row m-scalar attachment
+    val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 2, s"unexpected nested loops ($bnlj):\n" + p.take(3000))
+  }
+
   test("pca: projection is a narrow codegen mat-vec; moments shuffles once") {
     val emb = Tables.load(spark, dir, "embeddings")
     val basis = Array.tabulate(4, 64)((r, i) => (r * 64 + i) * 1e-3)
