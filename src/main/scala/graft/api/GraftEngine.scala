@@ -765,4 +765,41 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def landmarks(numSources: Int = 8, maxDepth: Int = 4): DataFrame =
     graft.operators.GraphAnalytics.landmarkDistances(edges,
       numSources, maxDepth)
+
+  /** Corpus BLEU of candidate vs reference text columns
+    * ([[graft.operators.Eval.corpusBleu]]) — gate augmented /
+    * machine-generated text before it enters a training mix. */
+  def evalBleu(pairs: DataFrame, idCol: String, candCol: String,
+               refCol: String, maxN: Int = 4): DataFrame =
+    graft.operators.Eval.corpusBleu(pairs, idCol, candCol, refCol, maxN)
+
+  /** Validate a declarative data-quality constraint suite in one
+    * aggregation pass ([[graft.operators.Profile.checkConstraints]])
+    * — the ingest admission gate. */
+  def validate(df: DataFrame,
+               checks: Seq[graft.operators.Profile.Check]): DataFrame =
+    graft.operators.Profile.checkConstraints(df, checks)
+
+  /** Near-dup-cluster-aware train/test split
+    * ([[graft.operators.Sampling.leakageSafeSplit]]): no two
+    * near-duplicates ever straddle the eval boundary. `clusters`
+    * defaults to nothing — pass [[semanticDedup]] / Dedup.clusters
+    * output for the corpus being split. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       splits: Seq[(String, Double)]): DataFrame =
+    graft.operators.Sampling.leakageSafeSplit(df, idCol, clusters, splits)
+
+  /** CMS-sketch equi-join cardinality estimate
+    * ([[graft.operators.Sketches.cmsJoinSize]]) — size a join from
+    * two KB-scale sketches without running it. */
+  def estimateJoinSize(a: DataFrame, keyA: String, b: DataFrame,
+                       keyB: String, width: Int = 2048,
+                       depth: Int = 4): DataFrame =
+    graft.operators.Sketches.cmsJoinSize(a, keyA, b, keyB, width, depth)
+
+  /** Kneser–Ney perplexity scoring under a [[graft.operators.NgramLm]]
+    * model — the KenLM/CCNet smoothing for quality filtering. */
+  def perplexityKn(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame): DataFrame =
+    graft.operators.NgramLm.scoreKneserNey(docs, idCol, textCol, model)
 }

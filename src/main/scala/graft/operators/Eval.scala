@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -127,6 +127,80 @@ object Eval {
         floor(lit(1e6) * col("dcg_micros") / col("idcg_micros"))
           .cast("long").as("ndcg_micros"))
       .orderBy(col("qid"))
+  }
+
+  /** Corpus-level BLEU (Papineni et al. 2002) of a candidate text
+    * column against a reference column — the n-gram overlap metric a
+    * pipeline gates generated/translated/augmented text on before
+    * admitting it to a training mix. Standard definition: modified
+    * n-gram precision with per-gram clipping
+    * (`Σ_g min(cnt_cand(g), cnt_ref(g))`), corpus-pooled counts,
+    * uniform 1/maxN weights, brevity penalty `exp(1 − r/c)` when the
+    * candidate corpus is shorter than the reference.
+    *
+    * Determinism contract: every pooled quantity (clipped matches,
+    * candidate n-gram totals, corpus lengths) is an INTEGER count, so
+    * the folds are order-independent; BLEU itself is one final scalar
+    * expression over those integers (`round(1e6·BP·exp(Σ ln pₙ/N))` —
+    * the accepted ln/exp residual class, same as qX_pmi/qX_lm). Any
+    * pₙ = 0 ⇒ bleu_micros = 0 (the standard corpus-BLEU convention).
+    *
+    * 100 TB shape: n-gram expansion is a narrow per-row transform; the
+    * clip needs cand-vs-ref counts PER (pair, gram), one keyed
+    * map-side-combined groupBy whose key includes the pair id — no
+    * corpus-wide gram table, no join. Everything after is a bounded
+    * fold to ONE row.
+    *
+    * @return one row (c_len, r_len, match_1..N, total_1..N,
+    *         bleu_micros).
+    */
+  def corpusBleu(pairs: DataFrame, idCol: String, candCol: String,
+                 refCol: String, maxN: Int = 4): DataFrame = {
+    val toks = (c: Column) =>
+      filter(split(lower(c), "\\s+"), t => t =!= "")
+    // (n, gram) structs for all n in 1..maxN, one narrow transform.
+    val grams = (tc: Column) => flatten(array((1 to maxN).map { n =>
+      transform(sequence(lit(1), greatest(size(tc) - lit(n - 1), lit(0))),
+        i => struct(lit(n).as("n"),
+          concat_ws(" ", slice(tc, i, lit(n))).as("gram")))
+    }: _*))
+    val t = pairs.select(col(idCol).as("pid"),
+      toks(col(candCol)).as("ct"), toks(col(refCol)).as("rt"))
+    val sides = t.select(col("pid"), lit(1L).as("is_c"),
+        explode(grams(col("ct"))).as("g"))
+      .unionAll(t.select(col("pid"), lit(0L).as("is_c"),
+        explode(grams(col("rt"))).as("g")))
+    // Per-(pair, n, gram) clip — the ONLY shuffle, keyed by pair id.
+    val clipped = sides
+      .groupBy(col("pid"), col("g.n").as("n"), col("g.gram"))
+      .agg(sum(col("is_c")).as("cc"), sum(lit(1L) - col("is_c")).as("rc"))
+      .groupBy(col("n"))
+      .agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val matchAggs = (1 to maxN).map(n =>
+      sum(when(col("n") === n, col("m")).otherwise(0L)).as(s"match_$n"))
+    val matches = clipped.agg(matchAggs.head, matchAggs.tail: _*)
+    val lenAggs =
+      sum(size(col("ct"))).cast("long").as("c_len") +:
+        sum(size(col("rt"))).cast("long").as("r_len") +:
+        (1 to maxN).map(n =>
+          sum(greatest(size(col("ct")) - lit(n - 1), lit(0)))
+            .cast("long").as(s"total_$n"))
+    val lens = t.agg(lenAggs.head, lenAggs.tail: _*)
+    val joined = lens.crossJoin(matches) // 1 row × 1 row
+    val logPrecSum = (1 to maxN).map(n =>
+      log(col(s"match_$n").cast("double") / col(s"total_$n")))
+      .reduce(_ + _)
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("r_len").cast("double") / col("c_len")))
+    val anyZero = (1 to maxN).map(n => col(s"match_$n") === 0L)
+      .reduce(_ || _)
+    val outCols = Seq(col("c_len"), col("r_len")) ++
+      (1 to maxN).map(n => col(s"match_$n")) ++
+      (1 to maxN).map(n => col(s"total_$n")) ++
+      Seq(when(anyZero, lit(0L))
+        .otherwise(round(lit(1e6) * bp * exp(logPrecSum / maxN))
+          .cast("long")).as("bleu_micros"))
+    joined.select(outCols: _*)
   }
 
   /** Expected calibration error over [[calibrationBins]] output:

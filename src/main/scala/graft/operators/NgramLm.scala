@@ -88,6 +88,66 @@ object NgramLm {
           / col("n_bigrams")) * lit(1000)).cast("long"))
   }
 
+  /** Score documents under interpolated Kneser–Ney smoothing (Kneser &
+    * Ney 1995; the smoothing KenLM — and therefore the CCNet filter —
+    * actually ships, where [[score]]'s Laplace is the teaching
+    * baseline): absolute discounting plus a CONTINUATION unigram —
+    * how many distinct contexts a word follows, not how often it
+    * occurs — so boilerplate tokens that are frequent in one context
+    * ("Francisco" after "San") stop inflating unseen-bigram mass.
+    *
+    *  - seen ctx:  `p(w|c) = max(cnt(c,w)−D, 0)/cnt(c)
+    *               + D·N1+(c·)/cnt(c) · p_cont(w)`
+    *  - unseen ctx: `p(w|c) = p_cont(w)`
+    *  - `p_cont(w) = (N1+(·w)+1)/(T+V)` — Laplace-smoothed over
+    *    bigram types T so wholly-unseen words keep mass.
+    *
+    * D = 0.75 (the standard fixed discount) is dyadic, and every other
+    * operand is an integer count, so the per-instance probability is a
+    * fixed IEEE expression tree both engines evaluate bit-identically;
+    * log-probs land as integer micros before the per-doc fold (the
+    * [[score]] convention — order-independent sums, ln residual class).
+    *
+    * Same 100 TB shape as [[score]]: keyed (ctx, word) scoring join,
+    * model-bounded side aggregates (ctx stats, continuation types, the
+    * 1-row (T, V) scalar broadcast), narrow bigram expansion.
+    *
+    * @return (idCol, n_bigrams, lp_micros, ppl_milli).
+    */
+  def scoreKneserNey(docs: DataFrame, idCol: String, textCol: String,
+                     model: DataFrame): DataFrame = {
+    val m = model.select(col("ctx"), col("word"), col("cnt"))
+    val ctxStats = m.groupBy(col("ctx"))
+      .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("ctx_types"))
+    val contTypes = m.groupBy(col("word"))
+      .agg(count(lit(1)).as("cont_types"))
+    // one pass over ctx ∪ word yields BOTH scalars: the union doubles
+    // the model rows, so T = count(*)/2 exactly, and V is the distinct
+    val scalars = m.select(col("ctx").as("t"))
+      .unionAll(m.select(col("word").as("t")))
+      .agg((count(lit(1)) / 2).cast("long").as("tt"),
+        count_distinct(col("t")).as("vs"))
+    val pcont = (coalesce(col("cont_types"), lit(0L)) + lit(1L))
+      .cast("double") / (col("tt") + col("vs")).cast("double")
+    val p = when(col("ctx_cnt").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("cnt"), lit(0L)).cast("double") - lit(0.75),
+          lit(0.0)) / col("ctx_cnt").cast("double")
+          + lit(0.75) * col("ctx_types").cast("double")
+            / col("ctx_cnt").cast("double") * pcont)
+    val lp = instances(docs, Seq(col(idCol)), textCol)
+      .join(m, Seq("ctx", "word"), "left")
+      .join(ctxStats, Seq("ctx"), "left")
+      .join(contTypes, Seq("word"), "left")
+      .crossJoin(broadcast(scalars)) // 1-row corpus scalar
+      .withColumn("lpm", round(log(p) * lit(1e6)).cast("long"))
+    lp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("lp_micros"))
+      .withColumn("ppl_milli",
+        round(exp(-(col("lp_micros").cast("double") / lit(1e6))
+          / col("n_bigrams")) * lit(1000)).cast("long"))
+  }
+
   /** Perplexity-band data pruning (Marion et al. 2023, "When Less is
     * More"): keep the documents whose model perplexity falls in the
     * middle of the distribution — the lowest-ppl tail is boilerplate

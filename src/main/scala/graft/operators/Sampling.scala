@@ -46,6 +46,33 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe train/test split: assign splits by the hash of the
+    * near-dup CLUSTER id, not the document id — two near-duplicates
+    * must never straddle train and eval (splitting by doc id leaks:
+    * the eval set contains paraphrases of training docs and the
+    * benchmark is contaminated; the reason dedup-then-split is the
+    * canonical order in LLM curation). `clusters` is
+    * [[Dedup.clusters]] output (id → cluster); docs without a cluster
+    * row (below the dedup threshold universe) fall back to their own
+    * id — a singleton cluster.
+    *
+    * Shape: one keyed left join (doc→cluster) + the narrow
+    * [[hashSplit]] projection on the cluster key. By construction
+    * every member of a cluster hashes identically, so the
+    * no-straddle invariant holds exactly (SamplingSpec pins it, and
+    * the qX_leakage_split oracle replays assignment end-to-end).
+    *
+    * @return input columns + (cluster, split).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    val cl = clusters.select(col(idCol), col("cluster").as("_cl"))
+    val joined = df.join(cl, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("_cl"), col(idCol)))
+      .drop("_cl")
+    hashSplit(joined, "cluster", splits)
+  }
+
   /** Deterministic `fraction` sample: keep rows whose hash bucket falls
     * below the fraction boundary. Subset-monotone: the 10% sample is a
     * subset of the 20% sample of the same data — the property that lets

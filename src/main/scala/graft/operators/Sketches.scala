@@ -140,6 +140,35 @@ object Sketches {
         count(when(col("cnt") === col("mcnt"), 1)).as("n_agree"))
   }
 
+  /** Equi-join cardinality estimation from two Count-Min sketches
+    * (Cormode & Muthukrishnan 2005 §4.3): `|A ⋈ B|` on a key is the
+    * inner product of the two key-frequency vectors, and the CMS
+    * estimate is `min_d Σ_b cntA[d][b]·cntB[d][b]` — never an
+    * under-estimate, over by ≤ n_A·n_B/width per row w.h.p. The
+    * planner-style use at 100 TB: decide shuffle-vs-broadcast or
+    * pre-size AQE partitions for a join WITHOUT running it, from two
+    * KB-sized sketches that each cost one map-side-combined scan
+    * (and which [[cmsMerged]] can fold incrementally per ingest
+    * batch — estimate tomorrow's join from today's sketches).
+    *
+    * The full-outer cell join keeps depth rows whose cells co-occupy
+    * nothing (ip = 0) so the min is taken over ALL depth rows.
+    *
+    * @return one row (depth, width, est_join_size).
+    */
+  def cmsJoinSize(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+                  width: Int = 2048, depth: Int = 4): DataFrame = {
+    val sa = cmsBuild(a, keyA, width, depth).withColumnRenamed("cnt", "ca")
+    val sb = cmsBuild(b, keyB, width, depth).withColumnRenamed("cnt", "cb")
+    sa.join(sb, Seq("d", "b"), "full")
+      .groupBy(col("d"))
+      .agg(sum(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L)))
+        .as("ip"))
+      .agg(min(col("ip")).as("est_join_size"))
+      .select(lit(depth.toLong).as("depth"), lit(width.toLong).as("width"),
+        col("est_join_size"))
+  }
+
   /** Per-group approximate percentiles (GK summary, rank error ≤
     * 1/accuracy). Returns one array column aligned with `qs`. */
   def quantileEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -441,6 +441,14 @@ object RelationalQueries {
         col("event_type"), width = 256, depth = 4)
     }),
 
+    // Join-cardinality estimation from two CMS inner products — size
+    // |orders ⋈ customer| without running the join (true size 15000
+    // at sf0.01; the estimate never under-counts).
+    "qX_cms_join_size" -> ((s, dir) => {
+      graft.operators.Sketches.cmsJoinSize(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", width = 4096, depth = 4)
+    }),
+
     "qJ3_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
@@ -892,6 +900,26 @@ object RelationalQueries {
         |      || CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS b
         |  FROM events e CROSS JOIN dd GROUP BY 1, 2)
         |SELECT count(*) AS n_cells, count(*) AS n_agree FROM cells""".stripMargin,
+    "qX_cms_join_size" ->
+      """WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |ca AS (
+        |  SELECT dd.d,
+        |    CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':'
+        |      || CAST(o.o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS b,
+        |    count(*) AS ca
+        |  FROM orders o CROSS JOIN dd GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT dd.d,
+        |    CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':'
+        |      || CAST(c.c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS b,
+        |    count(*) AS cb
+        |  FROM customer c CROSS JOIN dd GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT coalesce(ca.d, cb.d) AS d,
+        |    CAST(sum(coalesce(ca.ca, 0) * coalesce(cb.cb, 0)) AS BIGINT) AS ip
+        |  FROM ca FULL JOIN cb ON ca.d = cb.d AND ca.b = cb.b GROUP BY 1)
+        |SELECT CAST(4 AS BIGINT) AS depth, CAST(4096 AS BIGINT) AS width,
+        |  CAST(min(ip) AS BIGINT) AS est_join_size FROM ip""".stripMargin,
     "qX_topk_grouped" ->
       """WITH pu AS (
         |  SELECT event_type, user_id, count(*) AS n

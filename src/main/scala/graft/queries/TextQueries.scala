@@ -849,6 +849,60 @@ object TextQueries {
         NgramLm.train(docs.filter(col("doc_id") >= 200), "text"))
       NgramLm.pruneByPerplexity(scored, "doc_id", 0.1, 0.8)
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus BLEU of a synthetically degraded candidate (first 42
+    // tokens, every 7th dropped) vs the original text — clipping,
+    // pooled counts and the brevity penalty all exercised; one row.
+    "qX_bleu" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+      val base = slice(tokenize(col("text")), 1, 42)
+      val cand = concat_ws(" ", transform(
+        filter(sequence(lit(1), size(base)), i => i % 7 =!= 0),
+        i => element_at(base, i)))
+      graft.operators.Eval.corpusBleu(
+        docs.select(col("doc_id"), cand.as("cand"), col("text").as("ref")),
+        "doc_id", "cand", "ref", 4)
+    }),
+
+    // Interpolated Kneser-Ney scoring (the KenLM/CCNet smoothing) of
+    // docs < 200 under the model trained on docs >= 200 — seen,
+    // unseen-bigram and unseen-context branches all hit.
+    "qX_lm_kn" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      NgramLm.scoreKneserNey(docs.filter(col("doc_id") < 200),
+          "doc_id", "text",
+          NgramLm.train(docs.filter(col("doc_id") >= 200), "text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Declarative data-quality constraint suite in ONE agg pass —
+    // the ingest admission gate. n_chars_bounds FAILS by design
+    // (463/500 < 0.95): the passed column carries real signal.
+    "qX_constraints" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      import graft.operators.Profile._
+      checkConstraints(docs, Seq(
+        Completeness("text", 1.0),
+        Uniqueness("doc_id", 1.0),
+        Uniqueness("lang", 0.005),
+        Compliance("lang_in_set", "lang",
+          col("lang").isin("en", "de", "fr", "es", "zh"), 1.0),
+        Compliance("n_chars_bounds", "n_chars",
+          col("n_chars").between(1, 500), 0.95)))
+    }),
+
+    // Leakage-safe split: near-dup clusters (the qX_dedup_clusters
+    // pipeline) assign train/test by CLUSTER hash — no near-dup pair
+    // ever straddles the eval boundary.
+    "qX_leakage_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.1)
+      val clusters = Dedup.clusters(pairs, docs, "doc_id")
+      graft.operators.Sampling.leakageSafeSplit(
+          docs.select(col("doc_id"), col("lang")), "doc_id", clusters,
+          Seq("train" -> 0.8, "test" -> 0.2))
+        .orderBy(col("doc_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1725,5 +1779,147 @@ object TextQueries {
         |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
         |    AS BIGINT) < r.rate * 4294967296.0)
         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM s GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "qX_bleu" ->
+      s"""WITH d AS ($ToksSql),
+         |p0 AS (SELECT doc_id AS pid, list_slice(toks, 1, 42) AS base,
+         |  toks AS rt FROM d WHERE doc_id < 200),
+         |p AS (SELECT pid, list_transform(
+         |    list_filter(range(1, len(base) + 1), i -> i % 7 <> 0),
+         |    i -> base[i]) AS ct, rt FROM p0),
+         |nn AS (SELECT unnest([1, 2, 3, 4]) AS n),
+         |cg AS (SELECT pid, n, unnest(list_transform(
+         |    range(1, greatest(len(ct) - n + 1, 0) + 1),
+         |    i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))) AS gram
+         |  FROM p CROSS JOIN nn),
+         |rg AS (SELECT pid, n, unnest(list_transform(
+         |    range(1, greatest(len(rt) - n + 1, 0) + 1),
+         |    i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))) AS gram
+         |  FROM p CROSS JOIN nn),
+         |cc AS (SELECT pid, n, gram, count(*) AS cc FROM cg GROUP BY 1, 2, 3),
+         |rc AS (SELECT pid, n, gram, count(*) AS rc FROM rg GROUP BY 1, 2, 3),
+         |cl AS (SELECT cc.n, CAST(sum(least(cc.cc, coalesce(rc.rc, 0)))
+         |    AS BIGINT) AS m
+         |  FROM cc LEFT JOIN rc ON cc.pid = rc.pid AND cc.n = rc.n
+         |    AND cc.gram = rc.gram
+         |  GROUP BY 1),
+         |ms AS (SELECT
+         |  CAST(sum(CASE WHEN n = 1 THEN m ELSE 0 END) AS BIGINT) AS m1,
+         |  CAST(sum(CASE WHEN n = 2 THEN m ELSE 0 END) AS BIGINT) AS m2,
+         |  CAST(sum(CASE WHEN n = 3 THEN m ELSE 0 END) AS BIGINT) AS m3,
+         |  CAST(sum(CASE WHEN n = 4 THEN m ELSE 0 END) AS BIGINT) AS m4
+         |  FROM cl),
+         |ls AS (SELECT CAST(sum(len(ct)) AS BIGINT) AS c_len,
+         |  CAST(sum(len(rt)) AS BIGINT) AS r_len,
+         |  CAST(sum(greatest(len(ct), 0)) AS BIGINT) AS t1,
+         |  CAST(sum(greatest(len(ct) - 1, 0)) AS BIGINT) AS t2,
+         |  CAST(sum(greatest(len(ct) - 2, 0)) AS BIGINT) AS t3,
+         |  CAST(sum(greatest(len(ct) - 3, 0)) AS BIGINT) AS t4
+         |  FROM p)
+         |SELECT c_len, r_len, m1 AS match_1, m2 AS match_2, m3 AS match_3,
+         |  m4 AS match_4, t1 AS total_1, t2 AS total_2, t3 AS total_3,
+         |  t4 AS total_4,
+         |  CASE WHEN m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0 THEN 0
+         |  ELSE CAST(round(1e6 *
+         |    (CASE WHEN c_len >= r_len THEN 1.0
+         |     ELSE exp(1.0 - CAST(r_len AS DOUBLE) / c_len) END) *
+         |    exp((ln(CAST(m1 AS DOUBLE) / t1) + ln(CAST(m2 AS DOUBLE) / t2)
+         |      + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4))
+         |      / 4)) AS BIGINT) END AS bleu_micros
+         |FROM ls CROSS JOIN ms""".stripMargin,
+    "qX_lm_kn" ->
+      s"""WITH d AS ($ToksSql),
+         |big AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM d WHERE len(toks) >= 2),
+         |inst AS (
+         |  SELECT doc_id, split_part(bg, ' ', 1) AS ctx,
+         |    split_part(bg, ' ', 2) AS word FROM big),
+         |m AS (SELECT ctx, word, count(*) AS cnt FROM inst
+         |  WHERE doc_id >= 200 GROUP BY 1, 2),
+         |cs AS (SELECT ctx, CAST(sum(cnt) AS BIGINT) AS ctx_cnt,
+         |  CAST(count(*) AS BIGINT) AS ctx_types FROM m GROUP BY 1),
+         |ctp AS (SELECT word, CAST(count(*) AS BIGINT) AS cont_types
+         |  FROM m GROUP BY 1),
+         |sc AS (SELECT (SELECT count(*) FROM m) AS tt,
+         |  (SELECT count(DISTINCT t) FROM (
+         |    SELECT ctx AS t FROM m UNION ALL SELECT word FROM m)) AS vs),
+         |li AS (SELECT i.doc_id,
+         |  CAST(round(1e6 * ln(CASE WHEN cs.ctx_cnt IS NULL
+         |    THEN (coalesce(ctp.cont_types, 0) + 1)
+         |      / CAST(sc.tt + sc.vs AS DOUBLE)
+         |    ELSE greatest(coalesce(m.cnt, 0) - 0.75, 0.0)
+         |        / CAST(cs.ctx_cnt AS DOUBLE)
+         |      + 0.75 * cs.ctx_types / CAST(cs.ctx_cnt AS DOUBLE)
+         |        * ((coalesce(ctp.cont_types, 0) + 1)
+         |          / CAST(sc.tt + sc.vs AS DOUBLE))
+         |    END)) AS BIGINT) AS lpm
+         |  FROM inst i LEFT JOIN m ON i.ctx = m.ctx AND i.word = m.word
+         |  LEFT JOIN cs ON i.ctx = cs.ctx
+         |  LEFT JOIN ctp ON i.word = ctp.word
+         |  CROSS JOIN sc
+         |  WHERE i.doc_id < 200)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(lpm) AS BIGINT) AS lp_micros,
+         |  CAST(round(exp(-(sum(lpm) / 1e6) / count(*)) * 1000) AS BIGINT)
+         |    AS ppl_milli
+         |FROM li GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "qX_constraints" ->
+      """WITH s AS (SELECT
+        |  CAST(floor(1e6 * count(text) / count(*)) AS BIGINT) AS m0,
+        |  CAST(floor(1e6 * count(DISTINCT doc_id) / count(*)) AS BIGINT) AS m1,
+        |  CAST(floor(1e6 * count(DISTINCT lang) / count(*)) AS BIGINT) AS m2,
+        |  CAST(floor(1e6 * sum(CASE WHEN lang IN ('en','de','fr','es','zh')
+        |    THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS m3,
+        |  CAST(floor(1e6 * sum(CASE WHEN n_chars BETWEEN 1 AND 500
+        |    THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS m4
+        |  FROM documents)
+        |SELECT 'completeness(text)' AS "constraint", 'text' AS "column",
+        |  m0 AS metric_micros, CAST(1000000 AS BIGINT) AS threshold_micros,
+        |  m0 >= 1000000 AS passed FROM s
+        |UNION ALL SELECT 'lang_in_set', 'lang', m3, 1000000,
+        |  m3 >= 1000000 FROM s
+        |UNION ALL SELECT 'n_chars_bounds', 'n_chars', m4, 950000,
+        |  m4 >= 950000 FROM s
+        |UNION ALL SELECT 'uniqueness(doc_id)', 'doc_id', m1, 1000000,
+        |  m1 >= 1000000 FROM s
+        |UNION ALL SELECT 'uniqueness(lang)', 'lang', m2, 5000,
+        |  m2 >= 5000 FROM s
+        |ORDER BY "constraint"""".stripMargin,
+    "qX_leakage_split" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks), 2)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
+        |  FROM d WHERE len(toks) >= 2),
+        |posts AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |p AS (
+        |  SELECT id1, id2 FROM pairs
+        |  WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.1),
+        |adj AS (SELECT id1 AS f, id2 AS t FROM p
+        |        UNION ALL SELECT id2, id1 FROM p),
+        |reach(v, r) AS (
+        |  SELECT f, f FROM (SELECT DISTINCT f FROM adj)
+        |  UNION
+        |  SELECT reach.v, adj.t FROM reach JOIN adj ON reach.r = adj.f),
+        |comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v),
+        |asg AS (
+        |  SELECT dd.doc_id, dd.lang, coalesce(comp.cluster, dd.doc_id) AS cluster
+        |  FROM (SELECT doc_id, lang FROM documents WHERE doc_id < 300) dd
+        |  LEFT JOIN comp ON dd.doc_id = comp.doc_id)
+        |SELECT doc_id, lang, cluster,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))
+        |      AS BIGINT) < 0.8 * 4294967296.0
+        |    THEN 'train' ELSE 'test' END AS split
+        |FROM asg ORDER BY doc_id""".stripMargin)
 }

@@ -41,6 +41,31 @@ class CmsSpec extends AnyFunSuite with SparkSpec {
     assert(absent >= 0 && absent <= 300)
   }
 
+  test("cmsJoinSize: exact on a wide sketch, never under-counts, 0-overlap reads near 0") {
+    // single shared key: |a ⋈ b| = 3·4 = 12; two side-only keys can
+    // only inflate a depth row they collide in — min picks a clean row
+    val a = (0 until 3).map(_ => Tuple1(7L)).toDF("k")
+      .unionAll(Seq(Tuple1(1L)).toDF("k"))
+    val b = (0 until 4).map(_ => Tuple1(7L)).toDF("k")
+      .unionAll(Seq(Tuple1(2L)).toDF("k"))
+    val est = Sketches.cmsJoinSize(a, "k", b, "k", width = 2048, depth = 4)
+      .select(col("est_join_size")).head.getLong(0)
+    assert(est === 12L)
+    // the one-sided guarantee under forced collisions: est >= exact
+    val sk = skewed
+    val exact = sk.as("x").join(sk.as("y"), col("x.k") === col("y.k")).count()
+    val estSkew = Sketches.cmsJoinSize(sk, "k", sk, "k", width = 4, depth = 3)
+      .select(col("est_join_size")).head.getLong(0)
+    assert(estSkew >= exact)
+    // disjoint key sets: only collision mass remains
+    val d1 = (0 until 5).map(i => Tuple1(i.toLong)).toDF("k")
+    val d2 = (100 until 105).map(i => Tuple1(i.toLong)).toDF("k")
+    val estDisj = Sketches.cmsJoinSize(d1, "k", d2, "k",
+        width = 2048, depth = 4)
+      .select(col("est_join_size")).head.getLong(0)
+    assert(estDisj === 0L)
+  }
+
   test("slice-merged sketch equals the one-pass sketch cell-for-cell") {
     val df = skewed.withColumn("slice", (col("k") % 3).cast("string"))
     val r = Sketches.cmsContract(df, "k", col("slice"), width = 8, depth = 3)

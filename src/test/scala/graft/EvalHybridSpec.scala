@@ -61,6 +61,46 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     assert(e.getAs[Long]("ece_micros") === 225000L)
   }
 
+  // ----------------------------------------------------------- BLEU
+
+  test("corpusBleu: identical pair scores exactly 1e6") {
+    val pairs = Seq((1L, "a b c d e", "a b c d e")).toDF("pid", "c", "r")
+    val row = Eval.corpusBleu(pairs, "pid", "c", "r", 4).collect()(0)
+    assert(row.getAs[Long]("bleu_micros") === 1000000L)
+    assert(row.getAs[Long]("match_4") === 2L)
+    assert(row.getAs[Long]("total_4") === 2L)
+  }
+
+  test("corpusBleu: clipping caps repeated grams; zero n-gram overlap zeroes BLEU") {
+    // the classic clipping case: 7×"the" vs "the cat" — unigram match
+    // clips to 1, no bigram overlap → BLEU 0 but counts still report
+    val pairs = Seq((1L, "the the the the the the the", "the cat"))
+      .toDF("pid", "c", "r")
+    val row = Eval.corpusBleu(pairs, "pid", "c", "r", 2).collect()(0)
+    assert(row.getAs[Long]("match_1") === 1L)
+    assert(row.getAs[Long]("total_1") === 7L)
+    assert(row.getAs[Long]("match_2") === 0L)
+    assert(row.getAs[Long]("bleu_micros") === 0L)
+  }
+
+  test("corpusBleu: brevity penalty branch and corpus pooling match hand math") {
+    // truncated candidate: every n-gram matches, BP = exp(1 - 6/4)
+    val short = Seq((1L, "a b c d", "a b c d e f")).toDF("pid", "c", "r")
+    val r1 = Eval.corpusBleu(short, "pid", "c", "r", 4).collect()(0)
+    assert(r1.getAs[Long]("c_len") === 4L)
+    assert(r1.getAs[Long]("r_len") === 6L)
+    assert(r1.getAs[Long]("bleu_micros") ===
+      math.round(1e6 * math.exp(1.0 - 6.0 / 4)))
+    // pooling across pairs: counts sum over the corpus BEFORE the
+    // precision ratio (corpus BLEU, not mean sentence BLEU)
+    val two = Seq((1L, "a b", "a b"), (2L, "x y", "x z")).toDF("pid", "c", "r")
+    val r2 = Eval.corpusBleu(two, "pid", "c", "r", 2).collect()(0)
+    assert(r2.getAs[Long]("match_1") === 3L) // 2 + 1 (y misses)
+    assert(r2.getAs[Long]("match_2") === 1L) // "a b" only
+    assert(r2.getAs[Long]("bleu_micros") ===
+      math.round(1e6 * math.exp((math.log(3.0 / 4) + math.log(1.0 / 2)) / 2)))
+  }
+
   // ------------------------------------------------------------ RRF
 
   test("rrf: hand-computed fusion, rank ties broken by id") {

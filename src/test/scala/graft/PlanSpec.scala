@@ -439,6 +439,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(bnlj <= 2, s"unexpected nested loops ($bnlj):\n" + p.take(3000))
   }
 
+  test("bleu: pair-keyed clip with map-side partials, 1-row barriers only") {
+    val p = plan("qX_bleu")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-wide gram join allowed:\n" + p.take(3000))
+    // clip groupBy must combine map-side before the shuffle
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      p.take(3000))
+    // the only nested loop is the 1-row lens × matches cross
+    val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1, s"only the 1-row cross may nested-loop ($bnlj)")
+  }
+
+  test("constraints: ONE scan, one aggregation — never per-check jobs") {
+    val p = plan("qX_constraints")
+    // exactly one parquet scan of documents
+    assert(p.split("Scan parquet").length - 1 == 1,
+      "constraint suite must fold into one scan:\n" + p.take(3000))
+    assert(!p.contains("Join"), "no joins in a one-pass validation")
+  }
+
+  test("cms join-size: sketch-keyed join, no cartesian, map-side partials") {
+    val p = plan("qX_cms_join_size")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "sketch build needs map-side combine:\n" + p.take(3000))
+  }
+
+  test("kneser-ney: model-bounded sides; 1-row scalar broadcast only") {
+    val p = plan("qX_lm_kn")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1, s"only the (T,V) scalar may nested-loop ($bnlj)")
+  }
+
   test("pca: projection is a narrow codegen mat-vec; moments shuffles once") {
     val emb = Tables.load(spark, dir, "embeddings")
     val basis = Array.tabulate(4, 64)((r, i) => (r * 64 + i) * 1e-3)

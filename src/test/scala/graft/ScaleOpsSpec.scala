@@ -323,6 +323,47 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(p10.subsetOf(p25) && p10.nonEmpty && p25.size > p10.size)
   }
 
+  test("leakageSafeSplit: cluster members never straddle splits; singletons fall back to own id") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 100 docs, near-dup clusters of 2 (cluster = id/2); doc 99 has no
+    // cluster row at all — the singleton fallback
+    val docs = (0L until 100L).map(i => Tuple1(i)).toDF("doc_id")
+    val clusters = (0L until 99L).map(i => (i, i / 2)).toDF("doc_id", "cluster")
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length === 100)
+    // the no-straddle invariant: one split per cluster
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.forall(_._2.size == 1))
+    // singleton fallback: doc 99 clusters to itself
+    val d99 = got.find(_._1 == 99L).get
+    assert(d99._2 === 99L)
+    // both labels actually occur at n=100
+    assert(got.map(_._3).toSet === Set("train", "test"))
+  }
+
+  test("checkConstraints: one-pass metrics with a failing row") {
+    import spark.implicits._
+    import graft.operators.Profile
+    import graft.operators.Profile._
+    val df = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, None, 30L), (3L, Some("c"), 200L))
+      .toDF("id", "s", "v")
+    val got = Profile.checkConstraints(df, Seq(
+        Completeness("s", 1.0),           // 3/4 -> fail
+        Uniqueness("id", 1.0),            // 3/4 -> fail
+        Compliance("v_bounds", "v", col("v").between(1, 100), 0.5)))
+      .collect().map(r => r.getAs[String]("constraint") ->
+        (r.getAs[Long]("metric_micros"), r.getAs[Long]("threshold_micros"),
+          r.getAs[Boolean]("passed"))).toMap
+    assert(got("completeness(s)") === ((750000L, 1000000L, false)))
+    assert(got("uniqueness(id)") === ((750000L, 1000000L, false)))
+    assert(got("v_bounds") === ((750000L, 500000L, true)))
+  }
+
   test("perKeyCap keeps at most n rows per key, the lowest by the order") {
     import graft.operators.Sampling
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
