@@ -156,8 +156,9 @@ object Eval {
     */
   def corpusBleu(pairs: DataFrame, idCol: String, candCol: String,
                  refCol: String, maxN: Int = 4): DataFrame = {
-    val toks = (c: Column) =>
-      filter(split(lower(c), "\\s+"), t => t =!= "")
+    // Shared tokenizer — qX_bleu's oracle SQL mirrors this exact
+    // split/lower/filter; reusing it keeps the two from drifting.
+    val toks = (c: Column) => graft.functions.GraftFunctions.tokenize(c)
     // (n, gram) structs for all n in 1..maxN, one narrow transform.
     val grams = (tc: Column) => flatten(array((1 to maxN).map { n =>
       transform(sequence(lit(1), greatest(size(tc) - lit(n - 1), lit(0))),

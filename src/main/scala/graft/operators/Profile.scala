@@ -51,9 +51,18 @@ object Profile {
   /** Fraction of rows with `column` non-null ≥ `minFrac`. */
   final case class Completeness(column: String, minFrac: Double)
       extends Check { val name = s"completeness($column)" }
-  /** `count(DISTINCT column) / count(*)` ≥ `minFrac` (1.0 = key). */
+  /** TRUE Deequ uniqueness: fraction of rows whose value occurs
+    * EXACTLY once ≥ `minFrac` (1.0 = key; NULL forms its own group).
+    * Costs one grouped pass on `column` (a keyed, map-side-combined
+    * shuffle) on top of the fold — the same price Deequ pays. */
   final case class Uniqueness(column: String, minFrac: Double)
       extends Check { val name = s"uniqueness($column)" }
+  /** Deequ DISTINCTNESS: `count(DISTINCT column) / count(*)` ≥
+    * `minFrac`. Coincides with [[Uniqueness]] only at minFrac = 1.0;
+    * for sub-1.0 thresholds they check different properties (a value
+    * repeated 100× counts once here, zero times there). */
+  final case class Distinctness(column: String, minFrac: Double)
+      extends Check { val name = s"distinctness($column)" }
   /** Fraction of rows satisfying `predicate` ≥ `minFrac` (NULL
     * predicate counts as a violation). Covers bounds / set-membership
     * / regex checks — the predicate is any Column expression. */
@@ -61,15 +70,20 @@ object Profile {
                               predicate: Column, minFrac: Double)
       extends Check
 
-  /** Validate a declarative constraint suite in ONE aggregation pass
-    * — the admission gate a pipeline runs on every new ingest batch
-    * before letting it into the corpus. All metrics fold in a single
-    * scan+reduce (the [[summarize]] shape; `Uniqueness` adds
-    * `count(DISTINCT)` which Spark plans as one expand+shuffle); the
-    * report is |checks| rows, never a second scan.
+  /** Validate a declarative constraint suite — the admission gate a
+    * pipeline runs on every new ingest batch before letting it into
+    * the corpus. `Completeness` / `Distinctness` / `Compliance`
+    * metrics all fold in a SINGLE scan+reduce (the [[summarize]]
+    * shape; `Distinctness` adds `count(DISTINCT)` which Spark plans
+    * as one expand+shuffle); each [[Uniqueness]] check adds exactly
+    * one grouped pass on its column. The report is |checks| rows.
     *
     * Determinism: metrics are `floor(1e6·num/den)` over integer
     * counts — engine-exact, full-SQL-oracle-able (qX_constraints).
+    *
+    * Empty batch (n = 0): every metric reports 0, so any check with a
+    * positive threshold FAILS — an empty/broken ingest never slips
+    * through a `passed = false` filter as silently NULL.
     *
     * @return one row per check, ordered by constraint name:
     *         (constraint, column, metric_micros, threshold_micros,
@@ -77,24 +91,45 @@ object Profile {
     */
   def checkConstraints(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
-    val n = count(lit(1))
-    val aggs = checks.zipWithIndex.map { case (c, i) =>
-      val num = c match {
-        case Completeness(cl, _)     => count(col(cl)).cast("long")
-        case Uniqueness(cl, _)       => countDistinct(col(cl)).cast("long")
-        case Compliance(_, _, p, _)  =>
-          sum(when(p, 1L).otherwise(0L)).cast("long")
-      }
-      floor(lit(1e6) * num / n).cast("long").as(s"_m$i")
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = checks.zipWithIndex.map { case (c, i) =>
+    def report(c: Check, metric: Column): Column =
       struct(lit(c.name).as("constraint"), lit(c.column).as("column"),
-        col(s"_m$i").as("metric_micros"),
+        metric.as("metric_micros"),
         lit(c.thresholdMicros).as("threshold_micros"),
-        (col(s"_m$i") >= lit(c.thresholdMicros)).as("passed"))
+        (metric >= lit(c.thresholdMicros)).as("passed"))
+    val (unique, folded) = checks.partition(_.isInstanceOf[Uniqueness])
+    val foldFrame = if (folded.isEmpty) None else Some {
+      val n = count(lit(1))
+      val aggs = folded.zipWithIndex.map { case (c, i) =>
+        val num = c match {
+          case Completeness(cl, _)    => count(col(cl)).cast("long")
+          case Distinctness(cl, _)    => countDistinct(col(cl)).cast("long")
+          case Compliance(_, _, p, _) =>
+            sum(when(p, 1L).otherwise(0L)).cast("long")
+          case u: Uniqueness          =>
+            throw new IllegalStateException(s"unpartitioned $u")
+        }
+        when(n === 0L, lit(0L))
+          .otherwise(floor(lit(1e6) * num / n)).cast("long").as(s"_m$i")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val rows = folded.zipWithIndex.map { case (c, i) =>
+        report(c, col(s"_m$i"))
+      }
+      one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
     }
-    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+    val uniqueFrames = unique.map { c =>
+      df.groupBy(col(c.column)).agg(count(lit(1)).as("_c"))
+        .agg(
+          coalesce(sum(when(col("_c") === 1L, 1L).otherwise(0L)), lit(0L))
+            .as("_ones"),
+          coalesce(sum(col("_c")), lit(0L)).as("_tot"))
+        .select(when(col("_tot") === 0L, lit(0L))
+          .otherwise(floor(lit(1e6) * col("_ones") / col("_tot")))
+          .cast("long").as("_m"))
+        .select(report(c, col("_m")).as("p")).select(col("p.*"))
+    }
+    (foldFrame.toSeq ++ uniqueFrames)
+      .reduce(_.unionAll(_))
       .orderBy(col("constraint"))
   }
 }

@@ -164,7 +164,9 @@ object Sketches {
       .groupBy(col("d"))
       .agg(sum(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L)))
         .as("ip"))
-      .agg(min(col("ip")).as("est_join_size"))
+      // Both inputs empty ⇒ zero cell rows ⇒ min over nothing; the
+      // documented one-row contract still owes an estimate: 0.
+      .agg(coalesce(min(col("ip")), lit(0L)).as("est_join_size"))
       .select(lit(depth.toLong).as("depth"), lit(width.toLong).as("width"),
         col("est_join_size"))
   }

@@ -885,7 +885,7 @@ object TextQueries {
       checkConstraints(docs, Seq(
         Completeness("text", 1.0),
         Uniqueness("doc_id", 1.0),
-        Uniqueness("lang", 0.005),
+        Distinctness("lang", 0.005),
         Compliance("lang_in_set", "lang",
           col("lang").isin("en", "de", "fr", "es", "zh"), 1.0),
         Compliance("n_chars_bounds", "n_chars",
@@ -1866,9 +1866,12 @@ object TextQueries {
          |    AS ppl_milli
          |FROM li GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "qX_constraints" ->
-      """WITH s AS (SELECT
+      """WITH u AS (SELECT count(*) AS ones FROM (
+        |    SELECT doc_id FROM documents GROUP BY doc_id
+        |    HAVING count(*) = 1)),
+        |s AS (SELECT
         |  CAST(floor(1e6 * count(text) / count(*)) AS BIGINT) AS m0,
-        |  CAST(floor(1e6 * count(DISTINCT doc_id) / count(*)) AS BIGINT) AS m1,
+        |  CAST(floor(1e6 * (SELECT ones FROM u) / count(*)) AS BIGINT) AS m1,
         |  CAST(floor(1e6 * count(DISTINCT lang) / count(*)) AS BIGINT) AS m2,
         |  CAST(floor(1e6 * sum(CASE WHEN lang IN ('en','de','fr','es','zh')
         |    THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS m3,
@@ -1878,14 +1881,14 @@ object TextQueries {
         |SELECT 'completeness(text)' AS "constraint", 'text' AS "column",
         |  m0 AS metric_micros, CAST(1000000 AS BIGINT) AS threshold_micros,
         |  m0 >= 1000000 AS passed FROM s
+        |UNION ALL SELECT 'distinctness(lang)', 'lang', m2, 5000,
+        |  m2 >= 5000 FROM s
         |UNION ALL SELECT 'lang_in_set', 'lang', m3, 1000000,
         |  m3 >= 1000000 FROM s
         |UNION ALL SELECT 'n_chars_bounds', 'n_chars', m4, 950000,
         |  m4 >= 950000 FROM s
         |UNION ALL SELECT 'uniqueness(doc_id)', 'doc_id', m1, 1000000,
         |  m1 >= 1000000 FROM s
-        |UNION ALL SELECT 'uniqueness(lang)', 'lang', m2, 5000,
-        |  m2 >= 5000 FROM s
         |ORDER BY "constraint"""".stripMargin,
     "qX_leakage_split" ->
       """WITH RECURSIVE d AS (

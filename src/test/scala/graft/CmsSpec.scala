@@ -64,6 +64,12 @@ class CmsSpec extends AnyFunSuite with SparkSpec {
         width = 2048, depth = 4)
       .select(col("est_join_size")).head.getLong(0)
     assert(estDisj === 0L)
+    // both inputs empty: the one-row contract still holds, est = 0
+    val e = Seq.empty[Tuple1[Long]].toDF("k")
+    val estEmpty = Sketches.cmsJoinSize(e, "k", e, "k",
+        width = 64, depth = 2).collect()
+    assert(estEmpty.length === 1)
+    assert(estEmpty.head.getAs[Long]("est_join_size") === 0L)
   }
 
   test("slice-merged sketch equals the one-pass sketch cell-for-cell") {

@@ -354,14 +354,33 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
       .toDF("id", "s", "v")
     val got = Profile.checkConstraints(df, Seq(
         Completeness("s", 1.0),           // 3/4 -> fail
-        Uniqueness("id", 1.0),            // 3/4 -> fail
+        Uniqueness("id", 1.0),            // ids once: {1,2} -> 2/4 fail
+        Distinctness("id", 0.7),          // 3 distinct / 4 -> pass
         Compliance("v_bounds", "v", col("v").between(1, 100), 0.5)))
       .collect().map(r => r.getAs[String]("constraint") ->
         (r.getAs[Long]("metric_micros"), r.getAs[Long]("threshold_micros"),
           r.getAs[Boolean]("passed"))).toMap
     assert(got("completeness(s)") === ((750000L, 1000000L, false)))
-    assert(got("uniqueness(id)") === ((750000L, 1000000L, false)))
+    // TRUE Deequ uniqueness (values occurring exactly once), not
+    // distinctness: id=3 repeats, so only 2 of 4 rows are unique.
+    assert(got("uniqueness(id)") === ((500000L, 1000000L, false)))
+    assert(got("distinctness(id)") === ((750000L, 700000L, true)))
     assert(got("v_bounds") === ((750000L, 500000L, true)))
+  }
+
+  test("checkConstraints: empty batch fails positive thresholds, never NULL") {
+    import spark.implicits._
+    import graft.operators.Profile
+    import graft.operators.Profile._
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val got = Profile.checkConstraints(empty, Seq(
+        Completeness("s", 0.9),
+        Uniqueness("id", 1.0),
+        Distinctness("id", 0.5)))
+      .collect().map(r => r.getAs[String]("constraint") ->
+        (r.getAs[Long]("metric_micros"), r.getAs[Boolean]("passed"))).toMap
+    assert(got.size === 3)
+    assert(got.values.forall { case (m, p) => m == 0L && !p })
   }
 
   test("perKeyCap keeps at most n rows per key, the lowest by the order") {
