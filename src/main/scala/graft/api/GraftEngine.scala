@@ -736,6 +736,19 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.Similarity.mmr(queries, corpus, qidCol, qvecCol,
       idCol, vecCol, nCand, k, lambda)
 
+  /** [[diversify]] with IVF-sourced candidates
+    * ([[graft.operators.Similarity.mmrIndexed]]) — the corpus-scale
+    * path: candidate generation probes `nprobe` cells of the centroid
+    * index instead of scanning the corpus per query; `nprobe = #cells`
+    * reproduces [[diversify]] exactly (spec + oracle pinned). */
+  def diversifyIndexed(queries: DataFrame, corpus: DataFrame,
+                       centroids: DataFrame, qidCol: String, qvecCol: String,
+                       idCol: String, vecCol: String, nCand: Int = 20,
+                       k: Int = 5, lambda: Double = 0.5,
+                       nprobe: Int = 8): DataFrame =
+    graft.operators.Similarity.mmrIndexed(queries, corpus, centroids,
+      qidCol, qvecCol, idCol, vecCol, nCand, k, lambda, nprobe)
+
   /** Rank-based ROC-AUC of a scored frame (0/1 `labelCol`, integer
     * `scoreCol`) — gate a [[qualityTrain]]ed filter before it deletes
     * terabytes ([[graft.operators.Eval.aucRank]]). */
@@ -773,18 +786,20 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                refCol: String, maxN: Int = 4): DataFrame =
     graft.operators.Eval.corpusBleu(pairs, idCol, candCol, refCol, maxN)
 
-  /** Validate a declarative data-quality constraint suite in one
-    * aggregation pass ([[graft.operators.Profile.checkConstraints]])
-    * — the ingest admission gate. */
+  /** Validate a declarative data-quality constraint suite
+    * ([[graft.operators.Profile.checkConstraints]]; one fold pass +
+    * one grouped pass per Uniqueness check) — the ingest admission
+    * gate. */
   def validate(df: DataFrame,
                checks: Seq[graft.operators.Profile.Check]): DataFrame =
     graft.operators.Profile.checkConstraints(df, checks)
 
   /** Near-dup-cluster-aware train/test split
     * ([[graft.operators.Sampling.leakageSafeSplit]]): no two
-    * near-duplicates ever straddle the eval boundary. `clusters`
-    * defaults to nothing — pass [[semanticDedup]] / Dedup.clusters
-    * output for the corpus being split. */
+    * near-duplicates ever straddle the eval boundary. `clusters` is
+    * REQUIRED: pass [[semanticDedup]] / Dedup.clusters output for the
+    * corpus being split (an empty frame degrades to a plain hash
+    * split with no leakage guarantee). */
   def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
                        splits: Seq[(String, Double)]): DataFrame =
     graft.operators.Sampling.leakageSafeSplit(df, idCol, clusters, splits)

@@ -404,6 +404,61 @@ object Similarity {
         nCand)
       .select(col("qid"), col("best.i").as("id"), (-col("best.ns")).as("simq"),
         col("best.v").as("vec"))
+    mmrFromCandidates(cand, k, lambda)
+  }
+
+  /** [[mmr]] with candidates sourced from the IVF index instead of a
+    * corpus scan — the 100 TB path. [[ivfTopK]] bounds each query's
+    * candidate generation to its `nprobe` nearest cells (the cell
+    * equi-join on a cell-partitioned corpus; never a corpus-wide
+    * nested loop), then the candidate vectors hydrate through one
+    * broadcast equi-join on id (nQ·nCand rows — re-rank-window sized)
+    * and the greedy rounds run unchanged on the small candidate table.
+    *
+    * `nprobe = #cells` makes the candidate set EXACTLY [[mmr]]'s
+    * brute-force top-nCand (same rounded sims, same id tiebreak), so
+    * indexed ≡ brute is spec-pinned at full probe; smaller nprobe
+    * trades recall for scan cost, the standard IVF dial. The same
+    * shape works over byte codes: source ids from [[Pq.ivfPqTopK]]
+    * and hand the hydrated frame to [[mmrFromCandidates]] (ADC
+    * ranking makes the candidate SET approximate, so that variant has
+    * no exact-equivalence contract).
+    */
+  def mmrIndexed(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                 qidCol: String, qvecCol: String,
+                 idCol: String, vecCol: String,
+                 nCand: Int, k: Int, lambda: Double = 0.5,
+                 nprobe: Int = 8): DataFrame =
+    mmrFromCandidates(
+      mmrIndexedCandidates(queries, corpus, centroids, qidCol, qvecCol,
+        idCol, vecCol, nCand, nprobe),
+      k, lambda)
+
+  /** [[mmrIndexed]]'s candidate generation, factored for the plan
+    * guard: IVF probe + vector hydration, no corpus-wide nested loop
+    * (the only cross joins are the two centroid-bounded ones every
+    * IVF plan carries — query probe ranking and corpus cell assign). */
+  private[graft] def mmrIndexedCandidates(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      qidCol: String, qvecCol: String, idCol: String, vecCol: String,
+      nCand: Int, nprobe: Int): DataFrame = {
+    val hits = ivfTopK(queries, corpus, centroids, qidCol, qvecCol,
+      idCol, vecCol, nCand, nprobe)
+    broadcast(hits.select(col("qid"), col("id"), col("sim").as("simq")))
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+      .select(col("qid"), col("id"), col("simq"), col("vec"))
+  }
+
+  /** The MMR greedy rounds over a caller-provided candidate frame
+    * `(qid, id, simq, vec)` — any top-k retriever output hydrated
+    * with its vectors ([[bruteForceTopK]], [[ivfTopK]],
+    * [[Pq.ivfPqTopK]], a hybrid fusion). Candidate count per query is
+    * the re-rank window (10–100): the pair table is |cand|² PER QUERY,
+    * each of the `k` rounds one keyed join + bounded-heap argmax,
+    * driver state O(1). */
+  def mmrFromCandidates(cand0: DataFrame, k: Int,
+                        lambda: Double = 0.5): DataFrame = {
+    val cand = cand0.select(col("qid"), col("id"), col("simq"), col("vec"))
       .localCheckpoint(true)
     val pairs = cand.select(col("qid"), col("id").as("a"), col("vec").as("va"))
       .join(cand.select(col("qid"), col("id").as("b"), col("vec").as("vb")),

@@ -37,6 +37,19 @@ object SimilarityQueries {
         nCand = 20, k = 5, lambda = 0.5)
     }),
 
+    // MMR with IVF-sourced candidates at full probe: the indexed path
+    // (cell-pruned candidate generation, no corpus NLJ) reproduces the
+    // brute-force candidate set exactly, so the SAME unrolled oracle
+    // gates it — the scale path is full-oracle, not just spec-pinned.
+    "qX_mmr_indexed" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (_, cents) =
+        Similarity.kmeansFit(emb, "vec_id", "embedding", k = 4, iters = 2)
+      Similarity.mmrIndexed(emb.filter(col("vec_id") < 5), emb, cents,
+        "vec_id", "embedding", "vec_id", "embedding",
+        nCand = 20, k = 5, lambda = 0.5, nprobe = 4)
+    }),
+
     // Hybrid retrieval: RRF-fuse a lexical more-like-this run (batch
     // tf·idf over the inverted index) with a dense cosine run for the
     // same 5 query ids (doc_id ≡ vec_id in the testdata) — the
@@ -868,6 +881,8 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "qX_mmr" -> mmrSql(nCand = 20, k = 5),
+    // full probe ≡ brute force: identical unrolled greedy oracle
+    "qX_mmr_indexed" -> mmrSql(nCand = 20, k = 5),
     "qX_rrf_hybrid" ->
       (RrfHybridCte + """
         |SELECT qid, id, rrf_micros FROM franked WHERE rn <= 10

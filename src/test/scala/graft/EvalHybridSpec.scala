@@ -218,6 +218,23 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((1, 1L), (2, 3L)))
   }
 
+  test("mmrIndexed at nprobe = #cells equals brute-force mmr exactly") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val (_, cents) =
+      Similarity.kmeansFit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("step"),
+        r.getAs[Long]("id"), r.getAs[Double]("mmr"))).toSeq
+    val brute = rows(Similarity.mmr(q, emb, "vec_id", "embedding",
+      "vec_id", "embedding", nCand = 15, k = 5, lambda = 0.5))
+    // full probe: the IVF candidate set IS the brute-force top-nCand
+    // (same rounded sims, same id tiebreak) -> identical greedy picks
+    val idx = rows(Similarity.mmrIndexed(q, emb, cents, "vec_id", "embedding",
+      "vec_id", "embedding", nCand = 15, k = 5, lambda = 0.5, nprobe = 4))
+    assert(brute.nonEmpty && idx === brute)
+  }
+
   // ----------------------------------------------------- modularity
 
   test("modularity: two triangles joined by one edge, hand-computed") {

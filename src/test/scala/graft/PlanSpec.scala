@@ -246,6 +246,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("mmrIndexed candidates: cell-pruned hash joins, no corpus-wide nested loop") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (_, cents) = graft.operators.Similarity
+      .kmeansFit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val p = graft.operators.Similarity
+      .mmrIndexedCandidates(emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+        emb, cents, "vec_id", "embedding", "vec_id", "embedding",
+        nCand = 10, nprobe = 2)
+      .queryExecution.executedPlan.toString()
+    // the only cross joins are the two centroid-bounded ones every IVF
+    // plan carries (query probe ranking, corpus cell assignment) — the
+    // corpus itself is reached through cell/id equi-joins
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"corpus-wide nested loop crept in ($bnlj):\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("dsir weights: bucket histograms broadcast into the feature scan, no sort-merge") {
     val p = plan("qX_dsir_weights")
     assert(!p.contains("SortMergeJoin"), p.take(3000))
@@ -452,12 +470,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(bnlj <= 1, s"only the 1-row cross may nested-loop ($bnlj)")
   }
 
-  test("constraints: ONE scan, one aggregation — never per-check jobs") {
+  test("constraints: one fold scan + one grouped scan per Uniqueness, no joins") {
     val p = plan("qX_constraints")
-    // exactly one parquet scan of documents
-    assert(p.split("Scan parquet").length - 1 == 1,
-      "constraint suite must fold into one scan:\n" + p.take(3000))
-    assert(!p.contains("Join"), "no joins in a one-pass validation")
+    // the 4 foldable checks share ONE scan; the single true-uniqueness
+    // check (doc_id) adds exactly one grouped pass — never per-check jobs
+    assert(p.split("Scan parquet").length - 1 == 2,
+      "constraint suite must fold into 1 + #uniqueness scans:\n" + p.take(3000))
+    assert(!p.contains("Join"), "no joins in a constraint validation")
   }
 
   test("cms join-size: sketch-keyed join, no cartesian, map-side partials") {
