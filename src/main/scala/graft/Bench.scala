@@ -87,17 +87,71 @@ object Bench {
     // ~4.5 KB — its head (and the "{"metric" anchor) is ALWAYS cut off, so
     // r7/r8 recorded parsed:null. The file is the lossless committed copy.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
-    val full = line(qJson(results), "")
+    // Regression tripwire: diff against the PREVIOUS committed artifact
+    // (read before overwrite). Flag a query when this run is >1.5x its
+    // prior time AND above an absolute floor (sub-0.3 s deltas are the
+    // box's scheduling jitter, not a plan change). Deliberate trades
+    // still show up here — that's the point: the diff is surfaced in
+    // the artifact instead of waiting for a judge to spot it.
+    val prevQueries: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outPath)), java.nio.charset.StandardCharsets.UTF_8)
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      (j \ "queries") match {
+        case org.json4s.JObject(fs) => fs.collect {
+          case (k, org.json4s.JDouble(v))  => k -> v
+          case (k, org.json4s.JInt(v))     => k -> v.toDouble
+          case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty }
+    val regressions = results.flatMap { case (name, v) =>
+      prevQueries.get(name).collect {
+        case prev if prev > 0 && v > 1.5 * prev && v - prev > 0.3 =>
+          (name, prev, v)
+      }
+    }.sortBy { case (_, prev, v) => -(v - prev) }
+    val regJson = regressions.map { case (n, p, v) =>
+      s"""{"q":${JsonUtil.quote(n)},"prev":${fmt(p)},"now":${fmt(v)}}"""
+    }.mkString("[", ",", "]")
+    regressions.foreach { case (n, p, v) =>
+      System.err.println(s"[bench] REGRESSION $n: ${fmt(p)}s -> ${fmt(v)}s") }
+    val full = line(qJson(results), s""""regressions":$regJson,""")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // Fold the DuckDB-oracle wall-time annotation into the run itself:
+    // every round's committed artifact carries the per-query "duckdb"
+    // map (the computed 2x-of-single-node bar) without a manual tool
+    // pass that a post-round refresh can forget. Best-effort: a box
+    // without python3/duckdb just leaves the artifact unannotated.
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_DUCKDB")) {
+      val oraclePath = outPath + ".oracle_sql.json"
+      val oracleJson = SparkEntry.oracleSql
+        .map { case (k, v) => s"${JsonUtil.quote(k)}: ${JsonUtil.quote(v)}" }
+        .mkString("{", ",", "}")
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(oraclePath), oracleJson)
+        import scala.sys.process._
+        val log = ProcessLogger(s => System.err.println(s"[bench] $s"),
+          s => System.err.println(s"[bench] $s"))
+        val ec = Process(Seq("python3", "tools/duckdb_times.py",
+          outPath, oraclePath, sfDir)).!(log)
+        if (ec != 0)
+          System.err.println(s"[bench] duckdb_times exited $ec; artifact unannotated")
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(oraclePath))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] duckdb annotation skipped: ${e.getMessage}") }
+    }
     // stdout gets ONE line that FITS the tail capture: headline totals +
     // the slowest queries (the informative subset), truncated so the whole
     // line stays under ~1900 chars with the full map's location declared.
     val slowest = results.sortBy(-_._2)
     var k = slowest.size
     def compact(n: Int): String = line(qJson(slowest.take(n).sortBy(_._1)),
-      s""""queries_shown":$n,"queries_file":"$outPath",""")
+      s""""queries_shown":$n,"queries_file":"$outPath","n_regressions":${regressions.size},""")
     while (k > 1 && compact(k).length > 1900) k -= 1
     println(compact(k))
     spark.stop()

@@ -763,6 +763,36 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.Eval.calibrationBins(scored, labelCol,
       scoreMicrosCol, bins)
 
+  /** Expected calibration error — the one-number summary of
+    * [[evalCalibration]]'s reliability table
+    * ([[graft.operators.Eval.ece]]): alert when a filter model's
+    * confidence drifts from its accuracy. */
+  def evalEce(scored: DataFrame, labelCol: String,
+              scoreMicrosCol: String, bins: Int = 10): DataFrame =
+    graft.operators.Eval.ece(graft.operators.Eval.calibrationBins(
+      scored, labelCol, scoreMicrosCol, bins))
+
+  /** nDCG@k of a ranked run (qid, id, score) against graded judgments
+    * (qid, id, rel) ([[graft.operators.Eval.ndcgAtK]]) — the metric
+    * that gates a retriever or fusion change before it ships. */
+  def evalNdcg(run: DataFrame, qrels: DataFrame, k: Int = 10): DataFrame =
+    graft.operators.Eval.ndcgAtK(run, qrels, k)
+
+  /** MRR / precision / recall @k of a ranked run against binary
+    * judgments ([[graft.operators.Eval.rankMetricsAtK]]) — the
+    * ungraded sibling of [[evalNdcg]]. */
+  def evalRankMetrics(run: DataFrame, qrels: DataFrame,
+                      k: Int = 10): DataFrame =
+    graft.operators.Eval.rankMetricsAtK(run, qrels, k)
+
+  /** Windowed PMI collocations over a text column
+    * ([[graft.operators.TextAnalysis.pmiPairs]]) — surface the
+    * phrases a corpus over-represents (Levy–Goldberg co-occurrence
+    * statistics; boilerplate and template detection). */
+  def collocations(docs: DataFrame, textCol: String, window: Int = 3,
+                   minCount: Long = 2L): DataFrame =
+    graft.operators.TextAnalysis.pmiPairs(docs, textCol, window, minCount)
+
   /** Newman modularity of a community assignment over the engine's
     * knows graph ([[graft.operators.GraphAnalytics.modularity]]);
     * communities default to LPA labels. */

@@ -129,6 +129,44 @@ object Eval {
       .orderBy(col("qid"))
   }
 
+  /** Binary-relevance rank metrics @k — MRR, precision@k, recall@k
+    * and hit count per query — the [[ndcgAtK]] sibling for UNGRADED
+    * judgments (the metrics most retrieval dashboards actually show).
+    * `run` is (qid, id, score), re-ranked by (score desc, id asc);
+    * `qrels` is (qid, id) — any extra columns ignored, duplicates
+    * collapsed. One query row per qid PRESENT IN QRELS (a query with
+    * no judgments has no defined recall).
+    *
+    * Integer-micro exactness: `floor(1e6/first_rank)`,
+    * `floor(1e6·hits/k)`, `floor(1e6·hits/n_rel)` over integer counts
+    * — engine-exact, no float folds. Shape: the window sorts only the
+    * k-bounded runs; one semi-ish equi-join against the (small)
+    * judgment table; two keyed folds.
+    *
+    * @return (qid, n_rel, n_hit, mrr_micros, prec_micros,
+    *         recall_micros) ordered by qid.
+    */
+  def rankMetricsAtK(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    val ranked = run.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val rel = qrels.select(col("qid"), col("id")).distinct()
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.join(rel, Seq("qid", "id"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hit"), min(col("rank")).as("first_rank"))
+    nRel.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(floor(lit(1e6) / col("first_rank")).cast("long"), lit(0L))
+          .as("mrr_micros"),
+        floor(lit(1e6) * coalesce(col("n_hit"), lit(0L)) / lit(k))
+          .cast("long").as("prec_micros"),
+        floor(lit(1e6) * coalesce(col("n_hit"), lit(0L)) / col("n_rel"))
+          .cast("long").as("recall_micros"))
+      .orderBy(col("qid"))
+  }
+
   /** Corpus-level BLEU (Papineni et al. 2002) of a candidate text
     * column against a reference column — the n-gram overlap metric a
     * pipeline gates generated/translated/augmented text on before

@@ -105,6 +105,53 @@ object GraphAnalytics {
       .select(col("id"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Integer-micro PageRank on the GraphX/Pregel machinery — the
+    * fold-order-proof twin of [[pageRank]] (the X89 HITS convention,
+    * GraphX flavor): every quantity is a Long in MICROS, so message
+    * combination (a Long sum) is exactly associative/commutative and
+    * the result is bit-identical regardless of RDD partitioning —
+    * which makes the GraphX execution path itself full-SQL-oracle-able
+    * (qX_pagerank_graphx), not just consistency-twin-pinned.
+    *
+    * Arithmetic (replayed verbatim by the unrolled DuckDB oracle):
+    * ranks start at 1e6; each round a vertex sends
+    * `rank_micros / outdeg` (integer floor) along each out-edge and
+    * recomputes `150000 + (msum · 17) / 20` — damping 0.85 as the
+    * exact rational 17/20, never a float. No final rescale: the
+    * fixed-point ranks are the contract (the float [[pageRank]] keeps
+    * GraphX's Σ=|V| normalization). Per-vertex floors lose < outdeg
+    * micros per round — deterministic, engine-identical.
+    *
+    * Scale: one aggregateMessages (edge-partition-local combine, the
+    * map-side-combine analogue) + one vertex join per round; each
+    * round's graph is cached and the previous unpersisted, so lineage
+    * stays flat (the RDD-world version of pageRankDF's
+    * materialization cadence).
+    */
+  def pageRankMicros(vertices: DataFrame, edges: DataFrame,
+                     iters: Int = 10): DataFrame = {
+    val (graph0, vmap) = toGraphX(vertices, edges)
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    var g: Graph[(Long, Int), Double] =
+      graph0.outerJoinVertices(graph0.outDegrees) { (_, _, d) =>
+        (1000000L, d.getOrElse(0)) }.cache()
+    for (_ <- 1 to iters) {
+      val msgs = g.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
+        _ + _)
+      val prev = g
+      g = g.outerJoinVertices(msgs) { (_, attr, m) =>
+        (150000L + (m.getOrElse(0L) * 17L) / 20L, attr._2) }.cache()
+      g.vertices.count() // materialize before releasing the parent
+      prev.unpersist(blocking = false)
+    }
+    g.vertices.map { case (vid, (r, _)) => (vid, r) }
+      .toDF("vid", "rank_micros")
+      .join(vmap, "vid")
+      .select(col("id"), col("rank_micros"))
+  }
+
   /** DataFrame power-iteration PageRank — the same fixed-iteration
     * semantics as [[pageRank]] (GraphX staticPageRank: ranks start at
     * 1.0; each round every vertex recomputes
@@ -598,9 +645,9 @@ object GraphAnalytics {
     *
     * The cumulative window is global (single partition) — fine here
     * because it runs over the |V|-row VOCAB aggregate, never the walk
-    * corpus; a vocabulary that doesn't fit one partition should range-
-    * partition by vertex and prefix-sum partition totals (the
-    * [[Packing]] pattern) before taking this path.
+    * corpus; for a vocabulary that doesn't fit one partition use
+    * [[negativeSamplingTableScalable]] (bit-identical output, no
+    * global window).
     *
     * @return (vertex, n, p, cum) ordered by vertex; p = normalized
     *         sampling probability, cum = inclusive cumulative p.
@@ -621,6 +668,32 @@ object GraphAnalytics {
     w.withColumn("p", round(col("_w") / lit(totalW.toDouble), 8))
       .withColumn("cum",
         round(sum(col("_w")).over(cumW) / lit(totalW.toDouble), 8))
+      .select(col("vertex"), col("n"), col("p"), col("cum"))
+      .orderBy(col("vertex"))
+  }
+
+  /** [[negativeSamplingTable]] without the global window — the
+    * billion-token-vocab path: the inclusive cumulative weight comes
+    * from [[Packing.globalCumSum]] (range-partition by vertex, local
+    * windowed cumsum, per-partition totals lifted via one
+    * O(#partitions) driver transfer). The integer micro weights make
+    * the distributed prefix sum EXACT, so the output is bit-identical
+    * to the window form (equivalence-spec'd in ScaleOpsSpec). */
+  def negativeSamplingTableScalable(walks: DataFrame,
+                                    power: Double = 0.75,
+                                    partitions: Int = 0): DataFrame = {
+    val w = walks.groupBy("vertex").agg(count(lit(1)).as("n"))
+      .withColumn("_w",
+        round(pow(col("n").cast("double"), lit(power)) * lit(1e6))
+          .cast("long"))
+    val totalRow = w.agg(sum(col("_w"))).head
+    if (totalRow.isNullAt(0)) // empty corpus: empty table, right schema
+      return w.select(col("vertex"), col("n"),
+        lit(0.0).as("p"), lit(0.0).as("cum"))
+    val totalW = totalRow.getLong(0)
+    Packing.globalCumSum(w, Seq("vertex"), "_w", partitions)
+      .withColumn("p", round(col("_w") / lit(totalW.toDouble), 8))
+      .withColumn("cum", round(col("_gcum") / lit(totalW.toDouble), 8))
       .select(col("vertex"), col("n"), col("p"), col("cum"))
       .orderBy(col("vertex"))
   }

@@ -96,6 +96,40 @@ object Packing {
       .drop("_pid", "_lrn", "_poff"), n)
   }
 
+  /** Exact GLOBAL inclusive prefix sum of `valueCol` under the total
+    * order `sortCols` — [[globalRank]]'s sibling primitive (counts →
+    * sums): range-partition on the sort key, local windowed cumsum per
+    * partition, lift with the exclusive prefix of per-partition TOTALS
+    * (one long per partition to the driver, broadcast back). One
+    * shuffle, no global window; exact for integer value columns
+    * (Long folds are order-independent). Appends `_gcum`. */
+  def globalCumSum(df: DataFrame, sortCols: Seq[String], valueCol: String,
+                   partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nParts =
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val ranged = df
+      .repartitionByRange(nParts, sortCols.map(col(_).asc): _*)
+      .withColumn("_pid", spark_partition_id())
+    val lw = Window.partitionBy(col("_pid"))
+      .orderBy(sortCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("_lcum", sum(col(valueCol)).over(lw))
+      .localCheckpoint(true)
+    val sums = local.groupBy(col("_pid"))
+      .agg(sum(col(valueCol)).cast("long").as("_psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s)
+    }.init.zip(sums).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_poff")
+    local.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_gcum", col("_poff") + col("_lcum"))
+      .drop("_pid", "_lcum", "_poff")
+  }
+
   /** Distributed form of [[lengthBuckets]] — bit-identical output, no
     * global window, for any data including heavy token-count ties.
     *

@@ -154,8 +154,10 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
-    // GraphX PageRank (rows-only: float convergence is not
-    // SQL-reproducible; recall/shape asserted in MultimodalGraphXSpec).
+    // GraphX PageRank in INTEGER MICROS: Long messages make the RDD
+    // fold order-independent, so the GraphX/Pregel execution path is
+    // full-oracle-gated (the float staticPageRank twin stays pinned by
+    // qX_pagerank_consistency + MultimodalGraphXSpec).
     "qX_pagerank_graphx" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
         .select(col("src").cast("string").as("src"),
@@ -163,10 +165,9 @@ object GraphQueries {
         .withColumn("weight", lit(1.0))
       val vertices = edges.select(col("src").as("id"))
         .unionAll(edges.select(col("dst").as("id"))).distinct()
-      graft.operators.GraphAnalytics.pageRank(vertices, edges)
-        .select(col("id").cast("long").as("id"), col("rank"))
-        .orderBy(desc("rank"), asc("id"))
-        .limit(50)
+      graft.operators.GraphAnalytics.pageRankMicros(vertices, edges, iters = 10)
+        .select(col("id").cast("long").as("id"), col("rank_micros"))
+        .orderBy(col("id"))
     }),
 
     // DataFrame power-iteration PageRank — same fixed-iteration
@@ -379,11 +380,15 @@ object GraphQueries {
     }),
 
     // word2vec negative-sampling table (unigram^0.75, integer-micro
-    // weights so p/cum hash-match across engines).
+    // weights so p/cum hash-match across engines). The gate runs the
+    // SCALABLE form (range-partitioned prefix sum, no global window —
+    // the qX_pack convention: gate the plan that survives 100×)
+    // against the same oracle; bit-equivalence with the window form is
+    // spec-pinned in MultimodalGraphXSpec.
     "qX_neg_table" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
       val walks = graft.operators.GraphAnalytics.randomWalks(edges)
-      graft.operators.GraphAnalytics.negativeSamplingTable(walks)
+      graft.operators.GraphAnalytics.negativeSamplingTableScalable(walks)
     }),
 
     // Sampled harmonic centrality: multi-source truncated BFS from 8
@@ -483,6 +488,32 @@ object GraphQueries {
          |SELECT v AS id, ROUND(rank * (SELECT count(*) FROM r$iters)
          |  / (SELECT sum(rank) FROM r$iters), 6) AS rank
          |FROM r$iters ORDER BY v""".stripMargin
+  }
+
+  /** Unrolled INTEGER-MICRO PageRank oracle — replays
+    * [[graft.operators.GraphAnalytics.pageRankMicros]] exactly: Long
+    * ranks from 1e6, per-edge message `r // outdeg` (floor), damping
+    * as the rational 17/20, no rescale. Every quantity stays integer,
+    * so the GraphX fold and this SQL agree bit-for-bit. */
+  private def pagerankMicrosSql(iters: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v,
+         |    CAST(150000 + (COALESCE(m.s, 0) * 17) // 20 AS BIGINT) AS r
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r.r // outd.d) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.v
+         |    JOIN outd ON e.src = outd.src
+         |    GROUP BY e.dst) m ON verts.v = m.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT v AS id, r AS rank_micros FROM r$iters ORDER BY v""".stripMargin
   }
 
   /** Unrolled random-walk oracle: one CTE per step, each picking the
@@ -1063,6 +1094,7 @@ object GraphQueries {
     "qX_kcore" -> kcoreSql(25, 8),
     "qX_ppr" -> pprSql(8, 1L),
     "qX_pagerank_df" -> pagerankSql(10),
+    "qX_pagerank_graphx" -> pagerankMicrosSql(10),
     "qX_pagerank_consistency" ->
       s"""WITH edges AS ($EdgesSql),
          |verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges)

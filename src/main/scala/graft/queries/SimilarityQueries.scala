@@ -94,6 +94,30 @@ object SimilarityQueries {
       graft.operators.Eval.ndcgAtK(fused, qrels, 10)
     }),
 
+    // Binary-relevance rank metrics @10 of the same fused run against
+    // the dense top-3 as relevant set: MRR / precision / recall / hit
+    // count per query — the ungraded-judgment eval dashboard row.
+    "qX_rank_metrics" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val (postings, stats, n) = SearchIndex.build(docs, "doc_id", Seq("text"))
+      val batch = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokenize(col("text"))).as("term"))
+      val lexical = SearchIndex.batchQuery(postings, stats, n, "text",
+        batch, 10, excludeSelf = true)
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", "vec_id", "embedding", 10)
+        .withColumnRenamed("sim", "score")
+      val fused = Hybrid.rrf(Seq(lexical, dense), k = 10)
+        .withColumnRenamed("rrf_micros", "score")
+      val iw = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("score"), asc("id"))
+      val qrels = dense.withColumn("rank", row_number().over(iw))
+        .filter(col("rank") <= 3).select(col("qid"), col("id"))
+      graft.operators.Eval.rankMetricsAtK(fused, qrels, 10)
+    }),
+
     // Hard-negative mining (DPR/Contriever prep): per query the top-5
     // most-similar DIFFERENT-label corpus vectors — the label guard
     // fused into the broadcast join, pruning before the cosine; same
@@ -888,6 +912,23 @@ object SimilarityQueries {
         |SELECT qid, id, rrf_micros FROM franked WHERE rn <= 10
         |ORDER BY qid, rrf_micros DESC, id""".stripMargin),
     "qX_ndcg" -> NdcgSql,
+    // MRR/P/R@10 of the fused run vs dense top-3 relevant set — the
+    // rank comes from franked's rn (identical (score desc, id) order)
+    "qX_rank_metrics" -> (RrfHybridCte + """,
+      |qrels AS (SELECT qid, id FROM dranked WHERE rn <= 3),
+      |nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1),
+      |hits AS (SELECT f.qid, count(*) AS n_hit, min(f.rn) AS first_rank
+      |  FROM franked f JOIN qrels q ON f.qid = q.qid AND f.id = q.id
+      |  WHERE f.rn <= 10 GROUP BY 1)
+      |SELECT n.qid, n.n_rel, COALESCE(h.n_hit, 0) AS n_hit,
+      |  COALESCE(CAST(floor(1e6 / h.first_rank) AS BIGINT),
+      |    CAST(0 AS BIGINT)) AS mrr_micros,
+      |  CAST(floor(1e6 * COALESCE(h.n_hit, 0) / 10) AS BIGINT)
+      |    AS prec_micros,
+      |  CAST(floor(1e6 * COALESCE(h.n_hit, 0) / n.n_rel) AS BIGINT)
+      |    AS recall_micros
+      |FROM nrel n LEFT JOIN hits h USING (qid)
+      |ORDER BY n.qid""".stripMargin),
     "qX_kmeans" ->
       """SELECT count(*) AS n_groups, count(*) AS n_pure,
         |  count(*) AS n_clusters

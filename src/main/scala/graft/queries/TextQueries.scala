@@ -70,6 +70,26 @@ object TextQueries {
     (head +: rounds).mkString(",\n")
   }
 
+  /** DuckDB fragment: reliability (calibration) bins of the trained
+    * LR's probabilities on its training labels — shared by the
+    * qX_calibration table gate and the qX_ece summary gate so the two
+    * can never drift. Ends at CTE `cal` (bin, n, n_pos, acc_micros,
+    * conf_micros). */
+  private val CalBinsSql: String =
+    s"""$LrTrainSql,
+       |sm AS (SELECT x.doc_id,
+       |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
+       |    AS BIGINT) AS m
+       |  FROM x LEFT JOIN w3 w USING (bucket) GROUP BY 1),
+       |sp AS (SELECT doc_id,
+       |  CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) AS p FROM sm),
+       |b AS (SELECT least(CAST(floor(p * 10 / 1e6) AS BIGINT), 9) AS bin,
+       |  CASE WHEN doc_id < 350 THEN 1 ELSE 0 END AS yy, p FROM sp),
+       |cal AS (SELECT bin, count(*) AS n, CAST(sum(yy) AS BIGINT) AS n_pos,
+       |  CAST(floor(1e6 * sum(yy) / count(*)) AS BIGINT) AS acc_micros,
+       |  CAST(floor(sum(p) / count(*)) AS BIGINT) AS conf_micros
+       |FROM b GROUP BY 1)""".stripMargin
+
   /** DuckDB fragment: DSIR per-doc importance weights (see
     * operators.Dsir and the qX_dsir_* queries) — shared by the weights
     * gate and the Gumbel-sample gate. Yields (doc_id, n_feats,
@@ -660,6 +680,22 @@ object TextQueries {
           buckets = 64)
         .join(train.select(col("doc_id"), col("y")), "doc_id")
       graft.operators.Eval.calibrationBins(scored, "y", "p_micros", 10)
+    }),
+
+    // Expected calibration error over those reliability bins — the
+    // one-number summary a pipeline alerts on when a filter model's
+    // confidence drifts from its accuracy.
+    "qX_ece" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.ece(
+        graft.operators.Eval.calibrationBins(scored, "y", "p_micros", 10))
     }),
 
     // Batch more-like-this search: docs 0..4 as query workloads (their
@@ -1419,19 +1455,15 @@ object TextQueries {
          |    AS auc_micros
          |FROM t""".stripMargin,
     "qX_calibration" ->
-      s"""$LrTrainSql,
-         |sm AS (SELECT x.doc_id,
-         |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
-         |    AS BIGINT) AS m
-         |  FROM x LEFT JOIN w3 w USING (bucket) GROUP BY 1),
-         |sp AS (SELECT doc_id,
-         |  CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) AS p FROM sm),
-         |b AS (SELECT least(CAST(floor(p * 10 / 1e6) AS BIGINT), 9) AS bin,
-         |  CASE WHEN doc_id < 350 THEN 1 ELSE 0 END AS yy, p FROM sp)
-         |SELECT bin, count(*) AS n, CAST(sum(yy) AS BIGINT) AS n_pos,
-         |  CAST(floor(1e6 * sum(yy) / count(*)) AS BIGINT) AS acc_micros,
-         |  CAST(floor(sum(p) / count(*)) AS BIGINT) AS conf_micros
-         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+      s"""$CalBinsSql
+         |SELECT bin, n, n_pos, acc_micros, conf_micros
+         |FROM cal ORDER BY bin""".stripMargin,
+    "qX_ece" ->
+      s"""$CalBinsSql
+         |SELECT CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(floor(sum(n * abs(acc_micros - conf_micros)) / sum(n))
+         |    AS BIGINT) AS ece_micros
+         |FROM cal""".stripMargin,
     "qX_batch_search" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -441,6 +441,78 @@ object CardStream {
     BucketStore.read(spark, dir, "rollup", None, spark.emptyDataFrame)
       .drop("bucket")
 
+  /** Streaming ADMISSION GATE — [[graft.operators.Profile.checkConstraints]]
+    * wired into the ingest path: every micro-batch is validated against
+    * the declarative constraint suite BEFORE it folds into the rollup
+    * store, turning the Deequ-model table from a batch report into
+    * admission control.
+    *
+    *  - all checks pass → the batch folds via [[mergeAdditive]]
+    *    (same store, same replay fence);
+    *  - any check fails → the batch is QUARANTINED verbatim under
+    *    `dir/quarantine/b=<batchId>` (overwrite per batch id, so an
+    *    at-least-once redelivery rewrites the same directory instead
+    *    of duplicating rows) and the rollup is untouched — a broken
+    *    ingest can never contaminate the accumulated sums;
+    *  - either way the per-batch constraint report (plus batch_id and
+    *    admitted flag) lands under `dir/gate_metrics/b=<batchId>` —
+    *    additive per-batch metric rows: each batch appends its own
+    *    partition, history is never rewritten, and replays overwrite
+    *    their own partition (idempotent).
+    *
+    * An EMPTY micro-batch is a no-op (admitted, nothing written):
+    * streams deliver empty triggers routinely and checkConstraints'
+    * n=0 → all-fail contract is for broken ingests, not idle ones.
+    *
+    * Cost per batch: the |checks|-row validation fold + the usual
+    * O(touched buckets) rollup fold; quarantine/metrics writes are
+    * O(batch) / O(checks).
+    *
+    * @return (admitted, merged-or-quarantined row count).
+    */
+  def gatedMergeAdditive(spark: SparkSession, batch: DataFrame, dir: String,
+                         keyCols: Seq[String], sumCols: Seq[String],
+                         checks: Seq[graft.operators.Profile.Check],
+                         batchId: Long = -1L): (Boolean, Long) = {
+    if (batch.isEmpty) return (true, 0L)
+    val report = graft.operators.Profile.checkConstraints(batch, checks)
+      .localCheckpoint(true) // |checks| rows; reused for verdict + metrics
+    val admitted = report.agg(min(col("passed"))).head().getBoolean(0)
+    val bTag = if (batchId >= 0) batchId else 0L
+    report
+      .withColumn("batch_id", lit(bTag))
+      .withColumn("admitted", lit(admitted))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/gate_metrics/b=$bTag")
+    if (admitted) {
+      (true, mergeAdditive(spark, batch, dir, keyCols, sumCols, batchId))
+    } else {
+      batch.write.mode("overwrite").parquet(s"$dir/quarantine/b=$bTag")
+      (false, batch.count())
+    }
+  }
+
+  /** All per-batch admission reports of a [[gatedMergeAdditive]] store
+    * (batch_id, constraint, metric/threshold micros, passed, admitted);
+    * empty frame with that schema when no batch has been gated. */
+  def readGateMetrics(spark: SparkSession, dir: String): DataFrame =
+    readBatchDirs(spark, s"$dir/gate_metrics")
+
+  /** Quarantined batches of a [[gatedMergeAdditive]] store, verbatim
+    * input rows (empty when nothing was rejected). */
+  def readQuarantine(spark: SparkSession, dir: String): DataFrame =
+    readBatchDirs(spark, s"$dir/quarantine")
+
+  private def readBatchDirs(spark: SparkSession, root: String): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root)
+    if (!fs.exists(p)) return spark.emptyDataFrame
+    val parts = fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.matches(".*/b=\\d+$"))
+    if (parts.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(parts: _*)
+  }
+
   /** One micro-batch of streaming NEAR-dup suppression — the streaming
     * face of [[graft.operators.Dedup.minhashLshPairs]] (X3), applied
     * first-arrival-wins: a new document is dropped when it MinHash-

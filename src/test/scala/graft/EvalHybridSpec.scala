@@ -218,6 +218,25 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((1, 1L), (2, 3L)))
   }
 
+  test("rankMetricsAtK: hand-computed MRR/P/R, no-hit query, qrels-only queries") {
+    // q1: run (10,20,30) by score; relevant {20, 99} -> hit at rank 2
+    // q2: run (40); relevant {50} -> no hit
+    // q3: judged but never retrieved -> all-zero row must still appear
+    val run = Seq((1L, 10L, 3.0), (1L, 20L, 2.0), (1L, 30L, 1.0),
+      (2L, 40L, 1.0)).toDF("qid", "id", "score")
+    val qrels = Seq((1L, 20L), (1L, 99L), (2L, 50L), (3L, 7L))
+      .toDF("qid", "id")
+    val got = graft.operators.Eval.rankMetricsAtK(run, qrels, 3)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("n_rel"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("mrr_micros"), r.getAs[Long]("prec_micros"),
+          r.getAs[Long]("recall_micros")))).toMap
+    assert(got(1L) === ((2L, 1L, 500000L, 333333L, 500000L)))
+    assert(got(2L) === ((1L, 0L, 0L, 0L, 0L)))
+    assert(got(3L) === ((1L, 0L, 0L, 0L, 0L)))
+    assert(got.size === 3)
+  }
+
   test("mmrIndexed at nprobe = #cells equals brute-force mmr exactly") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") < 3)

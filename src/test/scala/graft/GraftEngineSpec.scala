@@ -335,6 +335,35 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
       hits.forall { case (qid, id) => id % 4 == (qid - 1000) % 4 })
   }
 
+  test("eval facade: evalEce, evalNdcg, collocations, evalAuc hand-computed") {
+    import spark.implicits._
+    // 2 bins, 2 rows each, both half-right: |acc − conf| = 400000 in
+    // each bin, so ECE = 400000 exactly; all-tied scores pin AUC = ½
+    val scored = Seq((1, 900000L), (0, 900000L), (1, 100000L), (0, 100000L))
+      .toDF("y", "p")
+    val e = engine.evalEce(scored, "y", "p", bins = 2).head()
+    assert(e.getAs[Long]("n") === 4L)
+    assert(e.getAs[Long]("ece_micros") === 400000L)
+    assert(engine.evalAuc(scored, "y", "p").head()
+      .getAs[Long]("auc_micros") === 500000L)
+    // one query: run order (rel 2, rel 0, rel 1); dcg = 2e6 + 0 +
+    // floor(1e6/log2(4)); idcg ranks rel desc = 2e6 + floor(1e6/log2(3))
+    val run = Seq((1L, 10L, 3.0), (1L, 20L, 2.0), (1L, 30L, 1.0))
+      .toDF("qid", "id", "score")
+    val qrels = Seq((1L, 10L, 2L), (1L, 30L, 1L)).toDF("qid", "id", "rel")
+    val nd = engine.evalNdcg(run, qrels, k = 3).head()
+    assert(nd.getAs[Long]("dcg_micros") === 2500000L)
+    assert(nd.getAs[Long]("idcg_micros") === 2630929L)
+    assert(nd.getAs[Long]("ndcg_micros") === 950234L)
+    // collocations: "x y" ×8, "z w" ×2 → pmi(x,y) = ln 1.25 micros
+    val corpus = (Seq.fill(8)("x y") ++ Seq.fill(2)("z w")).toDF("text")
+    val pmi = engine.collocations(corpus, "text", window = 3, minCount = 2L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Long]("pmi_micros")).toMap
+    assert(pmi(("x", "y")) === math.round(1e6 * math.log(1.25)))
+    assert(pmi(("w", "z")) === math.round(1e6 * math.log(5.0)))
+  }
+
   test("graph admin: dump then clear") {
     assert(engine.dumpGraph().length == 6)
     // plant a stale __old from a "crashed swap" — clearGraph must remove

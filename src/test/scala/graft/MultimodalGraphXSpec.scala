@@ -466,6 +466,26 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
       (2L, 1L, 0.11111111, 1.0)))
   }
 
+  test("negativeSamplingTableScalable: bit-identical to the window form") {
+    // enough distinct vertices to spread over several range partitions
+    val rnd = new scala.util.Random(5)
+    val walks = (0 until 4000).map { i =>
+      (i.toLong, i % 7, (rnd.nextInt(300) + 1).toLong)
+    }.toDF("walk_id", "step", "vertex")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    val window = rows(GraphAnalytics.negativeSamplingTable(walks))
+    val scalable = rows(
+      GraphAnalytics.negativeSamplingTableScalable(walks, partitions = 8))
+    // integer micro weights make the distributed prefix sum EXACT:
+    // every p and cum matches to the last rounded digit
+    assert(scalable === window)
+    assert(GraphAnalytics.negativeSamplingTableScalable(
+      Seq.empty[(Long, Int, Long)].toDF("walk_id", "step", "vertex"))
+      .count() == 0)
+  }
+
   test("harmonicCentrality: known 1/d sums on a path, truncation zeroes the far tail") {
     // path 1-2-3-4-5. SAMPLE-SELECTION CONTRACT: sources are the
     // numSources lowest vertices by (md5Bucket(id), id) — hash-spread,

@@ -546,6 +546,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("gatedMergeAdditive: clean batches fold like mergeAdditive; bad batch quarantined") {
+    import graft.operators.Profile._
+    val dir = tmp("gated_rollup") + "/counts"
+    val checks = Seq(
+      Completeness("key", 1.0),
+      Compliance("v_positive", "v", col("v") > 0, 1.0))
+    val all = (1 to 200).map(i => (s"k${i % 5}", i.toLong, 1L))
+      .toDF("key", "v", "n")
+    val b1 = all.filter(col("v") <= 100)
+    val b2 = all.filter(col("v") > 100)
+    // batch-equivalence: two admitted batches == one full aggregate
+    assert(CardStream.gatedMergeAdditive(spark, b1, dir,
+      Seq("key"), Seq("v", "n"), checks, 0L)._1)
+    assert(CardStream.gatedMergeAdditive(spark, b2, dir,
+      Seq("key"), Seq("v", "n"), checks, 1L)._1)
+    def rollup() = CardStream.readRollup(spark, dir).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("v"), r.getAs[Long]("n")))).toMap
+    val want = all.groupBy("key")
+      .agg(sum("v").as("v"), sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rollup() == want)
+    // a violating batch (negative v) is rejected: rollup UNTOUCHED,
+    // rows land in quarantine verbatim, metrics carry the failing row
+    val bad = Seq(("k0", -5L, 1L), ("k1", 10L, 1L)).toDF("key", "v", "n")
+    val (adm, nQ) = CardStream.gatedMergeAdditive(spark, bad, dir,
+      Seq("key"), Seq("v", "n"), checks, 2L)
+    assert(!adm && nQ == 2L)
+    assert(rollup() == want)
+    val quar = CardStream.readQuarantine(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(quar == Set(("k0", -5L), ("k1", 10L)))
+    // redelivery of the bad batch overwrites its partition, no dup rows
+    CardStream.gatedMergeAdditive(spark, bad, dir,
+      Seq("key"), Seq("v", "n"), checks, 2L)
+    assert(CardStream.readQuarantine(spark, dir).count() == 2L)
+    // per-batch additive metrics: one report row set per batch id
+    val m = CardStream.readGateMetrics(spark, dir).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("constraint"),
+        r.getAs[Boolean]("passed"), r.getAs[Boolean]("admitted")))
+    assert(m.count(_._1 == 0L) == 2 && m.count(_._1 == 1L) == 2)
+    assert(m.filter(_._1 < 2L).forall(t => t._3 && t._4))
+    val badRows = m.filter(_._1 == 2L)
+    assert(badRows.forall(!_._4))
+    assert(badRows.exists(t => t._2 == "v_positive" && !t._3))
+    assert(badRows.exists(t => t._2 == "completeness(key)" && t._3))
+    // an empty micro-batch is an admitted no-op, not a quarantined one
+    val (admE, nE) = CardStream.gatedMergeAdditive(spark,
+      all.filter(lit(false)), dir, Seq("key"), Seq("v", "n"), checks, 3L)
+    assert(admE && nE == 0L)
+    assert(rollup() == want)
+    assert(!CardStream.readGateMetrics(spark, dir).collect()
+      .exists(_.getAs[Long]("batch_id") == 3L))
+  }
+
   test("mergeAdditive migrates a legacy data/meta rollup; fence and sums survive") {
     val dir = tmp("rollup_legacy") + "/counts"
     // hand-write the pre-BucketStore staged-swap layout
