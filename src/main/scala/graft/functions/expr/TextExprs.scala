@@ -274,6 +274,40 @@ object TextExprUtil {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
+
+  /** Canonicalized windowed co-occurrence pairs: each token pairs with
+    * its ≤ `window` successors, (min, max) by UTF8String binary order
+    * (exactly Spark's least/greatest on strings), joined with a single
+    * space — tokens contain no whitespace, so the join is reversible.
+    * The PMI extraction loop (TextAnalysis.pmiPairs) in one codegen
+    * scan; the nested-transform HOF twin is the executable spec. */
+  def wordPairs(s: UTF8String,
+                window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val len = str.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > start) toks += UTF8String.fromString(str.substring(start, i))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var p = 0
+    while (p < toks.length - 1) {
+      val jmax = math.min(p + window, toks.length - 1)
+      var j = p + 1
+      while (j <= jmax) {
+        val a = toks(p); val b = toks(j)
+        val (x, y) = if (a.compareTo(b) <= 0) (a, b) else (b, a)
+        out += UTF8String.concat(x, UTF8String.fromString(" "), y)
+        j += 1
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 abstract class TextScanExpression extends UnaryExpression {
@@ -385,6 +419,25 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `word_pairs(text, window)`: canonicalized windowed co-occurrence
+  * pairs as "min max" strings, one codegen scan — the PMI extraction
+  * hot loop (TextAnalysis.pmiPairs keeps the nested-transform HOF as
+  * its equivalence-tested executable spec). */
+case class WordPairsExpr(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.wordPairs(v.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.wordPairs($c, $window)")
+  override protected def withNewChildInternal(c: Expression): WordPairsExpr =
+    copy(child = c)
+}
+
 /** Column-level entry points + SQL registration. */
 object TextExprs {
   import ColumnBridge.{toColumn, toExpr}
@@ -396,6 +449,8 @@ object TextExprs {
   def minhash_sig(c: Column, k: Int): Column = toColumn(MinHashSigExpr(toExpr(c), k))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpr(c), n))
   def word_ngrams(c: Column, n: Int): Column = toColumn(WordNgramsExpr(toExpr(c), n))
+  def word_pairs(c: Column, window: Int): Column =
+    toColumn(WordPairsExpr(toExpr(c), window))
   def top_ngram_frac(c: Column, n: Int): Column = toColumn(TopNgramFracExpr(toExpr(c), n))
 
   /** Register as SQL functions on a session. */

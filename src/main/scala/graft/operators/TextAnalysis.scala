@@ -383,16 +383,14 @@ object TextAnalysis {
     */
   def pmiPairs(docs: DataFrame, textCol: String, window: Int,
                minCount: Long): DataFrame = {
-    val t = tokenize(col(textCol))
-    val prs =
-      flatten(transform(sequence(lit(0), size(t) - 2), i =>
-        transform(sequence(i + 1, least(i + lit(window), size(t) - 1)), j =>
-          struct(
-            least(element_at(t, i + 1), element_at(t, j + 1)).as("a"),
-            greatest(element_at(t, i + 1), element_at(t, j + 1)).as("b")))))
-    val pairs = docs.filter(size(t) >= 2)
-      .select(explode(prs).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // pair extraction is the hot loop: one codegen scan (WordPairsExpr)
+    // emitting canonical "min max" strings; the nested-transform HOF
+    // twin below is its equivalence-tested executable spec
+    val pairs = docs
+      .select(explode(graft.functions.expr.TextExprs
+        .word_pairs(col(textCol), window)).as("ab"))
+      .select(element_at(split(col("ab"), " "), 1).as("a"),
+        element_at(split(col("ab"), " "), 2).as("b"))
     val nab = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
       .localCheckpoint(true) // marginals + totals re-read it
@@ -400,14 +398,29 @@ object TextAnalysis {
       .unionAll(nab.select(col("b").as("w"), col("n_ab")))
       .groupBy(col("w")).agg(sum(col("n_ab")).as("n_w"))
     val tot = nab.agg(sum(col("n_ab")).as("t_pairs"))
-    nab
+    // minCount prunes BEFORE the marginal joins (marginals/totals are
+    // computed over ALL pairs above, so the result is identical): the
+    // joins see only the frequent-pair table, not the long tail —
+    // at corpus scale the tail is most of the rows
+    nab.filter(col("n_ab") >= minCount)
       .join(marg.select(col("w").as("a"), col("n_w").as("n_a")), Seq("a"))
       .join(marg.select(col("w").as("b"), col("n_w").as("n_b")), Seq("b"))
       .crossJoin(tot)
-      .filter(col("n_ab") >= minCount)
       .select(col("a"), col("b"), col("n_ab"),
         round(lit(1e6) * log((col("n_ab") * col("t_pairs")).cast("double")
           / (col("n_a") * col("n_b")).cast("double"))).cast("long")
           .as("pmi_micros"))
+  }
+
+  /** The HOF form of [[pmiPairs]]' pair extraction — the executable
+    * spec of `WordPairsExpr` (equivalence-tested in TextExprSpec):
+    * emits the same canonical (a, b) pairs per document. */
+  private[graft] def pairExtractHof(textCol: Column, window: Int): Column = {
+    val t = tokenize(textCol)
+    flatten(transform(sequence(lit(0), size(t) - 2), i =>
+      transform(sequence(i + 1, least(i + lit(window), size(t) - 1)), j =>
+        struct(
+          least(element_at(t, i + 1), element_at(t, j + 1)).as("a"),
+          greatest(element_at(t, i + 1), element_at(t, j + 1)).as("b")))))
   }
 }

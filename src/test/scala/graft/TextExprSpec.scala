@@ -152,6 +152,29 @@ class TextExprSpec extends AnyFunSuite with SparkSpec {
     assert(r == List(0.0, 0.0, 1.0, 1.0, 0.5), r)
   }
 
+  test("word_pairs expression equals the HOF pair extraction (random + real)") {
+    val rand = randomStrings.toDF("text")
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    for (df <- Seq(rand, real); w <- Seq(1, 3)) {
+      // HOF only total on >= 2 tokens (negative sequence otherwise)
+      val hof = df.filter(TextExprs.token_count(col("text")) >= 2)
+        .select(explode(graft.operators.TextAnalysis
+          .pairExtractHof(col("text"), w)).as("p"))
+        .select(concat_ws(" ", col("p.a"), col("p.b")).as("ab"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      val native = df
+        .select(explode(TextExprs.word_pairs(col("text"), w)).as("ab"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(native === hof, s"w=$w")
+    }
+    // short/empty inputs: empty pair array, no negative-sequence blowup
+    val short = Seq("", "   ", "one").toDF("text")
+      .select(TextExprs.word_pairs(col("text"), 3).as("p"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(short.toList == List(Nil, Nil, Nil))
+  }
+
   test("null flows through as null (nullIntolerant)") {
     val r = Seq(Option.empty[String]).toDF("s")
       .select(TextExprs.token_count(col("s"))).collect().head
