@@ -27,11 +27,13 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.EventQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.SimilarityQueries.oracles
+      graft.queries.SimilarityQueries.oracles ++
+      graft.queries.EventQueries.oracles
 }

@@ -834,6 +834,58 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                        splits: Seq[(String, Double)]): DataFrame =
     graft.operators.Sampling.leakageSafeSplit(df, idCol, clusters, splits)
 
+  /** Windowed ordered conversion funnel over an event frame
+    * ([[graft.operators.Events.funnel]]) — per-step converted-user
+    * counts for a step sequence anchored at each user's first
+    * `steps.head` event. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             window: String = "7 DAYS"): DataFrame =
+    graft.operators.Events.funnel(events, userCol, tsCol, typeCol,
+      steps, window)
+
+  /** Weekly cohort retention of an event frame
+    * ([[graft.operators.Events.retentionCohorts]]). */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                maxOffset: Int = 8): DataFrame =
+    graft.operators.Events.retentionCohorts(events, userCol, tsCol,
+      maxOffset)
+
+  /** First-order behavior transition matrix
+    * ([[graft.operators.Events.transitionMatrix]]). */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String,
+                  tieCols: Seq[String] = Seq.empty): DataFrame =
+    graft.operators.Events.transitionMatrix(events, userCol, tsCol,
+      typeCol, tieCols)
+
+  /** Median/MAD (Hampel) outlier screen per group
+    * ([[graft.operators.Events.robustOutliers]]). */
+  def outlierScreen(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame =
+    graft.operators.Events.robustOutliers(df, groupCol, valueCol)
+
+  /** PSI drift report between a baseline and a current sample
+    * ([[graft.operators.Drift.psi]]) — run before trusting a new
+    * ingest batch against last week's distribution. */
+  def driftPsi(base: DataFrame, curr: DataFrame, valueCol: String,
+               lo: Double, hi: Double, bins: Int = 10): DataFrame =
+    graft.operators.Drift.psi(base, curr, valueCol, lo, hi, bins)
+
+  /** Two-sample KS statistic ([[graft.operators.Drift.ksStatistic]])
+    * — the bin-free sibling of [[driftPsi]]. */
+  def driftKs(base: DataFrame, curr: DataFrame,
+              valueCol: String): DataFrame =
+    graft.operators.Drift.ksStatistic(base, curr, valueCol)
+
+  /** χ² token–label feature selection
+    * ([[graft.operators.TextAnalysis.chiSquareTokens]]) — the tokens
+    * most associated with a 0/1 document label. */
+  def featureSelect(docs: DataFrame, textCol: String, labelCol: String,
+                    minDocs: Long = 5L, topN: Int = 50): DataFrame =
+    graft.operators.TextAnalysis.chiSquareTokens(docs, textCol,
+      labelCol, minDocs, topN)
+
   /** CMS-sketch equi-join cardinality estimate
     * ([[graft.operators.Sketches.cmsJoinSize]]) — size a join from
     * two KB-scale sketches without running it. */

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitors — the check a 100 TB ingest runs before
+  * trusting this week's data against last week's: Population Stability
+  * Index over fixed bins and the two-sample Kolmogorov–Smirnov
+  * statistic. Both reduce the corpus to a bounded grid (bins / distinct
+  * quantized values) with map-side-combined counts FIRST; every
+  * windowed or driver-visible structure is over that grid, never over
+  * rows.
+  *
+  * Determinism: counts are exact integers; each reported metric is one
+  * fixed IEEE expression tree over those integers (micros-rounded), so
+  * results are bit-identical across engines and partition orders.
+  */
+object Drift {
+
+  /** Population Stability Index between a baseline and a current
+    * sample over fixed-width bins of `[lo, hi)`.
+    *
+    * Values are binned by `clamp(⌊(v−lo)/(hi−lo)·bins⌋, 0, bins−1)`
+    * (out-of-range mass lands in the edge bins — drift you want
+    * counted, not dropped). Bin proportions are add-1 smoothed
+    * (`p̂ = (n+1)/(N+bins)`) so empty bins contribute finite terms.
+    * Per-bin contribution `term_micros =
+    * round(1e6·(p̂a−p̂b)·ln(p̂a/p̂b))`; PSI is their sum. Standard read:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * @return `bins` rows (bin, n_base, n_curr, term_micros) ordered by
+    *         bin, plus a total row `bin = −1` carrying the full counts
+    *         and `term_micros` = PSI.
+    */
+  def psi(base: DataFrame, curr: DataFrame, valueCol: String,
+          lo: Double, hi: Double, bins: Int): DataFrame = {
+    def binned(df: DataFrame) = df.select(
+        least(greatest(floor((col(valueCol) - lo) / (hi - lo) * bins),
+          lit(0L)), lit(bins - 1L)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val grid = base.sparkSession.range(bins).select(col("id").as("bin"))
+    val g = grid
+      .join(binned(base).withColumnRenamed("n", "n_base"), Seq("bin"), "left")
+      .join(binned(curr).withColumnRenamed("n", "n_curr"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+    val tot = g.agg(sum("n_base").as("tot_a"), sum("n_curr").as("tot_b"))
+    val terms = g.crossJoin(broadcast(tot))
+      .withColumn("pa", (col("n_base") + lit(1L)) / (col("tot_a") + lit(bins)))
+      .withColumn("pb", (col("n_curr") + lit(1L)) / (col("tot_b") + lit(bins)))
+      .select(col("bin"), col("n_base"), col("n_curr"),
+        round(lit(1e6) * (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+          .cast("long").as("term_micros"))
+    val total = terms.agg(sum("n_base").as("n_base"),
+        sum("n_curr").as("n_curr"), sum("term_micros").as("term_micros"))
+      .select(lit(-1L).as("bin"), col("n_base"), col("n_curr"),
+        col("term_micros"))
+    terms.unionAll(total).orderBy("bin")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic: the maximal ECDF gap
+    * between baseline and current, in micros.
+    *
+    * Values are quantized to integer micros (`⌊1e6·v⌋`), both samples
+    * collapse to per-distinct-value counts (map-side combine), and the
+    * cumulative window runs over the DISTINCT quantized grid only —
+    * never corpus rows. The gap at each grid point is
+    * `|⌊1e6·cumₐ/A⌋ − ⌊1e6·cum_b/B⌋|` — exact integer arithmetic, so
+    * the max-fold is order-independent. For value domains whose
+    * micro-grid is itself unbounded, pre-bin (e.g. [[psi]] bins or
+    * [[Sketches.quantiles]] edges) before calling.
+    *
+    * @return one row (n_base, n_curr, ks_micros).
+    */
+  def ksStatistic(base: DataFrame, curr: DataFrame,
+                  valueCol: String): DataFrame = {
+    def q(df: DataFrame) = df
+      .select(floor(col(valueCol) * lit(1e6)).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val g = q(base).withColumnRenamed("n", "na")
+      .join(q(curr).withColumnRenamed("n", "nb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("ca", sum("na").over(w))
+      .withColumn("cb", sum("nb").over(w))
+    val tot = g.agg(sum("na").as("tot_a"), sum("nb").as("tot_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("tot_a"), col("tot_b"),
+        abs(floor(lit(1000000L) * col("ca") / col("tot_a")) -
+          floor(lit(1000000L) * col("cb") / col("tot_b"))).as("d"))
+      .groupBy(col("tot_a").as("n_base"), col("tot_b").as("n_curr"))
+      .agg(max("d").as("ks_micros"))
+  }
+}

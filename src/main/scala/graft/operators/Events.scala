@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event-stream analytics — the product-analytics layer the
+  * reference feeds from its activity stream (the Kinesis event fan-out,
+  * `photo-meta-data-puller/lambda_function.py`) but never aggregates:
+  * conversion funnels, cohort retention, behavior transition models,
+  * and robust outlier screens over the `events` table.
+  *
+  * Determinism contract: every reported ratio is an integer-micros
+  * division of exact integer counts, every timestamp comparison is
+  * exact micros arithmetic, and medians are reported DOUBLED
+  * (`2·median` of integer-quantized values is always an exact BIGINT
+  * even when the median interpolates between two ranks) — so each
+  * result is bit-identical across engines and partition orders.
+  */
+object Events {
+
+  /** Windowed ordered conversion funnel.
+    *
+    * Step 1 anchors at each user's EARLIEST `steps.head` event; step k
+    * (k ≥ 2) requires a `steps(k-1)` event STRICTLY after the user's
+    * step-(k−1) time and within `window` of the step-1 anchor. Each
+    * step time is the MINIMAL qualifying timestamp (min-folds — exact
+    * and order-independent). Output: one row per step,
+    * `(step, step_name, users)`.
+    *
+    * 100 TB shape: each level is `filter(type) → groupBy(user).min(ts)`
+    * (map-side-combined; the type filter is pushed to the scan) plus a
+    * user-keyed join against the previous level, whose cardinality is
+    * at most #converted-users — monotonically SHRINKING frames, never
+    * a per-user event sort. The k levels are independent jobs; k is
+    * small by construction (a funnel definition, not data).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             window: String): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val base = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(typeCol).as("et"))
+    val first = base.filter(col("et") === steps.head)
+      .groupBy("u").agg(min("ts").as("t"))
+      .withColumn("deadline", col("t") + expr(s"INTERVAL $window"))
+    val levels = steps.toList.tail.scanLeft(first) { (prev, step) =>
+      base.filter(col("et") === step)
+        .join(prev.select(col("u"), col("t").as("prev_t"), col("deadline")),
+          "u")
+        .where(col("ts") > col("prev_t") && col("ts") <= col("deadline"))
+        .groupBy("u")
+        .agg(min("ts").as("t"), max("deadline").as("deadline"))
+    }
+    levels.zip(steps).zipWithIndex.map { case ((lvl, name), i) =>
+      lvl.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("users"))
+    }.reduce(_.unionAll(_)).orderBy("step")
+  }
+
+  /** Weekly cohort retention.
+    *
+    * A user's cohort is the Monday-truncated week of their FIRST event;
+    * `retention_micros` at offset w is `⌊1e6·active/cohort_size⌋` where
+    * `active` counts distinct cohort users with any event in week
+    * cohort+w. Offsets beyond `maxOffset` are dropped (reporting
+    * horizon).
+    *
+    * 100 TB shape: first-event frame is one map-side-combined min-fold;
+    * the activity join is user-keyed against that (≤ #users rows); the
+    * distinct-count collapses (cohort, offset, user) partially before
+    * the final count — no window, no sort, all exact integers.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       maxOffset: Int): DataFrame = {
+    val e = events.select(col(userCol).as("u"), col(tsCol).as("ts"))
+    val first = e.groupBy("u").agg(min("ts").as("first_ts"))
+      .select(col("u"), date_trunc("week", col("first_ts")).as("cohort"))
+    val act = e.join(first, "u")
+      .select(col("u"), col("cohort"),
+        (datediff(date_trunc("week", col("ts")), col("cohort")) / lit(7))
+          .cast("long").as("week_offset"))
+      .filter(col("week_offset") <= maxOffset)
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct("u").as("active_users"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    act.join(sizes, "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"), col("cohort_size"),
+        floor(lit(1000000L) * col("active_users") / col("cohort_size"))
+          .as("retention_micros"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** First-order behavior transition matrix (Markov chain over event
+    * types): per-user event sequences ordered by `(ts, tieCols…)`
+    * yield `(src, dst)` adjacent-pair counts and row-normalized
+    * transition probabilities in integer micros.
+    *
+    * 100 TB shape: ONE per-user-partitioned window (`lag`) — user
+    * partitions are bounded by per-user activity, never a global
+    * sort — then a map-side-combined pair count; the row-total window
+    * runs over the #types² matrix, not the corpus.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCols: Seq[String]): DataFrame = {
+    val e = events.select((Seq(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(typeCol).as("et")) ++ tieCols.map(col)): _*)
+    val w = Window.partitionBy("u")
+      .orderBy((col("ts") +: tieCols.map(col)): _*)
+    val pairs = e.withColumn("src", lag(col("et"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("et").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy("src")
+    pairs
+      .withColumn("p_micros",
+        floor(lit(1000000L) * col("n") / sum(col("n")).over(tot)))
+      .orderBy("src", "dst")
+  }
+
+  /** Robust (median/MAD) outlier screen per group.
+    *
+    * Values are quantized to integer micros (`⌊1e6·v⌋` — one IEEE
+    * multiply+floor, deterministic), then per group: `med2` = DOUBLED
+    * median of the quantized values (exact BIGINT even at
+    * even-count interpolation), `mad2` = doubled median of doubled
+    * absolute deviations `|2v−med2|` (again exact), and a row is an
+    * outlier iff `4·|v − med| > 3·MAD·4`, i.e. `2·|2v−med2| > 3·mad2`
+    * — the whole Hampel test in exact integer arithmetic.
+    *
+    * Caveat (documented trade): `percentile` is Spark's exact
+    * aggregate, which buffers per-group value COUNTS on the reducer —
+    * right for grouped medians over bounded value grids; for unbounded
+    * high-cardinality groups use [[Sketches.quantiles]] and accept
+    * rank-error tolerance instead.
+    *
+    * @return per group: (group, n_rows, med2_micros, mad2_micros,
+    *         n_outliers).
+    */
+  def robustOutliers(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val e = df.select(col(groupCol).as("g"),
+      floor(col(valueCol) * lit(1e6)).cast("long").as("v"))
+    val med = e.groupBy("g").agg(
+      count(lit(1)).as("n_rows"),
+      expr("CAST(2 * percentile(v, 0.5) AS BIGINT)").as("med2"))
+    val dev = e.join(med, "g")
+      .withColumn("adev2", abs(lit(2L) * col("v") - col("med2")))
+    val mad = dev.groupBy("g").agg(
+      expr("CAST(2 * percentile(adev2, 0.5) AS BIGINT)").as("mad4"))
+    dev.join(mad, "g")
+      .groupBy(col("g"), col("med2").as("med2_micros"), col("mad4"),
+        col("n_rows"))
+      .agg(sum(when(lit(2L) * col("adev2") > lit(3L) * col("mad4"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("g").as(groupCol), col("n_rows"),
+        col("med2_micros"), col("mad4").as("mad4_micros"),
+        col("n_outliers"))
+      .orderBy(groupCol)
+  }
+}

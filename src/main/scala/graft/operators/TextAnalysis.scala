@@ -412,6 +412,55 @@ object TextAnalysis {
           .as("pmi_micros"))
   }
 
+  /** χ² token–label association (feature selection for the quality
+    * classifiers, the 2×2 sibling of [[pmiPairs]]): for each token,
+    * the chi-square statistic of the presence/absence × label
+    * contingency table over documents — the classic
+    * supervised-feature-selection score (Yang & Pedersen 1997).
+    *
+    * With `N` docs, `ct` positives, `rt` docs containing the token and
+    * `a` positives containing it, `d = N·a − rt·ct` and
+    * `χ² = N·d² / (rt·(N−rt)·ct·(N−ct))`. All counts and `d` are exact
+    * BIGINTs (`N·d²` ≤ N⁵/16 — exact up to N ≈ 6×10³ per shard; beyond
+    * that, score per-shard and fold); the single double division is one
+    * fixed IEEE expression, so `chi2_micros` is engine-exact.
+    * Degenerate tokens (rt = N) and degenerate labels (ct ∈ {0, N})
+    * are excluded — χ² is undefined there.
+    *
+    * 100 TB shape: presence pairs are `explode(array_distinct(toks))`
+    * — one codegen scan; token counts map-side combine; the 1-row
+    * total is broadcast; top-N ranks the QUANTIZED integer score with
+    * the token as total tiebreak (TakeOrderedAndProject, never a full
+    * sort materialization).
+    *
+    * @param labelCol 0/1 integer document label column.
+    * @return top-N rows (tok, n_docs, n_pos, chi2_micros) by
+    *         (chi2 desc, tok asc).
+    */
+  def chiSquareTokens(docs: DataFrame, textCol: String, labelCol: String,
+                      minDocs: Long, topN: Int): DataFrame = {
+    val base = docs.select(col(labelCol).cast("long").as("y"),
+      tokenize(col(textCol)).as("toks"))
+    val pres = base.select(col("y"),
+      explode(array_distinct(col("toks"))).as("tok"))
+    val tokCounts = pres.groupBy("tok")
+      .agg(count(lit(1)).as("rt"), sum("y").as("a"))
+    val tot = base.agg(count(lit(1)).as("n"), sum("y").as("ct"))
+    tokCounts.crossJoin(broadcast(tot))
+      .filter(col("rt") >= minDocs && col("rt") < col("n") &&
+        col("ct") > 0 && col("ct") < col("n"))
+      .withColumn("d", col("n") * col("a") - col("rt") * col("ct"))
+      .withColumn("chi2_micros",
+        floor(lit(1e6) * ((col("n") * col("d") * col("d")).cast("double") /
+          ((col("rt") * (col("n") - col("rt"))).cast("double") *
+            (col("ct") * (col("n") - col("ct"))).cast("double"))))
+          .cast("long"))
+      .select(col("tok"), col("rt").as("n_docs"), col("a").as("n_pos"),
+        col("chi2_micros"))
+      .orderBy(desc("chi2_micros"), col("tok"))
+      .limit(topN)
+  }
+
   /** The HOF form of [[pmiPairs]]' pair extraction — the executable
     * spec of `WordPairsExpr` (equivalence-tested in TextExprSpec):
     * emits the same canonical (a, b) pairs per document. */

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Drift, Events}
+
+/** Event-analytics + drift-monitoring oracle gates over `events`
+  * (the behavioral layer on the reference's activity stream —
+  * funnels, cohorts, transition models, outlier screens, PSI/KS
+  * drift).
+  *
+  * Time-split convention: "early" = ts < 2024-01-16, "late" = the
+  * rest — the month of synthetic events split into two comparable
+  * 15-day windows for the two-sample drift gates.
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val SplitTs = "2024-01-16 00:00:00"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Windowed ordered funnel signup → view → purchase within 7 days
+    // of the signup anchor: per-step min-fold levels, user-keyed
+    // shrinking joins — never a per-user event sort.
+    "qX_funnel" -> ((s, dir) => {
+      Events.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), "7 DAYS")
+    }),
+
+    // Weekly cohort retention: cohort = Monday week of first event,
+    // retention_micros = floor(1e6 * active / cohort_size) per offset.
+    "qX_retention" -> ((s, dir) => {
+      Events.retentionCohorts(t(s, dir, "events"), "user_id", "ts", 8)
+    }),
+
+    // First-order behavior Markov chain: per-user lag window (ties
+    // broken by event_id), pair counts, row-normalized micros.
+    "qX_transitions" -> ((s, dir) => {
+      Events.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("event_id"))
+    }),
+
+    // Hampel (median/MAD) outlier screen per event type — doubled
+    // medians keep interpolated ranks exact BIGINTs.
+    "qX_outliers" -> ((s, dir) => {
+      Events.robustOutliers(t(s, dir, "events"), "event_type", "value")
+    }),
+
+    // PSI drift of `value` early-half vs late-half over 10 fixed bins
+    // of [0, 500): per-bin add-1-smoothed terms + the bin=-1 total.
+    "qX_psi" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Drift.psi(e.filter(col("ts") < lit(SplitTs).cast("timestamp")),
+        e.filter(col("ts") >= lit(SplitTs).cast("timestamp")),
+        "value", 0.0, 500.0, 10)
+    }),
+
+    // Two-sample KS statistic of `value` early vs late on the
+    // micro-quantized grid.
+    "qX_ks" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Drift.ksStatistic(e.filter(col("ts") < lit(SplitTs).cast("timestamp")),
+        e.filter(col("ts") >= lit(SplitTs).cast("timestamp")), "value")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "qX_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t,
+        |    min(ts) + INTERVAL 7 DAY AS deadline
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t, max(s1.deadline) AS deadline
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t AND e.ts <= s1.deadline
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND e.ts <= s2.deadline
+        |  GROUP BY 1)
+        |SELECT 1 AS step, 'signup' AS step_name, count(*) AS users FROM s1
+        |UNION ALL
+        |SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    "qX_retention" ->
+      """WITH first AS (
+        |  SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7
+        |      AS BIGINT) AS week_offset,
+        |    count(DISTINCT e.user_id) AS active_users
+        |  FROM events e JOIN first f ON e.user_id = f.u
+        |  WHERE CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7
+        |      AS BIGINT) <= 8
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT cohort, count(*) AS cohort_size FROM first
+        |  GROUP BY 1)
+        |SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_week, a.week_offset,
+        |  a.active_users, s.cohort_size,
+        |  CAST(floor(1000000 * a.active_users / s.cohort_size) AS BIGINT)
+        |    AS retention_micros
+        |FROM act a JOIN sizes s USING (cohort)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "qX_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |    event_type AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, count(*) AS n FROM p
+        |  WHERE src IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  CAST(floor(1000000 * n / sum(n) OVER (PARTITION BY src))
+        |    AS BIGINT) AS p_micros
+        |FROM c ORDER BY src, dst""".stripMargin,
+
+    "qX_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor("value" * 1000000.0) AS BIGINT) AS v
+        |  FROM events),
+        |med AS (
+        |  SELECT g, count(*) AS n_rows,
+        |    CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2
+        |  FROM e GROUP BY 1),
+        |dev AS (
+        |  SELECT e.g, med.n_rows, med.med2, abs(2 * e.v - med.med2) AS adev2
+        |  FROM e JOIN med USING (g)),
+        |mad AS (
+        |  SELECT g, CAST(2 * quantile_cont(adev2, 0.5) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT d.g AS event_type, d.n_rows, d.med2 AS med2_micros,
+        |  m.mad4 AS mad4_micros,
+        |  CAST(sum(CASE WHEN 2 * d.adev2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (g)
+        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+
+    "qX_psi" ->
+      """WITH grid AS (SELECT unnest(range(10)) AS bin),
+        |a AS (
+        |  SELECT least(greatest(CAST(floor(("value" - 0.0) / 500.0 * 10)
+        |      AS BIGINT), 0), 9) AS bin, count(*) AS n
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT least(greatest(CAST(floor(("value" - 0.0) / 500.0 * 10)
+        |      AS BIGINT), 0), 9) AS bin, count(*) AS n
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT grid.bin, coalesce(a.n, 0) AS n_base,
+        |    coalesce(b.n, 0) AS n_curr
+        |  FROM grid LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)),
+        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS ta,
+        |  CAST(sum(n_curr) AS BIGINT) AS tb FROM g),
+        |terms AS (
+        |  SELECT g.bin, g.n_base, g.n_curr,
+        |    CAST(round(1000000.0 * ((g.n_base + 1) / (tot.ta + 10) -
+        |        (g.n_curr + 1) / (tot.tb + 10)) *
+        |      ln(((g.n_base + 1) / (tot.ta + 10)) /
+        |         ((g.n_curr + 1) / (tot.tb + 10)))) AS BIGINT)
+        |      AS term_micros
+        |  FROM g CROSS JOIN tot)
+        |SELECT bin, n_base, n_curr, term_micros FROM terms
+        |UNION ALL
+        |SELECT -1, CAST(sum(n_base) AS BIGINT), CAST(sum(n_curr) AS BIGINT),
+        |  CAST(sum(term_micros) AS BIGINT) FROM terms
+        |ORDER BY bin""".stripMargin,
+
+    "qX_ks" ->
+      """WITH a AS (
+        |  SELECT CAST(floor("value" * 1000000.0) AS BIGINT) AS v,
+        |    count(*) AS na
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(floor("value" * 1000000.0) AS BIGINT) AS v,
+        |    count(*) AS nb
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT coalesce(a.v, b.v) AS v, coalesce(a.na, 0) AS na,
+        |    coalesce(b.nb, 0) AS nb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |cum AS (
+        |  SELECT v, sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS ca,
+        |    sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM g),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |  CAST(sum(nb) AS BIGINT) AS tb FROM g)
+        |SELECT tot.ta AS n_base, tot.tb AS n_curr,
+        |  max(abs(CAST(floor(1000000 * cum.ca / tot.ta) AS BIGINT) -
+        |          CAST(floor(1000000 * cum.cb / tot.tb) AS BIGINT)))
+        |    AS ks_micros
+        |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -721,6 +721,15 @@ object TextQueries {
         .limit(100)
     }),
 
+    // χ² token–label feature selection (label = lang 'en'): top-50
+    // tokens by the 2×2 chi-square over doc-presence counts.
+    "qX_chi2" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("y", (col("lang") === "en").cast("int"))
+      TextAnalysis.chiSquareTokens(docs, "text", "y", minDocs = 5,
+        topN = 50)
+    }),
+
     // OOV rate per doc against the top-20 vocab — the coverage metric.
     "qX_oov" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1509,6 +1518,25 @@ object TextQueries {
          |  WHERE pc.n_ab >= 5)
          |SELECT a, b, n_ab, pmi_micros FROM sc
          |ORDER BY pmi_micros DESC, a, b LIMIT 100""".stripMargin,
+    "qX_chi2" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS toks
+         |  FROM documents),
+         |pres AS (SELECT DISTINCT doc_id, y, unnest(toks) AS tok FROM d),
+         |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS rt,
+         |  CAST(sum(y) AS BIGINT) AS a FROM pres GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS ct FROM d),
+         |s AS (SELECT tok, rt, a, n, ct, n * a - rt * ct AS dd
+         |  FROM tc CROSS JOIN tot
+         |  WHERE rt >= 5 AND rt < n AND ct > 0 AND ct < n)
+         |SELECT tok, rt AS n_docs, a AS n_pos,
+         |  CAST(floor(1e6 * (CAST(n * dd * dd AS DOUBLE) /
+         |    (CAST(rt * (n - rt) AS DOUBLE) * CAST(ct * (n - ct) AS DOUBLE))))
+         |    AS BIGINT) AS chi2_micros
+         |FROM s ORDER BY chi2_micros DESC, tok LIMIT 50""".stripMargin,
     "qX_lm_model" ->
       s"""WITH d AS ($ToksSql),
          |big AS (

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Drift, Events, TextAnalysis}
+
+/** Golden tests for the event-analytics (qX_funnel/qX_retention/
+  * qX_transitions/qX_outliers) and drift (qX_psi/qX_ks) operators,
+  * plus χ² feature selection (qX_chi2). */
+class EventsDriftSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: ordering, window expiry and step-skipping all enforced") {
+    // u1 converts fully; u2 stops at view; u3 views BEFORE signup (not
+    // a conversion); u4 purchases without a view (skip not allowed);
+    // u5's view lands after the 7-day anchor window.
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-02 10:00:00"), "view"),
+      (1L, ts("2024-01-03 10:00:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 10:00:00"), "view"),
+      (3L, ts("2024-01-01 09:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "signup"),
+      (4L, ts("2024-01-01 10:00:00"), "signup"),
+      (4L, ts("2024-01-02 10:00:00"), "purchase"),
+      (5L, ts("2024-01-01 10:00:00"), "signup"),
+      (5L, ts("2024-01-09 10:00:01"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(e, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), "7 DAYS")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "signup", 5L), (2, "view", 2L),
+      (3, "purchase", 1L)))
+  }
+
+  test("funnel: later cheaper step-1 anchor does not resurrect a conversion") {
+    // step-2 event between two step-1 events counts only against the
+    // FIRST anchor (min-fold semantics).
+    val e = Seq(
+      (1L, ts("2024-01-05 10:00:00"), "signup"),
+      (1L, ts("2024-01-04 10:00:00"), "view"), // before the anchor
+      (1L, ts("2024-01-06 10:00:00"), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(e, "user_id", "ts", "event_type",
+        Seq("signup", "view"), "7 DAYS")
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 1L), (2, 0L)))
+  }
+
+  test("retention: Monday cohorts, offsets, distinct actives") {
+    // u1 first event Tue Jan 2 (cohort Mon Jan 1), active again weeks
+    // 1 and 2 (twice in week 2 — counted once); u2 cohort Jan 8, no
+    // return.
+    val e = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-15 10:00:00")), (1L, ts("2024-01-16 11:00:00")),
+      (2L, ts("2024-01-08 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Events.retentionCohorts(e, "user_id", "ts", 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 1L, 1L, 1000000L),
+      ("2024-01-01", 1L, 1L, 1L, 1000000L),
+      ("2024-01-01", 2L, 1L, 1L, 1000000L),
+      // u1 is also active in u2's cohort week but belongs to the
+      // earlier cohort — activity joins on the USER's own cohort
+      ("2024-01-08", 0L, 1L, 1L, 1000000L)))
+  }
+
+  test("transitions: lag pairs, tie-break, row-normalized micros") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "b", 2L),
+      (1L, ts("2024-01-01 12:00:00"), "a", 3L),
+      (1L, ts("2024-01-01 12:00:00"), "c", 4L), // tie → event_id order
+      (2L, ts("2024-01-01 10:00:00"), "a", 5L),
+      (2L, ts("2024-01-01 11:00:00"), "b", 6L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.transitionMatrix(e, "user_id", "ts", "event_type",
+        Seq("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", "b", 2L, 666666L), ("a", "c", 1L, 333333L),
+      ("b", "a", 1L, 1000000L)))
+  }
+
+  test("outliers: doubled median/MAD are exact, Hampel flag fires") {
+    // g: values 1..5 plus 100 → med of quantized = 3.5e6 (med2 = 7e6),
+    // adevs2/2e6 = {2.5, 1.5, .5, .5, 1.5, 96.5} → MAD = 1.5e6
+    // (mad4 = 6e6); outlier iff |v − 3.5e6| > 4.5e6 → only 100.
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
+      ("g", 5.0), ("g", 100.0)).toDF("k", "v")
+    val got = Events.robustOutliers(df, "k", "v").collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((6L, 7000000L, 6000000L, 1L)))
+  }
+
+  test("psi: identical samples → zero terms; disjoint mass → positive") {
+    val a = Seq.tabulate(100)(i => i % 10 * 1.0).toDF("v")
+    val same = Drift.psi(a, a, "v", 0.0, 10.0, 10).collect()
+    assert(same.forall(_.getLong(3) == 0L))
+    val lo = Seq.fill(100)(1.0).toDF("v")
+    val hi = Seq.fill(100)(8.0).toDF("v")
+    val shifted = Drift.psi(lo, hi, "v", 0.0, 10.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(shifted(-1L) > 4000000L) // massively shifted
+    assert(shifted(1L) > 0L && shifted(8L) > 0L)
+  }
+
+  test("psi: out-of-range values clamp into edge bins") {
+    val a = Seq(-5.0, 100.0).toDF("v")
+    val bins = Drift.psi(a, a, "v", 0.0, 10.0, 4)
+      .filter(col("bin") >= 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("ks: disjoint samples reach 1e6, identical samples 0") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(10.0, 11.0).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1000000L)))
+    assert(Drift.ksStatistic(a, a, "v").collect().head.getLong(2) == 0L)
+  }
+
+  test("chi2: perfectly label-aligned token scores N·1e6; constant token filtered") {
+    // 4 docs, 2 positive; "pos" appears exactly in the positives →
+    // χ² = N = 4 → 4e6 micros; "base" appears everywhere → rt = N,
+    // excluded.
+    val docs = Seq(
+      (1L, "base pos", 1), (2L, "base pos", 1),
+      (3L, "base neg", 0), (4L, "base neg", 0)
+    ).toDF("doc_id", "text", "y")
+    val got = TextAnalysis.chiSquareTokens(docs, "text", "y", 1L, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(("neg", 2L, 0L, 4000000L),
+      ("pos", 2L, 2L, 4000000L)))
+  }
+}
