@@ -834,6 +834,16 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                        splits: Seq[(String, Double)]): DataFrame =
     graft.operators.Sampling.leakageSafeSplit(df, idCol, clusters, splits)
 
+  /** Binary-quantization two-stage ANN
+    * ([[graft.operators.Similarity.bqTopK]]): sign-code Hamming
+    * shortlist (d/8 bytes per corpus row) reranked by exact cosine —
+    * the cheap-scan retrieval tier between brute force and IVF-PQ. */
+  def bqSearch(queries: DataFrame, corpus: DataFrame, qidCol: String,
+               qvecCol: String, idCol: String, vecCol: String,
+               shortlist: Int = 50, k: Int = 10): DataFrame =
+    graft.operators.Similarity.bqTopK(queries, corpus, qidCol, qvecCol,
+      idCol, vecCol, shortlist, k)
+
   /** Windowed ordered conversion funnel over an event frame
     * ([[graft.operators.Events.funnel]]) — per-step converted-user
     * counts for a step sequence anchored at each user's first

@@ -79,6 +79,37 @@ object VectorExprUtil {
     sig
   }
 
+  /** Packed sign bits (binary quantization): bit `i & 63` of word
+    * `i >> 6` set iff `v(i) >= 0`. Null elements poison the result
+    * (the HOF-twin contract). */
+  def signPackOrNull(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      if (x >= 0) out(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Hamming distance of two packed bit codes (array<long>): Σ
+    * popcount(a⊕b). Length mismatch or null word poisons. */
+  def hammingOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
   /** k-row basis × centered vector. Null contract mirrors the HOF
     * fold: a basis-width/vector-length mismatch or any null element
     * poisons the result. Accumulation is left-to-right per component,
@@ -220,10 +251,88 @@ case class CosineSimExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): CosineSimExpr = copy(left = l, right = r)
 }
 
+/** `sign_pack(vec)`: packed sign-bit code (binary quantization),
+  * codegen — the 32× compression stage of the BQ two-stage ANN; the
+  * probe-side cost drops to one XOR+popcount per word
+  * ([[HammingDistExpr]]). HOF twin: `Similarity.signPackHof`
+  * (equivalence locked in VectorExprSpec). */
+case class SignPackExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_pack requires array<float> or array<double>, got ${t.sql}")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorExprUtil.signPackOrNull(v.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.functions.expr.VectorExprUtil.signPackOrNull($v, $isFloat);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): SignPackExpr =
+    copy(child = c)
+}
+
+/** `hamming_dist(a, b)` over two packed codes (array<long>), codegen
+  * — the BQ stage-1 scan kernel. */
+case class HammingDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hamming_dist requires two array<bigint> inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprUtil.hammingOrNull(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r =
+         |  graft.functions.expr.VectorExprUtil.hammingOrNull($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HammingDistExpr = copy(left = l, right = r)
+}
+
 object VectorExprs {
   import ColumnBridge.{toColumn, toExpr}
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSimExpr(toExpr(a), toExpr(b)))
+  def sign_pack(v: Column): Column =
+    toColumn(SignPackExpr(toExpr(v)))
+  def hamming_dist(a: Column, b: Column): Column =
+    toColumn(HammingDistExpr(toExpr(a), toExpr(b)))
   def sign_lsh(v: Column, m: Int): Column =
     toColumn(SignLshExpr(toExpr(v), m))
   def mat_vec(v: Column, basis: Array[Array[Double]],

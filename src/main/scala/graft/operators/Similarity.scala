@@ -84,6 +84,70 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Binary-quantization two-stage ANN (the RaBitQ/BQ retrieval shape;
+    * e.g. Jégou et al.'s sign-bit baselines): stage 1 scans 1-bit
+    * sign codes — 32× smaller than float32 — ranking by Hamming
+    * distance (one XOR+popcount per 64 dims, codegen
+    * [[graft.functions.expr.HammingDistExpr]]) into a per-query
+    * `shortlist`; stage 2 hydrates ONLY the shortlist with exact
+    * vectors (id-keyed equi join) and reranks by true cosine.
+    *
+    * Shortlist ranking is integer (hamming asc, id asc) and the final
+    * ranking rounds sims to 4 decimals BEFORE the limit — both
+    * fold-order-free, so the whole two-stage pipeline is full-SQL-
+    * oracle-able (qX_bq_rerank replays signs → Hamming → shortlist →
+    * exact rerank).
+    *
+    * 100 TB shape: the stage-1 scan reads d/8 BYTES per corpus row
+    * (the I/O win that is the point of BQ) under a broadcast query
+    * side with a bounded-heap top-`shortlist`; stage 2 touches
+    * |queries|·shortlist rows, never the corpus. Compose with the IVF
+    * cell index ([[ivfProbe]]) to make stage 1 sublinear as well.
+    *
+    * @return (qid, id, sim) — exact cosine of the reranked top-k,
+    *         ranked (sim desc, id asc) per query.
+    */
+  def bqTopK(queries: DataFrame, corpus: DataFrame,
+             qidCol: String, qvecCol: String,
+             idCol: String, vecCol: String,
+             shortlist: Int, k: Int): DataFrame = {
+    import graft.functions.expr.VectorExprs.{hamming_dist, sign_pack}
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .withColumn("qcode", sign_pack(col("qvec")))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val codes = c.select(col("id"), sign_pack(col("vec")).as("code"))
+    val short = TopK.grouped(
+      broadcast(q.select(col("qid"), col("qcode")))
+        .join(codes, col("qid") =!= col("id"))
+        .withColumn("ham", hamming_dist(col("qcode"), col("code"))),
+      Seq("qid"), struct(col("ham").as("h"), col("id").as("i")), shortlist)
+      .select(col("qid"), col("best.i").as("id"))
+    val rer = short.join(c, "id")
+      .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
+    topKPerQuery(rer, k)
+  }
+
+  /** HOF twin of [[graft.functions.expr.SignPackExpr]] — the
+    * executable spec of the bit-packing (equivalence locked in
+    * VectorExprSpec). */
+  private[graft] def signPackHof(v: Column): Column =
+    transform(sequence(lit(0L), ((size(v) + lit(63)) / lit(64)).cast("long")
+        - 1),
+      w => aggregate(
+        sequence(w * 64, least(w * 64 + 63, size(v).cast("long") - 1)),
+        lit(0L),
+        (acc, i) => acc.bitwiseOR(
+          when(try_element_at(v, (i + 1).cast("int")) >= 0,
+            call_function("shiftleft", lit(1L), (i % 64).cast("int")))
+            .otherwise(lit(0L)))))
+
+  /** HOF twin of [[graft.functions.expr.HammingDistExpr]]. */
+  private[graft] def hammingHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
   /** Deterministic "random" hyperplane component: md5-derived value in
     * [-0.5, 0.5) for (plane p, dimension d) — md5_32("hp:p:d") reduced
     * mod 2^20 over 2^20. The dyadic modulus makes every component

@@ -215,6 +215,29 @@ object SimilarityQueries {
     // corpus vectors (+100000) — identical vector ⇒ identical signature
     // ⇒ same bucket ⇒ candidate, and cosine 1.0 tops the ranking; every
     // query must recover its twin in the top-k.
+    // Binary-quantization two-stage ANN: sign-code Hamming shortlist
+    // (integer ranking) → exact-cosine rerank of the shortlist only.
+    // Full oracle: signs → Hamming → shortlist-50 → rerank-5 replayed.
+    "qX_bq_rerank" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        shortlist = 50, k = 5)
+    }),
+
+    // BQ recall contract: planted identical copies have Hamming 0 →
+    // always shortlisted, exact rerank puts the original at sim 1.0.
+    "qX_bq_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val res = Similarity.bqTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", shortlist = 50, k = 5)
+      q.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(res.filter(col("id") === col("qid") - 100000)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     "qX_ann_lsh_recall" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 100)
@@ -956,6 +979,33 @@ object SimilarityQueries {
     "qX_dedup_simhash_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 1000""".stripMargin,
+    "qX_bq_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |ham AS (
+        |  SELECT q.qid, c.vec_id AS id, c.v,
+        |    len(list_filter(range(len(q.qv)),
+        |      i -> (q.qv[i + 1] >= 0) <> (c.v[i + 1] >= 0))) AS h
+        |  FROM q, e c WHERE c.vec_id <> q.qid),
+        |short AS (
+        |  SELECT qid, id, v, row_number() OVER (
+        |    PARTITION BY qid ORDER BY h, id) AS rn
+        |  FROM ham),
+        |rer AS (
+        |  SELECT s.qid, s.id,
+        |    round(list_cosine_similarity(q.qv, s.v), 4) AS sim
+        |  FROM short s JOIN q USING (qid) WHERE s.rn <= 50),
+        |ranked AS (
+        |  SELECT qid, id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, id) AS rn
+        |  FROM rer)
+        |SELECT qid, id, sim FROM ranked WHERE rn <= 5
+        |ORDER BY qid, sim DESC, id""".stripMargin,
+    "qX_bq_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "qX_ann_lsh_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM embeddings WHERE vec_id < 100""".stripMargin,

@@ -41,6 +41,57 @@ class VectorExprSpec extends AnyFunSuite with SparkSpec {
     assert(r2(0).isNullAt(0))
   }
 
+  test("sign_pack equals the HOF packing on embeddings + odd dims") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val bad = emb.select(
+        Similarity.signPackHof(col("embedding").cast("array<double>")).as("h"),
+        VectorExprs.sign_pack(col("embedding")).as("e"))
+      .filter(not(col("h") <=> col("e")))
+    assert(bad.count() == 0)
+    // 70 dims → 2 words, upper bits zero; negative-zero packs as set
+    val odd = Seq((Seq.tabulate(70)(i => if (i % 3 == 0) -1.0 else 1.0),
+      1)).toDF("v", "id")
+    val bad2 = odd.select(
+        Similarity.signPackHof(col("v")).as("h"),
+        VectorExprs.sign_pack(col("v")).as("e"))
+      .filter(not(col("h") <=> col("e")))
+    assert(bad2.count() == 0)
+  }
+
+  test("hamming_dist equals the HOF popcount fold; packed codes round-trip") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = emb.select(col("vec_id").as("id1"),
+      VectorExprs.sign_pack(col("embedding")).as("c1"),
+      col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("id2"),
+      VectorExprs.sign_pack(col("embedding")).as("c2"),
+      col("embedding").as("v2"))
+    val pairs = a.join(b, col("id1") < col("id2")).limit(5000)
+    val bad = pairs.select(
+        Similarity.hammingHof(col("c1"), col("c2")).as("h"),
+        VectorExprs.hamming_dist(col("c1"), col("c2")).as("e"),
+        // ground truth: count of sign-differing dims
+        aggregate(zip_with(col("v1"), col("v2"), (x, y) =>
+            when((x >= 0) =!= (y >= 0), 1L).otherwise(0L)),
+          lit(0L), _ + _).as("g"))
+      .filter(not(col("h") <=> col("e")) || not(col("e") <=> col("g")))
+    assert(bad.count() == 0)
+  }
+
+  test("bqTopK: identical vector reranks to sim 1.0 at the top") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val top = Similarity.bqTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", shortlist = 20, k = 3)
+      .collect()
+    assert(top.head.getLong(1) == 7L &&
+      math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
   test("sign_lsh equals the HOF hyperplane formulation on all embeddings") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
