@@ -834,6 +834,12 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                        splits: Seq[(String, Double)]): DataFrame =
     graft.operators.Sampling.leakageSafeSplit(df, idCol, clusters, splits)
 
+  /** Stratified k-fold CV assignment
+    * ([[graft.operators.Sampling.kFold]]) — deterministic md5 folds,
+    * uniform within every stratum. */
+  def crossValFolds(df: DataFrame, idCol: String, k: Int = 5): DataFrame =
+    graft.operators.Sampling.kFold(df, idCol, k)
+
   /** Binary-quantization two-stage ANN
     * ([[graft.operators.Similarity.bqTopK]]): sign-code Hamming
     * shortlist (d/8 bytes per corpus row) reranked by exact cosine —

@@ -46,6 +46,19 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Stratified k-fold assignment for cross-validation:
+    * `fold = md5Bucket(id) mod k`. Deterministic, engine-auditable
+    * (the oracle replays the md5 arithmetic), and uniform WITHIN every
+    * stratum because the hash is independent of any stratum column —
+    * per-stratum fold sizes balance without a stratum-aware pass.
+    * Narrow projection, no shuffle; compose with
+    * [[leakageSafeSplit]]'s cluster-key indirection when folds must
+    * not split near-duplicate clusters. */
+  def kFold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k-fold needs k >= 2")
+    df.withColumn("fold", md5Bucket(col(idCol)) % k)
+  }
+
   /** Leakage-safe train/test split: assign splits by the hash of the
     * near-dup CLUSTER id, not the document id — two near-duplicates
     * must never straddle train and eval (splitting by doc id leaks:

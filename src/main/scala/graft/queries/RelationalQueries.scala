@@ -35,6 +35,36 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // OLAP rollup: hierarchical subtotal lattice in ONE pass — Spark
+    // expands grouping sets inside the aggregate (no per-level
+    // re-scan); totals coalesce to 'ALL' sentinels (the grouped
+    // columns are non-null by data contract). Sums are integer-exact
+    // (quantities floor to BIGINT).
+    "qX_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // OLAP cube: all 2^d grouping sets, one pass; money sums in
+    // integer cents so the fold is order-independent.
+    "qX_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("sum_cents"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("sum_cents"), col("n"))
+        .orderBy(col("st"), col("pri"))
+    }),
+
     // A1: scan + filter + projection — predicate and column pruning must
     // reach the parquet scan (PushedFilters/ReadSchema verified in spec).
     "qA1_scan_filter" -> ((s, dir) => {
@@ -687,6 +717,21 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "qX_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "qX_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -353,6 +353,16 @@ object TextQueries {
         .orderBy(col("split"))
     }),
 
+    // stratified 5-fold CV assignment — per-(stratum, fold) counts +
+    // an id-sum so the oracle checks MEMBERSHIP, not just sizes.
+    "qX_kfold" -> ((s, dir) => {
+      graft.operators.Sampling.kFold(
+          Tables.load(s, dir, "documents"), "doc_id", 5)
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"), col("fold"))
+    }),
+
     // deterministic 25% sample — row-level membership check (stronger
     // than a count: the oracle must agree on every sampled id).
     "qX_sample" -> ((s, dir) => {
@@ -1225,6 +1235,12 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n, min(doc_id) AS min_id
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qX_kfold" ->
+      """SELECT lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 5 AS fold,
+        |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin,
     "qX_sample" ->
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
