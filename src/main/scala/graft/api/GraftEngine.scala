@@ -809,6 +809,15 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.landmarkDistances(edges,
       numSources, maxDepth)
 
+  /** Exact weighted shortest paths from `sources` over a weighted
+    * edge frame ([[graft.operators.GraphAnalytics.weightedSssp]]) —
+    * distributed Bellman–Ford; `rounds` must cover the hop
+    * diameter. */
+  def shortestPaths(weightedEdges: DataFrame, sources: Seq[Long],
+                    rounds: Int = 10): DataFrame =
+    graft.operators.GraphAnalytics.weightedSssp(weightedEdges, sources,
+      rounds)
+
   /** Corpus BLEU of candidate vs reference text columns
     * ([[graft.operators.Eval.corpusBleu]]) — gate augmented /
     * machine-generated text before it enters a training mix. */

@@ -952,6 +952,50 @@ object GraphAnalytics {
       .join(vmap, "vid").select(col("id"), col("n_tri").cast("long").as("n_tri"))
   }
 
+  /** Weighted single/multi-source shortest paths over the undirected
+    * weighted edge view (src, dst, w) — distributed Bellman–Ford:
+    * each round relaxes every edge once (`dist ⋈ adj` + a min-fold),
+    * so after `rounds ≥` the hop-diameter the table is the EXACT
+    * weighted distance (Bellman–Ford's invariant: round k holds all
+    * shortest paths of ≤ k hops). Weights are positive integers
+    * (multiplicity weights by contract), so every fold is an integer
+    * min — order-independent and full-SQL-oracle-able by unrolled
+    * rounds (the pageRankMicros convention).
+    *
+    * 100 TB shape: per round ONE keyed join of the frontier table
+    * against the adjacency plus a map-side-combined min — the same
+    * state/shuffle budget as [[hashSpreadBfs]] with a weight column;
+    * state is |sources|·|reached| rows, checkpointed every other
+    * round to keep lineage flat. Rounds are a structural bound (hop
+    * diameter), not data-scale; for huge diameters compose with
+    * landmark pruning.
+    *
+    * @return (s, v, d) — exact weighted distance from each source to
+    *         every vertex within `rounds` hops.
+    */
+  def weightedSssp(edges: DataFrame, sources: Seq[Long],
+                   rounds: Int): DataFrame = {
+    val adj = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("w").cast("long").as("w")))
+      .localCheckpoint(true) // reused every relaxation round
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = sources.toDF("s")
+      .select(col("s"), col("s").as("v"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    for (i <- 1 to rounds) {
+      val relaxed = dist.join(adj.withColumnRenamed("src", "v"), "v")
+        .select(col("s"), col("dst").as("v"), (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("s", "v").agg(min(col("d")).as("d"))
+      dist = if (i % 2 == 0 || i == rounds) next.localCheckpoint(true)
+      else next
+    }
+    dist.orderBy(col("s"), col("v"))
+  }
+
   /** Shared multi-source truncated BFS from the hash-spread source
     * sample (the harmonic/betweenness source convention: the
     * `numSources` lowest vertices by `(md5Bucket(id), id)` — uniform

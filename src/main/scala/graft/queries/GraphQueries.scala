@@ -301,6 +301,14 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Weighted SSSP (Bellman–Ford, 10 relaxation rounds ≥ the derived
+    // graph's hop diameter): exact integer multiplicity-weighted
+    // distances from sources 1 and 7.
+    "qX_sssp" -> ((s, dir) => {
+      val edges = derivedEdgesWeighted(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.weightedSssp(edges, Seq(1L, 7L), 10)
+    }),
+
     // Label propagation communities: most-frequent neighbor label,
     // smallest-label ties, fixed 4 synchronous rounds (unrolled oracle).
     "qX_lpa" -> ((s, dir) => {
@@ -678,6 +686,30 @@ object GraphQueries {
   /** Unrolled weighted-PageRank oracle: [[pagerankSql]]'s chained CTEs
     * with per-edge contribution `rank · w / wout` — the exact
     * arithmetic of [[graft.operators.GraphAnalytics.pageRankWeightedDF]]. */
+  /** Unrolled Bellman–Ford replay of
+    * [[graft.operators.GraphAnalytics.weightedSssp]]: round k = one
+    * relaxation of every (undirected) weighted edge + an integer
+    * min-fold — exactly the engine's per-round plan. */
+  private def ssspSql(rounds: Int, sources: Seq[Long]): String = {
+    val head =
+      s"""WITH e AS ($WeightedEdgesSql),
+         |adj AS (SELECT src, dst, w FROM e
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM e),
+         |d0 AS (${sources.map(s =>
+          s"SELECT CAST($s AS BIGINT) AS s, CAST($s AS BIGINT) AS v, " +
+            s"CAST(0 AS BIGINT) AS d").mkString(" UNION ALL ")})""".stripMargin
+    val rs = (1 to rounds).map { k =>
+      s"""d$k AS (SELECT s, v, min(d) AS d FROM (
+         |  SELECT s, v, d FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT p.s, a.dst AS v, p.d + a.w AS d
+         |  FROM d${k - 1} p JOIN adj a ON a.src = p.v) x
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    (head +: rs).mkString(",\n") +
+      s"\nSELECT s, v, d FROM d$rounds ORDER BY s, v"
+  }
+
   private def weightedPagerankSql(iters: Int): String = {
     val head =
       s"""WITH edges AS ($WeightedEdgesSql),
@@ -1150,6 +1182,7 @@ object GraphQueries {
          |LEFT JOIN pv ON verts.id = pv.id
          |ORDER BY verts.id""".stripMargin,
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
+    "qX_sssp" -> ssspSql(10, Seq(1L, 7L)),
     "qX_lpa" -> lpaSql(4),
     "qX_modularity" ->
       (lpaCte(4) +

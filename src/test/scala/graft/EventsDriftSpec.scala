@@ -129,6 +129,16 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(Drift.ksStatistic(a, a, "v").collect().head.getLong(2) == 0L)
   }
 
+  test("weightedSssp: cheaper multi-hop path beats the direct edge; unreachable absent") {
+    import graft.operators.GraphAnalytics
+    // 1—2 (w=10) vs 1—3—2 (w=2+3=5); 4—5 isolated from 1.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L),
+      (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val got = GraphAnalytics.weightedSssp(edges, Seq(1L), rounds = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
+  }
+
   test("chi2: perfectly label-aligned token scores N·1e6; constant token filtered") {
     // 4 docs, 2 positive; "pos" appears exactly in the positives →
     // χ² = N = 4 → 4e6 micros; "base" appears everywhere → rt = N,
