@@ -809,6 +809,18 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.landmarkDistances(edges,
       numSources, maxDepth)
 
+  /** HyperBall neighborhood function of the engine's knows graph
+    * ([[graft.operators.GraphAnalytics.hyperBall]]) — how many
+    * (source, vertex) pairs sit within each radius, at |V|·m sketch
+    * cost. */
+  def neighborhoodFunction(maxR: Int = 4): DataFrame =
+    graft.operators.GraphAnalytics.hyperBall(edges, maxR)
+
+  /** Effective diameter (90% pair mass) of the engine's knows graph
+    * ([[graft.operators.GraphAnalytics.effectiveDiameter]]). */
+  def effectiveDiameter(maxR: Int = 4): DataFrame =
+    graft.operators.GraphAnalytics.effectiveDiameter(edges, maxR)
+
   /** Exact weighted shortest paths from `sources` over a weighted
     * edge frame ([[graft.operators.GraphAnalytics.weightedSssp]]) —
     * distributed Bellman–Ford; `rounds` must cover the hop

@@ -952,6 +952,88 @@ object GraphAnalytics {
       .join(vmap, "vid").select(col("id"), col("n_tri").cast("long").as("n_tri"))
   }
 
+  /** HyperBall (Boldi & Vigna 2013): the neighborhood function
+    * N(r) = Σ_v |ball(v, r)| estimated with per-vertex HyperLogLog
+    * registers — THE technique that made billion-node
+    * distance-distribution/diameter computation feasible, and the
+    * canonical 100 TB answer to "how far apart is this graph": state
+    * is |V|·m register rows, each round ONE keyed join + max-fold,
+    * versus the |V|² pair table an exact all-sources BFS needs.
+    *
+    * Engine-exact determinism (this implementation's contribution —
+    * the reason the whole sketch is full-SQL-oracle-able):
+    *  - registers are md5-derived ([[Sampling.md5Bucket]]): j = h mod
+    *    m, rho = trailing-zero rank of ⌊h/m⌋ (equidistributed with
+    *    the classic leading-zero form, P(rho=k)=2⁻ᵏ, but computable
+    *    exactly in SQL via `round(log2(w & −w))` — log2 of an exact
+    *    power of two rounds identically everywhere); the 28 payload
+    *    bits all-zero case caps at rho = 29.
+    *  - register folds are integer max — order-independent.
+    *  - per-vertex 2⁻ʳʰᵒ terms are DYADIC rationals ≥ 2⁻²⁹: their sum
+    *    (plus the integer zero-register mass) is EXACT in double in
+    *    any order, so the harmonic-mean denominator is bit-identical
+    *    across engines and partition orders.
+    *  - per-vertex estimates round to integers BEFORE the global sum
+    *    (the modularity-term convention): the fold is an integer sum.
+    * Small-range correction: raw ≤ 2.5m with empty registers →
+    * linear counting `round(m·ln(m/V₀))`, same branch in the oracle.
+    *
+    * @param m register count — fixed 16 (α₁₆ = 0.673 baked into both
+    *          engines' expressions).
+    * @return (r, n_reached_est) for r = 0..maxR: the estimated number
+    *         of (source, vertex) pairs within distance r.
+    */
+  def hyperBall(edges: DataFrame, maxR: Int, m: Int = 16): DataFrame = {
+    require(m == 16, "m is fixed at 16 (alpha constant baked into the plan)")
+    val adj = Pymk.undirected(edges).distinct()
+      .localCheckpoint(true) // reused every round
+    val verts = adj.select(col("from").as("v")).distinct()
+    val h = Sampling.md5Bucket(col("v"))
+    val w = floor(h / lit(m)).cast("long")
+    val rho = when(w === 0, lit(29L))
+      .otherwise(round(log2(w.bitwiseAND(-w))).cast("long") + 1)
+    var regs = verts.select(col("v"), (h % m).as("j"), rho.as("rho"))
+      .localCheckpoint(true)
+    def estimate(r: Int, rg: DataFrame): DataFrame = {
+      val perv = rg.groupBy("v").agg(
+        (sum(pow(lit(2.0), -col("rho"))) + (lit(m) - count(lit(1))))
+          .as("s"),
+        (lit(m) - count(lit(1))).as("v0"))
+      val raw = lit(0.673) * lit(256.0) / col("s")
+      val estv = when(raw <= lit(40.0) && col("v0") > 0,
+          round(lit(16.0) * log(lit(16.0) / col("v0"))).cast("long"))
+        .otherwise(round(raw).cast("long"))
+      perv.select(estv.as("e"))
+        .agg(sum("e").as("n_reached_est"))
+        .select(lit(r).as("r"), col("n_reached_est"))
+    }
+    var out = List(estimate(0, regs))
+    for (i <- 1 to maxR) {
+      val prop = regs
+        .join(adj.withColumnRenamed("from", "v").withColumnRenamed("to", "t"),
+          "v")
+        .select(col("t").as("v"), col("j"), col("rho"))
+      regs = regs.unionByName(prop)
+        .groupBy("v", "j").agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      out = estimate(i, regs) :: out
+    }
+    out.reduce(_.unionAll(_)).orderBy("r")
+  }
+
+  /** Effective diameter from the [[hyperBall]] neighborhood function:
+    * the smallest radius reaching ≥ 90% of the maximal pair mass
+    * (`10·N(r) ≥ 9·N_max` — integer comparison, engine-exact).
+    * @return one row (n_max, r90). */
+  def effectiveDiameter(edges: DataFrame, maxR: Int): DataFrame = {
+    val nf = hyperBall(edges, maxR)
+    val mx = nf.agg(max("n_reached_est").as("n_max"))
+    nf.crossJoin(broadcast(mx))
+      .filter(col("n_reached_est") * 10 >= col("n_max") * 9)
+      .groupBy("n_max").agg(min("r").as("r90"))
+      .select(col("n_max"), col("r90"))
+  }
+
   /** Weighted single/multi-source shortest paths over the undirected
     * weighted edge view (src, dst, w) — distributed Bellman–Ford:
     * each round relaxes every edge once (`dist ⋈ adj` + a min-fold),

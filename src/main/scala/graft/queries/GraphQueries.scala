@@ -301,6 +301,21 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // HyperBall neighborhood function: per-vertex HLL registers
+    // (md5-portable, dyadic-exact harmonic sums) folded 4 rounds —
+    // N(r) estimates for r = 0..4, full-oracle.
+    "qX_hyperball" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.hyperBall(edges, 4)
+    }),
+
+    // Effective diameter (90% pair mass) off the HyperBall table —
+    // integer comparison, one row.
+    "qX_eff_diameter" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.effectiveDiameter(edges, 4)
+    }),
+
     // Weighted SSSP (Bellman–Ford, 10 relaxation rounds ≥ the derived
     // graph's hop diameter): exact integer multiplicity-weighted
     // distances from sources 1 and 7.
@@ -686,6 +701,46 @@ object GraphQueries {
   /** Unrolled weighted-PageRank oracle: [[pagerankSql]]'s chained CTEs
     * with per-edge contribution `rank · w / wout` — the exact
     * arithmetic of [[graft.operators.GraphAnalytics.pageRankWeightedDF]]. */
+  /** Unrolled replay of [[graft.operators.GraphAnalytics.hyperBall]]:
+    * md5 registers, per-round max-folds, dyadic-exact harmonic sums,
+    * per-vertex integer estimates. Ends with CTEs `e0..e{maxR}`
+    * (r, n_reached_est). */
+  private def hyperBallCte(maxR: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (SELECT src AS f, dst AS t FROM edges
+         |        UNION SELECT dst AS f, src AS t FROM edges),
+         |vs AS (SELECT DISTINCT f AS v FROM adj),
+         |hh AS (SELECT v,
+         |  CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    AS hv
+         |  FROM vs),
+         |ww AS (SELECT v, hv % 16 AS j, CAST(floor(hv / 16) AS BIGINT) AS w
+         |  FROM hh),
+         |r0 AS (SELECT v, j,
+         |  CASE WHEN w = 0 THEN 29
+         |       ELSE CAST(round(log2(w & (-w))) AS BIGINT) + 1 END AS rho
+         |  FROM ww)""".stripMargin
+    val regs = (1 to maxR).map { k =>
+      s"""r$k AS (SELECT v, j, max(rho) AS rho FROM (
+         |  SELECT v, j, rho FROM r${k - 1}
+         |  UNION ALL
+         |  SELECT a.t AS v, p.j, p.rho FROM r${k - 1} p
+         |  JOIN adj a ON a.f = p.v) x
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val ests = (0 to maxR).map { k =>
+      s"""p$k AS (SELECT v, sum(pow(2.0, -rho)) + (16 - count(*)) AS s,
+         |  16 - count(*) AS v0 FROM r$k GROUP BY v),
+         |e$k AS (SELECT $k AS r, CAST(sum(
+         |  CASE WHEN 0.673 * 256.0 / s <= 40.0 AND v0 > 0
+         |    THEN CAST(round(16.0 * ln(16.0 / v0)) AS BIGINT)
+         |    ELSE CAST(round(0.673 * 256.0 / s) AS BIGINT) END) AS BIGINT)
+         |  AS n_reached_est FROM p$k)""".stripMargin
+    }
+    (Seq(head) ++ regs ++ ests).mkString(",\n")
+  }
+
   /** Unrolled Bellman–Ford replay of
     * [[graft.operators.GraphAnalytics.weightedSssp]]: round k = one
     * relaxation of every (undirected) weighted edge + an integer
@@ -1183,6 +1238,21 @@ object GraphQueries {
          |ORDER BY verts.id""".stripMargin,
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
     "qX_sssp" -> ssspSql(10, Seq(1L, 7L)),
+    "qX_hyperball" ->
+      (hyperBallCte(4) + "\n" +
+        (0 to 4).map(k => s"SELECT r, n_reached_est FROM e$k")
+          .mkString("\nUNION ALL\n") +
+        "\nORDER BY r"),
+    "qX_eff_diameter" ->
+      (hyperBallCte(4) +
+        s""",
+           |nf AS (${(0 to 4).map(k => s"SELECT r, n_reached_est FROM e$k")
+            .mkString(" UNION ALL ")}),
+           |mx AS (SELECT max(n_reached_est) AS n_max FROM nf)
+           |SELECT mx.n_max, min(nf.r) AS r90
+           |FROM nf CROSS JOIN mx
+           |WHERE nf.n_reached_est * 10 >= mx.n_max * 9
+           |GROUP BY 1""".stripMargin),
     "qX_lpa" -> lpaSql(4),
     "qX_modularity" ->
       (lpaCte(4) +

@@ -139,6 +139,20 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
   }
 
+  test("hyperBall: N(0) is exactly |V| (linear counting of 1), balls grow monotonically") {
+    import graft.operators.GraphAnalytics
+    // path 1—2—3—4—5: N(0)=5, N(4) estimates the full 25-pair mass
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val nf = GraphAnalytics.hyperBall(edges, 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nf(0) == 5L) // singleton balls always estimate exactly 1
+    assert((0 to 3).forall(r => nf(r) <= nf(r + 1)))
+    assert(nf(4) >= 5L && nf(4) <= 45L) // 25 ± HLL(m=16) error band
+    val ed = GraphAnalytics.effectiveDiameter(edges, 4).collect().head
+    assert(ed.getLong(0) == nf.values.max && ed.getInt(1) >= 1)
+  }
+
   test("chi2: perfectly label-aligned token scores N·1e6; constant token filtered") {
     // 4 docs, 2 positive; "pos" appears exactly in the positives →
     // χ² = N = 4 → 4e6 micros; "base" appears everywhere → rt = N,
