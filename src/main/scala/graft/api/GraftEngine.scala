@@ -902,6 +902,24 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                     valueCol: String): DataFrame =
     graft.operators.Events.robustOutliers(df, groupCol, valueCol)
 
+  /** Fellegi–Sunter record linkage within blocks
+    * ([[graft.operators.EntityResolution.scorePairs]]) — the person
+    * de-duplication the card pipeline needs when OCR noise forks a
+    * contact. */
+  def linkRecords(records: DataFrame, idCol: String, blockCol: String,
+                  comparisons: Seq[(String, Long, Long)],
+                  threshold: Long): DataFrame =
+    graft.operators.EntityResolution.scorePairs(records, idCol, blockCol,
+      comparisons, threshold)
+
+  /** Last-touch attribution over an event frame
+    * ([[graft.operators.Events.lastTouchAttribution]]). */
+  def attribute(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, idCol: String, convType: String,
+                touchTypes: Seq[String], windowMicros: Long): DataFrame =
+    graft.operators.Events.lastTouchAttribution(events, userCol, tsCol,
+      typeCol, idCol, convType, touchTypes, windowMicros)
+
   /** PSI drift report between a baseline and a current sample
     * ([[graft.operators.Drift.psi]]) — run before trusting a new
     * ingest batch against last week's distribution. */

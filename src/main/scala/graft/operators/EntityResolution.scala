@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi & Sunter 1969) — the
+  * people-matching layer the reference needs the moment two business
+  * cards disagree: the same person scanned twice with OCR noise
+  * (`upsert_bizcard_to_graph_db.py` keys vertices on exact md5(email),
+  * so one flipped character forks the person). Candidate pairs come
+  * from a BLOCKING key (never all-pairs); each field comparison
+  * contributes a log-odds agreement/disagreement weight; pairs at or
+  * above the decision threshold are links.
+  *
+  * Determinism: weights are caller-supplied integer micros (ln(m/u)
+  * ratios precomputed offline, the Fellegi–Sunter convention), field
+  * agreement is null-safe equality, so every score is an exact
+  * integer sum — full-SQL-oracle-able.
+  *
+  * 100 TB shape: ONE equi-join on the blocking key (block sizes are a
+  * design choice — the cost is Σ|block|², not |records|²) + a codegen
+  * CASE-sum projection. Skewed blocks get the same medicine as hub
+  * vertices: tighten the key or cap per-block membership
+  * ([[GraphAnalytics]]'s capNeighbors convention).
+  */
+object EntityResolution {
+
+  /** Self-dedup linkage: score all intra-block pairs (id1 < id2) of
+    * one record frame.
+    *
+    * @param comparisons (fieldCol, agreeMicros, disagreeMicros) per
+    *                    compared field; agreement is null-safe `<=>`.
+    * @param threshold   minimal total score to keep a pair.
+    * @return (id1, id2, score_micros) for linked pairs, ordered.
+    */
+  def scorePairs(records: DataFrame, idCol: String, blockCol: String,
+                 comparisons: Seq[(String, Long, Long)],
+                 threshold: Long): DataFrame = {
+    require(comparisons.nonEmpty, "at least one field comparison")
+    val fields = Seq(idCol, blockCol) ++ comparisons.map(_._1)
+    val a = records.select(fields.map(c => col(c).as(s"a_$c")): _*)
+    val b = records.select(fields.map(c => col(c).as(s"b_$c")): _*)
+    val score = comparisons.map { case (f, wa, wd) =>
+      when(col(s"a_$f") <=> col(s"b_$f"), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    a.join(b, col(s"a_$blockCol") === col(s"b_$blockCol") &&
+        col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol").as("id1"), col(s"b_$idCol").as("id2"),
+        score.as("score_micros"))
+      .filter(col("score_micros") >= threshold)
+      .orderBy("id1", "id2")
+  }
+}

@@ -120,6 +120,39 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** Last-touch attribution: assign each conversion event the LATEST
+    * qualifying touch event of the same user at-or-before it within
+    * `windowMicros` — the as-of join ([[AsOfJoin.asOf]]) specialized
+    * to the marketing-attribution contract. Equal-timestamp touches
+    * collapse to the max event id BEFORE the join (struct max-fold —
+    * deterministic carry); conversions with no touch in the window
+    * attribute to NULL (left-outer + staleness bound).
+    *
+    * 100 TB shape: inherits the as-of join's single key-partitioned
+    * sort — no inequality join, no per-conversion probe.
+    *
+    * @return (conv_id, touch_id, touch_type), ordered by conv_id.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           tsCol: String, typeCol: String, idCol: String,
+                           convType: String, touchTypes: Seq[String],
+                           windowMicros: Long): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(tsCol).as("ts"),
+        col(idCol).as("conv_id"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(userCol).as("u"), col(tsCol).as("ts"))
+      .agg(max(struct(col(idCol).as("tid"), col(typeCol).as("ttype")))
+        .as("m"))
+      .select(col("u"), col("ts"), col("m.tid").as("touch_id"),
+        col("m.ttype").as("touch_type"))
+    AsOfJoin.asOf(conv, touch, "u", "ts", Seq("touch_id", "touch_type"),
+        "backward", windowMicros)
+      .select(col("conv_id"), col("asof_touch_id").as("touch_id"),
+        col("asof_touch_type").as("touch_type"))
+      .orderBy("conv_id")
+  }
+
   /** Robust (median/MAD) outlier screen per group.
     *
     * Values are quantized to integer micros (`⌊1e6·v⌋` — one IEEE

@@ -58,6 +58,15 @@ object EventQueries {
         "value", 0.0, 500.0, 10)
     }),
 
+    // Last-touch attribution: each purchase attributes to the latest
+    // click/view of the same user within 3 days (as-of join shape;
+    // equal-ts touches collapse to max id first).
+    "qX_attribution" -> ((s, dir) => {
+      Events.lastTouchAttribution(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click", "view"),
+        windowMicros = 3L * 86400L * 1000000L)
+    }),
+
     // Two-sample KS statistic of `value` early vs late on the
     // micro-quantized grid.
     "qX_ks" -> ((s, dir) => {
@@ -179,6 +188,26 @@ object EventQueries {
         |SELECT -1, CAST(sum(n_base) AS BIGINT), CAST(sum(n_curr) AS BIGINT),
         |  CAST(sum(term_micros) AS BIGINT) FROM terms
         |ORDER BY bin""".stripMargin,
+
+    "qX_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, ts, event_id AS conv_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |t0 AS (
+        |  SELECT user_id AS u, ts, event_id AS touch_id,
+        |    event_type AS touch_type,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |tch AS (SELECT u, ts, touch_id, touch_type FROM t0 WHERE rn = 1),
+        |j AS (
+        |  SELECT c.conv_id, t.touch_id, t.touch_type,
+        |    row_number() OVER (PARTITION BY c.conv_id
+        |      ORDER BY t.ts DESC, t.touch_id DESC) AS rn
+        |  FROM conv c LEFT JOIN tch t ON t.u = c.u AND t.ts <= c.ts
+        |    AND t.ts >= c.ts - INTERVAL 3 DAY)
+        |SELECT conv_id, touch_id, touch_type FROM j WHERE rn = 1
+        |ORDER BY conv_id""".stripMargin,
 
     "qX_ks" ->
       """WITH a AS (

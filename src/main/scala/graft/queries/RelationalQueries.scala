@@ -35,6 +35,24 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Fellegi–Sunter record linkage: planted dirty duplicates
+    // (uppercased name, same balance/segment) recovered by blocked
+    // integer log-odds scoring — never all-pairs.
+    "qX_er" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      val dirty = cust.select((col("c_custkey") + 100000).as("c_custkey"),
+        upper(col("c_name")).as("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      graft.operators.EntityResolution.scorePairs(cust.unionAll(dirty),
+        "c_custkey", "c_nationkey",
+        Seq(("c_name", 4000000L, -2000000L),
+          ("c_acctbal", 6000000L, -3000000L),
+          ("c_mktsegment", 1000000L, -200000L)),
+        threshold = 4000000L)
+    }),
+
     // OLAP rollup: hierarchical subtotal lattice in ONE pass — Spark
     // expands grouping sets inside the aggregate (no per-level
     // re-scan); totals coalesce to 'ALL' sentinels (the grouped
@@ -717,6 +735,28 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "qX_er" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey + 100000 AS c_custkey, upper(c_name) AS c_name,
+        |    c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+        |p AS (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |    CAST(
+        |      CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+        |        THEN 4000000 ELSE -2000000 END +
+        |      CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+        |        THEN 6000000 ELSE -3000000 END +
+        |      CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+        |        THEN 1000000 ELSE -200000 END AS BIGINT) AS score_micros
+        |  FROM u a JOIN u b ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT id1, id2, score_micros FROM p
+        |WHERE score_micros >= 4000000 ORDER BY id1, id2""".stripMargin,
     "qX_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,

@@ -139,6 +139,42 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
   }
 
+  test("entity resolution: blocked scoring, null-safe agreement, threshold") {
+    import graft.operators.EntityResolution
+    val recs = Seq(
+      (1L, "b1", Some("alice"), "x"), // 1-2: name agrees (+4), f2 differs (-1) = 3e6 → linked
+      (2L, "b1", Some("alice"), "y"),
+      (3L, "b1", Some("bob"), "x"),   // 1-3: name differs (-2), f2 agrees (+2) = 0 → dropped
+      (4L, "b2", None, "x"),          // 4-5: null-safe name agree (+4), f2 differs (-1) = 3e6
+      (5L, "b2", None, "z"),
+      (6L, "b3", Some("carol"), "x")  // alone in block → no pairs
+    ).toDF("id", "blk", "name", "f2")
+    val got = EntityResolution.scorePairs(recs, "id", "blk",
+        Seq(("name", 4000000L, -2000000L), ("f2", 2000000L, -1000000L)),
+        threshold = 3000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3000000L), (4L, 5L, 3000000L)))
+  }
+
+  test("attribution: window bound, equal-ts max-id collapse, no-touch NULL") {
+    val e = Seq(
+      (1L, ts("2024-01-10 10:00:00"), "click", 10L),
+      (1L, ts("2024-01-10 10:00:00"), "view", 11L),  // same ts → id 11 wins
+      (1L, ts("2024-01-11 09:00:00"), "purchase", 12L),
+      (2L, ts("2024-01-01 10:00:00"), "click", 20L), // 9 days before conv → stale
+      (2L, ts("2024-01-10 10:00:00"), "purchase", 21L),
+      (3L, ts("2024-01-10 10:00:00"), "purchase", 30L) // no touches at all
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.lastTouchAttribution(e, "user_id", "ts", "event_type",
+        "event_id", "purchase", Seq("click", "view"), 3L * 86400L * 1000000L)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "" else r.getString(2)))
+    assert(got.toSeq == Seq((12L, 11L, "view"), (21L, -1L, ""),
+      (30L, -1L, "")))
+  }
+
   test("hyperBall: N(0) is exactly |V| (linear counting of 1), balls grow monotonically") {
     import graft.operators.GraphAnalytics
     // path 1—2—3—4—5: N(0)=5, N(4) estimates the full 25-pair mass
