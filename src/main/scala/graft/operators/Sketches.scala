@@ -55,6 +55,66 @@ object Sketches {
     * [[distinctEstimateMerged]]); `n_within_tol` where BOTH estimates
     * are within `tol` relative error of the exact distinct count. A
     * healthy engine reports (g, g, g). */
+  /** EXACT distributed quantiles by global-rank selection — the
+    * no-tolerance sibling of the approx percentile contract: the
+    * quantile at q is the row whose global rank under the total order
+    * `(valueCol, tieCol)` equals `max(1, ⌈q·N⌉)`. Rank comes from
+    * [[Packing.globalRank]] (range partition + local windows +
+    * O(#partitions) offsets) — NO single-partition global sort, the
+    * plan that survives 100 TB where a global `ntile`/`percentile`
+    * window cannot. Selection is one broadcast join against the
+    * (q, rank) table.
+    *
+    * @param qsMicros quantiles in integer micros (500000 = median).
+    * @return (q_micros, `valueCol`) one row per requested quantile.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, tieCol: String,
+                     qsMicros: Seq[Long]): DataFrame = {
+    val (ranked, n) = Packing.globalRank(
+      df.select(col(valueCol), col(tieCol)), Seq(valueCol, tieCol))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = qsMicros
+      .map(q => (q, math.max(1L, math.ceil(q / 1e6 * n).toLong)))
+      .toDF("q_micros", "rank")
+    ranked.join(broadcast(targets), col("_grank") === col("rank"))
+      .select(col("q_micros"), col(valueCol))
+      .orderBy("q_micros")
+  }
+
+  /** md5-portable HyperLogLog distinct-count estimate — the
+    * cross-engine sibling of [[distinctContract]]'s
+    * `approx_count_distinct` (whose xxhash registers no other engine
+    * can replay): 16 registers, `j = h mod 16`,
+    * `rho = trailing-zero rank of ⌊h/16⌋` (`round(log2(w & −w))` —
+    * SQL-exact on powers of two, 29 cap when the payload bits are all
+    * zero), register folds are integer max, the harmonic sum is over
+    * DYADIC 2⁻ʳʰᵒ terms (exact in double in any order) and the
+    * small-range branch is linear counting — bit-identical across
+    * engines, so the ESTIMATE itself is full-oracle, not just
+    * tolerance-checked. One map-side-combined 16-row fold; mergeable
+    * by construction (max of register tables).
+    *
+    * @return one row (n_rows, est). */
+  def portableHllDistinct(df: DataFrame, valueCol: String): DataFrame = {
+    val h = graft.operators.Sampling.md5Bucket(col(valueCol))
+    val w = floor(h / lit(16)).cast("long")
+    val rho = when(w === 0, lit(29L))
+      .otherwise(round(log2(w.bitwiseAND(-w))).cast("long") + 1)
+    val regs = df.select((h % 16).as("j"), rho.as("rho"),
+        lit(1L).as("one"))
+      .groupBy("j").agg(max(col("rho")).as("rho"), sum(col("one")).as("n"))
+    val folded = regs.agg(
+      (sum(pow(lit(2.0), -col("rho"))) + (lit(16) - count(lit(1)))).as("s"),
+      (lit(16) - count(lit(1))).as("v0"),
+      sum(col("n")).as("n_rows"))
+    val raw = lit(0.673) * lit(256.0) / col("s")
+    folded.select(col("n_rows"),
+      when(raw <= lit(40.0) && col("v0") > 0,
+        round(lit(16.0) * log(lit(16.0) / col("v0"))).cast("long"))
+        .otherwise(round(raw).cast("long")).as("est"))
+  }
+
   def distinctContract(df: DataFrame, groupCols: Seq[String],
                        bucketCol: Column, valueCol: String,
                        tol: Double = 0.05, lgK: Int = 12): DataFrame = {

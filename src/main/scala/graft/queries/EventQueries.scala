@@ -67,6 +67,23 @@ object EventQueries {
         windowMicros = 3L * 86400L * 1000000L)
     }),
 
+    // EXACT distributed quantiles by global-rank selection — no
+    // tolerance band: the oracle must agree on the exact row.
+    "qX_exact_quantile" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        floor(col("value") * lit(1e6)).cast("long").as("v"),
+        col("event_id"))
+      graft.operators.Sketches.exactQuantiles(e, "v", "event_id",
+        Seq(500000L, 900000L, 990000L))
+    }),
+
+    // md5-portable HLL distinct estimate — the ESTIMATE itself is the
+    // oracle contract (registers are cross-engine-replayable).
+    "qX_hll_portable" -> ((s, dir) => {
+      graft.operators.Sketches.portableHllDistinct(
+        t(s, dir, "events"), "user_id")
+    }),
+
     // Two-sample KS statistic of `value` early vs late on the
     // micro-quantized grid.
     "qX_ks" -> ((s, dir) => {
@@ -208,6 +225,40 @@ object EventQueries {
         |    AND t.ts >= c.ts - INTERVAL 3 DAY)
         |SELECT conv_id, touch_id, touch_type FROM j WHERE rn = 1
         |ORDER BY conv_id""".stripMargin,
+
+    "qX_exact_quantile" ->
+      """WITH t AS (
+        |  SELECT CAST(floor("value" * 1000000.0) AS BIGINT) AS v, event_id
+        |  FROM events),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn
+        |  FROM t),
+        |nn AS (SELECT count(*) AS n FROM t),
+        |q AS (SELECT unnest([500000, 900000, 990000]) AS qm)
+        |SELECT CAST(q.qm AS BIGINT) AS q_micros, r.v
+        |FROM q CROSS JOIN nn JOIN r
+        |  ON r.rn = greatest(1, CAST(ceil(q.qm / 1e6 * nn.n) AS BIGINT))
+        |ORDER BY q_micros""".stripMargin,
+
+    "qX_hll_portable" ->
+      """WITH hh AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) AS hv
+        |  FROM events),
+        |ww AS (SELECT hv % 16 AS j, CAST(floor(hv / 16) AS BIGINT) AS w
+        |  FROM hh),
+        |rr AS (SELECT j,
+        |  CASE WHEN w = 0 THEN 29
+        |       ELSE CAST(round(log2(w & (-w))) AS BIGINT) + 1 END AS rho
+        |  FROM ww),
+        |regs AS (SELECT j, max(rho) AS rho, count(*) AS n FROM rr
+        |  GROUP BY 1),
+        |f AS (SELECT sum(pow(2.0, -rho)) + (16 - count(*)) AS s,
+        |  16 - count(*) AS v0, CAST(sum(n) AS BIGINT) AS n_rows FROM regs)
+        |SELECT n_rows,
+        |  CASE WHEN 0.673 * 256.0 / s <= 40.0 AND v0 > 0
+        |    THEN CAST(round(16.0 * ln(16.0 / v0)) AS BIGINT)
+        |    ELSE CAST(round(0.673 * 256.0 / s) AS BIGINT) END AS est
+        |FROM f""".stripMargin,
 
     "qX_ks" ->
       """WITH a AS (

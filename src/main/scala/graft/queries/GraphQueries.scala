@@ -301,6 +301,13 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Degree assortativity: exact BIGINT sufficient statistics, one
+    // fixed IEEE Pearson expression.
+    "qX_assortativity" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.assortativity(edges)
+    }),
+
     // HyperBall neighborhood function: per-vertex HLL registers
     // (md5-portable, dyadic-exact harmonic sums) folded 4 rounds —
     // N(r) estimates for r = 0..4, full-oracle.
@@ -1238,6 +1245,28 @@ object GraphQueries {
          |ORDER BY verts.id""".stripMargin,
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
     "qX_sssp" -> ssspSql(10, Seq(1L, 7L)),
+    "qX_assortativity" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (SELECT src AS f, dst AS t FROM edges
+         |        UNION SELECT dst AS f, src AS t FROM edges),
+         |deg AS (SELECT f AS id, count(*) AS deg FROM adj GROUP BY 1),
+         |p AS (SELECT dx.deg AS x, dy.deg AS y
+         |  FROM adj JOIN deg dx ON dx.id = adj.f
+         |           JOIN deg dy ON dy.id = adj.t),
+         |s AS (SELECT count(*) AS m,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM p)
+         |SELECT m,
+         |  CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+         |    THEN 0
+         |    ELSE CAST(floor(1e6 * (CAST(m * sxy - sx * sy AS DOUBLE) /
+         |      sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+         |           CAST(m * syy - sy * sy AS DOUBLE)))) AS BIGINT) END
+         |    AS r_micros
+         |FROM s""".stripMargin,
     "qX_hyperball" ->
       (hyperBallCte(4) + "\n" +
         (0 to 4).map(k => s"SELECT r, n_reached_est FROM e$k")

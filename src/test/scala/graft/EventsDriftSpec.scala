@@ -189,6 +189,37 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(ed.getLong(0) == nf.values.max && ed.getInt(1) >= 1)
   }
 
+  test("assortativity: star graph scores exactly -1, regular graph 0-guard") {
+    import graft.operators.GraphAnalytics
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphAnalytics.assortativity(star).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((6L, -1000000L)))
+    // 4-cycle: every degree 2 → zero variance → guarded r = 0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(GraphAnalytics.assortativity(cyc).collect().head.getLong(1) == 0L)
+  }
+
+  test("exactQuantiles: rank-selection picks the exact rows") {
+    import graft.operators.Sketches
+    val df = (1L to 10L).map(i => (i * 10L, i)).toDF("v", "tie")
+    val got = Sketches.exactQuantiles(df, "v", "tie",
+        Seq(500000L, 900000L, 1000000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N=10: ceil(.5*10)=5 → 50, ceil(.9*10)=9 → 90, ceil(1*10)=10 → 100
+    assert(got == Map(500000L -> 50L, 900000L -> 90L, 1000000L -> 100L))
+  }
+
+  test("portableHllDistinct: singleton estimates exactly 1, duplicates don't inflate") {
+    import graft.operators.Sketches
+    val one = Seq.fill(100)(42L).toDF("x")
+    val r = Sketches.portableHllDistinct(one, "x").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((100L, 1L)))
+    // 150 distinct at m=16 → estimate within the coarse HLL band
+    val many = (1L to 150L).toDF("x")
+    val est = Sketches.portableHllDistinct(many, "x").collect().head.getLong(1)
+    assert(est > 60L && est < 400L)
+  }
+
   test("chi2: perfectly label-aligned token scores N·1e6; constant token filtered") {
     // 4 docs, 2 positive; "pos" appears exactly in the positives →
     // χ² = N = 4 → 4e6 micros; "base" appears everywhere → rt = N,
