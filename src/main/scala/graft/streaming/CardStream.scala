@@ -492,6 +492,55 @@ object CardStream {
     }
   }
 
+  /** [[mergeAdditive]] with a DRIFT tripwire — the streaming face of
+    * [[graft.operators.Drift.psi]], completing the admission-control
+    * pair: [[gatedMergeAdditive]] rejects batches that violate
+    * CONSTRAINTS (nulls, ranges), this rejects batches whose value
+    * DISTRIBUTION has shifted from a fixed baseline sample even when
+    * every row is individually valid (the upstream-bug shape
+    * constraint checks cannot see). Each micro-batch is PSI-scored
+    * against `baseline` over the declared bins; total PSI above
+    * `psiThresholdMicros` quarantines the batch verbatim (per-batch-id
+    * overwrite, replay-idempotent) and leaves the rollup untouched.
+    * The full per-bin PSI report lands under `drift_metrics/b=<id>`
+    * whatever the verdict — partitioned additive metric rows, never a
+    * read-modify-write. Empty batches are admitted no-ops.
+    *
+    * @return (admitted, rows merged | rows quarantined).
+    */
+  def driftMonitoredMerge(spark: SparkSession, batch: DataFrame,
+                          dir: String, keyCols: Seq[String],
+                          sumCols: Seq[String], baseline: DataFrame,
+                          valueCol: String, lo: Double, hi: Double,
+                          bins: Int, psiThresholdMicros: Long,
+                          batchId: Long = -1L): (Boolean, Long) = {
+    if (batch.isEmpty) return (true, 0L)
+    val report = graft.operators.Drift
+      .psi(baseline, batch, valueCol, lo, hi, bins)
+      .localCheckpoint(true) // bins+1 rows; reused for verdict + metrics
+    val psiTotal = report.filter(col("bin") === -1L)
+      .head().getAs[Long]("term_micros")
+    val admitted = psiTotal <= psiThresholdMicros
+    val bTag = if (batchId >= 0) batchId else 0L
+    report
+      .withColumn("batch_id", lit(bTag))
+      .withColumn("psi_micros", lit(psiTotal))
+      .withColumn("admitted", lit(admitted))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/drift_metrics/b=$bTag")
+    if (admitted) {
+      (true, mergeAdditive(spark, batch, dir, keyCols, sumCols, batchId))
+    } else {
+      batch.write.mode("overwrite").parquet(s"$dir/quarantine/b=$bTag")
+      (false, batch.count())
+    }
+  }
+
+  /** All per-batch drift reports of a [[driftMonitoredMerge]] store
+    * (bin rows + bin=-1 total, batch_id, psi_micros, admitted). */
+  def readDriftMetrics(spark: SparkSession, dir: String): DataFrame =
+    readBatchDirs(spark, s"$dir/drift_metrics")
+
   /** All per-batch admission reports of a [[gatedMergeAdditive]] store
     * (batch_id, constraint, metric/threshold micros, passed, admitted);
     * empty frame with that schema when no batch has been gated. */

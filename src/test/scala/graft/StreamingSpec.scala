@@ -601,6 +601,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .exists(_.getAs[Long]("batch_id") == 3L))
   }
 
+  test("driftMonitoredMerge: in-distribution folds, shifted batch quarantined, replay fenced") {
+    val dir = tmp("drift_rollup") + "/counts"
+    // baseline: values uniform over bins 0..9 of [0, 100)
+    val baseline = (0 until 200).map(i => (s"k${i % 5}", i % 100 * 1.0, 1L))
+      .toDF("key", "v", "n")
+    // batch 0: same uniform shape → tiny PSI → admitted
+    val b0 = (0 until 100).map(i => (s"k${i % 5}", i % 100 * 1.0, 1L))
+      .toDF("key", "v", "n")
+    val (a0, n0) = CardStream.driftMonitoredMerge(spark, b0, dir,
+      Seq("key"), Seq("n"), baseline, "v", 0.0, 100.0, 10, 100000L, 0L)
+    assert(a0 && n0 > 0L)
+    def rollup() = CardStream.readRollup(spark, dir).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+    val want = Map("k0" -> 20L, "k1" -> 20L, "k2" -> 20L, "k3" -> 20L,
+      "k4" -> 20L)
+    assert(rollup() == want)
+    // batch 1: all mass in one bin → PSI blows the threshold →
+    // quarantined verbatim, rollup untouched
+    val b1 = (0 until 100).map(i => (s"k${i % 5}", 99.0, 1L))
+      .toDF("key", "v", "n")
+    val (a1, n1) = CardStream.driftMonitoredMerge(spark, b1, dir,
+      Seq("key"), Seq("n"), baseline, "v", 0.0, 100.0, 10, 100000L, 1L)
+    assert(!a1 && n1 == 100L)
+    assert(rollup() == want)
+    assert(CardStream.readQuarantine(spark, dir).count() == 100L)
+    // replayed rejected batch overwrites its partition — no dup rows
+    CardStream.driftMonitoredMerge(spark, b1, dir,
+      Seq("key"), Seq("n"), baseline, "v", 0.0, 100.0, 10, 100000L, 1L)
+    assert(CardStream.readQuarantine(spark, dir).count() == 100L)
+    // drift metrics: 11 rows (10 bins + total) per batch, verdicts set
+    val m = CardStream.readDriftMetrics(spark, dir).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("bin"),
+        r.getAs[Boolean]("admitted")))
+    assert(m.count(_._1 == 0L) == 11 && m.count(_._1 == 1L) == 11)
+    assert(m.filter(_._1 == 0L).forall(_._3) &&
+      m.filter(_._1 == 1L).forall(!_._3))
+    // empty batch: admitted no-op, no metric rows
+    val (aE, nE) = CardStream.driftMonitoredMerge(spark,
+      b0.filter(lit(false)), dir, Seq("key"), Seq("n"), baseline,
+      "v", 0.0, 100.0, 10, 100000L, 2L)
+    assert(aE && nE == 0L && rollup() == want)
+    assert(!CardStream.readDriftMetrics(spark, dir).collect()
+      .exists(_.getAs[Long]("batch_id") == 2L))
+  }
+
   test("mergeAdditive migrates a legacy data/meta rollup; fence and sums survive") {
     val dir = tmp("rollup_legacy") + "/counts"
     // hand-write the pre-BucketStore staged-swap layout
