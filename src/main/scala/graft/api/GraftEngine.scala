@@ -785,6 +785,29 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                       k: Int = 10): DataFrame =
     graft.operators.Eval.rankMetricsAtK(run, qrels, k)
 
+  /** Cost-optimal decision threshold for a scored filter model
+    * ([[graft.operators.Eval.bestThreshold]]) — turn an economic
+    * judgment (FP vs FN cost) into an operating point. */
+  def evalThreshold(scored: DataFrame, labelCol: String, scoreCol: String,
+                    costFpMicros: Long, costFnMicros: Long): DataFrame =
+    graft.operators.Eval.bestThreshold(scored, labelCol, scoreCol,
+      costFpMicros, costFnMicros)
+
+  /** Confusion matrix + P/R/F1 at a fixed threshold
+    * ([[graft.operators.Eval.confusionAtThreshold]]). */
+  def evalConfusion(scored: DataFrame, labelCol: String, scoreCol: String,
+                    threshold: Long): DataFrame =
+    graft.operators.Eval.confusionAtThreshold(scored, labelCol, scoreCol,
+      threshold)
+
+  /** Item–item co-occurrence recommendations over a (user, item)
+    * interaction frame ([[graft.operators.Pymk.itemItemTopK]]) — the
+    * "also viewed" surface next to the social 2-hop. */
+  def alsoViewed(interactions: DataFrame, userCol: String, itemCol: String,
+                 k: Int = 5, userCap: Int = 1000): DataFrame =
+    graft.operators.Pymk.itemItemTopK(interactions, userCol, itemCol,
+      k, userCap)
+
   /** Windowed PMI collocations over a text column
     * ([[graft.operators.TextAnalysis.pmiPairs]]) — surface the
     * phrases a corpus over-represents (Levy–Goldberg co-occurrence

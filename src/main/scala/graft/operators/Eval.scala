@@ -254,4 +254,67 @@ object Eval {
         sum(col("n") * abs(col("acc_micros") - col("conf_micros"))).as("werr"))
       .select(col("n"),
         floor(col("werr") / col("n")).cast("long").as("ece_micros"))
+
+  /** Cost-optimal decision threshold for a scored binary classifier:
+    * among all distinct-score cut points (predict positive iff
+    * `score ≥ t`), the one minimizing
+    * `costFp·FP(t) + costFn·FN(t)` — how a curation pipeline turns a
+    * quality model plus an economic judgment ("deleting good data
+    * costs 3× keeping bad") into an operating point.
+    *
+    * Everything is integer: the corpus collapses to per-distinct-score
+    * tallies (map-side combine), ONE descending cumulative window over
+    * that bounded grid yields TP/FP at every candidate, costs are
+    * exact integer sums, and the argmin is a
+    * (cost asc, threshold asc)-ordered limit 1 — engine-exact.
+    *
+    * @return one row (threshold, tp, fp, fn, tn, cost_micros).
+    */
+  def bestThreshold(scored: DataFrame, labelCol: String, scoreCol: String,
+                    costFpMicros: Long, costFnMicros: Long): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol).cast("long")).as("pos"),
+        count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("pp", sum(col("cnt")).over(w))
+    val tot = g.agg(sum(col("pos")).as("p"), sum(col("cnt")).as("n"))
+    c.crossJoin(broadcast(tot))
+      .select(col("s").as("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("p") - col("tp")).as("fn"),
+        (col("n") - col("p") - (col("pp") - col("tp"))).as("tn"),
+        (lit(costFpMicros) * (col("pp") - col("tp")) +
+          lit(costFnMicros) * (col("p") - col("tp"))).as("cost_micros"))
+      .orderBy(col("cost_micros").asc, col("threshold").asc)
+      .limit(1)
+  }
+
+  /** Confusion matrix + precision/recall/F1 of a scored frame at a
+    * fixed threshold (predict positive iff `score ≥ threshold`).
+    * Four conditional integer sums and three guarded integer-micro
+    * ratios — one aggregate, engine-exact.
+    *
+    * @return one row (tp, fp, fn, tn, precision_micros, recall_micros,
+    *         f1_micros); empty denominators report 0.
+    */
+  def confusionAtThreshold(scored: DataFrame, labelCol: String,
+                           scoreCol: String, threshold: Long): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val pos = col(scoreCol) >= threshold
+    val m = scored.agg(
+      sum(when(pos, y).otherwise(0L)).as("tp"),
+      sum(when(pos, lit(1L) - y).otherwise(0L)).as("fp"),
+      sum(when(!pos, y).otherwise(0L)).as("fn"),
+      sum(when(!pos, lit(1L) - y).otherwise(0L)).as("tn"))
+    def ratio(num: Column, den: Column) =
+      when(den === 0, lit(0L))
+        .otherwise(floor(lit(1000000L) * num / den).cast("long"))
+    m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision_micros"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall_micros"),
+      ratio(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_micros"))
+  }
 }

@@ -67,6 +67,18 @@ object EventQueries {
         windowMicros = 3L * 86400L * 1000000L)
     }),
 
+    // Item–item collaborative filtering: "also viewed" top-5 per item
+    // by binary cosine over co-occurrence — user-cap guard, quantized
+    // ranking.
+    "qX_item_sim" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"),
+          (floor(col("value")).cast("long") % 50).as("item"))
+      graft.operators.Pymk.itemItemTopK(e, "user_id", "item",
+        k = 5, userCap = 50)
+    }),
+
     // EXACT distributed quantiles by global-rank selection — no
     // tolerance band: the oracle must agree on the exact row.
     "qX_exact_quantile" -> ((s, dir) => {
@@ -225,6 +237,29 @@ object EventQueries {
         |    AND t.ts >= c.ts - INTERVAL 3 DAY)
         |SELECT conv_id, touch_id, touch_type FROM j WHERE rn = 1
         |ORDER BY conv_id""".stripMargin,
+
+    "qX_item_sim" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(floor("value") AS BIGINT) % 50 AS item
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |kept AS (SELECT u, item FROM ui
+        |  QUALIFY count(*) OVER (PARTITION BY u) <= 50),
+        |p AS (SELECT a.item AS i, b.item AS j, count(*) AS co
+        |  FROM kept a JOIN kept b ON a.u = b.u AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT item, count(*) AS d FROM kept GROUP BY 1),
+        |sym AS (SELECT i, j, co FROM p
+        |  UNION ALL SELECT j AS i, i AS j, co FROM p),
+        |sc AS (SELECT sym.i AS item, sym.j AS rec, sym.co,
+        |  CAST(floor(1e6 * (CAST(sym.co AS DOUBLE) /
+        |    sqrt(CAST(di.d * dj.d AS DOUBLE)))) AS BIGINT) AS sim_micros
+        |  FROM sym JOIN deg di ON di.item = sym.i
+        |            JOIN deg dj ON dj.item = sym.j),
+        |r AS (SELECT item, rec, co, sim_micros, row_number() OVER (
+        |  PARTITION BY item ORDER BY sim_micros DESC, rec) AS rn FROM sc)
+        |SELECT item, rec, co, sim_micros FROM r WHERE rn <= 5
+        |ORDER BY item, sim_micros DESC, rec""".stripMargin,
 
     "qX_exact_quantile" ->
       """WITH t AS (

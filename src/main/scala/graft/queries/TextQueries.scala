@@ -70,6 +70,23 @@ object TextQueries {
     (head +: rounds).mkString(",\n")
   }
 
+  /** DuckDB fragment: the trained LR's scores on the training docs
+    * collapsed to the per-distinct-score tally table `g` (s, pos,
+    * cnt) — shared by qX_auc, qX_threshold and qX_confusion so the
+    * scored pipeline can never drift between the three gates. */
+  private val LrScoredGSql: String =
+    s"""$LrTrainSql,
+       |sm AS (SELECT x.doc_id,
+       |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
+       |    AS BIGINT) AS m
+       |  FROM x LEFT JOIN w3 w USING (bucket) GROUP BY 1),
+       |sp AS (SELECT doc_id,
+       |  CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) AS p FROM sm),
+       |j AS (SELECT p AS s,
+       |  CASE WHEN doc_id < 350 THEN 1 ELSE 0 END AS yy FROM sp),
+       |g AS (SELECT s, CAST(sum(yy) AS BIGINT) AS pos,
+       |  CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1)""".stripMargin
+
   /** DuckDB fragment: reliability (calibration) bins of the trained
     * LR's probabilities on its training labels — shared by the
     * qX_calibration table gate and the qX_ece summary gate so the two
@@ -676,6 +693,36 @@ object TextQueries {
           buckets = 64)
         .join(train.select(col("doc_id"), col("y")), "doc_id")
       graft.operators.Eval.aucRank(scored, "y", "p_micros")
+    }),
+
+    // Cost-optimal operating point over the same scores: the distinct-
+    // score cut minimizing 1·FP + 3·FN micros (deleting good data
+    // costs 3× keeping bad).
+    "qX_threshold" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.bestThreshold(scored, "y", "p_micros",
+        costFpMicros = 1000000L, costFnMicros = 3000000L)
+    }),
+
+    // Confusion matrix + P/R/F1 of the same scores at the 0.5 cut.
+    "qX_confusion" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.confusionAtThreshold(scored, "y", "p_micros",
+        threshold = 500000L)
     }),
 
     // Reliability bins over the same scores: observed positive rate vs
@@ -1457,17 +1504,7 @@ object TextQueries {
          |WHERE pareto_micros > 1000000 - p_micros
          |ORDER BY doc_id""".stripMargin,
     "qX_auc" ->
-      s"""$LrTrainSql,
-         |sm AS (SELECT x.doc_id,
-         |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
-         |    AS BIGINT) AS m
-         |  FROM x LEFT JOIN w3 w USING (bucket) GROUP BY 1),
-         |sp AS (SELECT doc_id,
-         |  CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) AS p FROM sm),
-         |j AS (SELECT p AS s,
-         |  CASE WHEN doc_id < 350 THEN 1 ELSE 0 END AS yy FROM sp),
-         |g AS (SELECT s, CAST(sum(yy) AS BIGINT) AS pos,
-         |  CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1),
+      s"""$LrScoredGSql,
          |c AS (SELECT s, pos, cnt,
          |  CAST(coalesce(sum(cnt) OVER (ORDER BY s
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -1479,6 +1516,45 @@ object TextQueries {
          |  CAST(floor(1e6 * (r2 - np * (np + 1)) / (2 * np * nn)) AS BIGINT)
          |    AS auc_micros
          |FROM t""".stripMargin,
+    "qX_threshold" ->
+      s"""$LrScoredGSql,
+         |c AS (SELECT s, pos, cnt,
+         |  CAST(sum(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(cnt) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS pp
+         |  FROM g),
+         |t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+         |  CAST(sum(cnt) AS BIGINT) AS n FROM g)
+         |SELECT c.s AS threshold, c.tp, c.pp - c.tp AS fp,
+         |  t.p - c.tp AS fn, t.n - t.p - (c.pp - c.tp) AS tn,
+         |  CAST(1000000 * (c.pp - c.tp) + 3000000 * (t.p - c.tp) AS BIGINT)
+         |    AS cost_micros
+         |FROM c CROSS JOIN t
+         |ORDER BY cost_micros, threshold LIMIT 1""".stripMargin,
+    "qX_confusion" ->
+      s"""$LrScoredGSql,
+         |m AS (SELECT
+         |  CAST(sum(CASE WHEN s >= 500000 THEN pos ELSE 0 END) AS BIGINT)
+         |    AS tp,
+         |  CAST(sum(CASE WHEN s >= 500000 THEN cnt - pos ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN s < 500000 THEN pos ELSE 0 END) AS BIGINT)
+         |    AS fn,
+         |  CAST(sum(CASE WHEN s < 500000 THEN cnt - pos ELSE 0 END)
+         |    AS BIGINT) AS tn
+         |  FROM g)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0
+         |    ELSE CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT) END
+         |    AS precision_micros,
+         |  CASE WHEN tp + fn = 0 THEN 0
+         |    ELSE CAST(floor(1000000 * tp / (tp + fn)) AS BIGINT) END
+         |    AS recall_micros,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+         |    ELSE CAST(floor(1000000 * (2 * tp) / (2 * tp + fp + fn))
+         |      AS BIGINT) END AS f1_micros
+         |FROM m""".stripMargin,
     "qX_calibration" ->
       s"""$CalBinsSql
          |SELECT bin, n, n_pos, acc_micros, conf_micros

@@ -189,6 +189,49 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(ed.getLong(0) == nf.values.max && ed.getInt(1) >= 1)
   }
 
+  test("bestThreshold: argmin over the cost curve, hand-computed") {
+    import graft.operators.Eval
+    val scored = Seq((1, 900000L), (1, 700000L), (0, 600000L),
+      (1, 400000L), (0, 200000L)).toDF("y", "p")
+    // costs at cuts 900/700/600/400/200k = 6/3/4/1/2 (cfn=3, cfp=1)
+    val r = Eval.bestThreshold(scored, "y", "p", 1000000L, 3000000L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((400000L, 3L, 1L, 0L, 1L, 1000000L)))
+  }
+
+  test("confusionAtThreshold: counts and guarded ratios") {
+    import graft.operators.Eval
+    val scored = Seq((1, 900000L), (1, 700000L), (0, 600000L),
+      (1, 400000L), (0, 200000L)).toDF("y", "p")
+    val r = Eval.confusionAtThreshold(scored, "y", "p", 500000L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 1L)))
+    assert(r.getLong(4) == 666666L && r.getLong(5) == 666666L &&
+      r.getLong(6) == 666666L)
+    // degenerate: nothing predicted positive → precision guard fires
+    val none = Seq((1, 100000L)).toDF("y", "p")
+    val z = Eval.confusionAtThreshold(none, "y", "p", 500000L)
+      .collect().head
+    assert(z.getLong(4) == 0L && z.getLong(5) == 0L && z.getLong(6) == 0L)
+  }
+
+  test("itemItemTopK: cosine co-occurrence, user cap drops power users") {
+    import graft.operators.Pymk
+    val e = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "a"), (4L, "b"), (4L, "c") // 3 items > cap 2 → dropped
+    ).toDF("user_id", "item")
+    val got = Pymk.itemItemTopK(e, "user_id", "item", k = 5, userCap = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", "b", 2L, 816496L), ("a", "c", 1L, 577350L),
+      ("b", "a", 2L, 816496L), ("c", "a", 1L, 577350L)))
+  }
+
   test("assortativity: star graph scores exactly -1, regular graph 0-guard") {
     import graft.operators.GraphAnalytics
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
