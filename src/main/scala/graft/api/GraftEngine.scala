@@ -832,6 +832,27 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.landmarkDistances(edges,
       numSources, maxDepth)
 
+  /** k-truss cohesion membership of the engine's knows graph
+    * ([[graft.operators.GraphAnalytics.kTruss]]) — the
+    * triangle-backed core a community must share. */
+  def trussMembership(k: Int = 3, rounds: Int = 4): DataFrame =
+    graft.operators.GraphAnalytics.kTruss(edges, k, rounds)
+
+  /** Time-decayed interaction weights
+    * ([[graft.operators.Features.decayedCounts]]) — recency-aware
+    * edge/feature weights for the rankers. */
+  def decayedWeights(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     refTs: String, halfLifeDays: Double): DataFrame =
+    graft.operators.Features.decayedCounts(df, keyCols, tsCol, refTs,
+      halfLifeDays)
+
+  /** k-anonymity risk report
+    * ([[graft.operators.Profile.kAnonymity]]) — run before a dataset
+    * leaves the pipeline. */
+  def anonymityReport(df: DataFrame, quasiCols: Seq[String],
+                      k: Long = 10L): DataFrame =
+    graft.operators.Profile.kAnonymity(df, quasiCols, k)
+
   /** HyperBall neighborhood function of the engine's knows graph
     * ([[graft.operators.GraphAnalytics.hyperBall]]) — how many
     * (source, vertex) pairs sit within each radius, at |V|·m sketch

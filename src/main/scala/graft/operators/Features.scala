@@ -29,6 +29,31 @@ object Features {
     *
     * @return input + (w_cnt, w_sum) columns.
     */
+  /** Exponentially time-decayed interaction weights per key — the
+    * recency bias every living recommender needs (yesterday's click
+    * outweighs last month's): each event contributes
+    * `round(1e6 · 2^(−age/halfLife))` micros relative to `refTs`, so
+    * the keyed fold is a SUM OF INTEGERS — order-independent and
+    * SQL-replayable (the `pow`/`exp` parity precedent of the LR
+    * gates). Feed the result to [[GraphAnalytics.pageRankWeightedDF]]
+    * or [[Pymk.itemItemTopK]] for recency-aware rankings.
+    *
+    * One map-side-combined keyed fold; `refTs` is an explicit
+    * parameter (never now()) so results are replayable.
+    *
+    * @return keyCols + (w_micros, n).
+    */
+  def decayedCounts(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    refTs: String, halfLifeDays: Double): DataFrame = {
+    val age = (unix_micros(lit(refTs).cast("timestamp")) -
+      unix_micros(col(tsCol))).cast("double") / lit(86400.0 * 1e6)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(round(lit(1e6) * pow(lit(2.0), -age / lit(halfLifeDays)))
+          .cast("long")).as("w_micros"),
+        count(lit(1)).as("n"))
+      .orderBy(keyCols.map(col): _*)
+  }
+
   def trailingWindow(df: DataFrame, keyCol: String, tsCol: String,
                      valueCol: String, windowUnits: Long): DataFrame = {
     val axis = unix_micros(col(tsCol))

@@ -952,6 +952,55 @@ object GraphAnalytics {
       .join(vmap, "vid").select(col("id"), col("n_tri").cast("long").as("n_tri"))
   }
 
+  /** k-truss decomposition membership (Cohen 2008) by synchronous
+    * support peeling: an edge survives the k-truss iff it closes at
+    * least k−2 triangles WITH OTHER SURVIVING EDGES; each round
+    * recomputes per-edge support over the current edge set (one
+    * wedge join) and drops under-supported edges. `rounds` bounds the
+    * peel depth — a fixpoint is reached once rounds ≥ the longest
+    * peeling chain (the oracle replays the same bounded rounds, so
+    * gate parity holds at any round count).
+    *
+    * Integer supports + set-membership filters only — no floats
+    * anywhere, full-SQL-oracle-able unrolled.
+    *
+    * 100 TB shape: per round ONE wedge join (edge table against the
+    * undirected adjacency twice, grouped count) — the triangle-count
+    * shuffle budget, repeated `rounds` times on a SHRINKING edge set;
+    * checkpoint per round keeps lineage flat. Hub wedges bound by the
+    * same capNeighbors medicine as the link-prediction family if
+    * needed.
+    *
+    * @return surviving canonical edges (u, v, sup) ordered.
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val adj = e.select(col("u").as("f"), col("v").as("t"))
+        .unionAll(e.select(col("v").as("f"), col("u").as("t")))
+      val sup = e
+        .join(adj.select(col("f").as("u"), col("t").as("w1")), "u")
+        .join(adj.select(col("f").as("v"), col("t").as("w2")), "v")
+        .filter(col("w1") === col("w2"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      e = e.join(sup.filter(col("sup") >= k - 2), Seq("u", "v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    // final support over the surviving set, reported with the edges
+    val adjF = e.select(col("u").as("f"), col("v").as("t"))
+      .unionAll(e.select(col("v").as("f"), col("u").as("t")))
+    e.join(e.join(adjF.select(col("f").as("u"), col("t").as("w1")), "u")
+        .join(adjF.select(col("f").as("v"), col("t").as("w2")), "v")
+        .filter(col("w1") === col("w2"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup")), Seq("u", "v"))
+      .orderBy("u", "v")
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * degrees across edges — do hubs attach to hubs (r > 0, social
     * networks) or to leaves (r < 0, hub-and-spoke)? Over the directed

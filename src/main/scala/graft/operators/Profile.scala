@@ -89,6 +89,24 @@ object Profile {
     *         (constraint, column, metric_micros, threshold_micros,
     *         passed).
     */
+  /** k-anonymity report over quasi-identifier columns (Sweeney 2002)
+    * — the re-identification risk screen a dataset passes before
+    * leaving the curation pipeline: a row is at risk when its
+    * quasi-identifier combination is shared by fewer than k rows.
+    * One grouped count + one scalar fold, all exact integers.
+    *
+    * @return one row (n_rows, n_groups, n_violating_groups,
+    *         n_risk_rows, min_group).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    val g = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+    g.agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_groups"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+      sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risk_rows"),
+      min(col("n")).as("min_group"))
+  }
+
   def checkConstraints(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
     def report(c: Check, metric: Column): Column =

@@ -67,6 +67,14 @@ object EventQueries {
         windowMicros = 3L * 86400L * 1000000L)
     }),
 
+    // Exponentially time-decayed interaction weights per (user, type)
+    // — integer-micro contributions, order-free keyed fold.
+    "qX_decay" -> ((s, dir) => {
+      graft.operators.Features.decayedCounts(t(s, dir, "events"),
+        Seq("user_id", "event_type"), "ts", "2024-02-01 00:00:00",
+        halfLifeDays = 7.0)
+    }),
+
     // Item–item collaborative filtering: "also viewed" top-5 per item
     // by binary cosine over co-occurrence — user-cap guard, quantized
     // ranking.
@@ -237,6 +245,14 @@ object EventQueries {
         |    AND t.ts >= c.ts - INTERVAL 3 DAY)
         |SELECT conv_id, touch_id, touch_type FROM j WHERE rn = 1
         |ORDER BY conv_id""".stripMargin,
+
+    "qX_decay" ->
+      """SELECT user_id, event_type,
+        |  CAST(sum(CAST(round(1e6 * pow(2.0,
+        |    -((epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+        |      / 86400000000.0 / 7.0))) AS BIGINT)) AS BIGINT) AS w_micros,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     "qX_item_sim" ->
       """WITH ui AS (

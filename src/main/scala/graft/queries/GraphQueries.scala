@@ -301,6 +301,13 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // 3-truss membership after 3 synchronous support-peel rounds:
+    // integer supports, shrinking edge set, unrolled oracle.
+    "qX_ktruss" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.kTruss(edges, k = 3, rounds = 3)
+    }),
+
     // Degree assortativity: exact BIGINT sufficient statistics, one
     // fixed IEEE Pearson expression.
     "qX_assortativity" -> ((s, dir) => {
@@ -708,6 +715,37 @@ object GraphQueries {
   /** Unrolled weighted-PageRank oracle: [[pagerankSql]]'s chained CTEs
     * with per-edge contribution `rank · w / wout` — the exact
     * arithmetic of [[graft.operators.GraphAnalytics.pageRankWeightedDF]]. */
+  /** Unrolled replay of [[graft.operators.GraphAnalytics.kTruss]]:
+    * per round one wedge-join support count over the current edge set
+    * + the ≥ k−2 filter. */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM edges)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""a$r AS (SELECT u AS f, v AS t FROM e${r - 1}
+         |  UNION ALL SELECT v AS f, u AS t FROM e${r - 1}),
+         |s$r AS (SELECT e.u, e.v, count(*) AS sup
+         |  FROM e${r - 1} e JOIN a$r a1 ON a1.f = e.u
+         |  JOIN a$r a2 ON a2.f = e.v
+         |  WHERE a1.t = a2.t GROUP BY 1, 2),
+         |e$r AS (SELECT e.u, e.v FROM e${r - 1} e JOIN s$r s
+         |  ON s.u = e.u AND s.v = e.v AND s.sup >= ${k - 2})""".stripMargin
+    }
+    val fin =
+      s"""af AS (SELECT u AS f, v AS t FROM e$rounds
+         |  UNION ALL SELECT v AS f, u AS t FROM e$rounds),
+         |sf AS (SELECT e.u, e.v, count(*) AS sup
+         |  FROM e$rounds e JOIN af a1 ON a1.f = e.u
+         |  JOIN af a2 ON a2.f = e.v
+         |  WHERE a1.t = a2.t GROUP BY 1, 2)
+         |SELECT e.u, e.v, sf.sup FROM e$rounds e
+         |JOIN sf ON sf.u = e.u AND sf.v = e.v
+         |ORDER BY e.u, e.v""".stripMargin
+    (Seq(head) ++ rs :+ fin).mkString(",\n")
+  }
+
   /** Unrolled replay of [[graft.operators.GraphAnalytics.hyperBall]]:
     * md5 registers, per-round max-folds, dyadic-exact harmonic sums,
     * per-vertex integer estimates. Ends with CTEs `e0..e{maxR}`
@@ -1245,6 +1283,7 @@ object GraphQueries {
          |ORDER BY verts.id""".stripMargin,
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
     "qX_sssp" -> ssspSql(10, Seq(1L, 7L)),
+    "qX_ktruss" -> kTrussSql(3, 3),
     "qX_assortativity" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (SELECT src AS f, dst AS t FROM edges

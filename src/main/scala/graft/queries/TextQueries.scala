@@ -370,6 +370,13 @@ object TextQueries {
         .orderBy(col("split"))
     }),
 
+    // k-anonymity screen over (lang, source) quasi-identifiers — the
+    // re-identification risk report before data leaves the pipeline.
+    "qX_kanon" -> ((s, dir) => {
+      graft.operators.Profile.kAnonymity(
+        Tables.load(s, dir, "documents"), Seq("lang", "source"), 10L)
+    }),
+
     // stratified 5-fold CV assignment — per-(stratum, fold) counts +
     // an id-sum so the oracle checks MEMBERSHIP, not just sizes.
     "qX_kfold" -> ((s, dir) => {
@@ -1282,6 +1289,16 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n, min(doc_id) AS min_id
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qX_kanon" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n FROM documents
+        |  GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_risk_rows,
+        |  min(n) AS min_group
+        |FROM g""".stripMargin,
     "qX_kfold" ->
       """SELECT lang,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

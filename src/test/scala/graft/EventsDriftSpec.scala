@@ -189,6 +189,40 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(ed.getLong(0) == nf.values.max && ed.getInt(1) >= 1)
   }
 
+  test("kTruss: triangle survives, pendant drops, diamond cascade empties") {
+    import graft.operators.GraphAnalytics
+    // triangle 1-2-3 with pendant 3-4: 3-truss keeps the triangle only
+    val g1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val t3 = GraphAnalytics.kTruss(g1, k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t3.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // diamond (two triangles sharing edge 2-3): 4-truss peels the
+    // outer edges round 1, then the stranded shared edge round 2
+    val g2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(GraphAnalytics.kTruss(g2, k = 4, rounds = 2).count() == 0L)
+  }
+
+  test("decayedCounts: half-life arithmetic in exact micros") {
+    import graft.operators.Features
+    // ages 0 and 7 days at half-life 7 → 1e6 + 5e5
+    val e = Seq((1L, ts("2024-02-01 00:00:00")),
+      (1L, ts("2024-01-25 00:00:00"))).toDF("k", "t")
+    val r = Features.decayedCounts(e, Seq("k"), "t",
+      "2024-02-01 00:00:00", 7.0).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((1500000L, 2L)))
+  }
+
+  test("kAnonymity: violating groups and risk rows counted") {
+    import graft.operators.Profile
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("b", "y"),
+      ("c", "z"), ("c", "z")).toDF("q1", "q2")
+    val r = Profile.kAnonymity(df, Seq("q1", "q2"), 3L).collect().head
+    // groups: ax=3 (ok), by=1, cz=2 (both violate k=3) → 3 risk rows
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((6L, 3L, 2L, 3L, 1L)))
+  }
+
   test("bestThreshold: argmin over the cost curve, hand-computed") {
     import graft.operators.Eval
     val scored = Seq((1, 900000L), (1, 700000L), (0, 600000L),
