@@ -905,6 +905,15 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def crossValFolds(df: DataFrame, idCol: String, k: Int = 5): DataFrame =
     graft.operators.Sampling.kFold(df, idCol, k)
 
+  /** Density-based clustering in cosine space
+    * ([[graft.operators.Similarity.dbscan]]) — the density sibling of
+    * k-means: cores, borders, and noise over the ≥ minSim similarity
+    * graph. */
+  def densityClusters(points: DataFrame, idCol: String, vecCol: String,
+                      minSim: Double = 0.9, minPts: Int = 3): DataFrame =
+    graft.operators.Similarity.dbscan(points, idCol, vecCol, minSim,
+      minPts)
+
   /** Binary-quantization two-stage ANN
     * ([[graft.operators.Similarity.bqTopK]]): sign-code Hamming
     * shortlist (d/8 bytes per corpus row) reranked by exact cosine —

@@ -84,6 +84,52 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Density-based clustering (DBSCAN, Ester et al. 1996) in cosine
+    * space — the density sibling of [[kmeansFit]]: a point is CORE
+    * when its ≥ `minSim` neighborhood (self included) holds at least
+    * `minPts` points; clusters are connected components of the
+    * core–core similarity graph; non-core points with a core neighbor
+    * are BORDER (assigned the MINIMAL adjacent core cluster — a
+    * declared deterministic refinement of DBSCAN's arrival-order
+    * border rule); the rest is NOISE.
+    *
+    * Composition of already-oracled primitives: similarity pairs
+    * ([[Dedup.embedCosinePairs]]; swap in the LSH-bucketed form for
+    * corpus scale), integer neighbor counts, and the min-label CC
+    * fixpoint ([[GraphAnalytics.connectedComponentsDF]]) — so the
+    * whole pipeline is engine-exact and full-SQL-oracle-able.
+    *
+    * @return (id, cluster, role) for every input point; noise gets
+    *         cluster −1.
+    */
+  def dbscan(points: DataFrame, idCol: String, vecCol: String,
+             minSim: Double, minPts: Int): DataFrame = {
+    val pairs = Dedup.embedCosinePairs(points, idCol, vecCol, minSim)
+      .localCheckpoint(true) // reused: counts, core edges, borders
+    val sym = pairs.select(col("id1").as("id"), col("id2").as("nb"))
+      .unionAll(pairs.select(col("id2").as("id"), col("id1").as("nb")))
+    val core = sym.groupBy("id").agg(count(lit(1)).as("nnb"))
+      .filter(col("nnb") + 1 >= minPts).select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id1")), "id1")
+      .join(core.select(col("id").as("id2")), "id2")
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val cc = GraphAnalytics.connectedComponentsDF(coreEdges)
+    val coreClusters = core.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+      .localCheckpoint(true) // reused: output + border assignment
+    val borders = sym
+      .join(coreClusters.select(col("id").as("nb"), col("cluster")), "nb")
+      .join(core, Seq("id"), "left_anti")
+      .groupBy("id").agg(min(col("cluster")).as("cluster"))
+    val labeled = coreClusters.withColumn("role", lit("core"))
+      .unionByName(borders.withColumn("role", lit("border")))
+    points.select(col(idCol).as("id")).join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        coalesce(col("role"), lit("noise")).as("role"))
+      .orderBy("id")
+  }
+
   /** Binary-quantization two-stage ANN (the RaBitQ/BQ retrieval shape;
     * e.g. Jégou et al.'s sign-bit baselines): stage 1 scans 1-bit
     * sign codes — 32× smaller than float32 — ranking by Hamming

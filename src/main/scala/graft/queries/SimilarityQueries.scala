@@ -215,6 +215,22 @@ object SimilarityQueries {
     // corpus vectors (+100000) — identical vector ⇒ identical signature
     // ⇒ same bucket ⇒ candidate, and cosine 1.0 tops the ranking; every
     // query must recover its twin in the top-k.
+    // DBSCAN in cosine space over originals + two planted variants
+    // each: 50 clusters of 3 cores; the random corpus (max natural
+    // sim ~0.44) stays noise. Composition of oracled primitives —
+    // cosine pairs, integer core counts, min-label CC fixpoint.
+    "qX_dbscan" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 50).select(col("vec_id"), col("embedding"))
+      def planted(off: Int) = base.select(
+        (col("vec_id") + off).as("vec_id"),
+        concat(array(lit(0.0f)), slice(col("embedding"), 2, 10000))
+          .as("embedding"))
+      Similarity.dbscan(base.unionAll(planted(100000))
+          .unionAll(planted(200000)),
+        "vec_id", "embedding", minSim = 0.9, minPts = 3)
+    }),
+
     // Binary-quantization two-stage ANN: sign-code Hamming shortlist
     // (integer ranking) → exact-cosine rerank of the shortlist only.
     // Full oracle: signs → Hamming → shortlist-50 → rerank-5 replayed.
@@ -979,6 +995,44 @@ object SimilarityQueries {
     "qX_dedup_simhash_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 1000""".stripMargin,
+    "qX_dbscan" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 50),
+        |p1 AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_prepend(0.0, v[2:]) AS v FROM base),
+        |p2 AS (SELECT vec_id + 200000 AS vec_id,
+        |  list_prepend(0.0, v[2:]) AS v FROM base),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM p1
+        |  UNION ALL SELECT * FROM p2),
+        |e AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9),
+        |sym AS (SELECT id1 AS id, id2 AS nb FROM e
+        |  UNION ALL SELECT id2, id1 FROM e),
+        |core AS (SELECT id FROM (SELECT id, count(*) AS nnb FROM sym
+        |  GROUP BY 1) x WHERE nnb + 1 >= 3),
+        |cs AS (SELECT e.id1 AS f, e.id2 AS t FROM e
+        |    JOIN core c1 ON c1.id = e.id1 JOIN core c2 ON c2.id = e.id2
+        |  UNION
+        |  SELECT e.id2, e.id1 FROM e
+        |    JOIN core c1 ON c1.id = e.id1 JOIN core c2 ON c2.id = e.id2),
+        |reach AS (SELECT f AS id, t AS r FROM cs
+        |  UNION SELECT cs.f, reach.r FROM cs JOIN reach ON reach.id = cs.t),
+        |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach
+        |  GROUP BY id),
+        |cclust AS (SELECT c.id, coalesce(comp.comp, c.id) AS cluster
+        |  FROM core c LEFT JOIN comp ON comp.id = c.id),
+        |borders AS (SELECT s.id, min(cc.cluster) AS cluster
+        |  FROM sym s JOIN cclust cc ON cc.id = s.nb
+        |  WHERE s.id NOT IN (SELECT id FROM core) GROUP BY s.id),
+        |lab AS (SELECT id, cluster, 'core' AS role FROM cclust
+        |  UNION ALL SELECT id, cluster, 'border' FROM borders)
+        |SELECT a.vec_id AS id, coalesce(l.cluster, -1) AS cluster,
+        |  coalesce(l.role, 'noise') AS role
+        |FROM allv a LEFT JOIN lab l ON l.id = a.vec_id
+        |ORDER BY id""".stripMargin,
     "qX_bq_rerank" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

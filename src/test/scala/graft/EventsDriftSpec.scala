@@ -189,6 +189,23 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(ed.getLong(0) == nf.values.max && ed.getInt(1) >= 1)
   }
 
+  test("dbscan: core/border/noise roles — zeroed-prefix norm construction") {
+    import graft.operators.Similarity
+    // all-ones 64-dim with k-dim zeroed prefixes: sim = √((64−max)/
+    // (64−min)); thresholds: v–v1 .992, v–v8 .935, v1–v8 .943,
+    // v8–v16 .926 all ≥ .9; v–v16 .866, v1–v16 .873 below. minPts=3
+    // → v,v1,v8 core; v16 border (only v8 adjacent); e1-spike noise.
+    def vec(zeros: Int) =
+      Seq.tabulate(64)(i => if (i < zeros) 0.0f else 1.0f)
+    val pts = Seq((1L, vec(0)), (2L, vec(1)), (3L, vec(8)), (4L, vec(16)),
+      (5L, Seq.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)))
+      .toDF("id", "v")
+    val got = Similarity.dbscan(pts, "id", "v", minSim = 0.9, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 1L, "core"), (2L, 1L, "core"),
+      (3L, 1L, "core"), (4L, 1L, "border"), (5L, -1L, "noise")))
+  }
+
   test("kTruss: triangle survives, pendant drops, diamond cascade empties") {
     import graft.operators.GraphAnalytics
     // triangle 1-2-3 with pendant 3-4: 3-truss keeps the triangle only
