@@ -493,6 +493,57 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(bnlj <= 1, s"only the (T,V) scalar may nested-loop ($bnlj)")
   }
 
+  test("bq two-stage: query side broadcasts in BOTH stages; rerank joins by id, no corpus NLJ") {
+    val p = plan("qX_bq_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "stage-1 code scan must broadcast the query side:\n" + p.take(2000))
+    // stage 2 hydrates the shortlist by id — an equi join, and the
+    // full-vector corpus side is never nested-looped
+    assert(p.split("BroadcastNestedLoopJoin").length <= 2,
+      "only the stage-1 code scan may nested-loop:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "shortlist hydration must broadcast")
+  }
+
+  test("funnel: step filters are pushed to the event scans; levels join on user") {
+    val p = plan("qX_funnel")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(event_type,signup)"),
+      "step-1 type filter must reach the scan:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("entity resolution: one equi-join on the blocking key, CASE-sum stays codegen") {
+    val p = plan("qX_er")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "blocked linkage must never cross-product:\n" + p.take(2000))
+    // the block key is the equi-join key and the threshold is fused
+    // into the join condition (pairs below it never materialize)
+    assert(p.contains("BroadcastHashJoin [a_c_nationkey"), p.take(2000))
+    assert(p.contains(">= 4000000)"),
+      "threshold must prune inside the join:\n" + p.take(2000))
+  }
+
+  test("drift psi/ks: corpus collapses to grid counts before any window or join") {
+    val pKs = plan("qX_ks")
+    // the single-partition window must sit above the grouped counts,
+    // never above raw event rows: Window's child contains an Aggregate
+    assert(pKs.contains("Window"), pKs.take(2000))
+    val windowIdx = pKs.indexOf("Window")
+    assert(pKs.indexOf("HashAggregate", windowIdx) > 0,
+      "KS window must read the distinct-value grid, not corpus rows:\n" +
+        pKs.take(3000))
+  }
+
+  test("item-item: co-occurrence joins are hash joins, top-k is heap-based, no window over pairs") {
+    val p = plan("qX_item_sim")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("CollectTopK") || !p.contains("RunningWindowFunction"),
+      "per-item top-k must be the bounded-heap aggregate:\n" + p.take(2000))
+  }
+
   test("pca: projection is a narrow codegen mat-vec; moments shuffles once") {
     val emb = Tables.load(spark, dir, "embeddings")
     val basis = Array.tabulate(4, 64)((r, i) => (r * 64 + i) * 1e-3)
