@@ -905,6 +905,13 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def crossValFolds(df: DataFrame, idCol: String, k: Int = 5): DataFrame =
     graft.operators.Sampling.kFold(df, idCol, k)
 
+  /** k-NN graph construction by NN-descent
+    * ([[graft.operators.Similarity.nnDescent]]) — the index-building
+    * primitive under semantic dedup and graph-ANN. */
+  def knnGraph(points: DataFrame, idCol: String, vecCol: String,
+               k: Int = 5, rounds: Int = 2): DataFrame =
+    graft.operators.Similarity.nnDescent(points, idCol, vecCol, k, rounds)
+
   /** Density-based clustering in cosine space
     * ([[graft.operators.Similarity.dbscan]]) — the density sibling of
     * k-means: cores, borders, and noise over the ≥ minSim similarity

@@ -84,6 +84,57 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** k-NN graph construction by NN-descent (Dong, Moses & Li 2011) —
+    * the index-building primitive under SemDeDup-style curation,
+    * density clustering, and graph-ANN: start from sign-LSH-bucket
+    * neighbors (md5-portable planes — engine-replayable, no RNG) and
+    * iteratively improve by scoring each point's NEIGHBORS-OF-
+    * NEIGHBORS over the symmetrized current graph ("a neighbor of my
+    * neighbor is probably my neighbor"), keeping the quantized-cosine
+    * top-k.
+    *
+    * 100 TB shape: state is |V|·k edges; per round the hop-2
+    * candidate join is bounded by |V|·(2k)² id-keyed rows — NEVER an
+    * all-pairs scan; vectors hydrate into the score step by id-keyed
+    * joins. Every ranking is (rounded sim desc, id asc) on integer-
+    * quantized scores, so init + every round replays exactly in SQL.
+    *
+    * @return (id, nb, sim) — the top-k graph after `rounds`
+    *         refinement passes.
+    */
+  def nnDescent(points: DataFrame, idCol: String, vecCol: String,
+                k: Int, rounds: Int, mBits: Int = 4): DataFrame = {
+    val p = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(true) // hydrated every score pass
+    def scoreTopK(cands: DataFrame): DataFrame = {
+      val scored = cands
+        .join(p.select(col("id"), col("vec").as("_v1")), "id")
+        .join(p.select(col("id").as("nb"), col("vec").as("_v2")), "nb")
+        .withColumn("sim", round(cosine(col("_v1"), col("_v2")), 4))
+      TopK.grouped(scored.select(col("id"), col("nb"), col("sim")),
+          Seq("id"), struct((-col("sim")).as("ns"), col("nb").as("n")), k)
+        .select(col("id"), col("best.n").as("nb"), (-col("best.ns")).as("sim"))
+    }
+    val sig = p.select(col("id"),
+      graft.functions.expr.VectorExprs.sign_lsh(col("vec"), mBits).as("b"))
+    val init = sig.join(sig.select(col("b"), col("id").as("nb")), "b")
+      .filter(col("id") =!= col("nb"))
+      .select(col("id"), col("nb"))
+    var knn = scoreTopK(init).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val adj = knn.select(col("id"), col("nb"))
+        .unionAll(knn.select(col("nb").as("id"), col("id").as("nb")))
+        .distinct()
+      val hop2 = adj.select(col("id"), col("nb").as("mid"))
+        .join(adj.select(col("id").as("mid"), col("nb")), "mid")
+        .filter(col("id") =!= col("nb"))
+        .select(col("id"), col("nb"))
+      val cands = knn.select(col("id"), col("nb")).unionAll(hop2).distinct()
+      knn = scoreTopK(cands).localCheckpoint(true)
+    }
+    knn.orderBy(col("id"), desc("sim"), col("nb"))
+  }
+
   /** Density-based clustering (DBSCAN, Ester et al. 1996) in cosine
     * space — the density sibling of [[kmeansFit]]: a point is CORE
     * when its ≥ `minSim` neighborhood (self included) holds at least

@@ -215,6 +215,31 @@ object SimilarityQueries {
     // corpus vectors (+100000) — identical vector ⇒ identical signature
     // ⇒ same bucket ⇒ candidate, and cosine 1.0 tops the ranking; every
     // query must recover its twin in the top-k.
+    // NN-descent k-NN graph: LSH-bucket init, 2 neighbor-of-neighbor
+    // refinement rounds, quantized-cosine top-5 — init + every round
+    // replayed in SQL.
+    "qX_nndescent" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.nnDescent(emb, "vec_id", "embedding", k = 5,
+        rounds = 2, mBits = 4)
+    }),
+
+    // NN-descent recall contract: planted identical copies share the
+    // LSH bucket, so the init round already links them and refinement
+    // keeps them at sim 1.0 top-1.
+    "qX_nndescent_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val res = Similarity.nnDescent(emb.unionAll(planted), "vec_id",
+        "embedding", k = 5, rounds = 1, mBits = 4)
+      planted.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(res.filter(col("id") >= 100000 &&
+            col("nb") === col("id") - 100000)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // DBSCAN in cosine space over originals + two planted variants
     // each: 50 clusters of 3 cores; the random corpus (max natural
     // sim ~0.44) stays noise. Composition of oracled primitives —
@@ -877,6 +902,51 @@ object SimilarityQueries {
     * ends at CTE `franked` (the fused ranking; `dranked` = the dense
     * ground-truth ranking is also live). Shared by the qX_rrf_hybrid
     * and qX_ndcg gates. */
+  /** Unrolled replay of [[graft.operators.Similarity.nnDescent]]
+    * (m = 4 md5 planes, k = 5): LSH-bucket init, then per round the
+    * symmetrized hop-2 candidate join + quantized-cosine top-5. */
+  private def NnDescentSql(rounds: Int): String = {
+    val head =
+      """WITH planes AS (
+        |  SELECT p.p AS p, list_transform(range(64), d ->
+        |    CAST(CAST(('0x' || substr(md5('hp:' || CAST(p.p AS VARCHAR) || ':' ||
+        |      CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 1048576 AS DOUBLE)
+        |      / 1048576.0 - 0.5) AS plane
+        |  FROM (SELECT unnest(range(4)) AS p) p),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |sigs AS (
+        |  SELECT e.vec_id, sum(CASE WHEN list_dot_product(e.vec, pl.plane) > 0
+        |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS sig
+        |  FROM e CROSS JOIN planes pl GROUP BY 1),
+        |c0 AS (SELECT a.vec_id AS id, c.vec_id AS nb
+        |  FROM sigs a JOIN sigs c ON a.sig = c.sig AND a.vec_id <> c.vec_id),
+        |s0 AS (SELECT c.id, c.nb,
+        |    round(list_cosine_similarity(e1.vec, e2.vec), 4) AS sim
+        |  FROM c0 c JOIN e e1 ON e1.vec_id = c.id
+        |  JOIN e e2 ON e2.vec_id = c.nb),
+        |k0 AS (SELECT id, nb, sim FROM (SELECT id, nb, sim, row_number()
+        |    OVER (PARTITION BY id ORDER BY sim DESC, nb) AS rn FROM s0) x
+        |  WHERE rn <= 5)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""a$r AS (SELECT id, nb FROM k${r - 1}
+         |  UNION SELECT nb AS id, id AS nb FROM k${r - 1}),
+         |h$r AS (SELECT DISTINCT x.id, y.nb FROM a$r x JOIN a$r y
+         |  ON y.id = x.nb WHERE x.id <> y.nb),
+         |c$r AS (SELECT id, nb FROM k${r - 1}
+         |  UNION SELECT id, nb FROM h$r),
+         |s$r AS (SELECT c.id, c.nb,
+         |    round(list_cosine_similarity(e1.vec, e2.vec), 4) AS sim
+         |  FROM c$r c JOIN e e1 ON e1.vec_id = c.id
+         |  JOIN e e2 ON e2.vec_id = c.nb),
+         |k$r AS (SELECT id, nb, sim FROM (SELECT id, nb, sim, row_number()
+         |    OVER (PARTITION BY id ORDER BY sim DESC, nb) AS rn FROM s$r) x
+         |  WHERE rn <= 5)""".stripMargin
+    }
+    (Seq(head) ++ rs).mkString(",\n") +
+      s"\nSELECT id, nb, sim FROM k$rounds ORDER BY id, sim DESC, nb"
+  }
+
   private val RrfHybridCte =
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(
@@ -995,6 +1065,10 @@ object SimilarityQueries {
     "qX_dedup_simhash_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 1000""".stripMargin,
+    "qX_nndescent" -> NnDescentSql(2),
+    "qX_nndescent_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "qX_dbscan" ->
       """WITH RECURSIVE base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
