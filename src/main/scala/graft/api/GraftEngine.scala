@@ -993,6 +993,13 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
               valueCol: String): DataFrame =
     graft.operators.Drift.ksStatistic(base, curr, valueCol)
 
+  /** TF-IDF keyword extraction per document
+    * ([[graft.operators.SearchIndex.keywords]]) — the tagging
+    * primitive over the postings index. */
+  def extractKeywords(docs: DataFrame, idCol: String, field: String,
+                      topK: Int = 5): DataFrame =
+    graft.operators.SearchIndex.keywords(docs, idCol, field, topK)
+
   /** χ² token–label feature selection
     * ([[graft.operators.TextAnalysis.chiSquareTokens]]) — the tokens
     * most associated with a 0/1 document label. */

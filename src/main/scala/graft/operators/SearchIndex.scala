@@ -329,6 +329,32 @@ object SearchIndex {
     * and what `match_phrase` needs (ES keeps positions in its postings
     * for exactly this; the reference's index mapping is ES-default =
     * positions on). One narrow scan, no shuffle. */
+  /** TF-IDF keyword extraction — the document-tagging primitive on
+    * top of [[build]]'s postings: each document's top terms by
+    * `round(1000·tf·idf)` (the [[batchQuery]] integer-milli idf
+    * convention, so scores are engine-exact and the ranking
+    * quantizes BEFORE the limit). One postings fold + a term-keyed
+    * idf join + a bounded-heap top-k per doc — no windows over the
+    * corpus.
+    *
+    * @return (doc, term, score) top-k per doc by (score desc, term).
+    */
+  def keywords(docs: DataFrame, idCol: String, field: String,
+               topK: Int): DataFrame = {
+    val (postings, stats, n) = build(docs, idCol, Seq(field))
+    val idf = stats.select(col("term"),
+      log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))).as("idf"))
+    val scored = postings.join(idf, "term")
+      .select(col("doc"), col("term"),
+        round(col("tf") * col("idf") * lit(1000.0)).cast("long").as("score"))
+    TopK.grouped(scored, Seq("doc"),
+        struct((-col("score")).as("ns"), col("term").as("t")), topK)
+      .select(col("doc"), col("best.t").as("term"),
+        (-col("best.ns")).as("score"))
+      .orderBy(col("doc"), desc("score"), col("term"))
+  }
+
   def buildPositional(docs: DataFrame, idCol: String,
                       field: String): DataFrame =
     docs.select(col(idCol).as("doc"),

@@ -370,6 +370,14 @@ object TextQueries {
         .orderBy(col("split"))
     }),
 
+    // TF-IDF keyword extraction: top-5 terms per doc, integer-milli
+    // scores quantized before the limit.
+    "qX_keywords" -> ((s, dir) => {
+      graft.operators.SearchIndex.keywords(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", topK = 5)
+    }),
+
     // k-anonymity screen over (lang, source) quasi-identifiers — the
     // re-identification risk report before data leaves the pipeline.
     "qX_kanon" -> ((s, dir) => {
@@ -1289,6 +1297,23 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n, min(doc_id) AS min_id
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qX_keywords" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |toks AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM d),
+        |tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM toks
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |sc AS (SELECT tf.doc, tf.term,
+        |  CAST(round(tf.tf * ln(1 + (nn.n - dfreq.df + 0.5)
+        |    / (dfreq.df + 0.5)) * 1000.0) AS BIGINT) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+        |r AS (SELECT doc, term, score, row_number() OVER (
+        |  PARTITION BY doc ORDER BY score DESC, term) AS rn FROM sc)
+        |SELECT doc, term, score FROM r WHERE rn <= 5
+        |ORDER BY doc, score DESC, term""".stripMargin,
     "qX_kanon" ->
       """WITH g AS (SELECT lang, source, count(*) AS n FROM documents
         |  GROUP BY 1, 2)
