@@ -832,6 +832,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.landmarkDistances(edges,
       numSources, maxDepth)
 
+  /** Truncated Katz centrality of the engine's knows graph
+    * ([[graft.operators.GraphAnalytics.katzMicros]]). */
+  def katzCentrality(rounds: Int = 3): DataFrame =
+    graft.operators.GraphAnalytics.katzMicros(edges, rounds)
+
+  /** Welch's t statistic between two samples
+    * ([[graft.operators.Stats.welchT]]) — the A/B readout. */
+  def abTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    graft.operators.Stats.welchT(a, b, valueCol)
+
+  /** Poisson-bootstrap CI of a mean
+    * ([[graft.operators.Stats.bootstrapCI]]) — uncertainty in one
+    * scan, no resampling passes. */
+  def bootstrapMean(df: DataFrame, idCol: String, valueCol: String,
+                    b: Int = 32): DataFrame =
+    graft.operators.Stats.bootstrapCI(df, idCol, valueCol, b)
+
   /** k-truss cohesion membership of the engine's knows graph
     * ([[graft.operators.GraphAnalytics.kTruss]]) — the
     * triangle-backed core a community must share. */

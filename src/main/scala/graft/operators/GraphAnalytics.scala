@@ -952,6 +952,41 @@ object GraphAnalytics {
       .join(vmap, "vid").select(col("id"), col("n_tri").cast("long").as("n_tri"))
   }
 
+  /** Truncated Katz centrality (Katz 1953) in integer micros — the
+    * attenuated-reach score `Σ_{k≤rounds} αᵏ·(#walks of length k)`
+    * with the DYADIC attenuation α = 1/8, so every round is
+    * `x(v) = 1e6 + ⌊Σ_{u∼v} x_prev(u) / 8⌋` — exact integer
+    * arithmetic, order-independent folds, full-SQL-oracle-able
+    * unrolled. Truncation is the operating point (the link-prediction
+    * literature's truncated Katz): values stay in int64 while
+    * `maxDegree/8 « 2⁶³ᐟʳᵒᵘⁿᵈˢ`; for deeper horizons renormalize per
+    * round (the pageRankMicros convention) instead.
+    *
+    * 100 TB shape: one keyed join + map-side-combined sum per round
+    * over the undirected adjacency — the BFS/SSSP shuffle budget.
+    *
+    * @return (id, katz_micros) ordered by id.
+    */
+  def katzMicros(edges: DataFrame, rounds: Int): DataFrame = {
+    val adj = Pymk.undirected(edges).distinct().localCheckpoint(true)
+    var x = adj.select(col("from").as("id")).distinct()
+      .withColumn("katz_micros", lit(1000000L))
+      .localCheckpoint(true)
+    for (i <- 1 to rounds) {
+      val in = adj
+        .join(x.select(col("id").as("from"), col("katz_micros").as("xv")),
+          "from")
+        .groupBy(col("to").as("id")).agg(sum(col("xv")).as("s"))
+      val next = x.select(col("id"))
+        .join(in, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1000000L) + floor(coalesce(col("s"), lit(0L)) / lit(8)))
+            .cast("long").as("katz_micros"))
+      x = if (i % 2 == 0 || i == rounds) next.localCheckpoint(true) else next
+    }
+    x.orderBy("id")
+  }
+
   /** k-truss decomposition membership (Cohen 2008) by synchronous
     * support peeling: an edge survives the k-truss iff it closes at
     * least k−2 triangles WITH OTHER SURVIVING EDGES; each round

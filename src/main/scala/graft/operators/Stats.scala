@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inference statistics for experiment readouts — the A/B layer over
+  * the `events` stream: a recommender change ships behind a metric
+  * comparison, and at 100 TB both the test statistic and its
+  * uncertainty must come out of one pass, not a driver-side resample.
+  *
+  * Determinism contract: values quantize to integer millis/micros
+  * up front, every accumulated quantity is an exact integer fold, and
+  * each final statistic is ONE fixed IEEE expression over those
+  * integers — engine-exact, full-SQL-oracle-able.
+  */
+object Stats {
+
+  /** Welch's unequal-variance t statistic between two samples.
+    *
+    * Values quantize to integer millis (`⌊1000·v⌋`); per group the
+    * sufficient statistics (n, Σv, Σv²) are exact integer folds; the
+    * statistic `t = (m_a − m_b)/√(s²_a/n_a + s²_b/n_b)` is one fixed
+    * IEEE expression over them (sample variances, n−1). Callers
+    * compare |t| against their critical value — no p-value erf
+    * approximation is smuggled in.
+    *
+    * @return one row (n_a, n_b, mean_a_milli, mean_b_milli, t_micros);
+    *         degenerate variances (n < 2 or zero spread) report t = 0.
+    */
+  def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def stats(df: DataFrame, tag: String) = df
+      .select(floor(col(valueCol) * lit(1000)).cast("long").as("v"))
+      .agg(count(lit(1)).as(s"n_$tag"), sum(col("v")).as(s"s_$tag"),
+        sum(col("v") * col("v")).as(s"q_$tag"))
+    val j = stats(a, "a").crossJoin(stats(b, "b"))
+    def mean(tag: String) =
+      col(s"s_$tag").cast("double") / col(s"n_$tag")
+    def varOverN(tag: String) =
+      ((col(s"q_$tag").cast("double") -
+        col(s"s_$tag").cast("double") * col(s"s_$tag").cast("double") /
+          col(s"n_$tag")) / (col(s"n_$tag") - lit(1))) / col(s"n_$tag")
+    val se2 = varOverN("a") + varOverN("b")
+    j.select(col("n_a"), col("n_b"),
+      floor(mean("a")).cast("long").as("mean_a_milli"),
+      floor(mean("b")).cast("long").as("mean_b_milli"),
+      when(col("n_a") < 2 || col("n_b") < 2 || se2 <= 0, lit(0L))
+        .otherwise(floor(lit(1e6) * ((mean("a") - mean("b")) / sqrt(se2)))
+          .cast("long"))
+        .as("t_micros"))
+  }
+
+  /** Poisson-bootstrap confidence interval for a mean (Chamandy et
+    * al. 2012 — the bootstrap that SCALES: instead of B resampling
+    * passes, each row draws a Poisson(1) multiplicity per replicate
+    * in the SAME scan, map-side). Multiplicities are md5-derived
+    * (`u = (bucket+0.5)/2³²` against hard-coded Poisson CDF cut
+    * points — deterministic, engine-replayable, no RNG); replicate
+    * means are exact integer divisions of integer folds; the CI reads
+    * ranked replicate means at the 2.5%/97.5% ranks.
+    *
+    * @return one row (b_reps, mean_micros, lo_micros, hi_micros).
+    */
+  def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+                  b: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val reps = spark.range(b).select(col("id").as("rep"))
+    val v = df.select(col(idCol).as("bid"),
+      floor(col(valueCol) * lit(1e6)).cast("long").as("v"))
+    val u = (Sampling.md5Bucket(concat(col("rep").cast("string"), lit(":"),
+      col("bid").cast("string"))).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    // Poisson(1) inverse CDF — cut points are cumulative e^-1/k!
+    val mult = when(u < lit(0.36787944117144233), lit(0L))
+      .when(u < lit(0.7357588823428847), lit(1L))
+      .when(u < lit(0.919698602928606), lit(2L))
+      .when(u < lit(0.9810118431238462), lit(3L))
+      .when(u < lit(0.9963401531726563), lit(4L))
+      .otherwise(lit(5L))
+    val perRep = v.crossJoin(reps)
+      .select(col("rep"), mult.as("m"), col("v"))
+      .groupBy("rep")
+      .agg(floor(sum(col("m") * col("v")).cast("double") / sum(col("m")))
+        .cast("long").as("mean_micros"))
+    val w = Window.orderBy(col("mean_micros"), col("rep"))
+    val ranked = perRep.withColumn("rn", row_number().over(w))
+    val lo = math.max(1, math.ceil(0.025 * b).toInt)
+    val hi = math.min(b, math.ceil(0.975 * b).toInt)
+    val full = v.agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+      .cast("long").as("mean_micros"))
+    full.crossJoin(broadcast(
+        ranked.filter(col("rn") === lo)
+          .select(col("mean_micros").as("lo_micros"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("rn") === hi)
+          .select(col("mean_micros").as("hi_micros"))))
+      .select(lit(b.toLong).as("b_reps"), col("mean_micros"),
+        col("lo_micros"), col("hi_micros"))
+  }
+}

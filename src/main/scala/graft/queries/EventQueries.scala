@@ -67,6 +67,22 @@ object EventQueries {
         windowMicros = 3L * 86400L * 1000000L)
     }),
 
+    // Welch's t statistic between click and view values — exact
+    // integer sufficient statistics, one IEEE expression.
+    "qX_welch" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Stats.welchT(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "view"), "value")
+    }),
+
+    // Poisson-bootstrap 95% CI of the mean value — md5 multiplicities,
+    // 32 replicates in ONE scan, ranked replicate means.
+    "qX_bootstrap" -> ((s, dir) => {
+      graft.operators.Stats.bootstrapCI(t(s, dir, "events"),
+        "event_id", "value", b = 32)
+    }),
+
     // Exponentially time-decayed interaction weights per (user, type)
     // — integer-micro contributions, order-free keyed fold.
     "qX_decay" -> ((s, dir) => {
@@ -245,6 +261,60 @@ object EventQueries {
         |    AND t.ts >= c.ts - INTERVAL 3 DAY)
         |SELECT conv_id, touch_id, touch_type FROM j WHERE rn = 1
         |ORDER BY conv_id""".stripMargin,
+
+    "qX_welch" ->
+      """WITH a AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'view'),
+        |sa AS (SELECT count(*) AS n_a, CAST(sum(v) AS BIGINT) AS s_a,
+        |  CAST(sum(v * v) AS BIGINT) AS q_a FROM a),
+        |sb AS (SELECT count(*) AS n_b, CAST(sum(v) AS BIGINT) AS s_b,
+        |  CAST(sum(v * v) AS BIGINT) AS q_b FROM b),
+        |m AS (SELECT n_a, n_b,
+        |  CAST(s_a AS DOUBLE) / n_a AS ma, CAST(s_b AS DOUBLE) / n_b AS mb,
+        |  ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |      / n_a) / (n_a - 1)) / n_a +
+        |  ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |      / n_b) / (n_b - 1)) / n_b AS se2
+        |  FROM sa CROSS JOIN sb)
+        |SELECT n_a, n_b, CAST(floor(ma) AS BIGINT) AS mean_a_milli,
+        |  CAST(floor(mb) AS BIGINT) AS mean_b_milli,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR se2 <= 0 THEN 0
+        |    ELSE CAST(floor(1e6 * ((ma - mb) / sqrt(se2))) AS BIGINT) END
+        |    AS t_micros
+        |FROM m""".stripMargin,
+
+    "qX_bootstrap" ->
+      """WITH v AS (SELECT event_id AS bid,
+        |  CAST(floor("value" * 1000000.0) AS BIGINT) AS v FROM events),
+        |reps AS (SELECT unnest(range(32)) AS rep),
+        |um AS (SELECT r.rep, v.v,
+        |  (CAST(CAST(('0x' || substr(md5(CAST(r.rep AS VARCHAR) || ':' ||
+        |    CAST(v.bid AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5)
+        |    / 4294967296.0 AS u
+        |  FROM v CROSS JOIN reps r),
+        |mm AS (SELECT rep, v,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |       WHEN u < 0.7357588823428847 THEN 1
+        |       WHEN u < 0.919698602928606 THEN 2
+        |       WHEN u < 0.9810118431238462 THEN 3
+        |       WHEN u < 0.9963401531726563 THEN 4
+        |       ELSE 5 END AS m
+        |  FROM um),
+        |pr AS (SELECT rep,
+        |  CAST(floor(CAST(sum(m * v) AS DOUBLE) / sum(m)) AS BIGINT)
+        |    AS mean_micros
+        |  FROM mm GROUP BY 1),
+        |rk AS (SELECT rep, mean_micros, row_number() OVER (
+        |  ORDER BY mean_micros, rep) AS rn FROM pr),
+        |fl AS (SELECT CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))
+        |  AS BIGINT) AS mean_micros FROM v)
+        |SELECT CAST(32 AS BIGINT) AS b_reps, fl.mean_micros,
+        |  lo.mean_micros AS lo_micros, hi.mean_micros AS hi_micros
+        |FROM fl
+        |CROSS JOIN (SELECT mean_micros FROM rk WHERE rn = 1) lo
+        |CROSS JOIN (SELECT mean_micros FROM rk WHERE rn = 32) hi""".stripMargin,
 
     "qX_decay" ->
       """SELECT user_id, event_type,

@@ -301,6 +301,13 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Truncated Katz centrality: 3 attenuated-reach rounds at the
+    // dyadic alpha = 1/8 — exact integer folds, unrolled oracle.
+    "qX_katz" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.katzMicros(edges, rounds = 3)
+    }),
+
     // 3-truss membership after 3 synchronous support-peel rounds:
     // integer supports, shrinking edge set, unrolled oracle.
     "qX_ktruss" -> ((s, dir) => {
@@ -715,6 +722,27 @@ object GraphQueries {
   /** Unrolled weighted-PageRank oracle: [[pagerankSql]]'s chained CTEs
     * with per-edge contribution `rank · w / wout` — the exact
     * arithmetic of [[graft.operators.GraphAnalytics.pageRankWeightedDF]]. */
+  /** Unrolled replay of [[graft.operators.GraphAnalytics.katzMicros]]:
+    * per round one adjacency join + integer sum, `1e6 + ⌊Σ/8⌋`. */
+  private def katzSql(rounds: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (SELECT src AS f, dst AS t FROM edges
+         |        UNION SELECT dst AS f, src AS t FROM edges),
+         |vs AS (SELECT DISTINCT f AS id FROM adj),
+         |x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS x FROM vs)""".stripMargin
+    val rs = (1 to rounds).map { k =>
+      s"""x$k AS (SELECT vs.id,
+         |  CAST(1000000 + floor(coalesce(s.s, 0) / 8) AS BIGINT) AS x
+         |  FROM vs LEFT JOIN (
+         |    SELECT a.t AS id, CAST(sum(x.x) AS BIGINT) AS s
+         |    FROM adj a JOIN x${k - 1} x ON x.id = a.f GROUP BY 1) s
+         |  USING (id))""".stripMargin
+    }
+    (Seq(head) ++ rs).mkString(",\n") +
+      s"\nSELECT id, x AS katz_micros FROM x$rounds ORDER BY id"
+  }
+
   /** Unrolled replay of [[graft.operators.GraphAnalytics.kTruss]]:
     * per round one wedge-join support count over the current edge set
     * + the ≥ k−2 filter. */
@@ -1284,6 +1312,7 @@ object GraphQueries {
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
     "qX_sssp" -> ssspSql(10, Seq(1L, 7L)),
     "qX_ktruss" -> kTrussSql(3, 3),
+    "qX_katz" -> katzSql(3),
     "qX_assortativity" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (SELECT src AS f, dst AS t FROM edges

@@ -189,6 +189,39 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(ed.getLong(0) == nf.values.max && ed.getInt(1) >= 1)
   }
 
+  test("katzMicros: hand path-graph rounds") {
+    import graft.operators.GraphAnalytics
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphAnalytics.katzMicros(path, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1: ends 1125000, mid 1250000; r2 folds those back
+    assert(got == Map(1L -> 1156250L, 2L -> 1281250L, 3L -> 1156250L))
+  }
+
+  test("welchT: hand statistic incl. zero-variance guard arithmetic") {
+    import graft.operators.Stats
+    val a = Seq(1.0, 2.0, 3.0).toDF("value")
+    val b = Seq(5.0, 5.0).toDF("value")
+    val r = Stats.welchT(a, b, "value").collect().head
+    // se2 = var_a/3 = 333333.3; t = -3000/577.3503 = -5.19615...
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2L, 2000L, 5000L, -5196153L)))
+    // both-degenerate: single rows → guard fires
+    val z = Stats.welchT(Seq(1.0).toDF("value"), Seq(2.0).toDF("value"),
+      "value").collect().head
+    assert(z.getLong(4) == 0L)
+  }
+
+  test("bootstrapCI: CI brackets the mean, deterministic across runs") {
+    import graft.operators.Stats
+    val df = (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "value")
+    val r1 = Stats.bootstrapCI(df, "id", "value", b = 32).collect().head
+    assert(r1.getLong(0) == 32L && r1.getLong(1) == 50500000L)
+    assert(r1.getLong(2) <= r1.getLong(1) && r1.getLong(1) <= r1.getLong(3))
+    val r2 = Stats.bootstrapCI(df, "id", "value", b = 32).collect().head
+    assert(r1.toSeq == r2.toSeq) // md5 multiplicities: no RNG anywhere
+  }
+
   test("dbscan: core/border/noise roles — zeroed-prefix norm construction") {
     import graft.operators.Similarity
     // all-ones 64-dim with k-dim zeroed prefixes: sim = √((64−max)/
