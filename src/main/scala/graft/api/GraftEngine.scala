@@ -832,6 +832,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.landmarkDistances(edges,
       numSources, maxDepth)
 
+  /** Local bridges (Granovetter weak ties) of the engine's knows
+    * graph ([[graft.operators.GraphAnalytics.weakTies]]) — the links
+    * a diversity-aware recommender should protect. */
+  def weakTies(): DataFrame =
+    graft.operators.GraphAnalytics.weakTies(edges)
+
+  /** l-diversity report ([[graft.operators.Profile.lDiversity]]) —
+    * the [[anonymityReport]] companion over a sensitive column. */
+  def diversityReport(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Long = 3L): DataFrame =
+    graft.operators.Profile.lDiversity(df, quasiCols, sensitiveCol, l)
+
+  /** Popularity-bias Gini of a recommendation table
+    * ([[graft.operators.Eval.exposureGini]]). */
+  def recExposure(recs: DataFrame, itemCol: String): DataFrame =
+    graft.operators.Eval.exposureGini(recs, itemCol)
+
   /** Truncated Katz centrality of the engine's knows graph
     * ([[graft.operators.GraphAnalytics.katzMicros]]). */
   def katzCentrality(rounds: Int = 3): DataFrame =

@@ -255,6 +255,32 @@ object Eval {
       .select(col("n"),
         floor(col("werr") / col("n")).cast("long").as("ece_micros"))
 
+  /** Gini concentration of recommendation exposure — the
+    * popularity-bias metric over a rec table: G near 0 = exposure
+    * spread evenly over the catalog, near 1 = a few head items take
+    * everything (the failure mode item–item CF drifts into).
+    * Lorenz-ordered by (count asc, item asc) — deterministic ranks —
+    * and `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`: exact integer
+    * numerator and denominator, ONE division. The rank window runs
+    * over the CATALOG-sized count table, never over rec rows.
+    *
+    * @return one row (n_items, total_recs, gini_micros).
+    */
+  def exposureGini(recs: DataFrame, itemCol: String): DataFrame = {
+    val cnt = recs.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x"), col("item"))
+    val ranked = cnt.withColumn("i", row_number().over(w))
+    ranked.agg(count(lit(1)).as("n_items"), sum(col("x")).as("total_recs"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n_items"), col("total_recs"),
+        floor(lit(1000000L) *
+          (lit(2L) * col("six") - (col("n_items") + lit(1L)) *
+            col("total_recs")) /
+          (col("n_items") * col("total_recs"))).cast("long")
+          .as("gini_micros"))
+  }
+
   /** Cost-optimal decision threshold for a scored binary classifier:
     * among all distinct-score cut points (predict positive iff
     * `score ≥ t`), the one minimizing

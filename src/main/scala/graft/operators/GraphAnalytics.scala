@@ -952,6 +952,31 @@ object GraphAnalytics {
       .join(vmap, "vid").select(col("id"), col("n_tri").cast("long").as("n_tri"))
   }
 
+  /** Local bridges — edges closing NO triangle (span > 2), the "weak
+    * ties" of Granovetter 1973: the links that carry novel
+    * information between otherwise-disconnected circles, exactly the
+    * edges a PYMK ranker over-penalizes (no common friends) yet a
+    * diversity-aware recommender should protect. One wedge join +
+    * anti join over the canonical edge view — the triangle-count
+    * shuffle budget, integer-only.
+    *
+    * @return zero-support canonical edges (u, v) ordered.
+    */
+  def weakTies(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = e.select(col("u").as("f"), col("v").as("t"))
+      .unionAll(e.select(col("v").as("f"), col("u").as("t")))
+    val supported = e
+      .join(adj.select(col("f").as("u"), col("t").as("w1")), "u")
+      .join(adj.select(col("f").as("v"), col("t").as("w2")), "v")
+      .filter(col("w1") === col("w2"))
+      .select(col("u"), col("v")).distinct()
+    e.join(supported, Seq("u", "v"), "left_anti").orderBy("u", "v")
+  }
+
   /** Truncated Katz centrality (Katz 1953) in integer micros — the
     * attenuated-reach score `Σ_{k≤rounds} αᵏ·(#walks of length k)`
     * with the DYADIC attenuation α = 1/8, so every round is

@@ -107,6 +107,26 @@ object Profile {
       min(col("n")).as("min_group"))
   }
 
+  /** l-diversity report (Machanavajjhala et al. 2007) — the
+    * [[kAnonymity]] companion: a quasi-identifier group is safe only
+    * when its SENSITIVE attribute takes at least l distinct values
+    * (k-anonymous groups with one sensitive value still leak). One
+    * grouped distinct-count + scalar fold, exact integers.
+    *
+    * @return one row (n_groups, n_violating_groups, n_risk_rows,
+    *         min_diversity).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    val g = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("d"))
+    g.agg(count(lit(1)).as("n_groups"),
+      sum(when(col("d") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+      sum(when(col("d") < l, col("n")).otherwise(0L)).as("n_risk_rows"),
+      min(col("d")).as("min_diversity"))
+  }
+
   def checkConstraints(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
     def report(c: Check, metric: Column): Column =

@@ -21,6 +21,30 @@ object EventQueries {
 
   private val SplitTs = "2024-01-16 00:00:00"
 
+  /** DuckDB fragment: the item–item CF pipeline ending at ranked CTE
+    * `r` (item, rec, co, sim_micros, rn) — shared by qX_item_sim and
+    * qX_rec_gini so the rec table cannot drift between them. */
+  private val ItemSimCte: String =
+    """WITH ui AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    CAST(floor("value") AS BIGINT) % 50 AS item
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |kept AS (SELECT u, item FROM ui
+      |  QUALIFY count(*) OVER (PARTITION BY u) <= 50),
+      |p AS (SELECT a.item AS i, b.item AS j, count(*) AS co
+      |  FROM kept a JOIN kept b ON a.u = b.u AND a.item < b.item
+      |  GROUP BY 1, 2),
+      |deg AS (SELECT item, count(*) AS d FROM kept GROUP BY 1),
+      |sym AS (SELECT i, j, co FROM p
+      |  UNION ALL SELECT j AS i, i AS j, co FROM p),
+      |sc AS (SELECT sym.i AS item, sym.j AS rec, sym.co,
+      |  CAST(floor(1e6 * (CAST(sym.co AS DOUBLE) /
+      |    sqrt(CAST(di.d * dj.d AS DOUBLE)))) AS BIGINT) AS sim_micros
+      |  FROM sym JOIN deg di ON di.item = sym.i
+      |            JOIN deg dj ON dj.item = sym.j),
+      |r AS (SELECT item, rec, co, sim_micros, row_number() OVER (
+      |  PARTITION BY item ORDER BY sim_micros DESC, rec) AS rn FROM sc)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Windowed ordered funnel signup → view → purchase within 7 days
     // of the signup anchor: per-step min-fold levels, user-keyed
@@ -65,6 +89,18 @@ object EventQueries {
       Events.lastTouchAttribution(t(s, dir, "events"), "user_id", "ts",
         "event_type", "event_id", "purchase", Seq("click", "view"),
         windowMicros = 3L * 86400L * 1000000L)
+    }),
+
+    // Popularity-bias Gini over the item-item rec table — exact
+    // integer Lorenz fold over the catalog-sized count table.
+    "qX_rec_gini" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"),
+          (floor(col("value")).cast("long") % 50).as("item"))
+      val recs = graft.operators.Pymk.itemItemTopK(e, "user_id", "item",
+        k = 5, userCap = 50)
+      graft.operators.Eval.exposureGini(recs, "rec")
     }),
 
     // Welch's t statistic between click and view values — exact
@@ -325,27 +361,25 @@ object EventQueries {
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     "qX_item_sim" ->
-      """WITH ui AS (
-        |  SELECT DISTINCT user_id AS u,
-        |    CAST(floor("value") AS BIGINT) % 50 AS item
-        |  FROM events WHERE event_type IN ('click', 'view')),
-        |kept AS (SELECT u, item FROM ui
-        |  QUALIFY count(*) OVER (PARTITION BY u) <= 50),
-        |p AS (SELECT a.item AS i, b.item AS j, count(*) AS co
-        |  FROM kept a JOIN kept b ON a.u = b.u AND a.item < b.item
-        |  GROUP BY 1, 2),
-        |deg AS (SELECT item, count(*) AS d FROM kept GROUP BY 1),
-        |sym AS (SELECT i, j, co FROM p
-        |  UNION ALL SELECT j AS i, i AS j, co FROM p),
-        |sc AS (SELECT sym.i AS item, sym.j AS rec, sym.co,
-        |  CAST(floor(1e6 * (CAST(sym.co AS DOUBLE) /
-        |    sqrt(CAST(di.d * dj.d AS DOUBLE)))) AS BIGINT) AS sim_micros
-        |  FROM sym JOIN deg di ON di.item = sym.i
-        |            JOIN deg dj ON dj.item = sym.j),
-        |r AS (SELECT item, rec, co, sim_micros, row_number() OVER (
-        |  PARTITION BY item ORDER BY sim_micros DESC, rec) AS rn FROM sc)
-        |SELECT item, rec, co, sim_micros FROM r WHERE rn <= 5
-        |ORDER BY item, sim_micros DESC, rec""".stripMargin,
+      (ItemSimCte +
+        """
+          |SELECT item, rec, co, sim_micros FROM r WHERE rn <= 5
+          |ORDER BY item, sim_micros DESC, rec""".stripMargin),
+
+    "qX_rec_gini" ->
+      (ItemSimCte +
+        """,
+          |recs AS (SELECT rec FROM r WHERE rn <= 5),
+          |cnt AS (SELECT rec AS item, count(*) AS x FROM recs GROUP BY 1),
+          |rkd AS (SELECT item, x, row_number() OVER (ORDER BY x, item)
+          |  AS i FROM cnt),
+          |agg AS (SELECT count(*) AS n_items,
+          |  CAST(sum(x) AS BIGINT) AS total_recs,
+          |  CAST(sum(i * x) AS BIGINT) AS six FROM rkd)
+          |SELECT n_items, total_recs,
+          |  CAST(floor(1000000 * (2 * six - (n_items + 1) * total_recs)
+          |    / (n_items * total_recs)) AS BIGINT) AS gini_micros
+          |FROM agg""".stripMargin),
 
     "qX_exact_quantile" ->
       """WITH t AS (

@@ -301,6 +301,16 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Weak ties (local bridges): edges closing no triangle — one
+    // wedge + anti join, integer-only. Runs on the sparse day-1
+    // subgraph (the month-long graph is dense enough that every edge
+    // closes a triangle — zero ties, no gate signal).
+    "qX_weak_ties" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      graft.operators.GraphAnalytics.weakTies(derivedEdges(events))
+    }),
+
     // Truncated Katz centrality: 3 attenuated-reach rounds at the
     // dyadic alpha = 1/8 — exact integer folds, unrolled oracle.
     "qX_katz" -> ((s, dir) => {
@@ -1313,6 +1323,24 @@ object GraphQueries {
     "qX_sssp" -> ssspSql(10, Seq(1L, 7L)),
     "qX_ktruss" -> kTrussSql(3, 3),
     "qX_katz" -> katzSql(3),
+    "qX_weak_ties" ->
+      s"""WITH edges AS (
+         |  SELECT DISTINCT user_id AS src,
+         |    CAST(FLOOR(value) AS BIGINT) % 50 AS dst
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view')
+         |    AND user_id <> CAST(FLOOR(value) AS BIGINT) % 50
+         |    AND ts < TIMESTAMP '2024-01-02 00:00:00'),
+         |e AS (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM edges),
+         |adj AS (SELECT u AS f, v AS t FROM e
+         |        UNION ALL SELECT v AS f, u AS t FROM e),
+         |sup AS (SELECT DISTINCT e.u, e.v
+         |  FROM e JOIN adj a1 ON a1.f = e.u JOIN adj a2 ON a2.f = e.v
+         |  WHERE a1.t = a2.t)
+         |SELECT e.u, e.v FROM e ANTI JOIN sup
+         |  ON sup.u = e.u AND sup.v = e.v
+         |ORDER BY e.u, e.v""".stripMargin,
     "qX_assortativity" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (SELECT src AS f, dst AS t FROM edges

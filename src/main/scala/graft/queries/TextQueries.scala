@@ -385,6 +385,13 @@ object TextQueries {
         Tables.load(s, dir, "documents"), Seq("lang", "source"), 10L)
     }),
 
+    // l-diversity companion: lang groups must see >= 3 distinct
+    // sources or their rows count as at-risk.
+    "qX_ldiv" -> ((s, dir) => {
+      graft.operators.Profile.lDiversity(
+        Tables.load(s, dir, "documents"), Seq("lang"), "source", 3L)
+    }),
+
     // stratified 5-fold CV assignment — per-(stratum, fold) counts +
     // an id-sum so the oracle checks MEMBERSHIP, not just sizes.
     "qX_kfold" -> ((s, dir) => {
@@ -1323,6 +1330,16 @@ object TextQueries {
         |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
         |    AS n_risk_rows,
         |  min(n) AS min_group
+        |FROM g""".stripMargin,
+    "qX_ldiv" ->
+      """WITH g AS (SELECT lang, count(*) AS n,
+        |  count(DISTINCT source) AS d FROM documents GROUP BY 1)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_risk_rows,
+        |  min(d) AS min_diversity
         |FROM g""".stripMargin,
     "qX_kfold" ->
       """SELECT lang,

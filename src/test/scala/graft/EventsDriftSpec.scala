@@ -189,6 +189,33 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(ed.getLong(0) == nf.values.max && ed.getInt(1) >= 1)
   }
 
+  test("weakTies: pendant edge is the only local bridge") {
+    import graft.operators.GraphAnalytics
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.weakTies(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((3L, 4L)))
+  }
+
+  test("lDiversity: low-diversity groups flagged with their row mass") {
+    import graft.operators.Profile
+    val df = Seq(("a", "s1"), ("a", "s2"), ("a", "s3"), ("b", "s1"),
+      ("b", "s1"), ("b", "s1")).toDF("q", "s")
+    val r = Profile.lDiversity(df, Seq("q"), "s", 2L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 3L, 1L)))
+  }
+
+  test("exposureGini: uniform exposure 0, 9:1 split 0.4") {
+    import graft.operators.Eval
+    val uniform = Seq("a", "a", "b", "b", "c", "c").toDF("rec")
+    assert(Eval.exposureGini(uniform, "rec").collect().head.getLong(2) == 0L)
+    val skewed = (Seq.fill(9)("a") ++ Seq("b")).toDF("rec")
+    val r = Eval.exposureGini(skewed, "rec").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((2L, 10L, 400000L)))
+  }
+
   test("katzMicros: hand path-graph rounds") {
     import graft.operators.GraphAnalytics
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
