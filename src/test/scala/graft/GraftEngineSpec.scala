@@ -364,6 +364,51 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(pmi(("w", "z")) === math.round(1e6 * math.log(5.0)))
   }
 
+  test("analytics facade: funnel, transitions, abTest, bootstrapMean, crossValFolds") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup", 1L, 2.0),
+      (1L, ts("2024-01-02 10:00:00"), "view", 2L, 3.0),
+      (2L, ts("2024-01-01 10:00:00"), "signup", 3L, 4.0)
+    ).toDF("user_id", "ts", "event_type", "event_id", "value")
+    val f = engine.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view")).collect()
+    assert(f.map(r => r.getLong(2)).toSeq == Seq(2L, 1L))
+    val tr = engine.transitions(ev, "user_id", "ts", "event_type",
+        Seq("event_id")).collect()
+    assert(tr.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq(("signup", "view", 1L)))
+    assert(engine.abTest(Seq(1.0, 2.0).toDF("value"),
+      Seq(1.0, 2.0).toDF("value"), "value").head().getAs[Long]("t_micros")
+      == 0L)
+    val ci = engine.bootstrapMean(
+      (1 to 50).map(i => (i.toLong, 1.0)).toDF("id", "value"),
+      "id", "value", b = 8).head()
+    // constant values: every replicate mean is exactly 1e6
+    assert((ci.getLong(1), ci.getLong(2), ci.getLong(3)) ==
+      ((1000000L, 1000000L, 1000000L)))
+    val folds = engine.crossValFolds(
+        (1L to 100L).toDF("id"), "id", k = 5)
+      .groupBy("fold").count().collect()
+    assert(folds.length == 5 && folds.map(_.getLong(1)).sum == 100L)
+  }
+
+  test("governance + graph-quality facade: anonymityReport, diversityReport, recExposure, weakTies-shape") {
+    import spark.implicits._
+    val df = Seq(("a", "s1"), ("a", "s1"), ("b", "s2")).toDF("q", "s")
+    assert(engine.anonymityReport(df, Seq("q"), 2L).head()
+      .getAs[Long]("n_violating_groups") == 1L)
+    assert(engine.diversityReport(df, Seq("q"), "s", 2L).head()
+      .getAs[Long]("n_violating_groups") == 2L)
+    val recs = (Seq.fill(3)("a") ++ Seq.fill(1)("b")).toDF("rec")
+    assert(engine.recExposure(recs, "rec").head()
+      .getAs[Long]("gini_micros") == 250000L)
+    // the knows graph is tiny + triangle-free → every edge is a weak tie
+    val wt = engine.weakTies()
+    assert(wt.columns.toSeq == Seq("u", "v"))
+  }
+
   test("graph admin: dump then clear") {
     assert(engine.dumpGraph().length == 6)
     // plant a stale __old from a "crashed swap" — clearGraph must remove
