@@ -1021,6 +1021,15 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                lo: Double, hi: Double, bins: Int = 10): DataFrame =
     graft.operators.Drift.psi(base, curr, valueCol, lo, hi, bins)
 
+  /** CUSUM change-point over daily means
+    * ([[graft.operators.Drift.cusum]]) — the sequential-drift alarm
+    * next to [[driftPsi]]'s batch comparison. */
+  def changePoints(df: DataFrame, tsCol: String, valueCol: String,
+                   slackMicros: Long = 0L,
+                   thresholdMicros: Long = 50000000L): DataFrame =
+    graft.operators.Drift.cusum(df, tsCol, valueCol, slackMicros,
+      thresholdMicros)
+
   /** Two-sample KS statistic ([[graft.operators.Drift.ksStatistic]])
     * — the bin-free sibling of [[driftPsi]]. */
   def driftKs(base: DataFrame, curr: DataFrame,

@@ -59,6 +59,42 @@ object Drift {
     terms.unionAll(total).orderBy("bin")
   }
 
+  /** One-sided CUSUM change-point detection (Page 1954) over
+    * day-bucketed means — the sequential-drift sibling of [[psi]]:
+    * `S_t = max(0, S_{t−1} + (x̄_t − ref − slack))` alarms when the
+    * cumulative upward drift exceeds the threshold.
+    *
+    * The recurrence is NOT computed sequentially: CUSUM equals
+    * `P_t − min(0, min_{j≤t} P_j)` with `P` the prefix sum of
+    * deviations — two windows over the BUCKET table (≤ #days rows,
+    * the corpus collapses to daily integer means map-side first).
+    * Deviations are exact integer micros (reference = retrospective
+    * mean of daily means), so the whole statistic is engine-exact.
+    *
+    * @return (bucket, mean_micros, s_micros, alarm) ordered by day.
+    */
+  def cusum(df: DataFrame, tsCol: String, valueCol: String,
+            slackMicros: Long, thresholdMicros: Long): DataFrame = {
+    val daily = df
+      .groupBy(date_trunc("day", col(tsCol)).as("bucket"))
+      .agg(floor(sum(floor(col(valueCol) * lit(1e6)).cast("long"))
+        .cast("double") / count(lit(1))).cast("long").as("mean_micros"))
+    val ref = daily.agg(floor(sum(col("mean_micros")).cast("double") /
+      count(lit(1))).cast("long").as("ref"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(ref))
+      .withColumn("dev",
+        col("mean_micros") - col("ref") - lit(slackMicros))
+      .withColumn("p", sum(col("dev")).over(w))
+      .withColumn("s",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(date_format(col("bucket"), "yyyy-MM-dd").as("bucket"),
+        col("mean_micros"), col("s").as("s_micros"),
+        (col("s") > thresholdMicros).as("alarm"))
+      .orderBy("bucket")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: the maximal ECDF gap
     * between baseline and current, in micros.
     *

@@ -156,6 +156,13 @@ object EventQueries {
         t(s, dir, "events"), "user_id")
     }),
 
+    // CUSUM change-point over daily means — prefix-sum minus
+    // running-min identity, two windows over the 30-day bucket table.
+    "qX_cusum" -> ((s, dir) => {
+      graft.operators.Drift.cusum(t(s, dir, "events"), "ts", "value",
+        slackMicros = 1000000L, thresholdMicros = 50000000L)
+    }),
+
     // Two-sample KS statistic of `value` early vs late on the
     // micro-quantized grid.
     "qX_ks" -> ((s, dir) => {
@@ -414,6 +421,26 @@ object EventQueries {
         |    THEN CAST(round(16.0 * ln(16.0 / v0)) AS BIGINT)
         |    ELSE CAST(round(0.673 * 256.0 / s) AS BIGINT) END AS est
         |FROM f""".stripMargin,
+
+    "qX_cusum" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS bucket,
+        |    CAST(floor(CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*)) AS BIGINT) AS mean_micros
+        |  FROM events GROUP BY 1),
+        |ref AS (SELECT CAST(floor(CAST(sum(mean_micros) AS DOUBLE)
+        |  / count(*)) AS BIGINT) AS ref FROM daily),
+        |p AS (SELECT d.bucket, d.mean_micros,
+        |  sum(d.mean_micros - ref.ref - 1000000) OVER (
+        |    ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM daily d CROSS JOIN ref),
+        |s AS (SELECT bucket, mean_micros,
+        |  CAST(p - least(0, min(p) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s_micros
+        |  FROM p)
+        |SELECT strftime(bucket, '%Y-%m-%d') AS bucket, mean_micros,
+        |  s_micros, s_micros > 50000000 AS alarm
+        |FROM s ORDER BY bucket""".stripMargin,
 
     "qX_ks" ->
       """WITH a AS (

@@ -121,6 +121,24 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(bins == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("cusum: identity matches the sequential recurrence; shift alarms") {
+    import graft.operators.Drift
+    // 6 days: stable at 10, then a jump to 20 for the last 3 days
+    val e = (1 to 6).flatMap { d =>
+      val v = if (d <= 3) 10.0 else 20.0
+      Seq((ts(f"2024-01-0$d%01d 10:00:00"), v))
+    }.toDF("t", "v")
+    val got = Drift.cusum(e, "t", "v", slackMicros = 0L,
+        thresholdMicros = 7000000L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    // ref = 15e6; devs = -5e6 ×3 then +5e6 ×3 →
+    // S = 0,0,0,5e6,10e6,15e6; alarms from day 5
+    assert(got.map(_._2).toSeq ==
+      Seq(0L, 0L, 0L, 5000000L, 10000000L, 15000000L))
+    assert(got.map(_._3).toSeq ==
+      Seq(false, false, false, false, true, true))
+  }
+
   test("ks: disjoint samples reach 1e6, identical samples 0") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(10.0, 11.0).toDF("v")
