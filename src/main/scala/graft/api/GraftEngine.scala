@@ -996,6 +996,20 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                     valueCol: String): DataFrame =
     graft.operators.Events.robustOutliers(df, groupCol, valueCol)
 
+  /** Snapshot diff between two dataset versions
+    * ([[graft.operators.Cdc.snapshotDiff]]) — |Δ|-sized
+    * added/removed/changed audit. */
+  def diffSnapshots(base: DataFrame, curr: DataFrame, keyCols: Seq[String],
+                    compareCols: Seq[String]): DataFrame =
+    graft.operators.Cdc.snapshotDiff(base, curr, keyCols, compareCols)
+
+  /** Row-level rule violations ([[graft.operators.Profile.violations]])
+    * — the offending ids the quarantine step pulls. */
+  def ruleViolations(df: DataFrame, idCol: String,
+                     rules: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame =
+    graft.operators.Profile.violations(df, idCol, rules)
+
   /** Fellegi–Sunter record linkage within blocks
     * ([[graft.operators.EntityResolution.scorePairs]]) — the person
     * de-duplication the card pipeline needs when OCR noise forks a

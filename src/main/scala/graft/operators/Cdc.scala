@@ -51,6 +51,40 @@ object Cdc {
     * @return keyCols ++ (version, trackCols…, valid_from, valid_to,
     *         is_current, n_rows), one row per version.
     */
+  /** Snapshot diff — the audit between two versions of a keyed
+    * dataset (the question every pipeline rerun raises: what did this
+    * version CHANGE?): full-outer on the key, per-row status by
+    * null-safe column comparison (`added` / `removed` / `changed`,
+    * unchanged rows suppressed — at 100 TB they are almost
+    * everything, and the diff must stay |Δ|-sized).
+    *
+    * No hashing: `changed` is a disjunction of `IS DISTINCT FROM`
+    * over the compared columns — exact, null-correct, oracle-trivial.
+    * One keyed full-outer join; output is Δ rows + keyCols.
+    *
+    * @return (keyCols…, status) for non-identical rows, ordered.
+    */
+  def snapshotDiff(base: DataFrame, curr: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val b = base.select((keyCols ++ compareCols).map(c =>
+      col(c).as(s"b_$c")): _*).withColumn("_b", lit(1))
+    val c = curr.select((keyCols ++ compareCols).map(cc =>
+      col(cc).as(s"c_$cc")): _*).withColumn("_c", lit(1))
+    val cond = keyCols.map(k => col(s"b_$k") === col(s"c_$k"))
+      .reduce(_ && _)
+    val changed = compareCols.map(cc =>
+      !(col(s"b_$cc") <=> col(s"c_$cc"))).reduce(_ || _)
+    val status = when(col("_b").isNull, lit("added"))
+      .when(col("_c").isNull, lit("removed"))
+      .when(changed, lit("changed"))
+    val keyOut = keyCols.map(k =>
+      coalesce(col(s"b_$k"), col(s"c_$k")).as(k))
+    b.join(c, cond, "full_outer")
+      .select((keyOut :+ status.as("status")): _*)
+      .filter(col("status").isNotNull)
+      .orderBy((keyCols.map(col) :+ col("status")): _*)
+  }
+
   def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
            tieCols: Seq[String], trackCols: Seq[String]): DataFrame = {
     val key = keyCols.map(col)

@@ -89,6 +89,27 @@ object Profile {
     *         (constraint, column, metric_micros, threshold_micros,
     *         passed).
     */
+  /** Row-level rule violations — the actionable face of
+    * [[checkConstraints]]: instead of one pass/fail metric per rule,
+    * return the OFFENDING ROW IDS per named predicate, so the
+    * quarantine/triage step knows exactly what to pull. One scan per
+    * rule batch (a union of filters over the same frame — Catalyst
+    * shares the scan), no shuffles beyond the output sort.
+    *
+    * @param rules (name, predicate) — a row violates when the
+    *              predicate is NOT satisfied (null-safe: NULL
+    *              predicate counts as a violation).
+    * @return (rule, idCol) per violating row, ordered.
+    */
+  def violations(df: DataFrame, idCol: String,
+                 rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    rules.map { case (name, pred) =>
+      df.filter(!coalesce(pred, lit(false)))
+        .select(lit(name).as("rule"), col(idCol))
+    }.reduce(_ unionAll _).orderBy("rule", idCol)
+  }
+
   /** k-anonymity report over quasi-identifier columns (Sweeney 2002)
     * — the re-identification risk screen a dataset passes before
     * leaving the curation pipeline: a row is at risk when its

@@ -156,6 +156,14 @@ object EventQueries {
         t(s, dir, "events"), "user_id")
     }),
 
+    // Row-level rule violations — the actionable constraint face:
+    // offending event_ids per named predicate.
+    "qX_violations" -> ((s, dir) => {
+      graft.operators.Profile.violations(t(s, dir, "events"), "event_id",
+        Seq(("value_lt_480", col("value") < 480),
+          ("user_known", col("user_id") <= 140)))
+    }),
+
     // CUSUM change-point over daily means — prefix-sum minus
     // running-min identity, two windows over the 30-day bucket table.
     "qX_cusum" -> ((s, dir) => {
@@ -421,6 +429,14 @@ object EventQueries {
         |    THEN CAST(round(16.0 * ln(16.0 / v0)) AS BIGINT)
         |    ELSE CAST(round(0.673 * 256.0 / s) AS BIGINT) END AS est
         |FROM f""".stripMargin,
+
+    "qX_violations" ->
+      """SELECT 'value_lt_480' AS rule, event_id FROM events
+        |WHERE NOT coalesce("value" < 480, FALSE)
+        |UNION ALL
+        |SELECT 'user_known', event_id FROM events
+        |WHERE NOT coalesce(user_id <= 140, FALSE)
+        |ORDER BY rule, event_id""".stripMargin,
 
     "qX_cusum" ->
       """WITH daily AS (

@@ -35,6 +35,21 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Snapshot diff between two synthetic versions of orders:
+    // removals (key % 7 = 0), changes (price doubled at key % 5 = 0),
+    // additions (key+10M at key % 11 = 0) — |delta|-sized output.
+    "qX_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      val kept = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      val added = base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      graft.operators.Cdc.snapshotDiff(base, kept.unionByName(added),
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+    }),
+
     // Fellegi–Sunter record linkage: planted dirty duplicates
     // (uppercased name, same balance/segment) recovered by blocked
     // integer log-odds scoring — never all-pairs.
@@ -735,6 +750,28 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "qX_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders),
+        |curr AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN c.o_orderkey IS NULL THEN 'removed'
+        |         WHEN b.o_totalprice IS DISTINCT FROM c.o_totalprice
+        |           OR b.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |           THEN 'changed' END AS status
+        |  FROM base b FULL OUTER JOIN curr c
+        |    ON b.o_orderkey = c.o_orderkey)
+        |SELECT o_orderkey, status FROM j WHERE status IS NOT NULL
+        |ORDER BY o_orderkey, status""".stripMargin,
     "qX_er" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

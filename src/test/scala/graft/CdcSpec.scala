@@ -17,6 +17,31 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     ("k2", 5L, ts(15), "X")
   ).toDF("k", "seq", "t", "status")
 
+  test("snapshotDiff: added/removed/changed with null-safe compares, same suppressed") {
+    val base = Seq((1L, Some(10.0), "A"), (2L, Some(20.0), "B"),
+      (3L, None: Option[Double], "C"), (4L, Some(40.0), "D"))
+      .toDF("k", "price", "st")
+    val curr = Seq((1L, Some(10.0), "A"),          // same → suppressed
+      (2L, Some(99.0), "B"),                       // changed (price)
+      (3L, Some(30.0), "C"),                       // changed (NULL → value)
+      (5L, Some(50.0), "E"))                       // added; 4 removed
+      .toDF("k", "price", "st")
+    val got = graft.operators.Cdc.snapshotDiff(base, curr, Seq("k"),
+        Seq("price", "st"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((2L, "changed"), (3L, "changed"),
+      (4L, "removed"), (5L, "added")))
+  }
+
+  test("violations: offending ids per rule, NULL predicate counts as violation") {
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)),
+      (3L, None: Option[Double])).toDF("id", "v")
+    val got = graft.operators.Profile.violations(df, "id",
+        Seq(("v_positive", col("v") > 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("v_positive", 2L), ("v_positive", 3L)))
+  }
+
   test("scd2: consecutive-equal rows collapse, validity chains, last is current") {
     val got = Cdc.scd2(changes, Seq("k"), "t", Seq("seq"), Seq("status"))
       .select(col("k"), col("version"), col("status"),
