@@ -778,6 +778,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def evalNdcg(run: DataFrame, qrels: DataFrame, k: Int = 10): DataFrame =
     graft.operators.Eval.ndcgAtK(run, qrels, k)
 
+  /** Truncated rank-biased overlap of two ranked runs
+    * ([[graft.operators.Eval.rbo]]) — how much two rankers agree,
+    * top-weighted; the ranker-comparison metric next to
+    * [[evalNdcg]]'s ground-truth scoring. */
+  def compareRankers(runA: DataFrame, runB: DataFrame,
+                     k: Int = 10): DataFrame =
+    graft.operators.Eval.rbo(runA, runB, k)
+
   /** MRR / precision / recall @k of a ranked run against binary
     * judgments ([[graft.operators.Eval.rankMetricsAtK]]) — the
     * ungraded sibling of [[evalNdcg]]. */

@@ -255,6 +255,41 @@ object Eval {
       .select(col("n"),
         floor(col("werr") / col("n")).cast("long").as("ece_micros"))
 
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) at
+    * the DYADIC persistence p = 1/2 — how much two rankers agree,
+    * top-weighted: `RBO = Σ_{d≤k} (1−p)·p^{d−1}·X_d/d` with X_d the
+    * overlap of the two depth-d prefixes. With p = 1/2 each depth
+    * term is `⌊1e6·X_d/(2^d·d)⌋` — exact integer micros, so the
+    * per-query sum is order-independent (flooring bias ≤ k
+    * micro-units, identical in the oracle by construction).
+    *
+    * Shape: ranks come from per-query windows over the k-bounded
+    * runs; X_d needs only the MATCHED id table (one equi-join) and a
+    * k-row depth frame per query — nothing corpus-sized.
+    *
+    * @return (qid, rbo_micros) per query of `runA`, ordered.
+    */
+  def rbo(runA: DataFrame, runB: DataFrame, k: Int): DataFrame = {
+    def ranked(df: DataFrame, rc: String) = {
+      val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      df.withColumn(rc, row_number().over(w)).filter(col(rc) <= k)
+        .select(col("qid"), col("id"), col(rc))
+    }
+    val m = ranked(runA, "ra").join(ranked(runB, "rb"), Seq("qid", "id"))
+      .select(col("qid"), greatest(col("ra"), col("rb")).as("m"))
+    val depths = runA.sparkSession.range(1, k + 1)
+      .select(col("id").as("d"))
+    runA.select("qid").distinct()
+      .crossJoin(depths)
+      .join(m, Seq("qid"), "left")
+      .groupBy("qid", "d")
+      .agg(sum(when(col("m") <= col("d"), 1L).otherwise(0L)).as("xd"))
+      .select(col("qid"), floor(lit(1e6) * col("xd") /
+        (pow(lit(2.0), col("d")) * col("d"))).cast("long").as("term"))
+      .groupBy("qid").agg(sum(col("term")).as("rbo_micros"))
+      .orderBy("qid")
+  }
+
   /** Gini concentration of recommendation exposure — the
     * popularity-bias metric over a rec table: G near 0 = exposure
     * spread evenly over the catalog, near 1 = a few head items take

@@ -215,6 +215,25 @@ object SimilarityQueries {
     // corpus vectors (+100000) — identical vector ⇒ identical signature
     // ⇒ same bucket ⇒ candidate, and cosine 1.0 tops the ranking; every
     // query must recover its twin in the top-k.
+    // Rank-biased overlap of the lexical vs dense top-10 — how much
+    // the two retrieval modes agree, top-weighted; dyadic p=1/2 makes
+    // every depth term exact integer micros.
+    "qX_rbo" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val (postings, stats, n) = SearchIndex.build(docs, "doc_id",
+        Seq("text"))
+      val batch = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokenize(col("text"))).as("term"))
+      val lexical = SearchIndex.batchQuery(postings, stats, n, "text",
+        batch, 10, excludeSelf = true)
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", "vec_id", "embedding", 10)
+        .withColumnRenamed("sim", "score")
+      graft.operators.Eval.rbo(lexical, dense, k = 10)
+    }),
+
     // NN-descent k-NN graph: LSH-bucket init, 2 neighbor-of-neighbor
     // refinement rounds, quantized-cosine top-5 — init + every round
     // replayed in SQL.
@@ -1065,6 +1084,24 @@ object SimilarityQueries {
     "qX_dedup_simhash_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 1000""".stripMargin,
+    "qX_rbo" ->
+      (RrfHybridCte + """,
+        |ra AS (SELECT qid, id, rn AS r FROM lranked WHERE rn <= 10),
+        |rb AS (SELECT qid, id, rn AS r FROM dranked WHERE rn <= 10),
+        |mm AS (SELECT a.qid, greatest(a.r, b.r) AS m
+        |  FROM ra a JOIN rb b ON a.qid = b.qid AND a.id = b.id),
+        |qq AS (SELECT DISTINCT qid FROM ra),
+        |dd AS (SELECT unnest(range(1, 11)) AS d),
+        |xd AS (SELECT q.qid, dd.d,
+        |  CAST(sum(CASE WHEN mm.m <= dd.d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS xd
+        |  FROM qq q CROSS JOIN dd LEFT JOIN mm ON mm.qid = q.qid
+        |  GROUP BY 1, 2),
+        |tm AS (SELECT qid,
+        |  CAST(floor(1e6 * xd / (pow(2.0, d) * d)) AS BIGINT) AS term
+        |  FROM xd)
+        |SELECT qid, CAST(sum(term) AS BIGINT) AS rbo_micros FROM tm
+        |GROUP BY 1 ORDER BY qid""".stripMargin),
     "qX_nndescent" -> NnDescentSql(2),
     "qX_nndescent_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered

@@ -207,6 +207,18 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(ed.getLong(0) == nf.values.max && ed.getInt(1) >= 1)
   }
 
+  test("rbo: identical lists near 1, disjoint lists 0, hand partial overlap") {
+    import graft.operators.Eval
+    val a = Seq((1L, 10L, 3.0), (1L, 20L, 2.0)).toDF("qid", "id", "score")
+    // identical 2-deep lists: X = 1,2 → floor(1e6/2) + floor(2e6/8) = 750000
+    assert(Eval.rbo(a, a, k = 2).collect().head.getLong(1) == 750000L)
+    val b = Seq((1L, 30L, 3.0), (1L, 40L, 2.0)).toDF("qid", "id", "score")
+    assert(Eval.rbo(a, b, k = 2).collect().head.getLong(1) == 0L)
+    // swapped order: X_1 = 0, X_2 = 2 → floor(2e6/8) = 250000
+    val rev = Seq((1L, 20L, 3.0), (1L, 10L, 2.0)).toDF("qid", "id", "score")
+    assert(Eval.rbo(a, rev, k = 2).collect().head.getLong(1) == 250000L)
+  }
+
   test("weakTies: pendant edge is the only local bridge") {
     import graft.operators.GraphAnalytics
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
