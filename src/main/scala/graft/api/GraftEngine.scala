@@ -840,6 +840,19 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.landmarkDistances(edges,
       numSources, maxDepth)
 
+  /** Recency-aware PYMK over a weighted edge frame
+    * ([[graft.operators.Pymk.recommendAllWeighted]]) — feed
+    * [[decayedWeights]] output so yesterday's mutual friend outranks
+    * last month's. */
+  def pymkWeighted(wEdges: DataFrame, limit: Int = 10): DataFrame =
+    graft.operators.Pymk.recommendAllWeighted(wEdges, limit)
+
+  /** Edge embeddedness (neighborhood Jaccard) of the engine's knows
+    * graph ([[graft.operators.Pymk.edgeEmbeddedness]]) — tie
+    * strength per friendship. */
+  def tieStrength(): DataFrame =
+    graft.operators.Pymk.edgeEmbeddedness(edges)
+
   /** Local bridges (Granovetter weak ties) of the engine's knows
     * graph ([[graft.operators.GraphAnalytics.weakTies]]) — the links
     * a diversity-aware recommender should protect. */

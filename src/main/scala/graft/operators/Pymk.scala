@@ -171,6 +171,86 @@ object Pymk {
       .select(col("anchor"), col("best.c").as("id"), (-col("best.ns")).as("score"))
   }
 
+  /** Weighted PYMK over a weighted edge frame (src, dst, w_micros) —
+    * the recency-aware flagship: path score is
+    * `Σ_paths ⌊w₁·w₂/1e6⌋` over 2-hop wedges, so feeding
+    * [[Features.decayedCounts]] weights makes yesterday's mutual
+    * friend outrank last month's. Same plan skeleton as
+    * [[recommendAll]] (wedge join, anti join on direct edges,
+    * bounded-heap top-k); per-path flooring keeps every fold an exact
+    * integer (order-independent, oracle-replayable), with bias ≤
+    * #paths micro-units, identical in the oracle by construction.
+    *
+    * @return (anchor, id, score_micros) top-`limit` per anchor by
+    *         (score desc, id asc).
+    */
+  def recommendAllWeighted(wEdges: DataFrame, limit: Int): DataFrame = {
+    val adj = wEdges.select(col("src").as("from"), col("dst").as("to"),
+        col("w_micros").as("w"))
+      .unionAll(wEdges.select(col("dst").as("from"), col("src").as("to"),
+        col("w_micros").as("w")))
+    val par = wEdges.sparkSession.sparkContext.defaultParallelism
+    val hop2 = adj.repartition(par).as("h1")
+      .join(adj.as("h2"), col("h1.to") === col("h2.from"))
+      .filter(col("h1.from") =!= col("h2.to"))
+      .select(col("h1.from").as("anchor"), col("h2.to").as("candidate"),
+        floor(col("h1.w") * col("h2.w") / lit(1000000L)).cast("long")
+          .as("pw"))
+    val friendPairs = adj
+      .select(col("from").as("anchor"), col("to").as("candidate"))
+      .distinct()
+    val scored = hop2
+      .repartition(par, col("anchor"), col("candidate"))
+      .groupBy("anchor", "candidate")
+      .agg(sum(col("pw")).as("score_micros"))
+      .join(friendPairs, Seq("anchor", "candidate"), "left_anti")
+    TopK.grouped(scored, Seq("anchor"),
+        struct((-col("score_micros")).as("ns"), col("candidate").as("c")),
+        limit)
+      .select(col("anchor"), col("best.c").as("id"),
+        (-col("best.ns")).as("score_micros"))
+      .orderBy(col("anchor"), desc("score_micros"), col("id"))
+  }
+
+  /** Edge embeddedness — the Jaccard of the endpoints' neighborhoods,
+    * the TIE-STRENGTH metric complementing [[GraphAnalytics.weakTies]]
+    * (embeddedness 0 = local bridge): `|N(u)∩N(v)| / |N(u)∪N(v)|` in
+    * integer micros via `∩/(du + dv − ∩ − 2)` (the endpoints
+    * themselves are excluded from the union — they are in each
+    * other's neighborhoods, never common). One wedge join + two
+    * degree hydrations, exact integers until one final division.
+    *
+    * @return (u, v, common, emb_micros) per canonical edge, ordered.
+    */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = e.select(col("u").as("f"), col("v").as("t"))
+      .unionAll(e.select(col("v").as("f"), col("u").as("t")))
+    val deg = adj.groupBy(col("f").as("id")).agg(count(lit(1)).as("d"))
+    val common = e
+      .join(adj.select(col("f").as("u"), col("t").as("w1")), "u")
+      .join(adj.select(col("f").as("v"), col("t").as("w2")), "v")
+      .filter(col("w1") === col("w2"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+    e.join(common, Seq("u", "v"), "left")
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        {
+          val c = coalesce(col("common"), lit(0L))
+          val denom = col("du") + col("dv") - c - lit(2)
+          // degree-1–degree-1 pairs have an empty union → 0, not 0/0
+          when(denom <= 0, lit(0L))
+            .otherwise(floor(lit(1000000L) * c / denom).cast("long"))
+            .as("emb_micros")
+        })
+      .orderBy("u", "v")
+  }
+
   /** Anchor lookup by case-insensitive name — the `_name` shadow
     * property (upsert_bizcard_to_graph_db.py:94, queried at
     * neptune_recommend_bizcard.py:59). Returns the id column of the

@@ -301,6 +301,27 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Recency-aware PYMK: the flagship 2-hop recommendation over
+    // time-decayed edge weights — yesterday's mutual friend outranks
+    // last month's. Path scores floor(w1*w2/1e6), exact integer folds.
+    "qX_pymk_decayed" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("src"),
+          (floor(col("value")).cast("long") % 50).as("dst"), col("ts"))
+        .filter(col("src") =!= col("dst"))
+      val wEdges = graft.operators.Features.decayedCounts(events,
+        Seq("src", "dst"), "ts", "2024-02-01 00:00:00", 7.0)
+      graft.operators.Pymk.recommendAllWeighted(wEdges, limit = 5)
+    }),
+
+    // Edge embeddedness (neighborhood Jaccard): the tie-strength
+    // metric — weak ties score 0, deeply embedded friendships near 1.
+    "qX_embeddedness" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.Pymk.edgeEmbeddedness(edges)
+    }),
+
     // Weak ties (local bridges): edges closing no triangle — one
     // wedge + anti join, integer-only. Runs on the sparse day-1
     // subgraph (the month-long graph is dense enough that every edge
@@ -1323,6 +1344,51 @@ object GraphQueries {
     "qX_sssp" -> ssspSql(10, Seq(1L, 7L)),
     "qX_ktruss" -> kTrussSql(3, 3),
     "qX_katz" -> katzSql(3),
+    "qX_pymk_decayed" ->
+      """WITH raw AS (
+        |  SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 50 AS dst,
+        |    ts
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND user_id <> CAST(FLOOR(value) AS BIGINT) % 50),
+        |we AS (SELECT src, dst,
+        |  CAST(sum(CAST(round(1e6 * pow(2.0,
+        |    -((epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+        |      / 86400000000.0 / 7.0))) AS BIGINT)) AS BIGINT) AS w
+        |  FROM raw GROUP BY 1, 2),
+        |adj AS (SELECT src AS f, dst AS t, w FROM we
+        |        UNION ALL SELECT dst AS f, src AS t, w FROM we),
+        |paths AS (SELECT a.f AS anchor, b.t AS candidate,
+        |    CAST(floor(a.w * b.w / 1000000) AS BIGINT) AS pw
+        |  FROM adj a JOIN adj b ON b.f = a.t WHERE a.f <> b.t),
+        |sc AS (SELECT anchor, candidate, CAST(sum(pw) AS BIGINT)
+        |    AS score_micros
+        |  FROM paths GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT f AS anchor, t AS candidate FROM adj),
+        |kept AS (SELECT sc.* FROM sc ANTI JOIN fp
+        |  ON fp.anchor = sc.anchor AND fp.candidate = sc.candidate),
+        |r AS (SELECT anchor, candidate, score_micros, row_number() OVER (
+        |  PARTITION BY anchor ORDER BY score_micros DESC, candidate)
+        |    AS rn FROM kept)
+        |SELECT anchor, candidate AS id, score_micros FROM r WHERE rn <= 5
+        |ORDER BY anchor, score_micros DESC, id""".stripMargin,
+    "qX_embeddedness" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM edges),
+         |adj AS (SELECT u AS f, v AS t FROM e
+         |        UNION ALL SELECT v AS f, u AS t FROM e),
+         |deg AS (SELECT f AS id, count(*) AS d FROM adj GROUP BY 1),
+         |cm AS (SELECT e.u, e.v, count(*) AS common
+         |  FROM e JOIN adj a1 ON a1.f = e.u JOIN adj a2 ON a2.f = e.v
+         |  WHERE a1.t = a2.t GROUP BY 1, 2)
+         |SELECT e.u, e.v, coalesce(cm.common, 0) AS common,
+         |  CASE WHEN du.d + dv.d - coalesce(cm.common, 0) - 2 <= 0 THEN 0
+         |    ELSE CAST(floor(1000000 * coalesce(cm.common, 0) /
+         |      (du.d + dv.d - coalesce(cm.common, 0) - 2)) AS BIGINT) END
+         |    AS emb_micros
+         |FROM e LEFT JOIN cm ON cm.u = e.u AND cm.v = e.v
+         |JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+         |ORDER BY e.u, e.v""".stripMargin,
     "qX_weak_ties" ->
       s"""WITH edges AS (
          |  SELECT DISTINCT user_id AS src,

@@ -219,6 +219,34 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(Eval.rbo(a, rev, k = 2).collect().head.getLong(1) == 250000L)
   }
 
+  test("recommendAllWeighted: heavier recent path outranks; direct friends excluded") {
+    import graft.operators.Pymk
+    // anchor 1: paths to 4 via 2 (w 2e6·1e6) and to 5 via 3 (1e6·1e6);
+    // 2,3 are direct friends → excluded as candidates.
+    val w = Seq((1L, 2L, 2000000L), (2L, 4L, 1000000L),
+      (1L, 3L, 1000000L), (3L, 5L, 1000000L))
+      .toDF("src", "dst", "w_micros")
+    val got = Pymk.recommendAllWeighted(w, limit = 5)
+      .filter(col("anchor") === 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((4L, 2000000L), (5L, 1000000L)))
+  }
+
+  test("edgeEmbeddedness: triangle edges 1/3, pendant 0, isolated-pair guard") {
+    import graft.operators.Pymk
+    // triangle 1-2-3 + pendant 3-4 + isolated pair 8-9
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = Pymk.edgeEmbeddedness(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // edge 1-2: common {3}; union = N(1)∪N(2) minus endpoints = {3} → 1
+    assert(got((1L, 2L)) == ((1L, 1000000L)))
+    assert(got((1L, 3L)) == ((1L, 500000L))) // union {2} ∪ {2,4} = 2
+    assert(got((3L, 4L)) == ((0L, 0L)))
+    assert(got((8L, 9L)) == ((0L, 0L))) // empty union → guard, not 0/0
+  }
+
   test("weakTies: pendant edge is the only local bridge") {
     import graft.operators.GraphAnalytics
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
