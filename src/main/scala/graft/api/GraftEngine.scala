@@ -1071,6 +1071,13 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
               valueCol: String): DataFrame =
     graft.operators.Drift.ksStatistic(base, curr, valueCol)
 
+  /** Zipf-law slope of a corpus's token frequency curve
+    * ([[graft.operators.TextAnalysis.zipfFit]]) — the corpus health
+    * check (natural text ≈ −1). */
+  def corpusZipf(docs: DataFrame, textCol: String,
+                 topN: Int = 200): DataFrame =
+    graft.operators.TextAnalysis.zipfFit(docs, textCol, topN)
+
   /** TF-IDF keyword extraction per document
     * ([[graft.operators.SearchIndex.keywords]]) — the tagging
     * primitive over the postings index. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.tokenize
 
@@ -410,6 +411,43 @@ object TextAnalysis {
         round(lit(1e6) * log((col("n_ab") * col("t_pairs")).cast("double")
           / (col("n_a") * col("n_b")).cast("double"))).cast("long")
           .as("pmi_micros"))
+  }
+
+  /** Zipf-law fit of the token frequency distribution — the corpus
+    * health check (natural language slopes ≈ −1; template spam and
+    * word salad bend the curve): least-squares slope of
+    * `ln(freq) ~ ln(rank)` over the top-N tokens.
+    *
+    * Determinism: ln values QUANTIZE to integer micros per token
+    * BEFORE the sums, so all five sufficient statistics are exact
+    * integer folds (order-independent); the closed-form slope is one
+    * fixed IEEE expression over them. Ranks are (freq desc, token)
+    * — total order. The regression table is N rows, never the corpus.
+    *
+    * @return one row (n_tokens, slope_micros).
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val freq = docs.select(explode(tokenize(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(desc("f"), col("tok"))
+    val ranked = freq.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topN)
+      .select(round(lit(1e6) * log(col("r").cast("double"))).cast("long")
+          .as("x"),
+        round(lit(1e6) * log(col("f").cast("double"))).cast("long")
+          .as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_tokens"),
+        // n·Σ products exceed int64 — cast the exact integer sums to
+        // double FIRST (deterministic: same integers → same doubles)
+        floor(lit(1e6) *
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+          .cast("long").as("slope_micros"))
   }
 
   /** χ² token–label association (feature selection for the quality

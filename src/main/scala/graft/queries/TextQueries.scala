@@ -370,6 +370,12 @@ object TextQueries {
         .orderBy(col("split"))
     }),
 
+    // Zipf-law slope of the token frequency curve — corpus health.
+    "qX_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfFit(Tables.load(s, dir, "documents"), "text",
+        topN = 200)
+    }),
+
     // TF-IDF keyword extraction: top-5 terms per doc, integer-milli
     // scores quantized before the limit.
     "qX_keywords" -> ((s, dir) => {
@@ -1304,6 +1310,28 @@ object TextQueries {
         |            ELSE 'test' END AS split,
         |  count(*) AS n, min(doc_id) AS min_id
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qX_zipf" ->
+      s"""WITH d AS ($ToksSql),
+         |fr AS (SELECT unnest(toks) AS tok FROM d),
+         |f AS (SELECT tok, count(*) AS f FROM fr GROUP BY 1),
+         |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+         |  FROM f),
+         |xy AS (SELECT
+         |    CAST(round(1e6 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS x,
+         |    CAST(round(1e6 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS y
+         |  FROM rk WHERE r <= 200),
+         |sm AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+         |SELECT n AS n_tokens,
+         |  CAST(floor(1e6 *
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+         |    AS slope_micros
+         |FROM sm""".stripMargin,
     "qX_keywords" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |toks AS (SELECT doc_id, unnest(list_filter(

@@ -121,6 +121,18 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(bins == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("zipfFit: exact power law recovers its exponent") {
+    import graft.operators.TextAnalysis
+    // corpus engineered so freq(rank r) = 64/r for tokens t1..t8:
+    // slope of ln f ~ ln r is exactly -1
+    val docs = (1 to 8).flatMap(r =>
+      Seq.fill(64 / r)(s"t$r")).map(Tuple1(_)).toDF("text")
+    val got = TextAnalysis.zipfFit(docs, "text", topN = 8).collect().head
+    assert(got.getLong(0) == 8L)
+    assert(math.abs(got.getLong(1) + 1000000L) < 25000L,
+      s"slope ${got.getLong(1)}") // -1 up to ln-rounding of 64/3, 64/7…
+  }
+
   test("cusum: identity matches the sequential recurrence; shift alarms") {
     import graft.operators.Drift
     // 6 days: stable at 10, then a jump to 20 for the last 3 days
