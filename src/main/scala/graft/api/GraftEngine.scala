@@ -808,6 +808,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.Eval.confusionAtThreshold(scored, labelCol, scoreCol,
       threshold)
 
+  /** Market-basket association rules
+    * ([[graft.operators.Assoc.rules]]) — directed confidence/lift
+    * co-purchase mining, the rule form of [[alsoViewed]]. */
+  def basketRules(baskets: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long = 2L, topN: Int = 20): DataFrame =
+    graft.operators.Assoc.rules(baskets, basketCol, itemCol, minSupport,
+      topN)
+
   /** Item–item co-occurrence recommendations over a (user, item)
     * interaction frame ([[graft.operators.Pymk.itemItemTopK]]) — the
     * "also viewed" surface next to the social 2-hop. */

@@ -190,9 +190,12 @@ object Pymk {
       .unionAll(wEdges.select(col("dst").as("from"), col("src").as("to"),
         col("w_micros").as("w")))
     val par = wEdges.sparkSession.sparkContext.defaultParallelism
+    // path weights are symmetric (w₁·w₂ commutes), so — like the
+    // unweighted flagship — fold only the anchor < candidate half of
+    // the wedge bag and mirror the AGGREGATED pairs (half the shuffle)
     val hop2 = adj.repartition(par).as("h1")
       .join(adj.as("h2"), col("h1.to") === col("h2.from"))
-      .filter(col("h1.from") =!= col("h2.to"))
+      .filter(col("h1.from") < col("h2.to"))
       .select(col("h1.from").as("anchor"), col("h2.to").as("candidate"),
         floor(col("h1.w") * col("h2.w") / lit(1000000L)).cast("long")
           .as("pw"))
@@ -203,6 +206,13 @@ object Pymk {
       .repartition(par, col("anchor"), col("candidate"))
       .groupBy("anchor", "candidate")
       .agg(sum(col("pw")).as("score_micros"))
+      .select(explode(array(
+        struct(col("anchor"), col("candidate"), col("score_micros")),
+        struct(col("candidate").as("anchor"), col("anchor").as("candidate"),
+          col("score_micros")))).as("p"))
+      .select(col("p.anchor").as("anchor"),
+        col("p.candidate").as("candidate"),
+        col("p.score_micros").as("score_micros"))
       .join(friendPairs, Seq("anchor", "candidate"), "left_anti")
     TopK.grouped(scored, Seq("anchor"),
         struct((-col("score_micros")).as("ns"), col("candidate").as("c")),

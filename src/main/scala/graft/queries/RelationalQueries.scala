@@ -35,6 +35,13 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Market-basket association rules over order line items: directed
+    // confidence/lift in micros, quantized before the top-20 limit.
+    "qX_assoc_rules" -> ((s, dir) => {
+      graft.operators.Assoc.rules(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L, topN = 20)
+    }),
+
     // Snapshot diff between two synthetic versions of orders:
     // removals (key % 7 = 0), changes (price doubled at key % 5 = 0),
     // additions (key+10M at key % 11 = 0) — |delta|-sized output.
@@ -750,6 +757,26 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "qX_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |nn AS (SELECT count(DISTINCT b) AS n FROM bi),
+        |ic AS (SELECT i, count(*) AS ci FROM bi GROUP BY 1),
+        |p AS (SELECT x.i, y.i AS j, count(*) AS nab
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT i AS a, j AS bb, nab FROM p
+        |  UNION ALL SELECT j AS a, i AS bb, nab FROM p),
+        |sc AS (SELECT d.a, d.bb AS b, d.nab AS n_ab,
+        |  CAST(floor(1000000 * d.nab / nn.n) AS BIGINT)
+        |    AS support_micros,
+        |  CAST(floor(1000000 * d.nab / ca.ci) AS BIGINT) AS conf_micros,
+        |  CAST(floor(1000000 * (d.nab * nn.n) / (ca.ci * cb.ci))
+        |    AS BIGINT) AS lift_micros
+        |  FROM d JOIN ic ca ON ca.i = d.a JOIN ic cb ON cb.i = d.bb
+        |  CROSS JOIN nn)
+        |SELECT a, b, n_ab, support_micros, conf_micros, lift_micros
+        |FROM sc ORDER BY lift_micros DESC, a, b LIMIT 20""".stripMargin,
     "qX_snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
         |  FROM orders),

@@ -121,6 +121,19 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(bins == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("assoc rules: directed confidence, shared lift, support floor") {
+    import graft.operators.Assoc
+    val b = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (3L, "z"), (4L, "w")).toDF("b", "i")
+    val got = Assoc.rules(b, "b", "i", minSupport = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // x→y: conf 2/3; y→x: conf 1; lift both 2·4/(3·2); (x,z) pruned
+    assert(got.toSeq == Seq(
+      ("x", "y", 2L, 500000L, 666666L, 1333333L),
+      ("y", "x", 2L, 500000L, 1000000L, 1333333L)))
+  }
+
   test("zipfFit: exact power law recovers its exponent") {
     import graft.operators.TextAnalysis
     // corpus engineered so freq(rank r) = 64/r for tokens t1..t8:
