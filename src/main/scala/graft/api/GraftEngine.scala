@@ -706,6 +706,12 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
       graft.operators.Multimodal.videoDHash(media, everyN),
       maxDist, minMatchFrac)
 
+  /** Shot-cut detection over a frame-hash table
+    * ([[graft.operators.Multimodal.sceneCuts]]) — keyframe selection
+    * and edit detection for video clips. */
+  def shotCuts(frameHashes: DataFrame, maxDist: Int = 3): DataFrame =
+    graft.operators.Multimodal.sceneCuts(frameHashes, maxDist)
+
   /** Batch search over caller frames: a (qid, term) query WORKLOAD
     * served by one postings join — no per-query jobs (see
     * [[graft.operators.SearchIndex.batchQuery]]).

@@ -626,6 +626,27 @@ object Multimodal {
       .toDF("id", "frame_no", "dhash")
   }
 
+  /** Shot-cut detection over a [[videoDHash]] frame-hash table: a cut
+    * is a frame whose dHash sits more than `maxDist` Hamming bits
+    * from its predecessor — the keyframe-selection primitive (sample
+    * one frame per shot instead of everyN) and the edit-detection
+    * signal. One per-clip lag window (clips bound their own frame
+    * counts) + a codegen XOR/popcount — no joins, no shuffles beyond
+    * the window.
+    *
+    * @return (id, frame_no) of cut frames, ordered.
+    */
+  def sceneCuts(frameHashes: DataFrame, maxDist: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frame_no")
+    frameHashes.withColumn("_prev", lag(col("dhash"), 1).over(w))
+      .filter(col("_prev").isNotNull &&
+        call_function("bit_count",
+          col("dhash").bitwiseXOR(col("_prev"))) > maxDist)
+      .select(col("id"), col("frame_no"))
+      .orderBy("id", "frame_no")
+  }
+
   /** Deterministic synthetic animated GIF: one full-screen 9×8
     * bit-pattern frame per entry of `patterns` (the
     * [[renderBitPatternPng]] layout on a 256-gray indexed palette, so

@@ -455,6 +455,25 @@ object SimilarityQueries {
     // excluded at the 0.8 bar) → GifCodec decode → per-frame dHash →
     // frame-aligned banded join. Oracle replays everything from
     // doc_id arithmetic.
+    // Shot-cut detection: clips render [A,A,B,B] pattern frames — the
+    // only hash discontinuity is frame 2, and the oracle replays the
+    // dHash (in)equality from md5 pattern arithmetic.
+    "qX_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+      val ids = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val media = ids.map { id =>
+        def pat(k: Int) =
+          graft.functions.expr.PortableHash.md5_32(id + ":" + k)
+        MediaRecord(id, "video",
+          Multimodal.renderPatternGif(Seq(pat(0), pat(0), pat(1), pat(1))),
+          MediaMeta("gif", 9, 8, 1, 0L))
+      }
+      Multimodal.sceneCuts(Multimodal.videoDHash(media), maxDist = 0)
+    }),
+
     "qX_video_dedup" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.{Dedup, Multimodal}
@@ -1374,6 +1393,35 @@ object SimilarityQueries {
     // dHash bit (8y+2j) = pattern bit (4y+j), and at maxDist 0 a
     // frame matches iff both hash words are equal — count aligned
     // matches per pair, frac over the 4-frame clips, 0.8 bar.
+    "qX_scene_cuts" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |pat AS (
+        |  SELECT doc_id AS id, k.k AS frame_no,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(CASE WHEN k.k < 2 THEN 0 ELSE 1 END AS VARCHAR)),
+        |      1, 8)) AS BIGINT) AS p
+        |  FROM ids CROSS JOIN (SELECT unnest(range(4)) AS k) k),
+        |grid AS (
+        |  SELECT y.y AS y, j.j AS j
+        |  FROM (SELECT unnest(range(8)) AS y) y,
+        |       (SELECT unnest(range(4)) AS j) j),
+        |halves AS (
+        |  SELECT id, frame_no,
+        |    sum(CASE WHEN g.y >= 4 AND ((p >> (4 * g.y + g.j)) & 1) = 1
+        |        THEN (CAST(1 AS BIGINT) << (8 * (g.y - 4) + 2 * g.j))
+        |        ELSE 0 END) AS hi,
+        |    sum(CASE WHEN g.y < 4 AND ((p >> (4 * g.y + g.j)) & 1) = 1
+        |        THEN (CAST(1 AS BIGINT) << (8 * g.y + 2 * g.j))
+        |        ELSE 0 END) AS lo
+        |  FROM pat CROSS JOIN grid g GROUP BY id, frame_no),
+        |lagged AS (
+        |  SELECT id, frame_no, hi, lo,
+        |    lag(hi) OVER (PARTITION BY id ORDER BY frame_no) AS phi,
+        |    lag(lo) OVER (PARTITION BY id ORDER BY frame_no) AS plo
+        |  FROM halves)
+        |SELECT id, frame_no FROM lagged
+        |WHERE phi IS NOT NULL AND (hi <> phi OR lo <> plo)
+        |ORDER BY id, frame_no""".stripMargin,
     "qX_video_dedup" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
         |clips AS (

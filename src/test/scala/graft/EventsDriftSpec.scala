@@ -121,6 +121,21 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(bins == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("sceneCuts: hash discontinuities only, maxDist tolerance respected") {
+    import graft.operators.Multimodal
+    val frames = Seq((1L, 0, 5L), (1L, 1, 5L), (1L, 2, 6L), (1L, 3, 6L),
+      (1L, 4, 9L), (2L, 0, 7L), (2L, 1, 7L))
+      .toDF("id", "frame_no", "dhash")
+    val got = Multimodal.sceneCuts(frames, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 2), (1L, 4)))
+    // 5→6 flips two bits (101→110), 6→9 flips three; maxDist=2 keeps
+    // only the 3-bit jump
+    assert(Multimodal.sceneCuts(frames, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 4)))
+  }
+
   test("assoc rules: directed confidence, shared lift, support floor") {
     import graft.operators.Assoc
     val b = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
