@@ -974,6 +974,15 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def crossValFolds(df: DataFrame, idCol: String, k: Int = 5): DataFrame =
     graft.operators.Sampling.kFold(df, idCol, k)
 
+  /** Per-label prototype vectors + nearest-prototype accuracy
+    * ([[graft.operators.Similarity.classPrototypes]] /
+    * [[graft.operators.Similarity.prototypeAccuracy]]) — the cheapest
+    * embedding-quality probe. */
+  def embeddingProbe(points: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String): DataFrame =
+    graft.operators.Similarity.prototypeAccuracy(points, idCol, vecCol,
+      labelCol)
+
   /** k-NN graph construction by NN-descent
     * ([[graft.operators.Similarity.nnDescent]]) — the index-building
     * primitive under semantic dedup and graph-ANN. */

@@ -84,6 +84,67 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Class prototypes — per-label mean vectors in integer micros:
+    * components quantize to `round(1e6·x)` BEFORE the fold, so the
+    * per-(label, dim) sums are exact integers (order-independent) and
+    * the mean is one floored division. The nearest-class-mean family
+    * (Rocchio / NCM): the cheapest embedding-quality probe there is.
+    *
+    * @return (label, dim, mean_micros), dim 1-based.
+    */
+  def classPrototypes(points: DataFrame, vecCol: String,
+                      labelCol: String): DataFrame =
+    points
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        round(lit(1e6) * col("col")).cast("long").as("v"))
+      .groupBy("label", "dim")
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("mean_micros"))
+      .orderBy("label", "dim")
+
+  /** Nearest-prototype classification accuracy — do the label
+    * centroids separate the embedding space? Each point scores
+    * against every prototype by integer-micro cosine (component
+    * join form — oracle-replayable; at serving scale broadcast the
+    * tiny label×dim prototype table through
+    * [[graft.functions.expr.MatVecExpr]] instead) and predicts the
+    * argmax by (sim desc, label asc).
+    *
+    * @return one row (n, n_correct, acc_micros).
+    */
+  def prototypeAccuracy(points: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String): DataFrame = {
+    val protos = classPrototypes(points, vecCol, labelCol)
+      .select(col("label").as("plabel"), col("dim"), col("mean_micros"))
+    val comps = points
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .select(col("id"), col("label"), (col("pos") + 1).as("dim"),
+        round(lit(1e6) * col("col")).cast("long").as("v"))
+    val scored = comps.join(protos, "dim")
+      .groupBy("id", "label", "plabel")
+      .agg(sum(col("v") * col("mean_micros")).as("dot"),
+        sum(col("v") * col("v")).as("n2"),
+        sum(col("mean_micros") * col("mean_micros")).as("p2"))
+      .select(col("id"), col("label"), col("plabel"),
+        floor(lit(1e6) * (col("dot").cast("double") /
+          sqrt(col("n2").cast("double") * col("p2").cast("double"))))
+          .cast("long").as("sim"))
+    val best = TopK.grouped(scored, Seq("id"),
+        struct((-col("sim")).as("ns"), col("plabel").as("p"),
+          col("label").as("l")), 1)
+      .select(col("id"), col("best.l").as("label"),
+        col("best.p").as("pred"))
+    best.agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("pred"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n"), col("n_correct"),
+        floor(lit(1000000L) * col("n_correct") / col("n")).cast("long")
+          .as("acc_micros"))
+  }
+
   /** k-NN graph construction by NN-descent (Dong, Moses & Li 2011) —
     * the index-building primitive under SemDeDup-style curation,
     * density clustering, and graph-ANN: start from sign-LSH-bucket

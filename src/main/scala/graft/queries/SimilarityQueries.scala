@@ -215,6 +215,20 @@ object SimilarityQueries {
     // corpus vectors (+100000) — identical vector ⇒ identical signature
     // ⇒ same bucket ⇒ candidate, and cosine 1.0 tops the ranking; every
     // query must recover its twin in the top-k.
+    // Class prototypes: per-label mean vectors in exact integer
+    // micros (quantize before the fold).
+    "qX_prototypes" -> ((s, dir) => {
+      Similarity.classPrototypes(Tables.load(s, dir, "embeddings"),
+        "embedding", "label")
+    }),
+
+    // Nearest-prototype accuracy — do the label centroids separate
+    // the space? Integer-micro cosine, argmax by (sim, label).
+    "qX_proto_acc" -> ((s, dir) => {
+      Similarity.prototypeAccuracy(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+    }),
+
     // Rank-biased overlap of the lexical vs dense top-10 — how much
     // the two retrieval modes agree, top-weighted; dyadic p=1/2 makes
     // every depth term exact integer micros.
@@ -1103,6 +1117,45 @@ object SimilarityQueries {
     "qX_dedup_simhash_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 1000""".stripMargin,
+    "qX_prototypes" ->
+      """WITH c AS (
+        |  SELECT label, d.d + 1 AS dim,
+        |    CAST(round(1e6 * CAST(embedding[d.d + 1] AS DOUBLE))
+        |      AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d) d)
+        |SELECT label, dim,
+        |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS mean_micros
+        |FROM c GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "qX_proto_acc" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, label, d.d + 1 AS dim,
+        |    CAST(round(1e6 * CAST(embedding[d.d + 1] AS DOUBLE))
+        |      AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d) d),
+        |p AS (SELECT label AS plabel, dim,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS m
+        |  FROM c GROUP BY 1, 2),
+        |s AS (SELECT c.id, c.label, p.plabel,
+        |    CAST(sum(c.v * p.m) AS BIGINT) AS dot,
+        |    CAST(sum(c.v * c.v) AS BIGINT) AS n2,
+        |    CAST(sum(p.m * p.m) AS BIGINT) AS p2
+        |  FROM c JOIN p USING (dim) GROUP BY 1, 2, 3),
+        |sim AS (SELECT id, label, plabel,
+        |    CAST(floor(1e6 * (CAST(dot AS DOUBLE) /
+        |      sqrt(CAST(n2 AS DOUBLE) * CAST(p2 AS DOUBLE)))) AS BIGINT)
+        |      AS sim
+        |  FROM s),
+        |b AS (SELECT id, label, plabel AS pred, row_number() OVER (
+        |  PARTITION BY id ORDER BY sim DESC, plabel) AS rn FROM sim),
+        |agg AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct
+        |  FROM b WHERE rn = 1)
+        |SELECT n, n_correct,
+        |  CAST(floor(1000000 * n_correct / n) AS BIGINT) AS acc_micros
+        |FROM agg""".stripMargin,
     "qX_rbo" ->
       (RrfHybridCte + """,
         |ra AS (SELECT qid, id, rn AS r FROM lranked WHERE rn <= 10),

@@ -121,6 +121,24 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(bins == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("prototypes: exact micro means; separable clusters classify perfectly") {
+    import graft.operators.Similarity
+    // two axis-aligned clusters: label 0 near e1, label 1 near e2
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1)
+    ).toDF("id", "v", "label")
+    val protos = Similarity.classPrototypes(pts, "v", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(protos((0, 1L)) == 950000L && protos((0, 2L)) == 50000L)
+    assert(protos((1, 1L)) == 50000L && protos((1, 2L)) == 950000L)
+    val acc = Similarity.prototypeAccuracy(pts, "id", "v", "label")
+      .collect().head
+    assert((acc.getLong(0), acc.getLong(1), acc.getLong(2)) ==
+      ((4L, 4L, 1000000L)))
+  }
+
   test("sceneCuts: hash discontinuities only, maxDist tolerance respected") {
     import graft.operators.Multimodal
     val frames = Seq((1L, 0, 5L), (1L, 1, 5L), (1L, 2, 6L), (1L, 3, 6L),
