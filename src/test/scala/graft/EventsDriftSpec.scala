@@ -129,10 +129,10 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1)
     ).toDF("id", "v", "label")
     val protos = Similarity.classPrototypes(pts, "v", "label")
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
       .toMap
-    assert(protos((0, 1L)) == 950000L && protos((0, 2L)) == 50000L)
-    assert(protos((1, 1L)) == 50000L && protos((1, 2L)) == 950000L)
+    assert(protos((0, 1)) == 950000L && protos((0, 2)) == 50000L)
+    assert(protos((1, 1)) == 50000L && protos((1, 2)) == 950000L)
     val acc = Similarity.prototypeAccuracy(pts, "id", "v", "label")
       .collect().head
     assert((acc.getLong(0), acc.getLong(1), acc.getLong(2)) ==
