@@ -706,6 +706,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
       graft.operators.Multimodal.videoDHash(media, everyN),
       maxDist, minMatchFrac)
 
+  /** Trending leaderboard over an additive rollup store
+    * ([[graft.streaming.CardStream.trendingTopK]]) — rank freshness
+    * equals rollup freshness, no extra state. */
+  def trending(storeDir: String, groupCols: Seq[String], itemCol: String,
+               sumCol: String, k: Int = 10): DataFrame =
+    graft.streaming.CardStream.trendingTopK(spark, storeDir, groupCols,
+      itemCol, sumCol, k)
+
   /** Shot-cut detection over a frame-hash table
     * ([[graft.operators.Multimodal.sceneCuts]]) — keyframe selection
     * and edit detection for video clips. */

@@ -441,6 +441,29 @@ object CardStream {
     BucketStore.read(spark, dir, "rollup", None, spark.emptyDataFrame)
       .drop("bucket")
 
+  /** Trending top-k over a [[mergeAdditive]] rollup keyed
+    * (groupCols…, itemCol) — the streaming leaderboard: the rollup
+    * absorbs micro-batches additively (O(touched buckets) per
+    * trigger), and the read side ranks items per group with the
+    * bounded-heap top-k. Reading is a pure query over the store —
+    * rank freshness equals rollup freshness, no extra state.
+    *
+    * @return (groupCols…, item, n) top-k per group by (n desc, item).
+    */
+  def trendingTopK(spark: SparkSession, dir: String,
+                   groupCols: Seq[String], itemCol: String, sumCol: String,
+                   k: Int): DataFrame = {
+    val rollup = readRollup(spark, dir)
+    graft.operators.TopK.grouped(
+        rollup.select((groupCols.map(col) :+ col(itemCol).as("item") :+
+          col(sumCol).cast("long").as("n")): _*),
+        groupCols,
+        struct((-col("n")).as("nn"), col("item").as("i")), k)
+      .select((groupCols.map(col) :+ col("best.i").as("item") :+
+        (-col("best.nn")).as("n")): _*)
+      .orderBy((groupCols.map(col) :+ col("n").desc :+ col("item")): _*)
+  }
+
   /** Streaming ADMISSION GATE — [[graft.operators.Profile.checkConstraints]]
     * wired into the ingest path: every micro-batch is validated against
     * the declarative constraint suite BEFORE it folds into the rollup

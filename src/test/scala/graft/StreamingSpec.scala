@@ -646,6 +646,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .exists(_.getAs[Long]("batch_id") == 2L))
   }
 
+  test("trendingTopK: leaderboard over merged batches equals the batch aggregate") {
+    val dir = tmp("trending") + "/counts"
+    // two micro-batches of (day, item, n) interaction counts
+    val b1 = Seq(("d1", "a", 3L), ("d1", "b", 1L), ("d2", "a", 1L))
+      .toDF("day", "item", "n")
+    val b2 = Seq(("d1", "b", 4L), ("d1", "c", 2L), ("d2", "z", 9L))
+      .toDF("day", "item", "n")
+    CardStream.mergeAdditive(spark, b1, dir, Seq("day", "item"), Seq("n"), 0L)
+    CardStream.mergeAdditive(spark, b2, dir, Seq("day", "item"), Seq("n"), 1L)
+    val got = CardStream.trendingTopK(spark, dir, Seq("day"), "item", "n",
+        k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // d1: b=5, a=3 (c=2 cut); d2: z=9, a=1
+    assert(got.toSeq == Seq(("d1", "b", 5L), ("d1", "a", 3L),
+      ("d2", "z", 9L), ("d2", "a", 1L)))
+    // replayed batch is fenced — leaderboard unchanged
+    CardStream.mergeAdditive(spark, b2, dir, Seq("day", "item"), Seq("n"), 1L)
+    assert(CardStream.trendingTopK(spark, dir, Seq("day"), "item", "n", 2)
+      .count() == 4L)
+  }
+
   test("mergeAdditive migrates a legacy data/meta rollup; fence and sums survive") {
     val dir = tmp("rollup_legacy") + "/counts"
     // hand-write the pre-BucketStore staged-swap layout
