@@ -1072,6 +1072,18 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.EntityResolution.scorePairs(records, idCol, blockCol,
       comparisons, threshold)
 
+  /** [[linkRecords]] with caller-supplied fuzzy agreement predicates
+    * ([[graft.operators.EntityResolution.scorePairsFuzzy]]) — e.g.
+    * Jaro–Winkler name matching for typo'd duplicates. */
+  def linkRecordsFuzzy(records: DataFrame, idCol: String, blockCol: String,
+                       comparisons: Seq[(String,
+                         (org.apache.spark.sql.Column,
+                          org.apache.spark.sql.Column) =>
+                           org.apache.spark.sql.Column, Long, Long)],
+                       threshold: Long): DataFrame =
+    graft.operators.EntityResolution.scorePairsFuzzy(records, idCol,
+      blockCol, comparisons, threshold)
+
   /** Last-touch attribution over an event frame
     * ([[graft.operators.Events.lastTouchAttribution]]). */
   def attribute(events: DataFrame, userCol: String, tsCol: String,

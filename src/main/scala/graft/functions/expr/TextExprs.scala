@@ -26,6 +26,54 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `aggregate(split(text, ""), ...)` formulation it replaces.
   */
 object TextExprUtil {
+
+  /** Standard Jaro–Winkler (prefix scale 0.1, max prefix 4, boost
+    * threshold 0.7). Empty strings: both empty → 1, one empty → 0
+    * (the DuckDB convention). */
+  def jaroWinkler(a: String, b: String): Double = {
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return if (la == lb) 1.0 else 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aFlags = new Array[Boolean](la)
+    val bFlags = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bFlags(j) && a.charAt(i) == b.charAt(j)) {
+          aFlags(i) = true; bFlags(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars compared in order
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aFlags(i)) {
+        while (!bFlags(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val half = t / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - half).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    while (l < math.min(4, math.min(la, lb)) &&
+      a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
   @inline def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
@@ -439,8 +487,39 @@ case class WordPairsExpr(child: Expression, window: Int)
 }
 
 /** Column-level entry points + SQL registration. */
+/** `jaro_winkler(a, b)`: the standard Jaro–Winkler similarity
+  * (Winkler 1990 — prefix scale 0.1 up to 4 chars, boost threshold
+  * 0.7), codegen. Semantics match DuckDB's
+  * `jaro_winkler_similarity` on ASCII inputs (locked by golden
+  * values in TextExprSpec and the qX_er_fuzzy oracle), so
+  * fuzzy-linkage gates replay cross-engine. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler requires two strings, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExprUtil.jaroWinkler(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expr.TextExprUtil.jaroWinkler($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaroWinklerExpr = copy(left = l, right = r)
+}
+
 object TextExprs {
   import ColumnBridge.{toColumn, toExpr}
+  def jaro_winkler(a: Column, b: Column): Column =
+    toColumn(JaroWinklerExpr(toExpr(a), toExpr(b)))
 
   def token_count(c: Column): Column = toColumn(TokenCountExpr(toExpr(c)))
   def subword_count(c: Column): Column = toColumn(SubwordCountExpr(toExpr(c)))

@@ -33,6 +33,37 @@ object EntityResolution {
     * @param threshold   minimal total score to keep a pair.
     * @return (id1, id2, score_micros) for linked pairs, ordered.
     */
+  /** [[scorePairs]] with caller-supplied agreement PREDICATES — fuzzy
+    * linkage: a field agrees when the predicate over the pair's two
+    * values holds (NULL → disagree). The canonical use is
+    * Jaro–Winkler name matching
+    * (`(a, b) => round(jaro_winkler(a, b), 4) >= 0.9` — quantized
+    * BEFORE the threshold so the decision replays cross-engine),
+    * which links the typo'd duplicates exact equality misses.
+    * Same blocked one-equi-join shape as [[scorePairs]].
+    */
+  def scorePairsFuzzy(records: DataFrame, idCol: String, blockCol: String,
+                      comparisons: Seq[(String,
+                        (org.apache.spark.sql.Column,
+                         org.apache.spark.sql.Column) =>
+                          org.apache.spark.sql.Column, Long, Long)],
+                      threshold: Long): DataFrame = {
+    require(comparisons.nonEmpty, "at least one field comparison")
+    val fields = (Seq(idCol, blockCol) ++ comparisons.map(_._1)).distinct
+    val a = records.select(fields.map(c => col(c).as(s"a_$c")): _*)
+    val b = records.select(fields.map(c => col(c).as(s"b_$c")): _*)
+    val score = comparisons.map { case (f, pred, wa, wd) =>
+      when(coalesce(pred(col(s"a_$f"), col(s"b_$f")), lit(false)),
+        lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    a.join(b, col(s"a_$blockCol") === col(s"b_$blockCol") &&
+        col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(col(s"a_$idCol").as("id1"), col(s"b_$idCol").as("id2"),
+        score.as("score_micros"))
+      .filter(col("score_micros") >= threshold)
+      .orderBy("id1", "id2")
+  }
+
   def scorePairs(records: DataFrame, idCol: String, blockCol: String,
                  comparisons: Seq[(String, Long, Long)],
                  threshold: Long): DataFrame = {

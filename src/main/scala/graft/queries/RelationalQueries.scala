@@ -35,6 +35,29 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Fuzzy record linkage: typo'd duplicates (last hex char mangled)
+    // recovered by Jaro-Winkler >= 0.9 name agreement — the matching
+    // exact equality structurally misses.
+    "qX_er_fuzzy" -> ((s, dir) => {
+      import graft.functions.expr.TextExprs.jaro_winkler
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        .withColumn("name", md5(col("c_custkey").cast("string")))
+      val dirty = cust.select(
+        (col("c_custkey") + 100000).as("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"),
+        concat(substring(col("name"), 1, 31), lit("x")).as("name"))
+      graft.operators.EntityResolution.scorePairsFuzzy(
+        cust.unionAll(dirty), "c_custkey", "c_nationkey",
+        Seq(("name",
+          (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+            round(jaro_winkler(a, b), 4) >= 0.9, 8000000L, -4000000L),
+          ("c_mktsegment",
+            (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+              a <=> b, 1000000L, -200000L)),
+        threshold = 6000000L)
+    }),
+
     // Market-basket association rules over order line items: directed
     // confidence/lift in micros, quantized before the top-20 limit.
     "qX_assoc_rules" -> ((s, dir) => {
@@ -757,6 +780,29 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "qX_er_fuzzy" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    md5(CAST(c_custkey AS VARCHAR)) AS name
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey + 100000 AS c_custkey, c_nationkey,
+        |    c_mktsegment, substr(name, 1, 31) || 'x' AS name
+        |  FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+        |p AS (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |    CAST(
+        |      CASE WHEN coalesce(
+        |          round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.9,
+        |          FALSE)
+        |        THEN 8000000 ELSE -4000000 END +
+        |      CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+        |        THEN 1000000 ELSE -200000 END AS BIGINT) AS score_micros
+        |  FROM u a JOIN u b ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT id1, id2, score_micros FROM p
+        |WHERE score_micros >= 6000000 ORDER BY id1, id2""".stripMargin,
     "qX_assoc_rules" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),

@@ -215,6 +215,36 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
   }
 
+  test("jaro_winkler: textbook golden values match DuckDB's semantics") {
+    import graft.functions.expr.TextExprs.jaro_winkler
+    val df = Seq(("martha", "marhta"), ("dwayne", "duane"),
+      ("abc", "xyz"), ("abc", "abc"), ("", "abc"), ("", ""))
+      .toDF("a", "b")
+    val got = df.select(jaro_winkler(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    assert(got(0) == 0.9611111111111111) // boost applied (jaro > .7)
+    assert(got(1) == 0.8400000000000001)
+    assert(got(2) == 0.0 && got(3) == 1.0)
+    assert(got(4) == 0.0 && got(5) == 1.0)
+  }
+
+  test("fuzzy linkage: typo'd field links via JW where exact equality misses") {
+    import graft.operators.EntityResolution
+    import graft.functions.expr.TextExprs.jaro_winkler
+    val recs = Seq((1L, "b", "jonathan smith"), (2L, "b", "jonathan smitx"),
+      (3L, "b", "completely other")).toDF("id", "blk", "name")
+    val fuzzy = EntityResolution.scorePairsFuzzy(recs, "id", "blk",
+        Seq(("name", (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =>
+          round(jaro_winkler(a, b), 4) >= 0.9, 5000000L, -1000000L)),
+        threshold = 5000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fuzzy.toSeq == Seq((1L, 2L)))
+    // exact equality finds nothing on the same data
+    assert(EntityResolution.scorePairs(recs, "id", "blk",
+      Seq(("name", 5000000L, -1000000L)), 5000000L).count() == 0L)
+  }
+
   test("entity resolution: blocked scoring, null-safe agreement, threshold") {
     import graft.operators.EntityResolution
     val recs = Seq(
