@@ -1040,6 +1040,11 @@ object GraphAnalytics {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    // reported sup = the support that JUSTIFIED survival (computed
+    // over the round-(rounds−1) edge set) — one wedge pass per round,
+    // none extra for reporting; at a fixpoint it equals the
+    // final-set support exactly
+    var lastSup: DataFrame = null
     for (_ <- 1 to rounds) {
       val adj = e.select(col("u").as("f"), col("v").as("t"))
         .unionAll(e.select(col("v").as("f"), col("u").as("t")))
@@ -1048,17 +1053,12 @@ object GraphAnalytics {
         .join(adj.select(col("f").as("v"), col("t").as("w2")), "v")
         .filter(col("w1") === col("w2"))
         .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        .localCheckpoint(true) // reused: peel filter + reported sup
       e = e.join(sup.filter(col("sup") >= k - 2), Seq("u", "v"), "left_semi")
         .localCheckpoint(true)
+      lastSup = sup
     }
-    // final support over the surviving set, reported with the edges
-    val adjF = e.select(col("u").as("f"), col("v").as("t"))
-      .unionAll(e.select(col("v").as("f"), col("u").as("t")))
-    e.join(e.join(adjF.select(col("f").as("u"), col("t").as("w1")), "u")
-        .join(adjF.select(col("f").as("v"), col("t").as("w2")), "v")
-        .filter(col("w1") === col("w2"))
-        .groupBy("u", "v").agg(count(lit(1)).as("sup")), Seq("u", "v"))
-      .orderBy("u", "v")
+    e.join(lastSup, Seq("u", "v")).orderBy("u", "v")
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

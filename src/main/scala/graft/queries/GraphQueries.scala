@@ -793,16 +793,10 @@ object GraphQueries {
          |  ON s.u = e.u AND s.v = e.v AND s.sup >= ${k - 2})""".stripMargin
     }
     val fin =
-      s"""af AS (SELECT u AS f, v AS t FROM e$rounds
-         |  UNION ALL SELECT v AS f, u AS t FROM e$rounds),
-         |sf AS (SELECT e.u, e.v, count(*) AS sup
-         |  FROM e$rounds e JOIN af a1 ON a1.f = e.u
-         |  JOIN af a2 ON a2.f = e.v
-         |  WHERE a1.t = a2.t GROUP BY 1, 2)
-         |SELECT e.u, e.v, sf.sup FROM e$rounds e
-         |JOIN sf ON sf.u = e.u AND sf.v = e.v
+      s"""SELECT e.u, e.v, s.sup FROM e$rounds e
+         |JOIN s$rounds s ON s.u = e.u AND s.v = e.v
          |ORDER BY e.u, e.v""".stripMargin
-    (Seq(head) ++ rs :+ fin).mkString(",\n")
+    (Seq(head) ++ rs).mkString(",\n") + "\n" + fin
   }
 
   /** Unrolled replay of [[graft.operators.GraphAnalytics.hyperBall]]:
