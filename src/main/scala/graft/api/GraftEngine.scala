@@ -1072,6 +1072,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.EntityResolution.scorePairs(records, idCol, blockCol,
       comparisons, threshold)
 
+  /** Golden-record survivorship over linkage output
+    * ([[graft.operators.EntityResolution.goldenRecords]]) — match →
+    * cluster → elect one representative per cluster. */
+  def goldenRecords(records: DataFrame, idCol: String, links: DataFrame,
+                    orderCol: String): DataFrame =
+    graft.operators.EntityResolution.goldenRecords(records, idCol, links,
+      orderCol)
+
   /** [[linkRecords]] with caller-supplied fuzzy agreement predicates
     * ([[graft.operators.EntityResolution.scorePairsFuzzy]]) — e.g.
     * Jaro–Winkler name matching for typo'd duplicates. */

@@ -64,6 +64,35 @@ object EntityResolution {
       .orderBy("id1", "id2")
   }
 
+  /** Golden-record selection — the survivorship step that closes the
+    * linkage loop (match → cluster → merge): linked pairs become
+    * clusters (min-label CC fixpoint,
+    * [[GraphAnalytics.connectedComponentsDF]]), and each cluster
+    * elects ONE representative by `(orderCol desc, id asc)` — a
+    * deterministic survivorship rule (completeness score, recency,
+    * source priority — caller's choice of column). Unlinked records
+    * are their own golden record.
+    *
+    * @return (cluster, rep_id, n_members) per cluster, ordered.
+    */
+  def goldenRecords(records: DataFrame, idCol: String,
+                    links: DataFrame, orderCol: String): DataFrame = {
+    val cc = GraphAnalytics.connectedComponentsDF(
+      links.select(col("id1").as("src"), col("id2").as("dst")))
+    val membered = records
+      .select(col(idCol).as("id"), col(orderCol).as("o"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"),
+        col("o"))
+    val rep = TopK.grouped(membered, Seq("cluster"),
+        struct((-col("o")).as("no"), col("id").as("i")), 1)
+      .select(col("cluster"), col("best.i").as("rep_id"))
+    membered.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      .join(rep, "cluster")
+      .select(col("cluster"), col("rep_id"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   def scorePairs(records: DataFrame, idCol: String, blockCol: String,
                  comparisons: Seq[(String, Long, Long)],
                  threshold: Long): DataFrame = {

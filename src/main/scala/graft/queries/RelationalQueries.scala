@@ -58,6 +58,27 @@ object RelationalQueries {
         threshold = 6000000L)
     }),
 
+    // Golden records: linked duplicates cluster (CC fixpoint) and
+    // each cluster elects one survivor by (acctbal desc, id) — the
+    // originals win the tie against their planted copies.
+    "qX_golden" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      val dirty = cust.select((col("c_custkey") + 100000).as("c_custkey"),
+        upper(col("c_name")).as("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val all = cust.unionAll(dirty)
+      val links = graft.operators.EntityResolution.scorePairs(all,
+        "c_custkey", "c_nationkey",
+        Seq(("c_name", 4000000L, -2000000L),
+          ("c_acctbal", 6000000L, -3000000L),
+          ("c_mktsegment", 1000000L, -200000L)),
+        threshold = 4000000L)
+      graft.operators.EntityResolution.goldenRecords(all, "c_custkey",
+        links, "c_acctbal")
+    }),
+
     // Market-basket association rules over order line items: directed
     // confidence/lift in micros, quantized before the top-20 limit.
     "qX_assoc_rules" -> ((s, dir) => {
@@ -779,7 +800,52 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("version"))
     }))
 
+  /** DuckDB fragment: the qX_er linkage pipeline ending at scored
+    * pair CTE `p` — shared by qX_er and qX_golden so the match step
+    * cannot drift between them. */
+  private def erCte(recursive: Boolean): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}base AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       |  FROM customer),
+       |dirty AS (
+       |  SELECT c_custkey + 100000 AS c_custkey, upper(c_name) AS c_name,
+       |    c_nationkey, c_acctbal, c_mktsegment
+       |  FROM customer),
+       |u AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+       |p AS (
+       |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       |    CAST(
+       |      CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+       |        THEN 4000000 ELSE -2000000 END +
+       |      CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+       |        THEN 6000000 ELSE -3000000 END +
+       |      CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+       |        THEN 1000000 ELSE -200000 END AS BIGINT) AS score_micros
+       |  FROM u a JOIN u b ON a.c_nationkey = b.c_nationkey
+       |    AND a.c_custkey < b.c_custkey)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "qX_golden" ->
+      (erCte(recursive = true) +
+        """,
+          |lk AS (SELECT id1, id2 FROM p WHERE score_micros >= 4000000),
+          |cs AS (SELECT id1 AS f, id2 AS t FROM lk
+          |  UNION SELECT id2, id1 FROM lk),
+          |reach AS (SELECT f AS id, t AS r FROM cs
+          |  UNION SELECT cs.f, reach.r FROM cs
+          |  JOIN reach ON reach.id = cs.t),
+          |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach
+          |  GROUP BY id),
+          |mem AS (SELECT u.c_custkey AS id,
+          |    coalesce(comp.comp, u.c_custkey) AS cluster,
+          |    u.c_acctbal AS o
+          |  FROM u LEFT JOIN comp ON comp.id = u.c_custkey),
+          |rep AS (SELECT cluster, id AS rep_id, row_number() OVER (
+          |  PARTITION BY cluster ORDER BY o DESC, id) AS rn FROM mem)
+          |SELECT m.cluster, r.rep_id, count(*) AS n_members
+          |FROM mem m JOIN (SELECT cluster, rep_id FROM rep WHERE rn = 1) r
+          |  USING (cluster)
+          |GROUP BY 1, 2 ORDER BY cluster""".stripMargin),
     "qX_er_fuzzy" ->
       """WITH base AS (
         |  SELECT c_custkey, c_nationkey, c_mktsegment,
@@ -846,27 +912,10 @@ object RelationalQueries {
         |SELECT o_orderkey, status FROM j WHERE status IS NOT NULL
         |ORDER BY o_orderkey, status""".stripMargin,
     "qX_er" ->
-      """WITH base AS (
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |  FROM customer),
-        |dirty AS (
-        |  SELECT c_custkey + 100000 AS c_custkey, upper(c_name) AS c_name,
-        |    c_nationkey, c_acctbal, c_mktsegment
-        |  FROM customer),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
-        |p AS (
-        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
-        |    CAST(
-        |      CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
-        |        THEN 4000000 ELSE -2000000 END +
-        |      CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
-        |        THEN 6000000 ELSE -3000000 END +
-        |      CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
-        |        THEN 1000000 ELSE -200000 END AS BIGINT) AS score_micros
-        |  FROM u a JOIN u b ON a.c_nationkey = b.c_nationkey
-        |    AND a.c_custkey < b.c_custkey)
-        |SELECT id1, id2, score_micros FROM p
-        |WHERE score_micros >= 4000000 ORDER BY id1, id2""".stripMargin,
+      (erCte(recursive = false) +
+        """
+          |SELECT id1, id2, score_micros FROM p
+          |WHERE score_micros >= 4000000 ORDER BY id1, id2""".stripMargin),
     "qX_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,

@@ -215,6 +215,17 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
   }
 
+  test("goldenRecords: clusters elect one survivor; singletons survive alone") {
+    import graft.operators.EntityResolution
+    val recs = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 5.0))
+      .toDF("id", "score")
+    // 1-2-3 linked (chain); 4 unlinked. survivor = max score, tie → min id
+    val links = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = EntityResolution.goldenRecords(recs, "id", links, "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3L), (4L, 4L, 1L)))
+  }
+
   test("jaro_winkler: textbook golden values match DuckDB's semantics") {
     import graft.functions.expr.TextExprs.jaro_winkler
     val df = Seq(("martha", "marhta"), ("dwayne", "duane"),
