@@ -815,6 +815,15 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.Eval.bestThreshold(scored, labelCol, scoreCol,
       costFpMicros, costFnMicros)
 
+  /** Split-conformal calibration of a scored filter model
+    * ([[graft.operators.Eval.conformal]]) — the distribution-free
+    * coverage guarantee before the model deletes terabytes. */
+  def evalConformal(scored: DataFrame, idCol: String, labelCol: String,
+                    scoreCol: String,
+                    alphaMicros: Long = 100000L): DataFrame =
+    graft.operators.Eval.conformal(scored, idCol, labelCol, scoreCol,
+      alphaMicros)
+
   /** Confusion matrix + P/R/F1 at a fixed threshold
     * ([[graft.operators.Eval.confusionAtThreshold]]). */
   def evalConfusion(scored: DataFrame, labelCol: String, scoreCol: String,

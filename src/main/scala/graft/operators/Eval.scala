@@ -255,6 +255,50 @@ object Eval {
       .select(col("n"),
         floor(col("werr") / col("n")).cast("long").as("ece_micros"))
 
+  /** Split-conformal calibration (Vovk et al.; the
+    * distribution-free coverage guarantee a filter model ships with):
+    * a deterministic md5 half-split yields a calibration set whose
+    * nonconformity scores `|y·1e6 − p|` are ranked exactly; the
+    * threshold is the `⌈(n+1)(1−α)⌉`-th smallest (clamped to n), and
+    * the held-out half reports empirical coverage
+    * `P(nc ≤ q) ≥ 1−α` (marginally guaranteed).
+    *
+    * Everything is integer: the rank selection runs over the
+    * distinct-nonconformity grid (map-side combine first — the
+    * aucRank convention), the rank index is an integer ceiling
+    * division, and coverage is one guarded integer ratio.
+    *
+    * @return one row (n_calib, n_eval, q_micros, coverage_micros).
+    */
+  def conformal(scored: DataFrame, idCol: String, labelCol: String,
+                scoreCol: String, alphaMicros: Long = 100000L): DataFrame = {
+    val s = scored.select(col(idCol).as("id"),
+      abs(col(labelCol).cast("long") * lit(1000000L) - col(scoreCol))
+        .as("nc"))
+    val isCalib = Sampling.md5Bucket(col("id")) % 2 === 0
+    val g = s.filter(isCalib).groupBy("nc").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("nc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cum", sum(col("c")).over(w))
+    val tot = g.agg(sum(col("c")).as("n_calib"))
+    // k = min(n, ceil((n+1)·(1−α))) as an integer ceiling division
+    val q = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >=
+        least(col("n_calib"),
+          floor(((col("n_calib") + 1) * (lit(1000000L) - alphaMicros) +
+            lit(999999L)) / lit(1000000L)).cast("long")))
+      .agg(min(col("nc")).as("q_micros"))
+    val ev = s.filter(!isCalib)
+    ev.crossJoin(broadcast(q)).crossJoin(broadcast(tot))
+      .groupBy("n_calib", "q_micros")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("nc") <= col("q_micros"), 1L).otherwise(0L))
+          .as("covered"))
+      .select(col("n_calib"), col("n_eval"), col("q_micros"),
+        floor(lit(1000000L) * col("covered") / col("n_eval")).cast("long")
+          .as("coverage_micros"))
+  }
+
   /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) at
     * the DYADIC persistence p = 1/2 — how much two rankers agree,
     * top-weighted: `RBO = Σ_{d≤k} (1−p)·p^{d−1}·X_d/d` with X_d the

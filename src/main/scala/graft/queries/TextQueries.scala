@@ -753,6 +753,21 @@ object TextQueries {
         threshold = 500000L)
     }),
 
+    // Split-conformal coverage of the same scores: md5 half-split,
+    // exact rank-selected threshold, held-out coverage >= 1 - alpha.
+    "qX_conformal" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.conformal(scored, "doc_id", "y", "p_micros",
+        alphaMicros = 100000L)
+    }),
+
     // Reliability bins over the same scores: observed positive rate vs
     // mean predicted probability per probability decile.
     "qX_calibration" -> ((s, dir) => {
@@ -1642,6 +1657,32 @@ object TextQueries {
          |    ELSE CAST(floor(1000000 * (2 * tp) / (2 * tp + fp + fn))
          |      AS BIGINT) END AS f1_micros
          |FROM m""".stripMargin,
+    "qX_conformal" ->
+      s"""$LrScoredGSql,
+         |nc0 AS (SELECT doc_id,
+         |  abs(CASE WHEN doc_id < 350 THEN 1000000 ELSE 0 END - p) AS nc
+         |  FROM sp),
+         |cal AS (SELECT nc FROM nc0
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |    AS BIGINT) % 2 = 0),
+         |ev AS (SELECT nc FROM nc0
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |    AS BIGINT) % 2 <> 0),
+         |gnc AS (SELECT nc, CAST(count(*) AS BIGINT) AS c FROM cal
+         |  GROUP BY 1),
+         |cum AS (SELECT nc, CAST(sum(c) OVER (ORDER BY nc
+         |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM gnc),
+         |ctot AS (SELECT CAST(sum(c) AS BIGINT) AS n_calib FROM gnc),
+         |q AS (SELECT min(nc) AS q_micros FROM cum CROSS JOIN ctot
+         |  WHERE cum >= least(n_calib,
+         |    CAST(floor(((n_calib + 1) * (1000000 - 100000) + 999999)
+         |      / 1000000) AS BIGINT)))
+         |SELECT ctot.n_calib, CAST(count(*) AS BIGINT) AS n_eval,
+         |  q.q_micros,
+         |  CAST(floor(1000000 * sum(CASE WHEN ev.nc <= q.q_micros
+         |    THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS coverage_micros
+         |FROM ev CROSS JOIN q CROSS JOIN ctot
+         |GROUP BY 1, 3""".stripMargin,
     "qX_calibration" ->
       s"""$CalBinsSql
          |SELECT bin, n, n_pos, acc_micros, conf_micros

@@ -457,6 +457,24 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       r.getLong(4)) == ((6L, 3L, 2L, 3L, 1L)))
   }
 
+  test("conformal: rank-selected threshold and held-out coverage, hand case") {
+    import graft.operators.Eval
+    // ids with md5Bucket parity split the frame deterministically;
+    // perfect scores → nonconformity 0 everywhere → q = 0, coverage 1
+    val perfect = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) 1 else 0, if (i % 2 == 0) 1000000L else 0L))
+      .toDF("id", "y", "p")
+    val r = Eval.conformal(perfect, "id", "y", "p").collect().head
+    assert(r.getLong(0) + r.getLong(1) == 40L)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 1000000L)
+    // anti-perfect scores → nonconformity 1e6 → q = 1e6, coverage 1
+    val awful = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) 1 else 0, if (i % 2 == 0) 0L else 1000000L))
+      .toDF("id", "y", "p")
+    val r2 = Eval.conformal(awful, "id", "y", "p").collect().head
+    assert(r2.getLong(2) == 1000000L && r2.getLong(3) == 1000000L)
+  }
+
   test("bestThreshold: argmin over the cost curve, hand-computed") {
     import graft.operators.Eval
     val scored = Seq((1, 900000L), (1, 700000L), (0, 600000L),
