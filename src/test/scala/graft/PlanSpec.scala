@@ -544,6 +544,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "per-item top-k must be the bounded-heap aggregate:\n" + p.take(2000))
   }
 
+  test("weighted pymk / assoc rules / nn-descent: wedge and basket joins hash, never cartesian") {
+    for (q <- Seq("qX_pymk_decayed", "qX_assoc_rules", "qX_nndescent")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(2000))
+      // the only nested loop allowed is the 1-row totals scalar join
+      // (assoc's basket count); the data-sized joins must stay equi
+      assert(p.split("BroadcastNestedLoopJoin").length <= 2,
+        s"$q must stay on equi-joins:\n" + p.take(2000))
+    }
+    // the weighted flagship keeps the bounded-heap top-k, no window
+    assert(plan("qX_pymk_decayed").contains("CollectTopK") ||
+      !plan("qX_pymk_decayed").contains("RunningWindowFunction"))
+  }
+
+  test("hyperball: register folds are partial-aggregated, no cartesian") {
+    val p = plan("qX_hyperball")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("HashAggregate"),
+      "register max-folds must map-side combine:\n" + p.take(2000))
+  }
+
   test("pca: projection is a narrow codegen mat-vec; moments shuffles once") {
     val emb = Tables.load(spark, dir, "embeddings")
     val basis = Array.tabulate(4, 64)((r, i) => (r * 64 + i) * 1e-3)
