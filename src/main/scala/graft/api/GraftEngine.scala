@@ -906,6 +906,38 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def katzCentrality(rounds: Int = 3): DataFrame =
     graft.operators.GraphAnalytics.katzMicros(edges, rounds)
 
+  /** Eigenvector centrality over the engine's graph
+    * ([[graft.operators.GraphAnalytics.eigenvectorCentrality]]) —
+    * the symmetric prestige score next to [[pageRank]]/[[hits]]. */
+  def eigenvector(iters: Int = 3): DataFrame =
+    graft.operators.GraphAnalytics.eigenvectorCentrality(edges, iters)
+
+  /** Luby maximal independent set over the engine's graph
+    * ([[graft.operators.GraphAnalytics.maximalIndependentSet]]) —
+    * mutually non-adjacent exemplar selection. */
+  def independentSet(rounds: Int = 4): DataFrame =
+    graft.operators.GraphAnalytics.maximalIndependentSet(edges, rounds)
+
+  /** Connected components by large-star/small-star
+    * ([[graft.operators.GraphAnalytics.ccTwoStar]]) — the log²-round
+    * scale path behind [[communities]]. */
+  def communitiesTwoStar(): DataFrame =
+    graft.operators.GraphAnalytics.ccTwoStar(edges)
+
+  /** KMV theta-sketch distinct estimate
+    * ([[graft.operators.Sketches.kmvEstimate]]). */
+  def distinctSketch(df: DataFrame, valueCol: String,
+                     k: Int = 256): DataFrame =
+    graft.operators.Sketches.kmvEstimate(df, valueCol, k)
+
+  /** Theta-sketch overlap: intersection/union distinct estimates +
+    * Jaccard between two keyed frames
+    * ([[graft.operators.Sketches.kmvIntersectEstimate]]) — the
+    * audience-overlap question HLL cannot answer. */
+  def overlapSketch(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                    k: Int = 256): DataFrame =
+    graft.operators.Sketches.kmvIntersectEstimate(a, aCol, b, bCol, k)
+
   /** Welch's t statistic between two samples
     * ([[graft.operators.Stats.welchT]]) — the A/B readout. */
   def abTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =

@@ -1518,6 +1518,178 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** Eigenvector centrality by power iteration on the UNDIRECTED
+    * simple view — the prestige score where a vertex is central in
+    * proportion to its neighbors' centrality (the symmetric companion
+    * to the directed [[hits]]/Katz family): `x ← A x`, each round
+    * L1-normalized to Σ = 1e6 INTEGER MICROS (the [[hits]] convention
+    * — per-vertex sums of integers are fold-order-free, so the fixed
+    * `iters` rounds replay as unrolled CTEs in the DuckDB oracle).
+    *
+    * 100 TB shape per round: one edge-keyed join + one vertex fold +
+    * one 1-row total broadcast; intermediates localCheckpointed so the
+    * round-over-round plan stays flat (the X18 cadence).
+    *
+    * @return (id, eig_micros) for every vertex of the simple view.
+    */
+  def eigenvectorCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("f"), col("v").as("t"))
+      .unionAll(canon.select(col("v").as("f"), col("u").as("t")))
+      .localCheckpoint(true)
+    val verts = adj.select(col("f").as("id")).distinct()
+      .localCheckpoint(true)
+    var x = verts.withColumn("x", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val raw = adj.join(x.withColumnRenamed("id", "f"), "f")
+        .groupBy(col("t").as("id")).agg(sum(col("x")).as("raw"))
+        .localCheckpoint(true) // feeds both the total and the rows
+      x = verts.join(
+          raw.crossJoin(broadcast(raw.agg(
+              coalesce(sum(col("raw")), lit(0L)).as("tot"))))
+            .select(col("id"),
+              round(col("raw") * lit(1e6) / col("tot")).cast("long").as("x")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint(true)
+    }
+    x.select(col("id"), col("x").as("eig_micros")).orderBy(col("id"))
+  }
+
+  /** Maximal independent set by Luby's algorithm (Luby 1986) with
+    * hash priorities — the distributed scheduling/conflict-resolution
+    * primitive (pick a maximal set of mutually non-adjacent items: ad
+    * slots, dedup cluster exemplars, parallel-safe work units). Per
+    * round every still-active vertex draws the priority
+    * `(md5("r:id"), id)` — md5-portable and collision-free (the id
+    * component breaks the 2⁻³² hash-tie case deterministically); the
+    * operator compares the pair as a STRUCT, so any orderable id type
+    * works (the engine facade passes string vertex keys); the SQL
+    * oracle replays it as the arithmetic key `hash · 2²⁰ + id`,
+    * order-identical for the gate's sub-2²⁰ numeric ids. A vertex
+    * joins the MIS iff its priority beats every active neighbor's;
+    * winners and their neighbors then retire. Fixed `rounds` (Luby
+    * needs O(log n) w.h.p.; callers assert emptiness via the
+    * `n_active_left` spec contract).
+    *
+    * 100 TB shape per round: one narrow priority projection, one
+    * edge-keyed join + per-vertex min fold for the neighborhood
+    * minimum, two anti joins to retire winners+dominated — no
+    * per-vertex loops, no driver state beyond the round counter.
+    *
+    * @return (id, in_mis) over every vertex of the simple view.
+    */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("f"), col("v").as("t"))
+      .unionAll(canon.select(col("v").as("f"), col("u").as("t")))
+      .localCheckpoint(true)
+    val verts = adj.select(col("f").as("id")).distinct()
+      .localCheckpoint(true)
+    var active = verts
+    var mis = verts.limit(0)
+    for (r <- 1 to rounds) {
+      val pri = active.select(col("id"),
+          struct(
+            Sampling.md5Bucket(concat(lit(s"$r:"), col("id").cast("string")))
+              .as("h"),
+            col("id").as("i")).as("p"))
+        .localCheckpoint(true) // read for centers AND neighbor side
+      val nbrMin = adj
+        .join(pri.select(col("id").as("f"), col("p")), "f")
+        .join(pri.select(col("id").as("t"), col("p").as("pt")), "t")
+        .groupBy(col("f").as("id")).agg(min(col("pt")).as("minp"))
+      val winners = pri.join(nbrMin, Seq("id"), "left")
+        .where(col("minp").isNull || col("p") < col("minp"))
+        .select(col("id"))
+        .localCheckpoint(true) // reused: mis fold + domination join
+      mis = mis.unionByName(winners)
+      val dominated = adj.join(winners.withColumnRenamed("id", "f"), "f")
+        .select(col("t").as("id"))
+      active = active
+        .join(winners.unionByName(dominated).distinct(), Seq("id"),
+          "left_anti")
+        .localCheckpoint(true)
+    }
+    verts.join(mis.withColumn("in_mis", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
+      .orderBy(col("id"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al. 2014) — the O(log² n)-round CC that holds at
+    * 100 TB where per-round label propagation
+    * ([[connectedComponentsDF]]) needs diameter-many rounds: each
+    * round rewires edges toward component minima, so path lengths
+    * HALVE rather than shrink by one, and every step is one
+    * group-by-center min + one projection (no vertex state table at
+    * all — the edge set IS the state).
+    *
+    *  - large-star: per center u with neighborhood N (both
+    *    orientations), m = min(N ∪ {u}); every neighbor t > u rewires
+    *    to (t, m).
+    *  - small-star: per center u over its SMALLER neighbors (canonical
+    *    u > v orientation), m = min(N ∪ {u}); u and each neighbor
+    *    ≠ m rewire to m.
+    *
+    * Converges to a star forest rooted at component minima — the same
+    * canonical (id, comp=min id) labeling [[connectedComponentsDF]]
+    * converges to, so both share one oracle (and the equivalence is
+    * spec-pinned). Convergence = small-star output equals its input
+    * (two anti-join emptiness probes every round).
+    *
+    * @return (id, comp) — comp = min vertex id of the component.
+    */
+  def ccTwoStar(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val verts0 = edges.filter(col("src") =!= col("dst"))
+    val verts = verts0.select(col("src").as("id"))
+      .unionAll(verts0.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    // canonical u > v
+    var e = verts0
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      // large-star: centers see both orientations
+      val nbrs = e.select(col("u").as("f"), col("v").as("t"))
+        .unionAll(e.select(col("v").as("f"), col("u").as("t")))
+      val mins = nbrs.groupBy("f").agg(least(min(col("t")), col("f")).as("m"))
+      val e1 = nbrs.join(mins, "f")
+        .where(col("t") > col("f"))
+        .select(col("t").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star: centers are the larger endpoints
+      val mins2 = e1.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val next = e1.join(mins2, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionByName(mins2.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.join(e, Seq("u", "v"), "left_anti").isEmpty &&
+        e.join(next, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      r += 1
+    }
+    verts.join(e.select(col("u").as("id"), col("v").as("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .orderBy(col("id"))
+  }
+
   /** Adamic-Adar link prediction — the degree-discounted PYMK scorer:
     * for every non-adjacent pair (a, c),
     * `score = Σ_{z ∈ N(a)∩N(c)} 1 / ln(deg(z))`. Same 2-hop shape as

@@ -231,6 +231,100 @@ object Sketches {
         col("est_join_size"))
   }
 
+  // ------------------------------------------------- KMV (theta) sketch
+
+  /** Bottom-k (KMV / theta) distinct sketch (Bar-Yossef et al. 2002;
+    * Beyer et al. 2007): the `k` smallest DISTINCT md5-portable hash
+    * values of `valueCol`. Unlike HLL this sketch supports SET
+    * OPERATIONS — two sketches intersect/union by comparing their
+    * retained hash samples under the smaller theta
+    * ([[kmvIntersectEstimate]]) — which is why engines keep both.
+    *
+    * Determinism/portability: hashes are [[Sampling.md5Bucket]] 32-bit
+    * words, the bottom-k of a distinct set is unique, so the SKETCH
+    * ITSELF (not just its estimate) replays bit-for-bit in any engine
+    * with md5.
+    *
+    * 100 TB shape: distinct-then-TakeOrdered — per-partition bottom-k
+    * heaps merge on the driver, k·8 bytes of state per partition;
+    * mergeable by construction (bottom-k of a union = bottom-k of the
+    * concatenated sketches).
+    *
+    * @return (hv) — at most k rows, ascending hash values.
+    */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    df.select(Sampling.md5Bucket(col(valueCol)).as("hv"))
+      .where(col("hv").isNotNull)
+      .distinct()
+      .orderBy(col("hv"))
+      .limit(k)
+
+  /** Distinct-count estimate from the KMV sketch: with fewer than k
+    * retained hashes the sketch holds EVERY distinct hash and the
+    * count is exact; at capacity, theta = h_k/2³² and the classic
+    * unbiased estimate is (k−1)/theta. All operands are exact-in-double
+    * integers (≤2⁴⁰), so the floored estimate is engine-exact.
+    *
+    * @return one row (n_kept, est). */
+  def kmvEstimate(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    kmvSketch(df, valueCol, k)
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("hk"))
+      .select(col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(floor(lit((k - 1).toLong * 4294967296L) /
+            greatest(col("hk"), lit(1L))))
+          .cast("long").as("est"))
+
+  /** Theta-sketch set operations over two KMV sketches: intersection
+    * and union distinct estimates plus the derived Jaccard — the
+    * audience-overlap / cross-corpus-contamination question HLL
+    * cannot answer without inclusion-exclusion error blowup.
+    *
+    * theta = min of the two sketch thresholds (a side below capacity
+    * contributes theta = 2³², i.e. no truncation); each sketch is
+    * re-cut to hashes strictly below theta; the intersection sample is
+    * the hash-join of the two cuts and scales back by 1/theta. When
+    * both sides are below capacity the "estimates" are exact distinct
+    * counts of the hashed values. Every operand is an exact-in-double
+    * integer, so the floored outputs replay cross-engine.
+    *
+    * @return one row (theta, n_inter_sample, est_intersect, est_union,
+    *         jaccard_micros).
+    */
+  def kmvIntersectEstimate(a: DataFrame, aCol: String,
+                           b: DataFrame, bCol: String, k: Int): DataFrame = {
+    val full = 4294967296L
+    def cut(df: DataFrame, vc: String, tag: String) = {
+      val sk = kmvSketch(df, vc, k).localCheckpoint(true) // k rows, reused
+      val theta = sk.agg(
+        when(count(lit(1)) < k, lit(full))
+          .otherwise(max(col("hv"))).as(s"theta_$tag"))
+      (sk.withColumnRenamed("hv", s"hv_$tag"), theta)
+    }
+    val (ska, ta) = cut(a, aCol, "a")
+    val (skb, tb) = cut(b, bCol, "b")
+    val theta = ta.crossJoin(tb)
+      .select(least(col("theta_a"), col("theta_b")).as("theta"))
+    val cutA = ska.crossJoin(broadcast(theta))
+      .where(col("hv_a") < col("theta")).select(col("hv_a").as("hv"))
+    val cutB = skb.crossJoin(broadcast(theta))
+      .where(col("hv_b") < col("theta")).select(col("hv_b").as("hv"))
+    val counts = cutA.join(cutB, Seq("hv"))
+      .agg(count(lit(1)).as("n_inter"))
+      .crossJoin(cutA.unionByName(cutB).distinct()
+        .agg(count(lit(1)).as("n_union")))
+    theta.crossJoin(counts).select(
+      col("theta"),
+      col("n_inter").as("n_inter_sample"),
+      floor(col("n_inter") * lit(full.toDouble) / col("theta"))
+        .cast("long").as("est_intersect"),
+      floor(col("n_union") * lit(full.toDouble) / col("theta"))
+        .cast("long").as("est_union"),
+      when(col("n_union") === 0, lit(0L))
+        .otherwise(floor(lit(1e6) * col("n_inter") / col("n_union")))
+        .cast("long").as("jaccard_micros"))
+  }
+
   /** Per-group approximate percentiles (GK summary, rank error ≤
     * 1/accuracy). Returns one array column aligned with `qs`. */
   def quantileEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -177,6 +177,22 @@ object EventQueries {
       val e = t(s, dir, "events")
       Drift.ksStatistic(e.filter(col("ts") < lit(SplitTs).cast("timestamp")),
         e.filter(col("ts") >= lit(SplitTs).cast("timestamp")), "value")
+    }),
+
+    // KMV bottom-k distinct estimate — the md5-portable theta sketch;
+    // the ESTIMATE is the oracle contract (the sketch itself replays).
+    "qX_kmv" -> ((s, dir) => {
+      graft.operators.Sketches.kmvEstimate(t(s, dir, "events"), "user_id", 64)
+    }),
+
+    // Theta-sketch set ops: early-window vs late-window active-user
+    // overlap — intersection/union estimates + Jaccard, the question
+    // HLL cannot answer.
+    "qX_kmv_intersect" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Sketches.kmvIntersectEstimate(
+        e.filter(col("ts") < lit(SplitTs).cast("timestamp")), "user_id",
+        e.filter(col("ts") >= lit(SplitTs).cast("timestamp")), "user_id", 64)
     })
   )
 
@@ -484,6 +500,53 @@ object EventQueries {
         |  max(abs(CAST(floor(1000000 * cum.ca / tot.ta) AS BIGINT) -
         |          CAST(floor(1000000 * cum.cb / tot.tb) AS BIGINT)))
         |    AS ks_micros
-        |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin
+        |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    "qX_kmv" ->
+      """WITH h AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |sk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+        |f AS (SELECT count(*) AS n_kept, max(hv) AS hk FROM sk)
+        |SELECT CAST(n_kept AS BIGINT) AS n_kept,
+        |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS BIGINT)
+        |       ELSE CAST(floor(270582939648 / greatest(hk, 1)) AS BIGINT)
+        |  END AS est
+        |FROM f""".stripMargin,
+
+    "qX_kmv_intersect" ->
+      """WITH ha AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS hv
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |hb AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS hv
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |ska AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+        |skb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+        |tta AS (SELECT CASE WHEN count(*) < 64 THEN 4294967296
+        |  ELSE max(hv) END AS theta_a FROM ska),
+        |ttb AS (SELECT CASE WHEN count(*) < 64 THEN 4294967296
+        |  ELSE max(hv) END AS theta_b FROM skb),
+        |th AS (SELECT least(theta_a, theta_b) AS theta
+        |  FROM tta CROSS JOIN ttb),
+        |ca AS (SELECT hv FROM ska CROSS JOIN th WHERE hv < theta),
+        |cb AS (SELECT hv FROM skb CROSS JOIN th WHERE hv < theta),
+        |cnt AS (SELECT
+        |  (SELECT count(*) FROM ca JOIN cb USING (hv)) AS n_inter,
+        |  (SELECT count(*) FROM (SELECT hv FROM ca UNION
+        |    SELECT hv FROM cb)) AS n_union)
+        |SELECT th.theta,
+        |  CAST(cnt.n_inter AS BIGINT) AS n_inter_sample,
+        |  CAST(floor(cnt.n_inter * 4294967296.0 / th.theta) AS BIGINT)
+        |    AS est_intersect,
+        |  CAST(floor(cnt.n_union * 4294967296.0 / th.theta) AS BIGINT)
+        |    AS est_union,
+        |  CASE WHEN cnt.n_union = 0 THEN 0
+        |    ELSE CAST(floor(1e6 * cnt.n_inter / cnt.n_union) AS BIGINT)
+        |  END AS jaccard_micros
+        |FROM th CROSS JOIN cnt""".stripMargin
   )
 }

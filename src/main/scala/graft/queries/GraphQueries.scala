@@ -484,6 +484,30 @@ object GraphQueries {
       graft.operators.GraphAnalytics.hits(edges, iters = 3)
     }),
 
+    // Eigenvector centrality, 3 power-iteration rounds on the
+    // undirected simple view, each round L1-normalized to integer
+    // micros — unrolled-CTE oracle (the HITS playbook, single chain).
+    "qX_eigenvector" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.eigenvectorCentrality(edges, iters = 3)
+    }),
+
+    // Luby maximal independent set: per round, an active vertex joins
+    // iff its md5-composite priority beats every active neighbor's;
+    // winners + neighbors retire. Deterministic, unrolled-round oracle.
+    "qX_mis" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.maximalIndependentSet(edges, rounds = 4)
+    }),
+
+    // Large-star/small-star CC — the O(log² n) edge-rewiring CC that
+    // replaces diameter-many label rounds at 100 TB; converges to the
+    // same canonical min-id labels as qX_cc_df, sharing its oracle.
+    "qX_cc_twostar" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.ccTwoStar(edges)
+    }),
+
     // Sampled betweenness (Brandes from 8 hash-spread sources,
     // depth-3 horizon): strict-level BFS with path counts forward,
     // per-level dependency accumulation backward — integer-micro δ
@@ -1102,6 +1126,65 @@ object GraphQueries {
     ((head +: rounds).mkString(",\n")) + "\n" + tail
   }
 
+  /** Unrolled eigenvector-centrality oracle for [[qX_eigenvector]]:
+    * per round, raw sums over the undirected adjacency then
+    * L1-normalize to Σ=1e6 micros — the exact rounding of
+    * `GraphAnalytics.eigenvectorCentrality` (single-chain hitsSql). */
+  private def eigenvectorSql(iters: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
+         |verts AS (SELECT DISTINCT f AS id FROM adj),
+         |x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS x FROM verts)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (SELECT adj.t AS id, CAST(sum(x.x) AS BIGINT) AS raw
+         |  FROM adj JOIN x${k - 1} x ON x.id = adj.f GROUP BY 1),
+         |t$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM r$k),
+         |x$k AS (SELECT v.id, coalesce(
+         |    CAST(round(r.raw * 1e6 / t.tot) AS BIGINT), 0) AS x
+         |  FROM verts v LEFT JOIN r$k r ON r.id = v.id CROSS JOIN t$k t)""".stripMargin
+    }
+    ((head +: rounds).mkString(",\n")) +
+      s"\nSELECT id, x AS eig_micros FROM x$iters ORDER BY id"
+  }
+
+  /** Unrolled Luby-MIS oracle for [[qX_mis]]: per round, the
+    * md5-composite priority draw, the active-neighborhood minimum,
+    * the winner cut, and the retire step — the exact replay of
+    * `GraphAnalytics.maximalIndependentSet`. */
+  private def misSql(rounds: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
+         |verts AS (SELECT DISTINCT f AS id FROM adj),
+         |a0 AS (SELECT id FROM verts)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT id,
+         |  CAST(('0x' || substr(md5('$r:' || CAST(id AS VARCHAR)), 1, 8))
+         |    AS BIGINT) * 1048576 + id AS p
+         |  FROM a${r - 1}),
+         |m$r AS (SELECT adj.f AS id, min(pb.p) AS minp
+         |  FROM adj JOIN p$r pa ON pa.id = adj.f
+         |           JOIN p$r pb ON pb.id = adj.t
+         |  GROUP BY 1),
+         |w$r AS (SELECT p$r.id FROM p$r LEFT JOIN m$r USING (id)
+         |  WHERE m$r.minp IS NULL OR p$r.p < m$r.minp),
+         |a$r AS (SELECT id FROM a${r - 1}
+         |  WHERE id NOT IN (SELECT id FROM w$r)
+         |    AND id NOT IN (SELECT adj.t FROM adj
+         |                   JOIN w$r w ON adj.f = w.id))""".stripMargin
+    }
+    val misUnion = (1 to rounds).map(r => s"SELECT id FROM w$r")
+      .mkString(" UNION ")
+    ((head +: steps).mkString(",\n")) + s",\nmis AS ($misUnion)\n" +
+      """SELECT verts.id, verts.id IN (SELECT id FROM mis) AS in_mis
+        |FROM verts ORDER BY verts.id""".stripMargin
+  }
+
   /** Unrolled multi-source-BFS CTE chain (shared by the harmonic and
     * landmark-distance oracles — the exact replay of
     * [[graft.operators.GraphAnalytics.hashSpreadBfs]]): hash-spread
@@ -1150,6 +1233,9 @@ object GraphQueries {
     "qX_harmonic" -> harmonicSql(numSources = 8, maxDepth = 4),
     "qX_betweenness" -> betweennessSql(numSources = 8),
     "qX_hits" -> hitsSql(iters = 3),
+    "qX_eigenvector" -> eigenvectorSql(iters = 3),
+    "qX_mis" -> misSql(rounds = 4),
+    "qX_cc_twostar" -> CcSql,
     "qX_walk_subsample" -> walkSubsampleSql(t = 0.005, seed = 7L),
     "qX_neg_table" -> negTableSql(power = 0.75),
     "qX_walk_pairs" ->

@@ -171,6 +171,44 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(h(rodyId) == 2666666L && h.values.min == 2666666L)
   }
 
+  test("graph facade: eigenvector, independentSet, communitiesTwoStar, sketch overlap") {
+    import spark.implicits._
+    // eigenvector over string vertex keys: every vertex scored, mass
+    // sums to ~1e6 (rounding slack ≤ #vertices micros)
+    val eig = engine.eigenvector(3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eig.size == 6)
+    assert(math.abs(eig.values.sum - 1000000L) <= 6L)
+    // MIS on string ids (struct-ordered priorities): independent and
+    // maximal on the 6-person knows graph
+    val mis = engine.independentSet(4).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val und = graft.operators.Pymk.undirected(engine.edges)
+      .select("from", "to").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(mis.values.exists(identity))
+    assert(und.forall { case (a, b) => !(mis(a) && mis(b)) },
+      "adjacent pair inside the MIS")
+    assert(mis.filter(!_._2).keys.forall(v =>
+      und.exists { case (a, b) => a == v && mis(b) }), "not maximal")
+    // two-star CC groups vertices exactly like min-label communities
+    val two = engine.communitiesTwoStar().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val lab = engine.communities().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two.keySet == lab.keySet)
+    assert(two.groupBy(_._2).values.map(_.keySet).toSet ==
+      lab.groupBy(_._2).values.map(_.keySet).toSet,
+      "component partitions differ")
+    // theta-sketch overlap on two overlapping id frames
+    val a = (1 to 300).map(i => s"id-$i").toDF("v")
+    val b = (201 to 500).map(i => s"id-$i").toDF("v")
+    val ov = engine.overlapSketch(a, "v", b, "v", 64).collect().head
+    assert(ov.getAs[Long]("est_union") > 0)
+    val ds = engine.distinctSketch(a, "v", 64).collect().head
+    assert(math.abs(ds.getAs[Long]("est") - 300L) <= 120L)
+  }
+
   test("batching facade: asOf directions, lengthBuckets, packSequences") {
     import spark.implicits._
     // as-of: align a metric frame to the latest state per key —

@@ -742,4 +742,41 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("kmv: exact below capacity, tolerant above, set ops match exact overlap, mergeable") {
+    import graft.operators.Sketches
+    // below capacity: the sketch holds every hash → exact count
+    val small = (1 to 40).map(i => s"u$i").toDF("uid")
+    val es = Sketches.kmvEstimate(small, "uid", 64).collect().head
+    assert((es.getLong(0), es.getLong(1)) == (40L, 40L))
+    // above capacity: 10k distinct at k=256 (rse ≈ 1/√254 ≈ 6%)
+    val big = (1 to 10000).map(i => s"user-$i").toDF("uid")
+    val eb = Sketches.kmvEstimate(big, "uid", 256).collect().head
+    assert(eb.getLong(0) == 256L)
+    assert(math.abs(eb.getLong(1) - 10000L) <= 2000L, s"est=${eb.getLong(1)}")
+    // overlap: |A∩B| = 2000, |A∪B| = 10000, J = 0.2
+    val a = (1 to 6000).map(i => s"user-$i").toDF("uid")
+    val b = (4001 to 10000).map(i => s"user-$i").toDF("uid")
+    val r = Sketches.kmvIntersectEstimate(a, "uid", b, "uid", 256)
+      .collect().head
+    assert(math.abs(r.getAs[Long]("est_union") - 10000L) <= 2000L)
+    assert(math.abs(r.getAs[Long]("est_intersect") - 2000L) <= 1200L)
+    // both below capacity: set ops are exact
+    val a2 = (1 to 30).map(i => s"x$i").toDF("uid")
+    val b2 = (21 to 50).map(i => s"x$i").toDF("uid")
+    val r2 = Sketches.kmvIntersectEstimate(a2, "uid", b2, "uid", 64)
+      .collect().head
+    assert(r2.getAs[Long]("est_intersect") == 10L)
+    assert(r2.getAs[Long]("est_union") == 50L)
+    assert(r2.getAs[Long]("jaccard_micros") == 200000L)
+    // mergeability: bottom-k of the two sketches' union == one-pass
+    // sketch of the concatenated input
+    val onePass = Sketches.kmvSketch(a.unionByName(b), "uid", 256)
+      .collect().map(_.getLong(0)).toSeq
+    val merged = Sketches.kmvSketch(a, "uid", 256)
+      .unionByName(Sketches.kmvSketch(b, "uid", 256))
+      .distinct().orderBy(col("hv")).limit(256)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == onePass)
+  }
 }
