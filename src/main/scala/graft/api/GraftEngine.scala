@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{AlbumEntry, Bizcard, KnowsEdge, PersonVertex, PymkResponse}
 import graft.operators.{GraphBuild, Parse, Pymk, Search, SearchIndex}
@@ -769,6 +769,42 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def evalAuc(scored: DataFrame, labelCol: String,
               scoreCol: String): DataFrame =
     graft.operators.Eval.aucRank(scored, labelCol, scoreCol)
+
+  /** Average precision @k per query
+    * ([[graft.operators.Eval.averagePrecisionAtK]]) — MAP's per-query
+    * term, the position-sensitive companion to [[evalRankMetrics]]. */
+  def evalAveragePrecision(run: DataFrame, qrels: DataFrame,
+                           k: Int = 10): DataFrame =
+    graft.operators.Eval.averagePrecisionAtK(run, qrels, k)
+
+  /** Jensen–Shannon divergence between two categorical distributions
+    * ([[graft.operators.Drift.jsDivergence]]) — vocabulary/label drift
+    * where PSI's fixed bins don't apply. */
+  def vocabularyDrift(a: DataFrame, b: DataFrame,
+                      keyCol: String): DataFrame =
+    graft.operators.Drift.jsDivergence(a, b, keyCol)
+
+  /** Winnowing fingerprints
+    * ([[graft.operators.TextAnalysis.winnow]]) — positions of shared
+    * token runs, the MOSS selection rule. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame =
+    graft.operators.TextAnalysis.winnow(docs, idCol, textCol, k, w)
+
+  /** Blocking-quality report
+    * ([[graft.operators.EntityResolution.blockingQuality]]) — reduction
+    * ratio + pair completeness of a linkage blocking key. */
+  def blockingReport(records: DataFrame, idCol: String, blockCol: String,
+                     entityCol: String): DataFrame =
+    graft.operators.EntityResolution.blockingQuality(records, idCol,
+      blockCol, entityCol)
+
+  /** UCB1 bandit scores per arm
+    * ([[graft.operators.Events.ucbScores]]) — the deterministic
+    * explore/exploit readout over an interaction log. */
+  def banditScores(events: DataFrame, armCol: Column,
+                   rewardCol: Column): DataFrame =
+    graft.operators.Events.ucbScores(events, armCol, rewardCol)
 
   /** Reliability bins + ECE-ready table for a scored frame
     * ([[graft.operators.Eval.calibrationBins]]). */

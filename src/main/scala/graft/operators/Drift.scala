@@ -59,6 +59,43 @@ object Drift {
     terms.unionAll(total).orderBy("bin")
   }
 
+  /** Jensen–Shannon divergence between two CATEGORICAL distributions
+    * (Lin 1991) — the symmetric, always-finite companion to [[psi]]
+    * for unbounded key spaces (token vocabularies, URL hosts, label
+    * sets) where fixed value bins don't apply and one-sided zeros
+    * would blow KL up: each side's missing keys contribute through
+    * the mixture M = (P+Q)/2, no smoothing needed, and JSD ≤ ln 2.
+    *
+    * Per key the contribution
+    * `round(5e5·(p·ln(p/m) + q·ln(q/m)))` micros (0·ln0 = 0) is an
+    * integer, so the total is fold-order-free; proportions are exact
+    * integer ratios. One full-outer count join + one broadcast of the
+    * two totals — never a driver-side vocabulary.
+    *
+    * @return one row (n_keys, n_a, n_b, jsd_micros).
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    def cnt(df: DataFrame, n: String) =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as(n))
+    val g = cnt(a, "na").join(cnt(b, "nb"), Seq("k"), "full")
+      .select(col("k"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = g.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val terms = g.crossJoin(broadcast(tot))
+      .withColumn("pa", col("na") / col("ta"))
+      .withColumn("pb", col("nb") / col("tb"))
+      .withColumn("m", (col("pa") + col("pb")) / lit(2.0))
+      .select(
+        round(lit(5e5) *
+          (when(col("na") > 0, col("pa") * log(col("pa") / col("m")))
+            .otherwise(lit(0.0)) +
+           when(col("nb") > 0, col("pb") * log(col("pb") / col("m")))
+            .otherwise(lit(0.0)))).cast("long").as("term"),
+        col("ta"), col("tb"))
+    terms.agg(count(lit(1)).as("n_keys"), max(col("ta")).as("n_a"),
+      max(col("tb")).as("n_b"), sum(col("term")).as("jsd_micros"))
+  }
+
   /** One-sided CUSUM change-point detection (Page 1954) over
     * day-bucketed means — the sequential-drift sibling of [[psi]]:
     * `S_t = max(0, S_{t−1} + (x̄_t − ref − slack))` alarms when the

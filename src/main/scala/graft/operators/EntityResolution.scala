@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Probabilistic record linkage (Fellegi & Sunter 1969) — the
@@ -109,5 +109,46 @@ object EntityResolution {
         score.as("score_micros"))
       .filter(col("score_micros") >= threshold)
       .orderBy("id1", "id2")
+  }
+
+  /** Blocking-quality report (Christen 2012's reduction ratio + pair
+    * completeness) — the metrics that decide whether a blocking key is
+    * SAFE before anyone runs [[scorePairs]] on it: reduction ratio =
+    * how much of the all-pairs space the blocks prune; pair
+    * completeness = what fraction of TRUE duplicate pairs (same
+    * `entityCol`, the planted ground truth) still co-block and are
+    * therefore findable at all. A key with high reduction but low
+    * completeness silently loses matches — this report is the gate.
+    *
+    * Pure counting, never materializes pairs: every pair count is
+    * `Σ m·(m−1)/2` over group sizes (the shift keeps it integer-exact),
+    * three keyed folds + one 4-way broadcast of 1-row totals.
+    *
+    * @return one row (n, n_cand, n_truth, n_found, reduction_micros,
+    *         completeness_micros).
+    */
+  def blockingQuality(records: DataFrame, idCol: String, blockCol: String,
+                      entityCol: String): DataFrame = {
+    def pairSum(gs: DataFrame) = gs
+      .agg(coalesce(sum(shiftright(col("m") * (col("m") - 1), 1)), lit(0L))
+        .as("p"))
+    def grouped(c: Column) =
+      records.groupBy(c.as("g")).agg(count(lit(1)).as("m"))
+    val nTot = records.agg(count(lit(1)).as("n"))
+    val cand = pairSum(grouped(col(blockCol))).withColumnRenamed("p", "n_cand")
+    val truth = pairSum(grouped(col(entityCol)))
+      .withColumnRenamed("p", "n_truth")
+    val found = pairSum(records
+        .groupBy(col(entityCol).as("e"), col(blockCol).as("b"))
+        .agg(count(lit(1)).as("m")))
+      .withColumnRenamed("p", "n_found")
+    nTot.crossJoin(cand).crossJoin(truth).crossJoin(found)
+      .select(col("n"), col("n_cand"), col("n_truth"), col("n_found"),
+        floor(lit(1e6) * (lit(1.0) - col("n_cand") /
+            shiftright(col("n") * (col("n") - 1), 1)))
+          .cast("long").as("reduction_micros"),
+        when(col("n_truth") === 0, lit(1000000L))
+          .otherwise(floor(lit(1e6) * col("n_found") / col("n_truth"))
+            .cast("long")).as("completeness_micros"))
   }
 }

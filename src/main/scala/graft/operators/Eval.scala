@@ -167,6 +167,51 @@ object Eval {
       .orderBy(col("qid"))
   }
 
+  /** Average precision @k per query (MAP's per-query term) — the
+    * rank metric that rewards putting relevant items EARLY, not just
+    * inside the cutoff (the [[rankMetricsAtK]] precision column is
+    * position-blind). Run re-ranked by (score desc, id asc); at each
+    * relevant rank r the precision-so-far `hits_r / r` contributes
+    * `floor(1e6·hits_r/r)` micros; `ap_micros` is the integer term
+    * sum divided by `min(n_rel, k)` (the @k-normalized convention).
+    * Integer terms are fold-order-free and the per-term floor bias is
+    * bounded by n_hit micros — the modularity-term convention, exact
+    * in the DuckDB oracle.
+    *
+    * Shape: windows only touch the k-bounded run (never a corpus);
+    * one equi-join against the judgment table; one keyed fold.
+    *
+    * @return (qid, n_rel, n_hit, ap_micros) ordered by qid — a query
+    *         with no judged-relevant docs is omitted (AP undefined).
+    */
+  def averagePrecisionAtK(run: DataFrame, qrels: DataFrame,
+                          k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    val ranked = run.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val rel = qrels.select(col("qid"), col("id")).distinct()
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val cumW = Window.partitionBy("qid").orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = ranked
+      .join(rel.withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .withColumn("cum", sum(col("hit")).over(cumW))
+    val terms = marked.filter(col("hit") === 1L)
+      .groupBy("qid")
+      .agg(sum(floor(lit(1e6) * col("cum") / col("rank")).cast("long"))
+          .as("sum_prec"),
+        count(lit(1)).as("n_hit"))
+    nRel.join(terms, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(
+          floor(col("sum_prec") / least(col("n_rel"), lit(k.toLong)))
+            .cast("long"),
+          lit(0L)).as("ap_micros"))
+      .orderBy(col("qid"))
+  }
+
   /** Corpus-level BLEU (Papineni et al. 2002) of a candidate text
     * column against a reference column — the n-gram overlap metric a
     * pipeline gates generated/translated/augmented text on before

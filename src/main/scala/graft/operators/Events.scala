@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,5 +192,29 @@ object Events {
         col("med2_micros"), col("mad4").as("mad4_micros"),
         col("n_outliers"))
       .orderBy(groupCol)
+  }
+
+  /** UCB1 exploration scores (Auer, Cesa-Bianchi & Fischer 2002) per
+    * arm from the interaction log — the deterministic bandit readout a
+    * recommender replays offline: `mean_reward + √(2·ln N / n)`, the
+    * arm with the highest bound is what UCB1 would pull next. Pulls
+    * and wins are exact integer folds; the bound is ONE fixed IEEE
+    * expression over them (the [[Stats.welchT]] convention), floored
+    * to micros. Cold arms (few pulls) surface through the radical —
+    * the exploration term the greedy mean-ranking lacks.
+    *
+    * @return (arm, n_pulls, n_wins, ucb_micros) ordered by arm.
+    */
+  def ucbScores(events: DataFrame, armCol: Column,
+                rewardCol: Column): DataFrame = {
+    val g = events.select(armCol.as("arm"), rewardCol.cast("long").as("r"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_pulls"), sum(col("r")).as("n_wins"))
+    g.crossJoin(broadcast(g.agg(sum(col("n_pulls")).as("big_n"))))
+      .select(col("arm"), col("n_pulls"), col("n_wins"),
+        floor(lit(1e6) * (col("n_wins") / col("n_pulls") +
+            sqrt(lit(2.0) * log(col("big_n")) / col("n_pulls"))))
+          .cast("long").as("ucb_micros"))
+      .orderBy(col("arm"))
   }
 }

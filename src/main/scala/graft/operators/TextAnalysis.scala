@@ -220,6 +220,48 @@ object TextAnalysis {
   def normalizedFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenize(text)))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS selection rule): hash every k-token shingle (md5-portable,
+    * document order), then in every w-wide window of consecutive
+    * shingle positions keep the MINIMAL hash, rightmost on ties. The
+    * guarantee: two documents sharing a token run of ≥ w+k−1 tokens
+    * share a selected fingerprint, while only ~2/(w+1) of positions
+    * are kept — the local-selection upgrade over [[Dedup]]'s global
+    * MinHash when you need POSITIONS of overlap, not just pair scores.
+    *
+    * Rightmost-min is ONE window min over the composite integer
+    * `hv·2²⁰ + (2²⁰−1−pos)` (hash-major ascending, position descending
+    * on hash ties — shingle positions must fit 20 bits; chunk longer
+    * docs via [[chunkDocuments]] first), so the whole selection is a
+    * narrow per-doc window — no self-join — and replays exactly in
+    * SQL. Only FULL windows select (docs with fewer than w shingles
+    * yield no fingerprints — lower w for short docs).
+    *
+    * @return (doc_id, pos, hv) distinct selected fingerprints,
+    *         pos = 0-based shingle position.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 3, w: Int = 4): DataFrame = {
+    import graft.functions.expr.TextExprs.word_ngrams
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(word_ngrams(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.operators.Sampling.md5Bucket(col("gram")).as("hv"))
+    val wWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("ck",
+        col("hv") * lit(1048576L) + (lit(1048575L) - col("pos")))
+      .withColumn("mk", min(col("ck")).over(wWin))
+      .withColumn("n_in", count(lit(1)).over(wWin))
+      .filter(col("n_in") === w)
+      .select(col("doc_id"),
+        (lit(1048575L) - (col("mk") % lit(1048576L))).as("pos"),
+        floor(col("mk") / lit(1048576L)).cast("long").as("hv"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   // ------------------------------------------------------ PII redaction
 
   /** Phone-looking digit run: optional +, then ≥ 8 digit/paren/dash

@@ -179,6 +179,15 @@ object EventQueries {
         e.filter(col("ts") >= lit(SplitTs).cast("timestamp")), "value")
     }),
 
+    // UCB1 bandit readout per item arm: mean purchase reward +
+    // sqrt(2 ln N / n) exploration bonus, one fixed IEEE expression
+    // over exact integer pull/win folds.
+    "qX_ucb" -> ((s, dir) => {
+      Events.ucbScores(t(s, dir, "events"),
+        floor(col("value")).cast("long") % 50,
+        (col("event_type") === "purchase").cast("int"))
+    }),
+
     // KMV bottom-k distinct estimate — the md5-portable theta sketch;
     // the ESTIMATE is the oracle contract (the sketch itself replays).
     "qX_kmv" -> ((s, dir) => {
@@ -501,6 +510,18 @@ object EventQueries {
         |          CAST(floor(1000000 * cum.cb / tot.tb) AS BIGINT)))
         |    AS ks_micros
         |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    "qX_ucb" ->
+      """WITH g AS (SELECT CAST(floor("value") AS BIGINT) % 50 AS arm,
+        |    count(*) AS n_pulls,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_wins
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS big_n FROM g)
+        |SELECT arm, CAST(n_pulls AS BIGINT) AS n_pulls, n_wins,
+        |  CAST(floor(1e6 * (n_wins / n_pulls +
+        |    sqrt(2.0 * ln(big_n) / n_pulls))) AS BIGINT) AS ucb_micros
+        |FROM g CROSS JOIN t ORDER BY arm""".stripMargin,
 
     "qX_kmv" ->
       """WITH h AS (SELECT DISTINCT

@@ -58,6 +58,23 @@ object RelationalQueries {
         threshold = 6000000L)
     }),
 
+    // Blocking-quality report: nationkey blocking over planted
+    // duplicates, a third of which shift blocks — reduction ratio vs
+    // the pair completeness the shifted copies cost. Pure counting,
+    // no pair materialization.
+    "qX_blocking" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val dirty = cust.select(
+        (col("c_custkey") + 100000).as("c_custkey"),
+        when(col("c_custkey") % 3 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("c_nationkey"))
+      val all = cust.unionAll(dirty)
+        .withColumn("entity", col("c_custkey") % 100000)
+      graft.operators.EntityResolution.blockingQuality(all,
+        "c_custkey", "c_nationkey", "entity")
+    }),
+
     // Golden records: linked duplicates cluster (CC fixpoint) and
     // each cluster elects one survivor by (acctbal desc, id) — the
     // originals win the tie against their planted copies.
@@ -825,6 +842,31 @@ object RelationalQueries {
        |    AND a.c_custkey < b.c_custkey)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "qX_blocking" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey FROM customer),
+        |dirty AS (SELECT c_custkey + 100000 AS c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM cust),
+        |a AS (SELECT c_custkey, c_nationkey, c_custkey % 100000 AS entity
+        |  FROM (SELECT * FROM cust UNION ALL SELECT * FROM dirty)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a),
+        |cand AS (SELECT CAST(coalesce(sum((m * (m - 1)) >> 1), 0)
+        |    AS BIGINT) AS n_cand
+        |  FROM (SELECT count(*) AS m FROM a GROUP BY c_nationkey)),
+        |truth AS (SELECT CAST(coalesce(sum((m * (m - 1)) >> 1), 0)
+        |    AS BIGINT) AS n_truth
+        |  FROM (SELECT count(*) AS m FROM a GROUP BY entity)),
+        |found AS (SELECT CAST(coalesce(sum((m * (m - 1)) >> 1), 0)
+        |    AS BIGINT) AS n_found
+        |  FROM (SELECT count(*) AS m FROM a GROUP BY entity, c_nationkey))
+        |SELECT nn.n, cand.n_cand, truth.n_truth, found.n_found,
+        |  CAST(floor(1e6 * (1.0 - cand.n_cand /
+        |    ((nn.n * (nn.n - 1)) >> 1))) AS BIGINT) AS reduction_micros,
+        |  CASE WHEN truth.n_truth = 0 THEN CAST(1000000 AS BIGINT)
+        |    ELSE CAST(floor(1e6 * found.n_found / truth.n_truth) AS BIGINT)
+        |  END AS completeness_micros
+        |FROM nn, cand, truth, found""".stripMargin,
     "qX_golden" ->
       (erCte(recursive = true) +
         """,

@@ -118,6 +118,30 @@ object SimilarityQueries {
       graft.operators.Eval.rankMetricsAtK(fused, qrels, 10)
     }),
 
+    // AP@10 (MAP's per-query term) of the fused run vs dense top-3:
+    // precision-at-each-relevant-rank, integer-micro terms — the
+    // position-sensitive companion to qX_rank_metrics.
+    "qX_avg_precision" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val (postings, stats, n) = SearchIndex.build(docs, "doc_id", Seq("text"))
+      val batch = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokenize(col("text"))).as("term"))
+      val lexical = SearchIndex.batchQuery(postings, stats, n, "text",
+        batch, 10, excludeSelf = true)
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", "vec_id", "embedding", 10)
+        .withColumnRenamed("sim", "score")
+      val fused = Hybrid.rrf(Seq(lexical, dense), k = 10)
+        .withColumnRenamed("rrf_micros", "score")
+      val iw = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("score"), asc("id"))
+      val qrels = dense.withColumn("rank", row_number().over(iw))
+        .filter(col("rank") <= 3).select(col("qid"), col("id"))
+      graft.operators.Eval.averagePrecisionAtK(fused, qrels, 10)
+    }),
+
     // Hard-negative mining (DPR/Contriever prep): per query the top-5
     // most-similar DIFFERENT-label corpus vectors — the label guard
     // fused into the broadcast join, pruning before the cosine; same
@@ -1089,6 +1113,28 @@ object SimilarityQueries {
       |  CAST(floor(1e6 * COALESCE(h.n_hit, 0) / n.n_rel) AS BIGINT)
       |    AS recall_micros
       |FROM nrel n LEFT JOIN hits h USING (qid)
+      |ORDER BY n.qid""".stripMargin),
+    // AP@10 of the same fused run vs the dense top-3 relevant set —
+    // the rank in franked's rn IS the (score desc, id) re-rank.
+    "qX_avg_precision" -> (RrfHybridCte + """,
+      |qrels AS (SELECT qid, id FROM dranked WHERE rn <= 3),
+      |nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1),
+      |marked AS (SELECT f.qid, f.rn AS rank,
+      |    CASE WHEN q.id IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM franked f LEFT JOIN qrels q ON q.qid = f.qid AND q.id = f.id
+      |  WHERE f.rn <= 10),
+      |cum AS (SELECT qid, rank, hit, sum(hit) OVER (PARTITION BY qid
+      |    ORDER BY rank ROWS UNBOUNDED PRECEDING) AS c FROM marked),
+      |terms AS (SELECT qid,
+      |    CAST(sum(CAST(floor(1e6 * c / rank) AS BIGINT)) AS BIGINT)
+      |      AS sum_prec,
+      |    count(*) AS n_hit
+      |  FROM cum WHERE hit = 1 GROUP BY 1)
+      |SELECT n.qid, CAST(n.n_rel AS BIGINT) AS n_rel,
+      |  CAST(COALESCE(t.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(floor(t.sum_prec / least(n.n_rel, 10)), 0)
+      |    AS BIGINT) AS ap_micros
+      |FROM nrel n LEFT JOIN terms t USING (qid)
       |ORDER BY n.qid""".stripMargin),
     "qX_kmeans" ->
       """SELECT count(*) AS n_groups, count(*) AS n_pure,

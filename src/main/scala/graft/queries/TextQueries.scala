@@ -610,6 +610,25 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // Winnowing fingerprints (MOSS): per 4-window of 3-gram hashes
+    // keep the rightmost minimum — positions of overlap, local
+    // guarantee, ~2/(w+1) selection density.
+    "qX_winnow" -> ((s, dir) => {
+      TextAnalysis.winnow(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", k = 3, w = 4)
+    }),
+
+    // Jensen–Shannon divergence between two sources' token
+    // distributions — the symmetric vocabulary-drift monitor (finite
+    // with zero smoothing; per-key integer-micro terms).
+    "qX_jsd" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def toks(src: String) = docs.filter(col("source") === src)
+        .select(explode(tokenize(col("text"))).as("tok"))
+      graft.operators.Drift.jsDivergence(toks("src0"), toks("src1"), "tok")
+    }),
+
     // Corpus vocabulary: global top-50 tokens by frequency (the
     // tokenizer-training precursor; bounded-heap top-V, no full sort).
     "qX_vocab" -> ((s, dir) => {
@@ -1551,6 +1570,58 @@ object TextQueries {
          |  row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
          |SELECT token, cnt, rank FROM r WHERE rank <= 50
          |ORDER BY rank""".stripMargin,
+    "qX_winnow" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(toks[i:i+2], ' ') AS gram
+        |  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+        |  WHERE len(toks) >= 3),
+        |h AS (SELECT doc_id, pos,
+        |    CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS hv
+        |  FROM g),
+        |k AS (SELECT doc_id, pos, hv,
+        |    hv * 1048576 + (1048575 - pos) AS ck FROM h),
+        |m AS (SELECT doc_id,
+        |    min(ck) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in
+        |  FROM k)
+        |SELECT DISTINCT doc_id,
+        |  CAST(1048575 - (mk % 1048576) AS BIGINT) AS pos,
+        |  CAST(floor(mk / 1048576) AS BIGINT) AS hv
+        |FROM m WHERE n_in = 4
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "qX_jsd" ->
+      """WITH ta AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS k
+        |  FROM documents WHERE source = 'src0'),
+        |tb AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS k
+        |  FROM documents WHERE source = 'src1'),
+        |ca AS (SELECT k, count(*) AS na FROM ta GROUP BY 1),
+        |cb AS (SELECT k, count(*) AS nb FROM tb GROUP BY 1),
+        |g AS (SELECT coalesce(ca.k, cb.k) AS k, coalesce(na, 0) AS na,
+        |    coalesce(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.k = cb.k),
+        |tt AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |  CAST(sum(nb) AS BIGINT) AS tb FROM g),
+        |terms AS (SELECT CAST(round(5e5 * (
+        |    (CASE WHEN na > 0 THEN (na / tt.ta) * ln((na / tt.ta) /
+        |      ((na / tt.ta + nb / tt.tb) / 2)) ELSE 0 END) +
+        |    (CASE WHEN nb > 0 THEN (nb / tt.tb) * ln((nb / tt.tb) /
+        |      ((na / tt.ta + nb / tt.tb) / 2)) ELSE 0 END)))
+        |  AS BIGINT) AS term
+        |  FROM g CROSS JOIN tt)
+        |SELECT (SELECT count(*) FROM g) AS n_keys, tt.ta AS n_a,
+        |  tt.tb AS n_b,
+        |  (SELECT CAST(sum(term) AS BIGINT) FROM terms) AS jsd_micros
+        |FROM tt""".stripMargin,
+
     "qX_dsir_weights" ->
       s"""SELECT doc_id, n_feats, w_micros FROM ($DsirWeightsSql)
          |ORDER BY doc_id""".stripMargin,

@@ -291,4 +291,51 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
       else assert(!got.contains((s, v)), s"d($s,$v) beyond horizon")
     }
   }
+
+  test("averagePrecisionAtK: hand-computed AP, no-hit query, @k normalization") {
+    import spark.implicits._
+    // q1: relevant at ranks 1 and 3 of {a,b,c,d} → AP terms 1/1, 2/3;
+    // n_rel = 2 → ap = (1000000 + 666666) / 2 = 833333
+    val run = Seq((1L, "a", 40L), (1L, "b", 30L), (1L, "c", 20L),
+      (1L, "d", 10L), (2L, "a", 5L), (2L, "b", 4L))
+      .toDF("qid", "id", "score")
+    val qrels = Seq((1L, "a"), (1L, "c"), (2L, "zzz"))
+      .toDF("qid", "id")
+    val got = graft.operators.Eval.averagePrecisionAtK(run, qrels, 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (2L, 2L, 833333L))
+    assert(got(2L) == (1L, 0L, 0L)) // judged but never retrieved
+    // @k normalization: k=1 cuts the run to rank 1 (one hit of two
+    // relevant) but divides by min(n_rel, k) = 1 → AP@1 = 1.0
+    val at1 = graft.operators.Eval.averagePrecisionAtK(run, qrels, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(at1(1L) == 1000000L)
+  }
+
+  test("winnow: shared-run guarantee, density, rightmost tie on a repeated gram") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "we saw the quick brown fox jumps over a fence yesterday"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fp = graft.operators.TextAnalysis
+      .winnow(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    // shared token run "the quick brown fox jumps over" has length 6
+    // = w + k - 1 → the guarantee: at least one shared fingerprint
+    assert((h1 & h2).nonEmpty, s"no shared fingerprint: $h1 vs $h2")
+    // density: selected positions are a strict subset of all positions
+    assert(fp.count(_._1 == 1L) < 8) // doc 1 has 8 shingle positions
+    // rightmost tie: a doc of one repeated token has equal hashes
+    // everywhere — each window keeps its RIGHTMOST position, so the
+    // selected set is every position from w-1 on (windows slide by 1)
+    val rep = Seq((3L, Array.fill(8)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rfp = graft.operators.TextAnalysis
+      .winnow(rep, "doc_id", "text", k = 3, w = 4)
+      .collect().map(_.getLong(1)).sorted
+    assert(rfp.toSeq == Seq(3L, 4L, 5L)) // 6 shingles, windows 0..2
+  }
 }

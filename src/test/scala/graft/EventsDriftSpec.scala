@@ -563,4 +563,57 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq(("neg", 2L, 0L, 4000000L),
       ("pos", 2L, 2L, 4000000L)))
   }
+
+  test("jsDivergence: 0 on identical, ln2 on disjoint, symmetric in between") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val a = Seq("x", "x", "y", "z").toDF("k")
+    val same = Drift.jsDivergence(a, a, "k").collect().head
+    assert((same.getLong(0), same.getLong(3)) == (3L, 0L))
+    // disjoint supports: JSD = ln 2 ≈ 693147 micros (± per-key rounding)
+    val b = Seq("p", "q", "q", "r").toDF("k")
+    val dis = Drift.jsDivergence(a, b, "k").collect().head
+    assert(dis.getLong(0) == 6L)
+    assert(math.abs(dis.getLong(3) - 693147L) <= 6L, s"jsd=${dis.getLong(3)}")
+    // symmetry: swapping sides gives the identical statistic
+    val ab = Drift.jsDivergence(a, b, "k").collect().head.getLong(3)
+    val ba = Drift.jsDivergence(b, a, "k").collect().head.getLong(3)
+    assert(ab == ba)
+  }
+
+  test("ucbScores: hand-computed bound; cold arm outranks on exploration") {
+    import spark.implicits._
+    import graft.operators.Events
+    // arm 1: 8 pulls 4 wins; arm 2: 2 pulls 0 wins; N = 10
+    val log = (Seq.fill(4)((1L, 1)) ++ Seq.fill(4)((1L, 0)) ++
+      Seq.fill(2)((2L, 0))).toDF("arm", "r")
+    val got = Events.ucbScores(log, col("arm"), col("r")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val u1 = math.floor(1e6 * (0.5 + math.sqrt(2.0 * math.log(10.0) / 8.0)))
+    val u2 = math.floor(1e6 * (0.0 + math.sqrt(2.0 * math.log(10.0) / 2.0)))
+    assert(got(1L) == (8L, 4L, u1.toLong))
+    assert(got(2L) == (2L, 0L, u2.toLong))
+    // the 0-win cold arm still outranks: exploration term dominates
+    assert(got(2L)._3 > got(1L)._3)
+  }
+
+  test("blockingQuality: hand-computed reduction and completeness") {
+    import spark.implicits._
+    import graft.operators.EntityResolution
+    // 6 records, 3 entities of 2; entity C split across blocks
+    val recs = Seq(
+      (1L, "b1", "A"), (2L, "b1", "A"),
+      (3L, "b1", "B"), (4L, "b1", "B"),
+      (5L, "b1", "C"), (6L, "b2", "C")
+    ).toDF("id", "block", "entity")
+    val r = EntityResolution.blockingQuality(recs, "id", "block", "entity")
+      .collect().head
+    // candidates: block b1 has 5 records → 10 pairs; b2 → 0
+    // truth: 3 entity pairs; found: A,B co-blocked, C split → 2
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (6L, 10L, 3L, 2L))
+    assert(r.getLong(4) == math.floor(1e6 * (1.0 - 10.0 / 15.0)).toLong)
+    assert(r.getLong(5) == 666666L)
+  }
 }
