@@ -960,6 +960,25 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def communitiesTwoStar(): DataFrame =
     graft.operators.GraphAnalytics.ccTwoStar(edges)
 
+  /** Seeded label spreading over the engine's graph
+    * ([[graft.operators.GraphAnalytics.labelSpread]]) — clamped-seed
+    * semi-supervised node classification. */
+  def spreadLabels(seeds: DataFrame, rounds: Int = 3): DataFrame =
+    graft.operators.GraphAnalytics.labelSpread(edges, seeds, rounds)
+
+  /** Equal-frequency quantile binning on the distributed global-rank
+    * primitive ([[graft.operators.Features.quantileBins]]). */
+  def quantileBins(df: DataFrame, valueCol: String, tieCol: String,
+                   nBins: Int = 10): DataFrame =
+    graft.operators.Features.quantileBins(df, valueCol, tieCol, nBins)
+
+  /** Sparse random projection
+    * ([[graft.operators.Pca.randomProject]]) — data-free JL
+    * dimensionality reduction. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, inDim: Int): DataFrame =
+    graft.operators.Pca.randomProject(df, idCol, vecCol, outDim, inDim)
+
   /** KMV theta-sketch distinct estimate
     * ([[graft.operators.Sketches.kmvEstimate]]). */
   def distinctSketch(df: DataFrame, valueCol: String,

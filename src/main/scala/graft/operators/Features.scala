@@ -101,4 +101,27 @@ object Features {
       .crossJoin(broadcast(global))
       .drop("_sum", "_n")
   }
+
+  /** Equal-frequency discretization (quantile binning): assign each
+    * row `bin = ⌊nBins·(rank−1)/n⌋` of its value's GLOBAL rank — the
+    * feature transform that makes a skewed numeric column uniform for
+    * downstream bucketed models. Exact, not sketch-approximate: rank
+    * comes from [[Packing.globalRank]] (range partition +
+    * per-partition window + O(#partitions) driver offsets), so there
+    * is never a single global sort window — the plan that survives
+    * 100 TB where `ntile()` would funnel every row through one
+    * reducer. Ties break by `tieCol`, making the assignment total and
+    * engine-replayable; all operands stay exact in double (< 2⁵³).
+    *
+    * @return (tieCol, valueCol, bin) — bin in [0, nBins).
+    */
+  def quantileBins(df: DataFrame, valueCol: String, tieCol: String,
+                   nBins: Int): DataFrame = {
+    val (ranked, n) = Packing.globalRank(
+      df.select(col(valueCol).as("v"), col(tieCol).as("tie")),
+      Seq("v", "tie"))
+    ranked.select(col("tie").as(tieCol), col("v").as(valueCol),
+      floor(lit(nBins.toLong) * (col("_grank") - 1) / lit(n))
+        .cast("long").as("bin"))
+  }
 }

@@ -1622,6 +1622,50 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** Seeded label spreading (Zhu & Ghahramani 2002's label propagation
+    * with CLAMPED seeds) — semi-supervised node classification: a few
+    * labeled vertices spread their labels over the undirected simple
+    * view; per round every non-seed takes the label with the highest
+    * labeled-neighbor count (ties to the smaller label), seeds never
+    * change, unreached vertices stay unlabeled. Unlike the
+    * unsupervised [[GraphAnalytics]] LPA, the fixed seed set makes
+    * every round a deterministic function of the graph — the whole
+    * `rounds`-iteration computation replays as unrolled CTEs.
+    *
+    * 100 TB shape per round: one edge-keyed join against the current
+    * label table + one (vertex, label) count fold + one bounded
+    * per-vertex argmax (label cardinality = #seed labels, small) —
+    * the X18 lazy-chain/localCheckpoint cadence.
+    *
+    * @param seeds (id, label) — clamped ground truth.
+    * @return (id, label) for every vertex reached within `rounds`.
+    */
+  def labelSpread(edges: DataFrame, seeds: DataFrame,
+                  rounds: Int = 3): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("f"), col("v").as("t"))
+      .unionAll(canon.select(col("v").as("f"), col("u").as("t")))
+      .localCheckpoint(true)
+    val seed = seeds.select(col("id"), col("label")).localCheckpoint(true)
+    var cur = seed
+    for (_ <- 1 to rounds) {
+      val counts = adj
+        .join(cur.select(col("id").as("t"), col("label")), "t")
+        .groupBy(col("f").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val pick = TopK.grouped(counts, Seq("id"),
+          struct((-col("cnt")).as("nc"), col("label").as("l")), 1)
+        .select(col("id"), col("best.l").as("label"))
+      cur = seed.unionByName(
+          pick.join(seed.select(col("id")), Seq("id"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    cur.orderBy(col("id"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al. 2014) — the O(log² n)-round CC that holds at
     * 100 TB where per-round label propagation

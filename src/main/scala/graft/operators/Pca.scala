@@ -190,4 +190,34 @@ object Pca {
       .select(col(idCol), col("c.component").as("component"),
         col("c.y_micro").as("y_micro"))
   }
+
+  /** Sparse random projection (Achlioptas 2003): the DATA-FREE
+    * dimensionality reduction next to PCA — entries
+    * `R_ji ∈ {+1, −1, 0}` with probabilities {1/6, 1/6, 2/3} drawn
+    * from `md5("rp:j:i") mod 6`, so the matrix needs no training
+    * pass, no storage (it regenerates from the dims alone), and the
+    * Johnson–Lindenstrauss distance guarantee holds with 2/3 of the
+    * multiplies skipped. The √(3/outDim) scale constant is left to
+    * the caller (distance COMPARISONS are scale-invariant; the spec
+    * pins the JL distortion bound on the rescaled form).
+    *
+    * Projection itself is [[projectMicro]] — per-term truncated
+    * integer micros, fold-order-free, fully oracle-replayable (the
+    * hash matrix regenerates in SQL).
+    *
+    * @return (id, component, y_micro) — outDim rows per input row.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, inDim: Int): DataFrame = {
+    val basis: Array[Array[Double]] = Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        graft.functions.expr.PortableHash.md5_32(s"rp:$j:$i") % 6 match {
+          case 0 => 1.0
+          case 1 => -1.0
+          case _ => 0.0
+        }
+      }
+    }
+    projectMicro(df, idCol, vecCol, basis)
+  }
 }

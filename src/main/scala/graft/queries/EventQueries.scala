@@ -179,6 +179,15 @@ object EventQueries {
         e.filter(col("ts") >= lit(SplitTs).cast("timestamp")), "value")
     }),
 
+    // Equal-frequency quantile binning on the distributed global-rank
+    // primitive — exact bins, never a single global sort window.
+    "qX_quantile_bins" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        floor(col("value") * lit(1e6)).cast("long").as("v"))
+      graft.operators.Features.quantileBins(e, "v", "event_id", 10)
+        .orderBy(col("event_id"))
+    }),
+
     // UCB1 bandit readout per item arm: mean purchase reward +
     // sqrt(2 ln N / n) exploration bonus, one fixed IEEE expression
     // over exact integer pull/win folds.
@@ -510,6 +519,16 @@ object EventQueries {
         |          CAST(floor(1000000 * cum.cb / tot.tb) AS BIGINT)))
         |    AS ks_micros
         |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    "qX_quantile_bins" ->
+      """WITH t AS (SELECT event_id,
+        |    CAST(floor("value" * 1e6) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_id, v,
+        |    row_number() OVER (ORDER BY v, event_id) AS rn FROM t),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT event_id, v,
+        |  CAST(floor(10 * (rn - 1) / n.n) AS BIGINT) AS bin
+        |FROM r CROSS JOIN n ORDER BY event_id""".stripMargin,
 
     "qX_ucb" ->
       """WITH g AS (SELECT CAST(floor("value") AS BIGINT) % 50 AS arm,

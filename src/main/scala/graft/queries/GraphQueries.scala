@@ -500,6 +500,20 @@ object GraphQueries {
       graft.operators.GraphAnalytics.maximalIndependentSet(edges, rounds = 4)
     }),
 
+    // Seeded label spreading: 4 hash-spread clamped seeds (label =
+    // own id) propagate by neighbor-majority (ties to smaller label),
+    // 3 rounds — semi-supervised node classification, unrolled oracle.
+    "qX_label_spread" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val verts = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id"))).distinct()
+      val seeds = verts
+        .orderBy(graft.operators.Sampling.md5Bucket(col("id")), col("id"))
+        .limit(4)
+        .select(col("id"), col("id").as("label"))
+      graft.operators.GraphAnalytics.labelSpread(edges, seeds, rounds = 3)
+    }),
+
     // Large-star/small-star CC — the O(log² n) edge-rewiring CC that
     // replaces diameter-many label rounds at 100 TB; converges to the
     // same canonical min-id labels as qX_cc_df, sharing its oracle.
@@ -1185,6 +1199,36 @@ object GraphQueries {
         |FROM verts ORDER BY verts.id""".stripMargin
   }
 
+  /** Unrolled seeded-label-spreading oracle for [[qX_label_spread]]:
+    * hash-spread clamped seeds, per round a labeled-neighbor count +
+    * (cnt desc, label asc) argmax for non-seeds — the exact replay of
+    * `GraphAnalytics.labelSpread`. */
+  private def labelSpreadSql(rounds: Int, nSeeds: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
+         |verts AS (SELECT DISTINCT f AS id FROM adj),
+         |seeds AS (SELECT id, id AS label FROM verts
+         |  ORDER BY CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
+         |    AS BIGINT), id LIMIT $nSeeds),
+         |l0 AS (SELECT id, label FROM seeds)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT adj.f AS id, l.label, count(*) AS cnt
+         |  FROM adj JOIN l${r - 1} l ON l.id = adj.t GROUP BY 1, 2),
+         |p$r AS (SELECT id, label FROM (SELECT id, label, row_number()
+         |    OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+         |  FROM c$r) x WHERE rn = 1),
+         |l$r AS (SELECT id, label FROM seeds
+         |  UNION ALL
+         |  SELECT p.id, p.label FROM p$r p
+         |  WHERE p.id NOT IN (SELECT id FROM seeds))""".stripMargin
+    }
+    ((head +: steps).mkString(",\n")) +
+      s"\nSELECT id, label FROM l$rounds ORDER BY id"
+  }
+
   /** Unrolled multi-source-BFS CTE chain (shared by the harmonic and
     * landmark-distance oracles — the exact replay of
     * [[graft.operators.GraphAnalytics.hashSpreadBfs]]): hash-spread
@@ -1234,6 +1278,7 @@ object GraphQueries {
     "qX_betweenness" -> betweennessSql(numSources = 8),
     "qX_hits" -> hitsSql(iters = 3),
     "qX_eigenvector" -> eigenvectorSql(iters = 3),
+    "qX_label_spread" -> labelSpreadSql(rounds = 3, nSeeds = 4),
     "qX_mis" -> misSql(rounds = 4),
     "qX_cc_twostar" -> CcSql,
     "qX_walk_subsample" -> walkSubsampleSql(t = 0.005, seed = 7L),

@@ -840,6 +840,15 @@ object SimilarityQueries {
     // mat-vec codegen kernel's gate twin, so the projection scan is
     // fully oracle-checked; the trained-basis path is PcaSpec's
     // planted-axes recovery + project==projectHof bit-equality.
+    // Sparse random projection 64→16 (Achlioptas {+1,−1,0} entries
+    // from md5): data-free JL reduction, integer-micro exact terms —
+    // the training-free sibling of qX_pca_project.
+    "qX_random_projection" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+      graft.operators.Pca.randomProject(emb, "vec_id", "embedding", 16, 64)
+        .orderBy(col("vec_id"), col("component"))
+    }),
+
     "qX_pca_project" -> ((s, dir) => {
       val basis = Array.tabulate(8, 64)((r, i) =>
         (((r * 64 + i).toLong * 2654435761L) % 1000L).toDouble / 1000.0 - 0.5)
@@ -1730,6 +1739,24 @@ object SimilarityQueries {
         |  WHERE b.di >= a.di GROUP BY 1, 2)
         |SELECT * FROM firsts UNION ALL SELECT * FROM pairs
         |ORDER BY i, j""".stripMargin,
+    "qX_random_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |ii AS (SELECT unnest(range(0, 64)) AS i),
+        |cells AS (SELECT jj.j, ii.i,
+        |    CASE (CAST(('0x' || substr(md5('rp:' || jj.j || ':' || ii.i),
+        |      1, 8)) AS BIGINT) % 6)
+        |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
+        |  FROM jj CROSS JOIN ii),
+        |terms AS (
+        |  SELECT e.vec_id, CAST(c.j AS INTEGER) AS component,
+        |    CAST(trunc(e.v[c.i + 1] * c.r * 1e6) AS BIGINT) AS t
+        |  FROM e CROSS JOIN cells c)
+        |SELECT vec_id, component, CAST(sum(t) AS BIGINT) AS y_micro
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY vec_id, component""".stripMargin,
     "qX_pca_project" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -862,4 +862,28 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
+
+  test("labelSpread: clamped seeds, frontier growth, smaller-label tie") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seeds: 1→label 10, 5→label 20
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("id", "label")
+    def run(r: Int) = graft.operators.GraphAnalytics
+      .labelSpread(path, seeds, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1: only direct neighbors labeled; middle vertex unreached
+    val r1 = run(1)
+    assert(r1 == Map(1L -> 10L, 2L -> 10L, 4L -> 20L, 5L -> 20L))
+    // round 2: vertex 3 sees both labels once each → tie → smaller
+    // label 10; seeds stay clamped despite labeled neighbors
+    val r2 = run(2)
+    assert(r2(3L) == 10L && r2(1L) == 10L && r2(5L) == 20L)
+    // majority beats smaller label: star center with two label-9
+    // leaves and one label-3 leaf takes 9
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s2 = Seq((1L, 9L), (2L, 9L), (3L, 3L)).toDF("id", "label")
+    val got = graft.operators.GraphAnalytics.labelSpread(star, s2, 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got(0L) == 9L)
+  }
 }

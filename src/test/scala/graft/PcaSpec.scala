@@ -94,4 +94,35 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     assert(cells((1, 2)) == (36000000L, 2L))   // 2*3 + 5*6 micros
     assert(cells((2, 2)) == (45000000L, 2L))   // 9 + 36 micros
   }
+
+  test("randomProject: ~1/3 sparsity, determinism, JL distance distortion bound") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 40L).map(id =>
+      (id, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "v")
+    val out = Pca.randomProject(df, "id", "v", 16, 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.size == 40 * 16)
+    // determinism: repartitioned input gives identical micros
+    val out2 = Pca.randomProject(df.repartition(7), "id", "v", 16, 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == out2)
+    // the hash matrix really is ~2/3 zeros (1/6 each ±1)
+    val nz = (0 until 16).map { j =>
+      (0 until 64).count { i =>
+        graft.functions.expr.PortableHash.md5_32(s"rp:$j:$i") % 6 >= 2 }
+    }.sum
+    assert(nz > 16 * 64 * 0.55 && nz < 16 * 64 * 0.78, s"zeros=$nz")
+    // JL: rescaled pairwise distances within 60% of the originals
+    // (k=16 is a loose regime — the bound just pins the scaling form)
+    def vecOf(id: Long) = (0 until 16).map(j =>
+      out((id, j)) / 1e6 * math.sqrt(3.0 / 16.0)).toArray
+    val orig = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for (i <- 1L to 10L; j <- (i + 1) to 10L) yield
+      d2(vecOf(i), vecOf(j)) / d2(orig(i), orig(j))
+    assert(ratios.forall(r => r > 0.3 && r < 2.2),
+      s"distortion out of band: ${ratios.min} .. ${ratios.max}")
+  }
 }

@@ -779,4 +779,21 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(merged == onePass)
   }
+
+  test("quantileBins equals the single-window formula; bins are equal-frequency") {
+    import graft.operators.Features
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 1000L).map(id => (id, rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "v").repartition(8)
+    val got = Features.quantileBins(df, "v", "id", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // reference: one global sort on the driver, same formula
+    val ranked = rows.sortBy { case (id, v) => (v, id) }.zipWithIndex
+    val want = ranked.map { case ((id, _), r) => id -> (10L * r / 1000L) }
+      .toMap
+    assert(got == want)
+    // equal frequency: every bin holds exactly n/nBins rows here
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.values.toSet == Set(100))
+  }
 }
