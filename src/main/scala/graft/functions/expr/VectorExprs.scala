@@ -95,6 +95,35 @@ object VectorExprUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Hilbert curve index of a non-negative (x, y) pair over a
+    * 2^bits × 2^bits grid — the classic xy2d bit transform (per level:
+    * quadrant digit `(3·rx) xor ry`, then the masked rotate/flip of
+    * the sub-square). Kept in the masked form (low bits only survive
+    * each level), which is arithmetically identical to the textbook
+    * all-ones-complement form and is what the unrolled SQL oracle
+    * replays level by level. Inputs are masked to `bits` low bits. */
+  def hilbertIndex(x0: Long, y0: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var i = bits - 1
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      val xm = x & (s - 1)
+      val ym = y & (s - 1)
+      if (ry == 0L) {
+        if (rx == 1L) { x = (s - 1) - ym; y = (s - 1) - xm }
+        else { x = ym; y = xm }
+      } else { x = xm; y = ym }
+      i -= 1
+    }
+    d
+  }
+
   /** Hamming distance of two packed bit codes (array<long>): Σ
     * popcount(a⊕b). Length mismatch or null word poisons. */
   def hammingOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
@@ -325,6 +354,33 @@ case class HammingDistExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): HammingDistExpr = copy(left = l, right = r)
 }
 
+/** Codegen Hilbert index of two long columns over a 2^bits grid —
+  * [[VectorExprUtil.hilbertIndex]] as a null-intolerant binary
+  * expression (the [[HammingDistExpr]] shape). */
+case class HilbertKeyExpr(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hilbert_key requires two bigint inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprUtil.hilbertIndex(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expr.VectorExprUtil" +
+        s".hilbertIndex($a, $b, $bits);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HilbertKeyExpr = copy(left = l, right = r)
+}
+
 object VectorExprs {
   import ColumnBridge.{toColumn, toExpr}
   def cosine_sim(a: Column, b: Column): Column =
@@ -338,4 +394,6 @@ object VectorExprs {
   def mat_vec(v: Column, basis: Array[Array[Double]],
               mean: Array[Double]): Column =
     toColumn(MatVecExpr(toExpr(v), basis, mean))
+  def hilbert_key(a: Column, b: Column, bits: Int): Column =
+    toColumn(HilbertKeyExpr(toExpr(a), toExpr(b), bits))
 }

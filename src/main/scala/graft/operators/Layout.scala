@@ -40,6 +40,30 @@ object Layout {
   def zorderKey(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
 
+  /** Hilbert curve key of two non-negative values over a
+    * 2^bits × 2^bits grid — the locality UPGRADE over [[zorderKey]]:
+    * consecutive Hilbert keys are always grid neighbors (the Z-order
+    * curve jumps across the grid at every power-of-two boundary), so
+    * range predicates on either column touch measurably fewer file
+    * boundaries at the same file count. Native codegen expression
+    * ([[graft.functions.expr.HilbertKeyExpr]] — the per-row bit loop
+    * is a JVM while-loop, not a 2^bits-deep Catalyst tree), replayed
+    * level-by-level by the unrolled qX_hilbert oracle.
+    */
+  def hilbertKey(a: Column, b: Column, bits: Int = 10): Column =
+    graft.functions.expr.VectorExprs.hilbert_key(
+      a.cast("long"), b.cast("long"), bits)
+
+  /** [[zorderWrite]] with the Hilbert key — same range-partition +
+    * in-partition sort write shape. */
+  def hilbertWrite(df: DataFrame, c1: String, c2: String, path: String,
+                   numFiles: Int, bits: Int = 10): Unit =
+    df.withColumn("_h", hilbertKey(col(c1), col(c2), bits))
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
+
   /** Per-file column statistics manifest: (file, n_rows, min, max per
     * stat column) — the data-skipping decision table. Reading it costs
     * one scan; a query planner (or a human) then prunes files whose

@@ -455,6 +455,64 @@ object TextAnalysis {
           .as("pmi_micros"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the word co-occurrence graph — the graph-centrality
+    * alternative to TF-IDF keywords (a word matters because it
+    * co-occurs with words that matter, not because it is merely
+    * frequent). Composes two proven pieces: the codegen
+    * [[pmiPairs]]-style pair extraction (WordPairsExpr, canonical
+    * "min max" pairs within `window`) builds the weighted undirected
+    * word graph (edge weight = co-occurrence count, pruned at
+    * `minCount` BEFORE the iteration); then `iters` rounds of
+    * damped weighted PageRank in the integer-micro convention —
+    * per-edge contribution `⌊r_w·w/wdeg_w⌋`, per-word
+    * `round(0.15·1e6 + 0.85·inflow)` — every fold an integer, the
+    * whole fixed-iteration computation replayed as unrolled CTEs.
+    *
+    * 100 TB shape: one codegen pair scan + keyed count; per round one
+    * edge join + one keyed fold (X18 lazy-chain cadence); the final
+    * top-N is a bounded TakeOrdered, quantized before the limit.
+    *
+    * @return (word, tr_micros, rank) — topN, rank 1-based by
+    *         (tr_micros desc, word asc).
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, window: Int = 3,
+                       minCount: Long = 2L, topN: Int = 20,
+                       iters: Int = 3): DataFrame = {
+    val pairs = docs
+      .select(explode(graft.functions.expr.TextExprs
+        .word_pairs(col(textCol), window)).as("ab"))
+      .select(element_at(split(col("ab"), " "), 1).as("a"),
+        element_at(split(col("ab"), " "), 2).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount && col("a") =!= col("b"))
+    val adj = pairs.select(col("a").as("f"), col("b").as("t"), col("w"))
+      .unionAll(pairs.select(col("b").as("f"), col("a").as("t"), col("w")))
+      .localCheckpoint(true)
+    val wdeg = adj.groupBy("f").agg(sum(col("w")).as("wd"))
+      .localCheckpoint(true)
+    val verts = wdeg.select(col("f").as("word"))
+    var r = verts.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val inflow = adj
+        .join(r.withColumnRenamed("word", "f"), "f")
+        .join(wdeg, "f")
+        .select(col("t").as("word"),
+          floor(col("r") * col("w") / col("wd")).cast("long").as("c"))
+        .groupBy("word").agg(sum(col("c")).as("inflow"))
+      r = verts.join(inflow, Seq("word"), "left")
+        .select(col("word"),
+          round(lit(150000.0) +
+            lit(0.85) * coalesce(col("inflow"), lit(0L)))
+            .cast("long").as("r"))
+        .localCheckpoint(true)
+    }
+    val w = Window.orderBy(desc("tr_micros"), asc("word"))
+    r.select(col("word"), col("r").as("tr_micros"))
+      .orderBy(desc("tr_micros"), asc("word")).limit(topN)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Zipf-law fit of the token frequency distribution — the corpus
     * health check (natural language slopes ≈ −1; template spam and
     * word salad bend the curve): least-squares slope of

@@ -431,6 +431,25 @@ object TextQueries {
 
     // Z-order (Morton) layout key — the data-skipping write layout;
     // pure bit math, recomputed bit-for-bit by the DuckDB oracle.
+    // Hilbert curve key — the no-jump locality upgrade over qX_zorder
+    // (native codegen bit loop, unrolled level-by-level oracle).
+    "qX_hilbert" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Layout.hilbertKey(
+            pmod(col("doc_id"), lit(1024L)),
+            pmod(col("doc_id") * 37, lit(1024L)), 10).as("hkey"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TextRank keywords: damped integer-micro PageRank over the word
+    // co-occurrence graph — the centrality alternative to TF-IDF.
+    "qX_textrank" -> ((s, dir) => {
+      TextAnalysis.textRankKeywords(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
+        "text", window = 3, minCount = 5L, topN = 20, iters = 3)
+    }),
+
     "qX_zorder" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -1069,7 +1088,76 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }))
 
+  /** Unrolled Hilbert xy2d oracle for [[qX_hilbert]]: per level the
+    * quadrant digit + masked rotate/flip — the exact replay of
+    * `VectorExprUtil.hilbertIndex`. */
+  private def hilbertSql(bits: Int): String = {
+    val head =
+      """WITH h0 AS (SELECT doc_id, doc_id % 1024 AS x,
+        |  (doc_id * 37) % 1024 AS y, CAST(0 AS BIGINT) AS d
+        |  FROM documents)""".stripMargin
+    val steps = (1 to bits).map { k =>
+      val s = 1L << (bits - k)
+      val m = s - 1
+      s"""h$k AS (SELECT doc_id,
+         |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) <> 0
+         |    THEN $m - (y & $m) ELSE (y & $m) END)
+         |    ELSE (x & $m) END AS x,
+         |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) <> 0
+         |    THEN $m - (x & $m) ELSE (x & $m) END)
+         |    ELSE (y & $m) END AS y,
+         |  d + ${s * s} * (CASE
+         |    WHEN (x & $s) <> 0 AND (y & $s) <> 0 THEN 2
+         |    WHEN (x & $s) <> 0 THEN 3
+         |    WHEN (y & $s) <> 0 THEN 1 ELSE 0 END) AS d
+         |FROM h${k - 1})""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT doc_id, CAST(d AS BIGINT) AS hkey FROM h$bits ORDER BY doc_id"
+  }
+
+  /** Unrolled TextRank oracle for [[qX_textrank]]: the qX_pmi pair
+    * extraction builds the weighted word graph, then `iters` damped
+    * integer-micro PageRank rounds — the exact replay of
+    * `TextAnalysis.textRankKeywords`. */
+  private def textRankSql(iters: Int): String = {
+    val head =
+      s"""WITH d AS ($ToksSql),
+         |p AS (SELECT doc_id, unnest(flatten(list_transform(
+         |    range(1, len(toks)),
+         |    i -> list_transform(range(i + 1, least(i + 3, len(toks)) + 1),
+         |      j -> [least(toks[i], toks[j]),
+         |            greatest(toks[i], toks[j])])))) AS pr
+         |  FROM d WHERE doc_id < 200 AND len(toks) >= 2),
+         |pc AS (SELECT pr[1] AS a, pr[2] AS b,
+         |  CAST(count(*) AS BIGINT) AS w FROM p GROUP BY 1, 2),
+         |e AS (SELECT a, b, w FROM pc WHERE w >= 5 AND a <> b),
+         |adj AS (SELECT a AS f, b AS t, w FROM e
+         |  UNION ALL SELECT b, a, w FROM e),
+         |wdeg AS (SELECT f, CAST(sum(w) AS BIGINT) AS wd FROM adj
+         |  GROUP BY 1),
+         |verts AS (SELECT f AS word FROM wdeg),
+         |r0 AS (SELECT word, CAST(1000000 AS BIGINT) AS r FROM verts)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""i$k AS (SELECT adj.t AS word,
+         |  CAST(sum(CAST(floor(r.r * adj.w / wdeg.wd) AS BIGINT))
+         |    AS BIGINT) AS inflow
+         |  FROM adj JOIN r${k - 1} r ON r.word = adj.f
+         |  JOIN wdeg ON wdeg.f = adj.f GROUP BY 1),
+         |r$k AS (SELECT v.word, CAST(round(150000.0 +
+         |    0.85 * coalesce(i.inflow, 0)) AS BIGINT) AS r
+         |  FROM verts v LEFT JOIN i$k i USING (word))""".stripMargin
+    }
+    ((head +: rounds).mkString(",\n")) +
+      s"""
+         |SELECT word, r AS tr_micros,
+         |  row_number() OVER (ORDER BY r DESC, word) AS rank
+         |FROM r$iters ORDER BY r DESC, word LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "qX_hilbert" -> hilbertSql(10),
+    "qX_textrank" -> textRankSql(3),
     "qB1_regex_extract" ->
       """SELECT doc_id, regexp_extract(text, 'j[a-z]+') AS m
         |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin,

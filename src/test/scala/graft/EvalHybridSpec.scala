@@ -313,6 +313,20 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     assert(at1(1L) == 1000000L)
   }
 
+  test("textRank: the hub word outranks equally-frequent spokes") {
+    import spark.implicits._
+    // "core" co-occurs with every spoke; spokes only see "core" and
+    // one neighbor — centrality concentrates on the hub
+    val docs = (1 to 6).flatMap(i => Seq.fill(3)(
+      (i.toLong, s"core spoke$i core spoke$i"))).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .textRankKeywords(docs, "text", window = 3, minCount = 2L,
+        topN = 10, iters = 3)
+      .collect().map(r => (r.getString(0), r.getInt(2)))
+    assert(got.head._1 == "core" && got.head._2 == 1, got.mkString(","))
+    assert(got.length == 7) // hub + 6 spokes survive minCount
+  }
+
   test("winnow: shared-run guarantee, density, rightmost tie on a repeated gram") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog tonight"

@@ -128,4 +128,34 @@ class VectorExprSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan)
   }
+
+  test("hilbertIndex: bijective, unit-step adjacent, first-order golden values") {
+    import graft.functions.expr.VectorExprUtil.hilbertIndex
+    // first-order curve (bits = 1): the four quadrants in U order
+    assert(hilbertIndex(0, 0, 1) == 0L)
+    assert(hilbertIndex(0, 1, 1) == 1L)
+    assert(hilbertIndex(1, 1, 1) == 2L)
+    assert(hilbertIndex(1, 0, 1) == 3L)
+    // bits = 5 (32x32): a bijection onto [0, 1024), and consecutive
+    // indices are ALWAYS grid neighbors — the locality property
+    // Z-order lacks (the defining Hilbert invariant)
+    val cells = for (x <- 0 until 32; y <- 0 until 32)
+      yield (x, y, hilbertIndex(x, y, 5))
+    val byD = cells.map { case (x, y, d) => d -> (x, y) }.toMap
+    assert(byD.keySet == (0L until 1024L).toSet, "not a bijection")
+    for (d <- 0L until 1023L) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+    // the column form computes the same values through codegen
+    val got = cells.take(100).map { case (x, y, _) => (x.toLong, y.toLong) }
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        VectorExprs.hilbert_key(col("x"), col("y"), 5).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cells.take(100).foreach { case (x, y, d) =>
+      assert(got((x.toLong, y.toLong)) == d)
+    }
+  }
 }
