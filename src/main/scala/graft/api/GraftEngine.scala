@@ -799,6 +799,20 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.EntityResolution.blockingQuality(records, idCol,
       blockCol, entityCol)
 
+  /** Team-draft interleaving of two ranked runs
+    * ([[graft.operators.Hybrid.teamDraft]]) — the online paired
+    * ranker comparison next to [[hybridFuse]]. */
+  def interleave(runA: DataFrame, runB: DataFrame, k: Int = 10): DataFrame =
+    graft.operators.Hybrid.teamDraft(runA, runB, k)
+
+  /** Per-user Markov sequence likelihood
+    * ([[graft.operators.Events.sequenceScore]]) — the behavioral
+    * anomaly score over the interaction log. */
+  def sequenceScore(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, tieCols: Seq[String]): DataFrame =
+    graft.operators.Events.sequenceScore(events, userCol, tsCol,
+      typeCol, tieCols)
+
   /** UCB1 bandit scores per arm
     * ([[graft.operators.Events.ucbScores]]) — the deterministic
     * explore/exploit readout over an interaction log. */

@@ -120,6 +120,49 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** Per-user sequence likelihood under the GLOBAL first-order Markov
+    * model — the behavioral-anomaly score a fraud/bot screen ranks
+    * users by: train [[transitionMatrix]]-style counts over everyone,
+    * then score each user's own event chain,
+    * `logprob = Σ round(1e6·ln((c_ab + 1)/(c_a + V)))` (add-1 over the
+    * V observed event types — unseen transitions stay finite). A user
+    * whose chain fights the population model (scripted loops, scanner
+    * sweeps) scores far below the per-transition average.
+    *
+    * Per-pair integer-micro log-probs make the per-user sum
+    * fold-order-free; the chain order is total ((ts, tieCols) window,
+    * the [[transitionMatrix]] convention); one count fold + one
+    * broadcast-sized model join.
+    *
+    * @return (user, n_trans, logprob_micros, avg_micros) — users with
+    *         ≥ 1 transition, ordered; avg = ⌊logprob/n_trans⌋.
+    */
+  def sequenceScore(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, tieCols: Seq[String]): DataFrame = {
+    val e = events.select((Seq(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(typeCol).as("et")) ++ tieCols.map(col)): _*)
+    val w = Window.partitionBy("u")
+      .orderBy((col("ts") +: tieCols.map(col)): _*)
+    val pairs = e.withColumn("src", lag(col("et"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .select(col("u"), col("src"), col("et").as("dst"))
+      .localCheckpoint(true) // model counts AND scoring read it
+    val cab = pairs.groupBy("src", "dst").agg(count(lit(1)).as("c_ab"))
+    val ca = pairs.groupBy("src").agg(count(lit(1)).as("c_a"))
+    val v = e.agg(countDistinct(col("et")).as("v"))
+    val model = cab.join(ca, "src").crossJoin(broadcast(v))
+      .select(col("src"), col("dst"),
+        round(lit(1e6) * log((col("c_ab") + lit(1L)).cast("double")
+          / (col("c_a") + col("v")))).cast("long").as("lp_micros"))
+    pairs.join(broadcast(model), Seq("src", "dst"))
+      .groupBy(col("u").as(userCol))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("lp_micros")).as("logprob_micros"))
+      .withColumn("avg_micros",
+        floor(col("logprob_micros") / col("n_trans")).cast("long"))
+      .orderBy(userCol)
+  }
+
   /** Last-touch attribution: assign each conversion event the LATEST
     * qualifying touch event of the same user at-or-before it within
     * `windowMicros` — the as-of join ([[AsOfJoin.asOf]]) specialized

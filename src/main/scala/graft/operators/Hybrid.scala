@@ -53,4 +53,63 @@ object Hybrid {
         (-col("best.ns")).as("rrf_micros"))
       .orderBy(col("qid"), desc("rrf_micros"), col("id"))
   }
+
+  /** Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM 2008)
+    * — the ONLINE-eval companion to [[rrf]]: instead of fusing two
+    * rankers, interleave them into one list users actually see, so
+    * clicks credit the team whose pick earned them (an unbiased
+    * paired ranker comparison with live traffic). Per position the
+    * team with fewer picks goes next; ties flip the md5 coin
+    * `md5("td:qid:pos") mod 2` — deterministic, rerun-stable, and
+    * replayable, so the whole k-step draft unrolls in the SQL oracle.
+    * Each team contributes its highest-ranked not-yet-selected doc
+    * (docs already taken by the other team are skipped, the paper's
+    * rule).
+    *
+    * Shape: runs arrive top-k-bounded; each of the k steps is one
+    * count fold + one anti join + one bounded-heap argmin over the
+    * k-bounded runs — the mmrFromCandidates loop cadence, O(1)
+    * driver state.
+    *
+    * @return (qid, pos, id, team) — pos 1-based, team 'A'/'B'.
+    */
+  def teamDraft(runA: DataFrame, runB: DataFrame, k: Int): DataFrame = {
+    def prep(df: DataFrame, tag: String) = {
+      val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+      df.select(col("qid"), col("id"), col("score"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("team", lit(tag))
+        .drop("score")
+    }
+    val runs = prep(runA, "A").unionByName(prep(runB, "B"))
+      .localCheckpoint(true)
+    val qids = runs.select("qid").distinct().localCheckpoint(true)
+    var selected = runs
+      .select(col("qid"), lit(0).as("pos"), col("id"), col("team"))
+      .limit(0)
+    for (t <- 1 to k) {
+      val cnt = selected.groupBy("qid").agg(
+        sum(when(col("team") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("team") === "B", 1L).otherwise(0L)).as("nb"))
+      val coin = when(
+        Sampling.md5Bucket(concat(lit("td:"), col("qid").cast("string"),
+          lit(s":$t"))) % 2 === 0, lit("A")).otherwise(lit("B"))
+      val team = qids.join(cnt, Seq("qid"), "left")
+        .select(col("qid"),
+          when(coalesce(col("na"), lit(0L)) < coalesce(col("nb"), lit(0L)),
+            lit("A"))
+            .when(coalesce(col("na"), lit(0L)) >
+              coalesce(col("nb"), lit(0L)), lit("B"))
+            .otherwise(coin).as("team"))
+      val cands = runs.join(team, Seq("qid", "team"))
+        .join(selected.select("qid", "id"), Seq("qid", "id"), "left_anti")
+      val pick = TopK.grouped(cands, Seq("qid"),
+          struct(col("rnk").as("r"), col("id").as("i"),
+            col("team").as("tm")), 1)
+        .select(col("qid"), lit(t).as("pos"), col("best.i").as("id"),
+          col("best.tm").as("team"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.orderBy(col("qid"), col("pos"))
+  }
 }

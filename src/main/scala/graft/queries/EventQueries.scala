@@ -179,6 +179,14 @@ object EventQueries {
         e.filter(col("ts") >= lit(SplitTs).cast("timestamp")), "value")
     }),
 
+    // Per-user Markov sequence likelihood — the behavioral-anomaly
+    // score: each user's event chain scored under the global add-1
+    // first-order transition model, integer-micro log-prob sums.
+    "qX_seq_score" -> ((s, dir) => {
+      Events.sequenceScore(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("event_id"))
+    }),
+
     // Equal-frequency quantile binning on the distributed global-rank
     // primitive — exact bins, never a single global sort window.
     "qX_quantile_bins" -> ((s, dir) => {
@@ -519,6 +527,30 @@ object EventQueries {
         |          CAST(floor(1000000 * cum.cb / tot.tb) AS BIGINT)))
         |    AS ks_micros
         |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    "qX_seq_score" ->
+      """WITH p AS (
+        |  SELECT user_id AS u, lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |    event_type AS dst
+        |  FROM events),
+        |pp AS (SELECT u, src, dst FROM p WHERE src IS NOT NULL),
+        |cab AS (SELECT src, dst, count(*) AS c_ab FROM pp GROUP BY 1, 2),
+        |ca AS (SELECT src, count(*) AS c_a FROM pp GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT event_type) AS v FROM events),
+        |model AS (SELECT cab.src, cab.dst,
+        |    CAST(round(1e6 * ln(CAST(cab.c_ab + 1 AS DOUBLE)
+        |      / (ca.c_a + vv.v))) AS BIGINT) AS lp_micros
+        |  FROM cab JOIN ca USING (src) CROSS JOIN vv),
+        |sc AS (SELECT pp.u, count(*) AS n_trans,
+        |    CAST(sum(m.lp_micros) AS BIGINT) AS logprob_micros
+        |  FROM pp JOIN model m ON m.src = pp.src AND m.dst = pp.dst
+        |  GROUP BY 1)
+        |SELECT u AS user_id, CAST(n_trans AS BIGINT) AS n_trans,
+        |  logprob_micros,
+        |  CAST(floor(logprob_micros / CAST(n_trans AS DOUBLE)) AS BIGINT)
+        |    AS avg_micros
+        |FROM sc ORDER BY user_id""".stripMargin,
 
     "qX_quantile_bins" ->
       """WITH t AS (SELECT event_id,

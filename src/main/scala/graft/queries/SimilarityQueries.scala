@@ -118,6 +118,24 @@ object SimilarityQueries {
       graft.operators.Eval.rankMetricsAtK(fused, qrels, 10)
     }),
 
+    // Team-draft interleaving of the lexical and dense runs (k=6):
+    // the online-eval list a click comparison credits teams on —
+    // md5-coin ties, fewer-picks-first, skip-already-taken.
+    "qX_interleave" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val (postings, stats, n) = SearchIndex.build(docs, "doc_id", Seq("text"))
+      val batch = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokenize(col("text"))).as("term"))
+      val lexical = SearchIndex.batchQuery(postings, stats, n, "text",
+        batch, 10, excludeSelf = true)
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", "vec_id", "embedding", 10)
+        .withColumnRenamed("sim", "score")
+      graft.operators.Hybrid.teamDraft(lexical, dense, 6)
+    }),
+
     // AP@10 (MAP's per-query term) of the fused run vs dense top-3:
     // precision-at-each-relevant-rank, integer-micro terms — the
     // position-sensitive companion to qX_rank_metrics.
@@ -1071,6 +1089,42 @@ object SimilarityQueries {
       |franked AS (SELECT qid, id, rrf_micros, row_number() OVER (
       |  PARTITION BY qid ORDER BY rrf_micros DESC, id) AS rn FROM fused)""".stripMargin
 
+  /** Unrolled team-draft oracle for [[qX_interleave]]: per step the
+    * team counts, the md5 coin on ties, and the (rnk, id) argmin over
+    * the not-yet-selected run — the exact replay of
+    * [[graft.operators.Hybrid.teamDraft]]. */
+  private def teamDraftSql(k: Int): String = {
+    val head = RrfHybridCte + """,
+      |runs AS (SELECT qid, id, rn AS rnk, 'A' AS team FROM lranked
+      |    WHERE rn <= 10
+      |  UNION ALL
+      |  SELECT qid, id, rn, 'B' FROM dranked WHERE rn <= 10),
+      |qids AS (SELECT DISTINCT qid FROM runs),
+      |s0 AS (SELECT qid, 0 AS pos, id, team FROM runs WHERE 1 = 0)""".stripMargin
+    val steps = (1 to k).map { t =>
+      s"""t$t AS (SELECT q.qid,
+         |  CASE WHEN coalesce(c.na, 0) < coalesce(c.nb, 0) THEN 'A'
+         |       WHEN coalesce(c.na, 0) > coalesce(c.nb, 0) THEN 'B'
+         |       WHEN CAST(('0x' || substr(md5('td:' ||
+         |         CAST(q.qid AS VARCHAR) || ':$t'), 1, 8)) AS BIGINT)
+         |         % 2 = 0 THEN 'A'
+         |       ELSE 'B' END AS team
+         |  FROM qids q LEFT JOIN (SELECT qid,
+         |      sum(CASE WHEN team = 'A' THEN 1 ELSE 0 END) AS na,
+         |      sum(CASE WHEN team = 'B' THEN 1 ELSE 0 END) AS nb
+         |    FROM s${t - 1} GROUP BY 1) c USING (qid)),
+         |p$t AS (SELECT r.qid, $t AS pos, r.id, r.team FROM runs r
+         |  JOIN t$t USING (qid, team)
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} s
+         |    WHERE s.qid = r.qid AND s.id = r.id)
+         |  QUALIFY row_number() OVER (PARTITION BY r.qid
+         |    ORDER BY r.rnk, r.id) = 1),
+         |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    }
+    ((head +: steps).mkString(",\n")) +
+      s"\nSELECT qid, pos, id, team FROM s$k ORDER BY qid, pos"
+  }
+
   /** nDCG@10 oracle: the fused run scored against graded dense ground
     * truth (rel = 11 − dense rank) with integer-micro log2 discounts —
     * the exact arithmetic of [[graft.operators.Eval.ndcgAtK]]. */
@@ -1106,6 +1160,7 @@ object SimilarityQueries {
         |SELECT qid, id, rrf_micros FROM franked WHERE rn <= 10
         |ORDER BY qid, rrf_micros DESC, id""".stripMargin),
     "qX_ndcg" -> NdcgSql,
+    "qX_interleave" -> teamDraftSql(6),
     // MRR/P/R@10 of the fused run vs dense top-3 relevant set — the
     // rank comes from franked's rn (identical (score desc, id) order)
     "qX_rank_metrics" -> (RrfHybridCte + """,

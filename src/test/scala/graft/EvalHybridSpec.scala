@@ -313,6 +313,37 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     assert(at1(1L) == 1000000L)
   }
 
+  test("teamDraft: balanced picks, per-team run order, taken docs skipped") {
+    import spark.implicits._
+    val runA = Seq((1L, "a1", 40L), (1L, "a2", 30L), (1L, "sh", 20L),
+      (1L, "a4", 10L)).toDF("qid", "id", "score")
+    val runB = Seq((1L, "sh", 40L), (1L, "b2", 30L), (1L, "b3", 20L),
+      (1L, "b4", 10L)).toDF("qid", "id", "score")
+    val got = graft.operators.Hybrid.teamDraft(runA, runB, 6)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.length == 6)
+    // team balance: at every prefix |#A - #B| <= 1
+    var na = 0; var nb = 0
+    got.foreach { case (_, _, tm) =>
+      if (tm == "A") na += 1 else nb += 1
+      assert(math.abs(na - nb) <= 1, s"unbalanced at $got")
+    }
+    assert(na == 3 && nb == 3)
+    // per-team picks follow each run's own rank order
+    def order(team: String, run: Seq[String]) = {
+      val picks = got.filter(_._3 == team).map(_._2).toSeq
+      assert(picks == run.filter(picks.contains(_)).take(picks.length),
+        s"$team picks $picks out of order")
+    }
+    order("A", Seq("a1", "a2", "sh", "a4"))
+    order("B", Seq("sh", "b2", "b3", "b4"))
+    // the shared doc appears exactly once (skip-taken rule)
+    assert(got.count(_._2 == "sh") == 1)
+    // positions are 1..6 with no gaps
+    assert(got.map(_._1).toSeq == (1 to 6).toSeq)
+  }
+
   test("textRank: the hub word outranks equally-frequent spokes") {
     import spark.implicits._
     // "core" co-occurs with every spoke; spokes only see "core" and

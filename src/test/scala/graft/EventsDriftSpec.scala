@@ -598,6 +598,31 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L)._3 > got(1L)._3)
   }
 
+  test("sequenceScore: hand-computed add-1 log-probs; anomalous chain scores lower") {
+    import spark.implicits._
+    import graft.operators.Events
+    // users 1..3 all do a->b; user 4 does a->a (never seen elsewhere).
+    // model: c(a->b)=3, c(a->a)=1, c_a=4, V=2:
+    //   lp(a,b)=ln(4/6), lp(a,a)=ln(2/6)
+    val rows = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 11L),
+      (2L, 3L, "a", 12L), (2L, 4L, "b", 13L),
+      (3L, 5L, "a", 14L), (3L, 6L, "b", 15L),
+      (4L, 7L, "a", 16L), (4L, 8L, "a", 17L))
+      .toDF("user_id", "event_id", "event_type", "tsl")
+      .withColumn("ts", timestamp_millis(col("tsl") * 1000))
+    val got = Events.sequenceScore(rows, "user_id", "ts", "event_type",
+        Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val lpAB = math.round(1e6 * math.log(4.0 / 6.0))
+    val lpAA = math.round(1e6 * math.log(2.0 / 6.0))
+    assert(got(1L) == (1L, lpAB) && got(2L) == (1L, lpAB) &&
+      got(3L) == (1L, lpAB))
+    assert(got(4L) == (1L, lpAA))
+    assert(got(4L)._2 < got(1L)._2, "anomalous chain must score lower")
+  }
+
   test("blockingQuality: hand-computed reduction and completeness") {
     import spark.implicits._
     import graft.operators.EntityResolution
