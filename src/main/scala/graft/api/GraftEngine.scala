@@ -820,6 +820,20 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                    rewardCol: Column): DataFrame =
     graft.operators.Events.ucbScores(events, armCol, rewardCol)
 
+  /** Wilson 95% score interval per group
+    * ([[graft.operators.Stats.wilsonInterval]]) — the conversion-rate
+    * CI next to [[banditScores]]. */
+  def conversionInterval(df: DataFrame, groupCol: Column,
+                         successCol: Column, z: Double = 1.96): DataFrame =
+    graft.operators.Stats.wilsonInterval(df, groupCol, successCol, z)
+
+  /** Reciprocal best matches of a ranked rec table
+    * ([[graft.operators.Pymk.mutualBest]]) — the mutual-rank-1
+    * high-precision cut. */
+  def mutualMatches(recs: DataFrame, itemCol: String, recCol: String,
+                    scoreCol: String): DataFrame =
+    graft.operators.Pymk.mutualBest(recs, itemCol, recCol, scoreCol)
+
   /** Reliability bins + ECE-ready table for a scored frame
     * ([[graft.operators.Eval.calibrationBins]]). */
   def evalCalibration(scored: DataFrame, labelCol: String,

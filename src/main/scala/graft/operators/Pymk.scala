@@ -320,4 +320,35 @@ object Pymk {
         (-col("best.ns")).as("sim_micros"))
       .orderBy(col("item"), desc("sim_micros"), col("rec"))
   }
+
+  /** Reciprocal best matches over a ranked rec table — the
+    * high-precision cut every matcher ships behind the top-k list:
+    * keep pair (a, b) only when b is a's SINGLE best candidate AND a
+    * is b's (the mutual-rank-1 rule — BLAST's reciprocal-best-hit,
+    * the matching-market "stable pair" heuristic). One self-join of
+    * the rank-1 rows on the reversed key + the a < b canonicalization;
+    * input is any (item, rec, score, rank-implied-by-order) frame from
+    * [[itemItemTopK]], [[recommendAll]], or a linkage scorer ranked by
+    * the caller.
+    *
+    * @param recs (itemCol, recCol, scoreCol) ranked rows where rank 1
+    *             per item = its best match (rankCol = 1 filter is the
+    *             caller's if the frame carries more).
+    * @return (a, b, score_a, score_b) with a < b, ordered.
+    */
+  def mutualBest(recs: DataFrame, itemCol: String, recCol: String,
+                 scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(itemCol)
+      .orderBy(desc(scoreCol), col(recCol))
+    val best = recs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(itemCol).as("a"), col(recCol).as("b"),
+        col(scoreCol).as("score_a"))
+    best.join(best.select(col("a").as("b"), col("b").as("a"),
+        col("score_a").as("score_b")), Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("score_a"), col("score_b"))
+      .orderBy("a", "b")
+  }
 }

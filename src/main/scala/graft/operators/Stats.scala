@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,5 +96,35 @@ object Stats {
           .select(col("mean_micros").as("hi_micros"))))
       .select(lit(b.toLong).as("b_reps"), col("mean_micros"),
         col("lo_micros"), col("hi_micros"))
+  }
+
+  /** Wilson score interval (Wilson 1927) for a binomial proportion per
+    * group — the conversion-rate CI that stays inside [0,1] and
+    * behaves at small n where the normal approximation collapses (the
+    * readout next to [[Events.ucbScores]]' exploration bound). Counts
+    * are exact integer folds; center and half-width are ONE fixed IEEE
+    * expression over them at the caller's z (default 1.96 ≈ 95%),
+    * floored to micros — engine-exact, one grouped aggregate.
+    *
+    * @return (group, n, wins, p_micros, lo_micros, hi_micros) ordered.
+    */
+  def wilsonInterval(df: DataFrame, groupCol: Column, successCol: Column,
+                     z: Double = 1.96): DataFrame = {
+    val g = df.select(groupCol.as("grp"),
+        successCol.cast("long").as("s"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("wins"))
+    val n = col("n").cast("double")
+    val p = col("wins") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    g.select(col("grp"), col("n"), col("wins"),
+        floor(lit(1e6) * p).cast("long").as("p_micros"),
+        floor(lit(1e6) * (center - half)).cast("long").as("lo_micros"),
+        floor(lit(1e6) * (center + half)).cast("long").as("hi_micros"))
+      .orderBy("grp")
   }
 }

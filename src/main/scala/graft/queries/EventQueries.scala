@@ -139,6 +139,27 @@ object EventQueries {
         k = 5, userCap = 50)
     }),
 
+    // Reciprocal best matches of the item-item rec table: pairs that
+    // are each other's rank-1 — the high-precision mutual cut.
+    "qX_mutual_best" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"),
+          (floor(col("value")).cast("long") % 50).as("item"))
+      val recs = graft.operators.Pymk.itemItemTopK(e, "user_id", "item",
+        k = 5, userCap = 50)
+      graft.operators.Pymk.mutualBest(recs, "item", "rec", "sim_micros")
+    }),
+
+    // Wilson 95% score interval per item arm — the conversion-rate CI
+    // that stays in [0,1] at small n; one fixed IEEE expression over
+    // exact integer folds.
+    "qX_wilson" -> ((s, dir) => {
+      graft.operators.Stats.wilsonInterval(t(s, dir, "events"),
+        floor(col("value")).cast("long") % 50,
+        (col("event_type") === "purchase").cast("int"))
+    }),
+
     // EXACT distributed quantiles by global-rank selection — no
     // tolerance band: the oracle must agree on the exact row.
     "qX_exact_quantile" -> ((s, dir) => {
@@ -527,6 +548,48 @@ object EventQueries {
         |          CAST(floor(1000000 * cum.cb / tot.tb) AS BIGINT)))
         |    AS ks_micros
         |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+
+    "qX_mutual_best" ->
+      (ItemSimCte +
+        """,
+          |best AS (SELECT item AS a, rec AS b, sim_micros AS score_a
+          |  FROM r WHERE rn = 1)
+          |SELECT x.a, x.b, x.score_a, y.score_a AS score_b
+          |FROM best x JOIN best y ON y.a = x.b AND y.b = x.a
+          |WHERE x.a < x.b ORDER BY x.a, x.b""".stripMargin),
+
+    "qX_wilson" ->
+      """WITH g AS (SELECT CAST(floor("value") AS BIGINT) % 50 AS grp,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS wins
+        |  FROM events GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n, wins,
+        |  CAST(floor(1e6 * (wins / CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS p_micros,
+        |  CAST(floor(1e6 * (
+        |    ((wins / CAST(n AS DOUBLE)) + (1.96 * 1.96) /
+        |      (2.0 * CAST(n AS DOUBLE)))
+        |      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        |    - 1.96 * sqrt(
+        |        (wins / CAST(n AS DOUBLE)) * (1.0 - wins / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + (1.96 * 1.96) /
+        |          (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))))
+        |    AS BIGINT) AS lo_micros,
+        |  CAST(floor(1e6 * (
+        |    ((wins / CAST(n AS DOUBLE)) + (1.96 * 1.96) /
+        |      (2.0 * CAST(n AS DOUBLE)))
+        |      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        |    + 1.96 * sqrt(
+        |        (wins / CAST(n AS DOUBLE)) * (1.0 - wins / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + (1.96 * 1.96) /
+        |          (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))))
+        |    AS BIGINT) AS hi_micros
+        |FROM g ORDER BY grp""".stripMargin,
 
     "qX_seq_score" ->
       """WITH p AS (

@@ -623,6 +623,54 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L)._2 < got(1L)._2, "anomalous chain must score lower")
   }
 
+  test("wilsonInterval: hand-computed bounds, CI brackets p and stays in [0,1]") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // group 1: 3/4 wins; group 2: 0/2 wins (the small-n degenerate
+    // case where a normal interval would go negative)
+    val df = Seq((1L, 1), (1L, 1), (1L, 1), (1L, 0), (2L, 0), (2L, 0))
+      .toDF("g", "s")
+    val got = Stats.wilsonInterval(df, col("g"), col("s")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    def wilson(wins: Long, n: Long) = {
+      val z = 1.96; val z2 = z * z; val nn = n.toDouble
+      val p = wins / nn
+      val denom = 1.0 + z2 / nn
+      val center = (p + z2 / (2.0 * nn)) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / nn + z2 / (4.0 * nn * nn)) /
+        denom
+      (math.floor(1e6 * p).toLong, math.floor(1e6 * (center - half)).toLong,
+        math.floor(1e6 * (center + half)).toLong)
+    }
+    val (p1, lo1, hi1) = wilson(3, 4)
+    assert(got(1L) == (4L, 3L, p1, lo1, hi1))
+    assert(lo1 > 0 && hi1 < 1000000 && lo1 < p1 && p1 < hi1)
+    val (p2, lo2, hi2) = wilson(0, 2)
+    assert(got(2L) == (2L, 0L, p2, lo2, hi2))
+    assert(lo2 >= 0, "Wilson lower bound must not go negative")
+    assert(hi2 > 500000, "n=2 zero-wins upper bound is wide")
+  }
+
+  test("mutualBest: only mutual rank-1 pairs survive, canonical a < b") {
+    import spark.implicits._
+    import graft.operators.Pymk
+    // 1<->2 mutual best; 3's best is 1 but 1's best is 2 → dropped;
+    // 4<->5 mutual (tie at 4's top broken by smaller rec id = 5? no:
+    // 4 has single row to 5)
+    val recs = Seq(
+      (1L, 2L, 90L), (1L, 3L, 50L),
+      (2L, 1L, 80L), (2L, 3L, 10L),
+      (3L, 1L, 70L),
+      (4L, 5L, 60L), (5L, 4L, 60L))
+      .toDF("item", "rec", "sim")
+    val got = Pymk.mutualBest(recs, "item", "rec", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 90L, 80L), (4L, 5L, 60L, 60L)))
+  }
+
   test("blockingQuality: hand-computed reduction and completeness") {
     import spark.implicits._
     import graft.operators.EntityResolution

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan guards (the 100 TB posture, asserted): predicate and
@@ -580,5 +581,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "moments must shuffle exactly once:\n" + pMom.take(3000))
     assert(pMom.contains("partial_sum") || pMom.contains("HashAggregate"),
       "moments needs map-side partial aggregation:\n" + pMom.take(3000))
+  }
+
+  test("hilbert key: narrow codegen projection, no shuffle, no Catalyst bit tree") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = docs.select(col("doc_id"),
+        graft.operators.Layout.hilbertKey(
+          pmod(col("doc_id"), lit(1024L)),
+          pmod(col("doc_id") * 37, lit(1024L)), 10).as("h"))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), "hilbertKey must not shuffle:\n" + p.take(2000))
+    assert(p.contains("*(1)"), "HilbertKeyExpr lost codegen:\n" + p.take(2000))
+    // the whole 10-level transform is ONE expression node, not an
+    // unrolled when-tree (which would explode the plan string)
+    assert(p.length < 4000, s"plan suspiciously large (${p.length}):\n" + p.take(2000))
+  }
+
+  test("quantileBins: range partition + local windows, never a single global sort window") {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), floor(col("value") * 1e6).cast("long").as("v"))
+    val p = graft.operators.Features.quantileBins(e, "v", "event_id", 10)
+      .queryExecution.executedPlan.toString()
+    // globalRank localCheckpoints its ranked frame (the range exchange
+    // + per-partition windows live BEHIND the Scan ExistingRDD — the
+    // known checkpoint/PlanSpec gotcha), so the guard pins what the
+    // visible plan must look like: the O(#partitions) offset table
+    // BROADCASTS onto the checkpointed rank scan, and nothing
+    // downstream funnels through a single partition.
+    assert(p.contains("BroadcastHashJoin") && p.contains("_poff"),
+      "offsets must broadcast-join onto the ranked scan:\n" + p.take(3000))
+    assert(!p.contains("SinglePartition") && !p.contains("Window"),
+      "global sort window detected — the plan that dies at 100 TB:\n" + p.take(3000))
+  }
+
+  test("kmv sketch: distinct then bounded TakeOrdered, never a global sort of distinct hashes") {
+    val e = Tables.load(spark, dir, "events")
+    val p = graft.operators.Sketches.kmvSketch(e, "user_id", 64)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-k must be TakeOrdered (per-partition heaps):\n" + p.take(3000))
+    assert(!p.toLowerCase.contains("sortmerge") && !p.contains("GlobalSort"),
+      "unexpected global sort:\n" + p.take(3000))
   }
 }
