@@ -432,6 +432,65 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(folds.length == 5 && folds.map(_.getLong(1)).sum == 100L)
   }
 
+  test("round-11 facades: spreadLabels, bins, projection, interleave, sequence, intervals, mutual, AP, drift, winnow, blocking, bandit") {
+    import spark.implicits._
+    // spreadLabels over the engine graph: 1 string-keyed seed labels
+    // its connected component within 6 rounds
+    val anyId = engine.vertices.select("id").orderBy("id")
+      .head().getString(0)
+    val seeds = Seq((anyId, 7L)).toDF("id", "label")
+    val spread = engine.spreadLabels(seeds, rounds = 6).collect()
+    assert(spread.nonEmpty && spread.forall(_.getLong(1) == 7L))
+    // quantileBins: 100 rows into 4 exact bins
+    val qb = engine.quantileBins((1L to 100L).map(i => (i, i % 37))
+        .toDF("id", "v"), "v", "id", 4)
+      .groupBy("bin").count().collect().map(_.getLong(1))
+    assert(qb.toSet == Set(25L))
+    // randomProject emits outDim rows per input
+    val rp = engine.randomProject(
+      Seq((1L, Array.fill(8)(0.5f))).toDF("id", "v"), "id", "v", 4, 8)
+    assert(rp.count() == 4)
+    // interleave: 2 runs of 2 → 4 balanced positions
+    val ra = Seq((1L, "x", 2L), (1L, "y", 1L)).toDF("qid", "id", "score")
+    val rb = Seq((1L, "p", 2L), (1L, "q", 1L)).toDF("qid", "id", "score")
+    val il = engine.interleave(ra, rb, 4).collect()
+    assert(il.length == 4 && il.map(_.getString(3)).count(_ == "A") == 2)
+    // sequenceScore + banditScores + conversionInterval on a tiny log
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "b", 2L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    assert(engine.sequenceScore(ev, "user_id", "ts", "event_type",
+      Seq("event_id")).count() == 1)
+    val bandit = engine.banditScores(ev, col("user_id"),
+      (col("event_type") === "b").cast("int")).collect()
+    assert(bandit.length == 1 && bandit.head.getLong(1) == 2L)
+    val ciw = engine.conversionInterval(ev, col("user_id"),
+      (col("event_type") === "b").cast("int")).head()
+    assert(ciw.getLong(4) <= 500000L && ciw.getLong(5) >= 500000L)
+    // mutualMatches on a 2-cycle
+    val mm = engine.mutualMatches(
+      Seq((1L, 2L, 5L), (2L, 1L, 4L)).toDF("item", "rec", "s"),
+      "item", "rec", "s").collect()
+    assert(mm.length == 1 && mm.head.getLong(0) == 1L)
+    // evalAveragePrecision: single relevant at rank 1 → AP 1.0
+    val ap = engine.evalAveragePrecision(ra,
+      Seq((1L, "x")).toDF("qid", "id"), 2).head()
+    assert(ap.getLong(3) == 1000000L)
+    // vocabularyDrift of identical frames is 0
+    val vd = engine.vocabularyDrift(Seq("t").toDF("k"),
+      Seq("t").toDF("k"), "k").head()
+    assert(vd.getLong(3) == 0L)
+    // winnowFingerprints + blockingReport smoke through the facade
+    assert(engine.winnowFingerprints(
+      Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"),
+      "doc_id", "text").count() > 0)
+    val br = engine.blockingReport(
+      Seq((1L, "b", "e"), (2L, "b", "e")).toDF("id", "blk", "ent"),
+      "id", "blk", "ent").head()
+    assert(br.getLong(5) == 1000000L) // the one truth pair co-blocks
+  }
+
   test("governance + graph-quality facade: anonymityReport, diversityReport, recExposure, weakTies-shape") {
     import spark.implicits._
     val df = Seq(("a", "s1"), ("a", "s1"), ("b", "s2")).toDF("q", "s")
