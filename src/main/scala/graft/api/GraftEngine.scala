@@ -419,6 +419,50 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def hits(iters: Int = 3): DataFrame =
     graft.operators.GraphAnalytics.hits(edges, iters)
 
+  /** SALSA hubs & authorities over the knows graph — the
+    * degree-normalized [[hits]] (the Twitter-WTF people-rec scorer):
+    * walk mass splits across a vertex's edges, removing HITS's bias
+    * toward dense clusters. */
+  def salsa(iters: Int = 3): DataFrame =
+    graft.operators.GraphAnalytics.salsa(edges, iters)
+
+  /** Edge reciprocity of the knows graph — the fraction of directed
+    * edges whose reverse exists (mutual card exchange), one row. */
+  def reciprocity(): DataFrame =
+    graft.operators.GraphAnalytics.reciprocity(edges)
+
+  /** Power-law degree-exponent MLE of the knows graph's degree tail
+    * (`d ≥ dmin`) — the scale-free-ness health readout; α drifting
+    * low flags hub blowup before a wedge join does. */
+  def degreeExponent(dmin: Int = 2): DataFrame =
+    graft.operators.GraphAnalytics.powerLawAlpha(edges, dmin)
+
+  /** Personalized-SALSA PYMK (the Twitter-WTF scorer): [[salsa]]
+    * restricted to `user`'s circle-of-trust bipartite view, with the
+    * same self/friend exclusion contract as [[pymk]] — the
+    * link-analysis alternative to the 2-hop path-count ranking.
+    * `user` is a case-insensitive name, resolved like [[pymk]];
+    * unknown names return the empty frame. */
+  def pymkSalsa(user: String, limit: Int = 10, iters: Int = 3): DataFrame = {
+    val anchors = Pymk.anchorByName(vertices, user).collect()
+    if (anchors.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("score_micros",
+            org.apache.spark.sql.types.LongType))))
+    graft.operators.GraphAnalytics.salsaPersonalized(
+      edges, lit(anchors.head.getString(0)), iters, limit)
+  }
+
+  /** Rich-club coefficient of the knows graph at degree threshold
+    * `k` — density of the hub-induced subgraph; φ rising toward 1
+    * warns that hub-hub wedges will dominate neighborhood joins. */
+  def richClub(k: Int): DataFrame =
+    graft.operators.GraphAnalytics.richClub(edges, k)
+
   /** Multi-hop PYMK via personalized PageRank: random walk with
     * restart from the user's vertex; excludes the user and their
     * direct friends (the same `neq`/`without` contract as [[pymk]]),
@@ -864,6 +908,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                      k: Int = 10): DataFrame =
     graft.operators.Eval.rbo(runA, runB, k)
 
+  /** Kendall τ of two ranked runs over their common items
+    * ([[graft.operators.Eval.kendallTau]]) — the pairwise
+    * concordance companion to [[compareRankers]]'s top-weighted
+    * overlap. */
+  def rankCorrelation(runA: DataFrame, runB: DataFrame,
+                      k: Int = 10): DataFrame =
+    graft.operators.Eval.kendallTau(runA, runB, k)
+
   /** MRR / precision / recall @k of a ranked run against binary
     * judgments ([[graft.operators.Eval.rankMetricsAtK]]) — the
     * ungraded sibling of [[evalNdcg]]. */
@@ -959,6 +1011,13 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def diversityReport(df: DataFrame, quasiCols: Seq[String],
                       sensitiveCol: String, l: Long = 3L): DataFrame =
     graft.operators.Profile.lDiversity(df, quasiCols, sensitiveCol, l)
+
+  /** t-closeness report ([[graft.operators.Profile.tCloseness]]) —
+    * the [[diversityReport]] companion that also catches skewed
+    * sensitive distributions (TVD vs the table-wide marginal). */
+  def closenessReport(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, t: Double = 0.2): DataFrame =
+    graft.operators.Profile.tCloseness(df, quasiCols, sensitiveCol, t)
 
   /** Popularity-bias Gini of a recommendation table
     * ([[graft.operators.Eval.exposureGini]]). */

@@ -379,6 +379,56 @@ object Eval {
       .orderBy("qid")
   }
 
+  /** Kendall rank correlation between two runs, per query — the
+    * pairwise companion of [[rbo]]: τ = (C − D)/(C + D) over the
+    * ITEMS BOTH RANKERS RETURNED (the standard run-comparison
+    * restriction), where C/D count concordantly/discordantly ordered
+    * item pairs. `row_number` ranks are tie-free, so this is τ-a ≡
+    * τ-b and C + D = n(n−1)/2 exactly. All counts are exact
+    * integers; the single signed division rounds half away from zero
+    * identically in both engines.
+    *
+    * Shape: ranks come from per-query windows over the k-bounded
+    * runs; the pair join is the k-row common table against itself
+    * per qid — ≤ k²/2 pairs per query, never corpus-sized.
+    *
+    * @return (qid, n_common, concordant, discordant, tau_micros) per
+    *         query of `runA`, ordered; τ = 0 when fewer than 2
+    *         common items.
+    */
+  def kendallTau(runA: DataFrame, runB: DataFrame, k: Int): DataFrame = {
+    def ranked(df: DataFrame, rc: String) = {
+      val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      df.withColumn(rc, row_number().over(w)).filter(col(rc) <= k)
+        .select(col("qid"), col("id"), col(rc))
+    }
+    val common = ranked(runA, "ra").join(ranked(runB, "rb"), Seq("qid", "id"))
+    val l = common.select(col("qid"), col("id").as("i"),
+      col("ra").as("rai"), col("rb").as("rbi"))
+    val r = common.select(col("qid"), col("id").as("j"),
+      col("ra").as("raj"), col("rb").as("rbj"))
+    val agg = l.join(r, Seq("qid")).filter(col("i") < col("j"))
+      .groupBy("qid")
+      .agg(
+        sum(when((col("rai") - col("raj")) * (col("rbi") - col("rbj")) > 0,
+          1L).otherwise(0L)).as("concordant"),
+        sum(when((col("rai") - col("raj")) * (col("rbi") - col("rbj")) < 0,
+          1L).otherwise(0L)).as("discordant"))
+    runA.select("qid").distinct()
+      .join(common.groupBy("qid").agg(count(lit(1)).as("nc")), Seq("qid"),
+        "left")
+      .join(agg, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("nc"), lit(0L)).as("n_common"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        when(coalesce(col("concordant"), lit(0L))
+            + coalesce(col("discordant"), lit(0L)) > 0,
+          round(lit(1e6) * (col("concordant") - col("discordant"))
+            / (col("concordant") + col("discordant"))).cast("long"))
+          .otherwise(lit(0L)).as("tau_micros"))
+      .orderBy("qid")
+  }
+
   /** Gini concentration of recommendation exposure — the
     * popularity-bias metric over a rec table: G near 0 = exposure
     * spread evenly over the catalog, near 1 = a few head items take

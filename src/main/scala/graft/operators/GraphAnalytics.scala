@@ -1518,6 +1518,234 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** SALSA hubs & authorities (Lempel & Moran 2001) on the DIRECTED
+    * edge view — the degree-normalized sibling of [[hits]] and the
+    * link analysis behind production people-recommenders
+    * (Twitter's WTF runs personalized SALSA where the reference runs
+    * its 2-hop Gremlin count, neptune_recommend_bizcard.py:56-73):
+    * each half-round is a random-walk step on the bipartite
+    * hub/authority view, `a(v) ← Σ_{u→v} h(u)/outdeg(u)` then
+    * `h(u) ← Σ_{u→v} a(v)/indeg(v)`, so mass splits across a
+    * vertex's edges instead of replicating (HITS's rich-get-richer
+    * bias toward dense clusters is exactly what the normalization
+    * removes). Per-edge messages are FLOOR'd integer-micro divisions
+    * (h, outdeg both integers — the IEEE quotient is exact enough
+    * that the floor replays cross-engine; see the modularity-term
+    * convention) and each half-round L1-renormalizes to Σ = 1e6
+    * micros, absorbing the floor loss, so the fixed `iters` rounds
+    * replay as unrolled CTEs in the DuckDB oracle.
+    *
+    * 100 TB shape: identical to [[hits]] — per round two edge-keyed
+    * joins + two vertex folds + two 1-row total broadcasts over the
+    * localCheckpointed distinct edge list; the degree tables are one
+    * extra keyed fold computed ONCE.
+    *
+    * @return (id, salsa_hub_micros, salsa_auth_micros) per vertex.
+    */
+  def salsa(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true) // scanned twice per round + two degree folds
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val odeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .localCheckpoint(true)
+    val ideg = e.groupBy(col("dst")).agg(count(lit(1)).as("ideg"))
+      .localCheckpoint(true)
+    def normalize(raw: DataFrame, out: String): DataFrame =
+      verts.join(
+          raw.crossJoin(broadcast(raw.agg(
+              coalesce(sum(col("raw")), lit(0L)).as("tot"))))
+            .select(col("id"),
+              round(col("raw") * lit(1e6) / col("tot")).cast("long").as(out)),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col(out), lit(0L)).as(out))
+        .localCheckpoint(true)
+    var h = verts.withColumn("h", lit(1000000L))
+    var a = verts.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val araw = e.join(h.withColumnRenamed("id", "src"), "src")
+        .join(odeg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(floor(col("h") / col("odeg")).cast("long")).as("raw"))
+        .localCheckpoint(true) // feeds both its own total and the rows
+      a = normalize(araw, "a")
+      val hraw = e.join(a.withColumnRenamed("id", "dst"), "dst")
+        .join(ideg, "dst")
+        .groupBy(col("src").as("id"))
+        .agg(sum(floor(col("a") / col("ideg")).cast("long")).as("raw"))
+        .localCheckpoint(true)
+      h = normalize(hraw, "h")
+    }
+    h.join(a, Seq("id"))
+      .select(col("id"), col("h").as("salsa_hub_micros"),
+        col("a").as("salsa_auth_micros"))
+      .orderBy(col("id"))
+  }
+
+  /** Edge reciprocity of the directed view — the fraction of `knows`
+    * edges whose reverse edge also exists. The reference's graph is a
+    * directed multigraph-in-practice (reciprocal edges appear when two
+    * people exchange cards, upsert_bizcard_to_graph_db.py:104-109);
+    * reciprocity is the one-number health check of that mutuality, and
+    * the global companion of the per-edge [[graft.operators.Pymk]]
+    * embeddedness. One self semi-join on the distinct simple edge set
+    * + exact integer counts + one floored micro ratio — no windows,
+    * no all-pairs.
+    *
+    * @return one row (n_edges, n_reciprocal, reciprocity_micros).
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true) // probed against its own reverse
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        floor(col("n_reciprocal") * lit(1000000L) / col("n_edges"))
+          .cast("long").as("reciprocity_micros"))
+  }
+
+  /** Power-law degree-exponent MLE (Clauset, Shalizi & Newman 2009,
+    * continuous approximation): `α = 1 + n / Σ ln(d_i / (dmin − ½))`
+    * over the tail `d_i ≥ dmin` of the undirected simple degree
+    * distribution — the scale-free-ness readout that pairs with the
+    * token-side [[graft.operators.TextAnalysis]] Zipf fit (natural
+    * social graphs land α ≈ 2–3; α drifting low flags hub blowup
+    * before a wedge join does). Per-vertex ln terms QUANTIZE to
+    * integer micros before the fold (order-free exact sum), the
+    * estimator is then ONE fixed IEEE expression over two exact
+    * integers — the modularity-term convention end to end.
+    *
+    * @return one row (dmin, n_tail, sum_log_micros, alpha_micros).
+    */
+  def powerLawAlpha(edges: DataFrame, dmin: Int = 2): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= dmin)
+    deg.select(
+        round(log(col("d") / (lit(dmin) - lit(0.5))) * lit(1e6))
+          .cast("long").as("lt"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("lt")).as("sum_log_micros"))
+      .select(lit(dmin).cast("long").as("dmin"),
+        col("n_tail"), col("sum_log_micros"),
+        round(lit(1e6) + lit(1e12) * col("n_tail") / col("sum_log_micros"))
+          .cast("long").as("alpha_micros"))
+  }
+
+  /** Personalized SALSA (Goel et al. 2015, "The Who-To-Follow System
+    * at Twitter") — the production people-recommendation scorer, run
+    * here where the reference runs its 2-hop Gremlin `groupCount`
+    * (neptune_recommend_bizcard.py:56-73). The hub side is the user's
+    * circle of trust (the user + their direct undirected neighbors —
+    * the same `both()` view the PYMK contract walks); the authority
+    * side is every neighbor of a hub; [[salsa]]'s degree-normalized
+    * half-rounds then run RESTRICTED to that bipartite subgraph, so
+    * each round costs |be| messages, never |E|. Recommendations are
+    * the authority scores with the user and their friends removed —
+    * the exact `neq`/`without` exclusion contract of
+    * [[graft.operators.Pymk]] — and the scores are already integer
+    * micros, so the top-k limit is quantized by construction.
+    *
+    * 100 TB shape: the circle of trust is one filtered neighbor scan;
+    * the bipartite edge set is one join off it (bounded by the user's
+    * 2-hop neighborhood, the same frontier PYMK itself touches); each
+    * half-round is a keyed join + fold + 1-row total broadcast over
+    * the localCheckpointed bipartite list.
+    *
+    * @return top-k rows (id, score_micros), score desc / id asc.
+    */
+  def salsaPersonalized(edges: DataFrame, user: Column, iters: Int = 3,
+                        topK: Int = 10): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val fromUser = und.filter(col("src") === user)
+    val hubs = fromUser.select(col("dst").as("hub"))
+      .unionAll(fromUser.select(col("src").as("hub")))
+      .distinct().localCheckpoint(true)
+    val be = und.join(broadcast(hubs), und("src") === hubs("hub"))
+      .select(col("hub"), col("dst").as("auth"))
+      .localCheckpoint(true) // scanned twice per round + two degree folds
+    val auths = be.select(col("auth")).distinct().localCheckpoint(true)
+    val hdeg = be.groupBy(col("hub")).agg(count(lit(1)).as("hd"))
+      .localCheckpoint(true)
+    val adeg = be.groupBy(col("auth")).agg(count(lit(1)).as("ad"))
+      .localCheckpoint(true)
+    def normalize(raw: DataFrame, verts: DataFrame, key: String,
+                  out: String): DataFrame =
+      verts.join(
+          raw.crossJoin(broadcast(raw.agg(
+              coalesce(sum(col("raw")), lit(0L)).as("tot"))))
+            .select(col(key),
+              round(col("raw") * lit(1e6) / col("tot")).cast("long").as(out)),
+          Seq(key), "left")
+        .select(col(key), coalesce(col(out), lit(0L)).as(out))
+        .localCheckpoint(true)
+    var h = hubs.withColumn("h", lit(1000000L))
+    var a = auths.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val araw = be.join(h, "hub").join(hdeg, "hub")
+        .groupBy(col("auth"))
+        .agg(sum(floor(col("h") / col("hd")).cast("long")).as("raw"))
+        .localCheckpoint(true)
+      a = normalize(araw, auths, "auth", "a")
+      val hraw = be.join(a, "auth").join(adeg, "auth")
+        .groupBy(col("hub"))
+        .agg(sum(floor(col("a") / col("ad")).cast("long")).as("raw"))
+        .localCheckpoint(true)
+      h = normalize(hraw, hubs, "hub", "h")
+    }
+    a.filter(col("a") > 0L)
+      .join(broadcast(hubs), a("auth") === hubs("hub"), "left_anti")
+      .select(col("auth").as("id"), col("a").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** Rich-club coefficient (Colizza et al. 2006): over the undirected
+    * simple view, the density of the subgraph induced by vertices of
+    * degree > k — `φ(k) = 2·E_k / (N_k·(N_k−1))`. The companion
+    * readout to [[powerLawAlpha]]: a rich club forming among the hubs
+    * (φ → 1) is the structural early warning that hub-hub wedges will
+    * dominate any quadratic neighborhood join. One degree fold + one
+    * double semi-join of the edge list against the rich set + exact
+    * integer counts + one floored micro ratio.
+    *
+    * @return one row (k, n_rich, e_rich, phi_micros); φ = 0 when
+    *         fewer than 2 rich vertices.
+    */
+  def richClub(edges: DataFrame, k: Int): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+    val rich = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .filter(col("d") > k).select(col("id"))
+      .localCheckpoint(true)
+    canon
+      .join(broadcast(rich.select(col("id").as("u"))), Seq("u"), "left_semi")
+      .join(broadcast(rich.select(col("id").as("v"))), Seq("v"), "left_semi")
+      .agg(count(lit(1)).as("e_rich"))
+      .crossJoin(broadcast(rich.agg(count(lit(1)).as("n_rich"))))
+      .select(lit(k).cast("long").as("k"), col("n_rich"), col("e_rich"),
+        when(col("n_rich") < 2, lit(0L)).otherwise(
+            floor(col("e_rich") * lit(2000000L)
+              / (col("n_rich") * (col("n_rich") - lit(1L)))).cast("long"))
+          .as("phi_micros"))
+  }
+
   /** Eigenvector centrality by power iteration on the UNDIRECTED
     * simple view — the prestige score where a vertex is central in
     * proportion to its neighbors' centrality (the symmetric companion

@@ -148,6 +148,56 @@ object Profile {
       min(col("d")).as("min_diversity"))
   }
 
+  /** t-closeness report (Li, Li & Venkatasubramanian 2007) — the
+    * [[lDiversity]] companion that closes the skew attack: a
+    * quasi-identifier group leaks when its SENSITIVE-value
+    * distribution sits far from the table-wide one (l distinct values
+    * all drawn from the rare tail still identify). Distance is total
+    * variation, computed EXACTLY: per (group, value) the term
+    * `|ngv·n − nv·ng|` is an exact BIGINT (counts cross-multiplied
+    * onto one denominator), values absent from a group contribute
+    * `nv·ng` via one complement correction `(n − Σ_{v∈g} nv)·ng`, and
+    * the group's TVD is ONE floored division
+    * `⌊1e6·Σ/(2·ng·n)⌋` — the modularity-term convention, so every
+    * fold is order-free and the oracle replays it.
+    *
+    * Shape: two keyed folds (group×value, then group) + a broadcast
+    * value-marginal join + a 1-row total — no windows, nothing
+    * all-pairs.
+    *
+    * @return one row (n_groups, n_violating_groups, n_risk_rows,
+    *         max_tvd_micros) at threshold `t`.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    val tMicros = math.round(t * 1e6)
+    val qs = quasiCols.map(col)
+    val gv = df.groupBy(qs :+ col(sensitiveCol).as("_v"): _*)
+      .agg(count(lit(1)).as("ngv"))
+    val grp = gv.groupBy(qs: _*).agg(sum(col("ngv")).as("ng"))
+    val global = df.groupBy(col(sensitiveCol).as("_v"))
+      .agg(count(lit(1)).as("nv"))
+    val tot = df.agg(count(lit(1)).as("n"))
+    val per = gv.join(broadcast(global), Seq("_v"))
+      .join(grp, quasiCols)
+      .crossJoin(broadcast(tot))
+      .groupBy(qs: _*)
+      .agg(max(col("ng")).as("ng"), max(col("n")).as("n"),
+        sum(abs(col("ngv") * col("n") - col("nv") * col("ng")))
+          .as("present_num"),
+        sum(col("nv")).as("nv_present"))
+      .select(col("ng"),
+        floor(lit(1e6) * (col("present_num")
+            + (col("n") - col("nv_present")) * col("ng"))
+          / (lit(2L) * col("ng") * col("n"))).cast("long").as("tvd_micros"))
+    per.agg(count(lit(1)).as("n_groups"),
+      sum(when(col("tvd_micros") > tMicros, 1L).otherwise(0L))
+        .as("n_violating_groups"),
+      sum(when(col("tvd_micros") > tMicros, col("ng")).otherwise(0L))
+        .as("n_risk_rows"),
+      max(col("tvd_micros")).as("max_tvd_micros"))
+  }
+
   def checkConstraints(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
     def report(c: Check, metric: Column): Column =

@@ -492,6 +492,47 @@ object GraphQueries {
       graft.operators.GraphAnalytics.eigenvectorCentrality(edges, iters = 3)
     }),
 
+    // SALSA hubs & authorities: degree-normalized link analysis (the
+    // Twitter-WTF people-rec scorer), 3 rounds of floored per-edge
+    // micro messages + per-half-round L1 renormalization — unrolled
+    // oracle (the HITS playbook with degree CTEs).
+    "qX_salsa" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.salsa(edges, iters = 3)
+    }),
+
+    // Edge reciprocity: fraction of directed knows edges whose reverse
+    // exists — one self semi-join + exact counts + floored micro ratio.
+    "qX_reciprocity" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.reciprocity(edges)
+    }),
+
+    // Power-law degree-exponent MLE over the undirected simple degree
+    // tail (d >= 2): per-vertex ln terms quantized to micros before
+    // the fold, one fixed IEEE estimator expression.
+    "qX_powerlaw" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.powerLawAlpha(edges, dmin = 2)
+    }),
+
+    // Personalized SALSA PYMK (the Twitter-WTF scorer): hub side =
+    // user 1's circle of trust, 3 degree-normalized rounds on the
+    // restricted bipartite view, friends-and-self excluded — the
+    // link-analysis alternative ranking to qD1_pymk's path counts.
+    "qX_salsa_pymk" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.salsaPersonalized(
+        edges, lit(1L), iters = 3, topK = 10)
+    }),
+
+    // Rich-club coefficient at k=30: density of the hub-induced
+    // subgraph — exact counts, one floored micro ratio.
+    "qX_richclub" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.richClub(edges, k = 30)
+    }),
+
     // Luby maximal independent set: per round, an active vertex joins
     // iff its md5-composite priority beats every active neighbor's;
     // winners + neighbors retire. Deterministic, unrolled-round oracle.
@@ -1273,7 +1314,139 @@ object GraphQueries {
          |ORDER BY verts.id""".stripMargin
   }
 
+  /** Unrolled SALSA oracle for [[qX_salsa]]: the [[hitsSql]] chain
+    * with per-edge FLOOR'd degree-normalized messages — authority raw
+    * sums of floor(h/outdeg) over in-edges, hub raw sums of
+    * floor(a/indeg) over out-edges, each half L1-renormalized to
+    * Σ=1e6 micros (the renormalization absorbs the floor loss). */
+  private def salsaSql(iters: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |verts AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+         |ideg AS (SELECT dst, count(*) AS ideg FROM edges GROUP BY 1),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM verts)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.dst AS id,
+         |    CAST(sum(CAST(floor(h.h * 1.0 / o.odeg) AS BIGINT)) AS BIGINT)
+         |      AS raw
+         |  FROM edges e JOIN h${k - 1} h ON h.id = e.src
+         |  JOIN odeg o ON o.src = e.src GROUP BY 1),
+         |at$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$k),
+         |a$k AS (SELECT v.id, coalesce(
+         |    CAST(round(r.raw * 1e6 / t.tot) AS BIGINT), 0) AS a
+         |  FROM verts v LEFT JOIN ar$k r ON r.id = v.id CROSS JOIN at$k t),
+         |hr$k AS (SELECT e.src AS id,
+         |    CAST(sum(CAST(floor(a.a * 1.0 / i.ideg) AS BIGINT)) AS BIGINT)
+         |      AS raw
+         |  FROM edges e JOIN a$k a ON a.id = e.dst
+         |  JOIN ideg i ON i.dst = e.dst GROUP BY 1),
+         |ht$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$k),
+         |h$k AS (SELECT v.id, coalesce(
+         |    CAST(round(r.raw * 1e6 / t.tot) AS BIGINT), 0) AS h
+         |  FROM verts v LEFT JOIN hr$k r ON r.id = v.id CROSS JOIN ht$k t)""".stripMargin
+    }
+    val tail =
+      s"""SELECT h$iters.id, h$iters.h AS salsa_hub_micros,
+         |  a$iters.a AS salsa_auth_micros
+         |FROM h$iters JOIN a$iters USING (id) ORDER BY id""".stripMargin
+    ((head +: rounds).mkString(",\n")) + "\n" + tail
+  }
+
+  /** Unrolled personalized-SALSA oracle for [[qX_salsa_pymk]]: the
+    * [[salsaSql]] chain restricted to the anchor's circle-of-trust
+    * bipartite view, friends-and-self excluded from the ranked tail. */
+  private def psalsaSql(iters: Int, anchor: Long, topK: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM edges
+         |  UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+         |hubs AS (SELECT DISTINCT hub FROM (
+         |  SELECT dst AS hub FROM und WHERE src = $anchor
+         |  UNION ALL SELECT src AS hub FROM und WHERE src = $anchor)),
+         |be AS (SELECT h.hub, u.dst AS auth FROM und u
+         |  JOIN hubs h ON u.src = h.hub),
+         |auths AS (SELECT DISTINCT auth FROM be),
+         |hdeg AS (SELECT hub, count(*) AS hd FROM be GROUP BY 1),
+         |adeg AS (SELECT auth, count(*) AS ad FROM be GROUP BY 1),
+         |h0 AS (SELECT hub, CAST(1000000 AS BIGINT) AS h FROM hubs)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT b.auth,
+         |    CAST(sum(CAST(floor(h.h * 1.0 / d.hd) AS BIGINT)) AS BIGINT)
+         |      AS raw
+         |  FROM be b JOIN h${k - 1} h ON h.hub = b.hub
+         |  JOIN hdeg d ON d.hub = b.hub GROUP BY 1),
+         |at$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$k),
+         |a$k AS (SELECT v.auth, coalesce(
+         |    CAST(round(r.raw * 1e6 / t.tot) AS BIGINT), 0) AS a
+         |  FROM auths v LEFT JOIN ar$k r ON r.auth = v.auth CROSS JOIN at$k t),
+         |hr$k AS (SELECT b.hub,
+         |    CAST(sum(CAST(floor(a.a * 1.0 / d.ad) AS BIGINT)) AS BIGINT)
+         |      AS raw
+         |  FROM be b JOIN a$k a ON a.auth = b.auth
+         |  JOIN adeg d ON d.auth = b.auth GROUP BY 1),
+         |ht$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$k),
+         |h$k AS (SELECT v.hub, coalesce(
+         |    CAST(round(r.raw * 1e6 / t.tot) AS BIGINT), 0) AS h
+         |  FROM hubs v LEFT JOIN hr$k r ON r.hub = v.hub CROSS JOIN ht$k t)""".stripMargin
+    }
+    val tail =
+      s"""SELECT a$iters.auth AS id, a$iters.a AS score_micros
+         |FROM a$iters
+         |WHERE a$iters.a > 0
+         |  AND a$iters.auth NOT IN (SELECT hub FROM hubs)
+         |ORDER BY score_micros DESC, id LIMIT $topK""".stripMargin
+    ((head +: rounds).mkString(",\n")) + "\n" + tail
+  }
+
   val oracles: Map[String, String] = Map(
+    "qX_salsa" -> salsaSql(iters = 3),
+    "qX_salsa_pymk" -> psalsaSql(iters = 3, anchor = 1L, topK = 10),
+    "qX_richclub" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |deg AS (SELECT id, count(*) AS d FROM (
+         |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+         |rich AS (SELECT id FROM deg WHERE d > 30),
+         |er AS (SELECT count(*) AS e_rich FROM e
+         |  WHERE u IN (SELECT id FROM rich) AND v IN (SELECT id FROM rich)),
+         |nr AS (SELECT count(*) AS n_rich FROM rich)
+         |SELECT CAST(30 AS BIGINT) AS k, CAST(nr.n_rich AS BIGINT) AS n_rich,
+         |  CAST(er.e_rich AS BIGINT) AS e_rich,
+         |  CAST(CASE WHEN nr.n_rich < 2 THEN 0
+         |    ELSE floor(er.e_rich * 2000000 * 1.0
+         |               / (nr.n_rich * (nr.n_rich - 1))) END AS BIGINT)
+         |    AS phi_micros
+         |FROM er, nr""".stripMargin,
+    "qX_reciprocity" ->
+      s"""WITH edges AS ($EdgesSql),
+         |r AS (SELECT count(*) AS n_reciprocal FROM edges e
+         |  WHERE EXISTS (SELECT 1 FROM edges x
+         |                WHERE x.src = e.dst AND x.dst = e.src)),
+         |t AS (SELECT count(*) AS n_edges FROM edges)
+         |SELECT CAST(t.n_edges AS BIGINT) AS n_edges,
+         |  CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
+         |  CAST(floor(CAST(r.n_reciprocal * 1000000 AS BIGINT) * 1.0
+         |             / t.n_edges) AS BIGINT) AS reciprocity_micros
+         |FROM r, t""".stripMargin,
+    "qX_powerlaw" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |deg AS (SELECT id, count(*) AS d FROM (
+         |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+         |tail AS (SELECT CAST(round(ln(d / 1.5) * 1e6) AS BIGINT) AS lt
+         |  FROM deg WHERE d >= 2),
+         |s AS (SELECT count(*) AS n_tail,
+         |  CAST(sum(lt) AS BIGINT) AS sum_log_micros FROM tail)
+         |SELECT CAST(2 AS BIGINT) AS dmin, CAST(n_tail AS BIGINT) AS n_tail,
+         |  sum_log_micros,
+         |  CAST(round(1e6 + 1e12 * n_tail / sum_log_micros) AS BIGINT)
+         |    AS alpha_micros
+         |FROM s""".stripMargin,
     "qX_harmonic" -> harmonicSql(numSources = 8, maxDepth = 4),
     "qX_betweenness" -> betweennessSql(numSources = 8),
     "qX_hits" -> hitsSql(iters = 3),

@@ -290,6 +290,25 @@ object SimilarityQueries {
       graft.operators.Eval.rbo(lexical, dense, k = 10)
     }),
 
+    // Kendall τ between the same two rankers, per query: concordant/
+    // discordant pairs over the common items — the pairwise companion
+    // readout to qX_rbo's top-weighted overlap.
+    "qX_kendall" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val (postings, stats, n) = SearchIndex.build(docs, "doc_id",
+        Seq("text"))
+      val batch = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokenize(col("text"))).as("term"))
+      val lexical = SearchIndex.batchQuery(postings, stats, n, "text",
+        batch, 10, excludeSelf = true)
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", "vec_id", "embedding", 10)
+        .withColumnRenamed("sim", "score")
+      graft.operators.Eval.kendallTau(lexical, dense, k = 10)
+    }),
+
     // NN-descent k-NN graph: LSH-bucket init, 2 neighbor-of-neighbor
     // refinement rounds, quantized-cosine top-5 — init + every round
     // replayed in SQL.
@@ -1266,6 +1285,32 @@ object SimilarityQueries {
         |SELECT n, n_correct,
         |  CAST(floor(1000000 * n_correct / n) AS BIGINT) AS acc_micros
         |FROM agg""".stripMargin,
+    "qX_kendall" ->
+      (RrfHybridCte + """,
+        |common AS (SELECT l.qid, l.id, l.rn AS ra, d.rn AS rb
+        |  FROM (SELECT qid, id, rn FROM lranked WHERE rn <= 10) l
+        |  JOIN (SELECT qid, id, rn FROM dranked WHERE rn <= 10) d
+        |  USING (qid, id)),
+        |nc AS (SELECT q.qid, CAST(coalesce(c.n, 0) AS BIGINT) AS n_common
+        |  FROM (SELECT DISTINCT qid FROM lranked) q
+        |  LEFT JOIN (SELECT qid, count(*) AS n FROM common GROUP BY 1) c
+        |  USING (qid)),
+        |agg AS (SELECT a.qid,
+        |    CAST(sum(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+        |  FROM common a JOIN common b ON a.qid = b.qid AND a.id < b.id
+        |  GROUP BY 1)
+        |SELECT nc.qid, CAST(nc.n_common AS BIGINT) AS n_common,
+        |  coalesce(agg.concordant, 0) AS concordant,
+        |  coalesce(agg.discordant, 0) AS discordant,
+        |  CAST(CASE WHEN coalesce(agg.concordant, 0)
+        |      + coalesce(agg.discordant, 0) > 0
+        |    THEN round(1e6 * (agg.concordant - agg.discordant)
+        |               / (agg.concordant + agg.discordant))
+        |    ELSE 0 END AS BIGINT) AS tau_micros
+        |FROM nc LEFT JOIN agg USING (qid) ORDER BY nc.qid""".stripMargin),
     "qX_rbo" ->
       (RrfHybridCte + """,
         |ra AS (SELECT qid, id, rn AS r FROM lranked WHERE rn <= 10),

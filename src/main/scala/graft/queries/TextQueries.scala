@@ -398,6 +398,14 @@ object TextQueries {
         Tables.load(s, dir, "documents"), Seq("lang"), "source", 3L)
     }),
 
+    // t-closeness at t=0.2: per-lang source distribution vs the global
+    // one, exact cross-multiplied TVD terms, one floored division per
+    // group — closes the skew attack l-diversity misses.
+    "qX_tcloseness" -> ((s, dir) => {
+      graft.operators.Profile.tCloseness(
+        Tables.load(s, dir, "documents"), Seq("lang"), "source", 0.2)
+    }),
+
     // stratified 5-fold CV assignment — per-(stratum, fold) counts +
     // an id-sum so the oracle checks MEMBERSHIP, not just sizes.
     "qX_kfold" -> ((s, dir) => {
@@ -1491,6 +1499,31 @@ object TextQueries {
         |    AS n_risk_rows,
         |  min(d) AS min_diversity
         |FROM g""".stripMargin,
+    "qX_tcloseness" ->
+      """WITH gv AS (SELECT lang, source AS _v, count(*) AS ngv
+        |  FROM documents GROUP BY 1, 2),
+        |grp AS (SELECT lang, CAST(sum(ngv) AS BIGINT) AS ng
+        |  FROM gv GROUP BY 1),
+        |gm AS (SELECT source AS _v, count(*) AS nv
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |per AS (SELECT g.lang, max(grp.ng) AS ng, max(t.n) AS n,
+        |    CAST(sum(abs(g.ngv * t.n - gm.nv * grp.ng)) AS BIGINT)
+        |      AS present_num,
+        |    CAST(sum(gm.nv) AS BIGINT) AS nv_present
+        |  FROM gv g JOIN gm ON gm._v = g._v
+        |  JOIN grp ON grp.lang = g.lang CROSS JOIN tot t GROUP BY 1),
+        |tv AS (SELECT ng,
+        |    CAST(floor(1e6 * (present_num + (n - nv_present) * ng)
+        |      / (2 * ng * n)) AS BIGINT) AS tvd_micros
+        |  FROM per)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN tvd_micros > 200000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violating_groups,
+        |  CAST(sum(CASE WHEN tvd_micros > 200000 THEN ng ELSE 0 END)
+        |    AS BIGINT) AS n_risk_rows,
+        |  max(tvd_micros) AS max_tvd_micros
+        |FROM tv""".stripMargin,
     "qX_kfold" ->
       """SELECT lang,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

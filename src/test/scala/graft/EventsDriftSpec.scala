@@ -318,6 +318,29 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(Eval.rbo(a, rev, k = 2).collect().head.getLong(1) == 250000L)
   }
 
+  test("kendallTau: agreement 1e6, full reversal -1e6, hand 3-item case") {
+    import graft.operators.Eval
+    def tau(x: org.apache.spark.sql.DataFrame,
+            y: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+      val r = Eval.kendallTau(x, y, k = 10).collect().head
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    val a = Seq((1L, 10L, 3.0), (1L, 20L, 2.0), (1L, 30L, 1.0))
+      .toDF("qid", "id", "score")
+    assert(tau(a, a) == ((3L, 3L, 0L, 1000000L)))
+    val rev = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0))
+      .toDF("qid", "id", "score")
+    assert(tau(a, rev) == ((3L, 0L, 3L, -1000000L)))
+    // b swaps only the top two: pair (10,20) discordant, the two
+    // pairs involving 30 concordant → τ = (2−1)/3 = 333333
+    val b = Seq((1L, 20L, 3.0), (1L, 10L, 2.0), (1L, 30L, 1.0))
+      .toDF("qid", "id", "score")
+    assert(tau(a, b) == ((3L, 2L, 1L, 333333L)))
+    // one common item → no pairs → τ = 0 by contract
+    val c = Seq((1L, 10L, 9.0), (1L, 90L, 8.0)).toDF("qid", "id", "score")
+    assert(tau(a, c) == ((1L, 0L, 0L, 0L)))
+  }
+
   test("recommendAllWeighted: heavier recent path outranks; direct friends excluded") {
     import graft.operators.Pymk
     // anchor 1: paths to 4 via 2 (w 2e6·1e6) and to 5 via 3 (1e6·1e6);
@@ -361,6 +384,20 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     val r = Profile.lDiversity(df, Seq("q"), "s", 2L).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((2L, 1L, 3L, 1L)))
+  }
+
+  test("tCloseness: exact TVD incl. absent-value complement, threshold flip") {
+    import graft.operators.Profile
+    // global p = (2/3, 1/6, 1/6); group a = uniform thirds → TVD 1/3;
+    // group b = all-s1 (s2/s3 absent → complement term) → TVD 1/3
+    val df = Seq(("a", "s1"), ("a", "s2"), ("a", "s3"), ("b", "s1"),
+      ("b", "s1"), ("b", "s1")).toDF("q", "s")
+    def rep(t: Double) = {
+      val r = Profile.tCloseness(df, Seq("q"), "s", t).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    assert(rep(0.2) == ((2L, 2L, 6L, 333333L)))
+    assert(rep(0.5) == ((2L, 0L, 0L, 333333L)))
   }
 
   test("exposureGini: uniform exposure 0, 9:1 split 0.4") {

@@ -171,6 +171,42 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(h(rodyId) == 2666666L && h.values.min == 2666666L)
   }
 
+  test("graph facade: salsa, reciprocity, degreeExponent") {
+    // SALSA scores every vertex; each side's mass sums to ~1e6
+    val sal = engine.salsa(3).collect()
+    assert(sal.length == 6)
+    assert(math.abs(sal.map(_.getLong(1)).sum - 1000000L) <= 6L)
+    assert(math.abs(sal.map(_.getLong(2)).sum - 1000000L) <= 6L)
+    // reciprocity is a single well-formed ratio row
+    val rec = engine.reciprocity().head()
+    assert(rec.getLong(1) <= rec.getLong(0) &&
+      rec.getLong(2) >= 0L && rec.getLong(2) <= 1000000L)
+    // degree-exponent readout: α > 1 by construction on any tail
+    val alpha = engine.degreeExponent(2).head()
+    assert(alpha.getLong(1) > 0L && alpha.getLong(3) > 1000000L)
+  }
+
+  test("graph facade: pymkSalsa and richClub") {
+    // personalized SALSA honors the pymk exclusion contract: never
+    // the user, never a direct friend — and ranks desc by micros
+    val anchor = graft.operators.Pymk
+      .anchorByName(engine.vertices, "Poby Kim").head.getString(0)
+    val friends = graft.operators.Pymk.undirected(engine.edges)
+      .filter(col("from") === anchor).select("to")
+      .collect().map(_.getString(0)).toSet
+    val recs = engine.pymkSalsa("poby kim").collect()
+    assert(recs.nonEmpty)
+    assert(!recs.map(_.getString(0)).exists(id => id == anchor || friends(id)))
+    val scores = recs.map(_.getLong(1))
+    assert(scores.forall(_ > 0L) && scores.sameElements(scores.sortBy(-_)))
+    // unknown user → typed empty frame, not an exception
+    assert(engine.pymkSalsa("nobody special").isEmpty)
+    // rich club at k=0 covers every vertex that has an edge
+    val rc = engine.richClub(0).head()
+    assert(rc.getLong(1) > 0L && rc.getLong(3) > 0L &&
+      rc.getLong(3) <= 1000000L)
+  }
+
   test("graph facade: eigenvector, independentSet, communitiesTwoStar, sketch overlap") {
     import spark.implicits._
     // eigenvector over string vertex keys: every vertex scored, mass

@@ -530,6 +530,90 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(c1 == c3)
   }
 
+  test("salsa: degree-normalized mass split, hand-computed micros") {
+    // 1→{2,3}, 4→3: outdeg(1)=2 splits 1's mass, indeg(3)=2 splits
+    // authority credit on the hub pass. Hand-rolled 3 rounds (floored
+    // per-edge messages, L1 renorm per half):
+    //   r1: a=(250000, 750000) on (2,3); h=(625000, 375000) on (1,4)
+    //   r2: a=(312500, 687500); h=(656250, 343750)
+    //   r3: a=(328125, 671875); h raw=(664062, 335937) tot 999999
+    //       → renorm (664063, 335937); converging to a ∝ indeg (⅓:⅔)
+    val g = Seq((1L, 2L), (1L, 3L), (4L, 3L)).toDF("src", "dst")
+    val got = GraphAnalytics.salsa(g, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (664063L, 0L), 2L -> (0L, 328125L),
+      3L -> (0L, 671875L), 4L -> (335937L, 0L)))
+    // HITS on the same graph weights in-edges by hub strength, so the
+    // weak hub 4 discounts a(3) (→ 1/φ ≈ 0.618); SALSA's walk mass
+    // lands ∝ indeg (→ 2/3) — the degree normalization is visible
+    val hits = GraphAnalytics.hits(g, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hits(3L) < got(3L)._2)
+  }
+
+  test("reciprocity: mutual pair over three edges, floored micros") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r = GraphAnalytics.reciprocity(g).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((3L, 2L, 666666L)))
+    // fully mutual graph → 1e6; no mutual edge → 0
+    val full = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(GraphAnalytics.reciprocity(full).head().getLong(2) == 1000000L)
+    val none = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(GraphAnalytics.reciprocity(none).head().getLong(2) == 0L)
+  }
+
+  test("salsaPersonalized: circle-of-trust restriction, hand-computed ranks") {
+    // und view of 1-2, 1-3, 2-4, 3-4, 3-5, 5-6; user 1's circle of
+    // trust H = {1,2,3}; bipartite view 1→{2,3}, 2→{1,4}, 3→{1,4,5}
+    // (vertex 6 is outside the 2-hop frontier and never touched).
+    // Hand-rolled 3 rounds of floored micro messages + per-side L1
+    // renorm end at a = (auth4 266975, auth5 132715) after the
+    // friends-and-self exclusion — auth4 outranks via its two trusted
+    // endorsers even though auth5 is also 2 hops out.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (3L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.salsaPersonalized(g, lit(1L), iters = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((4L, 266975L), (5L, 132715L)))
+    // hubs/self never appear; topK truncates deterministically
+    val top1 = GraphAnalytics.salsaPersonalized(g, lit(1L), iters = 3, topK = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(4L))
+  }
+
+  test("richClub: induced hub density, degenerate singleton club") {
+    // triangle 1-2-3 + pendant 3-4: k=1 → club {1,2,3} is the full
+    // triangle (φ=1); k=0 → all 4 verts, 4 of 6 possible edges; k=2 →
+    // singleton club, φ=0 by contract
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    def phi(k: Int) = {
+      val r = GraphAnalytics.richClub(g, k).head()
+      (r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    assert(phi(1) == ((3L, 3L, 1000000L)))
+    assert(phi(0) == ((4L, 4L, 666666L)))
+    assert(phi(2) == ((1L, 0L, 0L)))
+  }
+
+  test("powerLawAlpha: tail terms quantize before the fold, path-graph estimator") {
+    // path 1-2-3-4: undirected degrees (1,2,2,1); tail d>=2 = {2,3},
+    // each term round(1e6·ln(2/1.5)); estimator replays the operator's
+    // fixed IEEE expression on those exact integers
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphAnalytics.powerLawAlpha(g, dmin = 2).head()
+    val lt = math.round(math.log(2.0 / 1.5) * 1e6)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L &&
+      r.getLong(2) == 2L * lt)
+    assert(r.getLong(3) == math.round(1e6 + 1e12 * 2L / (2L * lt)))
+    // a star's center-only tail yields a steeper (larger-α-denominator
+    // smaller) slope than a clique's uniform heavy tail
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val s = GraphAnalytics.powerLawAlpha(star, dmin = 2).head()
+    assert(s.getLong(1) == 1L &&
+      s.getLong(2) == math.round(math.log(4.0 / 1.5) * 1e6))
+  }
+
   test("betweennessSampled: Brandes dependencies on a path, brokerage peak at a star center") {
     // path 1-2-3-4-5, S = {4, 1} (the harmonic md5 sample order),
     // depth 4. From s=4: δ(2)=1, δ(3)=2; from s=1: δ(2)=3, δ(3)=2,
