@@ -359,6 +359,21 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                     alpha: Double = 9.0): DataFrame =
     graft.operators.QualityLr.paretoSelect(scored, idCol, alpha)
 
+  /** Multinomial naive Bayes — the counting-only generative second
+    * opinion next to [[qualityTrain]]: the fit is one aggregation
+    * pass (see [[graft.operators.NaiveBayes]]). Returns
+    * (model, priors); feed both to [[naiveBayesScore]]. */
+  def naiveBayesTrain(labeled: DataFrame, idCol: String, textCol: String,
+                      labelCol: String): (DataFrame, DataFrame) =
+    (graft.operators.NaiveBayes.train(labeled, idCol, textCol, labelCol),
+      graft.operators.NaiveBayes.priors(labeled, idCol, textCol, labelCol))
+
+  /** Class log-posteriors + argmax prediction per doc under a
+    * [[naiveBayesTrain]]ed (model, priors) pair. */
+  def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
+                      model: DataFrame, priors: DataFrame): DataFrame =
+    graft.operators.NaiveBayes.score(docs, idCol, textCol, model, priors)
+
   /** DSIR data selection in one call: fit target and raw feature
     * histograms, weigh every raw doc by the target/raw log-ratio, and
     * Gumbel-sample `k` docs ∝ exp(weight) without replacement — all
@@ -1304,6 +1319,13 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def driftKs(base: DataFrame, curr: DataFrame,
               valueCol: String): DataFrame =
     graft.operators.Drift.ksStatistic(base, curr, valueCol)
+
+  /** Daily-series autocorrelation at lags 1..maxLag
+    * ([[graft.operators.Drift.acf]]) — tells whether a
+    * [[changePoints]] alarm is a level shift or the weekly cycle. */
+  def seasonality(df: DataFrame, tsCol: String,
+                  maxLag: Int = 7): DataFrame =
+    graft.operators.Drift.acf(df, tsCol, maxLag)
 
   /** Zipf-law slope of a corpus's token frequency curve
     * ([[graft.operators.TextAnalysis.zipfFit]]) — the corpus health

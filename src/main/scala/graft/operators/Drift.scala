@@ -132,6 +132,45 @@ object Drift {
       .orderBy("bucket")
   }
 
+  /** Autocorrelation function of the daily event-count series at lags
+    * `1..maxLag` — the seasonality/burst readout that tells a drift
+    * monitor whether a [[cusum]] alarm is a level shift or just the
+    * weekly cycle. The corpus collapses map-side to the ≤ #days bucket
+    * table; lag pairing is a self-join on the row index (consecutive
+    * OBSERVED days — gaps close ranks, the [[cusum]] ordering
+    * convention).
+    *
+    * Exactness: with `n` days, total `S`, deviations scale to
+    * `a_t = x_t·n − S` (exact BIGINT), `acf(L) = Σ a_t·a_{t+L} / Σ a_t²`
+    * — two exact integer folds, ONE fixed IEEE division, micros by
+    * TRUNCATION (signed values; round would straddle engines at .5).
+    *
+    * @return (lag, n_pairs, acf_micros) for each lag, ordered.
+    */
+  def acf(df: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("bucket")
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val idx = daily.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("rn"), (col("x") * col("n") - col("s")).as("a"))
+      .localCheckpoint(true) // ≤ #days rows, scanned per lag side
+    val den = idx.agg(sum(col("a") * col("a")).as("den"))
+    val lags = df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    idx.select(col("rn"), col("a"))
+      .crossJoin(broadcast(lags))
+      .join(idx.select(col("rn").as("rn2"), col("a").as("a2")),
+        col("rn2") === col("rn") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("a") * col("a2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (lit(1e6) * col("num") / col("den")).cast("long").as("acf_micros"))
+      .orderBy(col("lag"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: the maximal ECDF gap
     * between baseline and current, in micros.
     *

@@ -192,6 +192,13 @@ object EventQueries {
         slackMicros = 1000000L, thresholdMicros = 50000000L)
     }),
 
+    // ACF of the daily event-count series at lags 1..7 — exact
+    // integer deviation folds, one truncated division per lag; the
+    // weekly-cycle readout next to the CUSUM alarm.
+    "qX_acf" -> ((s, dir) => {
+      graft.operators.Drift.acf(t(s, dir, "events"), "ts", maxLag = 7)
+    }),
+
     // Two-sample KS statistic of `value` early vs late on the
     // micro-quantized grid.
     "qX_ks" -> ((s, dir) => {
@@ -520,6 +527,23 @@ object EventQueries {
         |SELECT strftime(bucket, '%Y-%m-%d') AS bucket, mean_micros,
         |  s_micros, s_micros > 50000000 AS alarm
         |FROM s ORDER BY bucket""".stripMargin,
+
+    "qX_acf" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS bucket,
+        |    count(*) AS x FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+        |  FROM daily),
+        |idx AS (SELECT row_number() OVER (ORDER BY bucket) AS rn,
+        |    CAST(x * t.n - t.s AS BIGINT) AS a FROM daily, tot t),
+        |den AS (SELECT CAST(sum(a * a) AS BIGINT) AS den FROM idx),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |num AS (SELECT l.lag, count(*) AS n_pairs,
+        |    CAST(sum(i.a * j.a) AS BIGINT) AS num
+        |  FROM lags l JOIN idx i ON TRUE JOIN idx j ON j.rn = i.rn + l.lag
+        |  GROUP BY 1)
+        |SELECT num.lag, num.n_pairs,
+        |  CAST(trunc(1e6 * num.num / den.den) AS BIGINT) AS acf_micros
+        |FROM num, den ORDER BY num.lag""".stripMargin,
 
     "qX_ks" ->
       """WITH a AS (

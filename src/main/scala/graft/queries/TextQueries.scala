@@ -24,6 +24,35 @@ object TextQueries {
     """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |  x -> x <> '') AS toks FROM documents""".stripMargin
 
+  /** DuckDB fragment: the naive-Bayes fit replayed as CTEs on the
+    * same DSIR split as LrTrainSql — per-(term, class) counts, class
+    * token totals + vocab, add-1 log-likelihood grid in micros. Ends
+    * at CTEs `model` (term, ll0_micros, ll1_micros) and `nbm`
+    * (tok0, tok1, vocab, class doc counts). */
+  private val NbModelSql: String =
+    s"""WITH d AS ($ToksSql),
+       |t AS (SELECT doc_id, unnest(toks) AS term FROM d WHERE doc_id >= 200),
+       |ty AS (SELECT doc_id,
+       |    CASE WHEN doc_id < 350 THEN 1 ELSE 0 END AS y, term FROM t),
+       |ct AS (SELECT term,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct0,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ct1
+       |  FROM ty GROUP BY 1),
+       |nbm AS (SELECT
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tok0,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tok1,
+       |    CAST(count(DISTINCT term) AS BIGINT) AS vocab,
+       |    (SELECT count(*) FROM documents WHERE doc_id >= 350) AS nd0,
+       |    (SELECT count(*) FROM documents
+       |     WHERE doc_id >= 200 AND doc_id < 350) AS nd1
+       |  FROM ty),
+       |model AS (SELECT term,
+       |    CAST(round(ln((ct0 + 1) * 1.0 / (tok0 + vocab)) * 1e6) AS BIGINT)
+       |      AS ll0_micros,
+       |    CAST(round(ln((ct1 + 1) * 1.0 / (tok1 + vocab)) * 1e6) AS BIGINT)
+       |      AS ll1_micros
+       |  FROM ct, nbm)""".stripMargin
+
   /** DuckDB fragment: the qX_lr_model training loop replayed as
     * unrolled CTEs (see operators.QualityLr) — hashed 1+2-gram
     * buckets mod 64, train docs >= 200 (y = doc_id < 350), 3
@@ -752,6 +781,28 @@ object TextQueries {
             model, buckets = 64),
           "doc_id", alpha = 9.0)
         .orderBy(col("doc_id"))
+    }),
+
+    // Multinomial naive Bayes on the same DSIR split: the fit IS one
+    // counting pass — per-term add-1 log-likelihood grid in micros,
+    // the generative second opinion next to the LR gate.
+    "qX_nb_model" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      graft.operators.NaiveBayes.train(docs, "doc_id", "text", "y")
+        .orderBy(col("term"))
+    }),
+
+    // NB posteriors on the held-out docs < 200: prior + token-count
+    // weighted log-likelihood folds, OOV terms dropped, ties → 0.
+    "qX_nb_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = graft.operators.NaiveBayes.train(train, "doc_id", "text", "y")
+      val pri = graft.operators.NaiveBayes.priors(train, "doc_id", "text", "y")
+      graft.operators.NaiveBayes.score(docs.filter(col("doc_id") < 200),
+        "doc_id", "text", model, pri)
     }),
 
     // Rank-based ROC-AUC (tie-corrected Mann–Whitney) of the qX_lr
@@ -1756,6 +1807,26 @@ object TextQueries {
          |  FROM w)
          |SELECT doc_id, key_micros FROM s
          |ORDER BY key_micros DESC, doc_id LIMIT 50""".stripMargin,
+    "qX_nb_model" ->
+      s"""$NbModelSql
+         |SELECT term, ll0_micros, ll1_micros FROM model
+         |ORDER BY term""".stripMargin,
+    "qX_nb_score" ->
+      s"""$NbModelSql,
+         |s AS (SELECT doc_id, unnest(toks) AS term FROM d
+         |  WHERE doc_id < 200),
+         |sc AS (SELECT s.doc_id, CAST(sum(m.ll0_micros) AS BIGINT) AS s0,
+         |    CAST(sum(m.ll1_micros) AS BIGINT) AS s1
+         |  FROM s JOIN model m USING (term) GROUP BY 1),
+         |pr AS (SELECT
+         |    CAST(round(ln(nd0 * 1.0 / (nd0 + nd1)) * 1e6) AS BIGINT) AS p0,
+         |    CAST(round(ln(nd1 * 1.0 / (nd0 + nd1)) * 1e6) AS BIGINT) AS p1
+         |  FROM nbm)
+         |SELECT sc.doc_id, p0 + s0 AS score0_micros,
+         |  p1 + s1 AS score1_micros,
+         |  CAST(CASE WHEN p1 + s1 > p0 + s0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pred
+         |FROM sc, pr ORDER BY sc.doc_id""".stripMargin,
     "qX_lr_model" ->
       s"""$LrTrainSql
          |SELECT bucket, w AS w_micros FROM w3 ORDER BY bucket""".stripMargin,

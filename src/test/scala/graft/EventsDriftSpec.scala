@@ -197,6 +197,19 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("acf: alternating series — negative lag-1, positive lag-2, exact micros") {
+    import graft.operators.Drift
+    // daily counts (1,3,1,3): a = (-4,4,-4,4), den = 64;
+    // lag1 num = -48 → -750000; lag2 num = 32 → 500000; lag3 → -250000
+    val e = Seq(1, 3, 1, 3).zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i => ts(f"2024-01-0${d + 1}%01d 0$i:00:00"))
+    }.toDF("t")
+    val got = Drift.acf(e, "t", maxLag = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, -750000L), (2L, 2L, 500000L),
+      (3L, 1L, -250000L)))
+  }
+
   test("ks: disjoint samples reach 1e6, identical samples 0") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(10.0, 11.0).toDF("v")

@@ -77,4 +77,33 @@ class QualityLrSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == again)
   }
+
+  test("naiveBayes: hand-computed add-1 grid, OOV drop, tie-to-0 pred") {
+    import graft.operators.NaiveBayes
+    // class 1: "spam spam ham" (tok1=3); class 0: "ham eggs" (tok0=2);
+    // vocab = 3 → e.g. ll1(spam) = ln(3/6), ll0(spam) = ln(1/5)
+    val train = Seq((1L, "spam spam ham", 1), (2L, "ham eggs", 0))
+      .toDF("doc_id", "text", "y")
+    val model = NaiveBayes.train(train, "doc_id", "text", "y")
+    val m = model.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map(
+      "spam" -> (-1609438L, -693147L),
+      "ham" -> (-916291L, -1098612L),
+      "eggs" -> (-916291L, -1791759L)))
+    val pri = NaiveBayes.priors(train, "doc_id", "text", "y")
+    val pr = pri.collect().head
+    assert((pr.getLong(2), pr.getLong(3), pr.getLong(4)) == ((2L, 3L, 3L)))
+    assert((pr.getLong(5), pr.getLong(6)) == ((-693147L, -693147L)))
+    // probe: "spam eggs unknownword" → OOV dropped; spam pulls to 1,
+    // eggs pulls to 0, spam wins: s1 = -693147-1791759 beats
+    // s0 = -1609438-916291; all-OOV doc absent entirely
+    val probe = Seq((3L, "spam eggs unknownword"), (4L, "zzz"))
+      .toDF("doc_id", "text")
+    val sc = NaiveBayes.score(probe, "doc_id", "text", model, pri)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sc(3L) == ((-3218876L, -3178053L, 1L)))
+    assert(!sc.contains(4L), "doc with no in-vocab token is absent")
+  }
 }
