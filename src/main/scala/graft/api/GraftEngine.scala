@@ -995,6 +995,31 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.modularity(edges, c)
   }
 
+  /** Per-community conductance over the engine's knows graph
+    * ([[graft.operators.GraphAnalytics.conductance]]) — the local
+    * leak readout beside [[communityQuality]]'s global Q;
+    * communities default to LPA labels. */
+  def communityConductance(
+      communities: Option[DataFrame] = None): DataFrame = {
+    val c = communities.getOrElse(
+      graft.operators.GraphAnalytics.labelPropagationDF(edges))
+    graft.operators.GraphAnalytics.conductance(edges, c)
+  }
+
+  /** Flesch reading-ease per document
+    * ([[graft.operators.TextAnalysis.readability]]) — the
+    * education-level filter next to the Gopher-style signals. */
+  def readabilityScores(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    graft.operators.TextAnalysis.readability(docs, idCol, textCol)
+
+  /** RFM customer segmentation over an event log
+    * ([[graft.operators.Events.rfm]]) — recency/frequency/monetary
+    * quintiles on the exact distributed rank. */
+  def customerSegments(events: DataFrame, userCol: String, tsCol: String,
+                       valueCol: String): DataFrame =
+    graft.operators.Events.rfm(events, userCol, tsCol, valueCol)
+
   /** Landmark hop-distance table over the engine's knows graph — the
     * structural-feature / distance-estimation primitive
     * ([[graft.operators.GraphAnalytics.landmarkDistances]]). */

@@ -260,4 +260,41 @@ object Events {
           .cast("long").as("ucb_micros"))
       .orderBy(col("arm"))
   }
+
+  /** RFM customer scoring (Hughes 1994) — the classic
+    * recency/frequency/monetary segmentation a CRM runs over the
+    * event log: per user the last-activity time, event count, and
+    * value sum, each quintile-scored 1–5 so `555` is the
+    * most-recently-active, most-frequent, highest-spend segment.
+    * Quintiles come from [[Features.quantileBins]]'s exact
+    * distributed global rank (range partition + per-partition
+    * row_number + O(#partitions) offsets — never a single global
+    * window over #users rows), tie-broken by user id, so every score
+    * is engine-exact and the oracle replays them with row_number.
+    *
+    * @return (userCol, last_ts_us, freq, monetary_micros, r_score,
+    *         f_score, m_score, rfm) ordered by user.
+    */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          valueCol: String): DataFrame = {
+    val per = events.groupBy(col(userCol))
+      .agg(unix_micros(max(col(tsCol))).as("last_ts_us"),
+        count(lit(1)).as("freq"),
+        sum(floor(col(valueCol) * lit(1e6)).cast("long"))
+          .as("monetary_micros"))
+      .localCheckpoint(true) // ranked three times below
+    def score(metric: String, out: String) =
+      Features.quantileBins(per.select(col(metric), col(userCol)),
+          metric, userCol, 5)
+        .select(col(userCol), (col("bin") + 1L).as(out))
+    per.join(score("last_ts_us", "r_score"), Seq(userCol))
+      .join(score("freq", "f_score"), Seq(userCol))
+      .join(score("monetary_micros", "m_score"), Seq(userCol))
+      .select(col(userCol), col("last_ts_us"), col("freq"),
+        col("monetary_micros"), col("r_score"), col("f_score"),
+        col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+          .as("rfm"))
+      .orderBy(col(userCol))
+  }
 }

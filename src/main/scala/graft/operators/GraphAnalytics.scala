@@ -1333,6 +1333,59 @@ object GraphAnalytics {
       .select(col("m"), col("n_comms"), col("q_micros"))
   }
 
+  /** Per-community conductance φ(C) = cut(C) / min(vol(C), 2m−vol(C))
+    * over the undirected simple view — the LOCAL community-quality
+    * readout next to [[modularity]]'s global Q (a partition can score
+    * a decent Q while one community leaks half its edges; conductance
+    * names the leaker). `cut` counts boundary edges (each credits BOTH
+    * endpoint communities), `vol` sums member degrees; exact integer
+    * folds, ONE floored micro division per community (φ = 0 when the
+    * denominator is 0 — a community owning every edge end has no
+    * outside to leak to).
+    *
+    * Shape: the [[modularity]] plan — two label joins on the edge
+    * list, two keyed folds, one 1-row m broadcast. Nothing all-pairs.
+    *
+    * @param communities (id, lbl) assignment.
+    * @return (lbl, n_vertices, vol, cut, phi_micros) ordered by lbl.
+    */
+  def conductance(edges: DataFrame,
+                  communities: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+    val lab = communities.select(col("id"), col("lbl"))
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val vol = deg.join(lab, "id")
+      .groupBy(col("lbl")).agg(sum(col("deg")).as("vol"))
+    val boundary = e
+      .join(lab.select(col("id").as("u"), col("lbl").as("lu")), "u")
+      .join(lab.select(col("id").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") =!= col("lv"))
+      .localCheckpoint(true) // credited to BOTH sides below
+    val cut = boundary.select(col("lu").as("lbl"))
+      .unionAll(boundary.select(col("lv").as("lbl")))
+      .groupBy("lbl").agg(count(lit(1)).as("cut"))
+    lab.groupBy("lbl").agg(count(lit(1)).as("n_vertices"))
+      .join(vol, Seq("lbl"), "left")
+      .join(cut, Seq("lbl"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("lbl"), col("n_vertices"),
+        coalesce(col("vol"), lit(0L)).as("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        col("m"))
+      .select(col("lbl"), col("n_vertices"), col("vol"), col("cut"),
+        when(least(col("vol"), lit(2L) * col("m") - col("vol")) > 0,
+          floor(lit(1e6) * col("cut")
+            / least(col("vol"), lit(2L) * col("m") - col("vol")))
+            .cast("long"))
+          .otherwise(lit(0L)).as("phi_micros"))
+      .orderBy(col("lbl"))
+  }
+
   /** Sampled harmonic centrality: H(v) = Σ_{s ∈ S, s ≠ v} 1/d(s, v)
     * over a deterministic source sample S — the `numSources` lowest
     * vertices by `(md5Bucket(id), id)`, i.e. [[Sampling.md5Bucket]]'s

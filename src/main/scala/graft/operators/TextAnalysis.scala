@@ -550,6 +550,43 @@ object TextAnalysis {
           .cast("long").as("slope_micros"))
   }
 
+  /** Flesch reading-ease per document (Flesch 1948) — the
+    * education-level readability filter a curation pipeline runs next
+    * to the Gopher-style quality signals: `206.835 − 1.015·W/S −
+    * 84.6·Y/W` with W whitespace tokens (the [[tokenize]] contract),
+    * S sentence splits on `[.!?]+` (floor 1), Y syllables via the
+    * standard vowel-group heuristic (runs of `[aeiouy]+` per
+    * lowercased token, floor 1/word). All three counts are exact
+    * integers from narrow HOF folds — no explode, no shuffle beyond
+    * the scan — and the score is ONE fixed IEEE expression over them,
+    * rounded to micros.
+    *
+    * @return (idCol, n_words, n_sentences, n_syllables,
+    *         flesch_micros) per doc with ≥ 1 token, ordered.
+    */
+  def readability(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val toks = tokenize(col(textCol))
+    val words = size(toks)
+    val sentences = greatest(lit(1),
+      size(filter(split(col(textCol), "[.!?]+"), s => trim(s) =!= lit(""))))
+    val syllables = aggregate(toks, lit(0),
+      (acc, w) => acc + greatest(lit(1),
+        size(filter(split(w, "[^aeiouy]+"), g => g =!= lit("")))))
+    docs.select(col(idCol), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        col("n_sentences").cast("long").as("n_sentences"),
+        col("n_syllables").cast("long").as("n_syllables"),
+        round(lit(1e6) * (lit(206.835)
+          - lit(1.015) * col("n_words") / col("n_sentences")
+          - lit(84.6) * col("n_syllables") / col("n_words")))
+          .cast("long").as("flesch_micros"))
+      .orderBy(col(idCol))
+  }
+
   /** χ² token–label association (feature selection for the quality
     * classifiers, the 2×2 sibling of [[pmiPairs]]): for each token,
     * the chi-square statistic of the presence/absence × label

@@ -233,6 +233,13 @@ object EventQueries {
         (col("event_type") === "purchase").cast("int"))
     }),
 
+    // RFM segmentation: per-user recency/frequency/monetary quintiles
+    // (1-5 each) on the exact distributed-rank primitive — never one
+    // global window over users.
+    "qX_rfm" -> ((s, dir) => {
+      Events.rfm(t(s, dir, "events"), "user_id", "ts", "value")
+    }),
+
     // KMV bottom-k distinct estimate — the md5-portable theta sketch;
     // the ESTIMATE is the oracle contract (the sketch itself replays).
     "qX_kmv" -> ((s, dir) => {
@@ -648,6 +655,29 @@ object EventQueries {
         |SELECT event_id, v,
         |  CAST(floor(10 * (rn - 1) / n.n) AS BIGINT) AS bin
         |FROM r CROSS JOIN n ORDER BY event_id""".stripMargin,
+
+    "qX_rfm" ->
+      """WITH per AS (SELECT user_id, epoch_us(max(ts)) AS last_ts_us,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS monetary_micros
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM per),
+        |r AS (SELECT user_id, CAST(floor(5 * (row_number() OVER (
+        |    ORDER BY last_ts_us, user_id) - 1) / n.n) + 1 AS BIGINT)
+        |    AS r_score FROM per CROSS JOIN n),
+        |f AS (SELECT user_id, CAST(floor(5 * (row_number() OVER (
+        |    ORDER BY freq, user_id) - 1) / n.n) + 1 AS BIGINT)
+        |    AS f_score FROM per CROSS JOIN n),
+        |m AS (SELECT user_id, CAST(floor(5 * (row_number() OVER (
+        |    ORDER BY monetary_micros, user_id) - 1) / n.n) + 1 AS BIGINT)
+        |    AS m_score FROM per CROSS JOIN n)
+        |SELECT per.user_id, CAST(per.last_ts_us AS BIGINT) AS last_ts_us,
+        |  per.freq, per.monetary_micros, r.r_score, f.f_score, m.m_score,
+        |  r.r_score * 100 + f.f_score * 10 + m.m_score AS rfm
+        |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
+        |  JOIN m USING (user_id)
+        |ORDER BY per.user_id""".stripMargin,
 
     "qX_ucb" ->
       """WITH g AS (SELECT CAST(floor("value") AS BIGINT) % 50 AS arm,

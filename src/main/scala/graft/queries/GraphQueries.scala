@@ -403,6 +403,22 @@ object GraphQueries {
         .orderBy(col("assignment"))
     }),
 
+    // Per-community conductance on the same two assignments as
+    // qX_modularity: the local leak readout — LPA's single community
+    // has no boundary (φ=0 guard), the md5 4-way spread cuts ~3/4 of
+    // every community's volume.
+    "qX_conductance" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val lpa = graft.operators.GraphAnalytics.labelPropagationDF(edges)
+      val hashed = lpa.select(col("id"),
+        pmod(graft.operators.Sampling.md5Bucket(col("id")), lit(4L)).as("lbl"))
+      graft.operators.GraphAnalytics.conductance(edges, lpa)
+        .withColumn("assignment", lit("lpa"))
+        .unionByName(graft.operators.GraphAnalytics.conductance(edges, hashed)
+          .withColumn("assignment", lit("hash4")))
+        .orderBy(col("assignment"), col("lbl"))
+    }),
+
     // Landmark distance table: the hash-spread multi-source truncated
     // BFS (the harmonic/betweenness core) exposed as a first-class
     // output — the landmark-embedding / structural-feature primitive.
@@ -1771,6 +1787,48 @@ object GraphQueries {
            |  CAST(sum(t) AS BIGINT) AS q_micros
            |FROM terms CROSS JOIN mm GROUP BY 1, 2
            |ORDER BY assignment""".stripMargin),
+    "qX_conductance" ->
+      (lpaCte(4) +
+        s""",
+           |asg AS (SELECT 'lpa' AS assignment, id, lbl FROM l4
+           |  UNION ALL
+           |  SELECT 'hash4' AS assignment, id,
+           |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
+           |      AS BIGINT) % 4 AS lbl
+           |  FROM l4),
+           |deg AS (SELECT id, count(*) AS deg FROM (
+           |  SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) x
+           |  GROUP BY 1),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+           |vol AS (SELECT a.assignment, a.lbl, CAST(sum(d.deg) AS BIGINT)
+           |    AS vol
+           |  FROM deg d JOIN asg a ON a.id = d.id GROUP BY 1, 2),
+           |bnd AS (SELECT lu.assignment, lu.lbl AS lu, lv.lbl AS lv
+           |  FROM e JOIN asg lu ON lu.id = e.u
+           |  JOIN asg lv ON lv.id = e.v AND lv.assignment = lu.assignment
+           |  WHERE lu.lbl <> lv.lbl),
+           |cut AS (SELECT assignment, lbl, CAST(count(*) AS BIGINT) AS cut
+           |  FROM (SELECT assignment, lu AS lbl FROM bnd
+           |        UNION ALL SELECT assignment, lv FROM bnd) x
+           |  GROUP BY 1, 2),
+           |nv AS (SELECT assignment, lbl, count(*) AS n_vertices
+           |  FROM asg GROUP BY 1, 2)
+           |SELECT nv.lbl, nv.n_vertices,
+           |  CAST(coalesce(vol.vol, 0) AS BIGINT) AS vol,
+           |  CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut,
+           |  CAST(CASE WHEN least(coalesce(vol.vol, 0),
+           |      2 * mm.m - coalesce(vol.vol, 0)) > 0
+           |    THEN floor(1e6 * coalesce(cut.cut, 0)
+           |      / least(coalesce(vol.vol, 0),
+           |          2 * mm.m - coalesce(vol.vol, 0)))
+           |    ELSE 0 END AS BIGINT) AS phi_micros,
+           |  nv.assignment
+           |FROM nv LEFT JOIN vol ON vol.assignment = nv.assignment
+           |    AND vol.lbl = nv.lbl
+           |  LEFT JOIN cut ON cut.assignment = nv.assignment
+           |    AND cut.lbl = nv.lbl
+           |  CROSS JOIN mm
+           |ORDER BY nv.assignment, nv.lbl""".stripMargin),
     "qX_landmark_dist" ->
       (bfsCte(numSources = 8, maxDepth = 4) +
         "\nSELECT s, v, d FROM d4 ORDER BY s, v"),

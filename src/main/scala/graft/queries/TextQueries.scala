@@ -342,6 +342,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Flesch reading-ease per doc: words/sentences/vowel-group
+    // syllables as exact HOF counts, one IEEE scoring expression.
+    "qX_readability" -> ((s, dir) => {
+      TextAnalysis.readability(Tables.load(s, dir, "documents"),
+        "doc_id", "text")
+    }),
+
     // quality scoring features.
     "qX_quality" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -1322,6 +1329,24 @@ object TextQueries {
         | len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |   x -> x <> '')) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "qX_readability" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS n_words,
+        |    greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> trim(s) <> ''))) AS n_sentences,
+        |    list_sum(list_transform(toks, w -> greatest(1,
+        |      len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+        |        g -> g <> ''))))) AS n_syllables
+        |  FROM d WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(round(1e6 * (206.835 - 1.015 * n_words / n_sentences
+        |    - 84.6 * n_syllables / n_words)) AS BIGINT) AS flesch_micros
+        |FROM c ORDER BY doc_id""".stripMargin,
     "qX_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,

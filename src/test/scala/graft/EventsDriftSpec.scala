@@ -210,6 +210,35 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       (3L, 1L, -250000L)))
   }
 
+  test("readability: hand Flesch counts — words, sentences, vowel-group syllables") {
+    import graft.operators.TextAnalysis
+    // "the cat sat. it ran!": W=5, S=2, Y=5 →
+    // 206.835 − 1.015·2.5 − 84.6·1 = 119.6975
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, "xyzzy aeiou"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((5L, 2L, 5L, 119697500L)))
+    // xyzzy → groups (y, y) = 2 syllables; aeiou → 1; one sentence floor
+    val (w2, s2, y2, _) = got(2L)
+    assert((w2, s2, y2) == ((2L, 1L, 3L)))
+    assert(!got.contains(3L), "token-free doc absent")
+  }
+
+  test("rfm: quintile scores ride the exact distributed rank, 111 to 444") {
+    import graft.operators.Events
+    // three users strictly ordered on all three metrics; n=3 →
+    // quintiles floor(5(r−1)/3)+1 = 1, 2, 4
+    val e = (Seq((1L, ts("2024-01-01 10:00:00"), 1.0)) ++
+      (1 to 2).map(i => (2L, ts(s"2024-01-02 0$i:00:00"), 2.0)) ++
+      (1 to 3).map(i => (3L, ts(s"2024-01-03 0$i:00:00"), 3.0)))
+      .toDF("user_id", "t", "v")
+    val got = Events.rfm(e, "user_id", "t", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(7)).toMap
+    assert(got == Map(1L -> 111L, 2L -> 222L, 3L -> 444L))
+  }
+
   test("ks: disjoint samples reach 1e6, identical samples 0") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(10.0, 11.0).toDF("v")

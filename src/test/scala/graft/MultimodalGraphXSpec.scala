@@ -596,6 +596,23 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(phi(2) == ((1L, 0L, 0L)))
   }
 
+  test("conductance: bridge between two triangles, single-community guard") {
+    // two triangles joined by edge 3-4: vol = 7 each side, cut = 1
+    // each → φ = ⌊1e6/7⌋; one community owning all ends → φ = 0
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val twoComm = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "lbl")
+    val got = GraphAnalytics.conductance(g, twoComm)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(0L -> (3L, 7L, 1L, 142857L),
+      1L -> (3L, 7L, 1L, 142857L)))
+    val oneComm = (1L to 6L).map(i => (i, 9L)).toDF("id", "lbl")
+    val one = GraphAnalytics.conductance(g, oneComm).collect().head
+    assert((one.getLong(3), one.getLong(4)) == ((0L, 0L)))
+  }
+
   test("powerLawAlpha: tail terms quantize before the fold, path-graph estimator") {
     // path 1-2-3-4: undirected degrees (1,2,2,1); tail d>=2 = {2,3},
     // each term round(1e6·ln(2/1.5)); estimator replays the operator's
