@@ -1020,6 +1020,25 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                        valueCol: String): DataFrame =
     graft.operators.Events.rfm(events, userCol, tsCol, valueCol)
 
+  /** Monthly DAU/MAU stickiness of an event log
+    * ([[graft.operators.Events.stickiness]]). */
+  def engagement(events: DataFrame, userCol: String,
+                 tsCol: String): DataFrame =
+    graft.operators.Events.stickiness(events, userCol, tsCol)
+
+  /** Kaplan–Meier churn-survival curve of an event log
+    * ([[graft.operators.Events.kaplanMeier]]) — last-active-day churn
+    * with final-day censoring. */
+  def churnCurve(events: DataFrame, userCol: String,
+                 tsCol: String): DataFrame =
+    graft.operators.Events.kaplanMeier(events, userCol, tsCol)
+
+  /** Corpus type–token ratio + hapax fraction
+    * ([[graft.operators.TextAnalysis.lexicalRichness]]) — the
+    * vocabulary-health readout beside [[corpusZipf]]. */
+  def lexicalHealth(docs: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.lexicalRichness(docs, textCol)
+
   /** Landmark hop-distance table over the engine's knows graph — the
     * structural-feature / distance-estimation primitive
     * ([[graft.operators.GraphAnalytics.landmarkDistances]]). */

@@ -261,6 +261,86 @@ object Events {
       .orderBy(col("arm"))
   }
 
+  /** DAU/MAU stickiness per month — the engagement-health ratio
+    * (what fraction of a month's actives show up on an average day).
+    * The corpus collapses map-side to (day, user) then (day) and
+    * (month) count tables; the ratio is exact:
+    * `⌊1e6·Σdau/(n_days·mau)⌋` over integer folds.
+    *
+    * @return (month, n_days, sum_dau, mau, stickiness_micros)
+    *         ordered by month.
+    */
+  def stickiness(events: DataFrame, userCol: String,
+                 tsCol: String): DataFrame = {
+    val dayUser = events.select(
+        date_trunc("day", col(tsCol)).as("day"),
+        date_trunc("month", col(tsCol)).as("month"),
+        col(userCol).as("u"))
+      .distinct().localCheckpoint(true) // feeds both the day and month folds
+    val dau = dayUser.groupBy(col("month"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val mau = dayUser.select(col("month"), col("u")).distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("month"))
+      .select(date_format(col("month"), "yyyy-MM").as("month"),
+        col("n_days"), col("sum_dau"), col("mau"),
+        floor(lit(1e6) * col("sum_dau") / (col("n_days") * col("mau")))
+          .cast("long").as("stickiness_micros"))
+      .orderBy(col("month"))
+  }
+
+  /** Kaplan–Meier retention curve over the event log (Kaplan & Meier
+    * 1958) — the churn survival readout: a user "churns" on their
+    * LAST active day; users still active on the log's final day are
+    * censored (they leave the risk set without a churn event). Per
+    * observed day `S(t) = Π_{i≤t} (1 − d_i/n_i)` with `n_i` the
+    * at-risk count entering day i and `d_i` that day's churns.
+    *
+    * Determinism: the corpus collapses to the ≤ #days table; each
+    * day's factor becomes an integer-micro LOG term
+    * `round(1e6·ln((n−d)/n))` (one IEEE ln of an exact rational), the
+    * cumulative window sums INTEGERS (order-free), and the survival
+    * is one `exp` expression of that integer — so the curve replays
+    * engine-exact. A day that empties the risk set gets the −1e12
+    * sentinel (exp underflows to exactly 0 in both engines).
+    *
+    * @return (day, n_risk, n_churn, km_log_micros, survival_micros)
+    *         ordered by day.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val lastDay = events
+      .groupBy(col(userCol).as("u"))
+      .agg(max(date_trunc("day", col(tsCol))).as("last_day"))
+      .localCheckpoint(true)
+    val maxDay = lastDay.agg(max(col("last_day")).as("max_day"))
+    val byDay = lastDay.crossJoin(broadcast(maxDay))
+      .groupBy(col("last_day").as("day"))
+      .agg(count(lit(1)).as("n_last"),
+        sum(when(col("last_day") < col("max_day"), 1L).otherwise(0L))
+          .as("n_churn"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byDay
+      .crossJoin(broadcast(byDay.agg(sum(col("n_last")).as("n_users"))))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("n_last")).over(wPrev), lit(0L)))
+      .withColumn("term", when(col("n_risk") > col("n_churn"),
+          round(log((col("n_risk") - col("n_churn"))
+            / col("n_risk").cast("double")) * lit(1e6)).cast("long"))
+        .otherwise(lit(-1000000000000L)))
+      .withColumn("km_log_micros", sum(col("term")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_risk"), col("n_churn"), col("km_log_micros"),
+        floor(lit(1e6) * exp(col("km_log_micros") / lit(1e6)))
+          .cast("long").as("survival_micros"))
+      .orderBy(col("day"))
+  }
+
   /** RFM customer scoring (Hughes 1994) — the classic
     * recency/frequency/monetary segmentation a CRM runs over the
     * event log: per user the last-activity time, event count, and

@@ -550,6 +550,28 @@ object TextAnalysis {
           .cast("long").as("slope_micros"))
   }
 
+  /** Corpus lexical richness — type–token ratio and hapax-legomenon
+    * fraction, the vocabulary-health companions to [[zipfFit]]'s
+    * slope (a scraped corpus drowning in boilerplate shows TTR
+    * collapsing while the Zipf slope still looks plausible; a corpus
+    * of concatenated word-salad shows hapax fraction near 1). One
+    * token fold to the vocab table, one scalar fold, two floored
+    * divisions.
+    *
+    * @return one row (n_tokens, n_types, n_hapax, ttr_micros,
+    *         hapax_frac_micros).
+    */
+  def lexicalRichness(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokenize(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("n_tokens"), col("n_types"), col("n_hapax"),
+        floor(lit(1000000L) * col("n_types") / col("n_tokens"))
+          .cast("long").as("ttr_micros"),
+        floor(lit(1000000L) * col("n_hapax") / col("n_types"))
+          .cast("long").as("hapax_frac_micros"))
+
   /** Flesch reading-ease per document (Flesch 1948) — the
     * education-level readability filter a curation pipeline runs next
     * to the Gopher-style quality signals: `206.835 − 1.015·W/S −

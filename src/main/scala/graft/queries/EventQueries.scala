@@ -240,6 +240,18 @@ object EventQueries {
       Events.rfm(t(s, dir, "events"), "user_id", "ts", "value")
     }),
 
+    // DAU/MAU stickiness per month — exact integer engagement ratio.
+    "qX_stickiness" -> ((s, dir) => {
+      Events.stickiness(t(s, dir, "events"), "user_id", "ts")
+    }),
+
+    // Kaplan–Meier churn survival: last-active-day churn events,
+    // final-day censoring, integer-micro log terms summed in the day
+    // window, one exp per row.
+    "qX_kaplan_meier" -> ((s, dir) => {
+      Events.kaplanMeier(t(s, dir, "events"), "user_id", "ts")
+    }),
+
     // KMV bottom-k distinct estimate — the md5-portable theta sketch;
     // the ESTIMATE is the oracle contract (the sketch itself replays).
     "qX_kmv" -> ((s, dir) => {
@@ -655,6 +667,50 @@ object EventQueries {
         |SELECT event_id, v,
         |  CAST(floor(10 * (rn - 1) / n.n) AS BIGINT) AS bin
         |FROM r CROSS JOIN n ORDER BY event_id""".stripMargin,
+
+    "qX_stickiness" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+        |    date_trunc('month', ts) AS month, user_id FROM events),
+        |dau AS (SELECT month, day, count(*) AS dau FROM du GROUP BY 1, 2),
+        |md AS (SELECT month, count(*) AS n_days,
+        |  CAST(sum(dau) AS BIGINT) AS sum_dau FROM dau GROUP BY 1),
+        |mau AS (SELECT month, count(*) AS mau FROM (
+        |  SELECT DISTINCT month, user_id FROM du) GROUP BY 1)
+        |SELECT strftime(md.month, '%Y-%m') AS month, md.n_days,
+        |  md.sum_dau, mau.mau,
+        |  CAST(floor(1e6 * md.sum_dau / (md.n_days * mau.mau)) AS BIGINT)
+        |    AS stickiness_micros
+        |FROM md JOIN mau USING (month) ORDER BY month""".stripMargin,
+
+    "qX_kaplan_meier" ->
+      """WITH ld AS (SELECT user_id, max(date_trunc('day', ts)) AS last_day
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS max_day FROM ld),
+        |bd AS (SELECT last_day AS day, count(*) AS n_last,
+        |    CAST(sum(CASE WHEN last_day < mx.max_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_churn
+        |  FROM ld CROSS JOIN mx GROUP BY 1),
+        |tu AS (SELECT CAST(sum(n_last) AS BIGINT) AS n_users FROM bd),
+        |r AS (SELECT day, n_churn,
+        |    tu.n_users - coalesce(sum(n_last) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM bd CROSS JOIN tu),
+        |t2 AS (SELECT day, n_risk, n_churn,
+        |    CASE WHEN n_risk > n_churn THEN
+        |      CAST(round(ln((n_risk - n_churn) * 1.0 / n_risk) * 1e6)
+        |        AS BIGINT)
+        |    ELSE CAST(-1000000000000 AS BIGINT) END AS term
+        |  FROM r),
+        |c AS (SELECT day, n_risk, n_churn,
+        |    CAST(sum(term) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS km_log_micros
+        |  FROM t2)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(n_risk AS BIGINT) AS n_risk, n_churn, km_log_micros,
+        |  CAST(floor(1e6 * exp(km_log_micros / 1e6)) AS BIGINT)
+        |    AS survival_micros
+        |FROM c ORDER BY day""".stripMargin,
 
     "qX_rfm" ->
       """WITH per AS (SELECT user_id, epoch_us(max(ts)) AS last_ts_us,

@@ -349,6 +349,12 @@ object TextQueries {
         "doc_id", "text")
     }),
 
+    // Corpus lexical richness: type-token ratio + hapax fraction —
+    // the vocabulary-health companions to the Zipf slope.
+    "qX_lexical" -> ((s, dir) => {
+      TextAnalysis.lexicalRichness(Tables.load(s, dir, "documents"), "text")
+    }),
+
     // quality scoring features.
     "qX_quality" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -1329,6 +1335,21 @@ object TextQueries {
         | len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |   x -> x <> '')) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "qX_lexical" ->
+      """WITH f AS (SELECT tok, count(*) AS f FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS tok FROM documents) GROUP BY 1),
+        |s AS (SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM f)
+        |SELECT n_tokens, n_types, n_hapax,
+        |  CAST(floor(1000000 * n_types * 1.0 / n_tokens) AS BIGINT)
+        |    AS ttr_micros,
+        |  CAST(floor(1000000 * n_hapax * 1.0 / n_types) AS BIGINT)
+        |    AS hapax_frac_micros
+        |FROM s""".stripMargin,
     "qX_readability" ->
       """WITH d AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '\s+'),

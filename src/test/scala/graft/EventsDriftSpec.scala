@@ -239,6 +239,42 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 111L, 2L -> 222L, 3L -> 444L))
   }
 
+  test("stickiness: DAU/MAU hand ratio") {
+    import graft.operators.Events
+    // one month: day1 actives {1,2}, day2 actives {1} → sum_dau 3,
+    // n_days 2, mau 2 → ⌊1e6·3/4⌋
+    val e = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-02 12:00:00")))
+      .toDF("user_id", "t")
+    val r = Events.stickiness(e, "user_id", "t").collect()
+    assert(r.length == 1)
+    assert((r.head.getString(0), r.head.getLong(1), r.head.getLong(2),
+      r.head.getLong(3), r.head.getLong(4)) ==
+      (("2024-01", 2L, 3L, 2L, 750000L)))
+  }
+
+  test("kaplanMeier: churn steps with final-day censoring") {
+    import graft.operators.Events
+    // last active days: u1,u2 → d1; u3 → d2; u4 → d3 (max ⇒ censored)
+    val e = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-02"),
+      (4L, "2024-01-03")).map { case (u, d) => (u, ts(s"$d 10:00:00")) }
+      .toDF("user_id", "t")
+    val got = Events.kaplanMeier(e, "user_id", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    // S: 4→2 at d1 (½ → 500000), 2→1 at d2 (¼ → 250000), flat at d3
+    assert(got.toSeq == Seq(("2024-01-01", 4L, 2L, 500000L),
+      ("2024-01-02", 2L, 1L, 250000L), ("2024-01-03", 1L, 0L, 250000L)))
+  }
+
+  test("lexicalRichness: TTR and hapax fraction, exact folds") {
+    import graft.operators.TextAnalysis
+    val docs = Seq("a b a", "c").toDF("text")
+    val r = TextAnalysis.lexicalRichness(docs, "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 3L, 2L, 750000L, 666666L)))
+  }
+
   test("ks: disjoint samples reach 1e6, identical samples 0") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(10.0, 11.0).toDF("v")
