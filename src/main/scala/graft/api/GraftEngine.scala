@@ -1083,6 +1083,22 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def recExposure(recs: DataFrame, itemCol: String): DataFrame =
     graft.operators.Eval.exposureGini(recs, itemCol)
 
+  /** Catalog coverage + mean novelty of a recommendation table
+    * ([[graft.operators.Eval.coverageNovelty]]) — the aggregate
+    * diversity dials next to [[recExposure]]. */
+  def recDiversity(recs: DataFrame, recItemCol: String,
+                   interactions: DataFrame, userCol: String,
+                   itemCol: String): DataFrame =
+    graft.operators.Eval.coverageNovelty(recs, recItemCol, interactions,
+      userCol, itemCol)
+
+  /** Difference-in-differences estimator
+    * ([[graft.operators.Stats.diffInDiff]]) — the rollout readout
+    * when there is no randomized holdout. */
+  def didEstimate(df: DataFrame, treat: Column, post: Column,
+                  valueCol: String): DataFrame =
+    graft.operators.Stats.diffInDiff(df, treat, post, valueCol)
+
   /** Truncated Katz centrality of the engine's knows graph
     * ([[graft.operators.GraphAnalytics.katzMicros]]). */
   def katzCentrality(rounds: Int = 3): DataFrame =

@@ -429,6 +429,49 @@ object Eval {
       .orderBy("qid")
   }
 
+  /** Catalog coverage + mean novelty of a recommendation table — the
+    * two aggregate-diversity dials next to [[exposureGini]]'s
+    * concentration: coverage@k is the fraction of the catalog that
+    * appears in ANY rec list; novelty is the mean self-information
+    * `−log₂(pop(i)/U)` of recommended items (Zhou et al. 2010), in
+    * micro-bits — popular-head recs score near 0, long-tail recs
+    * high. Per-row terms are `round(1e6·ln(U/pop)/ln 2)` — one ln of
+    * an exact integer ratio, so the fold is order-free integer
+    * micros; both ratios are single floored divisions.
+    *
+    * Shape: one distinct (user, item) fold for popularity, one
+    * popularity join onto rec rows (rec items come from the
+    * interaction catalog by construction), two scalar folds.
+    *
+    * @return one row (n_rec_rows, n_rec_items, catalog,
+    *         coverage_micros, novelty_microbits).
+    */
+  def coverageNovelty(recs: DataFrame, recItemCol: String,
+                      interactions: DataFrame, userCol: String,
+                      itemCol: String): DataFrame = {
+    val ui = interactions
+      .select(col(userCol).as("u"), col(itemCol).as("item"))
+      .distinct().localCheckpoint(true)
+    val pop = ui.groupBy("item").agg(count(lit(1)).as("pop"))
+    val uRow = ui.agg(countDistinct(col("u")).as("n_users"))
+    val catRow = pop.agg(count(lit(1)).as("catalog"))
+    recs.select(col(recItemCol).as("item"))
+      .join(pop, "item")
+      .crossJoin(broadcast(uRow))
+      .select(col("item"),
+        round(lit(1e6) * log(col("n_users") / col("pop").cast("double"))
+          / log(lit(2.0))).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_rec_rows"),
+        countDistinct(col("item")).as("n_rec_items"),
+        sum(col("t")).as("sum_t"))
+      .crossJoin(broadcast(catRow))
+      .select(col("n_rec_rows"), col("n_rec_items"), col("catalog"),
+        floor(lit(1000000L) * col("n_rec_items") / col("catalog"))
+          .cast("long").as("coverage_micros"),
+        floor(col("sum_t").cast("double") / col("n_rec_rows"))
+          .cast("long").as("novelty_microbits"))
+  }
+
   /** Gini concentration of recommendation exposure — the
     * popularity-bias metric over a rec table: G near 0 = exposure
     * spread evenly over the catalog, near 1 = a few head items take

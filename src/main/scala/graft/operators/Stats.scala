@@ -50,6 +50,41 @@ object Stats {
         .as("t_micros"))
   }
 
+  /** Difference-in-differences estimator — the experimentation
+    * readout for a rollout with no randomized holdout: with
+    * treatment/control groups and a pre/post cutover,
+    * `DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)` cancels both
+    * the persistent group gap and the common time trend. One
+    * map-side-combined fold to the 2×2 (treat, post) sufficient
+    * statistics — exact integer micro sums and counts — then ONE
+    * fixed IEEE expression; micros by truncation (signed).
+    *
+    * @param treatCol BOOLEAN Column: row belongs to the treated group.
+    * @param postCol  BOOLEAN Column: row is after the cutover.
+    * @return one row (n_t_pre, n_t_post, n_c_pre, n_c_post,
+    *         did_micros); EMPTY when any of the four cells has no
+    *         rows (an estimator over a missing cell is meaningless —
+    *         callers see the absence, not a fake 0).
+    */
+  def diffInDiff(df: DataFrame, treatCol: Column, postCol: Column,
+                 valueCol: String): DataFrame = {
+    val cells = df.select(treatCol.as("t"), postCol.as("p"),
+        floor(col(valueCol) * lit(1e6)).cast("long").as("v"))
+      .groupBy(col("t"), col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    def cell(t: Boolean, p: Boolean, out: String) =
+      cells.filter(col("t") === t && col("p") === p)
+        .select(col("n").as(s"n_$out"), col("s").as(s"s_$out"))
+    val j = cell(true, false, "t_pre").crossJoin(cell(true, true, "t_post"))
+      .crossJoin(cell(false, false, "c_pre"))
+      .crossJoin(cell(false, true, "c_post"))
+    def mean(out: String) = col(s"s_$out").cast("double") / col(s"n_$out")
+    j.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+      col("n_c_post"),
+      ((mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")))
+        .cast("long").as("did_micros"))
+  }
+
   /** Poisson-bootstrap confidence interval for a mean (Chamandy et
     * al. 2012 — the bootstrap that SCALES: instead of B resampling
     * passes, each row draws a Poisson(1) multiplicity per replicate

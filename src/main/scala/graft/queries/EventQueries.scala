@@ -103,6 +103,29 @@ object EventQueries {
       graft.operators.Eval.exposureGini(recs, "rec")
     }),
 
+    // Catalog coverage + mean novelty of the item-item recs — the
+    // aggregate-diversity dials next to qX_rec_gini's concentration.
+    "qX_rec_coverage" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"),
+          (floor(col("value")).cast("long") % 50).as("item"))
+      val recs = graft.operators.Pymk.itemItemTopK(e, "user_id", "item",
+        k = 5, userCap = 50)
+      graft.operators.Eval.coverageNovelty(recs, "rec", e,
+        "user_id", "item")
+    }),
+
+    // Difference-in-differences: md5-even users as "treated", the KS
+    // split timestamp as cutover — 2×2 integer sufficient statistics,
+    // one IEEE estimator expression.
+    "qX_did" -> ((s, dir) => {
+      graft.operators.Stats.diffInDiff(t(s, dir, "events"),
+        pmod(graft.operators.Sampling.md5Bucket(col("user_id")),
+          lit(2L)) === 0L,
+        col("ts") >= lit(SplitTs).cast("timestamp"), "value")
+    }),
+
     // Welch's t statistic between click and view values — exact
     // integer sufficient statistics, one IEEE expression.
     "qX_welch" -> ((s, dir) => {
@@ -401,6 +424,52 @@ object EventQueries {
         |    AND t.ts >= c.ts - INTERVAL 3 DAY)
         |SELECT conv_id, touch_id, touch_type FROM j WHERE rn = 1
         |ORDER BY conv_id""".stripMargin,
+
+    "qX_rec_coverage" ->
+      (ItemSimCte + """,
+        |recs AS (SELECT rec AS item FROM r WHERE rn <= 5),
+        |pop AS (SELECT item, count(*) AS pop FROM ui GROUP BY 1),
+        |un AS (SELECT count(DISTINCT u) AS n_users FROM ui),
+        |cat AS (SELECT count(*) AS catalog FROM pop),
+        |tm AS (SELECT recs.item,
+        |    CAST(round(1e6 * ln(un.n_users * 1.0 / pop.pop) / ln(2))
+        |      AS BIGINT) AS t
+        |  FROM recs JOIN pop USING (item) CROSS JOIN un),
+        |s AS (SELECT count(*) AS n_rec_rows,
+        |    count(DISTINCT item) AS n_rec_items,
+        |    CAST(sum(t) AS BIGINT) AS sum_t FROM tm)
+        |SELECT s.n_rec_rows, s.n_rec_items, cat.catalog,
+        |  CAST(floor(1000000 * s.n_rec_items * 1.0 / cat.catalog)
+        |    AS BIGINT) AS coverage_micros,
+        |  CAST(floor(CAST(sum_t AS DOUBLE) / s.n_rec_rows) AS BIGINT)
+        |    AS novelty_microbits
+        |FROM s CROSS JOIN cat""".stripMargin),
+
+    "qX_did" ->
+      s"""WITH c AS (SELECT
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 2 = 0 AS t,
+         |    ts >= TIMESTAMP '$SplitTs' AS p,
+         |    CAST(floor("value" * 1e6) AS BIGINT) AS v
+         |  FROM events),
+         |g AS (SELECT t, p, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+         |  FROM c GROUP BY 1, 2)
+         |SELECT
+         |  max(CASE WHEN t AND NOT p THEN n END) AS n_t_pre,
+         |  max(CASE WHEN t AND p THEN n END) AS n_t_post,
+         |  max(CASE WHEN NOT t AND NOT p THEN n END) AS n_c_pre,
+         |  max(CASE WHEN NOT t AND p THEN n END) AS n_c_post,
+         |  CAST(trunc(
+         |    (max(CASE WHEN t AND p THEN s END) * 1.0
+         |       / max(CASE WHEN t AND p THEN n END)
+         |     - max(CASE WHEN t AND NOT p THEN s END) * 1.0
+         |       / max(CASE WHEN t AND NOT p THEN n END))
+         |    - (max(CASE WHEN NOT t AND p THEN s END) * 1.0
+         |         / max(CASE WHEN NOT t AND p THEN n END)
+         |       - max(CASE WHEN NOT t AND NOT p THEN s END) * 1.0
+         |         / max(CASE WHEN NOT t AND NOT p THEN n END)))
+         |    AS BIGINT) AS did_micros
+         |FROM g""".stripMargin,
 
     "qX_welch" ->
       """WITH a AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS v

@@ -275,6 +275,30 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       r.getLong(4)) == ((4L, 3L, 2L, 750000L, 666666L)))
   }
 
+  test("diffInDiff: cancels group gap and common trend, hand 2x2") {
+    import graft.operators.Stats
+    // treated: pre (1, 2) post (4); control: pre (1) post (2) →
+    // (4 − 1.5) − (2 − 1) = 1.5
+    val df = Seq(("t", false, 1.0), ("t", false, 2.0), ("t", true, 4.0),
+      ("c", false, 1.0), ("c", true, 2.0)).toDF("g", "post", "v")
+    val r = Stats.diffInDiff(df, col("g") === "t", col("post"), "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 1L, 1L, 1L, 1500000L)))
+  }
+
+  test("coverageNovelty: full coverage, head item 0 bits, tail item 2 bits") {
+    import graft.operators.Eval
+    val inter = (1 to 4).map(u => (u.toLong, "a")) :+ ((1L, "b"))
+    val recs = Seq("a", "b", "b").toDF("rec")
+    val r = Eval.coverageNovelty(recs, "rec",
+        inter.toDF("user_id", "item"), "user_id", "item")
+      .collect().head
+    // pop(a)=4 of U=4 → 0 bits; pop(b)=1 → 2 bits; mean = ⌊4e6/3⌋
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2L, 2L, 1000000L, 1333333L)))
+  }
+
   test("ks: disjoint samples reach 1e6, identical samples 0") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(10.0, 11.0).toDF("v")
