@@ -623,4 +623,54 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.toLowerCase.contains("sortmerge") && !p.contains("GlobalSort"),
       "unexpected global sort:\n" + p.take(3000))
   }
+
+  test("conductance: label joins hash, only the 1-row m broadcasts, no cartesian blowup") {
+    val edges = graft.queries.GraphQueries.derivedEdges(
+      Tables.load(spark, dir, "events"))
+    val lbl = edges.select(col("src").as("id"), (col("src") % 3).as("lbl"))
+      .distinct()
+    val p = graft.operators.GraphAnalytics.conductance(edges, lbl)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"),
+      "conductance must never cartesian:\n" + p.take(3000))
+    // the only nested-loop is the 1-row m scalar broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("rfm: metric joins key on the user, no global window in the visible plan") {
+    val e = Tables.load(spark, dir, "events")
+    val p = graft.operators.Events.rfm(e, "user_id", "ts", "value")
+      .queryExecution.executedPlan.toString()
+    // quantile ranks live behind globalRank's checkpoint; the visible
+    // assembly must be keyed joins, never a user-wide window
+    assert(!p.contains("Window"),
+      "global user window detected:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("naive bayes scoring: term join is keyed, priors ride a 1-row broadcast") {
+    val docs = Tables.load(spark, dir, "documents")
+    val train = docs.filter(col("doc_id") >= 200)
+      .withColumn("y", (col("doc_id") < 350).cast("int"))
+    val model = graft.operators.NaiveBayes.train(train, "doc_id", "text", "y")
+    val pri = graft.operators.NaiveBayes.priors(train, "doc_id", "text", "y")
+    val p = graft.operators.NaiveBayes.score(
+        docs.filter(col("doc_id") < 200), "doc_id", "text", model, pri)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "priors must broadcast:\n" + p.take(3000))
+  }
+
+  test("kendall tau: pair join keys on qid, bounded by the k-row runs") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 3.0), (1L, 20L, 2.0)).toDF("qid", "id", "score")
+    val b = Seq((1L, 20L, 3.0), (1L, 10L, 2.0)).toDF("qid", "id", "score")
+    val p = graft.operators.Eval.kendallTau(a, b, 10)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"),
+      "pair join must key on qid:\n" + p.take(3000))
+  }
 }
