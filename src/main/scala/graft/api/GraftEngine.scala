@@ -1387,6 +1387,19 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                   maxLag: Int = 7): DataFrame =
     graft.operators.Drift.acf(df, tsCol, maxLag)
 
+  /** EWMA control chart over daily means
+    * ([[graft.operators.Drift.ewma]], λ = ½) — the small-shift
+    * detector between [[changePoints]] and a plain threshold. */
+  def controlChart(df: DataFrame, tsCol: String, valueCol: String,
+                   thresholdMicros: Long): DataFrame =
+    graft.operators.Drift.ewma(df, tsCol, valueCol, thresholdMicros)
+
+  /** Two-sided trimmed mean ([[graft.operators.Stats.trimmedMean]])
+    * — the robust location estimate on the exact distributed rank. */
+  def robustMean(df: DataFrame, valueCol: String, tieCol: String,
+                 trimFrac: Double = 0.05): DataFrame =
+    graft.operators.Stats.trimmedMean(df, valueCol, tieCol, trimFrac)
+
   /** Zipf-law slope of a corpus's token frequency curve
     * ([[graft.operators.TextAnalysis.zipfFit]]) — the corpus health
     * check (natural text ≈ −1). */

@@ -132,6 +132,53 @@ object Drift {
       .orderBy("bucket")
   }
 
+  /** EWMA control chart over daily means (Roberts 1959) — the
+    * small-shift detector between [[cusum]]'s cumulative alarm and a
+    * plain threshold: `s_t = λ·x_t + (1−λ)·s_{t−1}` with the DYADIC
+    * λ = ½ and `s_0 = x_0`. Computed CLOSED-FORM, not recursively:
+    * `s_t = Σ_{i≤t} x_i·w(i,t)` with `w = 2^{−(t−i+1)}` (and `2^{−t}`
+    * for i = 0) — each term is the integer `x_i · 2^{31−k}` (weights
+    * PRE-SCALED by 2³¹, so the fold is exact BIGINT in any order — a
+    * float dyadic sum would span > 53 bits here and round
+    * order-dependently), the result one arithmetic right-shift.
+    * Terms past k = 31 are dropped (weight < 2⁻³¹ of a micro —
+    * below the output grid). The pairwise weight join is over the
+    * ≤ #days bucket table (days², bounded), never corpus rows.
+    * Alarm when |s_t − ref| > threshold, ref = retrospective mean of
+    * daily means (the [[cusum]] convention). Values are assumed
+    * non-negative (the shift-as-floor identity).
+    *
+    * @return (bucket, mean_micros, ewma_micros, alarm) per day.
+    */
+  def ewma(df: DataFrame, tsCol: String, valueCol: String,
+           thresholdMicros: Long): DataFrame = {
+    val daily = df
+      .groupBy(date_trunc("day", col(tsCol)).as("bucket"))
+      .agg(floor(sum(floor(col(valueCol) * lit(1e6)).cast("long"))
+        .cast("double") / count(lit(1))).cast("long").as("mean_micros"))
+    val w = Window.orderBy("bucket")
+    val idx = daily
+      .withColumn("t", row_number().over(w) - 1)
+      .localCheckpoint(true) // both sides of the days² weight join
+    val ref = idx.agg(floor(sum(col("mean_micros")).cast("double") /
+      count(lit(1))).cast("long").as("ref"))
+    val src = idx.select(col("t").as("i"), col("mean_micros").as("x"))
+    idx.join(src, col("i") <= col("t"))
+      .withColumn("k", when(col("i") === 0, col("t"))
+        .otherwise(col("t") - col("i") + 1))
+      .filter(col("k") <= 31)
+      .groupBy(col("bucket"), col("mean_micros"))
+      .agg(sum(col("x") * pow(lit(2.0), lit(31) - col("k")).cast("long"))
+        .as("sraw"))
+      .crossJoin(broadcast(ref))
+      .select(date_format(col("bucket"), "yyyy-MM-dd").as("bucket"),
+        col("mean_micros"),
+        shiftright(col("sraw"), 31).as("ewma_micros"),
+        (abs(shiftright(col("sraw"), 31) - col("ref")) > thresholdMicros)
+          .as("alarm"))
+      .orderBy("bucket")
+  }
+
   /** Autocorrelation function of the daily event-count series at lags
     * `1..maxLag` — the seasonality/burst readout that tells a drift
     * monitor whether a [[cusum]] alarm is a level shift or just the

@@ -50,6 +50,31 @@ object Stats {
         .as("t_micros"))
   }
 
+  /** Trimmed mean — the robust location estimate that survives the
+    * fat tails a 100 TB ingest always carries (one bad scraper
+    * shifting the plain mean): drop the lowest and highest
+    * `⌊trimFrac·n⌋` values and average the rest. Ranks come from
+    * [[Packing.globalRank]] (range partition + per-partition
+    * windows + O(#partitions) offsets — never one global sort
+    * window), tie-broken by `tieCol`; the mean is one floored
+    * division of exact integer micros.
+    *
+    * @return one row (n, n_trimmed_each, n_kept,
+    *         trimmed_mean_micros).
+    */
+  def trimmedMean(df: DataFrame, valueCol: String, tieCol: String,
+                  trimFrac: Double): DataFrame = {
+    val (ranked, n) = Packing.globalRank(
+      df.select(floor(col(valueCol) * lit(1e6)).cast("long").as("v"),
+        col(tieCol).as("tie")), Seq("v", "tie"))
+    val k = math.floor(trimFrac * n).toLong
+    ranked.filter(col("_grank") > k && col("_grank") <= n - k)
+      .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("s"))
+      .select(lit(n).as("n"), lit(k).as("n_trimmed_each"), col("n_kept"),
+        floor(col("s").cast("double") / col("n_kept")).cast("long")
+          .as("trimmed_mean_micros"))
+  }
+
   /** Difference-in-differences estimator — the experimentation
     * readout for a rollout with no randomized holdout: with
     * treatment/control groups and a pre/post cutover,

@@ -222,6 +222,20 @@ object EventQueries {
       graft.operators.Drift.acf(t(s, dir, "events"), "ts", maxLag = 7)
     }),
 
+    // EWMA control chart (λ = ½) over daily means — closed-form
+    // 2³¹-scaled integer weights, exact BIGINT fold, one right-shift.
+    "qX_ewma" -> ((s, dir) => {
+      graft.operators.Drift.ewma(t(s, dir, "events"), "ts", "value",
+        thresholdMicros = 20000000L)
+    }),
+
+    // 5% two-sided trimmed mean of value — robust location on the
+    // exact distributed rank.
+    "qX_trimmed" -> ((s, dir) => {
+      graft.operators.Stats.trimmedMean(t(s, dir, "events"), "value",
+        "event_id", trimFrac = 0.05)
+    }),
+
     // Two-sample KS statistic of `value` early vs late on the
     // micro-quantized grid.
     "qX_ks" -> ((s, dir) => {
@@ -615,6 +629,44 @@ object EventQueries {
         |SELECT strftime(bucket, '%Y-%m-%d') AS bucket, mean_micros,
         |  s_micros, s_micros > 50000000 AS alarm
         |FROM s ORDER BY bucket""".stripMargin,
+
+    "qX_ewma" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS bucket,
+        |    CAST(floor(CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*)) AS BIGINT) AS mean_micros
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT bucket, mean_micros,
+        |    row_number() OVER (ORDER BY bucket) - 1 AS t FROM daily),
+        |ref AS (SELECT CAST(floor(CAST(sum(mean_micros) AS DOUBLE)
+        |  / count(*)) AS BIGINT) AS ref FROM idx),
+        |pairs AS (SELECT tt.bucket, tt.mean_micros, tt.t,
+        |    CASE WHEN ii.t = 0 THEN tt.t ELSE tt.t - ii.t + 1 END AS k,
+        |    ii.mean_micros AS x
+        |  FROM idx tt JOIN idx ii ON ii.t <= tt.t),
+        |s AS (SELECT bucket, mean_micros,
+        |    CAST(sum(x * CAST(power(2, 31 - k) AS BIGINT)) AS BIGINT)
+        |      AS sraw
+        |  FROM pairs WHERE k <= 31 GROUP BY 1, 2)
+        |SELECT strftime(s.bucket, '%Y-%m-%d') AS bucket, s.mean_micros,
+        |  s.sraw >> 31 AS ewma_micros,
+        |  abs((s.sraw >> 31) - ref.ref) > 20000000 AS alarm
+        |FROM s CROSS JOIN ref ORDER BY bucket""".stripMargin,
+
+    "qX_trimmed" ->
+      """WITH t AS (SELECT CAST(floor("value" * 1e6) AS BIGINT) AS v,
+        |    event_id AS tie FROM events),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, tie) AS rn FROM t),
+        |n AS (SELECT count(*) AS n FROM t),
+        |kept AS (SELECT v FROM r, n
+        |  WHERE rn > floor(0.05 * n.n) AND rn <= n.n - floor(0.05 * n.n))
+        |SELECT (SELECT n FROM n) AS n,
+        |  CAST(floor(0.05 * (SELECT n FROM n)) AS BIGINT)
+        |    AS n_trimmed_each,
+        |  count(*) AS n_kept,
+        |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS trimmed_mean_micros
+        |FROM kept""".stripMargin,
 
     "qX_acf" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS bucket,

@@ -299,6 +299,28 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       r.getLong(4)) == ((3L, 2L, 2L, 1000000L, 1333333L)))
   }
 
+  test("ewma: closed-form halving weights, exact scaled-integer fold") {
+    import graft.operators.Drift
+    // daily means 10, 20, 40 → s = 10, 15, 27.5 (s2 = ¼·10+¼·20+½·40)
+    val e = Seq((ts("2024-01-01 10:00:00"), 10.0),
+      (ts("2024-01-02 10:00:00"), 20.0), (ts("2024-01-03 10:00:00"), 40.0))
+      .toDF("t", "v")
+    val got = Drift.ewma(e, "t", "v", thresholdMicros = 9000000L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    // ref = ⌊70/3⌋e6 = 23333333; |s−ref| > 9e6 only on day 1
+    assert(got.toSeq == Seq((10000000L, true), (15000000L, false),
+      (27500000L, false)))
+  }
+
+  test("trimmedMean: drops both tails on the exact rank, floored mean") {
+    import graft.operators.Stats
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val r = Stats.trimmedMean(df, "v", "id", trimFrac = 0.2).collect().head
+    // k = 2 → keep 3..8 → mean 5.5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 2L, 6L, 5500000L)))
+  }
+
   test("ks: disjoint samples reach 1e6, identical samples 0") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(10.0, 11.0).toDF("v")
