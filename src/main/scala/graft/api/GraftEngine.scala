@@ -923,6 +923,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                      k: Int = 10): DataFrame =
     graft.operators.Eval.rbo(runA, runB, k)
 
+  /** Brier score of a probabilistic classifier
+    * ([[graft.operators.Eval.brierScore]]) — the strictly proper
+    * companion to [[evalCalibration]]. */
+  def evalBrier(scored: DataFrame, labelCol: String,
+                pCol: String): DataFrame =
+    graft.operators.Eval.brierScore(scored, labelCol, pCol)
+
+  /** Matryoshka truncation ablation
+    * ([[graft.operators.Similarity.truncationRecall]]) — per-query
+    * overlap of the truncated-dimension exact top-k with the
+    * full-dimension one. */
+  def embeddingAblation(emb: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, dims: Int,
+                        k: Int = 10): DataFrame =
+    graft.operators.Similarity.truncationRecall(emb, queries, idCol,
+      vecCol, dims, k)
+
   /** Kendall τ of two ranked runs over their common items
     * ([[graft.operators.Eval.kendallTau]]) — the pairwise
     * concordance companion to [[compareRankers]]'s top-weighted
@@ -1357,6 +1374,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                 touchTypes: Seq[String], windowMicros: Long): DataFrame =
     graft.operators.Events.lastTouchAttribution(events, userCol, tsCol,
       typeCol, idCol, convType, touchTypes, windowMicros)
+
+  /** Linear multi-touch attribution
+    * ([[graft.operators.Events.linearAttribution]]) — every
+    * qualifying touch splits the credit; per-conversion credits sum
+    * to exactly 1e6 micros. */
+  def attributeLinear(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, idCol: String, convType: String,
+                      touchTypes: Seq[String],
+                      windowMicros: Long): DataFrame =
+    graft.operators.Events.linearAttribution(events, userCol, tsCol,
+      typeCol, idCol, convType, touchTypes, windowMicros)
+
+  /** 4-cycle motif count of the engine's knows graph
+    * ([[graft.operators.GraphAnalytics.c4Count]]) — the co-citation
+    * signature beside the triangle count. */
+  def quadCount(): DataFrame =
+    graft.operators.GraphAnalytics.c4Count(edges)
 
   /** PSI drift report between a baseline and a current sample
     * ([[graft.operators.Drift.psi]]) — run before trusting a new

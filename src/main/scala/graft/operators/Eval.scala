@@ -429,6 +429,26 @@ object Eval {
       .orderBy("qid")
   }
 
+  /** Brier score (Brier 1950) — the strictly proper scoring rule
+    * beside [[calibrationBins]]/[[ece]]: `mean((p − y)²)` with p in
+    * micros, so each term `(p_micros − y·1e6)²` is an exact BIGINT
+    * and the fold is order-free; ONE floored division by `n·1e6`
+    * returns micros. Unlike ECE (binned, gameable by within-bin
+    * cancellation), Brier penalizes every miscalibrated probability
+    * directly.
+    *
+    * @return one row (n, brier_micros).
+    */
+  def brierScore(scored: DataFrame, labelCol: String,
+                 pCol: String): DataFrame =
+    scored.select(col(pCol).as("p"),
+        (col(labelCol).cast("long") * lit(1000000L)).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("p") - col("y")) * (col("p") - col("y"))).as("sq"))
+      .select(col("n"),
+        floor(col("sq") / (col("n") * lit(1000000L))).cast("long")
+          .as("brier_micros"))
+
   /** Catalog coverage + mean novelty of a recommendation table — the
     * two aggregate-diversity dials next to [[exposureGini]]'s
     * concentration: coverage@k is the fraction of the catalog that

@@ -196,6 +196,45 @@ object Events {
       .orderBy("conv_id")
   }
 
+  /** Linear (equal-credit) multi-touch attribution — the fairness
+    * companion to [[lastTouchAttribution]]: every qualifying touch in
+    * the lookback window splits the conversion's credit. Credit is
+    * exact integer micros: each touch gets `⌊1e6/n⌋` and the LAST
+    * touch (latest ts, id tiebreak) absorbs the remainder, so every
+    * conversion's credits sum to exactly 1e6 — additive downstream
+    * rollups stay exact. One user-keyed band join (per-user event
+    * lists bound the pairs) + one conv-keyed fold.
+    *
+    * @return (conv_id, touch_id, touch_type, credit_micros) ordered.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, idCol: String, convType: String,
+                        touchTypes: Seq[String],
+                        windowMicros: Long): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("cts"),
+        col(idCol).as("conv_id"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("tts"),
+        col(idCol).as("touch_id"), col(typeCol).as("touch_type"))
+    val j = conv.join(touch, Seq("u"))
+      .filter(col("tts") <= col("cts")
+        && col("tts") > col("cts") - windowMicros)
+      .localCheckpoint(true) // folded for n + last, then re-credited
+    val per = j.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touch"),
+        max(struct(col("tts"), col("touch_id"))).as("last"))
+    j.join(per, Seq("conv_id"))
+      .select(col("conv_id"), col("touch_id"), col("touch_type"),
+        (floor(lit(1000000L) / col("n_touch")).cast("long")
+          + when(col("tts") === col("last.tts")
+              && col("touch_id") === col("last.touch_id"),
+            lit(1000000L) - col("n_touch")
+              * floor(lit(1000000L) / col("n_touch")).cast("long"))
+            .otherwise(lit(0L))).as("credit_micros"))
+      .orderBy(col("conv_id"), col("touch_id"))
+  }
+
   /** Robust (median/MAD) outlier screen per group.
     *
     * Values are quantized to integer micros (`⌊1e6·v⌋` — one IEEE

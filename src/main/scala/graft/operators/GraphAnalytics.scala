@@ -1386,6 +1386,37 @@ object GraphAnalytics {
       .orderBy(col("lbl"))
   }
 
+  /** 4-cycle (quadrilateral) count on the undirected simple view —
+    * the motif family's next rung after triangles and two-stars: C4s
+    * are the co-citation/co-purchase signature (two vertices sharing
+    * TWO distinct common neighbors), and their count calibrates how
+    * much signal a common-neighbor recommender actually has. Identity:
+    * each 4-cycle is seen once by each of its two diagonals, so
+    * `C4 = ½·Σ_{a<c} C(codeg(a,c), 2)` over the wedge-join co-degree
+    * table — one mid-keyed wedge join + one pair fold + one scalar
+    * fold, the [[linkPredictionScores]] plan shape (hub wedges cost
+    * deg² per mid; cap upstream with [[capNeighbors]] when the graph
+    * has unbounded hubs).
+    *
+    * @return one row (n_diag_pairs, c4_count).
+    */
+  def c4Count(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("mid"), col("v").as("nb"))
+      .unionAll(canon.select(col("v").as("mid"), col("u").as("nb")))
+      .localCheckpoint(true)
+    val codeg = adj.select(col("mid"), col("nb").as("a"))
+      .join(adj.select(col("mid"), col("nb").as("c")), "mid")
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("n"))
+    codeg.agg(count(lit(1)).as("n_diag_pairs"),
+        (sum(col("n") * (col("n") - 1L)) / lit(4L)).cast("long")
+          .as("c4_count"))
+  }
+
   /** Sampled harmonic centrality: H(v) = Σ_{s ∈ S, s ≠ v} 1/d(s, v)
     * over a deterministic source sample S — the `numSources` lowest
     * vertices by `(md5Bucket(id), id)`, i.e. [[Sampling.md5Bucket]]'s

@@ -54,6 +54,32 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Truncated-dimension retrieval recall — the Matryoshka ablation
+    * (Kusupati et al. 2022): how much of the FULL-dimension exact
+    * top-k survives when embeddings are cut to their first `dims`
+    * components (the storage/latency knob every vector index wants to
+    * turn). Both rankings are [[bruteForceTopK]] (quantized cosine,
+    * bounded heaps); the readout is the per-query overlap of the two
+    * k-sets — one equi-join of two k-bounded runs.
+    *
+    * @return (qid, n_overlap) per query, ordered.
+    */
+  def truncationRecall(emb: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, dims: Int, k: Int): DataFrame = {
+    val full = bruteForceTopK(queries, emb, idCol, vecCol, idCol, vecCol, k)
+    val cut = (df: DataFrame) => df.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val trunc = bruteForceTopK(cut(queries), cut(emb), idCol, vecCol,
+      idCol, vecCol, k)
+    val hits = full.select(col("qid"), col("id"))
+      .join(trunc.select(col("qid"), col("id")), Seq("qid", "id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("nv"))
+    full.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("nv"), lit(0L)).as("n_overlap"))
+      .orderBy(col("qid"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR /
     * Contriever data-prep step): for each query, the top-k most
     * SIMILAR corpus items with a DIFFERENT label — same-label

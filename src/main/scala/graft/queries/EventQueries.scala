@@ -91,6 +91,15 @@ object EventQueries {
         windowMicros = 3L * 86400L * 1000000L)
     }),
 
+    // Linear multi-touch attribution over the same window: every
+    // qualifying touch splits the credit, floor + remainder-to-last
+    // so each conversion sums to exactly 1e6 micros.
+    "qX_linear_attrib" -> ((s, dir) => {
+      Events.linearAttribution(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click", "view"),
+        windowMicros = 3L * 86400L * 1000000L)
+    }),
+
     // Popularity-bias Gini over the item-item rec table — exact
     // integer Lorenz fold over the catalog-sized count table.
     "qX_rec_gini" -> ((s, dir) => {
@@ -438,6 +447,25 @@ object EventQueries {
         |    AND t.ts >= c.ts - INTERVAL 3 DAY)
         |SELECT conv_id, touch_id, touch_type FROM j WHERE rn = 1
         |ORDER BY conv_id""".stripMargin,
+
+    "qX_linear_attrib" ->
+      """WITH conv AS (SELECT user_id AS u, epoch_us(ts) AS cts,
+        |    event_id AS conv_id FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS u, epoch_us(ts) AS tts,
+        |    event_id AS touch_id, event_type AS touch_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.conv_id, t.touch_id, t.touch_type, t.tts
+        |  FROM conv c JOIN touch t ON t.u = c.u
+        |    AND t.tts <= c.cts AND t.tts > c.cts - 259200000000),
+        |r AS (SELECT j.*, count(*) OVER (PARTITION BY conv_id) AS n,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY tts DESC, touch_id DESC) AS rn
+        |  FROM j)
+        |SELECT conv_id, touch_id, touch_type,
+        |  CAST(floor(1000000 / n) + CASE WHEN rn = 1
+        |    THEN 1000000 - n * CAST(floor(1000000 / n) AS BIGINT)
+        |    ELSE 0 END AS BIGINT) AS credit_micros
+        |FROM r ORDER BY conv_id, touch_id""".stripMargin,
 
     "qX_rec_coverage" ->
       (ItemSimCte + """,

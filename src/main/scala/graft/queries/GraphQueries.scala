@@ -549,6 +549,13 @@ object GraphQueries {
       graft.operators.GraphAnalytics.richClub(edges, k = 30)
     }),
 
+    // 4-cycle motif count — the co-citation signature via the
+    // diagonal co-degree identity C4 = Σ codeg(codeg−1)/4.
+    "qX_c4" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.c4Count(edges)
+    }),
+
     // Luby maximal independent set: per round, an active vertex joins
     // iff its md5-composite priority beats every active neighbor's;
     // winners + neighbors retire. Deterministic, unrolled-round oracle.
@@ -1419,6 +1426,18 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "qX_salsa" -> salsaSql(iters = 3),
+    "qX_c4" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |adj AS (SELECT u AS mid, v AS nb FROM e
+         |        UNION ALL SELECT v AS mid, u AS nb FROM e),
+         |codeg AS (SELECT a.nb AS a, c.nb AS c, count(*) AS n
+         |  FROM adj a JOIN adj c ON a.mid = c.mid AND a.nb < c.nb
+         |  GROUP BY 1, 2)
+         |SELECT count(*) AS n_diag_pairs,
+         |  CAST(sum(n * (n - 1)) / 4 AS BIGINT) AS c4_count
+         |FROM codeg""".stripMargin,
     "qX_salsa_pymk" -> psalsaSql(iters = 3, anchor = 1L, topK = 10),
     "qX_richclub" ->
       s"""WITH edges AS ($EdgesSql),

@@ -27,6 +27,15 @@ object SimilarityQueries {
         "vec_id", "embedding", 5)
     }),
 
+    // Matryoshka truncation ablation: overlap of the 8-dim exact
+    // top-10 with the full-dim top-10 per query — the storage/latency
+    // knob readout.
+    "qX_matryoshka" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.truncationRecall(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", dims = 8, k = 10)
+    }),
+
     // MMR diversified re-rank: greedy λ-balanced relevance-vs-novelty
     // selection of 5 from each query's cosine top-20 — the
     // diverse-subset-selection primitive; unrolled 5-round oracle.
@@ -1731,6 +1740,29 @@ object SimilarityQueries {
         |SELECT qid, id, sim FROM ranked WHERE rn <= 3
         |ORDER BY qid, sim DESC, id""".stripMargin,
 
+    "qX_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |fs AS (SELECT q.qid, e.vec_id AS id,
+        |    round(list_cosine_similarity(q.qvec,
+        |      CAST(e.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |fr AS (SELECT qid, id, row_number() OVER (
+        |  PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM fs),
+        |ts AS (SELECT q.qid, e.vec_id AS id,
+        |    round(list_cosine_similarity(q.qvec[1:8],
+        |      CAST(e.embedding AS DOUBLE[])[1:8]), 4) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |tr AS (SELECT qid, id, row_number() OVER (
+        |  PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM ts),
+        |hits AS (SELECT f.qid, count(*) AS nv
+        |  FROM (SELECT qid, id FROM fr WHERE rn <= 10) f
+        |  JOIN (SELECT qid, id FROM tr WHERE rn <= 10) t
+        |  USING (qid, id) GROUP BY 1)
+        |SELECT q.qid, CAST(coalesce(h.nv, 0) AS BIGINT) AS n_overlap
+        |FROM (SELECT DISTINCT qid FROM fr) q
+        |LEFT JOIN hits h USING (qid) ORDER BY q.qid""".stripMargin,
     "qX_ann_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

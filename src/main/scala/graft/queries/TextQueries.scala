@@ -878,6 +878,20 @@ object TextQueries {
         alphaMicros = 100000L)
     }),
 
+    // Brier score over the same scores — the strictly proper scoring
+    // rule beside ECE: exact integer squared-error fold.
+    "qX_brier" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.brierScore(scored, "y", "p_micros")
+    }),
+
     // Reliability bins over the same scores: observed positive rate vs
     // mean predicted probability per probability decile.
     "qX_calibration" -> ((s, dir) => {
@@ -1914,6 +1928,13 @@ object TextQueries {
          |SELECT doc_id, n_buckets, p_micros, pareto_micros FROM sp
          |WHERE pareto_micros > 1000000 - p_micros
          |ORDER BY doc_id""".stripMargin,
+    "qX_brier" ->
+      s"""$LrScoredGSql
+         |SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |  CAST(floor(sum(pos * (s - 1000000) * (s - 1000000)
+         |      + (cnt - pos) * s * s) * 1.0
+         |    / (sum(cnt) * 1000000)) AS BIGINT) AS brier_micros
+         |FROM g""".stripMargin,
     "qX_auc" ->
       s"""$LrScoredGSql,
          |c AS (SELECT s, pos, cnt,

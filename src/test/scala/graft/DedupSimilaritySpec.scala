@@ -224,6 +224,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(run() == run())
   }
 
+  test("truncationRecall: truncation flips the winner at k=1, agrees at k=2") {
+    // q=[0,1,1,1]: full winner is 2 (cos ⅔ vs 0.577); first-2-dims
+    // winner is 1 (cos 1 vs 0) — the ablation the metric must expose
+    val emb = Seq(
+      (0L, Seq(0f, 1f, 1f, 1f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+    val r1 = Similarity.truncationRecall(emb, q, "vec_id", "embedding",
+      dims = 2, k = 1).collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 0L)))
+    val r2 = Similarity.truncationRecall(emb, q, "vec_id", "embedding",
+      dims = 2, k = 2).collect()
+    assert(r2.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 2L)))
+  }
+
   test("kmeansFit stops at the distinct-direction count instead of duplicating centroids") {
     // 5 points, only 2 distinct directions, k=3 requested
     val pts = Seq(

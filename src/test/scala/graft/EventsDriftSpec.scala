@@ -321,6 +321,33 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       ((10L, 2L, 6L, 5500000L)))
   }
 
+  test("brierScore: perfect 0, coin-flip 250000, exact integer terms") {
+    import graft.operators.Eval
+    val perfect = Seq((1000000L, 1), (0L, 0)).toDF("p", "y")
+    assert(Eval.brierScore(perfect, "y", "p").collect().head.getLong(1) == 0L)
+    val coin = Seq((500000L, 1), (500000L, 0)).toDF("p", "y")
+    val r = Eval.brierScore(coin, "y", "p").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 250000L)))
+  }
+
+  test("linearAttribution: equal split, remainder to the last touch, window cut") {
+    import graft.operators.Events
+    // conversion at 10:00 with 3 in-window touches → 333333 each and
+    // the LAST (latest ts) absorbs the +1; a touch outside the 3-day
+    // window is excluded
+    val e = Seq(
+      (1L, ts("2024-01-10 10:00:00"), "purchase", 100L),
+      (1L, ts("2024-01-09 09:00:00"), "click", 1L),
+      (1L, ts("2024-01-09 10:00:00"), "view", 2L),
+      (1L, ts("2024-01-10 09:00:00"), "click", 3L),
+      (1L, ts("2024-01-01 09:00:00"), "click", 4L))
+      .toDF("user_id", "t", "etype", "eid")
+    val got = Events.linearAttribution(e, "user_id", "t", "etype", "eid",
+        "purchase", Seq("click", "view"), 3L * 86400L * 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 333333L), (2L, 333333L), (3L, 333334L)))
+  }
+
   test("ks: disjoint samples reach 1e6, identical samples 0") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(10.0, 11.0).toDF("v")

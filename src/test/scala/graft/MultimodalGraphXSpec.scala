@@ -596,6 +596,17 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(phi(2) == ((1L, 0L, 0L)))
   }
 
+  test("c4Count: one square, three cycles in K4, zero in a triangle") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val s = GraphAnalytics.c4Count(square).head()
+    assert((s.getLong(0), s.getLong(1)) == ((2L, 1L)))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    assert(GraphAnalytics.c4Count(k4).head().getLong(1) == 3L)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(GraphAnalytics.c4Count(tri).head().getLong(1) == 0L)
+  }
+
   test("conductance: bridge between two triangles, single-community guard") {
     // two triangles joined by edge 3-4: vol = 7 each side, cut = 1
     // each → φ = ⌊1e6/7⌋; one community owning all ends → φ = 0
