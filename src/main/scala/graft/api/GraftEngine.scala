@@ -930,6 +930,26 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                 pCol: String): DataFrame =
     graft.operators.Eval.brierScore(scored, labelCol, pCol)
 
+  /** Step-wise PR-AUC ([[graft.operators.Eval.prAuc]]) — the
+    * imbalanced-class companion to [[evalAuc]]. */
+  def evalPrAuc(scored: DataFrame, labelCol: String,
+                scoreCol: String): DataFrame =
+    graft.operators.Eval.prAuc(scored, labelCol, scoreCol)
+
+  /** Cohen's κ chance-corrected agreement between two label columns
+    * ([[graft.operators.Eval.cohenKappa]]) — raters, or two
+    * classifiers' predictions. */
+  def raterAgreement(df: DataFrame, aCol: String,
+                     bCol: String): DataFrame =
+    graft.operators.Eval.cohenKappa(df, aCol, bCol)
+
+  /** Per-user behavioral entropy over event types
+    * ([[graft.operators.Events.behaviorEntropy]]) — the diversity
+    * feature next to the Markov sequence anomaly score. */
+  def userEntropy(events: DataFrame, userCol: String,
+                  typeCol: String): DataFrame =
+    graft.operators.Events.behaviorEntropy(events, userCol, typeCol)
+
   /** Matryoshka truncation ablation
     * ([[graft.operators.Similarity.truncationRecall]]) — per-query
     * overlap of the truncated-dimension exact top-k with the

@@ -429,6 +429,70 @@ object Eval {
       .orderBy("qid")
   }
 
+  /** PR-AUC (step-wise average precision) — the imbalanced-class
+    * companion to [[aucRank]]: with positives rare (the usual shape
+    * of a quality filter), ROC-AUC flatters; AP weighs precision
+    * where the positives actually are. Step integral over DISTINCT
+    * score groups descending: `AP = Σ_k Δtp_k·P_k / n⁺` with
+    * `P_k = tp_k/(tp_k+fp_k)`; each term is ONE floored division of
+    * exact BIGINTs `⌊1e6·pos_k·tp_k/(n⁺·(tp_k+fp_k))⌋`, so the fold
+    * is order-free and the per-term flooring bias is bounded by
+    * #groups micro-units (the modularity-term convention — the
+    * oracle replays it by construction).
+    *
+    * Shape: the [[aucRank]] plan — one score-keyed collapse, the
+    * cumulative window over the ≤ 1e6+1 distinct micro scores, one
+    * scalar fold.
+    *
+    * @return one row (n_pos, n_neg, pr_auc_micros).
+    */
+  def prAuc(scored: DataFrame, labelCol: String,
+            scoreCol: String): DataFrame = {
+    val g = scored
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol).cast("long")).as("pos"),
+        count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("cnt") - col("pos")).over(w))
+    val tot = g.agg(sum(col("pos")).as("n_pos"),
+      (sum(col("cnt")) - sum(col("pos"))).as("n_neg"))
+    c.crossJoin(broadcast(tot))
+      .select(col("n_pos"), col("n_neg"),
+        floor(lit(1e6) * col("pos") * col("tp")
+          / (col("n_pos") * (col("tp") + col("fp")))).cast("long").as("t"))
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(sum(col("t")).as("pr_auc_micros"))
+  }
+
+  /** Cohen's κ inter-rater agreement (Cohen 1960) — how much two
+    * labelers (or two classifiers — e.g. the LR gate vs the NB
+    * second opinion) agree BEYOND chance:
+    * `κ = (n·agree − Σ_c a_c·b_c)/(n² − Σ_c a_c·b_c)` — the
+    * cross-multiplied exact-integer form of (p_o−p_e)/(1−p_e). Two
+    * keyed marginal folds + one scalar fold + ONE truncated division
+    * (signed). κ of a constant rater (p_e = 1) returns 0 by guard.
+    *
+    * @return one row (n, n_agree, kappa_micros).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true) // three folds below
+    val n = base.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+    val pe = base.groupBy(col("a")).agg(count(lit(1)).as("na"))
+      .join(base.groupBy(col("b")).agg(count(lit(1)).as("nb")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("e"))
+    n.crossJoin(broadcast(pe))
+      .select(col("n"), col("n_agree"),
+        when(col("n") * col("n") === col("e"), lit(0L))
+          .otherwise((lit(1e6) * (col("n") * col("n_agree") - col("e"))
+            / (col("n") * col("n") - col("e"))).cast("long"))
+          .as("kappa_micros"))
+  }
+
   /** Brier score (Brier 1950) — the strictly proper scoring rule
     * beside [[calibrationBins]]/[[ece]]: `mean((p − y)²)` with p in
     * micros, so each term `(p_micros − y·1e6)²` is an exact BIGINT

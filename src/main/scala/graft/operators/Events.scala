@@ -196,6 +196,31 @@ object Events {
       .orderBy("conv_id")
   }
 
+  /** Per-user behavioral entropy — Shannon entropy of each user's
+    * event-type distribution, the diversity feature a bot/fraud
+    * screen reads next to [[sequenceScore]] (single-action scripts
+    * sit at 0; organic users spread). Uses the exact-quantized
+    * identity `H = ln n − (Σ_t c_t·ln c_t)/n`: per-type terms
+    * `c_t·round(1e6·ln c_t)` are exact BIGINTs (order-free fold),
+    * then ONE fixed IEEE expression per user. Micro-nats.
+    *
+    * @return (userCol, n_events, n_types, entropy_micros) ordered.
+    */
+  def behaviorEntropy(events: DataFrame, userCol: String,
+                      typeCol: String): DataFrame = {
+    val ct = events.groupBy(col(userCol), col(typeCol))
+      .agg(count(lit(1)).as("c"))
+    ct.groupBy(col(userCol))
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("c") * round(log(col("c").cast("double")) * lit(1e6))
+          .cast("long")).as("slc"))
+      .select(col(userCol), col("n_events"), col("n_types"),
+        (round(log(col("n_events").cast("double")) * lit(1e6)).cast("long")
+          - floor(col("slc").cast("double") / col("n_events")).cast("long"))
+          .as("entropy_micros"))
+      .orderBy(col(userCol))
+  }
+
   /** Linear (equal-credit) multi-touch attribution — the fairness
     * companion to [[lastTouchAttribution]]: every qualifying touch in
     * the lookback window splits the conversion's credit. Credit is

@@ -291,6 +291,12 @@ object EventQueries {
       Events.stickiness(t(s, dir, "events"), "user_id", "ts")
     }),
 
+    // Per-user behavioral entropy over event types — the diversity
+    // feature a bot screen reads next to the Markov sequence score.
+    "qX_user_entropy" -> ((s, dir) => {
+      Events.behaviorEntropy(t(s, dir, "events"), "user_id", "event_type")
+    }),
+
     // Kaplan–Meier churn survival: last-active-day churn events,
     // final-day censoring, integer-micro log terms summed in the day
     // window, one exp per row.
@@ -657,6 +663,20 @@ object EventQueries {
         |SELECT strftime(bucket, '%Y-%m-%d') AS bucket, mean_micros,
         |  s_micros, s_micros > 50000000 AS alarm
         |FROM s ORDER BY bucket""".stripMargin,
+
+    "qX_user_entropy" ->
+      """WITH ct AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_types,
+        |    CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS slc
+        |  FROM ct GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  CAST(round(ln(n_events) * 1e6) AS BIGINT)
+        |    - CAST(floor(CAST(slc AS DOUBLE) / n_events) AS BIGINT)
+        |    AS entropy_micros
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "qX_ewma" ->
       """WITH daily AS (

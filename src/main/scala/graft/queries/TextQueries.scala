@@ -29,9 +29,11 @@ object TextQueries {
     * token totals + vocab, add-1 log-likelihood grid in micros. Ends
     * at CTEs `model` (term, ll0_micros, ll1_micros) and `nbm`
     * (tok0, tok1, vocab, class doc counts). */
-  private val NbModelSql: String =
-    s"""WITH d AS ($ToksSql),
-       |t AS (SELECT doc_id, unnest(toks) AS term FROM d WHERE doc_id >= 200),
+  /** The NB CTE chain WITHOUT the `WITH d` header — composable after
+    * any fragment that already defines `d` (the kappa oracle chains
+    * it onto LrTrainSql). */
+  private val NbCtes: String =
+    s"""t AS (SELECT doc_id, unnest(toks) AS term FROM d WHERE doc_id >= 200),
        |ty AS (SELECT doc_id,
        |    CASE WHEN doc_id < 350 THEN 1 ELSE 0 END AS y, term FROM t),
        |ct AS (SELECT term,
@@ -52,6 +54,10 @@ object TextQueries {
        |    CAST(round(ln((ct1 + 1) * 1.0 / (tok1 + vocab)) * 1e6) AS BIGINT)
        |      AS ll1_micros
        |  FROM ct, nbm)""".stripMargin
+
+  private val NbModelSql: String =
+    s"""WITH d AS ($ToksSql),
+       |$NbCtes""".stripMargin
 
   /** DuckDB fragment: the qX_lr_model training loop replayed as
     * unrolled CTEs (see operators.QualityLr) — hashed 1+2-gram
@@ -876,6 +882,44 @@ object TextQueries {
         .join(train.select(col("doc_id"), col("y")), "doc_id")
       graft.operators.Eval.conformal(scored, "doc_id", "y", "p_micros",
         alphaMicros = 100000L)
+    }),
+
+    // Step-wise PR-AUC over the same scores — the imbalanced-class
+    // companion to qX_auc, one floored term per distinct score group.
+    "qX_pr_auc" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.prAuc(scored, "y", "p_micros")
+    }),
+
+    // Cohen's kappa between the LR gate (threshold 0.5) and the NB
+    // second opinion on the held-out docs — chance-corrected
+    // agreement of the two quality classifiers.
+    "qX_kappa" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val held = docs.filter(col("doc_id") < 200)
+      val lrModel = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val lr = QualityLr.score(held, "doc_id", "text", lrModel,
+          buckets = 64)
+        .select(col("doc_id"),
+          (col("p_micros") >= 500000L).cast("long").as("a"))
+      val nbModel = graft.operators.NaiveBayes.train(
+        train, "doc_id", "text", "y")
+      val pri = graft.operators.NaiveBayes.priors(
+        train, "doc_id", "text", "y")
+      val nb = graft.operators.NaiveBayes.score(held, "doc_id", "text",
+          nbModel, pri)
+        .select(col("doc_id"), col("pred").as("b"))
+      graft.operators.Eval.cohenKappa(lr.join(nb, "doc_id"), "a", "b")
     }),
 
     // Brier score over the same scores — the strictly proper scoring
@@ -1928,6 +1972,63 @@ object TextQueries {
          |SELECT doc_id, n_buckets, p_micros, pareto_micros FROM sp
          |WHERE pareto_micros > 1000000 - p_micros
          |ORDER BY doc_id""".stripMargin,
+    "qX_pr_auc" ->
+      s"""$LrScoredGSql,
+         |c AS (SELECT s, pos, cnt,
+         |  CAST(sum(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(cnt - pos) OVER (ORDER BY s DESC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+         |  FROM g),
+         |t AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+         |  CAST(sum(cnt) - sum(pos) AS BIGINT) AS nn FROM g)
+         |SELECT t.np AS n_pos, t.nn AS n_neg,
+         |  CAST(sum(CAST(floor(1e6 * c.pos * c.tp
+         |    / (t.np * (c.tp + c.fp))) AS BIGINT)) AS BIGINT)
+         |    AS pr_auc_micros
+         |FROM c CROSS JOIN t GROUP BY 1, 2""".stripMargin,
+    "qX_kappa" ->
+      s"""$LrTrainSql,
+         |$NbCtes,
+         |scnts AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk
+         |  WHERE doc_id < 200 GROUP BY 1, 2),
+         |stot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats
+         |  FROM scnts GROUP BY 1),
+         |sx AS (SELECT c.doc_id, c.bucket,
+         |  CAST(round(c.cnt * 1e6 / t.n_feats) AS BIGINT) AS x
+         |  FROM scnts c JOIN stot t USING (doc_id)),
+         |sm AS (SELECT x.doc_id,
+         |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
+         |    AS BIGINT) AS m
+         |  FROM sx x LEFT JOIN w3 w USING (bucket) GROUP BY 1),
+         |lrp AS (SELECT doc_id, CASE WHEN
+         |    CAST(round(1e6 / (1 + exp(-(m / 1e6)))) AS BIGINT) >= 500000
+         |  THEN 1 ELSE 0 END AS a FROM sm),
+         |nbtok AS (SELECT doc_id, unnest(toks) AS term FROM d
+         |  WHERE doc_id < 200),
+         |nbsc AS (SELECT n.doc_id, CAST(sum(m.ll0_micros) AS BIGINT) AS s0,
+         |    CAST(sum(m.ll1_micros) AS BIGINT) AS s1
+         |  FROM nbtok n JOIN model m USING (term) GROUP BY 1),
+         |nbpr AS (SELECT
+         |    CAST(round(ln(nd0 * 1.0 / (nd0 + nd1)) * 1e6) AS BIGINT) AS p0,
+         |    CAST(round(ln(nd1 * 1.0 / (nd0 + nd1)) * 1e6) AS BIGINT) AS p1
+         |  FROM nbm),
+         |nbp AS (SELECT doc_id, CASE WHEN p1 + s1 > p0 + s0 THEN 1 ELSE 0
+         |  END AS b FROM nbsc, nbpr),
+         |paired AS (SELECT lrp.doc_id, lrp.a, nbp.b
+         |  FROM lrp JOIN nbp USING (doc_id)),
+         |kpa AS (SELECT a, count(*) AS na FROM paired GROUP BY 1),
+         |kpb AS (SELECT b, count(*) AS nb_ FROM paired GROUP BY 1),
+         |ke AS (SELECT CAST(coalesce(sum(kpa.na * kpb.nb_), 0) AS BIGINT)
+         |  AS e FROM kpa JOIN kpb ON kpa.a = kpb.b),
+         |kn AS (SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree FROM paired)
+         |SELECT kn.n, kn.n_agree,
+         |  CAST(CASE WHEN kn.n * kn.n = ke.e THEN 0
+         |    ELSE trunc(1e6 * (kn.n * kn.n_agree - ke.e) * 1.0
+         |      / (kn.n * kn.n - ke.e)) END AS BIGINT) AS kappa_micros
+         |FROM kn, ke""".stripMargin,
     "qX_brier" ->
       s"""$LrScoredGSql
          |SELECT CAST(sum(cnt) AS BIGINT) AS n,

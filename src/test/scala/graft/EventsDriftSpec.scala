@@ -348,6 +348,37 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 333333L), (2L, 333333L), (3L, 333334L)))
   }
 
+  test("prAuc: perfect separation 1e6, inverted ranking penalized") {
+    import graft.operators.Eval
+    val perfect = Seq((900000L, 1), (800000L, 1), (100000L, 0))
+      .toDF("p", "y")
+    val r = Eval.prAuc(perfect, "y", "p").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1000000L)))
+    // negative outranks the only positive → P at the positive is ½
+    val inv = Seq((900000L, 0), (100000L, 1)).toDF("p", "y")
+    assert(Eval.prAuc(inv, "y", "p").collect().head.getLong(2) == 500000L)
+  }
+
+  test("cohenKappa: hand 2x2 marginals, constant-rater guard") {
+    import graft.operators.Eval
+    // n=4, agree=3, e = 2·3 + 2·1 = 8 → κ = (12−8)/(16−8) = ½
+    val df = Seq((1L, 1L), (0L, 0L), (1L, 1L), (0L, 1L)).toDF("a", "b")
+    val r = Eval.cohenKappa(df, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 500000L)))
+    // both raters constant → p_e = 1 → κ = 0 by guard
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(Eval.cohenKappa(const, "a", "b").collect().head.getLong(2) == 0L)
+  }
+
+  test("behaviorEntropy: uniform two types ln 2, single type exactly 0") {
+    import graft.operators.Events
+    val e = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a")).toDF("user_id", "etype")
+    val got = Events.behaviorEntropy(e, "user_id", "etype")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 693147L, 2L -> 0L))
+  }
+
   test("ks: disjoint samples reach 1e6, identical samples 0") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(10.0, 11.0).toDF("v")
