@@ -359,6 +359,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                     alpha: Double = 9.0): DataFrame =
     graft.operators.QualityLr.paretoSelect(scored, idCol, alpha)
 
+  /** Platt-scale a trained [[qualityTrain]] model's margins
+    * ([[graft.operators.QualityLr.plattFit]]) — FIT the calibration
+    * [[evalCalibration]] only measures; apply with
+    * [[graft.operators.QualityLr.plattApply]]. */
+  def calibrateFit(margins: DataFrame, marginCol: String,
+                   labelCol: String, iters: Int = 3,
+                   lr: Double = 0.3): DataFrame =
+    graft.operators.QualityLr.plattFit(margins, marginCol, labelCol,
+      iters, lr)
+
+  /** Top distinctive terms per class/cluster
+    * ([[graft.operators.TextAnalysis.classTfidf]], the BERTopic
+    * labeling score) — name kmeans/LPA clusters or corpus slices. */
+  def labelClusters(docs: DataFrame, classCol: String, textCol: String,
+                    topN: Int = 5): DataFrame =
+    graft.operators.TextAnalysis.classTfidf(docs, classCol, textCol, topN)
+
   /** Multinomial naive Bayes — the counting-only generative second
     * opinion next to [[qualityTrain]]: the fit is one aggregation
     * pass (see [[graft.operators.NaiveBayes]]). Returns

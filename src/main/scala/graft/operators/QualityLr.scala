@@ -108,6 +108,64 @@ object QualityLr {
         .cast("long").as("p_micros"))
   }
 
+  /** Raw decision margins `m = Σ x·w` per doc under a trained model —
+    * the pre-sigmoid input [[plattFit]] calibrates on. */
+  def margins(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, buckets: Int): DataFrame =
+    features(docs, idCol, textCol, buckets)
+      .join(broadcast(model), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(round(col("x_micros") * coalesce(col("w_micros"), lit(0L))
+        / lit(1e6)).cast("long")).as("m_micros"))
+
+  /** Platt scaling (Platt 1999) — FIT the calibration the ECE gate
+    * only measures: `p = σ(A·m + B)` with (A, B) trained by
+    * deterministic full-batch GD on the margin table from
+    * (A, B) = (1, 0), every accumulated quantity integer micros (the
+    * [[train]] convention), so the fitted (A, B) is itself a
+    * DuckDB-replayable artifact. Each round is ONE scan of the
+    * checkpointed margin table; the only driver state is the two
+    * scalars (a bounded 1-row collect per round — the codebook
+    * convention). Updates truncate (`(lr·g/n).toLong` ≡ SQL `trunc`)
+    * — round() straddles engines at negative .5.
+    *
+    * @return one row (n, a_micros, b_micros).
+    */
+  def plattFit(margins: DataFrame, marginCol: String, labelCol: String,
+               iters: Int = 3, lr: Double = 0.3): DataFrame = {
+    val base = margins.select(col(marginCol).as("m"),
+        (col(labelCol).cast("long") * lit(1000000L)).as("y"))
+      .localCheckpoint(true) // one scan per round
+    val n = base.count()
+    var a = 1000000L
+    var b = 0L
+    for (_ <- 1 to iters) {
+      val g = base
+        .withColumn("z",
+          round(col("m") * lit(a) / lit(1e6)).cast("long") + lit(b))
+        .withColumn("p", round(lit(1e6)
+          / (lit(1.0) + exp(-col("z") / lit(1e6)))).cast("long"))
+        .withColumn("r", col("p") - col("y"))
+        .agg(sum(round(col("r") * col("m") / lit(1e6)).cast("long"))
+          .as("ga"), sum(col("r")).as("gb"))
+        .head()
+      a -= (lr * g.getLong(0) / n).toLong
+      b -= (lr * g.getLong(1) / n).toLong
+    }
+    margins.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(a).as("a_micros"), lit(b).as("b_micros"))
+  }
+
+  /** Calibrated probabilities under a [[plattFit]] (A, B) pair —
+    * the z/p quantization chain of the fit, applied once. */
+  def plattApply(margins: DataFrame, idCol: String, marginCol: String,
+                 aMicros: Long, bMicros: Long): DataFrame =
+    margins.select(col(idCol),
+      round(lit(1e6) / (lit(1.0) + exp(
+        -(round(col(marginCol) * lit(aMicros) / lit(1e6)).cast("long")
+          + lit(bMicros)) / lit(1e6)))).cast("long").as("p_micros"))
+      .orderBy(col(idCol))
+
   /** GPT-3's stochastic Pareto selection over [[score]] output (the
     * paper keeps a crawl doc iff `pareto(α) > 1 − p`, α = 9): mostly
     * high-quality docs survive, but low scorers keep a long-tail

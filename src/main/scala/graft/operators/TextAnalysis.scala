@@ -550,6 +550,38 @@ object TextAnalysis {
           .cast("long").as("slope_micros"))
   }
 
+  /** Class-based TF-IDF (the BERTopic labeling score, Grootendorst
+    * 2022) — the top distinctive terms per document class/cluster:
+    * `W(t,c) = tf_{t,c} · ln(1 + A/f_t)` with `A` the average tokens
+    * per class and `f_t` the corpus term frequency — computed as the
+    * exact-ratio form `ln((ncls·f_t + tot)/(ncls·f_t))` (integer
+    * operands, ONE IEEE ln), quantized to micros BEFORE the
+    * bounded-heap top-N rank (the qG5 convention). Labels kmeans/LPA
+    * clusters or any slice column with human-readable terms.
+    *
+    * @return (cls, term, score_micros) — topN rows per class,
+    *         (score desc, term) ordered.
+    */
+  def classTfidf(docs: DataFrame, classCol: String, textCol: String,
+                 topN: Int): DataFrame = {
+    val tf = docs.select(col(classCol).as("cls"),
+        explode(tokenize(col(textCol))).as("term"))
+      .groupBy("cls", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds the marginal, the total and the score
+    val ft = tf.groupBy("term").agg(sum(col("tf")).as("ft"))
+    val tot = tf.agg(sum(col("tf")).as("tot"),
+      countDistinct(col("cls")).as("ncls"))
+    val scored = tf.join(ft, "term").crossJoin(broadcast(tot))
+      .withColumn("score_micros", round(lit(1e6) * col("tf") *
+        log((col("ncls") * col("ft") + col("tot")).cast("double")
+          / (col("ncls") * col("ft")))).cast("long"))
+    TopK.grouped(scored, Seq("cls"),
+        struct((-col("score_micros")).as("ns"), col("term").as("t")), topN)
+      .select(col("cls"), col("best.t").as("term"),
+        (-col("best.ns")).as("score_micros"))
+      .orderBy(col("cls"), desc("score_micros"), col("term"))
+  }
+
   /** Corpus lexical richness — type–token ratio and hapax-legomenon
     * fraction, the vocabulary-health companions to [[zipfFit]]'s
     * slope (a scraped corpus drowning in boilerplate shows TTR

@@ -59,6 +59,39 @@ object TextQueries {
     s"""WITH d AS ($ToksSql),
        |$NbCtes""".stripMargin
 
+  /** Unrolled Platt-scaling oracle: `iters` GD rounds on the train
+    * margin table from (A, B) = (1e6, 0) micros — the exact
+    * quantization chain of [[graft.operators.QualityLr.plattFit]]. */
+  private def plattSql(iters: Int): String = {
+    val head =
+      s"""$LrTrainSql,
+         |pm AS (SELECT x.doc_id,
+         |  CAST(sum(CAST(round(x.x * coalesce(w.w, 0) / 1e6) AS BIGINT))
+         |    AS BIGINT) AS m
+         |  FROM x LEFT JOIN w3 w USING (bucket) GROUP BY 1),
+         |py AS (SELECT doc_id, m,
+         |  CASE WHEN doc_id < 350 THEN 1000000 ELSE 0 END AS y FROM pm),
+         |pn AS (SELECT count(*) AS n FROM py),
+         |ab0 AS (SELECT CAST(1000000 AS BIGINT) AS a,
+         |  CAST(0 AS BIGINT) AS b)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""ps$k AS (SELECT p.m, p.y,
+         |    CAST(round(1e6 / (1 + exp(-((CAST(round(p.m * ab.a / 1e6)
+         |      AS BIGINT) + ab.b) / 1e6)))) AS BIGINT) AS p
+         |  FROM py p CROSS JOIN ab${k - 1} ab),
+         |pg$k AS (SELECT
+         |    CAST(sum(CAST(round((p - y) * m / 1e6) AS BIGINT)) AS BIGINT)
+         |      AS ga,
+         |    CAST(sum(p - y) AS BIGINT) AS gb FROM ps$k),
+         |ab$k AS (SELECT CAST(ab.a - trunc(0.3 * g.ga / n.n) AS BIGINT) AS a,
+         |    CAST(ab.b - trunc(0.3 * g.gb / n.n) AS BIGINT) AS b
+         |  FROM ab${k - 1} ab, pg$k g, pn n)""".stripMargin
+    }
+    ((head +: rounds).mkString(",\n")) +
+      s"\nSELECT n.n AS n, ab.a AS a_micros, ab.b AS b_micros" +
+      s"\nFROM ab$iters ab, pn n"
+  }
+
   /** DuckDB fragment: the qX_lr_model training loop replayed as
     * unrolled CTEs (see operators.QualityLr) — hashed 1+2-gram
     * buckets mod 64, train docs >= 200 (y = doc_id < 350), 3
@@ -882,6 +915,28 @@ object TextQueries {
         .join(train.select(col("doc_id"), col("y")), "doc_id")
       graft.operators.Eval.conformal(scored, "doc_id", "y", "p_micros",
         alphaMicros = 100000L)
+    }),
+
+    // Platt scaling: FIT the calibration the ECE gate measures — 3
+    // deterministic GD rounds on the LR margin table from (A,B)=(1,0),
+    // integer-micro quantities throughout; the params are the gate.
+    "qX_platt" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val m = QualityLr.margins(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      QualityLr.plattFit(m, "m_micros", "y", iters = 3, lr = 0.3)
+    }),
+
+    // Class-based TF-IDF (BERTopic labeling): top-5 distinctive terms
+    // per source slice, quantized before the bounded-heap rank.
+    "qX_ctfidf" -> ((s, dir) => {
+      TextAnalysis.classTfidf(Tables.load(s, dir, "documents"),
+        "source", "text", topN = 5)
     }),
 
     // Step-wise PR-AUC over the same scores — the imbalanced-class
@@ -1972,6 +2027,25 @@ object TextQueries {
          |SELECT doc_id, n_buckets, p_micros, pareto_micros FROM sp
          |WHERE pareto_micros > 1000000 - p_micros
          |ORDER BY doc_id""".stripMargin,
+    "qX_platt" -> plattSql(iters = 3),
+    "qX_ctfidf" ->
+      """WITH tk AS (SELECT source AS cls,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT cls, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tf
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tf) AS BIGINT) AS tot,
+        |  CAST(count(DISTINCT cls) AS BIGINT) AS ncls FROM tf),
+        |sc AS (SELECT tf.cls, tf.term,
+        |    CAST(round(1e6 * tf.tf * ln((tt.ncls * ft.ft + tt.tot) * 1.0
+        |      / (tt.ncls * ft.ft))) AS BIGINT) AS score_micros
+        |  FROM tf JOIN ft USING (term) CROSS JOIN tt),
+        |r AS (SELECT cls, term, score_micros, row_number() OVER (
+        |  PARTITION BY cls ORDER BY score_micros DESC, term) AS rn FROM sc)
+        |SELECT cls, term, score_micros FROM r WHERE rn <= 5
+        |ORDER BY cls, score_micros DESC, term""".stripMargin,
     "qX_pr_auc" ->
       s"""$LrScoredGSql,
          |c AS (SELECT s, pos, cnt,

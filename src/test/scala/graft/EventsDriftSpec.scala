@@ -267,6 +267,19 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       ("2024-01-02", 2L, 1L, 250000L), ("2024-01-03", 1L, 0L, 250000L)))
   }
 
+  test("classTfidf: distinctive terms per class, exact-ratio ln, tie order") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(("A", "apple apple banana"), ("B", "banana banana cherry"))
+      .toDF("cls", "text")
+    val got = TextAnalysis.classTfidf(docs, "cls", "text", topN = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // A: apple 2·ln(2.5), banana ln 2; B: banana 2·ln 2 ties cherry
+    // ln 4 — term-asc tiebreak puts banana first
+    assert(got.toSeq == Seq(
+      ("A", "apple", 1832581L), ("A", "banana", 693147L),
+      ("B", "banana", 1386294L), ("B", "cherry", 1386294L)))
+  }
+
   test("lexicalRichness: TTR and hapax fraction, exact folds") {
     import graft.operators.TextAnalysis
     val docs = Seq("a b a", "c").toDF("text")

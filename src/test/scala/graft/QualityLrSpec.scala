@@ -78,6 +78,26 @@ class QualityLrSpec extends AnyFunSuite with SparkSpec {
     assert(model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == again)
   }
 
+  test("plattFit: hand-computed first round, separable margins steepen A") {
+    import graft.operators.QualityLr
+    // m = ±2e6, y = 1/0: p = σ(±2) → resid ∓119203 → gA = −476812,
+    // gB = 0 → A += trunc(0.3·476812/2) = 71521
+    val m = Seq((2000000L, 1), (-2000000L, 0)).toDF("m_micros", "y")
+    val r1 = QualityLr.plattFit(m, "m_micros", "y", iters = 1).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) ==
+      ((2L, 1071521L, 0L)))
+    // more rounds keep steepening on separable data; B stays 0 by
+    // symmetry
+    val r3 = QualityLr.plattFit(m, "m_micros", "y", iters = 3).head()
+    assert(r3.getLong(1) > 1071521L && r3.getLong(2) == 0L)
+    // apply: calibrated p is monotone in the margin
+    val p = QualityLr.plattApply(
+        Seq((1L, 2000000L), (2L, -2000000L)).toDF("id", "m_micros"),
+        "id", "m_micros", r3.getLong(1), r3.getLong(2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p(1L) > 500000L && p(2L) < 500000L && p(1L) + p(2L) == 1000000L)
+  }
+
   test("naiveBayes: hand-computed add-1 grid, OOV drop, tie-to-0 pred") {
     import graft.operators.NaiveBayes
     // class 1: "spam spam ham" (tok1=3); class 0: "ham eggs" (tok0=2);
