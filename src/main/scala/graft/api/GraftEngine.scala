@@ -1451,6 +1451,21 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
               valueCol: String): DataFrame =
     graft.operators.Drift.ksStatistic(base, curr, valueCol)
 
+  /** Embedding-centroid drift between two corpus slices
+    * ([[graft.operators.Drift.centroidDrift]]) — the vector-space
+    * face of [[driftPsi]]: centroid cosine + squared gap. */
+  def driftEmbeddings(a: DataFrame, b: DataFrame,
+                      vecCol: String): DataFrame =
+    graft.operators.Drift.centroidDrift(a, b, vecCol)
+
+  /** Quality-aware survivorship over near-dup clusters
+    * ([[graft.operators.Dedup.keepBest]]) — per cluster keep the
+    * best-scored copy; the decision step after [[semanticDedup]] /
+    * Dedup.clusters. */
+  def dedupSurvivors(clusters: DataFrame, scored: DataFrame,
+                     idCol: String, scoreCol: String): DataFrame =
+    graft.operators.Dedup.keepBest(clusters, scored, idCol, scoreCol)
+
   /** Daily-series autocorrelation at lags 1..maxLag
     * ([[graft.operators.Drift.acf]]) — tells whether a
     * [[changePoints]] alarm is a level shift or the weekly cycle. */

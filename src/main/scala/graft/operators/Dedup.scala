@@ -187,6 +187,28 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("cluster"))
   }
 
+  /** Quality-aware survivorship over near-dup [[clusters]] — the step
+    * after clustering that decides WHICH copy the corpus keeps: per
+    * cluster, the member with the best score (quantized score desc,
+    * id asc — the goldenRecord rule applied to dedup). One id-keyed
+    * join + one bounded max-struct fold per cluster; no windows.
+    *
+    * @param clustersDf (idCol, cluster, ...) from [[clusters]].
+    * @param scored     (idCol, scoreCol) — any deterministic quality
+    *                   score (token count, LR p_micros, ...).
+    * @return (cluster, keep_id, best_score, n_members) ordered.
+    */
+  def keepBest(clustersDf: DataFrame, scored: DataFrame, idCol: String,
+               scoreCol: String): DataFrame =
+    clustersDf.select(col(idCol), col("cluster"))
+      .join(scored.select(col(idCol), col(scoreCol).as("_s")), Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("_s").as("s"), (-col(idCol)).as("ni"))).as("best"))
+      .select(col("cluster"), (-col("best.ni")).as("keep_id"),
+        col("best.s").as("best_score"), col("n_members"))
+      .orderBy(col("cluster"))
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature over pre-hashed shingles: each shingle is hashed

@@ -132,6 +132,48 @@ object Drift {
       .orderBy("bucket")
   }
 
+  /** Embedding-centroid drift between two corpus slices — the
+    * vector-space face of [[psi]]: when this week's embeddings come
+    * from a different distribution (new domain mix, a changed
+    * encoder), the slice centroids separate before any scalar column
+    * drifts. Per-dim components quantize to integer micros BEFORE
+    * the fold (the PCA-moment convention — raw float sums are
+    * partition-order-dependent), cross terms quantize per dim, and
+    * the readouts are fixed IEEE expressions over three exact
+    * integer sums: centroid cosine (truncated micros) and the
+    * squared centroid gap `Saa − 2·Sab + Sbb`.
+    *
+    * Shape: one posexplode + dim-keyed fold per slice (dims rows),
+    * one dim join, one scalar fold. Nothing corpus-pairwise.
+    *
+    * @return one row (n_a, n_b, cos_micros, gap_micros).
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame,
+                    vecCol: String): DataFrame = {
+    def cen(df: DataFrame, s: String, n: String) =
+      df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(sum(round(col("x").cast("double") * lit(1e6)).cast("long"))
+          .as(s), count(lit(1)).as(n))
+    val t = cen(a, "sa", "na").join(cen(b, "sb", "nb"), "pos")
+      .select(col("na"), col("nb"),
+        round(col("sa") / col("na") * (col("sb") / col("nb")) / lit(1e6))
+          .cast("long").as("tab"),
+        round(col("sa") / col("na") * (col("sa") / col("na")) / lit(1e6))
+          .cast("long").as("taa"),
+        round(col("sb") / col("nb") * (col("sb") / col("nb")) / lit(1e6))
+          .cast("long").as("tbb"))
+    t.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("tab")).as("sab"), sum(col("taa")).as("saa"),
+        sum(col("tbb")).as("sbb"))
+      .select(col("n_a"), col("n_b"),
+        when(col("saa") > 0 && col("sbb") > 0,
+          (lit(1e6) * col("sab")
+            / sqrt(col("saa").cast("double") * col("sbb"))).cast("long"))
+          .otherwise(lit(0L)).as("cos_micros"),
+        (col("saa") - lit(2L) * col("sab") + col("sbb")).as("gap_micros"))
+  }
+
   /** EWMA control chart over daily means (Roberts 1959) — the
     * small-shift detector between [[cusum]]'s cumulative alarm and a
     * plain threshold: `s_t = λ·x_t + (1−λ)·s_{t−1}` with the DYADIC

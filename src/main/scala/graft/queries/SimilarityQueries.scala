@@ -27,6 +27,16 @@ object SimilarityQueries {
         "vec_id", "embedding", 5)
     }),
 
+    // Embedding-centroid drift between the even/odd vec_id slices —
+    // the vector-space PSI: micro-quantized per-dim folds, centroid
+    // cosine + squared gap as fixed IEEE readouts.
+    "qX_embed_drift" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.Drift.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding")
+    }),
+
     // Matryoshka truncation ablation: overlap of the 8-dim exact
     // top-10 with the full-dim top-10 per query — the storage/latency
     // knob readout.
@@ -1740,6 +1750,35 @@ object SimilarityQueries {
         |SELECT qid, id, sim FROM ranked WHERE rn <= 3
         |ORDER BY qid, sim DESC, id""".stripMargin,
 
+    "qX_embed_drift" ->
+      """WITH dims AS (SELECT unnest(range(64)) AS pos),
+        |ea AS (SELECT d.pos,
+        |    CAST(sum(CAST(round(e.embedding[d.pos + 1] * 1e6) AS BIGINT))
+        |      AS BIGINT) AS sa, count(*) AS na
+        |  FROM embeddings e CROSS JOIN dims d WHERE e.vec_id % 2 = 0
+        |  GROUP BY 1),
+        |eb AS (SELECT d.pos,
+        |    CAST(sum(CAST(round(e.embedding[d.pos + 1] * 1e6) AS BIGINT))
+        |      AS BIGINT) AS sb, count(*) AS nb
+        |  FROM embeddings e CROSS JOIN dims d WHERE e.vec_id % 2 = 1
+        |  GROUP BY 1),
+        |t AS (SELECT ea.na, eb.nb,
+        |    CAST(round(ea.sa * 1.0 / ea.na * (eb.sb * 1.0 / eb.nb) / 1e6)
+        |      AS BIGINT) AS tab,
+        |    CAST(round(ea.sa * 1.0 / ea.na * (ea.sa * 1.0 / ea.na) / 1e6)
+        |      AS BIGINT) AS taa,
+        |    CAST(round(eb.sb * 1.0 / eb.nb * (eb.sb * 1.0 / eb.nb) / 1e6)
+        |      AS BIGINT) AS tbb
+        |  FROM ea JOIN eb USING (pos)),
+        |s AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+        |  CAST(sum(tab) AS BIGINT) AS sab, CAST(sum(taa) AS BIGINT) AS saa,
+        |  CAST(sum(tbb) AS BIGINT) AS sbb FROM t)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(CASE WHEN saa > 0 AND sbb > 0
+        |    THEN trunc(1e6 * sab / sqrt(CAST(saa AS DOUBLE) * sbb))
+        |    ELSE 0 END AS BIGINT) AS cos_micros,
+        |  saa - 2 * sab + sbb AS gap_micros
+        |FROM s""".stripMargin,
     "qX_matryoshka" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

@@ -59,6 +59,37 @@ object TextQueries {
     s"""WITH d AS ($ToksSql),
        |$NbCtes""".stripMargin
 
+  /** Shared near-dup-cluster CTE chain (shingles → Jaccard pairs →
+    * recursive closure), ending at `comp` (doc_id, cluster) with `d`
+    * (doc_id, toks) live — the clusters and survivor oracles build
+    * their tails on it. */
+  private val DedupClustersCte: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 300),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(toks), 2)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
+      |  FROM d WHERE len(toks) >= 2),
+      |posts AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+      |    count(*) AS inter
+      |  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |p AS (
+      |  SELECT id1, id2 FROM pairs
+      |  WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.1),
+      |adj AS (SELECT id1 AS f, id2 AS t FROM p
+      |        UNION ALL SELECT id2, id1 FROM p),
+      |reach(v, r) AS (
+      |  SELECT f, f FROM (SELECT DISTINCT f FROM adj)
+      |  UNION
+      |  SELECT reach.v, adj.t FROM reach JOIN adj ON reach.r = adj.f),
+      |comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)""".stripMargin
+
   /** Unrolled Platt-scaling oracle: `iters` GD rounds on the train
     * margin table from (A, B) = (1e6, 0) micros — the exact
     * quantization chain of [[graft.operators.QualityLr.plattFit]]. */
@@ -1069,6 +1100,18 @@ object TextQueries {
       val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.1)
       Dedup.clusters(pairs, docs, "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // Survivorship over the near-dup clusters: per cluster keep the
+    // highest-token-count member (score desc, id asc) — the step
+    // that decides WHICH copy the corpus keeps.
+    "qX_dedup_survivor" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.1)
+      val cl = Dedup.clusters(pairs, docs, "doc_id")
+      val scored = docs.select(col("doc_id"),
+        size(tokenize(col("text"))).cast("long").as("n_toks"))
+      Dedup.keepBest(cl, scored, "doc_id", "n_toks")
     }),
 
     // One-pass column profile (exact form for the gate; HLL estimates
@@ -2365,36 +2408,27 @@ object TextQueries {
         |SELECT lang, doc_id FROM r WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
     "qX_dedup_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents WHERE doc_id < 300),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(toks), 2)),
-        |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
-        |  FROM d WHERE len(toks) >= 2),
-        |posts AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
-        |    count(*) AS inter
-        |  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4),
-        |p AS (
-        |  SELECT id1, id2 FROM pairs
-        |  WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.1),
-        |adj AS (SELECT id1 AS f, id2 AS t FROM p
-        |        UNION ALL SELECT id2, id1 FROM p),
-        |reach(v, r) AS (
-        |  SELECT f, f FROM (SELECT DISTINCT f FROM adj)
-        |  UNION
-        |  SELECT reach.v, adj.t FROM reach JOIN adj ON reach.r = adj.f),
-        |comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)
+      (DedupClustersCte + """
         |SELECT dd.doc_id, coalesce(comp.cluster, dd.doc_id) AS cluster,
         |  dd.doc_id = coalesce(comp.cluster, dd.doc_id) AS is_canonical
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) dd
         |LEFT JOIN comp ON dd.doc_id = comp.doc_id
-        |ORDER BY dd.doc_id""".stripMargin,
+        |ORDER BY dd.doc_id""".stripMargin),
+    "qX_dedup_survivor" ->
+      (DedupClustersCte + """,
+        |asg AS (SELECT dd.doc_id, coalesce(comp.cluster, dd.doc_id)
+        |    AS cluster
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) dd
+        |  LEFT JOIN comp ON dd.doc_id = comp.doc_id),
+        |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS score FROM d),
+        |r AS (SELECT a.cluster, a.doc_id, q.score, row_number() OVER (
+        |    PARTITION BY a.cluster ORDER BY q.score DESC, a.doc_id) AS rn
+        |  FROM asg a JOIN q USING (doc_id)),
+        |m AS (SELECT cluster, count(*) AS n_members FROM asg GROUP BY 1)
+        |SELECT r.cluster, r.doc_id AS keep_id, r.score AS best_score,
+        |  m.n_members
+        |FROM r JOIN m USING (cluster) WHERE r.rn = 1
+        |ORDER BY r.cluster""".stripMargin),
     "qX_profile" ->
       """SELECT 'doc_id' AS "column", count(*) AS n_rows,
         |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -267,6 +267,30 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       ("2024-01-02", 2L, 1L, 250000L), ("2024-01-03", 1L, 0L, 250000L)))
   }
 
+  test("centroidDrift: orthogonal slices cos 0 gap 2e6, identical slices cos 1e6") {
+    import graft.operators.Drift
+    val a = Seq(Seq(1f, 0f), Seq(1f, 0f)).toDF("embedding")
+    val b = Seq(Seq(0f, 1f)).toDF("embedding")
+    val r = Drift.centroidDrift(a, b, "embedding").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 0L, 2000000L)))
+    val same = Drift.centroidDrift(a, a, "embedding").collect().head
+    assert((same.getLong(2), same.getLong(3)) == ((1000000L, 0L)))
+  }
+
+  test("keepBest: highest score survives, id tiebreak, singleton clusters") {
+    import graft.operators.Dedup
+    val cl = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 4L))
+      .toDF("doc_id", "cluster")
+    val sc = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L))
+      .toDF("doc_id", "n_toks")
+    val got = Dedup.keepBest(cl, sc, "doc_id", "n_toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // cluster 10: docs 2 and 3 tie at 9 → lower id 2 survives
+    assert(got.toSeq == Seq((4L, 4L, 1L, 1L), (10L, 2L, 9L, 3L)))
+  }
+
   test("classTfidf: distinctive terms per class, exact-ratio ln, tie order") {
     import graft.operators.TextAnalysis
     val docs = Seq(("A", "apple apple banana"), ("B", "banana banana cherry"))
