@@ -527,6 +527,74 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(br.getLong(5) == 1000000L) // the one truth pair co-blocks
   }
 
+  test("session facades: engagement, churn, RFM, entropy, SPC, eval, calibration, labeling, drift, dedup") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), "b", 2.0),
+      (1L, ts("2024-01-02 10:00:00"), "a", 3.0))
+      .toDF("user_id", "t", "etype", "v")
+    // engagement: one month, dau (2,1), mau 2 → 750000
+    assert(engine.engagement(ev, "user_id", "t").head().getLong(4) == 750000L)
+    // churnCurve: u2 churns day 1 of 2 users → S(d1) = 500000
+    assert(engine.churnCurve(ev, "user_id", "t").head().getLong(4) == 500000L)
+    // customerSegments emits one coded row per user
+    val rfm = engine.customerSegments(ev, "user_id", "t", "v").collect()
+    assert(rfm.length == 2 && rfm.forall(r => r.getLong(7) >= 111L))
+    // userEntropy: single-type users read exactly 0
+    assert(engine.userEntropy(ev, "user_id", "etype")
+      .collect().forall(_.getLong(3) == 0L))
+    // controlChart + seasonality + robustMean over a tiny series
+    assert(engine.controlChart(ev, "t", "v", 100000000L).count() == 2)
+    assert(engine.seasonality(ev, "t", 1).head().getLong(1) == 1L)
+    assert(engine.robustMean(ev.select(col("user_id").as("id"), col("v")),
+      "v", "id", 0.0).head().getLong(3) == 2000000L)
+    // eval family: brier/prAuc/kappa on tiny frames
+    val sc = Seq((1000000L, 1), (0L, 0)).toDF("p", "y")
+    assert(engine.evalBrier(sc, "y", "p").head().getLong(1) == 0L)
+    assert(engine.evalPrAuc(sc, "y", "p").head().getLong(2) == 1000000L)
+    assert(engine.raterAgreement(Seq((1L, 1L), (0L, 0L)).toDF("a", "b"),
+      "a", "b").head().getLong(2) == 1000000L)
+    // calibrateFit returns the (n, A, B) params row
+    val pf = engine.calibrateFit(Seq((2000000L, 1), (-2000000L, 0))
+      .toDF("m_micros", "y"), "m_micros", "y", iters = 1).head()
+    assert(pf.getLong(0) == 2L && pf.getLong(1) > 1000000L)
+    // labelClusters: distinctive term per slice
+    val lc = engine.labelClusters(Seq(("A", "apple apple"),
+      ("B", "banana")).toDF("cls", "text"), "cls", "text", 1).collect()
+    assert(lc.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("A", "apple"), ("B", "banana")))
+    // driftEmbeddings: identical slices cos 1e6 gap 0
+    val em = Seq(Seq(1f, 0f)).toDF("embedding")
+    val de = engine.driftEmbeddings(em, em, "embedding").head()
+    assert((de.getLong(2), de.getLong(3)) == ((1000000L, 0L)))
+    // dedupSurvivors: best score survives
+    val surv = engine.dedupSurvivors(
+      Seq((1L, 10L), (2L, 10L)).toDF("doc_id", "cluster"),
+      Seq((1L, 3L), (2L, 9L)).toDF("doc_id", "sc"),
+      "doc_id", "sc").head()
+    assert(surv.getLong(1) == 2L && surv.getLong(3) == 2L)
+    // recDiversity + didEstimate + attributeLinear + quadCount +
+    // communityConductance smoke with real shapes
+    val inter = Seq((1L, "a"), (2L, "a"), (1L, "b")).toDF("u", "item")
+    val rd = engine.recDiversity(Seq("a").toDF("rec"), "rec",
+      inter, "u", "item").head()
+    assert(rd.getLong(3) == 500000L) // 1 of 2 catalog items covered
+    val did = engine.didEstimate(Seq(("t", false, 1.0), ("t", true, 2.0),
+        ("c", false, 1.0), ("c", true, 1.0)).toDF("g", "post", "v"),
+      col("g") === "t", col("post"), "v").head()
+    assert(did.getLong(4) == 1000000L)
+    val ev2 = Seq((1L, ts("2024-01-01 10:00:00"), "purchase", 9L),
+      (1L, ts("2024-01-01 09:00:00"), "click", 1L))
+      .toDF("user_id", "t", "etype", "eid")
+    val la = engine.attributeLinear(ev2, "user_id", "t", "etype", "eid",
+      "purchase", Seq("click"), 86400000000L).head()
+    assert(la.getLong(3) == 1000000L)
+    assert(engine.quadCount().head().getLong(1) >= 0L)
+    val cc = engine.communityConductance().collect()
+    assert(cc.nonEmpty && cc.forall(_.getLong(4) <= 1000000L))
+  }
+
   test("governance + graph-quality facade: anonymityReport, diversityReport, recExposure, weakTies-shape") {
     import spark.implicits._
     val df = Seq(("a", "s1"), ("a", "s1"), ("b", "s2")).toDF("q", "s")
