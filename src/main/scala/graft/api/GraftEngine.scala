@@ -1429,6 +1429,22 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def quadCount(): DataFrame =
     graft.operators.GraphAnalytics.c4Count(edges)
 
+  /** Log-binned degree histogram of the knows graph
+    * ([[graft.operators.GraphAnalytics.degreeHistogram]]) — the
+    * distribution behind [[degreeExponent]]'s single-number fit. */
+  def degreeProfile(): DataFrame =
+    graft.operators.GraphAnalytics.degreeHistogram(edges)
+
+  /** Asymmetric shingle-containment near-dup pairs
+    * ([[graft.operators.Dedup.containmentPairs]]) — catches the
+    * quote-inclusion duplicates Jaccard's union denominator
+    * suppresses. */
+  def containmentDuplicates(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int = 2,
+                            minContainment: Double = 0.8): DataFrame =
+    graft.operators.Dedup.containmentPairs(docs, textCol, idCol, n,
+      minContainment)
+
   /** PSI drift report between a baseline and a current sample
     * ([[graft.operators.Drift.psi]]) — run before trusting a new
     * ingest batch against last week's distribution. */

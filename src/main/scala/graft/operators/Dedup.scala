@@ -85,6 +85,36 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Asymmetric shingle containment (Broder 1997) — the near-dup
+    * signal Jaccard structurally misses: a short document quoted
+    * wholesale inside a long one has tiny Jaccard (the union is
+    * dominated by the long doc) but containment
+    * `|A∩B| / min(|A|,|B|)` ≈ 1. Same shared-shingle equi-join and
+    * per-pair fold as [[ngramJaccardPairs]]; the score divides by
+    * the SMALLER shingle set, quantized to 4 decimals before the
+    * threshold (cross-engine replay).
+    *
+    * @return (id1, id2, containment) for pairs ≥ `minContainment`.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int, minContainment: Double): DataFrame = {
+    val sh = docs
+      .filter(size(tokenize(col(textCol))) >= n)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val posts = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = posts.select(col("id").as("id1"), col("n_sh").as("n1"), col("s"))
+    val b = posts.select(col("id").as("id2"), col("n_sh").as("n2"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("n1"), col("n2")), 4))
+      .filter(col("containment") >= minContainment)
+      .select("id1", "id2", "containment")
+  }
+
   /** Cross-corpus fuzzy join, EXACT form — record linkage between TWO
     * tables by n-gram Jaccard: every (left, right) pair sharing enough
     * shingle overlap, via the shared-shingle equi-join and per-pair

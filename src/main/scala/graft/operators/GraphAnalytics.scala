@@ -1386,6 +1386,30 @@ object GraphAnalytics {
       .orderBy(col("lbl"))
   }
 
+  /** Log-binned degree histogram of the undirected simple view — the
+    * distribution readout behind [[powerLawAlpha]]'s single-number
+    * fit (a fit is only as honest as the histogram it summarizes).
+    * Bins are `⌊log₂ d⌋` computed EXACTLY as `length(bin(d)) − 1`
+    * (the binary-string trick — a float log₂ is 1-ulp-ambiguous at
+    * powers of two and would bin-flip cross-engine). One degree fold
+    * + one bin fold.
+    *
+    * @return (bin, n_vertices, min_deg, max_deg) ordered by bin.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .groupBy((length(bin(col("d"))) - 1).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_vertices"), min(col("d")).as("min_deg"),
+        max(col("d")).as("max_deg"))
+      .orderBy(col("bin"))
+  }
+
   /** 4-cycle (quadrilateral) count on the undirected simple view —
     * the motif family's next rung after triangles and two-stars: C4s
     * are the co-citation/co-purchase signature (two vertices sharing

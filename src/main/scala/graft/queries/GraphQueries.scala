@@ -556,6 +556,13 @@ object GraphQueries {
       graft.operators.GraphAnalytics.c4Count(edges)
     }),
 
+    // Log-binned degree histogram — ⌊log₂ d⌋ via the exact
+    // binary-string length (float log₂ bin-flips at powers of two).
+    "qX_degree_hist" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.degreeHistogram(edges)
+    }),
+
     // Luby maximal independent set: per round, an active vertex joins
     // iff its md5-composite priority beats every active neighbor's;
     // winners + neighbors retire. Deterministic, unrolled-round oracle.
@@ -1426,6 +1433,15 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "qX_salsa" -> salsaSql(iters = 3),
+    "qX_degree_hist" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |deg AS (SELECT id, count(*) AS d FROM (
+         |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+         |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bin,
+         |  count(*) AS n_vertices, min(d) AS min_deg, max(d) AS max_deg
+         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     "qX_c4" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

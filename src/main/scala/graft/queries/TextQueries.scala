@@ -1130,6 +1130,16 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Asymmetric containment pairs — the quote-inclusion signal
+    // (small doc inside big doc) that Jaccard's union denominator
+    // structurally suppresses.
+    "qX_dedup_containment" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+      Dedup.containmentPairs(docs, "text", "doc_id", 2, 0.1)
+        .orderBy(desc("containment"), asc("id1"), asc("id2"))
+        .limit(100)
+    }),
+
     // Sequence packing: (bin, offset) slots in 512-token context
     // windows via the distributed prefix-scan (the scale form; its
     // equality with the global-window spec is pinned in ScaleOpsSpec).
@@ -2483,6 +2493,27 @@ object TextQueries {
         |FROM pairs
         |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.03
         |ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 100""".stripMargin,
+    "qX_dedup_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks), 2)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
+        |  FROM d WHERE len(toks) >= 2),
+        |posts AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id1, id2,
+        |  round(CAST(inter AS DOUBLE) / least(n1, n2), 4) AS containment
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / least(n1, n2), 4) >= 0.1
+        |ORDER BY containment DESC, id1 ASC, id2 ASC LIMIT 100""".stripMargin,
     "qX_fuzzy_join" ->
       """WITH d AS (
         |  SELECT doc_id,

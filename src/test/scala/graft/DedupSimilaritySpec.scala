@@ -224,6 +224,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(run() == run())
   }
 
+  test("containmentPairs: full quote inclusion reads 1.0 where Jaccard reads 0.4") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c")).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(docs, "text", "doc_id", 2, 0.9).collect()
+    assert(c.length == 1 &&
+      (c.head.getLong(0), c.head.getLong(1), c.head.getDouble(2)) ==
+        ((1L, 2L, 1.0)))
+    // the same pair at the same bar is invisible to Jaccard
+    assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.9).isEmpty)
+    assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.3)
+      .head().getDouble(2) == 0.4)
+  }
+
   test("truncationRecall: truncation flips the winner at k=1, agrees at k=2") {
     // q=[0,1,1,1]: full winner is 2 (cos ⅔ vs 0.577); first-2-dims
     // winner is 1 (cos 1 vs 0) — the ablation the metric must expose

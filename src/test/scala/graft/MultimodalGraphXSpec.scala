@@ -596,6 +596,15 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(phi(2) == ((1L, 0L, 0L)))
   }
 
+  test("degreeHistogram: exact log2 bins via binary length on a star") {
+    // star 0-{1,2,3,4}: leaves d=1 → bin 0; center d=4 → bin 2
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.degreeHistogram(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 4L, 1L, 1L), (2L, 1L, 4L, 4L)))
+  }
+
   test("c4Count: one square, three cycles in K4, zero in a triangle") {
     val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
     val s = GraphAnalytics.c4Count(square).head()
