@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** BENCH harness: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":…,"value":…,"queries":{…}}.
   *
-  * Each query is executed twice: a warmup pass (JIT + codegen + file
-  * listing + parquet footer caches) and a timed pass — the steady-state
+  * A sampled warmup pass primes JIT + codegen + file listing + parquet
+  * footer caches (all shared across queries), then each query is timed
+  * best-of-2 (third pass for expensive/unstable ones) — the steady-state
   * number is what a resident engine would serve, and what is comparable
   * across rounds. Queries run under AQE with shuffle partitions sized
   * to the local core count (not the 200 default).
@@ -37,17 +38,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup pass: JIT, codegen cache, FS listing — not representative
-    names.foreach { name =>
+    // Drop everything a query pinned: catalog cache AND eager
+    // localCheckpoint blocks (clearCache() does NOT release those — at
+    // ~280 queries the leaked blocks squeeze late queries' execution
+    // memory, the late-run 2-4x inflation pattern the r10 driver run
+    // showed), plus shuffle files via a GC-triggered cleaner pass.
+    def dropPinned(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    // Warmup: JIT + codegen profiles + FS listing + parquet footers are
+    // SHARED across queries, so a sampled warmup (~every 8th query, which
+    // touches every table and most operator families) buys nearly all of
+    // the full pass's steady-state at 1/8 the wall time. The r10 driver
+    // run timed out mid-artifact; wall budget is part of the contract.
+    names.zipWithIndex.collect { case (n, i) if i % 8 == 0 => n }.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // drop DataFrames persisted inside operators (e.g. the LSH shingle
-    // cache): Spark's cache manager matches by plan equality, so the
-    // timed pass would otherwise read the warmup's cache — and leaked
-    // storage from earlier queries would squeeze later ones' execution
-    // memory.
-    spark.catalog.clearCache()
+    dropPinned()
     // best of two timed passes: the box's virtual disk/CPU sees
     // transient co-tenant load spikes; min-of-2 reports steady-state
     // rather than whichever pass a spike landed on. Expensive or
@@ -59,14 +68,18 @@ object Bench {
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      dropPinned()
       // a throwing pass must not win the min with its fast failure
       if (ok) dt else Double.MaxValue
     }
     val results = names.map { name =>
       val two = (1 to 2).map(_ => timedPass(name))
+      // third pass only where a co-tenant spike could move the committed
+      // number: expensive queries, or a big disagreement that is big in
+      // ABSOLUTE terms too (a 0.1s vs 0.4s flip costs nothing either way)
       val dts = if (two.min != Double.MaxValue &&
-          (two.min > 2.0 || two.max > 3.0 * two.min)) two :+ timedPass(name)
+          (two.min > 2.0 || (two.max > 3.0 * two.min && two.max > 1.0)))
+          two :+ timedPass(name)
         else two
       // all passes failed → report -1 (visible in the JSON, excluded
       // from a sane total downstream) rather than a bogus latency
@@ -121,12 +134,14 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    // Fold the DuckDB-oracle wall-time annotation into the run itself:
-    // every round's committed artifact carries the per-query "duckdb"
-    // map (the computed 2x-of-single-node bar) without a manual tool
-    // pass that a post-round refresh can forget. Best-effort: a box
-    // without python3/duckdb just leaves the artifact unannotated.
-    if (!sys.env.contains("SPARK_GRAFT_SKIP_DUCKDB")) {
+    // DuckDB-oracle wall-time annotation (the computed 2x-of-single-node
+    // bar) is OPT-IN: the ~280 oracle replays sum to ~19 min of DuckDB
+    // time at sf0.1, which blew the unattended r10 driver run's budget
+    // (rc=124 mid-annotation, artifact never written). The builder-side
+    // recipe (.claude/skills/verify/SKILL.md) sets SPARK_GRAFT_DUCKDB=1
+    // when refreshing the committed annotated artifact; unattended runs
+    // get the timings-only artifact, which is the round's requirement.
+    if (sys.env.contains("SPARK_GRAFT_DUCKDB")) {
       val oraclePath = outPath + ".oracle_sql.json"
       val oracleJson = SparkEntry.oracleSql
         .map { case (k, v) => s"${JsonUtil.quote(k)}: ${JsonUtil.quote(v)}" }
@@ -141,9 +156,12 @@ object Bench {
           outPath, oraclePath, sfDir)).!(log)
         if (ec != 0)
           System.err.println(s"[bench] duckdb_times exited $ec; artifact unannotated")
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(oraclePath))
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] duckdb annotation skipped: ${e.getMessage}") }
+        System.err.println(s"[bench] duckdb annotation skipped: ${e.getMessage}")
+      } finally {
+        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(oraclePath))
+        catch { case _: Throwable => () }
+      }
     }
     // stdout gets ONE line that FITS the tail capture: headline totals +
     // the slowest queries (the informative subset), truncated so the whole

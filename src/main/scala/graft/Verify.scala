@@ -49,6 +49,12 @@ object Verify {
         d.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
       }
+      // release what the query pinned: cached frames AND eager
+      // localCheckpoint blocks (clearCache() alone does not free those;
+      // ~280 queries of leaked blocks in one JVM squeeze late queries)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     def q(s: String): String = JsonUtil.quote(s)
     val json = SparkEntry.oracleSql

@@ -239,6 +239,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   // own tables pre-wired; each delegates to the operator module)
 
   /** All-users PYMK (batch serving shape): top-`limit` per anchor. */
+  /** PYMK with the "you both know …" explanation
+    * ([[graft.operators.Pymk.recommendWithReasons]]): (id, score,
+    * reasons) for an anchor vertex id — the top mutual friends each
+    * suggestion rides on, comma-joined ascending. */
+  def pymkExplained(vertexId: String, limit: Int = 10,
+                    nReasons: Int = 3): DataFrame =
+    Pymk.recommendWithReasons(edges, lit(vertexId), limit, nReasons)
+
   def pymkAll(limit: Int = 10): DataFrame =
     Pymk.recommendAll(edges, limit)
 
@@ -666,20 +674,21 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * walks, bit-replayable ([[graft.operators.GraphAnalytics
     * .node2vecWalks]]). The walk operator's arithmetic coin needs
     * NUMERIC vertex ids; the engine's are md5-8 strings, so the facade
-    * assigns dense longs by a sorted-id window (|V| is the serving
-    * graph, not the corpus — library callers with long ids use the
-    * operator directly) and maps the corpus back to string ids.
-    * Returns (walk_id, step, vertex). */
+    * assigns dense longs with [[graft.operators.Packing.globalRank]]
+    * (range-partition + per-partition row_number + prefix-sum lift —
+    * one shuffle, NO single-partition global window: a serving graph
+    * can still be 10⁹ vertices) and maps the corpus back to string
+    * ids. Returns (walk_id, step, vertex). */
   def node2vec(walksPerVertex: Int = 2, length: Int = 4,
                p: Double = 4.0, q: Double = 0.25): DataFrame =
     memoized(cacheKey("node2vec", walksPerVertex.toString,
       length.toString, p.toString, q.toString)) {
-      import org.apache.spark.sql.expressions.Window
       val e = edges.select(col("src"), col("dst"))
-      val verts = e.select(col("src").as("v"))
-        .unionAll(e.select(col("dst").as("v"))).distinct()
-        .withColumn("vid",
-          row_number().over(Window.orderBy(col("v"))).cast("long"))
+      val (ranked, _) = graft.operators.Packing.globalRank(
+        e.select(col("src").as("v"))
+          .unionAll(e.select(col("dst").as("v"))).distinct(),
+        Seq("v"))
+      val verts = ranked.select(col("v"), col("_grank").as("vid"))
       val eNum = e
         .join(verts.withColumnRenamed("v", "src")
           .withColumnRenamed("vid", "src_id"), "src")
@@ -1345,6 +1354,13 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                 maxOffset: Int = 8): DataFrame =
     graft.operators.Events.retentionCohorts(events, userCol, tsCol,
       maxOffset)
+
+  /** Sequential a→b journey patterns with user support + confidence
+    * ([[graft.operators.Events.sequentialPairs]]). */
+  def journeyPatterns(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, minSupport: Long = 2L): DataFrame =
+    graft.operators.Events.sequentialPairs(events, userCol, tsCol,
+      typeCol, minSupport)
 
   /** First-order behavior transition matrix
     * ([[graft.operators.Events.transitionMatrix]]). */

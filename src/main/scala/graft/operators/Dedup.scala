@@ -94,6 +94,11 @@ object Dedup {
     * the SMALLER shingle set, quantized to 4 decimals before the
     * threshold (cross-engine replay).
     *
+    * Scale note: the shared-shingle self-join is the ORACLE form — a
+    * hot (stopword) shingle with document frequency f contributes f²
+    * candidate pairs. [[containmentPairsBanded]] is the production
+    * twin: df-capped candidate generation + exact verification.
+    *
     * @return (id1, id2, containment) for pairs ≥ `minContainment`.
     */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
@@ -109,6 +114,57 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2", "n1", "n2")
       .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("n1"), col("n2")), 4))
+      .filter(col("containment") >= minContainment)
+      .select("id1", "id2", "containment")
+  }
+
+  /** [[containmentPairs]]'s scale twin — df-capped candidates + exact
+    * verify (the X2→X3 exact→banded pattern): candidate pairs come
+    * from the self-join of POSTINGS WHOSE SHINGLE df ≤ `maxDf` (a
+    * shingle seen in more docs than that is a stopword n-gram — it
+    * carries no pair-specific signal but contributes df² candidate
+    * pairs; capping bounds the join at cap·Σdf, linear in corpus
+    * size), then each candidate pair's containment is verified
+    * EXACTLY over the full shingle sets, so every emitted score is
+    * identical to [[containmentPairs]]'s (banded ⊆ exact, pinned by
+    * spec).
+    *
+    * Recall contract: a pair is recovered iff it shares ≥1 shingle
+    * with df ≤ maxDf — real quote-inclusion pairs share runs of
+    * content shingles, which are rare by construction (the planted
+    * qX_dedup_containment_recall gate pins this at SF data).
+    *
+    * 100 TB shape: posting df fold → capped equi-join (bounded) →
+    * distinct pair set → two id-keyed joins against the checkpointed
+    * shingle table for the exact intersection — every stage keyed,
+    * no global state.
+    */
+  def containmentPairsBanded(docs: DataFrame, textCol: String,
+                             idCol: String, n: Int,
+                             minContainment: Double,
+                             maxDf: Int = 64): DataFrame = {
+    val sh = docs
+      .filter(size(tokenize(col(textCol))) >= n)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint(true) // feeds candidates AND the exact verify
+    val posts = sh.select(col("id"), explode(col("sh")).as("s"))
+    val rare = posts.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val capped = posts.join(rare.select("s"), Seq("s"))
+    val cand = capped.select(col("id").as("id1"), col("s"))
+      .join(capped.select(col("id").as("id2"), col("s")), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val inter = cand
+      .join(posts.select(col("id").as("id1"), col("s")), Seq("id1"))
+      .join(posts.select(col("id").as("id2"), col("s")), Seq("id2", "s"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sh.select(col("id").as("id1"), col("n_sh").as("n1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("n_sh").as("n2")), Seq("id2"))
       .withColumn("containment",
         round(col("inter").cast("double") / least(col("n1"), col("n2")), 4))
       .filter(col("containment") >= minContainment)
@@ -233,10 +289,14 @@ object Dedup {
     clustersDf.select(col(idCol), col("cluster"))
       .join(scored.select(col(idCol), col(scoreCol).as("_s")), Seq(idCol))
       .groupBy(col("cluster"))
+      // min(struct(-score, id)): max score, ties → min id. The SCORE is
+      // negated (numeric by contract), never the id — ids may be strings
+      // (doc keys, vertex names), and negating a string column silently
+      // casts to double/NULL and picks a partition-order survivor.
       .agg(count(lit(1)).as("n_members"),
-        max(struct(col("_s").as("s"), (-col(idCol)).as("ni"))).as("best"))
-      .select(col("cluster"), (-col("best.ni")).as("keep_id"),
-        col("best.s").as("best_score"), col("n_members"))
+        min(struct((-col("_s")).as("ns"), col(idCol).as("i"))).as("best"))
+      .select(col("cluster"), col("best.i").as("keep_id"),
+        (-col("best.ns")).as("best_score"), col("n_members"))
       .orderBy(col("cluster"))
 
   // -------------------------------------------------------------- minhash

@@ -118,6 +118,7 @@ object Drift {
         .cast("double") / count(lit(1))).cast("long").as("mean_micros"))
     val ref = daily.agg(floor(sum(col("mean_micros")).cast("double") /
       count(lit(1))).cast("long").as("ref"))
+    // BOUNDED global window: per-DAY aggregate (calendar grid)
     val w = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily.crossJoin(broadcast(ref))
@@ -198,6 +199,7 @@ object Drift {
       .groupBy(date_trunc("day", col(tsCol)).as("bucket"))
       .agg(floor(sum(floor(col(valueCol) * lit(1e6)).cast("long"))
         .cast("double") / count(lit(1))).cast("long").as("mean_micros"))
+    // BOUNDED global window: per-DAY aggregate (calendar grid)
     val w = Window.orderBy("bucket")
     val idx = daily
       .withColumn("t", row_number().over(w) - 1)
@@ -239,6 +241,7 @@ object Drift {
   def acf(df: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
     val daily = df.groupBy(date_trunc("day", col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("x"))
+    // BOUNDED global window: per-DAY aggregate (calendar grid)
     val w = Window.orderBy("bucket")
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
     val idx = daily.withColumn("rn", row_number().over(w))
@@ -283,6 +286,8 @@ object Drift {
       .join(q(curr).withColumnRenamed("n", "nb"), Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
+    // BOUNDED global window: input is the DISTINCT quantized-value
+    // grid (micros of a bounded metric), collapsed by the groupBy above
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = g.withColumn("ca", sum("na").over(w))

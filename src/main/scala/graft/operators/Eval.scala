@@ -322,6 +322,8 @@ object Eval {
         .as("nc"))
     val isCalib = Sampling.md5Bucket(col("id")) % 2 === 0
     val g = s.filter(isCalib).groupBy("nc").agg(count(lit(1)).as("c"))
+    // BOUNDED global window: distinct nonconformity grid (<= 1e6+1
+    // micro values), collapsed by the groupBy above — never the corpus
     val w = Window.orderBy("nc")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = g.withColumn("cum", sum(col("c")).over(w))
@@ -452,6 +454,7 @@ object Eval {
       .groupBy(col(scoreCol).as("s"))
       .agg(sum(col(labelCol).cast("long")).as("pos"),
         count(lit(1)).as("cnt"))
+    // BOUNDED global window: distinct-score grid from the groupBy above
     val w = Window.orderBy(desc("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c = g.withColumn("tp", sum(col("pos")).over(w))
@@ -570,6 +573,9 @@ object Eval {
   def exposureGini(recs: DataFrame, itemCol: String): DataFrame = {
     val cnt = recs.groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("x"))
+    // Global window over the per-ITEM exposure table — catalog-bounded
+    // (items, not impressions); a 10^8-item catalog should rank via
+    // Packing.globalRank instead (same totals, no single-partition sort)
     val w = Window.orderBy(col("x"), col("item"))
     val ranked = cnt.withColumn("i", row_number().over(w))
     ranked.agg(count(lit(1)).as("n_items"), sum(col("x")).as("total_recs"),
@@ -602,6 +608,7 @@ object Eval {
     val g = scored.groupBy(col(scoreCol).as("s"))
       .agg(sum(col(labelCol).cast("long")).as("pos"),
         count(lit(1)).as("cnt"))
+    // BOUNDED global window: distinct-score grid from the groupBy above
     val w = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c = g.withColumn("tp", sum(col("pos")).over(w))

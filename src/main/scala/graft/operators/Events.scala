@@ -385,6 +385,8 @@ object Events {
       .agg(count(lit(1)).as("n_last"),
         sum(when(col("last_day") < col("max_day"), 1L).otherwise(0L))
           .as("n_churn"))
+    // BOUNDED global windows: input is the per-DAY aggregate (calendar
+    // grid, ~365 rows/year), never the event corpus
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = Window.orderBy("day")
@@ -440,5 +442,81 @@ object Events {
         (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
           .as("rfm"))
       .orderBy(col(userCol))
+  }
+
+  /** Gap-based BATCH sessionization — the canonical event-stream
+    * segmentation (a new session starts when a user is idle longer
+    * than `gapUs`): per user, events ordered by (ts, tie) get a
+    * session index via the lag-gap flag + running count, then one
+    * fold per session. The batch twin of the streaming sessionizer
+    * ([[graft.streaming.CardStream]]); windows are PARTITIONED BY
+    * USER (bounded by one user's history — never a global sort), and
+    * the (ts, tieCol) pair must be a per-user total order so the lag
+    * is deterministic.
+    *
+    * @return (userCol, session_idx, n_events, start_us, end_us,
+    *         duration_us) ordered — session_idx 1-based per user.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String, gapUs: Long): DataFrame = {
+    // BOUNDED per-user windows: one user's events, never the corpus
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us"), col(tieCol))
+    val flagged = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("ts_us"),
+        col(tieCol))
+      .withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .otherwise(when(lag(col("ts_us"), 1).over(w).isNull, 1L)
+            .otherwise(0L)))
+      .withColumn("session_idx", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy(col(userCol), col("session_idx"))
+  }
+
+  /** Sequential pattern support (the length-2 core of
+    * PrefixSpan/GSP, Pei et al. 2001 / Srikant & Agrawal 1996) —
+    * which event FOLLOWS which across user journeys: a user supports
+    * the pattern a→b iff some occurrence of `a` strictly precedes
+    * some occurrence of `b` in their stream, which reduces EXACTLY to
+    * `min ts(a) < max ts(b)` — so the whole mining pass is one
+    * (user, type) min/max fold plus a per-user self-join over the
+    * type-bounded per-user summary (|types|² rows per user, never
+    * events²). Confidence divides by the antecedent's user support;
+    * both ratios quantize to micros by flooring (the engine/oracle
+    * replay convention).
+    *
+    * 100 TB shape: one map-side-combined groupBy, one user-keyed
+    * join of two vocabulary-bounded tables, one (a, b) fold — every
+    * stage keyed, nothing quadratic in events.
+    *
+    * @return (a, b, support, n_a, confidence_micros) for pairs with
+    *         support ≥ `minSupport`, ordered (a, b).
+    */
+  def sequentialPairs(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, minSupport: Long): DataFrame = {
+    val ut = events.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+      .localCheckpoint(true) // both sides of the per-user pair join
+    val sup = ut.select(col("u").as("ua"), col("t").as("a"),
+        col("first_ts"))
+      .join(ut.select(col("u").as("ub"), col("t").as("b"),
+        col("last_ts")), col("ua") === col("ub"))
+      .filter(col("a") =!= col("b") && col("first_ts") < col("last_ts"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support")) // (user, a, b) is unique here
+    val na = ut.groupBy(col("t").as("a"))
+      .agg(count(lit(1)).as("n_a"))
+    sup.filter(col("support") >= minSupport)
+      .join(na, Seq("a"))
+      .select(col("a"), col("b"), col("support"), col("n_a"),
+        floor(col("support") * lit(1000000L) / col("n_a")).cast("long")
+          .as("confidence_micros"))
+      .orderBy(col("a"), col("b"))
   }
 }

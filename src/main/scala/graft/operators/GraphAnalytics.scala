@@ -1907,9 +1907,15 @@ object GraphAnalytics {
     * oracle replays it as the arithmetic key `hash · 2²⁰ + id`,
     * order-identical for the gate's sub-2²⁰ numeric ids. A vertex
     * joins the MIS iff its priority beats every active neighbor's;
-    * winners and their neighbors then retire. Fixed `rounds` (Luby
-    * needs O(log n) w.h.p.; callers assert emptiness via the
-    * `n_active_left` spec contract).
+    * winners and their neighbors then retire. Rounds run UNTIL the
+    * active set is empty (every round retires at least the
+    * globally-minimum-priority active vertex, so termination is
+    * guaranteed in ≤n rounds and O(log n) w.h.p. — Luby 1986),
+    * bounded by `rounds` as a runaway backstop; the returned set is
+    * therefore maximal whenever the loop exits on emptiness, which
+    * the per-round 1-row count makes the normal exit. Extra rounds
+    * past convergence are no-ops in both engine and oracle, so a
+    * fixed-round unrolled CTE replays the converged result exactly.
     *
     * 100 TB shape per round: one narrow priority projection, one
     * edge-keyed join + per-vertex min fold for the neighborhood
@@ -1918,7 +1924,7 @@ object GraphAnalytics {
     *
     * @return (id, in_mis) over every vertex of the simple view.
     */
-  def maximalIndependentSet(edges: DataFrame, rounds: Int = 4): DataFrame = {
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = 32): DataFrame = {
     val canon = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -1930,7 +1936,12 @@ object GraphAnalytics {
       .localCheckpoint(true)
     var active = verts
     var mis = verts.limit(0)
-    for (r <- 1 to rounds) {
+    var r = 0
+    // active.isEmpty is a cheap limit-1 probe on the checkpointed,
+    // monotonically-shrinking active table — the convergence exit that
+    // makes the result maximal (not just `rounds`-round independent)
+    while (r < rounds && !active.isEmpty) {
+      r += 1
       val pri = active.select(col("id"),
           struct(
             Sampling.md5Bucket(concat(lit(s"$r:"), col("id").cast("string")))

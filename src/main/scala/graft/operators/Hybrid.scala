@@ -101,10 +101,16 @@ object Hybrid {
             .when(coalesce(col("na"), lit(0L)) >
               coalesce(col("nb"), lit(0L)), lit("B"))
             .otherwise(coin).as("team"))
-      val cands = runs.join(team, Seq("qid", "team"))
+      // Candidates from BOTH teams, ordered (preferred-team-first, rnk,
+      // id): when the preferred team's run is exhausted the other team's
+      // best remaining doc is picked (the paper's fall-through) instead
+      // of emitting nothing and starving the rest of the draft.
+      val cands = runs
         .join(selected.select("qid", "id"), Seq("qid", "id"), "left_anti")
+        .join(team.withColumnRenamed("team", "pref"), Seq("qid"))
       val pick = TopK.grouped(cands, Seq("qid"),
-          struct(col("rnk").as("r"), col("id").as("i"),
+          struct(when(col("team") === col("pref"), 0).otherwise(1).as("np"),
+            col("rnk").as("r"), col("id").as("i"),
             col("team").as("tm")), 1)
         .select(col("qid"), lit(t).as("pos"), col("best.i").as("id"),
           col("best.tm").as("team"))

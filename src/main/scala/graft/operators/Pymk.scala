@@ -95,6 +95,47 @@ object Pymk {
       .orderBy(desc("score"), asc("id"))
   }
 
+  /** [[recommend]] with the EXPLANATION a PYMK surface renders next to
+    * each suggestion — "you both know …": the first `nReasons` distinct
+    * mutual friends (the wedge middle vertices), ascending, as a
+    * comma-joined string. Same path-count score and exclusions as the
+    * flagship; the reasons side folds the DISTINCT (candidate, mutual)
+    * pairs through the bounded-heap grouped top-k ([[TopK]]'s
+    * CollectTopK bridge — O(nReasons) state per candidate, never a
+    * per-candidate window sort), so a hub candidate with 10⁵ mutuals
+    * costs the same as one with 3.
+    *
+    * @return (id, score, reasons) ranked score desc, id asc.
+    */
+  def recommendWithReasons(edges: DataFrame, anchorId: Column, limit: Int,
+                           nReasons: Int = 3): DataFrame = {
+    val adj = undirected(edges)
+    val friends = adj.filter(col("from") === anchorId)
+      .select(col("to").as("friend"))
+    val wedges = friends
+      .join(adj, friends("friend") === adj("from"))
+      .select(col("friend").as("mutual"), col("to").as("candidate"))
+    val friendSet = friends.select(col("friend").as("candidate")).distinct()
+    val cand = wedges
+      .filter(col("candidate") =!= anchorId)
+      .join(friendSet, Seq("candidate"), "left_anti")
+      .localCheckpoint(true) // feeds the score fold AND the reasons fold
+    val scored = cand.groupBy(col("candidate").as("id"))
+      .agg(count(lit(1)).as("score"))
+    val reasons = cand.select(col("candidate").as("id"), col("mutual"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.catalyst.expressions.aggregate
+        .GraftTopKBridge.topK(struct(col("mutual").as("m")), nReasons,
+          smallestFirst = true).as("_top"))
+      .select(col("id"), concat_ws(",",
+        transform(col("_top"), x => x.getField("m").cast("string")))
+        .as("reasons"))
+    scored.join(reasons, Seq("id"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(limit)
+  }
+
   /** All-pairs PYMK — recommendations for EVERY vertex in one pass: the
     * batch-serving shape at scale (precompute top-k for all users
     * nightly, serve point lookups), replacing per-anchor traversals

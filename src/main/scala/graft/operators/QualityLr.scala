@@ -139,7 +139,10 @@ object QualityLr {
     val n = base.count()
     var a = 1000000L
     var b = 0L
-    for (_ <- 1 to iters) {
+    // empty margin table → no gradient (sum() would be NULL and the
+    // division by n = 0 undefined): return the initial (A, B) with
+    // n = 0 visible, rather than throwing inside the fit loop
+    for (_ <- 1 to iters if n > 0) {
       val g = base
         .withColumn("z",
           round(col("m") * lit(a) / lit(1e6)).cast("long") + lit(b))

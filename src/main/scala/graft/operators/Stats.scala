@@ -75,6 +75,38 @@ object Stats {
           .as("trimmed_mean_micros"))
   }
 
+  /** Winsorized mean — [[trimmedMean]]'s clamping sibling (outliers
+    * are PULLED IN to the tail quantile values instead of dropped, so
+    * n stays constant — the robust-mean form a revenue metric wants
+    * when big orders are real but shouldn't dominate): with
+    * k = ⌊frac·n⌋, values are clamped into [v(k+1), v(n−k)] under the
+    * (value, tie) total order from the same exact distributed-rank
+    * primitive ([[Packing.globalRank]] — range partition +
+    * per-partition row_number, no global window), then one exact
+    * integer-micro fold and one floored division.
+    *
+    * @return one row (n, n_clamped_each, lo_micros, hi_micros,
+    *         wins_mean_micros).
+    */
+  def winsorizedMean(df: DataFrame, valueCol: String, tieCol: String,
+                     frac: Double): DataFrame = {
+    val (ranked, n) = Packing.globalRank(
+      df.select(floor(col(valueCol) * lit(1e6)).cast("long").as("v"),
+        col(tieCol).as("tie")), Seq("v", "tie"))
+    val k = math.floor(frac * n).toLong
+    val lo = ranked.filter(col("_grank") === k + 1)
+      .select(col("v").as("lo"))
+    val hi = ranked.filter(col("_grank") === n - k)
+      .select(col("v").as("hi"))
+    ranked.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .agg(min(col("lo")).as("lo_micros"), min(col("hi")).as("hi_micros"),
+        sum(greatest(col("lo"), least(col("hi"), col("v")))).as("s"))
+      .select(lit(n).as("n"), lit(k).as("n_clamped_each"),
+        col("lo_micros"), col("hi_micros"),
+        floor(col("s").cast("double") / lit(n.toDouble)).cast("long")
+          .as("wins_mean_micros"))
+  }
+
   /** Difference-in-differences estimator — the experimentation
     * readout for a rollout with no randomized holdout: with
     * treatment/control groups and a pre/post cutover,
@@ -142,6 +174,7 @@ object Stats {
       .groupBy("rep")
       .agg(floor(sum(col("m") * col("v")).cast("double") / sum(col("m")))
         .cast("long").as("mean_micros"))
+    // BOUNDED global window: b replicate rows (default 32), not data
     val w = Window.orderBy(col("mean_micros"), col("rep"))
     val ranked = perRep.withColumn("rn", row_number().over(w))
     val lo = math.max(1, math.ceil(0.025 * b).toInt)

@@ -507,6 +507,8 @@ object TextAnalysis {
             .cast("long").as("r"))
         .localCheckpoint(true)
     }
+    // BOUNDED global window: ranks only the topN survivors of the
+    // TakeOrderedAndProject below, never the vocabulary
     val w = Window.orderBy(desc("tr_micros"), asc("word"))
     r.select(col("word"), col("r").as("tr_micros"))
       .orderBy(desc("tr_micros"), asc("word")).limit(topN)
@@ -529,9 +531,13 @@ object TextAnalysis {
   def zipfFit(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
     val freq = docs.select(explode(tokenize(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
+    // topN FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    // bounded heaps, no full-vocab sort), THEN rank the ≤topN survivors —
+    // ranking the whole vocabulary in one global window would push 10⁸⁺
+    // rows through a single partition at corpus scale
+    val top = freq.orderBy(desc("f"), col("tok")).limit(topN)
     val w = Window.orderBy(desc("f"), col("tok"))
-    val ranked = freq.withColumn("r", row_number().over(w))
-      .filter(col("r") <= topN)
+    val ranked = top.withColumn("r", row_number().over(w))
       .select(round(lit(1e6) * log(col("r").cast("double"))).cast("long")
           .as("x"),
         round(lit(1e6) * log(col("f").cast("double"))).cast("long")

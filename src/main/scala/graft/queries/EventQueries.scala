@@ -291,6 +291,31 @@ object EventQueries {
       Events.stickiness(t(s, dir, "events"), "user_id", "ts")
     }),
 
+    // Sequential patterns (PrefixSpan/GSP length-2 core): a→b user
+    // support via the min-ts(a) < max-ts(b) reduction — journey
+    // ordering mined from two vocabulary-bounded folds, never a
+    // per-event self-join.
+    "qX_seq_pairs" -> ((s, dir) => {
+      Events.sequentialPairs(t(s, dir, "events"), "user_id", "ts",
+        "event_type", minSupport = 5L)
+    }),
+
+    // Gap-based batch sessionization (30-min idle gap): per-user
+    // lag-gap flag + running count, one fold per session — windows
+    // partitioned by user, never global.
+    "qX_sessionize" -> ((s, dir) => {
+      Events.sessionize(t(s, dir, "events"), "user_id", "ts",
+        "event_id", gapUs = 30L * 60L * 1000000L)
+    }),
+
+    // Winsorized mean of event value (5% each tail clamped to the
+    // tail quantile) — the robust revenue mean on the exact
+    // distributed-rank primitive.
+    "qX_winsorize" -> ((s, dir) => {
+      graft.operators.Stats.winsorizedMean(
+        t(s, dir, "events"), "value", "event_id", 0.05)
+    }),
+
     // Per-user behavioral entropy over event types — the diversity
     // feature a bot screen reads next to the Markov sequence score.
     "qX_user_entropy" -> ((s, dir) => {
@@ -517,7 +542,11 @@ object EventQueries {
          |       - max(CASE WHEN NOT t AND NOT p THEN s END) * 1.0
          |         / max(CASE WHEN NOT t AND NOT p THEN n END)))
          |    AS BIGINT) AS did_micros
-         |FROM g""".stripMargin,
+         |FROM g
+         |HAVING max(CASE WHEN t AND NOT p THEN n END) IS NOT NULL
+         |  AND max(CASE WHEN t AND p THEN n END) IS NOT NULL
+         |  AND max(CASE WHEN NOT t AND NOT p THEN n END) IS NOT NULL
+         |  AND max(CASE WHEN NOT t AND p THEN n END) IS NOT NULL""".stripMargin,
 
     "qX_welch" ->
       """WITH a AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS v
@@ -903,6 +932,58 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(min(ts_us) AS BIGINT) AS start_us,
+        |  CAST(max(ts_us) AS BIGINT) AS end_us,
+        |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "qX_winsorize" ->
+      """WITH v AS (SELECT CAST(floor("value" * 1e6) AS BIGINT) AS v,
+        |    event_id AS tie FROM events),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, tie) AS rn FROM v),
+        |p AS (SELECT count(*) AS n,
+        |    CAST(floor(0.05 * count(*)) AS BIGINT) AS k FROM v),
+        |lo AS (SELECT r.v AS lo FROM r, p WHERE r.rn = p.k + 1),
+        |hi AS (SELECT r.v AS hi FROM r, p WHERE r.rn = p.n - p.k)
+        |SELECT p.n, p.k AS n_clamped_each, lo.lo AS lo_micros,
+        |  hi.hi AS hi_micros,
+        |  CAST(floor(CAST(sum(greatest(lo.lo, least(hi.hi, v.v)))
+        |    AS DOUBLE) / p.n) AS BIGINT) AS wins_mean_micros
+        |FROM v CROSS JOIN p CROSS JOIN lo CROSS JOIN hi
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "qX_seq_pairs" ->
+      """WITH ut AS (SELECT user_id AS u, event_type AS t,
+        |    min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events GROUP BY 1, 2),
+        |sup AS (SELECT a.t AS a, b.t AS b, count(*) AS support
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t <> b.t
+        |    AND a.first_ts < b.last_ts
+        |  GROUP BY 1, 2),
+        |na AS (SELECT t AS a, count(*) AS n_a FROM ut GROUP BY 1)
+        |SELECT sup.a, sup.b, sup.support, na.n_a,
+        |  CAST(floor(sup.support * 1000000 / na.n_a) AS BIGINT)
+        |    AS confidence_micros
+        |FROM sup JOIN na USING (a)
+        |WHERE sup.support >= 5
+        |ORDER BY sup.a, sup.b""".stripMargin,
 
     "qX_ucb" ->
       """WITH g AS (SELECT CAST(floor("value") AS BIGINT) % 50 AS arm,

@@ -90,6 +90,14 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // D1 with explanations: the flagship plus the "you both know …"
+    // mutual-friend list a PYMK surface renders — top-3 distinct
+    // mutuals per candidate through the bounded-heap grouped top-k.
+    "qX_pymk_reasons" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      Pymk.recommendWithReasons(edges, lit(1L), 10)
+    }),
+
     // D1 at scale: all-pairs PYMK (top-3 per anchor) — the batch-serving
     // shape; one adjacency self-join + anti-join + windowed top-k.
     "qD1_pymk_all" -> ((s, dir) => {
@@ -1895,6 +1903,30 @@ object GraphQueries {
          |  SELECT dst AS f, src AS t FROM edges)
          |SELECT f AS id, count(*) AS degree FROM adj
          |GROUP BY f ORDER BY id""".stripMargin,
+    "qX_pymk_reasons" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION ALL
+         |  SELECT dst AS f, src AS t FROM edges),
+         |friends AS (SELECT t AS friend FROM adj WHERE f = 1),
+         |wedges AS (
+         |  SELECT fr.friend AS mutual, a.t AS candidate
+         |  FROM friends fr JOIN adj a ON a.f = fr.friend),
+         |cand AS (
+         |  SELECT mutual, candidate FROM wedges
+         |  WHERE candidate <> 1
+         |    AND candidate NOT IN (SELECT DISTINCT friend FROM friends)),
+         |scored AS (SELECT candidate AS id, count(*) AS score
+         |  FROM cand GROUP BY 1),
+         |dm AS (SELECT DISTINCT candidate AS id, mutual FROM cand),
+         |reasons AS (SELECT id, array_to_string(
+         |    list_slice(list(mutual ORDER BY mutual), 1, 3), ',')
+         |    AS reasons
+         |  FROM dm GROUP BY 1)
+         |SELECT s.id, s.score, r.reasons
+         |FROM scored s JOIN reasons r USING (id)
+         |ORDER BY s.score DESC, s.id ASC LIMIT 10""".stripMargin,
     "qD1_pymk_all" ->
       s"""WITH edges AS ($EdgesSql),
          |adj AS (

@@ -1152,11 +1152,12 @@ object SimilarityQueries {
          |      sum(CASE WHEN team = 'B' THEN 1 ELSE 0 END) AS nb
          |    FROM s${t - 1} GROUP BY 1) c USING (qid)),
          |p$t AS (SELECT r.qid, $t AS pos, r.id, r.team FROM runs r
-         |  JOIN t$t USING (qid, team)
+         |  JOIN t$t tt ON tt.qid = r.qid
          |  WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} s
          |    WHERE s.qid = r.qid AND s.id = r.id)
          |  QUALIFY row_number() OVER (PARTITION BY r.qid
-         |    ORDER BY r.rnk, r.id) = 1),
+         |    ORDER BY CASE WHEN r.team = tt.team THEN 0 ELSE 1 END,
+         |      r.rnk, r.id) = 1),
          |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
     }
     ((head +: steps).mkString(",\n")) +

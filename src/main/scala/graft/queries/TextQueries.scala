@@ -1140,6 +1140,26 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Df-capped containment recall: plant a quote corpus (first 11
+    // tokens of every ≥12-token doc, +100000 ids) — each quote's
+    // bigrams sit wholly inside its source doc (containment 1.0) and
+    // the banded path must recover every planted pair (the
+    // qX_fuzzy_join_recall construction for the asymmetric signal).
+    "qX_dedup_containment_recall" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val toks = tokenize(col("text"))
+      val planted = docs.filter(size(toks) >= 12)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(toks, 1, 11)).as("text"))
+      val pairs = Dedup.containmentPairsBanded(
+        docs.unionByName(planted), "text", "doc_id",
+        n = 2, minContainment = 0.99, maxDf = 64)
+      docs.filter(size(toks) >= 12).agg(count(lit(1)).as("n_planted"))
+        .crossJoin(pairs.filter(col("id2") === col("id1") + 100000)
+          .agg(count(lit(1)).as("n_recovered")))
+    }),
+
     // Sequence packing: (bin, offset) slots in 512-token context
     // windows via the distributed prefix-scan (the scale form; its
     // equality with the global-window spec is pinned in ScaleOpsSpec).
@@ -2539,6 +2559,11 @@ object TextQueries {
     "qX_fuzzy_join_recall" ->
       """SELECT count(*) AS n_planted, count(*) AS n_recovered
         |FROM documents WHERE doc_id < 1000""".stripMargin,
+    "qX_dedup_containment_recall" ->
+      """SELECT count(*) AS n_planted, count(*) AS n_recovered
+        |FROM documents WHERE doc_id < 1000
+        |  AND len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) >= 12""".stripMargin,
     "qX_pack" ->
       """WITH t AS (
         |  SELECT doc_id, len(list_filter(string_split_regex(lower(text),

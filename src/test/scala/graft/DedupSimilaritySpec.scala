@@ -236,6 +236,29 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .head().getDouble(2) == 0.4)
   }
 
+  test("containmentPairsBanded ⊆ exact with identical scores; df cap prunes stopword-only pairs") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 300)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = asSet(Dedup.containmentPairs(docs, "text", "doc_id", 2, 0.1))
+    // generous cap: banded must reproduce the exact result here
+    val banded = asSet(Dedup.containmentPairsBanded(
+      docs, "text", "doc_id", 2, 0.1, maxDf = 1000))
+    assert(banded == exact, s"banded ${banded.size} vs exact ${exact.size}")
+    // tight cap: still a subset, with the SAME score per surviving pair
+    val capped = asSet(Dedup.containmentPairsBanded(
+      docs, "text", "doc_id", 2, 0.1, maxDf = 4))
+    assert(capped.subsetOf(exact), "df-capped pairs must verify exactly")
+    // a pair whose only shared shingle is hot (df > cap) must be pruned
+    val hot = Seq((1L, "the of the of x1 y1"), (2L, "the of z2 w2"),
+      (3L, "the of q3 r3")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairsBanded(hot, "text", "doc_id", 2, 0.1,
+      maxDf = 2).isEmpty)
+    assert(Dedup.containmentPairs(hot, "text", "doc_id", 2, 0.1)
+      .count() > 0)
+  }
+
   test("truncationRecall: truncation flips the winner at k=1, agrees at k=2") {
     // q=[0,1,1,1]: full winner is 2 (cos ⅔ vs 0.577); first-2-dims
     // winner is 1 (cos 1 vs 0) — the ablation the metric must expose

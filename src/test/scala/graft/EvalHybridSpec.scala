@@ -344,6 +344,25 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._1).toSeq == (1 to 6).toSeq)
   }
 
+  test("teamDraft: exhausted team falls through to the other run") {
+    import spark.implicits._
+    // team A has ONE doc; once taken, every later preferred-A step must
+    // fall through to B's best remaining doc instead of emitting nothing
+    val runA = Seq((1L, "a1", 40L)).toDF("qid", "id", "score")
+    val runB = Seq((1L, "b1", 40L), (1L, "b2", 30L), (1L, "b3", 20L),
+      (1L, "b4", 10L)).toDF("qid", "id", "score")
+    val got = graft.operators.Hybrid.teamDraft(runA, runB, 5)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    // all 5 distinct docs drafted, positions 1..5, no starvation
+    assert(got.map(_._1).toSeq == (1 to 5).toSeq, got.mkString(","))
+    assert(got.map(_._2).toSet == Set("a1", "b1", "b2", "b3", "b4"))
+    // a1 keeps team A credit; B picks stay in B's run order
+    assert(got.filter(_._2 == "a1").head._3 == "A")
+    val bPicks = got.filter(_._3 == "B").map(_._2).toSeq
+    assert(bPicks == Seq("b1", "b2", "b3", "b4").filter(bPicks.contains(_)))
+  }
+
   test("textRank: the hub word outranks equally-frequent spokes") {
     import spark.implicits._
     // "core" co-occurs with every spoke; spokes only see "core" and

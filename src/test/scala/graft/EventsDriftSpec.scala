@@ -945,4 +945,63 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(4) == math.floor(1e6 * (1.0 - 10.0 / 15.0)).toLong)
     assert(r.getLong(5) == 666666L)
   }
+
+  test("sequentialPairs: strict before, both directions, support + confidence") {
+    // u1: A@1 B@2 A@3 — supports A→B (A@1 < B@2) AND B→A (B@2 < A@3);
+    // u2: A@1 B@1 simultaneous — supports NEITHER (strict <);
+    // u3: B@1 A@2 — supports B→A only; u4: A only — no pairs.
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "A"),
+      (1L, ts("2024-01-01 00:00:02"), "B"),
+      (1L, ts("2024-01-01 00:00:03"), "A"),
+      (2L, ts("2024-01-01 00:00:01"), "A"),
+      (2L, ts("2024-01-01 00:00:01"), "B"),
+      (3L, ts("2024-01-01 00:00:01"), "B"),
+      (3L, ts("2024-01-01 00:00:02"), "A"),
+      (4L, ts("2024-01-01 00:00:01"), "A")).toDF("u", "ts", "t")
+    val got = Events.sequentialPairs(e, "u", "ts", "t", minSupport = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // n_A = 4 users with A, n_B = 3 with B
+    assert(got == Map(
+      ("A", "B") -> ((1L, 4L, 250000L)),
+      ("B", "A") -> ((2L, 3L, 666666L))))
+    // support floor: minSupport 2 keeps only B→A
+    assert(Events.sequentialPairs(e, "u", "ts", "t", minSupport = 2L)
+      .collect().map(_.getString(0)).toSeq == Seq("B"))
+  }
+
+  test("sessionize: gap splits, boundary gap does NOT split, per-user indices") {
+    // u1: events at 0s, 10s, +31min (split), +31min+5s;
+    // u2: one event; gap exactly == threshold must NOT split
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:00:10"), 2L),
+      (1L, ts("2024-01-01 00:31:10"), 3L),
+      (1L, ts("2024-01-01 00:31:15"), 4L),
+      (2L, ts("2024-01-01 00:00:00"), 5L),
+      (2L, ts("2024-01-01 00:30:00"), 6L)).toDF("u", "ts", "eid")
+    val got = Events.sessionize(e, "u", "ts", "eid",
+        gapUs = 30L * 60L * 1000000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(5)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((2L, 10000000L)),   // 0s..10s
+      (1L, 2L) -> ((2L, 5000000L)),    // 31:10..31:15
+      (2L, 1L) -> ((2L, 1800000000L)))) // exactly-30min gap: one session
+  }
+
+  test("winsorizedMean: tails clamp to the tail quantiles, n unchanged") {
+    // values 1..9 plus the outlier 100; frac 0.1 → k=1, clamp into
+    // [2, 9]: sum = 2 + (2+…+9) + 9 = 55 → mean 5.5, vs the plain
+    // mean 14.5 the outlier drags
+    val df = ((1 to 9) :+ 100).zipWithIndex
+      .map { case (v, i) => (v.toDouble, i.toLong) }.toDF("v", "id")
+    val r = graft.operators.Stats.winsorizedMean(df, "v", "id", 0.1).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((10L, 1L, 2000000L, 9000000L, 5500000L)))
+    // frac 0 degenerates to the plain (outlier-dragged) mean
+    val r0 = graft.operators.Stats.winsorizedMean(df, "v", "id", 0.0).head()
+    assert(r0.getLong(4) == 14500000L && r0.getLong(1) == 0L)
+  }
 }

@@ -386,6 +386,11 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(w1.count() > 0 && names.nonEmpty)
     assert(engine.node2vec(1, 2) eq w1) // memo hit is the same frame
+    // scale guard: the facade renumbers via globalRank (range-partition
+    // + local row_number), never a whole-vertex-set global window — the
+    // post-checkpoint plan must carry no WindowExec at all
+    assert(!w1.queryExecution.executedPlan.toString().contains("Window"),
+      "node2vec facade must not rank vertices through a global window")
   }
 
   test("pq facade: index + ADC search recovers identical twins") {

@@ -51,4 +51,19 @@ class PymkPropertySpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows == Seq((4L, 2L), (5L, 1L)))
   }
+
+  test("recommendWithReasons: same scores as the flagship, mutuals ascending, capped") {
+    // anchor 1 knows 2,3,5,6,7; candidate 4 reachable via ALL five
+    // mutuals — the reasons string keeps only the 3 smallest
+    val df = Seq((1L, 2L), (1L, 3L), (1L, 5L), (1L, 6L), (1L, 7L),
+      (2L, 4L), (3L, 4L), (5L, 4L), (6L, 4L), (7L, 4L), (2L, 8L))
+      .toDF("src", "dst")
+    val got = Pymk.recommendWithReasons(df, lit(1L), 10, nReasons = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val scores = Pymk.recommend(df, lit(1L), 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(x => x._1 -> x._2).toMap == scores)
+    assert(got.find(_._1 == 4L).get._3 == "2,3,5")
+    assert(got.find(_._1 == 8L).get._3 == "2")
+  }
 }
