@@ -423,6 +423,13 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.GraphAnalytics.connectedComponents(vertices,
       edges.withColumn("weight", coalesce(col("weight"), lit(1.0))))
 
+  /** Modularity-greedy communities — one-level synchronous Louvain
+    * ([[graft.operators.GraphAnalytics.louvainSync]]); the
+    * quality-driven alternative to the frequency-driven LPA labels
+    * [[communityQuality]] defaults to. */
+  def communitiesLouvain(rounds: Int = 2): DataFrame =
+    graft.operators.GraphAnalytics.louvainSync(edges, rounds)
+
   /** Per-person triangle count — the clustering/cohesion signal
     * (degree-oriented DataFrame plan; string ids ride the GraphX
     * mapping). */
@@ -1222,6 +1229,30 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * ([[graft.operators.Stats.welchT]]) — the A/B readout. */
   def abTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
     graft.operators.Stats.welchT(a, b, valueCol)
+
+  /** CUPED variance reduction for an experiment metric given a
+    * pre-period covariate ([[graft.operators.Stats.cuped]]) — θ, ρ²
+    * and the adjusted-variance readout. */
+  def varianceReduction(df: DataFrame, preCol: String,
+                        metricCol: String): DataFrame =
+    graft.operators.Stats.cuped(df, preCol, metricCol)
+
+  /** Rank-monotone association between two metrics
+    * ([[graft.operators.Eval.spearman]]). */
+  def rankCorrelation(df: DataFrame, xCol: String, yCol: String,
+                      tieCol: String): DataFrame =
+    graft.operators.Eval.spearman(df, xCol, yCol, tieCol)
+
+  /** Coreness (k-shell) of every vertex of the knows graph
+    * ([[graft.operators.GraphAnalytics.corenessHIndex]]). */
+  def coreness(rounds: Int = 4): DataFrame =
+    graft.operators.GraphAnalytics.corenessHIndex(edges, rounds)
+
+  /** Distinct-count estimate per key in one sketch pass
+    * ([[graft.operators.Sketches.portableHllDistinctBy]]). */
+  def distinctBy(df: DataFrame, keyCol: String,
+                 valueCol: String): DataFrame =
+    graft.operators.Sketches.portableHllDistinctBy(df, keyCol, valueCol)
 
   /** Poisson-bootstrap CI of a mean
     * ([[graft.operators.Stats.bootstrapCI]]) — uncertainty in one

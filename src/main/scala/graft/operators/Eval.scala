@@ -651,4 +651,38 @@ object Eval {
       ratio(lit(2L) * col("tp"),
         lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_micros"))
   }
+
+  /** Spearman rank correlation — "do the two metrics ORDER the
+    * population the same way" (the monotone companion to Pearson and
+    * to [[kendallTau]]'s pairwise form): both columns rank under a
+    * (value, tie) TOTAL order via [[Packing.globalRank]] (range
+    * partition + per-partition row_number — no single-partition
+    * window over the population), then ρ = 1 − 6·Σd²/(n³−n) with the
+    * Σd² fold exact BIGINT and one final floored IEEE division.
+    *
+    * Ties break by `tieCol`, NOT by average ranks (fractional average
+    * ranks would reintroduce float folds); with many ties prefer
+    * [[kendallTau]], whose pairwise counts are tie-exact.
+    *
+    * @return one row (n, sum_d2, rho_micros); ρ = 0 when n < 2.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+               tieCol: String): DataFrame = {
+    val base = df.select(col(xCol).as("x"), col(yCol).as("y"),
+      col(tieCol).as("tie")).localCheckpoint(true) // ranked twice
+    val (rx, n) = Packing.globalRank(
+      base.select(col("x"), col("tie")), Seq("x", "tie"))
+    val (ry, _) = Packing.globalRank(
+      base.select(col("y"), col("tie")), Seq("y", "tie"))
+    val d = rx.select(col("tie"), col("_grank").as("rx"))
+      .join(ry.select(col("tie"), col("_grank").as("ry")), "tie")
+      .agg(coalesce(sum((col("rx") - col("ry")) * (col("rx") - col("ry"))),
+        lit(0L)).as("sum_d2"))
+    val denom = n.toDouble * n.toDouble * n.toDouble - n.toDouble
+    d.select(lit(n).as("n"), col("sum_d2"),
+      (if (n < 2) lit(0L)
+       else floor(lit(1e6) * (lit(1.0)
+         - lit(6.0) * col("sum_d2").cast("double") / lit(denom)))
+         .cast("long")).as("rho_micros"))
+  }
 }

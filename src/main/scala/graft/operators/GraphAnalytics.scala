@@ -747,6 +747,117 @@ object GraphAnalytics {
     labels
   }
 
+  /** One-level synchronous Louvain local moving (Blondel et al. 2008,
+    * the first sweep) — the MODULARITY-greedy community detector
+    * beside [[labelPropagationDF]]'s frequency-greedy one: from
+    * singleton communities, each round EVERY vertex evaluates moving
+    * into each neighbor's community and takes the best strictly
+    * positive modularity gain. Gains compare as EXACT cross-multiplied
+    * integers — ΔQ·2m² ∝ [2m·k_{i,in}(c) − k_i·tot_c] −
+    * [2m·k_{i,in}(own) − k_i·(tot_own − k_i)] — so no float fold ever
+    * orders a move (ties → smaller community label), and the fixed
+    * `rounds` computation unrolls as chained CTEs in the DuckDB
+    * oracle. Synchronous moving can oscillate (like synchronous LPA);
+    * the fixed budget is the determinism and termination story.
+    * Labels canonicalize to the community's min member id.
+    *
+    * Scale shape per round: one adjacency join against the B-row
+    * community table, one (vertex, community) count fold (map-side
+    * partial), one community-degree fold, one bounded-heap argmax per
+    * vertex — every stage keyed, the [[labelPropagationDF]] cadence.
+    * The 1-row 2m scalar is a driver long (codebook convention).
+    *
+    * @return (id, community) — canonical min-member label, ordered.
+    */
+  def louvainSync(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("from"), col("v").as("to"))
+      .unionAll(canon.select(col("v").as("from"), col("u").as("to")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("from").as("id"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val m2 = adj.count() // 2m: each undirected edge counted twice
+    var com = deg.select(col("id"), col("id").as("c0"))
+    for (_ <- 1 to rounds) {
+      val tot = com.join(deg, "id").groupBy(col("c0").as("c"))
+        .agg(sum(col("k")).as("tot"))
+        .localCheckpoint(true) // read for candidates AND the own term
+      // k_{i,in}(c): edges from each vertex into each NEIGHBOR community
+      val kiin = adj
+        .join(com.select(col("id").as("to"), col("c0").as("c")), "to")
+        .groupBy(col("from").as("id"), col("c"))
+        .agg(count(lit(1)).as("kin"))
+        .localCheckpoint(true) // own term + move candidates
+      val base = com.join(deg, "id")
+        .join(tot.select(col("c").as("c0"), col("tot").as("tot_own")), "c0")
+        .join(kiin.select(col("id"), col("c").as("c0"),
+          col("kin").as("kin_own")), Seq("id", "c0"), "left")
+        .select(col("id"), col("c0"), col("k"),
+          (lit(m2) * coalesce(col("kin_own"), lit(0L))
+            - col("k") * (col("tot_own") - col("k"))).as("own_term"))
+      val moves = kiin.join(base, "id")
+        .filter(col("c") =!= col("c0"))
+        .join(tot, "c")
+        .select(col("id"),
+          struct((-(lit(m2) * col("kin") - col("k") * col("tot")
+            - col("own_term"))).as("nd"), col("c").as("tc")).as("mv"))
+        .filter(-col("mv.nd") > 0)
+      val best = TopK.grouped(moves, Seq("id"), col("mv"), 1)
+        .select(col("id"), col("best.tc").as("c_new"))
+      com = com.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("c_new"), col("c0")).as("c0"))
+        .localCheckpoint(true)
+    }
+    val canonLbl = com.groupBy(col("c0"))
+      .agg(min(col("id")).as("community"))
+    com.join(canonLbl, "c0")
+      .select(col("id"), col("community"))
+      .orderBy(col("id"))
+  }
+
+  /** Coreness (k-shell number) of every vertex by ITERATED H-INDEX
+    * (Lü et al. 2016: h⁰ = degree; hᵏ⁺¹(v) = H over the neighbors'
+    * hᵏ — the largest h with ≥h neighbors at ≥h; the fixpoint IS the
+    * coreness) — the full decomposition [[kCore]]'s single-k peel
+    * only thresholds: ranking spreaders, onion layers, graph
+    * visualization shells. The H operator evaluates as
+    * `max over neighbor rank r of min(r, value_r)` with values
+    * ranked desc within each vertex — a DEGREE-BOUNDED per-vertex
+    * window (partitioned by vertex, never global), all integer.
+    * Fixed `rounds` (h-index iteration converges in a few rounds on
+    * short-diameter graphs; monotone non-increasing toward the
+    * coreness from above), unrolled in the qX_coreness oracle.
+    *
+    * @return (id, coreness) over the simple undirected view, ordered.
+    */
+  def corenessHIndex(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("f"), col("v").as("t"))
+      .unionAll(canon.select(col("v").as("f"), col("u").as("t")))
+      .localCheckpoint(true)
+    var h = adj.groupBy(col("f").as("id"))
+      .agg(count(lit(1)).as("h"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbr = adj.join(h.select(col("id").as("t"), col("h").as("hv")), "t")
+      // BOUNDED per-vertex window: one vertex's neighbor list
+      val w = Window.partitionBy(col("f"))
+        .orderBy(desc("hv"), col("t"))
+      h = nbr.withColumn("r", row_number().over(w))
+        .groupBy(col("f").as("id"))
+        .agg(max(least(col("r"), col("hv"))).as("h"))
+        .localCheckpoint(true)
+    }
+    h.select(col("id"), col("h").as("coreness")).orderBy(col("id"))
+  }
+
   /** k-core of the simple undirected graph — the densest-region
     * extraction used for community cores and spam-farm detection:
     * iteratively peel every vertex whose degree WITHIN the remaining

@@ -86,6 +86,30 @@ object Sampling {
     hashSplit(joined, "cluster", splits)
   }
 
+  /** Purged temporal split (the time-series cousin of
+    * [[leakageSafeSplit]]; López de Prado 2018's purged CV boundary):
+    * train = strictly before `cutover − embargo`, test = at/after
+    * `cutover`, and the embargo band in between is DROPPED — rows
+    * whose features/labels straddle the boundary (trailing windows,
+    * delayed labels) would otherwise leak future information into
+    * train. One narrow projection + filter; `split` is NULL-free by
+    * construction so a downstream groupBy can't silently keep band
+    * rows.
+    *
+    * @param cutoverUs epoch-micros test boundary.
+    * @param embargoUs width of the dropped band before the boundary.
+    * @return input columns + `split` ('train' | 'test'); band rows
+    *         absent.
+    */
+  def purgedTimeSplit(df: DataFrame, tsCol: String, cutoverUs: Long,
+                      embargoUs: Long): DataFrame = {
+    val ts = unix_micros(col(tsCol))
+    df.withColumn("split",
+        when(ts < lit(cutoverUs - embargoUs), lit("train"))
+          .when(ts >= lit(cutoverUs), lit("test")))
+      .filter(col("split").isNotNull)
+  }
+
   /** Deterministic `fraction` sample: keep rows whose hash bucket falls
     * below the fraction boundary. Subset-monotone: the 10% sample is a
     * subset of the 20% sample of the same data — the property that lets

@@ -115,6 +115,38 @@ object Sketches {
         .otherwise(round(raw).cast("long")).as("est"))
   }
 
+  /** Per-KEY [[portableHllDistinct]] — distinct users per domain /
+    * per event type / per tenant in ONE pass: the same md5-portable
+    * 16-register sketch, grouped. Register state is 16 rows per key
+    * (mergeable integer max — partial aggregation collapses the fan-in
+    * map-side), the dyadic harmonic fold stays order-free-exact, so
+    * every per-key ESTIMATE is a full-oracle value, not a tolerance
+    * check.
+    *
+    * @return (keyCol, n_rows, est) ordered by key.
+    */
+  def portableHllDistinctBy(df: DataFrame, keyCol: String,
+                            valueCol: String): DataFrame = {
+    val h = graft.operators.Sampling.md5Bucket(col(valueCol))
+    val w = floor(h / lit(16)).cast("long")
+    val rho = when(w === 0, lit(29L))
+      .otherwise(round(log2(w.bitwiseAND(-w))).cast("long") + 1)
+    val regs = df.select(col(keyCol).as("key"), (h % 16).as("j"),
+        rho.as("rho"), lit(1L).as("one"))
+      .groupBy("key", "j")
+      .agg(max(col("rho")).as("rho"), sum(col("one")).as("n"))
+    val folded = regs.groupBy("key").agg(
+      (sum(pow(lit(2.0), -col("rho"))) + (lit(16) - count(lit(1)))).as("s"),
+      (lit(16) - count(lit(1))).as("v0"),
+      sum(col("n")).as("n_rows"))
+    val raw = lit(0.673) * lit(256.0) / col("s")
+    folded.select(col("key").as(keyCol), col("n_rows"),
+        when(raw <= lit(40.0) && col("v0") > 0,
+          round(lit(16.0) * log(lit(16.0) / col("v0"))).cast("long"))
+          .otherwise(round(raw).cast("long")).as("est"))
+      .orderBy(col(keyCol))
+  }
+
   def distinctContract(df: DataFrame, groupCols: Seq[String],
                        bucketCol: Column, valueCol: String,
                        tol: Double = 0.05, lgK: Int = 12): DataFrame = {

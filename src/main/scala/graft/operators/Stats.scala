@@ -75,6 +75,49 @@ object Stats {
           .as("trimmed_mean_micros"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013) — the A/B-test
+    * sensitivity booster beside [[diffInDiff]]: with a pre-period
+    * covariate x and the experiment metric y per unit,
+    * θ = Cov(x,y)/Var(x) and ŷ = y − θ(x − x̄) shrinks the metric's
+    * variance by the factor ρ² (the squared correlation) without
+    * moving its mean. All five sufficient statistics are exact
+    * BIGINT folds of MILLI-quantized inputs (micros² would overflow
+    * the n·Σxy cross products — the [[welchT]] convention); θ and ρ²
+    * come out as fixed IEEE expressions over the cross-multiplied
+    * integers (n·Σxy − ΣxΣy over n·Σx² − (Σx)²).
+    *
+    * @return one row (n, theta_micros, rho2_micros, var_y_milli2,
+    *         var_adj_milli2) — var columns are n²·Var (exact
+    *         integers and their float-free adjusted counterpart).
+    */
+  def cuped(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(
+      floor(col(xCol) * lit(1000)).cast("long").as("x"),
+      floor(col(yCol) * lit(1000)).cast("long").as("y"))
+    val s = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n"),
+      when(denx === 0, lit(0L))
+        .otherwise(floor(lit(1e6) * num.cast("double") / denx.cast("double"))
+          .cast("long")).as("theta_micros"),
+      when(denx === 0 || deny === 0, lit(0L))
+        .otherwise(floor(lit(1e6) * num.cast("double") * num.cast("double")
+          / (denx.cast("double") * deny.cast("double"))).cast("long"))
+        .as("rho2_micros"),
+      deny.as("var_y_milli2"),
+      when(denx === 0 || deny === 0, deny)
+        .otherwise(floor(deny.cast("double") * (lit(1.0)
+          - num.cast("double") * num.cast("double")
+            / (denx.cast("double") * deny.cast("double"))))
+          .cast("long")).as("var_adj_milli2"))
+  }
+
   /** Winsorized mean — [[trimmedMean]]'s clamping sibling (outliers
     * are PULLED IN to the tail quantile values instead of dropped, so
     * n stays constant — the robust-mean form a revenue metric wants

@@ -316,6 +316,48 @@ object EventQueries {
         t(s, dir, "events"), "value", "event_id", 0.05)
     }),
 
+    // Spearman ρ between per-user activity (event count) and spend
+    // (value sum) — "do heavy users spend more", rank-monotone, both
+    // rankings on the exact distributed-rank primitive.
+    "qX_spearman" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nx"),
+          sum(floor(col("value") * lit(1e6)).cast("long")).as("vy"))
+      graft.operators.Eval.spearman(per, "nx", "vy", "user_id")
+    }),
+
+    // CUPED variance reduction: per-user pre-period activity as the
+    // covariate for the post-period metric — θ and ρ² from exact
+    // cross-multiplied integer folds.
+    "qX_cuped" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < lit(SplitTs).cast("timestamp"), 1L)
+          .otherwise(0L)).cast("double").as("x"),
+          sum(when(col("ts") >= lit(SplitTs).cast("timestamp"), 1L)
+            .otherwise(0L)).cast("double").as("y"))
+      graft.operators.Stats.cuped(per, "x", "y")
+    }),
+
+    // Per-key portable HLL: distinct users per event type in one
+    // 16-register pass — every per-key ESTIMATE full-oracle.
+    "qX_hll_grouped" -> ((s, dir) => {
+      graft.operators.Sketches.portableHllDistinctBy(
+        t(s, dir, "events"), "event_type", "user_id")
+    }),
+
+    // Purged temporal split: train strictly before cutover − 2-day
+    // embargo, test at/after cutover, the straddling band dropped —
+    // the leakage-safe time split for trailing-window features.
+    "qX_purged_split" -> ((s, dir) => {
+      graft.operators.Sampling.purgedTimeSplit(
+          t(s, dir, "events"), "ts",
+          cutoverUs = 1705363200000000L, // 2024-01-16 00:00:00 UTC
+          embargoUs = 2L * 86400L * 1000000L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
     // Per-user behavioral entropy over event types — the diversity
     // feature a bot screen reads next to the Markov sequence score.
     "qX_user_entropy" -> ((s, dir) => {
@@ -968,6 +1010,94 @@ object EventQueries {
         |    AS DOUBLE) / p.n) AS BIGINT) AS wins_mean_micros
         |FROM v CROSS JOIN p CROSS JOIN lo CROSS JOIN hi
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "qX_cuped" ->
+      s"""WITH per AS (SELECT user_id,
+         |    sum(CASE WHEN ts < TIMESTAMP '$SplitTs' THEN 1 ELSE 0 END)
+         |      * 1000 AS x,
+         |    sum(CASE WHEN ts >= TIMESTAMP '$SplitTs' THEN 1 ELSE 0 END)
+         |      * 1000 AS y
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM per)
+         |SELECT n,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN 0
+         |    ELSE CAST(floor(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+         |  END AS theta_micros,
+         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+         |    ELSE CAST(floor(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+         |      * CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+         |         * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         |  END AS rho2_micros,
+         |  CAST(n * syy - sy * sy AS BIGINT) AS var_y_milli2,
+         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+         |    THEN CAST(n * syy - sy * sy AS BIGINT)
+         |    ELSE CAST(floor(CAST(n * syy - sy * sy AS DOUBLE) * (1.0
+         |      - CAST(n * sxy - sx * sy AS DOUBLE)
+         |        * CAST(n * sxy - sx * sy AS DOUBLE)
+         |        / (CAST(n * sxx - sx * sx AS DOUBLE)
+         |           * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+         |  END AS var_adj_milli2
+         |FROM s""".stripMargin,
+
+    "qX_hll_grouped" ->
+      """WITH hh AS (
+        |  SELECT event_type AS key,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |ww AS (SELECT key, hv % 16 AS j,
+        |    CAST(floor(hv / 16) AS BIGINT) AS w
+        |  FROM hh),
+        |rr AS (SELECT key, j,
+        |  CASE WHEN w = 0 THEN 29
+        |       ELSE CAST(round(log2(w & (-w))) AS BIGINT) + 1 END AS rho
+        |  FROM ww),
+        |regs AS (SELECT key, j, max(rho) AS rho, count(*) AS n FROM rr
+        |  GROUP BY 1, 2),
+        |f AS (SELECT key, sum(pow(2.0, -rho)) + (16 - count(*)) AS s,
+        |  16 - count(*) AS v0, CAST(sum(n) AS BIGINT) AS n_rows FROM regs
+        |  GROUP BY 1)
+        |SELECT key AS event_type, n_rows,
+        |  CASE WHEN 0.673 * 256.0 / s <= 40.0 AND v0 > 0
+        |    THEN CAST(round(16.0 * ln(16.0 / v0)) AS BIGINT)
+        |    ELSE CAST(round(0.673 * 256.0 / s) AS BIGINT) END AS est
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "qX_spearman" ->
+      """WITH per AS (SELECT user_id, count(*) AS nx,
+        |    CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS vy
+        |  FROM events GROUP BY 1),
+        |rx AS (SELECT user_id,
+        |    row_number() OVER (ORDER BY nx, user_id) AS rx FROM per),
+        |ry AS (SELECT user_id,
+        |    row_number() OVER (ORDER BY vy, user_id) AS ry FROM per),
+        |nn AS (SELECT count(*) AS n FROM per),
+        |sd AS (SELECT CAST(sum((rx.rx - ry.ry) * (rx.rx - ry.ry))
+        |      AS BIGINT) AS sum_d2
+        |  FROM rx JOIN ry USING (user_id))
+        |SELECT nn.n, sd.sum_d2,
+        |  CAST(floor(1e6 * (1.0 - 6.0 * sd.sum_d2 /
+        |    (CAST(nn.n AS DOUBLE) * nn.n * nn.n - nn.n))) AS BIGINT)
+        |    AS rho_micros
+        |FROM sd CROSS JOIN nn""".stripMargin,
+
+    "qX_purged_split" ->
+      """WITH s AS (SELECT event_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-14 00:00:00' THEN 'train'
+        |         WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 'test'
+        |    END AS split
+        |  FROM events)
+        |SELECT split, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM s WHERE split IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "qX_seq_pairs" ->
       """WITH ut AS (SELECT user_id AS u, event_type AS t,

@@ -392,6 +392,22 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // One-level synchronous Louvain (Blondel 2008 first sweep):
+    // modularity-greedy local moves from singletons, gains compared
+    // as exact cross-multiplied integers, 2 fixed rounds.
+    "qX_louvain" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.louvainSync(edges, rounds = 2)
+    }),
+
+    // Coreness (k-shell) by iterated h-index — the full shell
+    // decomposition beside qX_kcore's single-k peel; degree-bounded
+    // per-vertex windows, 4 unrolled rounds.
+    "qX_coreness" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.corenessHIndex(edges, rounds = 4)
+    }),
+
     // Newman modularity — integer-micro per-community terms, one
     // keyed-fold pipeline (see operator doc). Two assignments gate the
     // arithmetic: the LPA labels (the dense hub graph collapses to ONE
@@ -866,6 +882,77 @@ object GraphQueries {
 
   private def lpaSql(rounds: Int): String =
     lpaCte(rounds) + s"\nSELECT id, lbl FROM l$rounds ORDER BY id"
+
+  /** Unrolled one-level synchronous Louvain oracle: per round the
+    * community-degree fold, the neighbor-community kin fold, the
+    * exact cross-multiplied gain comparison and the (gain desc,
+    * community asc) argmax — the exact replay of
+    * [[graft.operators.GraphAnalytics.louvainSync]]. */
+  private def louvainSql(rounds: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |canon AS (SELECT DISTINCT least(src, dst) AS u,
+         |    greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |adj AS (SELECT u AS f, v AS t FROM canon
+         |  UNION ALL SELECT v AS f, u AS t FROM canon),
+         |deg AS (SELECT f AS id, count(*) AS k FROM adj GROUP BY 1),
+         |mm AS (SELECT count(*) AS m2 FROM adj),
+         |c0 AS (SELECT id, id AS c FROM deg)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      val p = s"c${r - 1}"
+      s"""t$r AS (SELECT $p.c, CAST(sum(deg.k) AS BIGINT) AS tot
+         |  FROM $p JOIN deg USING (id) GROUP BY 1),
+         |ki$r AS (SELECT adj.f AS id, $p.c, count(*) AS kin
+         |  FROM adj JOIN $p ON $p.id = adj.t GROUP BY 1, 2),
+         |b$r AS (SELECT $p.id, $p.c AS own, deg.k,
+         |    mm.m2 * coalesce(ko.kin, 0)
+         |      - deg.k * (town.tot - deg.k) AS own_term
+         |  FROM $p JOIN deg USING (id) CROSS JOIN mm
+         |  JOIN t$r town ON town.c = $p.c
+         |  LEFT JOIN ki$r ko ON ko.id = $p.id AND ko.c = $p.c),
+         |mv$r AS (SELECT b.id, ki.c,
+         |    mm.m2 * ki.kin - b.k * t.tot - b.own_term AS delta
+         |  FROM ki$r ki JOIN b$r b ON b.id = ki.id AND ki.c <> b.own
+         |  JOIN t$r t ON t.c = ki.c CROSS JOIN mm
+         |  WHERE mm.m2 * ki.kin - b.k * t.tot - b.own_term > 0),
+         |bs$r AS (SELECT id, c FROM mv$r
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY delta DESC, c) = 1),
+         |c$r AS (SELECT $p.id, coalesce(bs$r.c, $p.c) AS c
+         |  FROM $p LEFT JOIN bs$r USING (id))""".stripMargin
+    }
+    (Seq(head) ++ rs).mkString(",\n") +
+      s""",
+         |fin AS (SELECT c, min(id) AS community FROM c$rounds GROUP BY 1)
+         |SELECT c$rounds.id, fin.community
+         |FROM c$rounds JOIN fin USING (c) ORDER BY id""".stripMargin
+  }
+
+  /** Unrolled iterated-h-index coreness oracle: per round the
+    * desc-ranked neighbor values and the max(min(rank, value)) H
+    * fold — the exact replay of
+    * [[graft.operators.GraphAnalytics.corenessHIndex]]. */
+  private def corenessSql(rounds: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |canon AS (SELECT DISTINCT least(src, dst) AS u,
+         |    greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |adj AS (SELECT u AS f, v AS t FROM canon
+         |  UNION ALL SELECT v AS f, u AS t FROM canon),
+         |h0 AS (SELECT f AS id, count(*) AS h FROM adj GROUP BY 1)""".stripMargin
+    val rs = (1 to rounds).map { k =>
+      s"""h$k AS (SELECT id, max(least(rn, hv)) AS h FROM (
+         |  SELECT a.f AS id, hh.h AS hv,
+         |    row_number() OVER (PARTITION BY a.f
+         |      ORDER BY hh.h DESC, a.t) AS rn
+         |  FROM adj a JOIN h${k - 1} hh ON hh.id = a.t) x
+         |  GROUP BY 1)""".stripMargin
+    }
+    (Seq(head) ++ rs).mkString(",\n") +
+      s"\nSELECT id, h AS coreness FROM h$rounds ORDER BY id"
+  }
 
   /** Unrolled weighted-PageRank oracle: [[pagerankSql]]'s chained CTEs
     * with per-edge contribution `rank · w / wout` — the exact
@@ -1802,6 +1889,8 @@ object GraphQueries {
            |WHERE nf.n_reached_est * 10 >= mx.n_max * 9
            |GROUP BY 1""".stripMargin),
     "qX_lpa" -> lpaSql(4),
+    "qX_louvain" -> louvainSql(2),
+    "qX_coreness" -> corenessSql(4),
     "qX_modularity" ->
       (lpaCte(4) +
         s""",

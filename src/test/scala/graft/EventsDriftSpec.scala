@@ -805,6 +805,34 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(est > 60L && est < 400L)
   }
 
+  test("portableHllDistinctBy: per-key estimates equal the ungrouped op per slice") {
+    import graft.operators.Sketches
+    val df = ((1L to 40L).map(i => ("a", i)) ++
+      (100L to 104L).map(i => ("b", i)) ++
+      Seq.fill(30)(("c", 7L))).toDF("k", "x")
+    val grouped = Sketches.portableHllDistinctBy(df, "k", "x")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (key <- Seq("a", "b", "c")) {
+      val solo = Sketches.portableHllDistinct(df.filter(col("k") === key), "x")
+        .collect().head
+      assert(grouped(key) == ((solo.getLong(0), solo.getLong(1))),
+        s"key $key grouped ${grouped(key)} != solo")
+    }
+    assert(grouped("c")._2 == 1L) // duplicates don't inflate per key
+  }
+
+  test("cuped: perfectly correlated covariate zeroes the adjusted variance") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    val r = graft.operators.Stats.cuped(df, "x", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2000000L, 1000000L, 24000000L, 0L)))
+    // constant covariate: θ = 0, variance untouched
+    val flat = Seq((1.0, 2.0), (1.0, 4.0), (1.0, 6.0)).toDF("x", "y")
+    val r2 = graft.operators.Stats.cuped(flat, "x", "y").head()
+    assert(r2.getLong(1) == 0L && r2.getLong(4) == r2.getLong(3))
+  }
+
   test("chi2: perfectly label-aligned token scores N·1e6; constant token filtered") {
     // 4 docs, 2 positive; "pos" appears exactly in the positives →
     // χ² = N = 4 → 4e6 micros; "base" appears everywhere → rt = N,
@@ -1003,5 +1031,30 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     // frac 0 degenerates to the plain (outlier-dragged) mean
     val r0 = graft.operators.Stats.winsorizedMean(df, "v", "id", 0.0).head()
     assert(r0.getLong(4) == 14500000L && r0.getLong(1) == 0L)
+  }
+
+  test("purgedTimeSplit: train before embargo, band dropped, test after cutover") {
+    val cutover = 1705363200000000L // 2024-01-16 00:00:00 UTC
+    val e = Seq(
+      (1L, ts("2024-01-13 23:59:59")), // train (before Jan 14)
+      (2L, ts("2024-01-14 00:00:00")), // band start: dropped
+      (3L, ts("2024-01-15 12:00:00")), // band: dropped
+      (4L, ts("2024-01-16 00:00:00")), // test boundary inclusive
+      (5L, ts("2024-01-17 00:00:00"))).toDF("id", "ts")
+    val got = graft.operators.Sampling.purgedTimeSplit(e, "ts",
+        cutover, 2L * 86400L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "train", 4L -> "test", 5L -> "test"))
+  }
+
+  test("spearman: identical order is +1, reversed is -1, tie-broken ranks") {
+    val df = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("id", "x", "y")
+    val r = graft.operators.Eval.spearman(df, "x", "y", "id").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 0L, 1000000L)))
+    val rev = Seq((1L, 10L, 300L), (2L, 20L, 200L), (3L, 30L, 100L))
+      .toDF("id", "x", "y")
+    val r2 = graft.operators.Eval.spearman(rev, "x", "y", "id").head()
+    assert((r2.getLong(1), r2.getLong(2)) == ((8L, -1000000L)))
   }
 }

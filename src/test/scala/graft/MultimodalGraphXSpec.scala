@@ -966,6 +966,42 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) || got(4L)) // and the right end
   }
 
+  test("louvainSync: K3 merges into one community; bridged triangles replay the hand trace") {
+    // K3, rounds=2: round 1 bounces singletons (1→{2}, 2→{1}, 3→{1}),
+    // round 2 pulls vertex 1 into {2,3} (Δ·2m² = 6·2 − 2·4 = 4 > 0)
+    // while 2 and 3 see Δ = 0 to {1} and stay → one community, min id 1
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val gotK3 = GraphAnalytics.louvainSync(k3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // two K3s bridged at 3–4, rounds=2: the exact synchronous-move
+    // trace (hand-derived integer gains; m2 = 14) lands communities
+    // {1,3}, {2}, {4,5}, {6} — the determinism contract, not a
+    // converged partition (one-sweep synchronous Louvain oscillates
+    // by design; the qX_louvain oracle replays the same trace)
+    val bridged = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.louvainSync(bridged, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("corenessHIndex: K4 core is 3, pendant is 1, hub degree collapses to its shell") {
+    // K4 {1,2,3,4} + pendant 5–1: coreness 3/3/3/3/1; vertex 1's
+    // h-index starts at degree 4 and must collapse to 3 in round 1
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("src", "dst")
+    val got = GraphAnalytics.corenessHIndex(g, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L))
+    // chain 1-2-3-4: every vertex coreness 1
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val gotChain = GraphAnalytics.corenessHIndex(chain, rounds = 4)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(gotChain == Set(1L))
+  }
+
   test("ccTwoStar: equals min-label propagation CC on the derived graph and on a chain forest") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val e = graft.queries.GraphQueries.derivedEdges(events)
