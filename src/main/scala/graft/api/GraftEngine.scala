@@ -1237,6 +1237,26 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                         metricCol: String): DataFrame =
     graft.operators.Stats.cuped(df, preCol, metricCol)
 
+  /** Language-model document ranking with Dirichlet smoothing
+    * ([[graft.operators.SearchIndex.dirichletQL]]). */
+  def searchQL(docs: DataFrame, idCol: String, field: String,
+               terms: Seq[String], mu: Double = 2000.0,
+               limit: Int = 10): DataFrame =
+    graft.operators.SearchIndex.dirichletQL(docs, idCol, field, terms,
+      mu, limit)
+
+  /** Murphy reliability/resolution/uncertainty decomposition of the
+    * Brier score ([[graft.operators.Eval.brierDecomposition]]). */
+  def brierBreakdown(scored: DataFrame, labelCol: String,
+                     pCol: String): DataFrame =
+    graft.operators.Eval.brierDecomposition(scored, labelCol, pCol)
+
+  /** Per-user inter-event burstiness — the bot-screen timing feature
+    * ([[graft.operators.Events.burstiness]]). */
+  def userBurstiness(events: DataFrame, userCol: String, tsCol: String,
+                     tieCol: String): DataFrame =
+    graft.operators.Events.burstiness(events, userCol, tsCol, tieCol)
+
   /** Rank-monotone association between two metrics
     * ([[graft.operators.Eval.spearman]]). */
   def rankCorrelation(df: DataFrame, xCol: String, yCol: String,

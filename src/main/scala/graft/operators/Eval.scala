@@ -652,6 +652,56 @@ object Eval {
         lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_micros"))
   }
 
+  /** Murphy decomposition of the Brier score (Murphy 1973):
+    * Brier ≈ RELIABILITY − RESOLUTION + UNCERTAINTY over probability
+    * bins — WHERE a miscalibrated model loses points ([[brierScore]]
+    * only says how many): REL = (1/n)Σ_b n_b(p̄_b−ȳ_b)² (calibration
+    * gap per bin), RES = (1/n)Σ_b n_b(ȳ_b−ȳ)² (how much the bins
+    * separate outcomes), UNC = ȳ(1−ȳ). Per-bin sufficient statistics
+    * (n_b, Σp, Σy) are exact BIGINT folds; each bin's term quantizes
+    * to a long in ONE fixed IEEE expression over the cross-multiplied
+    * integers BEFORE the 10-row sum (the modularity-term rule: the
+    * per-bin flooring bias is bounded by #bins micro-units and the
+    * fold is order-free).
+    *
+    * @param scored (pCol: micros in [0, 1e6], labelCol: 0/1).
+    * @return one row (n, rel_micros, res_micros, unc_micros).
+    */
+  def brierDecomposition(scored: DataFrame, labelCol: String,
+                         pCol: String, bins: Int = 10): DataFrame = {
+    val b = scored.select(
+        least(lit(bins - 1), floor(col(pCol) * lit(bins) / lit(1000000L)))
+          .as("bin"),
+        col(pCol).as("p"),
+        (col(labelCol).cast("long") * lit(1000000L)).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("p")).as("sp"),
+        sum(col("y")).as("sy"))
+      .localCheckpoint(true) // totals + per-bin terms
+    val tot = b.agg(sum(col("nb")).as("n"), sum(col("sy")).as("sy_all"))
+    val terms = b.crossJoin(broadcast(tot))
+      .select(col("n"), col("sy_all"),
+        // REL term: (Σp_b − Σy_b)²/(n_b·1e6) — micros·count
+        floor((col("sp") - col("sy")).cast("double")
+          * (col("sp") - col("sy")).cast("double")
+          / (col("nb").cast("double") * lit(1e6))).cast("long").as("trel"),
+        // RES term: (n·Σy_b − Σy·n_b)²/(n_b·n·1e6) — micros·count
+        floor((col("n") * col("sy") - col("sy_all") * col("nb")).cast("double")
+          * (col("n") * col("sy") - col("sy_all") * col("nb")).cast("double")
+          / (col("nb").cast("double") * col("n").cast("double")
+            * col("n").cast("double") * lit(1e6))).cast("long").as("tres"))
+    terms.groupBy(col("n"), col("sy_all"))
+      .agg(sum(col("trel")).as("srel"), sum(col("tres")).as("sres"))
+      .select(col("n"),
+        floor(col("srel").cast("double") / col("n")).cast("long")
+          .as("rel_micros"),
+        floor(col("sres").cast("double") / col("n")).cast("long")
+          .as("res_micros"),
+        floor((col("sy_all").cast("double") / col("n"))
+          * (lit(1e6) - col("sy_all").cast("double") / col("n"))
+          / lit(1e6)).cast("long").as("unc_micros"))
+  }
+
   /** Spearman rank correlation — "do the two metrics ORDER the
     * population the same way" (the monotone companion to Pearson and
     * to [[kendallTau]]'s pairwise form): both columns rank under a

@@ -444,6 +444,48 @@ object Events {
       .orderBy(col(userCol))
   }
 
+  /** Per-user burstiness of the inter-event-time distribution (Goh &
+    * Barabási 2008): B = (σ − μ)/(σ + μ) over a user's gaps — B → −1
+    * for a metronome (bots fire on timers), ≈ 0 for Poisson arrivals,
+    * → +1 for bursty humans. Gaps come from a USER-partitioned lag
+    * window (bounded by one user's history); n, Σg, Σg² are exact
+    * BIGINT folds and σ, B are ONE fixed IEEE expression per user
+    * (σ² = (n·Σg² − (Σg)²)/n², computed cross-multiplied).
+    *
+    * @return (userCol, n_gaps, mean_gap_us, b_micros) for users with
+    *         ≥ 2 gaps, ordered.
+    */
+  def burstiness(events: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    // BOUNDED per-user window: one user's events, never the corpus
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us"), col(tieCol))
+    val gaps = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("ts_us"),
+        col(tieCol))
+      // gaps quantize to whole SECONDS before the folds: µs gaps
+      // square past int64 (a month² of µs² ≈ 7e24); B is scale-free
+      // so the resolution choice only needs to match the oracle
+      .withColumn("g", floor((col("ts_us")
+        - lag(col("ts_us"), 1).over(w)) / lit(1000000L)).cast("long"))
+      .filter(col("g").isNotNull)
+    val s = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sgg"))
+      .filter(col("n_gaps") >= 2)
+    // σ·n = sqrt(n·Σg² − (Σg)²): exact integer radicand, one sqrt;
+    // B = (σn − Σg)/(σn + Σg) — the n's cancel
+    val sigmaN = sqrt((col("n_gaps") * col("sgg") - col("sg") * col("sg"))
+      .cast("double"))
+    s.select(col(userCol), col("n_gaps"),
+        floor(col("sg").cast("double") / col("n_gaps")).cast("long")
+          .as("mean_gap_s"),
+        when(sigmaN + col("sg") === 0.0, lit(0L))
+          .otherwise(floor(lit(1e6) * (sigmaN - col("sg"))
+            / (sigmaN + col("sg"))).cast("long")).as("b_micros"))
+      .orderBy(col(userCol))
+  }
+
   /** Gap-based BATCH sessionization — the canonical event-stream
     * segmentation (a new session starts when a user is idle longer
     * than `gapUs`): per user, events ordered by (ts, tie) get a

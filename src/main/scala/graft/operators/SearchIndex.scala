@@ -412,6 +412,49 @@ object SearchIndex {
       .orderBy(desc("phrase_freq"), asc("doc"))
       .limit(limit)
 
+  /** Dirichlet-smoothed query-likelihood ranking (Ponte & Croft 1998;
+    * Zhai & Lafferty 2001) — the language-modeling scorer beside the
+    * TF-IDF/BM25 family: `score(q,d) = Σ_t ln((tf_{t,d} + µ·p_c(t)) /
+    * (|d| + µ))` with `p_c` the corpus unigram model. Every query
+    * term contributes to every candidate doc (the smoothing term IS
+    * the model — absent terms aren't skipped, unlike TF-IDF), so the
+    * plan is doc-lengths × |q| query terms (broadcast) left-joined
+    * with the tf postings. Per-(doc, term) log-scores QUANTIZE to
+    * integer micros BEFORE the per-doc sum (order-free fold) and the
+    * quantized total ranks before the limit (the qG5 boundary rule).
+    *
+    * @return (doc, ql_micros) top-`limit` by (score desc, doc asc).
+    */
+  def dirichletQL(docs: DataFrame, idCol: String, field: String,
+                  queryTerms: Seq[String], mu: Double,
+                  limit: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(tokenize(col(field))).as("term"))
+      .localCheckpoint(true) // tf, doclen and the corpus model
+    val dlen = toks.groupBy(col("doc")).agg(count(lit(1)).as("len"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val ctot = toks.count() // |C|: one driver scalar
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queryTerms.toDF("term")
+    // OOV query terms drop: p_c = 0 has no likelihood (ln 0), the
+    // standard QL convention
+    val qcf = broadcast(q.join(cf, Seq("term")))
+    val tf = toks.join(broadcast(q), Seq("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    dlen.crossJoin(qcf)
+      .join(tf, Seq("doc", "term"), "left")
+      .select(col("doc"), col("len"),
+        round(lit(1e6) * log(
+          (coalesce(col("tf"), lit(0L)) + lit(mu) * col("cf") / lit(ctot.toDouble))
+            / (col("len") + lit(mu)))).cast("long").as("t_micros"))
+      .groupBy(col("doc"))
+      .agg(sum(col("t_micros")).as("ql_micros"))
+      .orderBy(desc("ql_micros"), asc("doc"))
+      .limit(limit)
+  }
+
   /** [[phraseSearch]] against a stored positional index
     * ([[writePositional]] layout): the postings scan is pruned to the
     * phrase's term buckets — I/O bounded by |phrase| buckets, not

@@ -300,6 +300,13 @@ object EventQueries {
         "event_type", minSupport = 5L)
     }),
 
+    // Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps —
+    // metronome bots → −1, Poisson → 0, bursty humans → +1; exact
+    // integer folds, one sqrt (IEEE-correctly-rounded, engine-exact).
+    "qX_burstiness" -> ((s, dir) => {
+      Events.burstiness(t(s, dir, "events"), "user_id", "ts", "event_id")
+    }),
+
     // Gap-based batch sessionization (30-min idle gap): per-user
     // lag-gap flag + running count, one fold per session — windows
     // partitioned by user, never global.
@@ -974,6 +981,30 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_burstiness" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |gp AS (SELECT user_id,
+        |    CAST(floor((ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id)) / 1000000) AS BIGINT) AS g
+        |  FROM e),
+        |s AS (SELECT user_id, count(*) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(g * g) AS BIGINT) AS sgg
+        |  FROM gp WHERE g IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 2)
+        |SELECT user_id, n_gaps,
+        |  CAST(floor(CAST(sg AS DOUBLE) / n_gaps) AS BIGINT)
+        |    AS mean_gap_s,
+        |  CASE WHEN sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) + sg = 0
+        |    THEN 0
+        |    ELSE CAST(floor(1e6 *
+        |      (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) - sg)
+        |      / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) + sg))
+        |      AS BIGINT)
+        |  END AS b_micros
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "qX_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id

@@ -729,6 +729,15 @@ object TextQueries {
           "doc_id", "text", "table hash", 100)
     }),
 
+    // Dirichlet-smoothed query likelihood for ("table", "hash"):
+    // the language-modeling ranker beside TF-IDF/BM25 — every query
+    // term scores every doc through the smoothing term; per-term
+    // log-scores quantized before the per-doc sum and the limit.
+    "qX_dirichlet_ql" -> ((s, dir) => {
+      SearchIndex.dirichletQL(Tables.load(s, dir, "documents"),
+        "doc_id", "text", Seq("table", "hash"), mu = 500.0, limit = 100)
+    }),
+
     // Cross-document duplicated 5-grams (Lee et al. exact-substring
     // dedup, detection half): every 5-gram in >= 2 distinct docs with
     // doc/occurrence counts.
@@ -1020,6 +1029,21 @@ object TextQueries {
           buckets = 64)
         .join(train.select(col("doc_id"), col("y")), "doc_id")
       graft.operators.Eval.brierScore(scored, "y", "p_micros")
+    }),
+
+    // Murphy decomposition of the same Brier score: reliability −
+    // resolution + uncertainty over probability deciles — WHERE the
+    // classifier loses points, not just how many.
+    "qX_brier_decomp" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.brierDecomposition(scored, "y", "p_micros")
     }),
 
     // Reliability bins over the same scores: observed positive rate vs
@@ -2183,6 +2207,54 @@ object TextQueries {
          |      + (cnt - pos) * s * s) * 1.0
          |    / (sum(cnt) * 1000000)) AS BIGINT) AS brier_micros
          |FROM g""".stripMargin,
+    "qX_brier_decomp" ->
+      s"""$LrScoredGSql,
+         |bb AS (SELECT least(9, CAST(floor(s * 10 / 1000000) AS BIGINT))
+         |    AS bin,
+         |    CAST(sum(cnt) AS BIGINT) AS nb,
+         |    CAST(sum(s * cnt) AS BIGINT) AS sp,
+         |    CAST(sum(pos) * 1000000 AS BIGINT) AS sy
+         |  FROM g GROUP BY 1),
+         |tt AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+         |    CAST(sum(sy) AS BIGINT) AS sy_all FROM bb),
+         |terms AS (SELECT tt.n, tt.sy_all,
+         |  CAST(floor(CAST(bb.sp - bb.sy AS DOUBLE)
+         |      * CAST(bb.sp - bb.sy AS DOUBLE)
+         |      / (CAST(bb.nb AS DOUBLE) * 1e6)) AS BIGINT) AS trel,
+         |  CAST(floor(CAST(tt.n * bb.sy - tt.sy_all * bb.nb AS DOUBLE)
+         |      * CAST(tt.n * bb.sy - tt.sy_all * bb.nb AS DOUBLE)
+         |      / (CAST(bb.nb AS DOUBLE) * CAST(tt.n AS DOUBLE)
+         |         * CAST(tt.n AS DOUBLE) * 1e6)) AS BIGINT) AS tres
+         |  FROM bb CROSS JOIN tt)
+         |SELECT n,
+         |  CAST(floor(CAST(sum(trel) AS DOUBLE) / n) AS BIGINT)
+         |    AS rel_micros,
+         |  CAST(floor(CAST(sum(tres) AS DOUBLE) / n) AS BIGINT)
+         |    AS res_micros,
+         |  CAST(floor((CAST(sy_all AS DOUBLE) / n)
+         |    * (1e6 - CAST(sy_all AS DOUBLE) / n) / 1e6) AS BIGINT)
+         |    AS unc_micros
+         |FROM terms GROUP BY n, sy_all""".stripMargin,
+    "qX_dirichlet_ql" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dlen AS (SELECT doc, count(*) AS len FROM toks GROUP BY 1),
+        |cfx AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),
+        |ctot AS (SELECT count(*) AS ct FROM toks),
+        |q(term) AS (VALUES ('table'), ('hash')),
+        |qcf AS (SELECT q.term, cfx.cf FROM q JOIN cfx USING (term)),
+        |tf AS (SELECT t.doc, t.term, count(*) AS tf
+        |  FROM toks t JOIN q ON t.term = q.term GROUP BY 1, 2),
+        |t AS (SELECT d.doc,
+        |  CAST(round(1e6 * ln((coalesce(tf.tf, 0)
+        |      + 500.0 * qcf.cf / ctot.ct) / (d.len + 500.0))) AS BIGINT)
+        |    AS tm
+        |  FROM dlen d CROSS JOIN qcf CROSS JOIN ctot
+        |  LEFT JOIN tf ON tf.doc = d.doc AND tf.term = qcf.term)
+        |SELECT doc, CAST(sum(tm) AS BIGINT) AS ql_micros
+        |FROM t GROUP BY 1 ORDER BY ql_micros DESC, doc LIMIT 100""".stripMargin,
     "qX_auc" ->
       s"""$LrScoredGSql,
          |c AS (SELECT s, pos, cnt,

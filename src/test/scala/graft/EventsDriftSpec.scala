@@ -367,6 +367,24 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert((r.getLong(0), r.getLong(1)) == ((2L, 250000L)))
   }
 
+  test("brierDecomposition: perfect = pure resolution, coin-flip = pure uncertainty") {
+    import graft.operators.Eval
+    // perfect predictions: REL 0, RES = UNC = 0.25, Brier = REL−RES+UNC = 0
+    val perfect = Seq((1000000L, 1), (0L, 0)).toDF("p", "y")
+    val rp = Eval.brierDecomposition(perfect, "y", "p").collect().head
+    assert((rp.getLong(0), rp.getLong(1), rp.getLong(2), rp.getLong(3)) ==
+      ((2L, 0L, 250000L, 250000L)))
+    // constant coin-flip: no calibration gap, no separation — all UNC
+    val coin = Seq((500000L, 1), (500000L, 0)).toDF("p", "y")
+    val rc = Eval.brierDecomposition(coin, "y", "p").collect().head
+    assert((rc.getLong(0), rc.getLong(1), rc.getLong(2), rc.getLong(3)) ==
+      ((2L, 0L, 0L, 250000L)))
+    // overconfident wrong-way model: reliability term shows the gap
+    val wrong = Seq((1000000L, 0), (0L, 1)).toDF("p", "y")
+    val rw = Eval.brierDecomposition(wrong, "y", "p").collect().head
+    assert(rw.getLong(1) == 1000000L) // (1−0)² in both bins
+  }
+
   test("linearAttribution: equal split, remainder to the last touch, window cut") {
     import graft.operators.Events
     // conversion at 10:00 with 3 in-window touches → 333333 each and
@@ -1045,6 +1063,29 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
         cutover, 2L * 86400L * 1000000L)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got == Map(1L -> "train", 4L -> "test", 5L -> "test"))
+  }
+
+  test("burstiness: metronome is exactly -1, bursts positive, singletons excluded") {
+    val e = Seq(
+      // u1: perfect 10s metronome → σ = 0 → B = −1
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:00:10"), 2L),
+      (1L, ts("2024-01-01 00:00:20"), 3L),
+      (1L, ts("2024-01-01 00:00:30"), 4L),
+      // u2: two instant hits then a 30s silence → bursty, B > 0
+      (2L, ts("2024-01-01 00:00:00"), 5L),
+      (2L, ts("2024-01-01 00:00:00"), 6L),
+      (2L, ts("2024-01-01 00:00:00"), 7L),
+      (2L, ts("2024-01-01 00:00:30"), 8L),
+      // u3: one event → no gaps, excluded
+      (3L, ts("2024-01-01 00:00:00"), 9L)).toDF("u", "ts", "eid")
+    val got = Events.burstiness(e, "u", "ts", "eid")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((3L, 10L, -1000000L)))
+    val (n2, m2v, b2) = got(2L)
+    assert(n2 == 3L && m2v == 10L && b2 > 0L && b2 < 1000000L)
   }
 
   test("spearman: identical order is +1, reversed is -1, tie-broken ranks") {

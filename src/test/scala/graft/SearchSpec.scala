@@ -210,4 +210,23 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stored == mem && mem.nonEmpty)
   }
+
+  test("dirichletQL: tf wins, absent terms still smoothed, OOV query drops") {
+    import graft.operators.SearchIndex
+    import spark.implicits._
+    val docs = Seq((1L, "table table chair"), (2L, "chair chair chair"))
+      .toDF("doc_id", "text")
+    val got = SearchIndex.dirichletQL(docs, "doc_id", "text",
+        Seq("table"), mu = 1.0, limit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // d1 (tf=2) outranks d2 (tf=0, pure smoothing); both get a score
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got.forall(_._2 < 0L)) // log-likelihoods are negative
+    // d1: ln((2 + 1·2/6)/4), d2: ln((0 + 2/6)/4) — exact micro values
+    assert(got(0)._2 == math.round(1e6 * math.log((2.0 + 2.0 / 6.0) / 4.0)))
+    assert(got(1)._2 == math.round(1e6 * math.log((2.0 / 6.0) / 4.0)))
+    // a query term absent from the corpus has no likelihood: drops
+    assert(SearchIndex.dirichletQL(docs, "doc_id", "text",
+      Seq("zzz"), mu = 1.0, limit = 10).isEmpty)
+  }
 }
