@@ -652,6 +652,41 @@ object Eval {
         lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_micros"))
   }
 
+  /** Inverse-propensity-score offline policy evaluation (Horvitz &
+    * Thompson 1952; Li et al. 2011's unbiased offline evaluator) —
+    * "what would the TARGET policy's reward have been" from logs
+    * collected under a different policy: each logged (action, reward,
+    * propensity) row contributes `reward · π_target(a|x)/p_logged(a|x)`,
+    * here for the uniform-random target over `k` actions (the
+    * standard exploration-value readout). Weights CLIP at `clipMicros`
+    * propensity (the variance-bias knob every production IPS uses);
+    * both the clipped-IPS and the self-normalized SNIPS estimates
+    * come from exact BIGINT folds of per-row micro-quantized weights.
+    *
+    * @param logged (rewardCol: 0/1, propCol: logged propensity in
+    *               micros ∈ (0, 1e6]).
+    * @return one row (n, n_clipped, sum_w, ips_micros, snips_micros).
+    */
+  def ipsEval(logged: DataFrame, rewardCol: String, propCol: String,
+              k: Int, clipMicros: Long): DataFrame = {
+    // per-row weight in micros: (1/k) / p  →  1e12 / (k·p_micros),
+    // clipped where p < clipMicros
+    val w = floor(lit(1000000000000L)
+      / (lit(k) * greatest(col(propCol), lit(clipMicros)))).cast("long")
+    logged.select(col(rewardCol).cast("long").as("r"),
+        (col(propCol) < clipMicros).cast("long").as("clipped"),
+        w.as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("clipped")).as("n_clipped"),
+        sum(col("w")).as("sum_w"), sum(col("r") * col("w")).as("sum_rw"))
+      .select(col("n"), col("n_clipped"), col("sum_w"),
+        floor(col("sum_rw").cast("double") / col("n")).cast("long")
+          .as("ips_micros"),
+        when(col("sum_w") === 0, lit(0L))
+          .otherwise(floor(lit(1e6) * col("sum_rw").cast("double")
+            / col("sum_w").cast("double")).cast("long"))
+          .as("snips_micros"))
+  }
+
   /** Murphy decomposition of the Brier score (Murphy 1973):
     * Brier ≈ RELIABILITY − RESOLUTION + UNCERTAINTY over probability
     * bins — WHERE a miscalibrated model loses points ([[brierScore]]

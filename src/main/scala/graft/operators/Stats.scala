@@ -75,6 +75,78 @@ object Stats {
           .as("trimmed_mean_micros"))
   }
 
+  /** Bradley–Terry preference-strength fitting (Bradley & Terry
+    * 1952; Hunter 2004's MM iteration) — the pairwise-comparison
+    * model behind interleaving readouts and preference-data curation:
+    * from win counts n_ab, item strengths w satisfy
+    * P(a beats b) = w_a/(w_a + w_b); each MM round is
+    * `w_a ← W_a / Σ_b (n_ab + n_ba)/(w_a + w_b)`, then strengths
+    * renormalize to mean 1e6 micros. Every per-pair denominator term
+    * quantizes to a long BEFORE the per-item fold (order-free; the
+    * modularity-term rule), so the fixed `rounds` computation unrolls
+    * in the DuckDB oracle.
+    *
+    * 100 TB shape per round: one pair-keyed join against the B-row
+    * strength table + one item fold — comparisons never self-join.
+    *
+    * @param wins (aCol, bCol, winsCol): wins of a over b (one row per
+    *             ordered pair present).
+    * @return (item, w_micros, n_wins) ordered by item.
+    */
+  def bradleyTerry(wins: DataFrame, aCol: String, bCol: String,
+                   winsCol: String, rounds: Int = 3): DataFrame = {
+    val pairs = wins.select(col(aCol).as("a"), col(bCol).as("b"),
+        col(winsCol).cast("long").as("nw"))
+      .localCheckpoint(true)
+    // symmetric comparison counts n_ab + n_ba, and per-item win totals
+    val comp = pairs.select(col("a"), col("b"), col("nw"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b"),
+        lit(0L).as("nw")))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("nw")).as("n_ab"))
+    val sym = comp.select(col("a"), col("b"), col("n_ab"))
+      .join(comp.select(col("b").as("a"), col("a").as("b"),
+        col("n_ab").as("n_ba")), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("n_ab") + coalesce(col("n_ba"), lit(0L))).as("n_tot"))
+      .localCheckpoint(true)
+    val winTot = sym.join(
+        comp.withColumnRenamed("n_ab", "nw"), Seq("a", "b"), "left")
+      .groupBy(col("a").as("item"))
+      .agg(sum(coalesce(col("nw"), lit(0L))).as("big_w"))
+      .localCheckpoint(true)
+    var w = winTot.select(col("item"), lit(1000000L).as("w_micros"))
+    for (_ <- 1 to rounds) {
+      // per-pair term floor(1e12·n_tot/(w_a+w_b)) — micro-quantized
+      // BEFORE the per-item sum so the fold is order-free
+      val denom = sym
+        .join(w.select(col("item").as("a"), col("w_micros").as("wa")), "a")
+        .join(w.select(col("item").as("b"), col("w_micros").as("wb")), "b")
+        .select(col("a").as("item"),
+          floor(lit(1000000000000L) * col("n_tot")
+            / (col("wa") + col("wb"))).cast("long").as("t"))
+        .groupBy(col("item")).agg(sum(col("t")).as("d"))
+      val raw = winTot.join(denom, Seq("item"))
+        .select(col("item"),
+          when(col("d") === 0, lit(1000000L))
+            .otherwise(floor(lit(1e12) * col("big_w") / col("d"))
+              .cast("long")).as("w_raw"))
+      // renormalize to mean 1e6 (BT is scale-invariant; keeps the
+      // integers bounded round over round)
+      val tot = raw.agg(sum(col("w_raw")).as("s"),
+        count(lit(1)).as("k")).head()
+      val (s, kk) = (tot.getLong(0), tot.getLong(1))
+      w = raw.select(col("item"),
+          floor(col("w_raw").cast("double") * lit(1e6) * kk / s)
+            .cast("long").as("w_micros"))
+        .localCheckpoint(true)
+    }
+    w.join(winTot.withColumnRenamed("item", "_wi"),
+        col("item") === col("_wi"))
+      .select(col("item"), col("w_micros"), col("big_w").as("n_wins"))
+      .orderBy(col("item"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013) — the A/B-test
     * sensitivity booster beside [[diffInDiff]]: with a pre-period
     * covariate x and the experiment metric y per unit,

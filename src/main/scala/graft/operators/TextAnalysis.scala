@@ -556,6 +556,49 @@ object TextAnalysis {
           .cast("long").as("slope_micros"))
   }
 
+  /** Heaps'-law fit of vocabulary growth (Heaps 1978: V = K·N^β,
+    * β ≈ 0.4–0.6 for natural language) — [[zipfFit]]'s companion
+    * corpus-health check: template spam grows vocabulary too slowly
+    * (β → 0), random noise too fast (β → 1). One (group, token)
+    * distinct fold gives each group's (N, V) point; the regression
+    * of ln V on ln N runs over the GROUP table (B rows), with ln
+    * values micro-quantized per group before the exact integer sums
+    * (the zipf convention) and β / ln K as fixed IEEE expressions
+    * over them.
+    *
+    * @return one row (n_groups, beta_micros, lnk_micros).
+    */
+  def heapsFit(docs: DataFrame, textCol: String,
+               groupCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(tokenize(col(textCol))).as("tok"))
+    val pts = toks.groupBy(col("g"))
+      .agg(count(lit(1)).as("nn"), countDistinct(col("tok")).as("v"))
+      .filter(col("nn") > 0 && col("v") > 0)
+      .select(round(lit(1e6) * log(col("nn").cast("double")))
+          .cast("long").as("x"),
+        round(lit(1e6) * log(col("v").cast("double")))
+          .cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_groups"),
+        floor(lit(1e6) *
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+          .cast("long").as("beta_micros"),
+        // ln K = ȳ − β·x̄, with β kept at full double precision
+        floor(col("sy").cast("double") / col("n").cast("double") -
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+           (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))) *
+          (col("sx").cast("double") / col("n").cast("double")))
+          .cast("long").as("lnk_micros"))
+  }
+
   /** Class-based TF-IDF (the BERTopic labeling score, Grootendorst
     * 2022) — the top distinctive terms per document class/cluster:
     * `W(t,c) = tf_{t,c} · ln(1 + A/f_t)` with `A` the average tokens

@@ -21,6 +21,55 @@ object EventQueries {
 
   private val SplitTs = "2024-01-16 00:00:00"
 
+  /** Unrolled Bradley–Terry MM oracle: wins from per-user type-count
+    * comparisons, then per round the micro-quantized pair
+    * denominators, the MM update and the mean-1e6 renormalization —
+    * the exact replay of [[graft.operators.Stats.bradleyTerry]]. */
+  private def btSql(rounds: Int): String = {
+    val head =
+      """WITH cnt AS (SELECT user_id, event_type AS t, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |wn AS (SELECT a.t AS a, b.t AS b, count(*) AS nw
+        |  FROM cnt a JOIN cnt b ON a.user_id = b.user_id
+        |    AND a.t <> b.t AND a.c > b.c
+        |  GROUP BY 1, 2),
+        |comp AS (SELECT a, b, CAST(sum(nw) AS BIGINT) AS n_ab FROM (
+        |    SELECT a, b, nw FROM wn
+        |    UNION ALL SELECT b AS a, a AS b, 0 AS nw FROM wn) x
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT c1.a, c1.b,
+        |    c1.n_ab + coalesce(c2.n_ab, 0) AS n_tot
+        |  FROM comp c1 LEFT JOIN comp c2
+        |    ON c2.a = c1.b AND c2.b = c1.a),
+        |wt AS (SELECT sym.a AS item,
+        |    CAST(sum(coalesce(c.n_ab, 0)) AS BIGINT) AS big_w
+        |  FROM sym LEFT JOIN comp c ON c.a = sym.a AND c.b = sym.b
+        |  GROUP BY 1),
+        |w0 AS (SELECT item, CAST(1000000 AS BIGINT) AS w FROM wt)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT s.a AS item,
+         |    CAST(sum(CAST(floor(1000000000000 * s.n_tot
+         |      / (wa.w + wb.w)) AS BIGINT)) AS BIGINT) AS d
+         |  FROM sym s JOIN w${r - 1} wa ON wa.item = s.a
+         |  JOIN w${r - 1} wb ON wb.item = s.b GROUP BY 1),
+         |r$r AS (SELECT wt.item,
+         |    CASE WHEN d.d = 0 THEN CAST(1000000 AS BIGINT)
+         |      ELSE CAST(floor(1e12 * wt.big_w / d.d) AS BIGINT)
+         |    END AS w_raw
+         |  FROM wt JOIN d$r d USING (item)),
+         |t$r AS (SELECT CAST(sum(w_raw) AS BIGINT) AS s, count(*) AS k
+         |  FROM r$r),
+         |w$r AS (SELECT r.item,
+         |    CAST(floor(CAST(r.w_raw AS DOUBLE) * 1e6 * t.k / t.s)
+         |      AS BIGINT) AS w
+         |  FROM r$r r CROSS JOIN t$r t)""".stripMargin
+    }
+    (Seq(head) ++ rs).mkString(",\n") +
+      s"""
+         |SELECT w$rounds.item, w$rounds.w AS w_micros, wt.big_w AS n_wins
+         |FROM w$rounds JOIN wt USING (item) ORDER BY item""".stripMargin
+  }
+
   /** DuckDB fragment: the item–item CF pipeline ending at ranked CTE
     * `r` (item, rec, co, sim_micros, rn) — shared by qX_item_sim and
     * qX_rec_gini so the rec table cannot drift between them. */
@@ -331,6 +380,43 @@ object EventQueries {
         .agg(count(lit(1)).as("nx"),
           sum(floor(col("value") * lit(1e6)).cast("long")).as("vy"))
       graft.operators.Eval.spearman(per, "nx", "vy", "user_id")
+    }),
+
+    // IPS/SNIPS offline policy evaluation: what a uniform-random
+    // recommender would have earned, from logs under the popularity
+    // policy — clipped inverse-propensity weights, exact folds.
+    "qX_ips" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select((floor(col("value")).cast("long") % 50).as("item"),
+          (col("event_type") === "purchase").cast("long").as("r"))
+      val pop = ev.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+      val tot = pop.agg(sum(col("ni")).as("nt"))
+      val logged = ev.join(broadcast(pop), "item")
+        .crossJoin(broadcast(tot))
+        .select(col("r"),
+          floor(col("ni") * lit(1000000L) / col("nt")).cast("long")
+            .as("p_micros"))
+      graft.operators.Eval.ipsEval(logged, "r", "p_micros",
+        k = 50, clipMicros = 1000L)
+    }),
+
+    // Bradley–Terry preference strengths over event types: a beats b
+    // for a user when it occurs more often; 3 MM rounds, integer-
+    // micro quantized per-pair terms.
+    "qX_bradley_terry" -> ((s, dir) => {
+      val cnt = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val wins = cnt
+        .select(col("user_id"), col("event_type").as("a"),
+          col("c").as("ca"))
+        .join(cnt.select(col("user_id"), col("event_type").as("b"),
+          col("c").as("cb")), "user_id")
+        .filter(col("a") =!= col("b") && col("ca") > col("cb"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_wins"))
+      graft.operators.Stats.bradleyTerry(wins, "a", "b", "n_wins",
+        rounds = 3)
     }),
 
     // CUPED variance reduction: per-user pre-period activity as the
@@ -1041,6 +1127,34 @@ object EventQueries {
         |    AS DOUBLE) / p.n) AS BIGINT) AS wins_mean_micros
         |FROM v CROSS JOIN p CROSS JOIN lo CROSS JOIN hi
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "qX_ips" ->
+      """WITH ev AS (SELECT CAST(floor("value") AS BIGINT) % 50 AS item,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |pop AS (SELECT item, count(*) AS ni FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ni) AS BIGINT) AS nt FROM pop),
+        |lg AS (SELECT ev.r,
+        |    CAST(floor(pop.ni * 1000000 / tot.nt) AS BIGINT) AS p
+        |  FROM ev JOIN pop USING (item) CROSS JOIN tot),
+        |rw AS (SELECT r,
+        |    CASE WHEN p < 1000 THEN 1 ELSE 0 END AS clipped,
+        |    CAST(floor(1000000000000 / (50 * greatest(p, 1000)))
+        |      AS BIGINT) AS w
+        |  FROM lg),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(clipped) AS BIGINT) AS n_clipped,
+        |    CAST(sum(w) AS BIGINT) AS sum_w,
+        |    CAST(sum(r * w) AS BIGINT) AS sum_rw FROM rw)
+        |SELECT n, n_clipped, sum_w,
+        |  CAST(floor(CAST(sum_rw AS DOUBLE) / n) AS BIGINT) AS ips_micros,
+        |  CASE WHEN sum_w = 0 THEN 0
+        |    ELSE CAST(floor(1e6 * CAST(sum_rw AS DOUBLE)
+        |      / CAST(sum_w AS DOUBLE)) AS BIGINT)
+        |  END AS snips_micros
+        |FROM s""".stripMargin,
+
+    "qX_bradley_terry" -> btSql(3),
 
     "qX_cuped" ->
       s"""WITH per AS (SELECT user_id,

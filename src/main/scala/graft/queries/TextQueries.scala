@@ -488,6 +488,14 @@ object TextQueries {
         topN = 200)
     }),
 
+    // Heaps'-law vocabulary-growth fit across language slices — the
+    // zipf companion: template spam grows vocab too slowly, noise
+    // too fast.
+    "qX_heaps" -> ((s, dir) => {
+      TextAnalysis.heapsFit(Tables.load(s, dir, "documents"), "text",
+        "lang")
+    }),
+
     // TF-IDF keyword extraction: top-5 terms per doc, integer-milli
     // scores quantized before the limit.
     "qX_keywords" -> ((s, dir) => {
@@ -1768,6 +1776,36 @@ object TextQueries {
          |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
          |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
          |    AS slope_micros
+         |FROM sm""".stripMargin,
+    "qX_heaps" ->
+      s"""WITH d AS ($ToksSql),
+         |toks AS (SELECT g, unnest(toks) AS tok FROM (
+         |  SELECT documents.lang AS g, d.toks
+         |  FROM d JOIN documents USING (doc_id)) x),
+         |pts AS (SELECT g, count(*) AS nn, count(DISTINCT tok) AS v
+         |  FROM toks GROUP BY 1),
+         |xy AS (SELECT
+         |    CAST(round(1e6 * ln(CAST(nn AS DOUBLE))) AS BIGINT) AS x,
+         |    CAST(round(1e6 * ln(CAST(v AS DOUBLE))) AS BIGINT) AS y
+         |  FROM pts WHERE nn > 0 AND v > 0),
+         |sm AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+         |SELECT n AS n_groups,
+         |  CAST(floor(1e6 *
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+         |    AS beta_micros,
+         |  CAST(floor(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+         |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+         |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+         |    AS lnk_micros
          |FROM sm""".stripMargin,
     "qX_keywords" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

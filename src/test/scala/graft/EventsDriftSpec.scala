@@ -1065,6 +1065,42 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "train", 4L -> "test", 5L -> "test"))
   }
 
+  test("ipsEval: exact clipped weights, IPS and SNIPS folds") {
+    import graft.operators.Eval
+    // k=2; w = 1e12/(2·p): p=5e5 → 1e6, p=2.5e5 → 2e6; no clipping
+    val logged = Seq((1L, 500000L), (0L, 250000L)).toDF("r", "p")
+    val r = Eval.ipsEval(logged, "r", "p", k = 2, clipMicros = 100000L)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 0L, 3000000L, 500000L, 333333L)))
+    // a sub-clip propensity clamps to the clip and is counted
+    val low = Seq((1L, 50000L)).toDF("r", "p")
+    val rc = Eval.ipsEval(low, "r", "p", k = 2, clipMicros = 100000L)
+      .head()
+    assert((rc.getLong(1), rc.getLong(2)) == ((1L, 5000000L)))
+  }
+
+  test("bradleyTerry: 3-1 wins reach the exact 3:1 strength fixed point") {
+    import graft.operators.Stats
+    val wins = Seq(("a", "b", 3L), ("b", "a", 1L)).toDF("a", "b", "w")
+    val got = Stats.bradleyTerry(wins, "a", "b", "w", rounds = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // fixed point P(a>b) = 3/4 → strengths 1.5e6 / 0.5e6 at mean 1e6
+    assert(got == Map("a" -> ((1500000L, 3L)), "b" -> ((500000L, 1L))))
+  }
+
+  test("heapsFit: doubling vocab per 4x tokens fits beta = 0.5") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("g1", "a b a b"),
+      ("g2", "c d e f c d e f c d e f c d e f")).toDF("lang", "text")
+    val r = TextAnalysis.heapsFit(docs, "text", "lang").head()
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getLong(1) - 500000L) <= 10L, s"beta ${r.getLong(1)}")
+    assert(math.abs(r.getLong(2)) <= 10L, s"lnK ${r.getLong(2)}")
+  }
+
   test("burstiness: metronome is exactly -1, bursts positive, singletons excluded") {
     val e = Seq(
       // u1: perfect 10s metronome → σ = 0 → B = −1
