@@ -521,6 +521,42 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * graded form of [[decontaminate]]'s boolean (memorization-risk /
+    * synthetic-data-quality readout: a doc whose n-grams all appear
+    * in the training set adds nothing new; generation evaluation
+    * wants the fraction): `novelty = 1 − |sh(d) ∩ SH(ref)| / |sh(d)|`
+    * over distinct n-grams. Reference shingle set is distinct + the
+    * same broadcast-semi-join shape as decontamination; at a
+    * non-broadcastable reference scale the join degrades to a keyed
+    * shuffle, still linear.
+    *
+    * @return (idCol, n_shingles, n_seen, novelty_micros) for docs
+    *         with ≥ n tokens, ordered by id.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   ref: DataFrame, refTextCol: String,
+                   n: Int): DataFrame = {
+    val refSh = ref
+      .filter(size(tokenize(col(refTextCol))) >= n)
+      .select(explode(shingles(col(refTextCol), n)).as("s"))
+      .distinct()
+    val posts = docs
+      .filter(size(tokenize(col(textCol))) >= n)
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
+      .localCheckpoint(true) // totals + hit counts
+    val tot = posts.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val seen = posts.join(broadcast(refSh), Seq("s"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    tot.join(seen, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty_micros",
+        floor(lit(1000000L) * (col("n_shingles") - col("n_seen"))
+          / col("n_shingles")).cast("long"))
+      .orderBy(col(idCol))
+  }
+
   /** SimHash near-dup pairs with Hamming ≤ maxDist, found via the
     * pigeonhole band join ([[pigeonholeChunks]]): any pair within
     * maxDist shares at least one chunk exactly. Chunk widths stay

@@ -819,6 +819,54 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** Bond-percolation robustness curve (Callaway et al. 2000; the
+    * random-failure side of the Albert–Barabási attack analysis) —
+    * how much of the graph stays connected as edges fail: for each
+    * retention rate the simple undirected view keeps edges whose
+    * md5 bucket clears the rate (deterministic, replayable — the
+    * mixtureSample keep rule on edge keys), connected components run
+    * on the survivors, and the giant-component fraction is reported
+    * against the FULL vertex set (an isolated vertex is a size-1
+    * component). One CC pass per rate — rates are a handful, so the
+    * curve costs |rates| keyed-iteration runs, never |rates|·n².
+    *
+    * @return (rate_micros, n_edges_kept, n_vertices, giant_size,
+    *         giant_frac_micros), one row per rate, ordered.
+    */
+  def percolation(edges: DataFrame, rates: Seq[Double]): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true) // re-filtered once per rate
+    val verts = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id"))).distinct()
+      .localCheckpoint(true)
+    val nVerts = verts.count()
+    val spark = edges.sparkSession
+    val rows = rates.sorted.map { rate =>
+      val keep = canon.filter(
+        Sampling.md5Bucket(concat(col("u").cast("string"), lit(":"),
+          col("v").cast("string")))
+          < lit(math.floor(rate * Sampling.BucketSpace).toLong))
+        .localCheckpoint(true) // edge count + CC input
+      val nKept = keep.count()
+      val giant =
+        if (nKept == 0) 1L // every vertex isolated; giant = 1 (if any)
+        else connectedComponentsDF(
+            keep.select(col("u").as("src"), col("v").as("dst")))
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .agg(max(col("sz"))).head().getLong(0)
+      val g = if (nVerts == 0) 0L else giant
+      (math.floor(rate * 1e6).toLong, nKept, nVerts, g,
+        if (nVerts == 0) 0L else math.floor(1e6 * g.toDouble / nVerts).toLong)
+    }
+    import spark.implicits._
+    rows.toDF("rate_micros", "n_edges_kept", "n_vertices", "giant_size",
+        "giant_frac_micros")
+      .orderBy(col("rate_micros"))
+  }
+
   /** Coreness (k-shell number) of every vertex by ITERATED H-INDEX
     * (Lü et al. 2016: h⁰ = degree; hᵏ⁺¹(v) = H over the neighbors'
     * hᵏ — the largest h with ≥h neighbors at ≥h; the fixpoint IS the

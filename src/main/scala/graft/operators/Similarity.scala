@@ -745,4 +745,62 @@ object Similarity {
     }
     selected.orderBy(col("qid"), col("step"))
   }
+
+  /** Intra-list diversity of recommendation lists (Ziegler et al.
+    * 2005's ILD) — the metric [[mmr]] optimizes, measured: average
+    * pairwise cosine DISTANCE within each query's returned list. The
+    * pairwise stage is k-bounded per query (k² pairs of an
+    * already-truncated list, never corpus²); per-pair distances
+    * quantize to micros from the 4-decimal-rounded cosine (exact ×1e6
+    * in double) BEFORE the per-query fold.
+    *
+    * @param recs (qidCol, idCol) — a top-k run per query.
+    * @return (qid, n_pairs, ild_micros) ordered by qid.
+    */
+  def intraListDiversity(recs: DataFrame, emb: DataFrame, qidCol: String,
+                         idCol: String, embIdCol: String,
+                         vecCol: String): DataFrame = {
+    val r = recs.select(col(qidCol).as("qid"), col(idCol).as("id"))
+      .join(emb.select(col(embIdCol).as("id"), col(vecCol).as("v")), "id")
+      .localCheckpoint(true) // both sides of the k-bounded pair join
+    r.select(col("qid"), col("id").as("id1"), col("v").as("v1"))
+      .join(r.select(col("qid"), col("id").as("id2"), col("v").as("v2")),
+        "qid")
+      .filter(col("id1") < col("id2"))
+      .select(col("qid"),
+        round(lit(1e6) * (lit(1.0) - round(cosine(col("v1"), col("v2")), 4)))
+          .cast("long").as("d"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum(col("d")).cast("double") / count(lit(1))).cast("long")
+          .as("ild_micros"))
+      .orderBy(col("qid"))
+  }
+
+  /** IVF index-health report: the cell-size balance of an
+    * [[ivfAssign]]ment — a skewed inverted file serves skewed probe
+    * latencies (one hot cell = one hot partition), so production ANN
+    * deployments watch exactly this: per-cell sizes, the max/mean
+    * imbalance factor, and the size-distribution entropy via the
+    * exact-quantized identity H = ln n − Σ c·round(1e6·ln c)/n (the
+    * X217 convention — order-free BIGINT fold, one IEEE ln per cell
+    * of the B-row size table).
+    *
+    * @return one row (k_cells, n, min_cell, max_cell,
+    *         imbalance_micros, entropy_micros).
+    */
+  def ivfBalance(assigned: DataFrame, cellCol: String): DataFrame = {
+    val sizes = assigned.groupBy(col(cellCol).as("cell"))
+      .agg(count(lit(1)).as("c"))
+    sizes.agg(count(lit(1)).as("k_cells"), sum(col("c")).as("n"),
+        min(col("c")).as("min_cell"), max(col("c")).as("max_cell"),
+        sum(col("c") * round(lit(1e6) * log(col("c").cast("double")))
+          .cast("long")).as("slnc"))
+      .select(col("k_cells"), col("n"), col("min_cell"), col("max_cell"),
+        floor(lit(1e6) * col("max_cell").cast("double") * col("k_cells")
+          / col("n")).cast("long").as("imbalance_micros"),
+        floor(lit(1e6) * log(col("n").cast("double"))
+          - col("slnc").cast("double") / col("n")).cast("long")
+          .as("entropy_micros"))
+  }
 }

@@ -408,6 +408,15 @@ object GraphQueries {
       graft.operators.GraphAnalytics.corenessHIndex(edges, rounds = 4)
     }),
 
+    // Bond-percolation robustness: giant-component fraction at 25/50/
+    // 75% deterministic edge retention — how much failure the graph
+    // absorbs before it shatters.
+    "qX_percolation" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.percolation(edges,
+        Seq(0.25, 0.5, 0.75))
+    }),
+
     // Newman modularity — integer-micro per-community terms, one
     // keyed-fold pipeline (see operator doc). Two assignments gate the
     // arithmetic: the LPA labels (the dense hub graph collapses to ONE
@@ -952,6 +961,46 @@ object GraphQueries {
     }
     (Seq(head) ++ rs).mkString(",\n") +
       s"\nSELECT id, h AS coreness FROM h$rounds ORDER BY id"
+  }
+
+  /** Per-rate md5-retained edge set + recursive reachability closure +
+    * giant-component fold — the exact replay of
+    * [[graft.operators.GraphAnalytics.percolation]]. */
+  private def percolationSql(rates: Seq[Double]): String = {
+    val head =
+      s"""WITH RECURSIVE edges AS ($EdgesSql),
+         |canon AS (SELECT DISTINCT least(src, dst) AS u,
+         |    greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |verts AS (SELECT DISTINCT id FROM (
+         |  SELECT u AS id FROM canon
+         |  UNION ALL SELECT v FROM canon) vx),
+         |nv AS (SELECT count(*) AS n FROM verts)""".stripMargin
+    val blocks = rates.sorted.zipWithIndex.map { case (rate, i) =>
+      val cut = math.floor(rate * 4294967296.0).toLong
+      val rm = math.floor(rate * 1e6).toLong
+      s"""k$i AS (SELECT u, v FROM canon
+         |  WHERE CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || ':'
+         |    || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) < $cut),
+         |a$i AS (SELECT u AS f, v AS t FROM k$i
+         |  UNION ALL SELECT v AS f, u AS t FROM k$i),
+         |vv$i AS (SELECT DISTINCT f AS w FROM a$i),
+         |r$i(w, r) AS (SELECT w, w FROM vv$i
+         |  UNION
+         |  SELECT r$i.w, a$i.t FROM r$i JOIN a$i ON r$i.r = a$i.f),
+         |comp$i AS (SELECT w, min(r) AS comp FROM r$i GROUP BY 1),
+         |g$i AS (SELECT coalesce(max(sz), 1) AS giant FROM (
+         |  SELECT comp, count(*) AS sz FROM comp$i GROUP BY 1) x),
+         |row$i AS (SELECT CAST($rm AS BIGINT) AS rate_micros,
+         |  (SELECT count(*) FROM k$i) AS n_edges_kept,
+         |  nv.n AS n_vertices, g$i.giant AS giant_size,
+         |  CAST(floor(1e6 * g$i.giant / nv.n) AS BIGINT)
+         |    AS giant_frac_micros
+         |  FROM g$i CROSS JOIN nv)""".stripMargin
+    }
+    (Seq(head) ++ blocks).mkString(",\n") + "\n" +
+      rates.indices.map(i => s"SELECT * FROM row$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rate_micros")
   }
 
   /** Unrolled weighted-PageRank oracle: [[pagerankSql]]'s chained CTEs
@@ -1891,6 +1940,7 @@ object GraphQueries {
     "qX_lpa" -> lpaSql(4),
     "qX_louvain" -> louvainSql(2),
     "qX_coreness" -> corenessSql(4),
+    "qX_percolation" -> percolationSql(Seq(0.25, 0.5, 0.75)),
     "qX_modularity" ->
       (lpaCte(4) +
         s""",

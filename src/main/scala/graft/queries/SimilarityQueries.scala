@@ -46,6 +46,29 @@ object SimilarityQueries {
         "vec_id", "embedding", dims = 8, k = 10)
     }),
 
+    // Intra-list diversity of the exact top-5 lists — the metric MMR
+    // optimizes, measured: mean pairwise cosine distance per list,
+    // k-bounded pairs, micro-quantized before the fold.
+    "qX_ild" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val recs = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+        emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      Similarity.intraListDiversity(recs.select(col("qid"), col("id")),
+        emb, "qid", "id", "vec_id", "embedding")
+    }),
+
+    // IVF index health: cell-size min/max, imbalance factor and
+    // entropy of the qX_ann_ivf centroid assignment — the skew
+    // readout a production ANN deployment watches.
+    "qX_ivf_balance" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
+        "embedding")
+      Similarity.ivfBalance(assigned, "cid")
+    }),
+
     // MMR diversified re-rank: greedy λ-balanced relevance-vs-novelty
     // selection of 5 from each query's cosine top-20 — the
     // diverse-subset-selection primitive; unrolled 5-round oracle.
@@ -1818,6 +1841,56 @@ object SimilarityQueries {
         |  FROM sims)
         |SELECT qid, id, sim FROM ranked WHERE rn <= 5
         |ORDER BY qid, sim DESC, id""".stripMargin,
+    "qX_ild" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    round(list_cosine_similarity(q.qvec,
+        |      CAST(e.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |recs AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn
+        |    FROM sims) x WHERE rn <= 5),
+        |rv AS (SELECT r.qid, r.id, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM recs r JOIN embeddings e ON e.vec_id = r.id),
+        |pairs AS (
+        |  SELECT a.qid,
+        |    CAST(round(1e6 * (1.0
+        |      - round(list_cosine_similarity(a.v, b.v), 4))) AS BIGINT)
+        |      AS d
+        |  FROM rv a JOIN rv b ON a.qid = b.qid AND a.id < b.id)
+        |SELECT qid, count(*) AS n_pairs,
+        |  CAST(floor(CAST(sum(d) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS ild_micros
+        |FROM pairs GROUP BY 1 ORDER BY qid""".stripMargin,
+    "qX_ivf_balance" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id AS id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6)
+        |        DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) x WHERE rn = 1),
+        |sizes AS (SELECT cell, count(*) AS c FROM assigned GROUP BY 1),
+        |s AS (SELECT count(*) AS k_cells, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(min(c) AS BIGINT) AS min_cell,
+        |    CAST(max(c) AS BIGINT) AS max_cell,
+        |    CAST(sum(c * CAST(round(1e6 * ln(CAST(c AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT) AS slnc
+        |  FROM sizes)
+        |SELECT k_cells, n, min_cell, max_cell,
+        |  CAST(floor(1e6 * CAST(max_cell AS DOUBLE) * k_cells / n)
+        |    AS BIGINT) AS imbalance_micros,
+        |  CAST(floor(1e6 * ln(CAST(n AS DOUBLE))
+        |    - CAST(slnc AS DOUBLE) / n) AS BIGINT) AS entropy_micros
+        |FROM s""".stripMargin,
     "qX_hard_neg" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, label AS qlabel,

@@ -1243,6 +1243,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-doc trigram novelty vs the reference slice — the graded
+    // decontamination: what fraction of a doc's n-grams the training
+    // corpus has never seen (memorization-risk / generation-quality).
+    "qX_novelty" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.ngramNovelty(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", docs.filter(col("doc_id") >= 200), "text", 3)
+    }),
+
     // Benchmark decontamination: every 97th doc is the "benchmark";
     // flag corpus docs sharing any trigram with it (bench docs flag
     // themselves — a doc containing benchmark text IS contaminated).
@@ -2723,6 +2732,30 @@ object TextQueries {
          |  len(regexp_extract_all(t2, '$phone')) AS n_phones
          |FROM e ORDER BY doc_id""".stripMargin
     },
+    "qX_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM d WHERE len(toks) >= 3),
+        |ref AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+        |  WHERE doc_id >= 200),
+        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh
+        |  WHERE doc_id < 200),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM posts
+        |  GROUP BY 1),
+        |seen AS (SELECT posts.doc_id, count(*) AS n_seen
+        |  FROM posts JOIN ref USING (s) GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_shingles,
+        |  coalesce(seen.n_seen, 0) AS n_seen,
+        |  CAST(floor(1000000 * (tot.n_shingles - coalesce(seen.n_seen, 0))
+        |    / tot.n_shingles) AS BIGINT) AS novelty_micros
+        |FROM tot LEFT JOIN seen USING (doc_id)
+        |ORDER BY tot.doc_id""".stripMargin,
+
     "qX_decontam" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -236,6 +236,42 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .head().getDouble(2) == 0.4)
   }
 
+  test("ngramNovelty: seen fraction exact, full copy scores zero") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "a b c x y"), // trigrams: abc(seen) bcx cxy → novelty 2/3
+      (2L, "a b c d")    // full copy → novelty 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(test, "doc_id", "text", ref, "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> ((3L, 1L, 666666L)),
+      2L -> ((2L, 2L, 0L))))
+  }
+
+  test("intraListDiversity: identical list 0, orthogonal list 1e6") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val recs = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 3L))
+      .toDF("qid", "id")
+    val got = Similarity.intraListDiversity(recs, emb, "qid", "id",
+        "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(10L -> ((1L, 0L)), 20L -> ((1L, 1000000L))))
+  }
+
+  test("ivfBalance: uniform two-cell assignment has ln2 entropy, imbalance k·max/n") {
+    val assigned = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("vec_id", "cid")
+    val r = Similarity.ivfBalance(assigned, "cid").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 4L, 2L, 2L)))
+    assert(r.getLong(4) == 1000000L) // perfectly balanced
+    assert(math.abs(r.getLong(5) - 693147L) <= 1L) // ln 2 micros
+  }
+
   test("containmentPairsBanded ⊆ exact with identical scores; df cap prunes stopword-only pairs") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 300)

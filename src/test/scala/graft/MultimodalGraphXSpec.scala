@@ -987,6 +987,18 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("percolation: zero retention leaves singletons, full retention the true giant") {
+    // triangle {1,2,3} + disjoint edge {4,5}: 5 vertices
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphAnalytics.percolation(g, Seq(0.0, 1.0))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // rate 0: nothing kept, every vertex isolated → giant = 1 of 5
+    assert(got(0L) == ((0L, 5L, 1L, 200000L)))
+    // rate 1: all 4 edges kept → the triangle is the giant (3 of 5)
+    assert(got(1000000L) == ((4L, 5L, 3L, 600000L)))
+  }
+
   test("corenessHIndex: K4 core is 3, pendant is 1, hub degree collapses to its shell") {
     // K4 {1,2,3,4} + pendant 5–1: coreness 3/3/3/3/1; vertex 1's
     // h-index starts at degree 4 and must collapse to 3 in round 1
