@@ -652,6 +652,65 @@ object Eval {
         lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_micros"))
   }
 
+  /** Isotonic (monotone) calibration over probability bins via the
+    * CLOSED-FORM pool-adjacent-violators solution (Ayer et al. 1955's
+    * minimax identity: `f_i = max_{j≤i} min_{k≥i} avg(y over bins
+    * j..k)` — no data-dependent merge loop, so the whole fit is three
+    * joins over the B-row bin table and replays exactly in SQL): the
+    * non-parametric alternative to [[QualityLr]]-style Platt scaling
+    * when the reliability curve isn't sigmoid-shaped. Range averages
+    * come from bin prefix sums (exact BIGINT) and quantize to micros
+    * per (j,k) BEFORE the minimax, so the fit is engine-exact; the
+    * output is monotone non-decreasing by construction.
+    *
+    * @param scored (pCol: micros in [0, 1e6], labelCol: 0/1).
+    * @return (bin, n_b, mean_p_micros, iso_micros) per non-empty bin,
+    *         ordered — iso is the calibrated probability for the bin.
+    */
+  def isotonicBins(scored: DataFrame, labelCol: String, pCol: String,
+                   bins: Int = 10): DataFrame = {
+    val b = scored.select(
+        least(lit(bins - 1), floor(col(pCol) * lit(bins) / lit(1000000L)))
+          .as("bin"),
+        col(pCol).as("p"),
+        (col(labelCol).cast("long") * lit(1000000L)).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("p")).as("sp"),
+        sum(col("y")).as("sy"))
+      .localCheckpoint(true) // B rows; feeds prefix sums + output
+    // BOUNDED window: the ≤`bins`-row bin table
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.select(col("bin"), col("nb"), col("sy"))
+      .withColumn("cn", sum(col("nb")).over(w))
+      .withColumn("cy", sum(col("sy")).over(w))
+      .localCheckpoint(true)
+    // range averages avg(j..k), micro-quantized: one row per j ≤ k
+    val lo = cum.select(col("bin").as("j"), (col("cn") - col("nb")).as("cn0"),
+      (col("cy") - col("sy")).as("cy0"))
+    val ranges = lo.crossJoin(cum.select(col("bin").as("k"),
+        col("cn").as("cnk"), col("cy").as("cyk")))
+      .filter(col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        floor((col("cyk") - col("cy0")).cast("double")
+          / (col("cnk") - col("cn0"))).cast("long").as("avg_micros"))
+    // f_i = max_{j≤i} min_{k≥i} avg(j..k): inner min per (j, i), outer
+    // max per i — both folds over the ≤B² range table
+    val inner = ranges
+      .join(b.select(col("bin").as("i")), col("k") >= col("i"))
+      .filter(col("j") <= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(min(col("avg_micros")).as("mn"))
+    val fit = inner.groupBy(col("i").as("bin"))
+      .agg(max(col("mn")).as("iso_micros"))
+    b.join(fit, "bin")
+      .select(col("bin"), col("nb").as("n_b"),
+        floor(col("sp").cast("double") / col("nb")).cast("long")
+          .as("mean_p_micros"),
+        col("iso_micros"))
+      .orderBy(col("bin"))
+  }
+
   /** Inverse-propensity-score offline policy evaluation (Horvitz &
     * Thompson 1952; Li et al. 2011's unbiased offline evaluator) —
     * "what would the TARGET policy's reward have been" from logs

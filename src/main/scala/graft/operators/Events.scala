@@ -93,6 +93,72 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Per-cohort cumulative-value (LTV) curves — the revenue companion
+    * of [[retentionCohorts]]: users cohort by first-seen week and
+    * every cohort accumulates its value sum across week offsets, so
+    * column `cum_value_micros / cohort_size` at offset w IS the
+    * average w-week LTV the payback model reads. Per-cohort
+    * cumulative windows run over the WEEK-OFFSET grid (≤ maxOffset
+    * rows per cohort), never events; value folds are exact integer
+    * micros.
+    *
+    * @return (cohort_week, week_offset, cohort_size, value_micros,
+    *         cum_value_micros, ltv_micros) ordered.
+    */
+  def ltvCurves(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String, maxOffset: Int): DataFrame = {
+    val e = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      floor(col(valueCol) * lit(1e6)).cast("long").as("v"))
+    val first = e.groupBy("u").agg(min("ts").as("first_ts"))
+      .select(col("u"), date_trunc("week", col("first_ts")).as("cohort"))
+      .localCheckpoint(true) // joined to events AND sized
+    val byOffset = e.join(first, "u")
+      .select(col("cohort"),
+        (datediff(date_trunc("week", col("ts")), col("cohort")) / lit(7))
+          .cast("long").as("week_offset"), col("v"))
+      .filter(col("week_offset") <= maxOffset)
+      .groupBy("cohort", "week_offset")
+      .agg(sum(col("v")).as("value_micros"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    // BOUNDED window: per-cohort offset grid (≤ maxOffset+1 rows)
+    val w = Window.partitionBy("cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byOffset.withColumn("cum_value_micros", sum(col("value_micros")).over(w))
+      .join(sizes, "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("cohort_size"), col("value_micros"),
+        col("cum_value_micros"),
+        floor(col("cum_value_micros").cast("double") / col("cohort_size"))
+          .cast("long").as("ltv_micros"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Time-to-convert distribution — funnel latency percentiles every
+    * growth team tracks: per user the delay from the first `fromType`
+    * event to the first `toType` event AFTER it; exact p50/p90/p99
+    * from [[graft.operators.Sketches.exactQuantiles]]'s
+    * distributed-rank primitive (no global window).
+    *
+    * @return one row per requested quantile: (q_micros, delay_s).
+    */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromType: String, toType: String,
+                    qs: Seq[Long] = Seq(500000L, 900000L, 990000L))
+      : DataFrame = {
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_micros(col(tsCol)).as("ts_us"))
+    val starts = e.filter(col("t") === fromType)
+      .groupBy("u").agg(min(col("ts_us")).as("t0"))
+    val conv = e.filter(col("t") === toType)
+      .join(starts, "u")
+      .filter(col("ts_us") > col("t0"))
+      .groupBy("u").agg(min(col("ts_us") - col("t0")).as("d_us"))
+    val delays = conv.select(
+      floor(col("d_us") / lit(1000000L)).cast("long").as("delay_s"),
+      col("u").as("tie"))
+    Sketches.exactQuantiles(delays, "delay_s", "tie", qs)
+  }
+
   /** First-order behavior transition matrix (Markov chain over event
     * types): per-user event sequences ordered by `(ts, tieCols…)`
     * yield `(src, dst)` adjacent-pair counts and row-normalized

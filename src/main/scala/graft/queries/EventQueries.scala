@@ -349,6 +349,21 @@ object EventQueries {
         "event_type", minSupport = 5L)
     }),
 
+    // Per-cohort cumulative LTV curves — the revenue companion of
+    // qX_retention: average w-week value per cohort user, cumulative
+    // windows over the offset grid only.
+    "qX_ltv" -> ((s, dir) => {
+      Events.ltvCurves(t(s, dir, "events"), "user_id", "ts", "value",
+        maxOffset = 8)
+    }),
+
+    // Funnel latency: p50/p90/p99 of signup→purchase delay via the
+    // exact distributed-rank quantile primitive.
+    "qX_time_to_convert" -> ((s, dir) => {
+      Events.timeToConvert(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "signup", "purchase")
+    }),
+
     // Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps —
     // metronome bots → −1, Poisson → 0, bursty humans → +1; exact
     // integer folds, one sqrt (IEEE-correctly-rounded, engine-exact).
@@ -1067,6 +1082,57 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_ltv" ->
+      """WITH e AS (SELECT user_id AS u, ts,
+        |    CAST(floor("value" * 1e6) AS BIGINT) AS v
+        |  FROM events),
+        |f AS (SELECT u, date_trunc('week', min(ts)) AS cohort
+        |  FROM e GROUP BY 1),
+        |bo AS (SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7
+        |      AS BIGINT) AS week_offset,
+        |    CAST(sum(e.v) AS BIGINT) AS value_micros
+        |  FROM e JOIN f USING (u)
+        |  WHERE CAST(date_diff('day', f.cohort, date_trunc('week', e.ts))
+        |      / 7 AS BIGINT) <= 8
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
+        |c AS (SELECT cohort, week_offset, value_micros,
+        |    CAST(sum(value_micros) OVER (PARTITION BY cohort
+        |      ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM bo)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+        |  c.week_offset, sz.cohort_size, c.value_micros,
+        |  c.cum AS cum_value_micros,
+        |  CAST(floor(CAST(c.cum AS DOUBLE) / sz.cohort_size) AS BIGINT)
+        |    AS ltv_micros
+        |FROM c JOIN sz USING (cohort)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "qX_time_to_convert" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |st AS (SELECT u, min(ts_us) AS t0 FROM e WHERE t = 'signup'
+        |  GROUP BY 1),
+        |cv AS (SELECT e.u, min(e.ts_us - st.t0) AS d_us
+        |  FROM e JOIN st USING (u)
+        |  WHERE e.t = 'purchase' AND e.ts_us > st.t0
+        |  GROUP BY 1),
+        |d AS (SELECT CAST(floor(d_us / 1000000) AS BIGINT) AS delay_s,
+        |    u AS tie FROM cv),
+        |r AS (SELECT delay_s, row_number() OVER (
+        |    ORDER BY delay_s, tie) AS rn FROM d),
+        |n AS (SELECT count(*) AS n FROM d),
+        |q(q_micros) AS (VALUES (CAST(500000 AS BIGINT)),
+        |  (CAST(900000 AS BIGINT)), (CAST(990000 AS BIGINT)))
+        |SELECT q.q_micros, r.delay_s
+        |FROM q CROSS JOIN n JOIN r
+        |  ON r.rn = greatest(1, CAST(ceil(q.q_micros / 1e6 * n.n)
+        |    AS BIGINT))
+        |ORDER BY q.q_micros""".stripMargin,
 
     "qX_burstiness" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id

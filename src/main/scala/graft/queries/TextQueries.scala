@@ -1039,6 +1039,21 @@ object TextQueries {
       graft.operators.Eval.brierScore(scored, "y", "p_micros")
     }),
 
+    // Isotonic calibration over the same probability deciles via the
+    // closed-form minimax PAV — the non-parametric alternative to
+    // qX_platt when the reliability curve isn't sigmoid-shaped.
+    "qX_isotonic" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 200)
+        .withColumn("y", (col("doc_id") < 350).cast("int"))
+      val model = QualityLr.train(train, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 1.0)
+      val scored = QualityLr.score(train, "doc_id", "text", model,
+          buckets = 64)
+        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.Eval.isotonicBins(scored, "y", "p_micros")
+    }),
+
     // Murphy decomposition of the same Brier score: reliability −
     // resolution + uncertainty over probability deciles — WHERE the
     // classifier loses points, not just how many.
@@ -2254,6 +2269,40 @@ object TextQueries {
          |      + (cnt - pos) * s * s) * 1.0
          |    / (sum(cnt) * 1000000)) AS BIGINT) AS brier_micros
          |FROM g""".stripMargin,
+    "qX_isotonic" ->
+      s"""$LrScoredGSql,
+         |bb AS (SELECT least(9, CAST(floor(s * 10 / 1000000) AS BIGINT))
+         |    AS bin,
+         |    CAST(sum(cnt) AS BIGINT) AS nb,
+         |    CAST(sum(s * cnt) AS BIGINT) AS sp,
+         |    CAST(sum(pos) * 1000000 AS BIGINT) AS sy
+         |  FROM g GROUP BY 1),
+         |cum AS (SELECT bin, nb, sp, sy,
+         |    CAST(sum(nb) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cn,
+         |    CAST(sum(sy) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cy
+         |  FROM bb),
+         |ranges AS (SELECT lo.j, hi.k,
+         |    CAST(floor(CAST(hi.cy - lo.cy0 AS DOUBLE)
+         |      / (hi.cn - lo.cn0)) AS BIGINT) AS avg_micros
+         |  FROM (SELECT bin AS j, cn - nb AS cn0, cy - sy AS cy0
+         |    FROM cum) lo
+         |  CROSS JOIN (SELECT bin AS k, cn, cy FROM cum) hi
+         |  WHERE lo.j <= hi.k),
+         |inn AS (SELECT i.bin AS i, r.j, min(r.avg_micros) AS mn
+         |  FROM ranges r JOIN bb i ON r.k >= i.bin AND r.j <= i.bin
+         |  GROUP BY 1, 2),
+         |fit AS (SELECT i AS bin, CAST(max(mn) AS BIGINT) AS iso_micros
+         |  FROM inn GROUP BY 1)
+         |SELECT bb.bin, bb.nb AS n_b,
+         |  CAST(floor(CAST(bb.sp AS DOUBLE) / bb.nb) AS BIGINT)
+         |    AS mean_p_micros,
+         |  fit.iso_micros
+         |FROM bb JOIN fit USING (bin) ORDER BY bb.bin""".stripMargin,
+
     "qX_brier_decomp" ->
       s"""$LrScoredGSql,
          |bb AS (SELECT least(9, CAST(floor(s * 10 / 1000000) AS BIGINT))

@@ -1065,6 +1065,66 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "train", 4L -> "test", 5L -> "test"))
   }
 
+  test("ltvCurves: per-cohort cumulative value, ltv divides by cohort size") {
+    import graft.operators.Events
+    // one Monday-anchored cohort of 2 users; u2 never spends again
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, ts("2024-01-02 10:00:00"), 2.0),
+      (1L, ts("2024-01-08 10:00:00"), 5.0)).toDF("u", "ts", "v")
+    val got = Events.ltvCurves(e, "u", "ts", "v", maxOffset = 8)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // week 0: 12.0 total; week 1: +5.0 → cum 17.0; ltv = cum/2
+    assert(got == Map(
+      0L -> ((2L, 12000000L, 12000000L, 6000000L)),
+      1L -> ((2L, 5000000L, 17000000L, 8500000L))))
+  }
+
+  test("timeToConvert: first-start to first-later-conversion, exact quantile ranks") {
+    import graft.operators.Events
+    // delays: u1 = 100s, u2 = 200s, u3 = 300s; u4 purchases BEFORE
+    // signing up (no conversion), u5 never converts
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:01:40"), "purchase"),
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      (2L, ts("2024-01-01 00:03:20"), "purchase"),
+      (3L, ts("2024-01-01 00:00:00"), "signup"),
+      (3L, ts("2024-01-01 00:05:00"), "purchase"),
+      (4L, ts("2024-01-01 00:05:00"), "signup"),
+      (4L, ts("2024-01-01 00:00:00"), "purchase"),
+      (5L, ts("2024-01-01 00:00:00"), "signup")).toDF("u", "ts", "t")
+    val got = Events.timeToConvert(e, "u", "ts", "t", "signup",
+        "purchase", Seq(500000L, 1000000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=3: p50 rank ceil(1.5)=2 → 200s; p100 rank 3 → 300s
+    assert(got == Map(500000L -> 200L, 1000000L -> 300L))
+  }
+
+  test("isotonicBins: violators pool to the range mean, monotone stays put") {
+    import graft.operators.Eval
+    // bin0 mean 1.0, bin9 mean 0.0 — a violation: PAV pools both to .5
+    val bad = Seq((50000L, 1), (950000L, 0)).toDF("p", "y")
+    val g1 = Eval.isotonicBins(bad, "y", "p").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(g1 == Map(0L -> 500000L, 9L -> 500000L))
+    // already-monotone bins are returned untouched
+    val ok = Seq((50000L, 0), (950000L, 1)).toDF("p", "y")
+    val g2 = Eval.isotonicBins(ok, "y", "p").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(g2 == Map(0L -> 0L, 9L -> 1000000L))
+    // output is monotone non-decreasing on real-shaped data
+    val mixed = Seq((100000L, 0), (100000L, 1), (300000L, 0),
+      (500000L, 1), (700000L, 0), (900000L, 1), (900000L, 1))
+      .toDF("p", "y")
+    val iso = Eval.isotonicBins(mixed, "y", "p").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(iso.sliding(2).forall(w => w.length < 2 || w(0)._2 <= w(1)._2),
+      iso.mkString(","))
+  }
+
   test("ipsEval: exact clipped weights, IPS and SNIPS folds") {
     import graft.operators.Eval
     // k=2; w = 1e12/(2·p): p=5e5 → 1e6, p=2.5e5 → 2e6; no clipping
