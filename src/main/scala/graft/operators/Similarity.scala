@@ -777,6 +777,42 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Simplified silhouette (Hruschka et al. 2004 — the O(n·k)
+    * centroid form of Rousseeuw 1987's O(n²) silhouette) — cluster
+    * quality per cluster: for each point, `a` = cosine distance to
+    * its OWN centroid, `b` = distance to the nearest OTHER centroid,
+    * `s = (b − a)/max(a, b)` ∈ [−1, 1] (negative = probably
+    * mis-assigned). Centroids broadcast; per-point scores quantize to
+    * micros from 6-decimal-rounded cosines BEFORE the per-cluster
+    * fold (order-free).
+    *
+    * @param assigned (idCol, vecCol, cellCol) from [[ivfAssign]] /
+    *                 [[kmeansFit]] assignment.
+    * @return (cell, n, mean_sil_micros) per cluster, ordered.
+    */
+  def silhouetteSimplified(assigned: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String,
+                           cellCol: String): DataFrame = {
+    val c = broadcast(centroids.select(col("cid"), col("cvec")))
+    val d = assigned.select(col(idCol).as("id"), col(vecCol).as("v"),
+        col(cellCol).as("cell"))
+      .join(c)
+      .withColumn("dist",
+        lit(1.0) - round(cosine(col("v"), col("cvec")), 6))
+      .groupBy(col("id"), col("cell"))
+      .agg(min(when(col("cid") === col("cell"), col("dist"))).as("a"),
+        min(when(col("cid") =!= col("cell"), col("dist"))).as("b"))
+    d.select(col("cell"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0L))
+          .otherwise(round(lit(1e6) * (col("b") - col("a"))
+            / greatest(col("a"), col("b"))).cast("long")).as("s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("s")).cast("double") / count(lit(1))).cast("long")
+          .as("mean_sil_micros"))
+      .orderBy(col("cell"))
+  }
+
   /** IVF index-health report: the cell-size balance of an
     * [[ivfAssign]]ment — a skewed inverted file serves skewed probe
     * latencies (one hot cell = one hot partition), so production ANN

@@ -75,6 +75,44 @@ object Stats {
           .as("trimmed_mean_micros"))
   }
 
+  /** Mann–Whitney U test (Mann & Whitney 1947) — the NONPARAMETRIC
+    * A/B readout beside [[welchT]]: no normality assumption, robust
+    * to the heavy tails that break t-tests on revenue metrics. Both
+    * samples rank together under the (value, side, id) TOTAL order
+    * via [[Packing.globalRank]] (tie-broken ranks, not midranks — the
+    * [[graft.operators.Eval.spearman]] convention, documented; with
+    * heavy ties prefer the exact-count tests); U_a = R_a −
+    * n_a(n_a+1)/2, and the normal-approximation z uses one
+    * correctly-rounded sqrt over exact integer moments.
+    *
+    * @return one row (n_a, n_b, r_a, u_a, u_b, z_micros).
+    */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String,
+                   tieCol: String): DataFrame = {
+    val both = a.select(floor(col(valueCol) * lit(1e6)).cast("long")
+        .as("v"), lit(0).as("side"), col(tieCol).as("tie"))
+      .unionByName(b.select(floor(col(valueCol) * lit(1e6)).cast("long")
+        .as("v"), lit(1).as("side"), col(tieCol).as("tie")))
+    val (ranked, _) = Packing.globalRank(both, Seq("v", "side", "tie"))
+    val s = ranked.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("side") === 0, col("_grank")).otherwise(0L)).as("ra"))
+    val ua = (col("ra") - col("na") * (col("na") + 1) / lit(2))
+      .cast("long")
+    val ub = col("na") * col("nb") - ua
+    // z = (U_a − n_a·n_b/2) / sqrt(n_a·n_b·(n_a+n_b+1)/12): exact
+    // integer numerator (doubled to keep /2 exact), one sqrt
+    val num2 = lit(2) * ua - col("na") * col("nb")
+    val sig = sqrt((col("na") * col("nb") * (col("na") + col("nb") + 1))
+      .cast("double") / lit(12.0))
+    s.select(col("na").as("n_a"), col("nb").as("n_b"), col("ra").as("r_a"),
+      ua.as("u_a"), ub.as("u_b"),
+      when(col("na") === 0 || col("nb") === 0, lit(0L))
+        .otherwise(floor(lit(1e6) * num2.cast("double")
+          / (lit(2.0) * sig)).cast("long")).as("z_micros"))
+  }
+
   /** Bradley–Terry preference-strength fitting (Bradley & Terry
     * 1952; Hunter 2004's MM iteration) — the pairwise-comparison
     * model behind interleaving readouts and preference-data curation:

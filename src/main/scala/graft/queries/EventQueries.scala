@@ -349,6 +349,27 @@ object EventQueries {
         "event_type", minSupport = 5L)
     }),
 
+    // Mann–Whitney U: the nonparametric A/B test beside qX_welch —
+    // click vs view values, tie-broken joint ranks on the exact
+    // distributed-rank primitive.
+    "qX_mannwhitney" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Stats.mannWhitneyU(
+        ev.filter(col("event_type") === "click")
+          .select(col("value"), col("event_id")),
+        ev.filter(col("event_type") === "view")
+          .select(col("value"), col("event_id")),
+        "value", "event_id")
+    }),
+
+    // WOE / information value of decile-binned value vs the purchase
+    // label — the credit-scoring feature screen beside qX_chi2.
+    "qX_woe" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("value"), col("event_id"),
+        (col("event_type") === "purchase").cast("int").as("y"))
+      graft.operators.Features.woeIv(ev, "value", "event_id", "y", 10)
+    }),
+
     // Per-cohort cumulative LTV curves — the revenue companion of
     // qX_retention: average w-week value per cohort user, cumulative
     // windows over the offset grid only.
@@ -1082,6 +1103,64 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_mannwhitney" ->
+      """WITH aa AS (SELECT CAST(floor("value" * 1e6) AS BIGINT) AS v,
+        |    0 AS side, event_id AS tie FROM events
+        |  WHERE event_type = 'click'),
+        |bb AS (SELECT CAST(floor("value" * 1e6) AS BIGINT) AS v,
+        |    1 AS side, event_id AS tie FROM events
+        |  WHERE event_type = 'view'),
+        |u AS (SELECT * FROM aa UNION ALL SELECT * FROM bb),
+        |r AS (SELECT side, row_number() OVER (ORDER BY v, side, tie)
+        |    AS rn FROM u),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN side = 0 THEN rn ELSE 0 END) AS BIGINT)
+        |      AS ra
+        |  FROM r)
+        |SELECT na AS n_a, nb AS n_b, ra AS r_a,
+        |  CAST(ra - na * (na + 1) / 2 AS BIGINT) AS u_a,
+        |  CAST(na * nb - (ra - na * (na + 1) / 2) AS BIGINT) AS u_b,
+        |  CASE WHEN na = 0 OR nb = 0 THEN 0
+        |    ELSE CAST(floor(1e6 *
+        |      CAST(2 * (ra - na * (na + 1) / 2) - na * nb AS DOUBLE)
+        |      / (2.0 * sqrt(CAST(na * nb * (na + nb + 1) AS DOUBLE)
+        |        / 12.0))) AS BIGINT)
+        |  END AS z_micros
+        |FROM s""".stripMargin,
+
+    "qX_woe" ->
+      """WITH d AS (SELECT "value" AS v, event_id AS tie,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |r AS (SELECT y, row_number() OVER (ORDER BY v, tie) AS rn
+        |  FROM d),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |binned AS (SELECT y,
+        |    CAST(floor(10 * (rn - 1) / nn.n) AS BIGINT) AS bin
+        |  FROM r CROSS JOIN nn),
+        |b AS (SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        |  FROM binned GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pos,
+        |    CAST(sum(n_neg) AS BIGINT) AS neg FROM b),
+        |w AS (SELECT b.bin, b.n_pos, b.n_neg, t.pos, t.neg,
+        |    CASE WHEN b.n_pos = 0 OR b.n_neg = 0 THEN NULL
+        |      ELSE CAST(round(1e6 * ln(
+        |        CAST(b.n_pos * t.neg AS DOUBLE)
+        |          / CAST(b.n_neg * t.pos AS DOUBLE))) AS BIGINT)
+        |    END AS woe_micros
+        |  FROM b CROSS JOIN t)
+        |SELECT bin, n_pos, n_neg, woe_micros,
+        |  CASE WHEN woe_micros IS NULL THEN NULL
+        |    ELSE CAST(floor((CAST(n_pos AS DOUBLE) / pos
+        |      - CAST(n_neg AS DOUBLE) / neg) * woe_micros) AS BIGINT)
+        |  END AS iv_term_micros
+        |FROM w ORDER BY bin""".stripMargin,
 
     "qX_ltv" ->
       """WITH e AS (SELECT user_id AS u, ts,

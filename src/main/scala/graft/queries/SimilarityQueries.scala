@@ -57,6 +57,19 @@ object SimilarityQueries {
         emb, "qid", "id", "vec_id", "embedding")
     }),
 
+    // Simplified silhouette of the IVF assignment — per-cluster
+    // quality: (nearest-other − own)-centroid distance ratio per
+    // point, micro-quantized before the cluster fold.
+    "qX_silhouette" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
+        "embedding")
+      Similarity.silhouetteSimplified(assigned, centroids, "vec_id",
+        "embedding", "cid")
+    }),
+
     // IVF index health: cell-size min/max, imbalance factor and
     // entropy of the qX_ann_ivf centroid assignment — the skew
     // readout a production ANN deployment watches.
@@ -1867,6 +1880,34 @@ object SimilarityQueries {
         |  CAST(floor(CAST(sum(d) AS DOUBLE) / count(*)) AS BIGINT)
         |    AS ild_micros
         |FROM pairs GROUP BY 1 ORDER BY qid""".stripMargin,
+    "qX_silhouette" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id AS id, v, cid AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6)
+        |        DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) x WHERE rn = 1),
+        |d AS (SELECT a.id, a.cell,
+        |    min(CASE WHEN c.cid = a.cell
+        |      THEN 1.0 - round(list_cosine_similarity(a.v, c.cvec), 6)
+        |      END) AS da,
+        |    min(CASE WHEN c.cid <> a.cell
+        |      THEN 1.0 - round(list_cosine_similarity(a.v, c.cvec), 6)
+        |      END) AS db
+        |  FROM assigned a CROSS JOIN c GROUP BY 1, 2),
+        |s AS (SELECT cell,
+        |    CASE WHEN greatest(da, db) = 0 THEN 0
+        |      ELSE CAST(round(1e6 * (db - da) / greatest(da, db))
+        |        AS BIGINT) END AS sc
+        |  FROM d)
+        |SELECT cell, count(*) AS n,
+        |  CAST(floor(CAST(sum(sc) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS mean_sil_micros
+        |FROM s GROUP BY 1 ORDER BY cell""".stripMargin,
     "qX_ivf_balance" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

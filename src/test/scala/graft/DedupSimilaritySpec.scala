@@ -262,6 +262,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(10L -> ((1L, 0L)), 20L -> ((1L, 1000000L))))
   }
 
+  test("silhouetteSimplified: centroid points score 1, a straddler scores (b-a)/b") {
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val assigned = Seq(
+      (10L, Seq(1.0f, 0.0f), 0L),  // exactly on centroid 0 → s = 1
+      (11L, Seq(0.0f, 1.0f), 1L),  // exactly on centroid 1 → s = 1
+      (12L, Seq(0.8f, 0.6f), 0L))  // a = .2, b = .4 → s = .5
+      .toDF("vec_id", "embedding", "cid")
+    val got = Similarity.silhouetteSimplified(assigned, cents, "vec_id",
+        "embedding", "cid")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == ((1L, 1000000L)))
+    val (n0, s0) = got(0L)
+    assert(n0 == 2L && math.abs(s0 - 750000L) <= 5L, s"cell0 $s0")
+  }
+
   test("ivfBalance: uniform two-cell assignment has ln2 entropy, imbalance k·max/n") {
     val assigned = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
       .toDF("vec_id", "cid")

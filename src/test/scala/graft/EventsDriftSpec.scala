@@ -1065,6 +1065,38 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "train", 4L -> "test", 5L -> "test"))
   }
 
+  test("mannWhitneyU: disjoint samples give extreme U, exact rank sums") {
+    import graft.operators.Stats
+    val a = Seq((1.0, 1L), (2.0, 2L), (3.0, 3L)).toDF("v", "id")
+    val b = Seq((4.0, 4L), (5.0, 5L), (6.0, 6L)).toDF("v", "id")
+    val r = Stats.mannWhitneyU(a, b, "v", "id").head()
+    // a holds ranks 1..3 → R_a = 6, U_a = 0, U_b = 9
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 3L, 6L, 0L, 9L)))
+    assert(r.getLong(5) < -1900000L) // strongly negative z
+    // symmetric swap flips the sign exactly
+    val r2 = Stats.mannWhitneyU(b, a, "v", "id").head()
+    assert(r2.getLong(3) == 9L && r2.getLong(5) > 1900000L)
+  }
+
+  test("woeIv: separating bins carry symmetric WOE, zero cells go NULL") {
+    import graft.operators.Features
+    val df = (1 to 8).map(i => (i.toDouble, i.toLong,
+      if (Seq(4, 6, 7, 8).contains(i)) 1 else 0)).toDF("v", "id", "y")
+    val rows = Features.woeIv(df, "v", "id", "y", 2).collect()
+    val got = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    // bin0: 1 pos / 3 neg → WOE = ln(1/3); bin1 mirrored
+    assert(got(0L) == ((1L, 3L, Some(-1098612L), Some(549306L))))
+    assert(got(1L) == ((3L, 1L, Some(1098612L), Some(549306L))))
+    // a pure bin has infinite WOE → NULL, visibly
+    val pure = Seq((1.0, 1L, 0), (2.0, 2L, 0), (3.0, 3L, 1), (4.0, 4L, 1))
+      .toDF("v", "id", "y")
+    val p = Features.woeIv(pure, "v", "id", "y", 2).collect()
+    assert(p.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("ltvCurves: per-cohort cumulative value, ltv divides by cohort size") {
     import graft.operators.Events
     // one Monday-anchored cohort of 2 users; u2 never spends again
