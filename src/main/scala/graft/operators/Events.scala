@@ -93,6 +93,36 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Seasonal-robust daily anomaly screen — [[robustOutliers]]'s
+    * Hampel rule with a WEEKDAY baseline (a Sunday dip is only an
+    * anomaly relative to other Sundays; a flat global median flags
+    * every weekend): per weekday the DOUBLED median and doubled-MAD
+    * of the daily event counts (exact-integer percentile convention),
+    * then every day flags against ITS weekday's band. All percentile
+    * groups are calendar-bounded (≤ #days/7 rows).
+    *
+    * @return (day, weekday, n, med2, mad4, is_outlier) per day,
+    *         ordered — `day` formatted yyyy-MM-dd.
+    */
+  def seasonalOutliers(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("weekday", dayofweek(col("d")).cast("long"))
+      .localCheckpoint(true) // medians + the per-day flags
+    val med = daily.groupBy("weekday")
+      .agg(expr("CAST(2 * percentile(n, 0.5) AS BIGINT)").as("med2"))
+    val dev = daily.join(med, "weekday")
+      .withColumn("adev2", abs(lit(2L) * col("n") - col("med2")))
+    val mad = dev.groupBy("weekday")
+      .agg(expr("CAST(2 * percentile(adev2, 0.5) AS BIGINT)").as("mad4"))
+    dev.join(mad, "weekday")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("weekday"), col("n"), col("med2"), col("mad4"),
+        (lit(2L) * col("adev2") > lit(3L) * col("mad4")).as("is_outlier"))
+      .orderBy(col("day"))
+  }
+
   /** Per-cohort cumulative-value (LTV) curves — the revenue companion
     * of [[retentionCohorts]]: users cohort by first-seen week and
     * every cohort accumulates its value sum across week offsets, so

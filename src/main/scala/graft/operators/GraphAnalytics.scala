@@ -819,6 +819,37 @@ object GraphAnalytics {
       .orderBy(col("id"))
   }
 
+  /** Global transitivity (Newman 2003's graph clustering coefficient)
+    * — one number for the whole graph: `C = 3·triangles / wedges`,
+    * distinct from the AVERAGE of [[clusteringCoefficientDF]]'s local
+    * coefficients (the two diverge on hub-heavy graphs — transitivity
+    * weights hubs by their wedge count, the average does not). Both
+    * sufficient statistics are exact integer folds: Σ per-vertex
+    * triangle counts = 3T, Σ d(d−1)/2 = wedges.
+    *
+    * @return one row (n_wedges, triangle_incidences,
+    *         transitivity_micros) — triangle_incidences = 3T.
+    */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum((col("deg") * (col("deg") - 1) / lit(2)).cast("long")).as("w"))
+    val tri = triangleCountsDF(edges)
+      .agg(sum(col("n_tri")).as("t3"))
+    wedges.crossJoin(tri)
+      .select(col("w").as("n_wedges"), col("t3").as("triangle_incidences"),
+        when(col("w") === 0, lit(0L))
+          .otherwise(floor(lit(1e6) * col("t3").cast("double")
+            / col("w").cast("double")).cast("long"))
+          .as("transitivity_micros"))
+  }
+
   /** Bond-percolation robustness curve (Callaway et al. 2000; the
     * random-failure side of the Albert–Barabási attack analysis) —
     * how much of the graph stays connected as edges fail: for each

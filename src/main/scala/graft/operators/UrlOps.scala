@@ -77,6 +77,28 @@ object UrlOps {
       path.as("path"))
   }
 
+  /** Canonical-URL deduplication — the crawl-pipeline step before any
+    * content dedup: the same page arrives as `http://u:p@Host:8080/a?x`
+    * and `http://host/a`, and content hashing wastes a fetch+compare
+    * on what the URL already says. Canonical form =
+    * `scheme://host/path` from [[parseUrl]] (userinfo, port, query,
+    * fragment dropped; scheme+host lowercased); per canonical key the
+    * fold keeps the MIN id (deterministic survivor) and the duplicate
+    * count. One narrow projection + one keyed fold.
+    *
+    * @return (canonical, n_dups, keep_id) ordered by canonical.
+    */
+  def canonicalUrlDedup(docs: DataFrame, idCol: String,
+                        urlCol: String): DataFrame = {
+    val p = parseUrl(col(urlCol))
+    docs.select(col(idCol),
+        concat(p.getField("scheme"), lit("://"), p.getField("host"),
+          p.getField("path")).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+      .orderBy(col("canonical"))
+  }
+
   /** Parse + blocklist + per-domain cap in one call — the standard
     * domain-curation pass. `blockedDomains` drops every page whose
     * registrable domain is listed (broadcast anti join — the blocklist

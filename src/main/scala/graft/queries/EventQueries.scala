@@ -349,6 +349,13 @@ object EventQueries {
         "event_type", minSupport = 5L)
     }),
 
+    // Seasonal Hampel screen: each day flags against ITS weekday's
+    // doubled-median/MAD band — a Sunday dip is only anomalous
+    // relative to other Sundays.
+    "qX_seasonal" -> ((s, dir) => {
+      Events.seasonalOutliers(t(s, dir, "events"), "ts")
+    }),
+
     // Mann–Whitney U: the nonparametric A/B test beside qX_welch —
     // click vs view values, tie-broken joint ranks on the exact
     // distributed-rank primitive.
@@ -1103,6 +1110,26 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_seasonal" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |wd AS (SELECT d, n, CAST(dayofweek(d) + 1 AS BIGINT) AS weekday
+        |  FROM daily),
+        |med AS (SELECT weekday,
+        |    CAST(2 * quantile_cont(n, 0.5) AS BIGINT) AS med2
+        |  FROM wd GROUP BY 1),
+        |dev AS (SELECT wd.d, wd.weekday, wd.n, med.med2,
+        |    abs(2 * wd.n - med.med2) AS adev2
+        |  FROM wd JOIN med USING (weekday)),
+        |mad AS (SELECT weekday,
+        |    CAST(2 * quantile_cont(adev2, 0.5) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT strftime(dev.d, '%Y-%m-%d') AS day, dev.weekday,
+        |  dev.n, dev.med2, mad.mad4,
+        |  2 * dev.adev2 > 3 * mad.mad4 AS is_outlier
+        |FROM dev JOIN mad USING (weekday)
+        |ORDER BY day""".stripMargin,
 
     "qX_mannwhitney" ->
       """WITH aa AS (SELECT CAST(floor("value" * 1e6) AS BIGINT) AS v,

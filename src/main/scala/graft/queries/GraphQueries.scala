@@ -408,6 +408,13 @@ object GraphQueries {
       graft.operators.GraphAnalytics.corenessHIndex(edges, rounds = 4)
     }),
 
+    // Global transitivity 3T/W — the one-number clustering readout
+    // beside the per-vertex coefficients; exact wedge/triangle folds.
+    "qX_transitivity" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.transitivity(edges)
+    }),
+
     // Bond-percolation robustness: giant-component fraction at 25/50/
     // 75% deterministic edge retention — how much failure the graph
     // absorbs before it shatters.
@@ -1941,6 +1948,27 @@ object GraphQueries {
     "qX_louvain" -> louvainSql(2),
     "qX_coreness" -> corenessSql(4),
     "qX_percolation" -> percolationSql(Seq(0.25, 0.5, 0.75)),
+    "qX_transitivity" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u,
+         |    greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |deg AS (SELECT id, count(*) AS d FROM (
+         |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) x
+         |  GROUP BY 1),
+         |w AS (SELECT CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT))
+         |    AS BIGINT) AS w FROM deg),
+         |tri AS (
+         |  SELECT count(*) AS t
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT w.w AS n_wedges,
+         |  CAST(3 * tri.t AS BIGINT) AS triangle_incidences,
+         |  CASE WHEN w.w = 0 THEN 0
+         |    ELSE CAST(floor(1e6 * CAST(3 * tri.t AS DOUBLE)
+         |      / CAST(w.w AS DOUBLE)) AS BIGINT)
+         |  END AS transitivity_micros
+         |FROM w CROSS JOIN tri""".stripMargin,
     "qX_modularity" ->
       (lpaCte(4) +
         s""",

@@ -1258,6 +1258,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical-URL dedup: userinfo/port/query variants of the same
+    // page collapse to scheme://host/path, min-id survivor — the
+    // crawl-pipeline step before any content dedup. The oracle
+    // reconstructs the canonical from the generator arithmetic, so a
+    // parse defect cannot cancel out.
+    "qX_url_dedup" -> ((s, dir) => {
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("user:pw@"))
+          .otherwise(lit("")),
+        col("source"), lit(".com"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(":8443"))
+          .otherwise(lit("")),
+        lit("/p/"), pmod(col("doc_id"), lit(50)),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("?q=1"))
+          .otherwise(lit("")))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+      graft.operators.UrlOps.canonicalUrlDedup(docs, "doc_id", "url")
+    }),
+
     // Per-doc trigram novelty vs the reference slice — the graded
     // decontamination: what fraction of a doc's n-grams the training
     // corpus has never seen (memorization-risk / generation-quality).
@@ -2781,6 +2801,15 @@ object TextQueries {
          |  len(regexp_extract_all(t2, '$phone')) AS n_phones
          |FROM e ORDER BY doc_id""".stripMargin
     },
+    "qX_url_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |    'https://' || source || '.com/p/'
+        |      || CAST(doc_id % 50 AS VARCHAR) AS canonical
+        |  FROM documents)
+        |SELECT canonical, count(*) AS n_dups,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM c GROUP BY 1 ORDER BY canonical""".stripMargin,
+
     "qX_novelty" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -1065,6 +1065,38 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "train", 4L -> "test", 5L -> "test"))
   }
 
+  test("seasonalOutliers: a spike flags against its own weekday only") {
+    import graft.operators.Events
+    // three Mondays with 2,2,6 events and three Tuesdays flat at 4 —
+    // the global median would flag every Tuesday; the weekday band
+    // flags only the third Monday
+    def day(d: String, k: Int) = (1 to k).map(i => (i.toLong, ts(s"$d 0$i:00:00")))
+    val e = (day("2024-01-01", 2) ++ day("2024-01-08", 2) ++
+      day("2024-01-15", 6) ++ day("2024-01-02", 4) ++
+      day("2024-01-09", 4) ++ day("2024-01-16", 4)).toDF("u", "ts")
+    val got = Events.seasonalOutliers(e, "ts")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(5)))
+      .toMap
+    assert(got("2024-01-15") == ((6L, true)))
+    assert(Seq("2024-01-01", "2024-01-08", "2024-01-02", "2024-01-09",
+      "2024-01-16").forall(d => !got(d)._2), got.toString)
+  }
+
+  test("canonicalUrlDedup: userinfo/port/query variants collapse, min id survives") {
+    import graft.operators.UrlOps
+    val docs = Seq(
+      (5L, "https://user:pw@Example.com:8443/a/b?q=1"),
+      (2L, "https://example.com/a/b"),
+      (9L, "HTTPS://EXAMPLE.COM/a/b#frag"),
+      (7L, "https://example.com/other")).toDF("id", "url")
+    val got = UrlOps.canonicalUrlDedup(docs, "id", "url")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      "https://example.com/a/b" -> ((3L, 2L)),
+      "https://example.com/other" -> ((1L, 7L))))
+  }
+
   test("mannWhitneyU: disjoint samples give extreme U, exact rank sums") {
     import graft.operators.Stats
     val a = Seq((1.0, 1L), (2.0, 2L), (3.0, 3L)).toDF("v", "id")

@@ -987,6 +987,22 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("transitivity: triangle is 1, star is 0, paw mixes exactly") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val rt = GraphAnalytics.transitivity(tri).head()
+    assert((rt.getLong(0), rt.getLong(1), rt.getLong(2)) ==
+      ((3L, 3L, 1000000L)))
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rs = GraphAnalytics.transitivity(star).head()
+    assert((rs.getLong(0), rs.getLong(1), rs.getLong(2)) ==
+      ((3L, 0L, 0L)))
+    // paw: triangle {1,2,3} + pendant 1-4 → W = 3+1+1 = 5, 3T = 3
+    val paw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rp = GraphAnalytics.transitivity(paw).head()
+    assert((rp.getLong(0), rp.getLong(1), rp.getLong(2)) ==
+      ((5L, 3L, 600000L)))
+  }
+
   test("percolation: zero retention leaves singletons, full retention the true giant") {
     // triangle {1,2,3} + disjoint edge {4,5}: 5 vertices
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("src", "dst")
