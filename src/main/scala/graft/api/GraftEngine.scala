@@ -1274,6 +1274,122 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                  valueCol: String): DataFrame =
     graft.operators.Sketches.portableHllDistinctBy(df, keyCol, valueCol)
 
+  /** Gap-based batch sessionization
+    * ([[graft.operators.Events.sessionize]]). */
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+               tieCol: String, gapUs: Long = 30L * 60L * 1000000L)
+      : DataFrame =
+    graft.operators.Events.sessionize(events, userCol, tsCol, tieCol,
+      gapUs)
+
+  /** Winsorized (tail-clamped) robust mean
+    * ([[graft.operators.Stats.winsorizedMean]]). */
+  def clampedMean(df: DataFrame, valueCol: String, tieCol: String,
+                  frac: Double = 0.05): DataFrame =
+    graft.operators.Stats.winsorizedMean(df, valueCol, tieCol, frac)
+
+  /** Offline policy value under clipped inverse-propensity weighting
+    * ([[graft.operators.Eval.ipsEval]]). */
+  def policyValue(logged: DataFrame, rewardCol: String, propCol: String,
+                  k: Int, clipMicros: Long = 1000L): DataFrame =
+    graft.operators.Eval.ipsEval(logged, rewardCol, propCol, k,
+      clipMicros)
+
+  /** Pairwise preference strengths by Bradley–Terry MM
+    * ([[graft.operators.Stats.bradleyTerry]]). */
+  def preferenceStrengths(wins: DataFrame, aCol: String, bCol: String,
+                          winsCol: String, rounds: Int = 3): DataFrame =
+    graft.operators.Stats.bradleyTerry(wins, aCol, bCol, winsCol, rounds)
+
+  /** Heaps'-law vocabulary-growth fit across slices
+    * ([[graft.operators.TextAnalysis.heapsFit]]). */
+  def vocabGrowth(docs: DataFrame, textCol: String,
+                  groupCol: String): DataFrame =
+    graft.operators.TextAnalysis.heapsFit(docs, textCol, groupCol)
+
+  /** Per-cohort cumulative-LTV curves
+    * ([[graft.operators.Events.ltvCurves]]). */
+  def ltv(events: DataFrame, userCol: String, tsCol: String,
+          valueCol: String, maxOffset: Int = 8): DataFrame =
+    graft.operators.Events.ltvCurves(events, userCol, tsCol, valueCol,
+      maxOffset)
+
+  /** Funnel-latency quantiles
+    * ([[graft.operators.Events.timeToConvert]]). */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, fromType: String,
+                        toType: String): DataFrame =
+    graft.operators.Events.timeToConvert(events, userCol, tsCol, typeCol,
+      fromType, toType)
+
+  /** Isotonic (monotone) probability calibration over bins
+    * ([[graft.operators.Eval.isotonicBins]]). */
+  def calibrateIsotonic(scored: DataFrame, labelCol: String,
+                        pCol: String, bins: Int = 10): DataFrame =
+    graft.operators.Eval.isotonicBins(scored, labelCol, pCol, bins)
+
+  /** Nonparametric two-sample test
+    * ([[graft.operators.Stats.mannWhitneyU]]). */
+  def abTestRanks(a: DataFrame, b: DataFrame, valueCol: String,
+                  tieCol: String): DataFrame =
+    graft.operators.Stats.mannWhitneyU(a, b, valueCol, tieCol)
+
+  /** WOE / information-value feature screen
+    * ([[graft.operators.Features.woeIv]]). */
+  def featureValue(df: DataFrame, valueCol: String, tieCol: String,
+                   labelCol: String, nBins: Int = 10): DataFrame =
+    graft.operators.Features.woeIv(df, valueCol, tieCol, labelCol, nBins)
+
+  /** Weekday-baselined daily anomaly screen
+    * ([[graft.operators.Events.seasonalOutliers]]). */
+  def dailyAnomalies(events: DataFrame, tsCol: String): DataFrame =
+    graft.operators.Events.seasonalOutliers(events, tsCol)
+
+  /** Canonical-URL dedup before content dedup
+    * ([[graft.operators.UrlOps.canonicalUrlDedup]]). */
+  def dedupByUrl(docs: DataFrame, idCol: String,
+                 urlCol: String): DataFrame =
+    graft.operators.UrlOps.canonicalUrlDedup(docs, idCol, urlCol)
+
+  /** Whole-graph transitivity of the knows graph
+    * ([[graft.operators.GraphAnalytics.transitivity]]). */
+  def graphTransitivity(): DataFrame =
+    graft.operators.GraphAnalytics.transitivity(edges)
+
+  /** Robustness curve of the knows graph under edge failure
+    * ([[graft.operators.GraphAnalytics.percolation]]). */
+  def robustness(rates: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame =
+    graft.operators.GraphAnalytics.percolation(edges, rates)
+
+  /** Per-doc n-gram novelty against a reference corpus
+    * ([[graft.operators.Dedup.ngramNovelty]]). */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    ref: DataFrame, refTextCol: String,
+                    n: Int = 3): DataFrame =
+    graft.operators.Dedup.ngramNovelty(docs, idCol, textCol, ref,
+      refTextCol, n)
+
+  /** Intra-list diversity of recommendation lists
+    * ([[graft.operators.Similarity.intraListDiversity]]). */
+  def recDiversity(recs: DataFrame, emb: DataFrame, qidCol: String,
+                   idCol: String, embIdCol: String,
+                   vecCol: String): DataFrame =
+    graft.operators.Similarity.intraListDiversity(recs, emb, qidCol,
+      idCol, embIdCol, vecCol)
+
+  /** IVF cell-balance health report
+    * ([[graft.operators.Similarity.ivfBalance]]). */
+  def indexBalance(assigned: DataFrame, cellCol: String): DataFrame =
+    graft.operators.Similarity.ivfBalance(assigned, cellCol)
+
+  /** Simplified per-cluster silhouette
+    * ([[graft.operators.Similarity.silhouetteSimplified]]). */
+  def clusterQuality(assigned: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String,
+                     cellCol: String): DataFrame =
+    graft.operators.Similarity.silhouetteSimplified(assigned, centroids,
+      idCol, vecCol, cellCol)
+
   /** Poisson-bootstrap CI of a mean
     * ([[graft.operators.Stats.bootstrapCI]]) — uncertainty in one
     * scan, no resampling passes. */

@@ -579,24 +579,27 @@ object TextAnalysis {
           .cast("long").as("x"),
         round(lit(1e6) * log(col("v").cast("double")))
           .cast("long").as("y"))
+    val den = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val beta = (col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / den
     pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      // a single group (or identical Ns) has no slope: β = 0 and
+      // ln K degenerates to ȳ rather than a divide-by-zero
       .select(col("n").as("n_groups"),
-        floor(lit(1e6) *
-          (col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")))
-          .cast("long").as("beta_micros"),
+        when(den === 0.0, lit(0L))
+          .otherwise(floor(lit(1e6) * beta).cast("long"))
+          .as("beta_micros"),
         // ln K = ȳ − β·x̄, with β kept at full double precision
-        floor(col("sy").cast("double") / col("n").cast("double") -
-          ((col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-           (col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double"))) *
-          (col("sx").cast("double") / col("n").cast("double")))
-          .cast("long").as("lnk_micros"))
+        when(den === 0.0,
+          floor(col("sy").cast("double") / col("n").cast("double"))
+            .cast("long"))
+          .otherwise(floor(col("sy").cast("double") / col("n").cast("double")
+            - beta * (col("sx").cast("double") / col("n").cast("double")))
+            .cast("long"))
+          .as("lnk_micros"))
   }
 
   /** Class-based TF-IDF (the BERTopic labeling score, Grootendorst

@@ -615,6 +615,38 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
     assert(wt.columns.toSeq == Seq("u", "v"))
   }
 
+  test("round-11 facades: sessions, clampedMean, policyValue, graph + rec readouts") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 01:00:00"), 2L)).toDF("u", "ts", "eid")
+    assert(engine.sessions(ev, "u", "ts", "eid").count() == 2L)
+    assert(engine.dailyAnomalies(ev, "ts").count() == 1L)
+    val vals = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    assert(engine.clampedMean(vals, "v", "id", 0.1)
+      .head().getAs[Long]("n_clamped_each") == 1L)
+    val logged = Seq((1L, 500000L)).toDF("r", "p")
+    assert(engine.policyValue(logged, "r", "p", k = 2)
+      .head().getAs[Long]("ips_micros") == 1000000L)
+    val wins = Seq(("a", "b", 3L), ("b", "a", 1L)).toDF("a", "b", "w")
+    assert(engine.preferenceStrengths(wins, "a", "b", "w")
+      .collect().map(_.getLong(1)).toSet == Set(1500000L, 500000L))
+    // knows-graph readouts: shapes + sane ranges on the tiny fixture
+    assert(engine.graphTransitivity().head().getAs[Long]("n_wedges") >= 0L)
+    assert(engine.robustness(Seq(1.0)).head()
+      .getAs[Long]("giant_frac_micros") > 0L)
+    assert(engine.coreness().count() > 0L)
+    assert(engine.communitiesLouvain().count() > 0L)
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(engine.vocabGrowth(docs, "text", "doc_id").head()
+      .getAs[Long]("n_groups") == 1L)
+    assert(engine.noveltyScores(docs, "doc_id", "text", docs, "text")
+      .head().getAs[Long]("novelty_micros") == 0L)
+    val urls = Seq((1L, "https://a.com/x?q=1"), (2L, "https://a.com/x"))
+      .toDF("id", "url")
+    assert(engine.dedupByUrl(urls, "id", "url").count() == 1L)
+  }
+
   test("graph admin: dump then clear") {
     assert(engine.dumpGraph().length == 6)
     // plant a stale __old from a "crashed swap" — clearGraph must remove
