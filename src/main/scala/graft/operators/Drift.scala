@@ -300,4 +300,31 @@ object Drift {
       .groupBy(col("tot_a").as("n_base"), col("tot_b").as("n_curr"))
       .agg(max("d").as("ks_micros"))
   }
+
+  /** Quantile-shift report between two samples — the "WHAT moved"
+    * companion to the KS statistic's "something moved": the exact
+    * base and current values at each requested quantile, side by
+    * side, with the signed shift. Both sides rank on
+    * [[graft.operators.Sketches.exactQuantiles]]'s distributed-rank
+    * primitive (ceil-rank convention, tie-broken).
+    *
+    * @param base/curr (valueCol micro-quantizable double, tieCol).
+    * @return (q_micros, base_v_micros, curr_v_micros, shift_micros)
+    *         per requested quantile, ordered.
+    */
+  def quantileShift(base: DataFrame, curr: DataFrame, valueCol: String,
+                    tieCol: String,
+                    qs: Seq[Long] = Seq(100000L, 500000L, 900000L))
+      : DataFrame = {
+    def side(df: DataFrame, out: String) =
+      graft.operators.Sketches.exactQuantiles(
+          df.select(floor(col(valueCol) * lit(1e6)).cast("long").as("v"),
+            col(tieCol).as("tie")), "v", "tie", qs)
+        .withColumnRenamed("v", out)
+    side(base, "base_v_micros")
+      .join(side(curr, "curr_v_micros"), Seq("q_micros"))
+      .withColumn("shift_micros",
+        col("curr_v_micros") - col("base_v_micros"))
+      .orderBy(col("q_micros"))
+  }
 }

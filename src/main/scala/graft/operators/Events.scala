@@ -93,6 +93,48 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Pairwise Pearson correlation of per-TYPE daily activity — do
+    * clicks and purchases move together day over day (the metric-
+    * coupling readout behind "did the feature launch shift BOTH"):
+    * the dense day×type count grid (zeros filled — missing days are
+    * real zeros, not absent data), then for each type pair one exact
+    * integer fold of the five sufficient statistics and
+    * `r = (nΣxy − ΣxΣy)/√(denx·deny)` as a fixed IEEE expression.
+    * Grids are calendar×vocabulary bounded, never event-sized.
+    *
+    * @return (a, b, n_days, r_micros) for a < b, ordered.
+    */
+  def typeCorrelationMatrix(events: DataFrame, tsCol: String,
+                            typeCol: String): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).as("d"),
+        col(typeCol).as("t"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // grid fill + both join sides
+    val days = daily.select("d").distinct()
+    val types = daily.select("t").distinct()
+    val dense = days.crossJoin(types)
+      .join(daily, Seq("d", "t"), "left")
+      .select(col("d"), col("t"), coalesce(col("n"), lit(0L)).as("n"))
+    val pairs = dense.select(col("d"), col("t").as("a"), col("n").as("x"))
+      .join(dense.select(col("d"), col("t").as("b"), col("n").as("y")), "d")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = col("nd") * col("sxy") - col("sx") * col("sy")
+    val denx = col("nd") * col("sxx") - col("sx") * col("sx")
+    val deny = col("nd") * col("syy") - col("sy") * col("sy")
+    pairs.select(col("a"), col("b"), col("nd").as("n_days"),
+        when(denx === 0 || deny === 0, lit(0L))
+          .otherwise(floor(lit(1e6) * num.cast("double")
+            / sqrt(denx.cast("double") * deny.cast("double")))
+            .cast("long")).as("r_micros"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Seasonal-robust daily anomaly screen — [[robustOutliers]]'s
     * Hampel rule with a WEEKDAY baseline (a Sunday dip is only an
     * anomaly relative to other Sundays; a flat global median flags

@@ -86,6 +86,22 @@ object Sampling {
     hashSplit(joined, "cluster", splits)
   }
 
+  /** Systematic (every k-th) sample under the exact global (sortCols)
+    * order — the eval-subset sampler whose coverage is GUARANTEED
+    * uniform across the sort dimension (hash sampling is uniform in
+    * expectation only; a systematic sweep over a time- or id-sorted
+    * corpus cannot miss a region): keep ranks ≡ 1 (mod k) from
+    * [[Packing.globalRank]] — no global window, one shuffle.
+    *
+    * @return the kept rows plus their `_grank`.
+    */
+  def systematicSample(df: DataFrame, sortCols: Seq[String],
+                       k: Int): DataFrame = {
+    require(k >= 1, s"systematic step must be >= 1, got $k")
+    val (ranked, _) = Packing.globalRank(df, sortCols)
+    ranked.filter(pmod(col("_grank") - 1, lit(k.toLong)) === 0)
+  }
+
   /** Purged temporal split (the time-series cousin of
     * [[leakageSafeSplit]]; López de Prado 2018's purged CV boundary):
     * train = strictly before `cutover − embargo`, test = at/after

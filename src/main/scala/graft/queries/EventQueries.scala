@@ -349,6 +349,36 @@ object EventQueries {
         "event_type", minSupport = 5L)
     }),
 
+    // Quantile-shift report between the early and late halves — the
+    // "what moved" companion to qX_ks: exact per-quantile values side
+    // by side with the signed delta.
+    "qX_quantile_shift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Drift.quantileShift(
+        ev.filter(col("ts") < lit(SplitTs).cast("timestamp"))
+          .select(col("value"), col("event_id")),
+        ev.filter(col("ts") >= lit(SplitTs).cast("timestamp"))
+          .select(col("value"), col("event_id")),
+        "value", "event_id")
+    }),
+
+    // Pairwise Pearson correlation of per-type daily activity over
+    // the dense day×type grid — do clicks and purchases move together.
+    "qX_corr_matrix" -> ((s, dir) => {
+      Events.typeCorrelationMatrix(t(s, dir, "events"), "ts",
+        "event_type")
+    }),
+
+    // Systematic every-97th sample under the exact event_id order —
+    // guaranteed-coverage eval subsets.
+    "qX_systematic" -> ((s, dir) => {
+      graft.operators.Sampling.systematicSample(
+          t(s, dir, "events").select(col("event_id")),
+          Seq("event_id"), 97)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("event_id")).as("id_sum"))
+    }),
+
     // Seasonal Hampel screen: each day flags against ITS weekday's
     // doubled-median/MAD band — a Sunday dip is only anomalous
     // relative to other Sundays.
@@ -1110,6 +1140,61 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_quantile_shift" ->
+      s"""WITH base AS (SELECT CAST(floor("value" * 1e6) AS BIGINT) AS v,
+         |    event_id AS tie FROM events
+         |  WHERE ts < TIMESTAMP '$SplitTs'),
+         |curr AS (SELECT CAST(floor("value" * 1e6) AS BIGINT) AS v,
+         |    event_id AS tie FROM events
+         |  WHERE ts >= TIMESTAMP '$SplitTs'),
+         |rb AS (SELECT v, row_number() OVER (ORDER BY v, tie) AS rn
+         |  FROM base),
+         |nb AS (SELECT count(*) AS n FROM base),
+         |rc AS (SELECT v, row_number() OVER (ORDER BY v, tie) AS rn
+         |  FROM curr),
+         |ncn AS (SELECT count(*) AS n FROM curr),
+         |q(q_micros) AS (VALUES (CAST(100000 AS BIGINT)),
+         |  (CAST(500000 AS BIGINT)), (CAST(900000 AS BIGINT)))
+         |SELECT q.q_micros, b.v AS base_v_micros, c.v AS curr_v_micros,
+         |  c.v - b.v AS shift_micros
+         |FROM q CROSS JOIN nb CROSS JOIN ncn
+         |JOIN rb b ON b.rn = greatest(1,
+         |  CAST(ceil(q.q_micros / 1e6 * nb.n) AS BIGINT))
+         |JOIN rc c ON c.rn = greatest(1,
+         |  CAST(ceil(q.q_micros / 1e6 * ncn.n) AS BIGINT))
+         |ORDER BY q.q_micros""".stripMargin,
+
+    "qX_corr_matrix" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    event_type AS t, count(*) AS n FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM daily),
+        |types AS (SELECT DISTINCT t FROM daily),
+        |dense AS (SELECT days.d, types.t, coalesce(daily.n, 0) AS n
+        |  FROM days CROSS JOIN types
+        |  LEFT JOIN daily ON daily.d = days.d AND daily.t = types.t),
+        |p AS (SELECT a.t AS a, b.t AS b, count(*) AS nd,
+        |    CAST(sum(a.n) AS BIGINT) AS sx,
+        |    CAST(sum(b.n) AS BIGINT) AS sy,
+        |    CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+        |    CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+        |    CAST(sum(b.n * b.n) AS BIGINT) AS syy
+        |  FROM dense a JOIN dense b ON a.d = b.d AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT a, b, nd AS n_days,
+        |  CASE WHEN nd * sxx - sx * sx = 0 OR nd * syy - sy * sy = 0
+        |    THEN 0
+        |    ELSE CAST(floor(1e6 * CAST(nd * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+        |        * CAST(nd * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |  END AS r_micros
+        |FROM p ORDER BY a, b""".stripMargin,
+
+    "qX_systematic" ->
+      """WITH r AS (SELECT event_id,
+        |    row_number() OVER (ORDER BY event_id) AS rn FROM events)
+        |SELECT count(*) AS n_kept, CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM r WHERE (rn - 1) % 97 = 0""".stripMargin,
 
     "qX_seasonal" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS d,

@@ -1065,6 +1065,48 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "train", 4L -> "test", 5L -> "test"))
   }
 
+  test("quantileShift: exact per-quantile values and signed deltas") {
+    import graft.operators.Drift
+    val base = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    val curr = (1 to 10).map(i => (i.toDouble + 2.0, i.toLong))
+      .toDF("v", "id")
+    val got = Drift.quantileShift(base, curr, "v", "id",
+        Seq(500000L, 1000000L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // p50 rank 5 → 5 vs 7; p100 rank 10 → 10 vs 12; shift = +2
+    assert(got == Map(
+      500000L -> ((5000000L, 7000000L, 2000000L)),
+      1000000L -> ((10000000L, 12000000L, 2000000L))))
+  }
+
+  test("typeCorrelationMatrix: coupled types +1, opposed types -1, zeros filled") {
+    import graft.operators.Events
+    // a and b rise together across 3 days; c moves opposite; day 3
+    // has NO c events — the dense grid must count that as zero
+    def rows(d: String, t: String, k: Int) =
+      (1 to k).map(_ => (ts(s"$d 10:00:00"), t))
+    val e = (rows("2024-01-01", "a", 1) ++ rows("2024-01-01", "b", 2) ++
+      rows("2024-01-02", "a", 2) ++ rows("2024-01-02", "b", 4) ++
+      rows("2024-01-03", "a", 3) ++ rows("2024-01-03", "b", 6) ++
+      rows("2024-01-01", "c", 2) ++ rows("2024-01-02", "c", 1))
+      .toDF("ts", "t")
+    val got = Events.typeCorrelationMatrix(e, "ts", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("a", "b")) == ((3L, 1000000L)))
+    assert(got(("a", "c"))._2 == -1000000L)
+    assert(got(("b", "c"))._2 == -1000000L)
+  }
+
+  test("systematicSample: every k-th rank under the exact global order") {
+    import graft.operators.Sampling
+    val df = (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "p")
+    val got = Sampling.systematicSample(df, Seq("id"), 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 4L, 7L, 10L))
+  }
+
   test("seasonalOutliers: a spike flags against its own weekday only") {
     import graft.operators.Events
     // three Mondays with 2,2,6 events and three Tuesdays flat at 4 —

@@ -673,4 +673,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "pair join must key on qid:\n" + p.take(3000))
   }
+
+  test("zipfFit: topN truncates via TakeOrderedAndProject before the rank window") {
+    // the rank window must see only the topN survivors, never the full
+    // vocabulary — the r10 verdict's scale-killer, pinned
+    val p = plan("qX_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
 }
