@@ -1390,6 +1390,36 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     graft.operators.Similarity.silhouetteSimplified(assigned, centroids,
       idCol, vecCol, cellCol)
 
+  /** Regularized μ + b_u + b_i rating baseline
+    * ([[graft.operators.Pymk.biasBaseline]]). */
+  def ratingBaseline(ratings: DataFrame, userCol: String, itemCol: String,
+                     ratingCol: String, lambda: Long = 10L): DataFrame =
+    graft.operators.Pymk.biasBaseline(ratings, userCol, itemCol,
+      ratingCol, lambda)
+
+  /** Weekly churn-label training set
+    * ([[graft.operators.Events.churnLabels]]). */
+  def churnDataset(events: DataFrame, userCol: String,
+                   tsCol: String): DataFrame =
+    graft.operators.Events.churnLabels(events, userCol, tsCol)
+
+  /** Per-quantile shift between two samples
+    * ([[graft.operators.Drift.quantileShift]]). */
+  def quantileDrift(base: DataFrame, curr: DataFrame, valueCol: String,
+                    tieCol: String): DataFrame =
+    graft.operators.Drift.quantileShift(base, curr, valueCol, tieCol)
+
+  /** Metric-coupling correlation matrix of per-type daily activity
+    * ([[graft.operators.Events.typeCorrelationMatrix]]). */
+  def metricCoupling(events: DataFrame, tsCol: String,
+                     typeCol: String): DataFrame =
+    graft.operators.Events.typeCorrelationMatrix(events, tsCol, typeCol)
+
+  /** Systematic every-k-th eval sample
+    * ([[graft.operators.Sampling.systematicSample]]). */
+  def evalSample(df: DataFrame, sortCols: Seq[String], k: Int): DataFrame =
+    graft.operators.Sampling.systematicSample(df, sortCols, k)
+
   /** Poisson-bootstrap CI of a mean
     * ([[graft.operators.Stats.bootstrapCI]]) — uncertainty in one
     * scan, no resampling passes. */

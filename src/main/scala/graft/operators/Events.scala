@@ -93,6 +93,42 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Churn-label builder — the supervised-training-set generator for
+    * a retention model: per (user, active-week) row, `churned_next` =
+    * "the user has NO activity in the following calendar week". The
+    * last observed week in the frame is dropped (its label is not yet
+    * knowable — emitting it would leak the dataset boundary as fake
+    * churn). One user-week distinct fold + one user-partitioned lead
+    * over the per-user week list (bounded by a user's active weeks).
+    *
+    * @return (week, n_active, n_churned_next, churn_rate_micros) per
+    *         week, ordered — the aggregate view; join keys are
+    *         derivable from the same CTE for row-level training.
+    */
+  def churnLabels(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val uw = events.select(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).as("wk"))
+      .distinct()
+      .localCheckpoint(true) // lead windows + the max-week scalar
+    val maxWk = uw.agg(max(col("wk"))).head().getTimestamp(0)
+    // BOUNDED per-user window: one user's active-week list
+    val w = Window.partitionBy(col("u")).orderBy(col("wk"))
+    uw.withColumn("next_wk", lead(col("wk"), 1).over(w))
+      .filter(col("wk") < lit(maxWk)) // label unknowable for the last week
+      .withColumn("churned_next",
+        col("next_wk").isNull ||
+          datediff(col("next_wk"), col("wk")) > 7)
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("churned_next").cast("long")).as("n_churned_next"))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("n_active"), col("n_churned_next"),
+        floor(lit(1000000L) * col("n_churned_next") / col("n_active"))
+          .cast("long").as("churn_rate_micros"))
+      .orderBy(col("week"))
+  }
+
   /** Pairwise Pearson correlation of per-TYPE daily activity — do
     * clicks and purchases move together day over day (the metric-
     * coupling readout behind "did the feature launch shift BOTH"):

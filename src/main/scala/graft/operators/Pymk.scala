@@ -136,6 +136,38 @@ object Pymk {
       .limit(limit)
   }
 
+  /** Regularized bias baseline for rating-style prediction (Koren
+    * 2010's "baseline predictor" — the model every CF paper compares
+    * against and the bias term a serving ranker subtracts first):
+    * `b̂_ui = μ + b_u + b_i` with `b_u = Σ_u(r−μ)/(λ+n_u)` then
+    * `b_i = Σ_i(r−μ−b_u)/(λ+n_i)` (the sequential shrinkage fit —
+    * TWO keyed folds, no iteration). Every accumulated quantity is
+    * integer micros with floored divisions, so the fitted biases are
+    * engine-exact artifacts.
+    *
+    * @return (item, n_i, bi_micros) per item plus the global
+    *         (mu_micros) on every row — the broadcastable model table.
+    */
+  def biasBaseline(ratings: DataFrame, userCol: String, itemCol: String,
+                   ratingCol: String, lambda: Long = 10L): DataFrame = {
+    val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
+        floor(col(ratingCol) * lit(1e6)).cast("long").as("r"))
+      .localCheckpoint(true) // three folds below
+    val muRow = r.agg(floor(sum(col("r")).cast("double") / count(lit(1)))
+      .cast("long").as("mu")).head()
+    val mu = muRow.getLong(0)
+    val bu = r.groupBy("u")
+      .agg(floor((sum(col("r")) - count(lit(1)) * mu).cast("double")
+        / (count(lit(1)) + lambda)).cast("long").as("bu"))
+    r.join(bu, "u")
+      .groupBy(col("i").as("item"))
+      .agg(count(lit(1)).as("n_i"),
+        floor((sum(col("r") - lit(mu) - col("bu"))).cast("double")
+          / (count(lit(1)) + lambda)).cast("long").as("bi_micros"))
+      .withColumn("mu_micros", lit(mu))
+      .orderBy(col("item"))
+  }
+
   /** All-pairs PYMK — recommendations for EVERY vertex in one pass: the
     * batch-serving shape at scale (precompute top-k for all users
     * nightly, serve point lookups), replacing per-anchor traversals

@@ -349,6 +349,24 @@ object EventQueries {
         "event_type", minSupport = 5L)
     }),
 
+    // Koren bias baseline: μ + b_u + b_i by two regularized keyed
+    // folds — the model every CF comparison subtracts first.
+    "qX_bias_model" -> ((s, dir) => {
+      val ratings = t(s, dir, "events")
+        .select(col("user_id"),
+          (floor(col("value")).cast("long") % 50).as("item"),
+          col("value"))
+      graft.operators.Pymk.biasBaseline(ratings, "user_id", "item",
+        "value", lambda = 10L)
+    }),
+
+    // Churn-label builder: per active user-week, did the user go
+    // silent the following week — the supervised retention dataset,
+    // last week dropped (label unknowable).
+    "qX_churn_labels" -> ((s, dir) => {
+      Events.churnLabels(t(s, dir, "events"), "user_id", "ts")
+    }),
+
     // Quantile-shift report between the early and late halves — the
     // "what moved" companion to qX_ks: exact per-quantile values side
     // by side with the signed delta.
@@ -1140,6 +1158,39 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_bias_model" ->
+      """WITH r AS (SELECT user_id AS u,
+        |    CAST(floor("value") AS BIGINT) % 50 AS i,
+        |    CAST(floor("value" * 1e6) AS BIGINT) AS r FROM events),
+        |mu AS (SELECT CAST(floor(CAST(sum(r) AS DOUBLE) / count(*))
+        |    AS BIGINT) AS mu FROM r),
+        |bu AS (SELECT u, CAST(floor(
+        |      CAST(sum(r) - count(*) * mu.mu AS DOUBLE)
+        |      / (count(*) + 10)) AS BIGINT) AS bu
+        |  FROM r CROSS JOIN mu GROUP BY u, mu.mu),
+        |j AS (SELECT r.i, r.r - mu.mu - bu.bu AS d
+        |  FROM r JOIN bu USING (u) CROSS JOIN mu)
+        |SELECT i AS item, count(*) AS n_i,
+        |  CAST(floor(CAST(sum(d) AS DOUBLE) / (count(*) + 10))
+        |    AS BIGINT) AS bi_micros,
+        |  (SELECT mu FROM mu) AS mu_micros
+        |FROM j GROUP BY 1 ORDER BY item""".stripMargin,
+
+    "qX_churn_labels" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |    date_trunc('week', ts) AS wk FROM events),
+        |mx AS (SELECT max(wk) AS m FROM uw),
+        |l AS (SELECT u, wk,
+        |    lead(wk) OVER (PARTITION BY u ORDER BY wk) AS nw FROM uw),
+        |f AS (SELECT wk, CASE WHEN nw IS NULL
+        |      OR date_diff('day', wk, nw) > 7 THEN 1 ELSE 0 END AS ch
+        |  FROM l CROSS JOIN mx WHERE wk < mx.m)
+        |SELECT strftime(wk, '%Y-%m-%d') AS week, count(*) AS n_active,
+        |  CAST(sum(ch) AS BIGINT) AS n_churned_next,
+        |  CAST(floor(1000000 * sum(ch) / count(*)) AS BIGINT)
+        |    AS churn_rate_micros
+        |FROM f GROUP BY 1 ORDER BY week""".stripMargin,
 
     "qX_quantile_shift" ->
       s"""WITH base AS (SELECT CAST(floor("value" * 1e6) AS BIGINT) AS v,

@@ -1065,6 +1065,37 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "train", 4L -> "test", 5L -> "test"))
   }
 
+  test("biasBaseline: sequential shrinkage fit is exact at lambda 0") {
+    import graft.operators.Pymk
+    val r = Seq((1L, "A", 2.0), (1L, "B", 4.0), (2L, "A", 6.0))
+      .toDF("u", "i", "r")
+    val got = Pymk.biasBaseline(r, "u", "i", "r", lambda = 0L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // μ = 4; b_u1 = −1, b_u2 = 2; b_A = (−1 + 0)/2 = −.5, b_B = 1
+    assert(got == Map(
+      "A" -> ((2L, -500000L, 4000000L)),
+      "B" -> ((1L, 1000000L, 4000000L))))
+  }
+
+  test("churnLabels: gap weeks churn, last week dropped as unknowable") {
+    import graft.operators.Events
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // w1
+      (1L, ts("2024-01-08 10:00:00")), // w2
+      (1L, ts("2024-01-22 10:00:00")), // w4 (skipped w3 → w2 churns)
+      (2L, ts("2024-01-02 10:00:00"))  // w1 only → churns
+    ).toDF("u", "ts")
+    val got = Events.churnLabels(e, "u", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "2024-01-01" -> ((2L, 1L, 500000L)),
+      "2024-01-08" -> ((1L, 1L, 1000000L))))
+    // the max week (2024-01-22) is absent — its label is unknowable
+    assert(!got.contains("2024-01-22"))
+  }
+
   test("quantileShift: exact per-quantile values and signed deltas") {
     import graft.operators.Drift
     val base = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
