@@ -1750,4 +1750,33 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def perplexityKn(docs: DataFrame, idCol: String, textCol: String,
                    model: DataFrame): DataFrame =
     graft.operators.NgramLm.scoreKneserNey(docs, idCol, textCol, model)
+
+  /** Lorenz curve over weight deciles
+    * ([[graft.operators.Eval.lorenzCurve]]) — the distribution behind
+    * [[recExposure]]'s single number. */
+  def lorenzCurve(df: DataFrame, weightCol: String, tieCol: String,
+                  bins: Int = 10): DataFrame =
+    graft.operators.Eval.lorenzCurve(df, weightCol, tieCol, bins)
+
+  /** One-way ANOVA F across ≥2 arms
+    * ([[graft.operators.Stats.anovaF]]) — the k-arm readout beside
+    * [[abTest]]. */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame =
+    graft.operators.Stats.anovaF(df, valueCol, groupCol)
+
+  /** Expected reciprocal rank @k ([[graft.operators.Eval.errAtK]]) —
+    * the cascade-model retrieval metric beside [[evalNdcg]]. */
+  def errAtK(run: DataFrame, qrels: DataFrame, k: Int = 10,
+             maxGrade: Int = 3): DataFrame =
+    graft.operators.Eval.errAtK(run, qrels, k, maxGrade)
+
+  /** Blocked edit-distance candidate pairs
+    * ([[graft.operators.EntityResolution.editDistancePairs]]) — the
+    * Levenshtein typo-tolerance sibling of the Jaro–Winkler fuzzy
+    * linkage. */
+  def editDistancePairs(records: DataFrame, idCol: String,
+                        blockCol: String, strCol: String,
+                        maxDist: Int = 2): DataFrame =
+    graft.operators.EntityResolution.editDistancePairs(records, idCol,
+      blockCol, strCol, maxDist)
 }

@@ -111,6 +111,40 @@ object EntityResolution {
       .orderBy("id1", "id2")
   }
 
+  /** Edit-distance candidate pairs — the Levenshtein sibling of
+    * [[scorePairsFuzzy]]'s Jaro–Winkler predicate, reported with the
+    * DISTANCE itself (integer, engine-exact — no quantize needed):
+    * OCR confusions are character-level substitutions, and `lev ≤ d`
+    * is the classic typo-tolerance contract (`lev ≤ 1` catches one
+    * flipped character, the exact failure that forks a person on
+    * md5(email) keys). Same blocked one-equi-join shape as
+    * [[scorePairs]] — a `lev ≤ d` pair on length-L strings shares all
+    * but ≤ d characters, so any substring-based block key longer than
+    * d positions from the end is (near-)complete; the candidate space
+    * is Σ block² not n².
+    *
+    * @return (id1, id2, dist) with id1 < id2 and dist ≤ maxDist,
+    *         ordered.
+    */
+  def editDistancePairs(records: DataFrame, idCol: String,
+                        blockCol: String, strCol: String,
+                        maxDist: Int): DataFrame = {
+    val fields = Seq(idCol, blockCol, strCol).distinct
+    val a = records.select(fields.map(c => col(c).as(s"a_$c")): _*)
+    val b = records.select(fields.map(c => col(c).as(s"b_$c")): _*)
+    a.join(b, col(s"a_$blockCol") === col(s"b_$blockCol") &&
+        col(s"a_$idCol") < col(s"b_$idCol"))
+      // length pre-filter: |len(a)−len(b)| > d implies lev > d —
+      // skips the O(L²) DP on hopeless pairs
+      .filter(abs(length(col(s"a_$strCol")) - length(col(s"b_$strCol")))
+        <= maxDist)
+      .select(col(s"a_$idCol").as("id1"), col(s"b_$idCol").as("id2"),
+        levenshtein(col(s"a_$strCol"), col(s"b_$strCol")).cast("long")
+          .as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("id1", "id2")
+  }
+
   /** Blocking-quality report (Christen 2012's reduction ratio + pair
     * completeness) — the metrics that decide whether a blocking key is
     * SAFE before anyone runs [[scorePairs]] on it: reduction ratio =

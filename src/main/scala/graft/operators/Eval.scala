@@ -652,6 +652,102 @@ object Eval {
         lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_micros"))
   }
 
+  /** Lorenz curve over deciles — the DISTRIBUTION behind
+    * [[exposureGini]]'s single number ("the top decile of users
+    * produces X% of events" is this table's last row): units rank by
+    * (weight, tie) on [[Packing.globalRank]], decile by the exact
+    * `⌊10·(rank−1)/n⌋` rule, then per-decile weight shares and the
+    * cumulative share over the 10-row grid.
+    *
+    * @return (decile, n_units, weight, share_micros,
+    *         cum_share_micros) ordered — decile 0 = lightest units.
+    */
+  def lorenzCurve(df: DataFrame, weightCol: String, tieCol: String,
+                  bins: Int = 10): DataFrame = {
+    val (ranked, n) = Packing.globalRank(
+      df.select(col(weightCol).cast("long").as("wt"),
+        col(tieCol).as("tie")), Seq("wt", "tie"))
+    val byBin = ranked
+      .withColumn("decile",
+        floor(lit(bins.toLong) * (col("_grank") - 1) / lit(n))
+          .cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_units"), sum(col("wt")).as("weight"))
+    val tot = byBin.agg(sum(col("weight")).as("tot"))
+    // BOUNDED global window: the ≤`bins`-row decile grid
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBin.crossJoin(broadcast(tot))
+      .withColumn("cum_w", sum(col("weight")).over(w))
+      .select(col("decile"), col("n_units"), col("weight"),
+        floor(lit(1000000L) * col("weight") / col("tot")).cast("long")
+          .as("share_micros"),
+        floor(lit(1000000L) * col("cum_w") / col("tot")).cast("long")
+          .as("cum_share_micros"))
+      .orderBy(col("decile"))
+  }
+
+  /** Expected reciprocal rank @k (Chapelle et al. 2009) — the
+    * cascade-model companion of [[ndcgAtK]]: a simulated user scans
+    * the run top-down and stops at rank r with probability
+    * `R_r·Π_{i<r}(1−R_i)` where `R = (2^g − 1)/2^gmax`;
+    * `ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i)` weights early relevance the
+    * way session abandonment actually does. EXACT-INTEGER closed
+    * form, no log/exp: the per-query run pivots to k grade columns
+    * (the corpus-BLEU `match_n` pattern), stop numerators
+    * `num = 2^g − 1` over denominator `2^gmax` make every partial
+    * product an integer, and the whole sum is ONE expression over
+    * common denominator `lcm(1..k)·2^(gmax·k)` — replayed verbatim by
+    * the SQL oracle. Bounds: k ≤ 10 and gmax ≤ 4 keep every term and
+    * the scaled sum inside a long.
+    *
+    * Shape: one k-bounded per-query window + one pivot fold — runs
+    * are top-k per query, never corpus-wide.
+    *
+    * @param run   (qid, id, score) — re-ranked by (score desc, id).
+    * @param qrels (qid, id, grade) integer grades 0..maxGrade;
+    *              unjudged run members grade 0.
+    * @return (qid, err_num, err_micros): `err_num/D` is the exact
+    *         rational ERR, `err_micros = ⌊1e6·err_num/D⌋`.
+    */
+  def errAtK(run: DataFrame, qrels: DataFrame, k: Int = 10,
+             maxGrade: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 10, "k must be in 1..10 (long-exact bound)")
+    require(maxGrade >= 1 && maxGrade <= 4,
+      "maxGrade must be in 1..4 (long-exact bound)")
+    val denom = 1L << maxGrade
+    val lcm = Seq(1L, 1L, 2L, 6L, 12L, 60L, 60L, 420L, 840L, 2520L,
+      2520L)(k) // lcm(1..k)
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    val ranked = run.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(qrels.select(col("qid"), col("id"), col("grade")),
+        Seq("qid", "id"), "left")
+      .withColumn("g", least(greatest(coalesce(col("grade"), lit(0L)),
+        lit(0L)), lit(maxGrade.toLong)))
+      // num = 2^g − 1 via an explicit grade map (g ≤ 4)
+      .withColumn("num", (0 to maxGrade).map(g =>
+          when(col("g") === g.toLong, lit((1L << g) - 1L)))
+        .reduceRight(_ otherwise _).cast("long"))
+    val pivots = (1 to k).map(r =>
+      max(when(col("rank") === r, col("num")).otherwise(lit(0L)))
+        .as(s"n_$r"))
+    val wide = ranked.groupBy(col("qid")).agg(pivots.head, pivots.tail: _*)
+    // S = Σ_r num_r·Π_{i<r}(denom−num_i)·(lcm/r)·denom^(k−r); every
+    // factor integer, every term ≤ ~2.6e15, the sum ≤ ~2.6e16.
+    val terms = (1 to k).map { r =>
+      val prod = (1 until r).map(i => lit(denom) - col(s"n_$i"))
+        .foldLeft(lit(1L).cast("long"): Column)(_ * _)
+      col(s"n_$r") * prod * lit(lcm / r) *
+        lit(math.pow(denom.toDouble, (k - r).toDouble).toLong)
+    }
+    val s = terms.reduce(_ + _)
+    val bigD = lcm.toDouble * math.pow(denom.toDouble, k.toDouble)
+    wide.select(col("qid"), s.as("err_num"),
+        floor(lit(1e6) * s / lit(bigD)).cast("long").as("err_micros"))
+      .orderBy(col("qid"))
+  }
+
   /** Isotonic (monotone) calibration over probability bins via the
     * CLOSED-FORM pool-adjacent-violators solution (Ayer et al. 1955's
     * minimax identity: `f_i = max_{j≤i} min_{k≥i} avg(y over bins

@@ -373,4 +373,45 @@ object Stats {
         floor(lit(1e6) * (center + half)).cast("long").as("hi_micros"))
       .orderBy("grp")
   }
+
+  /** One-way ANOVA F statistic across ≥2 groups — the k-arm
+    * generalization of [[welchT]] (equal-variance form): does ANY
+    * event-type arm move the metric. Values quantize to integer
+    * DECI-units (`⌊10·v⌋` — coarser than Welch's millis so every
+    * squared sum stays long-exact: S_g ≤ ~1e8 ⇒ S_g² ≤ ~1e16 per
+    * group at the gate SFs); per group (n_g, S_g) and globally Σv²
+    * are exact integer folds, the between/within sums of squares use
+    * INTEGER-truncated group terms `⌊S_g²/n_g⌋` (identical truncation
+    * on every engine — determinism over the last decimal, the
+    * [[bradleyTerry]] per-term quantize rule), and
+    * `F = (ssb/(k−1))/(ssw/(n−k))` is one fixed IEEE expression.
+    *
+    * 100 TB shape: one groupBy over the group key (k rows out) + one
+    * scalar fold — no joins, no windows.
+    *
+    * @return one row (k, n, ssb, ssw, f_micros); degenerate inputs
+    *         (k < 2, n ≤ k, or zero within-variance) report f = 0.
+    */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val q = df.select(col(groupCol).as("g"),
+      floor(col(valueCol) * lit(10)).cast("long").as("v"))
+    val perGroup = q.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"),
+        sum(col("v") * col("v")).as("qg"))
+      // ⌊S_g²/n_g⌋ quantizes BEFORE the cross-group fold (order-free)
+      .select(col("ng"), col("sg"), col("qg"),
+        floor(col("sg") * col("sg") / col("ng")).cast("long").as("tg"))
+    val s = perGroup.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+      sum(col("tg")).as("mt"))
+    val ssb = col("mt") - floor(col("s") * col("s") / col("n")).cast("long")
+    val ssw = col("q") - col("mt")
+    s.select(col("k"), col("n"), ssb.as("ssb"), ssw.as("ssw"),
+      when(col("k") < 2 || col("n") <= col("k") || ssw <= 0 || ssb < 0,
+          lit(0L))
+        .otherwise(floor(lit(1e6) *
+          (ssb.cast("double") / (col("k") - 1)) /
+          (ssw.cast("double") / (col("n") - col("k")))).cast("long"))
+        .as("f_micros"))
+  }
 }

@@ -349,6 +349,36 @@ object EventQueries {
         "event_type", minSupport = 5L)
     }),
 
+    // Lorenz curve of per-user activity — "the top decile produces
+    // X% of events", the distribution behind the Gini number.
+    "qX_lorenz" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Eval.lorenzCurve(per, "w", "user_id")
+    }),
+
+    // One-way ANOVA F across the five event-type arms on value —
+    // the k-arm readout beside qX_welch's two arms.
+    "qX_anova" -> ((s, dir) => {
+      graft.operators.Stats.anovaF(t(s, dir, "events"), "value",
+        "event_type")
+    }),
+
+    // Expected reciprocal rank @10 of the per-type top-user run
+    // (grades n%4 — synthetic but exact): the cascade-model metric
+    // beside qX_ndcg, closed-form exact-integer, no log/exp.
+    "qX_err" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Eval.errAtK(
+        per.select(col("event_type").as("qid"), col("user_id").as("id"),
+          col("n").as("score")),
+        per.select(col("event_type").as("qid"), col("user_id").as("id"),
+          (col("n") % 4).as("grade")),
+        k = 10, maxGrade = 3)
+    }),
+
     // Koren bias baseline: μ + b_u + b_i by two regularized keyed
     // folds — the model every CF comparison subtracts first.
     "qX_bias_model" -> ((s, dir) => {
@@ -1158,6 +1188,101 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_anova" ->
+      """WITH q AS (SELECT event_type AS g,
+        |    CAST(floor("value" * 10) AS BIGINT) AS v FROM events),
+        |grp AS (SELECT g, count(*) AS ng,
+        |    CAST(sum(v) AS BIGINT) AS sg,
+        |    CAST(sum(v * v) AS BIGINT) AS qg
+        |  FROM q GROUP BY 1),
+        |tt AS (SELECT ng, sg, qg,
+        |    CAST(floor(sg * sg / ng) AS BIGINT) AS tg FROM grp),
+        |s AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS BIGINT) AS sv, CAST(sum(qg) AS BIGINT) AS q,
+        |    CAST(sum(tg) AS BIGINT) AS mt FROM tt)
+        |SELECT k, n,
+        |  mt - CAST(floor(sv * sv / n) AS BIGINT) AS ssb,
+        |  q - mt AS ssw,
+        |  CASE WHEN k < 2 OR n <= k OR q - mt <= 0
+        |      OR mt - CAST(floor(sv * sv / n) AS BIGINT) < 0 THEN 0
+        |    ELSE CAST(floor(1e6 *
+        |      (CAST(mt - CAST(floor(sv * sv / n) AS BIGINT) AS DOUBLE)
+        |        / (k - 1))
+        |      / (CAST(q - mt AS DOUBLE) / (n - k))) AS BIGINT)
+        |  END AS f_micros
+        |FROM s""".stripMargin,
+
+    "qX_err" ->
+      """WITH per AS (SELECT event_type AS qid, user_id AS id,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT qid, id, n, (n % 4) AS grade,
+        |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, id)
+        |      AS rnk FROM per),
+        |num AS (SELECT qid, rnk,
+        |    CAST(CASE grade WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+        |      ELSE 7 END AS BIGINT) AS num
+        |  FROM r WHERE rnk <= 10),
+        |wide AS (SELECT qid,
+        |    max(CASE WHEN rnk = 1 THEN num ELSE 0 END) AS n_1,
+        |    max(CASE WHEN rnk = 2 THEN num ELSE 0 END) AS n_2,
+        |    max(CASE WHEN rnk = 3 THEN num ELSE 0 END) AS n_3,
+        |    max(CASE WHEN rnk = 4 THEN num ELSE 0 END) AS n_4,
+        |    max(CASE WHEN rnk = 5 THEN num ELSE 0 END) AS n_5,
+        |    max(CASE WHEN rnk = 6 THEN num ELSE 0 END) AS n_6,
+        |    max(CASE WHEN rnk = 7 THEN num ELSE 0 END) AS n_7,
+        |    max(CASE WHEN rnk = 8 THEN num ELSE 0 END) AS n_8,
+        |    max(CASE WHEN rnk = 9 THEN num ELSE 0 END) AS n_9,
+        |    max(CASE WHEN rnk = 10 THEN num ELSE 0 END) AS n_10
+        |  FROM num GROUP BY 1),
+        |s AS (SELECT qid, CAST(
+        |    n_1 * 1 * 2520 * 134217728 +
+        |    n_2 * (8 - n_1) * 1260 * 16777216 +
+        |    n_3 * (8 - n_1) * (8 - n_2) * 840 * 2097152 +
+        |    n_4 * (8 - n_1) * (8 - n_2) * (8 - n_3) * 630 * 262144 +
+        |    n_5 * (8 - n_1) * (8 - n_2) * (8 - n_3) * (8 - n_4)
+        |      * 504 * 32768 +
+        |    n_6 * (8 - n_1) * (8 - n_2) * (8 - n_3) * (8 - n_4)
+        |      * (8 - n_5) * 420 * 4096 +
+        |    n_7 * (8 - n_1) * (8 - n_2) * (8 - n_3) * (8 - n_4)
+        |      * (8 - n_5) * (8 - n_6) * 360 * 512 +
+        |    n_8 * (8 - n_1) * (8 - n_2) * (8 - n_3) * (8 - n_4)
+        |      * (8 - n_5) * (8 - n_6) * (8 - n_7) * 315 * 64 +
+        |    n_9 * (8 - n_1) * (8 - n_2) * (8 - n_3) * (8 - n_4)
+        |      * (8 - n_5) * (8 - n_6) * (8 - n_7) * (8 - n_8)
+        |      * 280 * 8 +
+        |    n_10 * (8 - n_1) * (8 - n_2) * (8 - n_3) * (8 - n_4)
+        |      * (8 - n_5) * (8 - n_6) * (8 - n_7) * (8 - n_8)
+        |      * (8 - n_9) * 252 AS BIGINT) AS err_num
+        |  FROM wide)
+        |SELECT qid, err_num,
+        |  CAST(floor(1e6 * err_num / 2705829396480) AS BIGINT)
+        |    AS err_micros
+        |FROM s ORDER BY qid""".stripMargin,
+
+    "qX_lorenz" ->
+      """WITH per AS (SELECT user_id, count(*) AS w FROM events
+        |  GROUP BY 1),
+        |r AS (SELECT w, row_number() OVER (ORDER BY w, user_id) AS rn
+        |  FROM per),
+        |nn AS (SELECT count(*) AS n FROM per),
+        |b AS (SELECT CAST(floor(10 * (rn - 1) / nn.n) AS BIGINT)
+        |      AS decile, w
+        |  FROM r CROSS JOIN nn),
+        |g AS (SELECT decile, count(*) AS n_units,
+        |    CAST(sum(w) AS BIGINT) AS weight FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM g),
+        |c AS (SELECT decile, n_units, weight,
+        |    CAST(sum(weight) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_w
+        |  FROM g)
+        |SELECT c.decile, c.n_units, c.weight,
+        |  CAST(floor(1000000 * c.weight / t.tot) AS BIGINT)
+        |    AS share_micros,
+        |  CAST(floor(1000000 * c.cum_w / t.tot) AS BIGINT)
+        |    AS cum_share_micros
+        |FROM c CROSS JOIN t ORDER BY c.decile""".stripMargin,
 
     "qX_bias_model" ->
       """WITH r AS (SELECT user_id AS u,

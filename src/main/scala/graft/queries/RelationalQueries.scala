@@ -66,6 +66,23 @@ object RelationalQueries {
         threshold = 6000000L)
     }),
 
+    // Levenshtein candidate pairs: every third customer gets a
+    // last-character-substituted copy (lev = 1); md5-prefix-4
+    // blocking keeps the pair space at Σ block², and the integer
+    // distance needs no quantization — the edit-distance sibling of
+    // qX_er_fuzzy's Jaro–Winkler predicate.
+    "qX_lev_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"))
+        .withColumn("name", md5(col("c_custkey").cast("string")))
+      val dirty = cust.filter(col("c_custkey") % 3 === 0).select(
+        (col("c_custkey") + 100000).as("c_custkey"),
+        concat(substring(col("name"), 1, 31), lit("x")).as("name"))
+      val blocked = cust.unionAll(dirty)
+        .withColumn("blk", substring(col("name"), 1, 4))
+      graft.operators.EntityResolution.editDistancePairs(
+        blocked, "c_custkey", "blk", "name", maxDist = 2)
+    }),
+
     // Blocking-quality report: nationkey blocking over planted
     // duplicates, a third of which shift blocks — reduction ratio vs
     // the pair completeness the shifted copies cost. Pure counting,
@@ -920,6 +937,23 @@ object RelationalQueries {
         |    AND a.c_custkey < b.c_custkey)
         |SELECT id1, id2, score_micros FROM p
         |WHERE score_micros >= 6000000 ORDER BY id1, id2""".stripMargin,
+    "qX_lev_join" ->
+      """WITH base AS (
+        |  SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS name
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey + 100000 AS c_custkey,
+        |    substr(name, 1, 31) || 'x' AS name
+        |  FROM base WHERE c_custkey % 3 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+        |p AS (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |  FROM u a JOIN u b ON substr(a.name, 1, 4) = substr(b.name, 1, 4)
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE abs(length(a.name) - length(b.name)) <= 2)
+        |SELECT id1, id2, dist FROM p WHERE dist <= 2
+        |ORDER BY id1, id2""".stripMargin,
     "qX_assoc_rules" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),

@@ -153,6 +153,25 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("errAtK: hand-computed cascade sum, exact rational numerator") {
+    // grades 3,0,2 at ranks 1..3 (denom 8, lcm(1..3) = 6, D = 3072):
+    // ERR = 7/8 + 0 + (1/3)(3/8)(1/8) = 57/64 -> err_num 2736,
+    // err_micros floor(1e6*2736/3072) = 890625
+    val run = Seq((1L, 10L, 3.0), (1L, 20L, 2.0), (1L, 30L, 1.0))
+      .toDF("qid", "id", "score")
+    val qrels = Seq((1L, 10L, 3L), (1L, 20L, 0L), (1L, 30L, 2L))
+      .toDF("qid", "id", "grade")
+    val r = Eval.errAtK(run, qrels, k = 3, maxGrade = 3).head()
+    assert((r.getLong(1), r.getLong(2)) == ((2736L, 890625L)))
+  }
+
+  test("errAtK: unjudged run members grade 0; all-zero grades give 0") {
+    val run = Seq((1L, 10L, 2.0), (1L, 20L, 1.0)).toDF("qid", "id", "score")
+    val qrels = Seq((1L, 99L, 3L)).toDF("qid", "id", "grade")
+    val r = Eval.errAtK(run, qrels, k = 3, maxGrade = 3).head()
+    assert((r.getLong(1), r.getLong(2)) == ((0L, 0L)))
+  }
+
   test("ndcgAtK: perfect ranking scores 1e6; swapped ranking matches hand math") {
     val qrels = Seq((0L, 10L, 3L), (0L, 11L, 2L), (0L, 12L, 1L))
       .toDF("qid", "id", "rel")

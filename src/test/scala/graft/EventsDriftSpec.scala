@@ -1065,6 +1065,50 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> "train", 4L -> "test", 5L -> "test"))
   }
 
+  test("lorenzCurve: shares sum to 1e6, cumulative monotone, heavy tail visible") {
+    import graft.operators.Eval
+    // 4 units with weights 1,1,2,6 in 2 bins: light half share 20%,
+    // heavy half 80%
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 3L), (6L, 4L)).toDF("w", "id")
+    val got = Eval.lorenzCurve(df, "w", "id", bins = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 200000L, 200000L)),
+      1L -> ((2L, 8L, 800000L, 1000000L))))
+  }
+
+  test("anovaF: hand-computed two-group F is exact") {
+    import graft.operators.Stats
+    // A = {1,2,3}, B = {4,5,6} (deci-units 10..60): ssb = 1350,
+    // ssw = 400, F = (1350/1)/(400/4) = 13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.anovaF(df, "v", "g").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 6L, 1350L, 400L, 13500000L)))
+  }
+
+  test("anovaF: single group or zero within-variance reports f = 0") {
+    import graft.operators.Stats
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(Stats.anovaF(one, "v", "g").head().getLong(4) == 0L)
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    assert(Stats.anovaF(flat, "v", "g").head().getLong(4) == 0L)
+  }
+
+  test("editDistancePairs: blocked pairs within maxDist, distance exact") {
+    import graft.operators.EntityResolution
+    val recs = Seq((1L, "ab", "kitten"), (2L, "ab", "sitten"),
+      (3L, "ab", "sittin"), (4L, "zz", "kitten"))
+      .toDF("id", "blk", "s")
+    val got = EntityResolution.editDistancePairs(recs, "id", "blk", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (1,2) sub k→s = 1; (1,3) = 2; (2,3) sub e→i = 1; 4 blocks alone
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)))
+  }
+
   test("biasBaseline: sequential shrinkage fit is exact at lambda 0") {
     import graft.operators.Pymk
     val r = Seq((1L, "A", 2.0), (1L, "B", 4.0), (2L, "A", 6.0))
