@@ -1779,4 +1779,28 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                         maxDist: Int = 2): DataFrame =
     graft.operators.EntityResolution.editDistancePairs(records, idCol,
       blockCol, strCol, maxDist)
+
+  /** Page–Hinkley mean-shift alarm over daily means
+    * ([[graft.operators.Drift.pageHinkley]]) — the running-mean
+    * sequential detector beside CUSUM/EWMA. */
+  def pageHinkley(df: DataFrame, tsCol: String, valueCol: String,
+                  slackMicros: Long, thresholdMicros: Long): DataFrame =
+    graft.operators.Drift.pageHinkley(df, tsCol, valueCol, slackMicros,
+      thresholdMicros)
+
+  /** Stationary distribution of the behavioral Markov chain
+    * ([[graft.operators.Events.stationaryDistribution]]). */
+  def stationaryDistribution(events: DataFrame, userCol: String,
+                             tsCol: String, typeCol: String,
+                             tieCols: Seq[String],
+                             rounds: Int = 4): DataFrame =
+    graft.operators.Events.stationaryDistribution(events, userCol,
+      tsCol, typeCol, tieCols, rounds)
+
+  /** Cumulative gains / lift curve by score decile
+    * ([[graft.operators.Eval.gainCurve]]) — the campaign-targeting
+    * readout beside AUC. */
+  def gainCurve(df: DataFrame, scoreCol: String, labelCol: String,
+                tieCol: String, bins: Int = 10): DataFrame =
+    graft.operators.Eval.gainCurve(df, scoreCol, labelCol, tieCol, bins)
 }

@@ -327,4 +327,41 @@ object Drift {
         col("curr_v_micros") - col("base_v_micros"))
       .orderBy(col("q_micros"))
   }
+
+  /** Page–Hinkley test over daily means (Page 1954; the streaming
+    * form in Gama et al. 2014) — the sequential mean-shift detector
+    * between [[cusum]] (fixed reference) and [[ewma]] (exponential
+    * memory): each day deviates from the RUNNING mean so far,
+    * `m_t = Σ_{i≤t}(x_i − x̄_i − δ)`, and the alarm statistic is the
+    * drawup `PH_t = m_t − min_{i≤t} m_i > λ`. The running mean
+    * quantizes per day (`⌊S_t/t⌋`, integer micros) BEFORE the
+    * cumulative fold, so every window value is an exact long.
+    *
+    * Shape: one day fold, then three cumulative windows over the
+    * BOUNDED calendar grid (≤ #days rows) — never corpus rows.
+    *
+    * @return (bucket, mean_micros, ph_micros, alarm) per day.
+    */
+  def pageHinkley(df: DataFrame, tsCol: String, valueCol: String,
+                  slackMicros: Long, thresholdMicros: Long): DataFrame = {
+    val daily = df
+      .groupBy(date_trunc("day", col(tsCol)).as("bucket"))
+      .agg(floor(sum(floor(col(valueCol) * lit(1e6)).cast("long"))
+        .cast("double") / count(lit(1))).cast("long").as("mean_micros"))
+    // BOUNDED global windows: per-DAY grid (calendar-bounded)
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("run_mean",
+        floor(sum(col("mean_micros")).over(w).cast("double")
+          / count(lit(1)).over(w)).cast("long"))
+      .withColumn("m",
+        sum(col("mean_micros") - col("run_mean") - lit(slackMicros))
+          .over(w))
+      .withColumn("ph", col("m") - min(col("m")).over(w))
+      .select(date_format(col("bucket"), "yyyy-MM-dd").as("bucket"),
+        col("mean_micros"), col("ph").as("ph_micros"),
+        (col("ph") > thresholdMicros).as("alarm"))
+      .orderBy("bucket")
+  }
 }

@@ -687,6 +687,51 @@ object Eval {
       .orderBy(col("decile"))
   }
 
+  /** Cumulative gains / lift curve by score decile — [[lorenzCurve]]
+    * pointed at a CLASSIFIER: units rank by (score desc, tie) on
+    * [[Packing.globalRank]], decile 0 = highest-scored, and each grid
+    * row reports what share of all positives the top d deciles
+    * capture (gain) and how far above random that is (lift = gain /
+    * population share). The campaign-targeting readout beside
+    * [[aucRank]]'s single number.
+    *
+    * Shape: one exact global rank + one ≤`bins`-row grid window.
+    *
+    * @return (decile, n_units, n_pos, cum_pos, gain_micros,
+    *         lift_micros) ordered — decile 0 = top-scored units.
+    */
+  def gainCurve(df: DataFrame, scoreCol: String, labelCol: String,
+                tieCol: String, bins: Int = 10): DataFrame = {
+    val (ranked, n) = Packing.globalRank(
+      df.select((-col(scoreCol).cast("long")).as("_ns"),
+        col(labelCol).cast("long").as("y"), col(tieCol).as("tie")),
+      Seq("_ns", "tie"))
+    val byBin = ranked
+      .withColumn("decile",
+        floor(lit(bins.toLong) * (col("_grank") - 1) / lit(n))
+          .cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_units"), sum(col("y")).as("n_pos"))
+    val tot = byBin.agg(sum(col("n_pos")).as("tot_pos"),
+      sum(col("n_units")).as("tot_n"))
+    // BOUNDED global window: the ≤`bins`-row decile grid
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBin.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("cum_n", sum(col("n_units")).over(w))
+      .select(col("decile"), col("n_units"), col("n_pos"), col("cum_pos"),
+        when(col("tot_pos") === 0, lit(0L))
+          .otherwise(floor(lit(1000000L) * col("cum_pos") / col("tot_pos"))
+            .cast("long")).as("gain_micros"),
+        when(col("tot_pos") === 0, lit(0L))
+          .otherwise(floor(lit(1e6) *
+            (col("cum_pos").cast("double") / col("tot_pos")) /
+            (col("cum_n").cast("double") / col("tot_n"))).cast("long"))
+          .as("lift_micros"))
+      .orderBy(col("decile"))
+  }
+
   /** Expected reciprocal rank @k (Chapelle et al. 2009) — the
     * cascade-model companion of [[ndcgAtK]]: a simulated user scans
     * the run top-down and stops at rank r with probability

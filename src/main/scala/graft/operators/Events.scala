@@ -294,6 +294,58 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** Stationary distribution of the [[transitionMatrix]] chain by
+    * FIXED-ROUND power iteration — where the session random walk
+    * spends its time in the long run (the behavioral PageRank over
+    * event types): `π_{t+1}[j] = Σ_i π_t[i]·n_ij/n_i` from a uniform
+    * start, each per-edge term `⌊π_i·n_ij/n_i⌋` quantized to a long
+    * BEFORE the per-state fold (order-free — the
+    * [[graft.operators.GraphAnalytics]] PageRank rule), so the fixed
+    * `rounds` computation unrolls exactly in a SQL oracle. Floors
+    * leak ≤ k micros of mass per round (reported, not renormalized —
+    * renormalization would re-divide and double-quantize).
+    *
+    * Shape per round: one join of the k²-bounded transition-count
+    * table against the k-row π table + one state fold — k = #event
+    * types, everything broadcast-sized after the one count pass.
+    *
+    * @return (state, pi_micros) ordered by state.
+    */
+  def stationaryDistribution(events: DataFrame, userCol: String,
+                             tsCol: String, typeCol: String,
+                             tieCols: Seq[String],
+                             rounds: Int = 4): DataFrame = {
+    val e = events.select((Seq(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(typeCol).as("et")) ++ tieCols.map(col)): _*)
+    val w = Window.partitionBy("u")
+      .orderBy((col("ts") +: tieCols.map(col)): _*)
+    val counts = e.withColumn("src", lag(col("et"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("et").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // reused every round
+    val ca = counts.groupBy("src").agg(sum(col("n")).as("c_src"))
+    val trans = counts.join(ca, "src").localCheckpoint(true)
+    val states = counts.select(col("src").as("state"))
+      .unionAll(counts.select(col("dst").as("state"))).distinct()
+      .localCheckpoint(true)
+    val k = states.count()
+    var pi = states.select(col("state"),
+      lit(1000000L / math.max(k, 1L)).as("pi_micros"))
+    for (_ <- 1 to rounds) {
+      pi = trans
+        .join(pi.select(col("state").as("src"), col("pi_micros")), "src")
+        .select(col("dst").as("state"),
+          floor(col("pi_micros") * col("n") / col("c_src")).cast("long")
+            .as("t"))
+        .groupBy(col("state")).agg(sum(col("t")).as("pi_micros"))
+    }
+    states.join(pi, Seq("state"), "left")
+      .select(col("state"), coalesce(col("pi_micros"), lit(0L))
+        .as("pi_micros"))
+      .orderBy("state")
+  }
+
   /** Per-user sequence likelihood under the GLOBAL first-order Markov
     * model — the behavioral-anomaly score a fraud/bot screen ranks
     * users by: train [[transitionMatrix]]-style counts over everyone,

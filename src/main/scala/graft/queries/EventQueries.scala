@@ -357,6 +357,30 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Page–Hinkley mean-shift alarm over daily means — the
+    // running-mean sequential detector between qX_cusum and qX_ewma.
+    "qX_page_hinkley" -> ((s, dir) => {
+      Drift.pageHinkley(t(s, dir, "events"), "ts", "value",
+        slackMicros = 1000000L, thresholdMicros = 50000000L)
+    }),
+
+    // Stationary distribution of the event-type Markov chain (4
+    // power-iteration rounds, per-edge terms quantized before the
+    // fold) — where the session walk spends its time in the limit.
+    "qX_stationary" -> ((s, dir) => {
+      Events.stationaryDistribution(t(s, dir, "events"), "user_id",
+        "ts", "event_type", Seq("event_id"), rounds = 4)
+    }),
+
+    // Cumulative gains / lift by activity-score decile against the
+    // purchased label — the campaign-targeting curve beside qX_auc.
+    "qX_gain" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          max((col("event_type") === "purchase").cast("long")).as("y"))
+      graft.operators.Eval.gainCurve(per, "score", "y", "user_id")
+    }),
+
     // One-way ANOVA F across the five event-type arms on value —
     // the k-arm readout beside qX_welch's two arms.
     "qX_anova" -> ((s, dir) => {
@@ -1188,6 +1212,100 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS bucket,
+        |    CAST(floor(CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*)) AS BIGINT) AS mean_micros
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT bucket, mean_micros,
+        |    CAST(floor(CAST(sum(mean_micros) OVER w AS DOUBLE)
+        |      / (count(*) OVER w)) AS BIGINT) AS run_mean
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT bucket, mean_micros,
+        |    CAST(sum(mean_micros - run_mean - 1000000) OVER
+        |      (ORDER BY bucket
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS mm
+        |  FROM r),
+        |p AS (SELECT bucket, mean_micros,
+        |    mm - min(mm) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        |  FROM m)
+        |SELECT strftime(bucket, '%Y-%m-%d') AS bucket, mean_micros,
+        |  CAST(ph AS BIGINT) AS ph_micros, ph > 50000000 AS alarm
+        |FROM p ORDER BY bucket""".stripMargin,
+
+    "qX_stationary" ->
+      """WITH seq AS (SELECT event_type AS et,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS src
+        |  FROM events),
+        |cnt AS (SELECT src, et AS dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+        |ca AS (SELECT src, CAST(sum(n) AS BIGINT) AS c_src
+        |  FROM cnt GROUP BY 1),
+        |tr AS (SELECT cnt.src, cnt.dst, cnt.n, ca.c_src
+        |  FROM cnt JOIN ca USING (src)),
+        |st AS (SELECT DISTINCT state FROM (
+        |  SELECT src AS state FROM cnt
+        |  UNION ALL SELECT dst FROM cnt)),
+        |kk AS (SELECT count(*) AS k FROM st),
+        |p0 AS (SELECT state, CAST(floor(1000000 / kk.k) AS BIGINT) AS pi
+        |  FROM st CROSS JOIN kk),
+        |p1 AS (SELECT tr.dst AS state,
+        |    CAST(sum(CAST(floor(p0.pi * tr.n / tr.c_src) AS BIGINT))
+        |      AS BIGINT) AS pi
+        |  FROM tr JOIN p0 ON p0.state = tr.src GROUP BY 1),
+        |p2 AS (SELECT tr.dst AS state,
+        |    CAST(sum(CAST(floor(p1.pi * tr.n / tr.c_src) AS BIGINT))
+        |      AS BIGINT) AS pi
+        |  FROM tr JOIN p1 ON p1.state = tr.src GROUP BY 1),
+        |p3 AS (SELECT tr.dst AS state,
+        |    CAST(sum(CAST(floor(p2.pi * tr.n / tr.c_src) AS BIGINT))
+        |      AS BIGINT) AS pi
+        |  FROM tr JOIN p2 ON p2.state = tr.src GROUP BY 1),
+        |p4 AS (SELECT tr.dst AS state,
+        |    CAST(sum(CAST(floor(p3.pi * tr.n / tr.c_src) AS BIGINT))
+        |      AS BIGINT) AS pi
+        |  FROM tr JOIN p3 ON p3.state = tr.src GROUP BY 1)
+        |SELECT st.state, coalesce(p4.pi, 0) AS pi_micros
+        |FROM st LEFT JOIN p4 USING (state) ORDER BY state""".stripMargin,
+
+    "qX_gain" ->
+      """WITH per AS (SELECT user_id, count(*) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT y, row_number() OVER (ORDER BY -score, user_id)
+        |    AS rn FROM per),
+        |nn AS (SELECT count(*) AS n FROM per),
+        |b AS (SELECT CAST(floor(10 * (rn - 1) / nn.n) AS BIGINT)
+        |      AS decile, y
+        |  FROM r CROSS JOIN nn),
+        |g AS (SELECT decile, count(*) AS n_units,
+        |    CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+        |    CAST(sum(n_units) AS BIGINT) AS tot_n FROM g),
+        |c AS (SELECT decile, n_units, n_pos,
+        |    CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+        |    CAST(sum(n_units) OVER w AS BIGINT) AS cum_n
+        |  FROM g
+        |  WINDOW w AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT c.decile, c.n_units, c.n_pos, c.cum_pos,
+        |  CASE WHEN t.tot_pos = 0 THEN 0
+        |    ELSE CAST(floor(1000000 * c.cum_pos / t.tot_pos) AS BIGINT)
+        |  END AS gain_micros,
+        |  CASE WHEN t.tot_pos = 0 THEN 0
+        |    ELSE CAST(floor(1e6 *
+        |      (CAST(c.cum_pos AS DOUBLE) / t.tot_pos)
+        |      / (CAST(c.cum_n AS DOUBLE) / t.tot_n)) AS BIGINT)
+        |  END AS lift_micros
+        |FROM c CROSS JOIN t ORDER BY c.decile""".stripMargin,
 
     "qX_anova" ->
       """WITH q AS (SELECT event_type AS g,

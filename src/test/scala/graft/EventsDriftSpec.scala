@@ -197,6 +197,52 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("pageHinkley: running-mean drawup matches hand math; shift alarms") {
+    import graft.operators.Drift
+    // 10,10,10 then 20,20,20: run means 10,10,10,12.5,14,15 →
+    // terms 0,0,0,7.5e6,6e6,5e6; m cum 0,0,0,7.5e6,13.5e6,18.5e6;
+    // min m = 0 → ph = m
+    val e = (1 to 6).flatMap { d =>
+      val v = if (d <= 3) 10.0 else 20.0
+      Seq((ts(f"2024-01-0$d%01d 10:00:00"), v))
+    }.toDF("t", "v")
+    val got = Drift.pageHinkley(e, "t", "v", slackMicros = 0L,
+        thresholdMicros = 7000000L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSeq ==
+      Seq(0L, 0L, 0L, 7500000L, 13500000L, 18500000L))
+    assert(got.map(_._2).toSeq ==
+      Seq(false, false, false, true, true, true))
+  }
+
+  test("stationaryDistribution: 4-round power iteration matches hand trace") {
+    import graft.operators.Events
+    // chain A,A,B,A: P(A→A)=P(A→B)=1/2, P(B→A)=1 — true π_A = 2/3;
+    // hand trace with per-term floors: (656250, 343750) after 4 rounds
+    val e = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 02:00:00"), "A", 2L),
+      (1L, ts("2024-01-01 03:00:00"), "B", 3L),
+      (1L, ts("2024-01-01 04:00:00"), "A", 4L)).toDF("u", "t", "et", "eid")
+    val got = Events.stationaryDistribution(e, "u", "t", "et",
+        Seq("eid"), rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 656250L, "B" -> 343750L))
+  }
+
+  test("gainCurve: top-bin captures all positives, lift exact") {
+    import graft.operators.Eval
+    val df = Seq((4L, 1L, 1L), (3L, 1L, 2L), (2L, 0L, 3L), (1L, 0L, 4L))
+      .toDF("s", "y", "id")
+    val got = Eval.gainCurve(df, "s", "y", "id", bins = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 2L, 1000000L, 2000000L)),
+      1L -> ((2L, 0L, 2L, 1000000L, 1000000L))))
+  }
+
   test("acf: alternating series — negative lag-1, positive lag-2, exact micros") {
     import graft.operators.Drift
     // daily counts (1,3,1,3): a = (-4,4,-4,4), den = 64;
