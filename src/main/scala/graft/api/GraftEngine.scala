@@ -1803,4 +1803,24 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def gainCurve(df: DataFrame, scoreCol: String, labelCol: String,
                 tieCol: String, bins: Int = 10): DataFrame =
     graft.operators.Eval.gainCurve(df, scoreCol, labelCol, tieCol, bins)
+
+  /** Benjamini–Hochberg FDR screen over per-cell mean shifts
+    * ([[graft.operators.Stats.bhFdr]]) — the multiple-comparisons
+    * gate for metric dashboards. */
+  def bhFdr(df: DataFrame, valueCol: String, groupCols: Seq[String],
+            alphaMicros: Long = 100000L): DataFrame =
+    graft.operators.Stats.bhFdr(df, valueCol, groupCols, alphaMicros)
+
+  /** Fleiss' kappa over ≥2 binary raters
+    * ([[graft.operators.Eval.fleissKappa]]) — multi-rater
+    * chance-corrected agreement. */
+  def fleissKappa(df: DataFrame, raterCols: Seq[String]): DataFrame =
+    graft.operators.Eval.fleissKappa(df, raterCols)
+
+  /** Neyman optimal stratified-sampling allocation
+    * ([[graft.operators.Sampling.neymanAllocation]]). */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+                       valueCol: String, totalN: Long): DataFrame =
+    graft.operators.Sampling.neymanAllocation(df, strataCols, valueCol,
+      totalN)
 }

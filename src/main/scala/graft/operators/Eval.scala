@@ -687,6 +687,45 @@ object Eval {
       .orderBy(col("decile"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) over ≥2 BINARY raters — the
+    * multi-rater chance-corrected agreement behind label-quality
+    * audits (Cohen's κ, the 2-rater case, is qX_kappa): with r
+    * raters and per-item positive-vote count n1,
+    * `P_i = (n1² + (r−n1)² − r)/(r(r−1))`, `P̄ = mean P_i`,
+    * `P_e = p₀² + p₁²`, `κ = (P̄−P_e)/(1−P_e)`. The per-item numerator
+    * `n1² + (r−n1)² − r` is an exact small integer folded corpus-wide
+    * (order-free), the two category masses are integer counts, and κ
+    * is ONE fixed IEEE expression over those three longs —
+    * engine-exact. Unanimous-vote degeneracy (P_e = 1) reports κ = 0.
+    *
+    * Shape: one projection + one scalar fold — no joins, no windows.
+    *
+    * @return one row (n_items, n_raters, sum_pi_num, n1_total,
+    *         kappa_micros).
+    */
+  def fleissKappa(df: DataFrame, raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2, "at least two raters")
+    val r = raterCols.size.toLong
+    val n1 = raterCols.map(c => col(c).cast("long")).reduce(_ + _)
+    val base = df.select(n1.as("n1"))
+      .select(col("n1"),
+        (col("n1") * col("n1") +
+          (lit(r) - col("n1")) * (lit(r) - col("n1")) - lit(r))
+          .as("pi_num"))
+    val s = base.agg(count(lit(1)).as("n_items"),
+      sum(col("pi_num")).as("sum_pi_num"), sum(col("n1")).as("n1_total"))
+    val pbar = col("sum_pi_num").cast("double") /
+      (col("n_items") * lit(r) * lit(r - 1))
+    val p1 = col("n1_total").cast("double") / (col("n_items") * lit(r))
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    s.select(col("n_items"), lit(r).as("n_raters"), col("sum_pi_num"),
+      col("n1_total"),
+      when(col("n1_total") === 0 ||
+          col("n1_total") === col("n_items") * lit(r), lit(0L))
+        .otherwise(floor(lit(1e6) * (pbar - pe) / (lit(1.0) - pe))
+          .cast("long")).as("kappa_micros"))
+  }
+
   /** Cumulative gains / lift curve by score decile — [[lorenzCurve]]
     * pointed at a CLASSIFIER: units rank by (score desc, tie) on
     * [[Packing.globalRank]], decile 0 = highest-scored, and each grid

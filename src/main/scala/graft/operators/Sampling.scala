@@ -254,4 +254,43 @@ object Sampling {
       .filter(md5Bucket(col(idCol)) < col("_rate") * BucketSpace)
       .drop("_rate")
   }
+
+  /** Neyman optimal allocation for stratified sampling (Neyman
+    * 1934) — how many of `totalN` sample slots each stratum deserves:
+    * `n_h ∝ N_h·σ_h`, so high-variance strata get oversampled and a
+    * uniform-value stratum costs almost nothing. Values quantize to
+    * integer millis; per stratum (n, Σv, Σv²) are exact folds, the
+    * per-stratum weight `t_h = ⌊N_h·σ_h⌋` quantizes to a long BEFORE
+    * the cross-strata fold (order-free — sqrt is IEEE
+    * correctly-rounded, engine-exact), and
+    * `alloc_h = ⌊totalN·t_h/T⌋` is one fixed expression. Floors may
+    * leave ≤ #strata slots unallocated (reported, caller tops up).
+    * Single-row strata (σ undefined) get weight 0.
+    *
+    * Shape: one stratum fold (k rows) + one 1-row broadcast fold.
+    *
+    * @return (stratum…, n_h, t_units, alloc) ordered by stratum.
+    */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+                       valueCol: String, totalN: Long): DataFrame = {
+    val q = df.select(strataCols.map(col) :+
+      floor(col(valueCol) * lit(1000)).cast("long").as("v"): _*)
+    val per = q.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_h"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("qq"))
+    val varHat = (col("qq").cast("double") -
+      col("s").cast("double") * col("s") / col("n_h")) /
+      (col("n_h") - 1)
+    val t = per.withColumn("t_units",
+      when(col("n_h") < 2, lit(0L))
+        .otherwise(floor(col("n_h") * sqrt(greatest(varHat, lit(0.0))))
+          .cast("long")))
+    val tot = t.agg(sum(col("t_units")).as("tt"))
+    t.crossJoin(broadcast(tot))
+      .select(strataCols.map(col) ++ Seq(col("n_h"), col("t_units"),
+        when(col("tt") === 0, lit(0L))
+          .otherwise(floor(lit(totalN) * col("t_units") / col("tt"))
+            .cast("long")).as("alloc")): _*)
+      .orderBy(strataCols.map(col): _*)
+  }
 }

@@ -374,6 +374,60 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Benjamini–Hochberg FDR screen over per-cell mean shifts
+    * (Benjamini & Hochberg 1995) — the multiple-comparisons gate a
+    * metrics dashboard needs the moment it watches 35 cells at once:
+    * each (group…) cell tests its mean against the global mean with
+    * the DISTRIBUTION-FREE Chebyshev bound
+    * `p ≤ min(1, (s²/n)/Δ²)` (no erf — a conservative p that is one
+    * fixed IEEE expression over exact integer sums, engine-exact),
+    * then BH: sort p ascending, reject every cell ranked ≤ k* where
+    * `k* = max{i : p_i·m ≤ α·i}` (the comparison is INTEGER —
+    * `p_micros·m ≤ alphaMicros·rank`). Values quantize to millis; the
+    * Δ = 0 / n < 2 degeneracies report p = 1.
+    *
+    * Shape: one cell fold (m rows out) + two 1-row broadcast folds +
+    * one window over the ≤m-row p table — never corpus rows.
+    *
+    * @return (group…, n, p_micros, rnk, rejected) ordered by rank.
+    */
+  def bhFdr(df: DataFrame, valueCol: String, groupCols: Seq[String],
+            alphaMicros: Long = 100000L): DataFrame = {
+    val q = df.select(groupCols.map(col) :+
+      floor(col(valueCol) * lit(1000)).cast("long").as("v"): _*)
+    val cells = q.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("qq"))
+    val glob = q.agg(count(lit(1)).as("nn"), sum(col("v")).as("st"))
+    // integer Δ gate (micro-millis) decides the degenerate branch;
+    // the p value itself is one fixed IEEE expression
+    val dInt = floor(lit(1e6) * col("s") / col("n")).cast("long") -
+      floor(lit(1e6) * col("st") / col("nn")).cast("long")
+    val mean = col("s").cast("double") / col("n")
+    val gmean = col("st").cast("double") / col("nn")
+    val varHat = (col("qq").cast("double") -
+      col("s").cast("double") * col("s") / col("n")) / (col("n") - 1)
+    val p = least(lit(1000000L),
+      floor(lit(1e6) * (varHat / col("n")) /
+        ((mean - gmean) * (mean - gmean))).cast("long"))
+    val withP = cells.crossJoin(broadcast(glob))
+      .withColumn("p_micros",
+        when(col("n") < 2 || dInt === 0, lit(1000000L)).otherwise(p))
+    val tot = withP.agg(count(lit(1)).as("m"))
+    // BOUNDED global window: the ≤m-row hypothesis table
+    val w = Window.orderBy((col("p_micros") +: groupCols.map(col)): _*)
+    val ranked = withP.crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("flag",
+        col("p_micros") * col("m") <= lit(alphaMicros) * col("rnk"))
+    val ks = ranked.agg(max(when(col("flag"), col("rnk"))
+      .otherwise(lit(0L))).as("kstar"))
+    ranked.crossJoin(broadcast(ks))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("p_micros"),
+        col("rnk"), (col("rnk") <= col("kstar")).as("rejected")): _*)
+      .orderBy(col("rnk"))
+  }
+
   /** One-way ANOVA F statistic across ≥2 groups — the k-arm
     * generalization of [[welchT]] (equal-variance form): does ANY
     * event-type arm move the metric. Values quantize to integer

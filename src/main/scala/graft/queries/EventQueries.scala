@@ -357,6 +357,16 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Benjamini–Hochberg FDR screen over the 35 (type, weekday)
+    // cells — distribution-free Chebyshev p-bounds, integer BH
+    // comparison p·m <= alpha·rank.
+    "qX_bh_fdr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("weekday", dayofweek(col("ts")).cast("long"))
+      graft.operators.Stats.bhFdr(ev, "value",
+        Seq("event_type", "weekday"), alphaMicros = 100000L)
+    }),
+
     // Page–Hinkley mean-shift alarm over daily means — the
     // running-mean sequential detector between qX_cusum and qX_ewma.
     "qX_page_hinkley" -> ((s, dir) => {
@@ -1212,6 +1222,39 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_bh_fdr" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday,
+        |    CAST(floor("value" * 1000) AS BIGINT) AS v FROM events),
+        |cells AS (SELECT event_type, weekday, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS qq
+        |  FROM q GROUP BY 1, 2),
+        |gg AS (SELECT count(*) AS nn, CAST(sum(v) AS BIGINT) AS st
+        |  FROM q),
+        |wp AS (SELECT event_type, weekday, n,
+        |    CASE WHEN n < 2 OR CAST(floor(1e6 * s / n) AS BIGINT)
+        |        - CAST(floor(1e6 * st / nn) AS BIGINT) = 0 THEN 1000000
+        |      ELSE least(1000000, CAST(floor(1e6 *
+        |        ((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |          / (n - 1) / n)
+        |        / ((CAST(s AS DOUBLE) / n - CAST(st AS DOUBLE) / nn)
+        |          * (CAST(s AS DOUBLE) / n - CAST(st AS DOUBLE) / nn)))
+        |        AS BIGINT))
+        |    END AS p_micros
+        |  FROM cells CROSS JOIN gg),
+        |tot AS (SELECT count(*) AS m FROM wp),
+        |rk AS (SELECT event_type, weekday, n, p_micros,
+        |    CAST(row_number() OVER
+        |      (ORDER BY p_micros, event_type, weekday) AS BIGINT)
+        |      AS rnk, tot.m
+        |  FROM wp CROSS JOIN tot),
+        |ks AS (SELECT max(CASE WHEN p_micros * m <= 100000 * rnk
+        |    THEN rnk ELSE 0 END) AS kstar FROM rk)
+        |SELECT event_type, weekday, n, p_micros, rnk,
+        |  rnk <= ks.kstar AS rejected
+        |FROM rk CROSS JOIN ks ORDER BY rnk""".stripMargin,
 
     "qX_page_hinkley" ->
       """WITH daily AS (

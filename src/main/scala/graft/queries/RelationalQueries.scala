@@ -66,6 +66,16 @@ object RelationalQueries {
         threshold = 6000000L)
     }),
 
+    // Neyman optimal allocation of 1000 sample slots across nation
+    // strata by N_h·sigma_h of acctbal — high-variance nations get
+    // oversampled; per-stratum weights quantize before the fold.
+    "qX_neyman" -> ((s, dir) => {
+      graft.operators.Sampling.neymanAllocation(
+        t(s, dir, "customer").select(col("c_nationkey"),
+          col("c_acctbal")),
+        Seq("c_nationkey"), "c_acctbal", totalN = 1000L)
+    }),
+
     // Levenshtein candidate pairs: every third customer gets a
     // last-character-substituted copy (lev = 1); md5-prefix-4
     // blocking keeps the pair space at Σ block², and the integer
@@ -937,6 +947,28 @@ object RelationalQueries {
         |    AND a.c_custkey < b.c_custkey)
         |SELECT id1, id2, score_micros FROM p
         |WHERE score_micros >= 6000000 ORDER BY id1, id2""".stripMargin,
+    "qX_neyman" ->
+      """WITH q AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal * 1000) AS BIGINT) AS v
+        |  FROM customer),
+        |per AS (SELECT c_nationkey, count(*) AS n_h,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS qq
+        |  FROM q GROUP BY 1),
+        |t AS (SELECT c_nationkey, n_h,
+        |    CASE WHEN n_h < 2 THEN 0
+        |      ELSE CAST(floor(n_h * sqrt(greatest(
+        |        (CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_h)
+        |          / (n_h - 1), 0.0))) AS BIGINT)
+        |    END AS t_units
+        |  FROM per),
+        |tot AS (SELECT CAST(sum(t_units) AS BIGINT) AS tt FROM t)
+        |SELECT t.c_nationkey, t.n_h, t.t_units,
+        |  CASE WHEN tot.tt = 0 THEN 0
+        |    ELSE CAST(floor(1000 * t.t_units / tot.tt) AS BIGINT)
+        |  END AS alloc
+        |FROM t CROSS JOIN tot ORDER BY t.c_nationkey""".stripMargin,
+
     "qX_lev_join" ->
       """WITH base AS (
         |  SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS name

@@ -412,6 +412,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Fleiss' kappa across three deterministic rule raters (length /
+    // space count / 'e' count thresholds) — the multi-rater
+    // label-quality agreement beside qX_kappa's two-model Cohen.
+    "qX_fleiss" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(
+        (length(col("text")) >= 350).cast("long").as("r1"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")) >= 50)
+          .cast("long").as("r2"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "e", "")) >= 12)
+          .cast("long").as("r3"))
+      graft.operators.Eval.fleissKappa(d, Seq("r1", "r2", "r3"))
+    }),
+
     // Flesch reading-ease per doc: words/sentences/vowel-group
     // syllables as exact HOF counts, one IEEE scoring expression.
     "qX_readability" -> ((s, dir) => {
@@ -1630,6 +1645,36 @@ object TextQueries {
         |  CAST(round(1e6 * (206.835 - 1.015 * n_words / n_sentences
         |    - 84.6 * n_syllables / n_words)) AS BIGINT) AS flesch_micros
         |FROM c ORDER BY doc_id""".stripMargin,
+    "qX_fleiss" ->
+      """WITH rat AS (SELECT
+        |    CASE WHEN length(text) >= 350 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN length(text) - length(replace(text, ' ', ''))
+        |      >= 50 THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN length(text) - length(replace(text, 'e', ''))
+        |      >= 12 THEN 1 ELSE 0 END AS r3
+        |  FROM documents),
+        |b AS (SELECT CAST(r1 + r2 + r3 AS BIGINT) AS n1 FROM rat),
+        |s AS (SELECT count(*) AS n_items,
+        |    CAST(sum(n1 * n1 + (3 - n1) * (3 - n1) - 3) AS BIGINT)
+        |      AS sum_pi_num,
+        |    CAST(sum(n1) AS BIGINT) AS n1_total FROM b)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, sum_pi_num,
+        |  n1_total,
+        |  CASE WHEN n1_total = 0 OR n1_total = n_items * 3 THEN 0
+        |    ELSE CAST(floor(1e6 *
+        |      (CAST(sum_pi_num AS DOUBLE) / (n_items * 3 * 2)
+        |        - (CAST(n1_total AS DOUBLE) / (n_items * 3)
+        |            * (CAST(n1_total AS DOUBLE) / (n_items * 3))
+        |          + (1.0 - CAST(n1_total AS DOUBLE) / (n_items * 3))
+        |            * (1.0 - CAST(n1_total AS DOUBLE) / (n_items * 3))))
+        |      / (1.0 -
+        |        (CAST(n1_total AS DOUBLE) / (n_items * 3)
+        |            * (CAST(n1_total AS DOUBLE) / (n_items * 3))
+        |          + (1.0 - CAST(n1_total AS DOUBLE) / (n_items * 3))
+        |            * (1.0 - CAST(n1_total AS DOUBLE) / (n_items * 3)))))
+        |      AS BIGINT)
+        |  END AS kappa_micros
+        |FROM s""".stripMargin,
     "qX_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,

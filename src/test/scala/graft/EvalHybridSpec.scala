@@ -153,6 +153,19 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fleissKappa: hand-computed 4-item 3-rater case; unanimity guard") {
+    // votes n1 = 3,0,2,1: pbar = 16/24, p1 = 1/2, pe = 1/2 ->
+    // kappa = 1/3 -> 333333
+    val df = Seq((1L, 1L, 1L), (0L, 0L, 0L), (1L, 1L, 0L), (1L, 0L, 0L))
+      .toDF("r1", "r2", "r3")
+    val r = Eval.fleissKappa(df, Seq("r1", "r2", "r3")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 3L, 16L, 6L, 333333L)))
+    val uni = Seq((1L, 1L, 1L), (1L, 1L, 1L)).toDF("r1", "r2", "r3")
+    assert(Eval.fleissKappa(uni, Seq("r1", "r2", "r3")).head()
+      .getLong(4) == 0L)
+  }
+
   test("errAtK: hand-computed cascade sum, exact rational numerator") {
     // grades 3,0,2 at ranks 1..3 (denom 8, lcm(1..3) = 6, D = 3072):
     // ERR = 7/8 + 0 + (1/3)(3/8)(1/8) = 57/64 -> err_num 2736,

@@ -1124,6 +1124,32 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       1L -> ((2L, 8L, 800000L, 1000000L))))
   }
 
+  test("bhFdr: shifted cells reject, on-mean cell keeps p = 1") {
+    import graft.operators.Stats
+    // a and b sit 5000 millis off the global mean with unit se -> p~0;
+    // c matches the global mean exactly -> integer-Delta gate, p = 1e6
+    val df = Seq(("a", 0.0), ("a", 0.002), ("b", 10.0), ("b", 10.002),
+      ("c", 5.0), ("c", 5.002)).toDF("g", "v")
+    val got = Stats.bhFdr(df, "v", Seq("g"), alphaMicros = 100000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got == Map("a" -> ((0L, true)), "b" -> ((0L, true)),
+      "c" -> ((1000000L, false))))
+  }
+
+  test("neymanAllocation: allocation proportional to N_h*sigma_h") {
+    import graft.operators.Sampling
+    // x: sd 1414.21 -> t 2828; y: sd 2828.42 -> t 5656; T 8484 ->
+    // allocations 333 / 666 of 1000 (floors leave 1 slot)
+    val df = Seq(("x", 0.0), ("x", 2.0), ("y", 0.0), ("y", 4.0))
+      .toDF("st", "v")
+    val got = Sampling.neymanAllocation(df, Seq("st"), "v", 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("x" -> ((2L, 2828L, 333L)),
+      "y" -> ((2L, 5656L, 666L))))
+  }
+
   test("anovaF: hand-computed two-group F is exact") {
     import graft.operators.Stats
     // A = {1,2,3}, B = {4,5,6} (deci-units 10..60): ssb = 1350,
