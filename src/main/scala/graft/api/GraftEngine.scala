@@ -1823,4 +1823,21 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                        valueCol: String, totalN: Long): DataFrame =
     graft.operators.Sampling.neymanAllocation(df, strataCols, valueCol,
       totalN)
+
+  /** Mutual information between two categorical columns
+    * ([[graft.operators.Stats.categoricalMi]]) — the dependence
+    * screen for feature selection and leakage hunts. */
+  def categoricalMi(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    graft.operators.Stats.categoricalMi(df, xCol, yCol)
+
+  /** Cramér's V effect size over an r×c contingency
+    * ([[graft.operators.Stats.cramersV]]). */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    graft.operators.Stats.cramersV(df, xCol, yCol)
+
+  /** Herfindahl–Hirschman concentration + effective unit count
+    * ([[graft.operators.Eval.hhi]]) — the market-concentration face
+    * of [[recExposure]]. */
+  def hhi(df: DataFrame, keyCol: String): DataFrame =
+    graft.operators.Eval.hhi(df, keyCol)
 }

@@ -687,6 +687,36 @@ object Eval {
       .orderBy(col("decile"))
   }
 
+  /** Herfindahl–Hirschman concentration index over per-key mass —
+    * [[exposureGini]]'s market-concentration sibling (the antitrust
+    * number, here pointed at traffic/exposure): `HHI = Σ s_i²` over
+    * unit shares, plus the effective number of units `1/HHI` (how
+    * many equal-mass units would look like this). Each share
+    * quantizes to micros BEFORE squaring (`s_i = ⌊1e6·n_i/N⌋`, so the
+    * corpus-wide fold is an exact integer sum), and the two readouts
+    * are single divisions.
+    *
+    * Shape: one keyed fold + one scalar fold — no windows, no joins.
+    *
+    * @return one row (n_units, total, hhi_micros, eff_n_micros).
+    */
+  def hhi(df: DataFrame, keyCol: String): DataFrame = {
+    val per = df.groupBy(col(keyCol)).agg(count(lit(1)).as("ni"))
+    val tot = per.agg(sum(col("ni")).as("n"))
+    val s = per.crossJoin(broadcast(tot))
+      .select(floor(lit(1e6) * col("ni") / col("n")).cast("long")
+        .as("si"), col("n"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_units"), sum(col("si") * col("si"))
+        .as("s2"))
+    s.select(col("n_units"), col("n").as("total"),
+        floor(col("s2").cast("double") / lit(1e6)).cast("long")
+          .as("hhi_micros"))
+      .withColumn("eff_n_micros",
+        when(col("hhi_micros") <= 0, lit(0L))
+          .otherwise(floor(lit(1e12) / col("hhi_micros")).cast("long")))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) over ≥2 BINARY raters — the
     * multi-rater chance-corrected agreement behind label-quality
     * audits (Cohen's κ, the 2-rater case, is qX_kappa): with r

@@ -374,6 +374,77 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Mutual information between two CATEGORICAL columns — the
+    * dependence screen behind feature selection and leakage hunts
+    * (does weekday predict event type at all): over the r×c
+    * contingency table, `MI = Σ (n_xy/N)·ln(n_xy·N/(n_x·n_y))` in
+    * nats. Each cell term `round(1e6·(n_xy/N)·ln(n_xy·N/(n_x·n_y)))`
+    * quantizes to a long BEFORE the fold (the
+    * [[graft.operators.TextAnalysis.pmiPairs]] convention — the ln
+    * argument is a ratio of exact integer products, the accepted ln
+    * residual class), so the sum is order-free and SQL-replayable.
+    *
+    * Shape: one cell fold (r·c rows) + two marginal folds + one
+    * scalar fold — never corpus rows past the first groupBy.
+    *
+    * @return one row (n, n_cells, mi_micros).
+    */
+  def categoricalMi(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(true) // marginals AND terms read it
+    val nx = cells.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy("y").agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"))
+    cells.join(nx, "x").join(ny, "y").crossJoin(broadcast(tot))
+      .select(col("n"),
+        round(lit(1e6) * (col("nxy").cast("double") / col("n")) *
+          log((col("nxy") * col("n")).cast("double") /
+            (col("nx") * col("ny")))).cast("long").as("t"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("t")).as("mi_micros"))
+      .select(col("n"), col("n_cells"), col("mi_micros"))
+  }
+
+  /** Cramér's V of an r×c contingency table — the [0,1]-normalized
+    * effect size over the χ² dependence test ([[categoricalMi]]'s
+    * bounded sibling; the per-pair matrix form is qX_corr_matrix for
+    * numeric series): each cell contributes
+    * `⌊1e6·(o−e)²/e⌋` with `e = n_x·n_y/N` (one fixed IEEE expression
+    * over exact integer marginals, quantized BEFORE the fold), and
+    * `V = √(χ²/(N·(min(r,c)−1)))` is one final sqrt (IEEE
+    * correctly-rounded, engine-exact).
+    *
+    * @return one row (n, r, c, chi2_micros, v_micros).
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(true)
+    val nx = cells.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy("y").agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"),
+      countDistinct(col("x")).as("r"), countDistinct(col("y")).as("c"))
+    // DENSE r×c grid: an absent cell still contributes (0−e)²/e
+    val dense = nx.crossJoin(ny)
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("nxy"), lit(0L)))
+    val e = col("nx").cast("double") * col("ny") / col("n")
+    val chi = dense.crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        floor(lit(1e6) * (col("o") - e) * (col("o") - e) / e)
+          .cast("long").as("t"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("t")).as("chi2_micros"))
+    chi.select(col("n"), col("r"), col("c"), col("chi2_micros"),
+      when(least(col("r"), col("c")) < 2 || col("chi2_micros") <= 0,
+          lit(0L))
+        .otherwise(floor(lit(1e6) * sqrt(
+          (col("chi2_micros").cast("double") / lit(1e6)) /
+            (col("n") * (least(col("r"), col("c")) - 1))))
+          .cast("long")).as("v_micros"))
+  }
+
   /** Benjamini–Hochberg FDR screen over per-cell mean shifts
     * (Benjamini & Hochberg 1995) — the multiple-comparisons gate a
     * metrics dashboard needs the moment it watches 35 cells at once:

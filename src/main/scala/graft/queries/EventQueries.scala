@@ -357,6 +357,32 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Mutual information between event type and weekday — the
+    // categorical dependence screen, per-cell terms PMI-quantized
+    // before the fold.
+    "qX_mi" -> ((s, dir) => {
+      graft.operators.Stats.categoricalMi(
+        t(s, dir, "events")
+          .withColumn("weekday", dayofweek(col("ts")).cast("long")),
+        "event_type", "weekday")
+    }),
+
+    // Cramér's V over the same contingency — the bounded [0,1]
+    // effect size on the chi-square, one final engine-exact sqrt.
+    "qX_cramers_v" -> ((s, dir) => {
+      graft.operators.Stats.cramersV(
+        t(s, dir, "events")
+          .withColumn("weekday", dayofweek(col("ts")).cast("long")),
+        "event_type", "weekday")
+    }),
+
+    // Herfindahl–Hirschman concentration of per-user activity +
+    // effective user count — the market-concentration face of
+    // qX_rec_gini/qX_lorenz.
+    "qX_hhi" -> ((s, dir) => {
+      graft.operators.Eval.hhi(t(s, dir, "events"), "user_id")
+    }),
+
     // Benjamini–Hochberg FDR screen over the 35 (type, weekday)
     // cells — distribution-free Chebyshev p-bounds, integer BH
     // comparison p·m <= alpha·rank.
@@ -1222,6 +1248,77 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_mi" ->
+      """WITH cells AS (SELECT event_type AS x,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1),
+        |ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+        |t AS (SELECT tot.n,
+        |    CAST(round(1e6 * (CAST(cells.nxy AS DOUBLE) / tot.n)
+        |      * ln(CAST(cells.nxy * tot.n AS DOUBLE)
+        |        / (nx.nx * ny.ny))) AS BIGINT) AS t
+        |  FROM cells JOIN nx USING (x) JOIN ny USING (y)
+        |  CROSS JOIN tot)
+        |SELECT n, count(*) AS n_cells, CAST(sum(t) AS BIGINT)
+        |  AS mi_micros
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "qX_cramers_v" ->
+      """WITH cells AS (SELECT event_type AS x,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1),
+        |ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+        |    count(DISTINCT x) AS r, count(DISTINCT y) AS c FROM cells),
+        |dense AS (SELECT nx.x, ny.y, nx.nx, ny.ny,
+        |    coalesce(cells.nxy, 0) AS o
+        |  FROM nx CROSS JOIN ny
+        |  LEFT JOIN cells ON cells.x = nx.x AND cells.y = ny.y),
+        |t AS (SELECT tot.n, tot.r, tot.c,
+        |    CAST(floor(1e6
+        |      * (dense.o - CAST(dense.nx AS DOUBLE) * dense.ny / tot.n)
+        |      * (dense.o - CAST(dense.nx AS DOUBLE) * dense.ny / tot.n)
+        |      / (CAST(dense.nx AS DOUBLE) * dense.ny / tot.n))
+        |      AS BIGINT) AS t
+        |  FROM dense CROSS JOIN tot),
+        |chi AS (SELECT n, r, c, CAST(sum(t) AS BIGINT) AS chi2_micros
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT n, r, c, chi2_micros,
+        |  CASE WHEN least(r, c) < 2 OR chi2_micros <= 0 THEN 0
+        |    ELSE CAST(floor(1e6 * sqrt(
+        |      (CAST(chi2_micros AS DOUBLE) / 1e6)
+        |        / (n * (least(r, c) - 1)))) AS BIGINT)
+        |  END AS v_micros
+        |FROM chi""".stripMargin,
+
+    "qX_hhi" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ni
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n FROM per),
+        |s AS (SELECT tot.n,
+        |    CAST(floor(1e6 * per.ni / tot.n) AS BIGINT) AS si
+        |  FROM per CROSS JOIN tot),
+        |g AS (SELECT n, count(*) AS n_units,
+        |    CAST(sum(si * si) AS BIGINT) AS s2 FROM s GROUP BY 1)
+        |SELECT n_units, n AS total,
+        |  CAST(floor(CAST(s2 AS DOUBLE) / 1e6) AS BIGINT) AS hhi_micros,
+        |  CASE WHEN CAST(floor(CAST(s2 AS DOUBLE) / 1e6) AS BIGINT) <= 0
+        |    THEN 0
+        |    ELSE CAST(floor(1e12 /
+        |      CAST(floor(CAST(s2 AS DOUBLE) / 1e6) AS BIGINT))
+        |      AS BIGINT)
+        |  END AS eff_n_micros
+        |FROM g""".stripMargin,
 
     "qX_bh_fdr" ->
       """WITH q AS (SELECT event_type,

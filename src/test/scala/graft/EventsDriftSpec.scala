@@ -1124,6 +1124,39 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       1L -> ((2L, 8L, 800000L, 1000000L))))
   }
 
+  test("categoricalMi: independence gives 0; perfect dependence gives ln2") {
+    import graft.operators.Stats
+    val indep = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("x", "y")
+    assert(Stats.categoricalMi(indep, "x", "y").head().getLong(2) == 0L)
+    // perfectly dependent 2x2: per-cell round(1e6*0.5*ln2) = 346574
+    val dep = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("x", "y")
+    val r = Stats.categoricalMi(dep, "x", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((4L, 2L, 693148L)))
+  }
+
+  test("cramersV: perfect 2x2 dependence gives V = 1 (zero cells count)") {
+    import graft.operators.Stats
+    // observed (a,1):2 (b,2):2, absent (a,2)/(b,1) contribute (0-1)^2/1
+    // each -> chi2 = 4 -> V = sqrt(4/(4*1)) = 1
+    val dep = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("x", "y")
+    val r = Stats.cramersV(dep, "x", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 2L, 2L, 4000000L, 1000000L)))
+  }
+
+  test("hhi: two users 1:3 — HHI 0.625, effective n 1.6") {
+    import graft.operators.Eval
+    val e = Seq((1L, "x"), (2L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("u", "pad")
+    val r = Eval.hhi(e, "u").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 4L, 625000L, 1600000L)))
+  }
+
   test("bhFdr: shifted cells reject, on-mean cell keeps p = 1") {
     import graft.operators.Stats
     // a and b sit 5000 millis off the global mean with unit se -> p~0;
