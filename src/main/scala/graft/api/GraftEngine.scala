@@ -1840,4 +1840,17 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * of [[recExposure]]. */
   def hhi(df: DataFrame, keyCol: String): DataFrame =
     graft.operators.Eval.hhi(df, keyCol)
+
+  /** McNemar's paired-classifier test
+    * ([[graft.operators.Stats.mcnemar]]) — compare two models scored
+    * on the same items by their discordant errors. */
+  def mcnemar(df: DataFrame, labelCol: String, aCol: String,
+              bCol: String): DataFrame =
+    graft.operators.Stats.mcnemar(df, labelCol, aCol, bCol)
+
+  /** Cohen's d standardized effect size
+    * ([[graft.operators.Stats.cohensD]]) — practical significance
+    * beside [[abTest]]'s t. */
+  def cohensD(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    graft.operators.Stats.cohensD(a, b, valueCol)
 }

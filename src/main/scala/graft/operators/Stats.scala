@@ -374,6 +374,60 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** McNemar's test for two PAIRED classifiers (McNemar 1947) — the
+    * right comparison when both models score the SAME items (accuracy
+    * deltas double-count the easy items): only the discordant counts
+    * matter, `b` = A right & B wrong, `c` = A wrong & B right,
+    * `χ² = (b−c)²/(b+c)` (no continuity correction — documented; the
+    * caller compares against their χ²₁ critical value). Everything is
+    * an exact integer fold; the statistic is one integer-ratio floor.
+    *
+    * Shape: one projection + one scalar fold.
+    *
+    * @return one row (n, b, c, chi2_micros); b + c = 0 reports 0.
+    */
+  def mcnemar(df: DataFrame, labelCol: String, aCol: String,
+              bCol: String): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val okA = (col(aCol).cast("long") === y).cast("long")
+    val okB = (col(bCol).cast("long") === y).cast("long")
+    val s = df.agg(count(lit(1)).as("n"),
+      sum(okA * (lit(1L) - okB)).as("b"),
+      sum((lit(1L) - okA) * okB).as("c"))
+    s.select(col("n"), col("b"), col("c"),
+      when(col("b") + col("c") === 0, lit(0L))
+        .otherwise(floor(lit(1e6) * (col("b") - col("c")) *
+          (col("b") - col("c")) / (col("b") + col("c"))).cast("long"))
+        .as("chi2_micros"))
+  }
+
+  /** Cohen's d standardized effect size between two samples — the
+    * practical-significance companion to [[welchT]]'s p-ranking
+    * (a tiny p on 1e8 rows can still be a 0.01σ effect nobody should
+    * ship): `d = (m_a − m_b)/s_p` with the pooled standard deviation
+    * `s_p² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2)`. Values
+    * quantize to integer millis; per side (n, Σv, Σv²) are exact
+    * integer folds and d is ONE fixed IEEE expression over them
+    * (sqrt correctly rounded, engine-exact).
+    *
+    * @return one row (n_a, n_b, d_micros); degenerate spread → 0.
+    */
+  def cohensD(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, p: String) = df
+      .select(floor(col(valueCol) * lit(1000)).cast("long").as("v"))
+      .agg(count(lit(1)).as(s"n_$p"), sum(col("v")).as(s"s_$p"),
+        sum(col("v") * col("v")).as(s"q_$p"))
+    def ss(p: String) = col(s"q_$p").cast("double") -
+      col(s"s_$p").cast("double") * col(s"s_$p") / col(s"n_$p")
+    val j = side(a, "a").crossJoin(side(b, "b"))
+    val sp2 = (ss("a") + ss("b")) / (col("n_a") + col("n_b") - 2)
+    val d = (col("s_a").cast("double") / col("n_a") -
+      col("s_b").cast("double") / col("n_b")) / sqrt(sp2)
+    j.select(col("n_a"), col("n_b"),
+      when(col("n_a") < 2 || col("n_b") < 2 || sp2 <= 0, lit(0L))
+        .otherwise(floor(lit(1e6) * d).cast("long")).as("d_micros"))
+  }
+
   /** Mutual information between two CATEGORICAL columns — the
     * dependence screen behind feature selection and leakage hunts
     * (does weekday predict event type at all): over the r×c

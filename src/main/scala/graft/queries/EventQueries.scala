@@ -357,6 +357,30 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // McNemar's paired-classifier test: activity-threshold vs
+    // click-threshold raters against the heavy-purchaser label —
+    // only the discordant users decide.
+    "qX_mcnemar" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum((col("event_type") === "purchase").cast("long")).as("np"),
+          sum((col("event_type") === "click").cast("long")).as("nc"))
+        .select((col("np") >= 14).cast("long").as("y"),
+          (col("n_ev") >= 67).cast("long").as("a"),
+          (col("nc") >= 14).cast("long").as("b"))
+      graft.operators.Stats.mcnemar(u, "y", "a", "b")
+    }),
+
+    // Cohen's d of click vs view values — the effect size beside
+    // qX_welch's t statistic.
+    "qX_cohens_d" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Stats.cohensD(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "view").select(col("value")),
+        "value")
+    }),
+
     // Mutual information between event type and weekday — the
     // categorical dependence screen, per-cell terms PMI-quantized
     // before the fold.
@@ -1248,6 +1272,53 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_mcnemar" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_ev,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS np,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS nc
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT CASE WHEN np >= 14 THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN n_ev >= 67 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN nc >= 14 THEN 1 ELSE 0 END AS b FROM u),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM r)
+        |SELECT n, b, c,
+        |  CASE WHEN b + c = 0 THEN 0
+        |    ELSE CAST(floor(1e6 * (b - c) * (b - c) / (b + c))
+        |      AS BIGINT)
+        |  END AS chi2_micros
+        |FROM s""".stripMargin,
+
+    "qX_cohens_d" ->
+      """WITH aa AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'click'),
+        |bb AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'view'),
+        |sa AS (SELECT count(*) AS n_a, CAST(sum(v) AS BIGINT) AS s_a,
+        |    CAST(sum(v * v) AS BIGINT) AS q_a FROM aa),
+        |sb AS (SELECT count(*) AS n_b, CAST(sum(v) AS BIGINT) AS s_b,
+        |    CAST(sum(v * v) AS BIGINT) AS q_b FROM bb)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR
+        |      ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+        |        + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+        |        / (n_a + n_b - 2) <= 0 THEN 0
+        |    ELSE CAST(floor(1e6 *
+        |      ((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+        |       / sqrt(
+        |        ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+        |         + (CAST(q_b AS DOUBLE)
+        |            - CAST(s_b AS DOUBLE) * s_b / n_b))
+        |        / (n_a + n_b - 2)))) AS BIGINT)
+        |  END AS d_micros
+        |FROM sa CROSS JOIN sb""".stripMargin,
 
     "qX_mi" ->
       """WITH cells AS (SELECT event_type AS x,

@@ -503,6 +503,34 @@ object RelationalQueries {
     // broadcast into a fact-fact join, revenue agg, top-10. The join
     // order (filter customer first, join orders, then lineitem) and
     // broadcast choice are what Catalyst+AQE must get right at 100 TB.
+    // TPC-H Q10 shape (returned-item revenue per customer): 4-way
+    // join, one quarter of orders, l_returnflag = 'R'; per-row
+    // revenue quantized to micros BEFORE the customer fold (groups
+    // here are large — float sums would be partition-order noise),
+    // score quantized before the top-20 limit.
+    "qX_join_q10" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+          to_timestamp(lit("1995-10-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * lit(1e6)).cast("long").as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("n_name"))
+        .agg(sum(col("rev")).as("revenue_micros"))
+        .orderBy(desc("revenue_micros"), col("c_custkey"))
+        .limit(20)
+    }),
+
     "qX_join_q3" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
@@ -1169,6 +1197,20 @@ object RelationalQueries {
         |SELECT user_id, kind FROM b
         |UNION ALL SELECT user_id, kind FROM co
         |ORDER BY kind, user_id""".stripMargin,
+    "qX_join_q10" ->
+      """SELECT c_custkey, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6)
+        |    AS BIGINT)) AS BIGINT) AS revenue_micros
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_micros DESC, c_custkey LIMIT 20""".stripMargin,
+
     "qX_join_q3" ->
       """SELECT l_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,

@@ -1124,6 +1124,28 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       1L -> ((2L, 8L, 800000L, 1000000L))))
   }
 
+  test("mcnemar: only discordant pairs count") {
+    import graft.operators.Stats
+    // (y,a,b): b-discordant x2, c-discordant x1, concordant x1 ->
+    // chi2 = (2-1)^2/3 = 1/3
+    val df = Seq((1L, 1L, 0L), (1L, 0L, 1L), (1L, 1L, 1L), (0L, 0L, 1L))
+      .toDF("y", "a", "b")
+    val r = Stats.mcnemar(df, "y", "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 1L, 333333L)))
+  }
+
+  test("cohensD: hand-pooled effect size is exact") {
+    import graft.operators.Stats
+    // a = {1,3}, b = {5,7}: means 2000/6000 millis, pooled sd
+    // sqrt(2e6) -> d = -4000/1414.21... = -2.828427... -> -2828428
+    val a = Seq(1.0, 3.0).toDF("v")
+    val b = Seq(5.0, 7.0).toDF("v")
+    val r = Stats.cohensD(a, b, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((2L, 2L, -2828428L)))
+  }
+
   test("categoricalMi: independence gives 0; perfect dependence gives ln2") {
     import graft.operators.Stats
     val indep = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
