@@ -1853,4 +1853,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * beside [[abTest]]'s t. */
   def cohensD(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
     graft.operators.Stats.cohensD(a, b, valueCol)
+
+  /** Theil T inequality over per-key mass
+    * ([[graft.operators.Eval.theilIndex]]) — the decomposable
+    * inequality number beside [[hhi]]. */
+  def theilIndex(df: DataFrame, keyCol: String): DataFrame =
+    graft.operators.Eval.theilIndex(df, keyCol)
+
+  /** Per-document character entropy
+    * ([[graft.operators.TextAnalysis.charEntropy]]) — the gibberish
+    * screen beside the lexical-richness signals. */
+  def charEntropy(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    graft.operators.TextAnalysis.charEntropy(docs, idCol, textCol)
+
+  /** Audience Jaccard between categorical segments
+    * ([[graft.operators.Events.typeOverlap]]). */
+  def typeOverlap(events: DataFrame, typeCol: String,
+                  userCol: String): DataFrame =
+    graft.operators.Events.typeOverlap(events, typeCol, userCol)
 }

@@ -717,6 +717,33 @@ object Eval {
           .otherwise(floor(lit(1e12) / col("hhi_micros")).cast("long")))
   }
 
+  /** Theil T inequality index over per-key mass (Theil 1967) — the
+    * DECOMPOSABLE inequality number beside [[hhi]] and the Gini
+    * ([[exposureGini]]): `T = (1/N)·Σ r_i·ln r_i` with
+    * `r_i = x_i·N/X` the unit's share of the mean (0 = perfect
+    * equality, ln N = one unit owns everything). Each unit term
+    * `round(1e6·r_i·ln r_i)` quantizes to a long BEFORE the fold
+    * (the ln argument is a ratio of exact integer products — the
+    * accepted ln residual class), so the corpus sum is order-free.
+    *
+    * Shape: one keyed fold + one 1-row broadcast + one scalar fold.
+    *
+    * @return one row (n_units, total, theil_micros).
+    */
+  def theilIndex(df: DataFrame, keyCol: String): DataFrame = {
+    val per = df.groupBy(col(keyCol)).agg(count(lit(1)).as("ni"))
+    val tot = per.agg(count(lit(1)).as("n_units"), sum(col("ni")).as("x"))
+    val r = (col("ni") * col("n_units")).cast("double") / col("x")
+    per.crossJoin(broadcast(tot))
+      .select(col("n_units"), col("x"),
+        round(lit(1e6) * r * log(r)).cast("long").as("t"))
+      .groupBy(col("n_units"), col("x"))
+      .agg(sum(col("t")).as("st"))
+      .select(col("n_units"), col("x").as("total"),
+        floor(col("st").cast("double") / col("n_units")).cast("long")
+          .as("theil_micros"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) over ≥2 BINARY raters — the
     * multi-rater chance-corrected agreement behind label-quality
     * audits (Cohen's κ, the 2-rater case, is qX_kappa): with r

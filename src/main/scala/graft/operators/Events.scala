@@ -294,6 +294,38 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** Audience overlap between event types — per type pair the
+    * Jaccard of their USER SETS (`|A∩B| / (|A|+|B|−|A∩B|)`): do the
+    * people who click also purchase, or are the segments disjoint.
+    * The categorical-audience face of the daily-series Pearson
+    * (typeCorrelationMatrix). One distinct pass, one user-keyed
+    * self-join of the (type, user) incidence (each user contributes
+    * its own type-pair wedges — deg²_user per user, bounded by the
+    * type-alphabet size), two integer folds.
+    *
+    * @return (a, b, cn, n_a, n_b, jaccard_micros) for a < b, ordered.
+    */
+  def typeOverlap(events: DataFrame, typeCol: String,
+                  userCol: String): DataFrame = {
+    val inc = events.select(col(typeCol).as("t"), col(userCol).as("u"))
+      .distinct()
+      .localCheckpoint(true) // degree fold AND both wedge sides
+    val deg = inc.groupBy(col("t")).agg(count(lit(1)).as("d"))
+    val pairs = inc.select(col("t").as("a"), col("u"))
+      .join(inc.select(col("t").as("b"), col("u")), "u")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"))
+    pairs
+      .join(deg.select(col("t").as("a"), col("d").as("n_a")), "a")
+      .join(deg.select(col("t").as("b"), col("d").as("n_b")), "b")
+      .select(col("a"), col("b"), col("cn"), col("n_a"), col("n_b"),
+        floor(lit(1000000L) * col("cn") /
+          (col("n_a") + col("n_b") - col("cn"))).cast("long")
+          .as("jaccard_micros"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Stationary distribution of the [[transitionMatrix]] chain by
     * FIXED-ROUND power iteration — where the session random walk
     * spends its time in the long run (the behavioral PageRank over

@@ -656,6 +656,39 @@ object TextAnalysis {
         floor(lit(1000000L) * col("n_hapax") / col("n_types"))
           .cast("long").as("hapax_frac_micros"))
 
+  /** Per-document CHARACTER entropy (Shannon 1948, over the byte/char
+    * alphabet) — the gibberish screen next to [[lexicalRichness]]:
+    * natural English sits near 4.1 bits ≈ 2.84 nats, base64 blobs and
+    * key-mash spam push toward the uniform-alphabet ceiling, and
+    * single-char runs fall to 0. `H = −Σ_c (n_c/L)·ln(n_c/L)` in
+    * nats; each alphabet term `round(−1e6·(n_c/L)·ln(n_c/L))`
+    * quantizes to a long BEFORE the per-doc fold (ratio of exact
+    * integers into ln — the accepted residual class).
+    *
+    * Shape: one char explode + one (doc, char) fold (alphabet-bounded
+    * per doc) + one doc fold — embarrassingly key-parallel.
+    *
+    * @return (idCol, n_chars, entropy_micros) per non-empty doc,
+    *         ordered.
+    */
+  def charEntropy(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val chars = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("nc"))
+    val len = chars.groupBy(col(idCol)).agg(sum(col("nc")).as("l"))
+    chars.join(len, Seq(idCol))
+      .select(col(idCol), col("l"),
+        round(lit(-1e6) * (col("nc").cast("double") / col("l")) *
+          log(col("nc").cast("double") / col("l"))).cast("long").as("t"))
+      .groupBy(col(idCol), col("l"))
+      .agg(sum(col("t")).as("entropy_micros"))
+      .select(col(idCol), col("l").as("n_chars"), col("entropy_micros"))
+      .orderBy(col(idCol))
+  }
+
   /** Flesch reading-ease per document (Flesch 1948) — the
     * education-level readability filter a curation pipeline runs next
     * to the Gopher-style quality signals: `206.835 − 1.015·W/S −

@@ -357,6 +357,19 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Theil T inequality of per-user activity — the decomposable
+    // inequality number beside qX_lorenz/qX_hhi, unit terms
+    // ln-quantized before the fold.
+    "qX_theil" -> ((s, dir) => {
+      graft.operators.Eval.theilIndex(t(s, dir, "events"), "user_id")
+    }),
+
+    // Audience Jaccard between event-type user sets — do clickers
+    // also purchase; the categorical face of qX_corr_matrix.
+    "qX_type_overlap" -> ((s, dir) => {
+      Events.typeOverlap(t(s, dir, "events"), "event_type", "user_id")
+    }),
+
     // McNemar's paired-classifier test: activity-threshold vs
     // click-threshold raters against the heavy-purchaser label —
     // only the discordant users decide.
@@ -1272,6 +1285,36 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_theil" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ni
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_units, CAST(sum(ni) AS BIGINT)
+        |    AS x FROM per),
+        |t AS (SELECT tot.n_units, tot.x,
+        |    CAST(round(1e6
+        |      * (CAST(per.ni * tot.n_units AS DOUBLE) / tot.x)
+        |      * ln(CAST(per.ni * tot.n_units AS DOUBLE) / tot.x))
+        |      AS BIGINT) AS t
+        |  FROM per CROSS JOIN tot)
+        |SELECT n_units, x AS total,
+        |  CAST(floor(CAST(sum(t) AS DOUBLE) / n_units) AS BIGINT)
+        |    AS theil_micros
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "qX_type_overlap" ->
+      """WITH inc AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events),
+        |deg AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM inc
+        |  GROUP BY 1),
+        |p AS (SELECT a.t AS a, b.t AS b, CAST(count(*) AS BIGINT) AS cn
+        |  FROM inc a JOIN inc b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.cn, da.d AS n_a, db.d AS n_b,
+        |  CAST(floor(1000000 * p.cn / (da.d + db.d - p.cn)) AS BIGINT)
+        |    AS jaccard_micros
+        |FROM p JOIN deg da ON da.t = p.a JOIN deg db ON db.t = p.b
+        |ORDER BY p.a, p.b""".stripMargin,
 
     "qX_mcnemar" ->
       """WITH u AS (SELECT user_id, count(*) AS n_ev,

@@ -412,6 +412,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-doc character entropy — the gibberish screen: natural text
+    // ~2.8 nats, base64 blobs push toward the alphabet ceiling.
+    "qX_char_entropy" -> ((s, dir) => {
+      TextAnalysis.charEntropy(Tables.load(s, dir, "documents"),
+        "doc_id", "text")
+    }),
+
     // Fleiss' kappa across three deterministic rule raters (length /
     // space count / 'e' count thresholds) — the multi-rater
     // label-quality agreement beside qX_kappa's two-model Cohen.
@@ -1645,6 +1652,22 @@ object TextQueries {
         |  CAST(round(1e6 * (206.835 - 1.015 * n_words / n_sentences
         |    - 84.6 * n_syllables / n_words)) AS BIGINT) AS flesch_micros
         |FROM c ORDER BY doc_id""".stripMargin,
+    "qX_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, c AS ch FROM documents,
+        |  unnest(string_split_regex(text, '')) AS t(c)
+        |  WHERE c <> ''),
+        |cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS nc
+        |  FROM ch GROUP BY 1, 2),
+        |len AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS l FROM cnt
+        |  GROUP BY 1),
+        |t AS (SELECT cnt.doc_id, len.l,
+        |    CAST(round(-1e6 * (CAST(cnt.nc AS DOUBLE) / len.l)
+        |      * ln(CAST(cnt.nc AS DOUBLE) / len.l)) AS BIGINT) AS t
+        |  FROM cnt JOIN len USING (doc_id))
+        |SELECT doc_id, l AS n_chars, CAST(sum(t) AS BIGINT)
+        |  AS entropy_micros
+        |FROM t GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
     "qX_fleiss" ->
       """WITH rat AS (SELECT
         |    CASE WHEN length(text) >= 350 THEN 1 ELSE 0 END AS r1,

@@ -1124,6 +1124,40 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       1L -> ((2L, 8L, 800000L, 1000000L))))
   }
 
+  test("theilIndex: hand-computed 1:3 split; equality gives 0") {
+    import graft.operators.Eval
+    // counts 1,3: r = 0.5/1.5 -> terms -346574 + 608198 ->
+    // floor(261624/2) = 130812
+    val e = Seq((1L, "x"), (2L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("u", "pad")
+    val r = Eval.theilIndex(e, "u").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((2L, 4L, 130812L)))
+    val eq = Seq((1L, "x"), (2L, "x")).toDF("u", "pad")
+    assert(Eval.theilIndex(eq, "u").head().getLong(2) == 0L)
+  }
+
+  test("charEntropy: hand terms for aab; uniform pair hits ln 2") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // aab: 270310 + 366204; ab: 2 * 346574 (= ln2 in rounded micros)
+    assert(got == Map(1L -> ((3L, 636514L)), 2L -> ((2L, 693148L))))
+  }
+
+  test("typeOverlap: user-set Jaccard per type pair") {
+    import graft.operators.Events
+    val e = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L), ("C", 2L),
+      ("A", 2L)).toDF("et", "u") // duplicate (A,2) collapses
+    val got = Events.typeOverlap(e, "et", "u")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(got == Map(("A", "B") -> ((1L, 333333L)),
+      ("A", "C") -> ((1L, 500000L)), ("B", "C") -> ((1L, 500000L))))
+  }
+
   test("mcnemar: only discordant pairs count") {
     import graft.operators.Stats
     // (y,a,b): b-discordant x2, c-discordant x1, concordant x1 ->
