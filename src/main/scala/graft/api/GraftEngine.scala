@@ -1872,4 +1872,25 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def typeOverlap(events: DataFrame, typeCol: String,
                   userCol: String): DataFrame =
     graft.operators.Events.typeOverlap(events, typeCol, userCol)
+
+  /** Information gain of a quantile-bin split against a binary label
+    * ([[graft.operators.Features.infoGain]]) — the decision-tree
+    * split criterion. */
+  def infoGain(df: DataFrame, valueCol: String, tieCol: String,
+               labelCol: String, nBins: Int = 10): DataFrame =
+    graft.operators.Features.infoGain(df, valueCol, tieCol, labelCol,
+      nBins)
+
+  /** Session health report (bounce rate, depth, dwell)
+    * ([[graft.operators.Events.sessionStats]]). */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   tieCol: String, gapUs: Long): DataFrame =
+    graft.operators.Events.sessionStats(events, userCol, tsCol, tieCol,
+      gapUs)
+
+  /** Component-size histogram of the social graph
+    * ([[graft.operators.GraphAnalytics.componentSizes]]) — the
+    * fragmentation readout beside the degree histogram. */
+  def componentSizes(edges: DataFrame): DataFrame =
+    graft.operators.GraphAnalytics.componentSizes(edges)
 }

@@ -779,6 +779,31 @@ object Events {
       .orderBy(col(userCol), col("session_idx"))
   }
 
+  /** One-row session health report over [[sessionize]] output — the
+    * engagement dashboard numbers (bounce rate, session depth, dwell
+    * time) from one pass over the session table: bounce = 1-event
+    * session. All folds are exact integers; the three rates are one
+    * floored division each.
+    *
+    * @return one row (n_sessions, n_bounce, bounce_micros,
+    *         avg_events_milli, avg_duration_us).
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   tieCol: String, gapUs: Long): DataFrame =
+    sessionize(events, userCol, tsCol, tieCol, gapUs)
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounce"),
+        sum(col("n_events")).as("ne"),
+        sum(col("duration_us")).as("du"))
+      .select(col("n_sessions"), col("n_bounce"),
+        floor(lit(1000000L) * col("n_bounce") / col("n_sessions"))
+          .cast("long").as("bounce_micros"),
+        floor(lit(1000L) * col("ne") / col("n_sessions")).cast("long")
+          .as("avg_events_milli"),
+        floor(col("du").cast("double") / col("n_sessions")).cast("long")
+          .as("avg_duration_us"))
+
   /** Sequential pattern support (the length-2 core of
     * PrefixSpan/GSP, Pei et al. 2001 / Srikant & Agrawal 1996) —
     * which event FOLLOWS which across user journeys: a user supports

@@ -168,4 +168,48 @@ object Features {
         col("iv_term_micros"))
       .orderBy(col("bin"))
   }
+
+  /** Information gain of a [[quantileBins]] split against a binary
+    * label — the decision-tree split criterion beside [[woeIv]]'s
+    * credit-scoring screen: `IG = H(y) − Σ_b (n_b/N)·H(y|b)` in nats.
+    * Every entropy is a sum of per-class terms
+    * `round(−1e6·p·ln p)` (integer micros, the PMI convention —
+    * zero-count classes contribute exactly 0), and the per-bin
+    * conditional weight `⌊n_b·H_b/N⌋` quantizes to a long BEFORE the
+    * cross-bin fold, so IG is reproducible from the published parts.
+    *
+    * Shape: the exact-rank binning + one bin fold + one 1-row
+    * broadcast — bins rows past the rank.
+    *
+    * @return one row (n, bins_used, h_y_micros, h_cond_micros,
+    *         ig_micros).
+    */
+  def infoGain(df: DataFrame, valueCol: String, tieCol: String,
+               labelCol: String, nBins: Int): DataFrame = {
+    val binned = quantileBins(
+        df.select(col(valueCol), col(tieCol)), valueCol, tieCol, nBins)
+      .join(df.select(col(tieCol), col(labelCol).cast("long").as("y")),
+        tieCol)
+    val b = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("pb"))
+      .localCheckpoint(true) // totals + per-bin terms
+    val tot = b.agg(sum(col("nb")).as("n"), sum(col("pb")).as("pos"),
+      count(lit(1)).as("bins_used"))
+    def term(c: Column, n: Column): Column =
+      when(c === 0 || c === n, lit(0L))
+        .otherwise(round(lit(-1e6) * (c.cast("double") / n) *
+          log(c.cast("double") / n)).cast("long"))
+    val hy = term(col("pos"), col("n")) +
+      term(col("n") - col("pos"), col("n"))
+    val hb = term(col("pb"), col("nb")) +
+      term(col("nb") - col("pb"), col("nb"))
+    b.crossJoin(broadcast(tot))
+      .select(col("n"), col("bins_used"), hy.as("hy"),
+        floor(col("nb") * hb / col("n")).cast("long").as("wb"))
+      .groupBy(col("n"), col("bins_used"), col("hy"))
+      .agg(sum(col("wb")).as("h_cond_micros"))
+      .select(col("n"), col("bins_used"), col("hy").as("h_y_micros"),
+        col("h_cond_micros"),
+        (col("hy") - col("h_cond_micros")).as("ig_micros"))
+  }
 }

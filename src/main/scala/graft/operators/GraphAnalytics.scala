@@ -1600,6 +1600,25 @@ object GraphAnalytics {
       .orderBy(col("bin"))
   }
 
+  /** Component-size histogram over [[connectedComponentsDF]] labels —
+    * the fragmentation readout next to [[degreeHistogram]]: is the
+    * graph one giant component plus dust, or many mid-size islands
+    * (the shape that decides whether graph-partition-by-component is
+    * even a viable 100 TB layout). Sizes bucket by EXACT binary-length
+    * log₂ (`length(bin(sz)) − 1` — float log₂ bin-flips at powers of
+    * two, the [[degreeHistogram]] rule).
+    *
+    * @return (bin, n_components, min_size, max_size, n_vertices)
+    *         ordered by bin — the top bin's max_size is the giant.
+    */
+  def componentSizes(edges: DataFrame): DataFrame =
+    connectedComponentsDF(edges)
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy((length(bin(col("sz"))) - 1).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_components"), min(col("sz")).as("min_size"),
+        max(col("sz")).as("max_size"), sum(col("sz")).as("n_vertices"))
+      .orderBy(col("bin"))
+
   /** 4-cycle (quadrilateral) count on the undirected simple view —
     * the motif family's next rung after triangles and two-stars: C4s
     * are the co-citation/co-purchase signature (two vertices sharing

@@ -357,6 +357,21 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Information gain of the value-decile split against the
+    // purchase label — the decision-tree criterion beside qX_woe.
+    "qX_info_gain" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("value"), col("event_id"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      graft.operators.Features.infoGain(ev, "value", "event_id", "y", 10)
+    }),
+
+    // Session health report: bounce rate, depth, dwell over the
+    // 30-min-gap sessionization.
+    "qX_session_stats" -> ((s, dir) => {
+      Events.sessionStats(t(s, dir, "events"), "user_id", "ts",
+        "event_id", gapUs = 30L * 60L * 1000000L)
+    }),
+
     // Theil T inequality of per-user activity — the decomposable
     // inequality number beside qX_lorenz/qX_hhi, unit terms
     // ln-quantized before the fold.
@@ -1285,6 +1300,78 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_info_gain" ->
+      """WITH d AS (SELECT "value" AS v, event_id AS tie,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |r AS (SELECT y, row_number() OVER (ORDER BY v, tie) AS rn
+        |  FROM d),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |binned AS (SELECT y,
+        |    CAST(floor(10 * (rn - 1) / nn.n) AS BIGINT) AS bin
+        |  FROM r CROSS JOIN nn),
+        |b AS (SELECT bin, count(*) AS nb, CAST(sum(y) AS BIGINT) AS pb
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+        |    CAST(sum(pb) AS BIGINT) AS pos, count(*) AS bins_used
+        |  FROM b),
+        |w AS (SELECT tot.n, tot.bins_used,
+        |    (CASE WHEN tot.pos = 0 OR tot.pos = tot.n THEN 0
+        |      ELSE CAST(round(-1e6 * (CAST(tot.pos AS DOUBLE) / tot.n)
+        |        * ln(CAST(tot.pos AS DOUBLE) / tot.n)) AS BIGINT) END
+        |    + CASE WHEN tot.n - tot.pos = 0 OR tot.n - tot.pos = tot.n
+        |        THEN 0
+        |      ELSE CAST(round(-1e6
+        |        * (CAST(tot.n - tot.pos AS DOUBLE) / tot.n)
+        |        * ln(CAST(tot.n - tot.pos AS DOUBLE) / tot.n))
+        |        AS BIGINT) END) AS hy,
+        |    CAST(floor(b.nb *
+        |      (CASE WHEN b.pb = 0 OR b.pb = b.nb THEN 0
+        |        ELSE CAST(round(-1e6 * (CAST(b.pb AS DOUBLE) / b.nb)
+        |          * ln(CAST(b.pb AS DOUBLE) / b.nb)) AS BIGINT) END
+        |      + CASE WHEN b.nb - b.pb = 0 OR b.nb - b.pb = b.nb THEN 0
+        |        ELSE CAST(round(-1e6
+        |          * (CAST(b.nb - b.pb AS DOUBLE) / b.nb)
+        |          * ln(CAST(b.nb - b.pb AS DOUBLE) / b.nb)) AS BIGINT)
+        |        END) / tot.n) AS BIGINT) AS wb
+        |  FROM b CROSS JOIN tot)
+        |SELECT n, bins_used, hy AS h_y_micros,
+        |  CAST(sum(wb) AS BIGINT) AS h_cond_micros,
+        |  hy - CAST(sum(wb) AS BIGINT) AS ig_micros
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "qX_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_idx
+        |  FROM f),
+        |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |    CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+        |  FROM s GROUP BY 1, 2),
+        |a AS (SELECT count(*) AS n_sessions,
+        |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bounce,
+        |    CAST(sum(n_events) AS BIGINT) AS ne,
+        |    CAST(sum(duration_us) AS BIGINT) AS du FROM sess)
+        |SELECT n_sessions, n_bounce,
+        |  CAST(floor(1000000 * n_bounce / n_sessions) AS BIGINT)
+        |    AS bounce_micros,
+        |  CAST(floor(1000 * ne / n_sessions) AS BIGINT)
+        |    AS avg_events_milli,
+        |  CAST(floor(CAST(du AS DOUBLE) / n_sessions) AS BIGINT)
+        |    AS avg_duration_us
+        |FROM a""".stripMargin,
 
     "qX_theil" ->
       """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ni

@@ -233,6 +233,14 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Component-size histogram (exact binary-length log2 bins) —
+    // giant-plus-dust vs many-islands, the fragmentation readout
+    // that decides whether partition-by-component is a viable layout.
+    "qX_cc_sizes" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.componentSizes(edges)
+    }),
+
     // Adamic-Adar link prediction: degree-discounted PYMK top-5 per
     // anchor — shared neighbors weighted 1/ln(deg), so hub-mediated
     // paths stop dominating (the scoring upgrade over raw path counts).
@@ -1584,6 +1592,25 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "qX_salsa" -> salsaSql(iters = 3),
+    "qX_cc_sizes" ->
+      s"""WITH RECURSIVE edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION ALL
+         |  SELECT dst AS f, src AS t FROM edges),
+         |verts AS (SELECT DISTINCT f AS v FROM adj),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT reach.v, adj.t FROM reach JOIN adj ON reach.r = adj.f),
+         |cc AS (SELECT v AS id, min(r) AS comp FROM reach GROUP BY v),
+         |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM cc
+         |  GROUP BY 1)
+         |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bin,
+         |  count(*) AS n_components, min(sz) AS min_size,
+         |  max(sz) AS max_size, CAST(sum(sz) AS BIGINT) AS n_vertices
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "qX_degree_hist" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

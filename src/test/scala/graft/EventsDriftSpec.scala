@@ -1124,6 +1124,28 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       1L -> ((2L, 8L, 800000L, 1000000L))))
   }
 
+  test("infoGain: perfect split recovers the full label entropy") {
+    import graft.operators.Features
+    // bins {1,2}->y0 and {3,4}->y1: H(y) = ln2, pure bins -> IG = H(y)
+    val df = Seq((1.0, 1L, 0L), (2.0, 2L, 0L), (3.0, 3L, 1L),
+      (4.0, 4L, 1L)).toDF("v", "tie", "y")
+    val r = Features.infoGain(df, "v", "tie", "y", 2).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 2L, 693148L, 0L, 693148L)))
+  }
+
+  test("sessionStats: bounce rate, depth, dwell over hand sessions") {
+    import graft.operators.Events
+    // one user: 2-event 10-min session, then a 1-event bounce
+    val e = Seq((1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L),
+      (1L, ts("2024-01-01 11:00:00"), 3L)).toDF("u", "t", "eid")
+    val r = Events.sessionStats(e, "u", "t", "eid",
+      gapUs = 30L * 60L * 1000000L).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 1L, 500000L, 1500L, 300000000L)))
+  }
+
   test("theilIndex: hand-computed 1:3 split; equality gives 0") {
     import graft.operators.Eval
     // counts 1,3: r = 0.5/1.5 -> terms -346574 + 608198 ->

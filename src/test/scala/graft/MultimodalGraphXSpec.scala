@@ -605,6 +605,15 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((0L, 4L, 1L, 1L), (2L, 1L, 4L, 4L)))
   }
 
+  test("componentSizes: path-3 plus two 2-islands bucket together") {
+    // components {1,2,3} sz 3, {4,5} sz 2, {6,7} sz 2 -> all bin 1
+    val g = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L)).toDF("src", "dst")
+    val got = GraphAnalytics.componentSizes(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 3L, 2L, 3L, 7L)))
+  }
+
   test("c4Count: one square, three cycles in K4, zero in a triangle") {
     val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
     val s = GraphAnalytics.c4Count(square).head()
