@@ -1893,4 +1893,22 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * fragmentation readout beside the degree histogram. */
   def componentSizes(edges: DataFrame): DataFrame =
     graft.operators.GraphAnalytics.componentSizes(edges)
+
+  /** Two-sample Poisson rate test
+    * ([[graft.operators.Stats.rateTest]]) — the error-budget
+    * monitor's statistic. */
+  def rateTest(a: DataFrame, b: DataFrame): DataFrame =
+    graft.operators.Stats.rateTest(a, b)
+
+  /** Benford leading-digit screen
+    * ([[graft.operators.Stats.benford]]) — the fabricated-data
+    * detector. */
+  def benford(df: DataFrame, valueCol: String): DataFrame =
+    graft.operators.Stats.benford(df, valueCol)
+
+  /** Wald–Wolfowitz runs test over daily means
+    * ([[graft.operators.Stats.runsTest]]) — oscillation vs trend. */
+  def runsTest(df: DataFrame, tsCol: String,
+               valueCol: String): DataFrame =
+    graft.operators.Stats.runsTest(df, tsCol, valueCol)
 }

@@ -374,6 +374,102 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Two-sample Poisson rate test under equal exposure — the
+    * error-budget monitor's statistic (did the error rate move
+    * relative to the click rate): conditional on k₁+k₂, the count
+    * split is Binomial(½), so `z = (k₁−k₂)/√(k₁+k₂)`. Pure counting;
+    * the statistic is one integer-ratio sqrt expression.
+    *
+    * @return one row (k_a, k_b, z_micros); k_a + k_b = 0 reports 0.
+    */
+  def rateTest(a: DataFrame, b: DataFrame): DataFrame = {
+    val ka = a.agg(count(lit(1)).as("k_a"))
+    val kb = b.agg(count(lit(1)).as("k_b"))
+    ka.crossJoin(kb).select(col("k_a"), col("k_b"),
+      when(col("k_a") + col("k_b") === 0, lit(0L))
+        .otherwise(floor(lit(1e6) * (col("k_a") - col("k_b")) /
+          sqrt((col("k_a") + col("k_b")).cast("double"))).cast("long"))
+        .as("z_micros"))
+  }
+
+  /** Benford first-digit screen (Newcomb 1881; Benford 1938) — the
+    * fabricated-data detector on any naturally-spread positive
+    * metric: observed leading-digit counts against `log₁₀(1+1/d)`,
+    * reported per digit with its χ² contribution. Values quantize to
+    * integer millis and the leading digit comes from the INTEGER's
+    * decimal string (`substr(cast(m as string), 1, 1)` — exact on
+    * both engines; float log₁₀ would bin-flip at powers of ten). The
+    * Benford masses are fixed micro literals shared with the oracle;
+    * each χ² term `⌊1e6·(o−e)²/e⌋` is one fixed IEEE expression.
+    *
+    * @return (digit, n_obs, exp_obs, term_micros) for digits
+    *         1..9 present in the data, ordered.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    // round(1e6·log10(1 + 1/d)), d = 1..9 — shared with the oracle
+    val p = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val m = df.select(floor(col(valueCol) * lit(1000)).cast("long")
+        .as("m"))
+      .filter(col("m") > 0)
+      .select(substring(col("m").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+    val obs = m.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    val pCol = (1 to 9).map(d =>
+        when(col("digit") === d.toLong, lit(p(d - 1))))
+      .reduceRight(_ otherwise _)
+    val e = col("n").cast("double") * pCol / lit(1e6)
+    obs.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        floor(col("n") * pCol / lit(1e6)).cast("long").as("exp_obs"),
+        floor(lit(1e6) * (col("n_obs") - e) * (col("n_obs") - e) / e)
+          .cast("long").as("term_micros"))
+      .orderBy(col("digit"))
+  }
+
+  /** Wald–Wolfowitz runs test over the daily-mean sequence — the
+    * randomness check behind "is this metric oscillating or
+    * trending": days sign as above/below the DOUBLED median of daily
+    * means (exact-integer percentile convention), the run count
+    * `R = 1 + Σ 1[s_d ≠ s_{d−1}]` folds over the bounded day grid,
+    * and `z = (R − μ)/σ` with `μ = 2n₁n₀/n + 1`,
+    * `σ² = (μ−1)(μ−2)/(n−1)` is one fixed expression over exact
+    * integers.
+    *
+    * @return one row (n_days, n_above, n_runs, z_micros); a
+    *         degenerate one-sided sequence reports 0.
+    */
+  def runsTest(df: DataFrame, tsCol: String,
+               valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(date_trunc("day", col(tsCol)).as("bucket"))
+      .agg(floor(sum(floor(col(valueCol) * lit(1e6)).cast("long"))
+        .cast("double") / count(lit(1))).cast("long").as("mean_micros"))
+    val med = daily.agg(
+      expr("CAST(2 * percentile(mean_micros, 0.5) AS BIGINT)").as("med2"))
+    // BOUNDED global window: the per-day calendar grid
+    val w = Window.orderBy("bucket")
+    val signed = daily.crossJoin(broadcast(med))
+      .withColumn("s", (lit(2L) * col("mean_micros") > col("med2"))
+        .cast("long"))
+      .withColumn("flip",
+        when(lag(col("s"), 1).over(w).isNull, 1L)
+          .otherwise((col("s") =!= lag(col("s"), 1).over(w))
+            .cast("long")))
+    val agg = signed.agg(count(lit(1)).as("n"), sum(col("s")).as("n1"),
+      sum(col("flip")).as("r"))
+    val mu = lit(2.0) * col("n1") * (col("n") - col("n1")) / col("n") +
+      lit(1.0)
+    val sig2 = (mu - 1.0) * (mu - 2.0) / (col("n") - 1)
+    agg.select(col("n").as("n_days"), col("n1").as("n_above"),
+      col("r").as("n_runs"),
+      when(col("n1") === 0 || col("n1") === col("n") || col("n") < 3,
+          lit(0L))
+        .otherwise(floor(lit(1e6) * (col("r") - mu) / sqrt(sig2))
+          .cast("long")).as("z_micros"))
+  }
+
   /** McNemar's test for two PAIRED classifiers (McNemar 1947) — the
     * right comparison when both models score the SAME items (accuracy
     * deltas double-count the easy items): only the discordant counts

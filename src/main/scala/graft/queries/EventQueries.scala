@@ -357,6 +357,28 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Two-sample Poisson rate z between click and error volumes —
+    // the error-budget monitor's statistic.
+    "qX_rate_test" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Stats.rateTest(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"))
+    }),
+
+    // Benford leading-digit screen on value — per digit the observed
+    // count, expected count, and chi-square contribution; digits come
+    // from the integer's decimal string, never float log10.
+    "qX_benford" -> ((s, dir) => {
+      graft.operators.Stats.benford(t(s, dir, "events"), "value")
+    }),
+
+    // Wald–Wolfowitz runs test over daily means vs their doubled
+    // median — oscillation vs trend on the bounded day grid.
+    "qX_runs_test" -> ((s, dir) => {
+      graft.operators.Stats.runsTest(t(s, dir, "events"), "ts", "value")
+    }),
+
     // Information gain of the value-decile split against the
     // purchase label — the decision-tree criterion beside qX_woe.
     "qX_info_gain" -> ((s, dir) => {
@@ -1300,6 +1322,66 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_rate_test" ->
+      """WITH ka AS (SELECT count(*) AS k_a FROM events
+        |  WHERE event_type = 'click'),
+        |kb AS (SELECT count(*) AS k_b FROM events
+        |  WHERE event_type = 'error')
+        |SELECT k_a, k_b,
+        |  CASE WHEN k_a + k_b = 0 THEN 0
+        |    ELSE CAST(floor(1e6 * (k_a - k_b)
+        |      / sqrt(CAST(k_a + k_b AS DOUBLE))) AS BIGINT)
+        |  END AS z_micros
+        |FROM ka CROSS JOIN kb""".stripMargin,
+
+    "qX_benford" ->
+      """WITH m AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS m
+        |  FROM events),
+        |d AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM m WHERE m > 0),
+        |obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+        |p AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+        |  (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+        |  (8, 51153), (9, 45757)) AS t(digit, pm))
+        |SELECT obs.digit, obs.n_obs,
+        |  CAST(floor(tot.n * p.pm / 1e6) AS BIGINT) AS exp_obs,
+        |  CAST(floor(1e6
+        |    * (obs.n_obs - CAST(tot.n AS DOUBLE) * p.pm / 1e6)
+        |    * (obs.n_obs - CAST(tot.n AS DOUBLE) * p.pm / 1e6)
+        |    / (CAST(tot.n AS DOUBLE) * p.pm / 1e6)) AS BIGINT)
+        |    AS term_micros
+        |FROM obs JOIN p ON p.digit = obs.digit CROSS JOIN tot
+        |ORDER BY obs.digit""".stripMargin,
+
+    "qX_runs_test" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS bucket,
+        |    CAST(floor(CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*)) AS BIGINT) AS mean_micros
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT CAST(2 * quantile_cont(mean_micros, 0.5)
+        |    AS BIGINT) AS med2 FROM daily),
+        |sg AS (SELECT bucket,
+        |    CASE WHEN 2 * mean_micros > med.med2 THEN 1 ELSE 0 END AS s
+        |  FROM daily CROSS JOIN med),
+        |f AS (SELECT s,
+        |    CASE WHEN lag(s) OVER (ORDER BY bucket) IS NULL THEN 1
+        |         WHEN s <> lag(s) OVER (ORDER BY bucket) THEN 1
+        |         ELSE 0 END AS flip
+        |  FROM sg),
+        |a AS (SELECT count(*) AS n, CAST(sum(s) AS BIGINT) AS n1,
+        |    CAST(sum(flip) AS BIGINT) AS r FROM f)
+        |SELECT n AS n_days, n1 AS n_above, r AS n_runs,
+        |  CASE WHEN n1 = 0 OR n1 = n OR n < 3 THEN 0
+        |    ELSE CAST(floor(1e6 * (r - (2.0 * n1 * (n - n1) / n + 1.0))
+        |      / sqrt((2.0 * n1 * (n - n1) / n + 1.0 - 1.0)
+        |        * (2.0 * n1 * (n - n1) / n + 1.0 - 2.0) / (n - 1)))
+        |      AS BIGINT)
+        |  END AS z_micros
+        |FROM a""".stripMargin,
 
     "qX_info_gain" ->
       """WITH d AS (SELECT "value" AS v, event_id AS tie,

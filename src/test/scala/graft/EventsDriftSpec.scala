@@ -1124,6 +1124,44 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       1L -> ((2L, 8L, 800000L, 1000000L))))
   }
 
+  test("rateTest: conditional binomial z on raw counts") {
+    import graft.operators.Stats
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(9).toDF("x")
+    val r = Stats.rateTest(a, b).head()
+    // z = (3-1)/sqrt(4) = 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((3L, 1L, 1000000L)))
+  }
+
+  test("benford: string-derived digits, literal Benford masses") {
+    import graft.operators.Stats
+    // values 1.0,1.5,2.0,9.0 -> digits 1,1,2,9; zero filtered out
+    val df = Seq(1.0, 1.5, 2.0, 9.0, 0.0).toDF("v")
+    val got = Stats.benford(df, "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def term(o: Long, pm: Long): Long = {
+      val e = 4.0 * pm / 1e6
+      math.floor(1e6 * (o - e) * (o - e) / e).toLong
+    }
+    assert(got == Map(
+      1L -> ((2L, 1L, term(2, 301030L))),
+      2L -> ((1L, 0L, term(1, 176091L))),
+      9L -> ((1L, 0L, term(1, 45757L)))))
+  }
+
+  test("runsTest: perfectly alternating series — maximal runs, hand z") {
+    import graft.operators.Stats
+    val e = Seq(10.0, 20.0, 10.0, 20.0).zipWithIndex.map { case (v, d) =>
+      (ts(f"2024-01-0${d + 1}%01d 10:00:00"), v)
+    }.toDF("t", "v")
+    val r = Stats.runsTest(e, "t", "v").head()
+    // n=4, n1=2, R=4: mu=3, sigma=sqrt(2/3) -> z = 1224744
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 4L, 1224744L)))
+  }
+
   test("infoGain: perfect split recovers the full label entropy") {
     import graft.operators.Features
     // bins {1,2}->y0 and {3,4}->y1: H(y) = ln2, pure bins -> IG = H(y)
