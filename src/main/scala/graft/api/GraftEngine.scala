@@ -1911,4 +1911,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def runsTest(df: DataFrame, tsCol: String,
                valueCol: String): DataFrame =
     graft.operators.Stats.runsTest(df, tsCol, valueCol)
+
+  /** Corpus conditional character-bigram entropy
+    * ([[graft.operators.TextAnalysis.bigramCondEntropy]]) — the
+    * second-order gibberish screen beside [[charEntropy]]. */
+  def bigramCondEntropy(docs: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.bigramCondEntropy(docs, textCol)
+
+  /** Log–log OLS (constant-elasticity) fit
+    * ([[graft.operators.Stats.olsLogLog]]). */
+  def olsLogLog(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    graft.operators.Stats.olsLogLog(df, xCol, yCol)
+
+  /** Inter-event gap p50/p90/p99 per segment
+    * ([[graft.operators.Events.gapQuantiles]]) — exact rank-selected
+    * behavioral SLOs. */
+  def gapQuantiles(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, tieCol: String): DataFrame =
+    graft.operators.Events.gapQuantiles(events, userCol, tsCol,
+      typeCol, tieCol)
 }

@@ -779,6 +779,45 @@ object Events {
       .orderBy(col(userCol), col("session_idx"))
   }
 
+  /** Inter-event gap quantiles per event type — the behavioral SLO
+    * table (how long until the next click): per user the consecutive
+    * same-type gaps (a per-user bounded window), then EXACT type-1
+    * (rank-selected, no interpolation) p50/p90/p99 per type — the
+    * index `⌈p·n⌉` is pure integer arithmetic (`(9n+9) DIV 10`), so
+    * the selected value is an exact long on both engines;
+    * interpolated quantiles at non-dyadic p would carry a last-ulp
+    * cross-engine risk.
+    *
+    * Shape: one per-user lag window + one per-TYPE rank window (the
+    * partition key bounds each sort to one type's gaps) + one fold.
+    *
+    * @return (event_type, n_gaps, p50_us, p90_us, p99_us) ordered.
+    */
+  def gapQuantiles(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, tieCol: String): DataFrame = {
+    val gaps = events
+      .select(col(userCol), col(typeCol).as("et"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tieCol))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1)
+        .over(Window.partitionBy(col(userCol), col("et"))
+          .orderBy(col("ts_us"), col(tieCol))))
+      .filter(col("gap").isNotNull)
+      .select(col("et"), col("gap"))
+    val cnt = gaps.groupBy(col("et")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("et")).orderBy(col("gap"))
+    gaps.withColumn("rn", row_number().over(w))
+      .join(cnt, "et")
+      .groupBy(col("et").as("event_type"), col("n").as("n_gaps"))
+      .agg(
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("gap")))
+          .as("p50_us"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("gap")))
+          .as("p90_us"),
+        max(when(col("rn") === expr("(99 * n + 99) DIV 100"),
+          col("gap"))).as("p99_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** One-row session health report over [[sessionize]] output — the
     * engagement dashboard numbers (bounce rate, session depth, dwell
     * time) from one pass over the session table: bounce = 1-event

@@ -374,6 +374,38 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Log–log OLS slope (constant-elasticity fit) — the econometric
+    * readout over (price, quantity)-shaped pairs: the slope of
+    * `ln y` on `ln x` IS the elasticity. Each row's logs quantize to
+    * integer MILLIS (`round(1000·ln v)` — millis, not micros, so the
+    * cross-moment Σxy stays long-exact at the gate SFs), the five
+    * sufficient statistics are exact integer folds, and slope and
+    * intercept are fixed IEEE expressions over them. Non-positive
+    * rows are excluded (logs undefined).
+    *
+    * @return one row (n, slope_micros, intercept_milli); zero
+    *         x-variance reports 0/0.
+    */
+  def olsLogLog(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val q = df.filter(col(xCol) > 0 && col(yCol) > 0)
+      .select(round(lit(1000) * log(col(xCol))).cast("long").as("x"),
+        round(lit(1000) * log(col(yCol))).cast("long").as("y"))
+    val s = q.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val den = col("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    val slope = (col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")) / den
+    s.select(col("n"),
+      when(col("n") < 2 || den <= 0, lit(0L))
+        .otherwise(floor(lit(1e6) * slope).cast("long"))
+        .as("slope_micros"),
+      when(col("n") < 2 || den <= 0, lit(0L))
+        .otherwise(floor((col("sy") - slope * col("sx")) / col("n"))
+          .cast("long")).as("intercept_milli"))
+  }
+
   /** Two-sample Poisson rate test under equal exposure — the
     * error-budget monitor's statistic (did the error rate move
     * relative to the click rate): conditional on k₁+k₂, the count

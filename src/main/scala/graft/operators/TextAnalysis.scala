@@ -689,6 +689,48 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Corpus-level conditional character-bigram entropy H(c₂|c₁) —
+    * [[charEntropy]]'s second-order sibling and the stronger
+    * gibberish screen (unigram-plausible keyboard mash still has
+    * near-uniform transitions; English is ~1.3 nats/char
+    * conditionally): `H = Σ (n₁₂/N)·ln(n₁₂/n₁)` over within-document
+    * character bigrams, each term `round(−1e6·(n₁₂/N)·ln(n₁₂/n₁))`
+    * quantized to a long BEFORE the fold (exact-integer ratios into
+    * ln — the accepted residual class).
+    *
+    * Shape: one bigram explode + one (c₁,c₂) fold (alphabet²-bounded)
+    * + one prefix fold + one scalar fold.
+    *
+    * @return one row (n_bigrams, n_pairs, cond_entropy_micros).
+    */
+  def bigramCondEntropy(docs: DataFrame, textCol: String): DataFrame = {
+    val bi = docs
+      .select(expr(s"filter(split($textCol, ''), x -> x <> '')")
+        .as("cs"))
+      .filter(size(col("cs")) >= 2) // sequence(1, 0) would throw
+      .select(explode(expr(
+        "transform(sequence(1, size(cs) - 1), " +
+          "i -> concat(element_at(cs, i), element_at(cs, i + 1)))"))
+        .as("bg"))
+      .filter(length(col("bg")) === 2)
+      .groupBy(col("bg")).agg(count(lit(1)).as("n12"))
+      .localCheckpoint(true) // prefix fold AND terms read it
+    val pre = bi.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("n12")).as("n1"))
+    val tot = bi.agg(sum(col("n12")).as("n"))
+    bi.withColumn("c1", substring(col("bg"), 1, 1))
+      .join(pre, "c1").crossJoin(broadcast(tot))
+      .select(col("n"),
+        round(lit(-1e6) * (col("n12").cast("double") / col("n")) *
+          log(col("n12").cast("double") / col("n1"))).cast("long")
+          .as("t"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("t"))
+        .as("cond_entropy_micros"))
+      .select(col("n").as("n_bigrams"), col("n_pairs"),
+        col("cond_entropy_micros"))
+  }
+
   /** Flesch reading-ease per document (Flesch 1948) — the
     * education-level readability filter a curation pipeline runs next
     * to the Gopher-style quality signals: `206.835 − 1.015·W/S −

@@ -357,6 +357,13 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Inter-event gap p50/p90/p99 per type — exact rank-selected
+    // quantiles (integer ceil-index arithmetic, no interpolation).
+    "qX_gap_quantiles" -> ((s, dir) => {
+      Events.gapQuantiles(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")
+    }),
+
     // Two-sample Poisson rate z between click and error volumes —
     // the error-budget monitor's statistic.
     "qX_rate_test" -> ((s, dir) => {
@@ -1322,6 +1329,30 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_gap_quantiles" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS ts_us, event_id FROM events),
+        |g AS (SELECT event_type,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id) AS gap
+        |  FROM e),
+        |gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+        |cnt AS (SELECT event_type, count(*) AS n FROM gg GROUP BY 1),
+        |r AS (SELECT event_type, gap,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap)
+        |      AS rn
+        |  FROM gg),
+        |j AS (SELECT r.event_type, r.gap, r.rn, cnt.n
+        |  FROM r JOIN cnt USING (event_type))
+        |SELECT event_type, n AS n_gaps,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END)
+        |    AS BIGINT) AS p50_us,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END)
+        |    AS BIGINT) AS p90_us,
+        |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN gap END)
+        |    AS BIGINT) AS p99_us
+        |FROM j GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "qX_rate_test" ->
       """WITH ka AS (SELECT count(*) AS k_a FROM events

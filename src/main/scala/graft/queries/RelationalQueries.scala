@@ -66,6 +66,16 @@ object RelationalQueries {
         threshold = 6000000L)
     }),
 
+    // Constant-elasticity fit: log-log OLS slope of quantity on unit
+    // price over lineitem — the econometric readout, per-row logs
+    // milli-quantized before the five sufficient-statistic folds.
+    "qX_elasticity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        col("l_quantity"))
+      graft.operators.Stats.olsLogLog(li, "unit_price", "l_quantity")
+    }),
+
     // Neyman optimal allocation of 1000 sample slots across nation
     // strata by N_h·sigma_h of acctbal — high-variance nations get
     // oversampled; per-stratum weights quantize before the fold.
@@ -975,6 +985,36 @@ object RelationalQueries {
         |    AND a.c_custkey < b.c_custkey)
         |SELECT id1, id2, score_micros FROM p
         |WHERE score_micros >= 6000000 ORDER BY id1, id2""".stripMargin,
+    "qX_elasticity" ->
+      """WITH q AS (SELECT
+        |    CAST(round(1000 * ln(l_extendedprice / l_quantity))
+        |      AS BIGINT) AS x,
+        |    CAST(round(1000 * ln(l_quantity)) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_extendedprice / l_quantity > 0 AND l_quantity > 0),
+        |s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM q)
+        |SELECT n,
+        |  CASE WHEN n < 2 OR
+        |      CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0
+        |    THEN 0
+        |    ELSE CAST(floor(1e6 *
+        |      ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
+        |      AS BIGINT)
+        |  END AS slope_micros,
+        |  CASE WHEN n < 2 OR
+        |      CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0
+        |    THEN 0
+        |    ELSE CAST(floor((sy -
+        |      ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+        |      * sx) / n) AS BIGINT)
+        |  END AS intercept_milli
+        |FROM s""".stripMargin,
+
     "qX_neyman" ->
       """WITH q AS (SELECT c_nationkey,
         |    CAST(floor(c_acctbal * 1000) AS BIGINT) AS v

@@ -412,6 +412,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus conditional bigram entropy H(c2|c1) — the second-order
+    // gibberish screen (keyboard mash has near-uniform transitions).
+    "qX_bigram_entropy" -> ((s, dir) => {
+      TextAnalysis.bigramCondEntropy(Tables.load(s, dir, "documents"),
+        "text")
+    }),
+
     // Per-doc character entropy — the gibberish screen: natural text
     // ~2.8 nats, base64 blobs push toward the alphabet ceiling.
     "qX_char_entropy" -> ((s, dir) => {
@@ -1652,6 +1659,25 @@ object TextQueries {
         |  CAST(round(1e6 * (206.835 - 1.015 * n_words / n_sentences
         |    - 84.6 * n_syllables / n_words)) AS BIGINT) AS flesch_micros
         |FROM c ORDER BY doc_id""".stripMargin,
+    "qX_bigram_entropy" ->
+      """WITH bg AS (SELECT unnest(list_transform(
+        |      generate_series(1, length(text) - 1),
+        |      i -> substr(text, i, 2))) AS bg
+        |  FROM documents WHERE length(text) >= 2),
+        |cnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS n12 FROM bg
+        |  GROUP BY 1),
+        |pre AS (SELECT substr(bg, 1, 1) AS c1,
+        |    CAST(sum(n12) AS BIGINT) AS n1 FROM cnt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n12) AS BIGINT) AS n FROM cnt),
+        |t AS (SELECT tot.n,
+        |    CAST(round(-1e6 * (CAST(cnt.n12 AS DOUBLE) / tot.n)
+        |      * ln(CAST(cnt.n12 AS DOUBLE) / pre.n1)) AS BIGINT) AS t
+        |  FROM cnt JOIN pre ON pre.c1 = substr(cnt.bg, 1, 1)
+        |  CROSS JOIN tot)
+        |SELECT n AS n_bigrams, count(*) AS n_pairs,
+        |  CAST(sum(t) AS BIGINT) AS cond_entropy_micros
+        |FROM t GROUP BY 1""".stripMargin,
+
     "qX_char_entropy" ->
       """WITH ch AS (SELECT doc_id, c AS ch FROM documents,
         |  unnest(string_split_regex(text, '')) AS t(c)

@@ -1124,6 +1124,40 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       1L -> ((2L, 8L, 800000L, 1000000L))))
   }
 
+  test("bigramCondEntropy: uniform next-char after 'a' gives ln 2") {
+    import graft.operators.TextAnalysis
+    // "aab": bigrams aa, ab (both prefix 'a') -> H(c2|c1) = ln 2;
+    // "x" is too short and drops out
+    val docs = Seq((1L, "aab"), (2L, "x")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramCondEntropy(docs, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((2L, 2L, 693148L)))
+  }
+
+  test("olsLogLog: exact quadratic relation recovers slope 2") {
+    import graft.operators.Stats
+    // y = x^2 -> ln y = 2 ln x + 0
+    val df = Seq((math.exp(1), math.exp(2)), (math.exp(2), math.exp(4)))
+      .toDF("x", "y")
+    val r = Stats.olsLogLog(df, "x", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((2L, 2000000L, 0L)))
+  }
+
+  test("gapQuantiles: rank-selected p50/p90/p99 on doubling gaps") {
+    import graft.operators.Events
+    // gaps 1s,2s,4s,8s: ceil-index p50 -> rank 2 (2s),
+    // p90/p99 -> rank 4 (8s)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val offs = Seq(0L, 1L, 3L, 7L, 15L)
+    val e = offs.zipWithIndex.map { case (o, i) =>
+      (1L, new java.sql.Timestamp(base + o * 1000L), "A", i.toLong)
+    }.toDF("u", "t", "et", "eid")
+    val r = Events.gapQuantiles(e, "u", "t", "et", "eid").head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("A", 4L, 2000000L, 8000000L, 8000000L)))
+  }
+
   test("rateTest: conditional binomial z on raw counts") {
     import graft.operators.Stats
     val a = Seq(1, 2, 3).toDF("x")
