@@ -1930,4 +1930,41 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                    typeCol: String, tieCol: String): DataFrame =
     graft.operators.Events.gapQuantiles(events, userCol, tsCol,
       typeCol, tieCol)
+
+  /** Chao1 vocabulary-richness estimate + Good–Turing unseen mass
+    * ([[graft.operators.TextAnalysis.chao1Richness]]). */
+  def chao1Richness(docs: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.chao1Richness(docs, textCol)
+
+  /** Held-out word-bigram coverage of a train/test split
+    * ([[graft.operators.TextAnalysis.bigramCoverage]]). */
+  def bigramCoverage(docs: DataFrame, textCol: String,
+                     trainCol: String): DataFrame =
+    graft.operators.TextAnalysis.bigramCoverage(docs, textCol, trainCol)
+
+  /** Embedding-norm health report
+    * ([[graft.operators.Similarity.normStats]]) — the first check
+    * when a similarity index misbehaves. */
+  def normStats(emb: DataFrame, idCol: String,
+                vecCol: String): DataFrame =
+    graft.operators.Similarity.normStats(emb, idCol, vecCol)
+
+  /** A/B sample-size and MDE planner
+    * ([[graft.operators.Stats.powerMde]]) — "how long must this
+    * test run". */
+  def powerMde(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    graft.operators.Stats.powerMde(a, b, valueCol)
+
+  /** Retrospective best change-point over daily means
+    * ([[graft.operators.Drift.changepoint]]). */
+  def changepoint(df: DataFrame, tsCol: String,
+                  valueCol: String): DataFrame =
+    graft.operators.Drift.changepoint(df, tsCol, valueCol)
+
+  /** Per-landmark eccentricity
+    * ([[graft.operators.GraphAnalytics.landmarkEccentricity]]). */
+  def landmarkEccentricity(edges: DataFrame, numSources: Int = 8,
+                           maxDepth: Int = 4): DataFrame =
+    graft.operators.GraphAnalytics.landmarkEccentricity(edges,
+      numSources, maxDepth)
 }

@@ -328,6 +328,42 @@ object Drift {
       .orderBy(col("q_micros"))
   }
 
+  /** Single best change-point over daily means — the retrospective
+    * companion to [[cusum]]/[[pageHinkley]]'s sequential alarms
+    * (binary segmentation's first split, Scott & Knott 1974): every
+    * candidate split day scores `|mean_left − mean_right|` from
+    * cumulative sums over the BOUNDED day grid, both side-means
+    * floor-quantized to integer micros BEFORE the compare, and the
+    * winner is the max (earliest day on ties) — a deterministic
+    * integer argmax, no variance estimate needed.
+    *
+    * @return one row (split_day, n_left, n_right, delta_micros) —
+    *         the split is AFTER split_day; empty/1-day input → empty.
+    */
+  def changepoint(df: DataFrame, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(date_trunc("day", col(tsCol)).as("bucket"))
+      .agg(floor(sum(floor(col(valueCol) * lit(1e6)).cast("long"))
+        .cast("double") / count(lit(1))).cast("long").as("mean_micros"))
+    // BOUNDED global windows: the per-day calendar grid
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(count(lit(1)).as("nn"),
+      sum(col("mean_micros")).as("st"))
+    daily.crossJoin(broadcast(tot))
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("sl", sum(col("mean_micros")).over(w))
+      .filter(col("t") < col("nn"))
+      .select(date_format(col("bucket"), "yyyy-MM-dd").as("split_day"),
+        col("t").as("n_left"), (col("nn") - col("t")).as("n_right"),
+        abs(floor(col("sl").cast("double") / col("t")).cast("long") -
+          floor((col("st") - col("sl")).cast("double") /
+            (col("nn") - col("t"))).cast("long")).as("delta_micros"))
+      .orderBy(desc("delta_micros"), col("split_day"))
+      .limit(1)
+  }
+
   /** Page–Hinkley test over daily means (Page 1954; the streaming
     * form in Gama et al. 2014) — the sequential mean-shift detector
     * between [[cusum]] (fixed reference) and [[ewma]] (exponential

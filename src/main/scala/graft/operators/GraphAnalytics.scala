@@ -1472,6 +1472,22 @@ object GraphAnalytics {
     dist.orderBy(col("s"), col("v"))
   }
 
+  /** Landmark eccentricity — per BFS source the farthest reached
+    * depth and reach count from [[landmarkDistances]]'s truncated
+    * BFS: the per-landmark face of [[hyperBall]]'s effective
+    * diameter (a landmark whose eccentricity hits `maxDepth` is
+    * censored — reported, the caller raises the budget).
+    *
+    * @return (s, ecc, n_reached) per landmark, ordered.
+    */
+  def landmarkEccentricity(edges: DataFrame, numSources: Int = 8,
+                           maxDepth: Int = 4): DataFrame =
+    landmarkDistances(edges, numSources, maxDepth)
+      .groupBy(col("s"))
+      .agg(max(col("d")).cast("long").as("ecc"),
+        count(lit(1)).as("n_reached"))
+      .orderBy(col("s"))
+
   /** Newman modularity Q of a community assignment over the simple
     * undirected edge view — the quality score that turns [[labelPropagationDF]]
     * from "some labels" into a measured clustering:

@@ -839,4 +839,47 @@ object Similarity {
           - col("slnc").cast("double") / col("n")).cast("long")
           .as("entropy_micros"))
   }
+
+  /** Embedding-norm health report — the first thing to check when a
+    * similarity index misbehaves (an encoder change or a bad batch
+    * shows up as a norm-distribution shift long before recall moves;
+    * unnormalized rows break cosine-vs-dot assumptions): per row the
+    * L2 norm from EXACT integer per-dim squares (elements quantize to
+    * micros, the squared sum is a long, one correctly-rounded sqrt —
+    * the centroid-drift convention, no float fold order anywhere),
+    * then count/dim-range/mean and exact rank-SELECTED p50/p90/p99
+    * over [[Packing.globalRank]] — never a corpus-wide window.
+    *
+    * @return one row (n, min_dim, max_dim, mean_micros, p50_micros,
+    *         p90_micros, p99_micros).
+    */
+  def normStats(emb: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    val norms = emb
+      .select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("id"),
+        round(col("x").cast("double") * lit(1e6)).cast("long").as("q"))
+      .groupBy(col("id"))
+      .agg(sum(col("q") * col("q")).as("s2"), count(lit(1)).as("dim"))
+      .select(col("id"), col("dim"),
+        floor(sqrt(col("s2").cast("double"))).cast("long").as("v"))
+      .localCheckpoint(true) // scalar fold AND rank both read it
+    val (ranked, n) = Packing.globalRank(
+      norms.select(col("v"), col("id").as("tie")), Seq("v", "tie"))
+    val (i50, i90, i99) =
+      ((n + 1) / 2, (9 * n + 9) / 10, (99 * n + 99) / 100)
+    val picks = ranked
+      .filter(col("_grank").isin(i50, i90, i99))
+      .agg(max(when(col("_grank") === i50, col("v"))).as("p50_micros"),
+        max(when(col("_grank") === i90, col("v"))).as("p90_micros"),
+        max(when(col("_grank") === i99, col("v"))).as("p99_micros"))
+    norms.agg(count(lit(1)).as("n"), min(col("dim")).as("min_dim"),
+        max(col("dim")).as("max_dim"), sum(col("v")).as("s"))
+      .crossJoin(picks)
+      .select(col("n"), col("min_dim"), col("max_dim"),
+        floor(col("s").cast("double") / col("n")).cast("long")
+          .as("mean_micros"),
+        col("p50_micros"), col("p90_micros"), col("p99_micros"))
+  }
 }

@@ -374,6 +374,43 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** A/B sample-size and minimum-detectable-effect planner — the
+    * question every experiment review actually asks ("how long must
+    * this run"): with the two-sided 5% / 80%-power constant
+    * `z = z_{α/2} + z_β = 2.801585` (a FIXED literal shared with the
+    * oracle) and the pooled variance of the two current samples,
+    * `n_required = ⌈2·z²·s_p²/Δ²⌉` per arm to confirm the OBSERVED
+    * gap Δ, and `MDE = z·√(2·s_p²/n_min)` is the smallest gap the
+    * CURRENT sizes could confirm. Values quantize to millis; both
+    * outputs are single IEEE expressions over exact integer moments.
+    *
+    * @return one row (n_a, n_b, delta_milli, n_required, mde_milli);
+    *         zero gap / degenerate variance report 0.
+    */
+  def powerMde(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, p: String) = df
+      .select(floor(col(valueCol) * lit(1000)).cast("long").as("v"))
+      .agg(count(lit(1)).as(s"n_$p"), sum(col("v")).as(s"s_$p"),
+        sum(col("v") * col("v")).as(s"q_$p"))
+    def ss(p: String) = col(s"q_$p").cast("double") -
+      col(s"s_$p").cast("double") * col(s"s_$p") / col(s"n_$p")
+    val j = side(a, "a").crossJoin(side(b, "b"))
+    val sp2 = (ss("a") + ss("b")) / (col("n_a") + col("n_b") - 2)
+    val dInt = floor(col("s_a").cast("double") / col("n_a")).cast("long") -
+      floor(col("s_b").cast("double") / col("n_b")).cast("long")
+    val delta = col("s_a").cast("double") / col("n_a") -
+      col("s_b").cast("double") / col("n_b")
+    val z = lit(2.801585)
+    val bad = col("n_a") < 2 || col("n_b") < 2 || sp2 <= 0
+    j.select(col("n_a"), col("n_b"), dInt.as("delta_milli"),
+      when(bad || dInt === 0, lit(0L))
+        .otherwise(ceil(lit(2.0) * z * z * sp2 / (delta * delta))
+          .cast("long")).as("n_required"),
+      when(bad, lit(0L))
+        .otherwise(floor(z * sqrt(lit(2.0) * sp2 /
+          least(col("n_a"), col("n_b")))).cast("long")).as("mde_milli"))
+  }
+
   /** Log–log OLS slope (constant-elasticity fit) — the econometric
     * readout over (price, quantity)-shaped pairs: the slope of
     * `ln y` on `ln x` IS the elasticity. Each row's logs quantize to

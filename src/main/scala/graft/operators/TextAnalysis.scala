@@ -689,6 +689,66 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Chao1 vocabulary-richness estimate + Good–Turing unseen mass —
+    * how much vocabulary the corpus has NOT shown yet (the sampling
+    * answer behind [[lexicalRichness]]'s observed numbers): the
+    * bias-corrected `Chao1 = D + f₁(f₁−1)/(2(f₂+1))` lower-bounds the
+    * true type count from the hapax/dis-legomena tail, and
+    * `P₀ = f₁/N` (Good 1953) is the probability the NEXT token is
+    * unseen. Both are one floored division over exact integer tallies.
+    *
+    * @return one row (n_tokens, n_types, f1, f2, chao1_milli,
+    *         p0_micros).
+    */
+  def chao1Richness(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokenize(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        (lit(1000L) * col("n_types") +
+          floor(lit(1000L) * col("f1") * (col("f1") - 1) /
+            (lit(2L) * (col("f2") + 1))).cast("long")).as("chao1_milli"),
+        floor(lit(1000000L) * col("f1") / col("n_tokens")).cast("long")
+          .as("p0_micros"))
+
+  /** Held-out word-bigram coverage — the n-gram-LM health check a
+    * train/test split should pass before perplexity means anything
+    * (a test set whose bigrams the train half never saw measures
+    * smoothing, not the model): distinct TEST bigrams seen in the
+    * TRAIN half over distinct test bigrams. Two distinct folds + one
+    * broadcast-able semi join on the bigram string.
+    *
+    * @param trainCol boolean column: true = train half.
+    * @return one row (n_train_bg, n_test_bg, n_covered,
+    *         coverage_micros).
+    */
+  def bigramCoverage(docs: DataFrame, textCol: String,
+                     trainCol: String): DataFrame = {
+    val bg = docs
+      .select(col(trainCol).as("is_train"),
+        tokenize(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("is_train"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bg"))
+    val train = bg.filter(col("is_train")).select(col("bg")).distinct()
+      .localCheckpoint(true) // counted AND joined
+    val test = bg.filter(!col("is_train")).select(col("bg")).distinct()
+      .localCheckpoint(true)
+    val nTrain = train.agg(count(lit(1)).as("n_train_bg"))
+    val cov = test.join(train, Seq("bg"), "left_semi")
+      .agg(count(lit(1)).as("n_covered"))
+    test.agg(count(lit(1)).as("n_test_bg"))
+      .crossJoin(nTrain).crossJoin(cov)
+      .select(col("n_train_bg"), col("n_test_bg"), col("n_covered"),
+        when(col("n_test_bg") === 0, lit(0L))
+          .otherwise(floor(lit(1000000L) * col("n_covered") /
+            col("n_test_bg")).cast("long")).as("coverage_micros"))
+  }
+
   /** Corpus-level conditional character-bigram entropy H(c₂|c₁) —
     * [[charEntropy]]'s second-order sibling and the stronger
     * gibberish screen (unigram-plausible keyboard mash still has

@@ -357,6 +357,22 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Sample-size / MDE planner from the click-vs-view moments —
+    // "how long must this test run" with the fixed 5%/80% z literal.
+    "qX_power_mde" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Stats.powerMde(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "view").select(col("value")),
+        "value")
+    }),
+
+    // Retrospective best change-point over daily means — binary
+    // segmentation's first split, a deterministic integer argmax.
+    "qX_changepoint" -> ((s, dir) => {
+      Drift.changepoint(t(s, dir, "events"), "ts", "value")
+    }),
+
     // Inter-event gap p50/p90/p99 per type — exact rank-selected
     // quantiles (integer ceil-index arithmetic, no interpolation).
     "qX_gap_quantiles" -> ((s, dir) => {
@@ -1329,6 +1345,59 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_power_mde" ->
+      """WITH aa AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'click'),
+        |bb AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'view'),
+        |sa AS (SELECT count(*) AS n_a, CAST(sum(v) AS BIGINT) AS s_a,
+        |    CAST(sum(v * v) AS BIGINT) AS q_a FROM aa),
+        |sb AS (SELECT count(*) AS n_b, CAST(sum(v) AS BIGINT) AS s_b,
+        |    CAST(sum(v * v) AS BIGINT) AS q_b FROM bb),
+        |j AS (SELECT n_a, n_b,
+        |    CAST(floor(CAST(s_a AS DOUBLE) / n_a) AS BIGINT)
+        |      - CAST(floor(CAST(s_b AS DOUBLE) / n_b) AS BIGINT)
+        |      AS delta_milli,
+        |    CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b
+        |      AS delta,
+        |    ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+        |      + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+        |      / (n_a + n_b - 2) AS sp2
+        |  FROM sa CROSS JOIN sb)
+        |SELECT n_a, n_b, delta_milli,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sp2 <= 0 OR delta_milli = 0
+        |    THEN 0
+        |    ELSE CAST(ceil(2.0 * 2.801585 * 2.801585 * sp2
+        |      / (delta * delta)) AS BIGINT)
+        |  END AS n_required,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sp2 <= 0 THEN 0
+        |    ELSE CAST(floor(2.801585 * sqrt(2.0 * sp2
+        |      / least(n_a, n_b))) AS BIGINT)
+        |  END AS mde_milli
+        |FROM j""".stripMargin,
+
+    "qX_changepoint" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS bucket,
+        |    CAST(floor(CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*)) AS BIGINT) AS mean_micros
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn, CAST(sum(mean_micros) AS BIGINT)
+        |    AS st FROM daily),
+        |c AS (SELECT bucket,
+        |    CAST(count(*) OVER w AS BIGINT) AS t,
+        |    CAST(sum(mean_micros) OVER w AS BIGINT) AS sl
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT strftime(c.bucket, '%Y-%m-%d') AS split_day,
+        |  c.t AS n_left, tot.nn - c.t AS n_right,
+        |  abs(CAST(floor(CAST(c.sl AS DOUBLE) / c.t) AS BIGINT)
+        |    - CAST(floor(CAST(tot.st - c.sl AS DOUBLE)
+        |      / (tot.nn - c.t)) AS BIGINT)) AS delta_micros
+        |FROM c CROSS JOIN tot WHERE c.t < tot.nn
+        |ORDER BY delta_micros DESC, split_day LIMIT 1""".stripMargin,
 
     "qX_gap_quantiles" ->
       """WITH e AS (SELECT user_id, event_type,

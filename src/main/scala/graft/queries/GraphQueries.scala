@@ -233,6 +233,14 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Per-landmark eccentricity from the truncated-BFS distances —
+    // the per-source face of the effective diameter.
+    "qX_eccentricity" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.landmarkEccentricity(edges,
+        numSources = 8, maxDepth = 4)
+    }),
+
     // Component-size histogram (exact binary-length log2 bins) —
     // giant-plus-dust vs many-islands, the fragmentation readout
     // that decides whether partition-by-component is a viable layout.
@@ -2069,6 +2077,10 @@ object GraphQueries {
     "qX_landmark_dist" ->
       (bfsCte(numSources = 8, maxDepth = 4) +
         "\nSELECT s, v, d FROM d4 ORDER BY s, v"),
+    "qX_eccentricity" ->
+      (bfsCte(numSources = 8, maxDepth = 4) +
+        "\nSELECT s, CAST(max(d) AS BIGINT) AS ecc, " +
+        "count(*) AS n_reached FROM d4 GROUP BY s ORDER BY s"),
     "qX_random_walks" -> randomWalksSql(walksPerVertex = 2, length = 4, seed = 7L),
     "qX_node2vec" -> node2vecSql(walksPerVertex = 1, length = 3, seed = 7L,
       p = 4.0, q = 0.25),

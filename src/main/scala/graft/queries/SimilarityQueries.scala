@@ -70,6 +70,14 @@ object SimilarityQueries {
         "embedding", "cid")
     }),
 
+    // Embedding-norm health: exact-integer per-row L2 norms, mean +
+    // rank-selected p50/p90/p99 — the first check when an index
+    // misbehaves (encoder change = norm shift before recall moves).
+    "qX_norm_stats" -> ((s, dir) => {
+      Similarity.normStats(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding")
+    }),
+
     // IVF index health: cell-size min/max, imbalance factor and
     // entropy of the qX_ann_ivf centroid assignment — the skew
     // readout a production ANN deployment watches.
@@ -1908,6 +1916,32 @@ object SimilarityQueries {
         |  CAST(floor(CAST(sum(sc) AS DOUBLE) / count(*)) AS BIGINT)
         |    AS mean_sil_micros
         |FROM s GROUP BY 1 ORDER BY cell""".stripMargin,
+    "qX_norm_stats" ->
+      """WITH q AS (SELECT vec_id, unnest(embedding) AS x
+        |  FROM embeddings),
+        |n2 AS (SELECT vec_id,
+        |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+        |      * CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+        |      AS BIGINT) AS s2,
+        |    count(*) AS dim
+        |  FROM q GROUP BY 1),
+        |nm AS (SELECT vec_id, dim,
+        |    CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT) AS v
+        |  FROM n2),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, vec_id) AS rn
+        |  FROM nm),
+        |cnt AS (SELECT count(*) AS n, min(dim) AS min_dim,
+        |    max(dim) AS max_dim, CAST(sum(v) AS BIGINT) AS s FROM nm)
+        |SELECT cnt.n, cnt.min_dim, cnt.max_dim,
+        |  CAST(floor(CAST(cnt.s AS DOUBLE) / cnt.n) AS BIGINT)
+        |    AS mean_micros,
+        |  CAST(max(CASE WHEN rn = (cnt.n + 1) // 2 THEN v END)
+        |    AS BIGINT) AS p50_micros,
+        |  CAST(max(CASE WHEN rn = (9 * cnt.n + 9) // 10 THEN v END)
+        |    AS BIGINT) AS p90_micros,
+        |  CAST(max(CASE WHEN rn = (99 * cnt.n + 99) // 100 THEN v END)
+        |    AS BIGINT) AS p99_micros
+        |FROM r CROSS JOIN cnt GROUP BY 1, 2, 3, 4""".stripMargin,
     "qX_ivf_balance" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -412,6 +412,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Chao1 vocabulary-richness lower bound + Good–Turing unseen
+    // mass — how much vocabulary the corpus hasn't shown yet.
+    "qX_chao1" -> ((s, dir) => {
+      TextAnalysis.chao1Richness(Tables.load(s, dir, "documents"),
+        "text")
+    }),
+
+    // Held-out word-bigram coverage over the doc_id%10 split — the
+    // n-gram-LM health check before perplexity means anything.
+    "qX_bigram_coverage" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("is_train", col("doc_id") % 10 < 8)
+      TextAnalysis.bigramCoverage(docs, "text", "is_train")
+    }),
+
     // Corpus conditional bigram entropy H(c2|c1) — the second-order
     // gibberish screen (keyboard mash has near-uniform transitions).
     "qX_bigram_entropy" -> ((s, dir) => {
@@ -1659,6 +1674,43 @@ object TextQueries {
         |  CAST(round(1e6 * (206.835 - 1.015 * n_words / n_sentences
         |    - 84.6 * n_syllables / n_words)) AS BIGINT) AS flesch_micros
         |FROM c ORDER BY doc_id""".stripMargin,
+    "qX_chao1" ->
+      s"""WITH d AS ($ToksSql),
+        |tk AS (SELECT unnest(toks) AS tok FROM d),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tk
+        |  GROUP BY 1),
+        |s AS (SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2
+        |  FROM f)
+        |SELECT n_tokens, n_types, f1, f2,
+        |  1000 * n_types + CAST(floor(1000 * f1 * (f1 - 1)
+        |    / (2 * (f2 + 1))) AS BIGINT) AS chao1_milli,
+        |  CAST(floor(1000000 * f1 / n_tokens) AS BIGINT) AS p0_micros
+        |FROM s""".stripMargin,
+
+    "qX_bigram_coverage" ->
+      s"""WITH d AS ($ToksSql),
+        |bg AS (SELECT doc_id % 10 < 8 AS is_train,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM d WHERE len(toks) >= 2),
+        |train AS (SELECT DISTINCT bg FROM bg WHERE is_train),
+        |test AS (SELECT DISTINCT bg FROM bg WHERE NOT is_train),
+        |nt AS (SELECT count(*) AS n_train_bg FROM train),
+        |ns AS (SELECT count(*) AS n_test_bg FROM test),
+        |cov AS (SELECT count(*) AS n_covered FROM test
+        |  WHERE bg IN (SELECT bg FROM train))
+        |SELECT nt.n_train_bg, ns.n_test_bg, cov.n_covered,
+        |  CASE WHEN ns.n_test_bg = 0 THEN 0
+        |    ELSE CAST(floor(1000000 * cov.n_covered / ns.n_test_bg)
+        |      AS BIGINT)
+        |  END AS coverage_micros
+        |FROM nt CROSS JOIN ns CROSS JOIN cov""".stripMargin,
+
     "qX_bigram_entropy" ->
       """WITH bg AS (SELECT unnest(list_transform(
         |      generate_series(1, length(text) - 1),

@@ -376,6 +376,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows.size == 4, "no row dropped or nulled")
   }
 
+  test("normStats: exact integer norms, rank-selected quantiles") {
+    import graft.operators.Similarity
+    // (3,4) -> norm 5e6 micros; zero vector -> 0
+    val emb = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.normStats(emb, "vec_id", "embedding").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((2L, 2L, 2L, 2500000L, 0L, 5000000L, 5000000L)))
+  }
+
   test("semDeDup prunes planted in-cluster duplicates; centroids serve ivfTopK") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .filter(col("vec_id") < 80).select(col("vec_id"), col("embedding"))

@@ -197,6 +197,28 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("powerMde: hand moments — required n and MDE from the z literal") {
+    import graft.operators.Stats
+    // a={1,3}, b={5,7}: sp2=2e6 milli^2, delta=-4000 milli ->
+    // n_req = ceil(2*z^2*sp2/16e6) = 2; mde = floor(z*sqrt(2e6)) = 3962
+    val a = Seq(1.0, 3.0).toDF("v")
+    val b = Seq(5.0, 7.0).toDF("v")
+    val r = Stats.powerMde(a, b, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, -4000L, 2L, 3962L)))
+  }
+
+  test("changepoint: level shift found at the true split day") {
+    import graft.operators.Drift
+    val e = (1 to 6).flatMap { d =>
+      val v = if (d <= 3) 10.0 else 20.0
+      Seq((ts(f"2024-01-0$d%01d 10:00:00"), v))
+    }.toDF("t", "v")
+    val r = Drift.changepoint(e, "t", "v").head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("2024-01-03", 3L, 3L, 10000000L)))
+  }
+
   test("pageHinkley: running-mean drawup matches hand math; shift alarms") {
     import graft.operators.Drift
     // 10,10,10 then 20,20,20: run means 10,10,10,12.5,14,15 →
@@ -1122,6 +1144,26 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(
       0L -> ((2L, 2L, 200000L, 200000L)),
       1L -> ((2L, 8L, 800000L, 1000000L))))
+  }
+
+  test("chao1Richness: hand tallies — hapax tail extrapolates the vocab") {
+    import graft.operators.TextAnalysis
+    // tokens a a b c: D=3, f1=2, f2=1 -> chao1 = 3 + 2*1/(2*2) = 3.5;
+    // P0 = 2/4
+    val docs = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.chao1Richness(docs, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((4L, 3L, 2L, 1L, 3500L, 500000L)))
+  }
+
+  test("bigramCoverage: held-out bigrams half-covered by train") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(("a b c", true), ("b c d", false))
+      .toDF("text", "is_train")
+    val r = TextAnalysis.bigramCoverage(docs, "text", "is_train").head()
+    // train {a b, b c}; test {b c, c d} -> 1 of 2 covered
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 1L, 500000L)))
   }
 
   test("bigramCondEntropy: uniform next-char after 'a' gives ln 2") {

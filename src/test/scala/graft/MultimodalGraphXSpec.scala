@@ -605,6 +605,17 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((0L, 4L, 1L, 1L), (2L, 1L, 4L, 4L)))
   }
 
+  test("landmarkEccentricity: path-3 landmarks reach everyone within 2") {
+    val g = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphAnalytics.landmarkEccentricity(g, numSources = 2,
+      maxDepth = 4).collect()
+    assert(got.nonEmpty && got.length <= 2)
+    got.foreach { r =>
+      assert(r.getLong(2) == 3L, "reaches all 3 vertices")
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 2L)
+    }
+  }
+
   test("componentSizes: path-3 plus two 2-islands bucket together") {
     // components {1,2,3} sz 3, {4,5} sz 2, {6,7} sz 2 -> all bin 1
     val g = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L)).toDF("src", "dst")
