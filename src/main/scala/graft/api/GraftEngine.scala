@@ -1967,4 +1967,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                            maxDepth: Int = 4): DataFrame =
     graft.operators.GraphAnalytics.landmarkEccentricity(edges,
       numSources, maxDepth)
+
+  /** Daily-count dispersion (overdispersion) index
+    * ([[graft.operators.Events.dispersionIndex]]). */
+  def dispersionIndex(events: DataFrame, tsCol: String): DataFrame =
+    graft.operators.Events.dispersionIndex(events, tsCol)
+
+  /** 1-D earth mover's distance between two slices
+    * ([[graft.operators.Drift.emd1d]]) — drift with magnitude. */
+  def emd1d(base: DataFrame, curr: DataFrame, valueCol: String,
+            lo: Double, hi: Double, bins: Int = 10): DataFrame =
+    graft.operators.Drift.emd1d(base, curr, valueCol, lo, hi, bins)
+
+  /** Within-session categorical co-occurrence lift
+    * ([[graft.operators.Events.sessionCooccur]]). */
+  def sessionCooccur(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, tieCol: String,
+                     gapUs: Long): DataFrame =
+    graft.operators.Events.sessionCooccur(events, userCol, tsCol,
+      typeCol, tieCol, gapUs)
 }

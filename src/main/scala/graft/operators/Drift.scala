@@ -328,6 +328,47 @@ object Drift {
       .orderBy(col("q_micros"))
   }
 
+  /** 1-D earth mover's distance (Wasserstein-1) between two slices
+    * over the [[psi]] fixed-bin grid — the drift number that keeps
+    * MAGNITUDE when PSI/KS only see overlap: on a 1-D grid
+    * `EMD = Σ_bins |CDF_a − CDF_b| · binwidth`, here reported in
+    * probability-mass micros per bin step (caller multiplies by the
+    * bin width in value units). Per-bin cumulative mass differences
+    * are exact integer cross-products (`|cum_a·tot_b − cum_b·tot_a|`
+    * — no per-bin division at all), one final division.
+    *
+    * @return one row (n_a, n_b, emd_micros).
+    */
+  def emd1d(base: DataFrame, curr: DataFrame, valueCol: String,
+            lo: Double, hi: Double, bins: Int): DataFrame = {
+    def binned(df: DataFrame) = df.select(
+        least(greatest(floor((col(valueCol) - lo) / (hi - lo) * bins),
+          lit(0L)), lit(bins - 1L)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val grid = base.sparkSession.range(bins).select(col("id").as("bin"))
+    val g = grid
+      .join(binned(base).withColumnRenamed("n", "na"), Seq("bin"), "left")
+      .join(binned(curr).withColumnRenamed("n", "nb"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    // BOUNDED global window: the `bins`-row grid
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+    val tot = c.agg(max(col("ca")).as("tot_a"), max(col("cb")).as("tot_b"))
+    c.crossJoin(broadcast(tot))
+      .select(col("tot_a"), col("tot_b"),
+        abs(col("ca") * col("tot_b") - col("cb") * col("tot_a")).as("x"))
+      .groupBy(col("tot_a"), col("tot_b"))
+      .agg(sum(col("x")).as("sx"))
+      .select(col("tot_a").as("n_a"), col("tot_b").as("n_b"),
+        when(col("tot_a") === 0 || col("tot_b") === 0, lit(0L))
+          .otherwise(floor(lit(1e6) * col("sx").cast("double") /
+            (col("tot_a").cast("double") * col("tot_b"))).cast("long"))
+          .as("emd_micros"))
+  }
+
   /** Single best change-point over daily means — the retrospective
     * companion to [[cusum]]/[[pageHinkley]]'s sequential alarms
     * (binary segmentation's first split, Scott & Knott 1974): every

@@ -294,6 +294,82 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** Variance-to-mean dispersion index of the daily count series —
+    * the Poisson overdispersion check beside [[burstiness]]'s
+    * per-user number (a Poisson-arrival day series has D ≈ 1;
+    * campaign-driven traffic is overdispersed, metronome bots
+    * under): `D = s²/m̄` over daily counts, from exact integer day
+    * folds (the [[graft.operators.Stats]] moment convention), one
+    * final division.
+    *
+    * @return one row (n_days, mean_milli, var_milli,
+    *         dispersion_micros); < 2 days reports 0.
+    */
+  def dispersionIndex(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val s = daily.agg(count(lit(1)).as("d"), sum(col("n")).as("sn"),
+      sum(col("n") * col("n")).as("qn"))
+    val mean = col("sn").cast("double") / col("d")
+    val varHat = (col("qn").cast("double") -
+      col("sn").cast("double") * col("sn") / col("d")) / (col("d") - 1)
+    s.select(col("d").as("n_days"),
+      floor(lit(1000.0) * mean).cast("long").as("mean_milli"),
+      floor(lit(1000.0) * varHat).cast("long").as("var_milli"),
+      when(col("d") < 2 || col("sn") === 0, lit(0L))
+        .otherwise(floor(lit(1e6) * varHat / mean).cast("long"))
+        .as("dispersion_micros"))
+  }
+
+  /** Within-SESSION event-type co-occurrence lift — do purchases and
+    * errors happen in the SAME SITTING ([[typeOverlap]] asks the
+    * same of whole users; sessions localize it to intent): sessions
+    * from [[sessionize]]'s gap rule, per pair
+    * `lift = P(a,b)/(P(a)·P(b))` over session incidence, floored to
+    * micros from exact integer counts.
+    *
+    * @return (a, b, n_ab, n_a, n_b, lift_micros) for a < b, ordered.
+    */
+  def sessionCooccur(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, tieCol: String,
+                     gapUs: Long): DataFrame = {
+    val flagged = events
+      .select(col(userCol).as("u"), col(typeCol).as("et"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tieCol))
+      .withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1)
+          .over(Window.partitionBy(col("u"))
+            .orderBy(col("ts_us"), col(tieCol))) > gapUs, 1L)
+          .otherwise(when(lag(col("ts_us"), 1)
+            .over(Window.partitionBy(col("u"))
+              .orderBy(col("ts_us"), col(tieCol))).isNull, 1L)
+            .otherwise(0L)))
+      .withColumn("sid", sum(col("new_s"))
+        .over(Window.partitionBy(col("u"))
+          .orderBy(col("ts_us"), col(tieCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val inc = flagged.select(col("u"), col("sid"), col("et")).distinct()
+      .localCheckpoint(true) // degrees AND both wedge sides
+    val tot = inc.select(col("u"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sess"))
+    val deg = inc.groupBy(col("et")).agg(count(lit(1)).as("d"))
+    val pairs = inc.select(col("et").as("a"), col("u"), col("sid"))
+      .join(inc.select(col("et").as("b"), col("u"), col("sid")),
+        Seq("u", "sid"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(deg.select(col("et").as("a"), col("d").as("n_a")), "a")
+      .join(deg.select(col("et").as("b"), col("d").as("n_b")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        floor(lit(1e6) * (col("n_ab").cast("double") * col("n_sess")) /
+          (col("n_a") * col("n_b"))).cast("long").as("lift_micros"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Audience overlap between event types — per type pair the
     * Jaccard of their USER SETS (`|A∩B| / (|A|+|B|−|A∩B|)`): do the
     * people who click also purchase, or are the segments disjoint.

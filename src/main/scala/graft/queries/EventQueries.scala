@@ -357,6 +357,30 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Daily-count dispersion index — Poisson overdispersion check
+    // beside the per-user burstiness.
+    "qX_dispersion" -> ((s, dir) => {
+      Events.dispersionIndex(t(s, dir, "events"), "ts")
+    }),
+
+    // 1-D earth mover's distance early-vs-late on the PSI bin grid —
+    // the drift number that keeps magnitude, exact cross-product
+    // CDF differences.
+    "qX_emd" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Drift.emd1d(e.filter(col("ts") < lit(SplitTs).cast("timestamp")),
+        e.filter(col("ts") >= lit(SplitTs).cast("timestamp")),
+        "value", 0.0, 500.0, 10)
+    }),
+
+    // Within-session event-type co-occurrence lift — does a purchase
+    // share a SITTING with an error; the session face of
+    // qX_type_overlap.
+    "qX_session_cooccur" -> ((s, dir) => {
+      Events.sessionCooccur(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", gapUs = 30L * 60L * 1000000L)
+    }),
+
     // Sample-size / MDE planner from the click-vs-view moments —
     // "how long must this test run" with the fixed 5%/80% z literal.
     "qX_power_mde" -> ((s, dir) => {
@@ -1345,6 +1369,87 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_dispersion" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS bucket,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |s AS (SELECT count(*) AS d, CAST(sum(n) AS BIGINT) AS sn,
+        |    CAST(sum(n * n) AS BIGINT) AS qn FROM daily)
+        |SELECT d AS n_days,
+        |  CAST(floor(1000.0 * (CAST(sn AS DOUBLE) / d)) AS BIGINT)
+        |    AS mean_milli,
+        |  CAST(floor(1000.0 * ((CAST(qn AS DOUBLE)
+        |    - CAST(sn AS DOUBLE) * sn / d) / (d - 1))) AS BIGINT)
+        |    AS var_milli,
+        |  CASE WHEN d < 2 OR sn = 0 THEN 0
+        |    ELSE CAST(floor(1e6 * ((CAST(qn AS DOUBLE)
+        |      - CAST(sn AS DOUBLE) * sn / d) / (d - 1))
+        |      / (CAST(sn AS DOUBLE) / d)) AS BIGINT)
+        |  END AS dispersion_micros
+        |FROM s""".stripMargin,
+
+    "qX_emd" ->
+      """WITH grid AS (SELECT unnest(range(10)) AS bin),
+        |a AS (
+        |  SELECT least(greatest(CAST(floor(("value" - 0.0) / 500.0 * 10)
+        |      AS BIGINT), 0), 9) AS bin, count(*) AS n
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT least(greatest(CAST(floor(("value" - 0.0) / 500.0 * 10)
+        |      AS BIGINT), 0), 9) AS bin, count(*) AS n
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT grid.bin, coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+        |  FROM grid LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)),
+        |c AS (SELECT bin,
+        |    CAST(sum(na) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(nb) OVER w AS BIGINT) AS cb
+        |  FROM g WINDOW w AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(max(ca) AS BIGINT) AS tot_a,
+        |    CAST(max(cb) AS BIGINT) AS tot_b FROM c),
+        |x AS (SELECT tot.tot_a, tot.tot_b,
+        |    abs(c.ca * tot.tot_b - c.cb * tot.tot_a) AS x
+        |  FROM c CROSS JOIN tot)
+        |SELECT tot_a AS n_a, tot_b AS n_b,
+        |  CASE WHEN tot_a = 0 OR tot_b = 0 THEN 0
+        |    ELSE CAST(floor(1e6 * CAST(sum(x) AS DOUBLE)
+        |      / (CAST(tot_a AS DOUBLE) * tot_b)) AS BIGINT)
+        |  END AS emd_micros
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "qX_session_cooccur" ->
+      """WITH e AS (SELECT user_id, event_type AS et,
+        |    epoch_us(ts) AS ts_us, event_id FROM events),
+        |f AS (SELECT user_id, et, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT user_id, et,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM f),
+        |inc AS (SELECT DISTINCT user_id, sid, et FROM s2),
+        |tot AS (SELECT count(*) AS n_sess FROM
+        |  (SELECT DISTINCT user_id, sid FROM s2)),
+        |deg AS (SELECT et, CAST(count(*) AS BIGINT) AS d FROM inc
+        |  GROUP BY 1),
+        |p AS (SELECT a.et AS a, b.et AS b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM inc a JOIN inc b ON a.user_id = b.user_id
+        |    AND a.sid = b.sid AND a.et < b.et
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_ab, da.d AS n_a, db.d AS n_b,
+        |  CAST(floor(1e6 * (CAST(p.n_ab AS DOUBLE) * tot.n_sess)
+        |    / (da.d * db.d)) AS BIGINT) AS lift_micros
+        |FROM p JOIN deg da ON da.et = p.a JOIN deg db ON db.et = p.b
+        |CROSS JOIN tot ORDER BY p.a, p.b""".stripMargin,
 
     "qX_power_mde" ->
       """WITH aa AS (SELECT CAST(floor("value" * 1000) AS BIGINT) AS v

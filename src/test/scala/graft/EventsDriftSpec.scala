@@ -197,6 +197,40 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("dispersionIndex: 1-and-3 day counts give D = 1") {
+    import graft.operators.Events
+    val e = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-02 10:00:00"),
+      ts("2024-01-02 11:00:00"), ts("2024-01-02 12:00:00")).toDF("t")
+    val r = Events.dispersionIndex(e, "t").head()
+    // counts 1,3: mean 2, var 2 -> D = 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2000L, 2000L, 1000000L)))
+  }
+
+  test("emd1d: full 9-bin shift costs 9 bin-steps of mass") {
+    import graft.operators.Drift
+    val a = Seq(10.0, 10.0).toDF("v")
+    val b = Seq(490.0, 490.0).toDF("v")
+    val r = Drift.emd1d(a, b, "v", 0.0, 500.0, 10).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((2L, 2L, 9000000L)))
+  }
+
+  test("sessionCooccur: one shared sitting out of three sessions") {
+    import graft.operators.Events
+    // u1: session {A,B}, later session {A}; u2: session {B}
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 10:10:00"), "B", 2L),
+      (1L, ts("2024-01-01 12:00:00"), "A", 3L),
+      (2L, ts("2024-01-01 10:00:00"), "B", 4L)).toDF("u", "t", "et", "eid")
+    val r = Events.sessionCooccur(e, "u", "t", "et", "eid",
+      gapUs = 30L * 60L * 1000000L).head()
+    // lift = (1/3)/((2/3)(2/3)) = 0.75
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (("A", "B", 1L, 2L, 2L, 750000L)))
+  }
+
   test("powerMde: hand moments — required n and MDE from the z literal") {
     import graft.operators.Stats
     // a={1,3}, b={5,7}: sp2=2e6 milli^2, delta=-4000 milli ->
