@@ -1986,4 +1986,16 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                      gapUs: Long): DataFrame =
     graft.operators.Events.sessionCooccur(events, userCol, tsCol,
       typeCol, tieCol, gapUs)
+
+  /** Audience churn across a time split
+    * ([[graft.operators.Events.audienceChurn]]). */
+  def audienceChurn(events: DataFrame, userCol: String, tsCol: String,
+                    cutUs: Long): DataFrame =
+    graft.operators.Events.audienceChurn(events, userCol, tsCol, cutUs)
+
+  /** Day-over-day movers report
+    * ([[graft.operators.Events.dailyMovers]]). */
+  def dailyMovers(events: DataFrame, tsCol: String, typeCol: String,
+                  k: Int = 10): DataFrame =
+    graft.operators.Events.dailyMovers(events, tsCol, typeCol, k)
 }

@@ -294,6 +294,72 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** Audience churn across a time split — the retention-adjacent
+    * set question ("how much of the early audience is still here"):
+    * active-user sets before/after the cut compared by Jaccard,
+    * churned share (early-only / early) and new share (late-only /
+    * late). Three distinct folds + one semi-join-sized intersection
+    * count — no windows.
+    *
+    * @param cutUs epoch-micros split point.
+    * @return one row (n_early, n_late, n_both, jaccard_micros,
+    *         churn_micros, new_micros).
+    */
+  def audienceChurn(events: DataFrame, userCol: String, tsCol: String,
+                    cutUs: Long): DataFrame = {
+    val e = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("ts_us"))
+    val early = e.filter(col("ts_us") < cutUs).select("u").distinct()
+      .localCheckpoint(true)
+    val late = e.filter(col("ts_us") >= cutUs).select("u").distinct()
+      .localCheckpoint(true)
+    val both = early.join(late, Seq("u"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    early.agg(count(lit(1)).as("n_early"))
+      .crossJoin(late.agg(count(lit(1)).as("n_late")))
+      .crossJoin(both)
+      .select(col("n_early"), col("n_late"), col("n_both"),
+        when(col("n_early") + col("n_late") - col("n_both") === 0,
+          lit(0L))
+          .otherwise(floor(lit(1000000L) * col("n_both") /
+            (col("n_early") + col("n_late") - col("n_both")))
+            .cast("long")).as("jaccard_micros"),
+        when(col("n_early") === 0, lit(0L))
+          .otherwise(floor(lit(1000000L) *
+            (col("n_early") - col("n_both")) / col("n_early"))
+            .cast("long")).as("churn_micros"),
+        when(col("n_late") === 0, lit(0L))
+          .otherwise(floor(lit(1000000L) *
+            (col("n_late") - col("n_both")) / col("n_late"))
+            .cast("long")).as("new_micros"))
+  }
+
+  /** Day-over-day movers — the "what changed" report: per (type,
+    * day) counts, each day's delta against the SAME TYPE's previous
+    * calendar day (lag over the bounded per-type day grid; a missing
+    * previous day reads as 0), top-k by absolute move with a full
+    * deterministic tie order — quantized-integer ranking before the
+    * limit, the qG5 rule.
+    *
+    * @return (event_type, day, n, prev_n, delta) top-k rows.
+    */
+  def dailyMovers(events: DataFrame, tsCol: String, typeCol: String,
+                  k: Int = 10): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // BOUNDED per-type window: the calendar grid of one type
+    val w = Window.partitionBy(col("et")).orderBy(col("bucket"))
+    daily
+      .withColumn("prev_n", coalesce(lag(col("n"), 1).over(w), lit(0L)))
+      .select(col("et").as("event_type"),
+        date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+        col("n"), col("prev_n"), (col("n") - col("prev_n")).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("event_type"), col("day"))
+      .limit(k)
+  }
+
   /** Variance-to-mean dispersion index of the daily count series —
     * the Poisson overdispersion check beside [[burstiness]]'s
     * per-user number (a Poisson-arrival day series has D ≈ 1;

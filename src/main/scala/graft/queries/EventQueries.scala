@@ -357,6 +357,20 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Audience churn across the mid-month split — Jaccard of active
+    // sets, churned and new shares.
+    "qX_audience_churn" -> ((s, dir) => {
+      // 2024-01-16T00:00:00Z (SplitTs) in epoch micros
+      Events.audienceChurn(t(s, dir, "events"), "user_id", "ts",
+        cutUs = 1705363200000000L)
+    }),
+
+    // Day-over-day movers: top-10 (type, day) count changes — the
+    // "what changed" report, ranked by integer |delta| before limit.
+    "qX_movers" -> ((s, dir) => {
+      Events.dailyMovers(t(s, dir, "events"), "ts", "event_type", 10)
+    }),
+
     // Daily-count dispersion index — Poisson overdispersion check
     // beside the per-user burstiness.
     "qX_dispersion" -> ((s, dir) => {
@@ -1369,6 +1383,44 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_audience_churn" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |early AS (SELECT DISTINCT u FROM e
+        |  WHERE ts_us < 1705363200000000),
+        |late AS (SELECT DISTINCT u FROM e
+        |  WHERE ts_us >= 1705363200000000),
+        |b AS (SELECT count(*) AS n_both FROM early
+        |  WHERE u IN (SELECT u FROM late)),
+        |ne AS (SELECT count(*) AS n_early FROM early),
+        |nl AS (SELECT count(*) AS n_late FROM late)
+        |SELECT ne.n_early, nl.n_late, b.n_both,
+        |  CASE WHEN ne.n_early + nl.n_late - b.n_both = 0 THEN 0
+        |    ELSE CAST(floor(1000000 * b.n_both
+        |      / (ne.n_early + nl.n_late - b.n_both)) AS BIGINT)
+        |  END AS jaccard_micros,
+        |  CASE WHEN ne.n_early = 0 THEN 0
+        |    ELSE CAST(floor(1000000 * (ne.n_early - b.n_both)
+        |      / ne.n_early) AS BIGINT)
+        |  END AS churn_micros,
+        |  CASE WHEN nl.n_late = 0 THEN 0
+        |    ELSE CAST(floor(1000000 * (nl.n_late - b.n_both)
+        |      / nl.n_late) AS BIGINT)
+        |  END AS new_micros
+        |FROM ne CROSS JOIN nl CROSS JOIN b""".stripMargin,
+
+    "qX_movers" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts)
+        |    AS bucket, count(*) AS n FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, bucket, n,
+        |    coalesce(lag(n) OVER (PARTITION BY event_type
+        |      ORDER BY bucket), 0) AS prev_n
+        |  FROM daily)
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d') AS day, n,
+        |  prev_n, n - prev_n AS delta
+        |FROM d ORDER BY abs(n - prev_n) DESC, event_type, day
+        |LIMIT 10""".stripMargin,
 
     "qX_dispersion" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS bucket,

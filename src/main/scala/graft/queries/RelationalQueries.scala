@@ -66,6 +66,21 @@ object RelationalQueries {
         threshold = 6000000L)
     }),
 
+    // TPC-H Q6 shape: the pure scan-filter-aggregate forecast query —
+    // per-row discount revenue quantized to micros before the fold;
+    // the filters all reach the parquet scan (PlanSpec-guarded class).
+    "qX_join_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+          to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_extendedprice") * col("l_discount") *
+            lit(1e6)).cast("long")).as("revenue_micros"))
+    }),
+
     // Constant-elasticity fit: log-log OLS slope of quantity on unit
     // price over lineitem — the econometric readout, per-row logs
     // milli-quantized before the five sufficient-statistic folds.
@@ -985,6 +1000,16 @@ object RelationalQueries {
         |    AND a.c_custkey < b.c_custkey)
         |SELECT id1, id2, score_micros FROM p
         |WHERE score_micros >= 6000000 ORDER BY id1, id2""".stripMargin,
+    "qX_join_q6" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e6)
+        |    AS BIGINT)) AS BIGINT) AS revenue_micros
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
     "qX_elasticity" ->
       """WITH q AS (SELECT
         |    CAST(round(1000 * ln(l_extendedprice / l_quantity))

@@ -197,6 +197,38 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("audienceChurn: early {1,2,3} vs late {2,3,4}") {
+    import graft.operators.Events
+    val cut = ts("2024-01-16 00:00:00")
+    val e = Seq(
+      (1L, ts("2024-01-10 10:00:00")), (2L, ts("2024-01-11 10:00:00")),
+      (3L, ts("2024-01-12 10:00:00")), (2L, ts("2024-01-20 10:00:00")),
+      (3L, ts("2024-01-21 10:00:00")), (4L, ts("2024-01-22 10:00:00")))
+      .toDF("u", "t")
+    val cutUs = cut.getTime * 1000L
+    val r = Events.audienceChurn(e, "u", "t", cutUs).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((3L, 3L, 2L, 500000L, 333333L, 333333L)))
+  }
+
+  test("dailyMovers: biggest per-type day-over-day deltas first") {
+    import graft.operators.Events
+    val e = Seq(
+      ("A", ts("2024-01-01 10:00:00")), ("A", ts("2024-01-01 11:00:00")),
+      ("A", ts("2024-01-02 10:00:00")), ("A", ts("2024-01-02 11:00:00")),
+      ("A", ts("2024-01-02 12:00:00")), ("A", ts("2024-01-02 13:00:00")),
+      ("A", ts("2024-01-02 14:00:00")),
+      ("B", ts("2024-01-01 10:00:00")), ("B", ts("2024-01-02 10:00:00")))
+      .toDF("et", "t")
+    val got = Events.dailyMovers(e, "t", "et", 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", "2024-01-02", 5L, 2L, 3L), ("A", "2024-01-01", 2L, 0L, 2L),
+      ("B", "2024-01-01", 1L, 0L, 1L), ("B", "2024-01-02", 1L, 1L, 0L)))
+  }
+
   test("dispersionIndex: 1-and-3 day counts give D = 1") {
     import graft.operators.Events
     val e = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-02 10:00:00"),
