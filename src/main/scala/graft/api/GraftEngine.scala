@@ -1998,4 +1998,23 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def dailyMovers(events: DataFrame, tsCol: String, typeCol: String,
                   k: Int = 10): DataFrame =
     graft.operators.Events.dailyMovers(events, tsCol, typeCol, k)
+
+  /** One-row graph summary
+    * ([[graft.operators.GraphAnalytics.graphSummary]]). */
+  def graphSummary(edges: DataFrame): DataFrame =
+    graft.operators.GraphAnalytics.graphSummary(edges)
+
+  /** Gini of the degree distribution
+    * ([[graft.operators.GraphAnalytics.degreeGini]]) — connectivity
+    * inequality. */
+  def degreeGini(edges: DataFrame): DataFrame =
+    graft.operators.GraphAnalytics.degreeGini(edges)
+
+  /** Lead–lag cross-correlation between two event-type day series
+    * ([[graft.operators.Events.leadLagCorr]]). */
+  def leadLagCorr(events: DataFrame, tsCol: String, typeCol: String,
+                  typeA: String, typeB: String,
+                  maxLag: Int = 7): DataFrame =
+    graft.operators.Events.leadLagCorr(events, tsCol, typeCol, typeA,
+      typeB, maxLag)
 }

@@ -294,6 +294,60 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** Lead–lag cross-correlation between two event-type day series —
+    * does A lead B (clicks today, purchases in k days): for each lag
+    * 0..maxLag the Pearson r between A's count on day d and B's on
+    * day d+k, over the dense indexed day grid (typeCorrelationMatrix
+    * is this at lag 0). All sums are exact integers per lag; r is
+    * the one fixed IEEE expression of the corr-matrix convention.
+    *
+    * Shape: one day fold, one ≤#days-row index window, one
+    * (maxLag+1)-way shifted self-join of the day grid — everything
+    * calendar-bounded.
+    *
+    * @return (lag, n_days, r_micros) for lags 0..maxLag, ordered.
+    */
+  def leadLagCorr(events: DataFrame, tsCol: String, typeCol: String,
+                  typeA: String, typeB: String,
+                  maxLag: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .groupBy(date_trunc("day", col(tsCol)).as("bucket"),
+        col(typeCol).as("et"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.select(col("bucket")).distinct()
+    // BOUNDED global window: the calendar day grid
+    val idx = days.withColumn("i",
+      row_number().over(Window.orderBy("bucket")).cast("long"))
+    def series(t: String, out: String) = idx
+      .join(daily.filter(col("et") === t), Seq("bucket"), "left")
+      .select(col("i"), coalesce(col("n"), lit(0L)).as(out))
+    val a = series(typeA, "na")
+    val b = series(typeB, "nb")
+    val lags = spark.range(maxLag + 1L).select(col("id").as("lag"))
+    a.crossJoin(broadcast(lags))
+      .join(b.withColumnRenamed("i", "j"),
+        col("i") + col("lag") === col("j"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"), sum(col("na")).as("sx"),
+        sum(col("nb")).as("sy"), sum(col("na") * col("nb")).as("sxy"),
+        sum(col("na") * col("na")).as("sxx"),
+        sum(col("nb") * col("nb")).as("syy"))
+      .select(col("lag"), col("n_days"),
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0 ||
+            col("n_days") * col("syy") - col("sy") * col("sy") === 0,
+          lit(0L))
+          .otherwise(floor(lit(1e6) *
+            (col("n_days") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n_days") * col("syy") - col("sy") * col("sy"))))
+            .cast("long")).as("r_micros"))
+      .orderBy(col("lag"))
+  }
+
   /** Audience churn across a time split — the retention-adjacent
     * set question ("how much of the early audience is still here"):
     * active-user sets before/after the cut compared by Jaccard,

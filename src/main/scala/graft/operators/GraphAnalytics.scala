@@ -1472,6 +1472,64 @@ object GraphAnalytics {
     dist.orderBy(col("s"), col("v"))
   }
 
+  /** One-row graph summary — the first table a graph platform shows
+    * (and the sanity check before any expensive analytic): vertex and
+    * simple-edge counts, density, average and max degree. Exact
+    * integer folds; density and the average are single floored
+    * divisions.
+    *
+    * @return one row (n_vertices, n_edges, density_micros,
+    *         avg_deg_milli, max_deg).
+    */
+  def graphSummary(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("d2"),
+        max(col("d")).as("max_deg"))
+      .select(col("n_vertices"), (col("d2") / lit(2)).cast("long")
+          .as("n_edges"),
+        when(col("n_vertices") < 2, lit(0L))
+          .otherwise(floor(lit(1e6) * col("d2").cast("double") /
+            (col("n_vertices") * (col("n_vertices") - 1))).cast("long"))
+          .as("density_micros"),
+        floor(lit(1000L) * col("d2") / col("n_vertices")).cast("long")
+          .as("avg_deg_milli"),
+        col("max_deg"))
+  }
+
+  /** Gini coefficient of the degree distribution — connectivity
+    * inequality in one number (scale-free graphs sit high; a near-
+    * regular mesh near 0), the graph face of the exposure Gini:
+    * degrees rank by (d, id) on [[Packing.globalRank]] and
+    * `G = (2·Σ i·d_i)/(n·Σd) − (n+1)/n` is exact integer arithmetic
+    * up to one final floored division.
+    *
+    * @return one row (n_vertices, sum_deg, gini_micros).
+    */
+  def degreeGini(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val (ranked, n) = Packing.globalRank(
+      deg.select(col("d"), col("id")), Seq("d", "id"))
+    ranked.agg(sum(col("d")).as("sd"),
+        sum(col("_grank") * col("d")).as("sid"))
+      .select(lit(n).as("n_vertices"), col("sd").as("sum_deg"),
+        floor(lit(1e6) *
+          ((lit(2.0) * col("sid")) / (lit(n).cast("double") * col("sd"))
+            - (lit(n + 1).cast("double") / lit(n)))).cast("long")
+          .as("gini_micros"))
+  }
+
   /** Landmark eccentricity — per BFS source the farthest reached
     * depth and reach count from [[landmarkDistances]]'s truncated
     * BFS: the per-landmark face of [[hyperBall]]'s effective

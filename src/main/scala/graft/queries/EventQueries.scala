@@ -357,6 +357,13 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Lead-lag cross-correlation click → purchase at lags 0..7 —
+    // does engagement today predict purchases in k days.
+    "qX_lead_lag" -> ((s, dir) => {
+      Events.leadLagCorr(t(s, dir, "events"), "ts", "event_type",
+        "click", "purchase", maxLag = 7)
+    }),
+
     // Audience churn across the mid-month split — Jaccard of active
     // sets, churned and new shares.
     "qX_audience_churn" -> ((s, dir) => {
@@ -1383,6 +1390,39 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_lead_lag" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS bucket,
+        |    event_type AS et, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT bucket FROM daily),
+        |idx AS (SELECT bucket, CAST(row_number() OVER (ORDER BY bucket)
+        |    AS BIGINT) AS i FROM days),
+        |a AS (SELECT idx.i, coalesce(d.n, 0) AS na FROM idx
+        |  LEFT JOIN daily d ON d.bucket = idx.bucket AND d.et = 'click'),
+        |b AS (SELECT idx.i AS j, coalesce(d.n, 0) AS nb FROM idx
+        |  LEFT JOIN daily d ON d.bucket = idx.bucket
+        |    AND d.et = 'purchase'),
+        |lags AS (SELECT unnest(range(8)) AS lag),
+        |p AS (SELECT lags.lag, a.na, b.nb FROM a CROSS JOIN lags
+        |  JOIN b ON a.i + lags.lag = b.j),
+        |s AS (SELECT lag, count(*) AS n_days,
+        |    CAST(sum(na) AS BIGINT) AS sx,
+        |    CAST(sum(nb) AS BIGINT) AS sy,
+        |    CAST(sum(na * nb) AS BIGINT) AS sxy,
+        |    CAST(sum(na * na) AS BIGINT) AS sxx,
+        |    CAST(sum(nb * nb) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx = 0
+        |      OR n_days * syy - sy * sy = 0 THEN 0
+        |    ELSE CAST(floor(1e6
+        |      * CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n_days * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |  END AS r_micros
+        |FROM s ORDER BY lag""".stripMargin,
 
     "qX_audience_churn" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts_us

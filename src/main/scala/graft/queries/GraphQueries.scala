@@ -233,6 +233,19 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // One-row graph summary — counts, density, average/max degree.
+    "qX_graph_summary" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.graphSummary(edges)
+    }),
+
+    // Gini of the degree distribution — connectivity inequality on
+    // the exact distributed-rank primitive.
+    "qX_degree_gini" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.degreeGini(edges)
+    }),
+
     // Per-landmark eccentricity from the truncated-BFS distances —
     // the per-source face of the effective diameter.
     "qX_eccentricity" -> ((s, dir) => {
@@ -1600,6 +1613,40 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "qX_salsa" -> salsaSql(iters = 3),
+    "qX_graph_summary" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+         |s AS (SELECT count(*) AS n_vertices,
+         |    CAST(sum(d) AS BIGINT) AS d2,
+         |    CAST(max(d) AS BIGINT) AS max_deg FROM deg)
+         |SELECT n_vertices, CAST(d2 / 2 AS BIGINT) AS n_edges,
+         |  CASE WHEN n_vertices < 2 THEN 0
+         |    ELSE CAST(floor(1e6 * CAST(d2 AS DOUBLE)
+         |      / (n_vertices * (n_vertices - 1))) AS BIGINT)
+         |  END AS density_micros,
+         |  CAST(floor(1000 * d2 / n_vertices) AS BIGINT)
+         |    AS avg_deg_milli,
+         |  max_deg
+         |FROM s""".stripMargin,
+
+    "qX_degree_gini" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+         |r AS (SELECT d, CAST(row_number() OVER (ORDER BY d, id)
+         |    AS BIGINT) AS i FROM deg),
+         |s AS (SELECT count(*) AS n, CAST(sum(d) AS BIGINT) AS sd,
+         |    CAST(sum(i * d) AS BIGINT) AS sid FROM r)
+         |SELECT n AS n_vertices, sd AS sum_deg,
+         |  CAST(floor(1e6 * ((2.0 * sid) / (CAST(n AS DOUBLE) * sd)
+         |    - (CAST(n + 1 AS DOUBLE) / n))) AS BIGINT) AS gini_micros
+         |FROM s""".stripMargin,
+
     "qX_cc_sizes" ->
       s"""WITH RECURSIVE edges AS ($EdgesSql),
          |adj AS (

@@ -197,6 +197,23 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("leadLagCorr: linearly shifted series is perfectly correlated") {
+    import graft.operators.Events
+    // clicks 1,2,3,4 on days 1-4; purchases 1,2,3 on days 2-4
+    val rows = (1 to 4).flatMap { d =>
+      (1 to d).map(h => (ts(f"2024-01-0$d%01d 0$h:00:00"), "click"))
+    } ++ (2 to 4).flatMap { d =>
+      (1 to (d - 1)).map(h =>
+        (ts(f"2024-01-0$d%01d 1$h:00:00"), "purchase"))
+    }
+    val e = rows.toDF("t", "et")
+    val got = Events.leadLagCorr(e, "t", "et", "click", "purchase", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(0L) == ((4L, 1000000L)))
+    assert(got(1L) == ((3L, 1000000L)))
+  }
+
   test("audienceChurn: early {1,2,3} vs late {2,3,4}") {
     import graft.operators.Events
     val cut = ts("2024-01-16 00:00:00")

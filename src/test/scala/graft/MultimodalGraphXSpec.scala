@@ -605,6 +605,22 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((0L, 4L, 1L, 1L), (2L, 1L, 4L, 4L)))
   }
 
+  test("graphSummary: star graph counts, density, degree stats") {
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val r = GraphAnalytics.graphSummary(g).head()
+    // n=5, edges=4, density 8/(5*4)=0.4, avg deg 1.6, max 4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((5L, 4L, 400000L, 1600L, 4L)))
+  }
+
+  test("degreeGini: star graph inequality is exactly 0.3") {
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val r = GraphAnalytics.degreeGini(g).head()
+    // degrees 1,1,1,1,4: G = 2*30/(5*8) - 6/5 = 0.3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((5L, 8L, 300000L)))
+  }
+
   test("landmarkEccentricity: path-3 landmarks reach everyone within 2") {
     val g = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = GraphAnalytics.landmarkEccentricity(g, numSources = 2,
