@@ -2017,4 +2017,16 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
                   maxLag: Int = 7): DataFrame =
     graft.operators.Events.leadLagCorr(events, tsCol, typeCol, typeA,
       typeB, maxLag)
+
+  /** First-touch event-type distribution
+    * ([[graft.operators.Events.firstTouch]]). */
+  def firstTouch(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, tieCol: String): DataFrame =
+    graft.operators.Events.firstTouch(events, userCol, tsCol, typeCol,
+      tieCol)
+
+  /** Weekday × hour activity heatmap
+    * ([[graft.operators.Events.activityGrid]]). */
+  def activityGrid(events: DataFrame, tsCol: String): DataFrame =
+    graft.operators.Events.activityGrid(events, tsCol)
 }

@@ -294,6 +294,54 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** First-touch distribution — which event type OPENS a user's
+    * history (the acquisition-funnel entry mix; last-touch is the
+    * attribution family's job): per user the first event under the
+    * total (ts, tie) order, then type counts and shares. One
+    * per-user bounded window + one type fold.
+    *
+    * @return (event_type, n_users, share_micros) ordered by type.
+    */
+  def firstTouch(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val first = events
+      .select(col(userCol), col(typeCol).as("et"), col(tsCol),
+        col(tieCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val byType = first.groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = byType.agg(sum(col("n_users")).as("n"))
+    byType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_users"),
+        floor(lit(1000000L) * col("n_users") / col("n")).cast("long")
+          .as("share_micros"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Weekday × hour activity grid — the traffic heatmap every ops
+    * dashboard renders (and the capacity-planning input): counts and
+    * corpus share per (weekday, hour) cell. One fold; the grid is
+    * 7×24 rows.
+    *
+    * @return (weekday, hour, n, share_micros) ordered — weekday
+    *         1 = Sunday (the Spark `dayofweek` convention).
+    */
+  def activityGrid(events: DataFrame, tsCol: String): DataFrame = {
+    val cells = events
+      .groupBy(dayofweek(col(tsCol)).cast("long").as("weekday"),
+        hour(col(tsCol)).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("weekday"), col("hour"), col("n"),
+        floor(lit(1000000L) * col("n") / col("tot")).cast("long")
+          .as("share_micros"))
+      .orderBy(col("weekday"), col("hour"))
+  }
+
   /** Lead–lag cross-correlation between two event-type day series —
     * does A lead B (clicks today, purchases in k days): for each lag
     * 0..maxLag the Pearson r between A's count on day d and B's on

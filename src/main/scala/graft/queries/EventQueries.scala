@@ -357,6 +357,19 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // First-touch event-type mix — the acquisition-funnel entry
+    // distribution (last-touch is qX_attribution's job).
+    "qX_first_touch" -> ((s, dir) => {
+      Events.firstTouch(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")
+    }),
+
+    // Weekday × hour activity heatmap with corpus shares — the
+    // capacity-planning grid.
+    "qX_heatmap" -> ((s, dir) => {
+      Events.activityGrid(t(s, dir, "events"), "ts")
+    }),
+
     // Lead-lag cross-correlation click → purchase at lags 0..7 —
     // does engagement today predict purchases in k days.
     "qX_lead_lag" -> ((s, dir) => {
@@ -1390,6 +1403,29 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_first_touch" ->
+      """WITH r AS (SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT event_type, count(*) AS n_users FROM r
+        |  WHERE rn = 1 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM f)
+        |SELECT f.event_type, f.n_users,
+        |  CAST(floor(1000000 * f.n_users / tot.n) AS BIGINT)
+        |    AS share_micros
+        |FROM f CROSS JOIN tot ORDER BY f.event_type""".stripMargin,
+
+    "qX_heatmap" ->
+      """WITH cells AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT)
+        |    AS weekday, CAST(hour(ts) AS BIGINT) AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells)
+        |SELECT weekday, hour, n,
+        |  CAST(floor(1000000 * n / tot.tot) AS BIGINT) AS share_micros
+        |FROM cells CROSS JOIN tot ORDER BY weekday, hour""".stripMargin,
 
     "qX_lead_lag" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS bucket,

@@ -66,6 +66,16 @@ object RelationalQueries {
         threshold = 6000000L)
     }),
 
+    // Revenue Pareto: the Lorenz decile curve over per-customer
+    // order revenue (cents-quantized) — "the top decile of customers
+    // carries X% of revenue".
+    "qX_revenue_pareto" -> ((s, dir) => {
+      val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * lit(100)).cast("long"))
+          .as("w"))
+      graft.operators.Eval.lorenzCurve(per, "w", "o_custkey")
+    }),
+
     // TPC-H Q6 shape: the pure scan-filter-aggregate forecast query —
     // per-row discount revenue quantized to micros before the fold;
     // the filters all reach the parquet scan (PlanSpec-guarded class).
@@ -1000,6 +1010,32 @@ object RelationalQueries {
         |    AND a.c_custkey < b.c_custkey)
         |SELECT id1, id2, score_micros FROM p
         |WHERE score_micros >= 6000000 ORDER BY id1, id2""".stripMargin,
+    "qX_revenue_pareto" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS w
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT w, row_number() OVER (ORDER BY w, o_custkey)
+        |    AS rn FROM per),
+        |nn AS (SELECT count(*) AS n FROM per),
+        |b AS (SELECT CAST(floor(10 * (rn - 1) / nn.n) AS BIGINT)
+        |      AS decile, w
+        |  FROM r CROSS JOIN nn),
+        |g AS (SELECT decile, count(*) AS n_units,
+        |    CAST(sum(w) AS BIGINT) AS weight FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM g),
+        |c AS (SELECT decile, n_units, weight,
+        |    CAST(sum(weight) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_w
+        |  FROM g)
+        |SELECT c.decile, c.n_units, c.weight,
+        |  CAST(floor(1000000 * c.weight / t.tot) AS BIGINT)
+        |    AS share_micros,
+        |  CAST(floor(1000000 * c.cum_w / t.tot) AS BIGINT)
+        |    AS cum_share_micros
+        |FROM c CROSS JOIN t ORDER BY c.decile""".stripMargin,
+
     "qX_join_q6" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e6)

@@ -197,6 +197,30 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("firstTouch: earliest event per user decides the entry mix") {
+    import graft.operators.Events
+    val e = Seq(
+      (1L, ts("2024-01-01 11:00:00"), "B", 2L),
+      (1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (2L, ts("2024-01-01 09:00:00"), "B", 3L)).toDF("u", "t", "et", "eid")
+    val got = Events.firstTouch(e, "u", "t", "et", "eid")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("A" -> ((1L, 500000L)), "B" -> ((1L, 500000L))))
+  }
+
+  test("activityGrid: weekday-hour cells carry exact shares") {
+    import graft.operators.Events
+    // 2024-01-01 is a Monday (weekday 2); two cells 2:1
+    val e = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"),
+      ts("2024-01-01 11:00:00")).toDF("t")
+    val got = Events.activityGrid(e, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map((2L, 10L) -> ((2L, 666666L)),
+      (2L, 11L) -> ((1L, 333333L))))
+  }
+
   test("leadLagCorr: linearly shifted series is perfectly correlated") {
     import graft.operators.Events
     // clicks 1,2,3,4 on days 1-4; purchases 1,2,3 on days 2-4
