@@ -2029,4 +2029,15 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * ([[graft.operators.Events.activityGrid]]). */
   def activityGrid(events: DataFrame, tsCol: String): DataFrame =
     graft.operators.Events.activityGrid(events, tsCol)
+
+  /** Week-over-week growth table
+    * ([[graft.operators.Events.weekOverWeek]]). */
+  def weekOverWeek(events: DataFrame, tsCol: String): DataFrame =
+    graft.operators.Events.weekOverWeek(events, tsCol)
+
+  /** Relative risk + odds ratio of an outcome given an exposure
+    * ([[graft.operators.Events.relativeRisk]]). */
+  def relativeRisk(df: DataFrame, exposedCol: String,
+                   outcomeCol: String): DataFrame =
+    graft.operators.Events.relativeRisk(df, exposedCol, outcomeCol)
 }

@@ -294,6 +294,59 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** Week-over-week growth — the topline trend table: per ISO week
+    * the event count and its growth vs the previous week present in
+    * the data (`⌊1e6·(n−prev)/prev⌋`; the first week reads NULL).
+    * One fold + one lag over the bounded week grid.
+    *
+    * @return (week, n, prev_n, growth_micros) ordered by week.
+    */
+  def weekOverWeek(events: DataFrame, tsCol: String): DataFrame = {
+    val weekly = events
+      .groupBy(date_trunc("week", col(tsCol)).as("wk"))
+      .agg(count(lit(1)).as("n"))
+    // BOUNDED global window: the calendar week grid
+    val w = Window.orderBy("wk")
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"), col("n"),
+        col("prev_n"),
+        when(col("prev_n").isNull || col("prev_n") === 0,
+          lit(null).cast("long"))
+          .otherwise(floor(lit(1000000L) * (col("n") - col("prev_n")) /
+            col("prev_n")).cast("long")).as("growth_micros"))
+      .orderBy(col("week"))
+  }
+
+  /** Relative risk + odds ratio of an outcome given a binary
+    * exposure — the epidemiology 2×2 readout pointed at behavior
+    * (is a weekend event likelier to be a purchase):
+    * `RR = (a/(a+b)) / (c/(c+d))`, `OR = (a·d)/(b·c)` over the exact
+    * 2×2 counts (a = exposed-positive … d = unexposed-negative), one
+    * floored division each. Degenerate cells report 0.
+    *
+    * @return one row (a, b, c, d, rr_micros, or_micros).
+    */
+  def relativeRisk(df: DataFrame, exposedCol: String,
+                   outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("long")
+    val y = col(outcomeCol).cast("long")
+    val s = df.agg(
+      sum(e * y).as("a"), sum(e * (lit(1L) - y)).as("b"),
+      sum((lit(1L) - e) * y).as("c"),
+      sum((lit(1L) - e) * (lit(1L) - y)).as("d"))
+    s.select(col("a"), col("b"), col("c"), col("d"),
+      when(col("a") + col("b") === 0 || col("c") + col("d") === 0 ||
+          col("c") === 0, lit(0L))
+        .otherwise(floor(lit(1e6) *
+          (col("a").cast("double") / (col("a") + col("b"))) /
+          (col("c").cast("double") / (col("c") + col("d"))))
+          .cast("long")).as("rr_micros"),
+      when(col("b") === 0 || col("c") === 0, lit(0L))
+        .otherwise(floor(lit(1e6) * (col("a") * col("d")).cast("double")
+          / (col("b") * col("c"))).cast("long")).as("or_micros"))
+  }
+
   /** First-touch distribution — which event type OPENS a user's
     * history (the acquisition-funnel entry mix; last-touch is the
     * attribution family's job): per user the first event under the

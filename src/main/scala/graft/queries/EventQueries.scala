@@ -357,6 +357,20 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Week-over-week growth — the topline trend table.
+    "qX_wow" -> ((s, dir) => {
+      Events.weekOverWeek(t(s, dir, "events"), "ts")
+    }),
+
+    // Relative risk + odds ratio: is a weekend event likelier to be
+    // a purchase — the epidemiology 2x2 pointed at behavior.
+    "qX_relative_risk" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        dayofweek(col("ts")).isin(1, 7).cast("long").as("exposed"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      Events.relativeRisk(ev, "exposed", "y")
+    }),
+
     // First-touch event-type mix — the acquisition-funnel entry
     // distribution (last-touch is qX_attribution's job).
     "qX_first_touch" -> ((s, dir) => {
@@ -1403,6 +1417,38 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_wow" ->
+      """WITH weekly AS (SELECT date_trunc('week', ts) AS wk,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |d AS (SELECT wk, n, lag(n) OVER (ORDER BY wk) AS prev_n
+        |  FROM weekly)
+        |SELECT strftime(wk, '%Y-%m-%d') AS week, n, prev_n,
+        |  CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
+        |    ELSE CAST(floor(1000000 * (n - prev_n) / prev_n) AS BIGINT)
+        |  END AS growth_micros
+        |FROM d ORDER BY week""".stripMargin,
+
+    "qX_relative_risk" ->
+      """WITH q AS (SELECT
+        |    CASE WHEN CAST(dayofweek(ts) + 1 AS BIGINT) IN (1, 7)
+        |      THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |s AS (SELECT CAST(sum(e * y) AS BIGINT) AS a,
+        |    CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+        |    CAST(sum((1 - e) * y) AS BIGINT) AS c,
+        |    CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d FROM q)
+        |SELECT a, b, c, d,
+        |  CASE WHEN a + b = 0 OR c + d = 0 OR c = 0 THEN 0
+        |    ELSE CAST(floor(1e6 * (CAST(a AS DOUBLE) / (a + b))
+        |      / (CAST(c AS DOUBLE) / (c + d))) AS BIGINT)
+        |  END AS rr_micros,
+        |  CASE WHEN b = 0 OR c = 0 THEN 0
+        |    ELSE CAST(floor(1e6 * CAST(a * d AS DOUBLE) / (b * c))
+        |      AS BIGINT)
+        |  END AS or_micros
+        |FROM s""".stripMargin,
 
     "qX_first_touch" ->
       """WITH r AS (SELECT event_type,

@@ -197,6 +197,29 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("weekOverWeek: growth against the previous week, first NULL") {
+    import graft.operators.Events
+    // week of Jan 1 (Mon): 2 events; week of Jan 8: 3 -> +50%
+    val e = Seq(ts("2024-01-02 10:00:00"), ts("2024-01-03 10:00:00"),
+      ts("2024-01-09 10:00:00"), ts("2024-01-10 10:00:00"),
+      ts("2024-01-11 10:00:00")).toDF("t")
+    val got = Events.weekOverWeek(e, "t").collect()
+    assert(got.length == 2)
+    assert(got(0).isNullAt(3) && got(0).getLong(1) == 2L)
+    assert(got(1).getLong(1) == 3L && got(1).getLong(3) == 500000L)
+  }
+
+  test("relativeRisk: hand 2x2 — RR and OR exact") {
+    import graft.operators.Events
+    // a=2 b=2 c=1 d=3: RR = (2/4)/(1/4) = 2; OR = 6/2 = 3
+    val df = Seq((1L, 1L), (1L, 1L), (1L, 0L), (1L, 0L),
+      (0L, 1L), (0L, 0L), (0L, 0L), (0L, 0L)).toDF("e", "y")
+    val r = Events.relativeRisk(df, "e", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((2L, 2L, 1L, 3L, 2000000L, 3000000L)))
+  }
+
   test("firstTouch: earliest event per user decides the entry mix") {
     import graft.operators.Events
     val e = Seq(
