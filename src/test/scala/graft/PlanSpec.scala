@@ -680,4 +680,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = plan("qX_zipf")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("normStats: ranks ride the checkpointed globalRank, no corpus window") {
+    // embedding norms rank via globalRank (broadcast offsets), never a
+    // corpus-wide Window — the quantileBins guard, applied to X288
+    // (scalar 1-row folds legitimately exchange to SinglePartition —
+    // the guard is specifically against a corpus-wide Window)
+    val p = plan("qX_norm_stats")
+    assert(!p.contains("Window"),
+      "corpus-wide window detected in normStats:\n" + p.take(3000))
+  }
+
+  test("gapQuantiles: every window is key-partitioned, nothing funnels") {
+    val p = plan("qX_gap_quantiles")
+    assert(!p.contains("SinglePartition"),
+      "a window funnels the corpus through one partition:\n" + p.take(3000))
+  }
+
+  test("qX_join_q6: all filters reach the parquet scan, schema pruned") {
+    // the PushedFilters list is TRUNCATED in plan toString — assert on
+    // its visible head plus the untruncated Filter node
+    val p = plan("qX_join_q6")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      p.take(2500))
+    assert(p.contains("l_quantity") && p.contains("0.07"), p.take(2500))
+    assert(!p.contains("l_tax"), "unreferenced column must be pruned")
+  }
+
+  test("dailyMovers: top-k plans as TakeOrderedAndProject") {
+    val p = plan("qX_movers")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
 }
