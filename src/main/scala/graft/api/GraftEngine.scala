@@ -2040,4 +2040,15 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def relativeRisk(df: DataFrame, exposedCol: String,
                    outcomeCol: String): DataFrame =
     graft.operators.Events.relativeRisk(df, exposedCol, outcomeCol)
+
+  /** Friendship-paradox readout
+    * ([[graft.operators.GraphAnalytics.friendshipParadox]]). */
+  def friendshipParadox(edges: DataFrame): DataFrame =
+    graft.operators.GraphAnalytics.friendshipParadox(edges)
+
+  /** Western Electric control rules over daily means
+    * ([[graft.operators.Drift.westernElectric]]). */
+  def westernElectric(df: DataFrame, tsCol: String,
+                      valueCol: String): DataFrame =
+    graft.operators.Drift.westernElectric(df, tsCol, valueCol)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -326,6 +326,60 @@ object Drift {
       .withColumn("shift_micros",
         col("curr_v_micros") - col("base_v_micros"))
       .orderBy(col("q_micros"))
+  }
+
+  /** Western Electric control rules over daily means (WECO 1956) —
+    * the four classic out-of-control patterns a plain threshold
+    * misses: R1 one point beyond 3σ, R2 two of three consecutive
+    * beyond 2σ (same side), R3 four of five beyond 1σ (same side),
+    * R4 eight consecutive on one side of center. Center and σ come
+    * from the retrospective day moments (micro-quantized, one
+    * broadcast); per-day signed-zone flags are integers, the rule
+    * lookbacks are bounded `rowsBetween` windows over the calendar
+    * grid.
+    *
+    * @return (bucket, mean_micros, zone, r1, r2, r3, r4) per day —
+    *         `zone` ∈ {−3..3} is the signed σ band.
+    */
+  def westernElectric(df: DataFrame, tsCol: String,
+                      valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(date_trunc("day", col(tsCol)).as("bucket"))
+      .agg(floor(sum(floor(col(valueCol) * lit(1e6)).cast("long"))
+        .cast("double") / count(lit(1))).cast("long").as("mean_micros"))
+    val mom = daily.agg(count(lit(1)).as("n"),
+      sum(col("mean_micros")).as("s"),
+      sum(col("mean_micros") * col("mean_micros")).as("q"))
+    val center = col("s").cast("double") / col("n")
+    val sig = sqrt((col("q").cast("double") -
+      col("s").cast("double") * col("s") / col("n")) / (col("n") - 1))
+    val banded = daily.crossJoin(broadcast(
+        mom.select(floor(center).cast("long").as("c"),
+          floor(sig).cast("long").as("sg"))))
+      .withColumn("dev", col("mean_micros") - col("c"))
+      // signed σ band, clamped to ±3; sg = 0 degenerates to zone 0
+      .withColumn("zone",
+        when(col("sg") === 0, lit(0L))
+          // floor BEFORE least: a bare double→long cast truncates in
+          // Spark but rounds in DuckDB — floor is the shared rule
+          .otherwise(signum(col("dev")).cast("long") *
+            least(floor(abs(col("dev")) / col("sg")).cast("long"),
+              lit(3L))))
+    // BOUNDED lookbacks over the calendar grid
+    val w = Window.orderBy("bucket")
+    def cnt(cond: Column, back: Int) =
+      sum(cond.cast("long")).over(w.rowsBetween(-(back - 1), 0))
+    banded.select(
+        date_format(col("bucket"), "yyyy-MM-dd").as("bucket"),
+        col("mean_micros"), col("zone"),
+        (abs(col("zone")) >= 3).as("r1"),
+        (cnt(col("zone") >= 2, 3) >= 2 ||
+          cnt(col("zone") <= -2, 3) >= 2).as("r2"),
+        (cnt(col("zone") >= 1, 5) >= 4 ||
+          cnt(col("zone") <= -1, 5) >= 4).as("r3"),
+        (cnt(col("dev") > 0, 8) === 8 ||
+          cnt(col("dev") < 0, 8) === 8).as("r4"))
+      .orderBy("bucket")
   }
 
   /** 1-D earth mover's distance (Wasserstein-1) between two slices

@@ -1502,6 +1502,35 @@ object GraphAnalytics {
         col("max_deg"))
   }
 
+  /** Friendship paradox readout (Feld 1991) — "your friends have
+    * more friends than you": mean degree vs mean NEIGHBOR degree
+    * (`Σd²/Σd` — each vertex is sampled once per incident edge), the
+    * size-biased sampling effect that makes neighbor-based seeding
+    * beat random seeding. Exact integer folds, two floored divisions.
+    *
+    * @return one row (n_vertices, avg_deg_milli, avg_nbr_deg_milli,
+    *         ratio_micros).
+    */
+  def friendshipParadox(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .select(col("n").as("n_vertices"),
+        floor(lit(1000L) * col("sd") / col("n")).cast("long")
+          .as("avg_deg_milli"),
+        floor(lit(1000L) * col("sd2") / col("sd")).cast("long")
+          .as("avg_nbr_deg_milli"),
+        floor(lit(1e6) * (col("sd2").cast("double") / col("sd")) /
+          (col("sd").cast("double") / col("n"))).cast("long")
+          .as("ratio_micros"))
+  }
+
   /** Gini coefficient of the degree distribution — connectivity
     * inequality in one number (scale-free graphs sit high; a near-
     * regular mesh near 0), the graph face of the exposure Gini:

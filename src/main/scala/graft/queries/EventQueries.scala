@@ -357,6 +357,12 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Western Electric control rules over daily means — the four
+    // classic out-of-control patterns a plain threshold misses.
+    "qX_spc" -> ((s, dir) => {
+      Drift.westernElectric(t(s, dir, "events"), "ts", "value")
+    }),
+
     // Week-over-week growth — the topline trend table.
     "qX_wow" -> ((s, dir) => {
       Events.weekOverWeek(t(s, dir, "events"), "ts")
@@ -1417,6 +1423,50 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_spc" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS bucket,
+        |    CAST(floor(CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*)) AS BIGINT) AS mean_micros
+        |  FROM events GROUP BY 1),
+        |mom AS (SELECT count(*) AS n,
+        |    CAST(sum(mean_micros) AS BIGINT) AS s,
+        |    CAST(sum(mean_micros * mean_micros) AS BIGINT) AS q
+        |  FROM daily),
+        |cs AS (SELECT CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS c,
+        |    CAST(floor(sqrt((CAST(q AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * s / n) / (n - 1))) AS BIGINT) AS sg
+        |  FROM mom),
+        |b AS (SELECT daily.bucket, daily.mean_micros,
+        |    daily.mean_micros - cs.c AS dev,
+        |    CASE WHEN cs.sg = 0 THEN 0
+        |      ELSE CAST(sign(daily.mean_micros - cs.c) AS BIGINT)
+        |        * least(CAST(floor(abs(daily.mean_micros - cs.c)
+        |            / cs.sg) AS BIGINT), 3)
+        |    END AS zone
+        |  FROM daily CROSS JOIN cs),
+        |f AS (SELECT bucket, mean_micros, zone, dev,
+        |    sum(CASE WHEN zone >= 2 THEN 1 ELSE 0 END) OVER w3 AS hi2,
+        |    sum(CASE WHEN zone <= -2 THEN 1 ELSE 0 END) OVER w3 AS lo2,
+        |    sum(CASE WHEN zone >= 1 THEN 1 ELSE 0 END) OVER w5 AS hi1,
+        |    sum(CASE WHEN zone <= -1 THEN 1 ELSE 0 END) OVER w5 AS lo1,
+        |    sum(CASE WHEN dev > 0 THEN 1 ELSE 0 END) OVER w8 AS hi0,
+        |    sum(CASE WHEN dev < 0 THEN 1 ELSE 0 END) OVER w8 AS lo0
+        |  FROM b
+        |  WINDOW
+        |    w3 AS (ORDER BY bucket
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |    w5 AS (ORDER BY bucket
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |    w8 AS (ORDER BY bucket
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(bucket, '%Y-%m-%d') AS bucket, mean_micros,
+        |  zone, abs(zone) >= 3 AS r1,
+        |  hi2 >= 2 OR lo2 >= 2 AS r2,
+        |  hi1 >= 4 OR lo1 >= 4 AS r3,
+        |  hi0 = 8 OR lo0 = 8 AS r4
+        |FROM f ORDER BY bucket""".stripMargin,
 
     "qX_wow" ->
       """WITH weekly AS (SELECT date_trunc('week', ts) AS wk,

@@ -233,6 +233,13 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Friendship paradox: mean degree vs mean neighbor degree — the
+    // size-biased sampling effect behind neighbor seeding.
+    "qX_friendship" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.friendshipParadox(edges)
+    }),
+
     // One-row graph summary — counts, density, average/max degree.
     "qX_graph_summary" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
@@ -1613,6 +1620,21 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "qX_salsa" -> salsaSql(iters = 3),
+    "qX_friendship" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+         |s AS (SELECT count(*) AS n, CAST(sum(d) AS BIGINT) AS sd,
+         |    CAST(sum(d * d) AS BIGINT) AS sd2 FROM deg)
+         |SELECT n AS n_vertices,
+         |  CAST(floor(1000 * sd / n) AS BIGINT) AS avg_deg_milli,
+         |  CAST(floor(1000 * sd2 / sd) AS BIGINT) AS avg_nbr_deg_milli,
+         |  CAST(floor(1e6 * (CAST(sd2 AS DOUBLE) / sd)
+         |    / (CAST(sd AS DOUBLE) / n)) AS BIGINT) AS ratio_micros
+         |FROM s""".stripMargin,
+
     "qX_graph_summary" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

@@ -197,6 +197,24 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("westernElectric: flat series silent; 8-below run trips R4") {
+    import graft.operators.Drift
+    val flat = (1 to 4).map(d => (ts(f"2024-01-0$d%01d 10:00:00"), 5.0))
+      .toDF("t", "v")
+    val f = Drift.westernElectric(flat, "t", "v").collect()
+    assert(f.forall(r => !r.getBoolean(3) && !r.getBoolean(4) &&
+      !r.getBoolean(5) && !r.getBoolean(6)))
+    // 8 days at 10 then one at 20: days 1-8 sit just below center ->
+    // R4 fires on day 8; day 9 lands in zone 2, nothing else trips
+    val e = ((1 to 8).map(d => (ts(f"2024-01-0$d%01d 10:00:00"), 10.0))
+      :+ ((ts("2024-01-09 10:00:00"), 20.0))).toDF("t", "v")
+    val got = Drift.westernElectric(e, "t", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3), r.getBoolean(6))).toMap
+    assert(got("2024-01-08") == ((0L, false, true)), "R4 on day 8")
+    assert(got("2024-01-09")._1 == 2L && !got("2024-01-09")._3)
+  }
+
   test("weekOverWeek: growth against the previous week, first NULL") {
     import graft.operators.Events
     // week of Jan 1 (Mon): 2 events; week of Jan 8: 3 -> +50%

@@ -605,6 +605,13 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((0L, 4L, 1L, 1L), (2L, 1L, 4L, 4L)))
   }
 
+  test("friendshipParadox: star graph — neighbors average 2.5 vs 1.6") {
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val r = GraphAnalytics.friendshipParadox(g).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 1600L, 2500L, 1562500L)))
+  }
+
   test("graphSummary: star graph counts, density, degree stats") {
     val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
     val r = GraphAnalytics.graphSummary(g).head()
