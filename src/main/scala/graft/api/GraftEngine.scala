@@ -2051,4 +2051,10 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def westernElectric(df: DataFrame, tsCol: String,
                       valueCol: String): DataFrame =
     graft.operators.Drift.westernElectric(df, tsCol, valueCol)
+
+  /** Longest consecutive-day activity streaks
+    * ([[graft.operators.Events.longestStreaks]]). */
+  def longestStreaks(events: DataFrame, userCol: String, tsCol: String,
+                     k: Int = 20): DataFrame =
+    graft.operators.Events.longestStreaks(events, userCol, tsCol, k)
 }

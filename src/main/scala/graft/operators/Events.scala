@@ -294,6 +294,35 @@ object Events {
       .orderBy("src", "dst")
   }
 
+  /** Longest consecutive-day activity streaks — the engagement
+    * leaderboard (and the classic gaps-and-islands exercise): per
+    * user the distinct active days, island key = day-number minus
+    * per-user rank (constant within a run of consecutive days),
+    * longest island per user, top-k users by (streak desc, user).
+    * Everything integer; per-user windows only; rank quantized
+    * before the limit.
+    *
+    * @return (user_id, n_days, best_len) top-k rows.
+    */
+  def longestStreaks(events: DataFrame, userCol: String, tsCol: String,
+                     k: Int = 20): DataFrame = {
+    val days = events.select(col(userCol).as("u"),
+      date_trunc("day", col(tsCol)).cast("date").as("d")).distinct()
+    // BOUNDED per-user window over that user's active days
+    val w = Window.partitionBy("u").orderBy("d")
+    val isl = days
+      .withColumn("grp",
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long") -
+          row_number().over(w))
+      .groupBy(col("u"), col("grp")).agg(count(lit(1)).as("len"))
+    val best = isl.groupBy(col("u")).agg(max(col("len")).as("best_len"))
+    val act = days.groupBy(col("u")).agg(count(lit(1)).as("n_days"))
+    best.join(act, "u")
+      .select(col("u").as("user_id"), col("n_days"), col("best_len"))
+      .orderBy(desc("best_len"), col("user_id"))
+      .limit(k)
+  }
+
   /** Week-over-week growth — the topline trend table: per ISO week
     * the event count and its growth vs the previous week present in
     * the data (`⌊1e6·(n−prev)/prev⌋`; the first week reads NULL).

@@ -357,6 +357,12 @@ object EventQueries {
       graft.operators.Eval.lorenzCurve(per, "w", "user_id")
     }),
 
+    // Longest consecutive-day streaks — the engagement leaderboard
+    // via the gaps-and-islands key, rank quantized before the limit.
+    "qX_streaks" -> ((s, dir) => {
+      Events.longestStreaks(t(s, dir, "events"), "user_id", "ts", 20)
+    }),
+
     // Western Electric control rules over daily means — the four
     // classic out-of-control patterns a plain threshold misses.
     "qX_spc" -> ((s, dir) => {
@@ -1423,6 +1429,21 @@ object EventQueries {
         |FROM per JOIN r USING (user_id) JOIN f USING (user_id)
         |  JOIN m USING (user_id)
         |ORDER BY per.user_id""".stripMargin,
+
+    "qX_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |r AS (SELECT u, d,
+        |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
+        |      - row_number() OVER (PARTITION BY u ORDER BY d) AS grp
+        |  FROM days),
+        |isl AS (SELECT u, grp, count(*) AS len FROM r GROUP BY 1, 2),
+        |best AS (SELECT u, CAST(max(len) AS BIGINT) AS best_len
+        |  FROM isl GROUP BY 1),
+        |act AS (SELECT u, count(*) AS n_days FROM days GROUP BY 1)
+        |SELECT best.u AS user_id, act.n_days, best.best_len
+        |FROM best JOIN act USING (u)
+        |ORDER BY best.best_len DESC, best.u LIMIT 20""".stripMargin,
 
     "qX_spc" ->
       """WITH daily AS (

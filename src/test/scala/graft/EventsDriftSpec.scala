@@ -197,6 +197,20 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       Seq(false, false, false, false, true, true))
   }
 
+  test("longestStreaks: gaps-and-islands finds the 3-day run") {
+    import graft.operators.Events
+    // user 1 active on days 1,2,3 and 5,6 -> best 3 of 5 active days;
+    // user 2 one day
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")), (1L, ts("2024-01-05 10:00:00")),
+      (1L, ts("2024-01-06 10:00:00")), (1L, ts("2024-01-06 11:00:00")),
+      (2L, ts("2024-01-01 10:00:00"))).toDF("u", "t")
+    val got = Events.longestStreaks(e, "u", "t", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 5L, 3L), (2L, 1L, 1L)))
+  }
+
   test("westernElectric: flat series silent; 8-below run trips R4") {
     import graft.operators.Drift
     val flat = (1 to 4).map(d => (ts(f"2024-01-0$d%01d 10:00:00"), 5.0))
