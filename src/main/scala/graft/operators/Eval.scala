@@ -659,6 +659,12 @@ object Eval {
     * `⌊10·(rank−1)/n⌋` rule, then per-decile weight shares and the
     * cumulative share over the 10-row grid.
     *
+    * `weightCol` CONTRACT: integer-valued (counts / micros). The
+    * summed `weight` output truncates fractional weights; the rank
+    * key is micro-quantized so fractional weights still ORDER
+    * correctly, but callers with fractional mass should pre-scale
+    * to micros themselves.
+    *
     * @return (decile, n_units, weight, share_micros,
     *         cum_share_micros) ordered — decile 0 = lightest units.
     */
@@ -666,7 +672,8 @@ object Eval {
                   bins: Int = 10): DataFrame = {
     val (ranked, n) = Packing.globalRank(
       df.select(col(weightCol).cast("long").as("wt"),
-        col(tieCol).as("tie")), Seq("wt", "tie"))
+        floor(col(weightCol) * lit(1e6)).cast("long").as("_wk"),
+        col(tieCol).as("tie")), Seq("_wk", "tie"))
     val byBin = ranked
       .withColumn("decile",
         floor(lit(bins.toLong) * (col("_grank") - 1) / lit(n))
@@ -798,8 +805,11 @@ object Eval {
     */
   def gainCurve(df: DataFrame, scoreCol: String, labelCol: String,
                 tieCol: String, bins: Int = 10): DataFrame = {
+    // rank key micro-quantized (⌊score·1e6⌋), not cast-to-long: a
+    // double-valued score keeps its fractional ordering instead of
+    // collapsing to integer ties; identical order for integer scores
     val (ranked, n) = Packing.globalRank(
-      df.select((-col(scoreCol).cast("long")).as("_ns"),
+      df.select((-floor(col(scoreCol) * lit(1e6)).cast("long")).as("_ns"),
         col(labelCol).cast("long").as("y"), col(tieCol).as("tie")),
       Seq("_ns", "tie"))
     val byBin = ranked
@@ -1016,9 +1026,13 @@ object Eval {
         floor((col("sp") - col("sy")).cast("double")
           * (col("sp") - col("sy")).cast("double")
           / (col("nb").cast("double") * lit(1e6))).cast("long").as("trel"),
-        // RES term: (n·Σy_b − Σy·n_b)²/(n_b·n·1e6) — micros·count
-        floor((col("n") * col("sy") - col("sy_all") * col("nb")).cast("double")
-          * (col("n") * col("sy") - col("sy_all") * col("nb")).cast("double")
+        // RES term: (n·Σy_b − Σy·n_b)²/(n_b·n·1e6) — micros·count.
+        // Cross-multiply in double: the long products n·Σy_b (labels
+        // scaled 1e6, so ~n²·1e6) overflow int64 past ~3M scored rows
+        floor((col("n").cast("double") * col("sy")
+            - col("sy_all").cast("double") * col("nb"))
+          * (col("n").cast("double") * col("sy")
+            - col("sy_all").cast("double") * col("nb"))
           / (col("nb").cast("double") * col("n").cast("double")
             * col("n").cast("double") * lit(1e6))).cast("long").as("tres"))
     terms.groupBy(col("n"), col("sy_all"))

@@ -1214,16 +1214,28 @@ object GraphAnalytics {
     * Integer supports + set-membership filters only — no floats
     * anywhere, full-SQL-oracle-able unrolled.
     *
-    * 100 TB shape: per round ONE wedge join (edge table against the
-    * undirected adjacency twice, grouped count) — the triangle-count
-    * shuffle budget, repeated `rounds` times on a SHRINKING edge set;
-    * checkpoint per round keeps lineage flat. Hub wedges bound by the
-    * same capNeighbors medicine as the link-prediction family if
-    * needed.
+    * 100 TB shape: per round ONE degree-ORIENTED triangle enumeration
+    * (the [[triangleCountsDF]] form: orient each surviving edge from
+    * its lower-(degree, id) endpoint to the higher one, pair
+    * out-neighbors only at the low vertex, close with one semi join),
+    * then three edge-credits per triangle aggregated into per-edge
+    * support. Oriented out-degree is O(√m) on ANY graph, so a
+    * power-law hub contributes wedges at its spokes — the unoriented
+    * both-endpoint wedge join this replaced materialized
+    * Σ_e (deg(u)+deg(v)) rows, which the hubs dominate at 100×.
+    * Degrees re-derive per round from the shrinking edge set (support
+    * is orientation-invariant, so re-orienting between rounds cannot
+    * change the peel). `maxOutDegree` optionally caps each oriented
+    * out-list with the hash-spread [[capNeighbors]] sample — a
+    * DOCUMENTED approximation (support undercounts at capped
+    * vertices); the default is exact, and after orientation the cap
+    * is belt-and-braces (out-degree is already √m-bounded).
+    * Checkpoint per round keeps lineage flat.
     *
     * @return surviving canonical edges (u, v, sup) ordered.
     */
-  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, rounds: Int,
+             maxOutDegree: Int = Int.MaxValue): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
     var e = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
@@ -1231,24 +1243,75 @@ object GraphAnalytics {
       .distinct()
       .localCheckpoint(true)
     // reported sup = the support that JUSTIFIED survival (computed
-    // over the round-(rounds−1) edge set) — one wedge pass per round,
-    // none extra for reporting; at a fixpoint it equals the
+    // over the round-(rounds−1) edge set) — one triangle pass per
+    // round, none extra for reporting; at a fixpoint it equals the
     // final-set support exactly
     var lastSup: DataFrame = null
     for (_ <- 1 to rounds) {
-      val adj = e.select(col("u").as("f"), col("v").as("t"))
-        .unionAll(e.select(col("v").as("f"), col("u").as("t")))
-      val sup = e
-        .join(adj.select(col("f").as("u"), col("t").as("w1")), "u")
-        .join(adj.select(col("f").as("v"), col("t").as("w2")), "v")
-        .filter(col("w1") === col("w2"))
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      val sup = kTrussSupport(e, maxOutDegree)
         .localCheckpoint(true) // reused: peel filter + reported sup
       e = e.join(sup.filter(col("sup") >= k - 2), Seq("u", "v"), "left_semi")
         .localCheckpoint(true)
       lastSup = sup
     }
     e.join(lastSup, Seq("u", "v")).orderBy("u", "v")
+  }
+
+  /** One k-truss support round over a canonical (u, v) edge set: the
+    * degree-oriented triangle enumeration + three edge-credits per
+    * triangle. Package-visible (un-checkpointed) so PlanSpec can pin
+    * the oriented shape. */
+  private[graft] def kTrussSupport(e: DataFrame,
+                                   maxOutDegree: Int): DataFrame = {
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    // orient low-(deg,id) → high-(deg,id); carry the high endpoint's
+    // (deg, id) key so wedge pairs order in orientation order and the
+    // closing edge — if present — is oriented exactly b → c
+    val oriented0 = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("lo"), col("v").as("hi"),
+          struct(col("dv").as("d"), col("v").as("i")).as("hikey")))
+        .otherwise(struct(col("v").as("lo"), col("u").as("hi"),
+          struct(col("du").as("d"), col("u").as("i")).as("hikey")))
+        .as("o"))
+      .select(col("o.lo").as("lo"), col("o.hi").as("hi"),
+        col("o.hikey").as("hikey"))
+    val oriented = (if (maxOutDegree == Int.MaxValue) oriented0
+      else {
+        // hash-spread out-list cap — the capNeighbors medicine on
+        // the ORIENTED lists (deterministic, md5-portable)
+        val keyed = oriented0.withColumn("_hk",
+          Sampling.md5Bucket(concat_ws(":", col("lo"), col("hi"))))
+        TopK.grouped(keyed, Seq("lo"),
+            struct(col("_hk"), col("hi").as("_hi"),
+              col("hikey").as("_hikey")), maxOutDegree)
+          .select(col("lo"), col("best._hi").as("hi"),
+            col("best._hikey").as("hikey"))
+      }).localCheckpoint(true) // reused 3×: both wedge sides + closure
+    val wedges = oriented.select(col("lo"), col("hi").as("b"),
+        col("hikey").as("bkey"))
+      .join(oriented.select(col("lo"), col("hi").as("c"),
+        col("hikey").as("ckey")), "lo")
+      .filter(col("bkey") < col("ckey"))
+      .select(col("lo").as("a"), col("b"), col("c"))
+    val triangles = wedges.join(
+      oriented.select(col("lo").as("b"), col("hi").as("c")),
+      Seq("b", "c"), "left_semi")
+    // each triangle credits its three edges (back in canonical form)
+    triangles.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

@@ -104,8 +104,11 @@ object Stats {
     // z = (U_a − n_a·n_b/2) / sqrt(n_a·n_b·(n_a+n_b+1)/12): exact
     // integer numerator (doubled to keep /2 exact), one sqrt
     val num2 = lit(2) * ua - col("na") * col("nb")
-    val sig = sqrt((col("na") * col("nb") * (col("na") + col("nb") + 1))
-      .cast("double") / lit(12.0))
+    // variance product in double from the first multiply: the long form
+    // n_a·n_b·(n_a+n_b+1) exceeds int64 once each arm passes ~1.6M rows
+    // (2m³ > 2⁶³), which would yield a negative radicand and NaN silently
+    val sig = sqrt(col("na").cast("double") * col("nb")
+      * (col("na") + col("nb") + 1) / lit(12.0))
     s.select(col("na").as("n_a"), col("nb").as("n_b"), col("ra").as("r_a"),
       ua.as("u_a"), ub.as("u_b"),
       when(col("na") === 0 || col("nb") === 0, lit(0L))

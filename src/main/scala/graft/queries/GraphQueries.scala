@@ -793,7 +793,7 @@ object GraphQueries {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS (SELECT u AS f, v AS t FROM e
          |        UNION ALL
          |        SELECT v AS f, u AS t FROM e),
@@ -845,7 +845,7 @@ object GraphQueries {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS (SELECT u AS f, v AS t FROM e
          |        UNION ALL
          |        SELECT v AS f, u AS t FROM e),
@@ -914,7 +914,7 @@ object GraphQueries {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS (SELECT u AS f, v AS t FROM e
          |        UNION ALL
          |        SELECT v AS f, u AS t FROM e),
@@ -1216,7 +1216,7 @@ object GraphQueries {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS MATERIALIZED (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
          |verts AS (SELECT DISTINCT f AS id FROM adj),
          |c0 AS (SELECT id FROM verts)""".stripMargin
@@ -1246,7 +1246,7 @@ object GraphQueries {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS MATERIALIZED (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
          |c0 AS (SELECT DISTINCT f AS id FROM adj)""".stripMargin
     val steps = (1 to unroll).map { i =>
@@ -1315,7 +1315,7 @@ object GraphQueries {
   private def betweennessSql(numSources: Int): String =
     s"""WITH edges AS ($EdgesSql),
        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-       |      FROM edges),
+       |      FROM edges WHERE src <> dst),
        |adj AS MATERIALIZED (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
        |verts AS (SELECT DISTINCT f AS id FROM adj),
        |srcs AS (SELECT id AS s FROM verts
@@ -1406,7 +1406,7 @@ object GraphQueries {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
          |verts AS (SELECT DISTINCT f AS id FROM adj),
          |x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS x FROM verts)""".stripMargin
@@ -1430,7 +1430,7 @@ object GraphQueries {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
          |verts AS (SELECT DISTINCT f AS id FROM adj),
          |a0 AS (SELECT id FROM verts)""".stripMargin
@@ -1465,7 +1465,7 @@ object GraphQueries {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
          |verts AS (SELECT DISTINCT f AS id FROM adj),
          |seeds AS (SELECT id, id AS label FROM verts
@@ -1496,7 +1496,7 @@ object GraphQueries {
     val head =
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS MATERIALIZED (SELECT u AS f, v AS t FROM e UNION ALL SELECT v, u FROM e),
          |verts AS (SELECT DISTINCT f AS id FROM adj),
          |srcs AS (SELECT id AS s FROM verts
@@ -1623,7 +1623,7 @@ object GraphQueries {
     "qX_friendship" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
          |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
          |s AS (SELECT count(*) AS n, CAST(sum(d) AS BIGINT) AS sd,
@@ -1638,7 +1638,7 @@ object GraphQueries {
     "qX_graph_summary" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
          |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
          |s AS (SELECT count(*) AS n_vertices,
@@ -1657,7 +1657,7 @@ object GraphQueries {
     "qX_degree_gini" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
          |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
          |r AS (SELECT d, CAST(row_number() OVER (ORDER BY d, id)
@@ -1671,10 +1671,13 @@ object GraphQueries {
 
     "qX_cc_sizes" ->
       s"""WITH RECURSIVE edges AS ($EdgesSql),
+         |canon AS (SELECT DISTINCT least(src, dst) AS u,
+         |    greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
          |adj AS (
-         |  SELECT src AS f, dst AS t FROM edges
+         |  SELECT u AS f, v AS t FROM canon
          |  UNION ALL
-         |  SELECT dst AS f, src AS t FROM edges),
+         |  SELECT v AS f, u AS t FROM canon),
          |verts AS (SELECT DISTINCT f AS v FROM adj),
          |reach(v, r) AS (
          |  SELECT v, v FROM verts
@@ -1691,7 +1694,7 @@ object GraphQueries {
     "qX_degree_hist" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |deg AS (SELECT id, count(*) AS d FROM (
          |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
          |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bin,
@@ -1700,7 +1703,7 @@ object GraphQueries {
     "qX_c4" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |adj AS (SELECT u AS mid, v AS nb FROM e
          |        UNION ALL SELECT v AS mid, u AS nb FROM e),
          |codeg AS (SELECT a.nb AS a, c.nb AS c, count(*) AS n
@@ -1713,7 +1716,7 @@ object GraphQueries {
     "qX_richclub" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |deg AS (SELECT id, count(*) AS d FROM (
          |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
          |rich AS (SELECT id FROM deg WHERE d > 30),
@@ -1741,7 +1744,7 @@ object GraphQueries {
     "qX_powerlaw" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |deg AS (SELECT id, count(*) AS d FROM (
          |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
          |tail AS (SELECT CAST(round(ln(d / 1.5) * 1e6) AS BIGINT) AS lt
@@ -1900,7 +1903,7 @@ object GraphQueries {
     "qX_triangles_df" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |verts AS (SELECT u AS id FROM e UNION SELECT v AS id FROM e),
          |tri AS (
          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -1921,7 +1924,7 @@ object GraphQueries {
     "qX_clustering_coeff" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |      FROM edges),
+         |      FROM edges WHERE src <> dst),
          |verts AS (SELECT u AS id FROM e UNION SELECT v AS id FROM e),
          |degs AS (
          |  SELECT id, count(*) AS deg FROM (

@@ -260,6 +260,39 @@ object SimilarityQueries {
         .limit(500)
     }),
 
+    // STREAMING near-dup suppression, oracle-gated (X69 promoted from
+    // spec-only): fold the qX_dedup_minhash corpus through the
+    // BucketStore in 4 deterministic ascending-id micro-batches
+    // (originals first, planted truncations later — the arrival order
+    // a stream would see), then gate the ACCUMULATED survivor set.
+    // The DuckDB oracle replays the batch-equivalent form: a doc is
+    // suppressed iff it is the id2 of ANY verified LSH pair over the
+    // whole corpus — equal to the stream's first-arrival-wins fold
+    // under ascending-id arrival (StreamingSpec pins the convention;
+    // this gate makes it driver-visible).
+    "qX_stream_neardup" -> ((s, dir) => {
+      import graft.streaming.CardStream
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      val all = docs.unionAll(planted).localCheckpoint(true)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-ndgate").toString + "/nd"
+      val batches = Seq(
+        col("doc_id") < 250,
+        col("doc_id") >= 250 && col("doc_id") < 100000,
+        col("doc_id") >= 100000 && col("doc_id") < 100250,
+        col("doc_id") >= 100250)
+      batches.zipWithIndex.foreach { case (pred, i) =>
+        CardStream.nearDupSuppress(s, all.filter(pred), store,
+          "text", "doc_id", n = 2, k = 64, bands = 16,
+          minJaccard = 0.5, batchId = i.toLong)
+      }
+      CardStream.nearDupSurvivors(s, store)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs (Hamming <= 6 via 8-bit pigeonhole bands);
     // md5-portable token hashing — full signature replay in the oracle.
     "qX_dedup_simhash" -> ((s, dir) => {
@@ -1234,6 +1267,60 @@ object SimilarityQueries {
       |  CAST(floor(1e6 * dcg_micros / idcg_micros) AS BIGINT) AS ndcg_micros
       |FROM dcg JOIN idcg USING (qid) ORDER BY dcg.qid""".stripMargin
 
+  /** Shared CTE prefix of the MinHash-LSH pair derivation over the
+    * planted-truncation corpus — `base` → shingles → md5 minhash
+    * signatures → band keys → candidates → verified intersections.
+    * Consumed by qX_dedup_minhash (the pair gate) and
+    * qX_stream_neardup (the streaming survivor gate). */
+  private val MinhashPairCtes =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, 200) AS text
+      |  FROM documents WHERE doc_id < 1000),
+      |d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM base),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(toks), 2)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
+      |  FROM d WHERE len(toks) >= 2),
+      |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |hv AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS hv
+      |  FROM posts),
+      |perms AS (
+      |  SELECT i.i AS i,
+      |    CAST(('0x' || substr(md5('mh_a:' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 2147483646 + 1 AS a,
+      |    CAST(('0x' || substr(md5('mh_b:' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 2147483647 AS b
+      |  FROM (SELECT unnest(range(64)) AS i) i),
+      |sigs AS (
+      |  SELECT hv.doc_id, p.i, min((hv.hv * p.a + p.b) % 2147483647) AS sig
+      |  FROM hv CROSS JOIN perms p GROUP BY 1, 2),
+      |bandstr AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS bs
+      |  FROM sigs GROUP BY 1, 2),
+      |keys AS (
+      |  SELECT doc_id, band,
+      |    CAST(('0x' || substr(md5(bs), 1, 8)) AS BIGINT) AS key
+      |  FROM bandstr),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM keys a JOIN keys b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |ver AS (
+      |  SELECT c.id1, c.id2, len(list_intersect(s1.sh, s2.sh)) AS inter,
+      |    len(s1.sh) AS n1, len(s2.sh) AS n2
+      |  FROM cand c
+      |  JOIN sh s1 ON s1.doc_id = c.id1
+      |  JOIN sh s2 ON s2.doc_id = c.id2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "qX_mmr" -> mmrSql(nCand = 20, k = 5),
     // full probe ≡ brute force: identical unrolled greedy oracle
@@ -1477,58 +1564,58 @@ object SimilarityQueries {
     // self-join, exact Jaccard verification — bit-for-bit the Spark
     // plan's arithmetic (see Dedup.minhashSignature / lshBands).
     "qX_dedup_minhash" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, 200) AS text
-        |  FROM documents WHERE doc_id < 1000),
-        |d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM base),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(toks), 2)),
-        |    i -> toks[i] || ' ' || toks[i + 1])) AS sh
-        |  FROM d WHERE len(toks) >= 2),
-        |posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |hv AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS hv
-        |  FROM posts),
-        |perms AS (
-        |  SELECT i.i AS i,
-        |    CAST(('0x' || substr(md5('mh_a:' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
-        |      % 2147483646 + 1 AS a,
-        |    CAST(('0x' || substr(md5('mh_b:' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
-        |      % 2147483647 AS b
-        |  FROM (SELECT unnest(range(64)) AS i) i),
-        |sigs AS (
-        |  SELECT hv.doc_id, p.i, min((hv.hv * p.a + p.b) % 2147483647) AS sig
-        |  FROM hv CROSS JOIN perms p GROUP BY 1, 2),
-        |bandstr AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS bs
-        |  FROM sigs GROUP BY 1, 2),
-        |keys AS (
-        |  SELECT doc_id, band,
-        |    CAST(('0x' || substr(md5(bs), 1, 8)) AS BIGINT) AS key
-        |  FROM bandstr),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM keys a JOIN keys b
-        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        |ver AS (
-        |  SELECT c.id1, c.id2, len(list_intersect(s1.sh, s2.sh)) AS inter,
-        |    len(s1.sh) AS n1, len(s2.sh) AS n2
-        |  FROM cand c
-        |  JOIN sh s1 ON s1.doc_id = c.id1
-        |  JOIN sh s2 ON s2.doc_id = c.id2)
+      s"""$MinhashPairCtes
         |SELECT id1, id2,
         |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
         |FROM ver
         |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.5
         |ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 500""".stripMargin,
+
+    // Survivor set of the streaming fold, replayed with the TRUE
+    // sequential semantics unrolled over the 4 ascending-id batches:
+    // per batch, (1) drop the id2 of every verified pair WITHIN the
+    // batch (minhashLshPairs' drop-if-any-smaller, blind to the
+    // partner's own fate), then (2) drop what verifies against any
+    // previously ACCEPTED doc — NOT against previously dropped docs
+    // (first-arrival-wins does not chain through suppressed history:
+    // doc 100045 pairs only with the suppressed 267 and survives,
+    // which the naive global drop-any-id2 form gets wrong).
+    "qX_stream_neardup" ->
+      s"""$MinhashPairCtes,
+        |vp AS (
+        |  SELECT id1, id2 FROM ver
+        |  WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.5),
+        |a1 AS (
+        |  SELECT doc_id FROM base WHERE doc_id < 250
+        |  AND doc_id NOT IN (SELECT id2 FROM vp WHERE id1 < 250 AND id2 < 250)),
+        |s2 AS (
+        |  SELECT doc_id FROM base WHERE doc_id >= 250 AND doc_id < 100000
+        |  AND doc_id NOT IN (SELECT id2 FROM vp
+        |    WHERE id1 >= 250 AND id1 < 100000
+        |      AND id2 >= 250 AND id2 < 100000)),
+        |a2 AS (
+        |  SELECT doc_id FROM s2 WHERE doc_id NOT IN
+        |  (SELECT id2 FROM vp WHERE id1 IN (SELECT doc_id FROM a1))),
+        |acc2 AS (SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM a2),
+        |s3 AS (
+        |  SELECT doc_id FROM base WHERE doc_id >= 100000 AND doc_id < 100250
+        |  AND doc_id NOT IN (SELECT id2 FROM vp
+        |    WHERE id1 >= 100000 AND id1 < 100250
+        |      AND id2 >= 100000 AND id2 < 100250)),
+        |a3 AS (
+        |  SELECT doc_id FROM s3 WHERE doc_id NOT IN
+        |  (SELECT id2 FROM vp WHERE id1 IN (SELECT doc_id FROM acc2))),
+        |acc3 AS (SELECT doc_id FROM acc2 UNION ALL SELECT doc_id FROM a3),
+        |s4 AS (
+        |  SELECT doc_id FROM base WHERE doc_id >= 100250
+        |  AND doc_id NOT IN (SELECT id2 FROM vp
+        |    WHERE id1 >= 100250 AND id2 >= 100250)),
+        |a4 AS (
+        |  SELECT doc_id FROM s4 WHERE doc_id NOT IN
+        |  (SELECT id2 FROM vp WHERE id1 IN (SELECT doc_id FROM acc3)))
+        |SELECT doc_id FROM acc3
+        |UNION ALL SELECT doc_id FROM a4
+        |ORDER BY doc_id""".stripMargin,
 
     // Full replay of the 64-bit SimHash pipeline as two md5 32-bit
     // words (hex chars 1-8 / 9-16 — no 64-bit unsigned arithmetic

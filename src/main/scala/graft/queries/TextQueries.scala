@@ -901,28 +901,14 @@ object TextQueries {
     // Quality scores on held-out docs < 200 under the qX_lr_model
     // classifier: p = sigmoid(x·w) in micros, unseen buckets weigh 0.
     "qX_lr_score" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val model = QualityLr.train(
-        docs.filter(col("doc_id") >= 200)
-          .withColumn("y", (col("doc_id") < 350).cast("int")),
-        "doc_id", "text", "y", buckets = 64, iters = 3, lr = 1.0)
-      QualityLr.score(docs.filter(col("doc_id") < 200), "doc_id", "text",
-          model, buckets = 64)
-        .orderBy(col("doc_id"))
+      LrFixture.scoredHeld(s, dir).orderBy(col("doc_id"))
     }),
 
     // GPT-3's Pareto keep-rule over the classifier scores: keep iff
     // pareto(9) > 1 - p, the draw derived from the doc id's md5 hash
     // — quality-weighted but long-tailed, fully SQL-replayable.
     "qX_lr_select" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val model = QualityLr.train(
-        docs.filter(col("doc_id") >= 200)
-          .withColumn("y", (col("doc_id") < 350).cast("int")),
-        "doc_id", "text", "y", buckets = 64, iters = 3, lr = 1.0)
-      QualityLr.paretoSelect(
-          QualityLr.score(docs.filter(col("doc_id") < 200), "doc_id", "text",
-            model, buckets = 64),
+      QualityLr.paretoSelect(LrFixture.scoredHeld(s, dir),
           "doc_id", alpha = 9.0)
         .orderBy(col("doc_id"))
     }),
@@ -953,14 +939,7 @@ object TextQueries {
     // classifier on its training labels — the metric a curation
     // pipeline gates a filter model on. Integer-micro end to end.
     "qX_auc" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.aucRank(scored, "y", "p_micros")
     }),
 
@@ -968,28 +947,14 @@ object TextQueries {
     // score cut minimizing 1·FP + 3·FN micros (deleting good data
     // costs 3× keeping bad).
     "qX_threshold" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.bestThreshold(scored, "y", "p_micros",
         costFpMicros = 1000000L, costFnMicros = 3000000L)
     }),
 
     // Confusion matrix + P/R/F1 of the same scores at the 0.5 cut.
     "qX_confusion" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.confusionAtThreshold(scored, "y", "p_micros",
         threshold = 500000L)
     }),
@@ -997,14 +962,7 @@ object TextQueries {
     // Split-conformal coverage of the same scores: md5 half-split,
     // exact rank-selected threshold, held-out coverage >= 1 - alpha.
     "qX_conformal" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.conformal(scored, "doc_id", "y", "p_micros",
         alphaMicros = 100000L)
     }),
@@ -1013,15 +971,8 @@ object TextQueries {
     // deterministic GD rounds on the LR margin table from (A,B)=(1,0),
     // integer-micro quantities throughout; the params are the gate.
     "qX_platt" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val m = QualityLr.margins(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
-      QualityLr.plattFit(m, "m_micros", "y", iters = 3, lr = 0.3)
+      QualityLr.plattFit(LrFixture.marginsTrain(s, dir),
+        "m_micros", "y", iters = 3, lr = 0.3)
     }),
 
     // Class-based TF-IDF (BERTopic labeling): top-5 distinctive terms
@@ -1034,14 +985,7 @@ object TextQueries {
     // Step-wise PR-AUC over the same scores — the imbalanced-class
     // companion to qX_auc, one floored term per distinct score group.
     "qX_pr_auc" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.prAuc(scored, "y", "p_micros")
     }),
 
@@ -1053,10 +997,7 @@ object TextQueries {
       val train = docs.filter(col("doc_id") >= 200)
         .withColumn("y", (col("doc_id") < 350).cast("int"))
       val held = docs.filter(col("doc_id") < 200)
-      val lrModel = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val lr = QualityLr.score(held, "doc_id", "text", lrModel,
-          buckets = 64)
+      val lr = LrFixture.scoredHeld(s, dir)
         .select(col("doc_id"),
           (col("p_micros") >= 500000L).cast("long").as("a"))
       val nbModel = graft.operators.NaiveBayes.train(
@@ -1072,14 +1013,7 @@ object TextQueries {
     // Brier score over the same scores — the strictly proper scoring
     // rule beside ECE: exact integer squared-error fold.
     "qX_brier" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.brierScore(scored, "y", "p_micros")
     }),
 
@@ -1087,14 +1021,7 @@ object TextQueries {
     // closed-form minimax PAV — the non-parametric alternative to
     // qX_platt when the reliability curve isn't sigmoid-shaped.
     "qX_isotonic" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.isotonicBins(scored, "y", "p_micros")
     }),
 
@@ -1102,28 +1029,14 @@ object TextQueries {
     // resolution + uncertainty over probability deciles — WHERE the
     // classifier loses points, not just how many.
     "qX_brier_decomp" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.brierDecomposition(scored, "y", "p_micros")
     }),
 
     // Reliability bins over the same scores: observed positive rate vs
     // mean predicted probability per probability decile.
     "qX_calibration" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.calibrationBins(scored, "y", "p_micros", 10)
     }),
 
@@ -1131,14 +1044,7 @@ object TextQueries {
     // one-number summary a pipeline alerts on when a filter model's
     // confidence drifts from its accuracy.
     "qX_ece" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val train = docs.filter(col("doc_id") >= 200)
-        .withColumn("y", (col("doc_id") < 350).cast("int"))
-      val model = QualityLr.train(train, "doc_id", "text", "y",
-        buckets = 64, iters = 3, lr = 1.0)
-      val scored = QualityLr.score(train, "doc_id", "text", model,
-          buckets = 64)
-        .join(train.select(col("doc_id"), col("y")), "doc_id")
+      val scored = LrFixture.scoredTrain(s, dir)
       graft.operators.Eval.ece(
         graft.operators.Eval.calibrationBins(scored, "y", "p_micros", 10))
     }),
@@ -2483,8 +2389,10 @@ object TextQueries {
          |  CAST(floor(CAST(bb.sp - bb.sy AS DOUBLE)
          |      * CAST(bb.sp - bb.sy AS DOUBLE)
          |      / (CAST(bb.nb AS DOUBLE) * 1e6)) AS BIGINT) AS trel,
-         |  CAST(floor(CAST(tt.n * bb.sy - tt.sy_all * bb.nb AS DOUBLE)
-         |      * CAST(tt.n * bb.sy - tt.sy_all * bb.nb AS DOUBLE)
+         |  CAST(floor((CAST(tt.n AS DOUBLE) * bb.sy
+         |        - CAST(tt.sy_all AS DOUBLE) * bb.nb)
+         |      * (CAST(tt.n AS DOUBLE) * bb.sy
+         |        - CAST(tt.sy_all AS DOUBLE) * bb.nb)
          |      / (CAST(bb.nb AS DOUBLE) * CAST(tt.n AS DOUBLE)
          |         * CAST(tt.n AS DOUBLE) * 1e6)) AS BIGINT) AS tres
          |  FROM bb CROSS JOIN tt)

@@ -941,6 +941,30 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(GraphAnalytics.kTruss(g2, k = 4, rounds = 2).count() == 0L)
   }
 
+  test("kTruss: planted hub peels, clique survives; out-list cap contract") {
+    import graft.operators.GraphAnalytics
+    // planted 40-leaf hub star (zero triangles) + a K4 on 100-103:
+    // the oriented wedge enumeration pairs out-neighbors at the LOW-
+    // (deg,id) endpoint, so the hub's 40·39 unoriented wedge pairs
+    // never materialize (each leaf has out-degree 1 → no pairs); the
+    // 3-truss is exactly the K4 with support 2 per edge
+    val hub = (1L to 40L).map(i => (0L, i))
+    val k4 = for (a <- 100L to 103L; b <- (a + 1) to 103L) yield (a, b)
+    val g = (hub ++ k4).toDF("src", "dst")
+    val got = GraphAnalytics.kTruss(g, k = 3, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == k4.map { case (a, b) => (a, b, 2L) })
+    // cap >= max oriented out-degree is EXACT (K4 oriented out-degree
+    // <= 3; star leaves have out-degree 1): capped == uncapped rows
+    val capped = GraphAnalytics.kTruss(g, k = 3, rounds = 3,
+      maxOutDegree = 3).collect().map(_.toSeq)
+    assert(capped.toSet == got.map(t => Seq[Any](t._1, t._2, t._3)).toSet)
+    // the capped sample is deterministic: rerun reproduces exactly
+    val again = GraphAnalytics.kTruss(g, k = 3, rounds = 3,
+      maxOutDegree = 3).collect().map(_.toSeq)
+    assert(again.toSet == capped.toSet)
+  }
+
   test("decayedCounts: half-life arithmetic in exact micros") {
     import graft.operators.Features
     // ages 0 and 7 days at half-life 7 → 1e6 + 5e5

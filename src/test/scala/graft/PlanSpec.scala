@@ -387,6 +387,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       !pCap.contains("BroadcastNestedLoop"), pCap.take(3000))
     assert(!pCap.contains("RunningWindowFunction") &&
       !pCap.contains("Window"), "cap must be the bounded heap, not a window sort")
+    // k-truss peels via the degree-ORIENTED triangle enumeration, not
+    // the both-endpoint wedge join: the support round's plan carries
+    // the orientation key column, stays keyed (no cartesian/NLJ), and
+    // closes triangles with the oriented semi join
+    val canon = edges
+      .filter(org.apache.spark.sql.functions.col("src") =!=
+        org.apache.spark.sql.functions.col("dst"))
+      .select(org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("dst")).as("u"),
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("dst")).as("v"))
+      .distinct()
+    val pTruss = graft.operators.GraphAnalytics
+      .kTrussSupport(canon, Int.MaxValue)
+      .queryExecution.executedPlan.toString()
+    assert(!pTruss.contains("CartesianProduct") &&
+      !pTruss.contains("BroadcastNestedLoop"), pTruss.take(3000))
+    assert(pTruss.contains("hikey"),
+      "k-truss must enumerate wedges on the oriented out-lists")
+    assert(pTruss.contains("LeftSemi"),
+      "triangle closure must be the oriented semi join")
   }
 
   test("trailing window features: one exchange, range frame, no self-join") {
