@@ -272,18 +272,27 @@ object SimilarityQueries {
     // this gate makes it driver-visible).
     "qX_stream_neardup" -> ((s, dir) => {
       import graft.streaming.CardStream
-      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"))
       val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
         substring(col("text"), 1, 200).as("text"))
       val all = docs.unionAll(planted).localCheckpoint(true)
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-ndgate").toString + "/nd"
+      // store on tmpfs when present: the fold writes/reads ~hundreds
+      // of small bucket files per batch, and the box's virtual disk
+      // turns that into I/O wait. The gate's cost is the fold's FIXED
+      // job count (3 batches × probe/verify/commit ≈ a Structured
+      // Streaming trigger each), not data volume — 500 originals and
+      // 3 batches exercise the full semantics incl. the suppressed-
+      // history chain case (doc 100045 ↔ dropped 267).
+      val shm = new java.io.File("/dev/shm")
+      val store = (if (shm.isDirectory)
+          java.nio.file.Files.createTempDirectory(shm.toPath, "graft-ndgate")
+        else java.nio.file.Files.createTempDirectory("graft-ndgate"))
+        .toString + "/nd"
       val batches = Seq(
         col("doc_id") < 250,
         col("doc_id") >= 250 && col("doc_id") < 100000,
-        col("doc_id") >= 100000 && col("doc_id") < 100250,
-        col("doc_id") >= 100250)
+        col("doc_id") >= 100000)
       batches.zipWithIndex.foreach { case (pred, i) =>
         CardStream.nearDupSuppress(s, all.filter(pred), store,
           "text", "doc_id", n = 2, k = 64, bands = 16,
@@ -1272,12 +1281,12 @@ object SimilarityQueries {
     * signatures → band keys → candidates → verified intersections.
     * Consumed by qX_dedup_minhash (the pair gate) and
     * qX_stream_neardup (the streaming survivor gate). */
-  private val MinhashPairCtes =
-    """WITH base AS (
-      |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+  private def minhashPairCtes(limit: Int): String =
+    raw"""WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < $limit
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, 200) AS text
-      |  FROM documents WHERE doc_id < 1000),
+      |  FROM documents WHERE doc_id < $limit),
       |d AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
@@ -1564,7 +1573,7 @@ object SimilarityQueries {
     // self-join, exact Jaccard verification — bit-for-bit the Spark
     // plan's arithmetic (see Dedup.minhashSignature / lshBands).
     "qX_dedup_minhash" ->
-      s"""$MinhashPairCtes
+      s"""${minhashPairCtes(1000)}
         |SELECT id1, id2,
         |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
         |FROM ver
@@ -1581,7 +1590,7 @@ object SimilarityQueries {
     // doc 100045 pairs only with the suppressed 267 and survives,
     // which the naive global drop-any-id2 form gets wrong).
     "qX_stream_neardup" ->
-      s"""$MinhashPairCtes,
+      s"""${minhashPairCtes(500)},
         |vp AS (
         |  SELECT id1, id2 FROM ver
         |  WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.5),
@@ -1598,23 +1607,14 @@ object SimilarityQueries {
         |  (SELECT id2 FROM vp WHERE id1 IN (SELECT doc_id FROM a1))),
         |acc2 AS (SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM a2),
         |s3 AS (
-        |  SELECT doc_id FROM base WHERE doc_id >= 100000 AND doc_id < 100250
+        |  SELECT doc_id FROM base WHERE doc_id >= 100000
         |  AND doc_id NOT IN (SELECT id2 FROM vp
-        |    WHERE id1 >= 100000 AND id1 < 100250
-        |      AND id2 >= 100000 AND id2 < 100250)),
+        |    WHERE id1 >= 100000 AND id2 >= 100000)),
         |a3 AS (
         |  SELECT doc_id FROM s3 WHERE doc_id NOT IN
-        |  (SELECT id2 FROM vp WHERE id1 IN (SELECT doc_id FROM acc2))),
-        |acc3 AS (SELECT doc_id FROM acc2 UNION ALL SELECT doc_id FROM a3),
-        |s4 AS (
-        |  SELECT doc_id FROM base WHERE doc_id >= 100250
-        |  AND doc_id NOT IN (SELECT id2 FROM vp
-        |    WHERE id1 >= 100250 AND id2 >= 100250)),
-        |a4 AS (
-        |  SELECT doc_id FROM s4 WHERE doc_id NOT IN
-        |  (SELECT id2 FROM vp WHERE id1 IN (SELECT doc_id FROM acc3)))
-        |SELECT doc_id FROM acc3
-        |UNION ALL SELECT doc_id FROM a4
+        |  (SELECT id2 FROM vp WHERE id1 IN (SELECT doc_id FROM acc2)))
+        |SELECT doc_id FROM acc2
+        |UNION ALL SELECT doc_id FROM a3
         |ORDER BY doc_id""".stripMargin,
 
     // Full replay of the 64-bit SimHash pipeline as two md5 32-bit
