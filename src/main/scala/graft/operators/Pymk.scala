@@ -244,6 +244,66 @@ object Pymk {
       .select(col("anchor"), col("best.c").as("id"), (-col("best.ns")).as("score"))
   }
 
+  /** [[recommendAll]]'s documented SCALE TWIN — the hub-capped form.
+    *
+    * The exact all-pairs plan is inherently Θ(Σ_z deg(z)²) in its wedge
+    * bag: on the reference-shaped graph (a FIXED hub set whose degree
+    * grows linearly with corpus size — derivedEdges' 50 `value % 50`
+    * hubs) that is quadratic in scale factor. Measured: sf0.1 → sf1
+    * (10× data) took qD1_pymk_all from 1.3 s to 238 s — correct, but
+    * not a plan to run at 100 TB. This twin caps each MIDDLE vertex's
+    * neighbor list at `maxDegree` with the hash-spread deterministic
+    * sample of [[GraphAnalytics]]' wedge family (md5-portable,
+    * rerun-stable, oracle-replayable), so the wedge bag is bounded by
+    * |V|·maxDegree² regardless of hub growth; sub-cap vertices — the
+    * overwhelming majority on a power-law graph — contribute EXACTLY.
+    * Anti-join and output ranks stay exact over the full edge set.
+    * Cap ≥ max degree ⇒ identical to [[recommendAll]] (the cap≡exact
+    * contract, pinned in PymkPropertySpec).
+    *
+    * The middle-centric cap keeps score(a,c) == score(c,a) (both legs
+    * draw from the same sample(z)), so the a<c halving + mirror of the
+    * exact plan stays valid — an anchor-side cap would break symmetry.
+    *
+    * @return (anchor, id, score) top-`limit` per anchor by
+    *         (score desc, id asc).
+    */
+  def recommendAllCapped(edges: DataFrame, limit: Int,
+                         maxDegree: Int): DataFrame = {
+    val adjFull = undirected(edges)
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // hash-spread per-middle sample: keep the maxDegree rows with the
+    // lowest (md5Bucket("z:n"), n) — bounded-heap, never a window sort
+    val keyed = adjFull.withColumn("_hk",
+      Sampling.md5Bucket(concat_ws(":", col("from"), col("to"))))
+    val samp = TopK.grouped(keyed, Seq("from"),
+        struct(col("_hk"), col("to").as("_to")), maxDegree)
+      .select(col("from"), col("best._to").as("to"))
+      .localCheckpoint(true) // both wedge legs
+    val hop2 = samp.repartition(par).as("h1")
+      .join(samp.as("h2"), col("h1.from") === col("h2.from"))
+      .select(col("h1.to").as("anchor"), col("h2.to").as("candidate"))
+      .filter(col("anchor") < col("candidate"))
+    val friendPairs = adjFull
+      .select(col("from").as("anchor"), col("to").as("candidate"))
+      .distinct()
+    val half = hop2
+      .repartition(par, col("anchor"), col("candidate"))
+      .groupBy("anchor", "candidate")
+      .agg(count(lit(1)).as("score"))
+    val scored = half
+      .select(explode(array(
+        struct(col("anchor"), col("candidate"), col("score")),
+        struct(col("candidate").as("anchor"), col("anchor").as("candidate"),
+          col("score")))).as("p"))
+      .select(col("p.anchor").as("anchor"), col("p.candidate").as("candidate"),
+        col("p.score").as("score"))
+      .join(friendPairs, Seq("anchor", "candidate"), "left_anti")
+    TopK.grouped(scored, Seq("anchor"),
+        struct((-col("score")).as("ns"), col("candidate").as("c")), limit)
+      .select(col("anchor"), col("best.c").as("id"), (-col("best.ns")).as("score"))
+  }
+
   /** Weighted PYMK over a weighted edge frame (src, dst, w_micros) —
     * the recency-aware flagship: path score is
     * `Σ_paths ⌊w₁·w₂/1e6⌋` over 2-hop wedges, so feeding

@@ -106,6 +106,17 @@ object GraphQueries {
         .orderBy(col("anchor"), desc("score"), col("id"))
     }),
 
+    // qD1_pymk_all's SCALE TWIN: hub-capped wedge enumeration (each
+    // middle's neighbor list sampled to 16 by the md5-spread rule) —
+    // the bounded-wedge-bag form that stays flat as the fixed hub
+    // set's degree grows with corpus size (exact form: 1.3 s at sf0.1
+    // but 238 s at sf1 — quadratic in SF on this graph shape).
+    "qD1_pymk_capped" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      Pymk.recommendAllCapped(edges, 3, maxDegree = 16)
+        .orderBy(col("anchor"), desc("score"), col("id"))
+    }),
+
     // H2: edge upsert — replayed delta union'd into the edge set,
     // deduplicated on (src,dst), self-loops dropped (the reference's
     // edge-exists-else-add with from != to,
@@ -2226,6 +2237,38 @@ object GraphQueries {
          |  SELECT anchor, id, score, row_number() OVER (
          |    PARTITION BY anchor ORDER BY score DESC, id ASC) AS rn
          |  FROM scored)
+         |SELECT anchor, id, score FROM ranked WHERE rn <= 3
+         |ORDER BY anchor, score DESC, id""".stripMargin,
+    // the capped twin replays the md5-spread per-middle sample (the
+    // qX_linkpred_capped rn pattern), then the same count/anti/top-3
+    "qD1_pymk_capped" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION ALL
+         |  SELECT dst AS f, src AS t FROM edges),
+         |rn AS (
+         |  SELECT f, t, row_number() OVER (PARTITION BY f ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(f AS VARCHAR) || ':' ||
+         |      CAST(t AS VARCHAR)), 1, 8)) AS BIGINT), t) AS rn
+         |  FROM adj),
+         |samp AS (SELECT f, t FROM rn WHERE rn.rn <= 16),
+         |sc AS (
+         |  SELECT x.t AS anchor, y.t AS candidate, count(*) AS score
+         |  FROM samp x JOIN samp y ON x.f = y.f AND x.t < y.t
+         |  GROUP BY 1, 2),
+         |mir AS (
+         |  SELECT anchor, candidate, score FROM sc
+         |  UNION ALL
+         |  SELECT candidate, anchor, score FROM sc),
+         |excl AS (
+         |  SELECT m.anchor, m.candidate AS id, m.score FROM mir m
+         |  WHERE NOT EXISTS (SELECT 1 FROM adj
+         |    WHERE adj.f = m.anchor AND adj.t = m.candidate)),
+         |ranked AS (
+         |  SELECT anchor, id, score, row_number() OVER (
+         |    PARTITION BY anchor ORDER BY score DESC, id ASC) AS rn
+         |  FROM excl)
          |SELECT anchor, id, score FROM ranked WHERE rn <= 3
          |ORDER BY anchor, score DESC, id""".stripMargin,
     "qX_cc_df" -> CcSql,

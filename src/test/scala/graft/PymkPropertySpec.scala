@@ -36,6 +36,34 @@ class PymkPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("capped all-pairs PYMK: cap >= max degree is exact; hub output bounded") {
+    // random graphs: cap above any degree ⇒ the sampled wedge bag IS
+    // the full bag, so the capped twin must equal recommendAll row for
+    // row (the cap≡exact contract, same as the linkpred family's)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = edges.toDF("src", "dst")
+      val exact = Pymk.recommendAll(df, 1000).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val capped = Pymk.recommendAllCapped(df, 1000, maxDegree = 64).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(capped == exact, s"trial $trial")
+    }
+    // planted hub: star with 40 leaves. Exact: every leaf pair scores 1
+    // (40*39 recommendation rows). Capped at 8: only the 8 sampled
+    // leaves can see each other — 8*7 rows, score 1, deterministic.
+    val hub = (1L to 40L).map(i => (0L, i)).toDF("src", "dst")
+    val capped = Pymk.recommendAllCapped(hub, 1000, maxDegree = 8).collect()
+    assert(capped.length == 8 * 7)
+    assert(capped.forall(_.getLong(2) == 1L))
+    val again = Pymk.recommendAllCapped(hub, 1000, maxDegree = 8).collect()
+    assert(capped.map(_.toSeq).toSet == again.map(_.toSeq).toSet,
+      "hash-spread sample must be rerun-stable")
+  }
+
   test("reciprocal edge pair double-counts the shared friend's paths") {
     // a<->b reciprocal, b-c: both(a) yields b twice → c scores 2
     val df = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
