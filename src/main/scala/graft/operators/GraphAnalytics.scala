@@ -1157,13 +1157,13 @@ object GraphAnalytics {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    val adj = e.select(col("u").as("f"), col("v").as("t"))
-      .unionAll(e.select(col("v").as("f"), col("u").as("t")))
-    val supported = e
-      .join(adj.select(col("f").as("u"), col("t").as("w1")), "u")
-      .join(adj.select(col("f").as("v"), col("t").as("w2")), "v")
-      .filter(col("w1") === col("w2"))
-      .select(col("u"), col("v")).distinct()
+      .localCheckpoint(true) // reused: support pass + anti join
+    // supported = edges with >=1 triangle, via the degree-ORIENTED
+    // enumeration ([[kTrussSupport]]): the unoriented both-endpoint
+    // wedge join this replaced materialized Σ_e (deg(u)+deg(v)) rows
+    // and OOM'd at 10× scale on the fixed-hub graph; the oriented
+    // form's out-degree is O(√m) on any graph
+    val supported = kTrussSupport(e, Int.MaxValue).select(col("u"), col("v"))
     e.join(supported, Seq("u", "v"), "left_anti").orderBy("u", "v")
   }
 

@@ -355,6 +355,58 @@ object Pymk {
       .orderBy(col("anchor"), desc("score_micros"), col("id"))
   }
 
+  /** [[recommendAllWeighted]]'s hub-capped scale twin — the
+    * [[recommendAllCapped]] medicine on the weighted wedge bag (the
+    * exact form timed out entirely at sf1 on the fixed-hub graph, the
+    * same Θ(Σ deg(z)²) blowup as the unweighted flagship). Each
+    * middle's weighted neighbor list is sampled to `maxDegree` rows by
+    * the md5-spread rule; both wedge legs draw from the same sample, so
+    * the w₁·w₂ path score stays symmetric and the a<c halving + mirror
+    * stays valid; the direct-edge anti-join is exact over the full
+    * edge set. Cap ≥ max degree ≡ exact (PymkPropertySpec).
+    */
+  def recommendAllWeightedCapped(wEdges: DataFrame, limit: Int,
+                                 maxDegree: Int): DataFrame = {
+    val adjFull = wEdges.select(col("src").as("from"), col("dst").as("to"),
+        col("w_micros").as("w"))
+      .unionAll(wEdges.select(col("dst").as("from"), col("src").as("to"),
+        col("w_micros").as("w")))
+    val par = wEdges.sparkSession.sparkContext.defaultParallelism
+    val keyed = adjFull.withColumn("_hk",
+      Sampling.md5Bucket(concat_ws(":", col("from"), col("to"))))
+    val samp = TopK.grouped(keyed, Seq("from"),
+        struct(col("_hk"), col("to").as("_to"), col("w").as("_w")), maxDegree)
+      .select(col("from"), col("best._to").as("to"), col("best._w").as("w"))
+      .localCheckpoint(true) // both wedge legs
+    val hop2 = samp.repartition(par).as("h1")
+      .join(samp.as("h2"), col("h1.from") === col("h2.from"))
+      .filter(col("h1.to") < col("h2.to"))
+      .select(col("h1.to").as("anchor"), col("h2.to").as("candidate"),
+        floor(col("h1.w") * col("h2.w") / lit(1000000L)).cast("long")
+          .as("pw"))
+    val friendPairs = adjFull
+      .select(col("from").as("anchor"), col("to").as("candidate"))
+      .distinct()
+    val scored = hop2
+      .repartition(par, col("anchor"), col("candidate"))
+      .groupBy("anchor", "candidate")
+      .agg(sum(col("pw")).as("score_micros"))
+      .select(explode(array(
+        struct(col("anchor"), col("candidate"), col("score_micros")),
+        struct(col("candidate").as("anchor"), col("anchor").as("candidate"),
+          col("score_micros")))).as("p"))
+      .select(col("p.anchor").as("anchor"),
+        col("p.candidate").as("candidate"),
+        col("p.score_micros").as("score_micros"))
+      .join(friendPairs, Seq("anchor", "candidate"), "left_anti")
+    TopK.grouped(scored, Seq("anchor"),
+        struct((-col("score_micros")).as("ns"), col("candidate").as("c")),
+        limit)
+      .select(col("anchor"), col("best.c").as("id"),
+        (-col("best.ns")).as("score_micros"))
+      .orderBy(col("anchor"), desc("score_micros"), col("id"))
+  }
+
   /** Edge embeddedness — the Jaccard of the endpoints' neighborhoods,
     * the TIE-STRENGTH metric complementing [[GraphAnalytics.weakTies]]
     * (embeddedness 0 = local bridge): `|N(u)∩N(v)| / |N(u)∪N(v)|` in

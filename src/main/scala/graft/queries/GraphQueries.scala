@@ -370,6 +370,22 @@ object GraphQueries {
       graft.operators.Pymk.recommendAllWeighted(wEdges, limit = 5)
     }),
 
+    // qX_pymk_decayed's SCALE TWIN (the qD1_pymk_capped story on the
+    // weighted wedge bag — the exact form timed out at sf1): md5-
+    // spread per-middle sample of 16, path weights and ranks exact
+    // over the sampled bag, anti-join exact over the full edge set.
+    "qX_pymk_decayed_capped" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("src"),
+          (floor(col("value")).cast("long") % 50).as("dst"), col("ts"))
+        .filter(col("src") =!= col("dst"))
+      val wEdges = graft.operators.Features.decayedCounts(events,
+        Seq("src", "dst"), "ts", "2024-02-01 00:00:00", 7.0)
+      graft.operators.Pymk.recommendAllWeightedCapped(wEdges, limit = 5,
+        maxDegree = 16)
+    }),
+
     // Edge embeddedness (neighborhood Jaccard): the tie-strength
     // metric — weak ties score 0, deeply embedded friendships near 1.
     "qX_embeddedness" -> ((s, dir) => {
@@ -1984,6 +2000,41 @@ object GraphQueries {
         |fp AS (SELECT DISTINCT f AS anchor, t AS candidate FROM adj),
         |kept AS (SELECT sc.* FROM sc ANTI JOIN fp
         |  ON fp.anchor = sc.anchor AND fp.candidate = sc.candidate),
+        |r AS (SELECT anchor, candidate, score_micros, row_number() OVER (
+        |  PARTITION BY anchor ORDER BY score_micros DESC, candidate)
+        |    AS rn FROM kept)
+        |SELECT anchor, candidate AS id, score_micros FROM r WHERE rn <= 5
+        |ORDER BY anchor, score_micros DESC, id""".stripMargin,
+    "qX_pymk_decayed_capped" ->
+      """WITH raw AS (
+        |  SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 50 AS dst,
+        |    ts
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND user_id <> CAST(FLOOR(value) AS BIGINT) % 50),
+        |we AS (SELECT src, dst,
+        |  CAST(sum(CAST(round(1e6 * pow(2.0,
+        |    -((epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+        |      / 86400000000.0 / 7.0))) AS BIGINT)) AS BIGINT) AS w
+        |  FROM raw GROUP BY 1, 2),
+        |adj AS (SELECT src AS f, dst AS t, w FROM we
+        |        UNION ALL SELECT dst AS f, src AS t, w FROM we),
+        |rn0 AS (
+        |  SELECT f, t, w, row_number() OVER (PARTITION BY f ORDER BY
+        |    CAST(('0x' || substr(md5(CAST(f AS VARCHAR) || ':' ||
+        |      CAST(t AS VARCHAR)), 1, 8)) AS BIGINT), t, w) AS rn
+        |  FROM adj),
+        |samp AS (SELECT f, t, w FROM rn0 WHERE rn0.rn <= 16),
+        |paths AS (SELECT x.t AS anchor, y.t AS candidate,
+        |    CAST(floor(x.w * y.w / 1000000) AS BIGINT) AS pw
+        |  FROM samp x JOIN samp y ON x.f = y.f AND x.t < y.t),
+        |sc AS (SELECT anchor, candidate, CAST(sum(pw) AS BIGINT)
+        |    AS score_micros
+        |  FROM paths GROUP BY 1, 2),
+        |mir AS (SELECT anchor, candidate, score_micros FROM sc
+        |        UNION ALL SELECT candidate, anchor, score_micros FROM sc),
+        |fp AS (SELECT DISTINCT f AS anchor, t AS candidate FROM adj),
+        |kept AS (SELECT mir.* FROM mir ANTI JOIN fp
+        |  ON fp.anchor = mir.anchor AND fp.candidate = mir.candidate),
         |r AS (SELECT anchor, candidate, score_micros, row_number() OVER (
         |  PARTITION BY anchor ORDER BY score_micros DESC, candidate)
         |    AS rn FROM kept)

@@ -62,6 +62,20 @@ class PymkPropertySpec extends AnyFunSuite with SparkSpec {
     val again = Pymk.recommendAllCapped(hub, 1000, maxDegree = 8).collect()
     assert(capped.map(_.toSeq).toSet == again.map(_.toSeq).toSet,
       "hash-spread sample must be rerun-stable")
+    // weighted twin: cap >= max degree is exact against the weighted
+    // flagship (distinct weights exercise the (hash, t, w) tie-break)
+    val wrnd = new scala.util.Random(11)
+    val wEdges = (1 to 30)
+      .map(_ => (wrnd.nextInt(10).toLong, wrnd.nextInt(10).toLong))
+      .filter { case (a, b) => a != b }.distinct
+      .zipWithIndex
+      .map { case ((a, b), i) => (a, b, 1000000L + i * 250000L) }
+      .toDF("src", "dst", "w_micros")
+    val wExact = Pymk.recommendAllWeighted(wEdges, 1000).collect()
+      .map(_.toSeq).toSet
+    val wCapped = Pymk.recommendAllWeightedCapped(wEdges, 1000,
+      maxDegree = 64).collect().map(_.toSeq).toSet
+    assert(wCapped == wExact, "weighted cap >= max degree must be exact")
   }
 
   test("reciprocal edge pair double-counts the shared friend's paths") {
