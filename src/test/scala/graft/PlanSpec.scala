@@ -64,7 +64,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("lr quality scoring: B-row model broadcasts into the feature scan") {
-    val p = plan("qX_lr_score")
+    // the qX_lr_score GATE now reads the shared LrFixture parquet (a
+    // plain scan); the broadcast property belongs to the scoring
+    // operator itself, so pin it on QualityLr.score directly
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val train = docs.filter(col("doc_id") >= 200)
+      .withColumn("y", (col("doc_id") < 350).cast("int"))
+    val model = graft.operators.QualityLr.train(train, "doc_id", "text",
+      "y", buckets = 64, iters = 1, lr = 1.0)
+    val p = graft.operators.QualityLr.score(
+        docs.filter(col("doc_id") < 200), "doc_id", "text", model,
+        buckets = 64)
+      .queryExecution.executedPlan.toString()
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
