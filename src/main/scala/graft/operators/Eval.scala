@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Long rank key for a weight/score column, exact for both worlds:
+    * integral columns (byte/short/int/long) rank by the raw long —
+    * exact at ANY magnitude — while fractional columns micro-quantize
+    * (`⌊x·1e6⌋`) so sub-integer ordering survives. The quantized
+    * branch is exact only for |x| ≲ 9e9 (x·1e6 must stay inside
+    * double's 2^53 integer range; beyond it distinct weights collapse
+    * to one key and past ~9.2e12 the cast saturates) — callers with
+    * larger fractional mass should pre-scale to integer micros
+    * themselves, which routes them onto the exact branch.
+    */
+  private def rankKey(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(c).cast("long")
+      case _ => floor(col(c) * lit(1e6)).cast("long")
+    }
+  }
+
   /** Rank-based ROC-AUC (Mann–Whitney U) of an integer score column
     * against a 0/1 label column.
     *
@@ -672,7 +691,7 @@ object Eval {
                   bins: Int = 10): DataFrame = {
     val (ranked, n) = Packing.globalRank(
       df.select(col(weightCol).cast("long").as("wt"),
-        floor(col(weightCol) * lit(1e6)).cast("long").as("_wk"),
+        rankKey(df, weightCol).as("_wk"),
         col(tieCol).as("tie")), Seq("_wk", "tie"))
     val byBin = ranked
       .withColumn("decile",
@@ -805,11 +824,12 @@ object Eval {
     */
   def gainCurve(df: DataFrame, scoreCol: String, labelCol: String,
                 tieCol: String, bins: Int = 10): DataFrame = {
-    // rank key micro-quantized (⌊score·1e6⌋), not cast-to-long: a
-    // double-valued score keeps its fractional ordering instead of
-    // collapsing to integer ties; identical order for integer scores
+    // rank key from [[rankKey]]: integral scores rank by the raw
+    // long (exact at any magnitude); double scores micro-quantize so
+    // fractional ordering survives instead of collapsing to
+    // integer ties
     val (ranked, n) = Packing.globalRank(
-      df.select((-floor(col(scoreCol) * lit(1e6)).cast("long")).as("_ns"),
+      df.select((-rankKey(df, scoreCol)).as("_ns"),
         col(labelCol).cast("long").as("y"), col(tieCol).as("tie")),
       Seq("_ns", "tie"))
     val byBin = ranked

@@ -42,11 +42,21 @@ object LrFixture {
   private def fixture(s: SparkSession, dir: String, kind: String)
                      (build: => DataFrame): DataFrame = {
     val key = s"$dir#$kind"
-    val p = paths.computeIfAbsent(key, _ => {
-      val out = s"$root/${kind}-${Integer.toHexString(key.hashCode)}"
-      build.write.mode("overwrite").parquet(out)
-      out
-    })
+    // NOT computeIfAbsent: the scored/margins/held builds call
+    // model() which recurses into this method with a different key,
+    // and ConcurrentHashMap forbids the mapping function touching
+    // other mappings (live-lock or "Recursive update" depending on
+    // bin collisions). A plain reentrant lock tolerates the nesting.
+    var p = paths.get(key)
+    if (p == null) paths.synchronized {
+      p = paths.get(key)
+      if (p == null) {
+        val out = s"$root/${kind}-${Integer.toHexString(key.hashCode)}"
+        build.write.mode("overwrite").parquet(out)
+        paths.put(key, out)
+        p = out
+      }
+    }
     s.read.parquet(p)
   }
 

@@ -262,7 +262,7 @@ object SimilarityQueries {
 
     // STREAMING near-dup suppression, oracle-gated (X69 promoted from
     // spec-only): fold the qX_dedup_minhash corpus through the
-    // BucketStore in 4 deterministic ascending-id micro-batches
+    // BucketStore in 3 deterministic ascending-id micro-batches
     // (originals first, planted truncations later — the arrival order
     // a stream would see), then gate the ACCUMULATED survivor set.
     // The DuckDB oracle replays the batch-equivalent form: a doc is
@@ -272,34 +272,53 @@ object SimilarityQueries {
     // this gate makes it driver-visible).
     "qX_stream_neardup" -> ((s, dir) => {
       import graft.streaming.CardStream
-      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 500)
+      // The gate's cost is the fold's FIXED job count (3 batches ×
+      // probe/verify/commit ≈ a Structured Streaming trigger each),
+      // not data volume — so the fold runs on a CHILD session with
+      // 2 shuffle partitions: each of the ~12 per-trigger jobs
+      // schedules 2 tasks instead of 32 on a few hundred rows.
+      // Isolated SQLConf, shared SparkContext — the caller's session
+      // is untouched.
+      val fold = s.newSession()
+      fold.conf.set("spark.sql.shuffle.partitions", "2")
+      val docs = Tables.load(fold, dir, "documents")
+        .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"))
       val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
         substring(col("text"), 1, 200).as("text"))
       val all = docs.unionAll(planted).localCheckpoint(true)
       // store on tmpfs when present: the fold writes/reads ~hundreds
       // of small bucket files per batch, and the box's virtual disk
-      // turns that into I/O wait. The gate's cost is the fold's FIXED
-      // job count (3 batches × probe/verify/commit ≈ a Structured
-      // Streaming trigger each), not data volume — 500 originals and
-      // 3 batches exercise the full semantics incl. the suppressed-
-      // history chain case (doc 100045 ↔ dropped 267).
+      // turns that into I/O wait. 500 originals and 3 batches
+      // exercise the full semantics incl. the suppressed-history
+      // chain case (doc 100045 ↔ dropped 267).
       val shm = new java.io.File("/dev/shm")
-      val store = (if (shm.isDirectory)
+      val root = (if (shm.isDirectory)
           java.nio.file.Files.createTempDirectory(shm.toPath, "graft-ndgate")
         else java.nio.file.Files.createTempDirectory("graft-ndgate"))
-        .toString + "/nd"
-      val batches = Seq(
-        col("doc_id") < 250,
-        col("doc_id") >= 250 && col("doc_id") < 100000,
-        col("doc_id") >= 100000)
-      batches.zipWithIndex.foreach { case (pred, i) =>
-        CardStream.nearDupSuppress(s, all.filter(pred), store,
-          "text", "doc_id", n = 2, k = 64, bands = 16,
-          minJaccard = 0.5, batchId = i.toLong)
+      val store = root.toString + "/nd"
+      try {
+        val batches = Seq(
+          col("doc_id") < 250,
+          col("doc_id") >= 250 && col("doc_id") < 100000,
+          col("doc_id") >= 100000)
+        batches.zipWithIndex.foreach { case (pred, i) =>
+          CardStream.nearDupSuppress(fold, all.filter(pred), store,
+            "text", "doc_id", n = 2, k = 64, bands = 16,
+            minJaccard = 0.5, batchId = i.toLong)
+        }
+        // materialize BEFORE the finally deletes the store (tmpfs is
+        // RAM — Bench's repeated passes must not accumulate stores)
+        CardStream.nearDupSurvivors(s, store)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      } finally {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        try Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        catch { case _: java.io.IOException => () }
       }
-      CardStream.nearDupSurvivors(s, store)
-        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
     // SimHash near-dup pairs (Hamming <= 6 via 8-bit pigeonhole bands);
@@ -1581,7 +1600,7 @@ object SimilarityQueries {
         |ORDER BY jaccard DESC, id1 ASC, id2 ASC LIMIT 500""".stripMargin,
 
     // Survivor set of the streaming fold, replayed with the TRUE
-    // sequential semantics unrolled over the 4 ascending-id batches:
+    // sequential semantics unrolled over the 3 ascending-id batches:
     // per batch, (1) drop the id2 of every verified pair WITHIN the
     // batch (minhashLshPairs' drop-if-any-smaller, blind to the
     // partner's own fate), then (2) drop what verifies against any

@@ -65,27 +65,55 @@ object BucketStore {
   private def manifest(spark: SparkSession, dir: String): DataFrame =
     CardStream.tableOrEmpty(spark, s"$dir/manifest", manifestFallback(spark))
 
+  /** The whole manifest, resolved ONCE into driver memory (it is
+    * O(tables × buckets) pointer rows by construction). A fold that
+    * probes + merges several tables otherwise re-reads the manifest
+    * parquet 4-6 times per micro-batch — each read a whole Spark job,
+    * and on a tiny-batch stream those fixed jobs ARE the trigger cost.
+    * Single-writer contract: the snapshot is valid for the duration of
+    * one fold because only the folding caller writes the store. */
+  final case class Manifest(rows: Seq[(String, Long, Long)], lastBatch: Long)
+
+  def loadManifest(spark: SparkSession, dir: String): Manifest = {
+    val rs = manifest(spark, dir)
+      .select(col("table"), col("bucket"), col("gen"), col("last_batch"))
+      .collect()
+    val rows = rs.iterator.filter(_.getString(0) != MetaTable)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val lb = if (rs.isEmpty) -1L else rs.map(_.getLong(3)).max
+    Manifest(rows, lb)
+  }
+
   /** The batch id of the last committed fold, -1 on a fresh store —
     * the caller's replay fence reads this. */
-  def lastBatch(spark: SparkSession, dir: String): Long = {
-    val rows = manifest(spark, dir).select(max(col("last_batch"))).head()
-    if (rows.isNullAt(0)) -1L else rows.getLong(0)
-  }
+  def lastBatch(spark: SparkSession, dir: String): Long =
+    loadManifest(spark, dir).lastBatch
 
   /** Read `table`, restricted to `buckets` when given (manifest-driven
     * path pruning — I/O is |buckets| leaf dirs, never the store).
-    * Returns `fallbackSchema.limit(0)` when nothing is stored. */
+    * Returns `fallbackSchema.limit(0)` when nothing is stored. Pass a
+    * pre-loaded [[Manifest]] to resolve pointers without re-reading
+    * the manifest parquet (one Spark job saved per call). */
   def read(spark: SparkSession, dir: String, table: String,
-           buckets: Option[Seq[Long]], fallbackSchema: DataFrame): DataFrame = {
+           buckets: Option[Seq[Long]], fallbackSchema: DataFrame,
+           man: Option[Manifest] = None): DataFrame = {
     if (buckets.exists(_.isEmpty)) return fallbackSchema.limit(0)
-    val man = manifest(spark, dir).filter(col("table") === table)
-    val refs = buckets.fold(man)(bs => man.filter(col("bucket").isin(bs: _*)))
-      .select(col("bucket"), col("gen"))
-      .collect() // O(#buckets) pointers — the manifest IS driver-small
+    val refs: Array[(Long, Long)] = man match {
+      case Some(m) =>
+        val keep = buckets.map(_.toSet)
+        m.rows.iterator
+          .filter { case (t, b, _) => t == table && keep.forall(_(b)) }
+          .map { case (_, b, g) => (b, g) }.toArray
+      case None =>
+        val mdf = manifest(spark, dir).filter(col("table") === table)
+        buckets.fold(mdf)(bs => mdf.filter(col("bucket").isin(bs: _*)))
+          .select(col("bucket"), col("gen"))
+          .collect() // O(#buckets) pointers — the manifest IS driver-small
+          .map(r => (r.getLong(0), r.getLong(1)))
+    }
     if (refs.isEmpty) return fallbackSchema.limit(0)
-    val paths = refs.map(r =>
-      s"$dir/files/$table/g=${r.getLong(1)}/p=${r.getLong(0)}")
-    spark.read.parquet(paths: _*)
+    val paths = refs.map { case (b, g) => s"$dir/files/$table/g=$g/p=$b" }
+    spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
   /** One atomic fold. Each update is (table, content, bucketCol,
@@ -96,14 +124,15 @@ object BucketStore {
     * buckets keep their manifest pointer and their files. */
   def commit(spark: SparkSession, dir: String,
              updates: Seq[(String, DataFrame, String, Seq[Long])],
-             batchId: Long): Unit = {
+             batchId: Long, manIn: Option[Manifest] = None): Unit = {
     require(updates.map(_._1).distinct.size == updates.size,
       "one update per table")
     val hfs = fs(spark, dir)
-    val man = manifest(spark, dir)
-      .filter(col("table") =!= MetaTable)
-      .select(col("table"), col("bucket"), col("gen"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val man = manIn.map(_.rows.toArray).getOrElse(
+      manifest(spark, dir)
+        .filter(col("table") =!= MetaTable)
+        .select(col("table"), col("bucket"), col("gen"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
     val newGen = if (man.isEmpty) 0L else man.map(_._3).max + 1L
     val written = updates.map { case (table, content, bucketCol, touched) =>
       val genDir = s"$dir/files/$table/g=$newGen"

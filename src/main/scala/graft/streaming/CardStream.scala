@@ -385,7 +385,9 @@ object CardStream {
                     batchId: Long = -1L): Long = {
     import BucketStore.StoreBuckets
     migrateLegacyRollup(spark, dir, keyCols)
-    if (batchId >= 0 && BucketStore.lastBatch(spark, dir) == batchId)
+    // one manifest snapshot per fold — see nearDupSuppress
+    val man = Some(BucketStore.loadManifest(spark, dir))
+    if (batchId >= 0 && man.get.lastBatch == batchId)
       return 0L // replayed micro-batch: no-op
     val partial = batch.groupBy(keyCols.map(col): _*)
       .agg(sumCols.map(c => sum(col(c)).as(c)).head,
@@ -395,14 +397,15 @@ object CardStream {
       .localCheckpoint(true) // reused: bucket-id set + merge input
     val touched = partial.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ StoreBuckets longs
-    val merged = BucketStore.read(spark, dir, "rollup", Some(touched), partial)
+    val merged = BucketStore.read(spark, dir, "rollup", Some(touched),
+        partial, man)
       .unionByName(partial)
       .groupBy((keyCols :+ "bucket").map(col): _*)
       .agg(sumCols.map(c => sum(col(c)).as(c)).head,
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
       .localCheckpoint(true) // one computation: commit write + count
     BucketStore.commit(spark, dir,
-      Seq(("rollup", merged, "bucket", touched)), batchId)
+      Seq(("rollup", merged, "bucket", touched)), batchId, man)
     merged.count()
   }
 
@@ -619,7 +622,12 @@ object CardStream {
                       batchId: Long = -1L): Long = {
     import graft.operators.Dedup
     import BucketStore.StoreBuckets
-    if (batchId >= 0 && BucketStore.lastBatch(spark, dir) == batchId)
+    // manifest resolved ONCE for the whole fold (fence + 5 table
+    // reads + commit base): single-writer, so the snapshot stays
+    // valid, and on a tiny-batch stream the saved manifest re-reads
+    // are whole Spark jobs — the dominant fixed trigger cost
+    val man = Some(BucketStore.loadManifest(spark, dir))
+    if (batchId >= 0 && man.get.lastBatch == batchId)
       return 0L // replayed micro-batch: no-op
     // in-batch pass: drop the id2 of every verified pair
     val inBatchDropped = Dedup.minhashLshPairs(batch, textCol, idCol,
@@ -647,7 +655,7 @@ object CardStream {
     val postBuckets = posts.select("bucket").distinct()
       .collect().map(_.getLong(0))
     val storedPosts = BucketStore.read(spark, dir, "posts",
-        Some(postBuckets.toSeq), posts)
+        Some(postBuckets.toSeq), posts, man)
       .select(col("id").as("_oid"), col("band"), col("key"))
     val cand = posts.join(storedPosts, Seq("band", "key"))
       .select(col("id"), col("_oid")).distinct()
@@ -656,7 +664,7 @@ object CardStream {
       .select(pmod(xxhash64(col("_oid")), lit(StoreBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0))
     val storedSh = BucketStore.read(spark, dir, "sh",
-        Some(oidBuckets.toSeq), sh)
+        Some(oidBuckets.toSeq), sh, man)
       .select(col("id").as("_oid"), col("sh").as("_osh"))
     val histDropped = cand
       .join(sh, "id")
@@ -678,22 +686,26 @@ object CardStream {
     // change, so untouched buckets carry over by manifest pointer)
     val newData = survivors.withColumn("bucket",
       pmod(xxhash64(col(idCol)), lit(StoreBuckets.toLong)))
-    val idBuckets = newData.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val newPosts = posts.join(survIds, "id")
+    // ONE job collects both touched-bucket sets (each ≤ StoreBuckets
+    // longs) — id-hash buckets of the survivors and (band,key)-hash
+    // buckets of their postings — instead of two separate collects
+    val touched = newData.select(lit(0).as("t"), col("bucket"))
+      .unionAll(newPosts.select(lit(1).as("t"), col("bucket")))
+      .distinct().collect()
+    val idBuckets = touched.filter(_.getInt(0) == 0).map(_.getLong(1)).toSeq
+    val survPostBuckets = touched.filter(_.getInt(0) == 1).map(_.getLong(1)).toSeq
     val mergedData = BucketStore.read(spark, dir, "data",
-      Some(idBuckets), newData).unionByName(newData)
+      Some(idBuckets), newData, man).unionByName(newData)
     val newSh = sh.join(survIds, "id") // id-hash bucketed like data
     val mergedSh = BucketStore.read(spark, dir, "sh",
-      Some(idBuckets), newSh).unionByName(newSh)
-    val newPosts = posts.join(survIds, "id")
-    val survPostBuckets = newPosts.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
+      Some(idBuckets), newSh, man).unionByName(newSh)
     val mergedPosts = BucketStore.read(spark, dir, "posts",
-      Some(survPostBuckets), newPosts).unionByName(newPosts)
+      Some(survPostBuckets), newPosts, man).unionByName(newPosts)
     BucketStore.commit(spark, dir, Seq(
       ("data", mergedData, "bucket", idBuckets),
       ("sh", mergedSh, "bucket", idBuckets),
-      ("posts", mergedPosts, "bucket", survPostBuckets)), batchId)
+      ("posts", mergedPosts, "bucket", survPostBuckets)), batchId, man)
     survivors.count()
   }
 
@@ -732,7 +744,9 @@ object CardStream {
                        maxDist: Int = 3, batchId: Long = -1L): Long = {
     import graft.operators.Dedup
     import BucketStore.StoreBuckets
-    if (batchId >= 0 && BucketStore.lastBatch(spark, dir) == batchId)
+    // one manifest snapshot per fold — see nearDupSuppress
+    val man = Some(BucketStore.loadManifest(spark, dir))
+    if (batchId >= 0 && man.get.lastBatch == batchId)
       return 0L // replayed micro-batch: no-op
     val hashed = batch.select(col(idCol).as("id"), col(hashCol).as("sh"))
     // in-batch pass: first arrival (smallest id) wins
@@ -760,7 +774,7 @@ object CardStream {
     val postBuckets = posts.select("bucket").distinct()
       .collect().map(_.getLong(0)) // ≤ StoreBuckets longs
     val storedPosts = BucketStore.read(spark, dir, "chunks",
-        Some(postBuckets.toSeq), posts)
+        Some(postBuckets.toSeq), posts, man)
       .select(col("chunk"), col("key"), col("sh").as("_osh"))
     val histDropped = posts.join(storedPosts, Seq("chunk", "key"))
       .filter(bit_count(col("sh").bitwiseXOR(col("_osh"))) <= maxDist)
@@ -770,18 +784,20 @@ object CardStream {
       .localCheckpoint(true)
     val newData = survivors.withColumn("bucket",
       pmod(xxhash64(col("id")), lit(StoreBuckets.toLong)))
-    val idBuckets = newData.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val mergedData = BucketStore.read(spark, dir, "data",
-      Some(idBuckets), newData).unionByName(newData)
     val newPosts = chunkPosts(survivors)
-    val survPostBuckets = newPosts.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // ONE job for both touched-bucket sets — see nearDupSuppress
+    val touched = newData.select(lit(0).as("t"), col("bucket"))
+      .unionAll(newPosts.select(lit(1).as("t"), col("bucket")))
+      .distinct().collect()
+    val idBuckets = touched.filter(_.getInt(0) == 0).map(_.getLong(1)).toSeq
+    val survPostBuckets = touched.filter(_.getInt(0) == 1).map(_.getLong(1)).toSeq
+    val mergedData = BucketStore.read(spark, dir, "data",
+      Some(idBuckets), newData, man).unionByName(newData)
     val mergedPosts = BucketStore.read(spark, dir, "chunks",
-      Some(survPostBuckets), newPosts).unionByName(newPosts)
+      Some(survPostBuckets), newPosts, man).unionByName(newPosts)
     BucketStore.commit(spark, dir, Seq(
       ("data", mergedData, "bucket", idBuckets),
-      ("chunks", mergedPosts, "bucket", survPostBuckets)), batchId)
+      ("chunks", mergedPosts, "bucket", survPostBuckets)), batchId, man)
     survivors.count()
   }
 
@@ -862,6 +878,8 @@ object CardStream {
                dir: String, idCol: String, vecCol: String,
                batchId: Long = 0L): Unit = {
     import BucketStore.StoreBuckets
+    // one manifest snapshot per fold — see nearDupSuppress
+    val man = Some(BucketStore.loadManifest(spark, dir))
     val assigned0 = graft.operators.Similarity
       .ivfAssign(batch, centroids, idCol, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -880,7 +898,8 @@ object CardStream {
     // resp. nprobe-bounded cell counts, annotated driver-small
     val idBuckets = newPk.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val storedPk = BucketStore.read(spark, dir, "pk", Some(idBuckets), newPk)
+    val storedPk = BucketStore.read(spark, dir, "pk", Some(idBuckets),
+      newPk, man)
     val batchIds = assigned.select("id").distinct()
     val staleCells = storedPk.join(batchIds, "id").select("cell").distinct()
     val touchedCells = assigned.select("cell").unionByName(staleCells)
@@ -889,14 +908,15 @@ object CardStream {
     // batch rows win unconditionally (their _ord is newest): drop every
     // stored row carrying a batch id — the same-cell older version AND
     // the stale row in a prior cell — then append the batch
-    val keep = BucketStore.read(spark, dir, "vecs", Some(touchedCells), newVecs)
+    val keep = BucketStore.read(spark, dir, "vecs", Some(touchedCells),
+        newVecs, man)
       .join(batchIds, Seq("id"), "left_anti")
     val mergedVecs = keep.unionByName(newVecs)
     val mergedPk = storedPk.join(batchIds, Seq("id"), "left_anti")
       .unionByName(newPk)
     BucketStore.commit(spark, dir, Seq(
       ("vecs", mergedVecs, "bucket", touchedCells),
-      ("pk", mergedPk, "bucket", idBuckets)), batchId)
+      ("pk", mergedPk, "bucket", idBuckets)), batchId, man)
   }
 
   /** The stored vectors of an [[ivfMerge]] store (bucket stripped). */
