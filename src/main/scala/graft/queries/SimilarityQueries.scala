@@ -303,9 +303,12 @@ object SimilarityQueries {
           col("doc_id") >= 250 && col("doc_id") < 100000,
           col("doc_id") >= 100000)
         batches.zipWithIndex.foreach { case (pred, i) =>
+          // 8 store buckets: a ~1000-doc corpus needs few bucket
+          // files, and read/write planning is linear in them (a
+          // 100 TB store would size UP from the 64 default instead)
           CardStream.nearDupSuppress(fold, all.filter(pred), store,
             "text", "doc_id", n = 2, k = 64, bands = 16,
-            minJaccard = 0.5, batchId = i.toLong)
+            minJaccard = 0.5, batchId = i.toLong, storeBuckets = 8)
         }
         // materialize BEFORE the finally deletes the store (tmpfs is
         // RAM — Bench's repeated passes must not accumulate stores)

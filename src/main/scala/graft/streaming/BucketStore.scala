@@ -17,71 +17,110 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `dir`:
   * {{{
-  *   manifest/                   (table, bucket, gen, last_batch) rows
+  *   manifest/manifest.tsv       driver-written pointer table (see below)
   *   files/<table>/g=<gen>/p=<bucket>/   parquet data of one bucket
   * }}}
   * The manifest is the single source of truth: a (table, bucket) row
   * points at the generation directory holding that bucket's current
-  * rows. A fold
+  * rows. It is O(tables × buckets) pointer rows BY CONSTRUCTION, so it
+  * is written and read driver-side as one small TSV file (not a Spark
+  * parquet write/read — that costs a whole Spark job per touch, and on
+  * a tiny-batch stream those fixed jobs ARE the trigger cost), cut
+  * over by the same staged-rename swap as the data
+  * ([[CardStream.swapStaged]], with the non-mutating `__old` reader
+  * fallback of [[CardStream.tableOrEmpty]]). A fold
   *   1. writes each updated table's touched-bucket content under a
   *      fresh generation (strictly greater than every live gen, so the
   *      write can never clobber live files — a crashed fold leaves only
   *      orphan dirs that the next fold's overwrite + GC clean up);
-  *   2. swaps in a new manifest re-pointing ONLY the touched buckets
-  *      (the shared [[CardStream.swapInto]] rename protocol — one
-  *      atomic cutover for all tables of the store, same crash-safety
-  *      argument as [[graft.operators.SearchIndex.mergeStored]]'s
-  *      single parent swap);
+  *   2. swaps in a new manifest re-pointing ONLY the touched buckets —
+  *      one atomic cutover for all tables of the store, same
+  *      crash-safety argument as
+  *      [[graft.operators.SearchIndex.mergeStored]]'s single parent
+  *      swap;
   *   3. best-effort deletes unreferenced generation leaves.
-  * Readers resolve the manifest (with the non-mutating `__old`
-  * fallback of [[CardStream.tableOrEmpty]]) and read exactly the
-  * bucket paths they need — manifest-driven pruning, no full-store
-  * scan, no partition-discovery listing of the whole store.
+  * Readers resolve the manifest and read exactly the bucket paths they
+  * need — manifest-driven pruning, no full-store scan, no
+  * partition-discovery listing of the whole store.
   *
   * Replay fencing is the caller's policy: the manifest carries the
-  * folding batch id on every row; [[lastBatch]] exposes it.
+  * folding batch id; [[lastBatch]] exposes it.
   */
 object BucketStore {
 
-  /** Bucket count for hash-bucketed tables (a (band,key) or id hash);
-    * tables bucketed by a natural key (IVF cells) ignore it. One
-    * constant so writer and prober can never disagree — the
-    * [[graft.operators.SearchIndex.IndexBuckets]] rule. */
+  /** Default bucket count for hash-bucketed tables (a (band,key) or id
+    * hash); tables bucketed by a natural key (IVF cells) ignore it.
+    * Callers may size a store differently (more buckets for a 100 TB
+    * corpus, fewer for a small one) but a store MUST keep one bucket
+    * count for its lifetime — writer and prober hash with the same
+    * modulus, the [[graft.operators.SearchIndex.IndexBuckets]] rule. */
   val StoreBuckets = 64
-
-  /** Sentinel manifest row's table name — keeps the manifest non-empty
-    * (an all-buckets-empty store would otherwise write a zero-row
-    * parquet dir that cannot be re-read) and carries `last_batch` even
-    * when every data bucket is gone. Never matches a real table. */
-  private val MetaTable = "_meta"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestFallback(spark: SparkSession): DataFrame =
-    spark.range(0).select(lit("").as("table"), lit(0L).as("bucket"),
-      lit(0L).as("gen"), lit(-1L).as("last_batch"))
+  /** The whole manifest, resolved ONCE into driver memory. Single-
+    * writer contract: the snapshot is valid for the duration of one
+    * fold because only the folding caller writes the store. */
+  final case class Manifest(rows: Seq[(String, Long, Long)], lastBatch: Long,
+                            maxGen: Long = -1L)
 
-  private def manifest(spark: SparkSession, dir: String): DataFrame =
-    CardStream.tableOrEmpty(spark, s"$dir/manifest", manifestFallback(spark))
+  private val ManifestFile = "manifest.tsv"
+  private val ManifestHeader = "graft-bucketstore-v2"
 
-  /** The whole manifest, resolved ONCE into driver memory (it is
-    * O(tables × buckets) pointer rows by construction). A fold that
-    * probes + merges several tables otherwise re-reads the manifest
-    * parquet 4-6 times per micro-batch — each read a whole Spark job,
-    * and on a tiny-batch stream those fixed jobs ARE the trigger cost.
-    * Single-writer contract: the snapshot is valid for the duration of
-    * one fold because only the folding caller writes the store. */
-  final case class Manifest(rows: Seq[(String, Long, Long)], lastBatch: Long)
-
+  /** Read the manifest TSV driver-side, with the crash-safe `__old`
+    * fallback (a swap that died between its two renames leaves the
+    * complete pre-swap manifest at `manifest__old`; the writer restores
+    * it on its next swap — reading must NOT mutate, same argument as
+    * [[CardStream.tableOrEmpty]]). */
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
-    val rs = manifest(spark, dir)
-      .select(col("table"), col("bucket"), col("gen"), col("last_batch"))
-      .collect()
-    val rows = rs.iterator.filter(_.getString(0) != MetaTable)
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    val lb = if (rs.isEmpty) -1L else rs.map(_.getLong(3)).max
-    Manifest(rows, lb)
+    val hfs = fs(spark, dir)
+    val live = new Path(s"$dir/manifest/$ManifestFile")
+    val old = new Path(s"$dir/manifest__old/$ManifestFile")
+    val src = if (hfs.exists(live)) Some(live)
+              else if (hfs.exists(old)) Some(old)
+              else None
+    src match {
+      case None => Manifest(Nil, -1L)
+      case Some(p) =>
+        val in = hfs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toArray finally in.close()
+        require(lines.nonEmpty && lines.head.startsWith(ManifestHeader),
+          s"unrecognized BucketStore manifest at $p")
+        val head = lines.head.split('\t')
+        val rows = lines.iterator.drop(1).filter(_.nonEmpty).map { l =>
+          val f = l.split('\t')
+          (f(0), f(1).toLong, f(2).toLong)
+        }.toSeq
+        // header carries (lastBatch, maxGen): generation numbering must
+        // stay monotone even when a fold empties every bucket, or a
+        // later fold could reuse a gen that straggler files still hold
+        Manifest(rows, head(1).toLong, head(2).toLong)
+    }
+  }
+
+  /** Atomically replace the manifest: stage dir + file write + the
+    * shared two-rename cutover. One driver-side file op, no Spark job. */
+  private def writeManifest(spark: SparkSession, dir: String,
+                            rows: Seq[(String, Long, Long)],
+                            batchId: Long, maxGen: Long): Unit = {
+    val hfs = fs(spark, dir)
+    val stage = new Path(s"$dir/manifest__stage")
+    if (hfs.exists(stage) && !hfs.delete(stage, true))
+      throw new java.io.IOException(s"cannot clear stale $stage")
+    hfs.mkdirs(stage)
+    val out = hfs.create(new Path(stage, ManifestFile), true)
+    try {
+      val sb = new StringBuilder
+      sb.append(ManifestHeader).append('\t').append(batchId)
+        .append('\t').append(maxGen).append('\n')
+      rows.foreach { case (t, b, g) =>
+        sb.append(t).append('\t').append(b).append('\t').append(g).append('\n')
+      }
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    CardStream.swapStaged(spark, s"$dir/manifest")
   }
 
   /** The batch id of the last committed fold, -1 on a fresh store —
@@ -93,24 +132,16 @@ object BucketStore {
     * path pruning — I/O is |buckets| leaf dirs, never the store).
     * Returns `fallbackSchema.limit(0)` when nothing is stored. Pass a
     * pre-loaded [[Manifest]] to resolve pointers without re-reading
-    * the manifest parquet (one Spark job saved per call). */
+    * the manifest file. */
   def read(spark: SparkSession, dir: String, table: String,
            buckets: Option[Seq[Long]], fallbackSchema: DataFrame,
            man: Option[Manifest] = None): DataFrame = {
     if (buckets.exists(_.isEmpty)) return fallbackSchema.limit(0)
-    val refs: Array[(Long, Long)] = man match {
-      case Some(m) =>
-        val keep = buckets.map(_.toSet)
-        m.rows.iterator
-          .filter { case (t, b, _) => t == table && keep.forall(_(b)) }
-          .map { case (_, b, g) => (b, g) }.toArray
-      case None =>
-        val mdf = manifest(spark, dir).filter(col("table") === table)
-        buckets.fold(mdf)(bs => mdf.filter(col("bucket").isin(bs: _*)))
-          .select(col("bucket"), col("gen"))
-          .collect() // O(#buckets) pointers — the manifest IS driver-small
-          .map(r => (r.getLong(0), r.getLong(1)))
-    }
+    val m = man.getOrElse(loadManifest(spark, dir))
+    val keep = buckets.map(_.toSet)
+    val refs = m.rows.iterator
+      .filter { case (t, b, _) => t == table && keep.forall(_(b)) }
+      .map { case (_, b, g) => (b, g) }.toArray
     if (refs.isEmpty) return fallbackSchema.limit(0)
     val paths = refs.map { case (b, g) => s"$dir/files/$table/g=$g/p=$b" }
     spark.read.parquet(paths.toIndexedSeq: _*)
@@ -128,12 +159,9 @@ object BucketStore {
     require(updates.map(_._1).distinct.size == updates.size,
       "one update per table")
     val hfs = fs(spark, dir)
-    val man = manIn.map(_.rows.toArray).getOrElse(
-      manifest(spark, dir)
-        .filter(col("table") =!= MetaTable)
-        .select(col("table"), col("bucket"), col("gen"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
-    val newGen = if (man.isEmpty) 0L else man.map(_._3).max + 1L
+    val m0 = manIn.getOrElse(loadManifest(spark, dir))
+    val man = m0.rows.toArray
+    val newGen = (m0.maxGen +: man.map(_._3)).max + 1L
     val written = updates.map { case (table, content, bucketCol, touched) =>
       val genDir = s"$dir/files/$table/g=$newGen"
       // sorted projection: one canonical on-disk column order per table
@@ -153,12 +181,8 @@ object BucketStore {
     val keep = man.filterNot { case (t, b, _) =>
       written.exists { case (wt, touched, _) => wt == t && touched(b) } }
     val rows = keep.map { case (t, b, g) => (t, b, g) } ++
-      written.flatMap { case (t, _, actual) => actual.map(b => (t, b, newGen)) } ++
-      Seq((MetaTable, -1L, newGen))
-    import spark.implicits._
-    val newMan = rows.toSeq.toDF("table", "bucket", "gen")
-      .withColumn("last_batch", lit(batchId))
-    CardStream.swapInto(spark, newMan, s"$dir/manifest")
+      written.flatMap { case (t, _, actual) => actual.map(b => (t, b, newGen)) }
+    writeManifest(spark, dir, rows.toSeq, batchId, newGen)
     gcUnreferenced(hfs, dir, rows.map { case (t, b, g) => (t, b, g) }.toSet)
   }
 

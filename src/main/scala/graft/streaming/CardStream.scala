@@ -596,13 +596,13 @@ object CardStream {
     * convention — a mid-chain dup does not resurrect its followers) or
     * (b) ANY already-accepted document of the accumulated corpus.
     *
-    * Store: a [[BucketStore]] of three tables — `data` = surviving
-    * rows and `sh` = their shingle sets, both hash-bucketed by id;
+    * Store: a [[BucketStore]] of two tables — `data` = surviving
+    * rows WITH their shingle sets (column `sh`), hash-bucketed by id;
     * `posts` = their (band, key) postings, hash-bucketed by
     * (band, key). Per batch the fold READS only the posting buckets
-    * the batch's own postings hash into (candidate probe), the shingle
+    * the batch's own postings hash into (candidate probe), the data
     * buckets of the candidate ids (verification side), and the
-    * data/sh/posts buckets the survivors land in; it WRITES only
+    * data/posts buckets the survivors land in; it WRITES only
     * new-generation files for those buckets and swaps the manifest —
     * O(touched buckets) I/O per trigger on a store that grows without
     * bound, never an O(corpus) rewrite. Untouched buckets keep their
@@ -619,92 +619,104 @@ object CardStream {
                       textCol: String, idCol: String,
                       n: Int = 2, k: Int = 64, bands: Int = 16,
                       minJaccard: Double = 0.5,
-                      batchId: Long = -1L): Long = {
+                      batchId: Long = -1L,
+                      storeBuckets: Int = BucketStore.StoreBuckets): Long = {
     import graft.operators.Dedup
-    import BucketStore.StoreBuckets
-    // manifest resolved ONCE for the whole fold (fence + 5 table
-    // reads + commit base): single-writer, so the snapshot stays
-    // valid, and on a tiny-batch stream the saved manifest re-reads
-    // are whole Spark jobs — the dominant fixed trigger cost
+    require(!batch.columns.contains("sh") && !batch.columns.contains("bucket"),
+      "nearDupSuppress reserves the column names 'sh' and 'bucket'")
+    // manifest resolved ONCE for the whole fold — a driver-side file
+    // read, no Spark job (fence + 3 table reads + commit base);
+    // single-writer, so the snapshot stays valid for the fold
     val man = Some(BucketStore.loadManifest(spark, dir))
     if (batchId >= 0 && man.get.lastBatch == batchId)
       return 0L // replayed micro-batch: no-op
-    // in-batch pass: drop the id2 of every verified pair
-    val inBatchDropped = Dedup.minhashLshPairs(batch, textCol, idCol,
-        n, k, bands, minJaccard)
-      .select(col("id2").as("_drop")).distinct()
-    val afterSelf = batch.join(inBatchDropped,
-      batch(idCol) === col("_drop"), "left_anti")
-    // history probe: candidates by shared (band, key), verified on the
-    // stored shingle sets
-    val sh = afterSelf.select(col(idCol).as("id"),
-        Dedup.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("bucket", pmod(xxhash64(col("id")), lit(StoreBuckets.toLong)))
-      .localCheckpoint(true) // reused by probe + verify + store append
-    val posts = sh
-      .select(col("id"),
+    val nb = lit(storeBuckets.toLong)
+    // ONE checkpoint of the batch's derived state: caller columns +
+    // shingle set + id-hash store bucket. The shingle pipeline was
+    // previously computed twice (in-batch LSH pass, then again for
+    // the history probe); the fused fold computes it once and stores
+    // the shingles IN the data table, so cross-batch verification
+    // reads one table instead of a data/sh pair — two commit writes
+    // per trigger, not three.
+    val base = batch
+      .withColumn("sh", Dedup.shingles(col(textCol), n))
+      .withColumn("bucket", pmod(xxhash64(col(idCol)), nb))
+      .localCheckpoint(true)
+    // (band, key) postings of every batch doc — empty-shingle docs
+    // post nothing and can never be dropped
+    val posts = base.filter(size(col("sh")) > 0)
+      .select(col(idCol).as("id"),
         graft.functions.expr.TextExprs.minhash_sig(col("sh"), k).as("sig"))
       .select(col("id"), explode(Dedup.lshBands(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .withColumn("bucket",
-        pmod(xxhash64(col("band"), col("key")), lit(StoreBuckets.toLong)))
-      .localCheckpoint(true)
-    // every driver-side collect below is a bucket-id set: ≤ StoreBuckets
+        pmod(xxhash64(col("band"), col("key")), nb))
+      .localCheckpoint(true) // reused: bucket set, both cand joins, append
+    // every driver-side collect below is a bucket-id set: ≤ storeBuckets
     // longs, by construction
     val postBuckets = posts.select("bucket").distinct()
       .collect().map(_.getLong(0))
     val storedPosts = BucketStore.read(spark, dir, "posts",
         Some(postBuckets.toSeq), posts, man)
       .select(col("id").as("_oid"), col("band"), col("key"))
-    val cand = posts.join(storedPosts, Seq("band", "key"))
-      .select(col("id"), col("_oid")).distinct()
+    // candidate pairs of BOTH passes in one frame, tagged by side:
+    // in-batch (the semDeDup drop-if-any-smaller convention — a
+    // mid-chain dup does not resurrect its followers, so the smaller
+    // side is ANY batch doc, dropped or not) and history (any
+    // already-accepted doc). Testing in-batch-dropped docs against
+    // history too is harmless: their drop is already decided, and the
+    // final drop set is the union either way.
+    val inCand = posts.as("a").join(posts.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("b.id") < col("a.id"))
+      .select(col("a.id").as("id"), col("b.id").as("_oid"),
+        lit(true).as("_inbatch")).distinct()
+    val histCand = posts.join(storedPosts, Seq("band", "key"))
+      .select(col("id"), col("_oid"), lit(false).as("_inbatch")).distinct()
+    val cand = inCand.unionAll(histCand)
       .localCheckpoint(true) // probed twice: oid-bucket set + verify join
-    val oidBuckets = cand
-      .select(pmod(xxhash64(col("_oid")), lit(StoreBuckets.toLong)).as("b"))
+    val oidBuckets = cand.filter(!col("_inbatch"))
+      .select(pmod(xxhash64(col("_oid")), nb).as("b"))
       .distinct().collect().map(_.getLong(0))
-    val storedSh = BucketStore.read(spark, dir, "sh",
-        Some(oidBuckets.toSeq), sh, man)
-      .select(col("id").as("_oid"), col("sh").as("_osh"))
-    val histDropped = cand
-      .join(sh, "id")
-      .join(storedSh, "_oid")
+    val storedSh = BucketStore.read(spark, dir, "data",
+        Some(oidBuckets.toSeq), base, man)
+      .select(col(idCol).as("_oid"), col("sh").as("_osh"),
+        lit(false).as("_inbatch"))
+    val batchSh = base
+      .select(col(idCol).as("_oid"), col("sh").as("_osh"),
+        lit(true).as("_inbatch"))
+    // ONE verification join for both passes; round(…, 4) keeps a
+    // threshold-edge pair judged identically regardless of which
+    // micro-batch boundary the duplicate landed on (the batch oracle
+    // convention of Dedup.minhashLshPairs)
+    val dropped = cand
+      .join(base.select(col(idCol).as("id"), col("sh")), "id")
+      .join(batchSh.unionAll(storedSh), Seq("_oid", "_inbatch"))
       .withColumn("_inter", size(array_intersect(col("sh"), col("_osh"))))
-      // round(…, 4) EXACTLY like minhashLshPairs' verify step: the
-      // in-batch and cross-batch passes must judge a threshold-edge
-      // pair identically, or the survivor set would depend on which
-      // micro-batch boundary the duplicate landed on
       .filter(round(col("_inter").cast("double") /
         (size(col("sh")) + size(col("_osh")) - col("_inter")), 4) >= minJaccard)
       .select(col("id").as("_drop")).distinct()
-    val survivors = afterSelf.join(histDropped,
-        afterSelf(idCol) === col("_drop"), "left_anti")
-      .localCheckpoint(true)
+    val survivors = base.join(dropped,
+        base(idCol) === col("_drop"), "left_anti")
+      .localCheckpoint(true) // reused: touched set, data append, count
     val survIds = survivors.select(col(idCol).as("id"))
-    // merge = stored bucket content ∪ accepted rows, for ONLY the
-    // buckets the survivors land in (append-only: accepted docs never
-    // change, so untouched buckets carry over by manifest pointer)
-    val newData = survivors.withColumn("bucket",
-      pmod(xxhash64(col(idCol)), lit(StoreBuckets.toLong)))
     val newPosts = posts.join(survIds, "id")
-    // ONE job collects both touched-bucket sets (each ≤ StoreBuckets
-    // longs) — id-hash buckets of the survivors and (band,key)-hash
-    // buckets of their postings — instead of two separate collects
-    val touched = newData.select(lit(0).as("t"), col("bucket"))
+    // ONE job collects both touched-bucket sets — id-hash buckets of
+    // the survivors and (band,key)-hash buckets of their postings
+    val touched = survivors.select(lit(0).as("t"), col("bucket"))
       .unionAll(newPosts.select(lit(1).as("t"), col("bucket")))
       .distinct().collect()
     val idBuckets = touched.filter(_.getInt(0) == 0).map(_.getLong(1)).toSeq
     val survPostBuckets = touched.filter(_.getInt(0) == 1).map(_.getLong(1)).toSeq
+    // merge = stored bucket content ∪ accepted rows, for ONLY the
+    // buckets the survivors land in (append-only: accepted docs never
+    // change, so untouched buckets carry over by manifest pointer)
     val mergedData = BucketStore.read(spark, dir, "data",
-      Some(idBuckets), newData, man).unionByName(newData)
-    val newSh = sh.join(survIds, "id") // id-hash bucketed like data
-    val mergedSh = BucketStore.read(spark, dir, "sh",
-      Some(idBuckets), newSh, man).unionByName(newSh)
+      Some(idBuckets), survivors, man).unionByName(survivors)
     val mergedPosts = BucketStore.read(spark, dir, "posts",
       Some(survPostBuckets), newPosts, man).unionByName(newPosts)
     BucketStore.commit(spark, dir, Seq(
       ("data", mergedData, "bucket", idBuckets),
-      ("sh", mergedSh, "bucket", idBuckets),
       ("posts", mergedPosts, "bucket", survPostBuckets)), batchId, man)
     survivors.count()
   }
@@ -713,8 +725,10 @@ object CardStream {
     * table in the caller's schema; store bucket column stripped). */
   def nearDupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val fallback = spark.range(0).select(lit(0L).as("doc_id"),
-      lit("").as("text"), lit(0L).as("bucket"))
-    BucketStore.read(spark, dir, "data", None, fallback).drop("bucket")
+      lit("").as("text"), array().cast("array<string>").as("sh"),
+      lit(0L).as("bucket"))
+    BucketStore.read(spark, dir, "data", None, fallback)
+      .drop("bucket", "sh")
   }
 
   /** One micro-batch of streaming IMAGE near-dup suppression — the
@@ -827,13 +841,14 @@ object CardStream {
   def startNearDupSuppress(docs: DataFrame, dir: String, checkpoint: String,
                            textCol: String = "text", idCol: String = "doc_id",
                            n: Int = 2, k: Int = 64, bands: Int = 16,
-                           minJaccard: Double = 0.5): StreamingQuery =
+                           minJaccard: Double = 0.5,
+                           storeBuckets: Int = BucketStore.StoreBuckets): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupSuppress(batch.sparkSession, batch, dir, textCol, idCol,
-          n, k, bands, minJaccard, batchId)
+          n, k, bands, minJaccard, batchId, storeBuckets)
         ()
       }
       .start()
