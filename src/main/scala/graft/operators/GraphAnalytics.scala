@@ -1816,6 +1816,82 @@ object GraphAnalytics {
           .as("c4_count"))
   }
 
+  /** [[c4Count]]'s SCALE TWIN: an unbiased wedge-sampled estimate of
+    * the 4-cycle count (the Jha–Seshadhri–Pinar wedge-sampling idea,
+    * localized per middle, with a Horvitz–Thompson correction). The
+    * exact form's wedge join is Θ(Σ deg(mid)²) and — uniquely in the
+    * wedge family — orientation cannot help (a 4-cycle's diagonal
+    * needs BOTH wedge corners), so on a hub-skewed graph the exact
+    * count is quadratic in corpus size (measured 26× for the 10×
+    * sf0.1→sf1 decade on the fixed-hub events graph). A plain
+    * per-middle cap bounds the join but silently biases the motif
+    * count DOWN; the fix is to keep the cap and weight what survives:
+    *
+    *   - each middle `z` enumerates wedges only over the md5-spread
+    *     `maxDegree`-neighbor sample S(z) of [[capNeighbors]] (so the
+    *     wedge bag is ≤ |V|·maxDegree², flat in SF for fixed caps);
+    *   - a wedge (a,z,c) with both corners in S(z) was kept with
+    *     probability π_z = s(s−1)/(d(d−1)) under the hash-uniform
+    *     sample (s = min(d, maxDegree), d = deg(z)), so it carries HT
+    *     weight w_z = 1/π_z — sub-cap middles keep w = 1 and stay
+    *     EXACT;
+    *   - a 4-cycle seen via diagonal {a,c} and middles {b,d} is kept
+    *     iff both its wedges are, with probability π_b·π_d, so the
+    *     per-pair sum over kept-middle pairs of w_b·w_d — computed as
+    *     (S² − Q)/2 from S = Σ w, Q = Σ w² — has expectation equal to
+    *     the pair's true C(codeg, 2), and Ĉ4 = ½·Σ_{a<c} (S²−Q)/2 is
+    *     unbiased over the hash draw (the estimator degenerates to
+    *     [[c4Count]] exactly when maxDegree ≥ max degree: all w = 1 ⇒
+    *     S²−Q = n(n−1); C4SampledSpec pins both properties).
+    *
+    * Determinism & replay: the sample is the md5 rank order (no RNG),
+    * weights are integer MICROS (w_micros = d(d−1)·10⁶ div s(s−1)) so
+    * every aggregation is integer and order-independent, and the two
+    * super-long intermediates (S², Σw²) run in decimal(38,0) — the
+    * whole plan is SQL-replayable, so the estimate itself can be
+    * hash-exact against a DuckDB oracle. Magnitude bound: the micro
+    * product d(d−1)·10⁶ must fit a long ⇒ d ≤ ~3·10⁶ per middle;
+    * past that, pre-aggregate hubs or drop the unit to 10³.
+    *
+    * @return one row (n_wedges_sampled, n_diag_pairs, c4_estimate).
+    */
+  def c4CountSampled(edges: DataFrame, maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, "a wedge needs two sampled neighbors")
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("from"), col("v").as("to"))
+      .unionAll(canon.select(col("v").as("from"), col("u").as("to")))
+      .localCheckpoint(true) // reused: degrees + the sampled wedge sides
+    val samp = capNeighbors(adj, maxDegree)
+    // HT weight per middle, integer micros; s(s−1)/(d(d−1)) is the
+    // exact inclusion probability of any FIXED neighbor pair under a
+    // uniform s-of-d sample, and the md5 rank order is hash-uniform
+    val capPairs = maxDegree.toLong * (maxDegree - 1L)
+    val deg = adj.groupBy(col("from").as("mid"))
+      .agg(count(lit(1)).as("d"))
+      .withColumn("w", when(col("d") <= maxDegree, lit(1000000L))
+        .otherwise(expr(s"(d * (d - 1L) * 1000000L) div $capPairs"))) // floor
+      .select(col("mid"), col("w"))
+    val wedges = samp.select(col("from").as("mid"), col("to").as("a"))
+      .join(samp.select(col("from").as("mid"), col("to").as("c")), "mid")
+      .filter(col("a") < col("c"))
+      .join(deg, "mid")
+    // per diagonal pair: Σ_{b≠d kept} w_b·w_d = S² − Q (each unordered
+    // middle pair twice ⇒ the global /4 below folds both the ×2 and
+    // the ½ of the diagonal identity); micros² ⇒ one div 10¹²
+    val pairs = wedges.groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("n_w"),
+        sum(col("w")).cast("decimal(38,0)").as("s"),
+        sum(col("w").cast("decimal(38,0)") * col("w").cast("decimal(38,0)"))
+          .as("q"))
+      .withColumn("t", expr("(s * s - q) div 1000000000000L"))
+    pairs.agg(sum(col("n_w")).cast("long").as("n_wedges_sampled"),
+      count(lit(1)).as("n_diag_pairs"),
+      expr("sum(t) div 4").cast("long").as("c4_estimate"))
+  }
+
   /** Sampled harmonic centrality: H(v) = Σ_{s ∈ S, s ≠ v} 1/d(s, v)
     * over a deterministic source sample S — the `numSources` lowest
     * vertices by `(md5Bucket(id), id)`, i.e. [[Sampling.md5Bucket]]'s

@@ -726,6 +726,63 @@ object EventQueries {
         "event_id", gapUs = 30L * 60L * 1000000L)
     }),
 
+    // STREAMING incremental additive rollup, oracle-gated (X33
+    // promoted from spec-only, the qX_stream_neardup playbook): fold
+    // the events table through a BucketStore rollup in 3 deterministic
+    // micro-batches (user_id mod 3 — additive merges are commutative,
+    // so ANY disjoint batching must land on the same table), refold
+    // the last batch to exercise the at-least-once replay fence (a
+    // double-count would hash-mismatch), then gate the accumulated
+    // per-(type, user-shard) sums. The DuckDB oracle is the plain
+    // global GROUP BY the rollup must equal; values fold as integer
+    // micros so partial-sum order can't matter.
+    "qX_stream_rollup" -> ((s, dir) => {
+      import graft.streaming.CardStream
+      // tiny child session: the fold's cost is fixed per-trigger jobs
+      // over a few hundred partial rows, not data (qX_stream_neardup's
+      // rationale); isolated SQLConf, shared SparkContext
+      val fold = s.newSession()
+      fold.conf.set("spark.sql.shuffle.partitions", "2")
+      val ev = Tables.load(fold, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
+          floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
+          lit(1L).as("n"))
+        .localCheckpoint(true)
+      val shm = new java.io.File("/dev/shm")
+      val root = (if (shm.isDirectory)
+          java.nio.file.Files.createTempDirectory(shm.toPath, "graft-rugate")
+        else java.nio.file.Files.createTempDirectory("graft-rugate"))
+      val store = root.toString + "/ru"
+      try {
+        // 8 store buckets — a few-hundred-key rollup wants few bucket
+        // files (read/write planning is linear in them; a 100 TB
+        // rollup would size UP from the 64 default instead)
+        (0 to 2).foreach { i =>
+          CardStream.mergeAdditive(fold,
+            ev.filter(pmod(col("g"), lit(3L)) === i),
+            store, Seq("event_type", "g"), Seq("v_micros", "n"),
+            batchId = i.toLong, storeBuckets = 8)
+        }
+        // at-least-once redelivery of the last batch: fenced no-op
+        val replayed = CardStream.mergeAdditive(fold,
+          ev.filter(pmod(col("g"), lit(3L)) === 2),
+          store, Seq("event_type", "g"), Seq("v_micros", "n"),
+          batchId = 2L, storeBuckets = 8)
+        require(replayed == 0L, "replay fence must no-op")
+        // materialize BEFORE the finally deletes the tmpfs store
+        CardStream.readRollup(s, store)
+          .select(col("event_type"), col("g"), col("v_micros"), col("n"))
+          .orderBy(col("event_type"), col("g"))
+          .localCheckpoint(true)
+      } finally {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        try Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        catch { case _: java.io.IOException => () }
+      }
+    }),
+
     // Winsorized mean of event value (5% each tail clamped to the
     // tail quantile) — the robust revenue mean on the exact
     // distributed-rank primitive.
@@ -2515,6 +2572,16 @@ object EventQueries {
         |      AS BIGINT)
         |  END AS b_micros
         |FROM s ORDER BY user_id""".stripMargin,
+
+    // The rollup store must equal the one global GROUP BY it
+    // materializes incrementally — batching and the replay fence are
+    // invisible in the final table (that's the matview contract).
+    "qX_stream_rollup" ->
+      """SELECT event_type, CAST(user_id % 97 AS BIGINT) AS g,
+        |  CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS v_micros,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "qX_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id

@@ -289,6 +289,18 @@ object GraphQueries {
         .orderBy(col("anchor"), col("rank"))
     }),
 
+    // qX_adamic_adar's SCALE TWIN (the qD1_pymk_capped story for the
+    // degree-discounted scorer): wedge sides enumerate each middle's
+    // 16-neighbor md5-spread sample while degrees, 1/ln(deg) discounts
+    // and the direct-edge anti join stay EXACT on the full adjacency.
+    // The exact gate timed out at sf1 (quadratic hub wedges); this
+    // bounded form is what runs at scale, rn<=cap replay in the oracle.
+    "qX_adamic_adar_capped" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.adamicAdar(edges, 5, maxDegree = 16)
+        .orderBy(col("anchor"), col("rank"))
+    }),
+
     // Link-prediction score family: all four classic local indices
     // (common neighbors, resource allocation, Jaccard, preferential
     // attachment) from ONE wedge aggregation — the full candidate-pair
@@ -657,6 +669,27 @@ object GraphQueries {
     "qX_c4" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
       graft.operators.GraphAnalytics.c4Count(edges)
+    }),
+
+    // qX_c4's SCALE TWIN + tolerance CONTRACT: the HT-weighted
+    // wedge-sampled estimate (middles capped at 16 md5-spread
+    // neighbors — hubs sampled, sub-cap vertices exact). The md5
+    // sample is SQL-replayable, so the ESTIMATE hash-matches the
+    // oracle exactly; the oracle additionally computes the exact
+    // count and pins band_ok = 1, asserting the estimate lands
+    // within ±25% of it (the qX_ann_lsh_recall contract shape).
+    // Exact gate stays as the sf0.01 contract; this twin is what
+    // runs at sf ≥ 1 (exact measured 26× for the sf0.1→sf1 decade).
+    "qX_c4_sampled" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      val est = graft.operators.GraphAnalytics.c4CountSampled(edges, 16)
+      val exact = graft.operators.GraphAnalytics.c4Count(edges)
+        .select(col("c4_count").as("c4_exact"))
+      est.crossJoin(exact) // both single-row
+        .select(col("n_wedges_sampled"), col("n_diag_pairs"),
+          col("c4_estimate"), col("c4_exact"),
+          (abs(col("c4_estimate") - col("c4_exact")) * lit(4L) <=
+            col("c4_exact")).cast("long").as("band_ok"))
     }),
 
     // Log-binned degree histogram — ⌊log₂ d⌋ via the exact
@@ -1739,6 +1772,50 @@ object GraphQueries {
          |SELECT count(*) AS n_diag_pairs,
          |  CAST(sum(n * (n - 1)) / 4 AS BIGINT) AS c4_count
          |FROM codeg""".stripMargin,
+    // Full replay of the HT-weighted wedge-sampled estimator: md5 rank
+    // sample per middle (capNeighbors' key), integer-micro HT weights
+    // d(d−1)·10⁶ div s(s−1), per-diagonal S²−Q in HUGEINT (the Spark
+    // side's decimal(38,0)), global div 10¹² then div 4. The exact
+    // count is re-derived and band_ok is PINNED to 1: the gate fails
+    // unless the estimate lands within ±25% of the exact count.
+    "qX_c4_sampled" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT u AS mid, v AS nb FROM e
+         |        UNION ALL SELECT v AS mid, u AS nb FROM e),
+         |rn AS (
+         |  SELECT mid, nb, row_number() OVER (PARTITION BY mid ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(mid AS VARCHAR) || ':' ||
+         |      CAST(nb AS VARCHAR)), 1, 8)) AS BIGINT), nb) AS rn
+         |  FROM adj),
+         |samp AS MATERIALIZED (SELECT mid, nb FROM rn WHERE rn.rn <= 16),
+         |degw AS (
+         |  SELECT mid, CASE WHEN count(*) <= 16 THEN CAST(1000000 AS BIGINT)
+         |    ELSE (count(*) * (count(*) - 1) * 1000000) // 240 END AS w
+         |  FROM adj GROUP BY mid),
+         |wedges AS (
+         |  SELECT a.nb AS a, c.nb AS c, degw.w AS w
+         |  FROM samp a JOIN samp c ON a.mid = c.mid AND a.nb < c.nb
+         |  JOIN degw ON degw.mid = a.mid),
+         |pairs AS (
+         |  SELECT a, c, count(*) AS n_w, sum(CAST(w AS HUGEINT)) AS s,
+         |    sum(CAST(w AS HUGEINT) * w) AS q
+         |  FROM wedges GROUP BY 1, 2),
+         |est AS (
+         |  SELECT CAST(sum(n_w) AS BIGINT) AS n_wedges_sampled,
+         |    count(*) AS n_diag_pairs,
+         |    CAST(sum((s * s - q) // 1000000000000) // 4 AS BIGINT)
+         |      AS c4_estimate
+         |  FROM pairs),
+         |codeg AS (SELECT a.nb AS a, c.nb AS c, count(*) AS n
+         |  FROM adj a JOIN adj c ON a.mid = c.mid AND a.nb < c.nb
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT CAST(sum(n * (n - 1)) / 4 AS BIGINT) AS c4_exact
+         |  FROM codeg)
+         |SELECT est.n_wedges_sampled, est.n_diag_pairs, est.c4_estimate,
+         |  exact.c4_exact, CAST(1 AS BIGINT) AS band_ok
+         |FROM est, exact""".stripMargin,
     "qX_salsa_pymk" -> psalsaSql(iters = 3, anchor = 1L, topK = 10),
     "qX_richclub" ->
       s"""WITH edges AS ($EdgesSql),
@@ -1811,6 +1888,41 @@ object GraphQueries {
          |       JOIN adj y ON y.f = wz.z
          |  WHERE x.f <> y.t
          |  GROUP BY x.f, y.t),
+         |cand AS (
+         |  SELECT sc.* FROM sc
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM adj WHERE adj.f = sc.a AND adj.t = sc.c)),
+         |r AS (
+         |  SELECT a AS anchor, c AS id, score, row_number() OVER (
+         |    PARTITION BY a ORDER BY score DESC, c) AS rank
+         |  FROM cand)
+         |SELECT anchor, rank, id, score FROM r WHERE rank <= 5
+         |ORDER BY anchor, rank""".stripMargin,
+    // rn<=16 md5-rank replay of the capped wedge sides; wz (discounts)
+    // and the anti join read the FULL adjacency, exactly like the
+    // operator (capNeighbors bounds wedge multiplicity only).
+    "qX_adamic_adar_capped" ->
+      s"""WITH edges AS ($EdgesSql),
+         |adj AS MATERIALIZED (
+         |  SELECT src AS f, dst AS t FROM edges
+         |  UNION
+         |  SELECT dst, src FROM edges),
+         |rn AS (
+         |  SELECT f, t, row_number() OVER (PARTITION BY f ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(f AS VARCHAR) || ':' ||
+         |      CAST(t AS VARCHAR)), 1, 8)) AS BIGINT), t) AS rn
+         |  FROM adj),
+         |samp AS MATERIALIZED (SELECT f, t FROM rn WHERE rn.rn <= 16),
+         |wz AS (
+         |  SELECT f AS z, CAST(round(1000000.0 / ln(count(*))) AS BIGINT) AS w
+         |  FROM adj GROUP BY f HAVING count(*) >= 2),
+         |sc AS (
+         |  SELECT x.t AS a, y.t AS c,
+         |    round(sum(wz.w) / 1000000.0, 4) AS score
+         |  FROM samp x JOIN wz ON x.f = wz.z
+         |       JOIN samp y ON y.f = wz.z
+         |  WHERE x.t <> y.t
+         |  GROUP BY 1, 2),
          |cand AS (
          |  SELECT sc.* FROM sc
          |  WHERE NOT EXISTS (

@@ -382,9 +382,9 @@ object CardStream {
     */
   def mergeAdditive(spark: SparkSession, batch: DataFrame, dir: String,
                     keyCols: Seq[String], sumCols: Seq[String],
-                    batchId: Long = -1L): Long = {
-    import BucketStore.StoreBuckets
-    migrateLegacyRollup(spark, dir, keyCols)
+                    batchId: Long = -1L,
+                    storeBuckets: Int = BucketStore.StoreBuckets): Long = {
+    migrateLegacyRollup(spark, dir, keyCols, storeBuckets)
     // one manifest snapshot per fold — see nearDupSuppress
     val man = Some(BucketStore.loadManifest(spark, dir))
     if (batchId >= 0 && man.get.lastBatch == batchId)
@@ -393,7 +393,7 @@ object CardStream {
       .agg(sumCols.map(c => sum(col(c)).as(c)).head,
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
       .withColumn("bucket",
-        pmod(xxhash64(keyCols.map(col): _*), lit(StoreBuckets.toLong)))
+        pmod(xxhash64(keyCols.map(col): _*), lit(storeBuckets.toLong)))
       .localCheckpoint(true) // reused: bucket-id set + merge input
     val touched = partial.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ StoreBuckets longs
@@ -418,15 +418,15 @@ object CardStream {
     * replay fence survives the migration), and renames the legacy
     * data out of the way so the migration itself is idempotent. */
   private def migrateLegacyRollup(spark: SparkSession, dir: String,
-                                  keyCols: Seq[String]): Unit = {
-    import BucketStore.StoreBuckets
+                                  keyCols: Seq[String],
+                                  storeBuckets: Int): Unit = {
     recoverSwap(spark, dir) // restore a half-swapped legacy layout
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/data")) ||
         fs.exists(new Path(s"$dir/manifest"))) return
     val legacy = spark.read.parquet(s"$dir/data")
       .withColumn("bucket",
-        pmod(xxhash64(keyCols.map(col): _*), lit(StoreBuckets.toLong)))
+        pmod(xxhash64(keyCols.map(col): _*), lit(storeBuckets.toLong)))
       .localCheckpoint(true)
     val legacyBatch = spark.read.parquet(s"$dir/meta").head().getLong(0)
     val buckets = legacy.select("bucket").distinct()

@@ -659,6 +659,34 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(GraphAnalytics.c4Count(tri).head().getLong(1) == 0L)
   }
 
+  test("c4CountSampled: cap >= max degree degenerates to the exact count") {
+    // hub-heavy bipartite-ish graph: users 1..8 each linked to hubs
+    // 101..104 in an id-dependent pattern — plenty of 4-cycles
+    val g = (1L to 8L).flatMap(u => (101L to 104L)
+        .filter(h => (u + h) % 3 != 0).map(h => (u, h)))
+      .toDF("src", "dst")
+    val exact = GraphAnalytics.c4Count(g).head().getLong(1)
+    assert(exact > 0L)
+    val est = GraphAnalytics.c4CountSampled(g, maxDegree = 64).head()
+    assert(est.getLong(2) == exact,
+      "all weights 1 when nothing is sampled => estimator is the identity")
+  }
+
+  test("c4CountSampled: K4 under cap 2 stays nonneg; square exact at cap 2") {
+    // square: every vertex has degree 2 = cap, so nothing is sampled
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val sEst = GraphAnalytics.c4CountSampled(square, maxDegree = 2).head()
+    assert((sEst.getLong(1), sEst.getLong(2)) == ((2L, 1L)))
+    // K4 at cap 2: each middle keeps C(2,2)=1 of C(3,2)=3 wedges with
+    // HT weight 3 => per-diagonal S/Q depend on the md5 draw, but the
+    // estimate must be a nonnegative integer (S² >= Q termwise)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val kEst = GraphAnalytics.c4CountSampled(k4, maxDegree = 2).head()
+    assert(kEst.getLong(2) >= 0L)
+    assert(kEst.getLong(0) == 4L, "4 middles x 1 sampled wedge each")
+  }
+
   test("conductance: bridge between two triangles, single-community guard") {
     // two triangles joined by edge 3-4: vol = 7 each side, cut = 1
     // each → φ = ⌊1e6/7⌋; one community owning all ends → φ = 0
