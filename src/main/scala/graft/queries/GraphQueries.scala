@@ -671,16 +671,26 @@ object GraphQueries {
       graft.operators.GraphAnalytics.c4Count(edges)
     }),
 
-    // qX_c4's SCALE TWIN + tolerance CONTRACT: the HT-weighted
-    // wedge-sampled estimate (middles capped at 16 md5-spread
-    // neighbors — hubs sampled, sub-cap vertices exact). The md5
-    // sample is SQL-replayable, so the ESTIMATE hash-matches the
-    // oracle exactly; the oracle additionally computes the exact
-    // count and pins band_ok = 1, asserting the estimate lands
-    // within ±25% of it (the qX_ann_lsh_recall contract shape).
-    // Exact gate stays as the sf0.01 contract; this twin is what
-    // runs at sf ≥ 1 (exact measured 26× for the sf0.1→sf1 decade).
+    // qX_c4's SCALE TWIN: the HT-weighted wedge-sampled estimate
+    // (middles capped at 16 md5-spread neighbors — hubs sampled,
+    // sub-cap vertices exact). The md5 sample is SQL-replayable, so
+    // the ESTIMATE hash-matches the oracle exactly. This is the form
+    // that runs at sf ≥ 1 (the exact codegree join measured 26× for
+    // the sf0.1→sf1 decade); qX_c4_band is the companion tolerance
+    // contract that re-derives the exact count beside it.
     "qX_c4_sampled" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.c4CountSampled(edges, 16)
+    }),
+
+    // qX_c4_sampled's tolerance CONTRACT (the qX_ann_lsh_recall
+    // shape): estimate and exact count side by side, and the oracle
+    // pins band_ok = 1 — the gate fails unless the estimate lands
+    // within ±25% of the exact count (measured +5.3% at sf0.01,
+    // +0.8% at sf0.1 under cap 16). Runs the quadratic exact form by
+    // construction, so this gate is the CONTRACT at oracle scale
+    // while qX_c4_sampled alone is the scale path.
+    "qX_c4_band" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
       val est = graft.operators.GraphAnalytics.c4CountSampled(edges, 16)
       val exact = graft.operators.GraphAnalytics.c4Count(edges)
@@ -1775,10 +1785,40 @@ object GraphQueries {
     // Full replay of the HT-weighted wedge-sampled estimator: md5 rank
     // sample per middle (capNeighbors' key), integer-micro HT weights
     // d(d−1)·10⁶ div s(s−1), per-diagonal S²−Q in HUGEINT (the Spark
-    // side's decimal(38,0)), global div 10¹² then div 4. The exact
-    // count is re-derived and band_ok is PINNED to 1: the gate fails
-    // unless the estimate lands within ±25% of the exact count.
+    // side's decimal(38,0)), global div 10¹² then div 4.
     "qX_c4_sampled" ->
+      s"""WITH edges AS ($EdgesSql),
+         |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM edges WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT u AS mid, v AS nb FROM e
+         |        UNION ALL SELECT v AS mid, u AS nb FROM e),
+         |rn AS (
+         |  SELECT mid, nb, row_number() OVER (PARTITION BY mid ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(mid AS VARCHAR) || ':' ||
+         |      CAST(nb AS VARCHAR)), 1, 8)) AS BIGINT), nb) AS rn
+         |  FROM adj),
+         |samp AS MATERIALIZED (SELECT mid, nb FROM rn WHERE rn.rn <= 16),
+         |degw AS (
+         |  SELECT mid, CASE WHEN count(*) <= 16 THEN CAST(1000000 AS BIGINT)
+         |    ELSE (count(*) * (count(*) - 1) * 1000000) // 240 END AS w
+         |  FROM adj GROUP BY mid),
+         |wedges AS (
+         |  SELECT a.nb AS a, c.nb AS c, degw.w AS w
+         |  FROM samp a JOIN samp c ON a.mid = c.mid AND a.nb < c.nb
+         |  JOIN degw ON degw.mid = a.mid),
+         |pairs AS (
+         |  SELECT a, c, count(*) AS n_w, sum(CAST(w AS HUGEINT)) AS s,
+         |    sum(CAST(w AS HUGEINT) * w) AS q
+         |  FROM wedges GROUP BY 1, 2)
+         |SELECT CAST(sum(n_w) AS BIGINT) AS n_wedges_sampled,
+         |  count(*) AS n_diag_pairs,
+         |  CAST(sum((s * s - q) // 1000000000000) // 4 AS BIGINT)
+         |    AS c4_estimate
+         |FROM pairs""".stripMargin,
+    // The estimator replay beside the re-derived exact count; band_ok
+    // is PINNED to 1 — the gate fails unless the estimate lands
+    // within ±25% of the exact count.
+    "qX_c4_band" ->
       s"""WITH edges AS ($EdgesSql),
          |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |      FROM edges WHERE src <> dst),
