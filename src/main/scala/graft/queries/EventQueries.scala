@@ -783,6 +783,58 @@ object EventQueries {
       }
     }),
 
+    // STREAMING admission gate, oracle-gated (X124 promoted from
+    // spec-only): same 3-batch rollup fold as qX_stream_rollup, but
+    // each batch must pass a declarative constraint suite BEFORE it
+    // folds — and the middle batch is built to FAIL its compliance
+    // check (every row has g % 3 = 1), so it quarantines and the
+    // rollup accumulates only batches 0 and 2. The oracle is the
+    // GROUP BY over exactly the admitted two-thirds: a contaminated
+    // fold (quarantined rows leaking into the sums) hash-mismatches.
+    "qX_stream_gated" -> ((s, dir) => {
+      import graft.streaming.CardStream
+      import graft.operators.Profile.{Completeness, Compliance}
+      val fold = s.newSession()
+      fold.conf.set("spark.sql.shuffle.partitions", "2")
+      val ev = Tables.load(fold, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
+          floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
+          lit(1L).as("n"))
+        .localCheckpoint(true)
+      val checks = Seq(
+        Completeness("event_type", 1.0),
+        // the admission rule the middle batch violates by construction
+        Compliance("g_mod3_not_1", "g", pmod(col("g"), lit(3L)) =!= 1L, 1.0))
+      val shm = new java.io.File("/dev/shm")
+      val root = (if (shm.isDirectory)
+          java.nio.file.Files.createTempDirectory(shm.toPath, "graft-aggate")
+        else java.nio.file.Files.createTempDirectory("graft-aggate"))
+      val store = root.toString + "/ag"
+      try {
+        val verdicts = (0 to 2).map { i =>
+          CardStream.gatedMergeAdditive(fold,
+            ev.filter(pmod(col("g"), lit(3L)) === i),
+            store, Seq("event_type", "g"), Seq("v_micros", "n"), checks,
+            batchId = i.toLong, storeBuckets = 8)._1
+        }
+        require(verdicts == Seq(true, false, true),
+          "admission verdicts must be (pass, quarantine, pass)")
+        // the quarantined batch is preserved verbatim for reprocessing
+        require(fold.read.parquet(s"$store/quarantine/b=1").count() > 0,
+          "quarantined batch must land under quarantine/")
+        CardStream.readRollup(s, store)
+          .select(col("event_type"), col("g"), col("v_micros"), col("n"))
+          .orderBy(col("event_type"), col("g"))
+          .localCheckpoint(true)
+      } finally {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        try Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        catch { case _: java.io.IOException => () }
+      }
+    }),
+
     // Winsorized mean of event value (5% each tail clamped to the
     // tail quantile) — the robust revenue mean on the exact
     // distributed-rank primitive.
@@ -2582,6 +2634,16 @@ object EventQueries {
         |    AS v_micros,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Only the admitted batches (g % 3 <> 1) may reach the rollup —
+    // the quarantine leak check is the difference from qX_stream_rollup.
+    "qX_stream_gated" ->
+      """SELECT event_type, CAST(user_id % 97 AS BIGINT) AS g,
+        |  CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS v_micros,
+        |  count(*) AS n
+        |FROM events WHERE (user_id % 97) % 3 <> 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "qX_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id

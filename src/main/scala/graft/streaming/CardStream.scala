@@ -499,7 +499,9 @@ object CardStream {
   def gatedMergeAdditive(spark: SparkSession, batch: DataFrame, dir: String,
                          keyCols: Seq[String], sumCols: Seq[String],
                          checks: Seq[graft.operators.Profile.Check],
-                         batchId: Long = -1L): (Boolean, Long) = {
+                         batchId: Long = -1L,
+                         storeBuckets: Int = BucketStore.StoreBuckets)
+      : (Boolean, Long) = {
     if (batch.isEmpty) return (true, 0L)
     val report = graft.operators.Profile.checkConstraints(batch, checks)
       .localCheckpoint(true) // |checks| rows; reused for verdict + metrics
@@ -511,7 +513,8 @@ object CardStream {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/gate_metrics/b=$bTag")
     if (admitted) {
-      (true, mergeAdditive(spark, batch, dir, keyCols, sumCols, batchId))
+      (true, mergeAdditive(spark, batch, dir, keyCols, sumCols, batchId,
+        storeBuckets))
     } else {
       batch.write.mode("overwrite").parquet(s"$dir/quarantine/b=$bTag")
       (false, batch.count())
