@@ -81,6 +81,23 @@ object BucketStore {
               else if (hfs.exists(old)) Some(old)
               else None
     src match {
+      // a manifest DIRECTORY without the TSV is a store written by the
+      // pre-TSV layout (parquet manifest rows incl. the _meta sentinel):
+      // reading it as empty would silently orphan every accumulated
+      // bucket, so fall back to one Spark read — the next commit writes
+      // the TSV and the fallback never runs again for this store
+      case None if hfs.exists(new Path(s"$dir/manifest")) ||
+                   hfs.exists(new Path(s"$dir/manifest__old")) =>
+        val mdf = CardStream.tableOrEmpty(spark, s"$dir/manifest",
+          spark.range(0).select(lit("").as("table"), lit(0L).as("bucket"),
+            lit(0L).as("gen"), lit(-1L).as("last_batch")))
+        val rs = mdf.select(col("table"), col("bucket"), col("gen"),
+          col("last_batch")).collect()
+        val rows = rs.iterator.filter(_.getString(0) != "_meta")
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        val lb = if (rs.isEmpty) -1L else rs.map(_.getLong(3)).max
+        val mg = if (rs.isEmpty) -1L else rs.map(_.getLong(2)).max
+        Manifest(rows, lb, mg)
       case None => Manifest(Nil, -1L)
       case Some(p) =>
         val in = hfs.open(p)

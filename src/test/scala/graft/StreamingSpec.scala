@@ -688,6 +688,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map("a" -> (11L, 3L), "b" -> (5L, 1L), "c" -> (3L, 1L)))
   }
 
+  test("loadManifest falls back to a v1 parquet manifest; commit upgrades it") {
+    val dir = tmp("manifest_v1") + "/store"
+    // hand-write the pre-TSV layout: parquet manifest rows (incl. the
+    // _meta sentinel) + one bucket's data under its generation dir
+    Seq(("rollup", 3L, 2L, 5L), ("_meta", -1L, 2L, 5L))
+      .toDF("table", "bucket", "gen", "last_batch")
+      .write.parquet(s"$dir/manifest")
+    Seq(("a", 10L, 3L)).toDF("key", "v", "bucket")
+      .write.parquet(s"$dir/files/rollup/g=2/p=3")
+    val man = BucketStore.loadManifest(spark, dir)
+    assert(man.rows == Seq(("rollup", 3L, 2L)) && man.lastBatch == 5L &&
+      man.maxGen == 2L, "v1 rows, fence and gen floor must all survive")
+    val got = BucketStore.read(spark, dir, "rollup", Some(Seq(3L)),
+      Seq.empty[(String, Long, Long)].toDF("key", "v", "bucket"))
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("a"))
+    // first v2 commit rewrites the manifest as TSV: the accumulated
+    // bucket must carry over by pointer, and the fallback never fires
+    // again (the TSV now exists)
+    val add = Seq(("b", 1L, 7L)).toDF("key", "v", "bucket")
+    BucketStore.commit(spark, dir, Seq(("rollup", add, "bucket", Seq(7L))),
+      6L, Some(man))
+    val man2 = BucketStore.loadManifest(spark, dir)
+    assert(man2.lastBatch == 6L && man2.maxGen == 3L &&
+      man2.rows.toSet == Set(("rollup", 3L, 2L), ("rollup", 7L, 3L)),
+      "untouched v1 bucket carried over; new bucket at the next gen")
+  }
+
   test("rollup fold touches ONLY the batch's key buckets; others byte-identical") {
     val dir = tmp("rollup_bucket") + "/counts"
     // 200 distinct keys spread across (virtually) all 64 store buckets
