@@ -17,18 +17,20 @@ for tables the sweep never touches.
 
 Deterministic; safe to re-run (overwrites OUT).
 """
-import os, sys, shutil
+import os, sys, shutil, random, collections, bisect
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+FULL = "--full" in sys.argv
+OUT = args[0] if args else "/tmp/sf10"
 COPIES = 100
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "documents", "embeddings"]:
+for t in ["region", "nation", "customer", "supplier", "part", "orders"] + \
+        ([] if FULL else ["lineitem", "documents", "embeddings"]):
     shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
     print(f"copied {t}")
 
@@ -42,4 +44,93 @@ con.execute(f"""
     CROSS JOIN (SELECT unnest(range({COPIES})) AS c) c
   ) TO '{OUT}/events.parquet' (FORMAT parquet)""")
 print(f"events tiled x{COPIES}")
-print(f"sf10 graph slice ready at {OUT}")
+
+if not FULL:
+    print(f"sf10 graph slice ready at {OUT}")
+    sys.exit(0)
+
+# --full: the text/vector decade too (gen_sf1's resampling rules —
+# tiling texts would plant 99 exact twins per doc and degenerate the
+# dedup gates into pair explosions the real distribution lacks)
+con.execute(f"""
+  COPY (
+    SELECT l.l_orderkey + c.c * 150000 AS l_orderkey,
+           l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+           l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag,
+           l.l_linestatus, l.l_shipdate
+    FROM '{SRC}/lineitem.parquet' l
+    CROSS JOIN (SELECT unnest(range({COPIES})) AS c) c
+  ) TO '{OUT}/lineitem.parquet' (FORMAT parquet)""")
+print(f"lineitem tiled x{COPIES}")
+
+rows = con.execute(
+    f"SELECT text, lang, source FROM '{SRC}/documents.parquet'").fetchall()
+vocab = collections.Counter()
+lengths = []
+langs = collections.Counter()
+sources = collections.Counter()
+for text, lang, source in rows:
+    toks = text.split()
+    vocab.update(toks)
+    lengths.append(len(toks))
+    langs[lang] += 1
+    sources[source] += 1
+words = list(vocab.keys())
+# cumulative weights once: 50M+ token draws would otherwise rebuild
+# the cumulative distribution per call inside random.choices
+cum = []
+acc = 0
+for w in words:
+    acc += vocab[w]
+    cum.append(acc)
+lang_k = list(langs.keys()); lang_w = [langs[k] for k in lang_k]
+src_k = list(sources.keys()); src_w = [sources[k] for k in src_k]
+rng = random.Random(47)
+n_docs = len(rows) * COPIES
+con.execute("""CREATE TABLE docs (doc_id BIGINT, text VARCHAR,
+  lang VARCHAR, source VARCHAR, n_chars BIGINT)""")
+batch = []
+for i in range(n_docs):
+    n = rng.choice(lengths)
+    text = " ".join(
+        words[bisect.bisect(cum, rng.random() * acc)] for _ in range(n))
+    batch.append((i, text, rng.choices(lang_k, weights=lang_w)[0],
+                  rng.choices(src_k, weights=src_w)[0], len(text)))
+    if len(batch) == 50000:
+        con.executemany("INSERT INTO docs VALUES (?,?,?,?,?)", batch)
+        batch = []
+        print(f"  docs {i+1}/{n_docs}")
+if batch:
+    con.executemany("INSERT INTO docs VALUES (?,?,?,?,?)", batch)
+con.execute(f"COPY docs TO '{OUT}/documents.parquet' (FORMAT parquet)")
+print(f"documents regenerated: {n_docs}")
+
+emb = con.execute(
+    f"SELECT embedding, label FROM '{SRC}/embeddings.parquet'").fetchall()
+dim = len(emb[0][0])
+n_emb = len(emb) * COPIES
+mean = [0.0] * dim
+for v, _ in emb:
+    for j in range(dim):
+        mean[j] += v[j]
+mean = [m / len(emb) for m in mean]
+var = [0.0] * dim
+for v, _ in emb:
+    for j in range(dim):
+        var[j] += (v[j] - mean[j]) ** 2
+sd = [(x / len(emb)) ** 0.5 for x in var]
+label_k = sorted({l for _, l in emb})
+con.execute("""CREATE TABLE embs (vec_id BIGINT, embedding FLOAT[],
+  label INTEGER)""")
+ebatch = []
+for i in range(n_emb):
+    ebatch.append((i, [rng.gauss(mean[j], sd[j]) for j in range(dim)],
+                   rng.choice(label_k)))
+    if len(ebatch) == 20000:
+        con.executemany("INSERT INTO embs VALUES (?,?,?)", ebatch)
+        ebatch = []
+if ebatch:
+    con.executemany("INSERT INTO embs VALUES (?,?,?)", ebatch)
+con.execute(f"COPY embs TO '{OUT}/embeddings.parquet' (FORMAT parquet)")
+print(f"embeddings regenerated: {n_emb}")
+print(f"full sf10 ready at {OUT}")
