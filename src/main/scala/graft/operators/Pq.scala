@@ -127,14 +127,26 @@ object Pq {
     *
     * @return codebook (sub, cid, cvec) ready for [[pqEncode]]/[[pqTopK]]
     */
+  /** @param trainCap 0 = train the Lloyd rounds on every vector (the
+    *   oracle-replayable gate form). At 100 TB pass a bound (the FAISS
+    *   practice is ~100k-1M): training reads only the `trainCap` rows
+    *   with the lowest (xxhash64(id), id) — the same hash-spread,
+    *   rerun-stable rule as the seed pool, which stays a PREFIX of the
+    *   sample — while encoding remains full-corpus. k-means means are
+    *   statistics, not per-row state: a uniform sample's codebook
+    *   converges to the full-corpus one, and trainCap ≥ n is exactly
+    *   the full computation (PqSpec pins it). */
   def pqTrain(points: DataFrame, idCol: String, vecCol: String,
               m: Int, ksub: Int, iters: Int = 3,
-              seedPool: Int = 256): DataFrame = {
+              seedPool: Int = 256, trainCap: Int = 0): DataFrame = {
     require(m >= 1 && ksub >= 1, "need m >= 1 and ksub >= 1")
     val spark = points.sparkSession
-    val pts = points.select(col(idCol).as("id"),
+    val ptsAll = points.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("vec"))
       .filter(col("vec").isNotNull)
+    val pts = (if (trainCap > 0)
+        ptsAll.orderBy(xxhash64(col("id")), col("id")).limit(trainCap)
+      else ptsAll)
       .localCheckpoint(true) // scanned once for init + once per round
     // O(1) dim probe (first row), mirrors the schema-dynamic contract
     val dim = pts.select(size(col("vec"))).head.getInt(0)

@@ -424,6 +424,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "triangle closure must be the oriented semi join")
   }
 
+  test("c4 sampled twin: wedge sides are the capped heap sample, no cartesian") {
+    val p = plan("qX_c4_sampled")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(3000))
+    // the per-middle md5 cap must plan as the bounded-heap aggregate —
+    // if a change reroutes capNeighbors through a Window rank, every
+    // hub pays a deg-sized sort buffer again
+    assert(p.contains("partial_collect_top_k") || p.contains("collect_top_k"),
+      "wedge sides must enumerate the capNeighbors heap sample:\n" + p.take(2000))
+    assert(!p.contains("Window"), "no window rank in the sampling path")
+  }
+
   test("trailing window features: one exchange, range frame, no self-join") {
     val ev = Tables.load(spark, dir, "events")
       .select(org.apache.spark.sql.functions.col("event_id"),

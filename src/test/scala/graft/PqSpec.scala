@@ -80,6 +80,28 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(top.length == 4 * 5, "all top-5 slots must be same-combo at sim 1.0")
   }
 
+  test("trainCap >= n is the identity; a capped sample still recovers the atoms") {
+    val combos = Vector(a0 ++ b0, a0 ++ b1, a1 ++ b0, a1 ++ b1)
+    val pts = (0 until 40).map(i => (i.toLong, combos(i % 4)))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val full = Pq.pqTrain(pts, "id", "vec", m = 2, ksub = 2, iters = 3,
+      seedPool = 16).orderBy("sub", "cid").collect().toSeq
+    val capped = Pq.pqTrain(pts, "id", "vec", m = 2, ksub = 2, iters = 3,
+      seedPool = 16, trainCap = 1000).orderBy("sub", "cid").collect().toSeq
+    assert(capped == full, "trainCap >= n must be the exact computation")
+    // a 12-row hash-spread sample of 40 rows drawn from 4 exact atoms
+    // still has every atom with overwhelming probability, so the Lloyd
+    // fixpoint is the same atom set and self-query ADC sim is 1.0
+    val cb = Pq.pqTrain(pts, "id", "vec", m = 2, ksub = 2, iters = 3,
+      seedPool = 16, trainCap = 12)
+    val enc = Pq.pqEncode(pts, cb, "id", "vec")
+    val q = pts.filter(col("id") < 4)
+      .select((col("id") + 1000).as("id"), col("vec"))
+    val perfect = Pq.pqTopK(q, enc, cb, "id", "vec", 1)
+      .filter(col("sim") === 1.0).count()
+    assert(perfect == 4L, "sampled-training codebook must still be lossless here")
+  }
+
   test("fewer distinct subvectors than ksub yields fewer centroids, never duplicates") {
     val pts = (0 until 10).map(i => (i.toLong, if (i % 2 == 0) a0 ++ b0 else a1 ++ b0))
       .toDF("id", "vec").select(col("id"), col("vec").cast("array<float>").as("vec"))
