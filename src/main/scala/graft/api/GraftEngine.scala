@@ -1642,6 +1642,14 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
   def quadCount(): DataFrame =
     graft.operators.GraphAnalytics.c4Count(edges)
 
+  /** Unbiased wedge-sampled 4-cycle estimate
+    * ([[graft.operators.GraphAnalytics.c4CountSampled]]) — the scale
+    * form of [[quadCount]]: per-middle md5-spread cap with
+    * Horvitz–Thompson weights; exact for every sub-cap middle and
+    * equal to [[quadCount]] when `maxDegree` exceeds the max degree. */
+  def quadCountSampled(maxDegree: Int = 64): DataFrame =
+    graft.operators.GraphAnalytics.c4CountSampled(edges, maxDegree)
+
   /** Log-binned degree histogram of the knows graph
     * ([[graft.operators.GraphAnalytics.degreeHistogram]]) — the
     * distribution behind [[degreeExponent]]'s single-number fit. */

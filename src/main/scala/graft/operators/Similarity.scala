@@ -487,13 +487,30 @@ object Similarity {
     * @return (assignments (id, cluster, sim — cosine to own centroid),
     *         centroids (cid, cvec) ready for [[ivfTopK]])
     */
+  /** @param trainCap 0 = Lloyd rounds scan every vector (the exact,
+    *   oracle-replayable gate form). At 100 TB pass a bound: the
+    *   per-round mean statistics come from the `trainCap` rows with
+    *   the lowest (xxhash64(id), id) — hash-spread, rerun-stable, the
+    *   [[graft.operators.Pq.pqTrain]] rule — while the FINAL
+    *   assignment pass stays full-corpus. Means are statistics, not
+    *   per-row state: a uniform sample's centroids converge to the
+    *   full fit, and trainCap ≥ n is exactly the full computation
+    *   (SimilaritySpec pins it). */
   def kmeansFit(points: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int = 5,
-                seedPool: Int = 256): (DataFrame, DataFrame) = {
+                seedPool: Int = 256,
+                trainCap: Int = 0): (DataFrame, DataFrame) = {
     require(k >= 2, "k-means needs k >= 2")
     val spark = points.sparkSession
     val pts = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .localCheckpoint(true) // scanned per init pass + per round
+    // training slice for the Lloyd statistics; sampled from pts (NOT
+    // seedable) so trainCap >= n is bit-identical to the full fit even
+    // when zero-norm rows exist (they weigh on cluster 0's mean)
+    val train = if (trainCap > 0)
+        pts.orderBy(xxhash64(col("id")), col("id")).limit(trainCap)
+          .localCheckpoint(true)
+      else pts
     // NaN/NULL-proof similarity: see determinism contract above
     def safeSim(v: Column, c: Column): Column =
       coalesce(nanvl(cosine(v, c), lit(-1.0)), lit(-1.0))
@@ -560,7 +577,7 @@ object Similarity {
           (array_position(col("_sims"), array_max(col("_sims"))) - 1).cast("int"))
     }
     for (_ <- 1 to iters) {
-      val stats = withCluster(pts)
+      val stats = withCluster(train)
         .select(col("cluster"), posexplode(col("vec")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))

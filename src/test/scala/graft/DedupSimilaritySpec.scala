@@ -224,6 +224,19 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(run() == run())
   }
 
+  test("kmeansFit trainCap >= n is the identity; capped training still assigns everyone") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 60).select(col("vec_id"), col("embedding"))
+    def run(cap: Int) = Similarity.kmeansFit(emb, "vec_id", "embedding",
+        k = 4, iters = 2, seedPool = 32, trainCap = cap)._1
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(run(1000) == run(0), "trainCap >= n must be the exact computation")
+    // Lloyd stats from a 20-of-60 hash-spread sample: the ASSIGNMENT
+    // pass is still full-corpus (every id present exactly once)
+    val capped = run(20)
+    assert(capped.map(_._1) == (0L until 60L).toSeq)
+  }
+
   test("containmentPairs: full quote inclusion reads 1.0 where Jaccard reads 0.4") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c")).toDF("doc_id", "text")
     val c = Dedup.containmentPairs(docs, "text", "doc_id", 2, 0.9).collect()

@@ -596,6 +596,9 @@ class GraftEngineSpec extends AnyFunSuite with SparkSpec {
       "purchase", Seq("click"), 86400000000L).head()
     assert(la.getLong(3) == 1000000L)
     assert(engine.quadCount().head().getLong(1) >= 0L)
+    // sampled twin at a cap above any test-graph degree == exact
+    assert(engine.quadCountSampled(maxDegree = 1024).head().getLong(2) ==
+      engine.quadCount().head().getLong(1))
     val cc = engine.communityConductance().collect()
     assert(cc.nonEmpty && cc.forall(_.getLong(4) <= 1000000L))
   }
