@@ -835,6 +835,63 @@ object EventQueries {
       }
     }),
 
+    // STREAMING drift tripwire, oracle-gated (X145 promoted — the
+    // third of the admission/maintenance trio): each batch is
+    // PSI-scored against a fixed baseline before folding. Batches 0-1
+    // are plain user shards (PSI ≈ shard noise, admitted); batch 2 is
+    // the same shard with values TRIPLED — every row individually
+    // valid, so the constraint gate of qX_stream_gated would wave it
+    // through, but the distribution piles into the top PSI bin and
+    // trips the 0.2 threshold → quarantined. The rollup must equal
+    // the GROUP BY over the two admitted shards.
+    "qX_stream_drift" -> ((s, dir) => {
+      import graft.streaming.CardStream
+      val fold = s.newSession()
+      fold.conf.set("spark.sql.shuffle.partitions", "2")
+      val ev = Tables.load(fold, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
+          floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
+          lit(1L).as("n"))
+        .localCheckpoint(true)
+      // the drifted ingest: batch 2's shard with tripled values (an
+      // upstream unit-change bug — the shape constraint checks can't see)
+      val drifted = ev.filter(pmod(col("g"), lit(3L)) === 2)
+        .withColumn("v_micros", col("v_micros") * lit(3L))
+      val baseline = ev.filter(pmod(col("g"), lit(3L)) === 0)
+      val shm = new java.io.File("/dev/shm")
+      val root = (if (shm.isDirectory)
+          java.nio.file.Files.createTempDirectory(shm.toPath, "graft-drgate")
+        else java.nio.file.Files.createTempDirectory("graft-drgate"))
+      val store = root.toString + "/dr"
+      try {
+        val batches = Seq(
+          ev.filter(pmod(col("g"), lit(3L)) === 0),
+          ev.filter(pmod(col("g"), lit(3L)) === 1),
+          drifted)
+        val verdicts = batches.zipWithIndex.map { case (b, i) =>
+          CardStream.driftMonitoredMerge(fold, b, store,
+            Seq("event_type", "g"), Seq("v_micros", "n"), baseline,
+            "v_micros", lo = 0.0, hi = 5e8, bins = 10,
+            psiThresholdMicros = 200000L, batchId = i.toLong,
+            storeBuckets = 8)._1
+        }
+        require(verdicts == Seq(true, true, false),
+          "drift verdicts must be (pass, pass, quarantine)")
+        require(fold.read.parquet(s"$store/quarantine/b=2").count() > 0,
+          "drifted batch must land under quarantine/")
+        CardStream.readRollup(s, store)
+          .select(col("event_type"), col("g"), col("v_micros"), col("n"))
+          .orderBy(col("event_type"), col("g"))
+          .localCheckpoint(true)
+      } finally {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        try Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        catch { case _: java.io.IOException => () }
+      }
+    }),
+
     // Winsorized mean of event value (5% each tail clamped to the
     // tail quantile) — the robust revenue mean on the exact
     // distributed-rank primitive.
@@ -2643,6 +2700,17 @@ object EventQueries {
         |    AS v_micros,
         |  count(*) AS n
         |FROM events WHERE (user_id % 97) % 3 <> 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Only the two clean shards reach the rollup; the value-tripled
+    // shard trips PSI and quarantines (every row individually valid —
+    // the distribution-shift case the constraint gate cannot see).
+    "qX_stream_drift" ->
+      """SELECT event_type, CAST(user_id % 97 AS BIGINT) AS g,
+        |  CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS v_micros,
+        |  count(*) AS n
+        |FROM events WHERE (user_id % 97) % 3 < 2
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "qX_sessionize" ->

@@ -542,7 +542,9 @@ object CardStream {
                           sumCols: Seq[String], baseline: DataFrame,
                           valueCol: String, lo: Double, hi: Double,
                           bins: Int, psiThresholdMicros: Long,
-                          batchId: Long = -1L): (Boolean, Long) = {
+                          batchId: Long = -1L,
+                          storeBuckets: Int = BucketStore.StoreBuckets)
+      : (Boolean, Long) = {
     if (batch.isEmpty) return (true, 0L)
     val report = graft.operators.Drift
       .psi(baseline, batch, valueCol, lo, hi, bins)
@@ -558,7 +560,8 @@ object CardStream {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/drift_metrics/b=$bTag")
     if (admitted) {
-      (true, mergeAdditive(spark, batch, dir, keyCols, sumCols, batchId))
+      (true, mergeAdditive(spark, batch, dir, keyCols, sumCols, batchId,
+        storeBuckets))
     } else {
       batch.write.mode("overwrite").parquet(s"$dir/quarantine/b=$bTag")
       (false, batch.count())
