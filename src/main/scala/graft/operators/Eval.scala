@@ -29,14 +29,6 @@ object Eval {
     * larger fractional mass should pre-scale to integer micros
     * themselves, which routes them onto the exact branch.
     */
-  /** Deterministic rank key: integral columns rank by the raw long
-    * (lossless at any magnitude); fractional columns micro-quantize.
-    * MAGNITUDE BOUND on the fractional branch: the ×1e6 product runs
-    * in double, so distinct values above ~2⁵³/1e6 ≈ 9·10⁹ can collapse
-    * to one key (ordering then falls to the tie column) and the long
-    * cast saturates past ~9.2·10¹² — callers with fractional mass that
-    * large should pre-scale to integer micros themselves (which then
-    * takes the lossless integral branch). */
   private def rankKey(df: DataFrame, c: String): Column = {
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {

@@ -1882,8 +1882,11 @@ object GraphAnalytics {
     // middle pair twice ⇒ the global /4 below folds both the ×2 and
     // the ½ of the diagonal identity); micros² ⇒ one div 10¹²
     val pairs = wedges.groupBy(col("a"), col("c"))
+      // BOTH folds in decimal(38,0): a diagonal shared by a few
+      // hundred at-bound hubs (w ≈ 3.75e16 micros) would wrap a long
+      // Σw silently while the DuckDB oracle sums in HUGEINT
       .agg(count(lit(1)).as("n_w"),
-        sum(col("w")).cast("decimal(38,0)").as("s"),
+        sum(col("w").cast("decimal(38,0)")).as("s"),
         sum(col("w").cast("decimal(38,0)") * col("w").cast("decimal(38,0)"))
           .as("q"))
       .withColumn("t", expr("(s * s - q) div 1000000000000L"))

@@ -748,12 +748,8 @@ object EventQueries {
           floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
           lit(1L).as("n"))
         .localCheckpoint(true)
-      val shm = new java.io.File("/dev/shm")
-      val root = (if (shm.isDirectory)
-          java.nio.file.Files.createTempDirectory(shm.toPath, "graft-rugate")
-        else java.nio.file.Files.createTempDirectory("graft-rugate"))
-      val store = root.toString + "/ru"
-      try {
+      GateTmp.withStore("graft-rugate") { root =>
+        val store = root + "/ru"
         // 8 store buckets — a few-hundred-key rollup wants few bucket
         // files (read/write planning is linear in them; a 100 TB
         // rollup would size UP from the 64 default instead)
@@ -769,17 +765,11 @@ object EventQueries {
           store, Seq("event_type", "g"), Seq("v_micros", "n"),
           batchId = 2L, storeBuckets = 8)
         require(replayed == 0L, "replay fence must no-op")
-        // materialize BEFORE the finally deletes the tmpfs store
+        // materialize BEFORE the helper deletes the tmpfs store
         CardStream.readRollup(s, store)
           .select(col("event_type"), col("g"), col("v_micros"), col("n"))
           .orderBy(col("event_type"), col("g"))
           .localCheckpoint(true)
-      } finally {
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        try Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-        catch { case _: java.io.IOException => () }
       }
     }),
 
@@ -805,12 +795,8 @@ object EventQueries {
         Completeness("event_type", 1.0),
         // the admission rule the middle batch violates by construction
         Compliance("g_mod3_not_1", "g", pmod(col("g"), lit(3L)) =!= 1L, 1.0))
-      val shm = new java.io.File("/dev/shm")
-      val root = (if (shm.isDirectory)
-          java.nio.file.Files.createTempDirectory(shm.toPath, "graft-aggate")
-        else java.nio.file.Files.createTempDirectory("graft-aggate"))
-      val store = root.toString + "/ag"
-      try {
+      GateTmp.withStore("graft-aggate") { root =>
+        val store = root + "/ag"
         val verdicts = (0 to 2).map { i =>
           CardStream.gatedMergeAdditive(fold,
             ev.filter(pmod(col("g"), lit(3L)) === i),
@@ -826,12 +812,6 @@ object EventQueries {
           .select(col("event_type"), col("g"), col("v_micros"), col("n"))
           .orderBy(col("event_type"), col("g"))
           .localCheckpoint(true)
-      } finally {
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        try Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-        catch { case _: java.io.IOException => () }
       }
     }),
 
@@ -858,12 +838,8 @@ object EventQueries {
       val drifted = ev.filter(pmod(col("g"), lit(3L)) === 2)
         .withColumn("v_micros", col("v_micros") * lit(3L))
       val baseline = ev.filter(pmod(col("g"), lit(3L)) === 0)
-      val shm = new java.io.File("/dev/shm")
-      val root = (if (shm.isDirectory)
-          java.nio.file.Files.createTempDirectory(shm.toPath, "graft-drgate")
-        else java.nio.file.Files.createTempDirectory("graft-drgate"))
-      val store = root.toString + "/dr"
-      try {
+      GateTmp.withStore("graft-drgate") { root =>
+        val store = root + "/dr"
         val batches = Seq(
           ev.filter(pmod(col("g"), lit(3L)) === 0),
           ev.filter(pmod(col("g"), lit(3L)) === 1),
@@ -883,12 +859,6 @@ object EventQueries {
           .select(col("event_type"), col("g"), col("v_micros"), col("n"))
           .orderBy(col("event_type"), col("g"))
           .localCheckpoint(true)
-      } finally {
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        try Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-        catch { case _: java.io.IOException => () }
       }
     }),
 

@@ -287,17 +287,10 @@ object SimilarityQueries {
       val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
         substring(col("text"), 1, 200).as("text"))
       val all = docs.unionAll(planted).localCheckpoint(true)
-      // store on tmpfs when present: the fold writes/reads ~hundreds
-      // of small bucket files per batch, and the box's virtual disk
-      // turns that into I/O wait. 500 originals and 3 batches
-      // exercise the full semantics incl. the suppressed-history
-      // chain case (doc 100045 ↔ dropped 267).
-      val shm = new java.io.File("/dev/shm")
-      val root = (if (shm.isDirectory)
-          java.nio.file.Files.createTempDirectory(shm.toPath, "graft-ndgate")
-        else java.nio.file.Files.createTempDirectory("graft-ndgate"))
-      val store = root.toString + "/nd"
-      try {
+      // 500 originals and 3 batches exercise the full semantics incl.
+      // the suppressed-history chain case (doc 100045 ↔ dropped 267).
+      GateTmp.withStore("graft-ndgate") { root =>
+        val store = root + "/nd"
         val batches = Seq(
           col("doc_id") < 250,
           col("doc_id") >= 250 && col("doc_id") < 100000,
@@ -310,17 +303,11 @@ object SimilarityQueries {
             "text", "doc_id", n = 2, k = 64, bands = 16,
             minJaccard = 0.5, batchId = i.toLong, storeBuckets = 8)
         }
-        // materialize BEFORE the finally deletes the store (tmpfs is
+        // materialize BEFORE the helper deletes the store (tmpfs is
         // RAM — Bench's repeated passes must not accumulate stores)
         CardStream.nearDupSurvivors(s, store)
           .select(col("doc_id")).orderBy(col("doc_id"))
           .localCheckpoint(true)
-      } finally {
-        import java.nio.file.{Files, Path}
-        import scala.jdk.CollectionConverters._
-        try Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-        catch { case _: java.io.IOException => () }
       }
     }),
 

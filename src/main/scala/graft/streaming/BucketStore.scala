@@ -61,9 +61,14 @@ object BucketStore {
 
   /** The whole manifest, resolved ONCE into driver memory. Single-
     * writer contract: the snapshot is valid for the duration of one
-    * fold because only the folding caller writes the store. */
+    * fold because only the folding caller writes the store.
+    * `buckets` is the store's recorded hash-bucket modulus (-1 =
+    * unrecorded: a fresh store, a pre-v2 store, or a natural-key
+    * store like IVF cells) — [[commit]] refuses a fold whose declared
+    * modulus disagrees, because writer and prober hashing with
+    * different moduli silently splits a key's rows across buckets. */
   final case class Manifest(rows: Seq[(String, Long, Long)], lastBatch: Long,
-                            maxGen: Long = -1L)
+                            maxGen: Long = -1L, buckets: Long = -1L)
 
   private val ManifestFile = "manifest.tsv"
   private val ManifestHeader = "graft-bucketstore-v2"
@@ -110,10 +115,13 @@ object BucketStore {
           val f = l.split('\t')
           (f(0), f(1).toLong, f(2).toLong)
         }.toSeq
-        // header carries (lastBatch, maxGen): generation numbering must
-        // stay monotone even when a fold empties every bucket, or a
-        // later fold could reuse a gen that straggler files still hold
-        Manifest(rows, head(1).toLong, head(2).toLong)
+        // header carries (lastBatch, maxGen[, buckets]): generation
+        // numbering must stay monotone even when a fold empties every
+        // bucket, or a later fold could reuse a gen that straggler
+        // files still hold; buckets (absent in early-v2 headers) pins
+        // the store's hash modulus
+        Manifest(rows, head(1).toLong, head(2).toLong,
+          if (head.length > 3) head(3).toLong else -1L)
     }
   }
 
@@ -121,7 +129,8 @@ object BucketStore {
     * shared two-rename cutover. One driver-side file op, no Spark job. */
   private def writeManifest(spark: SparkSession, dir: String,
                             rows: Seq[(String, Long, Long)],
-                            batchId: Long, maxGen: Long): Unit = {
+                            batchId: Long, maxGen: Long,
+                            buckets: Long): Unit = {
     val hfs = fs(spark, dir)
     val stage = new Path(s"$dir/manifest__stage")
     if (hfs.exists(stage) && !hfs.delete(stage, true))
@@ -131,7 +140,8 @@ object BucketStore {
     try {
       val sb = new StringBuilder
       sb.append(ManifestHeader).append('\t').append(batchId)
-        .append('\t').append(maxGen).append('\n')
+        .append('\t').append(maxGen).append('\t').append(buckets)
+        .append('\n')
       rows.foreach { case (t, b, g) =>
         sb.append(t).append('\t').append(b).append('\t').append(g).append('\n')
       }
@@ -172,11 +182,18 @@ object BucketStore {
     * buckets keep their manifest pointer and their files. */
   def commit(spark: SparkSession, dir: String,
              updates: Seq[(String, DataFrame, String, Seq[Long])],
-             batchId: Long, manIn: Option[Manifest] = None): Unit = {
+             batchId: Long, manIn: Option[Manifest] = None,
+             buckets: Long = -1L): Unit = {
     require(updates.map(_._1).distinct.size == updates.size,
       "one update per table")
     val hfs = fs(spark, dir)
     val m0 = manIn.getOrElse(loadManifest(spark, dir))
+    // a declared modulus must match the store's recorded one: hashing
+    // the same key with two moduli splits its rows across buckets and
+    // the touched-bucket read silently misses half the history
+    require(buckets < 0 || m0.buckets < 0 || buckets == m0.buckets,
+      s"store $dir was bucketed with ${m0.buckets} buckets; fold declares $buckets")
+    val recordBuckets = if (buckets >= 0) buckets else m0.buckets
     val man = m0.rows.toArray
     val newGen = (m0.maxGen +: man.map(_._3)).max + 1L
     val written = updates.map { case (table, content, bucketCol, touched) =>
@@ -199,7 +216,7 @@ object BucketStore {
       written.exists { case (wt, touched, _) => wt == t && touched(b) } }
     val rows = keep.map { case (t, b, g) => (t, b, g) } ++
       written.flatMap { case (t, _, actual) => actual.map(b => (t, b, newGen)) }
-    writeManifest(spark, dir, rows.toSeq, batchId, newGen)
+    writeManifest(spark, dir, rows.toSeq, batchId, newGen, recordBuckets)
     gcUnreferenced(hfs, dir, rows.map { case (t, b, g) => (t, b, g) }.toSet)
   }
 

@@ -405,7 +405,8 @@ object CardStream {
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
       .localCheckpoint(true) // one computation: commit write + count
     BucketStore.commit(spark, dir,
-      Seq(("rollup", merged, "bucket", touched)), batchId, man)
+      Seq(("rollup", merged, "bucket", touched)), batchId, man,
+      buckets = storeBuckets.toLong)
     merged.count()
   }
 
@@ -432,7 +433,8 @@ object CardStream {
     val buckets = legacy.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq
     BucketStore.commit(spark, dir,
-      Seq(("rollup", legacy, "bucket", buckets)), legacyBatch)
+      Seq(("rollup", legacy, "bucket", buckets)), legacyBatch,
+      buckets = storeBuckets.toLong)
     fs.rename(new Path(s"$dir/data"), new Path(s"$dir/data__migrated"))
     fs.rename(new Path(s"$dir/meta"), new Path(s"$dir/meta__migrated"))
   }
@@ -633,7 +635,15 @@ object CardStream {
     // manifest resolved ONCE for the whole fold — a driver-side file
     // read, no Spark job (fence + 3 table reads + commit base);
     // single-writer, so the snapshot stays valid for the fold
-    val man = Some(BucketStore.loadManifest(spark, dir))
+    val man0 = BucketStore.loadManifest(spark, dir)
+    // one-time fold of the pre-fused layout (separate data/sh tables):
+    // the fused reader selects `sh` FROM the data table, so a store
+    // written by the 3-table release would crash its first post-
+    // upgrade fold — the migrateLegacyRollup argument. One O(store)
+    // rewrite, fence preserved, then never fires again.
+    val man = Some(if (man0.rows.exists(_._1 == "sh"))
+        migrateFusedNearDup(spark, batch, dir, idCol, storeBuckets, man0)
+      else man0)
     if (batchId >= 0 && man.get.lastBatch == batchId)
       return 0L // replayed micro-batch: no-op
     val nb = lit(storeBuckets.toLong)
@@ -723,7 +733,8 @@ object CardStream {
       Some(survPostBuckets), newPosts, man).unionByName(newPosts)
     BucketStore.commit(spark, dir, Seq(
       ("data", mergedData, "bucket", idBuckets),
-      ("posts", mergedPosts, "bucket", survPostBuckets)), batchId, man)
+      ("posts", mergedPosts, "bucket", survPostBuckets)), batchId, man,
+      buckets = storeBuckets.toLong)
     survivors.count()
   }
 
@@ -735,6 +746,52 @@ object CardStream {
       lit(0L).as("bucket"))
     BucketStore.read(spark, dir, "data", None, fallback)
       .drop("bucket", "sh")
+  }
+
+  /** One-time migration of a pre-fused near-dup store (separate
+    * `data`/`sh` tables) to the fused layout: shingles fold INTO the
+    * data table (left join — the old layout stored no row for
+    * empty-shingle docs, which post nothing and are never verified,
+    * so a missing set becomes an empty array), every surviving table
+    * REBUCKETS under the caller's modulus (the old store may have
+    * hashed with a different one), and the `sh` table's pointers drop
+    * via an empty update. Committed under the legacy `lastBatch`, so
+    * the at-least-once replay fence survives the migration. */
+  private def migrateFusedNearDup(spark: SparkSession, batch: DataFrame,
+                                  dir: String, idCol: String,
+                                  storeBuckets: Int,
+                                  man0: BucketStore.Manifest)
+      : BucketStore.Manifest = {
+    val nb = lit(storeBuckets.toLong)
+    def buckets(t: String): Seq[Long] =
+      man0.rows.filter(_._1 == t).map(_._2)
+    // touched = every old pointer plus every bucket the rebucketed
+    // content can land in (a modulus change moves rows across buckets)
+    def touched(t: String): Seq[Long] =
+      (buckets(t) ++ (0L until storeBuckets.toLong)).distinct
+    val oldData = BucketStore.read(spark, dir, "data", None,
+      batch.withColumn("bucket", lit(0L)), Some(man0))
+    val oldSh = BucketStore.read(spark, dir, "sh", None,
+      spark.range(0).select(lit(0L).as("id"),
+        array().cast("array<string>").as("sh"), lit(0L).as("bucket")),
+      Some(man0))
+    val oldPosts = BucketStore.read(spark, dir, "posts", None,
+      spark.range(0).select(lit(0L).as("id"), lit(0).as("band"),
+        lit(0L).as("key"), lit(0L).as("bucket")), Some(man0))
+    val fused = oldData.drop("bucket")
+      .join(oldSh.select(col("id"), col("sh")),
+        oldData(idCol) === col("id"), "left")
+      .drop("id")
+      .withColumn("sh", coalesce(col("sh"), array().cast("array<string>")))
+      .withColumn("bucket", pmod(xxhash64(col(idCol)), nb))
+    val rePosts = oldPosts
+      .withColumn("bucket", pmod(xxhash64(col("band"), col("key")), nb))
+    BucketStore.commit(spark, dir, Seq(
+      ("data", fused, "bucket", touched("data")),
+      ("posts", rePosts, "bucket", touched("posts")),
+      ("sh", oldSh.limit(0), "bucket", buckets("sh"))),
+      man0.lastBatch, Some(man0), buckets = storeBuckets.toLong)
+    BucketStore.loadManifest(spark, dir)
   }
 
   /** One micro-batch of streaming IMAGE near-dup suppression — the
@@ -817,7 +874,8 @@ object CardStream {
       Some(survPostBuckets), newPosts, man).unionByName(newPosts)
     BucketStore.commit(spark, dir, Seq(
       ("data", mergedData, "bucket", idBuckets),
-      ("chunks", mergedPosts, "bucket", survPostBuckets)), batchId, man)
+      ("chunks", mergedPosts, "bucket", survPostBuckets)), batchId, man,
+      buckets = StoreBuckets.toLong)
     survivors.count()
   }
 

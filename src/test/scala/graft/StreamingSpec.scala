@@ -688,6 +688,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map("a" -> (11L, 3L), "b" -> (5L, 1L), "c" -> (3L, 1L)))
   }
 
+  test("nearDupSuppress migrates a legacy 3-table (data/sh/posts) store") {
+    import graft.operators.Dedup
+    import graft.functions.expr.TextExprs
+    val dir = tmp("nd_legacy") + "/nd"
+    val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val other = "spark shuffles hash the join keys into partitions before the merge step runs"
+    // hand-write the pre-fused layout exactly as the 3-table release
+    // did: data without shingles, a separate sh table, mod-64 buckets
+    val docs0 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val data0 = docs0.withColumn("bucket",
+      pmod(xxhash64(col("doc_id")), lit(64L)))
+    val sh0 = docs0.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 2).as("sh"))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(64L)))
+    val posts0 = sh0
+      .select(col("id"), TextExprs.minhash_sig(col("sh"), 64).as("sig"))
+      .select(col("id"), explode(Dedup.lshBands(col("sig"), 64, 16)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bucket", pmod(xxhash64(col("band"), col("key")), lit(64L)))
+    def bs(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket").distinct().collect().map(_.getLong(0)).toSeq
+    BucketStore.commit(spark, dir, Seq(
+      ("data", data0, "bucket", bs(data0)),
+      ("sh", sh0, "bucket", bs(sh0)),
+      ("posts", posts0, "bucket", bs(posts0))), 0L)
+    // post-upgrade fold: 11 is a near-dup of MIGRATED doc 1 (last
+    // word dropped), 12 is fresh — history verification must work
+    // against the fused store
+    val b2 = Seq((11L, base.substring(0, base.lastIndexOf(' '))),
+      (12L, "entirely new content describing watermarks sessions and state stores in streams"))
+      .toDF("doc_id", "text")
+    CardStream.nearDupSuppress(spark, b2, dir, "text", "doc_id", batchId = 1L)
+    val survivors = CardStream.nearDupSurvivors(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 12L),
+      "migrated history suppresses 11; old docs and fresh 12 survive")
+    val man = BucketStore.loadManifest(spark, dir)
+    assert(!man.rows.exists(_._1 == "sh"), "sh table pointers dropped")
+    assert(man.lastBatch == 1L && man.buckets == 64L)
+    // fence still works after migration
+    assert(CardStream.nearDupSuppress(spark, b2, dir, "text", "doc_id",
+      batchId = 1L) == 0L)
+  }
+
   test("loadManifest falls back to a v1 parquet manifest; commit upgrades it") {
     val dir = tmp("manifest_v1") + "/store"
     // hand-write the pre-TSV layout: parquet manifest rows (incl. the

@@ -8,7 +8,7 @@ qX_linkpred_capped, qX_adamic_adar_capped, qX_c4_sampled) read
 `events` alone, and a full sf10 corpus would be minutes of synthesis
 for tables the sweep never touches.
 
-- events: 100 copies of sf0.1 (1M rows, 150k users), event_id/user_id
+- events: 100 copies of sf0.1 (10M rows, 150k users), event_id/user_id
   offset per copy, ts jittered +c*37ms — same tiling rule as gen_sf1,
   so the 50 FIXED hubs (dst = value % 50) grow their degree 100x:
   exactly the shape that kills uncapped wedge enumeration.
