@@ -778,11 +778,15 @@ object CardStream {
     val oldPosts = BucketStore.read(spark, dir, "posts", None,
       spark.range(0).select(lit(0L).as("id"), lit(0).as("band"),
         lit(0L).as("key"), lit(0L).as("bucket")), Some(man0))
+    // sh side renamed before the join: a caller whose idCol is
+    // literally "id" would otherwise make col("id") ambiguous, and
+    // drop("id") drops EVERY column of that name, the data id too
     val fused = oldData.drop("bucket")
-      .join(oldSh.select(col("id"), col("sh")),
-        oldData(idCol) === col("id"), "left")
-      .drop("id")
-      .withColumn("sh", coalesce(col("sh"), array().cast("array<string>")))
+      .join(oldSh.select(col("id").as("_mig_id"), col("sh").as("_mig_sh")),
+        col(idCol) === col("_mig_id"), "left")
+      .withColumn("sh",
+        coalesce(col("_mig_sh"), array().cast("array<string>")))
+      .drop("_mig_id", "_mig_sh")
       .withColumn("bucket", pmod(xxhash64(col(idCol)), nb))
     val rePosts = oldPosts
       .withColumn("bucket", pmod(xxhash64(col("band"), col("key")), nb))

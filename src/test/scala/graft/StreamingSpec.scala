@@ -732,6 +732,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       batchId = 1L) == 0L)
   }
 
+  test("nearDupSuppress migration works when the caller's idCol is 'id'") {
+    // the sh table's join column is also named "id": the migration
+    // must disambiguate, and must not drop the data id with drop("id")
+    import graft.operators.Dedup
+    import graft.functions.expr.TextExprs
+    val dir = tmp("nd_legacy_id") + "/nd"
+    val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val docs0 = Seq((1L, base)).toDF("id", "text")
+    val data0 = docs0.withColumn("bucket",
+      pmod(xxhash64(col("id")), lit(64L)))
+    val sh0 = docs0.select(col("id"), Dedup.shingles(col("text"), 2).as("sh"))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(64L)))
+    val posts0 = sh0
+      .select(col("id"), TextExprs.minhash_sig(col("sh"), 64).as("sig"))
+      .select(col("id"), explode(Dedup.lshBands(col("sig"), 64, 16)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bucket", pmod(xxhash64(col("band"), col("key")), lit(64L)))
+    def bs(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket").distinct().collect().map(_.getLong(0)).toSeq
+    BucketStore.commit(spark, dir, Seq(
+      ("data", data0, "bucket", bs(data0)),
+      ("sh", sh0, "bucket", bs(sh0)),
+      ("posts", posts0, "bucket", bs(posts0))), 0L)
+    val b2 = Seq((11L, base.substring(0, base.lastIndexOf(' '))),
+      (12L, "entirely new content describing watermarks sessions and state stores in streams"))
+      .toDF("id", "text")
+    CardStream.nearDupSuppress(spark, b2, dir, "text", "id", batchId = 1L)
+    val survivors = BucketStore.read(spark, dir, "data", None,
+        data0.withColumn("sh", array().cast("array<string>")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 12L),
+      "migrated history suppresses 11; doc 1 keeps its id column")
+  }
+
   test("loadManifest falls back to a v1 parquet manifest; commit upgrades it") {
     val dir = tmp("manifest_v1") + "/store"
     // hand-write the pre-TSV layout: parquet manifest rows (incl. the

@@ -1,17 +1,19 @@
 #!/usr/bin/env python3
-"""Builder-side sf10 GRAPH slice for the second-decade scale check
-(round 13; gen_sf1.py is the first decade).
+"""Builder-side sfN GRAPH slice for the decade scale checks
+(round 13; gen_sf1.py is the first decade, --copies 100 the second
+[sf10, the default], --copies 1000 the third [sf100]).
 
 Only the graph-bearing table is scaled: the capped wedge twins
 (qD1_pymk_capped, qX_pymk_decayed_capped, qX_ktruss,
 qX_linkpred_capped, qX_adamic_adar_capped, qX_c4_sampled) read
-`events` alone, and a full sf10 corpus would be minutes of synthesis
+`events` alone, and a full-corpus synthesis would be minutes of work
 for tables the sweep never touches.
 
-- events: 100 copies of sf0.1 (10M rows, 150k users), event_id/user_id
-  offset per copy, ts jittered +c*37ms — same tiling rule as gen_sf1,
-  so the 50 FIXED hubs (dst = value % 50) grow their degree 100x:
-  exactly the shape that kills uncapped wedge enumeration.
+- events: `--copies` copies of sf0.1 (100k rows, 1500 users each),
+  event_id/user_id offset per copy, ts jittered +c*37ms — same tiling
+  rule as gen_sf1, so the 50 FIXED hubs (dst = value % 50) grow their
+  degree `copies`x: exactly the shape that kills uncapped wedge
+  enumeration.
 - everything else: copied from sf0.1 as-is (present so Tables.load
   of a dim never 404s; scale-neutral for the sweep).
 
@@ -25,6 +27,9 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 FULL = "--full" in sys.argv
 OUT = args[0] if args else "/tmp/sf10"
 COPIES = 100
+for a in sys.argv[1:]:
+    if a.startswith("--copies="):
+        COPIES = int(a.split("=", 1)[1])
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
