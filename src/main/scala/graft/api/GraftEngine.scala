@@ -1647,8 +1647,9 @@ class GraftEngine(spark: SparkSession, warehouse: String) {
     * form of [[quadCount]]: per-middle md5-spread cap with
     * Horvitz–Thompson weights; exact for every sub-cap middle and
     * equal to [[quadCount]] when `maxDegree` exceeds the max degree. */
-  def quadCountSampled(maxDegree: Int = 64): DataFrame =
-    graft.operators.GraphAnalytics.c4CountSampled(edges, maxDegree)
+  def quadCountSampled(maxDegree: Int = 64,
+                       unit: Long = 1000000L): DataFrame =
+    graft.operators.GraphAnalytics.c4CountSampled(edges, maxDegree, unit)
 
   /** Log-binned degree histogram of the knows graph
     * ([[graft.operators.GraphAnalytics.degreeHistogram]]) — the

@@ -1845,18 +1845,32 @@ object GraphAnalytics {
     *     S²−Q = n(n−1); C4SampledSpec pins both properties).
     *
     * Determinism & replay: the sample is the md5 rank order (no RNG),
-    * weights are integer MICROS (w_micros = d(d−1)·10⁶ div s(s−1)) so
-    * every aggregation is integer and order-independent, and the two
-    * super-long intermediates (S², Σw²) run in decimal(38,0) — the
-    * whole plan is SQL-replayable, so the estimate itself can be
-    * hash-exact against a DuckDB oracle. Magnitude bound: the micro
-    * product d(d−1)·10⁶ must fit a long ⇒ d ≤ ~3·10⁶ per middle;
-    * past that, pre-aggregate hubs or drop the unit to 10³.
+    * weights are integer multiples of `unit` (w = d(d−1)·unit div
+    * s(s−1), default micros) so every aggregation is integer and
+    * order-independent, and the two super-long intermediates (S², Σw²)
+    * run in decimal(38,0) — the whole plan is SQL-replayable, so the
+    * estimate itself can be hash-exact against a DuckDB oracle.
+    *
+    * Magnitude bounds, and the `unit` knob: the weight itself must fit
+    * a long ⇒ d ≲ √(9.2·10¹⁸·s(s−1)/unit) per middle (~4.7·10⁷ at the
+    * micro default with cap 16 — the d(d−1)·unit product runs in
+    * decimal, so the product itself can't wrap first), and a sampled
+    * diagonal's HT mass (S²−Q)/unit² must fit a long — benign in
+    * practice because two at-bound hubs virtually never co-sample the
+    * same corner pair (P ≈ (cap/d)⁴), so a diagonal's S is dominated
+    * by one weight and S²−Q vanishes at n_w = 1. A graph with
+    * celebrity hubs past the d bound keeps the SAME estimator at
+    * `unit = 1000` (quantizes the HT weight to millis — bias stays
+    * zero, only the floor rounding coarsens ~1000×, invisible next to
+    * the sampling variance); the oracle gates pin the micro default.
     *
     * @return one row (n_wedges_sampled, n_diag_pairs, c4_estimate).
     */
-  def c4CountSampled(edges: DataFrame, maxDegree: Int): DataFrame = {
+  def c4CountSampled(edges: DataFrame, maxDegree: Int,
+                     unit: Long = 1000000L): DataFrame = {
     require(maxDegree >= 2, "a wedge needs two sampled neighbors")
+    require(unit >= 1L && unit <= 3000000000L,
+      "unit must be positive and unit^2 must fit a long")
     val canon = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -1865,14 +1879,18 @@ object GraphAnalytics {
       .unionAll(canon.select(col("v").as("from"), col("u").as("to")))
       .localCheckpoint(true) // reused: degrees + the sampled wedge sides
     val samp = capNeighbors(adj, maxDegree)
-    // HT weight per middle, integer micros; s(s−1)/(d(d−1)) is the
+    // HT weight per middle, integer `unit`s; s(s−1)/(d(d−1)) is the
     // exact inclusion probability of any FIXED neighbor pair under a
-    // uniform s-of-d sample, and the md5 rank order is hash-uniform
+    // uniform s-of-d sample, and the md5 rank order is hash-uniform.
+    // The d(d−1)·unit product runs in decimal so the only magnitude
+    // bound is on the RESULTING w (floored back to long — identical
+    // to the long product for every in-range d)
     val capPairs = maxDegree.toLong * (maxDegree - 1L)
     val deg = adj.groupBy(col("from").as("mid"))
       .agg(count(lit(1)).as("d"))
-      .withColumn("w", when(col("d") <= maxDegree, lit(1000000L))
-        .otherwise(expr(s"(d * (d - 1L) * 1000000L) div $capPairs"))) // floor
+      .withColumn("w", when(col("d") <= maxDegree, lit(unit))
+        .otherwise(expr(s"cast(cast(d as decimal(38,0)) * (d - 1L) * $unit" +
+          s" div $capPairs as long)"))) // floor
       .select(col("mid"), col("w"))
     val wedges = samp.select(col("from").as("mid"), col("to").as("a"))
       .join(samp.select(col("from").as("mid"), col("to").as("c")), "mid")
@@ -1880,7 +1898,7 @@ object GraphAnalytics {
       .join(deg, "mid")
     // per diagonal pair: Σ_{b≠d kept} w_b·w_d = S² − Q (each unordered
     // middle pair twice ⇒ the global /4 below folds both the ×2 and
-    // the ½ of the diagonal identity); micros² ⇒ one div 10¹²
+    // the ½ of the diagonal identity); units² ⇒ one div unit²
     val pairs = wedges.groupBy(col("a"), col("c"))
       // BOTH folds in decimal(38,0): a diagonal shared by a few
       // hundred at-bound hubs (w ≈ 3.75e16 micros) would wrap a long
@@ -1889,7 +1907,7 @@ object GraphAnalytics {
         sum(col("w").cast("decimal(38,0)")).as("s"),
         sum(col("w").cast("decimal(38,0)") * col("w").cast("decimal(38,0)"))
           .as("q"))
-      .withColumn("t", expr("(s * s - q) div 1000000000000L"))
+      .withColumn("t", expr(s"(s * s - q) div ${unit * unit}L"))
     pairs.agg(sum(col("n_w")).cast("long").as("n_wedges_sampled"),
       count(lit(1)).as("n_diag_pairs"),
       expr("sum(t) div 4").cast("long").as("c4_estimate"))

@@ -687,6 +687,26 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert(kEst.getLong(0) == 4L, "4 middles x 1 sampled wedge each")
   }
 
+  test("c4CountSampled: the unit knob only rescales the HT quantum") {
+    // one hub of degree 21 over cap 16: w = 21·20·unit div 240 is
+    // EXACTLY divisible at both units (420000/240, 420·10⁶/240), so
+    // the milli and micro estimates must agree to the integer — the
+    // knob exists for celebrity-degree graphs where d(d−1)·10⁶
+    // overflows a long, not to change the estimator
+    val star = (1L to 21L).map(u => (u, 100L)).toDF("src", "dst")
+    // a square among four leaves gives the estimate real 4-cycles to
+    // see through the hub sample as well
+    val g = star.unionAll(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst"))
+    val micro = GraphAnalytics.c4CountSampled(g, maxDegree = 16).head()
+    val milli = GraphAnalytics.c4CountSampled(g, maxDegree = 16,
+      unit = 1000L).head()
+    assert(micro.getLong(2) == milli.getLong(2),
+      "exactly-divisible weights => unit-invariant estimate")
+    assert(micro.getLong(0) == milli.getLong(0) &&
+      micro.getLong(1) == milli.getLong(1))
+  }
+
   test("conductance: bridge between two triangles, single-community guard") {
     // two triangles joined by edge 3-4: vol = 7 each side, cut = 1
     // each → φ = ⌊1e6/7⌋; one community owning all ends → φ = 0
