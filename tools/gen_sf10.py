@@ -39,15 +39,32 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders"] + \
     shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
     print(f"copied {t}")
 
-con.execute(f"""
-  COPY (
-    SELECT e.event_id + c.c * 100000 AS event_id,
-           e.ts + to_microseconds(c.c * 37000) AS ts,
-           e.user_id + c.c * 1500 AS user_id,
-           e.event_type, e.value, e.props
-    FROM '{SRC}/events.parquet' e
-    CROSS JOIN (SELECT unnest(range({COPIES})) AS c) c
-  ) TO '{OUT}/events.parquet' (FORMAT parquet)""")
+# Past ~1000 copies a single COPY materializes the whole cross join
+# (measured: 82 GB RSS and climbing at 10000 copies — an in-memory
+# duckdb cannot spill), so large tilings chunk into <=1000-copy part
+# files under an events.parquet DIRECTORY, which Spark's parquet
+# reader (and duckdb's glob) treats identically to the single file.
+def tile_events(dst, lo, hi):
+    con.execute(f"""
+      COPY (
+        SELECT e.event_id + c.c * 100000 AS event_id,
+               e.ts + to_microseconds(c.c * 37000) AS ts,
+               e.user_id + c.c * 1500 AS user_id,
+               e.event_type, e.value, e.props
+        FROM '{SRC}/events.parquet' e
+        CROSS JOIN (SELECT unnest(range({lo}, {hi})) AS c) c
+      ) TO '{dst}' (FORMAT parquet)""")
+
+if COPIES <= 1000:
+    tile_events(f"{OUT}/events.parquet", 0, COPIES)
+else:
+    part_dir = f"{OUT}/events.parquet"
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.makedirs(part_dir)
+    for lo in range(0, COPIES, 1000):
+        hi = min(lo + 1000, COPIES)
+        tile_events(f"{part_dir}/part-{lo:06d}.parquet", lo, hi)
+        print(f"  events copies [{lo}, {hi})")
 print(f"events tiled x{COPIES}")
 
 if not FULL:
