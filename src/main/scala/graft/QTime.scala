@@ -25,10 +25,16 @@ object QTime {
           else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_QTIME_PASSES=1 skips the warmup too — for the big
+    // synthetic SF dirs where a pass runs minutes and JIT noise is
+    // negligible against the measurement
+    val passes = sys.env.getOrElse("SPARK_GRAFT_QTIME_PASSES", "2").toInt
     for (name <- args) {
-      SparkEntry.queries(name)(spark, sfDir).count() // warmup
-      spark.catalog.clearCache()
-      val dts = (1 to 2).map { _ =>
+      if (passes > 1) {
+        SparkEntry.queries(name)(spark, sfDir).count() // warmup
+        spark.catalog.clearCache()
+      }
+      val dts = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9

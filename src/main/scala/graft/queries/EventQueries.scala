@@ -862,6 +862,40 @@ object EventQueries {
       }
     }),
 
+    // STREAMING trending leaderboard, oracle-gated (X171 promoted —
+    // the read side of the rollup store): fold the same 3 user-shard
+    // batches into a (event_type, g)-keyed count rollup, replay the
+    // last batch against the fence, then rank each event_type's top-5
+    // shards by count with the bounded-heap top-k. The oracle is the
+    // global GROUP BY + rank — leaderboard freshness equals rollup
+    // freshness, so a stale or double-counted store mis-ranks and
+    // hash-mismatches.
+    "qX_stream_trending" -> ((s, dir) => {
+      import graft.streaming.CardStream
+      val fold = s.newSession()
+      fold.conf.set("spark.sql.shuffle.partitions", "2")
+      val ev = Tables.load(fold, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
+          lit(1L).as("n"))
+        .localCheckpoint(true)
+      GateTmp.withStore("graft-trgate") { root =>
+        val store = root + "/tr"
+        (0 to 2).foreach { i =>
+          CardStream.mergeAdditive(fold,
+            ev.filter(pmod(col("g"), lit(3L)) === i),
+            store, Seq("event_type", "g"), Seq("n"),
+            batchId = i.toLong, storeBuckets = 8)
+        }
+        val replayed = CardStream.mergeAdditive(fold,
+          ev.filter(pmod(col("g"), lit(3L)) === 2),
+          store, Seq("event_type", "g"), Seq("n"),
+          batchId = 2L, storeBuckets = 8)
+        require(replayed == 0L, "replay fence must no-op")
+        CardStream.trendingTopK(s, store, Seq("event_type"), "g", "n", 5)
+          .localCheckpoint(true)
+      }
+    }),
+
     // Winsorized mean of event value (5% each tail clamped to the
     // tail quantile) — the robust revenue mean on the exact
     // distributed-rank primitive.
@@ -2682,6 +2716,19 @@ object EventQueries {
         |  count(*) AS n
         |FROM events WHERE (user_id % 97) % 3 < 2
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The leaderboard read over the accumulated rollup must equal the
+    // global count + rank: (n desc, item) total order, top-5 per type.
+    "qX_stream_trending" ->
+      """WITH agg AS (
+        |  SELECT event_type, CAST(user_id % 97 AS BIGINT) AS item,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, item, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY n DESC, item) AS rn
+        |  FROM agg)
+        |SELECT event_type, item, n FROM r WHERE rn <= 5
+        |ORDER BY event_type, n DESC, item""".stripMargin,
 
     "qX_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id

@@ -429,6 +429,20 @@ object GraphQueries {
       graft.operators.GraphAnalytics.kTruss(edges, k = 3, rounds = 3)
     }),
 
+    // qX_ktruss's SCALE TWIN: the same oriented support peel with each
+    // oriented out-list capped at 8 via the md5-spread sample — support
+    // undercounts at capped vertices (a DOCUMENTED approximation; the
+    // peel keeps only edges whose CAPPED support clears k−2), but the
+    // oracle replays the rn≤cap draw per round so the approximation
+    // itself is gated hash-exactly, like qX_adamic_adar_capped. The
+    // exact gate ran 220 s at sf100 (linear but heavy); this bounds
+    // any vertex's wedge contribution to cap² per round.
+    "qX_ktruss_capped" -> ((s, dir) => {
+      val edges = derivedEdges(Tables.load(s, dir, "events"))
+      graft.operators.GraphAnalytics.kTruss(edges, k = 3, rounds = 3,
+        maxOutDegree = 8)
+    }),
+
     // Degree assortativity: exact BIGINT sufficient statistics, one
     // fixed IEEE Pearson expression.
     "qX_assortativity" -> ((s, dir) => {
@@ -1155,6 +1169,59 @@ object GraphQueries {
          |  FROM e${r - 1} e JOIN a$r a1 ON a1.f = e.u
          |  JOIN a$r a2 ON a2.f = e.v
          |  WHERE a1.t = a2.t GROUP BY 1, 2),
+         |e$r AS (SELECT e.u, e.v FROM e${r - 1} e JOIN s$r s
+         |  ON s.u = e.u AND s.v = e.v AND s.sup >= ${k - 2})""".stripMargin
+    }
+    val fin =
+      s"""SELECT e.u, e.v, s.sup FROM e$rounds e
+         |JOIN s$rounds s ON s.u = e.u AND s.v = e.v
+         |ORDER BY e.u, e.v""".stripMargin
+    (Seq(head) ++ rs).mkString(",\n") + "\n" + fin
+  }
+
+  /** Unrolled replay of the CAPPED [[kTruss]] peel
+    * (`maxOutDegree = cap`): per round — degrees from the current edge
+    * set, (deg, id)-orientation, the md5-spread rn≤cap draw on each
+    * oriented out-list (`Sampling.md5Bucket` replayed as
+    * `('0x' || substr(md5(lo:hi), 1, 8))::BIGINT`, ties by hi — the
+    * engine's `TopK.grouped` struct(_hk, _hi, …) ascending order),
+    * wedge pairs in hikey=(deg, id) order, closure against the SAME
+    * capped list, three edge-credits, peel at k−2. The capped support
+    * is what the engine computes, so the gate is hash-exact on the
+    * approximation itself. */
+  private def kTrussCappedSql(k: Int, rounds: Int, cap: Int): String = {
+    val head =
+      s"""WITH edges AS ($EdgesSql),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM edges)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT id, count(*) AS deg FROM (
+         |  SELECT u AS id FROM e${r - 1}
+         |  UNION ALL SELECT v FROM e${r - 1}) x GROUP BY id),
+         |o$r AS (SELECT
+         |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |    THEN e.u ELSE e.v END AS lo,
+         |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |    THEN e.v ELSE e.u END AS hi,
+         |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |    THEN dv.deg ELSE du.deg END AS dh
+         |  FROM e${r - 1} e JOIN d$r du ON du.id = e.u
+         |  JOIN d$r dv ON dv.id = e.v),
+         |c$r AS MATERIALIZED (SELECT lo, hi, dh FROM (
+         |  SELECT lo, hi, dh, row_number() OVER (PARTITION BY lo
+         |    ORDER BY CAST(('0x' || substr(md5(CAST(lo AS VARCHAR)
+         |      || ':' || CAST(hi AS VARCHAR)), 1, 8)) AS BIGINT), hi)
+         |    AS rn FROM o$r) z WHERE rn <= $cap),
+         |t$r AS (SELECT b.lo AS a, b.hi AS b, c.hi AS c
+         |  FROM c$r b JOIN c$r c ON b.lo = c.lo
+         |  WHERE (b.dh < c.dh OR (b.dh = c.dh AND b.hi < c.hi))
+         |    AND EXISTS (SELECT 1 FROM c$r z
+         |                WHERE z.lo = b.hi AND z.hi = c.hi)),
+         |s$r AS (SELECT u, v, count(*) AS sup FROM (
+         |  SELECT least(a, b) AS u, greatest(a, b) AS v FROM t$r
+         |  UNION ALL SELECT least(a, c), greatest(a, c) FROM t$r
+         |  UNION ALL SELECT least(b, c), greatest(b, c) FROM t$r) x
+         |  GROUP BY u, v),
          |e$r AS (SELECT e.u, e.v FROM e${r - 1} e JOIN s$r s
          |  ON s.u = e.u AND s.v = e.v AND s.sup >= ${k - 2})""".stripMargin
     }
@@ -2129,6 +2196,7 @@ object GraphQueries {
     "qX_pagerank_weighted" -> weightedPagerankSql(10),
     "qX_sssp" -> ssspSql(10, Seq(1L, 7L)),
     "qX_ktruss" -> kTrussSql(3, 3),
+    "qX_ktruss_capped" -> kTrussCappedSql(3, 3, 8),
     "qX_katz" -> katzSql(3),
     "qX_pymk_decayed" ->
       """WITH raw AS (

@@ -965,6 +965,25 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSet == capped.toSet)
   }
 
+  test("kTruss: a biting cap only LOSES edges vs the exact truss") {
+    import graft.operators.GraphAnalytics
+    // K5 on 0-4 + K4 on 10-13 sharing spokes into vertex 0: oriented
+    // out-degrees reach 4, so cap 2 bites. Capped support <= exact
+    // support on the same edge set and triangles only disappear as
+    // edges peel, so by induction every surviving capped edge also
+    // survives the exact peel — the cap must never INVENT truss edges.
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val spokes = (10L to 13L).map(i => (0L, i))
+    val g = (k5 ++ k4 ++ spokes).toDF("src", "dst")
+    val exact = GraphAnalytics.kTruss(g, k = 3, rounds = 3)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val capped = GraphAnalytics.kTruss(g, k = 3, rounds = 3,
+        maxOutDegree = 2)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet.subsetOf(exact.toSet))
+  }
+
   test("decayedCounts: half-life arithmetic in exact micros") {
     import graft.operators.Features
     // ages 0 and 7 days at half-life 7 → 1e6 + 5e5
