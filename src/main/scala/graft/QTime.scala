@@ -11,9 +11,17 @@ object QTime {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // At the synthetic big-SF dirs (1B+ rows) 32 shuffle partitions
+    // put ~35M rows in each reducer and the measurement drowns in
+    // sort-spill — the opposite of how a real cluster would size the
+    // shuffle. Override to size partitions to the data (the 100 TB
+    // rule: partitions that fit in executor memory); AQE coalesces
+    // the small stages back down, so small-SF plans are unchanged.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -29,16 +37,24 @@ object QTime {
     // synthetic SF dirs where a pass runs minutes and JIT noise is
     // negligible against the measurement
     val passes = sys.env.getOrElse("SPARK_GRAFT_QTIME_PASSES", "2").toInt
+    // clearCache() alone leaves eager localCheckpoint blocks pinned
+    // (same leak Verify plugs); at the big SF dirs one query's
+    // checkpoint blocks are gigabytes, so free them between passes
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     for (name <- args) {
       if (passes > 1) {
         SparkEntry.queries(name)(spark, sfDir).count() // warmup
-        spark.catalog.clearCache()
+        release()
       }
       val dts = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        release()
         (dt, n)
       }
       println(f"QTIME $name%-28s min=${dts.map(_._1).min}%8.3fs passes=${dts.map(t => f"${t._1}%.3f").mkString(",")} rows=${dts.head._2}")

@@ -1237,22 +1237,37 @@ object GraphAnalytics {
   def kTruss(edges: DataFrame, k: Int, rounds: Int,
              maxOutDegree: Int = Int.MaxValue): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
+    val sc = edges.sparkSession.sparkContext
+    def pids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val outside = pids // blocks owned by the caller — never touched
     var e = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    var mine = pids -- outside // this call's still-held round blocks
     // reported sup = the support that JUSTIFIED survival (computed
     // over the round-(rounds−1) edge set) — one triangle pass per
     // round, none extra for reporting; at a fixpoint it equals the
     // final-set support exactly
     var lastSup: DataFrame = null
     for (_ <- 1 to rounds) {
+      val before = pids
       val sup = kTrussSupport(e, maxOutDegree)
         .localCheckpoint(true) // reused: peel filter + reported sup
       e = e.join(sup.filter(col("sup") >= k - 2), Seq("u", "v"), "left_semi")
         .localCheckpoint(true)
       lastSup = sup
+      // once this round's (sup, e) are materialized, every block this
+      // call created in EARLIER rounds is superseded — without the
+      // release, peak storage is rounds × |E| of checkpoint blocks
+      // (measured: heap death on the 600M-edge synthetic slice; a
+      // cluster would waste the same multiple of executor memory)
+      val fresh = pids -- before
+      val reg = sc.getPersistentRDDs
+      (mine -- fresh).foreach(id =>
+        reg.get(id).foreach(_.unpersist(blocking = false)))
+      mine = fresh
     }
     e.join(lastSup, Seq("u", "v")).orderBy("u", "v")
   }
@@ -2607,7 +2622,7 @@ object GraphAnalytics {
                  maxDegree: Int = Int.MaxValue): DataFrame = {
     val spark = edges.sparkSession
     val adj = Pymk.undirected(edges).distinct()
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(Pymk.wedgePar(edges))
       .localCheckpoint(true) // reused 4×: deg, both join sides, anti join
     // wedge sides enumerate the (possibly capped) neighbor sample;
     // degrees, discounts, and the direct-edge anti join stay EXACT on
@@ -2627,7 +2642,7 @@ object GraphAnalytics {
     // distinct undirected adj is symmetric, so wedge (a,z,c) exists iff
     // (c,z,a) does with the same w — score only a < c, mirror the
     // aggregated pairs (10-20× smaller than the wedge bag) afterwards.
-    val par = spark.sparkContext.defaultParallelism
+    val par = Pymk.wedgePar(adj)
     // both wedge sides read the SAME sampled set S(z) (wedgeAdj is
     // keyed by the middle as `from`; adj symmetry makes that the
     // neighbor set in both roles)
@@ -2694,7 +2709,7 @@ object GraphAnalytics {
                         maxDegree: Int = Int.MaxValue): DataFrame = {
     val spark = edges.sparkSession
     val adj = Pymk.undirected(edges).distinct()
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(Pymk.wedgePar(edges))
       .localCheckpoint(true) // reused 4x: deg, both wedge sides, anti join
     // hub guard: wedge sides enumerate the capped neighbor sample;
     // degrees/discounts/anti-join stay exact (see capNeighbors)
@@ -2704,7 +2719,7 @@ object GraphAnalytics {
     val deg = adj.groupBy(col("from").as("z"))
       .agg(count(lit(1)).as("deg"))
       .withColumn("w", round(lit(1e6) / col("deg")).cast("long"))
-    val par = spark.sparkContext.defaultParallelism
+    val par = Pymk.wedgePar(adj)
     val intoZ = wedgeAdj.select(col("from").as("z"), col("to").as("a"))
       .join(deg.select(col("z"), col("w")), "z")
     val outOfZ = wedgeAdj.select(col("from").as("z"), col("to").as("c"))

@@ -42,6 +42,21 @@ import org.apache.spark.sql.functions._
   */
 object Pymk {
 
+  /** Partition count for explosive (quadratic-output) wedge bags. AQE
+    * sizes stages by INPUT bytes, so the wedge sites pin an explicit
+    * repartition; the right count is whichever is larger of the
+    * cluster's core count (scales with executors on a real cluster)
+    * and the session's configured `spark.sql.shuffle.partitions` (the
+    * data-sized knob — big-SF single-box runs raise it so a partition
+    * of the bag still fits in memory). Equal under the driver's
+    * local[32] / 32-partition config, so gate plans are unchanged. */
+  private[graft] def wedgePar(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val conf = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(0)
+    math.max(spark.sparkContext.defaultParallelism, conf)
+  }
+
   /** Undirected bag view of a directed edge list: out-edges ∪ in-edges.
     * Reference: `both('knows')` (neptune_recommend_bizcard.py:60-61);
     * SURVEY §2.F1 — duplicates are load-bearing for path counting.
@@ -195,7 +210,7 @@ object Pymk {
     // explosive join + partial agg. Pin full parallelism with an
     // explicit round-robin repartition (round-robin, not keyed, so a
     // hub vertex can't pin its whole neighborhood to one task).
-    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val par = wedgePar(edges)
     // Symmetry: the undirected bag contains (x,y) and (y,x) with equal
     // multiplicity, so score(a,c) == score(c,a). Count only the a < c
     // half of the path bag (HALF the shuffle + agg input) and mirror
@@ -271,7 +286,7 @@ object Pymk {
   def recommendAllCapped(edges: DataFrame, limit: Int,
                          maxDegree: Int): DataFrame = {
     val adjFull = undirected(edges)
-    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val par = wedgePar(edges)
     // hash-spread per-middle sample: keep the maxDegree rows with the
     // lowest (md5Bucket("z:n"), n) — bounded-heap, never a window sort
     val keyed = adjFull.withColumn("_hk",
@@ -322,7 +337,7 @@ object Pymk {
         col("w_micros").as("w"))
       .unionAll(wEdges.select(col("dst").as("from"), col("src").as("to"),
         col("w_micros").as("w")))
-    val par = wEdges.sparkSession.sparkContext.defaultParallelism
+    val par = wedgePar(wEdges)
     // path weights are symmetric (w₁·w₂ commutes), so — like the
     // unweighted flagship — fold only the anchor < candidate half of
     // the wedge bag and mirror the AGGREGATED pairs (half the shuffle)
@@ -371,7 +386,7 @@ object Pymk {
         col("w_micros").as("w"))
       .unionAll(wEdges.select(col("dst").as("from"), col("src").as("to"),
         col("w_micros").as("w")))
-    val par = wEdges.sparkSession.sparkContext.defaultParallelism
+    val par = wedgePar(wEdges)
     val keyed = adjFull.withColumn("_hk",
       Sampling.md5Bucket(concat_ws(":", col("from"), col("to"))))
     val samp = TopK.grouped(keyed, Seq("from"),
