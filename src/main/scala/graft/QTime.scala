@@ -37,6 +37,7 @@ object QTime {
     // synthetic SF dirs where a pass runs minutes and JIT noise is
     // negligible against the measurement
     val passes = sys.env.getOrElse("SPARK_GRAFT_QTIME_PASSES", "2").toInt
+    require(passes >= 1, s"SPARK_GRAFT_QTIME_PASSES must be >= 1, got $passes")
     // clearCache() alone leaves eager localCheckpoint blocks pinned
     // (same leak Verify plugs); at the big SF dirs one query's
     // checkpoint blocks are gigabytes, so free them between passes

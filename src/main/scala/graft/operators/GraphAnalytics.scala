@@ -1237,39 +1237,50 @@ object GraphAnalytics {
   def kTruss(edges: DataFrame, k: Int, rounds: Int,
              maxOutDegree: Int = Int.MaxValue): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
-    val sc = edges.sparkSession.sparkContext
-    def pids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    val outside = pids // blocks owned by the caller — never touched
     var e = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    var mine = pids -- outside // this call's still-held round blocks
     // reported sup = the support that JUSTIFIED survival (computed
     // over the round-(rounds−1) edge set) — one triangle pass per
     // round, none extra for reporting; at a fixpoint it equals the
     // final-set support exactly
     var lastSup: DataFrame = null
     for (_ <- 1 to rounds) {
-      val before = pids
-      val sup = kTrussSupport(e, maxOutDegree)
+      val (supRaw, oriented) = kTrussSupportWithOriented(e, maxOutDegree)
+      val sup = supRaw
         .localCheckpoint(true) // reused: peel filter + reported sup
+      // each round's inputs are superseded the moment its successors
+      // materialize — without the releases, peak storage is
+      // rounds × |E| of checkpoint blocks (measured: heap death on
+      // the 600M-edge synthetic slice; a cluster would waste the same
+      // multiple of executor memory). Each release walks ITS OWN
+      // frame's RDD lineage to the persisted blocks, so a concurrent
+      // caller's checkpoints on the shared context are never touched.
+      releaseCheckpoint(oriented) // dead once sup is materialized
+      val prevE = e
       e = e.join(sup.filter(col("sup") >= k - 2), Seq("u", "v"), "left_semi")
         .localCheckpoint(true)
+      releaseCheckpoint(prevE) // superseded by the new e
+      if (lastSup != null) releaseCheckpoint(lastSup) // reassigned below
       lastSup = sup
-      // once this round's (sup, e) are materialized, every block this
-      // call created in EARLIER rounds is superseded — without the
-      // release, peak storage is rounds × |E| of checkpoint blocks
-      // (measured: heap death on the 600M-edge synthetic slice; a
-      // cluster would waste the same multiple of executor memory)
-      val fresh = pids -- before
-      val reg = sc.getPersistentRDDs
-      (mine -- fresh).foreach(id =>
-        reg.get(id).foreach(_.unpersist(blocking = false)))
-      mine = fresh
     }
     e.join(lastSup, Seq("u", "v")).orderBy("u", "v")
+  }
+
+  /** Unpersist the checkpoint blocks backing `df`: walk the physical
+    * RDD's dependency chain to its persisted ancestors and unpersist
+    * exactly those. Precise by construction — never a global
+    * persistent-RDD registry diff, which would misclassify (and
+    * free) blocks another thread checkpointed on the shared context
+    * between snapshots. No-op on un-persisted frames. */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = false)
+      else r.dependencies.foreach(d => walk(d.rdd))
+    walk(df.queryExecution.toRdd)
   }
 
   /** One k-truss support round over a canonical (u, v) edge set: the
@@ -1277,7 +1288,15 @@ object GraphAnalytics {
     * triangle. Package-visible (un-checkpointed) so PlanSpec can pin
     * the oriented shape. */
   private[graft] def kTrussSupport(e: DataFrame,
-                                   maxOutDegree: Int): DataFrame = {
+                                   maxOutDegree: Int): DataFrame =
+    kTrussSupportWithOriented(e, maxOutDegree)._1
+
+  /** [[kTrussSupport]] plus the handle of its internal oriented-list
+    * checkpoint (reused 3× inside one support pass, but dead the
+    * moment the support frame is materialized) — iterative callers
+    * release it per round via [[releaseCheckpoint]]. */
+  private[graft] def kTrussSupportWithOriented(
+      e: DataFrame, maxOutDegree: Int): (DataFrame, DataFrame) = {
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -1318,7 +1337,7 @@ object GraphAnalytics {
       oriented.select(col("lo").as("b"), col("hi").as("c")),
       Seq("b", "c"), "left_semi")
     // each triangle credits its three edges (back in canonical form)
-    triangles.select(explode(array(
+    val sup = triangles.select(explode(array(
         struct(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v")),
         struct(least(col("a"), col("c")).as("u"),
@@ -1327,6 +1346,7 @@ object GraphAnalytics {
           greatest(col("b"), col("c")).as("v")))).as("ed"))
       .select(col("ed.u").as("u"), col("ed.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+    (sup, oriented)
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of
@@ -2620,7 +2640,6 @@ object GraphAnalytics {
 
   def adamicAdar(edges: DataFrame, k: Int,
                  maxDegree: Int = Int.MaxValue): DataFrame = {
-    val spark = edges.sparkSession
     val adj = Pymk.undirected(edges).distinct()
       .repartition(Pymk.wedgePar(edges))
       .localCheckpoint(true) // reused 4×: deg, both join sides, anti join
@@ -2707,7 +2726,6 @@ object GraphAnalytics {
     */
   def linkPredictScores(edges: DataFrame,
                         maxDegree: Int = Int.MaxValue): DataFrame = {
-    val spark = edges.sparkSession
     val adj = Pymk.undirected(edges).distinct()
       .repartition(Pymk.wedgePar(edges))
       .localCheckpoint(true) // reused 4x: deg, both wedge sides, anti join

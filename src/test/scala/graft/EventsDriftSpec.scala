@@ -967,18 +967,28 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
 
   test("kTruss: a biting cap only LOSES edges vs the exact truss") {
     import graft.operators.GraphAnalytics
-    // K5 on 0-4 + K4 on 10-13 sharing spokes into vertex 0: oriented
-    // out-degrees reach 4, so cap 2 bites. Capped support <= exact
-    // support on the same edge set and triangles only disappear as
-    // edges peel, so by induction every surviving capped edge also
-    // survives the exact peel — the cap must never INVENT truss edges.
+    // K5 on 0-4 + K4 on 10-13 sharing spokes into vertex 0 (oriented
+    // out-degrees reach 4, so cap 2 bites), PLUS structures the exact
+    // k=4 peel genuinely removes: a pendant triangle on 4-20-21 (every
+    // edge support 1 < k−2) and a pendant path 30-31-32 (support 0).
+    // Capped support <= exact support on the same edge set and
+    // triangles only disappear as edges peel, so by induction every
+    // surviving capped edge also survives the exact peel — the cap
+    // must never INVENT truss edges. The pendant structures make the
+    // exact truss a PROPER subset of the input (asserted), so a buggy
+    // capped path that over-counts support would be caught here.
     val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val k4 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
     val spokes = (10L to 13L).map(i => (0L, i))
-    val g = (k5 ++ k4 ++ spokes).toDF("src", "dst")
-    val exact = GraphAnalytics.kTruss(g, k = 3, rounds = 3)
+    val pendants = Seq((4L, 20L), (4L, 21L), (20L, 21L), // sup-1 triangle
+      (30L, 31L), (31L, 32L)) // sup-0 path
+    val g = (k5 ++ k4 ++ spokes ++ pendants).toDF("src", "dst")
+    val exact = GraphAnalytics.kTruss(g, k = 4, rounds = 3)
       .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val capped = GraphAnalytics.kTruss(g, k = 3, rounds = 3,
+    // the exact peel removed exactly the 5 pendant edges — the
+    // containment assertion below has a non-empty complement to catch
+    assert(exact.toSet == (k5 ++ k4 ++ spokes).toSet)
+    val capped = GraphAnalytics.kTruss(g, k = 4, rounds = 3,
         maxOutDegree = 2)
       .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(capped.toSet.subsetOf(exact.toSet))
