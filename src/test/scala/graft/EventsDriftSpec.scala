@@ -965,6 +965,25 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSet == capped.toSet)
   }
 
+  test("releaseCheckpoint frees exactly the released frame's blocks") {
+    import graft.operators.GraphAnalytics
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.size
+    val a = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").localCheckpoint(true)
+    val b = Seq((7L, 8L)).toDF("src", "dst").localCheckpoint(true)
+    assert(sc.getPersistentRDDs.size == base + 2)
+    GraphAnalytics.releaseCheckpoint(a)
+    // release is precise: a's block gone, the bystander b untouched
+    // (the registry prunes asynchronously on unpersist(blocking=false),
+    // so poll briefly rather than assert instantly)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (sc.getPersistentRDDs.size > base + 1 &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    assert(sc.getPersistentRDDs.size == base + 1)
+    assert(b.count() == 1L) // b still readable after a's release
+    GraphAnalytics.releaseCheckpoint(b)
+  }
+
   test("kTruss: a biting cap only LOSES edges vs the exact truss") {
     import graft.operators.GraphAnalytics
     // K5 on 0-4 + K4 on 10-13 sharing spokes into vertex 0 (oriented
