@@ -37,6 +37,65 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ---- previous artifacts, parsed up front ----
+    def numMap(j: org.json4s.JValue): Map[String, Double] = j match {
+      case org.json4s.JObject(fs) => fs.collect {
+        case (k, org.json4s.JDouble(v))  => k -> v
+        case (k, org.json4s.JInt(v))     => k -> v.toDouble
+        case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+      }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    def parseArtifact(path: String): org.json4s.JValue = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      org.json4s.jackson.JsonMethods.parse(txt)
+    } catch { case _: Throwable => org.json4s.JNothing }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    val prevArtifact = parseArtifact(outPath)
+    // the committed per-query DuckDB annotation map (also drives the
+    // small-session routing below)
+    val prevDuck: Map[String, Double] = numMap(prevArtifact \ "duckdb")
+    // Regression-adjudication base: the SAME BOX's previous-round
+    // artifact (BENCH_r{N}.json, highest N in cwd — the driver's own
+    // prior run), NOT the committed quiet-box map: r13 logged 74
+    // cross-box false "regressions" because the committed bench_queries
+    // .json is refreshed on a quiet builder box while the driver box
+    // runs under ambient load. Falls back to the committed map when no
+    // round artifact exists (first run on a fresh checkout).
+    val prevRoundPath: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .orElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case rx(n) => Some((n.toInt, f.getName)); case _ => None })
+          .sortBy(-_._1).headOption.map(_._2)
+      }
+    val prevQueries: Map[String, Double] = prevRoundPath
+      .map(p => numMap(parseArtifact(p) \ "queries"))
+      .filter(_.nonEmpty)
+      .getOrElse(numMap(prevArtifact \ "queries"))
+    System.err.println(s"[bench] regression base: " +
+      prevRoundPath.getOrElse(outPath))
+
+    // ---- small-shuffle child session for tiny-oracle gates ----
+    // ~294 of the 376 gates have < 0.1 s of actual (DuckDB-measured)
+    // work; on the 32-partition session each pays a multi-stage
+    // 32-task scheduling floor (~0.5-0.7 s/gate — the r13 199.7 s
+    // decomposition). Those gates run here on a child session whose
+    // reduce stages are 4-partition (AQE-coalesced further by data
+    // size) — results are partition-count-independent by construction
+    // (every gate is DuckDB-hash-gated). Gates with real oracle work
+    // (duck ≥ 0.3 s) keep the full 32-way session: their joins fan
+    // out compute that AQE's byte-based sizing cannot see. Unannotated
+    // gates conservatively stay on the main session.
+    val small = spark.newSession()
+    small.conf.set("spark.sql.shuffle.partitions", "4")
+    small.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    small.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    def sessionFor(name: String): SparkSession =
+      if (prevDuck.get(name).exists(_ < 0.3)) small else spark
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Drop everything a query pinned: catalog cache AND eager
     // localCheckpoint blocks (clearCache() does NOT release those — at
@@ -53,7 +112,7 @@ object Bench {
     // the full pass's steady-state at 1/8 the wall time. The r10 driver
     // run timed out mid-artifact; wall budget is part of the contract.
     names.zipWithIndex.collect { case (n, i) if i % 8 == 0 => n }.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try SparkEntry.queries(name)(sessionFor(name), sfDir).count()
       catch { case _: Throwable => () }
     }
     dropPinned()
@@ -65,7 +124,7 @@ object Bench {
     // spike would otherwise stand as the round's committed number.
     def timedPass(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      val ok = try { SparkEntry.queries(name)(sessionFor(name), sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       dropPinned()
@@ -101,34 +160,14 @@ object Bench {
     // artifact from a ~2 KB log tail, and at 155 queries the full line is
     // ~4.5 KB — its head (and the "{"metric" anchor) is ALWAYS cut off, so
     // r7/r8 recorded parsed:null. The file is the lossless committed copy.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
-    // Regression tripwire: diff against the PREVIOUS committed artifact
-    // (read before overwrite). Flag a query when this run is >1.5x its
+    // (outPath/prevDuck/prevQueries were parsed before the warmup: the
+    // duck map routes gates to the small session, and the regression
+    // base is the same-box previous-round artifact.)
+    // Regression tripwire: flag a query when this run is >1.5x its
     // prior time AND above an absolute floor (sub-0.3 s deltas are the
     // box's scheduling jitter, not a plan change). Deliberate trades
     // still show up here — that's the point: the diff is surfaced in
     // the artifact instead of waiting for a judge to spot it.
-    def numMap(j: org.json4s.JValue): Map[String, Double] = j match {
-      case org.json4s.JObject(fs) => fs.collect {
-        case (k, org.json4s.JDouble(v))  => k -> v
-        case (k, org.json4s.JInt(v))     => k -> v.toDouble
-        case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
-      }.toMap
-      case _ => Map.empty[String, Double]
-    }
-    val prevArtifact: org.json4s.JValue = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(outPath)), java.nio.charset.StandardCharsets.UTF_8)
-      org.json4s.jackson.JsonMethods.parse(txt)
-    } catch { case _: Throwable => org.json4s.JNothing }
-    val prevQueries: Map[String, Double] = numMap(prevArtifact \ "queries")
-    // the committed per-query DuckDB annotation map survives
-    // un-annotated runs: an unattended driver run (no
-    // SPARK_GRAFT_DUCKDB) must not strip the builder's last
-    // annotation from the artifact — merge it forward, restricted to
-    // queries that still exist (duckdb_times.py overwrites it whole
-    // when annotating)
-    val prevDuck: Map[String, Double] = numMap(prevArtifact \ "duckdb")
     // Self-adjudicating regressions: co-tenant load spikes on this box
     // inflate single queries 2-10x (r11 logged 41 regressions; judge
     // QTime re-timings reproduced ~0; r12's immediate retry shared the

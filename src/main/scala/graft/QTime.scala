@@ -46,14 +46,43 @@ object QTime {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // mirror Bench's small-session routing (tiny-oracle gates run on a
+    // 4-shuffle-partition child session) so QTime numbers predict bench
+    // numbers; SPARK_GRAFT_SMALL=0|1 forces a side for A/B timing
+    val prevDuck: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      org.json4s.jackson.JsonMethods.parse(txt) \ "duckdb" match {
+        case org.json4s.JObject(fs) => fs.collect {
+          case (k, org.json4s.JDouble(v))  => k -> v
+          case (k, org.json4s.JInt(v))     => k -> v.toDouble
+          case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+    val smallSession = spark.newSession()
+    smallSession.conf.set("spark.sql.shuffle.partitions", "4")
+    smallSession.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    smallSession.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    def sessionFor(name: String) = sys.env.get("SPARK_GRAFT_SMALL") match {
+      case Some("1") => smallSession
+      case Some("0") => spark
+      case _ => if (prevDuck.get(name).exists(_ < 0.3)) smallSession else spark
+    }
     for (name <- args) {
+      val s = sessionFor(name)
       if (passes > 1) {
-        SparkEntry.queries(name)(spark, sfDir).count() // warmup
+        SparkEntry.queries(name)(s, sfDir).count() // warmup
         release()
       }
       val dts = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        val n = SparkEntry.queries(name)(s, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         release()
         (dt, n)

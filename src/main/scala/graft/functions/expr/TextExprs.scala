@@ -323,6 +323,107 @@ object TextExprUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** Per-document L1-normalized hashed 1+2-gram bucket vector in ONE
+    * scan — the [[wordNgrams]]+md5+groupBy+window pipeline of
+    * [[graft.operators.QualityLr.features]] collapsed into a codegen
+    * expression: tokenize once, hash every 1- and 2-gram occurrence
+    * through [[PortableHash.md5_32]] mod `buckets` (bit-for-bit
+    * `pmod(Sampling.md5Bucket(gram), buckets)`), count per bucket,
+    * and emit (bucket, x_micros = HALF_UP(cnt·1e6/total)) structs for
+    * the touched buckets, bucket-ascending. The rounding replays
+    * Catalyst's double `round` (Scala `BigDecimal(d)` HALF_UP), so
+    * the result rows equal the exploded formulation's exactly —
+    * QualityLrSpec locks the equivalence. Docs with zero ngrams yield
+    * an empty array (the wordNgrams `< n tokens` convention). */
+  def hashedNgramFeatures(s: UTF8String, buckets: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    val len = str.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > start) toks += str.substring(start, i)
+    }
+    val cnts = new Array[Long](buckets)
+    var tot = 0L
+    val sb = new java.lang.StringBuilder()
+    var n = 1
+    while (n <= 2) {
+      val count = math.max(0, toks.length - n + 1)
+      var j = 0
+      while (j < count) {
+        sb.setLength(0)
+        var m = 0
+        while (m < n) {
+          if (m > 0) sb.append(' ')
+          sb.append(toks(j + m))
+          m += 1
+        }
+        cnts((PortableHash.md5_32(sb.toString) % buckets).toInt) += 1
+        tot += 1
+        j += 1
+      }
+      n += 1
+    }
+    var nz = 0
+    i = 0
+    while (i < buckets) { if (cnts(i) > 0) nz += 1; i += 1 }
+    val out = new Array[Any](nz)
+    i = 0
+    var p = 0
+    while (i < buckets) {
+      if (cnts(i) > 0) {
+        // replay round(cnt * 1e6 / tot) for doubles: Catalyst Round =
+        // Scala BigDecimal(d).setScale(0, HALF_UP)
+        val x = BigDecimal(cnts(i).toDouble * 1e6 / tot.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+        out(p) = org.apache.spark.sql.catalyst.InternalRow(i.toLong, x)
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-document character-bigram counts in ONE scan — the
+    * split('')→transform→explode pipeline of
+    * [[graft.operators.TextAnalysis.bigramCondEntropy]] collapsed:
+    * consecutive CODE-POINT pairs (Java regex split("") does not
+    * split surrogate pairs — same unit) counted into a per-doc map,
+    * emitted as array<struct<bg, n12>>. Downstream sums of n12 equal
+    * the exploded occurrence counts exactly; docs with < 2 code
+    * points yield an empty array (the `size(cs) >= 2` guard). */
+  def charBigramCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    val n = str.length
+    if (n >= 2) {
+      var prevStart = 0
+      var j = Character.charCount(str.codePointAt(0))
+      while (j < n) {
+        val curLen = Character.charCount(str.codePointAt(j))
+        val bg = str.substring(prevStart, j + curLen)
+        val c = m.get(bg)
+        m.put(bg, if (c == null) 1L else c + 1L)
+        prevStart = j
+        j += curLen
+      }
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var p = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue.longValue())
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Canonicalized windowed co-occurrence pairs: each token pairs with
     * its ≤ `window` successors, (min, max) by UTF8String binary order
     * (exactly Spark's least/greatest on strings), joined with a single
@@ -435,6 +536,50 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `hashed_ngram_features(text, buckets)`: per-doc L1-normalized
+  * hashed 1+2-gram bucket vector as array<struct<bucket, x_micros>>,
+  * single scan, codegen — see [[TextExprUtil.hashedNgramFeatures]]. */
+case class HashedNgramFeaturesExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("x_micros", LongType,
+          nullable = false))), containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.hashedNgramFeatures(v.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.hashedNgramFeatures($c, $buckets)")
+  override protected def withNewChildInternal(c: Expression): HashedNgramFeaturesExpr =
+    copy(child = c)
+}
+
+/** `char_bigram_counts(text)`: per-doc character-bigram count map as
+  * array<struct<bg, n12>>, single scan, codegen — see
+  * [[TextExprUtil.charBigramCounts]]. */
+case class CharBigramCountsExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bg",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n12", LongType,
+          nullable = false))), containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.charBigramCounts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.charBigramCounts($c)")
+  override protected def withNewChildInternal(c: Expression): CharBigramCountsExpr =
+    copy(child = c)
+}
+
 /** `top_ngram_frac(text, n)`: share of n-gram occurrences held by the
   * most frequent word n-gram, single scan, codegen. The "executable
   * spec" twin is the explode + groupBy + max/sum DataFrame formulation
@@ -528,6 +673,10 @@ object TextExprs {
   def minhash_sig(c: Column, k: Int): Column = toColumn(MinHashSigExpr(toExpr(c), k))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpr(c), n))
   def word_ngrams(c: Column, n: Int): Column = toColumn(WordNgramsExpr(toExpr(c), n))
+  def hashed_ngram_features(c: Column, buckets: Int): Column =
+    toColumn(HashedNgramFeaturesExpr(toExpr(c), buckets))
+  def char_bigram_counts(c: Column): Column =
+    toColumn(CharBigramCountsExpr(toExpr(c)))
   def word_pairs(c: Column, window: Int): Column =
     toColumn(WordPairsExpr(toExpr(c), window))
   def top_ngram_frac(c: Column, n: Int): Column = toColumn(TopNgramFracExpr(toExpr(c), n))

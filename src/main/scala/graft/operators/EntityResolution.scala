@@ -84,12 +84,13 @@ object EntityResolution {
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"),
         col("o"))
-    val rep = TopK.grouped(membered, Seq("cluster"),
-        struct((-col("o")).as("no"), col("id").as("i")), 1)
-      .select(col("cluster"), col("best.i").as("rep_id"))
-    membered.groupBy("cluster").agg(count(lit(1)).as("n_members"))
-      .join(rep, "cluster")
-      .select(col("cluster"), col("rep_id"), col("n_members"))
+    // rep election (top-1 by (o desc, id asc) ≡ min of the negated
+    // struct — lexicographic struct ordering) and member count fold
+    // in ONE grouped pass: no separate TopK + count-join legs
+    membered.groupBy("cluster")
+      .agg(min(struct((-col("o")).as("no"), col("id").as("i"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("best.i").as("rep_id"), col("n_members"))
       .orderBy("cluster")
   }
 

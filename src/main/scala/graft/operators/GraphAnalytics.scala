@@ -345,7 +345,10 @@ object GraphAnalytics {
     * diameter) rounds instead of O(diameter), the same guarantee the
     * alternating large-star/small-star algorithm buys, at one extra
     * keyed join per round. Convergence is detected every `checkEvery`
-    * rounds with ONE count job over the changed labels
+    * rounds by a per-row changed flag computed INSIDE the block's one
+    * checkpoint job (a final round that changed nothing proves the
+    * fixpoint — tighter than comparing across the block), read back
+    * as a limit-1 scan of the checkpointed blocks
     * ([[pageRankDF]]'s materialization-cadence invariant: chain
     * lazily, cut lineage with eager localCheckpoint at the check,
     * never materialize per round).
@@ -368,33 +371,47 @@ object GraphAnalytics {
     val adj = canon.select(col("u").as("from"), col("v").as("to"))
       .unionAll(canon.select(col("v").as("from"), col("u").as("to")))
       .localCheckpoint(true)
+    // initial labels chain lazily into block 1 (the distinct's
+    // exchange is reused within the block plan) — no separate
+    // materialization job
     var labels = adj.select(col("from").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       var cur = labels
-      for (_ <- 1 to checkEvery) {
+      for (r <- 1 to checkEvery) {
+        // the block's LAST round carries its pre-round label along, so
+        // the changed flag lands inside the block's one checkpoint job
+        // and convergence is a limit-1 scan of the checkpointed blocks
+        // — no separate next-vs-labels join job. Checking the FINAL
+        // round alone is a fixpoint test (the round operator is
+        // deterministic and monotone: a round that changes nothing
+        // proves labels are fixed), and it is TIGHTER than the old
+        // block-start comparison — a diameter-d component converges
+        // one whole block sooner.
+        val last = r == checkEvery
+        val capture = if (last) Seq(col("comp").as("pc")) else Nil
+        val carry = if (last) Seq(col("pc")) else Nil
         val msgs = adj
           .join(cur.select(col("id").as("to"), col("comp").as("nc")), "to")
           .groupBy(col("from").as("id"))
           .agg(min(col("nc")).as("mc"))
         val stepped = cur.join(msgs, Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"))
+          .select(col("id") +: capture :+
+            least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"): _*)
         // pointer jump: comp := min(comp, comp(comp))
         val parents = stepped
           .select(col("id").as("pid"), col("comp").as("pcomp"))
         cur = stepped.join(parents, col("comp") === col("pid"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+          .select(col("id") +: carry :+
+            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"): _*)
       }
-      val next = cur.localCheckpoint(true)
-      // labels only ever decrease: changed = strict decreases this block
-      converged = next.join(labels.select(col("id"), col("comp").as("pc")), "id")
-        .filter(col("comp") < col("pc")).isEmpty
-      labels = next
+      val next = cur
+        .select(col("id"), col("comp"), (col("comp") < col("pc")).as("_chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("_chg")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       rounds += checkEvery
     }
     labels
@@ -1274,7 +1291,13 @@ object GraphAnalytics {
     * exactly those. Precise by construction — never a global
     * persistent-RDD registry diff, which would misclassify (and
     * free) blocks another thread checkpointed on the shared context
-    * between snapshots. No-op on un-persisted frames. */
+    * between snapshots.
+    *
+    * CALLER CONTRACT: pass the checkpointed frame itself (every call
+    * site here does). On a frame DERIVED from a checkpoint the walk
+    * descends to — and frees — the NEAREST persisted ancestors, which
+    * may be a live checkpoint still shared with sibling frames; on a
+    * frame with no persisted ancestry it is a no-op. */
   private[graft] def releaseCheckpoint(df: DataFrame): Unit = {
     def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
       if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)

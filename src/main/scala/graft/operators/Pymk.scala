@@ -49,11 +49,20 @@ object Pymk {
     * and the session's configured `spark.sql.shuffle.partitions` (the
     * data-sized knob — big-SF single-box runs raise it so a partition
     * of the bag still fits in memory). Equal under the driver's
-    * local[32] / 32-partition config, so gate plans are unchanged. */
+    * local[32] / 32-partition config, so gate plans are unchanged.
+    * NOTE: the explicit repartition(n) is NOT AQE-coalesced, so a
+    * session left at the stock 200-partition default pays 200-task
+    * wedge stages on tiny inputs — perf-only, results unchanged;
+    * size the conf to the data (every harness session here does).
+    * A malformed (non-integer / non-positive) conf value fails fast
+    * rather than silently falling back. */
   private[graft] def wedgePar(df: DataFrame): Int = {
     val spark = df.sparkSession
-    val conf = scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(0)
+    val raw = spark.conf.get("spark.sql.shuffle.partitions")
+    val conf = scala.util.Try(raw.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.shuffle.partitions must be an integer, got '$raw'"))
+    require(conf > 0, s"spark.sql.shuffle.partitions must be > 0, got $conf")
     math.max(spark.sparkContext.defaultParallelism, conf)
   }
 

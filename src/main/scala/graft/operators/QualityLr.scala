@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hashed-feature logistic-regression quality classifier — the
@@ -24,69 +25,110 @@ import org.apache.spark.sql.functions._
   * weight 0 at scoring time; docs with no features are absent from
   * both training and scoring (the [[NgramLm.score]] convention).
   *
-  * 100 TB shape: the corpus is scanned ONCE into the checkpointed
-  * feature table (one keyed (id, bucket) fold + one id fold); each of
-  * the FIXED `iters` rounds is one broadcast-join margin pass (w is B
-  * rows by construction), one id-keyed residual join, and one
-  * bucket-keyed gradient fold — no corpus rescan, no corpus-corpus
-  * join, driver holds only the B-row weight table's lineage (each
-  * round's w is localCheckpointed, so the plan does not deepen).
+  * 100 TB shape: the corpus is scanned ONCE — a single codegen
+  * expression folds each doc's ngram→bucket→normalize pipeline into a
+  * compact array column (no explode fan-out, no (id, bucket) shuffle)
+  * — and checkpointed; each of the FIXED `iters` rounds is ONE pass
+  * over it: the margin folds inside the doc's array against w inlined
+  * as a map literal (B rows by construction), the residual is a
+  * projection, and the gradient is the round's single B-key shuffle.
+  * No corpus rescan, no corpus-corpus join; the driver holds only the
+  * B-row weight map (the codebook convention).
   */
 object QualityLr {
+
+  /** Per-doc compact feature vector: (idCol, fs) with `fs` an
+    * array<struct<bucket, x_micros>> of the touched buckets — the
+    * whole ngram→md5-bucket→count→L1-normalize pipeline runs inside
+    * ONE codegen scan ([[graft.functions.expr.TextExprUtil
+    * .hashedNgramFeatures]]): no explode fan-out, no (id, bucket)
+    * shuffle, no per-doc-total window. Docs with zero ngrams keep an
+    * empty array. */
+  def docFeatures(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.expr.TextExprs
+        .hashed_ngram_features(col(textCol), buckets).as("fs"))
 
   /** L1-normalized hashed feature vectors: (idCol, bucket, x_micros),
     * one row per DISTINCT bucket a document touches,
     * `x = round(1e6 · cnt/n_doc)`. Shares [[Dsir]]'s feature space
-    * (md5 bucket of native non-distinct word 1+2-grams). */
+    * (md5 bucket of native non-distinct word 1+2-grams). A pure
+    * explode of [[docFeatures]] — zero shuffles; row values are
+    * bit-identical to the exploded groupBy+window formulation
+    * (QualityLrSpec locks the equivalence). */
   def features(docs: DataFrame, idCol: String, textCol: String,
-               buckets: Int): DataFrame = {
-    import graft.functions.expr.TextExprs.word_ngrams
-    val cnts = docs.select(col(idCol), explode(concat(
-        word_ngrams(col(textCol), 1), word_ngrams(col(textCol), 2))).as("_f"))
-      .select(col(idCol),
-        pmod(Sampling.md5Bucket(col("_f")), lit(buckets)).as("bucket"))
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
-    val tot = cnts.groupBy(col(idCol)).agg(sum(col("cnt")).as("n_feats"))
-    cnts.join(tot, idCol)
-      .select(col(idCol), col("bucket"),
-        round(col("cnt") * lit(1e6) / col("n_feats")).cast("long").as("x_micros"))
-  }
+               buckets: Int): DataFrame =
+    docFeatures(docs, idCol, textCol, buckets)
+      .select(col(idCol), explode(col("fs")).as("_f"))
+      .select(col(idCol), col("_f.bucket").as("bucket"),
+        col("_f.x_micros").as("x_micros"))
 
-  /** Train `iters` full-batch GD rounds from w = 0; `labelCol` is 0/1.
+  /** Train `iters` (≥ 1) full-batch GD rounds from w = 0; `labelCol`
+    * is 0/1.
+    *
+    * Per-round shape (the r14 fusion — was 4 keyed shuffles/round):
+    * the weight vector is B rows BY CONSTRUCTION (a codebook-class
+    * artifact, same bounded-driver-state argument as
+    * [[Similarity.kmeansFit]]'s centroids), so it rides each round as
+    * a MAP LITERAL instead of a join side. One round is then ONE pass
+    * over the checkpointed per-doc table: the margin folds inside the
+    * doc's compact feature array (no window, no id shuffle), the
+    * residual is a projection, and the gradient is the round's single
+    * shuffle (a B-key fold). The updated w comes back as a bounded
+    * collect; the driver update replays Spark's own double `round`
+    * (Scala `BigDecimal(double)` HALF_UP — the same code path
+    * Catalyst's Round uses), so the fused loop is bit-identical to
+    * the joined form and the unrolled-CTE oracle.
+    *
     * @return the model: (bucket, w_micros), only buckets present in
     *         the training corpus (absent ⇒ 0 at scoring). */
   def train(labeled: DataFrame, idCol: String, textCol: String,
             labelCol: String, buckets: Int, iters: Int,
             lr: Double): DataFrame = {
-    val feats = features(labeled, idCol, textCol, buckets)
-      .localCheckpoint(true) // one corpus scan, reused every round
-    val y = labeled.select(col(idCol),
-      (col(labelCol).cast("long") * lit(1000000L)).as("y_micros"))
-    // N = docs that actually carry features (empty docs exert no
-    // gradient); O(1) driver scalar
-    val n = feats.select(idCol).distinct().count().toDouble
-    var w = feats.select(col("bucket")).distinct()
-      .withColumn("w_micros", lit(0L)).localCheckpoint(true)
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = labeled.sparkSession
+    // one corpus scan into the per-doc compact table; empty docs
+    // (zero ngrams) exert no gradient and are absent from N —
+    // unchanged semantics
+    val feats = labeled.select(
+        graft.functions.expr.TextExprs
+          .hashed_ngram_features(col(textCol), buckets).as("fs"),
+        (col(labelCol).cast("long") * lit(1000000L)).as("y_micros"))
+      .filter(size(col("fs")) > 0)
+      .localCheckpoint(true)
+    val n = feats.count().toDouble
+    // w starts all-zero, so the round-1 margin is 0 for every doc
+    // whatever the bucket domain; the domain itself comes back with
+    // round 1's gradient (every corpus bucket appears in every
+    // round's B-key fold)
+    var w: Map[Long, Long] = Map.empty
     for (_ <- 1 to iters) {
-      val margins = feats.join(broadcast(w), Seq("bucket"))
-        .groupBy(col(idCol))
-        .agg(sum(round(col("x_micros") * col("w_micros") / lit(1e6))
-          .cast("long")).as("m_micros"))
-      val resid = margins.join(y, Seq(idCol))
-        .select(col(idCol),
-          (round(lit(1e6) / (lit(1.0) + exp(-col("m_micros") / lit(1e6))))
-            .cast("long") - col("y_micros")).as("r_micros"))
-      val grads = feats.join(resid, Seq(idCol))
-        .groupBy(col("bucket"))
-        .agg(sum(round(col("x_micros") * col("r_micros") / lit(1e6))
+      val wMap = typedLit(w)
+      // margin folds INSIDE the doc's array — no window, no shuffle
+      val margin = aggregate(col("fs"), lit(0L), (acc, f) =>
+        acc + round(f.getField("x_micros") *
+          coalesce(element_at(wMap, f.getField("bucket")), lit(0L))
+          / lit(1e6)).cast("long"))
+      val grads = feats
+        .withColumn("r_micros",
+          round(lit(1e6) / (lit(1.0) + exp(-margin / lit(1e6))))
+            .cast("long") - col("y_micros"))
+        .select(explode(col("fs")).as("_f"), col("r_micros"))
+        .groupBy(col("_f.bucket").as("bucket"))
+        .agg(sum(round(col("_f.x_micros") * col("r_micros") / lit(1e6))
           .cast("long")).as("g_micros"))
-      w = w.join(grads, Seq("bucket"), "left")
-        .select(col("bucket"),
-          (col("w_micros") - round(lit(lr) * coalesce(col("g_micros"), lit(0L))
-            / lit(n)).cast("long")).as("w_micros"))
-        .localCheckpoint(true) // B rows; keeps the round-over-round plan flat
+        .collect() // ≤ B rows — the codebook-collect convention
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = grads.map { case (b, g) =>
+        // Spark round(double) = Scala BigDecimal(d).setScale(0, HALF_UP)
+        val step = BigDecimal(lr * g / n)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        b -> (w.getOrElse(b, 0L) - step)
+      }
     }
-    w
+    import spark.implicits._
+    w.toSeq.sorted.toDF("bucket", "w_micros")
   }
 
   /** Score documents under a [[train]]ed model: (idCol, n_buckets,

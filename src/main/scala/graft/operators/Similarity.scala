@@ -208,16 +208,22 @@ object Similarity {
       .filter(col("id") =!= col("nb"))
       .select(col("id"), col("nb"))
     var knn = scoreTopK(init).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
+      // symmetrized adjacency WITHOUT its own distinct pass: a pair
+      // present in both directions duplicates a hop-2 row at most 4×,
+      // and the single cands.distinct dedups everything — one shuffle
+      // per round instead of two
       val adj = knn.select(col("id"), col("nb"))
         .unionAll(knn.select(col("nb").as("id"), col("id").as("nb")))
-        .distinct()
       val hop2 = adj.select(col("id"), col("nb").as("mid"))
         .join(adj.select(col("id").as("mid"), col("nb")), "mid")
         .filter(col("id") =!= col("nb"))
         .select(col("id"), col("nb"))
       val cands = knn.select(col("id"), col("nb")).unionAll(hop2).distinct()
-      knn = scoreTopK(cands).localCheckpoint(true)
+      // the final round chains lazily into the caller's read — no
+      // materialization of a frame consumed exactly once
+      knn = if (r == rounds) scoreTopK(cands)
+        else scoreTopK(cands).localCheckpoint(true)
     }
     knn.orderBy(col("id"), desc("sim"), col("nb"))
   }

@@ -325,24 +325,34 @@ object Stats {
       .when(u < lit(0.9810118431238462), lit(3L))
       .when(u < lit(0.9963401531726563), lit(4L))
       .otherwise(lit(5L))
+    // ONE scan of the fan-out (the r13 fusion — was 3 scans + 2
+    // broadcast barriers): the per-rep fold also carries the raw
+    // sum/count on the rep-0 stripe (each replicate sees every base
+    // row exactly once, so rep 0's raw fold IS the full-data mean),
+    // then the CI bracket reads the b-row replicate table through one
+    // bounded collect_list sort — b rows by construction, the
+    // [[bootstrapCI]] contract — instead of a global window + two
+    // broadcast-filter barriers.
     val perRep = v.crossJoin(reps)
       .select(col("rep"), mult.as("m"), col("v"))
       .groupBy("rep")
       .agg(floor(sum(col("m") * col("v")).cast("double") / sum(col("m")))
-        .cast("long").as("mean_micros"))
-    // BOUNDED global window: b replicate rows (default 32), not data
-    val w = Window.orderBy(col("mean_micros"), col("rep"))
-    val ranked = perRep.withColumn("rn", row_number().over(w))
+        .cast("long").as("mean_micros"),
+        sum(when(col("rep") === 0, col("v"))).as("raw_s"),
+        count(when(col("rep") === 0, lit(1))).as("raw_n"))
     val lo = math.max(1, math.ceil(0.025 * b).toInt)
     val hi = math.min(b, math.ceil(0.975 * b).toInt)
-    val full = v.agg(floor(sum(col("v")).cast("double") / count(lit(1)))
-      .cast("long").as("mean_micros"))
-    full.crossJoin(broadcast(
-        ranked.filter(col("rn") === lo)
-          .select(col("mean_micros").as("lo_micros"))))
-      .crossJoin(broadcast(
-        ranked.filter(col("rn") === hi)
-          .select(col("mean_micros").as("hi_micros"))))
+    // sort_array over (mean, rep) structs ≡ the row_number ranking
+    // (mean asc, rep asc); element_at is 1-based
+    val ms = sort_array(collect_list(
+      struct(col("mean_micros"), col("rep"))))
+    perRep.agg(
+        floor(max(col("raw_s")).cast("double") / max(col("raw_n")))
+          .cast("long").as("mean_micros"),
+        element_at(ms, lo).getField("mean_micros").as("lo_micros"),
+        element_at(ms, hi).getField("mean_micros").as("hi_micros"),
+        count(lit(1)).as("_nr"))
+      .filter(col("_nr") > 0) // empty input → empty output, as before
       .select(lit(b.toLong).as("b_reps"), col("mean_micros"),
         col("lo_micros"), col("hi_micros"))
   }

@@ -758,28 +758,29 @@ object TextAnalysis {
     * quantized to a long BEFORE the fold (exact-integer ratios into
     * ln — the accepted residual class).
     *
-    * Shape: one bigram explode + one (c₁,c₂) fold (alphabet²-bounded)
-    * + one prefix fold + one scalar fold.
+    * Shape: the per-doc bigram counting runs INSIDE one codegen scan
+    * ([[graft.functions.expr.TextExprUtil.charBigramCounts]] — no
+    * char-array split, no interpreted transform lambda, no occurrence
+    * explode), pre-counted maps explode into one (c₁,c₂) fold — the
+    * only data-sized shuffle — then the prefix total and grand total
+    * fold as WINDOWS over the alphabet²-bounded count table (a per-c₁
+    * partition window and a single-partition global window over
+    * ≤ |Σ|² rows — bounded by construction, the [[Stats.bootstrapCI]]
+    * b-row argument), so the whole statistic is ONE job: no
+    * checkpoint, no self-join, no broadcast barrier, the corpus
+    * scanned once.
     *
     * @return one row (n_bigrams, n_pairs, cond_entropy_micros).
     */
   def bigramCondEntropy(docs: DataFrame, textCol: String): DataFrame = {
     val bi = docs
-      .select(expr(s"filter(split($textCol, ''), x -> x <> '')")
-        .as("cs"))
-      .filter(size(col("cs")) >= 2) // sequence(1, 0) would throw
-      .select(explode(expr(
-        "transform(sequence(1, size(cs) - 1), " +
-          "i -> concat(element_at(cs, i), element_at(cs, i + 1)))"))
-        .as("bg"))
-      .filter(length(col("bg")) === 2)
-      .groupBy(col("bg")).agg(count(lit(1)).as("n12"))
-      .localCheckpoint(true) // prefix fold AND terms read it
-    val pre = bi.groupBy(substring(col("bg"), 1, 1).as("c1"))
-      .agg(sum(col("n12")).as("n1"))
-    val tot = bi.agg(sum(col("n12")).as("n"))
+      .select(explode(graft.functions.expr.TextExprs
+        .char_bigram_counts(col(textCol))).as("e"))
+      .groupBy(col("e.bg").as("bg")).agg(sum(col("e.n12")).as("n12"))
     bi.withColumn("c1", substring(col("bg"), 1, 1))
-      .join(pre, "c1").crossJoin(broadcast(tot))
+      .withColumn("n1", sum(col("n12"))
+        .over(Window.partitionBy(col("c1"))))
+      .withColumn("n", sum(col("n12")).over(Window.partitionBy()))
       .select(col("n"),
         round(lit(-1e6) * (col("n12").cast("double") / col("n")) *
           log(col("n12").cast("double") / col("n1"))).cast("long")

@@ -1081,6 +1081,59 @@ object SimilarityQueries {
       val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       Similarity.ivfTopK(q, emb, centroids, "vec_id", "embedding",
         "vec_id", "embedding", 5, 2)
+    }),
+
+    // STREAMING IVF index maintenance, oracle-gated (X70 promoted —
+    // the last streaming row with a SQL-replayable final table): fold
+    // the embeddings through a cell-bucketed BucketStore in 2
+    // vec_id-shard micro-batches, then an UPDATE batch that
+    // re-ingests every 17th id with its NEIGHBOR's embedding — the
+    // updated vector can land in a different cell, exercising the
+    // pk-sidecar LWW path (the stale row in the prior cell must
+    // vanish). The 4th batch then REPLAYS (assignment is
+    // deterministic, so the id-keyed LWW collapses the redelivery —
+    // a duplicate or resurrected stale row hash-mismatches). The
+    // gated table is the store's (id, cell) assignment; the oracle
+    // recomputes LWW winners + nearest-centroid cells directly. The
+    // ANN read path over the same store (ivfQueryStored) stays
+    // spec-pinned in StreamingSpec.
+    "qX_stream_ivf" -> ((s, dir) => {
+      import graft.streaming.CardStream
+      val fold = s.newSession()
+      fold.conf.set("spark.sql.shuffle.partitions", "2")
+      val emb = Tables.load(fold, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // the update shard: ids ≡ 0 (mod 17) re-ingest with the
+      // NEIGHBOR (vec_id+1) embedding; ids whose neighbor does not
+      // exist are not re-ingested (inner join), matching the oracle's
+      // LEFT JOIN fallback to the original vector
+      val nextVec = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("nv"))
+      val updated = emb.join(nextVec, "vec_id")
+        .filter(pmod(col("vec_id"), lit(17L)) === 0)
+        .select(col("vec_id"), col("nv").as("embedding"))
+      GateTmp.withStore("graft-ivfgate") { root =>
+        val store = root + "/ivf"
+        (0 to 1).foreach { i =>
+          CardStream.ivfMerge(fold,
+            emb.filter(pmod(col("vec_id"), lit(2L)) === i),
+            centroids, store, "vec_id", "embedding",
+            batchId = i.toLong, storeBuckets = 8)
+        }
+        CardStream.ivfMerge(fold, updated, centroids, store,
+          "vec_id", "embedding", batchId = 2L, storeBuckets = 8)
+        // at-least-once redelivery of the update batch: LWW no-op
+        CardStream.ivfMerge(fold, updated, centroids, store,
+          "vec_id", "embedding", batchId = 2L, storeBuckets = 8)
+        // materialize BEFORE the helper deletes the tmpfs store
+        CardStream.ivfStored(s, store)
+          .select(col("id"), col("cell"))
+          .orderBy(col("id"))
+          .localCheckpoint(true)
+      }
     }))
 
   /** Unrolled MMR oracle: candidate top-`nCand` per query + complete
@@ -2314,5 +2367,27 @@ object SimilarityQueries {
         |SELECT qid, id, sim FROM (
         |  SELECT qid, id, sim, row_number() OVER (
         |    PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM cand) x
-        |WHERE rn <= 5 ORDER BY qid, sim DESC, id""".stripMargin)
+        |WHERE rn <= 5 ORDER BY qid, sim DESC, id""".stripMargin,
+
+    // the streaming IVF store's final (id, cell) assignment: LWW
+    // winners (every 17th id carries its neighbor's vector — absent
+    // neighbor keeps the original), then nearest-centroid cell under
+    // the same round-6 cosine / cid-asc tiebreak as qX_ann_ivf
+    "qX_stream_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 8),
+        |upd AS (
+        |  SELECT e.vec_id, n.v FROM e
+        |  JOIN e n ON n.vec_id = e.vec_id + 1
+        |  WHERE e.vec_id % 17 = 0),
+        |final AS (
+        |  SELECT e.vec_id, COALESCE(u.v, e.v) AS v
+        |  FROM e LEFT JOIN upd u ON u.vec_id = e.vec_id)
+        |SELECT vec_id AS id, cell FROM (
+        |  SELECT f.vec_id, c.cid AS cell, row_number() OVER (
+        |    PARTITION BY f.vec_id
+        |    ORDER BY round(list_cosine_similarity(f.v, c.cvec), 6) DESC, c.cid) AS rn
+        |  FROM final f CROSS JOIN c) x WHERE rn = 1
+        |ORDER BY id""".stripMargin)
 }

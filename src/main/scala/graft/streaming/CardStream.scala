@@ -959,8 +959,8 @@ object CardStream {
     */
   def ivfMerge(spark: SparkSession, batch: DataFrame, centroids: DataFrame,
                dir: String, idCol: String, vecCol: String,
-               batchId: Long = 0L): Unit = {
-    import BucketStore.StoreBuckets
+               batchId: Long = 0L,
+               storeBuckets: Int = BucketStore.StoreBuckets): Unit = {
     // one manifest snapshot per fold — see nearDupSuppress
     val man = Some(BucketStore.loadManifest(spark, dir))
     val assigned0 = graft.operators.Similarity
@@ -974,7 +974,7 @@ object CardStream {
     val assigned = assigned0.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .localCheckpoint(true) // feeds pk probe, cell set, and both merges
-    val pkBucket = pmod(xxhash64(col("id")), lit(StoreBuckets.toLong))
+    val pkBucket = pmod(xxhash64(col("id")), lit(storeBuckets.toLong))
     val newPk = assigned.select(col("id"), col("cell"), col("_ord"))
       .withColumn("bucket", pkBucket)
     // driver-side collects below are bucket/cell-id sets: ≤ StoreBuckets

@@ -968,18 +968,31 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
   test("releaseCheckpoint frees exactly the released frame's blocks") {
     import graft.operators.GraphAnalytics
     val sc = spark.sparkContext
-    val base = sc.getPersistentRDDs.size
+    // track the SPECIFIC persisted RDD ids of a and b — total registry
+    // counts are flaky here because the ContextCleaner can concurrently
+    // unpersist GC'd blocks leaked by earlier tests in the suite
+    def persistedIds(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+      def walk(r: org.apache.spark.rdd.RDD[_]): Seq[Int] =
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          Seq(r.id)
+        else r.dependencies.toSeq.flatMap(d => walk(d.rdd))
+      walk(df.queryExecution.toRdd).toSet
+    }
     val a = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").localCheckpoint(true)
     val b = Seq((7L, 8L)).toDF("src", "dst").localCheckpoint(true)
-    assert(sc.getPersistentRDDs.size == base + 2)
+    val (aIds, bIds) = (persistedIds(a), persistedIds(b))
+    assert(aIds.nonEmpty && bIds.nonEmpty && (aIds & bIds).isEmpty)
+    assert((aIds ++ bIds).forall(sc.getPersistentRDDs.contains))
     GraphAnalytics.releaseCheckpoint(a)
     // release is precise: a's block gone, the bystander b untouched
     // (the registry prunes asynchronously on unpersist(blocking=false),
     // so poll briefly rather than assert instantly)
     val deadline = System.nanoTime() + 10e9.toLong
-    while (sc.getPersistentRDDs.size > base + 1 &&
+    while (aIds.exists(sc.getPersistentRDDs.contains) &&
            System.nanoTime() < deadline) Thread.sleep(50)
-    assert(sc.getPersistentRDDs.size == base + 1)
+    assert(aIds.forall(id => !sc.getPersistentRDDs.contains(id)))
+    assert(bIds.forall(sc.getPersistentRDDs.contains),
+      "bystander checkpoint must stay persisted")
     assert(b.count() == 1L) // b still readable after a's release
     GraphAnalytics.releaseCheckpoint(b)
   }

@@ -23,6 +23,34 @@ class QualityLrSpec extends AnyFunSuite with SparkSpec {
     assert(!f.exists(_._1 == 3L), "featureless doc contributes nothing")
   }
 
+  test("features: codegen expression ≡ exploded md5-groupBy-window formulation") {
+    // the executable spec the single-scan expression replaced — same
+    // rows bit-for-bit on real documents (the oracle replays this form)
+    import graft.functions.expr.TextExprs.word_ngrams
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val buckets = 64
+    val spec = docs
+      .select(col("doc_id"), explode(concat(word_ngrams(col("text"), 1),
+        word_ngrams(col("text"), 2))).as("_f"))
+      .select(col("doc_id"),
+        pmod(graft.operators.Sampling.md5Bucket(col("_f")), lit(buckets))
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n_feats",
+        sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("bucket"),
+        round(col("cnt") * lit(1e6) / col("n_feats")).cast("long")
+          .as("x_micros"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val fast = QualityLr.features(docs, "doc_id", "text", buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(fast.length == spec.length && fast.sameElements(spec),
+      s"expression/spec divergence: ${fast.length} vs ${spec.length} rows")
+  }
+
   test("train: hand-computed symmetric weights on a 2-doc corpus") {
     // one target doc {a}, one raw doc {b}, no bucket collision (checked):
     // round 1: m=0 → p=500000 → r=∓500000 → w=±250000;

@@ -175,6 +175,32 @@ class TextExprSpec extends AnyFunSuite with SparkSpec {
     assert(short.toList == List(Nil, Nil, Nil))
   }
 
+  test("char_bigram_counts ≡ the split-transform-explode formulation (random + real)") {
+    val rand = randomStrings.toDF("text")
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    for (df <- Seq(rand, real)) {
+      // the executable spec: occurrence explode, then a global
+      // (bigram → count) fold — exactly what bigramCondEntropy ran
+      // before the expression replaced it
+      val spec = df
+        .select(expr("filter(split(text, ''), x -> x <> '')").as("cs"))
+        .filter(size(col("cs")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(cs) - 1), " +
+            "i -> concat(element_at(cs, i), element_at(cs, i + 1)))"))
+          .as("bg"))
+        .filter(length(col("bg")) === 2)
+        .groupBy("bg").agg(count(lit(1)).as("n12"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fast = df
+        .select(explode(TextExprs.char_bigram_counts(col("text"))).as("e"))
+        .groupBy(col("e.bg").as("bg")).agg(sum(col("e.n12")).as("n12"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fast == spec)
+    }
+  }
+
   test("null flows through as null (nullIntolerant)") {
     val r = Seq(Option.empty[String]).toDF("s")
       .select(TextExprs.token_count(col("s"))).collect().head
