@@ -72,6 +72,11 @@ object QTime {
     def sessionFor(name: String) = sys.env.get("SPARK_GRAFT_SMALL") match {
       case Some("1") => smallSession
       case Some("0") => spark
+      // an explicit SPARK_GRAFT_SHUFFLE_PARTITIONS is the big-SF
+      // sizing knob — it must NEVER be silently overridden by the
+      // tiny-gate routing (a 4-partition wedge stage at sf1000 is the
+      // exact OOM the 512 override exists to prevent)
+      case _ if sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS") => spark
       case _ => if (prevDuck.get(name).exists(_ < 0.3)) smallSession else spark
     }
     for (name <- args) {
