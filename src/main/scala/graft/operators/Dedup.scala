@@ -369,10 +369,19 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    // exact verification on candidates only
+    // exact verification on candidates only. The intersect is
+    // COMPUTE-dense (~|sh|·|union| string hashes per candidate) and a
+    // near-dup-rich corpus yields ~50× more candidates than survivors
+    // — cost that byte-based partition sizing cannot see, so a
+    // small-shuffle session would verify everything on a handful of
+    // tasks. Spread the hydrated pairs to cores right beneath the
+    // verify projection (the wedge-bag convention,
+    // [[graft.operators.Pymk.wedgePar]]); results are
+    // partition-independent.
     val withSh = cand
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .repartition(graft.operators.Pymk.wedgePar(docs))
     // eager checkpoint + unpersist, the [[fuzzyJoin]] hygiene: the
     // persisted frames exist for THIS computation's reuse, not the
     // session's lifetime — repeated calls (the streaming near-dup fold
