@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * integer-ratio divisions in micros; the top-N ranks the QUANTIZED
   * lift with (antecedent, consequent) tiebreaks.
   *
-  * 100 TB shape: one distinct projection, a basket-keyed self-join
-  * whose cost is Σ_b |b|² (basket sizes are naturally small; cap
-  * oversized baskets like power users in item-item CF), map-side
-  * pair counts pruned by `minSupport` BEFORE the item-count
-  * hydrations, bounded-heap top-N.
+  * 100 TB shape: ONE basket-keyed fold into per-basket item sets
+  * (collect_set — basket sizes are naturally small; cap oversized
+  * baskets like power users in item-item CF), then pairs generate
+  * INSIDE each basket's array (Σ_b |b|² compute, zero join) into one
+  * (i, j)-keyed count — two shuffles total where the self-join form
+  * paid four — pruned by `minSupport` BEFORE the item-count
+  * hydrations, bounded-heap top-N. Item counts and the basket total
+  * re-derive from the same checkpointed set table.
   */
 object Assoc {
 
@@ -29,13 +32,25 @@ object Assoc {
     */
   def rules(baskets: DataFrame, basketCol: String, itemCol: String,
             minSupport: Long, topN: Int): DataFrame = {
-    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
-    val n = bi.select(col("b")).distinct().agg(count(lit(1)).as("n"))
-    val itemCnt = bi.groupBy(col("i")).agg(count(lit(1)).as("ci"))
-    val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
-      .filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("nab"))
+    // per-basket distinct item sets in one keyed fold; ≤ |basket|
+    // array entries per row, reused by the pair explode, the item
+    // counts, and the basket total
+    val sets = baskets
+      .select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .groupBy(col("b"))
+      .agg(sort_array(collect_set(col("i"))).as("items"))
+      .localCheckpoint(true)
+    val n = sets.agg(count(lit(1)).as("n"))
+    val itemCnt = sets.select(explode(col("items")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("ci"))
+    // all i < j pairs inside the sorted array — no self-join
+    val pairs = sets
+      .select(explode(expr(
+        "flatten(transform(items, (x, k) -> " +
+          "transform(slice(items, k + 2, size(items) - k - 1), " +
+          "y -> named_struct('i', x, 'j', y))))")).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("nab"))
       .filter(col("nab") >= minSupport)
     // both rule directions from the counted half
     val directed = pairs.select(col("i").as("a"), col("j").as("bb"),
