@@ -457,6 +457,29 @@ object TextExprUtil {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+
+  /** All i<j element pairs of an array as struct rows, one primitive
+    * loop — the market-basket pair expansion (Assoc.rules). Pair
+    * order follows array order: (arr(a), arr(b)) for every a < b. */
+  def arrayCombos(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                  et: DataType): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val elems = arr.toObjectArray(et)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var a = 0
+    while (a < n - 1) {
+      var b = a + 1
+      while (b < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(elems(a), elems(b))
+        k += 1
+        b += 1
+      }
+      a += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
 }
 
 abstract class TextScanExpression extends UnaryExpression {
@@ -631,6 +654,46 @@ case class WordPairsExpr(child: Expression, window: Int)
     copy(child = c)
 }
 
+/** `array_combos(arr)`: all i<j element pairs of an array as
+  * array<struct<i, j>>, one primitive loop, codegen — the
+  * market-basket pair expansion hot loop. The nested
+  * transform/slice/flatten HOF it replaces is CodegenFallback (every
+  * row interprets two lambda levels and allocates a slice per
+  * element); Assoc keeps that HOF as the equivalence-tested
+  * executable spec (EventsDriftSpec). */
+case class ArrayCombosExpr(child: Expression) extends UnaryExpression {
+  private def elemOf(t: DataType): org.apache.spark.sql.types.ArrayType =
+    t.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"array_combos requires an array, got ${t.sql}")
+    }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = {
+    val at = elemOf(child.dataType)
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i", at.elementType, at.containsNull),
+        org.apache.spark.sql.types.StructField("j", at.elementType, at.containsNull))),
+      containsNull = false)
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.arrayCombos(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elemOf(child.dataType).elementType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("etype", elemOf(child.dataType).elementType,
+      "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.arrayCombos($c, $et)")
+  }
+  override protected def withNewChildInternal(c: Expression): ArrayCombosExpr =
+    copy(child = c)
+}
+
 /** Column-level entry points + SQL registration. */
 /** `jaro_winkler(a, b)`: the standard Jaro–Winkler similarity
   * (Winkler 1990 — prefix scale 0.1 up to 4 chars, boost threshold
@@ -679,6 +742,7 @@ object TextExprs {
     toColumn(CharBigramCountsExpr(toExpr(c)))
   def word_pairs(c: Column, window: Int): Column =
     toColumn(WordPairsExpr(toExpr(c), window))
+  def array_combos(c: Column): Column = toColumn(ArrayCombosExpr(toExpr(c)))
   def top_ngram_frac(c: Column, n: Int): Column = toColumn(TopNgramFracExpr(toExpr(c), n))
 
   /** Register as SQL functions on a session. */

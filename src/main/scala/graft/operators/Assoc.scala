@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * (i, j)-keyed count — two shuffles total where the self-join form
   * paid four — pruned by `minSupport` BEFORE the item-count
   * hydrations, bounded-heap top-N. Item counts and the basket total
-  * re-derive from the same checkpointed set table.
+  * re-derive from the same set table through one reused exchange.
   */
 object Assoc {
 
@@ -35,39 +35,48 @@ object Assoc {
     // per-basket distinct item sets in one keyed fold; ≤ |basket|
     // array entries per row, reused by the pair explode, the item
     // counts, and the basket total
+    // No checkpoint: the three consumers below share this agg's
+    // exchange via ReusedExchange inside the one final plan (verified
+    // in AssocSpec) — an eager localCheckpoint here would pin blocks
+    // until the caller's session cleanup (the r14 ADVICE leak).
     val sets = baskets
       .select(col(basketCol).as("b"), col(itemCol).as("i"))
       .groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("items"))
-      .localCheckpoint(true)
     val n = sets.agg(count(lit(1)).as("n"))
     val itemCnt = sets.select(explode(col("items")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("ci"))
-    // all i < j pairs inside the sorted array — no self-join
+    // all i < j pairs inside the sorted array — no self-join; native
+    // codegen pair expansion (the HOF twin is the executable spec,
+    // equivalence-locked in EventsDriftSpec)
     val pairs = sets
-      .select(explode(expr(
-        "flatten(transform(items, (x, k) -> " +
-          "transform(slice(items, k + 2, size(items) - k - 1), " +
-          "y -> named_struct('i', x, 'j', y))))")).as("p"))
+      .select(explode(graft.functions.expr.TextExprs
+        .array_combos(col("items"))).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("nab"))
       .filter(col("nab") >= minSupport)
-    // both rule directions from the counted half
-    val directed = pairs.select(col("i").as("a"), col("j").as("bb"),
-        col("nab"))
-      .unionAll(pairs.select(col("j").as("a"), col("i").as("bb"),
-        col("nab")))
-    directed
-      .join(itemCnt.select(col("i").as("a"), col("ci").as("ca")), "a")
-      .join(itemCnt.select(col("i").as("bb"), col("ci").as("cb")), "bb")
+    // Hydrate BOTH endpoint counts onto the i<j row, then explode the
+    // two rule directions from it — a post-agg union would re-run the
+    // Σ|b|²-row pair aggregation once per direction (exchange reuse
+    // dedups only the shuffle write, not the final agg pass).
+    pairs
+      .join(itemCnt.select(col("i"), col("ci").as("ca")), "i")
+      .join(itemCnt.select(col("i").as("j"), col("ci").as("cb")), "j")
       .crossJoin(broadcast(n))
-      .select(col("a"), col("bb").as("b"), col("nab").as("n_ab"),
-        floor(lit(1000000L) * col("nab") / col("n")).cast("long")
+      .select(explode(array(
+        struct(col("i").as("a"), col("j").as("b"), col("nab"),
+          col("ca").as("c_a"), col("cb").as("c_b"), col("n")),
+        struct(col("j").as("a"), col("i").as("b"), col("nab"),
+          col("cb").as("c_a"), col("ca").as("c_b"), col("n"))))
+        .as("r"))
+      .select(col("r.a").as("a"), col("r.b").as("b"),
+        col("r.nab").as("n_ab"),
+        floor(lit(1000000L) * col("r.nab") / col("r.n")).cast("long")
           .as("support_micros"),
-        floor(lit(1000000L) * col("nab") / col("ca")).cast("long")
+        floor(lit(1000000L) * col("r.nab") / col("r.c_a")).cast("long")
           .as("conf_micros"),
-        floor(lit(1000000L) * (col("nab") * col("n")) /
-          (col("ca") * col("cb"))).cast("long").as("lift_micros"))
+        floor(lit(1000000L) * (col("r.nab") * col("r.n")) /
+          (col("r.c_a") * col("r.c_b"))).cast("long").as("lift_micros"))
       .orderBy(desc("lift_micros"), col("a"), col("b"))
       .limit(topN)
   }

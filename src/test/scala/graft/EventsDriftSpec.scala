@@ -167,6 +167,42 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
       ("y", "x", 2L, 500000L, 1000000L, 1333333L)))
   }
 
+  test("array_combos equals the transform/slice/flatten HOF twin") {
+    import graft.functions.expr.TextExprs
+    val rnd = new scala.util.Random(11)
+    // longs (the lineitem gate's type) incl. empty and singleton arrays
+    val longArrs = Seq(Seq.empty[Long], Seq(7L)) ++
+      (1 to 60).map(_ => Seq.fill(rnd.nextInt(12))(rnd.nextLong()).sorted)
+    val hof = expr(
+      "flatten(transform(items, (x, k) -> " +
+        "transform(slice(items, k + 2, size(items) - k - 1), " +
+        "y -> named_struct('i', x, 'j', y))))")
+    val dl = longArrs.toDF("items")
+      .select(hof.as("h"), TextExprs.array_combos(col("items")).as("e"))
+    assert(dl.filter(col("h") =!= col("e")).isEmpty)
+    // strings (the engine API path)
+    val strArrs = (1 to 40).map(_ =>
+      Seq.fill(rnd.nextInt(8))(rnd.nextInt(20).toString).distinct.sorted)
+    val ds = strArrs.toDF("items")
+      .select(hof.as("h"), TextExprs.array_combos(col("items")).as("e"))
+    assert(ds.filter(col("h") =!= col("e")).isEmpty)
+    // codegen path actually compiles (no CodegenFallback exception)
+    assert(dl.count() == 62 && ds.count() == 40)
+  }
+
+  test("assoc rules: the set-table exchange is reused, not checkpointed") {
+    import graft.operators.Assoc
+    val b = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+      .toDF("b", "i")
+    val df = Assoc.rules(b, "b", "i", 1L, 5)
+    df.collect() // AQE materializes stage reuse only at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    // the basket-set agg and the counted-pair table each feed
+    // multiple consumers through one reused exchange
+    assert(plan.contains("ReusedExchange"),
+      s"expected a reused exchange in:\n$plan")
+  }
+
   test("zipfFit: exact power law recovers its exponent") {
     import graft.operators.TextAnalysis
     // corpus engineered so freq(rank r) = 64/r for tokens t1..t8:
