@@ -776,6 +776,39 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 3000000L), (4L, 5L, 3000000L)))
   }
 
+  test("scorePairs necessary-field blocking equals the block-only scan") {
+    import graft.operators.EntityResolution
+    val rnd = new scala.util.Random(23)
+    val recs = (1L to 400L).map(i => (i, s"b${rnd.nextInt(3)}",
+      s"n${rnd.nextInt(6)}", rnd.nextInt(4).toLong)).toDF(
+      "id", "blk", "name", "bal")
+    val cmp = Seq(("name", 4000000L, -2000000L), ("bal", 6000000L, -3000000L))
+    // threshold 7e6: name (10-4-2=4<7) AND bal (10-6-3=1<7) both
+    // necessary — the refined equi-key is (blk, name, bal)
+    val fast = EntityResolution.scorePairs(recs, "id", "blk", cmp, 7000000L)
+    // the unrefined executable spec: block-only join + score filter
+    val a2 = recs.select(col("id").as("i1"), col("blk").as("k"),
+      col("name").as("n1"), col("bal").as("v1"))
+    val b2 = recs.select(col("id").as("i2"), col("blk").as("k"),
+      col("name").as("n2"), col("bal").as("v2"))
+    val slow = a2.join(b2, Seq("k")).filter(col("i1") < col("i2"))
+      .select(col("i1"), col("i2"),
+        (when(col("n1") <=> col("n2"), 4000000L).otherwise(-2000000L) +
+         when(col("v1") <=> col("v2"), 6000000L).otherwise(-3000000L))
+          .as("sc"))
+      .filter(col("sc") >= 7000000L)
+    val f = fast.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sl = slow.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(f.nonEmpty && f.sorted.toSeq == sl.sorted.toSeq)
+    // and the join key really tightened: all three fields are join keys
+    val joins = fast.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val cond = joins.head.condition.map(_.toString).getOrElse("")
+    assert(cond.contains("a_name") && cond.contains("a_bal"),
+      s"expected refined keys in join condition: $cond")
+  }
+
   test("attribution: window bound, equal-ts max-id collapse, no-touch NULL") {
     val e = Seq(
       (1L, ts("2024-01-10 10:00:00"), "click", 10L),
