@@ -219,7 +219,16 @@ object Similarity {
         .join(adj.select(col("id").as("mid"), col("nb")), "mid")
         .filter(col("id") =!= col("nb"))
         .select(col("id"), col("nb"))
-      val cands = knn.select(col("id"), col("nb")).unionAll(hop2).distinct()
+      // dedup candidates per ANCHOR (collect_set by id), not by the
+      // (id, nb) pair: one id-keyed exchange whose partitioning then
+      // flows through the broadcast vector-hydrate joins straight
+      // into the id-keyed top-k aggregate — two fewer exchanges per
+      // round than a pair-distinct + re-shuffle (the r14 bar profile:
+      // each of these stages was ~pure floor at gate scale). The set
+      // is bounded by |knn ∪ hop2| per id ≤ 2k + (2k)² rows.
+      val cands = knn.select(col("id"), col("nb")).unionAll(hop2)
+        .groupBy(col("id")).agg(collect_set(col("nb")).as("cs"))
+        .select(col("id"), explode(col("cs")).as("nb"))
       // the final round chains lazily into the caller's read — no
       // materialization of a frame consumed exactly once
       knn = if (r == rounds) scoreTopK(cands)
