@@ -93,10 +93,45 @@ object Bench {
     small.conf.set("spark.sql.shuffle.partitions", "4")
     small.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     small.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-    def sessionFor(name: String): SparkSession =
-      if (prevDuck.get(name).exists(_ < 0.3)) small else spark
+    // Routing guards (mirrors QTime's): the duck annotations were
+    // measured at the artifact's recorded SF dir — against any OTHER
+    // dir (a big synthetic SF sweep) they say nothing about Spark-side
+    // compute, and a 4-partition wedge stage at sf1000 is an OOM, so a
+    // dir mismatch disables routing entirely. SPARK_GRAFT_SMALL=0
+    // forces everything onto the main session for A/B runs.
+    val prevSf: Option[String] = prevArtifact \ "sf" match {
+      case org.json4s.JString(s) => Some(s)
+      case _                     => None
+    }
+    val prevRoutedSmall: Set[String] = prevArtifact \ "routed_small" match {
+      case org.json4s.JArray(xs) =>
+        xs.collect { case org.json4s.JString(s) => s }.toSet
+      case _ => Set.empty
+    }
+    val routingEnabled = prevSf.forall(_ == sfDir) &&
+      !sys.env.get("SPARK_GRAFT_SMALL").contains("0")
+    // Hysteresis: < 0.25 s of oracle work routes small, ≥ 0.35 s stays
+    // on the 32-way session, and the 0.25–0.35 band keeps whichever
+    // side the previous run used (annotation refreshes move straddling
+    // gates' duck times across any single cutoff run-to-run — r14 lost
+    // 4+ s to one such flap). The band falls back to the old 0.3
+    // cutoff when no routing was recorded yet.
+    def routesSmall(name: String): Boolean = routingEnabled &&
+      (prevDuck.get(name) match {
+        case Some(d) if d < 0.25 => true
+        case Some(d) if d < 0.35 =>
+          if (prevRoutedSmall.nonEmpty) prevRoutedSmall.contains(name)
+          else d < 0.3
+        case _ => false
+      })
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val routedSmall: Set[String] = names.filter(routesSmall).toSet
+    System.err.println(s"[bench] small-session routing: " +
+      s"${routedSmall.size}/${names.size} gates" +
+      (if (routingEnabled) "" else " (DISABLED: SF-dir mismatch or forced)"))
+    def sessionFor(name: String): SparkSession =
+      if (routedSmall(name)) small else spark
     // Drop everything a query pinned: catalog cache AND eager
     // localCheckpoint blocks (clearCache() does NOT release those — at
     // ~280 queries the leaked blocks squeeze late queries' execution
@@ -232,8 +267,12 @@ object Bench {
     val duckKeep = prevDuck.view.filterKeys(SparkEntry.queries.keySet).toMap
     val duckJson = if (duckKeep.isEmpty) ""
       else s""""duckdb":${qJson(duckKeep.toSeq.sortBy(_._1))},"""
+    // persist this run's routing so the hysteresis band has a side to
+    // keep next run (full artifact only — not the compact stdout line)
+    val routedJson = s""""routed_small":${routedSmall.toSeq.sorted
+      .map(JsonUtil.quote).mkString("[", ",", "]")},"""
     val full = line(finalResults, qJson(finalResults),
-      s""""regressions":$regJson,"n_reproduced":$nReproduced,$duckJson""")
+      s""""regressions":$regJson,"n_reproduced":$nReproduced,$routedJson$duckJson""")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

@@ -49,20 +49,26 @@ object QTime {
     // mirror Bench's small-session routing (tiny-oracle gates run on a
     // 4-shuffle-partition child session) so QTime numbers predict bench
     // numbers; SPARK_GRAFT_SMALL=0|1 forces a side for A/B timing
-    val prevDuck: Map[String, Double] = try {
+    val prevArtifact: org.json4s.JValue = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))),
         java.nio.charset.StandardCharsets.UTF_8)
-      org.json4s.jackson.JsonMethods.parse(txt) \ "duckdb" match {
-        case org.json4s.JObject(fs) => fs.collect {
-          case (k, org.json4s.JDouble(v))  => k -> v
-          case (k, org.json4s.JInt(v))     => k -> v.toDouble
-          case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty
-      }
-    } catch { case _: Throwable => Map.empty }
+      org.json4s.jackson.JsonMethods.parse(txt)
+    } catch { case _: Throwable => org.json4s.JNothing }
+    val prevDuck: Map[String, Double] = prevArtifact \ "duckdb" match {
+      case org.json4s.JObject(fs) => fs.collect {
+        case (k, org.json4s.JDouble(v))  => k -> v
+        case (k, org.json4s.JInt(v))     => k -> v.toDouble
+        case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+    val prevRoutedSmall: Set[String] = prevArtifact \ "routed_small" match {
+      case org.json4s.JArray(xs) =>
+        xs.collect { case org.json4s.JString(s) => s }.toSet
+      case _ => Set.empty
+    }
     val smallSession = spark.newSession()
     smallSession.conf.set("spark.sql.shuffle.partitions", "4")
     smallSession.conf.set(
@@ -77,7 +83,16 @@ object QTime {
       // tiny-gate routing (a 4-partition wedge stage at sf1000 is the
       // exact OOM the 512 override exists to prevent)
       case _ if sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS") => spark
-      case _ => if (prevDuck.get(name).exists(_ < 0.3)) smallSession else spark
+      // Bench's hysteresis, mirrored: < 0.25 small, ≥ 0.35 big, the
+      // band keeps the previous bench run's recorded side
+      case _ => prevDuck.get(name) match {
+        case Some(d) if d < 0.25 => smallSession
+        case Some(d) if d < 0.35 =>
+          if (prevRoutedSmall.nonEmpty) {
+            if (prevRoutedSmall.contains(name)) smallSession else spark
+          } else if (d < 0.3) smallSession else spark
+        case _ => spark
+      }
     }
     for (name <- args) {
       val s = sessionFor(name)

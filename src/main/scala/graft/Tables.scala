@@ -29,12 +29,24 @@ object Tables {
     *    → cast to TimestampType. Sessions pin the session timezone to UTC,
     *    so the wall-clock reinterpretation is lossless.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
-    } else df
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    handleCache.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      } else df
+    })
+
+  /** DataFrame HANDLE cache (plans, not data): building
+    * `spark.read.parquet` re-lists the directory and re-reads a footer
+    * for schema on every call — ~40-50 ms per table per gate, ~20 s
+    * across a 377-gate harness run. DataFrames are immutable, so one
+    * handle per (session, dir, table) is safe to share; keying on the
+    * session keeps cloned sessions' conf isolation intact, and nothing
+    * is persisted — executions stay independent. Bounded: sessions ×
+    * dirs × 10 tables. */
+  private val handleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 }

@@ -1950,7 +1950,17 @@ object GraphAnalytics {
         .otherwise(expr(s"cast(cast(d as decimal(38,0)) * (d - 1L) * $unit" +
           s" div $capPairs as long)"))) // floor
       .select(col("mid"), col("w"))
-    val wedges = samp.select(col("from").as("mid"), col("to").as("a"))
+    // size the wedge join to the SAMPLED bag (Σ min(d,cap)² over the
+    // checkpointed adjacency — one cheap agg): each join task then
+    // holds ~WedgeRowsPerTask wedge rows regardless of SF, which is
+    // the sf1000 lesson (512 conf partitions ≈ 4M rows/task OOM'd a
+    // quiet 64 GiB box; data-sized 1024 ran clean) — no manual
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS override needed. Keyed by the
+    // middle: the cap bounds any middle's rows, so no skew risk.
+    val wpar = Pymk.wedgeParSized(edges,
+      Pymk.estWedgeBagRows(adj, maxDegree))
+    val wedges = samp.repartition(wpar, col("from"))
+      .select(col("from").as("mid"), col("to").as("a"))
       .join(samp.select(col("from").as("mid"), col("to").as("c")), "mid")
       .filter(col("a") < col("c"))
       .join(deg, "mid")
@@ -2191,6 +2201,13 @@ object GraphAnalytics {
       .localCheckpoint(true)
     val ideg = e.groupBy(col("dst")).agg(count(lit(1)).as("ideg"))
       .localCheckpoint(true)
+    // Two checkpoints per round (the normalized frames), not four:
+    // the RAW tables stay lazy — their two consumers (own total +
+    // rows) duplicate only a shallow join+agg over checkpointed
+    // inputs, which AQE ReusedExchange dedups at runtime. Deeper
+    // laziness is a trap: with the normalized frames lazy too, every
+    // raw double-read doubles the subtree and the plan grows
+    // 2^rounds (measured 5.6 s vs 1.6 s at gate scale).
     def normalize(raw: DataFrame, out: String): DataFrame =
       verts.join(
           raw.crossJoin(broadcast(raw.agg(
@@ -2207,13 +2224,11 @@ object GraphAnalytics {
         .join(odeg, "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(floor(col("h") / col("odeg")).cast("long")).as("raw"))
-        .localCheckpoint(true) // feeds both its own total and the rows
       a = normalize(araw, "a")
       val hraw = e.join(a.withColumnRenamed("id", "dst"), "dst")
         .join(ideg, "dst")
         .groupBy(col("src").as("id"))
         .agg(sum(floor(col("a") / col("ideg")).cast("long")).as("raw"))
-        .localCheckpoint(true)
       h = normalize(hraw, "h")
     }
     h.join(a, Seq("id"))
@@ -2663,8 +2678,14 @@ object GraphAnalytics {
 
   def adamicAdar(edges: DataFrame, k: Int,
                  maxDegree: Int = Int.MaxValue): DataFrame = {
+    // bag estimate over the RAW undirected view (one edge scan + agg,
+    // no second distinct shuffle): an upper bound when the input has
+    // duplicate edges — overshoot only adds tasks, undershoot is the
+    // OOM the sizing exists to prevent
+    val wpar = Pymk.wedgeParSized(edges,
+      Pymk.estWedgeBagRows(Pymk.undirected(edges), maxDegree))
     val adj = Pymk.undirected(edges).distinct()
-      .repartition(Pymk.wedgePar(edges))
+      .repartition(wpar)
       .localCheckpoint(true) // reused 4×: deg, both join sides, anti join
     // wedge sides enumerate the (possibly capped) neighbor sample;
     // degrees, discounts, and the direct-edge anti join stay EXACT on
@@ -2684,7 +2705,7 @@ object GraphAnalytics {
     // distinct undirected adj is symmetric, so wedge (a,z,c) exists iff
     // (c,z,a) does with the same w — score only a < c, mirror the
     // aggregated pairs (10-20× smaller than the wedge bag) afterwards.
-    val par = Pymk.wedgePar(adj)
+    val par = wpar
     // both wedge sides read the SAME sampled set S(z) (wedgeAdj is
     // keyed by the middle as `from`; adj symmetry makes that the
     // neighbor set in both roles)
@@ -2749,8 +2770,11 @@ object GraphAnalytics {
     */
   def linkPredictScores(edges: DataFrame,
                         maxDegree: Int = Int.MaxValue): DataFrame = {
+    // raw-view bag estimate — same rationale as adamicAdar
+    val wpar = Pymk.wedgeParSized(edges,
+      Pymk.estWedgeBagRows(Pymk.undirected(edges), maxDegree))
     val adj = Pymk.undirected(edges).distinct()
-      .repartition(Pymk.wedgePar(edges))
+      .repartition(wpar)
       .localCheckpoint(true) // reused 4x: deg, both wedge sides, anti join
     // hub guard: wedge sides enumerate the capped neighbor sample;
     // degrees/discounts/anti-join stay exact (see capNeighbors)
@@ -2760,7 +2784,7 @@ object GraphAnalytics {
     val deg = adj.groupBy(col("from").as("z"))
       .agg(count(lit(1)).as("deg"))
       .withColumn("w", round(lit(1e6) / col("deg")).cast("long"))
-    val par = Pymk.wedgePar(adj)
+    val par = wpar
     val intoZ = wedgeAdj.select(col("from").as("z"), col("to").as("a"))
       .join(deg.select(col("z"), col("w")), "z")
     val outOfZ = wedgeAdj.select(col("from").as("z"), col("to").as("c"))

@@ -54,16 +54,57 @@ object Pymk {
     * session left at the stock 200-partition default pays 200-task
     * wedge stages on tiny inputs — perf-only, results unchanged;
     * size the conf to the data (every harness session here does).
-    * A malformed (non-integer / non-positive) conf value fails fast
-    * rather than silently falling back. */
+    * A non-integer conf value (e.g. a platform's "auto") falls back
+    * to defaultParallelism with a warning — crashing every wedge
+    * operator over a sizing knob would be worse than a default. */
   private[graft] def wedgePar(df: DataFrame): Int = {
     val spark = df.sparkSession
     val raw = spark.conf.get("spark.sql.shuffle.partitions")
-    val conf = scala.util.Try(raw.toInt).getOrElse(
-      throw new IllegalArgumentException(
-        s"spark.sql.shuffle.partitions must be an integer, got '$raw'"))
-    require(conf > 0, s"spark.sql.shuffle.partitions must be > 0, got $conf")
+    val conf = scala.util.Try(raw.toInt).toOption match {
+      case Some(n) if n > 0 => n
+      case _ =>
+        System.err.println(s"[graft] spark.sql.shuffle.partitions='$raw' " +
+          "is not a positive integer; wedge sizing falls back to " +
+          s"defaultParallelism=${spark.sparkContext.defaultParallelism}")
+        spark.sparkContext.defaultParallelism
+    }
     math.max(spark.sparkContext.defaultParallelism, conf)
+  }
+
+  /** Wedge-bag partition budget per task: the sf1000 c4 calibration —
+    * ~4M bag rows per task (512 partitions) OOM'd a 64 GiB/32-thread
+    * box on a quiet run, ~2M (1024 partitions) ran clean AND beat the
+    * loaded 512-partition runs. Wedge rows are two ids + agg-map
+    * state, so ~2M rows/task ≈ low hundreds of MB of execution
+    * memory. */
+  private[graft] val WedgeRowsPerTask = 2000000L
+
+  /** [[wedgePar]] sized to the DATA: an explosive operator that knows
+    * its wedge-bag row estimate (Σ min(deg, cap)² over the middle
+    * degree table — one cheap agg over a frame the operator already
+    * builds) partitions the bag so each task sees ~[[WedgeRowsPerTask]]
+    * rows, floored at the static [[wedgePar]] (small inputs keep their
+    * exact current plans — PlanSpec-pinned) and capped at 2^16. This
+    * removes the manual SPARK_GRAFT_SHUFFLE_PARTITIONS override big-SF
+    * sweeps needed: the estimate grows with the data, the conf does
+    * not. */
+  private[graft] def wedgeParSized(df: DataFrame, estBagRows: Long): Int = {
+    val static = wedgePar(df)
+    val byData = math.ceil(estBagRows.toDouble / WedgeRowsPerTask).toLong
+    math.max(static.toLong, math.min(byData, 1L << 16)).toInt
+  }
+
+  /** Σ min(deg, cap)² over an adjacency's `from` column — the wedge-bag
+    * row estimate behind [[wedgeParSized]] (exact for an uncapped
+    * middle join; an upper bound for a<c-halved ones — a ≤2× sizing
+    * overshoot is free, an undershoot is the OOM). One agg + one
+    * driver scalar. */
+  private[graft] def estWedgeBagRows(adj: DataFrame,
+                                     cap: Int = Int.MaxValue): Long = {
+    val d = least(count(lit(1)), lit(cap.toLong))
+    val r = adj.groupBy(col("from")).agg((d * d).as("w2"))
+      .agg(coalesce(sum(col("w2")), lit(0L)).as("bag")).head()
+    r.getLong(0)
   }
 
   /** Undirected bag view of a directed edge list: out-edges ∪ in-edges.
@@ -219,7 +260,9 @@ object Pymk {
     // explosive join + partial agg. Pin full parallelism with an
     // explicit round-robin repartition (round-robin, not keyed, so a
     // hub vertex can't pin its whole neighborhood to one task).
-    val par = wedgePar(edges)
+    // Sized to the estimated bag (Σ deg²) so big-SF runs need no
+    // manual partition override; small inputs keep the static count.
+    val par = wedgeParSized(edges, estWedgeBagRows(adj))
     // Symmetry: the undirected bag contains (x,y) and (y,x) with equal
     // multiplicity, so score(a,c) == score(c,a). Count only the a < c
     // half of the path bag (HALF the shuffle + agg input) and mirror
@@ -295,7 +338,7 @@ object Pymk {
   def recommendAllCapped(edges: DataFrame, limit: Int,
                          maxDegree: Int): DataFrame = {
     val adjFull = undirected(edges)
-    val par = wedgePar(edges)
+    val par = wedgeParSized(edges, estWedgeBagRows(adjFull, maxDegree))
     // hash-spread per-middle sample: keep the maxDegree rows with the
     // lowest (md5Bucket("z:n"), n) — bounded-heap, never a window sort
     val keyed = adjFull.withColumn("_hk",
@@ -346,7 +389,7 @@ object Pymk {
         col("w_micros").as("w"))
       .unionAll(wEdges.select(col("dst").as("from"), col("src").as("to"),
         col("w_micros").as("w")))
-    val par = wedgePar(wEdges)
+    val par = wedgeParSized(wEdges, estWedgeBagRows(adj))
     // path weights are symmetric (w₁·w₂ commutes), so — like the
     // unweighted flagship — fold only the anchor < candidate half of
     // the wedge bag and mirror the AGGREGATED pairs (half the shuffle)
@@ -395,7 +438,7 @@ object Pymk {
         col("w_micros").as("w"))
       .unionAll(wEdges.select(col("dst").as("from"), col("src").as("to"),
         col("w_micros").as("w")))
-    val par = wedgePar(wEdges)
+    val par = wedgeParSized(wEdges, estWedgeBagRows(adjFull, maxDegree))
     val keyed = adjFull.withColumn("_hk",
       Sampling.md5Bucket(concat_ws(":", col("from"), col("to"))))
     val samp = TopK.grouped(keyed, Seq("from"),

@@ -997,9 +997,15 @@ object CardStream {
     val mergedVecs = keep.unionByName(newVecs)
     val mergedPk = storedPk.join(batchIds, Seq("id"), "left_anti")
       .unionByName(newPk)
+    // declare the pk sidecar's hash modulus so the manifest records it
+    // on first commit and commit() REJECTS any later fold (e.g. a
+    // default-bucketed startIvfMerge over a custom-bucketed store)
+    // whose modulus disagrees — mixed moduli would silently miss the
+    // stale-cell pk lookup and leave duplicate rows in the store
     BucketStore.commit(spark, dir, Seq(
       ("vecs", mergedVecs, "bucket", touchedCells),
-      ("pk", mergedPk, "bucket", idBuckets)), batchId, man)
+      ("pk", mergedPk, "bucket", idBuckets)), batchId, man,
+      buckets = storeBuckets.toLong)
   }
 
   /** The stored vectors of an [[ivfMerge]] store (bucket stripped). */

@@ -420,6 +420,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val afterB1 = bucketFiles(dir)
     CardStream.ivfMerge(spark, b2, cents, dir, "vec_id", "embedding", 1L)
     CardStream.ivfMerge(spark, b2, cents, dir, "vec_id", "embedding", 2L)
+    // the manifest pinned the pk modulus on the first fold: a fold
+    // declaring a different storeBuckets must be refused, not split
+    // the pk keys across two hashings
+    val e2 = intercept[IllegalArgumentException] {
+      CardStream.ivfMerge(spark, b2, cents, dir, "vec_id", "embedding",
+        3L, storeBuckets = 8)
+    }
+    assert(e2.getMessage.contains("bucketed with"))
     val stored = CardStream.ivfStored(spark, dir)
     assert(stored.count() == 60, "replay collapses by id (LWW), no duplicates")
     // store bucketed by cell: vecs leaf dirs are cell ids
