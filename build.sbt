@@ -15,6 +15,16 @@ run / fork := true
 // contract is ONE parseable JSON line on stdout, and sbt's default
 // LoggedOutput would wrap it as "[info] {...}" (unparseable downstream).
 run / outputStrategy := Some(StdoutOutput)
+// sbt stages the FULL run classpath (~400 MB of Spark jars) under
+// bg-jobs for every forked `runMain`; on this box's throttled virtual
+// disk that writeback collides with the timed passes' parquet reads
+// (measured: 60-95 MB/s write bursts while Spark stages sit 80-90%
+// idle — the long-suspected "machine noise" of the bench harness).
+// Stage it on tmpfs instead; jar copies then never touch the disk.
+bgJobServiceDirectory := {
+  val shm = file("/dev/shm")
+  if (shm.isDirectory) shm / "sbt-bg-jobs" else target.value / "bg-jobs"
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

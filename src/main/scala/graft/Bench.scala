@@ -22,6 +22,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // sf0.1 tables are single ~15-50 MB parquet files: at the stock
+      // 128 MB split size every NARROW stage (PQ/OPQ encode scans,
+      // hash-feature pipelines) runs as ONE task on one core whatever
+      // the shuffle conf says. 16 MB splits give those stages the
+      // cores a real cluster's thousands of splits would; reduce
+      // stages are unaffected (shuffle-partition sized).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.ui.retainedExecutions", "10")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -93,6 +100,9 @@ object Bench {
     small.conf.set("spark.sql.shuffle.partitions", "4")
     small.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     small.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    // scheduling-bound gates keep coarse scans (the 16m main-session
+    // split sizing would triple their scan task count for nothing)
+    small.conf.set("spark.sql.files.maxPartitionBytes", "128m")
     // Routing guards (mirrors QTime's): the duck annotations were
     // measured at the artifact's recorded SF dir — against any OTHER
     // dir (a big synthetic SF sweep) they say nothing about Spark-side
@@ -117,6 +127,7 @@ object Bench {
     // 4+ s to one such flap). The band falls back to the old 0.3
     // cutoff when no routing was recorded yet.
     def routesSmall(name: String): Boolean = routingEnabled &&
+      !Routing.ComputeDense(name) &&
       (prevDuck.get(name) match {
         case Some(d) if d < 0.25 => true
         case Some(d) if d < 0.35 =>
@@ -151,6 +162,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
     dropPinned()
+    // hypervisor steal over the whole timed region (co-tenant bursts
+    // inflate wall times while load1 stays low — see StealMeter)
+    val stealSuite0 = StealMeter.snapshot()
     // best of two timed passes: the box's virtual disk/CPU sees
     // transient co-tenant load spikes; min-of-2 reports steady-state
     // rather than whichever pass a spike landed on. Expensive or
@@ -179,6 +193,7 @@ object Bench {
       // from a sane total downstream) rather than a bogus latency
       name -> (if (dts.min == Double.MaxValue) -1.0 else dts.min)
     }
+    val stealSuite = StealMeter.fraction(stealSuite0, StealMeter.snapshot())
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qJson(rs: Seq[(String, Double)]): String =
@@ -235,30 +250,39 @@ object Bench {
     def clamp(t: Double): Double = if (t == Double.MaxValue) -1.0 else t
     def bestOf(a: Double, b: Double): Double =
       if (b < 0) a else if (a < 0) b else math.min(a, b)
-    val round1 = flagged.map { case (name, prev, v) =>
-      val l = load1(); (name, prev, v, clamp(timedPass(name)), l)
+    // one requalification sample: (time, load1-at-start, steal-during) —
+    // load1 shows the guest's own contention, steal the hypervisor's
+    def sampledPass(name: String): (Double, Double, Double) = {
+      val l = load1(); val s0 = StealMeter.snapshot()
+      val t = clamp(timedPass(name))
+      (t, l, StealMeter.fraction(s0, StealMeter.snapshot()))
     }
-    val needRound2 = round1.exists { case (_, prev, v, t1, _) =>
+    val round1 = flagged.map { case (name, prev, v) =>
+      (name, prev, v, sampledPass(name))
+    }
+    val needRound2 = round1.exists { case (_, prev, v, (t1, _, _)) =>
       trips(prev, bestOf(v, t1)) }
     if (needRound2) Thread.sleep(45000L)
-    val requalified = round1.map { case (name, prev, v, t1, l1) =>
-      val b1 = bestOf(v, t1)
-      val (t2, l2) = if (trips(prev, b1)) {
-        val l = load1(); (clamp(timedPass(name)), l)
-      } else (-1.0, -1.0) // -1 load marks "round 2 not needed"
-      val best = bestOf(b1, t2)
+    val requalified = round1.map { case (name, prev, v, s1) =>
+      val b1 = bestOf(v, s1._1)
+      val s2 = if (trips(prev, b1)) sampledPass(name)
+        else (-1.0, -1.0, -1.0) // -1 load marks "round 2 not needed"
+      val best = bestOf(b1, s2._1)
       val reproduced = trips(prev, best)
-      (name, prev, v, (t1, l1), (t2, l2), best, reproduced)
+      (name, prev, v, s1, s2, best, reproduced)
     }
     val requalBest = requalified.map { case (n, _, _, _, _, best, _) => n -> best }.toMap
     val finalResults = results.map { case (n, v) =>
       n -> requalBest.getOrElse(n, v) }
     val regressions = requalified.sortBy { case (_, prev, _, _, _, best, _) =>
       -(best - prev) }
-    val regJson = regressions.map { case (n, p, v, (t1, l1), (t2, l2), best, rep) =>
-      s"""{"q":${JsonUtil.quote(n)},"prev":${fmt(p)},"now":${fmt(best)},""" +
-        s""""first":${fmt(v)},"retry":${fmt(t1)},"retry_load":${fmt(l1)},""" +
-        s""""retry2":${fmt(t2)},"retry2_load":${fmt(l2)},"reproduced":$rep}"""
+    val regJson = regressions.map {
+      case (n, p, v, (t1, l1, st1), (t2, l2, st2), best, rep) =>
+        s"""{"q":${JsonUtil.quote(n)},"prev":${fmt(p)},"now":${fmt(best)},""" +
+          s""""first":${fmt(v)},"retry":${fmt(t1)},"retry_load":${fmt(l1)},""" +
+          s""""retry_steal":${fmt(st1)},""" +
+          s""""retry2":${fmt(t2)},"retry2_load":${fmt(l2)},""" +
+          s""""retry2_steal":${fmt(st2)},"reproduced":$rep}"""
     }.mkString("[", ",", "]")
     regressions.foreach { case (n, p, _, _, _, best, rep) =>
       System.err.println(s"[bench] REGRESSION${if (rep) "" else " (not reproduced)"} " +
@@ -272,7 +296,8 @@ object Bench {
     val routedJson = s""""routed_small":${routedSmall.toSeq.sorted
       .map(JsonUtil.quote).mkString("[", ",", "]")},"""
     val full = line(finalResults, qJson(finalResults),
-      s""""regressions":$regJson,"n_reproduced":$nReproduced,$routedJson$duckJson""")
+      s""""regressions":$regJson,"n_reproduced":$nReproduced,""" +
+        s""""steal_frac":${fmt(stealSuite)},$routedJson$duckJson""")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
@@ -312,7 +337,7 @@ object Bench {
     var k = slowest.size
     def compact(n: Int): String = line(finalResults,
       qJson(slowest.take(n).sortBy(_._1)),
-      s""""queries_shown":$n,"queries_file":"$outPath","n_regressions":${regressions.size},"n_reproduced":$nReproduced,""")
+      s""""queries_shown":$n,"queries_file":"$outPath","n_regressions":${regressions.size},"n_reproduced":$nReproduced,"steal_frac":${fmt(stealSuite)},""")
     while (k > 1 && compact(k).length > 1900) k -= 1
     println(compact(k))
     spark.stop()

@@ -24,6 +24,10 @@ object QTime {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // mirror Bench's main-session split sizing (narrow stages over
+      // the single-file sf0.1 tables parallelize) so QTime numbers
+      // predict bench numbers
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -75,6 +79,7 @@ object QTime {
       "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     smallSession.conf.set(
       "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    smallSession.conf.set("spark.sql.files.maxPartitionBytes", "128m")
     def sessionFor(name: String) = sys.env.get("SPARK_GRAFT_SMALL") match {
       case Some("1") => smallSession
       case Some("0") => spark
@@ -84,7 +89,9 @@ object QTime {
       // exact OOM the 512 override exists to prevent)
       case _ if sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS") => spark
       // Bench's hysteresis, mirrored: < 0.25 small, ≥ 0.35 big, the
-      // band keeps the previous bench run's recorded side
+      // band keeps the previous bench run's recorded side; the
+      // compute-dense opt-outs (Routing.ComputeDense) never go small
+      case _ if Routing.ComputeDense(name) => spark
       case _ => prevDuck.get(name) match {
         case Some(d) if d < 0.25 => smallSession
         case Some(d) if d < 0.35 =>
@@ -94,6 +101,32 @@ object QTime {
         case _ => spark
       }
     }
+    // SPARK_GRAFT_PROFILE=1: count jobs/stages/tasks + summed task time
+    // per timed pass — the tiny-gate floor is scheduler overhead, and
+    // this decomposition (N jobs x M stages of sub-ms tasks) is the
+    // direct evidence of where a sub-0.1s-oracle gate's 0.5s goes.
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
+    val prof = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
+      }
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+      def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0) }
+      def report(): String =
+        s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} taskTime=${taskMs.get}ms"
+    }
+    if (profile) spark.sparkContext.addSparkListener(prof)
     for (name <- args) {
       val s = sessionFor(name)
       if (passes > 1) {
@@ -101,13 +134,20 @@ object QTime {
         release()
       }
       val dts = (1 to passes).map { _ =>
+        if (profile) { Thread.sleep(200); prof.reset() } // let the bus drain
+        val st0 = StealMeter.snapshot()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(s, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        val steal = StealMeter.fraction(st0, StealMeter.snapshot())
+        if (profile) {
+          Thread.sleep(200)
+          println(f"QPROF $name%-28s ${dt}%7.3fs ${prof.report()} steal=${steal}%.2f")
+        }
         release()
-        (dt, n)
+        (dt, n, steal)
       }
-      println(f"QTIME $name%-28s min=${dts.map(_._1).min}%8.3fs passes=${dts.map(t => f"${t._1}%.3f").mkString(",")} rows=${dts.head._2}")
+      println(f"QTIME $name%-28s min=${dts.map(_._1).min}%8.3fs passes=${dts.map(t => f"${t._1}%.3f").mkString(",")} steal=${dts.map(t => f"${t._3}%.2f").mkString(",")} rows=${dts.head._2}")
       if (dts.head._2 <= 5) // tiny results: show values (recall contracts)
         SparkEntry.queries(name)(spark, sfDir).collect()
           .foreach(r => println(s"QROW  $name $r"))

@@ -40,17 +40,19 @@ object TrussTime {
     spark.sparkContext.setLogLevel("WARN")
     val edges = graft.queries.GraphQueries.derivedEdges(
       Tables.load(spark, sfDir, "events"))
+    val st0 = StealMeter.snapshot()
     val t0 = System.nanoTime()
     val res = graft.operators.GraphAnalytics.kTruss(edges, k, rounds, cap)
     val n1 = res.count()
     val t1 = System.nanoTime()
     val n2 = res.count()
     val t2 = System.nanoTime()
+    val steal = StealMeter.fraction(st0, StealMeter.snapshot())
     val total = (t1 - t0) / 1e9
     val output = (t2 - t1) / 1e9
     println(f"TRUSSTIME sf=$sfDir k=$k rounds=$rounds cap=$cap rows=$n1%d " +
       f"total=$total%.1fs output_join=$output%.1fs " +
-      f"algorithm=${total - output}%.1fs (counts ${n1}%d/${n2}%d)")
+      f"algorithm=${total - output}%.1fs steal=$steal%.3f (counts ${n1}%d/${n2}%d)")
     spark.stop()
   }
 }

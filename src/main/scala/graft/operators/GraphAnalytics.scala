@@ -1264,7 +1264,21 @@ object GraphAnalytics {
     // round, none extra for reporting; at a fixpoint it equals the
     // final-set support exactly
     var lastSup: DataFrame = null
-    for (_ <- 1 to rounds) {
+    // FIXPOINT EARLY EXIT: a round that removes nothing fixes every
+    // later round — the surviving set determines degrees, orientation,
+    // the md5-capped out-list sample, and therefore the support
+    // EXACTLY, so round r+1 recomputes byte-identical sup over the
+    // identical set and removes nothing again. Sound for the capped
+    // path too (the hash sample is a pure function of the surviving
+    // list), and the bounded-rounds oracle replays the unchanged
+    // rounds to the same table. The |E| count per round runs over the
+    // freshly checkpointed edge blocks — noise against one avoided
+    // triangle enumeration (sf1000 measured ~400 s/round).
+    var prevN = e.count()
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
+      r += 1
       val (supRaw, oriented) = kTrussSupportWithOriented(e, maxOutDegree)
       val sup = supRaw
         .localCheckpoint(true) // reused: peel filter + reported sup
@@ -1282,6 +1296,9 @@ object GraphAnalytics {
       releaseCheckpoint(prevE) // superseded by the new e
       if (lastSup != null) releaseCheckpoint(lastSup) // reassigned below
       lastSup = sup
+      val n = e.count()
+      fixed = n == prevN
+      prevN = n
     }
     e.join(lastSup, Seq("u", "v")).orderBy("u", "v")
   }

@@ -397,17 +397,23 @@ object CardStream {
       .localCheckpoint(true) // reused: bucket-id set + merge input
     val touched = partial.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ StoreBuckets longs
+    // merged stays LAZY: the commit write is its only computation, and
+    // the returned row count rides that same job as an observed metric
+    // — a fold is 3 jobs (partial, touched, write), not the 5 the
+    // checkpoint+count form paid (measured on the per-trigger-bound
+    // stream gates, where fixed jobs ARE the cost).
+    val obs = org.apache.spark.sql.Observation()
     val merged = BucketStore.read(spark, dir, "rollup", Some(touched),
         partial, man)
       .unionByName(partial)
       .groupBy((keyCols :+ "bucket").map(col): _*)
       .agg(sumCols.map(c => sum(col(c)).as(c)).head,
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
-      .localCheckpoint(true) // one computation: commit write + count
+      .observe(obs, count(lit(1)).as("n"))
     BucketStore.commit(spark, dir,
       Seq(("rollup", merged, "bucket", touched)), batchId, man,
       buckets = storeBuckets.toLong)
-    merged.count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** One-time fold of a pre-BucketStore rollup (`dir/data` + `dir/meta`
