@@ -111,6 +111,10 @@ object QTime {
       val stages = new java.util.concurrent.atomic.AtomicInteger
       val tasks = new java.util.concurrent.atomic.AtomicInteger
       val taskMs = new java.util.concurrent.atomic.AtomicLong
+      // per-stage wall + task time, keyed by the stage's callsite name —
+      // SPARK_GRAFT_PROFILE_STAGES=1 prints the top entries so a deep
+      // serial chain can be attributed to operators, not guessed at
+      val byStage = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Int)]()
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -118,13 +122,27 @@ object QTime {
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
+        val wall = (for { a <- s.stageInfo.completionTime
+                          b <- s.stageInfo.submissionTime } yield a - b)
+          .getOrElse(0L)
+        byStage.merge(s.stageInfo.name.takeWhile(_ != '\n'),
+          (wall, 0L, s.stageInfo.numTasks),
+          (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
       }
       override def onTaskEnd(
           t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
-      def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0) }
+      def reset(): Unit = {
+        jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0); byStage.clear()
+      }
       def report(): String =
         s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} taskTime=${taskMs.get}ms"
+      def stageReport(n: Int): String = {
+        import scala.jdk.CollectionConverters._
+        byStage.asScala.toSeq.sortBy(-_._2._1).take(n).map {
+          case (name, (wall, _, nt)) => f"$name wall=${wall}ms tasks=$nt"
+        }.mkString("\n  ", "\n  ", "")
+      }
     }
     if (profile) spark.sparkContext.addSparkListener(prof)
     for (name <- args) {
@@ -143,6 +161,8 @@ object QTime {
         if (profile) {
           Thread.sleep(200)
           println(f"QPROF $name%-28s ${dt}%7.3fs ${prof.report()} steal=${steal}%.2f")
+          if (sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1"))
+            println(s"QSTAGES $name${prof.stageReport(18)}")
         }
         release()
         (dt, n, steal)

@@ -196,21 +196,36 @@ object BucketStore {
     val recordBuckets = if (buckets >= 0) buckets else m0.buckets
     val man = m0.rows.toArray
     val newGen = (m0.maxGen +: man.map(_._3)).max + 1L
-    val written = updates.map { case (table, content, bucketCol, touched) =>
-      val genDir = s"$dir/files/$table/g=$newGen"
-      // sorted projection: one canonical on-disk column order per table
-      // regardless of how the caller assembled the merge
-      val cols = content.columns.sorted
-      content.select(cols.map(col): _*)
-        .withColumn("p", col(bucketCol))
-        .repartition(col("p")) // ~one task per bucket dir, not tasks×buckets files
-        .write.mode("overwrite").partitionBy("p").parquet(genDir)
-      // a touched bucket that merged to zero rows writes no dir — it
-      // must drop OUT of the manifest, so list what actually landed
-      val actual = hfs.listStatus(new Path(genDir))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
-        .map(_.getPath.getName.stripPrefix("p=").toLong).toSeq
-      (table, touched.toSet, actual)
+    // The per-table staging writes are INDEPENDENT jobs (distinct
+    // generation dirs, no shared state until the manifest swap below):
+    // submit them from concurrent driver threads so the second write's
+    // tasks back-fill cores the first's tail leaves idle — per-trigger
+    // fixed job latency is the streaming folds' dominant cost, and two
+    // serial write jobs were the largest single slice of it. The
+    // manifest swap still happens strictly after every write returns.
+    val written = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(updates.map { case (table, content, bucketCol, touched) =>
+          Future {
+            val genDir = s"$dir/files/$table/g=$newGen"
+            // sorted projection: one canonical on-disk column order per
+            // table regardless of how the caller assembled the merge
+            val cols = content.columns.sorted
+            content.select(cols.map(col): _*)
+              .withColumn("p", col(bucketCol))
+              .repartition(col("p")) // ~one task per bucket dir, not tasks×buckets files
+              .write.mode("overwrite").partitionBy("p").parquet(genDir)
+            // a touched bucket that merged to zero rows writes no dir — it
+            // must drop OUT of the manifest, so list what actually landed
+            val actual = hfs.listStatus(new Path(genDir))
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
+              .map(_.getPath.getName.stripPrefix("p=").toLong).toSeq
+            (table, touched.toSet, actual)
+          }
+        }), Duration.Inf)
     }
     val keep = man.filterNot { case (t, b, _) =>
       written.exists { case (wt, touched, _) => wt == t && touched(b) } }

@@ -389,19 +389,22 @@ object CardStream {
     val man = Some(BucketStore.loadManifest(spark, dir))
     if (batchId >= 0 && man.get.lastBatch == batchId)
       return 0L // replayed micro-batch: no-op
+    // the touched-bucket set rides the partial checkpoint as an
+    // observed metric (≤ StoreBuckets longs)
+    val pObs = org.apache.spark.sql.Observation()
     val partial = batch.groupBy(keyCols.map(col): _*)
       .agg(sumCols.map(c => sum(col(c)).as(c)).head,
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
       .withColumn("bucket",
         pmod(xxhash64(keyCols.map(col): _*), lit(storeBuckets.toLong)))
-      .localCheckpoint(true) // reused: bucket-id set + merge input
-    val touched = partial.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq // ≤ StoreBuckets longs
+      .observe(pObs, collect_set(col("bucket")).as("bks"))
+      .localCheckpoint(true) // reused as the merge input
+    val touched = pObs.get("bks").asInstanceOf[Seq[Long]].sorted
     // merged stays LAZY: the commit write is its only computation, and
     // the returned row count rides that same job as an observed metric
-    // — a fold is 3 jobs (partial, touched, write), not the 5 the
-    // checkpoint+count form paid (measured on the per-trigger-bound
-    // stream gates, where fixed jobs ARE the cost).
+    // — a fold is 2 jobs (partial+buckets, write), not the 5 the
+    // checkpoint+count+collect form paid (measured on the per-trigger-
+    // bound stream gates, where fixed jobs ARE the cost).
     val obs = org.apache.spark.sql.Observation()
     val merged = BucketStore.read(spark, dir, "rollup", Some(touched),
         partial, man)
@@ -666,6 +669,12 @@ object CardStream {
       .localCheckpoint(true)
     // (band, key) postings of every batch doc — empty-shingle docs
     // post nothing and can never be dropped
+    // the posting-bucket id set rides the checkpoint job as an observed
+    // metric (collect_set of ≤ storeBuckets longs — exact and driver-
+    // small by construction): one job where the checkpoint + distinct-
+    // collect form paid two. Fixed per-trigger jobs ARE this fold's
+    // cost (the mergeAdditive lesson applied store-wide).
+    val postObs = org.apache.spark.sql.Observation()
     val posts = base.filter(size(col("sh")) > 0)
       .select(col(idCol).as("id"),
         graft.functions.expr.TextExprs.minhash_sig(col("sh"), k).as("sig"))
@@ -673,11 +682,10 @@ object CardStream {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .withColumn("bucket",
         pmod(xxhash64(col("band"), col("key")), nb))
-      .localCheckpoint(true) // reused: bucket set, both cand joins, append
-    // every driver-side collect below is a bucket-id set: ≤ storeBuckets
-    // longs, by construction
-    val postBuckets = posts.select("bucket").distinct()
-      .collect().map(_.getLong(0))
+      .observe(postObs, collect_set(col("bucket")).as("bks"))
+      .localCheckpoint(true) // reused: both cand joins, append
+    // every driver-side bucket set below is ≤ storeBuckets longs
+    val postBuckets = postObs.get("bks").asInstanceOf[Seq[Long]].sorted
     val storedPosts = BucketStore.read(spark, dir, "posts",
         Some(postBuckets.toSeq), posts, man)
       .select(col("id").as("_oid"), col("band"), col("key"))
@@ -695,11 +703,14 @@ object CardStream {
         lit(true).as("_inbatch")).distinct()
     val histCand = posts.join(storedPosts, Seq("band", "key"))
       .select(col("id"), col("_oid"), lit(false).as("_inbatch")).distinct()
+    // the history-candidate data-bucket set rides the checkpoint job
+    // (collect_set skips the in-batch rows' null) — one job, not two
+    val candObs = org.apache.spark.sql.Observation()
     val cand = inCand.unionAll(histCand)
-      .localCheckpoint(true) // probed twice: oid-bucket set + verify join
-    val oidBuckets = cand.filter(!col("_inbatch"))
-      .select(pmod(xxhash64(col("_oid")), nb).as("b"))
-      .distinct().collect().map(_.getLong(0))
+      .observe(candObs, collect_set(when(!col("_inbatch"),
+        pmod(xxhash64(col("_oid")), nb))).as("obks"))
+      .localCheckpoint(true) // reused by the verify join
+    val oidBuckets = candObs.get("obks").asInstanceOf[Seq[Long]].sorted
     val storedSh = BucketStore.read(spark, dir, "data",
         Some(oidBuckets.toSeq), base, man)
       .select(col(idCol).as("_oid"), col("sh").as("_osh"),
@@ -718,18 +729,22 @@ object CardStream {
       .filter(round(col("_inter").cast("double") /
         (size(col("sh")) + size(col("_osh")) - col("_inter")), 4) >= minJaccard)
       .select(col("id").as("_drop")).distinct()
+    // the survivors' id-bucket set AND the returned row count both
+    // ride the checkpoint job; only the surviving postings' bucket set
+    // still needs a (small) collect of its own — 2 jobs where the
+    // checkpoint + union-collect + count form paid 3
+    val survObs = org.apache.spark.sql.Observation()
     val survivors = base.join(dropped,
         base(idCol) === col("_drop"), "left_anti")
-      .localCheckpoint(true) // reused: touched set, data append, count
+      .observe(survObs, collect_set(col("bucket")).as("ibks"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true) // reused: posting probe, data append
+    val idBuckets = survObs.get("ibks").asInstanceOf[Seq[Long]].sorted
+    val nSurvivors = survObs.get("n").asInstanceOf[Long]
     val survIds = survivors.select(col(idCol).as("id"))
     val newPosts = posts.join(survIds, "id")
-    // ONE job collects both touched-bucket sets — id-hash buckets of
-    // the survivors and (band,key)-hash buckets of their postings
-    val touched = survivors.select(lit(0).as("t"), col("bucket"))
-      .unionAll(newPosts.select(lit(1).as("t"), col("bucket")))
-      .distinct().collect()
-    val idBuckets = touched.filter(_.getInt(0) == 0).map(_.getLong(1)).toSeq
-    val survPostBuckets = touched.filter(_.getInt(0) == 1).map(_.getLong(1)).toSeq
+    val survPostBuckets = newPosts.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
     // merge = stored bucket content ∪ accepted rows, for ONLY the
     // buckets the survivors land in (append-only: accepted docs never
     // change, so untouched buckets carry over by manifest pointer)
@@ -741,7 +756,7 @@ object CardStream {
       ("data", mergedData, "bucket", idBuckets),
       ("posts", mergedPosts, "bucket", survPostBuckets)), batchId, man,
       buckets = storeBuckets.toLong)
-    survivors.count()
+    nSurvivors
   }
 
   /** The accepted corpus of a [[nearDupSuppress]] store (the `data`
@@ -857,27 +872,36 @@ object CardStream {
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
       .withColumn("bucket",
         pmod(xxhash64(col("chunk"), col("key")), lit(StoreBuckets.toLong)))
-    val posts = chunkPosts(afterSelf).localCheckpoint(true)
-    val postBuckets = posts.select("bucket").distinct()
-      .collect().map(_.getLong(0)) // ≤ StoreBuckets longs
+    // posting-bucket set rides the checkpoint job as an observed
+    // metric — see nearDupSuppress (the fold's cost is fixed job count)
+    val postObs = org.apache.spark.sql.Observation()
+    val posts = chunkPosts(afterSelf)
+      .observe(postObs, collect_set(col("bucket")).as("bks"))
+      .localCheckpoint(true)
+    val postBuckets = postObs.get("bks").asInstanceOf[Seq[Long]].sorted
     val storedPosts = BucketStore.read(spark, dir, "chunks",
-        Some(postBuckets.toSeq), posts, man)
+        Some(postBuckets), posts, man)
       .select(col("chunk"), col("key"), col("sh").as("_osh"))
     val histDropped = posts.join(storedPosts, Seq("chunk", "key"))
       .filter(bit_count(col("sh").bitwiseXOR(col("_osh"))) <= maxDist)
       .select(col("id").as("_drop")).distinct()
+    // survivors' id-bucket set + returned count ride the checkpoint;
+    // only the surviving postings' bucket set still needs a collect
+    val survObs = org.apache.spark.sql.Observation()
     val survivors = afterSelf.join(histDropped,
         col("id") === col("_drop"), "left_anti")
+      .observe(survObs,
+        collect_set(pmod(xxhash64(col("id")), lit(StoreBuckets.toLong)))
+          .as("ibks"),
+        count(lit(1)).as("n"))
       .localCheckpoint(true)
+    val idBuckets = survObs.get("ibks").asInstanceOf[Seq[Long]].sorted
+    val nSurvivors = survObs.get("n").asInstanceOf[Long]
     val newData = survivors.withColumn("bucket",
       pmod(xxhash64(col("id")), lit(StoreBuckets.toLong)))
     val newPosts = chunkPosts(survivors)
-    // ONE job for both touched-bucket sets — see nearDupSuppress
-    val touched = newData.select(lit(0).as("t"), col("bucket"))
-      .unionAll(newPosts.select(lit(1).as("t"), col("bucket")))
-      .distinct().collect()
-    val idBuckets = touched.filter(_.getInt(0) == 0).map(_.getLong(1)).toSeq
-    val survPostBuckets = touched.filter(_.getInt(0) == 1).map(_.getLong(1)).toSeq
+    val survPostBuckets = newPosts.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
     val mergedData = BucketStore.read(spark, dir, "data",
       Some(idBuckets), newData, man).unionByName(newData)
     val mergedPosts = BucketStore.read(spark, dir, "chunks",
@@ -886,7 +910,7 @@ object CardStream {
       ("data", mergedData, "bucket", idBuckets),
       ("chunks", mergedPosts, "bucket", survPostBuckets)), batchId, man,
       buckets = StoreBuckets.toLong)
-    survivors.count()
+    nSurvivors
   }
 
   /** The accepted images of an [[imageDupSuppress]] store. */
@@ -977,22 +1001,30 @@ object CardStream {
     // in-batch LWW first (same id twice in one batch keeps one row;
     // same convention as the previous whole-store window merge)
     val w = Window.partitionBy(col("id")).orderBy(desc("_ord"))
+    // the pk-bucket set AND the batch's assignment-cell set both ride
+    // the checkpoint job as observed metrics (each ≤ StoreBuckets resp.
+    // |centroids| longs — driver-small by construction); the only
+    // remaining collect is the re-ingested ids' prior cells, a probe of
+    // the pk sidecar pruned to those very buckets
+    val aObs = org.apache.spark.sql.Observation()
     val assigned = assigned0.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-      .localCheckpoint(true) // feeds pk probe, cell set, and both merges
+      .observe(aObs,
+        collect_set(pmod(xxhash64(col("id")), lit(storeBuckets.toLong)))
+          .as("ibks"),
+        collect_set(col("cell")).as("cells"))
+      .localCheckpoint(true) // feeds pk probe, stale probe, both merges
+    val idBuckets = aObs.get("ibks").asInstanceOf[Seq[Long]].sorted
+    val batchCells = aObs.get("cells").asInstanceOf[Seq[Long]]
     val pkBucket = pmod(xxhash64(col("id")), lit(storeBuckets.toLong))
     val newPk = assigned.select(col("id"), col("cell"), col("_ord"))
       .withColumn("bucket", pkBucket)
-    // driver-side collects below are bucket/cell-id sets: ≤ StoreBuckets
-    // resp. nprobe-bounded cell counts, annotated driver-small
-    val idBuckets = newPk.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
     val storedPk = BucketStore.read(spark, dir, "pk", Some(idBuckets),
       newPk, man)
     val batchIds = assigned.select("id").distinct()
     val staleCells = storedPk.join(batchIds, "id").select("cell").distinct()
-    val touchedCells = assigned.select("cell").unionByName(staleCells)
-      .distinct().collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getLong(0))
+    val touchedCells = (batchCells ++ staleCells).distinct.sorted
     val newVecs = assigned.withColumn("bucket", col("cell"))
     // batch rows win unconditionally (their _ord is newest): drop every
     // stored row carrying a batch id — the same-cell older version AND
