@@ -203,6 +203,52 @@ object TextExprUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** Sorted distinct md5-64 hash set of a string array — the compact
+    * proxy for exact set intersection/union arithmetic: downstream
+    * joins/shuffles carry 8 bytes per element instead of the string,
+    * and [[sortedIntersectCount]] runs a primitive merge instead of a
+    * per-pair UTF8 hash table. md5_64 is the repo's portable hash
+    * (same one SimHash folds), so a 64-bit collision between two
+    * DIFFERENT shingles of one comparison's union — the only event
+    * that could alter a count — is ~|union|²/2⁶⁵ ≈ 1e-14 per pair. */
+  def hashSet(arr: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = PortableHash.md5_64(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedup in place (input shingle arrays are already distinct, so
+    // this only collapses the ~1e-15/doc intra-doc hash collision —
+    // keeping |set| arithmetic exact under the hashed representation)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** |a ∩ b| of two SORTED distinct long arrays — one merge pass. */
+  def sortedIntersectCount(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Fraction of n-gram occurrences taken by the single most frequent
     * word n-gram (Gopher-style repetition signal: a page whose top
     * bigram covers >18% of bigrams is boilerplate/spam). One scan over
@@ -635,6 +681,44 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `hash_set(arr)`: sorted distinct md5-64 hashes of a string array —
+  * the 8-byte-per-element proxy the dedup verify pipelines hydrate,
+  * broadcast and intersect instead of the shingle strings (the HOF
+  * twin `array_sort(array_distinct(transform(sh, md5-64)))` is the
+  * equivalence-tested spec in TextExprSpec). Codegen. */
+case class HashSetExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.hashSet(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.hashSet($c)")
+  override protected def withNewChildInternal(c: Expression): HashSetExpr =
+    copy(child = c)
+}
+
+/** `sorted_intersect_count(a, b)`: |a ∩ b| of two sorted distinct
+  * long arrays in one primitive merge — replaces
+  * `size(array_intersect(a, b))`'s per-pair hash table in the dedup
+  * exact-verify hot loop (HOF twin equivalence-tested). Codegen. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExprUtil.sortedIntersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expr.TextExprUtil.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCountExpr = copy(l, r)
+}
+
 /** `word_pairs(text, window)`: canonicalized windowed co-occurrence
   * pairs as "min max" strings, one codegen scan — the PMI extraction
   * hot loop (TextAnalysis.pmiPairs keeps the nested-transform HOF as
@@ -743,6 +827,9 @@ object TextExprs {
   def word_pairs(c: Column, window: Int): Column =
     toColumn(WordPairsExpr(toExpr(c), window))
   def array_combos(c: Column): Column = toColumn(ArrayCombosExpr(toExpr(c)))
+  def hash_set(c: Column): Column = toColumn(HashSetExpr(toExpr(c)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCountExpr(toExpr(a), toExpr(b)))
   def top_ngram_frac(c: Column, n: Int): Column = toColumn(TopNgramFracExpr(toExpr(c), n))
 
   /** Register as SQL functions on a session. */

@@ -240,10 +240,18 @@ object Dedup {
     // persist lives only for the caller's single materialization),
     // the cross-corpus form is the "many corpus pairs in one session"
     // shape, where leaked cache blocks accumulate
+    // hashed-set verify, pairs spread BEFORE hydration — the
+    // minhashLshPairs shape: the pair exchange moves (lid, rid) only,
+    // the per-pair intersect is a primitive merge over sorted md5-64
+    // sets (HashSetExpr: set arithmetic identical to the strings)
+    def hashed(df: DataFrame, id: String, out: String) = df.select(
+      col(id), graft.functions.expr.TextExprs.hash_set(col("sh")).as(out))
     val out = cand
-      .join(lsh.select(col("lid"), col("sh").as("sh1")), "lid")
-      .join(rsh.select(col("rid"), col("sh").as("sh2")), "rid")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .repartition(graft.operators.Pymk.wedgePar(left))
+      .join(hashed(lsh, "lid", "sh1"), "lid")
+      .join(hashed(rsh, "rid", "sh2"), "rid")
+      .withColumn("inter", graft.functions.expr.TextExprs
+        .sorted_intersect_count(col("sh1"), col("sh2")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
@@ -369,26 +377,38 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    // exact verification on candidates only. The intersect is
-    // COMPUTE-dense (~|sh|·|union| string hashes per candidate) and a
-    // near-dup-rich corpus yields ~50× more candidates than survivors
-    // — cost that byte-based partition sizing cannot see, so a
-    // small-shuffle session would verify everything on a handful of
-    // tasks. Spread the hydrated pairs to cores right beneath the
-    // verify projection (the wedge-bag convention,
-    // [[graft.operators.Pymk.wedgePar]]); results are
-    // partition-independent.
+    // exact verification on candidates only, on the HASHED shingle
+    // sets: per doc one sorted distinct md5-64 array (hash_set — set
+    // arithmetic identical to the string sets, see HashSetExpr), so
+    //  (a) the pair exchange moves 16-byte (id1,id2) rows and the
+    //      heavy arrays attach AFTER it from a broadcast of the ~|docs|
+    //      hash table — heavy bytes never ride the pair shuffle
+    //      (previously both string-array sides were hydrated BEFORE
+    //      the repartition: ~|cand|·2·|sh| strings through the wire);
+    //  (b) the per-pair intersect is one primitive merge
+    //      (sorted_intersect_count) instead of a UTF8 hash table.
+    // The verify is COMPUTE-dense (a near-dup-rich corpus yields ~50×
+    // more candidates than survivors) — cost byte-based partition
+    // sizing cannot see, so spread the pairs to cores right beneath
+    // the verify (the wedge-bag convention, Pymk.wedgePar); results
+    // are partition-independent.
+    // no broadcast hint: the corpus side is broadcast-sized only at
+    // gate scale (AQE picks BHJ there by itself); at 100 TB these are
+    // sort-merge joins whose exchanges now carry 8-byte hashes
+    val shh = sh.select(col("id"),
+      graft.functions.expr.TextExprs.hash_set(col("sh")).as("shh"))
     val withSh = cand
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .repartition(graft.operators.Pymk.wedgePar(docs))
+      .join(shh.select(col("id").as("id1"), col("shh").as("sh1")), "id1")
+      .join(shh.select(col("id").as("id2"), col("shh").as("sh2")), "id2")
     // eager checkpoint + unpersist, the [[fuzzyJoin]] hygiene: the
     // persisted frames exist for THIS computation's reuse, not the
     // session's lifetime — repeated calls (the streaming near-dup fold
     // calls this every micro-batch) would otherwise accumulate cached
     // blocks until the block manager evicts working-set data
     val out = withSh
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter", graft.functions.expr.TextExprs
+        .sorted_intersect_count(col("sh1"), col("sh2")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)

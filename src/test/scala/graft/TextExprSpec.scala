@@ -87,6 +87,43 @@ class TextExprSpec extends AnyFunSuite with SparkSpec {
     assert(empty.getSeq[Any](0) == empty.getSeq[Any](1))
   }
 
+  test("hash_set expression equals the HOF formulation") {
+    import graft.operators.Dedup
+    // column-level md5-64 twin: the two 32-bit hex halves recombined,
+    // exactly PortableHash.md5_64's (word32(d,0) << 32) | word32(d,1)
+    def md5_64(s: org.apache.spark.sql.Column) =
+      shiftleft(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(Dedup.shingles(col("text"), 2).as("sh"))
+      .unionAll(Seq(Seq.empty[String], Seq("a"), Seq("a", "a", "b"))
+        .toDF("sh"))
+    val bad = docs.select(
+        array_sort(array_distinct(transform(col("sh"), s => md5_64(s)))).as("h"),
+        TextExprs.hash_set(col("sh")).as("e"))
+      .filter(not(col("h") <=> col("e")))
+    assert(bad.count() == 0)
+  }
+
+  test("sorted_intersect_count expression equals size(array_intersect)") {
+    import graft.operators.Dedup
+    val sets = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        TextExprs.hash_set(Dedup.shingles(col("text"), 2)).as("hs"))
+    val pairs = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          pmod(col("a.doc_id") + col("b.doc_id"), lit(7L)) === 0)
+      .select(col("a.hs").as("x"), col("b.hs").as("y"))
+      .unionAll(Seq((Seq.empty[Long], Seq(1L, 2L)),
+        (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L)),
+        (Seq.empty[Long], Seq.empty[Long])).toDF("x", "y"))
+    val bad = pairs.select(
+        size(array_intersect(col("x"), col("y"))).as("h"),
+        TextExprs.sorted_intersect_count(col("x"), col("y")).as("e"))
+      .filter(not(col("h") <=> col("e")))
+    assert(bad.count() == 0)
+  }
+
   test("word_shingles expression equals the HOF formulation (random + real)") {
     import graft.operators.Dedup
     // the HOF formulation is only total on inputs with >= n tokens:
