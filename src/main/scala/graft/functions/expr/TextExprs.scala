@@ -249,6 +249,71 @@ object TextExprUtil {
     c
   }
 
+  /** The complete k-round team-draft interleave of ONE query's two
+    * ranked runs — the whole greedy draft in a single pass over the
+    * candidate array, replacing k rounds of join/anti-join/top-1 jobs
+    * (the per-query state is independent, so the draft is
+    * embarrassingly parallel across queries; Hybrid.teamDraftRounds
+    * keeps the round-by-round form as the equivalence-tested spec).
+    *
+    * cands: array<struct<isA: boolean, rnk: int, id: idType>> — rnk is
+    * the per-team rank (unique within a team). Each round t picks the
+    * minimum remaining candidate by (team != preferred, rnk, id) where
+    * preferred = the team with fewer picks, md5("td:<qid>:<t>") coin on
+    * ties — exactly the unrolled-oracle arithmetic. A doc taken by one
+    * team is dead in both. Strict total order → input-order-invariant.
+    */
+  def teamDraft(qid: UTF8String, cands: org.apache.spark.sql.catalyst.util.ArrayData,
+                k: Int, idType: DataType): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = cands.numElements()
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(idType)
+    val dead = new Array[Boolean](n)
+    val takenIds = new java.util.HashSet[Any]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.min(k, n))
+    val q = qid.toString
+    var na = 0; var nb = 0
+    var t = 1
+    var exhausted = false
+    while (t <= k && !exhausted) {
+      val prefA =
+        if (na < nb) true
+        else if (na > nb) false
+        else (PortableHash.md5_32("td:" + q + ":" + t) & 1L) == 0L
+      var best = -1
+      var bestNp = 2; var bestRnk = Int.MaxValue; var bestId: Any = null
+      var i = 0
+      while (i < n) {
+        if (!dead(i)) {
+          val row = cands.getStruct(i, 3)
+          val id = row.get(2, idType)
+          if (takenIds.contains(id)) dead(i) = true
+          else {
+            val np = if (row.getBoolean(0) == prefA) 0 else 1
+            val rnk = row.getInt(1)
+            if (best < 0 || np < bestNp || (np == bestNp && (rnk < bestRnk ||
+                (rnk == bestRnk && ord.compare(id, bestId) < 0)))) {
+              best = i; bestNp = np; bestRnk = rnk; bestId = id
+            }
+          }
+        }
+        i += 1
+      }
+      if (best < 0) exhausted = true
+      else {
+        dead(best) = true
+        takenIds.add(bestId)
+        val isA = cands.getStruct(best, 3).getBoolean(0)
+        if (isA) na += 1 else nb += 1
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](t, bestId,
+            UTF8String.fromString(if (isA) "A" else "B")))
+        t += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Fraction of n-gram occurrences taken by the single most frequent
     * word n-gram (Gopher-style repetition signal: a page whose top
     * bigram covers >18% of bigrams is boilerplate/spam). One scan over
@@ -719,6 +784,40 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): SortedIntersectCountExpr = copy(l, r)
 }
 
+/** `team_draft(qid, cands, k)`: the full k-round team-draft interleave
+  * of one query's candidate array in a single codegen pass — see
+  * [[TextExprUtil.teamDraft]]. cands must be
+  * array<struct<isA: boolean, rnk: int, id: _>>; returns
+  * array<struct<pos: int, id: _, team: string>>. */
+case class TeamDraftExpr(qid: Expression, cands: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = qid
+  override def right: Expression = cands
+  private def idType: DataType = cands.dataType
+    .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    .asInstanceOf[org.apache.spark.sql.types.StructType](2).dataType
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos", IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("team",
+          org.apache.spark.sql.types.StringType, nullable = false))),
+      containsNull = false)
+  override protected def nullSafeEval(q: Any, c: Any): Any =
+    TextExprUtil.teamDraft(q.asInstanceOf[UTF8String],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, idType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("idtype", idType,
+      "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev, (q, c) =>
+      s"graft.functions.expr.TextExprUtil.teamDraft($q, $c, $k, $et)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TeamDraftExpr = copy(qid = l, cands = r)
+}
+
 /** `word_pairs(text, window)`: canonicalized windowed co-occurrence
   * pairs as "min max" strings, one codegen scan — the PMI extraction
   * hot loop (TextAnalysis.pmiPairs keeps the nested-transform HOF as
@@ -828,6 +927,8 @@ object TextExprs {
     toColumn(WordPairsExpr(toExpr(c), window))
   def array_combos(c: Column): Column = toColumn(ArrayCombosExpr(toExpr(c)))
   def hash_set(c: Column): Column = toColumn(HashSetExpr(toExpr(c)))
+  def team_draft(qid: Column, cands: Column, k: Int): Column =
+    toColumn(TeamDraftExpr(toExpr(qid), toExpr(cands), k))
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCountExpr(toExpr(a), toExpr(b)))
   def top_ngram_frac(c: Column, n: Int): Column = toColumn(TopNgramFracExpr(toExpr(c), n))

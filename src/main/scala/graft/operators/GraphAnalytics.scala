@@ -892,22 +892,32 @@ object GraphAnalytics {
       .localCheckpoint(true)
     val nVerts = verts.count()
     val spark = edges.sparkSession
-    val rows = rates.sorted.map { rate =>
-      val keep = canon.filter(
-        Sampling.md5Bucket(concat(col("u").cast("string"), lit(":"),
-          col("v").cast("string")))
-          < lit(math.floor(rate * Sampling.BucketSpace).toLong))
-        .localCheckpoint(true) // edge count + CC input
-      val nKept = keep.count()
-      val giant =
-        if (nKept == 0) 1L // every vertex isolated; giant = 1 (if any)
-        else connectedComponentsDF(
-            keep.select(col("u").as("src"), col("v").as("dst")))
-          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
-          .agg(max(col("sz"))).head().getLong(0)
-      val g = if (nVerts == 0) 0L else giant
-      (math.floor(rate * 1e6).toLong, nKept, nVerts, g,
-        if (nVerts == 0) 0L else math.floor(1e6 * g.toDouble / nVerts).toLong)
+    // each rate's keep-filter → CC → giant-component agg is an
+    // INDEPENDENT job chain over the shared checkpointed edge set:
+    // submit them from concurrent driver threads so one rate's
+    // iterative CC stages back-fill cores another rate's tail leaves
+    // idle (results are per-rate deterministic; awaited in rate order)
+    val rows = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(rates.sorted.map { rate => Future {
+        val keep = canon.filter(
+          Sampling.md5Bucket(concat(col("u").cast("string"), lit(":"),
+            col("v").cast("string")))
+            < lit(math.floor(rate * Sampling.BucketSpace).toLong))
+          .localCheckpoint(true) // edge count + CC input
+        val nKept = keep.count()
+        val giant =
+          if (nKept == 0) 1L // every vertex isolated; giant = 1 (if any)
+          else connectedComponentsDF(
+              keep.select(col("u").as("src"), col("v").as("dst")))
+            .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+            .agg(max(col("sz"))).head().getLong(0)
+        val g = if (nVerts == 0) 0L else giant
+        (math.floor(rate * 1e6).toLong, nKept, nVerts, g,
+          if (nVerts == 0) 0L else math.floor(1e6 * g.toDouble / nVerts).toLong)
+      }}), Duration.Inf)
     }
     import spark.implicits._
     rows.toDF("rate_micros", "n_edges_kept", "n_vertices", "giant_size",

@@ -81,6 +81,33 @@ object Hybrid {
         .withColumn("team", lit(tag))
         .drop("score")
     }
+    // whole draft per query in ONE codegen pass (TeamDraftExpr): the
+    // per-query state is independent, so k rounds of join/anti-join/
+    // top-1 jobs collapse to rank → collect per qid → draft → explode.
+    // [[teamDraftRounds]] keeps the round-by-round form as the
+    // equivalence-tested executable spec (EvalHybridSpec).
+    val runs = prep(runA, "A").unionByName(prep(runB, "B"))
+    val cands = runs.groupBy("qid").agg(collect_list(struct(
+      (col("team") === "A").as("isA"), col("rnk"), col("id"))).as("cands"))
+    cands.select(col("qid"), explode(graft.functions.expr.TextExprs
+        .team_draft(col("qid").cast("string"), col("cands"), k)).as("p"))
+      .select(col("qid"), col("p.pos").as("pos"), col("p.id").as("id"),
+        col("p.team").as("team"))
+      .orderBy(col("qid"), col("pos"))
+  }
+
+  /** Round-by-round team draft — [[teamDraft]]'s executable spec (the
+    * unrolled-oracle shape): k rounds of balance/coin team choice,
+    * anti-join of taken docs, preferred-team-first top-1. */
+  private[graft] def teamDraftRounds(runA: DataFrame, runB: DataFrame,
+                                     k: Int): DataFrame = {
+    def prep(df: DataFrame, tag: String) = {
+      val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+      df.select(col("qid"), col("id"), col("score"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("team", lit(tag))
+        .drop("score")
+    }
     val runs = prep(runA, "A").unionByName(prep(runB, "B"))
       .localCheckpoint(true)
     val qids = runs.select("qid").distinct().localCheckpoint(true)

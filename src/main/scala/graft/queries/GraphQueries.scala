@@ -212,14 +212,25 @@ object GraphQueries {
       // iteration-count-independent, and qX_pagerank_df already gates
       // the full 10-iteration arithmetic — no need to pay it twice
       val edges = derivedEdges(Tables.load(s, dir, "events"))
-      val df = graft.operators.GraphAnalytics.pageRankDF(edges, iters = 5)
-      val sEdges = edges.select(col("src").cast("string").as("src"),
-          col("dst").cast("string").as("dst"))
-        .withColumn("weight", lit(1.0))
-      val verts = sEdges.select(col("src").as("id"))
-        .unionAll(sEdges.select(col("dst").as("id"))).distinct()
-      val gx = graft.operators.GraphAnalytics.pageRank(verts, sEdges, iters = 5)
-        .select(col("id").cast("long").as("id"), col("rank").as("gx_rank"))
+      // both arms run eager construction jobs (DF checkpoints, GraphX
+      // Pregel): build them on concurrent driver threads so the two
+      // independent iteration chains overlap instead of serializing
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDf = Future {
+        graft.operators.GraphAnalytics.pageRankDF(edges, iters = 5) }
+      val fGx = Future {
+        val sEdges = edges.select(col("src").cast("string").as("src"),
+            col("dst").cast("string").as("dst"))
+          .withColumn("weight", lit(1.0))
+        val verts = sEdges.select(col("src").as("id"))
+          .unionAll(sEdges.select(col("dst").as("id"))).distinct()
+        graft.operators.GraphAnalytics.pageRank(verts, sEdges, iters = 5)
+          .select(col("id").cast("long").as("id"), col("rank").as("gx_rank"))
+      }
+      val df = Await.result(fDf, Duration.Inf)
+      val gx = Await.result(fGx, Duration.Inf)
       df.join(gx, "id")
         .agg(count(lit(1)).as("n_vertices"),
           count(when(abs(col("rank") - col("gx_rank")) <= 0.001, 1))
@@ -784,14 +795,24 @@ object GraphQueries {
     // tolerance needed) — same contract shape as qX_pagerank_consistency.
     "qX_triangles_consistency" -> ((s, dir) => {
       val edges = derivedEdges(Tables.load(s, dir, "events"))
-      val df = graft.operators.GraphAnalytics.triangleCountsDF(edges)
-      val sEdges = edges.select(col("src").cast("string").as("src"),
-          col("dst").cast("string").as("dst"))
-        .withColumn("weight", lit(1.0))
-      val verts = sEdges.select(col("src").as("id"))
-        .unionAll(sEdges.select(col("dst").as("id"))).distinct()
-      val gx = graft.operators.GraphAnalytics.triangleCounts(verts, sEdges)
-        .select(col("id").cast("long").as("id"), col("n_tri").as("gx_tri"))
+      // overlap the two arms' construction jobs — see
+      // qX_pagerank_consistency
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDf = Future {
+        graft.operators.GraphAnalytics.triangleCountsDF(edges) }
+      val fGx = Future {
+        val sEdges = edges.select(col("src").cast("string").as("src"),
+            col("dst").cast("string").as("dst"))
+          .withColumn("weight", lit(1.0))
+        val verts = sEdges.select(col("src").as("id"))
+          .unionAll(sEdges.select(col("dst").as("id"))).distinct()
+        graft.operators.GraphAnalytics.triangleCounts(verts, sEdges)
+          .select(col("id").cast("long").as("id"), col("n_tri").as("gx_tri"))
+      }
+      val df = Await.result(fDf, Duration.Inf)
+      val gx = Await.result(fGx, Duration.Inf)
       df.join(gx, "id")
         .agg(count(lit(1)).as("n_vertices"),
           count(when(col("n_tri") === col("gx_tri"), 1)).as("n_agree"))

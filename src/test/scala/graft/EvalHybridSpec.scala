@@ -395,6 +395,24 @@ class EvalHybridSpec extends AnyFunSuite with SparkSpec {
     assert(bPicks == Seq("b1", "b2", "b3", "b4").filter(bPicks.contains(_)))
   }
 
+  test("teamDraft: single-pass expression equals the round-by-round spec") {
+    import spark.implicits._
+    // multi-query, overlapping docs, score ties, uneven run lengths —
+    // every draft rule exercised; long ids (the gate shape)
+    val rnd = new scala.util.Random(11)
+    def run(seed: Int) = (1 to 40).map { i =>
+      (i % 7L, (rnd.nextInt(15) + seed * 100).toLong,
+        rnd.nextInt(5).toLong)
+    }.distinct.toDF("qid", "id", "score")
+    val a = run(0); val b = run(1).unionAll(run(0).limit(10))
+    for (k <- Seq(1, 3, 6)) {
+      val fast = graft.operators.Hybrid.teamDraft(a, b, k).collect().toSet
+      val spec = graft.operators.Hybrid.teamDraftRounds(a, b, k)
+        .orderBy(col("qid"), col("pos")).collect().toSet
+      assert(fast == spec, s"k=$k")
+    }
+  }
+
   test("textRank: the hub word outranks equally-frequent spokes") {
     import spark.implicits._
     // "core" co-occurs with every spoke; spokes only see "core" and
