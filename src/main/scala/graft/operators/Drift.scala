@@ -35,14 +35,20 @@ object Drift {
     */
   def psi(base: DataFrame, curr: DataFrame, valueCol: String,
           lo: Double, hi: Double, bins: Int): DataFrame = {
-    def binned(df: DataFrame) = df.select(
-        least(greatest(floor((col(valueCol) - lo) / (hi - lo) * bins),
-          lit(0L)), lit(bins - 1L)).cast("long").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n"))
-    val grid = base.sparkSession.range(bins).select(col("id").as("bin"))
+    // ONE tagged aggregation builds both histograms (two separate
+    // groupBys + two grid joins each paid their own shuffle and
+    // broadcast build — pure fixed cost on the per-trigger stream path)
+    def binExpr = least(greatest(floor((col(valueCol) - lo) / (hi - lo) * bins),
+      lit(0L)), lit(bins - 1L)).cast("long")
+    def tag(df: DataFrame, t: Int) =
+      df.select(binExpr.as("bin"), lit(t).as("t"))
+    val counts = tag(base, 0).unionAll(tag(curr, 1))
+      .groupBy("bin")
+      .agg(sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_curr"))
+    val grid = base.sparkSession.range(0, bins, 1, 1).select(col("id").as("bin"))
     val g = grid
-      .join(binned(base).withColumnRenamed("n", "n_base"), Seq("bin"), "left")
-      .join(binned(curr).withColumnRenamed("n", "n_curr"), Seq("bin"), "left")
+      .join(counts, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_curr"), lit(0L)).as("n_curr"))
     val tot = g.agg(sum("n_base").as("tot_a"), sum("n_curr").as("tot_b"))
@@ -249,7 +255,7 @@ object Drift {
       .select(col("rn"), (col("x") * col("n") - col("s")).as("a"))
       .localCheckpoint(true) // ≤ #days rows, scanned per lag side
     val den = idx.agg(sum(col("a") * col("a")).as("den"))
-    val lags = df.sparkSession.range(1, maxLag + 1)
+    val lags = df.sparkSession.range(1, maxLag + 1, 1, 1)
       .select(col("id").as("lag"))
     idx.select(col("rn"), col("a"))
       .crossJoin(broadcast(lags))
@@ -399,7 +405,7 @@ object Drift {
         least(greatest(floor((col(valueCol) - lo) / (hi - lo) * bins),
           lit(0L)), lit(bins - 1L)).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
-    val grid = base.sparkSession.range(bins).select(col("id").as("bin"))
+    val grid = base.sparkSession.range(0, bins, 1, 1).select(col("id").as("bin"))
     val g = grid
       .join(binned(base).withColumnRenamed("n", "na"), Seq("bin"), "left")
       .join(binned(curr).withColumnRenamed("n", "nb"), Seq("bin"), "left")

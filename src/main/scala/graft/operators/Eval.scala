@@ -387,7 +387,7 @@ object Eval {
     }
     val m = ranked(runA, "ra").join(ranked(runB, "rb"), Seq("qid", "id"))
       .select(col("qid"), greatest(col("ra"), col("rb")).as("m"))
-    val depths = runA.sparkSession.range(1, k + 1)
+    val depths = runA.sparkSession.range(1, k + 1, 1, 1)
       .select(col("id").as("d"))
     runA.select("qid").distinct()
       .crossJoin(depths)

@@ -455,7 +455,7 @@ object Events {
       .select(col("i"), coalesce(col("n"), lit(0L)).as(out))
     val a = series(typeA, "na")
     val b = series(typeB, "nb")
-    val lags = spark.range(maxLag + 1L).select(col("id").as("lag"))
+    val lags = spark.range(0, maxLag + 1L, 1, 1).select(col("id").as("lag"))
     a.crossJoin(broadcast(lags))
       .join(b.withColumnRenamed("i", "j"),
         col("i") + col("lag") === col("j"))

@@ -197,7 +197,7 @@ object QualityLr {
       a -= (lr * g.getLong(0) / n).toLong
       b -= (lr * g.getLong(1) / n).toLong
     }
-    margins.sparkSession.range(1)
+    margins.sparkSession.range(0, 1, 1, 1)
       .select(lit(n).as("n"), lit(a).as("a_micros"), lit(b).as("b_micros"))
   }
 

@@ -69,7 +69,7 @@ object SearchIndex {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
-    stats.sparkSession.range(1)
+    stats.sparkSession.range(0, 1, 1, 1)
       .select(lit(n).as("n"), lit(batchId).as("last_batch"))
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -162,7 +162,7 @@ object SearchIndex {
     mp.withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$stage/postings")
     ms.write.mode("overwrite").parquet(s"$stage/stats")
-    spark.range(1).select(lit(mn).as("n"), lit(batchId).as("last_batch"))
+    spark.range(0, 1, 1, 1).select(lit(mn).as("n"), lit(batchId).as("last_batch"))
       .write.mode("overwrite").parquet(s"$stage/meta")
     graft.streaming.CardStream.swapStaged(spark, dir)
     mn

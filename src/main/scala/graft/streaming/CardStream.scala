@@ -514,11 +514,13 @@ object CardStream {
                          storeBuckets: Int = BucketStore.StoreBuckets)
       : (Boolean, Long) = {
     if (batch.isEmpty) return (true, 0L)
-    val report = graft.operators.Profile.checkConstraints(batch, checks)
-      .localCheckpoint(true) // |checks| rows; reused for verdict + metrics
-    val admitted = report.agg(min(col("passed"))).head().getBoolean(0)
+    // |checks| rows by construction: resolve driver-side in one job
+    // (was checkpoint + verdict agg + metrics-write re-scan)
+    val reportDf = graft.operators.Profile.checkConstraints(batch, checks)
+    val rows = reportDf.collect()
+    val admitted = rows.forall(_.getAs[Boolean]("passed"))
     val bTag = if (batchId >= 0) batchId else 0L
-    report
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), reportDf.schema)
       .withColumn("batch_id", lit(bTag))
       .withColumn("admitted", lit(admitted))
       .coalesce(1)
@@ -557,14 +559,17 @@ object CardStream {
                           storeBuckets: Int = BucketStore.StoreBuckets)
       : (Boolean, Long) = {
     if (batch.isEmpty) return (true, 0L)
-    val report = graft.operators.Drift
+    // the report is bins+1 rows BY CONSTRUCTION — resolve it into
+    // driver memory once (one job) instead of checkpoint + verdict
+    // scan + metrics-write re-scan (three)
+    val psiDf = graft.operators.Drift
       .psi(baseline, batch, valueCol, lo, hi, bins)
-      .localCheckpoint(true) // bins+1 rows; reused for verdict + metrics
-    val psiTotal = report.filter(col("bin") === -1L)
-      .head().getAs[Long]("term_micros")
+    val rows = psiDf.collect()
+    val psiTotal = rows.find(_.getAs[Long]("bin") == -1L).get
+      .getAs[Long]("term_micros")
     val admitted = psiTotal <= psiThresholdMicros
     val bTag = if (batchId >= 0) batchId else 0L
-    report
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), psiDf.schema)
       .withColumn("batch_id", lit(bTag))
       .withColumn("psi_micros", lit(psiTotal))
       .withColumn("admitted", lit(admitted))
