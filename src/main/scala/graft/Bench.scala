@@ -22,6 +22,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // static conf, default 100: 377 gates x ~5-10 codegen stages
+      // thrash the stock cache, so every timed pass recompiles every
+      // stage (janino, ~10-40 ms per compile, all driver-side). A
+      // resident engine serving repeated queries keeps its compiled
+      // classes; size the cache to the suite.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       // sf0.1 tables are single ~15-50 MB parquet files: at the stock
       // 128 MB split size every NARROW stage (PQ/OPQ encode scans,
       // hash-feature pipelines) runs as ONE task on one core whatever
@@ -103,6 +110,20 @@ object Bench {
     // scheduling-bound gates keep coarse scans (the 16m main-session
     // split sizing would triple their scan task count for nothing)
     small.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    // AQE OFF here: on these gates every exchange materialization is
+    // its own job + a replan, and the per-job driver floor (~50-150 ms)
+    // IS the gate's cost — measured A/B at sf0.1: qX_woe 2.29→0.80 s
+    // (14→8 jobs), qX_norm_stats 1.26→0.55 s, qX_hits 3.05→1.55 s.
+    // Results are partition-count-independent by construction (every
+    // gate is DuckDB-hash-gated via Verify), and the 4-partition fixed
+    // fan-out these gates lose coalescing on is tiny by definition
+    // (< 0.25 s of oracle work). The full-parallelism session keeps
+    // AQE: its gates have real data where coalescing/skew-splitting
+    // pay. SPARK_GRAFT_SMALL_CONF=k=v;… overrides for A/B runs.
+    small.conf.set("spark.sql.adaptive.enabled", "false")
+    sys.env.get("SPARK_GRAFT_SMALL_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); small.conf.set(k, v)
+    })
     // Routing guards (mirrors QTime's): the duck annotations were
     // measured at the artifact's recorded SF dir — against any OTHER
     // dir (a big synthetic SF sweep) they say nothing about Spark-side

@@ -24,6 +24,13 @@ object QTime {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // static conf, default 100: the suite has 377 gates x ~5-10 codegen
+      // stages each, so the stock cache thrashes and EVERY timed pass
+      // recompiles every stage (janino ~10-40 ms per compile — pure
+      // driver-side floor). A resident engine serving repeated queries
+      // would hold its compiled classes; size the cache to the suite.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       // mirror Bench's main-session split sizing (narrow stages over
       // the single-file sf0.1 tables parallelize) so QTime numbers
       // predict bench numbers
@@ -80,6 +87,14 @@ object QTime {
     smallSession.conf.set(
       "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
     smallSession.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    // AQE off on the small session — mirrors Bench (per-job driver
+    // floor dominates these gates; see Bench for the A/B numbers)
+    smallSession.conf.set("spark.sql.adaptive.enabled", "false")
+    // A/B knob for small-session confs (e.g. SPARK_GRAFT_SMALL_CONF=
+    // "spark.sql.adaptive.enabled=true"): semicolon-separated k=v list
+    sys.env.get("SPARK_GRAFT_SMALL_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); smallSession.conf.set(k, v)
+    })
     def sessionFor(name: String) = sys.env.get("SPARK_GRAFT_SMALL") match {
       case Some("1") => smallSession
       case Some("0") => spark

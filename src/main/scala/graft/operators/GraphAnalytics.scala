@@ -407,10 +407,17 @@ object GraphAnalytics {
           .select(col("id") +: carry :+
             least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"): _*)
       }
+      // the changed-row count rides the block's ONE checkpoint job as
+      // an observed metric (exact; count > 0 ⟺ some label moved) —
+      // the separate filter+isEmpty probe was a whole extra job per
+      // block, and on gate-scale graphs the fixed job cost IS the
+      // loop's cost (the mergeAdditive lesson applied to the CC loop)
+      val chgObs = org.apache.spark.sql.Observation()
       val next = cur
         .select(col("id"), col("comp"), (col("comp") < col("pc")).as("_chg"))
+        .observe(chgObs, count(when(col("_chg"), lit(1))).as("nchg"))
         .localCheckpoint(true)
-      converged = next.filter(col("_chg")).isEmpty
+      converged = chgObs.get("nchg").asInstanceOf[Long] == 0L
       labels = next.select(col("id"), col("comp"))
       rounds += checkEvery
     }
@@ -902,12 +909,14 @@ object GraphAnalytics {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(Future.sequence(rates.sorted.map { rate => Future {
+        val kObs = org.apache.spark.sql.Observation()
         val keep = canon.filter(
           Sampling.md5Bucket(concat(col("u").cast("string"), lit(":"),
             col("v").cast("string")))
             < lit(math.floor(rate * Sampling.BucketSpace).toLong))
-          .localCheckpoint(true) // edge count + CC input
-        val nKept = keep.count()
+          .observe(kObs, count(lit(1)).as("n"))
+          .localCheckpoint(true) // CC input; count rides the same job
+        val nKept = kObs.get("n").asInstanceOf[Long]
         val giant =
           if (nKept == 0) 1L // every vertex isolated; giant = 1 (if any)
           else connectedComponentsDF(
@@ -1044,14 +1053,16 @@ object GraphAnalytics {
         .join(core.select(col("id").as("from")), "from")
         .join(core.select(col("id").as("to")), "to")
       // eager per round: the fixpoint test needs this round's count
-      // anyway, and the checkpoint both cuts lineage and makes the
-      // count a metadata-cheap job over materialized blocks
+      // anyway — it rides the checkpoint job as an observed metric
+      // (exact), so a round is ONE job, not checkpoint + count
+      val nObs = org.apache.spark.sql.Observation()
       core = alive.groupBy(col("from").as("id"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("id")
+        .observe(nObs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      val n = core.count()
+      val n = nObs.get("n").asInstanceOf[Long]
       stable = n == prev
       prev = n
       round += 1
@@ -1301,12 +1312,16 @@ object GraphAnalytics {
       // caller's checkpoints on the shared context are never touched.
       releaseCheckpoint(oriented) // dead once sup is materialized
       val prevE = e
+      // the surviving-edge count rides the checkpoint job as an
+      // observed metric — one job per round, not checkpoint + count
+      val nObs = org.apache.spark.sql.Observation()
       e = e.join(sup.filter(col("sup") >= k - 2), Seq("u", "v"), "left_semi")
+        .observe(nObs, count(lit(1)).as("n"))
         .localCheckpoint(true)
+      val n = nObs.get("n").asInstanceOf[Long]
       releaseCheckpoint(prevE) // superseded by the new e
       if (lastSup != null) releaseCheckpoint(lastSup) // reassigned below
       lastSup = sup
-      val n = e.count()
       fixed = n == prevN
       prevN = n
     }
@@ -2504,15 +2519,19 @@ object GraphAnalytics {
     val adj = canon.select(col("u").as("f"), col("v").as("t"))
       .unionAll(canon.select(col("v").as("f"), col("u").as("t")))
       .localCheckpoint(true)
+    val vObs = org.apache.spark.sql.Observation()
     val verts = adj.select(col("f").as("id")).distinct()
+      .observe(vObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
     var active = verts
+    // the active count rides each round's existing checkpoint job as
+    // an observed metric — the convergence exit that makes the result
+    // maximal (not just `rounds`-round independent) without the old
+    // per-round limit-1 probe job
+    var activeN = vObs.get("n").asInstanceOf[Long]
     var mis = verts.limit(0)
     var r = 0
-    // active.isEmpty is a cheap limit-1 probe on the checkpointed,
-    // monotonically-shrinking active table — the convergence exit that
-    // makes the result maximal (not just `rounds`-round independent)
-    while (r < rounds && !active.isEmpty) {
+    while (r < rounds && activeN > 0) {
       r += 1
       val pri = active.select(col("id"),
           struct(
@@ -2531,10 +2550,13 @@ object GraphAnalytics {
       mis = mis.unionByName(winners)
       val dominated = adj.join(winners.withColumnRenamed("id", "f"), "f")
         .select(col("t").as("id"))
+      val aObs = org.apache.spark.sql.Observation()
       active = active
         .join(winners.unionByName(dominated).distinct(), Seq("id"),
           "left_anti")
+        .observe(aObs, count(lit(1)).as("n"))
         .localCheckpoint(true)
+      activeN = aObs.get("n").asInstanceOf[Long]
     }
     verts.join(mis.withColumn("in_mis", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
@@ -2615,11 +2637,27 @@ object GraphAnalytics {
       .unionAll(verts0.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
     // canonical u > v
+    // (count, xor-of-edge-hashes) summarize the current edge SET: both
+    // ride each checkpoint job as observed metrics and a mismatch on
+    // either PROVES next ≠ e (sound negative filter — xor is order-
+    // independent and cannot overflow), so the two definitive anti-join
+    // emptiness probes run only on the one round where the summaries
+    // match (the convergence round, plus astronomically-unlikely xor
+    // collisions, where the probes still decide exactly)
+    def edgeSetObs() = {
+      val o = org.apache.spark.sql.Observation()
+      (o, Seq(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")))
+    }
+    val (e0Obs, e0Metrics) = edgeSetObs()
     var e = verts0
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .distinct()
+      .observe(e0Obs, e0Metrics.head, e0Metrics.tail: _*)
       .localCheckpoint(true)
+    var eN = e0Obs.get("n").asInstanceOf[Long]
+    var eH = e0Obs.get("h").asInstanceOf[Long]
     var converged = false
     var r = 0
     while (!converged && r < maxRounds) {
@@ -2635,16 +2673,21 @@ object GraphAnalytics {
         .localCheckpoint(true)
       // small-star: centers are the larger endpoints
       val mins2 = e1.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val (nObs, nMetrics) = edgeSetObs()
       val next = e1.join(mins2, "u")
         .select(col("v").as("n"), col("m"))
         .unionByName(mins2.select(col("u").as("n"), col("m")))
         .where(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
+        .observe(nObs, nMetrics.head, nMetrics.tail: _*)
         .localCheckpoint(true)
-      converged = next.join(e, Seq("u", "v"), "left_anti").isEmpty &&
+      val nN = nObs.get("n").asInstanceOf[Long]
+      val nH = nObs.get("h").asInstanceOf[Long]
+      converged = nN == eN && nH == eH &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty &&
         e.join(next, Seq("u", "v"), "left_anti").isEmpty
-      e = next
+      e = next; eN = nN; eH = nH
       r += 1
     }
     verts.join(e.select(col("u").as("id"), col("v").as("comp")),

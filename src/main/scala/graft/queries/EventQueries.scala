@@ -743,6 +743,10 @@ object EventQueries {
       // rationale); isolated SQLConf, shared SparkContext
       val fold = s.newSession()
       fold.conf.set("spark.sql.shuffle.partitions", "2")
+      // per-trigger folds are fixed-job-chain bound: AQE would turn
+      // every exchange into its own job + replan (the small-session
+      // measurement in Bench) for data that is micro-batch tiny
+      fold.conf.set("spark.sql.adaptive.enabled", "false")
       val ev = Tables.load(fold, dir, "events")
         .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
           floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
@@ -786,6 +790,10 @@ object EventQueries {
       import graft.operators.Profile.{Completeness, Compliance}
       val fold = s.newSession()
       fold.conf.set("spark.sql.shuffle.partitions", "2")
+      // per-trigger folds are fixed-job-chain bound: AQE would turn
+      // every exchange into its own job + replan (the small-session
+      // measurement in Bench) for data that is micro-batch tiny
+      fold.conf.set("spark.sql.adaptive.enabled", "false")
       val ev = Tables.load(fold, dir, "events")
         .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
           floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
@@ -828,6 +836,10 @@ object EventQueries {
       import graft.streaming.CardStream
       val fold = s.newSession()
       fold.conf.set("spark.sql.shuffle.partitions", "2")
+      // per-trigger folds are fixed-job-chain bound: AQE would turn
+      // every exchange into its own job + replan (the small-session
+      // measurement in Bench) for data that is micro-batch tiny
+      fold.conf.set("spark.sql.adaptive.enabled", "false")
       val ev = Tables.load(fold, dir, "events")
         .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
           floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
@@ -874,6 +886,10 @@ object EventQueries {
       import graft.streaming.CardStream
       val fold = s.newSession()
       fold.conf.set("spark.sql.shuffle.partitions", "2")
+      // per-trigger folds are fixed-job-chain bound: AQE would turn
+      // every exchange into its own job + replan (the small-session
+      // measurement in Bench) for data that is micro-batch tiny
+      fold.conf.set("spark.sql.adaptive.enabled", "false")
       val ev = Tables.load(fold, dir, "events")
         .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
           lit(1L).as("n"))

@@ -281,6 +281,10 @@ object SimilarityQueries {
       // is untouched.
       val fold = s.newSession()
       fold.conf.set("spark.sql.shuffle.partitions", "2")
+      // per-trigger folds are fixed-job-chain bound: AQE would turn
+      // every exchange into its own job + replan (the small-session
+      // measurement in Bench) for data that is micro-batch tiny
+      fold.conf.set("spark.sql.adaptive.enabled", "false")
       val docs = Tables.load(fold, dir, "documents")
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"))
@@ -1101,6 +1105,10 @@ object SimilarityQueries {
       import graft.streaming.CardStream
       val fold = s.newSession()
       fold.conf.set("spark.sql.shuffle.partitions", "2")
+      // per-trigger folds are fixed-job-chain bound: AQE would turn
+      // every exchange into its own job + replan (the small-session
+      // measurement in Bench) for data that is micro-batch tiny
+      fold.conf.set("spark.sql.adaptive.enabled", "false")
       val emb = Tables.load(fold, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .localCheckpoint(true)
