@@ -381,8 +381,254 @@ case class HilbertKeyExpr(left: Expression, right: Expression, bits: Int)
       l: Expression, r: Expression): HilbertKeyExpr = copy(left = l, right = r)
 }
 
+/** Native PQ kernels — the product-quantization hot paths.
+  *
+  * The Column formulation embedded the codebook as `typedLit` arrays
+  * inside `aggregate(zip_with(…))` HOFs: CodegenFallback per row AND
+  * an O(m·ksub·subDim)-node expression tree per plan — measured ~1 MB
+  * task binaries and a fresh janino compile per Lloyd round on the
+  * qX_opq/qX_pq gates, with analysis/planning time to match. These
+  * expressions ship the codebook via `addReferenceObj` (the
+  * [[MatVecExpr]] pattern): one plan node, stable generated source
+  * (codegen cache hits across rounds/gates), one primitive loop per
+  * row. Semantics are locked to the HOF twins (kept in
+  * [[graft.operators.Pq]], equivalence-tested in PqSpec):
+  *  - distances round HALF_UP to 6 decimals exactly like
+  *    `round(aggregate(zip_with(...)), 6)` (BigDecimal.valueOf path,
+  *    NaN/Infinity passed through like Spark's Round);
+  *  - argmin ties break to the LOWEST cid (`array_position` of
+  *    `array_min` = first index of the ordering minimum —
+  *    Double.compare ordering, NaN greatest);
+  *  - a short slice (vector length < (s+1)·subDim) or a null element
+  *    poisons that subspace's code / lut entry to NULL, exactly as
+  *    zip_with's null padding poisoned the HOF fold.
+  */
+object PqExprUtil {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** First-min argmin code of v[start, start+subDim) against `cents`,
+    * or null (short slice / null element). */
+  def pqNearestAt(v: ArrayData, start: Int, cents: Array[Array[Float]],
+                  isFloat: Boolean): java.lang.Integer = {
+    val subDim = cents(0).length
+    if (start + subDim > v.numElements() || start < 0) return null
+    var i = 0
+    while (i < subDim) {
+      if (v.isNullAt(start + i)) return null
+      i += 1
+    }
+    var best = -1
+    var bestD = 0.0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var acc = 0.0
+      var k = 0
+      while (k < subDim) {
+        val x = if (isFloat) v.getFloat(start + k).toDouble
+                else v.getDouble(start + k)
+        val d = x - c(k).toDouble
+        acc += d * d
+        k += 1
+      }
+      val dist = round6(acc)
+      if (best < 0 || java.lang.Double.compare(dist, bestD) < 0) {
+        best = j; bestD = dist
+      }
+      j += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  /** dot(v[start, start+|c|), c) in the HOF's left-to-right double
+    * fold, or null (short slice / null element). */
+  def pqDotAt(v: ArrayData, start: Int, c: Array[Float],
+              isFloat: Boolean): java.lang.Double = {
+    if (start + c.length > v.numElements() || start < 0) return null
+    var acc = 0.0
+    var k = 0
+    while (k < c.length) {
+      if (v.isNullAt(start + k)) return null
+      val x = if (isFloat) v.getFloat(start + k).toDouble
+              else v.getDouble(start + k)
+      acc += x * c(k).toDouble
+      k += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** (codes, cnorm2) of one vector — cnorm2 = Σ_s ‖c_{s,code_s}‖²
+    * (null when any code is null, mirroring element_at(null)+x). */
+  def pqEncode(v: ArrayData, cb: Array[Array[Array[Float]]],
+               norms: Array[Array[Double]], isFloat: Boolean): InternalRow = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val codes = new Array[Any](m)
+    var anyNull = false
+    var s = 0
+    while (s < m) {
+      val code = pqNearestAt(v, s * subDim, cb(s), isFloat)
+      if (code == null) { anyNull = true; codes(s) = null }
+      else codes(s) = code.intValue
+      s += 1
+    }
+    val cnorm2: Any = if (anyNull) null else {
+      var acc = 0.0
+      var t = 0
+      while (t < m) { acc += norms(t)(codes(t).asInstanceOf[Int]); t += 1 }
+      acc
+    }
+    InternalRow(new GenericArrayData(codes), cnorm2)
+  }
+
+  /** lut[s][j] = dot(q_s, codebook[s][j]) — the per-query ADC table. */
+  def pqLut(q: ArrayData, cb: Array[Array[Array[Float]]],
+            isFloat: Boolean): ArrayData = {
+    val subDim = cb(0)(0).length
+    val outer = new Array[Any](cb.length)
+    var s = 0
+    while (s < cb.length) {
+      val cents = cb(s)
+      val inner = new Array[Any](cents.length)
+      var j = 0
+      while (j < cents.length) {
+        inner(j) = pqDotAt(q, s * subDim, cents(j), isFloat)
+        j += 1
+      }
+      outer(s) = new GenericArrayData(inner)
+      s += 1
+    }
+    new GenericArrayData(outer)
+  }
+}
+
+/** `pq_encode(vec)` → struct(codes array<int>, cnorm2 double). */
+case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val norms: Array[Array[Double]] =
+    cb.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+      s
+    })
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires array<float> or array<double>, got ${t.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codes",
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = true)),
+    org.apache.spark.sql.types.StructField("cnorm2", DoubleType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    PqExprUtil.pqEncode(v.asInstanceOf[ArrayData], cb, norms, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "float[][][]")
+    val nRef = ctx.addReferenceObj("pqNorms", norms, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.expr.PqExprUtil.pqEncode($v, $cbRef, $nRef, $isFloat);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** `pq_nearest_by_sub(sub, sv)` — the Lloyd-round assignment code of
+  * one posexploded subspace row; out-of-range sub → null (the
+  * when-chain-without-otherwise contract). */
+case class PqNearestBySubExpr(left: Expression, right: Expression,
+                              cb: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  private def isFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.IntegerType,
+            ArrayType(FloatType, _) | ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_nearest_by_sub requires (int, array<float|double>), got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(sub: Any, sv: Any): Any = {
+    val s = sub.asInstanceOf[Int]
+    if (s < 0 || s >= cb.length) null
+    else PqExprUtil.pqNearestAt(sv.asInstanceOf[ArrayData], 0, cb(s), isFloat)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (s, v) => {
+      s"""
+         |java.lang.Integer ${ev.value}_r = ($s < 0 || $s >= $cbRef.length)
+         |  ? null
+         |  : graft.functions.expr.PqExprUtil.pqNearestAt($v, 0, $cbRef[$s], $isFloat);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.intValue();
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqNearestBySubExpr = copy(left = l, right = r)
+}
+
+/** `pq_lut(qvec)` → array<array<double>> ADC lookup table. */
+case class PqLutExpr(child: Expression, cb: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_lut requires array<float> or array<double>, got ${t.sql}")
+    }
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = true), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    PqExprUtil.pqLut(v.asInstanceOf[ArrayData], cb, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "float[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.expr.PqExprUtil.pqLut($v, $cbRef, $isFloat);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqLutExpr =
+    copy(child = c)
+}
+
 object VectorExprs {
   import ColumnBridge.{toColumn, toExpr}
+  def pq_encode(v: Column, cb: Array[Array[Array[Float]]]): Column =
+    toColumn(PqEncodeExpr(toExpr(v), cb))
+  def pq_nearest_by_sub(sub: Column, sv: Column,
+                        cb: Array[Array[Array[Float]]]): Column =
+    toColumn(PqNearestBySubExpr(toExpr(sub), toExpr(sv), cb))
+  def pq_lut(q: Column, cb: Array[Array[Array[Float]]]): Column =
+    toColumn(PqLutExpr(toExpr(q), cb))
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSimExpr(toExpr(a), toExpr(b)))
   def sign_pack(v: Column): Column =

@@ -60,8 +60,16 @@ object Pq {
 
   // ---- column helpers (all fold in double; float inputs upcast) ----
 
+  /** Pq.Codebook → the float[][][] the native PQ expressions ship via
+    * addReferenceObj (see [[graft.functions.expr.PqExprUtil]]). */
+  private def cbArr(cb: Codebook): Array[Array[Array[Float]]] =
+    cb.map(_.toArray).toArray
+
+  // ---- HOF twins (executable specs of the native PQ expressions;
+  // equivalence locked in PqSpec — do not delete) ----
+
   /** Σ (a_i − c_i)² against a literal sub-centroid. */
-  private def dist2(v: Column, c: Array[Float]): Column =
+  private[graft] def dist2(v: Column, c: Array[Float]): Column =
     aggregate(
       zip_with(v, typedLit(c.toSeq), (a, b) => {
         val d = a.cast("double") - b.cast("double"); d * d
@@ -69,7 +77,7 @@ object Pq {
       lit(0.0), (acc, x) => acc + x)
 
   /** Σ a_i · c_i against a literal sub-centroid. */
-  private def dotLit(v: Column, c: Array[Float]): Column =
+  private[graft] def dotLit(v: Column, c: Array[Float]): Column =
     aggregate(
       zip_with(v, typedLit(c.toSeq),
         (a, b) => a.cast("double") * b.cast("double")),
@@ -78,12 +86,12 @@ object Pq {
   /** First-min argmin over a subspace's centroids, distances rounded
     * to 6 decimals — the cross-engine tie contract of
     * [[Similarity.ivfAssign]] (ties → lowest cid). */
-  private def nearestCode(sv: Column, cents: IndexedSeq[Array[Float]]): Column = {
+  private[graft] def nearestCode(sv: Column, cents: IndexedSeq[Array[Float]]): Column = {
     val dists = array(cents.map(c => round(dist2(sv, c), 6)): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  private def subSlice(vec: Column, sub: Int, subDim: Int): Column =
+  private[graft] def subSlice(vec: Column, sub: Int, subDim: Int): Column =
     slice(vec, sub * subDim + 1, subDim)
 
   /** Driver-side L2² (init runs over the seed pool only). */
@@ -180,10 +188,11 @@ object Pq {
       posexplode(array((0 until m).map(s =>
         subSlice(col("vec"), s, subDim)): _*)).as(Seq("sub", "sv")))
     for (_ <- 1 to iters) {
-      val codeBySub = (1 until m).foldLeft(
-        when(col("sub") === 0, nearestCode(col("sv"), cb(0)))) {
-        (acc, s) => acc.when(col("sub") === s, nearestCode(col("sv"), cb(s)))
-      }
+      // native assignment kernel: one plan node per round instead of
+      // an m-way when-chain of ksub-literal HOF argmins (identical
+      // semantics — the when-chain stays above as nearestCode's spec)
+      val codeBySub = graft.functions.expr.VectorExprs
+        .pq_nearest_by_sub(col("sub"), col("sv"), cbArr(cb))
       val stats = subs.withColumn("cluster", codeBySub)
         .select(col("sub"), col("cluster"), posexplode(col("sv")))
         .groupBy(col("sub"), col("cluster"), col("pos"))
@@ -223,7 +232,16 @@ object Pq {
   /** Append (codes, cnorm2) to a frame with a `vec` column and drop
     * the vector — the narrow-scan encode core shared by [[pqEncode]]
     * and [[ivfPqEncode]]. Codebook lives in the plan as literals. */
-  private def appendCodes(withVec: DataFrame, cb: Codebook): DataFrame = {
+  private def appendCodes(withVec: DataFrame, cb: Codebook): DataFrame =
+    withVec
+      .withColumn("_enc",
+        graft.functions.expr.VectorExprs.pq_encode(col("vec"), cbArr(cb)))
+      .withColumn("codes", col("_enc.codes"))
+      .withColumn("cnorm2", col("_enc.cnorm2"))
+      .drop("_enc", "vec")
+
+  /** HOF twin of the [[appendCodes]] encode (PqSpec equivalence). */
+  private[graft] def appendCodesHof(withVec: DataFrame, cb: Codebook): DataFrame = {
     val subDim = cb.head.head.length
     val codes = array(cb.indices.map(s =>
       nearestCode(subSlice(col("vec"), s, subDim), cb(s))): _*)
@@ -260,11 +278,16 @@ object Pq {
   /** Per-query ADC lookup tables + query norm appended to a (qid,
     * qvec) projection — the broadcast probe side shared by [[pqTopK]]
     * and [[ivfPqTopK]]. m·ksub dots per QUERY, computed once. */
-  private def withLut(q: DataFrame, cb: Codebook): DataFrame = {
+  /** HOF twin of the [[withLut]] table (PqSpec equivalence). */
+  private[graft] def lutHof(qvec: Column, cb: Codebook): Column = {
     val subDim = cb.head.head.length
-    val lut = array(cb.indices.map(s =>
+    array(cb.indices.map(s =>
       array(cb(s).map(c =>
-        dotLit(subSlice(col("qvec"), s, subDim), c)): _*)): _*)
+        dotLit(subSlice(qvec, s, subDim), c)): _*)): _*)
+  }
+
+  private def withLut(q: DataFrame, cb: Codebook): DataFrame = {
+    val lut = graft.functions.expr.VectorExprs.pq_lut(col("qvec"), cbArr(cb))
     q.withColumn("lut", lut)
       .withColumn("qnorm",
         sqrt(aggregate(transform(col("qvec"),

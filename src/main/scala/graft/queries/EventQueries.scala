@@ -747,6 +747,12 @@ object EventQueries {
       // every exchange into its own job + replan (the small-session
       // measurement in Bench) for data that is micro-batch tiny
       fold.conf.set("spark.sql.adaptive.enabled", "false")
+      // planner-chosen broadcasts on micro-batch-tiny frames each
+      // build as their own job; a 2-partition shuffled-hash join runs
+      // inside the fold's ONE job (explicit broadcast() hints — the
+      // scale-correct centroid/model tables — are unaffected)
+      fold.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      fold.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       val ev = Tables.load(fold, dir, "events")
         .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
           floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
@@ -794,6 +800,12 @@ object EventQueries {
       // every exchange into its own job + replan (the small-session
       // measurement in Bench) for data that is micro-batch tiny
       fold.conf.set("spark.sql.adaptive.enabled", "false")
+      // planner-chosen broadcasts on micro-batch-tiny frames each
+      // build as their own job; a 2-partition shuffled-hash join runs
+      // inside the fold's ONE job (explicit broadcast() hints — the
+      // scale-correct centroid/model tables — are unaffected)
+      fold.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      fold.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       val ev = Tables.load(fold, dir, "events")
         .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
           floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
@@ -840,6 +852,12 @@ object EventQueries {
       // every exchange into its own job + replan (the small-session
       // measurement in Bench) for data that is micro-batch tiny
       fold.conf.set("spark.sql.adaptive.enabled", "false")
+      // planner-chosen broadcasts on micro-batch-tiny frames each
+      // build as their own job; a 2-partition shuffled-hash join runs
+      // inside the fold's ONE job (explicit broadcast() hints — the
+      // scale-correct centroid/model tables — are unaffected)
+      fold.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      fold.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       val ev = Tables.load(fold, dir, "events")
         .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
           floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
@@ -890,6 +908,12 @@ object EventQueries {
       // every exchange into its own job + replan (the small-session
       // measurement in Bench) for data that is micro-batch tiny
       fold.conf.set("spark.sql.adaptive.enabled", "false")
+      // planner-chosen broadcasts on micro-batch-tiny frames each
+      // build as their own job; a 2-partition shuffled-hash join runs
+      // inside the fold's ONE job (explicit broadcast() hints — the
+      // scale-correct centroid/model tables — are unaffected)
+      fold.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      fold.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       val ev = Tables.load(fold, dir, "events")
         .select(col("event_type"), pmod(col("user_id"), lit(97L)).as("g"),
           lit(1L).as("n"))

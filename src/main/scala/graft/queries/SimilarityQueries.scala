@@ -285,6 +285,12 @@ object SimilarityQueries {
       // every exchange into its own job + replan (the small-session
       // measurement in Bench) for data that is micro-batch tiny
       fold.conf.set("spark.sql.adaptive.enabled", "false")
+      // planner-chosen broadcasts on micro-batch-tiny frames each
+      // build as their own job; a 2-partition shuffled-hash join runs
+      // inside the fold's ONE job (explicit broadcast() hints — the
+      // scale-correct centroid/model tables — are unaffected)
+      fold.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      fold.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       val docs = Tables.load(fold, dir, "documents")
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"))
@@ -1109,6 +1115,12 @@ object SimilarityQueries {
       // every exchange into its own job + replan (the small-session
       // measurement in Bench) for data that is micro-batch tiny
       fold.conf.set("spark.sql.adaptive.enabled", "false")
+      // planner-chosen broadcasts on micro-batch-tiny frames each
+      // build as their own job; a 2-partition shuffled-hash join runs
+      // inside the fold's ONE job (explicit broadcast() hints — the
+      // scale-correct centroid/model tables — are unaffected)
+      fold.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      fold.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       val emb = Tables.load(fold, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .localCheckpoint(true)

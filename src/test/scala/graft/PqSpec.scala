@@ -195,4 +195,115 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("divisible"))
   }
+
+  // ---- native PQ expression vs HOF-twin equivalence (the r15
+  // native-kernel rewrite must be value-identical, nulls included) ----
+
+  // deterministic "awkward" vectors: near-ties, exact ties, values
+  // that exercise the round-to-6 boundary, plus a short vector and a
+  // null element (the zip_with null-poisoning contract)
+  private def awkward = {
+    val rows = (0L until 40L).map { i =>
+      val v = Seq.tabulate(4) { d =>
+        (((i * 7 + d * 13) % 11).toFloat / 7.0f) - 0.5f +
+          (if ((i + d) % 3 == 0) 1e-7f else 0.0f)
+      }
+      (i, v)
+    } :+ (100L, Seq(1.0f, 2.0f)) // short: second subspace slice empty
+    rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .unionByName(
+        // a null element inside the FIRST subspace slice
+        spark.range(1).select(lit(101L).as("id"),
+          array(lit(null).cast("float"), lit(1.0f), lit(2.0f), lit(3.0f))
+            .as("vec")))
+  }
+
+  private def cbBig = {
+    // 2 subspaces x 3 centroids incl. an exact duplicate pair (tie →
+    // lowest cid must win in both forms)
+    Seq(
+      (0, 0, Seq(0.25f, -0.25f)), (0, 1, Seq(0.25f, -0.25f)),
+      (0, 2, Seq(-0.5f, 0.5f)),
+      (1, 0, Seq(0.0f, 0.0f)), (1, 1, Seq(1.0f, -1.0f)),
+      (1, 2, Seq(0.1f, 0.1f))
+    ).toDF("sub", "cid", "cvec")
+      .select(col("sub"), col("cid"), col("cvec").cast("array<float>").as("cvec"))
+  }
+
+  test("pq_encode (native) equals the HOF-twin encode, nulls and ties included") {
+    val native = Pq.pqEncode(awkward, cbBig, "id", "vec")
+      .select(col("id"), col("codes"), col("cnorm2"))
+      .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    // HOF twin path: same codebook, same frame
+    val cb = cbBig.select(col("sub").cast("int"), col("cid").cast("int"),
+        col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toIndexedSeq }
+    val hof = Pq.appendCodesHof(
+        awkward.select(col("id"), col("vec")), cb)
+      .select(col("id"), col("codes"), col("cnorm2"))
+      .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    assert(native.keySet == hof.keySet)
+    native.keySet.foreach { id =>
+      // codes must agree everywhere, poisoned rows included
+      assert(native(id)._1 == hof(id)._1,
+        s"id=$id native=${native(id)} hof=${hof(id)}")
+      // cnorm2 must agree on every WELL-FORMED vector; on poisoned
+      // rows (null code) the HOF form's value is an optimizer accident
+      // (element_at over a null index constant-folds to an arbitrary
+      // element — measured 0.0 here, 0.5 in an isolated probe), so the
+      // native expression pins the sane contract instead: NULL.
+      if (id < 100L)
+        assert(native(id)._2 == hof(id)._2,
+          s"id=$id native=${native(id)} hof=${hof(id)}")
+    }
+    assert(native(100L)._2 == null && native(101L)._2 == null)
+  }
+
+  test("pq_lut (native) equals the HOF-twin lookup table") {
+    val cb = cbBig.select(col("sub").cast("int"), col("cid").cast("int"),
+        col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toIndexedSeq }
+    val cbArr = cb.map(_.toArray).toArray
+    val q = awkward.select(col("id"), col("vec").as("qvec"))
+    val native = q.select(col("id"),
+        graft.functions.expr.VectorExprs.pq_lut(col("qvec"), cbArr).as("lut"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    val hof = q.select(col("id"), Pq.lutHof(col("qvec"), cb).as("lut"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    native.keySet.foreach { id =>
+      assert(native(id) == hof(id), s"id=$id native=${native(id)} hof=${hof(id)}")
+    }
+  }
+
+  test("pq_nearest_by_sub (native) equals the when-chain of nearestCode") {
+    val cb = cbBig.select(col("sub").cast("int"), col("cid").cast("int"),
+        col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toIndexedSeq }
+    val cbArr = cb.map(_.toArray).toArray
+    val subs = awkward.select(col("id"),
+      posexplode(array(
+        Pq.subSlice(col("vec"), 0, 2), Pq.subSlice(col("vec"), 1, 2)))
+        .as(Seq("sub", "sv")))
+    val native = subs.select(col("id"), col("sub"),
+        graft.functions.expr.VectorExprs
+          .pq_nearest_by_sub(col("sub"), col("sv"), cbArr).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.get(2))).toMap
+    val chain = (1 until 2).foldLeft(
+      when(col("sub") === 0, Pq.nearestCode(col("sv"), cb(0)))) {
+      (acc, s) => acc.when(col("sub") === s, Pq.nearestCode(col("sv"), cb(s)))
+    }
+    val hof = subs.select(col("id"), col("sub"), chain.as("c"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.get(2))).toMap
+    assert(native.keySet == hof.keySet)
+    native.keySet.foreach { k =>
+      assert(native(k) == hof(k), s"key=$k native=${native(k)} hof=${hof(k)}")
+    }
+  }
 }
