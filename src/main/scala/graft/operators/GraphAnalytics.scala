@@ -999,17 +999,37 @@ object GraphAnalytics {
     val verts = adj.select(col("from").as("id")).distinct()
       .localCheckpoint(true)
     var core = verts
-    for (i <- 1 to rounds) {
+    // FIXPOINT EARLY EXIT (the kTruss argument): peeling only REMOVES
+    // vertices, so an unchanged count proves an unchanged set, and
+    // every later round recomputes the identical induced degrees and
+    // removes nothing — the remaining rounds are provable no-ops that
+    // the unrolled oracle replays to the same table. Each round is
+    // eager with its survivor count riding the checkpoint job as an
+    // observed metric; superseded rounds release their blocks (the
+    // kTruss hygiene). On the short-diameter gate graphs this skips
+    // more than half the fixed `rounds`; at scale a skipped round is
+    // a full induced-degree shuffle saved.
+    var prevN = -1L
+    var i = 0
+    while (i < rounds && prevN != 0L) {
+      i += 1
       // induced degree: only edges whose BOTH endpoints survive
       val alive = adj
         .join(core.select(col("id").as("from")), "from")
         .join(core.select(col("id").as("to")), "to")
+      val nObs = org.apache.spark.sql.Observation()
       val next = alive.groupBy(col("from").as("id"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("id")
-      core = if (i % materializeEvery == 0 || i == rounds)
-        next.localCheckpoint(true) else next
+        .observe(nObs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val n = nObs.get("n").asInstanceOf[Long]
+      val prevCore = core
+      core = next
+      if (prevCore ne verts) releaseCheckpoint(prevCore)
+      if (n == prevN) i = rounds // fixpoint: later rounds are no-ops
+      prevN = n
     }
     verts.join(core.withColumn("in_core", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"))
@@ -2194,6 +2214,10 @@ object GraphAnalytics {
     var h = verts.withColumn("h", lit(1000000L))
     var a = verts.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
+      // NOTE (r15): tried the salsa lazy-raw pattern here — measured
+      // NO job-count win and slightly more task time (the raw double
+      // read is not fully deduped in this shape); the eager raw
+      // checkpoints stay.
       val araw = e.join(h.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
         .localCheckpoint(true) // feeds both its own total and the rows
