@@ -591,6 +591,60 @@ object TextExprUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Margin fold of one hashed-feature array under a dense weight
+    * vector: Σ round(x_micros · w[bucket] / 1e6) — the GD-loop hot
+    * expression of [[graft.operators.QualityLr.train]]. Arithmetic
+    * replicates the HOF spec exactly: long product, double division
+    * by 1e6, Spark's HALF_UP double round (BigDecimal.valueOf), long
+    * accumulate; an absent bucket weighs 0. */
+  def hashedMargin(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                   w: Array[Long]): Long = {
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val f = arr.getStruct(i, 2)
+      val b = f.getLong(0)
+      val wv = if (b >= 0 && b < w.length) w(b.toInt) else 0L
+      if (wv != 0L)
+        acc += java.math.BigDecimal.valueOf(f.getLong(1) * wv / 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    acc
+  }
+
+  /** [[arrayCombos]] plus the single-item rows `(e, null)` and ONE
+    * basket marker `(null, null)` — the tagged union that lets a
+    * market-basket miner count pair supports, item supports and the
+    * basket total in ONE aggregation pass (null-ness of j / i is the
+    * tag). Same one-loop codegen shape. */
+  def arrayCombosTagged(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                        et: DataType): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val elems = arr.toObjectArray(et)
+    val out = new Array[Any](n * (n - 1) / 2 + n + 1)
+    var k = 0
+    var a = 0
+    while (a < n - 1) {
+      var b = a + 1
+      while (b < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(elems(a), elems(b))
+        k += 1
+        b += 1
+      }
+      a += 1
+    }
+    a = 0
+    while (a < n) {
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(elems(a), null)
+      k += 1
+      a += 1
+    }
+    out(k) = org.apache.spark.sql.catalyst.InternalRow(null, null)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
 }
 
 abstract class TextScanExpression extends UnaryExpression {
@@ -877,6 +931,77 @@ case class ArrayCombosExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `hashed_margin(fs, w)`: Σ round(x_micros · w[bucket] / 1e6) over a
+  * [[HashedNgramFeaturesExpr]] array — one codegen loop with the GD
+  * weight vector shipped via `addReferenceObj`, so the generated
+  * source is IDENTICAL across gradient iterations (the PQ-kernel
+  * lesson: a `typedLit` weight-map literal re-analyzes and re-compiles
+  * the stage every round). The `aggregate`-HOF twin stays in
+  * [[graft.operators.QualityLr]]'s spec as the executable contract. */
+case class HashedMarginExpr(child: Expression, w: Array[Long])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(fs), _)
+        if fs.length == 2 && fs.forall(_.dataType == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hashed_margin requires array<struct<long,long>>, got ${t.sql}")
+    }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.hashedMargin(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lrW", w, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.hashedMargin($c, $wRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): HashedMarginExpr =
+    copy(child = c)
+}
+
+/** `array_combos_tagged(arr)`: [[ArrayCombosExpr]]'s pair expansion
+  * PLUS the `(e, null)` single-item rows and one `(null, null)` basket
+  * marker — so one explode + one aggregation count pair supports, item
+  * supports and the basket total together (the j/i null-ness is the
+  * tag; array elements are non-null by construction in the basket
+  * fold, so the tag is unambiguous). One primitive loop, codegen. */
+case class ArrayCombosTaggedExpr(child: Expression) extends UnaryExpression {
+  private def elemOf(t: DataType): org.apache.spark.sql.types.ArrayType =
+    t.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"array_combos_tagged requires an array, got ${t.sql}")
+    }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = {
+    val at = elemOf(child.dataType)
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i", at.elementType, nullable = true),
+        org.apache.spark.sql.types.StructField("j", at.elementType, nullable = true))),
+      containsNull = false)
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprUtil.arrayCombosTagged(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elemOf(child.dataType).elementType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("etype", elemOf(child.dataType).elementType,
+      "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.TextExprUtil.arrayCombosTagged($c, $et)")
+  }
+  override protected def withNewChildInternal(c: Expression): ArrayCombosTaggedExpr =
+    copy(child = c)
+}
+
 /** Column-level entry points + SQL registration. */
 /** `jaro_winkler(a, b)`: the standard Jaro–Winkler similarity
   * (Winkler 1990 — prefix scale 0.1 up to 4 chars, boost threshold
@@ -926,6 +1051,10 @@ object TextExprs {
   def word_pairs(c: Column, window: Int): Column =
     toColumn(WordPairsExpr(toExpr(c), window))
   def array_combos(c: Column): Column = toColumn(ArrayCombosExpr(toExpr(c)))
+  def array_combos_tagged(c: Column): Column =
+    toColumn(ArrayCombosTaggedExpr(toExpr(c)))
+  def hashed_margin(c: Column, w: Array[Long]): Column =
+    toColumn(HashedMarginExpr(toExpr(c), w))
   def hash_set(c: Column): Column = toColumn(HashSetExpr(toExpr(c)))
   def team_draft(qid: Column, cands: Column, k: Int): Column =
     toColumn(TeamDraftExpr(toExpr(qid), toExpr(cands), k))

@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: ONE basket-keyed fold into per-basket item sets
   * (collect_set — basket sizes are naturally small; cap oversized
-  * baskets like power users in item-item CF), then pairs generate
-  * INSIDE each basket's array (Σ_b |b|² compute, zero join) into one
-  * (i, j)-keyed count — two shuffles total where the self-join form
-  * paid four — pruned by `minSupport` BEFORE the item-count
-  * hydrations, bounded-heap top-N. Item counts and the basket total
-  * re-derive from the same set table through one reused exchange.
+  * baskets like power users in item-item CF), then ONE tagged explode
+  * generates pairs, single items and a basket marker INSIDE each
+  * basket's array (Σ_b |b|² compute, zero join) into one (i, j)-keyed
+  * count — two shuffles total, one of them the single tagged exchange
+  * that yields pair supports, item supports and the basket total
+  * together — pruned by `minSupport` BEFORE the item-count
+  * hydrations, bounded-heap top-N.
   */
 object Assoc {
 
@@ -33,32 +34,38 @@ object Assoc {
   def rules(baskets: DataFrame, basketCol: String, itemCol: String,
             minSupport: Long, topN: Int): DataFrame = {
     // per-basket distinct item sets in one keyed fold; ≤ |basket|
-    // array entries per row, reused by the pair explode, the item
-    // counts, and the basket total
-    // No checkpoint: the three consumers below share this agg's
-    // exchange via ReusedExchange inside the one final plan (verified
-    // in AssocSpec) — an eager localCheckpoint here would pin blocks
-    // until the caller's session cleanup (the r14 ADVICE leak).
+    // array entries per row, consumed ONCE by the tagged explode below
     val sets = baskets
       .select(col(basketCol).as("b"), col(itemCol).as("i"))
       .groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("items"))
-    val n = sets.agg(count(lit(1)).as("n"))
-    val itemCnt = sets.select(explode(col("items")).as("i"))
-      .groupBy(col("i")).agg(count(lit(1)).as("ci"))
-    // all i < j pairs inside the sorted array — no self-join; native
-    // codegen pair expansion (the HOF twin is the executable spec,
-    // equivalence-locked in EventsDriftSpec)
-    val pairs = sets
+    // ONE tagged explode (r16): every basket emits its i<j pairs, its
+    // single items as (i, null), and one (null, null) marker — ONE
+    // exchange feeds ONE aggregation computing pair supports, item
+    // supports AND the basket total, where the previous shape wrote a
+    // separate pair / item / total exchange (the sorted set's elements
+    // are non-null by construction, so the null tag is unambiguous).
+    // Deliberately NOT checkpointed: the three consumers re-run only
+    // the final agg over the one reused exchange, and AQE materializes
+    // those independent re-reads concurrently — a checkpoint barrier
+    // here measured SLOWER at sf0.1 (1.24 vs 1.12 s) by serializing
+    // them. At scale the win is the shuffle-write count: one tagged
+    // exchange instead of three explode exchanges.
+    val counts = sets
       .select(explode(graft.functions.expr.TextExprs
-        .array_combos(col("items"))).as("p"))
+        .array_combos_tagged(col("items"))).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("nab"))
+      .agg(count(lit(1)).as("c"))
+    val n = counts.filter(col("i").isNull && col("j").isNull)
+      .select(col("c").as("n"))
+    val itemCnt = counts.filter(col("i").isNotNull && col("j").isNull)
+      .select(col("i"), col("c").as("ci"))
+    val pairs = counts.filter(col("j").isNotNull)
+      .select(col("i"), col("j"), col("c").as("nab"))
       .filter(col("nab") >= minSupport)
     // Hydrate BOTH endpoint counts onto the i<j row, then explode the
     // two rule directions from it — a post-agg union would re-run the
-    // Σ|b|²-row pair aggregation once per direction (exchange reuse
-    // dedups only the shuffle write, not the final agg pass).
+    // pair aggregation once per direction.
     pairs
       .join(itemCnt.select(col("i"), col("ci").as("ca")), "i")
       .join(itemCnt.select(col("i").as("j"), col("ci").as("cb")), "j")

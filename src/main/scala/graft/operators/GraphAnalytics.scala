@@ -1862,6 +1862,62 @@ object GraphAnalytics {
       .orderBy(col("lbl"))
   }
 
+  /** [[conductance]] over SEVERAL assignments of the SAME graph in one
+    * pass — the tagged-union form (the PSI one-aggregation pattern,
+    * r16): a gate scoring k candidate partitions (LPA vs a hash split)
+    * previously re-canonicalized, re-checkpointed and re-folded the
+    * identical edge set once per call; here every assignment-
+    * independent artifact (canonical edge set, m, degrees) is computed
+    * once and the label joins / folds carry the `assignment` tag. Each
+    * (assignment, lbl) row is arithmetically identical to the single-
+    * assignment call's (lbl) row by construction: the tag only splits
+    * the folds the way separate calls did.
+    *
+    * @param communities (id, lbl, assignment) — every vertex labeled
+    *                    once per assignment value.
+    * @return (lbl, n_vertices, vol, cut, phi_micros, assignment)
+    *         ordered by (assignment, lbl).
+    */
+  def conductanceMulti(edges: DataFrame,
+                       communities: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+    val lab = communities.select(col("id"), col("lbl"), col("assignment"))
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val vol = deg.join(lab, "id")
+      .groupBy(col("assignment"), col("lbl")).agg(sum(col("deg")).as("vol"))
+    val boundary = e
+      .join(lab.select(col("id").as("u"), col("lbl").as("lu"),
+        col("assignment")), "u")
+      .join(lab.select(col("id").as("v"), col("lbl").as("lv"),
+        col("assignment")), Seq("v", "assignment"))
+      .filter(col("lu") =!= col("lv"))
+      .localCheckpoint(true) // credited to BOTH sides below
+    val cut = boundary.select(col("assignment"), col("lu").as("lbl"))
+      .unionAll(boundary.select(col("assignment"), col("lv").as("lbl")))
+      .groupBy("assignment", "lbl").agg(count(lit(1)).as("cut"))
+    lab.groupBy("assignment", "lbl").agg(count(lit(1)).as("n_vertices"))
+      .join(vol, Seq("assignment", "lbl"), "left")
+      .join(cut, Seq("assignment", "lbl"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("assignment"), col("lbl"), col("n_vertices"),
+        coalesce(col("vol"), lit(0L)).as("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        col("m"))
+      .select(col("lbl"), col("n_vertices"), col("vol"), col("cut"),
+        when(least(col("vol"), lit(2L) * col("m") - col("vol")) > 0,
+          floor(lit(1e6) * col("cut")
+            / least(col("vol"), lit(2L) * col("m") - col("vol")))
+            .cast("long"))
+          .otherwise(lit(0L)).as("phi_micros"),
+        col("assignment"))
+      .orderBy(col("assignment"), col("lbl"))
+  }
+
   /** Log-binned degree histogram of the undirected simple view — the
     * distribution readout behind [[powerLawAlpha]]'s single-number
     * fit (a fit is only as honest as the histogram it summarizes).
@@ -2772,19 +2828,23 @@ object GraphAnalytics {
 
   def adamicAdar(edges: DataFrame, k: Int,
                  maxDegree: Int = Int.MaxValue): DataFrame = {
-    // bag estimate over the RAW undirected view (one edge scan + agg,
-    // no second distinct shuffle): an upper bound when the input has
-    // duplicate edges — overshoot only adds tasks, undershoot is the
-    // OOM the sizing exists to prevent
-    val wpar = Pymk.wedgeParSized(edges,
-      Pymk.estWedgeBagRows(Pymk.undirected(edges), maxDegree))
+    // ONE materialization of the simple undirected view; the sizing
+    // agg then reads these blocks instead of paying its own scan +
+    // dedup of the raw edge view (r16: the old order — size first,
+    // checkpoint after — cost one full edge pass per gate)
     val adj = Pymk.undirected(edges).distinct()
-      .repartition(wpar)
-      .localCheckpoint(true) // reused 4×: deg, both join sides, anti join
+      .localCheckpoint(true) // reused 5×: sizing, deg, both join sides, anti join
+    val wpar = Pymk.wedgeParSized(edges, Pymk.estWedgeBagRows(adj, maxDegree))
     // wedge sides enumerate the (possibly capped) neighbor sample;
     // degrees, discounts, and the direct-edge anti join stay EXACT on
-    // the full adjacency — the cap bounds wedge multiplicity only
-    val wedgeAdj = capNeighbors(adj, maxDegree)
+    // the full adjacency — the cap bounds wedge multiplicity only.
+    // The uncapped side re-spreads the checkpoint round-robin to wpar
+    // (the blocks carry the distinct agg's — possibly AQE-coalesced —
+    // partitioning; the explosive join needs the full fan-out), the
+    // capped side keeps the heap agg's keyed partitioning.
+    val wedgeAdj =
+      if (maxDegree == Int.MaxValue) adj.repartition(wpar)
+      else capNeighbors(adj, maxDegree)
     val deg = adj.groupBy(col("from").as("z"))
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2)
@@ -2864,15 +2924,16 @@ object GraphAnalytics {
     */
   def linkPredictScores(edges: DataFrame,
                         maxDegree: Int = Int.MaxValue): DataFrame = {
-    // raw-view bag estimate — same rationale as adamicAdar
-    val wpar = Pymk.wedgeParSized(edges,
-      Pymk.estWedgeBagRows(Pymk.undirected(edges), maxDegree))
+    // one materialization; sizing agg rides the checkpoint blocks —
+    // same rationale and leg spreading as adamicAdar (r16)
     val adj = Pymk.undirected(edges).distinct()
-      .repartition(wpar)
-      .localCheckpoint(true) // reused 4x: deg, both wedge sides, anti join
+      .localCheckpoint(true) // reused 5x: sizing, deg, both wedge sides, anti join
+    val wpar = Pymk.wedgeParSized(edges, Pymk.estWedgeBagRows(adj, maxDegree))
     // hub guard: wedge sides enumerate the capped neighbor sample;
     // degrees/discounts/anti-join stay exact (see capNeighbors)
-    val wedgeAdj = capNeighbors(adj, maxDegree)
+    val wedgeAdj =
+      if (maxDegree == Int.MaxValue) adj.repartition(wpar)
+      else capNeighbors(adj, maxDegree)
     // full degree table — ra discounts by it, jaccard/pa consume it;
     // deg-1 middles witness no a!=c wedge, so no HAVING filter needed
     val deg = adj.groupBy(col("from").as("z"))

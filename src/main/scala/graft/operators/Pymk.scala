@@ -97,25 +97,18 @@ object Pymk {
   /** Σ min(deg, cap)² over an adjacency's `from` column — the wedge-bag
     * row estimate behind [[wedgeParSized]] (exact for an uncapped
     * middle join; an upper bound for a<c-halved ones — a ≤2× sizing
-    * overshoot is free, an undershoot is the OOM). One agg + one
-    * driver scalar, MEMOIZED on the adjacency's semantic plan hash:
-    * a harness replays the same gate plan many times (warmup + timed
-    * passes) and the estimate is a SIZING hint — recomputing it per
-    * pass is a whole extra job over the adjacency for a number that
-    * cannot change under the same plan over static tables. A stale
-    * hit under mutated underlying files could only mis-SIZE
-    * partitions, never change results. */
-  private val bagEstCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Long]()
+    * overshoot is free, an undershoot is the OOM). One tiny agg + one
+    * driver scalar. Callers MUST pass the operator's CHECKPOINTED
+    * adjacency (r16): the estimate then costs one pass over already-
+    * materialized blocks instead of its own scan + dedup of the raw
+    * edge list, and the checkpoint is reused by every wedge leg — at
+    * 100 TB that is one full edge pass saved per gate, and the cross-
+    * pass memo the uncheckpointed form needed (r15, per-JVM) is gone. */
   private[graft] def estWedgeBagRows(adj: DataFrame,
                                      cap: Int = Int.MaxValue): Long = {
-    val key = (adj.queryExecution.analyzed.semanticHash(), cap)
-    bagEstCache.computeIfAbsent(key, { _ =>
-      val d = least(count(lit(1)), lit(cap.toLong))
-      val r = adj.groupBy(col("from")).agg((d * d).as("w2"))
-        .agg(coalesce(sum(col("w2")), lit(0L)).as("bag")).head()
-      r.getLong(0)
-    })
+    val d = least(count(lit(1)), lit(cap.toLong))
+    adj.groupBy(col("from")).agg((d * d).as("w2"))
+      .agg(coalesce(sum(col("w2")), lit(0L)).as("bag")).head().getLong(0)
   }
 
   /** Undirected bag view of a directed edge list: out-edges ∪ in-edges.
@@ -264,7 +257,12 @@ object Pymk {
     * [[Skew.saltedInnerJoin]] when AQE is off.
     */
   def recommendAll(edges: DataFrame, limit: Int): DataFrame = {
-    val adj = undirected(edges)
+    // ONE materialization of the undirected bag (r16): the sizing agg,
+    // both wedge legs and the anti-join side all read these blocks —
+    // the uncheckpointed form re-derived the upstream edge frame once
+    // per consumer (4 passes; ruinous when the caller's edge frame is
+    // itself an aggregation, e.g. the decayed-weight gates).
+    val adj = undirected(edges).localCheckpoint(true)
     // The adjacency is small relative to its join OUTPUT (Σ deg²):
     // AQE's partition coalescing sees only the input bytes and would
     // shrink the stream side to ~1 partition, serializing the
@@ -348,7 +346,9 @@ object Pymk {
     */
   def recommendAllCapped(edges: DataFrame, limit: Int,
                          maxDegree: Int): DataFrame = {
-    val adjFull = undirected(edges)
+    // one materialization feeds the sizing agg, the sampler and the
+    // anti-join side (see recommendAll)
+    val adjFull = undirected(edges).localCheckpoint(true)
     val par = wedgeParSized(edges, estWedgeBagRows(adjFull, maxDegree))
     // hash-spread per-middle sample: keep the maxDegree rows with the
     // lowest (md5Bucket("z:n"), n) — bounded-heap, never a window sort
@@ -396,10 +396,16 @@ object Pymk {
     *         (score desc, id asc).
     */
   def recommendAllWeighted(wEdges: DataFrame, limit: Int): DataFrame = {
+    // one materialization of the weighted bag: the caller's wEdges is
+    // typically itself an aggregation (decayed counts), and the
+    // uncheckpointed form re-ran it once per consumer — sizing agg,
+    // two wedge legs, anti-join side (measured 24 s → ~6 s of task
+    // time on the decayed gate at sf0.1)
     val adj = wEdges.select(col("src").as("from"), col("dst").as("to"),
         col("w_micros").as("w"))
       .unionAll(wEdges.select(col("dst").as("from"), col("src").as("to"),
         col("w_micros").as("w")))
+      .localCheckpoint(true)
     val par = wedgeParSized(wEdges, estWedgeBagRows(adj))
     // path weights are symmetric (w₁·w₂ commutes), so — like the
     // unweighted flagship — fold only the anchor < candidate half of
@@ -445,10 +451,12 @@ object Pymk {
     */
   def recommendAllWeightedCapped(wEdges: DataFrame, limit: Int,
                                  maxDegree: Int): DataFrame = {
+    // one materialization — see recommendAllWeighted
     val adjFull = wEdges.select(col("src").as("from"), col("dst").as("to"),
         col("w_micros").as("w"))
       .unionAll(wEdges.select(col("dst").as("from"), col("src").as("to"),
         col("w_micros").as("w")))
+      .localCheckpoint(true)
     val par = wedgeParSized(wEdges, estWedgeBagRows(adjFull, maxDegree))
     val keyed = adjFull.withColumn("_hk",
       Sampling.md5Bucket(concat_ws(":", col("from"), col("to"))))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,26 +90,40 @@ object QualityLr {
     val spark = labeled.sparkSession
     // one corpus scan into the per-doc compact table; empty docs
     // (zero ngrams) exert no gradient and are absent from N —
-    // unchanged semantics
-    val feats = labeled.select(
+    // unchanged semantics. The featurization is compute-dense per
+    // byte (an md5 per 1+2-gram), which scan-split sizing undercounts
+    // — a small corpus arrives as ONE split and the checkpoint stage
+    // runs serial (measured 0.48 s on 1 task at sf0.1) — so the
+    // narrow (text, label) projection is spread round-robin first
+    // (the wedge-family "AQE sizes by input bytes" argument). N rides
+    // the checkpoint job as an observed metric instead of its own
+    // count pass.
+    val nObs = org.apache.spark.sql.Observation()
+    val feats = labeled
+      .select(col(textCol), col(labelCol))
+      .repartition(Pymk.wedgePar(labeled))
+      .select(
         graft.functions.expr.TextExprs
           .hashed_ngram_features(col(textCol), buckets).as("fs"),
         (col(labelCol).cast("long") * lit(1000000L)).as("y_micros"))
       .filter(size(col("fs")) > 0)
+      .observe(nObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val n = feats.count().toDouble
+    val n = nObs.get("n").asInstanceOf[Long].toDouble
     // w starts all-zero, so the round-1 margin is 0 for every doc
     // whatever the bucket domain; the domain itself comes back with
     // round 1's gradient (every corpus bucket appears in every
     // round's B-key fold)
     var w: Map[Long, Long] = Map.empty
     for (_ <- 1 to iters) {
-      val wMap = typedLit(w)
-      // margin folds INSIDE the doc's array — no window, no shuffle
-      val margin = aggregate(col("fs"), lit(0L), (acc, f) =>
-        acc + round(f.getField("x_micros") *
-          coalesce(element_at(wMap, f.getField("bucket")), lit(0L))
-          / lit(1e6)).cast("long"))
+      // dense weight vector shipped as a codegen REFERENCE OBJECT:
+      // the typedLit map form re-analyzed and re-compiled the stage
+      // every round (fresh literal ⇒ fresh generated source); the
+      // native fold keeps one stable source across rounds and passes.
+      // The HOF twin stays as the spec (QualityLrSpec).
+      val wArr = new Array[Long](buckets)
+      w.foreach { case (b, g) => if (b >= 0 && b < buckets) wArr(b.toInt) = g }
+      val margin = graft.functions.expr.TextExprs.hashed_margin(col("fs"), wArr)
       val grads = feats
         .withColumn("r_micros",
           round(lit(1e6) / (lit(1.0) + exp(-margin / lit(1e6))))
@@ -129,6 +143,18 @@ object QualityLr {
     }
     import spark.implicits._
     w.toSeq.sorted.toDF("bucket", "w_micros")
+  }
+
+  /** Executable spec of the native `hashed_margin` fold — the exact
+    * HOF form [[train]] used before r16 (typedLit weight map +
+    * per-element `element_at`); QualityLrSpec pins equivalence on the
+    * gate corpus so the reference-object kernel can never drift. */
+  private[graft] def marginHofSpec(w: Map[Long, Long]): Column = {
+    val wMap = typedLit(w)
+    aggregate(col("fs"), lit(0L), (acc, f) =>
+      acc + round(f.getField("x_micros") *
+        coalesce(element_at(wMap, f.getField("bucket")), lit(0L))
+        / lit(1e6)).cast("long"))
   }
 
   /** Score documents under a [[train]]ed model: (idCol, n_buckets,

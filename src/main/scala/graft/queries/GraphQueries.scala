@@ -548,14 +548,17 @@ object GraphQueries {
     // has no boundary (φ=0 guard), the md5 4-way spread cuts ~3/4 of
     // every community's volume.
     "qX_conductance" -> ((s, dir) => {
+      // both assignments scored in ONE tagged pass (r16): the union-of-
+      // two-calls form re-canonicalized and re-checkpointed the same
+      // edge set per call — result rows identical by construction
+      // (hash-gated), jobs halved.
       val edges = derivedEdges(Tables.load(s, dir, "events"))
       val lpa = graft.operators.GraphAnalytics.labelPropagationDF(edges)
       val hashed = lpa.select(col("id"),
         pmod(graft.operators.Sampling.md5Bucket(col("id")), lit(4L)).as("lbl"))
-      graft.operators.GraphAnalytics.conductance(edges, lpa)
-        .withColumn("assignment", lit("lpa"))
-        .unionByName(graft.operators.GraphAnalytics.conductance(edges, hashed)
-          .withColumn("assignment", lit("hash4")))
+      val tagged = lpa.withColumn("assignment", lit("lpa"))
+        .unionByName(hashed.withColumn("assignment", lit("hash4")))
+      graft.operators.GraphAnalytics.conductanceMulti(edges, tagged)
         .orderBy(col("assignment"), col("lbl"))
     }),
 

@@ -190,6 +190,26 @@ class EventsDriftSpec extends AnyFunSuite with SparkSpec {
     assert(dl.count() == 62 && ds.count() == 40)
   }
 
+  test("array_combos_tagged equals combos ++ singles ++ marker") {
+    import graft.functions.expr.TextExprs
+    val rnd = new scala.util.Random(13)
+    val longArrs = Seq(Seq.empty[Long], Seq(7L)) ++
+      (1 to 60).map(_ => Seq.fill(rnd.nextInt(12))(rnd.nextLong()).sorted)
+    // spec: the plain pair expansion, then (e, null) per element, then
+    // one (null, null) basket marker — exactly the tagged layout
+    val spec = expr(
+      "concat(" +
+        "flatten(transform(items, (x, k) -> " +
+        "transform(slice(items, k + 2, size(items) - k - 1), " +
+        "y -> named_struct('i', x, 'j', y)))), " +
+        "transform(items, x -> named_struct('i', x, 'j', cast(null as bigint))), " +
+        "array(named_struct('i', cast(null as bigint), 'j', cast(null as bigint))))")
+    val dl = longArrs.toDF("items")
+      .select(spec.as("h"), TextExprs.array_combos_tagged(col("items")).as("e"))
+    assert(dl.filter(not(col("h") <=> col("e"))).isEmpty)
+    assert(dl.count() == 62) // codegen path compiles
+  }
+
   test("assoc rules: the set-table exchange is reused, not checkpointed") {
     import graft.operators.Assoc
     val b = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))

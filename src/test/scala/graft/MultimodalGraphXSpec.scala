@@ -724,6 +724,29 @@ class MultimodalGraphXSpec extends AnyFunSuite with SparkSpec {
     assert((one.getLong(3), one.getLong(4)) == ((0L, 0L)))
   }
 
+  test("conductanceMulti equals per-assignment conductance calls") {
+    // the r16 tagged-union pass must be row-identical to unioning two
+    // single-assignment calls (the qX_conductance gate's old shape)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L), (2L, 6L)).toDF("src", "dst")
+    val a1 = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "lbl")
+    val a2 = (1L to 6L).map(i => (i, i % 3)).toDF("id", "lbl")
+    val single = GraphAnalytics.conductance(g, a1)
+      .withColumn("assignment", lit("a1"))
+      .unionByName(GraphAnalytics.conductance(g, a2)
+        .withColumn("assignment", lit("a2")))
+      .orderBy(col("assignment"), col("lbl"))
+      .collect().map(_.toString)
+    val multi = GraphAnalytics.conductanceMulti(g,
+        a1.withColumn("assignment", lit("a1"))
+          .unionByName(a2.withColumn("assignment", lit("a2"))))
+      .orderBy(col("assignment"), col("lbl"))
+      .collect().map(_.toString)
+    assert(multi.sameElements(single),
+      s"multi=${multi.mkString(";")} single=${single.mkString(";")}")
+  }
+
   test("powerLawAlpha: tail terms quantize before the fold, path-graph estimator") {
     // path 1-2-3-4: undirected degrees (1,2,2,1); tail d>=2 = {2,3},
     // each term round(1e6·ln(2/1.5)); estimator replays the operator's

@@ -51,6 +51,32 @@ class QualityLrSpec extends AnyFunSuite with SparkSpec {
       s"expression/spec divergence: ${fast.length} vs ${spec.length} rows")
   }
 
+  test("hashed_margin kernel ≡ typedLit-map aggregate HOF on real docs") {
+    // the reference-object fold the r16 GD loop uses, pinned to the
+    // exact HOF form the r15 loop evaluated (QualityLr.marginHofSpec)
+    // on real documents under several weight vectors incl. negatives
+    import graft.functions.expr.TextExprs
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val buckets = 64
+    val fs = docs.select(
+      TextExprs.hashed_ngram_features(col("text"), buckets).as("fs"))
+      .filter(size(col("fs")) > 0)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val w = (0 until buckets).flatMap { b =>
+        if (rnd.nextBoolean()) Some(b.toLong -> (rnd.nextInt(2000001) - 1000000L))
+        else None
+      }.toMap
+      val wArr = new Array[Long](buckets)
+      w.foreach { case (b, g) => wArr(b.toInt) = g }
+      val both = fs.select(
+        QualityLr.marginHofSpec(w).as("spec"),
+        TextExprs.hashed_margin(col("fs"), wArr).as("fast"))
+      assert(both.filter(col("spec") =!= col("fast")).isEmpty,
+        s"kernel/spec divergence under w=$w")
+    }
+  }
+
   test("train: hand-computed symmetric weights on a 2-doc corpus") {
     // one target doc {a}, one raw doc {b}, no bucket collision (checked):
     // round 1: m=0 → p=500000 → r=∓500000 → w=±250000;
