@@ -171,7 +171,16 @@ object BucketStore {
       .map { case (_, b, g) => (b, g) }.toArray
     if (refs.isEmpty) return fallbackSchema.limit(0)
     val paths = refs.map { case (b, g) => s"$dir/files/$table/g=$g/p=$b" }
-    spark.read.parquet(paths.toIndexedSeq: _*)
+    val raw = spark.read.parquet(paths.toIndexedSeq: _*)
+    // prune to the caller's schema: generations written by the fused
+    // multi-table staging job (r16, see commit) physically carry the
+    // OTHER tables' columns as nulls — invisible to every reader by
+    // this projection. Single-table generations are unaffected (their
+    // columns ARE the fallback set).
+    val want = fallbackSchema.columns
+    if (want.nonEmpty && want.forall(raw.columns.contains))
+      raw.select(want.map(col).toIndexedSeq: _*)
+    else raw
   }
 
   /** One atomic fold. Each update is (table, content, bucketCol,
@@ -196,14 +205,69 @@ object BucketStore {
     val recordBuckets = if (buckets >= 0) buckets else m0.buckets
     val man = m0.rows.toArray
     val newGen = (m0.maxGen +: man.map(_._3)).max + 1L
-    // The per-table staging writes are INDEPENDENT jobs (distinct
-    // generation dirs, no shared state until the manifest swap below):
-    // submit them from concurrent driver threads so the second write's
-    // tasks back-fill cores the first's tail leaves idle — per-trigger
-    // fixed job latency is the streaming folds' dominant cost, and two
-    // serial write jobs were the largest single slice of it. The
-    // manifest swap still happens strictly after every write returns.
-    val written = {
+    // Multi-table folds stage EVERYTHING in ONE write job (r16): the
+    // per-table write jobs are dominated by fixed cost (job submit,
+    // committer setup/commitJob, writer init — measured ~250 ms per
+    // write job on a micro-batch fold, half the wall of the streaming
+    // gates), so the tables union under a `_t` tag + a two-level
+    // partitionBy("_t", "p"), and the driver RENAMES each `_t=<table>`
+    // subtree into that table's generation dir — the final on-disk
+    // layout is unchanged. Tables with differently-typed shared column
+    // names cannot union — those (and single-table folds) take the
+    // per-table path below.
+    def unifiable: Boolean = {
+      val seen = scala.collection.mutable.HashMap[String, org.apache.spark.sql.types.DataType]()
+      updates.forall { case (_, content, _, _) =>
+        !content.columns.contains("_t") && !content.columns.contains("p") &&
+          content.schema.forall(f => seen.put(f.name, f.dataType)
+            .forall(_ == f.dataType))
+      }
+    }
+    def writtenFused(): Seq[(String, Set[Long], Seq[Long])] = {
+      val stage = new Path(s"$dir/files__stage")
+      if (hfs.exists(stage) && !hfs.delete(stage, true))
+        throw new java.io.IOException(s"cannot clear stale $stage")
+      val tagged = updates.map { case (table, content, bucketCol, _) =>
+        // sorted projection: one canonical on-disk column order per
+        // table regardless of how the caller assembled the merge
+        val cols = content.columns.sorted
+        content.select(cols.map(col): _*)
+          .withColumn("p", col(bucketCol))
+          .withColumn("_t", lit(table))
+      }
+      val union = tagged.reduce((a, b) =>
+        a.unionByName(b, allowMissingColumns = true))
+      union.repartition(col("_t"), col("p")) // ~one file per leaf dir
+        .write.mode("overwrite").partitionBy("_t", "p")
+        .parquet(stage.toString)
+      val out = updates.map { case (table, _, _, touched) =>
+        val src = new Path(stage, s"_t=$table")
+        val dest = new Path(s"$dir/files/$table/g=$newGen")
+        // a crashed earlier fold can leave an orphan dir at this gen —
+        // clear it, same argument as the overwrite mode below
+        if (hfs.exists(dest) && !hfs.delete(dest, true))
+          throw new java.io.IOException(s"cannot clear orphan $dest")
+        val actual: Seq[Long] =
+          if (hfs.exists(src)) {
+            hfs.mkdirs(new Path(s"$dir/files/$table"))
+            if (!hfs.rename(src, dest))
+              throw new java.io.IOException(s"cannot move $src to $dest")
+            // a touched bucket that merged to zero rows writes no dir —
+            // it must drop OUT of the manifest, so list what landed
+            hfs.listStatus(dest)
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
+              .map(_.getPath.getName.stripPrefix("p=").toLong).toSeq
+          } else Seq.empty // every touched bucket of this table emptied
+        (table, touched.toSet, actual)
+      }
+      hfs.delete(stage, true)
+      out
+    }
+    // Single-table (or type-conflicting) folds: independent per-table
+    // write jobs submitted from concurrent driver threads so the
+    // second write's tasks back-fill cores the first's tail leaves
+    // idle. The manifest swap happens strictly after every write.
+    def writtenPerTable(): Seq[(String, Set[Long], Seq[Long])] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -211,15 +275,11 @@ object BucketStore {
         Future.sequence(updates.map { case (table, content, bucketCol, touched) =>
           Future {
             val genDir = s"$dir/files/$table/g=$newGen"
-            // sorted projection: one canonical on-disk column order per
-            // table regardless of how the caller assembled the merge
             val cols = content.columns.sorted
             content.select(cols.map(col): _*)
               .withColumn("p", col(bucketCol))
               .repartition(col("p")) // ~one task per bucket dir, not tasks×buckets files
               .write.mode("overwrite").partitionBy("p").parquet(genDir)
-            // a touched bucket that merged to zero rows writes no dir — it
-            // must drop OUT of the manifest, so list what actually landed
             val actual = hfs.listStatus(new Path(genDir))
               .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
               .map(_.getPath.getName.stripPrefix("p=").toLong).toSeq
@@ -227,6 +287,8 @@ object BucketStore {
           }
         }), Duration.Inf)
     }
+    val written =
+      if (updates.size > 1 && unifiable) writtenFused() else writtenPerTable()
     val keep = man.filterNot { case (t, b, _) =>
       written.exists { case (wt, touched, _) => wt == t && touched(b) } }
     val rows = keep.map { case (t, b, g) => (t, b, g) } ++

@@ -644,8 +644,9 @@ object CardStream {
                       batchId: Long = -1L,
                       storeBuckets: Int = BucketStore.StoreBuckets): Long = {
     import graft.operators.Dedup
-    require(!batch.columns.contains("sh") && !batch.columns.contains("bucket"),
-      "nearDupSuppress reserves the column names 'sh' and 'bucket'")
+    require(!batch.columns.contains("sh") && !batch.columns.contains("bucket")
+        && !batch.columns.contains("bks"),
+      "nearDupSuppress reserves the column names 'sh', 'bucket' and 'bks'")
     // manifest resolved ONCE for the whole fold — a driver-side file
     // read, no Spark job (fence + 3 table reads + commit base);
     // single-writer, so the snapshot stays valid for the fold
@@ -662,35 +663,41 @@ object CardStream {
       return 0L // replayed micro-batch: no-op
     val nb = lit(storeBuckets.toLong)
     // ONE checkpoint of the batch's derived state: caller columns +
-    // shingle set + id-hash store bucket. The shingle pipeline was
-    // previously computed twice (in-batch LSH pass, then again for
-    // the history probe); the fused fold computes it once and stores
-    // the shingles IN the data table, so cross-batch verification
-    // reads one table instead of a data/sh pair — two commit writes
-    // per trigger, not three.
+    // shingle set + id-hash store bucket + the (band, key, bucket)
+    // POSTINGS array (r16). The minhash signature is computed exactly
+    // once into `bks`; the posting frame, both candidate joins and the
+    // survivor append all re-derive rows from these blocks with a
+    // cheap explode — the separate posting checkpoint job is gone, and
+    // the posting-bucket set rides THIS job's observation. Empty-
+    // shingle docs get an empty array: they post nothing and can never
+    // be dropped, exactly as before.
+    val bkType = "array<struct<band:int,key:bigint,bucket:bigint>>"
+    val postObs = org.apache.spark.sql.Observation()
     val base = batch
       .withColumn("sh", Dedup.shingles(col(textCol), n))
       .withColumn("bucket", pmod(xxhash64(col(idCol)), nb))
+      .withColumn("bks", when(size(col("sh")) > 0,
+          transform(Dedup.lshBands(
+              graft.functions.expr.TextExprs.minhash_sig(col("sh"), k),
+              k, bands),
+            b => struct(b.getField("band").as("band"),
+              b.getField("key").as("key"),
+              pmod(xxhash64(b.getField("band"), b.getField("key")), nb)
+                .as("bucket"))))
+        .otherwise(array().cast(bkType)))
+      .observe(postObs,
+        flatten(collect_set(transform(col("bks"),
+          b => b.getField("bucket")))).as("pbks"))
       .localCheckpoint(true)
-    // (band, key) postings of every batch doc — empty-shingle docs
-    // post nothing and can never be dropped
-    // the posting-bucket id set rides the checkpoint job as an observed
-    // metric (collect_set of ≤ storeBuckets longs — exact and driver-
-    // small by construction): one job where the checkpoint + distinct-
-    // collect form paid two. Fixed per-trigger jobs ARE this fold's
-    // cost (the mergeAdditive lesson applied store-wide).
-    val postObs = org.apache.spark.sql.Observation()
-    val posts = base.filter(size(col("sh")) > 0)
-      .select(col(idCol).as("id"),
-        graft.functions.expr.TextExprs.minhash_sig(col("sh"), k).as("sig"))
-      .select(col("id"), explode(Dedup.lshBands(col("sig"), k, bands)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .withColumn("bucket",
-        pmod(xxhash64(col("band"), col("key")), nb))
-      .observe(postObs, collect_set(col("bucket")).as("bks"))
-      .localCheckpoint(true) // reused: both cand joins, append
     // every driver-side bucket set below is ≤ storeBuckets longs
-    val postBuckets = postObs.get("bks").asInstanceOf[Seq[Long]].sorted
+    // (flatten-of-set-of-arrays can repeat a bucket across distinct
+    // arrays — dedup driver-side)
+    val postBuckets = postObs.get("pbks").asInstanceOf[Seq[Long]]
+      .distinct.sorted
+    val posts = base
+      .select(col(idCol).as("id"), explode(col("bks")).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"),
+        col("bk.bucket").as("bucket"))
     val storedPosts = BucketStore.read(spark, dir, "posts",
         Some(postBuckets.toSeq), posts, man)
       .select(col("id").as("_oid"), col("band"), col("key"))
@@ -717,7 +724,7 @@ object CardStream {
       .localCheckpoint(true) // reused by the verify join
     val oidBuckets = candObs.get("obks").asInstanceOf[Seq[Long]].sorted
     val storedSh = BucketStore.read(spark, dir, "data",
-        Some(oidBuckets.toSeq), base, man)
+        Some(oidBuckets.toSeq), base.drop("bks"), man)
       .select(col(idCol).as("_oid"), col("sh").as("_osh"),
         lit(false).as("_inbatch"))
     val batchSh = base
@@ -734,27 +741,37 @@ object CardStream {
       .filter(round(col("_inter").cast("double") /
         (size(col("sh")) + size(col("_osh")) - col("_inter")), 4) >= minJaccard)
       .select(col("id").as("_drop")).distinct()
-    // the survivors' id-bucket set AND the returned row count both
-    // ride the checkpoint job; only the surviving postings' bucket set
-    // still needs a (small) collect of its own — 2 jobs where the
-    // checkpoint + union-collect + count form paid 3
+    // the survivors' id-bucket set, the returned row count AND the
+    // surviving postings' bucket set (the survivor rows carry their
+    // posting arrays) ALL ride the checkpoint job — 1 job where the
+    // checkpoint + union-collect + count form paid 3 (r16: the
+    // standalone survPostBuckets collect is gone)
     val survObs = org.apache.spark.sql.Observation()
     val survivors = base.join(dropped,
         base(idCol) === col("_drop"), "left_anti")
       .observe(survObs, collect_set(col("bucket")).as("ibks"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        flatten(collect_set(transform(col("bks"),
+          b => b.getField("bucket")))).as("pbks"))
       .localCheckpoint(true) // reused: posting probe, data append
     val idBuckets = survObs.get("ibks").asInstanceOf[Seq[Long]].sorted
     val nSurvivors = survObs.get("n").asInstanceOf[Long]
-    val survIds = survivors.select(col(idCol).as("id"))
-    val newPosts = posts.join(survIds, "id")
-    val survPostBuckets = newPosts.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+    val survPostBuckets = survObs.get("pbks").asInstanceOf[Seq[Long]]
+      .distinct.sorted
+    // the surviving postings re-derive from the survivors' own arrays
+    // — no posts ⋈ survivors join
+    val newPosts = survivors
+      .select(col(idCol).as("id"), explode(col("bks")).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"),
+        col("bk.bucket").as("bucket"))
     // merge = stored bucket content ∪ accepted rows, for ONLY the
     // buckets the survivors land in (append-only: accepted docs never
-    // change, so untouched buckets carry over by manifest pointer)
+    // change, so untouched buckets carry over by manifest pointer);
+    // the posting-array column stays checkpoint-local — the stored
+    // data table's schema is unchanged
     val mergedData = BucketStore.read(spark, dir, "data",
-      Some(idBuckets), survivors, man).unionByName(survivors)
+      Some(idBuckets), survivors.drop("bks"), man)
+      .unionByName(survivors.drop("bks"))
     val mergedPosts = BucketStore.read(spark, dir, "posts",
       Some(survPostBuckets), newPosts, man).unionByName(newPosts)
     BucketStore.commit(spark, dir, Seq(
