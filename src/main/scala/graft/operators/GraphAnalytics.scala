@@ -943,9 +943,12 @@ object GraphAnalytics {
     * `max over neighbor rank r of min(r, value_r)` with values
     * ranked desc within each vertex — a DEGREE-BOUNDED per-vertex
     * window (partitioned by vertex, never global), all integer.
-    * Fixed `rounds` (h-index iteration converges in a few rounds on
-    * short-diameter graphs; monotone non-increasing toward the
-    * coreness from above), unrolled in the qX_coreness oracle.
+    * At most `rounds` rounds (h-index iteration converges in a few
+    * rounds on short-diameter graphs; monotone non-increasing toward
+    * the coreness from above), unrolled in the qX_coreness oracle —
+    * with a FIXPOINT EARLY EXIT: an unchanged Σh proves an unchanged
+    * vector (pointwise monotonicity), so skipped rounds are provable
+    * no-ops the unrolled oracle replays identically.
     *
     * @return (id, coreness) over the simple undirected view, ordered.
     */
@@ -957,18 +960,37 @@ object GraphAnalytics {
     val adj = canon.select(col("u").as("f"), col("v").as("t"))
       .unionAll(canon.select(col("v").as("f"), col("u").as("t")))
       .localCheckpoint(true)
-    var h = adj.groupBy(col("f").as("id"))
-      .agg(count(lit(1)).as("h"))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // Fixpoint early exit (r16, the kCore pattern): the iterated
+    // h-index is POINTWISE NON-INCREASING from the degree init (H is
+    // monotone in its inputs, so hᵏ ≤ hᵏ⁻¹ pointwise by induction —
+    // Lü et al. 2016), and the vertex set is constant — therefore an
+    // unchanged Σh PROVES an unchanged vector, and every later round
+    // is a no-op the unrolled oracle replays identically. The sum
+    // rides each round's existing checkpoint job as an Observation.
+    def obsSum(df: DataFrame): (DataFrame, () => Long) = {
+      val o = org.apache.spark.sql.Observation()
+      (df.observe(o, coalesce(sum(col("h")), lit(0L)).as("s")),
+        () => o.get("s").asInstanceOf[Long])
+    }
+    val (h0, s0) = obsSum(adj.groupBy(col("f").as("id"))
+      .agg(count(lit(1)).as("h")))
+    var h = h0.localCheckpoint(true)
+    var hSum = s0()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val nbr = adj.join(h.select(col("id").as("t"), col("h").as("hv")), "t")
       // BOUNDED per-vertex window: one vertex's neighbor list
       val w = Window.partitionBy(col("f"))
         .orderBy(desc("hv"), col("t"))
-      h = nbr.withColumn("r", row_number().over(w))
+      val (hn, sn) = obsSum(nbr.withColumn("r", row_number().over(w))
         .groupBy(col("f").as("id"))
-        .agg(max(least(col("r"), col("hv"))).as("h"))
-        .localCheckpoint(true)
+        .agg(max(least(col("r"), col("hv"))).as("h")))
+      val prev = h
+      h = hn.localCheckpoint(true)
+      val s = sn()
+      converged = s == hSum
+      hSum = s
+      releaseCheckpoint(prev) // superseded round's blocks
     }
     h.select(col("id"), col("h").as("coreness")).orderBy(col("id"))
   }
